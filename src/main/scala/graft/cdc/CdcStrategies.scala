@@ -1,0 +1,179 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** The advancing cursor extracted from a batch: (last_timestamp, last_id). */
+final case class Cursor(lastTimestamp: Option[String] = None,
+                       lastId: Option[Long] = None)
+
+/** A rendered incremental scan: predicate + ordering + optional row cap.
+  * This is the Catalyst analog of the reference's generated SQL "IR"
+  * (src/core/cdc_strategy_engine.py `build_query` implementations). The
+  * predicate is pushed down by Catalyst to the Parquet/JDBC scan — the
+  * reference had to hand-render WHERE clauses to get the same effect.
+  */
+final case class ScanSpec(predicate: Option[Column], orderBy: Seq[Column],
+                          limit: Option[Long]) {
+  def apply(df: DataFrame): DataFrame = {
+    val filtered = predicate.map(df.filter).getOrElse(df)
+    // ORDER BY + LIMIT only when a chunk cap is requested: an unbounded global
+    // sort of a 100 TB scan would be a full range-shuffle for nothing — the
+    // cursor is recovered with max(struct(ts,id)) instead (SURVEY §4 "sort for
+    // resumability").
+    limit match {
+      case Some(n) if orderBy.nonEmpty => filtered.orderBy(orderBy: _*).limit(n.toInt)
+      case Some(n) => filtered.limit(n.toInt)
+      case None => filtered
+    }
+  }
+}
+
+/** A CDC strategy: builds the scan predicate from the current cursor and
+  * extracts the next cursor from a batch — the Scala analog of the reference's
+  * abstract `CDCStrategy` (build_query / extract_watermark_data /
+  * validate_table_schema, cdc_strategy_engine.py:147-177). */
+sealed trait CdcStrategy {
+  def config: CdcConfig
+
+  /** Catalyst predicate selecting rows strictly after the cursor. */
+  def scanSpec(cursor: Cursor): ScanSpec
+
+  /** Columns that must exist on the source (validate_table_schema analog). */
+  def requiredColumns: Seq[String]
+
+  /** Extract the max cursor from a batch WITHOUT a global sort:
+    * `max(struct(ts, id))` is a cheap partial-aggregatable reduction, unlike
+    * the reference's ORDER BY ts,id LIMIT n per chunk (SURVEY §4). */
+  def extractCursor(batch: DataFrame): Cursor
+
+  /** Static extra predicate ANDed into every scan (P6, ref :253-259). */
+  protected def additionalPred: Option[Column] =
+    config.additionalWhere.map(w => expr(SqlGuard.validateCustomSqlFragment(w)))
+
+  protected def andAll(preds: Seq[Column]): Option[Column] =
+    preds.reduceOption(_ && _)
+
+  /** Timestamp literal comparable against the source column. Handles the
+    * UNIX-epoch-seconds variant (ref :224-251: `ts > UNIX_TIMESTAMP(:wm)`). */
+  protected def tsLiteral(iso: String): Column =
+    if (config.timestampIsUnixEpoch) unix_timestamp(to_timestamp(lit(iso)))
+    else to_timestamp(lit(iso))
+
+  protected def tsColName: String =
+    config.timestampColumn.getOrElse(
+      throw new IllegalArgumentException("cdc_timestamp_column required"))
+  protected def idColName: String =
+    config.idColumn.getOrElse(
+      throw new IllegalArgumentException("cdc_id_column required"))
+
+  protected def maxTsString(batch: DataFrame, c: String): Option[String] = {
+    val raw =
+      if (config.timestampIsUnixEpoch)
+        batch.agg(date_format(to_timestamp(max(col(c))), "yyyy-MM-dd HH:mm:ss"))
+      else batch.agg(date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss"))
+    Option(raw.head().getString(0))
+  }
+}
+
+/** S1 — timestamp-only incremental scan
+  * (ref TimestampOnlyCDCStrategy, cdc_strategy_engine.py:188-294). */
+final case class TimestampOnlyStrategy(config: CdcConfig) extends CdcStrategy {
+  def requiredColumns: Seq[String] = Seq(tsColName)
+
+  def scanSpec(cursor: Cursor): ScanSpec = {
+    val preds = cursor.lastTimestamp.map(wm => col(tsColName) > tsLiteral(wm)).toSeq ++
+      additionalPred
+    ScanSpec(andAll(preds), Seq(col(tsColName)), config.maxRowsPerRun)
+  }
+
+  def extractCursor(batch: DataFrame): Cursor =
+    Cursor(lastTimestamp = maxTsString(batch, tsColName))
+}
+
+/** S2 — hybrid (ts,id) keyset scan: total order, resumable at equal timestamps
+  * (ref cdc_strategy_engine.py:366-434; WHERE at :404-410).
+  * Predicate: ts > wm OR (ts = wm AND id > lastId). */
+final case class HybridStrategy(config: CdcConfig) extends CdcStrategy {
+  def requiredColumns: Seq[String] = Seq(tsColName, idColName)
+
+  def scanSpec(cursor: Cursor): ScanSpec = {
+    val keyset = (cursor.lastTimestamp, cursor.lastId) match {
+      case (Some(wm), Some(id)) =>
+        Some(col(tsColName) > tsLiteral(wm) ||
+          (col(tsColName) === tsLiteral(wm) && col(idColName) > lit(id)))
+      case (Some(wm), None) => Some(col(tsColName) > tsLiteral(wm))
+      case _ => None
+    }
+    ScanSpec(andAll(keyset.toSeq ++ additionalPred),
+      Seq(col(tsColName), col(idColName)), config.maxRowsPerRun)
+  }
+
+  def extractCursor(batch: DataFrame): Cursor = {
+    // single-pass distributed reduction; no sort, no collect of data rows
+    val row = batch.agg(max(struct(col(tsColName), col(idColName))).as("m"))
+      .select(
+        date_format(col("m").getField(tsColName), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("m").getField(idColName).cast("long").as("id"))
+      .head()
+    if (row.isNullAt(0) && row.isNullAt(1)) Cursor()
+    else Cursor(Option(row.getString(0)),
+      if (row.isNullAt(1)) None else Some(row.getLong(1)))
+  }
+}
+
+/** S3 — id-only keyset scan for append-only tables
+  * (ref cdc_strategy_engine.py:499-546). */
+final case class IdOnlyStrategy(config: CdcConfig) extends CdcStrategy {
+  def requiredColumns: Seq[String] = Seq(idColName)
+
+  def scanSpec(cursor: Cursor): ScanSpec = {
+    val preds = cursor.lastId.map(id => col(idColName) > lit(id)).toSeq ++ additionalPred
+    ScanSpec(andAll(preds), Seq(col(idColName)), config.maxRowsPerRun)
+  }
+
+  def extractCursor(batch: DataFrame): Cursor = {
+    val row = batch.agg(max(col(idColName)).cast("long")).head()
+    Cursor(lastId = if (row.isNullAt(0)) None else Some(row.getLong(0)))
+  }
+}
+
+/** S4 — full sync (ref cdc_strategy_engine.py:581-768). `paginate` mode
+  * dissolves into Spark's partitioned scan; `replace` signals target truncate. */
+final case class FullSyncStrategy(config: CdcConfig) extends CdcStrategy {
+  def requiredColumns: Seq[String] = Nil
+  def scanSpec(cursor: Cursor): ScanSpec =
+    ScanSpec(additionalPred, Nil,
+      if (config.fullSyncMode == FullSyncMode.Replace) None else config.maxRowsPerRun)
+  def extractCursor(batch: DataFrame): Cursor = Cursor()
+}
+
+/** S5 — custom SQL scan with the reference's guard rails
+  * (cdc_strategy_engine.py:771-834; security :54-91). The rendered template
+  * runs via `spark.sql` over a registered temp view. */
+final case class CustomSqlStrategy(config: CdcConfig) extends CdcStrategy {
+  def requiredColumns: Seq[String] = Nil
+  def scanSpec(cursor: Cursor): ScanSpec = ScanSpec(None, Nil, None)
+  def extractCursor(batch: DataFrame): Cursor = Cursor()
+
+  /** Run the guarded, rendered template. `viewName` must already be registered. */
+  def run(spark: SparkSession, viewName: String, cursor: Cursor): DataFrame = {
+    val template = config.customSql.getOrElse(
+      throw new IllegalArgumentException("custom_sql template required"))
+    val rendered = SqlGuard.renderCustomSql(template, viewName,
+      cursor.lastTimestamp, cursor.lastId, config.maxRowsPerRun)
+    spark.sql(rendered)
+  }
+}
+
+object CdcStrategy {
+  /** Factory mirroring the reference's registry (cdc_strategy_engine.py:872-933). */
+  def apply(config: CdcConfig): CdcStrategy = config.strategy match {
+    case CdcStrategyKind.TimestampOnly => TimestampOnlyStrategy(config)
+    case CdcStrategyKind.Hybrid        => HybridStrategy(config)
+    case CdcStrategyKind.IdOnly        => IdOnlyStrategy(config)
+    case CdcStrategyKind.FullSync      => FullSyncStrategy(config)
+    case CdcStrategyKind.CustomSql     => CustomSqlStrategy(config)
+  }
+}

@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.exprs._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard. Designed scale-first:
+  *
+  *  - exact dedup = hash-groupBy (one shuffle on a 16-byte key, not the text);
+  *  - MinHash/LSH near-dup = shingle → k minhashes → b bands → bucket join:
+  *    candidate pairs come from same-bucket co-grouping, NEVER an N² cross
+  *    join (Broder 1997; Leskovec/Rajaraman/Ullman ch.3);
+  *  - SimHash near-dup = 64-bit signature + banded Hamming lookup
+  *    (Charikar 2002, used by Google for web dedup);
+  *  - verification (true Jaccard) runs only on the candidate set.
+  */
+object DedupFunctions {
+
+  // --------------------------------------------------------------------------
+  // Exact dedup
+  // --------------------------------------------------------------------------
+
+  /** Exact-duplicate groups by normalized-content fingerprint: one row per
+    * distinct content, keeping the smallest id (deterministic canonical
+    * representative). Shuffles only (fingerprint, id) — at 100 TB the text
+    * column stays columnar-pruned out of the exchange. */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Dataset with exact duplicates removed (keeps min-id per content). */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactDuplicateGroups(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // --------------------------------------------------------------------------
+  // Shingles + MinHash
+  // --------------------------------------------------------------------------
+
+  /** Word n-gram shingle set (distinct) of a text column. Built from
+    * higher-order array functions — no UDF, no explode of the corpus. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(TextFunctions.normalizedText(text))
+    // slide a window of n over the token array
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** k MinHash signature values: minhash_j = min over shingles of
+    * h_j(shingle), with h_j = avalanche(rolling_hash(shingle) xor seed_j).
+    * Returns array<long> of length k. One projection, no shuffle. */
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    val sigs = (0 until k).map { j =>
+      val seed = SimHash64.tokenHash(s"minhash-seed-$j".getBytes)
+      array_min(transform(shingleCol,
+        s => xxhash64(s, lit(seed))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH banding: split a k-length signature into b bands of r = k/b values;
+    * band bucket key = hash(band values). Docs sharing ANY band bucket are
+    * candidate pairs. Probability a pair with Jaccard s collides:
+    * 1 - (1 - s^r)^b — the classic S-curve. */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(
+        (0 until rowsPerBand).map(r => element_at(signature, b * rowsPerBand + r + 1))
+          :+ lit(b): _*)
+    }: _*)
+
+  /** MinHash-LSH candidate pairs (idA < idB) with estimated and true Jaccard.
+    *
+    * Plan shape at scale: project signatures (narrow) → explode bands (×b) →
+    * shuffle on (band, bucket) → self-co-group within buckets → distinct
+    * pairs → verify true Jaccard on the candidate set only. The only wide op
+    * is keyed by band bucket; huge buckets (degenerate content) are capped.
+    */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
+
+    val buckets = sigs
+      .select(col("doc_id"), col("sh"),
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+
+    // cap degenerate buckets (e.g. empty/boilerplate docs all colliding):
+    // without this, one hot bucket at 100 TB produces an O(m²) pair explosion.
+    val counted = buckets.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+
+    val a = counted.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = counted.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Near-duplicate pairs above a Jaccard threshold via MinHash-LSH. */
+  def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double = 0.8): DataFrame =
+    minhashCandidatePairs(docs, idCol, textCol).filter(col("jaccard") >= threshold)
+
+  // --------------------------------------------------------------------------
+  // SimHash
+  // --------------------------------------------------------------------------
+
+  /** 64-bit SimHash signature per doc (custom codegen'd expression). */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      simhash64(TextFunctions.tokens(TextFunctions.normalizedText(col(textCol))))
+        .as("simhash"))
+
+  /** SimHash near-dup pairs within `maxHamming` bits, via banded lookup:
+    * split 64 bits into (maxHamming+1) bands — by pigeonhole, any pair within
+    * maxHamming bits agrees exactly on ≥1 band, so same-band-value join finds
+    * all of them without an N² scan. */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map { b =>
+        // band b = bits [b*width, (b+1)*width); last band absorbs the remainder
+        val w = if (b == bands - 1) 64 - b * width else width
+        shiftrightunsigned(col("simhash"), b * width)
+          .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1L))
+      }: _*)).as(Seq("band", "band_val")))
+    val a = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // --------------------------------------------------------------------------
+  // n-gram Jaccard (exact, for candidate verification or small relations)
+  // --------------------------------------------------------------------------
+
+  /** Exact pairwise n-gram Jaccard for the given id pairs (a verification
+    * primitive — feed it LSH candidates, not the full corpus). */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"), shingles(col(textCol), n).as("jsh"))
+    pairs
+      .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("jsh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("jsh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .drop("sh_a", "sh_b")
+  }
+}

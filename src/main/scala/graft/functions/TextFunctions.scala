@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: language
+  * ID, quality scoring, token counting, fingerprinting. All built from
+  * codegen'd `org.apache.spark.sql.functions` — narrow projections, no
+  * shuffle, embarrassingly parallel at 100 TB.
+  */
+object TextFunctions {
+
+  /** Lowercase word tokens (alnum runs). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword-boundary token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (the usual pre-tokenizer regex
+    * families used by BPE vocabularies). */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Per-language marker-word counts for the n-gram/stopword language-ID
+    * heuristic. Deterministic and oracle-reproducible (pure regexp counts). */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|in|that|for|with|on)\\b",
+    "es" -> "\\b(el|la|los|las|de|que|y|en|un|una|por)\\b",
+    "fr" -> "\\b(le|la|les|des|une|est|et|dans|pour|sur)\\b",
+    "de" -> "\\b(der|die|das|und|ist|ein|eine|mit|für|auf)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  def langScore(text: Column, lang: String): Column = {
+    val pattern = langMarkers.toMap.apply(lang)
+    regexp_count(lower(text), lit(pattern))
+  }
+
+  /** Heuristic language ID: argmax of marker-word hit counts; "und"
+    * (undetermined) when nothing matches. Ties break in `langMarkers` order. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, _) => lang -> langScore(text, lang) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // wrap in reverse so the FIRST language in langMarkers order is the
+    // outermost `when` → first-wins tie-break
+    scores.reverse.foldLeft(lit("und"): Column) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Punctuation character ratio (punct chars / total chars). Integer counts
+    * divided once — bitwise-deterministic across engines. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
+        length(text).cast("double"))
+
+  /** English stopword ratio over word tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val words = wordCount(text)
+    when(words === 0, lit(0.0))
+      .otherwise(langScore(text, "en").cast("double") / words.cast("double"))
+  }
+
+  /** Mean word length. */
+  def meanWordLength(text: Column): Column = {
+    val words = wordCount(text)
+    when(words === 0, lit(0.0))
+      .otherwise(regexp_count(text, lit("[A-Za-z0-9]")).cast("double") /
+        words.cast("double"))
+  }
+
+  /** Composite document-quality score in [0,1]: the standard pre-training
+    * filter signals (length band, punctuation sanity, stopword presence,
+    * word-length sanity) — cf. Gopher/C4-style quality rules. Each signal is
+    * a deterministic 0/1 gate; score = mean of gates. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val gates = Seq(
+      (len >= 50 && len <= 100000).cast("int"),        // length band
+      (punctRatio(text) <= 0.3).cast("int"),            // not symbol soup
+      (stopwordRatio(text) >= 0.01).cast("int"),        // has function words
+      (meanWordLength(text) >= 2 && meanWordLength(text) <= 12).cast("int"))
+    gates.reduce(_ + _).cast("double") / lit(gates.size.toDouble)
+  }
+
+  /** Normalized text for fingerprinting: lowercase, collapse whitespace,
+    * strip punctuation — so near-identical docs collide. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
+  /** Content fingerprint: md5 of normalized text (exact-dup key; DuckDB-
+    * reproducible). For the 64-bit rolling-hash variant see
+    * [[graft.functions.rollingHash]] (custom Catalyst expression). */
+  def fingerprintMd5(text: Column): Column = md5(normalizedText(text).cast("binary"))
+
+  /** Full text-analysis projection over a documents table. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("*"),
+      langId(t).as("lang_pred"),
+      wordCount(t).as("word_cnt"),
+      bpeishTokenCount(t).as("bpeish_tokens"),
+      punctRatio(t).as("punct_ratio"),
+      stopwordRatio(t).as("stopword_ratio"),
+      qualityScore(t).as("quality"),
+      fingerprintMd5(t).as("fingerprint"))
+  }
+}

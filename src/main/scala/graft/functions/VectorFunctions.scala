@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and an IVF (inverted-file)
+  * variant as the 100 TB scale path. Dot products are built from
+  * `zip_with`/`aggregate` higher-order functions — no UDF, vectors never leave
+  * Tungsten rows.
+  */
+object VectorFunctions {
+
+  /** Dot product of two array<numeric> columns (computed in double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors. Plan: broadcast the (small) query set against the corpus
+    * — a broadcast nested-loop with a narrow projection, then a per-query
+    * top-k window. The corpus is scanned ONCE regardless of query count; at
+    * 100 TB this is the map-side-only pattern (no corpus shuffle except the
+    * final per-query k-row top-k). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol),
+      col(vecCol).as("__qvec")))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(q, col(queryIdCol) =!= col(idCol)) // exclude self-match
+      .withColumn("cosine", cosine(col(vecCol), col("__qvec")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
+        col("rank"), col("cosine"))
+  }
+
+  // --------------------------------------------------------------------------
+  // IVF — inverted-file index (the scale path)
+  // --------------------------------------------------------------------------
+
+  /** IVF index state: centroid vectors + corpus partitioned by nearest
+    * centroid. Train = one k-means-style assignment pass over a deterministic
+    * sample (no iterative driver loop — "good enough" coarse quantizer;
+    * cf. FAISS IVF-Flat). */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  /** Nearest-centroid id for a vector against a broadcast centroid list. */
+  private def nearestCentroid(vec: Column, centroids: Seq[(Int, Seq[Float])]): Column = {
+    val sims = centroids.map { case (cid, cvec) =>
+      val cArr = array(cvec.map(v => lit(v)): _*)
+      (cid, cosine(vec, cArr))
+    }
+    val best = sims.map(_._2).reduce((a, b) => greatest(a, b))
+    sims.reverse.foldLeft(lit(-1): Column) { case (acc, (cid, s)) =>
+      when(s === best, lit(cid)).otherwise(acc)
+    }
+  }
+
+  /** Build an IVF index with `nlist` centroids taken as a deterministic sample
+    * of the corpus (every ceil(N/nlist)-th vector by id order). Assignment is
+    * a single narrow projection against broadcast centroids. */
+  def buildIvf(corpus: DataFrame, nlist: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / nlist)
+    val centroidRows = corpus
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .select(col(idCol).cast("int").as("centroid_id"), col(vecCol))
+      .collect()
+    val centroids = centroidRows.zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Float](1))
+    }.toSeq
+    val centroidsDf = corpus.sparkSession.createDataFrame(
+      centroidRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.getSeq[Float](1))
+      }.toList.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField(vecCol,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val assigned = corpus.withColumn("centroid_id",
+      nearestCentroid(col(vecCol), centroids))
+    IvfIndex(centroidsDf, assigned)
+  }
+
+  /** IVF top-k: probe only the `nprobe` nearest centroid cells per query, then
+    * exact cosine within the probed cells. At scale: corpus pre-partitioned
+    * (and persistable, partitioned BY centroid_id on disk → partition pruning
+    * turns each query into a few-cell read instead of a full scan). */
+  def ivfTopK(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id"): DataFrame = {
+    val centroids = index.centroids.collect().map(r =>
+      (r.getInt(0), r.getSeq[Float](1))).toSeq
+    // per query: scores to every centroid → keep nprobe best cells
+    val qCells = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
+      .withColumn("cell", explode(array(centroids.map { case (cid, cvec) =>
+        val cArr = array(cvec.map(v => lit(v)): _*)
+        struct(lit(cid).as("centroid_id"), cosine(col("__qvec"), cArr).as("csim"))
+      }: _*)))
+      .select(col(queryIdCol), col("__qvec"),
+        col("cell.centroid_id").as("centroid_id"), col("cell.csim").as("csim"))
+    val wCell = Window.partitionBy(col(queryIdCol)).orderBy(col("csim").desc)
+    val probed = qCells.withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nprobe)
+      .select(col(queryIdCol), col("__qvec"), col("centroid_id"))
+
+    val scored = index.assigned
+      .join(broadcast(probed), Seq("centroid_id"))
+      .filter(col(queryIdCol) =!= col(idCol))
+      .withColumn("cosine", cosine(col(vecCol), col("__qvec")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("rank"),
+        col("cosine"))
+  }
+
+  private implicit class ListOps[T](l: List[T]) {
+    def asJava: java.util.List[T] = {
+      val out = new java.util.ArrayList[T](l.size)
+      l.foreach(out.add)
+      out
+    }
+  }
+}

@@ -1,0 +1,113 @@
+package graft.load
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.watermark.WatermarkStore
+
+/** Result of one load session. `loadedRows` is the analog of the reference's
+  * `pg_last_copy_count()` verification (gemini_redshift_loader.py:622-624). */
+final case class LoadResult(table: TableId, files: Long, loadedRows: Long,
+                            skippedFiles: Long, targetPath: String)
+
+/** Stage-2 loader: staged Parquet → warehouse table, idempotently.
+  * The Spark-native replacement for the reference's per-file Redshift COPY loop
+  * (gemini_redshift_loader.py:80-248, 568-662):
+  *
+  *  - file listing minus the processed-files blacklist (exactly-once at file
+  *    granularity, ref :498-527 + simple_watermark_manager.py:203-249);
+  *  - one `spark.read.parquet(files: _*)` over the fresh files — the
+  *    "massively parallel COPY" is Spark's own parallel scan+write;
+  *  - row-count verification from the written data;
+  *  - blacklist + cumulative counters committed only after a successful write.
+  *
+  * Scale: the blacklist check is a driver-side Set on file PATHS (thousands of
+  * entries for a 100 TB table at 5M rows/file — trivially driver-sized); the
+  * data itself never routes through the driver.
+  */
+final class Loader(store: WatermarkStore, warehouseRoot: String) {
+
+  def targetPath(id: TableId): String = s"$warehouseRoot/${id.safeName}"
+
+  /** Load all staged-but-unprocessed files for `id` into the warehouse table.
+    * `truncate=true` implements full_sync replace (ref TRUNCATE,
+    * gemini_redshift_loader.py:250-272). Orphaned files from a crashed extract
+    * (`mysql_status=in_progress`) are still picked up, matching ref :391-397. */
+  def load(spark: SparkSession, id: TableId, stagedDir: String,
+           config: CdcConfig, truncate: Boolean = false): LoadResult = {
+    val wm = store.getOrCreate(id.scoped, config.strategy.name)
+    try {
+      val all = listParquetFiles(spark, stagedDir)
+      val blacklist = wm.processedFileSet
+      val fresh = all.filterNot(blacklist)
+      val target = targetPath(id)
+      val doTruncate = truncate || config.requiresTruncateBeforeLoad
+
+      if (fresh.isEmpty && !doTruncate) {
+        return LoadResult(id, 0, 0, all.size.toLong, target)
+      }
+
+      val rows: Long = if (fresh.nonEmpty) {
+        val staged = spark.read.parquet(fresh: _*)
+        val mode = if (doTruncate) SaveMode.Overwrite else SaveMode.Append
+        staged.write.mode(mode).option("compression", "snappy").parquet(target)
+        staged.count()
+      } else {
+        // truncate with nothing new staged → empty the target
+        val fs = new org.apache.hadoop.fs.Path(target)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(target), true)
+        0L
+      }
+
+      val done = store.getOrCreate(id.scoped, config.strategy.name)
+        .afterLoadSession(fresh, rows, store.nowString())
+      store.save(done)
+      LoadResult(id, fresh.size.toLong, rows, (all.size - fresh.size).toLong, target)
+    } catch {
+      case e: Throwable =>
+        store.save(store.getOrCreate(id.scoped, config.strategy.name)
+          .markLoadFailed(Option(e.getMessage).getOrElse(e.getClass.getName),
+            store.nowString()))
+        throw e
+    }
+  }
+
+  /** Read the warehouse table (empty DataFrame if never loaded). */
+  def readTarget(spark: SparkSession, id: TableId): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(targetPath(id))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(targetPath(id))) else None
+  }
+
+  private def listParquetFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Nil
+    else {
+      val it = fs.listFiles(path, true)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+      }
+      buf.sorted.toSeq
+    }
+  }
+
+  /** Generate warehouse DDL with distribution/sort hints — the Redshift
+    * DISTKEY/SORTKEY generator (flexible_schema_manager.py:274-473) mapped to
+    * Spark bucketing (`CLUSTERED BY` ≈ DISTKEY, `SORTED BY` ≈ SORTKEY). */
+  def generateDdl(id: TableId, schema: org.apache.spark.sql.types.StructType,
+                  distKey: Option[String] = None,
+                  sortKeys: Seq[String] = Nil, buckets: Int = 32): String = {
+    val cols = schema.fields.map(f =>
+      s"  ${f.name} ${TypeMapper.sparkToWarehouseDdl(f.dataType)}").mkString(",\n")
+    val clustered = distKey.map { k =>
+      val sorted = if (sortKeys.nonEmpty)
+        s" SORTED BY (${sortKeys.mkString(", ")})" else ""
+      s"\nCLUSTERED BY ($k)$sorted INTO $buckets BUCKETS"
+    }.getOrElse("")
+    s"CREATE TABLE IF NOT EXISTS ${id.schema}.${id.table} (\n$cols\n) USING parquet$clustered"
+  }
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Post-load relational operators: the reference's hand-written SQL patterns
+  * (ROW_NUMBER dedup, DELETE+INSERT merge, parity validation, latest-status
+  * views) as native Spark operators. SURVEY §2.3-§2.5.
+  */
+object Relational {
+
+  // --------------------------------------------------------------------------
+  // P1/P2 — schema alignment projection
+  // --------------------------------------------------------------------------
+
+  /** Align `df` to `target`: reorder to target order, add missing columns as
+    * typed NULLs, cast mismatched types, drop extras. Non-nullable strings get
+    * "" instead of NULL (the reference's Redshift-compat rule,
+    * s3_manager.py:803-825; alignment :705-845).
+    *
+    * One narrow projection — no shuffle, stays inside whole-stage codegen.
+    */
+  def alignToSchema(df: DataFrame, target: StructType): DataFrame = {
+    val existing = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val cols = target.fields.map { f =>
+      existing.get(f.name.toLowerCase) match {
+        case Some(src) =>
+          val c = col(src.name).cast(f.dataType)
+          val padded =
+            if (f.dataType == StringType && !f.nullable) coalesce(c, lit(""))
+            else c
+          padded.as(f.name)
+        case None =>
+          // missing column → typed NULL ("" for non-nullable strings)
+          val base =
+            if (f.dataType == StringType && !f.nullable) lit("")
+            else lit(null).cast(f.dataType)
+          base.as(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Schema drift report (added / removed / type-changed), the Spark analog of
+    * `compare_schemas` (flexible_schema_manager.py:667-713). */
+  final case class SchemaDiff(added: Seq[StructField], removed: Seq[StructField],
+                              changed: Seq[(StructField, StructField)]) {
+    def isCompatible: Boolean = removed.isEmpty && changed.isEmpty
+  }
+
+  def diffSchemas(old: StructType, next: StructType): SchemaDiff = {
+    val o = old.fields.map(f => f.name.toLowerCase -> f).toMap
+    val n = next.fields.map(f => f.name.toLowerCase -> f).toMap
+    SchemaDiff(
+      added = next.fields.toIndexedSeq.filterNot(f => o.contains(f.name.toLowerCase)),
+      removed = old.fields.toIndexedSeq.filterNot(f => n.contains(f.name.toLowerCase)),
+      changed = old.fields.toIndexedSeq.flatMap(f =>
+        n.get(f.name.toLowerCase)
+          .filter(_.dataType != f.dataType).map(f -> _)))
+  }
+
+  // --------------------------------------------------------------------------
+  // J1/W1 — latest-per-key dedup
+  // --------------------------------------------------------------------------
+
+  /** Keep the latest row per key: `ROW_NUMBER() OVER (PARTITION BY keys ORDER
+    * BY ordering DESC) = 1`. The reference does this with a self-join back on
+    * id (settle_orders_download_and_sync.py:299-309); the window form avoids
+    * the join entirely — one shuffle on the key, no second scan.
+    *
+    * Scale: the shuffle is on the dedup key, which is exactly the partitioning
+    * a downstream merge wants, so the exchange is reusable. Skewed keys are the
+    * caller's concern (salt first if one key holds >1 partition of rows).
+    */
+  def dedupLatest(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Convenience: latest by (tsCol DESC, idCol DESC) — the reference's exact
+    * ordering (ROW_NUMBER ... ORDER BY created_at DESC, id DESC). */
+  def dedupLatestByTs(df: DataFrame, keys: Seq[String], tsCol: String,
+                      idCol: String): DataFrame =
+    dedupLatest(df, keys, Seq(col(tsCol).desc, col(idCol).desc))
+
+  // --------------------------------------------------------------------------
+  // J2 — merge (upsert): DELETE USING + INSERT as anti-join ∪ staged
+  // --------------------------------------------------------------------------
+
+  /** Merge staged rows into target by key: rows in target whose key appears in
+    * staged are replaced; all staged rows inserted. Equivalent to the
+    * reference's Redshift `DELETE ... USING staged; INSERT INTO ... SELECT *`
+    * transaction (settle_orders_download_and_sync.py:326-388).
+    *
+    * Implementation: `target ANTI JOIN staged ON keys` ∪ staged. If staged is
+    * small (a CDC increment usually is), Spark broadcasts the anti-join build
+    * side automatically — no full shuffle of the 100 TB target.
+    */
+  def merge(target: DataFrame, staged: DataFrame, keys: Seq[String]): DataFrame = {
+    val survivors = target.join(staged.select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+    survivors.unionByName(staged.select(target.columns.map(col).toIndexedSeq: _*))
+  }
+
+  // --------------------------------------------------------------------------
+  // J3 — blacklist anti-join (file-level dedup)
+  // --------------------------------------------------------------------------
+
+  /** Exclude rows of already-processed files: `input_file_name()` against the
+    * blacklist (ref gemini_redshift_loader.py:498-527). The blacklist is
+    * driver-side (set lookup, O(1) per file like ref
+    * simple_watermark_manager.py:231-249) when small; as a DataFrame anti-join
+    * when it outgrows the driver. */
+  def excludeProcessedFiles(df: DataFrame, processed: Set[String]): DataFrame =
+    if (processed.isEmpty) df
+    else df.filter(!input_file_name().isin(processed.toSeq: _*))
+
+  // --------------------------------------------------------------------------
+  // A4/A6 — parity validation aggregates
+  // --------------------------------------------------------------------------
+
+  /** COUNT / COUNT DISTINCT / MIN / MAX parity check between two relations
+    * (ref settle_orders_download_and_sync.py:143-274). Returns (sourceStats,
+    * targetStats) rows with identical schema for equality assertion.
+    * At 100 TB use `approxDistinct = true` (HLL, no exact distinct shuffle). */
+  def parityStats(df: DataFrame, keyCol: String, tsCol: String,
+                  approxDistinct: Boolean = false): DataFrame = {
+    val distinctAgg =
+      if (approxDistinct) approx_count_distinct(col(keyCol)).as("distinct_keys")
+      else countDistinct(col(keyCol)).as("distinct_keys")
+    df.agg(
+      count(lit(1)).as("row_count"),
+      distinctAgg,
+      min(col(keyCol)).as("min_key"),
+      max(col(keyCol)).as("max_key"),
+      min(col(tsCol)).as("min_ts"),
+      max(col(tsCol)).as("max_ts"))
+  }
+
+  /** Per-column null counts in one pass (ref validation.py:138-350). */
+  def nullStats(df: DataFrame, columns: Seq[String]): DataFrame =
+    df.select(columns.map(c =>
+      sum(col(c).isNull.cast("long")).as(s"${c}_nulls")).toIndexedSeq: _*)
+
+  // --------------------------------------------------------------------------
+  // A5 — latest-status analytic view
+  // --------------------------------------------------------------------------
+
+  /** "Latest status" conditional-count view: dedup to latest per key, then
+    * GROUP BY status with share-of-total (ref LATEST_STATUS_USAGE.sql:17-40).
+    */
+  def latestStatusSummary(df: DataFrame, key: String, statusCol: String,
+                          tsCol: String, idCol: String): DataFrame = {
+    val latest = dedupLatestByTs(df, Seq(key), tsCol, idCol)
+    latest.groupBy(col(statusCol))
+      .agg(count(lit(1)).as("cnt"))
+      // integer counts divided once in double — bitwise-deterministic across
+      // engines, unlike rounded floating sums
+      .withColumn("share_pct",
+        col("cnt") * lit(100.0) / sum(col("cnt")).over(Window.partitionBy()))
+  }
+}

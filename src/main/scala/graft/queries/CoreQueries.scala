@@ -1,0 +1,428 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.cdc._
+import graft.model._
+import graft.operators.Relational
+
+/** One driver-contract query: Spark plan + optional DuckDB oracle SQL.
+  * Column names MUST match between the two (the driver sorts columns by name
+  * and hash-compares values). */
+final case class Q(name: String,
+                   fn: (SparkSession, String) => DataFrame,
+                   oracle: Option[String])
+
+/** Core-surface queries: every SQL-expressible operator from SURVEY §2
+  * (CDC scans S1-S5, projections P1/P2/P5/P6, aggregations A1-A6, joins
+  * J1-J3, windows W1/W2, sorts O1-O4, set ops, scalar functions). */
+object CoreQueries {
+
+  private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Decimal cast used before floating sums so aggregation is exact and
+    * order-independent — matches `CAST(x AS DECIMAL(18,p))` in the oracles. */
+  private def dec(c: Column, scale: Int): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(18, scale))
+
+  val all: Seq[Q] = Seq(
+
+    // ----------------------------------------------------------------- S1
+    Q("q_cdc_timestamp_scan",
+      (s, dir) => {
+        val events = Tables.df(s, dir, "events")
+        // watermark 2024-01-15T00:00:00Z as epoch-ns; strictly-greater scan
+        // (TimestampOnlyStrategy semantics on a ns-long CDC column)
+        events.filter(col("ts") > lit(1705276800000000000L))
+          .select(col("event_id"), col("ts").as("ts_ns"), col("user_id"),
+            col("event_type"), col("value"))
+      },
+      Some("""SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type, value
+             |FROM events WHERE epoch_ns(ts) > 1705276800000000000""".stripMargin)),
+
+    // ----------------------------------------------------------------- S2
+    Q("q_cdc_hybrid_scan",
+      (s, dir) => {
+        val cfg = CdcConfig(CdcStrategyKind.Hybrid,
+          timestampColumn = Some("o_orderdate"), idColumn = Some("o_orderkey"))
+        val spec = CdcStrategy(cfg)
+          .scanSpec(Cursor(Some("1997-06-01 00:00:00"), Some(750L)))
+        spec(Tables.df(s, dir, "orders"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), fmt(col("o_orderdate")).as("o_orderdate_s"),
+            col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+             |  o_orderpriority
+             |FROM orders
+             |WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
+             |   OR (o_orderdate = TIMESTAMP '1997-06-01 00:00:00' AND o_orderkey > 750)"""
+        .stripMargin)),
+
+    // ----------------------------------------------------------------- S3
+    Q("q_cdc_id_scan",
+      (s, dir) => {
+        val cfg = CdcConfig(CdcStrategyKind.IdOnly, idColumn = Some("event_id"))
+        val spec = CdcStrategy(cfg).scanSpec(Cursor(lastId = Some(500L)))
+        spec(Tables.df(s, dir, "events"))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+      },
+      Some("SELECT event_id, user_id, event_type FROM events WHERE event_id > 500")),
+
+    // ------------------------------------------------------ S3 + ceiling
+    Q("q_cdc_ceiling_scan",
+      (s, dir) => {
+        val cfg = CdcConfig(CdcStrategyKind.IdOnly, idColumn = Some("event_id"))
+        val spec = CdcStrategy(cfg).scanSpec(Cursor(lastId = Some(200L)))
+        // MAX(id) ceiling snapshot (infinite-sync guard, row_based.py:278-292)
+        spec(Tables.df(s, dir, "events")).filter(col("event_id") <= lit(800L))
+          .select(col("event_id"), col("event_type"), col("value"))
+      },
+      Some("SELECT event_id, event_type, value FROM events WHERE event_id > 200 AND event_id <= 800")),
+
+    // ----------------------------------------------------------------- S4
+    Q("q_cdc_full_replace",
+      (s, dir) => {
+        val cfg = CdcConfig(CdcStrategyKind.FullSync)
+        CdcStrategy(cfg).scanSpec(Cursor())(Tables.df(s, dir, "region"))
+      },
+      Some("SELECT r_regionkey, r_name FROM region")),
+
+    // ----------------------------------------------------------------- S5
+    Q("q_cdc_custom_sql",
+      (s, dir) => {
+        Tables.df(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        val cfg = CdcConfig(CdcStrategyKind.CustomSql, customSql = Some(
+          """SELECT l_returnflag, COUNT(*) AS cnt,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+            |FROM {table_name} GROUP BY l_returnflag""".stripMargin))
+        CustomSqlStrategy(cfg).run(s, "lineitem", Cursor())
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS cnt,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // --------------------------------------------------------- P6 additional_where
+    Q("q_filter_additional_where",
+      (s, dir) => {
+        val cfg = CdcConfig(CdcStrategyKind.IdOnly, idColumn = Some("o_orderkey"),
+          additionalWhere = Some("o_orderstatus = 'F' AND o_totalprice > 100000"))
+        CdcStrategy(cfg).scanSpec(Cursor(lastId = Some(0L)))(Tables.df(s, dir, "orders"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |WHERE o_orderkey > 0 AND o_orderstatus = 'F' AND o_totalprice > 100000"""
+        .stripMargin)),
+
+    // ----------------------------------------------------------------- A1
+    Q("q_agg_window_count",
+      (s, dir) =>
+        Tables.df(s, dir, "orders")
+          .filter(col("o_orderdate") > lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+            col("o_orderdate") <= lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+          .agg(count(lit(1)).as("cnt")),
+      Some("""SELECT COUNT(*) AS cnt FROM orders
+             |WHERE o_orderdate > TIMESTAMP '1997-01-01 00:00:00'
+             |  AND o_orderdate <= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin)),
+
+    // ----------------------------------------------------------------- A2
+    Q("q_agg_max_id",
+      (s, dir) => Tables.df(s, dir, "orders")
+        .agg(max(col("o_orderkey")).as("max_id"), min(col("o_orderkey")).as("min_id")),
+      Some("SELECT MAX(o_orderkey) AS max_id, MIN(o_orderkey) AS min_id FROM orders")),
+
+    // --------------------------------------------------------------- A3/W2
+    Q("q_agg_hourly_density",
+      (s, dir) => Tables.df(s, dir, "events")
+        .groupBy(expr("ts DIV 3600000000000").as("hour_bucket"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("uniq_users")),
+      Some("""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+             |  COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS uniq_users
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // ----------------------------------------------------------------- A4
+    Q("q_agg_parity_stats",
+      (s, dir) => {
+        val st = Relational.parityStats(Tables.df(s, dir, "orders"),
+          "o_orderkey", "o_orderdate")
+        st.select(col("row_count"), col("distinct_keys"), col("min_key"),
+          col("max_key"), fmt(col("min_ts")).as("min_ts_s"),
+          fmt(col("max_ts")).as("max_ts_s"))
+      },
+      Some("""SELECT COUNT(*) AS row_count, COUNT(DISTINCT o_orderkey) AS distinct_keys,
+             |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+             |  strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_ts_s,
+             |  strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_ts_s
+             |FROM orders""".stripMargin)),
+
+    // ----------------------------------------------------------------- A5
+    Q("q_agg_status_summary",
+      (s, dir) => Relational.latestStatusSummary(Tables.df(s, dir, "orders"),
+        key = "o_custkey", statusCol = "o_orderstatus",
+        tsCol = "o_orderdate", idCol = "o_orderkey"),
+      Some("""WITH latest AS (
+             |  SELECT * FROM (
+             |    SELECT o_orderstatus, ROW_NUMBER() OVER (
+             |      PARTITION BY o_custkey
+             |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |    FROM orders) WHERE rn = 1)
+             |SELECT o_orderstatus, COUNT(*) AS cnt,
+             |  COUNT(*) * 100.0 / (SELECT COUNT(*) FROM latest) AS share_pct
+             |FROM latest GROUP BY o_orderstatus""".stripMargin)),
+
+    // ----------------------------------------------------------------- A6
+    Q("q_agg_null_stats",
+      (s, dir) => {
+        val o = Tables.df(s, dir, "orders")
+        o.agg(
+          (count(lit(1)) - count(col("o_custkey"))).as("o_custkey_nulls"),
+          (count(lit(1)) - count(col("o_orderstatus"))).as("o_orderstatus_nulls"),
+          (count(lit(1)) - count(col("o_orderdate"))).as("o_orderdate_nulls"))
+      },
+      Some("""SELECT COUNT(*) - COUNT(o_custkey) AS o_custkey_nulls,
+             |  COUNT(*) - COUNT(o_orderstatus) AS o_orderstatus_nulls,
+             |  COUNT(*) - COUNT(o_orderdate) AS o_orderdate_nulls FROM orders"""
+        .stripMargin)),
+
+    // --------------------------------------------- TPC-H Q1-style pricing agg
+    Q("q1_pricing_summary",
+      (s, dir) => Tables.df(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"), 2)).as("sum_qty"),
+          sum(dec(col("l_extendedprice"), 2)).as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ------------------------------------------------- star join (broadcast)
+    Q("q_star_join_revenue",
+      (s, dir) => {
+        val li = Tables.df(s, dir, "lineitem")
+        val o = Tables.df(s, dir, "orders")
+        val c = Tables.df(s, dir, "customer")
+        val n = Tables.df(s, dir, "nation")
+        val r = Tables.df(s, dir, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT r_name, n_name,
+             |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin)),
+
+    // ----------------------------------------------------- top-k (O1/O4)
+    Q("q_topk_customers",
+      (s, dir) => Tables.df(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"), 2)).as("spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("spend").desc, col("o_custkey").asc)
+        .limit(10),
+      Some("""SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+             |  COUNT(*) AS n_orders
+             |FROM orders GROUP BY o_custkey
+             |ORDER BY spend DESC, o_custkey ASC LIMIT 10""".stripMargin)),
+
+    // ------------------------------------------------------- J3 anti join
+    Q("q_join_anti",
+      (s, dir) => {
+        val c = Tables.df(s, dir, "customer")
+        val o = Tables.df(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+        .stripMargin)),
+
+    // ------------------------------------------------------------ semi join
+    Q("q_join_semi",
+      (s, dir) => {
+        val c = Tables.df(s, dir, "customer")
+        val o = Tables.df(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // ----------------------------------------------------------- J2 merge
+    Q("q_merge_upsert",
+      (s, dir) => {
+        val orders = Tables.df(s, dir, "orders")
+        val target = orders.filter(col("o_orderkey") <= 1000)
+        val staged = orders.filter(col("o_orderkey") >= 500)
+          .withColumn("o_orderstatus", lit("U"))
+        Relational.merge(target, staged, Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), fmt(col("o_orderdate")).as("o_orderdate_s"))
+      },
+      Some("""WITH target AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
+             |staged AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             |  o_totalprice, o_orderdate, o_orderpriority
+             |  FROM orders WHERE o_orderkey >= 500)
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s
+             |FROM (
+             |  SELECT * FROM target
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staged)
+             |  UNION ALL SELECT * FROM staged)""".stripMargin)),
+
+    // ----------------------------------------------------- J1/W1 dedup latest
+    Q("q_dedup_latest",
+      (s, dir) => Relational.dedupLatestByTs(Tables.df(s, dir, "orders"),
+        keys = Seq("o_custkey"), tsCol = "o_orderdate", idCol = "o_orderkey")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          fmt(col("o_orderdate")).as("o_orderdate_s")),
+      Some("""SELECT o_custkey, o_orderkey, o_orderstatus,
+             |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s
+             |FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders) WHERE rn = 1""".stripMargin)),
+
+    // ------------------------------------------------------- running window
+    Q("q_window_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.df(s, dir, "orders")
+          .withColumn("running_spend", sum(dec(col("o_totalprice"), 2)).over(w))
+          .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS UNBOUNDED PRECEDING) AS running_spend
+             |FROM orders""".stripMargin)),
+
+    // ------------------------------------------------------------- set ops
+    Q("q_union_chunks",
+      (s, dir) => {
+        val e = Tables.df(s, dir, "events")
+        e.filter(col("event_id") <= 500).select(col("event_id"), col("event_type"))
+          .unionByName(
+            e.filter(col("event_id") > 500).select(col("event_id"), col("event_type")))
+      },
+      Some("""SELECT event_id, event_type FROM events WHERE event_id <= 500
+             |UNION ALL
+             |SELECT event_id, event_type FROM events WHERE event_id > 500"""
+        .stripMargin)),
+
+    Q("q_set_except",
+      (s, dir) => {
+        val e = Tables.df(s, dir, "events")
+        e.select(col("user_id"))
+          .except(e.filter(col("event_type") === "click").select(col("user_id")))
+      },
+      Some("""SELECT user_id FROM events
+             |EXCEPT
+             |SELECT user_id FROM events WHERE event_type = 'click'""".stripMargin)),
+
+    // ------------------------------------------------------ scalar: datetime
+    Q("q_scalar_datetime",
+      (s, dir) => Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          date_format(date_add(col("o_orderdate"), 7), "yyyy-MM-dd").as("d_plus7"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom")),
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+             |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             |  strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d') AS d_plus7,
+             |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+             |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+             |  CAST(day(o_orderdate) AS INTEGER) AS dom
+             |FROM orders""".stripMargin)),
+
+    // -------------------------------------------------------- scalar: string
+    Q("q_scalar_string",
+      (s, dir) => Tables.df(s, dir, "customer")
+        .filter(col("c_name").like("%1%"))
+        .select(col("c_custkey"),
+          lower(col("c_name")).as("lower_name"),
+          regexp_replace(col("c_name"), "#", "-").as("dashed"),
+          split(col("c_name"), "#").getItem(0).as("first_part"),
+          length(col("c_name")).as("name_len")),
+      Some("""SELECT c_custkey, lower(c_name) AS lower_name,
+             |  regexp_replace(c_name, '#', '-', 'g') AS dashed,
+             |  string_split(c_name, '#')[1] AS first_part,
+             |  length(c_name) AS name_len
+             |FROM customer WHERE c_name LIKE '%1%'""".stripMargin)),
+
+    // ------------------------------------------------- P1/P2 schema alignment
+    Q("q_schema_align",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val target = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_linenumber", IntegerType),
+          StructField("l_quantity", DecimalType(15, 4)),
+          StructField("l_comment", StringType),      // missing in source → NULL
+          StructField("l_returnflag", StringType)))
+        Relational.alignToSchema(Tables.df(s, dir, "lineitem"), target)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(l_quantity AS DECIMAL(15,4)) AS l_quantity,
+             |  CAST(NULL AS VARCHAR) AS l_comment, l_returnflag
+             |FROM lineitem""".stripMargin)),
+
+    // ------------------------------------------------- P5 column-name norm
+    Q("q_colname_norm",
+      (s, dir) => {
+        val (n1, _) = TypeMapper.normalizeColumnName("2ND_REF")
+        val (n2, _) = TypeMapper.normalizeColumnName("MixedCase")
+        Tables.df(s, dir, "orders")
+          .select(col("o_orderkey").as(n1), col("o_orderstatus").as(n2))
+      },
+      Some("SELECT o_orderkey AS col_2nd_ref, o_orderstatus AS mixedcase FROM orders")),
+
+    // ----------------------------------------------- W2 sessionization window
+    Q("q_sessionize",
+      (s, dir) => graft.streaming.StreamingPipeline
+        .sessionize(Tables.df(s, dir, "events"), gapMinutes = 30),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, epoch_ns(ts) AS tsn,
+             |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+             |         OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)))
+             |SELECT user_id, session_seq, COUNT(*) AS n_events,
+             |  MIN(tsn) AS session_start, MAX(tsn) AS session_end
+             |FROM (
+             |  SELECT user_id, tsn, SUM(new_session) OVER (
+             |    PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING)
+             |    AS session_seq
+             |  FROM flagged)
+             |GROUP BY user_id, session_seq""".stripMargin))
+  )
+}

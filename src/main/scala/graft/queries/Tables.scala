@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table access for the driver contract queries. */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read a fixture table. The events table stores ns-precision timestamps;
+    * Spark reads them as epoch-ns longs under the legacy flag (set lazily so
+    * driver-created sessions work too). */
+  def df(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Register every fixture as a temp view (for custom-SQL strategy queries). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => df(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Fresh scratch dir for queries that exercise the write path. */
+  def scratchDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+}

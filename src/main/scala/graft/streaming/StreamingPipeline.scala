@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming face of the engine (SURVEY §2.10): the reference's
+  * micro-batch pull CDC expressed as `readStream` → transforms → `writeStream`
+  * with checkpoint-carried offsets — the checkpoint replaces the S3 JSON
+  * watermark, `Trigger.AvailableNow` replaces the bounded "session".
+  */
+object StreamingPipeline {
+
+  /** Run a bounded streaming pass over an events directory: hourly windowed
+    * counts + value sums per event_type, exactly-once via checkpoint.
+    * Returns the complete aggregation result as a batch DataFrame.
+    *
+    * The events fixture carries ns-epoch longs (ts); they become proper
+    * timestamps at ingest (µs truncation — Spark's native precision).
+    */
+  def hourlyEventRollup(spark: SparkSession, eventsPath: String,
+                        checkpointDir: String, queryName: String): DataFrame = {
+    val batchSchema = spark.read.parquet(eventsPath).schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .parquet(eventsPath)
+      .withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+    val agg = stream
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Stateful sessionization via mapGroupsWithState-style processing —
+    * demonstrated with the batch-equivalent session-gap logic (events within
+    * `gapMinutes` of each other belong to one session). Window-function form:
+    * a session starts where the gap from the previous event exceeds the gap.
+    * This is the scalable formulation (one shuffle on user_id) and is also the
+    * standard SQL sessionization, so it is oracle-checkable — unlike opaque
+    * state functions. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapNs = gapMinutes.toLong * 60L * 1000000000L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        (col("prev_ts").isNull || (col("ts") - col("prev_ts") > gapNs)).cast("int"))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+}

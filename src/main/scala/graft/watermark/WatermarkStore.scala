@@ -1,0 +1,136 @@
+package graft.watermark
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Hadoop-FS-backed watermark store: works identically over local FS, HDFS, or
+  * S3A, so the same code path serves `local[*]` tests and a real cluster.
+  *
+  * Mirrors the reference's S3-persisted store
+  * (src/core/simple_watermark_manager.py): key scoping
+  * `{source}_{table}_{target}` (:551-574), lock objects with owner identity
+  * (:408-463), save retries (:501-549).
+  *
+  * Scale note: the watermark is driver-side metadata (KBs per table) — it never
+  * touches executors, so this component is size-independent of the data volume.
+  */
+final class WatermarkStore(rootDir: String, hadoopConf: Configuration = new Configuration()) {
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  /** Key scoping like the reference: one doc per (table, target). */
+  private[watermark] def docPath(tableName: String, target: String): Path = {
+    val safe = (tableName + "_" + target).toLowerCase
+      .replaceAll("[^a-z0-9_]", "_")
+    new Path(rootDir, s"$safe.json")
+  }
+
+  private def lockPath(tableName: String, target: String): Path =
+    new Path(docPath(tableName, target).toString + ".lock")
+
+  private def now(): String =
+    java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+
+  /** Get existing watermark or create the default (ref :91-118). */
+  def getOrCreate(tableName: String, cdcStrategy: String,
+                  target: String = "default"): Watermark = {
+    val p = docPath(tableName, target)
+    val f = fs(p)
+    if (f.exists(p)) read(p)
+    else {
+      val w = Watermark.default(tableName, cdcStrategy, now())
+      save(w, target)
+      w
+    }
+  }
+
+  def get(tableName: String, target: String = "default"): Option[Watermark] = {
+    val p = docPath(tableName, target)
+    if (fs(p).exists(p)) Some(read(p)) else None
+  }
+
+  private def read(p: Path): Watermark = {
+    val in = fs(p).open(p)
+    try Watermark.fromJson(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** Atomic-ish save: write temp, rename over (retried ×3 with backoff like
+    * ref :501-549). */
+  def save(w: Watermark, target: String = "default"): Unit = {
+    val p = docPath(w.table_name, target)
+    val f = fs(p)
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < 3) {
+      try {
+        val tmp = new Path(p.toString + s".tmp${System.nanoTime()}")
+        val out = f.create(tmp, true)
+        try out.write(Watermark.toJson(w).getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        if (f.exists(p)) f.delete(p, false)
+        if (!f.rename(tmp, p))
+          throw new java.io.IOException(s"rename $tmp -> $p failed")
+        return
+      } catch {
+        case e: Throwable =>
+          lastErr = e; attempt += 1
+          if (attempt < 3) Thread.sleep(50L << attempt)
+      }
+    }
+    throw new java.io.IOException(s"watermark save failed after 3 attempts", lastErr)
+  }
+
+  /** Manual cursor set (ref :364-385). */
+  def setManual(tableName: String, lastTs: Option[String], lastId: Option[Long],
+                target: String = "default"): Watermark = {
+    val w = get(tableName, target).getOrElse(
+      Watermark.default(tableName, "hybrid", now()))
+    val updated = w.copy(
+      mysql_state = w.mysql_state.copy(last_timestamp = lastTs, last_id = lastId,
+        last_updated = Some(now())),
+      metadata = w.metadata.copy(manual_override = true))
+    save(updated, target)
+    updated
+  }
+
+  /** Reset cursor, preserving blacklist (ref :387-406). */
+  def reset(tableName: String, target: String = "default"): Option[Watermark] =
+    get(tableName, target).map { w =>
+      val r = w.resetPreservingFiles(now())
+      save(r, target)
+      r
+    }
+
+  /** Acquire an exclusive per-table lock (uuid+pid+host owner identity like
+    * ref :408-463). Returns a token to release with, or None if already held. */
+  def tryLock(tableName: String, target: String = "default"): Option[String] = {
+    val p = lockPath(tableName, target)
+    val f = fs(p)
+    if (f.exists(p)) None
+    else {
+      val token = java.util.UUID.randomUUID().toString
+      val owner =
+        s"""{"uuid":"$token","pid":${ProcessHandle.current().pid()},"hostname":"${java.net.InetAddress.getLocalHost.getHostName}","acquired_at":"${now()}"}"""
+      try {
+        // create(path, overwrite=false) is atomic on HDFS/local; close to commit
+        val out = f.create(p, false)
+        try out.write(owner.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        Some(token)
+      } catch { case _: java.io.IOException => None }
+    }
+  }
+
+  def unlock(tableName: String, token: String, target: String = "default"): Boolean = {
+    val p = lockPath(tableName, target)
+    val f = fs(p)
+    if (!f.exists(p)) return false
+    val in = f.open(p)
+    val content = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    if (content.contains(token)) f.delete(p, false) else false
+  }
+
+  def nowString(): String = now()
+}

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to `private[sql]` Column↔Expression conversions in Spark 4.x
+  * (classic `ExpressionUtils`), so graft's custom Catalyst expressions can be
+  * exposed as `Column`s. This is the same access pattern third-party Spark
+  * extensions (Delta, Sedona, etc.) use. */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
