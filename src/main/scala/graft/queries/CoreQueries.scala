@@ -34,11 +34,13 @@ object CoreQueries {
         val events = Tables.df(s, dir, "events")
         // watermark 2024-01-15T00:00:00Z as epoch-ns; strictly-greater scan
         // (TimestampOnlyStrategy semantics on a ns-long CDC column)
+        // ts is epoch-ns; emit µs for the oracle compare (DuckDB reads the
+        // ns parquet column truncated to µs, so ns output would hash-mismatch)
         events.filter(col("ts") > lit(1705276800000000000L))
-          .select(col("event_id"), col("ts").as("ts_ns"), col("user_id"),
+          .select(col("event_id"), expr("ts DIV 1000").as("ts_us"), col("user_id"),
             col("event_type"), col("value"))
       },
-      Some("""SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type, value
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
              |FROM events WHERE epoch_ns(ts) > 1705276800000000000""".stripMargin)),
 
     // ----------------------------------------------------------------- S2
@@ -409,18 +411,22 @@ object CoreQueries {
     // ----------------------------------------------- W2 sessionization window
     Q("q_sessionize",
       (s, dir) => graft.streaming.StreamingPipeline
-        .sessionize(Tables.df(s, dir, "events"), gapMinutes = 30),
+        .sessionize(Tables.df(s, dir, "events"), gapMinutes = 30)
+        // session bounds at µs so DuckDB's µs-truncated timestamps compare equal
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          expr("session_start DIV 1000").as("session_start_us"),
+          expr("session_end DIV 1000").as("session_end_us")),
       Some("""WITH flagged AS (
-             |  SELECT user_id, epoch_ns(ts) AS tsn,
-             |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-             |         OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+             |  SELECT user_id, epoch_us(ts) AS tsu,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
              |         THEN 1 ELSE 0 END AS new_session
-             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)))
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)))
              |SELECT user_id, session_seq, COUNT(*) AS n_events,
-             |  MIN(tsn) AS session_start, MAX(tsn) AS session_end
+             |  MIN(tsu) AS session_start_us, MAX(tsu) AS session_end_us
              |FROM (
-             |  SELECT user_id, tsn, SUM(new_session) OVER (
-             |    PARTITION BY user_id ORDER BY tsn ROWS UNBOUNDED PRECEDING)
+             |  SELECT user_id, tsu, SUM(new_session) OVER (
+             |    PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING)
              |    AS session_seq
              |  FROM flagged)
              |GROUP BY user_id, session_seq""".stripMargin))
