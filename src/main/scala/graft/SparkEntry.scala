@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries, Tables}
+import graft.queries.{CoreQueries, LlmQueries, Tables}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -8,12 +8,14 @@ object SparkEntry {
     CoreQueries.all.find(_.name == "q_star_join_revenue").get
       .fn(spark, "/root/testdata/sf0.001")
 
+  private def allQ = CoreQueries.all ++ LlmQueries.all
+
   /** One entry per implemented operator from SURVEY.md §2 (+ LLM-pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all.map(q => q.name -> q.fn).toMap
+    allQ.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+    allQ.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

@@ -87,34 +87,33 @@ object DedupFunctions {
                             shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                             maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = docs
+    // Only (doc_id, band, bucket) rides the wide exchange — the shingle sets
+    // (roughly document-sized) are joined back AFTER the candidate-id set is
+    // deduped, so the ×bands explode + distinct never carry text payloads.
+    val bucketed = docs
       .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
-
-    val buckets = sigs
-      .select(col("doc_id"), col("sh"),
-        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+      .select(col("doc_id"),
+        posexplode(bandKeys(minhashSignature(col("sh"), k), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
 
     // cap degenerate buckets (e.g. empty/boilerplate docs all colliding):
     // without this, one hot bucket at 100 TB produces an O(m²) pair explosion.
-    val counted = buckets.withColumn("bucket_n",
+    val counted = bucketed.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bucket"))))
       .filter(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"), col("doc_id"))
 
-    val a = counted.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = counted.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-
-    a.join(b, Seq("band", "bucket"))
+    val a = counted.withColumnRenamed("doc_id", "id_a")
+    val b = counted.withColumnRenamed("doc_id", "id_b")
+    val candidateIds = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+
+    // exact verification only on the (small) candidate set
+    ngramJaccard(docs, candidateIds, idCol, textCol, shingleN)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

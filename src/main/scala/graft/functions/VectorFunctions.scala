@@ -56,30 +56,34 @@ object VectorFunctions {
     * cf. FAISS IVF-Flat). */
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
 
-  /** Nearest-centroid id for a vector against a broadcast centroid list. */
+  /** Nearest-centroid id: a single `aggregate` fold over ONE literal array of
+    * (cid, vec) structs — O(nlist) data in a single Literal node, O(1)
+    * expression-tree depth, each cosine computed once. (The previous
+    * formulation — an O(nlist)-deep `when`-chain with every cosine computed
+    * twice — blows up codegen at nlist ≥ ~1k.) */
   private def nearestCentroid(vec: Column, centroids: Seq[(Int, Seq[Float])]): Column = {
-    val sims = centroids.map { case (cid, cvec) =>
-      val cArr = array(cvec.map(v => lit(v)): _*)
-      (cid, cosine(vec, cArr))
-    }
-    val best = sims.map(_._2).reduce((a, b) => greatest(a, b))
-    sims.reverse.foldLeft(lit(-1): Column) { case (acc, (cid, s)) =>
-      when(s === best, lit(cid)).otherwise(acc)
-    }
+    val centLit = typedlit(centroids)          // one Literal: array<struct<_1,_2>>
+    aggregate(centLit,
+      struct(lit(-1).as("cid"), lit(-2.0).as("sim")),
+      (acc, c) => {
+        val s = cosine(vec, c.getField("_2"))
+        when(s > acc.getField("sim"),
+          struct(c.getField("_1").as("cid"), s.as("sim"))).otherwise(acc)
+      },
+      acc => acc.getField("cid"))
   }
 
-  /** Build an IVF index with `nlist` centroids taken as a deterministic sample
-    * of the corpus (every ceil(N/nlist)-th vector by id order). Assignment is
-    * a single narrow projection against broadcast centroids. */
+  /** Build an IVF index with `nlist` centroids taken as a deterministic
+    * pseudo-random sample: top-nlist corpus rows by xxhash64(id) — a single
+    * TakeOrderedAndProject pass, no full count, no global sort
+    * materialization. Assignment is a single narrow projection against the
+    * broadcast centroid literal. */
   def buildIvf(corpus: DataFrame, nlist: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
-    val n = corpus.count()
-    val stride = math.max(1L, n / nlist)
     val centroidRows = corpus
-      .filter(pmod(col(idCol), lit(stride)) === 0)
-      .orderBy(col(idCol))
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nlist)
-      .select(col(idCol).cast("int").as("centroid_id"), col(vecCol))
       .collect()
     val centroids = centroidRows.zipWithIndex.map { case (r, i) =>
       (i, r.getSeq[Float](1))
@@ -108,14 +112,14 @@ object VectorFunctions {
               queryIdCol: String = "query_id"): DataFrame = {
     val centroids = index.centroids.collect().map(r =>
       (r.getInt(0), r.getSeq[Float](1))).toSeq
-    // per query: scores to every centroid → keep nprobe best cells
+    // per query: scores to every centroid → keep nprobe best cells.
+    // One typedlit literal exploded to rows, ONE cosine expression evaluated
+    // per (query, centroid) row — not nlist cosine expression nodes.
     val qCells = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
-      .withColumn("cell", explode(array(centroids.map { case (cid, cvec) =>
-        val cArr = array(cvec.map(v => lit(v)): _*)
-        struct(lit(cid).as("centroid_id"), cosine(col("__qvec"), cArr).as("csim"))
-      }: _*)))
+      .select(col(queryIdCol), col("__qvec"), explode(typedlit(centroids)).as("c"))
       .select(col(queryIdCol), col("__qvec"),
-        col("cell.centroid_id").as("centroid_id"), col("cell.csim").as("csim"))
+        col("c._1").as("centroid_id"),
+        cosine(col("__qvec"), col("c._2")).as("csim"))
     val wCell = Window.partitionBy(col(queryIdCol)).orderBy(col("csim").desc)
     val probed = qCells.withColumn("cr", row_number().over(wCell))
       .filter(col("cr") <= nprobe)

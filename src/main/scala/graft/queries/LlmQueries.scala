@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
+
+/** Driver-contract queries for the LLM-training-data operators (dedup,
+  * similarity search, text analysis) over the `documents` / `embeddings`
+  * fixtures. Where the operator is deterministic + SQL-expressible the oracle
+  * is exact DuckDB SQL; approximate/hash-seeded operators (SimHash, IVF) get
+  * rows-only driver checks plus ScalaTest invariants.
+  */
+object LlmQueries {
+
+  /** DuckDB equivalent of [[TextFunctions.normalizedText]]. */
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |'\s+', ' ', 'g'))""".stripMargin.replace("\n", " ")
+
+  /** DuckDB token list matching [[TextFunctions.tokens]]. */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+
+  /** DuckDB 3-gram shingle set matching [[DedupFunctions.shingles]](n=3). */
+  private val shinglesSql =
+    s"""CASE WHEN len(toks) >= 3 THEN list_distinct(
+       |  list_transform(generate_series(1, len(toks) - 2),
+       |    i -> array_to_string(toks[i:i+2], ' ')))
+       |ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------ exact dedup groups
+    Q("q_dedup_exact_groups",
+      (s, dir) => DedupFunctions.exactDuplicateGroups(
+        Tables.df(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""SELECT md5($normSql) AS fingerprint, MIN(doc_id) AS keep_id,
+             |  COUNT(*) AS dup_count
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------------- exact dedup drop
+    Q("q_dedup_drop_exact",
+      (s, dir) => DedupFunctions.dropExactDuplicates(
+        Tables.df(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some(s"""WITH keep AS (
+             |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5($normSql))
+             |SELECT d.doc_id, d.lang, d.source FROM documents d
+             |JOIN keep USING (doc_id)""".stripMargin)),
+
+    // -------------------------------------------------- MinHash-LSH near-dup
+    // Threshold 0.9 with k=64/b=16/r=4: detection prob 1-(1-0.9^4)^16 ≈
+    // 1-2e-8 per true pair, and xxhash64 is deterministic → stable result.
+    // The oracle is the EXACT all-pairs Jaccard (feasible at oracle scale).
+    Q("q_dedup_minhash_neardup",
+      (s, dir) => DedupFunctions.minhashNearDuplicates(
+        Tables.df(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
+        .select(col("id_a"), col("id_b"), col("jaccard")),
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id, $shinglesSql AS s
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+             |  WHERE len(s) > 0)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  len(list_intersect(a.s, b.s)) /
+             |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.s, b.s)) /
+             |    len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin)),
+
+    // ------------------------------------------------ SimHash near-dup (rows-only:
+    // the 64-bit signature is a custom expression DuckDB can't reproduce;
+    // pair invariants are asserted in DedupSpec instead)
+    Q("q_dedup_simhash_neardup",
+      (s, dir) => DedupFunctions.simhashNearDuplicates(
+        Tables.df(s, dir, "documents"), "doc_id", "text", maxHamming = 3),
+      None),
+
+    // ----------------------------------------------------------- text analysis
+    Q("q_text_analysis",
+      (s, dir) => TextFunctions.analyze(Tables.df(s, dir, "documents"))
+        .select(col("doc_id"), col("lang_pred"), col("word_cnt"),
+          col("bpeish_tokens"), col("punct_ratio"), col("stopword_ratio"),
+          col("quality"), col("fingerprint")),
+      Some(s"""WITH scored AS (
+             |  SELECT doc_id, text,
+             |    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|for|with|on)\\b')) AS s_en,
+             |    len(regexp_extract_all(lower(text), '\\b(el|la|los|las|de|que|y|en|un|una|por)\\b')) AS s_es,
+             |    len(regexp_extract_all(lower(text), '\\b(le|la|les|des|une|est|et|dans|pour|sur)\\b')) AS s_fr,
+             |    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|ein|eine|mit|für|auf)\\b')) AS s_de,
+             |    len(regexp_extract_all(lower(text), '[\\x{4e00}-\\x{9fff}]')) AS s_zh,
+             |    len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) AS word_cnt,
+             |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpeish_tokens,
+             |    CASE WHEN len(text) = 0 THEN 0.0
+             |      ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / len(text) END AS punct_ratio,
+             |    len(regexp_extract_all(text, '[A-Za-z0-9]')) AS alnum_chars
+             |  FROM documents),
+             |feat AS (
+             |  SELECT *,
+             |    greatest(s_en, s_es, s_fr, s_de, s_zh) AS best,
+             |    CASE WHEN word_cnt = 0 THEN 0.0 ELSE s_en / word_cnt END AS stopword_ratio,
+             |    CASE WHEN word_cnt = 0 THEN 0.0 ELSE alnum_chars / word_cnt END AS mwl
+             |  FROM scored)
+             |SELECT doc_id,
+             |  CASE WHEN best <= 0 THEN 'und'
+             |       WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es'
+             |       WHEN s_fr = best THEN 'fr' WHEN s_de = best THEN 'de'
+             |       ELSE 'zh' END AS lang_pred,
+             |  word_cnt, bpeish_tokens, punct_ratio, stopword_ratio,
+             |  (CAST(len(text) BETWEEN 50 AND 100000 AS INT) +
+             |   CAST(punct_ratio <= 0.3 AS INT) +
+             |   CAST(stopword_ratio >= 0.01 AS INT) +
+             |   CAST(mwl BETWEEN 2 AND 12 AS INT)) / 4.0 AS quality,
+             |  md5($normSql) AS fingerprint
+             |FROM feat""".stripMargin)),
+
+    // --------------------------------------------------- brute-force ANN top-k
+    Q("q_ann_brute_topk",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        VectorFunctions.bruteForceTopK(emb, queries, k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 4).as("cos4"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos,
+             |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+             |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+             |               e.vec_id ASC) AS rank
+             |  FROM embeddings e CROSS JOIN q
+             |  WHERE e.vec_id <> q.query_id)
+             |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
+             |FROM scored WHERE rank <= 10""".stripMargin)),
+
+    // ------------------------------------------------------ IVF ANN (rows-only:
+    // approximate by construction; recall vs brute force asserted in VectorSpec)
+    Q("q_ann_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val idx = VectorFunctions.buildIvf(emb, nlist = 16)
+        VectorFunctions.ivfTopK(idx, queries, k = 10, nprobe = 4)
+      },
+      None)
+  )
+}
