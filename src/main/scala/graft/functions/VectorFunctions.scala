@@ -73,25 +73,32 @@ object VectorFunctions {
       acc => acc.getField("cid"))
   }
 
-  /** Build an IVF index with `nlist` centroids taken as a deterministic
-    * pseudo-random sample: top-nlist corpus rows by xxhash64(id) — a single
-    * TakeOrderedAndProject pass, no full count, no global sort
-    * materialization. Assignment is a single narrow projection against the
-    * broadcast centroid literal. */
+  /** Build an IVF index: train `nlist` coarse-quantizer centroids with Spark
+    * ML KMeans (cosine distance, bounded iterations — distributed Lloyd, the
+    * FAISS IVF training analog), then assign each corpus vector with one
+    * narrow projection against the broadcast centroid literal.
+    *
+    * Scale: KMeans fit is a few passes over (a sample of) the corpus; the
+    * centroid set (nlist × dim doubles) is driver/broadcast-sized by design.
+    * For a persisted index, write `assigned` partitioned BY centroid_id so
+    * queries prune to nprobe cells. */
   def buildIvf(corpus: DataFrame, nlist: Int,
-               idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
-    val centroidRows = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(nlist)
-      .collect()
-    val centroids = centroidRows.zipWithIndex.map { case (r, i) =>
-      (i, r.getSeq[Float](1))
-    }.toSeq
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxIter: Int = 10, trainFraction: Double = 1.0): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train0 = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val train = if (trainFraction < 1.0)
+      train0.sample(withReplacement = false, trainFraction, seed = 42L) else train0
+    val model = new KMeans()
+      .setK(nlist).setSeed(42L).setMaxIter(maxIter)
+      .setDistanceMeasure("cosine")
+      .fit(train)
+    val centroids: Seq[(Int, Seq[Float])] = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq.map(_.toFloat)) }.toSeq
     val centroidsDf = corpus.sparkSession.createDataFrame(
-      centroidRows.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row(i, r.getSeq[Float](1))
-      }.toList.asJava,
+      centroids.map { case (i, v) => org.apache.spark.sql.Row(i, v) }.toList.asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("centroid_id",
           org.apache.spark.sql.types.IntegerType),

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.DedupFunctions
+
+/** Invariant coverage for the hash-seeded dedup operators the DuckDB oracle
+  * can't reproduce (SimHash), plus sanity on the MinHash pipeline. */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup of 1
+      (4L, "completely different content about spark catalyst optimizer rules"),
+      (5L, "Completely DIFFERENT content; about spark catalyst optimizer rules!") // dup of 4 after normalization
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups by normalized content, keeps min id") {
+    val groups = DedupFunctions.exactDuplicateGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((1L, 2L), (3L, 1L), (4L, 2L)))
+    val kept = DedupFunctions.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("minhash LSH finds exact and near duplicates with correct jaccard") {
+    val pairs = DedupFunctions.minhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(1.0))          // exact dup
+    assert(pairs.get((4L, 5L)).contains(1.0))          // dup after normalization
+    assert(pairs.get((1L, 3L)).exists(j => j > 0.6 && j < 1.0)) // near dup
+    // pairs are canonical (id_a < id_b) and unique
+    pairs.keys.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("simhash signatures: identical docs collide, near dups within hamming 3") {
+    val sigs = DedupFunctions.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L)) // identical text → identical signature
+    val near = DedupFunctions.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue()))
+    val pairSet = near.map(t => (t._1, t._2)).toSet
+    assert(pairSet.contains((1L, 2L)))
+    near.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 3) }
+  }
+
+  test("threshold monotonicity: higher threshold yields a subset") {
+    val lo = DedupFunctions.minhashNearDuplicates(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hi = DedupFunctions.minhashNearDuplicates(docs, "doc_id", "text", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hi.subsetOf(lo))
+  }
+
+  test("LSH bucket cap suppresses degenerate all-same-content explosions") {
+    val s = spark
+    import s.implicits._
+    val degenerate = (1L to 30L).map(i => (i, "same text everywhere here"))
+      .toDF("doc_id", "text")
+    val capped = DedupFunctions.minhashCandidatePairs(degenerate, "doc_id", "text",
+      maxBucketSize = 10)
+    assert(capped.count() == 0) // every bucket over cap → dropped
+  }
+}

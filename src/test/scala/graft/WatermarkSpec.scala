@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.watermark.{Watermark, WatermarkStore}
+
+/** Watermark state machine: cumulative counters, blacklist dedup,
+  * reset-preserving-files, locking — mirrors the reference's
+  * tests/unit/test_simple_watermark_manager.py coverage. */
+class WatermarkSpec extends AnyFunSuite with SparkTestBase {
+
+  private val now = "2026-01-01T00:00:00"
+
+  test("default document starts pending with zero counters") {
+    val w = Watermark.default("conn:db.t", "hybrid", now)
+    assert(w.version == "2.0")
+    assert(w.mysql_state.status == "pending")
+    assert(w.mysql_state.total_rows == 0)
+    assert(w.processed_files.isEmpty)
+  }
+
+  test("extract sessions accumulate cumulative counters") {
+    val w0 = Watermark.default("t", "hybrid", now)
+    val w1 = w0.afterExtractSession(Some("2026-01-01 01:00:00"), Some(100L),
+      sessionRows = 500, sessionFiles = 2, now)
+    val w2 = w1.afterExtractSession(Some("2026-01-01 02:00:00"), Some(200L),
+      sessionRows = 300, sessionFiles = 1, now)
+    assert(w2.mysql_state.total_rows == 800)
+    assert(w2.mysql_state.last_session_rows == 300)
+    assert(w2.mysql_state.s3_files_created == 3)
+    assert(w2.mysql_state.last_session_files == 1)
+    assert(w2.mysql_state.last_id.contains(200L))
+    assert(w2.mysql_state.status == "success")
+  }
+
+  test("empty-session cursor falls back to previous cursor") {
+    val w0 = Watermark.default("t", "hybrid", now)
+      .afterExtractSession(Some("2026-01-01 01:00:00"), Some(100L), 500, 2, now)
+    val w1 = w0.afterExtractSession(None, None, 0, 0, now)
+    assert(w1.mysql_state.last_timestamp.contains("2026-01-01 01:00:00"))
+    assert(w1.mysql_state.last_id.contains(100L))
+  }
+
+  test("load session dedups blacklist entries") {
+    val w0 = Watermark.default("t", "id_only", now)
+    val w1 = w0.afterLoadSession(Seq("f1", "f2"), 100, now)
+    val w2 = w1.afterLoadSession(Seq("f2", "f3"), 50, now)
+    assert(w2.processed_files == List("f1", "f2", "f3"))
+    assert(w2.redshift_state.last_loaded_files == List("f3")) // f2 was stale
+    assert(w2.redshift_state.total_rows == 150)
+  }
+
+  test("reset preserves the processed-files blacklist") {
+    val w = Watermark.default("t", "hybrid", now)
+      .afterExtractSession(Some("2026-01-01 01:00:00"), Some(5L), 10, 1, now)
+      .afterLoadSession(Seq("f1"), 10, now)
+      .resetPreservingFiles(now)
+    assert(w.mysql_state.last_timestamp.isEmpty)
+    assert(w.mysql_state.last_id.isEmpty)
+    assert(w.mysql_state.total_rows == 0)
+    assert(w.processed_files == List("f1"))
+    assert(w.metadata.manual_override)
+  }
+
+  test("failure marking keeps cursor but records error") {
+    val w = Watermark.default("t", "hybrid", now)
+      .afterExtractSession(Some("2026-01-01 01:00:00"), Some(5L), 10, 1, now)
+      .markExtractFailed("boom", now)
+    assert(w.mysql_state.status == "failed")
+    assert(w.mysql_state.error.contains("boom"))
+    assert(w.mysql_state.last_id.contains(5L))
+  }
+
+  test("JSON round-trip preserves every field") {
+    val w = Watermark.default("conn:db.t", "hybrid", now)
+      .afterExtractSession(Some("2026-01-01 01:00:00"), Some(42L), 7, 2, now)
+      .afterLoadSession(Seq("s3://b/f1.parquet"), 7, now)
+    assert(Watermark.fromJson(Watermark.toJson(w)) == w)
+  }
+
+  test("store: getOrCreate → save → get round-trips through the filesystem") {
+    val store = new WatermarkStore(tmpDir("wm"))
+    val w = store.getOrCreate("conn:db.orders", "hybrid")
+    assert(w.mysql_state.status == "pending")
+    store.save(w.afterExtractSession(Some("2026-02-02 00:00:00"), Some(9L), 3, 1,
+      store.nowString()))
+    val back = store.get("conn:db.orders").get
+    assert(back.mysql_state.last_id.contains(9L))
+    assert(back.mysql_state.total_rows == 3)
+  }
+
+  test("store: lock is exclusive and token-checked") {
+    val store = new WatermarkStore(tmpDir("lock"))
+    val t1 = store.tryLock("t")
+    assert(t1.isDefined)
+    assert(store.tryLock("t").isEmpty)          // second acquire fails
+    assert(!store.unlock("t", "wrong-token"))   // wrong token refused
+    assert(store.unlock("t", t1.get))
+    assert(store.tryLock("t").isDefined)        // re-acquirable after release
+  }
+
+  test("store: reset persists and preserves blacklist") {
+    val store = new WatermarkStore(tmpDir("reset"))
+    val w = store.getOrCreate("t", "hybrid")
+    store.save(w.afterLoadSession(Seq("fileA"), 5, store.nowString()))
+    val r = store.reset("t").get
+    assert(r.processed_files == List("fileA"))
+    assert(store.get("t").get.mysql_state.last_id.isEmpty)
+  }
+}
