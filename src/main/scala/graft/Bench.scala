@@ -26,7 +26,26 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     val nFail = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"queries":$qs,"sf":"$sfDir"}""")
+
+    // end-to-end extract→parquet throughput (BASELINE.md bar: >=115k rows/s)
+    val rps: Double =
+      try {
+        import graft.cdc._
+        import graft.model._
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_bench_e2e").toString
+        val store = new graft.watermark.WatermarkStore(s"$scratch/wm")
+        val extractor = new graft.extract.Extractor(store, s"$scratch/staging")
+        val id = TableId("bench", "fixtures", "events")
+        val cfg = CdcConfig(CdcStrategyKind.IdOnly, idColumn = Some("event_id"))
+        val events = graft.queries.Tables.df(spark, sfDir, "events")
+        val res = extractor.extract(spark, id, events, cfg)
+        res.metrics.rowsPerSec
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] e2e throughput FAILED: ${e.getMessage}"); -1.0
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"extract_rows_per_sec":$rps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -56,10 +56,14 @@ sealed trait CdcStrategy {
     preds.reduceOption(_ && _)
 
   /** Timestamp literal comparable against the source column. Handles the
-    * UNIX-epoch-seconds variant (ref :224-251: `ts > UNIX_TIMESTAMP(:wm)`). */
+    * UNIX-epoch-seconds variant (ref :224-251: `ts > UNIX_TIMESTAMP(:wm)`).
+    * The non-epoch case stays a STRING literal so Catalyst's type coercion
+    * casts it to the COLUMN's type (TIMESTAMP or TIMESTAMP_NTZ) — forcing
+    * `to_timestamp` here would pin session-TZ TIMESTAMP and silently shift
+    * predicates against NTZ columns in non-UTC sessions. */
   protected def tsLiteral(iso: String): Column =
     if (config.timestampIsUnixEpoch) unix_timestamp(to_timestamp(lit(iso)))
-    else to_timestamp(lit(iso))
+    else lit(iso)
 
   protected def tsColName: String =
     config.timestampColumn.getOrElse(

@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc._
 import graft.model._
+import graft.util.{ParquetFooters, SessionMetrics}
 import graft.watermark.{Watermark, WatermarkStore}
 
 /** Result of one extract session (ref get_backup_summary, base.py:1446-1471). */
 final case class ExtractResult(table: TableId, rows: Long, files: Long,
-                               cursor: Cursor, stagedPath: String)
+                               cursor: Cursor, stagedPath: String,
+                               metrics: SessionMetrics)
 
 /** Stage-1 extractor: incremental scan → partitioned Parquet staging →
   * per-session watermark commit. The Spark-native replacement for the
@@ -64,25 +66,35 @@ final class Extractor(store: WatermarkStore, stagingRoot: String,
           withParts.write.partitionBy(cols: _*)
         case None => batch.write
       }
-      writer
-        .mode(SaveMode.Append)
-        .option("compression", "snappy")
-        // bound file size instead of per-batch files (small-file fix the
-        // reference left as roadmap, PERFORMANCE_OPTIMIZATION_GUIDE.md:190-199)
-        .option("maxRecordsPerFile", targetFileRows.toString)
-        .parquet(sessionDir)
+      val (_, secs) = SessionMetrics.timed {
+        writer
+          .mode(SaveMode.Append)
+          .option("compression", "snappy")
+          // bound file size instead of per-batch files (small-file fix the
+          // reference left as roadmap, PERFORMANCE_OPTIMIZATION_GUIDE.md:190-199)
+          .option("maxRecordsPerFile", targetFileRows.toString)
+          .parquet(sessionDir)
+      }
 
-      // post-write accounting from the committed files (no second scan of source)
-      val staged = spark.read.parquet(sessionDir)
-      val rows = staged.count()
-      val files = listParquetFiles(spark, sessionDir).size.toLong
-      val next = if (rows > 0) strategy.extractCursor(staged) else cursor
+      // Post-write accounting is METADATA-ONLY: row/byte counts come from the
+      // parquet footers (no second data scan). The cursor agg below reads only
+      // the ts/id columns of the session output — a pruned columnar scan, not
+      // a re-read of the batch.
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fileList = listParquetFiles(spark, sessionDir)
+      val rows = ParquetFooters.totalRows(fileList, conf)
+      val bytes = ParquetFooters.totalBytes(fileList, conf)
+      val files = fileList.size.toLong
+      val next =
+        if (rows > 0) strategy.extractCursor(spark.read.parquet(sessionDir))
+        else cursor
 
       val done = store.getOrCreate(id.scoped, config.strategy.name)
         .afterExtractSession(next.lastTimestamp.orElse(cursor.lastTimestamp),
           next.lastId.orElse(cursor.lastId), rows, files, store.nowString())
       store.save(done)
-      ExtractResult(id, rows, files, next, sessionDir)
+      ExtractResult(id, rows, files, next, sessionDir,
+        SessionMetrics(rows, files, bytes, secs))
     } catch {
       case e: Throwable =>
         val failed = store.getOrCreate(id.scoped, config.strategy.name)

@@ -3,12 +3,18 @@ package graft.load
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model._
+import graft.util.{ParquetFooters, SessionMetrics}
 import graft.watermark.WatermarkStore
 
 /** Result of one load session. `loadedRows` is the analog of the reference's
-  * `pg_last_copy_count()` verification (gemini_redshift_loader.py:622-624). */
+  * `pg_last_copy_count()` verification (gemini_redshift_loader.py:622-624);
+  * `quarantinedFiles` are files that failed footer validation and were skipped
+  * without poisoning the session (ref per-file error isolation,
+  * gemini_redshift_loader.py:148-199). */
 final case class LoadResult(table: TableId, files: Long, loadedRows: Long,
-                            skippedFiles: Long, targetPath: String)
+                            skippedFiles: Long, targetPath: String,
+                            quarantinedFiles: Seq[String] = Nil,
+                            metrics: SessionMetrics = SessionMetrics(0, 0, 0, 0.0))
 
 /** Stage-2 loader: staged Parquet → warehouse table, idempotently.
   * The Spark-native replacement for the reference's per-file Redshift COPY loop
@@ -25,16 +31,28 @@ final case class LoadResult(table: TableId, files: Long, loadedRows: Long,
   * entries for a 100 TB table at 5M rows/file — trivially driver-sized); the
   * data itself never routes through the driver.
   */
-final class Loader(store: WatermarkStore, warehouseRoot: String) {
+final class Loader(store: WatermarkStore, warehouseRoot: String,
+                   commitBatchFiles: Int = 64) {
 
   def targetPath(id: TableId): String = s"$warehouseRoot/${id.safeName}"
 
   /** Load all staged-but-unprocessed files for `id` into the warehouse table.
     * `truncate=true` implements full_sync replace (ref TRUNCATE,
     * gemini_redshift_loader.py:250-272). Orphaned files from a crashed extract
-    * (`mysql_status=in_progress`) are still picked up, matching ref :391-397. */
+    * (`mysql_status=in_progress`) are still picked up, matching ref :391-397.
+    *
+    * Robustness (ref per-file COPY loop, gemini_redshift_loader.py:148-199):
+    *  - every fresh file is footer-validated first; corrupt files are
+    *    QUARANTINED (reported, not blacklisted, not loaded) while the valid
+    *    set still loads — one bad file no longer poisons the session;
+    *  - valid files load in sub-batches of `commitBatchFiles`, with the
+    *    watermark blacklist committed after each sub-batch — the non-atomic
+    *    crash window shrinks from the whole session to one sub-batch;
+    *  - row counts come from the validated footers, not a second data scan.
+    */
   def load(spark: SparkSession, id: TableId, stagedDir: String,
            config: CdcConfig, truncate: Boolean = false): LoadResult = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val wm = store.getOrCreate(id.scoped, config.strategy.name)
     try {
       val all = listParquetFiles(spark, stagedDir)
@@ -47,23 +65,43 @@ final class Loader(store: WatermarkStore, warehouseRoot: String) {
         return LoadResult(id, 0, 0, all.size.toLong, target)
       }
 
-      val rows: Long = if (fresh.nonEmpty) {
-        val staged = spark.read.parquet(fresh: _*)
-        val mode = if (doTruncate) SaveMode.Overwrite else SaveMode.Append
-        staged.write.mode(mode).option("compression", "snappy").parquet(target)
-        staged.count()
-      } else {
+      // per-file validation gate: corrupt footers → quarantine, not failure
+      val (valid, quarantined) = fresh.partition { f =>
+        try { ParquetFooters.rowCount(f, conf); true }
+        catch { case _: Throwable => false }
+      }
+      if (quarantined.nonEmpty)
+        store.save(store.getOrCreate(id.scoped, config.strategy.name)
+          .markLoadFailed(s"quarantined ${quarantined.size} corrupt files: " +
+            quarantined.take(3).mkString(","), store.nowString()))
+
+      val t0 = System.nanoTime()
+      var loadedRows = 0L
+      var loadedBytes = 0L
+      if (valid.isEmpty && doTruncate) {
         // truncate with nothing new staged → empty the target
         val fs = new org.apache.hadoop.fs.Path(target)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileSystem(conf)
         fs.delete(new org.apache.hadoop.fs.Path(target), true)
-        0L
+      } else {
+        var first = true
+        valid.grouped(math.max(1, commitBatchFiles)).foreach { group =>
+          val staged = spark.read.parquet(group: _*)
+          val mode = if (doTruncate && first) SaveMode.Overwrite else SaveMode.Append
+          staged.write.mode(mode).option("compression", "snappy").parquet(target)
+          first = false
+          val rows = ParquetFooters.totalRows(group, conf)
+          loadedRows += rows
+          loadedBytes += ParquetFooters.totalBytes(group, conf)
+          // commit the blacklist for THIS sub-batch before starting the next
+          store.save(store.getOrCreate(id.scoped, config.strategy.name)
+            .afterLoadSession(group, rows, store.nowString()))
+        }
       }
-
-      val done = store.getOrCreate(id.scoped, config.strategy.name)
-        .afterLoadSession(fresh, rows, store.nowString())
-      store.save(done)
-      LoadResult(id, fresh.size.toLong, rows, (all.size - fresh.size).toLong, target)
+      val secs = (System.nanoTime() - t0) / 1e9
+      LoadResult(id, valid.size.toLong, loadedRows,
+        (all.size - fresh.size).toLong, target, quarantined,
+        SessionMetrics(loadedRows, valid.size.toLong, loadedBytes, secs))
     } catch {
       case e: Throwable =>
         store.save(store.getOrCreate(id.scoped, config.strategy.name)

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.cdc._
+import graft.extract.Extractor
+import graft.load.Loader
+import graft.model._
+import graft.util.Retry
+import graft.watermark.WatermarkStore
+
+/** Extract→load session robustness: idempotent re-load, corrupt-file
+  * quarantine (per-file error isolation), incremental resume, retry wrapper. */
+class EtlSpec extends AnyFunSuite with SparkTestBase {
+
+  private val id = TableId("test", "fx", "events")
+  private val cfg = CdcConfig(CdcStrategyKind.IdOnly, idColumn = Some("event_id"))
+  private def events = spark.read
+    .option("mergeSchema", "false")
+    .parquet(s"$sfDir/events.parquet")
+
+  private def rig() = {
+    val root = tmpDir("etl")
+    val store = new WatermarkStore(s"$root/wm")
+    (root, store, new Extractor(store, s"$root/staging"),
+      new Loader(store, s"$root/warehouse"))
+  }
+
+  test("extract → load preserves all rows; metrics populated") {
+    val (_, _, extractor, loader) = rig()
+    val n = events.count()
+    val ext = extractor.extract(spark, id, events, cfg)
+    assert(ext.rows == n)
+    assert(ext.metrics.rows == n && ext.metrics.seconds > 0)
+    val load = loader.load(spark, id, extractor.stagingDir(id), cfg)
+    assert(load.loadedRows == n)
+    assert(load.quarantinedFiles.isEmpty)
+    assert(loader.readTarget(spark, id).get.count() == n)
+  }
+
+  test("re-load is a no-op (file-level blacklist idempotence)") {
+    val (_, _, extractor, loader) = rig()
+    extractor.extract(spark, id, events, cfg)
+    val first = loader.load(spark, id, extractor.stagingDir(id), cfg)
+    val second = loader.load(spark, id, extractor.stagingDir(id), cfg)
+    assert(second.files == 0 && second.loadedRows == 0)
+    assert(second.skippedFiles == first.files)
+    assert(loader.readTarget(spark, id).get.count() == events.count())
+  }
+
+  test("corrupt staged file is quarantined, others still load") {
+    val (_, _, extractor, loader) = rig()
+    extractor.extract(spark, id, events, cfg)
+    // plant a corrupt parquet file among the staged output
+    val bad = new java.io.File(extractor.stagingDir(id), "corrupt.parquet")
+    java.nio.file.Files.writeString(bad.toPath, "this is not parquet")
+    val load = loader.load(spark, id, extractor.stagingDir(id), cfg)
+    assert(load.quarantinedFiles.map(f => new java.io.File(f).getName) ==
+      Seq("corrupt.parquet"))
+    assert(load.loadedRows == events.count()) // the good files all loaded
+  }
+
+  test("incremental extract resumes from the committed cursor") {
+    val (_, store, extractor, loader) = rig()
+    val firstHalf = events.filter(col("event_id") <= 300)
+    val e1 = extractor.extract(spark, id, firstHalf, cfg)
+    assert(e1.cursor.lastId.contains(300L))
+    // second session sees the full table but must only take event_id > 300
+    val e2 = extractor.extract(spark, id, events, cfg)
+    assert(e2.rows == events.filter(col("event_id") > 300).count())
+    val wm = store.get(id.scoped).get
+    assert(wm.mysql_state.total_rows == events.count()) // cumulative
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    assert(loader.readTarget(spark, id).get.count() == events.count())
+  }
+
+  test("full_sync replace truncates the target") {
+    val (_, _, extractor, loader) = rig()
+    val full = CdcConfig(CdcStrategyKind.FullSync)
+    extractor.extract(spark, id, events.limit(100), full)
+    loader.load(spark, id, extractor.stagingDir(id), full)
+    // second replace cycle must overwrite, not append: the first session's
+    // files are already blacklisted, so only the fresh 50-row session lands
+    extractor.extract(spark, id, events.limit(50), full)
+    loader.load(spark, id, extractor.stagingDir(id), full)
+    assert(loader.readTarget(spark, id).get.count() == 50)
+  }
+
+  test("retry wrapper retries then surfaces RetryExhausted") {
+    var calls = 0
+    val r = Retry.withBackoff(maxAttempts = 3, initialDelayMs = 1) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("flaky")
+      "ok"
+    }
+    assert(r == "ok" && calls == 3)
+    calls = 0
+    val e = intercept[Retry.RetryExhausted] {
+      Retry.withBackoff(maxAttempts = 2, initialDelayMs = 1) {
+        calls += 1; throw new RuntimeException("always")
+      }
+    }
+    assert(e.attempts == 2 && calls == 2)
+  }
+
+  test("extract failure marks watermark failed and rethrows") {
+    val (_, store, extractor, _) = rig()
+    val badCfg = CdcConfig(CdcStrategyKind.IdOnly, idColumn = Some("no_such_col"))
+    intercept[Exception] {
+      extractor.extract(spark, id, events, badCfg,
+        ceiling = Some(10L))
+    }
+    assert(store.get(id.scoped).get.mysql_state.status == "failed")
+  }
+}
