@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.load.Maintenance
+import graft.pipeline._
+import graft.watermark.WatermarkStore
+
+/** CLI entry point mirroring the reference's verb surface
+  * (src/cli/main.py: sync :512-735, backup :512-669, watermark :1505-1958,
+  * status :1116-1262, s3clean :2205-2410):
+  *
+  * {{{
+  * graft.Cli sync      -c pipeline.yml [-t table] [--work-dir DIR] [--parallel N]
+  * graft.Cli backup    -c pipeline.yml [-t table] [--work-dir DIR]
+  * graft.Cli load      -c pipeline.yml [-t table] [--work-dir DIR]
+  * graft.Cli status    -c pipeline.yml [--work-dir DIR]
+  * graft.Cli watermark get|set|reset -c pipeline.yml -t table
+  *                     [--timestamp TS] [--id N] [--work-dir DIR]
+  * graft.Cli s3clean   -c pipeline.yml --older-than-hours H
+  *                     [--keep-newest N] [--dry-run] [--work-dir DIR]
+  * }}}
+  */
+object Cli {
+
+  private def parseArgs(args: Seq[String]): (Seq[String], Map[String, String], Set[String]) = {
+    val verbs = scala.collection.mutable.ArrayBuffer[String]()
+    val opts = scala.collection.mutable.Map[String, String]()
+    val flags = scala.collection.mutable.Set[String]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--dry-run" => flags += "dry-run"; i += 1
+        case a if a.startsWith("-") =>
+          val key = a.dropWhile(_ == '-')
+          if (i + 1 < args.length && !args(i + 1).startsWith("-")) {
+            opts(key) = args(i + 1); i += 2
+          } else { flags += key; i += 1 }
+        case v => verbs += v; i += 1
+      }
+    }
+    (verbs.toSeq, opts.toMap, flags.toSet)
+  }
+
+  private def fmtReport(r: PipelineReport): String = {
+    val lines = r.tables.map { t =>
+      val status = if (t.ok) "OK  " else "FAIL"
+      val rps = t.extract.map(e => f"${e.metrics.rowsPerSec}%.0f rows/s")
+        .getOrElse("")
+      val q = t.load.map(_.quarantinedFiles.size).filter(_ > 0)
+        .map(n => s" quarantined=$n").getOrElse("")
+      f"  $status ${t.table.qualified}%-32s rows=${t.rows}%-10d ${t.seconds}%6.1fs $rps$q" +
+        t.error.map(e => s"  error: $e").getOrElse("")
+    }
+    val header = s"pipeline ${r.pipeline}: ${if (r.allOk) "SUCCESS" else "FAILED"} " +
+      f"(${r.totalRows} rows, ${r.seconds}%.1fs)"
+    (header +: lines).mkString("\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (verbs, opts, flags) = parseArgs(args.toSeq)
+    if (verbs.isEmpty) { System.err.println(usage); sys.exit(2) }
+
+    val configPath = opts.get("c").orElse(opts.get("config")).getOrElse {
+      System.err.println("missing -c <pipeline.yml>"); sys.exit(2); ""
+    }
+    val pipeline = PipelineConfig.fromFile(configPath)
+    val workDir = opts.getOrElse("work-dir", s"/tmp/graft_work/${pipeline.name}")
+    val tableFilter = opts.get("t").orElse(opts.get("table"))
+
+    lazy val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName(s"graft-${pipeline.name}")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode",
+        if (pipeline.processing.maxParallelTables > 1) "FAIR" else "FIFO")
+      .getOrCreate()
+
+    def runner = {
+      val parallel = opts.get("parallel").map(_.toInt)
+      val p = parallel.map(n => pipeline.copy(processing =
+        pipeline.processing.copy(maxParallelTables = n))).getOrElse(pipeline)
+      (new PipelineRunner(spark, workDir), p)
+    }
+
+    val exitCode: Int = verbs.head match {
+      case "sync" =>
+        val (r, p) = runner
+        val report = r.sync(p, tableFilter)
+        println(fmtReport(report))
+        if (report.allOk) 0 else 1
+
+      case "backup" =>
+        val (r, p) = runner
+        val report = r.backup(p, tableFilter)
+        println(fmtReport(report))
+        if (report.allOk) 0 else 1
+
+      case "load" =>
+        val (r, p) = runner
+        val report = r.loadOnly(p, tableFilter)
+        println(fmtReport(report))
+        if (report.allOk) 0 else 1
+
+      case "status" =>
+        val (r, p) = runner
+        val (store, _, _) = r.rigFor(p)
+        p.tables.foreach { spec =>
+          val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+          store.get(id.scoped) match {
+            case Some(w) =>
+              println(f"${id.qualified}%-32s mysql=${w.mysql_state.status}%-12s " +
+                f"redshift=${w.redshift_state.status}%-12s " +
+                f"rows=${w.mysql_state.total_rows}%-10d " +
+                s"cursor=(${w.mysql_state.last_timestamp.getOrElse("-")}," +
+                s"${w.mysql_state.last_id.map(_.toString).getOrElse("-")}) " +
+                s"files=${w.processed_files.size}")
+            case None =>
+              println(f"${id.qualified}%-32s (no watermark)")
+          }
+        }
+        0
+
+      case "watermark" =>
+        val sub = verbs.lift(1).getOrElse("get")
+        val (r, p) = runner
+        val (store, _, _) = r.rigFor(p)
+        val spec = p.tables.find(t => tableFilter.forall(f =>
+          t.name == f || t.name.endsWith(s".$f"))).getOrElse {
+          System.err.println("watermark requires -t <table>"); sys.exit(2)
+        }
+        val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+        sub match {
+          case "get" =>
+            store.get(id.scoped) match {
+              case Some(w) => println(graft.watermark.Watermark.toJson(w)); 0
+              case None => println("(no watermark)"); 1
+            }
+          case "set" =>
+            val w = store.setManual(id.scoped, opts.get("timestamp"),
+              opts.get("id").map(_.toLong))
+            println(graft.watermark.Watermark.toJson(w)); 0
+          case "reset" =>
+            store.reset(id.scoped) match {
+              case Some(w) => println(graft.watermark.Watermark.toJson(w)); 0
+              case None => println("(no watermark to reset)"); 1
+            }
+          case other =>
+            System.err.println(s"unknown watermark subcommand: $other"); 2
+        }
+
+      case "s3clean" =>
+        val (r, p) = runner
+        val hours = opts.get("older-than-hours").map(_.toDouble).getOrElse {
+          System.err.println("s3clean requires --older-than-hours"); sys.exit(2); 0.0
+        }
+        val cutoff = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
+        val stagingRoot = {
+          val prefix = if (p.sink.isolationPrefix.nonEmpty)
+            p.sink.isolationPrefix.stripSuffix("/") + "/" else ""
+          s"$workDir/${prefix}staging"
+        }
+        val report = Maintenance.clean(stagingRoot, cutoff,
+          keepNewest = opts.get("keep-newest").map(_.toInt).getOrElse(0),
+          dryRun = flags("dry-run"))
+        val verb = if (flags("dry-run")) "would delete" else "deleted"
+        println(s"s3clean: scanned ${report.scanned} files, $verb " +
+          s"${report.deleted.size} (${report.bytesFreed / 1024} KiB)")
+        report.deleted.foreach(f => println(s"  $f"))
+        0
+
+      case other =>
+        System.err.println(s"unknown verb: $other\n$usage"); 2
+    }
+    sys.exit(exitCode)
+  }
+
+  private val usage: String =
+    """usage: graft.Cli <sync|backup|load|status|watermark|s3clean> -c <pipeline.yml>
+      |  sync      extract + load every configured table (-t narrows; --parallel N)
+      |  backup    extract only
+      |  load      load staged-but-unprocessed files only
+      |  status    one line per table from the watermark store
+      |  watermark get|set|reset -t table [--timestamp TS] [--id N]
+      |  s3clean   --older-than-hours H [--keep-newest N] [--dry-run]""".stripMargin
+}

@@ -32,7 +32,8 @@ final case class LoadResult(table: TableId, files: Long, loadedRows: Long,
   * data itself never routes through the driver.
   */
 final class Loader(store: WatermarkStore, warehouseRoot: String,
-                   commitBatchFiles: Int = 64) {
+                   commitBatchFiles: Int = 64,
+                   maxFilesPerLoad: Option[Int] = None) {
 
   def targetPath(id: TableId): String = s"$warehouseRoot/${id.safeName}"
 
@@ -57,7 +58,12 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     try {
       val all = listParquetFiles(spark, stagedDir)
       val blacklist = wm.processedFileSet
-      val fresh = all.filterNot(blacklist)
+      // newest-first trim (O4, ref gemini_redshift_loader.py:488-492): a huge
+      // backlog can't starve fresh data; older files load in later sessions
+      val fresh = maxFilesPerLoad match {
+        case Some(cap) => Maintenance.newestFirst(all.filterNot(blacklist), cap, conf)
+        case None => all.filterNot(blacklist)
+      }
       val target = targetPath(id)
       val doTruncate = truncate || config.requiresTruncateBeforeLoad
 

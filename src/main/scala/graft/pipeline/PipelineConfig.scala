@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import graft.model._
+import scala.jdk.CollectionConverters._
+
+/** Pipeline-level processing knobs (ref configuration_manager.py:46-120
+  * `PipelineConfig`; YAML `pipeline.processing`). */
+final case class ProcessingSettings(
+    strategy: String = "sequential",          // sequential | parallel
+    batchSize: Int = 10000,
+    timeoutMinutes: Int = 240,
+    maxParallelTables: Int = 1)
+
+/** Staged-sink settings (YAML `pipeline.s3`; ref s3_manager.py:57-65
+  * isolation_prefix namespace + partition strategy selection). */
+final case class SinkSettings(
+    isolationPrefix: String = "",
+    partitionStrategy: PartitionStrategy = PartitionStrategy.ByTable,
+    compression: String = "snappy")
+
+/** One configured table: scoped name + CDC config + optional rename
+  * (YAML `tables.<schema.table>`; ref TableConfig, configuration_manager.py:23-43). */
+final case class TableSpec(
+    name: String,                              // schema.table
+    cdc: CdcConfig,
+    targetName: Option[String] = None) {
+  def tableId(connection: String): TableId = {
+    val id = TableId.parse(s"$connection:$name")
+    targetName.map(t => id.copy(table = t)).getOrElse(id)
+  }
+}
+
+/** A full parsed pipeline (ref PipelineConfig + example
+  * config/pipelines/us_dw_hybrid_v1_2.yml). */
+final case class Pipeline(
+    name: String,
+    description: String,
+    source: String,                            // connection name or parquet dir
+    target: String,
+    defaultStrategy: CdcStrategyKind,
+    processing: ProcessingSettings,
+    sink: SinkSettings,
+    tables: Seq[TableSpec])
+
+/** YAML pipeline loader: same document shape as the reference's
+  * config/pipelines YAML files (configuration_manager.py:377-531), including
+  * `${ENV_VAR}` / `${ENV_VAR:default}` interpolation (:443-531). Unknown keys
+  * are ignored (the reference carries many monitoring/validation blocks that
+  * have no Spark analog). */
+object PipelineConfig {
+
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  def fromFile(path: String, env: Map[String, String] = sys.env): Pipeline = {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    fromString(raw, env)
+  }
+
+  def fromString(yaml: String, env: Map[String, String] = sys.env): Pipeline =
+    parse(mapper.readTree(interpolate(yaml, env)))
+
+  /** `${VAR}` or `${VAR:default}` → env value (ref env interpolation,
+    * configuration_manager.py:443-531). Missing var with no default throws. */
+  private[pipeline] def interpolate(yaml: String, env: Map[String, String]): String =
+    "\\$\\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\\}".r.replaceAllIn(yaml, m => {
+      val v = env.get(m.group(1)).orElse(Option(m.group(2))).getOrElse(
+        throw new IllegalArgumentException(
+          s"environment variable ${m.group(1)} not set and no default given"))
+      scala.util.matching.Regex.quoteReplacement(v)
+    })
+
+  private def opt(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n).flatMap(x => Option(x.get(field))).filterNot(_.isNull)
+
+  private def str(n: JsonNode, field: String, default: String): String =
+    opt(n, field).map(_.asText).getOrElse(default)
+
+  private def parse(root: JsonNode): Pipeline = {
+    val p = Option(root.get("pipeline")).getOrElse(
+      throw new IllegalArgumentException("missing top-level 'pipeline' block"))
+
+    val proc = opt(p, "processing").orNull
+    val processing = ProcessingSettings(
+      strategy = str(proc, "strategy", "sequential"),
+      batchSize = opt(proc, "batch_size").map(_.asInt).getOrElse(10000),
+      timeoutMinutes = opt(proc, "timeout_minutes").map(_.asInt).getOrElse(240),
+      maxParallelTables = opt(proc, "max_parallel_tables").map(_.asInt).getOrElse(1))
+
+    val s3 = opt(p, "s3").orNull
+    val sink = SinkSettings(
+      isolationPrefix = str(s3, "isolation_prefix", ""),
+      partitionStrategy = PartitionStrategy.fromName(
+        str(s3, "partition_strategy", "table")),
+      compression = str(s3, "compression", "snappy"))
+
+    val defaultStrategy = CdcStrategyKind.fromName(
+      opt(p, "cdc_settings").flatMap(c => opt(c, "default_strategy"))
+        .map(_.asText).getOrElse("full_sync"))
+
+    val tables = Option(root.get("tables")).map { t =>
+      t.properties().asScala.toSeq.map { e =>
+        parseTable(e.getKey, e.getValue, defaultStrategy, processing.batchSize)
+      }
+    }.getOrElse(Nil)
+
+    Pipeline(
+      name = str(p, "name", "unnamed"),
+      description = str(p, "description", ""),
+      source = str(p, "source", "default"),
+      target = str(p, "target", "default"),
+      defaultStrategy = defaultStrategy,
+      processing = processing,
+      sink = sink,
+      tables = tables)
+  }
+
+  private def parseTable(name: String, n: JsonNode,
+                         defaultStrategy: CdcStrategyKind,
+                         pipelineBatch: Int): TableSpec = {
+    val strategy = opt(n, "cdc_strategy").map(s => CdcStrategyKind.fromName(s.asText))
+      .getOrElse(defaultStrategy)
+    // batch-size hierarchy: table.processing > pipeline > default
+    // (ref tests/unit/test_batch_size_hierarchy.py semantics)
+    val tableBatch = opt(n, "processing")
+      .flatMap(pn => opt(pn, "batch_size")).map(_.asInt).getOrElse(pipelineBatch)
+    val cdc = CdcConfig(
+      strategy = strategy,
+      timestampColumn = opt(n, "cdc_timestamp_column").map(_.asText),
+      idColumn = opt(n, "cdc_id_column").map(_.asText),
+      ordering = opt(n, "cdc_ordering").map(_.elements().asScala.map(_.asText).toSeq)
+        .getOrElse(Nil),
+      additionalWhere = opt(n, "additional_where").map(_.asText),
+      customSql = opt(n, "custom_sql").map(_.asText),
+      fullSyncMode = opt(n, "full_sync_mode").map(m => FullSyncMode.fromName(m.asText))
+        .getOrElse(FullSyncMode.Replace),
+      timestampIsUnixEpoch = opt(n, "timestamp_is_unix_epoch").exists(_.asBoolean),
+      batchSize = tableBatch,
+      maxRowsPerRun = opt(n, "max_rows_per_run").map(_.asLong))
+    TableSpec(name, cdc, opt(n, "target_name").map(_.asText))
+  }
+}

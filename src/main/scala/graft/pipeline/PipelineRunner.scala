@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import java.util.concurrent.{Executors, TimeUnit}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.extract.{ExtractResult, Extractor}
+import graft.load.{LoadResult, Loader}
+import graft.model._
+import graft.util.{Retry, SessionMetrics}
+import graft.watermark.WatermarkStore
+import scala.util.{Failure, Success, Try}
+
+/** Per-table outcome of one pipeline run (ref per-table summary,
+  * base.py:1446-1471). */
+final case class TableReport(table: TableId, ok: Boolean,
+                             extract: Option[ExtractResult],
+                             load: Option[LoadResult],
+                             error: Option[String],
+                             seconds: Double) {
+  def rows: Long = load.map(_.loadedRows).orElse(extract.map(_.rows)).getOrElse(0L)
+}
+
+final case class PipelineReport(pipeline: String, tables: Seq[TableReport],
+                                seconds: Double) {
+  def allOk: Boolean = tables.forall(_.ok)
+  def totalRows: Long = tables.map(_.rows).sum
+}
+
+/** Resolves a configured source name to per-table DataFrames. The default
+  * catalog reads `{root}/{table}.parquet` — the fixture layout; a JDBC
+  * catalog would plug in graft.sources.Sources the same way. */
+trait SourceCatalog {
+  def table(spark: SparkSession, name: String): DataFrame
+}
+
+final class ParquetCatalog(root: String) extends SourceCatalog {
+  def table(spark: SparkSession, name: String): DataFrame = {
+    val bare = name.split("\\.").last
+    if (bare == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$root/$bare.parquet")
+  }
+}
+
+/** Composes Extractor → Loader over a configured table set — the engine's
+  * analog of the reference's sequential runner + inter-table thread pool
+  * (src/backup/sequential.py, inter_table.py:38-175).
+  *
+  * Parallel mode maps the reference's ThreadPoolExecutor onto Spark's FAIR
+  * scheduler: each table runs extract→load on its own driver thread inside a
+  * scheduler pool, so N tables' jobs interleave on the cluster instead of
+  * convoying behind the largest table. At 100 TB this is the difference
+  * between "cluster saturated by one table's final skewed stage" and
+  * "smaller tables stream through alongside it".
+  */
+final class PipelineRunner(spark: SparkSession, workRoot: String,
+                           maxAttempts: Int = 3) {
+
+  private def prefixed(p: Pipeline, sub: String): String = {
+    val prefix = if (p.sink.isolationPrefix.nonEmpty)
+      p.sink.isolationPrefix.stripSuffix("/") + "/" else ""
+    s"$workRoot/$prefix$sub"
+  }
+
+  def rigFor(p: Pipeline): (WatermarkStore, Extractor, Loader) = {
+    val store = new WatermarkStore(prefixed(p, "watermarks"))
+    val extractor = new Extractor(store, prefixed(p, "staging"),
+      p.sink.partitionStrategy)
+    val loader = new Loader(store, prefixed(p, "warehouse"))
+    (store, extractor, loader)
+  }
+
+  def catalogFor(p: Pipeline): SourceCatalog = new ParquetCatalog(p.source)
+
+  /** Run the whole pipeline (extract+load per table). `tableFilter` narrows to
+    * one table (CLI `-t`). */
+  def sync(p: Pipeline, tableFilter: Option[String] = None,
+           catalog: Option[SourceCatalog] = None): PipelineReport = {
+    val cat = catalog.getOrElse(catalogFor(p))
+    val (_, extractor, loader) = rigFor(p)
+    val specs = p.tables.filter(t => tableFilter.forall(f =>
+      t.name == f || t.name.endsWith(s".$f")))
+    val t0 = System.nanoTime()
+
+    val reports: Seq[TableReport] =
+      if (p.processing.maxParallelTables > 1 && specs.size > 1)
+        runParallel(p, specs, cat, extractor, loader)
+      else
+        specs.map(runTable(p, _, cat, extractor, loader))
+
+    PipelineReport(p.name, reports, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def runTable(p: Pipeline, spec: TableSpec, cat: SourceCatalog,
+                       extractor: Extractor, loader: Loader): TableReport = {
+    val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+    val t0 = System.nanoTime()
+    Try {
+      val df = cat.table(spark, spec.name)
+      val ext = Retry.withBackoff(maxAttempts)(
+        extractor.extract(spark, id, df, spec.cdc))
+      val load = Retry.withBackoff(maxAttempts)(
+        loader.load(spark, id, extractor.stagingDir(id), spec.cdc))
+      (ext, load)
+    } match {
+      case Success((ext, load)) =>
+        TableReport(id, ok = true, Some(ext), Some(load), None,
+          (System.nanoTime() - t0) / 1e9)
+      case Failure(e) =>
+        TableReport(id, ok = false, None, None,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
+          (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  /** Inter-table parallelism (D2): driver threads + FAIR scheduler pools.
+    * Requires spark.scheduler.mode=FAIR for true pool fairness; with the
+    * default FIFO it still overlaps stages, just unweighted. */
+  private def runParallel(p: Pipeline, specs: Seq[TableSpec], cat: SourceCatalog,
+                          extractor: Extractor, loader: Loader): Seq[TableReport] = {
+    val pool = Executors.newFixedThreadPool(p.processing.maxParallelTables)
+    try {
+      val futures = specs.map { spec =>
+        pool.submit(new java.util.concurrent.Callable[TableReport] {
+          def call(): TableReport = {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+              s"graft-${spec.name}")
+            try runTable(p, spec, cat, extractor, loader)
+            finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          }
+        })
+      }
+      futures.map(_.get(p.processing.timeoutMinutes.toLong, TimeUnit.MINUTES))
+    } finally pool.shutdown()
+  }
+
+  /** Extract-only (CLI `backup`). */
+  def backup(p: Pipeline, tableFilter: Option[String] = None): PipelineReport = {
+    val cat = catalogFor(p)
+    val (_, extractor, _) = rigFor(p)
+    val specs = p.tables.filter(t => tableFilter.forall(f =>
+      t.name == f || t.name.endsWith(s".$f")))
+    val t0 = System.nanoTime()
+    val reports = specs.map { spec =>
+      val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+      val s0 = System.nanoTime()
+      Try(Retry.withBackoff(maxAttempts)(
+        extractor.extract(spark, id, cat.table(spark, spec.name), spec.cdc))) match {
+        case Success(ext) => TableReport(id, ok = true, Some(ext), None, None,
+          (System.nanoTime() - s0) / 1e9)
+        case Failure(e) => TableReport(id, ok = false, None, None,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
+          (System.nanoTime() - s0) / 1e9)
+      }
+    }
+    PipelineReport(p.name, reports, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Load-only (CLI `load`): picks up staged-but-unprocessed files. */
+  def loadOnly(p: Pipeline, tableFilter: Option[String] = None): PipelineReport = {
+    val (_, extractor, loader) = rigFor(p)
+    val specs = p.tables.filter(t => tableFilter.forall(f =>
+      t.name == f || t.name.endsWith(s".$f")))
+    val t0 = System.nanoTime()
+    val reports = specs.map { spec =>
+      val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+      val s0 = System.nanoTime()
+      Try(Retry.withBackoff(maxAttempts)(
+        loader.load(spark, id, extractor.stagingDir(id), spec.cdc))) match {
+        case Success(l) => TableReport(id, ok = true, None, Some(l), None,
+          (System.nanoTime() - s0) / 1e9)
+        case Failure(e) => TableReport(id, ok = false, None, None,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
+          (System.nanoTime() - s0) / 1e9)
+      }
+    }
+    PipelineReport(p.name, reports, (System.nanoTime() - t0) / 1e9)
+  }
+}

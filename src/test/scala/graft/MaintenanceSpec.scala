@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.load.Maintenance
+
+/** s3clean retention + newest-first trim (K7/O4). */
+class MaintenanceSpec extends AnyFunSuite with SparkTestBase {
+
+  private def mkFiles(dir: String, names: Seq[String]): Seq[java.io.File] =
+    names.zipWithIndex.map { case (n, i) =>
+      val f = new java.io.File(dir, n)
+      java.nio.file.Files.writeString(f.toPath, s"data$i")
+      // stagger mtimes: older files first
+      f.setLastModified(System.currentTimeMillis() - (names.size - i) * 60000L)
+      f
+    }
+
+  test("clean deletes files older than cutoff, keeps protected newest") {
+    val dir = tmpDir("clean")
+    mkFiles(dir, Seq("a.parquet", "b.parquet", "c.parquet", "d.parquet"))
+    // cutoff 2.5 minutes ago → a,b are older; keepNewest=0
+    val cutoff = System.currentTimeMillis() - 150000L
+    val dry = Maintenance.clean(dir, cutoff, dryRun = true)
+    assert(dry.deleted.map(f => f.split('/').last).sorted ==
+      Seq("a.parquet", "b.parquet"))
+    assert(new java.io.File(dir, "a.parquet").exists) // dry-run deletes nothing
+    val real = Maintenance.clean(dir, cutoff)
+    assert(real.deleted.size == 2 && real.bytesFreed > 0)
+    assert(!new java.io.File(dir, "a.parquet").exists)
+    assert(new java.io.File(dir, "c.parquet").exists)
+  }
+
+  test("keepNewest floor protects recent files regardless of age") {
+    val dir = tmpDir("keep")
+    mkFiles(dir, Seq("x.parquet", "y.parquet", "z.parquet"))
+    // everything is older than now, but keep the 2 newest
+    val report = Maintenance.clean(dir, System.currentTimeMillis(), keepNewest = 2)
+    assert(report.deleted.map(_.split('/').last) == Seq("x.parquet"))
+  }
+
+  test("newestFirst returns the most recent N") {
+    val dir = tmpDir("trim")
+    val files = mkFiles(dir, Seq("old1", "old2", "new1", "new2"))
+    val trimmed = Maintenance.newestFirst(files.map(_.getPath), 2)
+    assert(trimmed.map(_.split('/').last).toSet == Set("new1", "new2"))
+    // under the cap: unchanged
+    assert(Maintenance.newestFirst(files.map(_.getPath), 10).size == 4)
+  }
+}

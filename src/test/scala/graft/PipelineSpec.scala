@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.pipeline._
+
+/** Pipeline config parsing + end-to-end 3-table sync on fixtures
+  * (VERDICT round-1 item #6). */
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private val yaml =
+    s"""pipeline:
+       |  name: "fixtures_sync"
+       |  description: "3-table fixture pipeline"
+       |  source: "$sfDir"
+       |  target: "warehouse"
+       |  processing:
+       |    strategy: "sequential"
+       |    batch_size: 50000
+       |    max_parallel_tables: 1
+       |  s3:
+       |    isolation_prefix: "fx/"
+       |    partition_strategy: "table"
+       |  cdc_settings:
+       |    default_strategy: "full_sync"
+       |tables:
+       |  fx.orders:
+       |    cdc_strategy: "hybrid"
+       |    cdc_timestamp_column: "o_orderdate"
+       |    cdc_id_column: "o_orderkey"
+       |    processing:
+       |      batch_size: 100000
+       |  fx.events:
+       |    cdc_strategy: "id_only"
+       |    cdc_id_column: "event_id"
+       |  fx.region:
+       |    cdc_strategy: "full_sync"
+       |""".stripMargin
+
+  test("YAML parsing: pipeline block, table specs, batch-size hierarchy") {
+    val p = PipelineConfig.fromString(yaml)
+    assert(p.name == "fixtures_sync")
+    assert(p.processing.batchSize == 50000)
+    assert(p.sink.isolationPrefix == "fx/")
+    assert(p.defaultStrategy == CdcStrategyKind.FullSync)
+    assert(p.tables.size == 3)
+    val orders = p.tables.find(_.name == "fx.orders").get
+    assert(orders.cdc.strategy == CdcStrategyKind.Hybrid)
+    assert(orders.cdc.timestampColumn.contains("o_orderdate"))
+    assert(orders.cdc.batchSize == 100000)          // table override wins
+    val events = p.tables.find(_.name == "fx.events").get
+    assert(events.cdc.batchSize == 50000)           // pipeline default
+    assert(events.cdc.strategy == CdcStrategyKind.IdOnly)
+  }
+
+  test("env interpolation substitutes values and honors defaults") {
+    val y = "pipeline:\n  name: \"${GRAFT_TEST_NAME:fallback}\"\n  source: \"s\""
+    assert(PipelineConfig.fromString(y, Map.empty).name == "fallback")
+    assert(PipelineConfig.fromString(y, Map("GRAFT_TEST_NAME" -> "live")).name == "live")
+    val missing = "pipeline:\n  name: \"${GRAFT_NO_SUCH_VAR}\""
+    intercept[IllegalArgumentException](PipelineConfig.fromString(missing, Map.empty))
+  }
+
+  test("3-table sequential sync loads every table; counts match source") {
+    val p = PipelineConfig.fromString(yaml)
+    val work = tmpDir("pipe")
+    val runner = new PipelineRunner(spark, work)
+    val report = runner.sync(p)
+    assert(report.allOk, report.tables.flatMap(_.error).mkString(";"))
+    assert(report.tables.size == 3)
+    val (_, _, loader) = runner.rigFor(p)
+    val expect = Map(
+      "orders" -> spark.read.parquet(s"$sfDir/orders.parquet").count(),
+      "events" -> spark.read.parquet(s"$sfDir/events.parquet").count(),
+      "region" -> spark.read.parquet(s"$sfDir/region.parquet").count())
+    expect.foreach { case (t, n) =>
+      val id = p.tables.find(_.name == s"fx.$t").get
+        .tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+      assert(loader.readTarget(spark, id).get.count() == n, s"table $t")
+    }
+  }
+
+  test("incremental second sync picks up nothing new (cursor advanced)") {
+    val p = PipelineConfig.fromString(yaml)
+    val work = tmpDir("pipe2")
+    val runner = new PipelineRunner(spark, work)
+    assert(runner.sync(p).allOk)
+    val second = runner.sync(p, tableFilter = Some("events"))
+    assert(second.allOk)
+    assert(second.totalRows == 0) // id_only cursor: no new rows
+    // target row count unchanged (no duplicate append)
+    val (_, _, loader) = runner.rigFor(p)
+    val id = p.tables.find(_.name == "fx.events").get
+      .tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+    assert(loader.readTarget(spark, id).get.count() ==
+      spark.read.parquet(s"$sfDir/events.parquet").count())
+  }
+
+  test("parallel mode produces the same result as sequential") {
+    val p0 = PipelineConfig.fromString(yaml)
+    val p = p0.copy(processing = p0.processing.copy(maxParallelTables = 3))
+    val work = tmpDir("pipe3")
+    val runner = new PipelineRunner(spark, work)
+    val report = runner.sync(p)
+    assert(report.allOk, report.tables.flatMap(_.error).mkString(";"))
+    val (_, _, loader) = runner.rigFor(p)
+    val id = p.tables.find(_.name == "fx.orders").get
+      .tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+    assert(loader.readTarget(spark, id).get.count() ==
+      spark.read.parquet(s"$sfDir/orders.parquet").count())
+  }
+
+  test("failed table is reported, others still succeed") {
+    val y = yaml.replace("cdc_id_column: \"event_id\"",
+      "cdc_id_column: \"no_such_column\"")
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("pipe4"), maxAttempts = 1)
+    val report = runner.sync(p)
+    assert(!report.allOk)
+    assert(report.tables.count(_.ok) == 2)
+    assert(report.tables.find(t => !t.ok).get.error.isDefined)
+  }
+}
