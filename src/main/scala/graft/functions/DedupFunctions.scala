@@ -42,10 +42,16 @@ object DedupFunctions {
   // Shingles + MinHash
   // --------------------------------------------------------------------------
 
-  /** Word n-gram shingle set (distinct) of a text column. Built from
-    * higher-order array functions — no UDF, no explode of the corpus. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(TextFunctions.normalizedText(text))
+  /** Word n-gram shingle set (distinct) from an ALREADY-MATERIALIZED token
+    * array column. Built from higher-order array functions — no UDF, no
+    * explode of the corpus.
+    *
+    * `toks` must be a bound column (not an inline expression): it is
+    * referenced inside the per-gram lambda, and common-subexpression
+    * elimination does not reach into higher-order-function lambdas — an
+    * inline tokenizer would re-run its regex chain once PER GRAM (measured
+    * ~18s for 5k tiny docs at sf0.1; ~1s staged). */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     // slide a window of n over the token array
     val grams = transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
@@ -53,17 +59,29 @@ object DedupFunctions {
     array_distinct(when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** k MinHash signature values: minhash_j = min over shingles of
-    * h_j(shingle), with h_j = avalanche(rolling_hash(shingle) xor seed_j).
-    * Returns array<long> of length k. One projection, no shuffle. */
-  def minhashSignature(shingleCol: Column, k: Int): Column = {
+  /** Word n-gram shingle set of a text column. Convenience form — for hot
+    * paths, stage `TextFunctions.tokens` in its own select and call
+    * [[shinglesFromTokens]] (see scaladoc there). Tokenizing already
+    * lowercases and splits on non-alphanumerics, so a separate
+    * normalization pass would be redundant. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(TextFunctions.tokens(text), n)
+
+  /** k MinHash signature values from PRE-HASHED shingles: each shingle string
+    * is hashed once (`xxhash64`) upstream; the j-th permutation re-mixes the
+    * 8-byte value with seed j — k cheap long-hashes instead of k string-hashes
+    * per shingle. Returns array<long> of length k. */
+  def minhashSignatureFromHashes(hashedShingles: Column, k: Int): Column = {
     val sigs = (0 until k).map { j =>
       val seed = SimHash64.tokenHash(s"minhash-seed-$j".getBytes)
-      array_min(transform(shingleCol,
-        s => xxhash64(s, lit(seed))))
+      array_min(transform(hashedShingles, h => xxhash64(h, lit(seed))))
     }
     array(sigs: _*)
   }
+
+  /** k MinHash signature values of a shingle-set column (strings). */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    minhashSignatureFromHashes(transform(shingleCol, s => xxhash64(s)), k)
 
   /** LSH banding: split a k-length signature into b bands of r = k/b values;
     * band bucket key = hash(band values). Docs sharing ANY band bucket are
@@ -90,11 +108,21 @@ object DedupFunctions {
     // Only (doc_id, band, bucket) rides the wide exchange — the shingle sets
     // (roughly document-sized) are joined back AFTER the candidate-id set is
     // deduped, so the ×bands explode + distinct never carry text payloads.
+    //
+    // STAGED projections matter here: `hs` (string-hash per shingle) is
+    // referenced k times by the signature, and `sig` is referenced k times by
+    // the band keys. Kept in separate selects, CollapseProject leaves them
+    // un-inlined (non-cheap exprs used >1×), so each is computed ONCE per row
+    // — inlining them would recompute the string hashes k× (measured 30×
+    // slower end-to-end at sf0.1).
     val bucketed = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol), shingleN).as("sh"))
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .select(col("doc_id"), minhashSignatureFromHashes(col("hs"), k).as("sig"))
       .select(col("doc_id"),
-        posexplode(bandKeys(minhashSignature(col("sh"), k), bands, rowsPerBand))
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bucket")))
 
     // cap degenerate buckets (e.g. empty/boilerplate docs all colliding):
@@ -129,8 +157,7 @@ object DedupFunctions {
   /** 64-bit SimHash signature per doc (custom codegen'd expression). */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      simhash64(TextFunctions.tokens(TextFunctions.normalizedText(col(textCol))))
-        .as("simhash"))
+      simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming` bits, via banded lookup:
     * split 64 bits into (maxHamming+1) bands — by pigeonhole, any pair within
@@ -168,7 +195,9 @@ object DedupFunctions {
     * primitive — feed it LSH candidates, not the full corpus). */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
                    textCol: String, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("jid"), shingles(col(textCol), n).as("jsh"))
+    val sh = docs
+      .select(col(idCol).as("jid"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("jid"), shinglesFromTokens(col("toks"), n).as("jsh"))
     pairs
       .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("jsh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("jsh", "sh_b"), "id_b")
