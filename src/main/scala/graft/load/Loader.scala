@@ -3,6 +3,7 @@ package graft.load
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model._
+import graft.sources.{ColumnMapStore, EvolutionPolicy, SchemaEvolution}
 import graft.util.{ParquetFooters, SessionMetrics}
 import graft.watermark.WatermarkStore
 
@@ -33,7 +34,9 @@ final case class LoadResult(table: TableId, files: Long, loadedRows: Long,
   */
 final class Loader(store: WatermarkStore, warehouseRoot: String,
                    commitBatchFiles: Int = 64,
-                   maxFilesPerLoad: Option[Int] = None) {
+                   maxFilesPerLoad: Option[Int] = None,
+                   evolutionPolicy: EvolutionPolicy = EvolutionPolicy.AdditiveOnly,
+                   normalizeColumns: Boolean = false) {
 
   def targetPath(id: TableId): String = s"$warehouseRoot/${id.safeName}"
 
@@ -90,9 +93,22 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
           .getFileSystem(conf)
         fs.delete(new org.apache.hadoop.fs.Path(target), true)
       } else {
+        // schema-evolution gate (S7): staged batches meet the existing target
+        // schema under the configured policy; the reference's alert/halt path
+        // becomes SchemaDriftException. Computed once per session.
+        val targetSchema =
+          if (doTruncate) None else readTarget(spark, id).map(_.schema)
         var first = true
         valid.grouped(math.max(1, commitBatchFiles)).foreach { group =>
-          val staged = spark.read.parquet(group: _*)
+          val raw = spark.read.parquet(group: _*)
+          // P5: column-name normalization with the rename map PERSISTED next
+          // to the target (ref column_mapper.py:57-84)
+          val renamed = if (normalizeColumns) {
+            val (_, mapping) = TypeMapper.normalizeColumnNames(raw.columns.toSeq)
+            if (mapping.nonEmpty) ColumnMapStore.save(target, mapping, conf)
+            ColumnMapStore.apply(raw, mapping)
+          } else raw
+          val staged = SchemaEvolution(renamed, targetSchema, evolutionPolicy)
           val mode = if (doTruncate && first) SaveMode.Overwrite else SaveMode.Append
           staged.write.mode(mode).option("compression", "snappy").parquet(target)
           first = false
@@ -117,11 +133,15 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     }
   }
 
-  /** Read the warehouse table (empty DataFrame if never loaded). */
+  /** Read the warehouse table (empty DataFrame if never loaded). mergeSchema
+    * so additively-evolved tables surface the union schema (old files read
+    * NULL for new columns). */
   def readTarget(spark: SparkSession, id: TableId): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(targetPath(id))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(targetPath(id))) else None
+    if (fs.exists(p))
+      Some(spark.read.option("mergeSchema", "true").parquet(targetPath(id)))
+    else None
   }
 
   private def listParquetFiles(spark: SparkSession, dir: String): Seq[String] = {

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+import graft.operators.Relational
+import scala.collection.concurrent.TrieMap
+
+/** Schema-discovery cache with TTL (S7, ref flexible_schema_manager.py:32-38,
+  * 606-621: per-table schema cache so repeated syncs don't re-hit
+  * INFORMATION_SCHEMA). Driver-side, thread-safe (inter-table parallel mode
+  * shares one cache). */
+final class SchemaCache(ttlMs: Long = 3600 * 1000L,
+                        clock: () => Long = () => System.currentTimeMillis()) {
+  private final case class Entry(schema: StructType, fetchedAt: Long)
+  private val cache = TrieMap.empty[String, Entry]
+
+  /** Cached schema for `key`, refreshed via `fetch` when absent or expired. */
+  def get(key: String)(fetch: => StructType): StructType = {
+    val now = clock()
+    cache.get(key) match {
+      case Some(e) if now - e.fetchedAt < ttlMs => e.schema
+      case _ =>
+        val s = fetch
+        cache.put(key, Entry(s, now))
+        s
+    }
+  }
+
+  def invalidate(key: String): Unit = cache.remove(key)
+  def size: Int = cache.size
+}
+
+/** Schema-evolution policy for the load path (ref schema_migration.py:30-140:
+  * additive columns merge in, destructive drift alerts/halts). */
+sealed trait EvolutionPolicy
+object EvolutionPolicy {
+  /** New source columns are added to the target schema (NULL for old rows —
+    * parquet union semantics); removed/retyped columns still fail. */
+  case object AdditiveOnly extends EvolutionPolicy
+  /** Any drift fails the session. */
+  case object Strict extends EvolutionPolicy
+  /** Staged data is forced into the existing target schema (extra columns
+    * dropped, missing ones NULL) — the reference's alignment fallback. */
+  case object AlignToTarget extends EvolutionPolicy
+}
+
+final case class SchemaDriftException(diff: Relational.SchemaDiff)
+    extends RuntimeException(
+      s"schema drift: added=${diff.added.map(_.name).mkString(",")} " +
+        s"removed=${diff.removed.map(_.name).mkString(",")} " +
+        s"changed=${diff.changed.map(_._1.name).mkString(",")}")
+
+object SchemaEvolution {
+
+  /** Decide how a staged batch meets an existing target schema. Returns the
+    * (possibly reshaped) staged DataFrame to write.
+    *
+    *  - no target yet → staged as-is (first load defines the schema)
+    *  - identical → as-is
+    *  - AdditiveOnly → new columns kept (target readers see NULLs for old
+    *    files via mergeSchema); removed/retyped → SchemaDriftException
+    *  - Strict → any diff → SchemaDriftException
+    *  - AlignToTarget → project staged into the target schema
+    */
+  def apply(staged: DataFrame, targetSchema: Option[StructType],
+            policy: EvolutionPolicy): DataFrame = targetSchema match {
+    case None => staged
+    case Some(t) =>
+      val diff = Relational.diffSchemas(t, staged.schema)
+      if (diff.added.isEmpty && diff.removed.isEmpty && diff.changed.isEmpty) staged
+      else policy match {
+        case EvolutionPolicy.Strict => throw SchemaDriftException(diff)
+        case EvolutionPolicy.AdditiveOnly =>
+          if (diff.removed.nonEmpty || diff.changed.nonEmpty)
+            throw SchemaDriftException(diff)
+          staged // additive: parquet mergeSchema handles the union on read
+        case EvolutionPolicy.AlignToTarget =>
+          Relational.alignToSchema(staged, t)
+      }
+  }
+}
+
+/** Column-name mapping persistence (P5, ref column_mapper.py:57-84: the
+  * normalize rename map is SAVED next to the target so reads/writes apply it
+  * consistently across sessions). Stored as `_column_mapping.json` inside the
+  * warehouse table directory — survives alongside the data it describes. */
+object ColumnMapStore {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.Path
+  import java.nio.charset.StandardCharsets
+
+  private def path(tableDir: String) = new Path(tableDir, "_column_mapping.json")
+
+  def save(tableDir: String, mapping: Map[String, String],
+           conf: Configuration): Unit = {
+    if (mapping.isEmpty) return
+    val p = path(tableDir)
+    val fs = p.getFileSystem(conf)
+    val json = mapping.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${k.replace("\"", "\\\"")}": "$v"""" }
+      .mkString("{", ", ", "}")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def load(tableDir: String, conf: Configuration): Map[String, String] = {
+    val p = path(tableDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+    "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(json)
+      .map(m => m.group(1).replace("\\\"", "\"") -> m.group(2)).toMap
+  }
+
+  /** Apply a rename map to a DataFrame (original → normalized). */
+  def apply(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    df.select(df.columns.map(c =>
+      col(c).as(mapping.getOrElse(c, c))).toIndexedSeq: _*)
+}
