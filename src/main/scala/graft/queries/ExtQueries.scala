@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingPipeline
+
+/** Driver queries for the multimodal and Structured Streaming surfaces. */
+object ExtQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------- multimodal metadata
+    // byte_len is the real (oracle-checkable) part of the stubbed decode
+    // path: utf-8 payload length through the binary column + mapPartitions
+    // batch plumbing. The pseudo-decode fields ride along in the rows-only
+    // q_mm_frame_sample below.
+    Q("q_mm_metadata",
+      (s, dir) => Multimodal.extractMetadata(s, Tables.df(s, dir, "documents"))
+        .toDF().select(col("doc_id"), col("byte_len")),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len
+             |FROM documents""".stripMargin)),
+
+    // ------------------------------------- multimodal frame-sample (rows-only:
+    // frame counts come from the deterministic decode STUB, which DuckDB
+    // cannot reproduce; the plumbing invariants live in MultimodalSpec)
+    Q("q_mm_frame_sample",
+      (s, dir) => Multimodal.frameSamplePlan(
+        Multimodal.extractMetadata(s, Tables.df(s, dir, "documents")),
+        stride = 30),
+      None),
+
+    // --------------------------------------------- streaming hourly rollup
+    // A REAL readStream→window agg→writeStream pass (AvailableNow, memory
+    // sink, checkpointed) whose final table is checked against plain SQL.
+    Q("q_stream_hourly_rollup",
+      (s, dir) => {
+        Tables.df(s, dir, "events") // ensures nanosAsLong is set first
+        val name = s"rollup_${System.nanoTime()}"
+        StreamingPipeline.hourlyEventRollup(s, s"$dir/events.parquet",
+          Tables.scratchDir("ckpt"), name)
+      },
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+             |  event_type, COUNT(*) AS n_events,
+             |  SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin))
+  )
+}

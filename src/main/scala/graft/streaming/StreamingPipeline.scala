@@ -21,9 +21,21 @@ object StreamingPipeline {
   def hourlyEventRollup(spark: SparkSession, eventsPath: String,
                         checkpointDir: String, queryName: String): DataFrame = {
     val batchSchema = spark.read.parquet(eventsPath).schema
+    // The file-stream source monitors DIRECTORIES. A single-file input (the
+    // fixture layout) is staged as a symlink inside a scratch dir so the
+    // stream still reads the original bytes in place.
+    val streamDir = {
+      val f = new java.io.File(eventsPath)
+      if (f.isFile) {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(f.getName), f.toPath)
+        d.toString
+      } else eventsPath
+    }
     val stream = spark.readStream
       .schema(batchSchema)
-      .parquet(eventsPath)
+      .parquet(streamDir)
       .withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
 
     val agg = stream

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingPipeline
+
+/** Multimodal plumbing invariants (the decode itself is a documented stub)
+  * and the Structured Streaming rollup path. */
+class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("extractMetadata is deterministic and covers every row") {
+    val a = Multimodal.extractMetadata(spark, docs).collect()
+      .map(m => m.doc_id -> m).toMap
+    val b = Multimodal.extractMetadata(spark, docs).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(a == b)                               // stub decode is deterministic
+    assert(a.size == docs.count())
+    a.values.foreach { m =>
+      assert(m.byte_len > 0)
+      assert(Set("image", "audio", "video")(m.media_type))
+      assert(m.width > 0 && m.height > 0 && m.n_frames >= 1)
+    }
+  }
+
+  test("byte_len matches the utf-8 payload length") {
+    val expected = docs.select(col("doc_id"),
+      octet_length(col("text").cast("binary")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val got = Multimodal.extractMetadata(spark, docs).collect()
+      .map(m => m.doc_id -> m.byte_len).toMap
+    assert(got == expected)
+  }
+
+  test("frameSamplePlan emits stride-spaced indices only for videos") {
+    val meta = Multimodal.extractMetadata(spark, docs)
+    val frames = Multimodal.frameSamplePlan(meta, stride = 30).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val videos = meta.collect().filter(_.media_type == "video")
+      .map(m => m.doc_id -> m.n_frames).toMap
+    assert(frames.map(_._1).toSet == videos.keySet)
+    frames.groupBy(_._1).foreach { case (id, fs) =>
+      val idxs = fs.map(_._2).sorted.toSeq
+      assert(idxs == (0 until videos(id) by 30))
+    }
+  }
+
+  test("repartitionBySize balances without losing rows") {
+    val out = Multimodal.repartitionBySize(docs, targetBytesPerPartition = 20000)
+    assert(out.count() == docs.count())
+    assert(out.rdd.getNumPartitions >= 1)
+  }
+
+  test("streaming hourly rollup equals the batch aggregation") {
+    val name = s"test_rollup_${System.nanoTime()}"
+    val streamed = StreamingPipeline.hourlyEventRollup(spark,
+      s"$sfDir/events.parquet", tmpDir("ckpt"), name)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDecimal(3))).toMap
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .select(unix_timestamp(col("window.start")).as("hs"), col("event_type"),
+        col("n"), col("sv"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDecimal(3))).toMap
+    assert(streamed == batch)
+  }
+}
