@@ -21,11 +21,15 @@ final case class SinkSettings(
     compression: String = "snappy")
 
 /** One configured table: scoped name + CDC config + optional rename
-  * (YAML `tables.<schema.table>`; ref TableConfig, configuration_manager.py:23-43). */
+  * (YAML `tables.<schema.table>`; ref TableConfig, configuration_manager.py:23-43).
+  * `tableType` drives DAG-style phase ordering (D7, ref
+  * airflow_poc/dags/prod_to_dw_mysql_sync_hourly.py:385-604: dimension tables
+  * full-sync BEFORE fact tables so fact-side joins never see stale dims). */
 final case class TableSpec(
     name: String,                              // schema.table
     cdc: CdcConfig,
-    targetName: Option[String] = None) {
+    targetName: Option[String] = None,
+    tableType: TableType = TableType.Fact) {
   def tableId(connection: String): TableId = {
     val id = TableId.parse(s"$connection:$name")
     targetName.map(t => id.copy(table = t)).getOrElse(id)
@@ -139,6 +143,10 @@ object PipelineConfig {
       timestampIsUnixEpoch = opt(n, "timestamp_is_unix_epoch").exists(_.asBoolean),
       batchSize = tableBatch,
       maxRowsPerRun = opt(n, "max_rows_per_run").map(_.asLong))
-    TableSpec(name, cdc, opt(n, "target_name").map(_.asText))
+    val ttype = opt(n, "table_type").map(_.asText) match {
+      case Some("dimension") => TableType.Dimension
+      case _ => TableType.Fact
+    }
+    TableSpec(name, cdc, opt(n, "target_name").map(_.asText), ttype)
   }
 }

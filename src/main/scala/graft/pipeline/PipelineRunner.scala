@@ -81,11 +81,16 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
       t.name == f || t.name.endsWith(s".$f")))
     val t0 = System.nanoTime()
 
-    val reports: Seq[TableReport] =
-      if (p.processing.maxParallelTables > 1 && specs.size > 1)
-        runParallel(p, specs, cat, extractor, loader)
+    // DAG-style phase ordering (D7): dimensions complete before facts start,
+    // so a fact increment never joins against a stale dimension snapshot.
+    // Within each phase, parallel mode applies.
+    val (dims, facts) = specs.partition(_.tableType == TableType.Dimension)
+    def runPhase(phase: Seq[TableSpec]): Seq[TableReport] =
+      if (p.processing.maxParallelTables > 1 && phase.size > 1)
+        runParallel(p, phase, cat, extractor, loader)
       else
-        specs.map(runTable(p, _, cat, extractor, loader))
+        phase.map(runTable(p, _, cat, extractor, loader))
+    val reports = runPhase(dims) ++ runPhase(facts)
 
     PipelineReport(p.name, reports, (System.nanoTime() - t0) / 1e9)
   }

@@ -111,6 +111,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       spark.read.parquet(s"$sfDir/orders.parquet").count())
   }
 
+  test("dimension tables run before fact tables (DAG phase ordering)") {
+    val y = yaml
+      .replace("  fx.region:\n    cdc_strategy: \"full_sync\"",
+        "  fx.region:\n    cdc_strategy: \"full_sync\"\n    table_type: \"dimension\"")
+    val p = PipelineConfig.fromString(y)
+    assert(p.tables.find(_.name == "fx.region").get.tableType ==
+      graft.model.TableType.Dimension)
+    val runner = new PipelineRunner(spark, tmpDir("pipe5"))
+    val report = runner.sync(p)
+    assert(report.allOk)
+    // region (the only dimension) must be the FIRST report row
+    assert(report.tables.head.table.table == "region")
+  }
+
   test("failed table is reported, others still succeed") {
     val y = yaml.replace("cdc_id_column: \"event_id\"",
       "cdc_id_column: \"no_such_column\"")
