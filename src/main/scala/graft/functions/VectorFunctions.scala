@@ -144,6 +144,88 @@ object VectorFunctions {
         col("cosine"))
   }
 
+  // --------------------------------------------------------------------------
+  // Embedding-cosine near-duplicate pairs
+  // --------------------------------------------------------------------------
+
+  /** EXACT cosine near-dup pairs (id_a < id_b, cosine >= threshold) via a
+    * blocked self-join. O(n²) dot products — the verification baseline and
+    * the oracle-checkable form. For the corpus-scale path use
+    * [[cosineNearDuplicatesLsh]]. Normalized vectors are staged ONCE per side
+    * so the inner loop is a single dot product. */
+  def cosineNearDuplicates(corpus: DataFrame, threshold: Double,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val normed = corpus
+      .select(col(idCol), transform(col(vecCol),
+        x => x.cast("double")).as("__v"))
+      .select(col(idCol), col("__v"), norm(col("__v")).as("__n"))
+      .select(col(idCol),
+        zip_with(col("__v"), array_repeat(col("__n"), size(col("__v"))),
+          (x, n) => x / n).as("__u"))
+    val a = normed.select(col(idCol).as("id_a"), col("__u").as("__ua"))
+    val b = normed.select(col(idCol).as("id_b"), col("__u").as("__ub"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("__ua"), col("__ub")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Scale path: random-hyperplane LSH (Charikar 2002). Each vector gets a
+    * `bands × rowsPerBand`-bit signature (sign of dot with deterministic
+    * pseudo-random planes); vectors sharing ANY band's bit-pattern become
+    * candidates; exact cosine verifies. Only (id, band, bucket) rides the
+    * wide exchange — the same payload discipline as the MinHash pipeline.
+    * Detection prob for cosine s: 1-(1-p^r)^b with p = 1 - arccos(s)/π. */
+  def cosineNearDuplicatesLsh(corpus: DataFrame, threshold: Double,
+                              bands: Int = 8, rowsPerBand: Int = 4,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              maxBucketSize: Int = 10000): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val rng = new scala.util.Random(42)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(bands * rowsPerBand)(Seq.fill(dim)(rng.nextGaussian()))
+
+    // one literal array<array<double>> of planes; per-row sig = sign bit per
+    // plane (single transform over the literal — one dot per plane per row)
+    val planesLit = typedlit(planes)
+    val sigBits = transform(planesLit,
+      plane => when(dot(col(vecCol), plane) > 0, 1L).otherwise(0L))
+
+    val banded = corpus
+      .select(col(idCol).as("doc_id"), col(vecCol))
+      .select(col("doc_id"), sigBits.as("bits"))
+      .select(col("doc_id"), posexplode(
+        array((0 until bands).map { bIdx =>
+          // pack this band's rowsPerBand bits into one long
+          (0 until rowsPerBand).map(r =>
+            element_at(col("bits"), bIdx * rowsPerBand + r + 1) *
+              lit(1L << r)).reduce(_ + _)
+        }: _*)).as(Seq("band", "bucket")))
+
+    val counted = banded.withColumn("bucket_n",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"), col("doc_id"))
+
+    val a2 = counted.withColumnRenamed("doc_id", "id_a")
+    val b2 = counted.withColumnRenamed("doc_id", "id_b")
+    val candidates = a2.join(b2, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    // exact cosine verification on the candidate set only
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   private implicit class ListOps[T](l: List[T]) {
     def asJava: java.util.List[T] = {
       val out = new java.util.ArrayList[T](l.size)

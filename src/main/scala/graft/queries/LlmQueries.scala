@@ -136,6 +136,26 @@ object LlmQueries {
              |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
              |FROM scored WHERE rank <= 10""".stripMargin)),
 
+    // -------------------------------------------- embedding-cosine near-dup
+    // Exact blocked self-join form — oracle-checkable. The corpus-scale
+    // LSH-bucketed variant is q_ann_cosine_neardup_lsh (rows-only) below.
+    Q("q_ann_cosine_neardup",
+      (s, dir) => VectorFunctions.cosineNearDuplicates(
+        Tables.df(s, dir, "embeddings"), threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos4")),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+             |                               b.embedding::DOUBLE[]), 4) AS cos4
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+             |                             b.embedding::DOUBLE[]) >= 0.5"""
+        .stripMargin)),
+
+    Q("q_ann_cosine_neardup_lsh",
+      (s, dir) => VectorFunctions.cosineNearDuplicatesLsh(
+        Tables.df(s, dir, "embeddings"), threshold = 0.5),
+      None),
+
     // ------------------------------------------------------ IVF ANN (rows-only:
     // approximate by construction; recall vs brute force asserted in VectorSpec)
     Q("q_ann_ivf_topk",

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.exprs._
+import graft.functions.{RollingHash, SimHash64}
+
+/** Custom Catalyst expressions: codegen path must agree with the interpreted
+  * path and with the reference Scala implementations. */
+class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def withCodegen[T](enabled: Boolean)(f: => T): T = {
+    val key = "spark.sql.codegen.wholeStage"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, enabled.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
+  private def docsDf = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the quick brown fox"),
+      (2L, ""),
+      (3L, "汉字 mixed ünïcode text"),
+      (4L, "a"),
+      (5L, "the quick brown fox")  // dup of 1
+    ).toDF("id", "text")
+  }
+
+  test("rolling_hash: codegen == interpreted == direct Scala") {
+    def run(codegen: Boolean) = withCodegen(codegen) {
+      docsDf.select(col("id"), rolling_hash(col("text")).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val cg = run(true)
+    val interp = run(false)
+    assert(cg == interp)
+    val direct = docsDf.collect().map(r =>
+      r.getLong(0) -> RollingHash.hashBytes(
+        r.getString(1).getBytes("UTF-8"))).toMap
+    assert(cg == direct)
+    assert(cg(1L) == cg(5L))          // identical text → identical hash
+    assert(cg(2L) == 0L)              // empty string → 0 accumulator
+  }
+
+  test("simhash64: codegen == interpreted; identical token arrays collide") {
+    def run(codegen: Boolean) = withCodegen(codegen) {
+      docsDf.select(col("id"),
+        simhash64(split(col("text"), " ")).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val cg = run(true)
+    assert(cg == run(false))
+    assert(cg(1L) == cg(5L))
+  }
+
+  test("hamming64 equals bit-count of xor") {
+    val s = spark; import s.implicits._
+    val df = Seq((0x0FL, 0x00L), (0xFFL, 0xFFL), (-1L, 0L)).toDF("a", "b")
+    val got = df.select(hamming64(col("a"), col("b"))).collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(4, 0, 64))
+    assert(SimHash64.hamming(0x0FL, 0x00L) == 4)
+  }
+
+  test("near-identical token sets differ in few simhash bits") {
+    val s = spark; import s.implicits._
+    val base = (1 to 60).map(i => s"token$i")
+    val mutated = base.updated(5, "changed")
+    val df = Seq((1L, base), (2L, mutated)).toDF("id", "toks")
+    val hs = df.select(col("id"), simhash64(col("toks")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(SimHash64.hamming(hs(1L), hs(2L)) <= 12) // small edit → few bits
+    assert(hs(1L) != hs(2L))
+  }
+}

@@ -43,6 +43,33 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.9, s"IVF recall@10 = $recall")
   }
 
+  test("cosine near-dup: LSH finds the pairs the exact join finds") {
+    // synthetic clustered corpus: 40 bases, 3 noisy copies each — near-dup
+    // pairs exist by construction (the fixture embeddings are near-uniform)
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 40).flatMap { base =>
+      val v = Array.fill(32)(rng.nextGaussian().toFloat)
+      (0 until 3).map { c =>
+        val noisy = v.map(x => x + 0.05f * rng.nextGaussian().toFloat)
+        (base * 3L + c, noisy.toSeq)
+      }
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val exact = VectorFunctions.cosineNearDuplicates(corpus, 0.95)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val lsh = VectorFunctions.cosineNearDuplicatesLsh(corpus, 0.95)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verifies with exact cosine, so no false positives...
+    assert(lsh.subsetOf(exact))
+    // ...and banded hyperplanes catch essentially all true pairs
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH near-dup recall = $recall")
+  }
+
   test("IVF assigns every corpus vector to exactly one centroid") {
     val idx = VectorFunctions.buildIvf(emb, nlist = 8)
     val n = emb.count()
