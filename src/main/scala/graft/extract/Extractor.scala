@@ -28,7 +28,7 @@ final case class ExtractResult(table: TableId, rows: Long, files: Long,
   * Hive-style layout (s3_manager.py:129-223), which is exactly Spark partition
   * pruning's native format.
   */
-final class Extractor(store: WatermarkStore, stagingRoot: String,
+final class Extractor(val store: WatermarkStore, stagingRoot: String,
                       partitionStrategy: PartitionStrategy = PartitionStrategy.ByTable,
                       targetFileRows: Long = 5000000) {
 

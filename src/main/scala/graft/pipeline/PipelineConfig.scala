@@ -29,7 +29,8 @@ final case class TableSpec(
     name: String,                              // schema.table
     cdc: CdcConfig,
     targetName: Option[String] = None,
-    tableType: TableType = TableType.Fact) {
+    tableType: TableType = TableType.Fact,
+    countCheck: Boolean = false) {             // post-load parity gate (D7)
   def tableId(connection: String): TableId = {
     val id = TableId.parse(s"$connection:$name")
     targetName.map(t => id.copy(table = t)).getOrElse(id)
@@ -147,6 +148,8 @@ object PipelineConfig {
       case Some("dimension") => TableType.Dimension
       case _ => TableType.Fact
     }
-    TableSpec(name, cdc, opt(n, "target_name").map(_.asText), ttype)
+    val countCheck = opt(n, "validation")
+      .flatMap(v => opt(v, "enable_count_check")).exists(_.asBoolean)
+    TableSpec(name, cdc, opt(n, "target_name").map(_.asText), ttype, countCheck)
   }
 }

@@ -15,7 +15,8 @@ final case class TableReport(table: TableId, ok: Boolean,
                              extract: Option[ExtractResult],
                              load: Option[LoadResult],
                              error: Option[String],
-                             seconds: Double) {
+                             seconds: Double,
+                             parityOk: Option[Boolean] = None) {
   def rows: Long = load.map(_.loadedRows).orElse(extract.map(_.rows)).getOrElse(0L)
 }
 
@@ -105,11 +106,23 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
         extractor.extract(spark, id, df, spec.cdc))
       val load = Retry.withBackoff(maxAttempts)(
         loader.load(spark, id, extractor.stagingDir(id), spec.cdc))
-      (ext, load)
+      // D7 count-parity quality gate (ref DAG quality gate,
+      // prod_to_dw_mysql_sync_hourly.py:754): warehouse row count must equal
+      // the watermark's cumulative loaded rows. Only meaningful for
+      // append-style loads (replace resets the target but not the counter).
+      val parity: Option[Boolean] =
+        if (spec.countCheck && !spec.cdc.requiresTruncateBeforeLoad) {
+          val targetRows = loader.readTarget(spark, id).map(_.count()).getOrElse(0L)
+          val wmRows = extractor.store.get(id.scoped)
+            .map(_.redshift_state.total_rows).getOrElse(0L)
+          Some(targetRows == wmRows)
+        } else None
+      (ext, load, parity)
     } match {
-      case Success((ext, load)) =>
-        TableReport(id, ok = true, Some(ext), Some(load), None,
-          (System.nanoTime() - t0) / 1e9)
+      case Success((ext, load, parity)) =>
+        TableReport(id, ok = parity.forall(identity), Some(ext), Some(load),
+          if (parity.contains(false)) Some("count parity check failed") else None,
+          (System.nanoTime() - t0) / 1e9, parity)
       case Failure(e) =>
         TableReport(id, ok = false, None, None,
           Some(Option(e.getMessage).getOrElse(e.getClass.getName)),

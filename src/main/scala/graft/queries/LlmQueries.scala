@@ -163,7 +163,7 @@ object LlmQueries {
         val emb = Tables.df(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding"))
-        val idx = VectorFunctions.buildIvf(emb, nlist = 16)
+        val idx = VectorFunctions.buildIvf(emb, nlist = 16, maxIter = 5)
         VectorFunctions.ivfTopK(idx, queries, k = 10, nprobe = 4)
       },
       None)

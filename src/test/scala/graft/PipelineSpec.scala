@@ -125,6 +125,19 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(report.tables.head.table.table == "region")
   }
 
+  test("count-parity gate passes on a clean sync and is reported") {
+    val y = yaml.replace(
+      "  fx.events:\n    cdc_strategy: \"id_only\"\n    cdc_id_column: \"event_id\"",
+      "  fx.events:\n    cdc_strategy: \"id_only\"\n    cdc_id_column: \"event_id\"\n" +
+        "    validation:\n      enable_count_check: true")
+    val p = PipelineConfig.fromString(y)
+    assert(p.tables.find(_.name == "fx.events").get.countCheck)
+    val runner = new PipelineRunner(spark, tmpDir("pipe6"))
+    val report = runner.sync(p, tableFilter = Some("events"))
+    assert(report.allOk)
+    assert(report.tables.head.parityOk.contains(true))
+  }
+
   test("failed table is reported, others still succeed") {
     val y = yaml.replace("cdc_id_column: \"event_id\"",
       "cdc_id_column: \"no_such_column\"")
