@@ -2,12 +2,28 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
+import graft.operators.Skew
 import graft.streaming.StreamingPipeline
 
-/** Driver queries for the multimodal and Structured Streaming surfaces. */
+/** Driver queries for the multimodal, streaming, and skew-mitigation
+  * surfaces. */
 object ExtQueries {
 
   val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------- salted skew join
+    // The salted plan must be ROW-IDENTICAL to the plain join — so the oracle
+    // is simply the unsalted SQL join.
+    Q("q_join_salted",
+      (s, dir) => Skew.saltedJoin(
+        Tables.df(s, dir, "orders"),
+        Tables.df(s, dir, "customer")
+          .withColumnRenamed("c_custkey", "o_custkey")
+          .select(col("o_custkey"), col("c_name")),
+        keys = Seq("o_custkey"), saltFactor = 8)
+        .select(col("o_orderkey"), col("c_name")),
+      Some("""SELECT o_orderkey, c_name FROM orders
+             |JOIN customer ON o_custkey = c_custkey""".stripMargin)),
 
     // ------------------------------------------------- multimodal metadata
     // byte_len is the real (oracle-checkable) part of the stubbed decode
