@@ -30,6 +30,35 @@ object EtlQueries {
             col("value"), expr("ts DIV 1000").as("ts_us"))
       },
       Some("""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // ------------------------------------------- atomic merge (dir swap)
+    // Bootstrap the warehouse with orders<=1000, then mergeInto the >=500
+    // increment (status forced 'U'); the swapped-in table must equal the
+    // plain SQL merge semantics.
+    Q("q_e2e_merge_swap",
+      (s, dir) => {
+        val scratch = Tables.scratchDir("mswap")
+        val store = new WatermarkStore(s"$scratch/wm")
+        val loader = new Loader(store, s"$scratch/warehouse")
+        val id = TableId("bench", "fixtures", "orders")
+        val orders = Tables.df(s, dir, "orders")
+        loader.mergeInto(s, id, orders.filter(col("o_orderkey") <= 1000),
+          Seq("o_orderkey"))
+        loader.mergeInto(s, id,
+          orders.filter(col("o_orderkey") >= 500)
+            .withColumn("o_orderstatus", lit("U")),
+          Seq("o_orderkey"))
+        loader.readTarget(s, id).get
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+      },
+      Some("""WITH target AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
+             |staged AS (SELECT * REPLACE ('U' AS o_orderstatus)
+             |  FROM orders WHERE o_orderkey >= 500)
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+             |  SELECT * FROM target
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staged)
+             |  UNION ALL SELECT * FROM staged)""".stripMargin))
   )
 }
