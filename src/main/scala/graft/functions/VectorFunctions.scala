@@ -153,19 +153,29 @@ object VectorFunctions {
     * the oracle-checkable form. For the corpus-scale path use
     * [[cosineNearDuplicatesLsh]]. Normalized vectors are staged ONCE per side
     * so the inner loop is a single dot product. */
+  /** Optional `blockCol`: classic blocked pairwise dedup — only pairs that
+    * agree on the blocking key are compared, turning O(n²) into
+    * O(Σ block²). */
   def cosineNearDuplicates(corpus: DataFrame, threshold: Double,
                            idCol: String = "vec_id",
-                           vecCol: String = "embedding"): DataFrame = {
+                           vecCol: String = "embedding",
+                           blockCol: Option[String] = None): DataFrame = {
     val normed = corpus
-      .select(col(idCol), transform(col(vecCol),
-        x => x.cast("double")).as("__v"))
-      .select(col(idCol), col("__v"), norm(col("__v")).as("__n"))
-      .select(col(idCol),
-        zip_with(col("__v"), array_repeat(col("__n"), size(col("__v"))),
-          (x, n) => x / n).as("__u"))
-    val a = normed.select(col(idCol).as("id_a"), col("__u").as("__ua"))
-    val b = normed.select(col(idCol).as("id_b"), col("__u").as("__ub"))
-    a.join(b, col("id_a") < col("id_b"))
+      .select(col(idCol) +: blockCol.map(col).toSeq :+
+        transform(col(vecCol), x => x.cast("double")).as("__v"): _*)
+      .withColumn("__n", norm(col("__v")))
+      .withColumn("__u", zip_with(col("__v"),
+        array_repeat(col("__n"), size(col("__v"))), (x, n) => x / n))
+      .drop("__v", "__n")
+    val a = normed.select(col(idCol).as("id_a") +:
+      blockCol.map(c => col(c).as("__blk")).toSeq :+ col("__u").as("__ua"): _*)
+    val b = normed.select(col(idCol).as("id_b") +:
+      blockCol.map(c => col(c).as("__blk")).toSeq :+ col("__u").as("__ub"): _*)
+    val joined = blockCol match {
+      case Some(_) => a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
+      case None => a.join(b, col("id_a") < col("id_b"))
+    }
+    joined
       .withColumn("cosine", dot(col("__ua"), col("__ub")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

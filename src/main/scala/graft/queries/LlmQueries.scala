@@ -137,18 +137,21 @@ object LlmQueries {
              |FROM scored WHERE rank <= 10""".stripMargin)),
 
     // -------------------------------------------- embedding-cosine near-dup
-    // Exact blocked self-join form — oracle-checkable. The corpus-scale
+    // Exact pairwise form with label BLOCKING (pairs compared only within a
+    // block — O(Σ block²), not O(n²)). Oracle-checkable. The corpus-wide
     // LSH-bucketed variant is q_ann_cosine_neardup_lsh (rows-only) below.
     Q("q_ann_cosine_neardup",
       (s, dir) => VectorFunctions.cosineNearDuplicates(
-        Tables.df(s, dir, "embeddings"), threshold = 0.5)
+        Tables.df(s, dir, "embeddings"), threshold = 0.4,
+        blockCol = Some("label"))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos4")),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  round(list_cosine_similarity(a.embedding::DOUBLE[],
              |                               b.embedding::DOUBLE[]), 4) AS cos4
-             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.label = b.label AND a.vec_id < b.vec_id
              |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-             |                             b.embedding::DOUBLE[]) >= 0.5"""
+             |                             b.embedding::DOUBLE[]) >= 0.4"""
         .stripMargin)),
 
     Q("q_ann_cosine_neardup_lsh",
