@@ -58,6 +58,36 @@ object StreamingPipeline {
     spark.table(queryName)
   }
 
+  /** Streaming incremental load: staged parquet directory → warehouse
+    * directory with EXACTLY-ONCE file tracking carried entirely by the
+    * checkpoint (file-source offsets) and the parquet sink's _spark_metadata
+    * commit log — the Structured Streaming replacement for the watermark
+    * blacklist + sub-batch commit loop in [[graft.load.Loader]]. Each
+    * `Trigger.AvailableNow` run drains whatever is newly staged and stops;
+    * re-running with the same checkpoint never re-loads a file, even after a
+    * mid-run crash (the sink's commit log makes partially-written batches
+    * invisible to readers).
+    */
+  def streamingLoad(spark: SparkSession, stagingDir: String, targetDir: String,
+                    checkpointDir: String): Unit = {
+    val schema = spark.read.parquet(stagingDir).schema
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(stagingDir)
+      .writeStream
+      .format("parquet")
+      .option("path", targetDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read a streaming-load target through its _spark_metadata commit log
+    * (only committed files are visible). */
+  def readStreamingTarget(spark: SparkSession, targetDir: String) =
+    spark.read.parquet(targetDir)
+
   /** Stateful sessionization via mapGroupsWithState-style processing —
     * demonstrated with the batch-equivalent session-gap logic (events within
     * `gapMinutes` of each other belong to one session). Window-function form:

@@ -53,6 +53,27 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out.rdd.getNumPartitions >= 1)
   }
 
+  test("streamingLoad: exactly-once across incremental runs and re-runs") {
+    val s = spark; import s.implicits._
+    val staging = tmpDir("sload_staging")
+    val target = tmpDir("sload_target") + "/t"
+    val ckpt = tmpDir("sload_ckpt")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(staging)
+    StreamingPipeline.streamingLoad(spark, staging, target, ckpt)
+    assert(StreamingPipeline.readStreamingTarget(spark, target).count() == 2)
+    // second batch staged, same checkpoint → only the delta loads
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(staging)
+    StreamingPipeline.streamingLoad(spark, staging, target, ckpt)
+    val after = StreamingPipeline.readStreamingTarget(spark, target)
+    assert(after.count() == 3)
+    assert(after.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // idle re-run: no new files, no duplicates
+    StreamingPipeline.streamingLoad(spark, staging, target, ckpt)
+    assert(StreamingPipeline.readStreamingTarget(spark, target).count() == 3)
+  }
+
   test("streaming hourly rollup equals the batch aggregation") {
     val name = s"test_rollup_${System.nanoTime()}"
     val streamed = StreamingPipeline.hourlyEventRollup(spark,
