@@ -57,8 +57,11 @@ final class WatermarkStore(rootDir: String, hadoopConf: Configuration = new Conf
     finally in.close()
   }
 
-  /** Atomic-ish save: write temp, rename over (retried ×3 with backoff like
-    * ref :501-549). */
+  /** Atomic save: write temp, then a single overwriting rename via
+    * FileContext (atomic on local/HDFS — no delete-then-rename window where
+    * a crash leaves NO watermark; retried ×3 with backoff like ref :501-549).
+    * On S3A, rename is copy+delete — there the tmp file plus retry loop is
+    * the same protection the reference's S3 PUT had. */
   def save(w: Watermark, target: String = "default"): Unit = {
     val p = docPath(w.table_name, target)
     val f = fs(p)
@@ -70,9 +73,9 @@ final class WatermarkStore(rootDir: String, hadoopConf: Configuration = new Conf
         val out = f.create(tmp, true)
         try out.write(Watermark.toJson(w).getBytes(StandardCharsets.UTF_8))
         finally out.close()
-        if (f.exists(p)) f.delete(p, false)
-        if (!f.rename(tmp, p))
-          throw new java.io.IOException(s"rename $tmp -> $p failed")
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          p.toUri, hadoopConf)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         return
       } catch {
         case e: Throwable =>
