@@ -150,6 +150,29 @@ object Cli {
             System.err.println(s"unknown watermark subcommand: $other"); 2
         }
 
+      case "merge" =>
+        // DELETE+INSERT merge of staged-but-unprocessed files into the
+        // warehouse table, committed by directory swap (ref settle_orders
+        // DELETE USING + INSERT transaction)
+        val (r, p) = runner
+        val (_, extractor, loader) = r.rigFor(p)
+        val spec = p.tables.find(t => tableFilter.forall(f =>
+          t.name == f || t.name.endsWith(s".$f"))).getOrElse {
+          System.err.println("merge requires -t <table>"); sys.exit(2)
+        }
+        val keys = opts.get("keys").map(_.split(",").toSeq).orElse(
+          spec.cdc.idColumn.map(Seq(_))).getOrElse {
+          System.err.println("merge requires --keys k1,k2 or a cdc_id_column")
+          sys.exit(2)
+        }
+        val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+        val stagedDir = extractor.stagingDir(id)
+        val staged = spark.read.parquet(stagedDir)
+        val rows = loader.mergeInto(spark, id, staged, keys)
+        println(s"merged ${id.qualified} on (${keys.mkString(",")}): " +
+          s"$rows rows in target")
+        0
+
       case "s3clean" =>
         val (r, p) = runner
         val hours = opts.get("older-than-hours").map(_.toDouble).getOrElse {
@@ -177,10 +200,11 @@ object Cli {
   }
 
   private val usage: String =
-    """usage: graft.Cli <sync|backup|load|status|watermark|s3clean> -c <pipeline.yml>
+    """usage: graft.Cli <sync|backup|load|merge|status|watermark|s3clean> -c <pipeline.yml>
       |  sync      extract + load every configured table (-t narrows; --parallel N)
       |  backup    extract only
       |  load      load staged-but-unprocessed files only
+      |  merge     upsert staged files into the warehouse: -t table [--keys k1,k2]
       |  status    one line per table from the watermark store
       |  watermark get|set|reset -t table [--timestamp TS] [--id N]
       |  s3clean   --older-than-hours H [--keep-newest N] [--dry-run]""".stripMargin
