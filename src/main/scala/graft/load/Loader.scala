@@ -79,10 +79,6 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
         try { ParquetFooters.rowCount(f, conf); true }
         catch { case _: Throwable => false }
       }
-      if (quarantined.nonEmpty)
-        store.save(store.getOrCreate(id.scoped, config.strategy.name)
-          .markLoadFailed(s"quarantined ${quarantined.size} corrupt files: " +
-            quarantined.take(3).mkString(","), store.nowString()))
 
       val t0 = System.nanoTime()
       var loadedRows = 0L
@@ -121,6 +117,15 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
         }
       }
       val secs = (System.nanoTime() - t0) / 1e9
+      // record the quarantine AFTER the sub-batch commits so the note isn't
+      // overwritten by their success saves: status stays success (the valid
+      // set loaded), error carries the warning for `status`/ops to see
+      if (quarantined.nonEmpty) {
+        val wmNow = store.getOrCreate(id.scoped, config.strategy.name)
+        store.save(wmNow.copy(redshift_state = wmNow.redshift_state.copy(
+          error = Some(s"quarantined ${quarantined.size} corrupt files: " +
+            quarantined.take(3).mkString(",")))))
+      }
       LoadResult(id, valid.size.toLong, loadedRows,
         (all.size - fresh.size).toLong, target, quarantined,
         SessionMetrics(loadedRows, valid.size.toLong, loadedBytes, secs))

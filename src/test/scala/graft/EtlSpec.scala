@@ -49,7 +49,7 @@ class EtlSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("corrupt staged file is quarantined, others still load") {
-    val (_, _, extractor, loader) = rig()
+    val (_, store, extractor, loader) = rig()
     extractor.extract(spark, id, events, cfg)
     // plant a corrupt parquet file among the staged output
     val bad = new java.io.File(extractor.stagingDir(id), "corrupt.parquet")
@@ -58,6 +58,10 @@ class EtlSpec extends AnyFunSuite with SparkTestBase {
     assert(load.quarantinedFiles.map(f => new java.io.File(f).getName) ==
       Seq("corrupt.parquet"))
     assert(load.loadedRows == events.count()) // the good files all loaded
+    // session stays success; the quarantine warning survives in error
+    val wm = store.get(id.scoped).get
+    assert(wm.redshift_state.status == "success")
+    assert(wm.redshift_state.error.exists(_.contains("quarantined 1")))
   }
 
   test("incremental extract resumes from the committed cursor") {
