@@ -72,6 +72,12 @@ sealed trait CdcStrategy {
     config.idColumn.getOrElse(
       throw new IllegalArgumentException("cdc_id_column required"))
 
+  /** Chunk ordering: explicit `cdc_ordering` config wins; else the
+    * strategy's natural (ts[,id]) order (ref configuration_manager.py:33
+    * `cdc_ordering`). Only applied when a LIMIT requests a sorted chunk. */
+  protected def orderCols(default: Seq[Column]): Seq[Column] =
+    if (config.ordering.nonEmpty) config.ordering.map(col) else default
+
   protected def maxTsString(batch: DataFrame, c: String): Option[String] = {
     val raw =
       if (config.timestampIsUnixEpoch)
@@ -89,7 +95,7 @@ final case class TimestampOnlyStrategy(config: CdcConfig) extends CdcStrategy {
   def scanSpec(cursor: Cursor): ScanSpec = {
     val preds = cursor.lastTimestamp.map(wm => col(tsColName) > tsLiteral(wm)).toSeq ++
       additionalPred
-    ScanSpec(andAll(preds), Seq(col(tsColName)), config.maxRowsPerRun)
+    ScanSpec(andAll(preds), orderCols(Seq(col(tsColName))), config.maxRowsPerRun)
   }
 
   def extractCursor(batch: DataFrame): Cursor =
@@ -111,7 +117,7 @@ final case class HybridStrategy(config: CdcConfig) extends CdcStrategy {
       case _ => None
     }
     ScanSpec(andAll(keyset.toSeq ++ additionalPred),
-      Seq(col(tsColName), col(idColName)), config.maxRowsPerRun)
+      orderCols(Seq(col(tsColName), col(idColName))), config.maxRowsPerRun)
   }
 
   def extractCursor(batch: DataFrame): Cursor = {
@@ -134,7 +140,7 @@ final case class IdOnlyStrategy(config: CdcConfig) extends CdcStrategy {
 
   def scanSpec(cursor: Cursor): ScanSpec = {
     val preds = cursor.lastId.map(id => col(idColName) > lit(id)).toSeq ++ additionalPred
-    ScanSpec(andAll(preds), Seq(col(idColName)), config.maxRowsPerRun)
+    ScanSpec(andAll(preds), orderCols(Seq(col(idColName))), config.maxRowsPerRun)
   }
 
   def extractCursor(batch: DataFrame): Cursor = {

@@ -67,6 +67,31 @@ class TypeMapperSpec extends AnyFunSuite {
     assert(TypeMapper.sparkToWarehouseDdl(BinaryType) == "VARCHAR(65535)")
   }
 
+  test("parseMySqlType never throws on arbitrary strings (scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.asciiPrintableStr
+    (1 to 200).foreach { i =>
+      val s = gen(Gen.Parameters.default, Seed(i.toLong)).getOrElse("")
+      TypeMapper.parseMySqlType(s)   // must not throw
+      TypeMapper.toSparkType(s)      // falls back to StringType
+      TypeMapper.toWarehouseDdl(s)   // falls back to VARCHAR
+    }
+  }
+
+  test("normalizeColumnName is idempotent") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.identifier
+    (1 to 200).foreach { i =>
+      val s = gen(Gen.Parameters.default, Seed(i.toLong)).getOrElse("x")
+      val (once, _) = TypeMapper.normalizeColumnName(s)
+      val (twice, changed) = TypeMapper.normalizeColumnName(once)
+      assert(twice == once)
+      assert(!changed)
+    }
+  }
+
   test("column-name normalization: lowercase + digit-leading prefix") {
     assert(TypeMapper.normalizeColumnName("2ND_REF") == ("col_2nd_ref", true))
     assert(TypeMapper.normalizeColumnName("MixedCase") == ("mixedcase", true))
