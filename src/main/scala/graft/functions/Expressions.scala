@@ -145,4 +145,141 @@ object exprs {
   /** Hamming distance between two long columns (built-ins: popcount of xor). */
   def hamming64(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
+  /** Single-pass codegen'd cosine similarity of two numeric array columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
+  /** Single-pass codegen'd dot product of two numeric array columns. */
+  def dot_prod(a: Column, b: Column): Column =
+    GraftShim.column(DotProd(GraftShim.expression(a), GraftShim.expression(b)))
+}
+
+/** Single-pass cosine similarity of two numeric arrays (float or double
+  * elements), accumulating dot, |a|², |b|² in one loop — replaces the
+  * three `aggregate(zip_with(...))` higher-order passes, whose lambdas are
+  * interpreted per element and fence codegen. Null if either side is null;
+  * 0 denominators yield NaN exactly like the composed form.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects ARRAY<FLOAT|DOUBLE>, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    val lf = isFloat(left); val rf = isFloat(right)
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (isFloat(left)) "(double)%s.getFloat(%s)" else "%s.getDouble(%s)"
+    val getB = if (isFloat(right)) "(double)%s.getFloat(%s)" else "%s.getDouble(%s)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val ab = ctx.freshName("ab")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $ab = 0.0, $aa = 0.0, $bb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double csX = ${getA.format(a, i)};
+         |  double csY = ${getB.format(b, i)};
+         |  $ab += csX * csY; $aa += csX * csX; $bb += csY * csY;
+         |}
+         |${ev.value} = $ab / (Math.sqrt($aa) * Math.sqrt($bb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Single-pass dot product of two numeric arrays (float or double). */
+case class DotProd(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_prod expects ARRAY<FLOAT|DOUBLE>, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    val lf = isFloat(left); val rf = isFloat(right)
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (isFloat(left)) "(double)%s.getFloat(%s)" else "%s.getDouble(%s)"
+    val getB = if (isFloat(right)) "(double)%s.getFloat(%s)" else "%s.getDouble(%s)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (${getA.format(a, i)}) * (${getB.format(b, i)});
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProd =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_prod"
 }

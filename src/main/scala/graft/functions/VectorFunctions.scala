@@ -12,16 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product of two array<numeric> columns (computed in double). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array<float|double> columns (accumulated in double).
+    * A single codegen'd pass ([[graft.functions.DotProd]]) — the
+    * `aggregate(zip_with(...))` composition it replaces evaluated interpreted
+    * lambdas per element and built an intermediate products array. */
+  def dot(a: Column, b: Column): Column = graft.functions.exprs.dot_prod(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity: one fused codegen'd pass over both arrays
+    * ([[graft.functions.CosineSim]]); bit-identical to
+    * `dot(a,b)/(norm(a)*norm(b))` (same accumulation order) at a third of
+    * the array traffic. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.exprs.cosine_sim(a, b)
 
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors. Plan: broadcast the (small) query set against the corpus

@@ -62,6 +62,33 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(SimHash64.hamming(0x0FL, 0x00L) == 4)
   }
 
+  test("cosine_sim/dot_prod: codegen == interpreted == composed HOF form") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.5f, -1.5f, 2.5f), Seq(-1.0, 0.0, 2.0))
+    ).toDF("a", "b")
+    def run(codegen: Boolean) = withCodegen(codegen) {
+      df.select(cosine_sim(col("a"), col("b")).as("c"),
+        dot_prod(col("a"), col("b")).as("d"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    }
+    val cg = run(true)
+    assert(cg == run(false))
+    // equals the composed higher-order-function form bit-for-bit
+    val hof = df.select(
+      (aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _) /
+        (sqrt(aggregate(zip_with(col("a"), col("a"),
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)) *
+         sqrt(aggregate(zip_with(col("b"), col("b"),
+           (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _)))).as("c"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _).as("d"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(cg == hof)
+  }
+
   test("near-identical token sets differ in few simhash bits") {
     val s = spark; import s.implicits._
     val base = (1 to 60).map(i => s"token$i")
