@@ -69,15 +69,12 @@ object DedupFunctions {
 
   /** k MinHash signature values from PRE-HASHED shingles: each shingle string
     * is hashed once (`xxhash64`) upstream; the j-th permutation re-mixes the
-    * 8-byte value with seed j — k cheap long-hashes instead of k string-hashes
-    * per shingle. Returns array<long> of length k. */
-  def minhashSignatureFromHashes(hashedShingles: Column, k: Int): Column = {
-    val sigs = (0 until k).map { j =>
-      val seed = SimHash64.tokenHash(s"minhash-seed-$j".getBytes)
-      array_min(transform(hashedShingles, h => xxhash64(h, lit(seed))))
-    }
-    array(sigs: _*)
-  }
+    * 8-byte value with seed j. One codegen'd pass over the hash array
+    * ([[graft.functions.MinHashSig]]) computes all k minima — the previous k
+    * separate `array_min(transform(...))` expressions traversed the array k
+    * times with interpreted lambdas. Returns array<long> of length k. */
+  def minhashSignatureFromHashes(hashedShingles: Column, k: Int): Column =
+    minhash_sig(hashedShingles, k)
 
   /** k MinHash signature values of a shingle-set column (strings). */
   def minhashSignature(shingleCol: Column, k: Int): Column =

@@ -151,6 +151,9 @@ object exprs {
   /** Single-pass codegen'd dot product of two numeric array columns. */
   def dot_prod(a: Column, b: Column): Column =
     GraftShim.column(DotProd(GraftShim.expression(a), GraftShim.expression(b)))
+  /** All-k MinHash signature of an array<bigint> hashed-shingle column. */
+  def minhash_sig(c: Column, k: Int): Column =
+    GraftShim.column(MinHashSig(GraftShim.expression(c), k))
 }
 
 /** Single-pass cosine similarity of two numeric arrays (float or double
@@ -282,4 +285,86 @@ case class DotProd(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProd =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "dot_prod"
+}
+
+/** All-k MinHash signature from PRE-HASHED shingles in ONE pass: for each
+  * 64-bit shingle hash x and permutation j, h_j = splitmix64(x ^ seed_j);
+  * the result is array<long> of the k per-permutation minima. Replaces k
+  * separate `array_min(transform(...))` higher-order expressions (k array
+  * traversals with interpreted lambdas) with a single generated loop.
+  * Empty input → all Long.MaxValue (deterministic).
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val seeds = MinHashSig.seeds(k)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val h = MinHashSig.mix(x ^ seeds(j))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("mhSeeds", MinHashSig.seeds(k), "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val mins = ctx.freshName("mins")
+      val h = ctx.freshName("h")
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long mhX = $c.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $h = mhX ^ $seedsRef[$j];
+         |      $h = ($h ^ ($h >>> 30)) * 0xbf58476d1ce4e5b9L;
+         |      $h = ($h ^ ($h >>> 27)) * 0x94d049bb133111ebL;
+         |      $h = $h ^ ($h >>> 31);
+         |      if ($h < $mins[$j]) $mins[$j] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  /** splitmix64 finalizer. */
+  def mix(v: Long): Long = {
+    var h = v
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+  /** Deterministic per-permutation seeds (golden-ratio sequence, mixed). */
+  def seeds(k: Int): Array[Long] =
+    Array.tabulate(k)(j => mix(0x9e3779b97f4a7c15L * (j + 1)))
 }
