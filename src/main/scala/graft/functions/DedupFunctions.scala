@@ -67,6 +67,12 @@ object DedupFunctions {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(TextFunctions.tokens(text), n)
 
+  /** Distinct n-gram shingle HASHES straight from raw text — the candidate-
+    * generation fast path ([[graft.functions.ShingleHashes]]): one byte scan,
+    * no token/shingle strings. Use the string form [[shingles]] wherever the
+    * actual shingle SETS are needed (exact Jaccard verification). */
+  def shingleHashes(text: Column, n: Int): Column = shingle_hashes(text, n)
+
   /** k MinHash signature values from PRE-HASHED shingles: each shingle string
     * is hashed once (`xxhash64`) upstream; the j-th permutation re-mixes the
     * 8-byte value with seed j. One codegen'd pass over the hash array
@@ -106,17 +112,15 @@ object DedupFunctions {
     // (roughly document-sized) are joined back AFTER the candidate-id set is
     // deduped, so the ×bands explode + distinct never carry text payloads.
     //
-    // STAGED projections matter here: `hs` (string-hash per shingle) is
-    // referenced k times by the signature, and `sig` is referenced k times by
-    // the band keys. Kept in separate selects, CollapseProject leaves them
-    // un-inlined (non-cheap exprs used >1×), so each is computed ONCE per row
-    // — inlining them would recompute the string hashes k× (measured 30×
-    // slower end-to-end at sf0.1).
+    // Candidate generation never materializes token/shingle strings:
+    // ShingleHashes scans the raw bytes once into distinct gram hashes and
+    // MinHashSig folds them into the k signature minima — two codegen'd
+    // expressions. STAGED selects keep `hs`/`sig` computed once per row
+    // (CollapseProject leaves non-cheap exprs used >1× un-inlined; inlining
+    // recomputed them k× — measured 30× slower end-to-end at sf0.1).
     val bucketed = docs
-      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks"), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .select(col(idCol).as("doc_id"), shingleHashes(col(textCol), shingleN).as("hs"))
+      .filter(size(col("hs")) > 0)
       .select(col("doc_id"), minhashSignatureFromHashes(col("hs"), k).as("sig"))
       .select(col("doc_id"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand))
@@ -192,7 +196,13 @@ object DedupFunctions {
     * primitive — feed it LSH candidates, not the full corpus). */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
                    textCol: String, n: Int = 3): DataFrame = {
+    // shingle ONLY the docs that appear in a candidate pair — at corpus scale
+    // the candidate set is orders of magnitude smaller than the corpus, and
+    // shingling is the expensive projection
+    val neededIds = pairs.select(col("id_a").as("jid"))
+      .unionByName(pairs.select(col("id_b").as("jid"))).distinct()
     val sh = docs
+      .join(neededIds, col(idCol) === col("jid"), "left_semi")
       .select(col(idCol).as("jid"), TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("jid"), shinglesFromTokens(col("toks"), n).as("jsh"))
     pairs

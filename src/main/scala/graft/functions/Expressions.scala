@@ -154,6 +154,10 @@ object exprs {
   /** All-k MinHash signature of an array<bigint> hashed-shingle column. */
   def minhash_sig(c: Column, k: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(c), k))
+  /** Distinct word-n-gram shingle hashes of a raw text column (one pass,
+    * no token/shingle string materialization). */
+  def shingle_hashes(c: Column, n: Int): Column =
+    GraftShim.column(ShingleHashes(GraftShim.expression(c), n))
 }
 
 /** Single-pass cosine similarity of two numeric arrays (float or double
@@ -367,4 +371,111 @@ object MinHashSig {
   /** Deterministic per-permutation seeds (golden-ratio sequence, mixed). */
   def seeds(k: Int): Array[Long] =
     Array.tabulate(k)(j => mix(0x9e3779b97f4a7c15L * (j + 1)))
+}
+
+/** Distinct word-n-gram shingle HASHES of a raw text column, computed in one
+  * pass with zero string materialization: bytes are scanned once, ASCII
+  * letters are lowercased, `[a-z0-9]+` runs become rolling token hashes, and
+  * each n-token window combines into one 64-bit gram hash (polynomial +
+  * splitmix finalizer). Token/shingle strings are never built.
+  *
+  * Matches the token semantics of [[graft.functions.TextFunctions.tokens]]
+  * for ASCII input (non-ASCII bytes are separators either way; locale-special
+  * Unicode lowercasing differences only perturb candidate generation, never
+  * verification, which stays on the string path). Fewer than n tokens →
+  * one gram over all tokens; no tokens → empty array.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "n must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects STRING, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleHashes.compute(input.asInstanceOf[UTF8String].getBytes, n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = ShingleHashes.getClass.getName.stripSuffix("$") + "$"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $cls.MODULE$$.compute($c.getBytes(), $n));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashes {
+  private final val TokB = 1000003L   // token rolling-hash base (= RollingHash)
+  private final val GramB = 0x100000001b3L // gram combine base (FNV prime)
+
+  /** Distinct n-gram hashes of the [a-z0-9]+ token stream of `bytes`. */
+  def compute(bytes: Array[Byte], n: Int): Array[Long] = {
+    // pass 1: token hashes
+    var tokCount = 0
+    var tokHashes = new Array[Long](math.max(8, bytes.length / 4))
+    var acc = 0L
+    var inTok = false
+    var i = 0
+    while (i <= bytes.length) {
+      val b = if (i < bytes.length) bytes(i) else ' '.toByte
+      val lower = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      val isTok = (lower >= 'a' && lower <= 'z') || (lower >= '0' && lower <= '9')
+      if (isTok) {
+        // token bytes hashed exactly like RollingHash over the lowercase run,
+        // with a separating space contribution handled at gram level
+        acc = acc * TokB + (lower & 0xff)
+        inTok = true
+      } else if (inTok) {
+        if (tokCount == tokHashes.length)
+          tokHashes = java.util.Arrays.copyOf(tokHashes, tokCount * 2)
+        tokHashes(tokCount) = acc
+        tokCount += 1
+        acc = 0L
+        inTok = false
+      }
+      i += 1
+    }
+    // zero tokens → ONE empty-stream gram, mirroring the string form's
+    // single `concat_ws(' ', [])` = "" shingle: empty docs still become
+    // candidates of each other (verification then scores them exactly)
+    if (tokCount == 0) return Array(MinHashSig.mix(0L))
+
+    // pass 2: gram hashes over n-token windows (single gram if short)
+    val span = if (tokCount >= n) n else tokCount
+    val nGrams = if (tokCount >= n) tokCount - n + 1 else 1
+    val grams = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      var h = 0L
+      var j = 0
+      while (j < span) {
+        h = h * GramB + tokHashes(g + j)
+        j += 1
+      }
+      grams(g) = MinHashSig.mix(h)
+      g += 1
+    }
+    distinctSorted(grams)
+  }
+
+  /** Sort + dedup in place (shingle sets are small; avoids boxing). */
+  private def distinctSorted(a: Array[Long]): Array[Long] = {
+    java.util.Arrays.sort(a)
+    var w = 0
+    var i = 0
+    while (i < a.length) {
+      if (w == 0 || a(w - 1) != a(i)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == a.length) a else java.util.Arrays.copyOf(a, w)
+  }
 }

@@ -89,6 +89,30 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(cg == hof)
   }
 
+  test("shingle_hashes: codegen == interpreted; cardinality matches string shingles") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    def run(codegen: Boolean) = withCodegen(codegen) {
+      docs.select(col("doc_id"),
+        shingle_hashes(col("text"), 3).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    }
+    val cg = run(true)
+    assert(cg == run(false))
+    // one hash per distinct string shingle (no collisions on this corpus)
+    val strCounts = docs.select(col("doc_id"),
+      size(graft.functions.DedupFunctions.shingles(col("text"), 3)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    cg.foreach { case (id, hs) => assert(hs.size == strCounts(id), s"doc $id") }
+    // token-less text → ONE empty-stream gram (mirrors the string form's
+    // single "" shingle so empty docs still pair as candidates)
+    val s = spark; import s.implicits._
+    val empty = Seq((1L, ""), (2L, "!!!")).toDF("doc_id", "text")
+      .select(shingle_hashes(col("text"), 3).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    assert(empty.forall(_.size == 1))
+    assert(empty(0) == empty(1)) // both token-less → identical gram
+  }
+
   test("near-identical token sets differ in few simhash bits") {
     val s = spark; import s.implicits._
     val base = (1 to 60).map(i => s"token$i")
