@@ -236,6 +236,107 @@ object CoreQueries {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name, n_name""".stripMargin)),
 
+    // ------------------------------------------- TPC-H Q3-style top orders
+    Q("q3_shipping_priority",
+      (s, dir) => {
+        val c = Tables.df(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.df(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1995-03-15 00:00:00").cast("timestamp_ntz"))
+        val l = Tables.df(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1995-03-15 00:00:00").cast("timestamp_ntz"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), fmt(col("o_orderdate")).as("o_orderdate_s"))
+          .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+             |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+             |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+        .stripMargin)),
+
+    // ------------------------------------ TPC-H Q4-style order priority EXISTS
+    Q("q4_order_priority",
+      (s, dir) => {
+        val o = Tables.df(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+        // fixture lineitem has no commit/receipt dates; the EXISTS predicate
+        // becomes "has a returned line" (l_returnflag = 'R')
+        val l = Tables.df(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"))
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // ------------------------- TPC-H Q12-style conditional priority buckets
+    // (fixture lineitem has no shipmode/commit/receipt dates; the bucket
+    // dimension becomes l_linestatus over a one-year ship window)
+    Q("q12_priority_buckets",
+      (s, dir) => {
+        val l = Tables.df(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        val o = Tables.df(s, dir, "orders")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("low_line_count"))
+      },
+      Some("""SELECT l_linestatus,
+             |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |      THEN 1 ELSE 0 END) AS high_line_count,
+             |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             |      THEN 1 ELSE 0 END) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY l_linestatus""".stripMargin)),
+
+    // ---------------------------------------- TPC-H Q14-style promo revenue
+    Q("q14_promo_revenue",
+      (s, dir) => {
+        val l = Tables.df(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1995-09-01 00:00:00").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
+        val p = Tables.df(s, dir, "part")
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .agg(
+            sum(when(col("p_type").startsWith("PROMO"),
+              dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+              .otherwise(dec(lit(0.0), 4))).as("promo_rev"),
+            sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+              .as("total_rev"))
+      },
+      Some("""SELECT
+             |  SUM(CASE WHEN p_type LIKE 'PROMO%'
+             |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+             |    ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS promo_rev,
+             |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total_rev
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin)),
+
     // ----------------------------------------------------- top-k (O1/O4)
     Q("q_topk_customers",
       (s, dir) => Tables.df(s, dir, "orders")
