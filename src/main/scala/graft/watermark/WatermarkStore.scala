@@ -126,6 +126,19 @@ final class WatermarkStore(rootDir: String, hadoopConf: Configuration = new Conf
     }
   }
 
+  /** Break a lock whose holder is gone: deletes the lock object if it is
+    * older than `staleAfterMs` (ref: manual lock cleanup via CLI; the owner
+    * identity in the lock JSON makes the decision auditable). Returns true
+    * if a lock was broken. */
+  def breakStaleLock(tableName: String, staleAfterMs: Long,
+                     target: String = "default"): Boolean = {
+    val p = lockPath(tableName, target)
+    val f = fs(p)
+    if (!f.exists(p)) return false
+    val age = System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+    if (age > staleAfterMs) f.delete(p, false) else false
+  }
+
   def unlock(tableName: String, token: String, target: String = "default"): Boolean = {
     val p = lockPath(tableName, target)
     val f = fs(p)

@@ -77,6 +77,28 @@ class CdcChunkingSpec extends AnyFunSuite with SparkTestBase {
     assert(seen == (0L until 11L).toSet)
   }
 
+  test("unix-epoch timestamp variant: scan + cursor round-trip") {
+    // S1 variant: the CDC column is epoch SECONDS as a long
+    // (ref cdc_strategy_engine.py:224-251 `ts > UNIX_TIMESTAMP(:wm)`)
+    val s = spark
+    import s.implicits._
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    val df = (0L until 10L).map(i => (base + i * 3600, i)).toDF("ts", "id")
+    val cfg = CdcConfig(CdcStrategyKind.TimestampOnly,
+      timestampColumn = Some("ts"), timestampIsUnixEpoch = true)
+    val strategy = CdcStrategy(cfg)
+    // full scan from empty cursor, then resume after consuming everything
+    val full = strategy.scanSpec(Cursor())(df)
+    assert(full.count() == 10)
+    val cursor = strategy.extractCursor(df)
+    assert(cursor.lastTimestamp.contains("2024-01-01 09:00:00"))
+    assert(strategy.scanSpec(cursor)(df).count() == 0)
+    // resume mid-stream: cursor at hour 4 → 5 rows remain
+    val mid = strategy.scanSpec(Cursor(Some("2024-01-01 04:00:00")))(df)
+    assert(mid.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(5L, 6L, 7L, 8L, 9L))
+  }
+
   test("timestamp-only chunking converges (coarse cursor, no dup guarantee lost)") {
     // ts-only CANNOT split equal-ts runs safely; verify it still covers all
     // rows when chunk boundaries align with distinct timestamps

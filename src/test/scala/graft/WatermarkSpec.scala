@@ -98,6 +98,15 @@ class WatermarkSpec extends AnyFunSuite with SparkTestBase {
     assert(store.tryLock("t").isDefined)        // re-acquirable after release
   }
 
+  test("store: stale lock can be broken, fresh lock cannot") {
+    val store = new WatermarkStore(tmpDir("stale"))
+    assert(store.tryLock("t").isDefined)
+    assert(!store.breakStaleLock("t", staleAfterMs = 60000)) // fresh → refused
+    assert(store.tryLock("t").isEmpty)                        // still held
+    assert(store.breakStaleLock("t", staleAfterMs = -1))      // "stale" → broken
+    assert(store.tryLock("t").isDefined)                      // re-acquirable
+  }
+
   test("store: reset persists and preserves blacklist") {
     val store = new WatermarkStore(tmpDir("reset"))
     val w = store.getOrCreate("t", "hybrid")
