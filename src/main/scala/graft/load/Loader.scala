@@ -204,6 +204,26 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     }
   }
 
+  /** Load staged files into a BUCKETED catalog table — the materialized form
+    * of the DISTKEY/SORTKEY analog below: `bucketBy(distKey)` hash-partitions
+    * the data on disk exactly like Redshift DISTSTYLE KEY, so joins between
+    * tables bucketed on the same key are co-located (zero Exchange in the
+    * physical plan — proven in MergeSwapSpec). `sortBy` = SORTKEY. Requires a
+    * session with catalog support (default in-memory/derby works). */
+  def loadBucketed(spark: SparkSession, id: TableId, stagedDir: String,
+                   distKey: String, sortKeys: Seq[String] = Nil,
+                   buckets: Int = 32): String = {
+    val tableName = s"graft_${id.safeName}"
+    val staged = spark.read.parquet(listParquetFiles(spark, stagedDir): _*)
+    val writer0 = staged.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, distKey)
+    val writer = if (sortKeys.nonEmpty)
+      writer0.sortBy(sortKeys.head, sortKeys.tail: _*) else writer0
+    writer.saveAsTable(tableName)
+    tableName
+  }
+
   /** Generate warehouse DDL with distribution/sort hints — the Redshift
     * DISTKEY/SORTKEY generator (flexible_schema_manager.py:274-473) mapped to
     * Spark bucketing (`CLUSTERED BY` ≈ DISTKEY, `SORTED BY` ≈ SORTKEY). */

@@ -56,6 +56,37 @@ class MergeSwapSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == orders.filter(col("o_orderkey") <= 100).count())
   }
 
+  test("bucketed load: co-located join has NO shuffle exchange") {
+    val root = tmpDir("bucketed")
+    val store = new WatermarkStore(s"$root/wm")
+    val extractor = new Extractor(store, s"$root/staging")
+    val loader = new Loader(store, s"$root/warehouse")
+    val custId = TableId("t", "fx", "customer")
+    extractor.extract(spark, id, orders, cfg)
+    extractor.extract(spark, custId,
+      spark.read.parquet(s"$sfDir/customer.parquet"),
+      CdcConfig(CdcStrategyKind.IdOnly, idColumn = Some("c_custkey")))
+    // both tables bucketed 8 ways on the JOIN key = Redshift DISTKEY co-location
+    val tOrders = loader.loadBucketed(spark, id,
+      extractor.stagingDir(id), distKey = "o_custkey", buckets = 8)
+    val tCust = loader.loadBucketed(spark, custId,
+      extractor.stagingDir(custId), distKey = "c_custkey", buckets = 8)
+    val joined = spark.table(tOrders)
+      .join(spark.table(tCust),
+        col("o_custkey") === col("c_custkey"))
+    // correctness
+    assert(joined.count() ==
+      orders.join(spark.read.parquet(s"$sfDir/customer.parquet"),
+        col("o_custkey") === col("c_custkey")).count())
+    // the whole point: no Exchange anywhere in the physical join plan
+    val hasExchange = joined.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case _ => false
+    }
+    assert(!hasExchange, "bucketed join still shuffled:\n" +
+      joined.queryExecution.executedPlan.toString.take(2000))
+  }
+
   test("datetime layout: year/month/day dirs exist and prune the scan") {
     val root = tmpDir("dtpart")
     val store = new WatermarkStore(s"$root/wm")
