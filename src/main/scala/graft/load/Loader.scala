@@ -214,6 +214,13 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
                    distKey: String, sortKeys: Seq[String] = Nil,
                    buckets: Int = 32): String = {
     val tableName = s"graft_${id.safeName}"
+    // a previous JVM's catalog may be gone while its managed location
+    // survives on disk — drop both so Overwrite can't trip on the orphan
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val warehouseDir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tableName)
+    warehouseDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(warehouseDir, true)
     val staged = spark.read.parquet(listParquetFiles(spark, stagedDir): _*)
     val writer0 = staged.write.mode(SaveMode.Overwrite)
       .format("parquet")
