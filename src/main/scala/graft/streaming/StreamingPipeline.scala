@@ -88,6 +88,44 @@ object StreamingPipeline {
   def readStreamingTarget(spark: SparkSession, targetDir: String) =
     spark.read.parquet(targetDir)
 
+  /** Custom keyed state via `mapGroupsWithState`: cumulative per-user event
+    * counts maintained in `GroupState` and carried ACROSS RUNS by the
+    * checkpoint's state store — each `Trigger.AvailableNow` pass folds newly
+    * staged events into the running totals (the streaming analog of the
+    * watermark's cumulative row counters). Returns the post-run totals. */
+  def statefulUserCounts(spark: SparkSession, eventsDir: String,
+                         checkpointDir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)]
+    val counted = stream
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + events.size
+          state.update(total)
+          (user, total)
+      }
+    // foreachBatch sink: unlike the memory sink it SUPPORTS checkpoint
+    // recovery, which is the whole point here. Update mode → each run
+    // surfaces the groups whose state changed in that run.
+    val updated = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = counted.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+        updated.synchronized { updated ++= batch.collect() }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    updated.toSeq.toDF("user_id", "total_events")
+  }
+
   /** Stateful sessionization via mapGroupsWithState-style processing —
     * demonstrated with the batch-equivalent session-gap logic (events within
     * `gapMinutes` of each other belong to one session). Window-function form:

@@ -74,6 +74,28 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(StreamingPipeline.readStreamingTarget(spark, target).count() == 3)
   }
 
+  test("mapGroupsWithState: per-user state survives across checkpointed runs") {
+    val s = spark; import s.implicits._
+    val staging = tmpDir("state_staging")
+    val ckpt = tmpDir("state_ckpt")
+    Seq((10L, 1L), (10L, 2L), (20L, 3L)).toDF("user_id", "event_id")
+      .write.mode("append").parquet(staging)
+    val r1 = StreamingPipeline.statefulUserCounts(spark, staging, ckpt,
+      s"state_a_${System.nanoTime()}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(10L -> 2L, 20L -> 1L))
+    // second run with NEW events only: totals must be CUMULATIVE — the
+    // group state was restored from the checkpoint, not recomputed
+    Seq((10L, 4L), (30L, 5L)).toDF("user_id", "event_id")
+      .write.mode("append").parquet(staging)
+    val r2 = StreamingPipeline.statefulUserCounts(spark, staging, ckpt,
+      s"state_b_${System.nanoTime()}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(10L) == 3L)       // 2 from run 1 (restored state) + 1 new
+    assert(r2(30L) == 1L)       // new user
+    assert(!r2.contains(20L))   // unchanged group not re-emitted (Update mode)
+  }
+
   test("streaming hourly rollup equals the batch aggregation") {
     val name = s"test_rollup_${System.nanoTime()}"
     val streamed = StreamingPipeline.hourlyEventRollup(spark,
