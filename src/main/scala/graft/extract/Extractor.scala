@@ -58,7 +58,7 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
 
       val outDir = stagingDir(id)
       val partitionCols = datetimePartitionCols(batch, config)
-      val sessionTag = System.currentTimeMillis()
+      val sessionTag = System.nanoTime() // ms-resolution collided for rapid sequential sessions
       val sessionDir = s"$outDir/session=$sessionTag"
 
       val writer = partitionCols match {

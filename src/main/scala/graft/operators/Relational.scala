@@ -146,6 +146,34 @@ object Relational {
     df.select(columns.map(c =>
       sum(col(c).isNull.cast("long")).as(s"${c}_nulls")).toIndexedSeq: _*)
 
+  /** One-pass data profile: per column — null count, approx distinct, and
+    * min/max (numeric/timestamp/string alike) — the engine's form of the
+    * reference's data-quality report (validation.py:138-350). One wide
+    * aggregation, one job; approx distinct is HLL so no per-column exact
+    * distinct shuffles at 100 TB. Output: one row per column. */
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__rows_$c"),
+        sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
+        approx_count_distinct(col(c)).as(s"__distinct_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single wide row into one row per column
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"__rows_$c").as("row_count"),
+        col(s"__nulls_$c").as("null_count"),
+        col(s"__distinct_$c").as("approx_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    wide.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+  }
+
   // --------------------------------------------------------------------------
   // A5 — latest-status analytic view
   // --------------------------------------------------------------------------

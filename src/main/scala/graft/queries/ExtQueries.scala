@@ -25,6 +25,28 @@ object ExtQueries {
       Some("""SELECT o_orderkey, c_name FROM orders
              |JOIN customer ON o_custkey = c_custkey""".stripMargin)),
 
+    // ----------------------------------------------------- data profiling
+    // Exact slice of Relational.profile (approx_distinct is HLL → dropped
+    // for the oracle; the full profile is exercised in RelationalSpec).
+    Q("q_profile_orders",
+      (s, dir) => graft.operators.Relational.profile(
+        Tables.df(s, dir, "orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_orderdate"))
+        .select(col("column").as("col_name"), col("row_count"),
+          col("null_count"), col("min_value"), col("max_value")),
+      Some("""SELECT 'o_orderkey' AS col_name, COUNT(*) AS row_count,
+             |  COUNT(*) - COUNT(o_orderkey) AS null_count,
+             |  CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+             |  CAST(MAX(o_orderkey) AS VARCHAR) AS max_value FROM orders
+             |UNION ALL
+             |SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+             |  CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+             |  CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+             |FROM orders""".stripMargin)),
+
     // ------------------------------------------------- multimodal metadata
     // byte_len is the real (oracle-checkable) part of the stubbed decode
     // path: utf-8 payload length through the binary column + mapPartitions
