@@ -87,9 +87,31 @@ object Cli {
     val exitCode: Int = verbs.head match {
       case "sync" =>
         val (r, p) = runner
-        val report = r.sync(p, tableFilter)
-        println(fmtReport(report))
-        if (report.allOk) 0 else 1
+        if (flags("dry-run")) {
+          // plan preview: the scan each table WOULD run, from its current
+          // cursor — nothing executes, nothing is written
+          val (store, _, _) = r.rigFor(p)
+          p.tables.filter(t => tableFilter.forall(f =>
+            t.name == f || t.name.endsWith(s".$f"))).foreach { spec =>
+            val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+            val wm = store.get(id.scoped)
+            val cursor = graft.cdc.Cursor(
+              wm.flatMap(_.mysql_state.last_timestamp),
+              wm.flatMap(_.mysql_state.last_id))
+            val scan = graft.cdc.CdcStrategy(spec.cdc).scanSpec(cursor)
+            val pred = scan.predicate.map(_.toString).getOrElse("(full scan)")
+            val mode = if (spec.mergeKeys.nonEmpty)
+              s"merge on (${spec.mergeKeys.mkString(",")})" else "append"
+            println(f"${id.qualified}%-32s ${spec.cdc.strategy.name}%-14s " +
+              s"$mode  cursor=(${cursor.lastTimestamp.getOrElse("-")}," +
+              s"${cursor.lastId.map(_.toString).getOrElse("-")})  WHERE $pred")
+          }
+          0
+        } else {
+          val report = r.sync(p, tableFilter)
+          println(fmtReport(report))
+          if (report.allOk) 0 else 1
+        }
 
       case "backup" =>
         val (r, p) = runner

@@ -138,6 +138,40 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     }
   }
 
+  /** Merge-mode load: staged-but-unprocessed files upserted into the
+    * warehouse by key via [[mergeInto]] (the reference's settle_orders
+    * DELETE+INSERT pipeline as a load mode). File-level blacklist semantics
+    * match [[load]]; the merge itself is key-idempotent, so a crash between
+    * the swap and the blacklist save re-merges the same rows harmlessly. */
+  def mergeLoad(spark: SparkSession, id: TableId, stagedDir: String,
+                config: CdcConfig, keys: Seq[String]): LoadResult = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wm = store.getOrCreate(id.scoped, config.strategy.name)
+    try {
+      val all = listParquetFiles(spark, stagedDir)
+      val fresh = all.filterNot(wm.processedFileSet)
+      val target = targetPath(id)
+      if (fresh.isEmpty)
+        return LoadResult(id, 0, 0, all.size.toLong, target)
+      val t0 = System.nanoTime()
+      val staged = spark.read.parquet(fresh: _*)
+      mergeInto(spark, id, staged, keys)
+      val rows = ParquetFooters.totalRows(fresh, conf)
+      val bytes = ParquetFooters.totalBytes(fresh, conf)
+      store.save(store.getOrCreate(id.scoped, config.strategy.name)
+        .afterLoadSession(fresh, rows, store.nowString()))
+      val secs = (System.nanoTime() - t0) / 1e9
+      LoadResult(id, fresh.size.toLong, rows, (all.size - fresh.size).toLong,
+        target, Nil, SessionMetrics(rows, fresh.size.toLong, bytes, secs))
+    } catch {
+      case e: Throwable =>
+        store.save(store.getOrCreate(id.scoped, config.strategy.name)
+          .markLoadFailed(Option(e.getMessage).getOrElse(e.getClass.getName),
+            store.nowString()))
+        throw e
+    }
+  }
+
   /** Merge (upsert) staged rows into the warehouse table by key, committed
     * with a DIRECTORY SWAP so readers never observe a half-written table
     * (SURVEY §7 hard-part #5 — merge atomicity without a transactional

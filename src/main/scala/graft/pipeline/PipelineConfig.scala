@@ -30,7 +30,9 @@ final case class TableSpec(
     cdc: CdcConfig,
     targetName: Option[String] = None,
     tableType: TableType = TableType.Fact,
-    countCheck: Boolean = false) {             // post-load parity gate (D7)
+    countCheck: Boolean = false,               // post-load parity gate (D7)
+    mergeKeys: Seq[String] = Nil) {            // non-empty → upsert load
+                                               // (ref settle_orders DELETE+INSERT)
   def tableId(connection: String): TableId = {
     val id = TableId.parse(s"$connection:$name")
     targetName.map(t => id.copy(table = t)).getOrElse(id)
@@ -150,6 +152,9 @@ object PipelineConfig {
     }
     val countCheck = opt(n, "validation")
       .flatMap(v => opt(v, "enable_count_check")).exists(_.asBoolean)
-    TableSpec(name, cdc, opt(n, "target_name").map(_.asText), ttype, countCheck)
+    val mergeKeys = opt(n, "merge_keys")
+      .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    TableSpec(name, cdc, opt(n, "target_name").map(_.asText), ttype,
+      countCheck, mergeKeys)
   }
 }

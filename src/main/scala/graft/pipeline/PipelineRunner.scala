@@ -105,7 +105,11 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
       val ext = Retry.withBackoff(maxAttempts)(
         extractor.extract(spark, id, df, spec.cdc))
       val load = Retry.withBackoff(maxAttempts)(
-        loader.load(spark, id, extractor.stagingDir(id), spec.cdc))
+        if (spec.mergeKeys.nonEmpty)
+          loader.mergeLoad(spark, id, extractor.stagingDir(id), spec.cdc,
+            spec.mergeKeys)
+        else
+          loader.load(spark, id, extractor.stagingDir(id), spec.cdc))
       // D7 count-parity quality gate (ref DAG quality gate,
       // prod_to_dw_mysql_sync_hourly.py:754): warehouse row count must equal
       // the watermark's cumulative loaded rows. Only meaningful for

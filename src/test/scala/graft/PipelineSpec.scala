@@ -125,6 +125,34 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(report.tables.head.table.table == "region")
   }
 
+  test("merge-mode sync upserts by key instead of appending") {
+    // hybrid CDC on orders with merge_keys: re-extracting overlapping rows
+    // must UPSERT (no duplicate keys in the warehouse)
+    val y = yaml.replace(
+      "    cdc_id_column: \"o_orderkey\"",
+      "    cdc_id_column: \"o_orderkey\"\n    merge_keys: [\"o_orderkey\"]")
+    val p = PipelineConfig.fromString(y)
+    assert(p.tables.find(_.name == "fx.orders").get.mergeKeys == Seq("o_orderkey"))
+    val work = tmpDir("pipemerge")
+    val runner = new PipelineRunner(spark, work)
+    val r1 = runner.sync(p, tableFilter = Some("orders"))
+    assert(r1.allOk, r1.tables.flatMap(_.error).mkString(";"))
+    val (store, _, loader) = runner.rigFor(p)
+    val id = p.tables.find(_.name == "fx.orders").get
+      .tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+    val n = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(loader.readTarget(spark, id).get.count() == n)
+    // force a re-extract of everything: reset cursor but keep file blacklist
+    // empty by resetting the whole watermark doc
+    store.reset(id.scoped)
+    val r2 = runner.sync(p, tableFilter = Some("orders"))
+    assert(r2.allOk)
+    val target = loader.readTarget(spark, id).get
+    assert(target.count() == n)  // upserted, not doubled
+    assert(target.groupBy("o_orderkey").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("count-parity gate passes on a clean sync and is reported") {
     val y = yaml.replace(
       "  fx.events:\n    cdc_strategy: \"id_only\"\n    cdc_id_column: \"event_id\"",
