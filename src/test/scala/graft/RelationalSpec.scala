@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions
+import graft.operators.Relational
+import graft.pipeline._
+
+/** Unit coverage for the relational operators and runner paths not already
+  * pinned by an oracle query. */
+class RelationalSpec extends AnyFunSuite with SparkTestBase {
+
+  test("profile: one row per column, exact stats + plausible HLL") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val n = orders.count()
+    val rows = Relational.profile(orders, Seq("o_orderkey", "o_orderstatus"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("o_orderkey", "o_orderstatus"))
+    val key = rows("o_orderkey")
+    assert(key.getLong(1) == n)                   // row_count
+    assert(key.getLong(2) == 0)                   // null_count
+    val approx = key.getLong(3).toDouble
+    assert(approx > n * 0.9 && approx < n * 1.1)  // HLL within 10%
+    assert(rows("o_orderstatus").getLong(3) <= 5) // tiny domain
+  }
+
+  test("alignToSchema: non-nullable string gets empty string, not NULL") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, null.asInstanceOf[String])).toDF("id", "name")
+    val target = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType, nullable = false),
+      StructField("extra", StringType, nullable = false)))
+    val out = Relational.alignToSchema(df, target).collect().head
+    assert(out.getString(1) == "")   // null → "" under non-nullable rule
+    assert(out.getString(2) == "")   // missing non-nullable string → ""
+  }
+
+  test("diffSchemas classifies added/removed/changed") {
+    val a = StructType(Seq(StructField("x", LongType), StructField("y", StringType)))
+    val b = StructType(Seq(StructField("x", IntegerType), StructField("z", StringType)))
+    val d = Relational.diffSchemas(a, b)
+    assert(d.added.map(_.name) == Seq("z"))
+    assert(d.removed.map(_.name) == Seq("y"))
+    assert(d.changed.map(_._1.name) == Seq("x"))
+    assert(!d.isCompatible)
+  }
+
+  test("excludeProcessedFiles filters rows by source file") {
+    val dir = tmpDir("excl")
+    val s = spark; import s.implicits._
+    Seq(1L, 2L).toDF("v").coalesce(1).write.parquet(s"$dir/a")
+    Seq(3L).toDF("v").coalesce(1).write.parquet(s"$dir/b")
+    val all = spark.read.parquet(s"$dir/a", s"$dir/b")
+    val aFile = all.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).find(_.contains("/a/")).get
+    val remaining = Relational.excludeProcessedFiles(all, Set(aFile))
+    assert(remaining.select("v").collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("text functions: empty and unicode edges") {
+    val s = spark; import s.implicits._
+    val df = Seq("", "   ", "汉字文本", "word").toDF("text")
+    val out = df.select(
+      TextFunctions.wordCount(col("text")).as("wc"),
+      TextFunctions.punctRatio(col("text")).as("pr"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.langId(col("text")).as("lang")).collect()
+    assert(out(0).getInt(0) == 0 && out(0).getDouble(1) == 0.0)
+    assert(out(1).getInt(0) == 0)
+    assert(out(2).getString(3) == "zh")       // CJK marker fires
+    assert(out(3).getInt(0) == 1)
+    out.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("runner: backup stages, loadOnly then drains the staged files") {
+    val yaml =
+      s"""pipeline:
+         |  name: "two_phase"
+         |  source: "$sfDir"
+         |  s3:
+         |    isolation_prefix: "tp/"
+         |tables:
+         |  fx.region:
+         |    cdc_strategy: "full_sync"
+         |""".stripMargin
+    val p = PipelineConfig.fromString(yaml)
+    val runner = new PipelineRunner(spark, tmpDir("twophase"))
+    val b = runner.backup(p)
+    assert(b.allOk && b.totalRows == spark.read.parquet(s"$sfDir/region.parquet").count())
+    val (_, _, loader) = runner.rigFor(p)
+    val id = p.tables.head.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+    assert(loader.readTarget(spark, id).isEmpty)  // backup never loads
+    val l = runner.loadOnly(p)
+    assert(l.allOk)
+    assert(loader.readTarget(spark, id).get.count() == b.totalRows)
+    // a second loadOnly drains nothing (blacklist)
+    assert(runner.loadOnly(p).totalRows == 0)
+  }
+}
