@@ -115,6 +115,21 @@ object VectorFunctions {
     IvfIndex(centroidsDf, assigned)
   }
 
+  /** Persist an IVF index: the assigned corpus written PARTITIONED BY
+    * centroid_id (so a probe reads only its nprobe cell directories —
+    * partition pruning proven in VectorSpec) plus the centroid table. */
+  def writeIvf(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"$path/cells")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reload a persisted IVF index. */
+  def readIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      centroids = spark.read.parquet(s"$path/centroids"),
+      assigned = spark.read.parquet(s"$path/cells"))
+
   /** IVF top-k: probe only the `nprobe` nearest centroid cells per query, then
     * exact cosine within the probed cells. At scale: corpus pre-partitioned
     * (and persistable, partitioned BY centroid_id on disk → partition pruning

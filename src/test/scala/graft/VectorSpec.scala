@@ -70,6 +70,32 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.95, s"LSH near-dup recall = $recall")
   }
 
+  test("persisted IVF: cell filter prunes partitions; top-k matches in-memory") {
+    val idx = VectorFunctions.buildIvf(emb, nlist = 8)
+    val path = tmpDir("ivf") + "/index"
+    VectorFunctions.writeIvf(idx, path)
+    val loaded = VectorFunctions.readIvf(spark, path)
+    assert(loaded.assigned.count() == emb.count())
+    // partition pruning: the filtered scan lists a strict subset of files
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().flatMap(_.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+            .map(_.files.size).sum
+      }).sum
+    val oneCell = loaded.assigned.filter(col("centroid_id") === 0)
+    assert(scannedFiles(oneCell) < scannedFiles(loaded.assigned),
+      "centroid_id filter did not prune partitions")
+    // same answers as the in-memory index
+    val a = VectorFunctions.ivfTopK(idx, queries, k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = VectorFunctions.ivfTopK(loaded, queries, k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("IVF assigns every corpus vector to exactly one centroid") {
     val idx = VectorFunctions.buildIvf(emb, nlist = 8)
     val n = emb.count()
