@@ -28,13 +28,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "268435456") // 256 MB
       .config("spark.sql.parquet.compression.codec", "snappy")
-      // K2 analog: S3A committer + multipart tuning (ref TransferConfig)
+      // K2 analog: S3A multipart tuning (ref TransferConfig). NOTE: on a
+      // real S3 deployment also set fs.s3a.committer.name=magic and
+      // spark.sql.sources.commitProtocolClass=...cloud.PathOutputCommitProtocol
+      // — that class ships in the spark-hadoop-cloud artifact, absent here,
+      // and Spark refuses the conf when the class is unloadable.
       .config("spark.hadoop.fs.s3a.multipart.threshold", "104857600") // 100 MB
       .config("spark.hadoop.fs.s3a.multipart.size", "52428800")       // 50 MB
       .config("spark.hadoop.fs.s3a.threads.max", "10")
-      .config("spark.hadoop.fs.s3a.committer.name", "magic")
-      .config("spark.sql.sources.commitProtocolClass",
-        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol")
     master.map(b.master).getOrElse(b)
   }
 
@@ -42,9 +43,5 @@ object GraftSession {
   def local(threads: Int = 32, appName: String = "graft"): SparkSession =
     builder(appName, Some(s"local[$threads]"), shufflePartitions = threads)
       .config("spark.ui.enabled", "false")
-      // committerless local default: PathOutputCommitProtocol needs the
-      // cloud-committer jar; the built-in protocol is right for file://
-      .config("spark.sql.sources.commitProtocolClass",
-        "org.apache.spark.sql.execution.datasources.SQLHadoopMapReduceCommitProtocol")
       .getOrCreate()
 }
