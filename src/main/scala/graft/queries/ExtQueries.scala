@@ -67,6 +67,29 @@ object ExtQueries {
         stride = 30),
       None),
 
+    // --------------------------------- native session_window (batch form)
+    // Session end = last event + gap (the operator's semantics); the oracle
+    // reproduces that from the same lag-flag construction as q_sessionize.
+    Q("q_session_window",
+      (s, dir) => StreamingPipeline.sessionWindows(
+        Tables.df(s, dir, "events"), gapMinutes = 30),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, epoch_us(ts) AS tsu,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)))
+             |SELECT user_id,
+             |  MIN(tsu) AS session_start_us,
+             |  MAX(tsu) + 1800000000 AS session_end_us,
+             |  COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id, tsu, SUM(new_session) OVER (
+             |    PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING)
+             |    AS session_seq
+             |  FROM flagged)
+             |GROUP BY user_id, session_seq""".stripMargin)),
+
     // --------------------------------------------- streaming hourly rollup
     // A REAL readStream→window agg→writeStream pass (AvailableNow, memory
     // sink, checkpointed) whose final table is checked against plain SQL.

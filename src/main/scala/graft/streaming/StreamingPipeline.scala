@@ -36,7 +36,7 @@ object StreamingPipeline {
     val stream = spark.readStream
       .schema(batchSchema)
       .parquet(streamDir)
-      .withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
 
     val agg = stream
       .withWatermark("event_ts", "1 hour")
@@ -87,6 +87,21 @@ object StreamingPipeline {
     * (only committed files are visible). */
   def readStreamingTarget(spark: SparkSession, targetDir: String) =
     spark.read.parquet(targetDir)
+
+  /** Gap-based sessions via Spark's NATIVE `session_window` (works identically
+    * in batch and streaming): session end = last event + gap, per the
+    * operator's semantics (unlike [[sessionize]], whose end = last event).
+    * Input `ts` is the fixture's epoch-ns long. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(col("user_id"),
+        session_window(col("event_ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"))
 
   /** Custom keyed state via `mapGroupsWithState`: cumulative per-user event
     * counts maintained in `GroupState` and carried ACROSS RUNS by the
