@@ -63,7 +63,16 @@ object Cli {
     val configPath = opts.get("c").orElse(opts.get("config")).getOrElse {
       System.err.println("missing -c <pipeline.yml>"); sys.exit(2); ""
     }
-    val pipeline = PipelineConfig.fromFile(configPath)
+    val pipeline =
+      try PipelineConfig.fromFile(configPath)
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          System.err.println(s"config file not found: $configPath")
+          sys.exit(2); null
+        case e: Exception =>
+          System.err.println(s"invalid pipeline config $configPath: ${e.getMessage}")
+          sys.exit(2); null
+      }
     val workDir = opts.getOrElse("work-dir", s"/tmp/graft_work/${pipeline.name}")
     val tableFilter = opts.get("t").orElse(opts.get("table"))
 
