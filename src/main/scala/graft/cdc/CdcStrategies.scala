@@ -82,7 +82,7 @@ sealed trait CdcStrategy {
     val raw =
       if (config.timestampIsUnixEpoch)
         batch.agg(date_format(to_timestamp(max(col(c))), "yyyy-MM-dd HH:mm:ss"))
-      else batch.agg(date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss"))
+      else batch.agg(date_format(max(col(c)), CdcStrategy.CursorTsFormat))
     Option(raw.head().getString(0))
   }
 }
@@ -124,7 +124,7 @@ final case class HybridStrategy(config: CdcConfig) extends CdcStrategy {
     // single-pass distributed reduction; no sort, no collect of data rows
     val row = batch.agg(max(struct(col(tsColName), col(idColName))).as("m"))
       .select(
-        date_format(col("m").getField(tsColName), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        date_format(col("m").getField(tsColName), CdcStrategy.CursorTsFormat).as("ts"),
         col("m").getField(idColName).cast("long").as("id"))
       .head()
     if (row.isNullAt(0) && row.isNullAt(1)) Cursor()
@@ -178,6 +178,15 @@ final case class CustomSqlStrategy(config: CdcConfig) extends CdcStrategy {
 }
 
 object CdcStrategy {
+  /** Cursor timestamps carry FULL microsecond precision: a source with
+    * DATETIME(3)/(6) columns would otherwise have its cursor truncated to the
+    * second and re-extract every row later in the same second on the next
+    * session (duplicates into staging). Epoch-seconds sources keep plain
+    * second format — that IS their precision. The string still parses as a
+    * timestamp literal on the predicate side (Catalyst cast handles
+    * fractional seconds), so scanSpec needs no change. */
+  val CursorTsFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
   /** Factory mirroring the reference's registry (cdc_strategy_engine.py:872-933). */
   def apply(config: CdcConfig): CdcStrategy = config.strategy match {
     case CdcStrategyKind.TimestampOnly => TimestampOnlyStrategy(config)

@@ -26,6 +26,13 @@ object CoreQueries {
   private def dec(c: Column, scale: Int): Column =
     c.cast(org.apache.spark.sql.types.DecimalType(18, scale))
 
+  /** Exact decimal SUM, emitted as DOUBLE. The aggregation stays decimal
+    * (order-independent, exact); only the FINAL value is converted, so both
+    * Spark and the DuckDB oracle hand the comparator the identical float64
+    * (Spark fixed-scale Decimals vs DuckDB float64 otherwise canonicalize
+    * differently on trailing fractional zeros — CORRECTNESS_r02 hash flags). */
+  private def dsum(c: Column, scale: Int): Column = sum(dec(c, scale)).cast("double")
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------- S1
@@ -98,12 +105,12 @@ object CoreQueries {
         Tables.df(s, dir, "lineitem").createOrReplaceTempView("lineitem")
         val cfg = CdcConfig(CdcStrategyKind.CustomSql, customSql = Some(
           """SELECT l_returnflag, COUNT(*) AS cnt,
-            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             |FROM {table_name} GROUP BY l_returnflag""".stripMargin))
         CustomSqlStrategy(cfg).run(s, "lineitem", Cursor())
       },
       Some("""SELECT l_returnflag, COUNT(*) AS cnt,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // --------------------------------------------------------- P6 additional_where
@@ -194,15 +201,15 @@ object CoreQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"), 2)).as("sum_qty"),
-          sum(dec(col("l_extendedprice"), 2)).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .as("sum_disc_price"),
           count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
              |  COUNT(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -222,12 +229,12 @@ object CoreQueries {
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
           .agg(
-            sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
               .as("revenue"),
             count(lit(1)).as("n_items"))
       },
       Some("""SELECT r_name, n_name,
-             |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
              |  COUNT(*) AS n_items
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -251,16 +258,20 @@ object CoreQueries {
             .as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey").asc)
           .limit(10)
+          // order on the exact decimal, emit double (comparator alignment)
+          .withColumn("revenue", col("revenue").cast("double"))
       },
-      Some("""SELECT l_orderkey,
-             |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
-             |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
-             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |JOIN customer ON o_custkey = c_custkey
-             |WHERE c_mktsegment = 'BUILDING'
-             |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-             |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-             |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+      Some("""SELECT l_orderkey, o_orderdate_s, CAST(revenue AS DOUBLE) AS revenue
+             |FROM (
+             |  SELECT l_orderkey,
+             |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+             |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  WHERE c_mktsegment = 'BUILDING'
+             |    AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+             |    AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+             |  GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10)"""
         .stripMargin)),
 
     // ------------------------------------ TPC-H Q4-style order priority EXISTS
@@ -304,10 +315,10 @@ object CoreQueries {
               .otherwise(0L)).as("low_line_count"))
       },
       Some("""SELECT l_linestatus,
-             |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-             |      THEN 1 ELSE 0 END) AS high_line_count,
-             |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-             |      THEN 1 ELSE 0 END) AS low_line_count
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
              |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -324,15 +335,15 @@ object CoreQueries {
           .agg(
             sum(when(col("p_type").startsWith("PROMO"),
               dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
-              .otherwise(dec(lit(0.0), 4))).as("promo_rev"),
-            sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+              .otherwise(dec(lit(0.0), 4))).cast("double").as("promo_rev"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
               .as("total_rev"))
       },
       Some("""SELECT
-             |  SUM(CASE WHEN p_type LIKE 'PROMO%'
+             |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
              |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
-             |    ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS promo_rev,
-             |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total_rev
+             |    ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
              |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin)),
@@ -344,11 +355,13 @@ object CoreQueries {
         .agg(sum(dec(col("o_totalprice"), 2)).as("spend"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("spend").desc, col("o_custkey").asc)
-        .limit(10),
-      Some("""SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
-             |  COUNT(*) AS n_orders
-             |FROM orders GROUP BY o_custkey
-             |ORDER BY spend DESC, o_custkey ASC LIMIT 10""".stripMargin)),
+        .limit(10)
+        .withColumn("spend", col("spend").cast("double")),
+      Some("""SELECT o_custkey, CAST(spend AS DOUBLE) AS spend, n_orders FROM (
+             |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+             |    COUNT(*) AS n_orders
+             |  FROM orders GROUP BY o_custkey
+             |  ORDER BY spend DESC, o_custkey ASC LIMIT 10)""".stripMargin)),
 
     // ------------------------------------------------------- J3 anti join
     Q("q_join_anti",
@@ -416,13 +429,14 @@ object CoreQueries {
           .orderBy(col("o_orderdate"), col("o_orderkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.df(s, dir, "orders")
-          .withColumn("running_spend", sum(dec(col("o_totalprice"), 2)).over(w))
+          .withColumn("running_spend",
+            sum(dec(col("o_totalprice"), 2)).over(w).cast("double"))
           .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
       },
       Some("""SELECT o_custkey, o_orderkey,
-             |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |    ROWS UNBOUNDED PRECEDING) AS running_spend
+             |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
              |FROM orders""".stripMargin)),
 
     // ------------------------------------------------------------- set ops
@@ -493,9 +507,11 @@ object CoreQueries {
           StructField("l_comment", StringType),      // missing in source → NULL
           StructField("l_returnflag", StringType)))
         Relational.alignToSchema(Tables.df(s, dir, "lineitem"), target)
+          // comparator alignment: fixed-scale decimal → float64 on both sides
+          .withColumn("l_quantity", col("l_quantity").cast("double"))
       },
       Some("""SELECT l_orderkey, l_linenumber,
-             |  CAST(l_quantity AS DECIMAL(15,4)) AS l_quantity,
+             |  CAST(CAST(l_quantity AS DECIMAL(15,4)) AS DOUBLE) AS l_quantity,
              |  CAST(NULL AS VARCHAR) AS l_comment, l_returnflag
              |FROM lineitem""".stripMargin)),
 
@@ -523,7 +539,8 @@ object CoreQueries {
              |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
              |         THEN 1 ELSE 0 END AS new_session
              |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)))
-             |SELECT user_id, session_seq, COUNT(*) AS n_events,
+             |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+             |  COUNT(*) AS n_events,
              |  MIN(tsu) AS session_start_us, MAX(tsu) AS session_end_us
              |FROM (
              |  SELECT user_id, tsu, SUM(new_session) OVER (

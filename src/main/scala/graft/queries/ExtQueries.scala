@@ -91,8 +91,9 @@ object ExtQueries {
              |GROUP BY user_id, session_seq""".stripMargin)),
 
     // --------------------------------------------- streaming hourly rollup
-    // A REAL readStream→window agg→writeStream pass (AvailableNow, memory
-    // sink, checkpointed) whose final table is checked against plain SQL.
+    // A REAL readStream→window agg→writeStream pass (AvailableNow, update-mode
+    // foreachBatch → parquet, checkpointed) whose final table is checked
+    // against plain SQL.
     Q("q_stream_hourly_rollup",
       (s, dir) => {
         Tables.df(s, dir, "events") // ensures nanosAsLong is set first
@@ -102,7 +103,7 @@ object ExtQueries {
       },
       Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
              |  event_type, COUNT(*) AS n_events,
-             |  SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -13,7 +13,16 @@ object StreamingPipeline {
 
   /** Run a bounded streaming pass over an events directory: hourly windowed
     * counts + value sums per event_type, exactly-once via checkpoint.
-    * Returns the complete aggregation result as a batch DataFrame.
+    * Returns the final aggregation state as a batch DataFrame.
+    *
+    * Sink is UPDATE-mode `foreachBatch` → distributed parquet append (each
+    * micro-batch appends the groups whose aggregate changed, tagged with its
+    * batch_id); the final state is recovered at read with latest-batch-wins
+    * per group. Unlike a complete-mode memory sink this never materializes
+    * the whole aggregate on the driver and the state store stays bounded by
+    * the watermark — the 100-TB-safe shape. A replayed batch after a crash
+    * re-appends identical rows under the same batch_id, so the read-side
+    * dedup also makes recovery idempotent.
     *
     * The events fixture carries ns-epoch longs (ts); they become proper
     * timestamps at ingest (µs truncation — Spark's native precision).
@@ -45,17 +54,31 @@ object StreamingPipeline {
         sum(col("value").cast("decimal(18,2)")).as("sum_value"))
       .select(
         unix_timestamp(col("window.start")).as("hour_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+        col("event_type"), col("n_events"),
+        // exact decimal agg; final value emitted as double
+        col("sum_value").cast("double").as("sum_value"))
 
+    val sinkDir = s"${checkpointDir}_sink"
     val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    // Latest emission per group = final aggregate state.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("hour_start"), col("event_type"))
+      .orderBy(col("batch_id").desc)
+    spark.read.parquet(sinkDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "batch_id")
   }
 
   /** Streaming incremental load: staged parquet directory → warehouse

@@ -9,7 +9,7 @@ import org.json4s.jackson.Serialization
   * One document per (source table, target), persisted as JSON.
   */
 final case class MysqlState(
-    last_timestamp: Option[String] = None,   // ISO 'yyyy-MM-dd HH:mm:ss'
+    last_timestamp: Option[String] = None,   // 'yyyy-MM-dd HH:mm:ss[.SSSSSS]'
     last_id: Option[Long] = None,
     status: String = "pending",              // pending | in_progress | success | failed
     error: Option[String] = None,

@@ -4,6 +4,14 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
+/** Thrown when a sync/extract/load session is refused because another session
+  * holds the table's lock (ref simple_watermark_manager.py:408-463: every
+  * backup session locks its table). */
+final class TableLockedException(table: String)
+  extends IllegalStateException(
+    s"table '$table' is locked by another sync session " +
+      "(break a stale lock with the CLI 'unlock' verb)")
+
 /** Hadoop-FS-backed watermark store: works identically over local FS, HDFS, or
   * S3A, so the same code path serves `local[*]` tests and a real cluster.
   *
@@ -137,6 +145,35 @@ final class WatermarkStore(rootDir: String, hadoopConf: Configuration = new Conf
     if (!f.exists(p)) return false
     val age = System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
     if (age > staleAfterMs) f.delete(p, false) else false
+  }
+
+  /** Locks held by the CURRENT THREAD through [[withTableLock]] — makes the
+    * lock reentrant along one session's call chain (runner → extractor →
+    * loader all lock the same table on one thread) while still refusing a
+    * concurrent session on another thread or process. */
+  private val heldByThread = ThreadLocal.withInitial[scala.collection.mutable.Map[String, String]](
+    () => scala.collection.mutable.Map.empty[String, String])
+
+  /** Run `body` holding the table's exclusive lock; refuse with
+    * [[TableLockedException]] if another session holds it. Reentrant per
+    * thread: nested sections on the same thread share the outer acquisition
+    * (the outermost frame releases). This is the ENFORCEMENT point the
+    * reference applies to every backup session (:408-463) — without it two
+    * concurrent syncs of one table interleave watermark saves silently. */
+  def withTableLock[A](tableName: String, target: String = "default")(body: => A): A = {
+    val key = lockPath(tableName, target).toString
+    val held = heldByThread.get()
+    if (held.contains(key)) body
+    else {
+      val token = tryLock(tableName, target)
+        .getOrElse(throw new TableLockedException(tableName))
+      held += key -> token
+      try body
+      finally {
+        held -= key
+        unlock(tableName, token, target)
+      }
+    }
   }
 
   def unlock(tableName: String, token: String, target: String = "default"): Boolean = {

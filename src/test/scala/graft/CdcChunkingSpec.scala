@@ -67,6 +67,31 @@ class CdcChunkingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hybrid keyset chunking survives MILLISECOND timestamps (cursor keeps " +
+    "sub-second precision)") {
+    // Before CdcStrategy.CursorTsFormat carried micros, the cursor was
+    // truncated to the second, so rows later in the same second were
+    // re-extracted next chunk — the `(seen & ids).isEmpty` assert catches it.
+    val cfg = CdcConfig(CdcStrategyKind.Hybrid,
+      timestampColumn = Some("ts"), idColumn = Some("id"))
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    (1 to 10).foreach { i =>
+      val (tsList, chunkSize) =
+        genCase(Gen.Parameters.default, Seed(100L + i)).get
+      // timestamps a few MILLISECONDS apart (equal-ms runs still common)
+      val rows = tsList.zipWithIndex.map { case (t, idx) =>
+        (new java.sql.Timestamp(base + t), idx.toLong)
+      }
+      val df = mkDf(rows).cache()
+      try {
+        val strategy = CdcStrategy(cfg.copy(maxRowsPerRun = Some(chunkSize.toLong)))
+        val seen = runChunked(df, strategy, rows.size)
+        assert(seen == rows.map(_._2).toSet,
+          s"chunked union != full scan (seed=${100 + i} chunk=$chunkSize)")
+      } finally df.unpersist()
+    }
+  }
+
   test("id-only chunking reproduces the full scan") {
     val cfg = CdcConfig(CdcStrategyKind.IdOnly, idColumn = Some("id"),
       maxRowsPerRun = Some(3L))

@@ -101,15 +101,16 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     val streamed = StreamingPipeline.hourlyEventRollup(spark,
       s"$sfDir/events.parquet", tmpDir("ckpt"), name)
       .collect().map(r => (r.getLong(0), r.getString(1)) ->
-        (r.getLong(2), r.getDecimal(3))).toMap
+        (r.getLong(2), r.getDouble(3))).toMap
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
       .select(unix_timestamp(col("window.start")).as("hs"), col("event_type"),
         col("n"), col("sv"))
       .collect().map(r => (r.getLong(0), r.getString(1)) ->
-        (r.getLong(2), r.getDecimal(3))).toMap
+        (r.getLong(2), r.getDouble(3))).toMap
     assert(streamed == batch)
   }
 }
