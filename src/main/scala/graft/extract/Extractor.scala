@@ -37,9 +37,20 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
     case _ => s"$stagingRoot/${id.table}"
   }
 
-  /** Run one extract session for `id`, reading from `df` (already sourced). */
+  /** Run one extract session for `id`, reading from `df` (already sourced).
+    * Holds the table's exclusive session lock for the whole extract — a
+    * second concurrent session of the same table is REFUSED with
+    * [[graft.watermark.TableLockedException]] (ref locks every backup
+    * session, simple_watermark_manager.py:408-463). Reentrant under an
+    * outer [[graft.pipeline.PipelineRunner]] sync lock on the same thread. */
   def extract(spark: SparkSession, id: TableId, df: DataFrame,
-              config: CdcConfig, ceiling: Option[Long] = None): ExtractResult = {
+              config: CdcConfig, ceiling: Option[Long] = None): ExtractResult =
+    store.withTableLock(id.scoped) {
+      extractLocked(spark, id, df, config, ceiling)
+    }
+
+  private def extractLocked(spark: SparkSession, id: TableId, df: DataFrame,
+                            config: CdcConfig, ceiling: Option[Long]): ExtractResult = {
     val strategy = CdcStrategy(config)
     val wm = store.getOrCreate(id.scoped, config.strategy.name)
     store.save(wm.markExtractInProgress(store.nowString()))
@@ -76,18 +87,25 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
           .parquet(sessionDir)
       }
 
-      // Post-write accounting is METADATA-ONLY: row/byte counts come from the
-      // parquet footers (no second data scan). The cursor agg below reads only
-      // the ts/id columns of the session output — a pruned columnar scan, not
-      // a re-read of the batch.
+      // Post-write accounting is METADATA-ONLY: one recursive listing gives
+      // paths+bytes, ONE footer open per file gives rows — and, for id-only
+      // CDC, the exact max(id) from the footer int64 statistics, so the
+      // cursor needs NO post-write read at all. Other strategies recover the
+      // cursor with a pruned columnar scan of only the ts/id columns.
       val conf = spark.sparkContext.hadoopConfiguration
-      val fileList = listParquetFiles(spark, sessionDir)
-      val rows = ParquetFooters.totalRows(fileList, conf)
-      val bytes = ParquetFooters.totalBytes(fileList, conf)
-      val files = fileList.size.toLong
+      val listed = listParquetFilesWithSize(spark, sessionDir)
+      val statsCursorCol =
+        if (config.strategy == CdcStrategyKind.IdOnly) config.idColumn else None
+      val (rows, footerMax) =
+        ParquetFooters.scanStats(listed.map(_._1), conf, statsCursorCol)
+      val bytes = listed.map(_._2).sum
+      val files = listed.size.toLong
       val next =
-        if (rows > 0) strategy.extractCursor(spark.read.parquet(sessionDir))
-        else cursor
+        if (rows == 0) cursor
+        else footerMax match {
+          case Some(m) if statsCursorCol.isDefined => Cursor(lastId = Some(m))
+          case _ => strategy.extractCursor(spark.read.parquet(sessionDir))
+        }
 
       val done = store.getOrCreate(id.scoped, config.strategy.name)
         .afterExtractSession(next.lastTimestamp.orElse(cursor.lastTimestamp),
@@ -119,16 +137,23 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
       case _ => None
     }
 
-  private[extract] def listParquetFiles(spark: SparkSession, dir: String): Seq[String] = {
+  private[extract] def listParquetFiles(spark: SparkSession, dir: String): Seq[String] =
+    listParquetFilesWithSize(spark, dir).map(_._1)
+
+  /** One recursive listing returning (path, bytes) — the LocatedFileStatus
+    * already carries the length, so sizes cost zero extra namenode RPCs. */
+  private[extract] def listParquetFilesWithSize(spark: SparkSession,
+                                                dir: String): Seq[(String, Long)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Nil
     else {
       val it = fs.listFiles(path, true)
-      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+        if (f.getPath.getName.endsWith(".parquet"))
+          buf += ((f.getPath.toString, f.getLen))
       }
       buf.toSeq
     }

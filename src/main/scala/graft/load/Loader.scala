@@ -55,11 +55,20 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     *  - row counts come from the validated footers, not a second data scan.
     */
   def load(spark: SparkSession, id: TableId, stagedDir: String,
-           config: CdcConfig, truncate: Boolean = false): LoadResult = {
+           config: CdcConfig, truncate: Boolean = false): LoadResult =
+    store.withTableLock(id.scoped) {
+      loadLocked(spark, id, stagedDir, config, truncate)
+    }
+
+  private def loadLocked(spark: SparkSession, id: TableId, stagedDir: String,
+                         config: CdcConfig, truncate: Boolean): LoadResult = {
     val conf = spark.sparkContext.hadoopConfiguration
     val wm = store.getOrCreate(id.scoped, config.strategy.name)
     try {
-      val all = listParquetFiles(spark, stagedDir)
+      // one recursive listing carries the byte sizes too (zero extra RPCs)
+      val allWithSize = listParquetFilesWithSize(spark, stagedDir)
+      val sizeByFile = allWithSize.toMap
+      val all = allWithSize.map(_._1)
       val blacklist = wm.processedFileSet
       // newest-first trim (O4, ref gemini_redshift_loader.py:488-492): a huge
       // backlog can't starve fresh data; older files load in later sessions
@@ -74,11 +83,14 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
         return LoadResult(id, 0, 0, all.size.toLong, target)
       }
 
-      // per-file validation gate: corrupt footers → quarantine, not failure
-      val (valid, quarantined) = fresh.partition { f =>
-        try { ParquetFooters.rowCount(f, conf); true }
-        catch { case _: Throwable => false }
-      }
+      // per-file validation gate: corrupt footers → quarantine, not failure.
+      // The SAME footer open yields the row count, reused for sub-batch
+      // accounting below — each footer is read exactly once per session.
+      val rowsByFile: Map[String, Long] = fresh.flatMap { f =>
+        try Some(f -> ParquetFooters.rowCount(f, conf))
+        catch { case _: Throwable => None }
+      }.toMap
+      val (valid, quarantined) = fresh.partition(rowsByFile.contains)
 
       val t0 = System.nanoTime()
       var loadedRows = 0L
@@ -108,9 +120,10 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
           val mode = if (doTruncate && first) SaveMode.Overwrite else SaveMode.Append
           staged.write.mode(mode).option("compression", "snappy").parquet(target)
           first = false
-          val rows = ParquetFooters.totalRows(group, conf)
+          val rows = group.map(rowsByFile).sum
           loadedRows += rows
-          loadedBytes += ParquetFooters.totalBytes(group, conf)
+          loadedBytes += group.map(f =>
+            sizeByFile.getOrElse(f, ParquetFooters.fileSize(f, conf))).sum
           // commit the blacklist for THIS sub-batch before starting the next
           store.save(store.getOrCreate(id.scoped, config.strategy.name)
             .afterLoadSession(group, rows, store.nowString()))
@@ -144,7 +157,13 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     * match [[load]]; the merge itself is key-idempotent, so a crash between
     * the swap and the blacklist save re-merges the same rows harmlessly. */
   def mergeLoad(spark: SparkSession, id: TableId, stagedDir: String,
-                config: CdcConfig, keys: Seq[String]): LoadResult = {
+                config: CdcConfig, keys: Seq[String]): LoadResult =
+    store.withTableLock(id.scoped) {
+      mergeLoadLocked(spark, id, stagedDir, config, keys)
+    }
+
+  private def mergeLoadLocked(spark: SparkSession, id: TableId, stagedDir: String,
+                              config: CdcConfig, keys: Seq[String]): LoadResult = {
     val conf = spark.sparkContext.hadoopConfiguration
     val wm = store.getOrCreate(id.scoped, config.strategy.name)
     try {
@@ -223,20 +242,33 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     else None
   }
 
-  private def listParquetFiles(spark: SparkSession, dir: String): Seq[String] = {
+  private def listParquetFiles(spark: SparkSession, dir: String): Seq[String] =
+    listParquetFilesWithSize(spark, dir).map(_._1)
+
+  /** One recursive listing returning (path, bytes), sorted by path. */
+  private def listParquetFilesWithSize(spark: SparkSession,
+                                       dir: String): Seq[(String, Long)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Nil
     else {
       val it = fs.listFiles(path, true)
-      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+        if (f.getPath.getName.endsWith(".parquet"))
+          buf += ((f.getPath.toString, f.getLen))
       }
-      buf.sorted.toSeq
+      buf.sortBy(_._1).toSeq
     }
   }
+
+  /** Warehouse row count from parquet FOOTERS — O(files) metadata reads, no
+    * data scan. The count-parity gate at 100 TB costs seconds of namenode
+    * time instead of a full table scan per sync. */
+  def targetRowCount(spark: SparkSession, id: TableId): Long =
+    ParquetFooters.totalRows(listParquetFiles(spark, targetPath(id)),
+      spark.sparkContext.hadoopConfiguration)
 
   /** Load staged files into a BUCKETED catalog table — the materialized form
     * of the DISTKEY/SORTKEY analog below: `bucketBy(distKey)` hash-partitions

@@ -100,28 +100,36 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
                        extractor: Extractor, loader: Loader): TableReport = {
     val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
     val t0 = System.nanoTime()
+    // ONE session lock spans extract+load+parity: a second concurrent sync of
+    // the same table is refused outright (TableLockedException → failed
+    // report) instead of interleaving watermark saves with this one. The
+    // extractor/loader's own locks are reentrant under it (same thread).
     Try {
-      val df = cat.table(spark, spec.name)
-      val ext = Retry.withBackoff(maxAttempts)(
-        extractor.extract(spark, id, df, spec.cdc))
-      val load = Retry.withBackoff(maxAttempts)(
-        if (spec.mergeKeys.nonEmpty)
-          loader.mergeLoad(spark, id, extractor.stagingDir(id), spec.cdc,
-            spec.mergeKeys)
-        else
-          loader.load(spark, id, extractor.stagingDir(id), spec.cdc))
-      // D7 count-parity quality gate (ref DAG quality gate,
-      // prod_to_dw_mysql_sync_hourly.py:754): warehouse row count must equal
-      // the watermark's cumulative loaded rows. Only meaningful for
-      // append-style loads (replace resets the target but not the counter).
-      val parity: Option[Boolean] =
-        if (spec.countCheck && !spec.cdc.requiresTruncateBeforeLoad) {
-          val targetRows = loader.readTarget(spark, id).map(_.count()).getOrElse(0L)
-          val wmRows = extractor.store.get(id.scoped)
-            .map(_.redshift_state.total_rows).getOrElse(0L)
-          Some(targetRows == wmRows)
-        } else None
-      (ext, load, parity)
+      extractor.store.withTableLock(id.scoped) {
+        val df = cat.table(spark, spec.name)
+        val ext = Retry.withBackoff(maxAttempts)(
+          extractor.extract(spark, id, df, spec.cdc))
+        val load = Retry.withBackoff(maxAttempts)(
+          if (spec.mergeKeys.nonEmpty)
+            loader.mergeLoad(spark, id, extractor.stagingDir(id), spec.cdc,
+              spec.mergeKeys)
+          else
+            loader.load(spark, id, extractor.stagingDir(id), spec.cdc))
+        // D7 count-parity quality gate (ref DAG quality gate,
+        // prod_to_dw_mysql_sync_hourly.py:754): warehouse row count must equal
+        // the watermark's cumulative loaded rows. Only meaningful for
+        // append-style loads (replace resets the target but not the counter).
+        // The count comes from parquet FOOTERS — O(files) metadata reads, not
+        // a full scan of the warehouse per sync.
+        val parity: Option[Boolean] =
+          if (spec.countCheck && !spec.cdc.requiresTruncateBeforeLoad) {
+            val targetRows = loader.targetRowCount(spark, id)
+            val wmRows = extractor.store.get(id.scoped)
+              .map(_.redshift_state.total_rows).getOrElse(0L)
+            Some(targetRows == wmRows)
+          } else None
+        (ext, load, parity)
+      }
     } match {
       case Success((ext, load, parity)) =>
         TableReport(id, ok = parity.forall(identity), Some(ext), Some(load),
@@ -151,8 +159,26 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
           }
         })
       }
-      futures.map(_.get(p.processing.timeoutMinutes.toLong, TimeUnit.MINUTES))
-    } finally pool.shutdown()
+      // A table exceeding the timeout becomes a FAILED report for that table
+      // only — completed tables keep their results, and the stuck task is
+      // interrupted via shutdownNow in the finally (it must not keep running
+      // and mutating watermarks after the sync returned).
+      futures.zip(specs).map { case (fut, spec) =>
+        Try(fut.get(p.processing.timeoutMinutes.toLong, TimeUnit.MINUTES)) match {
+          case Success(report) => report
+          case Failure(e) =>
+            fut.cancel(true)
+            TableReport(spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_")),
+              ok = false, None, None,
+              Some(e match {
+                case _: java.util.concurrent.TimeoutException =>
+                  s"timed out after ${p.processing.timeoutMinutes} minutes"
+                case other => Option(other.getMessage).getOrElse(other.getClass.getName)
+              }),
+              (p.processing.timeoutMinutes.toLong * 60).toDouble)
+        }
+      }
+    } finally pool.shutdownNow()
   }
 
   /** Extract-only (CLI `backup`). */

@@ -73,4 +73,45 @@ object ParquetFooters {
 
   def totalBytes(files: Seq[String], conf: Configuration): Long =
     files.map(fileSize(_, conf)).sum
+
+  /** ONE footer open per file: total rows plus (optionally) the exact MAX of
+    * an integral column taken from the footer column statistics. Lets an
+    * id-only cursor be recovered with ZERO data read after a write (int64
+    * stats in parquet footers are exact, never truncated). Returns None for
+    * the max when any row-bearing block lacks stats for the column — callers
+    * must then fall back to a scan. */
+  def scanStats(files: Seq[String], conf: Configuration,
+                maxLongCol: Option[String] = None): (Long, Option[Long]) = {
+    import scala.jdk.CollectionConverters._
+    var rows = 0L
+    var max: Option[Long] = None
+    var statsComplete = maxLongCol.isDefined
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { b =>
+          rows += b.getRowCount
+          if (statsComplete && b.getRowCount > 0) {
+            val colMax = b.getColumns.asScala
+              .find(_.getPath.toDotString == maxLongCol.get)
+              .flatMap { c =>
+                val st = c.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue) None
+                else st.genericGetMax match {
+                  case l: java.lang.Long    => Some(l.longValue())
+                  case i: java.lang.Integer => Some(i.longValue())
+                  case _                    => None
+                }
+              }
+            colMax match {
+              case Some(m) => max = Some(max.fold(m)(math.max(m, _)))
+              case None    => statsComplete = false
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    (rows, if (statsComplete) max else None)
+  }
 }

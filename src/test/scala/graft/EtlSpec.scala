@@ -64,6 +64,55 @@ class EtlSpec extends AnyFunSuite with SparkTestBase {
     assert(wm.redshift_state.error.exists(_.contains("quarantined 1")))
   }
 
+  test("a second concurrent session of the same table is REFUSED by the lock") {
+    val (_, store, extractor, loader) = rig()
+    // another process's in-flight session holds the lock
+    val token = store.tryLock(id.scoped).get
+    intercept[graft.watermark.TableLockedException] {
+      extractor.extract(spark, id, events, cfg)
+    }
+    intercept[graft.watermark.TableLockedException] {
+      loader.load(spark, id, extractor.stagingDir(id), cfg)
+    }
+    // the refused sessions must not have mutated the watermark
+    assert(store.get(id.scoped).isEmpty)
+    store.unlock(id.scoped, token)
+    // once released, the session proceeds normally end-to-end
+    val ext = extractor.extract(spark, id, events, cfg)
+    assert(ext.rows == events.count())
+    val load = loader.load(spark, id, extractor.stagingDir(id), cfg)
+    assert(load.loadedRows == events.count())
+  }
+
+  test("withTableLock is reentrant on one thread (runner→extractor chain)") {
+    val (_, store, extractor, _) = rig()
+    // outer session lock (as PipelineRunner.runTable takes it), inner
+    // extractor lock on the same thread must re-enter, not deadlock/refuse
+    val ext = store.withTableLock(id.scoped) {
+      extractor.extract(spark, id, events, cfg)
+    }
+    assert(ext.rows == events.count())
+    // outer frame released the lock on exit
+    val t = store.tryLock(id.scoped)
+    assert(t.isDefined)
+    store.unlock(id.scoped, t.get)
+  }
+
+  test("footer-based target row count runs ZERO Spark jobs (parity at scale)") {
+    val (_, _, extractor, loader) = rig()
+    extractor.extract(spark, id, events, cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    val expected = events.count()
+    Thread.sleep(300) // drain async listener events from the loads above
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val counted = loader.targetRowCount(spark, id)
+    Thread.sleep(300)
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(counted == expected)
+    assert(after == before, "parity count must not launch a Spark job")
+  }
+
   test("incremental extract resumes from the committed cursor") {
     val (_, store, extractor, loader) = rig()
     val firstHalf = events.filter(col("event_id") <= 300)
