@@ -68,7 +68,7 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
       val batch = bounded(df)
 
       val outDir = stagingDir(id)
-      val partitionCols = datetimePartitionCols(batch, config)
+      val partitionCols = datetimePartitionCols(batch, config, id)
       val sessionTag = System.nanoTime() // ms-resolution collided for rapid sequential sessions
       val sessionDir = s"$outDir/session=$sessionTag"
 
@@ -123,19 +123,35 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
     }
   }
 
-  /** datetime/hybrid layouts derive year/month/day partition columns from the
-    * CDC timestamp (ref generate_s3_key, s3_manager.py:179-211). */
-  private def datetimePartitionCols(df: DataFrame, config: CdcConfig)
-      : Option[(DataFrame, Seq[String])] =
+  /** datetime/hybrid layouts derive partition columns from the CDC timestamp,
+    * matching the reference's key shapes EXACTLY (generate_s3_key,
+    * s3_manager.py:179-211): datetime = `year/month/day/hour`, hybrid =
+    * `year/month/table/day/hour` (the table level interleaved mid-path).
+    * month/day/hour are zero-padded like the reference's `%02d`. The derived
+    * columns live only in the directory structure — the loader reads staged
+    * LEAF FILES directly, so they never enter the warehouse schema. */
+  private def datetimePartitionCols(df: DataFrame, config: CdcConfig, id: TableId)
+      : Option[(DataFrame, Seq[String])] = {
+    def pad2(c: org.apache.spark.sql.Column) = format_string("%02d", c)
     (partitionStrategy, config.timestampColumn) match {
-      case (PartitionStrategy.Datetime | PartitionStrategy.Hybrid, Some(ts)) =>
+      case (PartitionStrategy.Datetime, Some(ts)) =>
         val withParts = df
           .withColumn("year", year(col(ts)))
-          .withColumn("month", month(col(ts)))
-          .withColumn("day", dayofmonth(col(ts)))
-        Some((withParts, Seq("year", "month", "day")))
+          .withColumn("month", pad2(month(col(ts))))
+          .withColumn("day", pad2(dayofmonth(col(ts))))
+          .withColumn("hour", pad2(hour(col(ts))))
+        Some((withParts, Seq("year", "month", "day", "hour")))
+      case (PartitionStrategy.Hybrid, Some(ts)) =>
+        val withParts = df
+          .withColumn("year", year(col(ts)))
+          .withColumn("month", pad2(month(col(ts))))
+          .withColumn("table", lit(id.table))
+          .withColumn("day", pad2(dayofmonth(col(ts))))
+          .withColumn("hour", pad2(hour(col(ts))))
+        Some((withParts, Seq("year", "month", "table", "day", "hour")))
       case _ => None
     }
+  }
 
   private[extract] def listParquetFiles(spark: SparkSession, dir: String): Seq[String] =
     listParquetFilesWithSize(spark, dir).map(_._1)

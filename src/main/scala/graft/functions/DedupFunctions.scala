@@ -31,11 +31,20 @@ object DedupFunctions {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Dataset with exact duplicates removed (keeps min-id per content). */
+  /** Dataset with exact duplicates removed (keeps min-id per content).
+    * SINGLE-PASS: one scan, one shuffle (rows hashed by fingerprint, then
+    * row_number keeps the min-id row per content). The previous
+    * groups-then-semi-join form cost two full scans plus a second full-row
+    * shuffle on the id join — strictly worse at any scale, since dedup must
+    * move each surviving row through one exchange anyway. */
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = exactDuplicateGroups(docs, idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    docs.join(keep, Seq(idCol), "left_semi")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    docs
+      .withColumn("__fp", TextFunctions.fingerprintMd5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
   }
 
   // --------------------------------------------------------------------------

@@ -36,7 +36,8 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
                    commitBatchFiles: Int = 64,
                    maxFilesPerLoad: Option[Int] = None,
                    evolutionPolicy: EvolutionPolicy = EvolutionPolicy.AdditiveOnly,
-                   normalizeColumns: Boolean = false) {
+                   normalizeColumns: Boolean = false,
+                   mergeBuckets: Option[Int] = None) {
 
   def targetPath(id: TableId): String = s"$warehouseRoot/${id.safeName}"
 
@@ -174,7 +175,10 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
         return LoadResult(id, 0, 0, all.size.toLong, target)
       val t0 = System.nanoTime()
       val staged = spark.read.parquet(fresh: _*)
-      mergeInto(spark, id, staged, keys)
+      mergeBuckets match {
+        case Some(n) => mergeIntoBucketed(spark, id, staged, keys, n)
+        case None    => mergeInto(spark, id, staged, keys)
+      }
       val rows = ParquetFooters.totalRows(fresh, conf)
       val bytes = ParquetFooters.totalBytes(fresh, conf)
       store.save(store.getOrCreate(id.scoped, config.strategy.name)
@@ -231,14 +235,117 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     rows
   }
 
+  /** Bucket-partition column for [[mergeIntoBucketed]] targets. Internal —
+    * stripped by [[readTarget]]. */
+  private val BucketCol = "__gbucket"
+
+  /** Merge (upsert) into a BUCKET-PARTITIONED warehouse table, rewriting only
+    * the buckets that contain staged keys — the scale-correct form of
+    * [[mergeInto]] (which rewrites the whole target every increment). The
+    * target is laid out `<target>/__gbucket=<pmod(hash(keys), n)>/...`; a CDC
+    * increment touching k distinct buckets reads+rewrites k/n of the table,
+    * mirroring the row-targeted cost of the reference's DELETE+INSERT inside
+    * Redshift (settle_orders_download_and_sync.py:326-388).
+    *
+    * Atomicity: each affected bucket commits with its own directory swap
+    * (rename to a dot-prefixed dir — invisible to Spark's listing — then
+    * rename in). Across buckets the merge is not one transaction, but it IS
+    * key-idempotent: re-running after a mid-merge crash converges, because a
+    * bucket merged twice with the same staged rows produces the same rows.
+    */
+  def mergeIntoBucketed(spark: SparkSession, id: TableId, staged: DataFrame,
+                        keys: Seq[String], buckets: Int = 64): Long = {
+    require(buckets > 0, "buckets must be positive")
+    val target = targetPath(id)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tgt = new org.apache.hadoop.fs.Path(target)
+    val fs = tgt.getFileSystem(conf)
+    val withBucket = staged.withColumn(BucketCol,
+      pmod(hash(keys.map(col): _*), lit(buckets)))
+
+    if (!fs.exists(tgt)) {
+      // bootstrap: lay the table out bucketed from the first load
+      withBucket.write.mode(SaveMode.Overwrite)
+        .option("compression", "snappy")
+        .partitionBy(BucketCol).parquet(target)
+      return targetRowCount(spark, id)
+    }
+
+    // migration path: an existing NON-bucketed target is converted with one
+    // full bucketed rewrite (the old mergeInto cost, paid once), after which
+    // every increment is bucket-targeted
+    val isBucketed = fs.listStatus(tgt)
+      .exists(_.getPath.getName.startsWith(s"$BucketCol="))
+    if (!isBucketed) {
+      val existingAll = spark.read.parquet(target)
+      val survivorsAll = existingAll.join(
+        staged.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
+      val mergedAll = survivorsAll.unionByName(
+        withBucket.select(survivorsAll.columns.map(col).toIndexedSeq: _*))
+      val newRoot0 = new org.apache.hadoop.fs.Path(target + ".__new")
+      val oldRoot0 = new org.apache.hadoop.fs.Path(target + ".__old")
+      fs.delete(newRoot0, true); fs.delete(oldRoot0, true)
+      mergedAll.write.mode(SaveMode.Overwrite)
+        .option("compression", "snappy")
+        .partitionBy(BucketCol).parquet(newRoot0.toString)
+      if (!fs.rename(tgt, oldRoot0))
+        throw new java.io.IOException(s"swap failed: $tgt -> $oldRoot0")
+      if (!fs.rename(newRoot0, tgt)) {
+        fs.rename(oldRoot0, tgt)
+        throw new java.io.IOException(s"swap failed: $newRoot0 -> $tgt")
+      }
+      fs.delete(oldRoot0, true)
+      return targetRowCount(spark, id)
+    }
+
+    val affected = withBucket.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return targetRowCount(spark, id)
+
+    // partition pruning keeps the read to the affected bucket dirs only
+    val existing = spark.read.parquet(target)
+      .filter(col(BucketCol).isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
+    val survivors = existing.join(
+      staged.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val mergedSlice = survivors.unionByName(
+      withBucket.select(survivors.columns.map(col).toIndexedSeq: _*))
+
+    val newRoot = new org.apache.hadoop.fs.Path(target + ".__new")
+    fs.delete(newRoot, true)
+    mergedSlice.write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .partitionBy(BucketCol).parquet(newRoot.toString)
+
+    affected.foreach { b =>
+      val newB = new org.apache.hadoop.fs.Path(newRoot, s"$BucketCol=$b")
+      val curB = new org.apache.hadoop.fs.Path(tgt, s"$BucketCol=$b")
+      val oldB = new org.apache.hadoop.fs.Path(tgt, s".__old_$b")
+      fs.delete(oldB, true)
+      if (fs.exists(curB) && !fs.rename(curB, oldB))
+        throw new java.io.IOException(s"bucket swap failed: $curB -> $oldB")
+      // a bucket can be newly-born (no staged key hashed there before):
+      // newB may not exist if the merge produced zero rows for it
+      if (fs.exists(newB) && !fs.rename(newB, curB)) {
+        fs.rename(oldB, curB) // roll back this bucket
+        throw new java.io.IOException(s"bucket swap failed: $newB -> $curB")
+      }
+      fs.delete(oldB, true)
+    }
+    fs.delete(newRoot, true)
+    targetRowCount(spark, id)
+  }
+
   /** Read the warehouse table (empty DataFrame if never loaded). mergeSchema
     * so additively-evolved tables surface the union schema (old files read
-    * NULL for new columns). */
+    * NULL for new columns). Bucketed-merge targets surface WITHOUT the
+    * internal bucket column. */
   def readTarget(spark: SparkSession, id: TableId): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(targetPath(id))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
-      Some(spark.read.option("mergeSchema", "true").parquet(targetPath(id)))
+      Some(spark.read.option("mergeSchema", "true").parquet(targetPath(id))
+        .drop(BucketCol))
     else None
   }
 

@@ -53,9 +53,11 @@ final case class Pipeline(
 
 /** YAML pipeline loader: same document shape as the reference's
   * config/pipelines YAML files (configuration_manager.py:377-531), including
-  * `${ENV_VAR}` / `${ENV_VAR:default}` interpolation (:443-531). Unknown keys
-  * are ignored (the reference carries many monitoring/validation blocks that
-  * have no Spark analog). */
+  * `${ENV_VAR}` / `${ENV_VAR:default}` interpolation (:443-531) and
+  * template inheritance via a top-level `extends: <path>` key (:377-443 —
+  * child keys deep-merge over the template's; objects merge recursively,
+  * scalars and lists replace). Unknown keys are ignored (the reference
+  * carries many monitoring/validation blocks that have no Spark analog). */
 object PipelineConfig {
 
   private val mapper = new ObjectMapper(new YAMLFactory())
@@ -63,11 +65,64 @@ object PipelineConfig {
   def fromFile(path: String, env: Map[String, String] = sys.env): Pipeline = {
     val raw = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-    fromString(raw, env)
+    fromString(raw, env,
+      baseDir = Option(java.nio.file.Paths.get(path).toAbsolutePath.getParent)
+        .map(_.toString))
   }
 
-  def fromString(yaml: String, env: Map[String, String] = sys.env): Pipeline =
-    parse(mapper.readTree(interpolate(yaml, env)))
+  def fromString(yaml: String, env: Map[String, String] = sys.env,
+                 baseDir: Option[String] = None): Pipeline = {
+    val node = mapper.readTree(interpolate(yaml, env))
+    parse(resolveExtends(node, baseDir, env, depth = 0))
+  }
+
+  /** Resolve the `extends:` chain: load the template (path relative to the
+    * extending file), recurse for ITS `extends`, then deep-merge the child
+    * over it. Depth-capped against cycles. */
+  private def resolveExtends(node: JsonNode, baseDir: Option[String],
+                             env: Map[String, String], depth: Int): JsonNode = {
+    val ext = Option(node.get("extends")).filterNot(_.isNull).map(_.asText)
+    ext match {
+      case None => node
+      case Some(rel) =>
+        if (depth >= 10) throw new IllegalArgumentException(
+          s"extends chain deeper than 10 — inheritance cycle? (at $rel)")
+        val path = baseDir match {
+          case Some(d) => java.nio.file.Paths.get(d).resolve(rel).toString
+          case None => rel
+        }
+        val raw = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+        val parentDir = Option(
+          java.nio.file.Paths.get(path).toAbsolutePath.getParent).map(_.toString)
+        val parent = resolveExtends(
+          mapper.readTree(interpolate(raw, env)), parentDir, env, depth + 1)
+        val child = node.deepCopy[JsonNode]()
+        child.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .remove("extends")
+        deepMerge(parent, child)
+    }
+  }
+
+  /** Objects merge recursively; scalars/arrays in the child REPLACE the
+    * parent's (a child overriding one table knob keeps the template's other
+    * knobs for that table, but a child list like `cdc_ordering` replaces the
+    * whole list — partial list merge is never what a config author means). */
+  private[pipeline] def deepMerge(parent: JsonNode, child: JsonNode): JsonNode = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    (parent, child) match {
+      case (p: ObjectNode, c: ObjectNode) =>
+        val out = p.deepCopy[ObjectNode]()
+        c.properties().asScala.foreach { e =>
+          val k = e.getKey
+          if (out.has(k) && out.get(k).isObject && e.getValue.isObject)
+            out.set[JsonNode](k, deepMerge(out.get(k), e.getValue))
+          else out.set[JsonNode](k, e.getValue.deepCopy[JsonNode]())
+        }
+        out
+      case _ => child
+    }
+  }
 
   /** `${VAR}` or `${VAR:default}` → env value (ref env interpolation,
     * configuration_manager.py:443-531). Missing var with no default throws. */

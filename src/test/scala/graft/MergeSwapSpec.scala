@@ -56,6 +56,72 @@ class MergeSwapSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == orders.filter(col("o_orderkey") <= 100).count())
   }
 
+  test("bucketed merge rewrites ONLY the buckets containing staged keys") {
+    val root = tmpDir("bmerge")
+    val store = new WatermarkStore(s"$root/wm")
+    val loader = new Loader(store, s"$root/warehouse")
+    val nBuckets = 16
+    // bootstrap a bucketed target
+    loader.mergeIntoBucketed(spark, id,
+      orders.filter(col("o_orderkey") <= 1000), Seq("o_orderkey"), nBuckets)
+    val targetDir = new java.io.File(loader.targetPath(id))
+    def bucketFiles(): Map[String, Map[String, (Long, Long)]] =
+      targetDir.listFiles().filter(_.getName.startsWith("__gbucket="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+        }.toMap
+    val before = bucketFiles()
+    assert(before.nonEmpty)
+
+    // stage a single-key update → exactly one bucket affected
+    val staged = orders.filter(col("o_orderkey") === 500)
+      .withColumn("o_orderstatus", lit("U"))
+    val total = loader.mergeIntoBucketed(spark, id, staged, Seq("o_orderkey"), nBuckets)
+    val expectedBucket = spark.range(1)
+      .select(pmod(hash(lit(500L)), lit(nBuckets))).head().getInt(0)
+
+    val after = bucketFiles()
+    // untouched buckets: identical file names, sizes, and mtimes (never rewritten)
+    before.foreach { case (bucket, files) =>
+      if (bucket != s"__gbucket=$expectedBucket")
+        assert(after(bucket) == files, s"bucket $bucket was rewritten")
+    }
+    // the affected bucket WAS rewritten
+    assert(after(s"__gbucket=$expectedBucket") !=
+      before(s"__gbucket=$expectedBucket"))
+    // merge semantics: count unchanged, key 500 updated, readTarget clean
+    val tgt = loader.readTarget(spark, id).get
+    assert(total == orders.filter(col("o_orderkey") <= 1000).count())
+    assert(tgt.count() == total)
+    assert(tgt.filter(col("o_orderkey") === 500).select("o_orderstatus")
+      .head().getString(0) == "U")
+    assert(!tgt.columns.contains("__gbucket"))
+  }
+
+  test("bucketed merge converts a non-bucketed target once, then targets buckets") {
+    val root = tmpDir("bmerge2")
+    val store = new WatermarkStore(s"$root/wm")
+    val extractor = new Extractor(store, s"$root/staging")
+    val loader = new Loader(store, s"$root/warehouse")
+    // plain (non-bucketed) load first
+    extractor.extract(spark, id, orders.filter(col("o_orderkey") <= 800), cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    // bucketed merge over it: converts layout + applies the upsert
+    val staged = orders.filter(col("o_orderkey").between(700, 900))
+      .withColumn("o_orderstatus", lit("U"))
+    loader.mergeIntoBucketed(spark, id, staged, Seq("o_orderkey"), 8)
+    val tgt = loader.readTarget(spark, id).get
+    assert(tgt.filter(col("o_orderkey").between(700, 900) &&
+      col("o_orderstatus") =!= "U").count() == 0)
+    assert(tgt.count() ==
+      orders.filter(col("o_orderkey") <= 800 || col("o_orderkey").between(700, 900))
+        .count())
+    // layout is now bucketed
+    val dirs = new java.io.File(loader.targetPath(id)).listFiles()
+    assert(dirs.exists(_.getName.startsWith("__gbucket=")))
+  }
+
   test("bucketed load: co-located join has NO shuffle exchange") {
     val root = tmpDir("bucketed")
     val store = new WatermarkStore(s"$root/wm")
@@ -85,6 +151,41 @@ class MergeSwapSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(!hasExchange, "bucketed join still shuffled:\n" +
       joined.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  test("partition layouts match the reference's three key shapes") {
+    // ref generate_s3_key (s3_manager.py:179-211):
+    //   datetime: year=Y/month=MM/day=DD/hour=HH
+    //   table:    table=T (flat per-table staging)
+    //   hybrid:   year=Y/month=MM/table=T/day=DD/hour=HH
+    val hybridCfg = CdcConfig(CdcStrategyKind.Hybrid,
+      timestampColumn = Some("o_orderdate"), idColumn = Some("o_orderkey"))
+    def firstLeafDir(start: java.io.File): String = {
+      var d = start
+      val segs = scala.collection.mutable.ArrayBuffer[String]()
+      while (d.isDirectory) {
+        val subs = d.listFiles().filter(_.isDirectory)
+        if (subs.isEmpty) return segs.mkString("/")
+        d = subs.minBy(_.getName)
+        segs += d.getName
+      }
+      segs.mkString("/")
+    }
+    def extractWith(strategy: PartitionStrategy): String = {
+      val root = tmpDir(s"layout_${strategy.getClass.getSimpleName}")
+      val store = new WatermarkStore(s"$root/wm")
+      val ex = new Extractor(store, s"$root/staging", strategy)
+      ex.extract(spark, id, orders.limit(100), hybridCfg)
+      firstLeafDir(new java.io.File(s"$root/staging"))
+    }
+    val dt = extractWith(PartitionStrategy.Datetime)
+    assert(dt.matches(
+      "orders/session=\\d+/year=\\d{4}/month=\\d{2}/day=\\d{2}/hour=\\d{2}"), dt)
+    val hy = extractWith(PartitionStrategy.Hybrid)
+    assert(hy.matches(
+      "orders/session=\\d+/year=\\d{4}/month=\\d{2}/table=orders/day=\\d{2}/hour=\\d{2}"), hy)
+    val tb = extractWith(PartitionStrategy.ByTable)
+    assert(tb.matches("table=orders/session=\\d+"), tb)
   }
 
   test("datetime layout: year/month/day dirs exist and prune the scan") {

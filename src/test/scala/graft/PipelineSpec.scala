@@ -54,6 +54,54 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(events.cdc.strategy == CdcStrategyKind.IdOnly)
   }
 
+  test("template inheritance: child overrides one knob, inherits the rest") {
+    val dir = tmpDir("cfg_inherit")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "template.yml"), yaml)
+    val child =
+      s"""extends: template.yml
+         |pipeline:
+         |  name: "prod_sync"
+         |  processing:
+         |    max_parallel_tables: 4
+         |tables:
+         |  fx.orders:
+         |    processing:
+         |      batch_size: 999
+         |""".stripMargin
+    val childPath = java.nio.file.Paths.get(dir, "prod.yml")
+    java.nio.file.Files.writeString(childPath, child)
+    val p = PipelineConfig.fromFile(childPath.toString)
+    // overridden
+    assert(p.name == "prod_sync")
+    assert(p.processing.maxParallelTables == 4)
+    assert(p.tables.find(_.name == "fx.orders").get.cdc.batchSize == 999)
+    // inherited from the template
+    assert(p.processing.batchSize == 50000)
+    assert(p.sink.isolationPrefix == "fx/")
+    assert(p.tables.size == 3)
+    val orders = p.tables.find(_.name == "fx.orders").get
+    assert(orders.cdc.strategy == CdcStrategyKind.Hybrid)   // kept despite the
+    assert(orders.cdc.idColumn.contains("o_orderkey"))      // batch override
+    assert(p.tables.find(_.name == "fx.events").get.cdc.strategy ==
+      CdcStrategyKind.IdOnly)
+    // chains: grandchild extends child extends template
+    val grandchild = "extends: prod.yml\npipeline:\n  name: \"gc\"\n"
+    val gcPath = java.nio.file.Paths.get(dir, "gc.yml")
+    java.nio.file.Files.writeString(gcPath, grandchild)
+    val gc = PipelineConfig.fromFile(gcPath.toString)
+    assert(gc.name == "gc" && gc.processing.maxParallelTables == 4 &&
+      gc.processing.batchSize == 50000)
+    // cycle is refused, not an infinite loop
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.yml"),
+      "extends: b.yml\npipeline:\n  name: a\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.yml"),
+      "extends: a.yml\npipeline:\n  name: b\n")
+    intercept[IllegalArgumentException] {
+      PipelineConfig.fromFile(s"$dir/a.yml")
+    }
+  }
+
   test("env interpolation substitutes values and honors defaults") {
     val y = "pipeline:\n  name: \"${GRAFT_TEST_NAME:fallback}\"\n  source: \"s\""
     assert(PipelineConfig.fromString(y, Map.empty).name == "fallback")
