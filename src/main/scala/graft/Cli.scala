@@ -202,19 +202,23 @@ object Cli {
         0
 
       case "unlock" =>
-        // break a (stale) per-table session lock — the manual recovery path
+        // break a STALE per-table session lock — the manual recovery path
         // after a crashed sync left its lock behind (ref lock cleanup CLI,
-        // simple_watermark_manager.py:408-463). --stale-minutes guards
-        // against breaking a LIVE session's lock (0 = force).
+        // simple_watermark_manager.py:408-463). --stale-minutes defaults to
+        // 60 so the bare documented recovery command cannot kill a LIVE
+        // session's lock (live sessions heartbeat the lock mtime, so a
+        // 60-minute-stale mtime really means a dead owner); breaking
+        // unconditionally requires an explicit --force.
         val (r, p) = runner
         val (store, _, _) = r.rigFor(p)
         val spec = requireTable(p, tableFilter, "unlock")
         val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
         val staleMs =
-          opts.get("stale-minutes").map(_.toLong * 60000L).getOrElse(0L)
+          if (flags("force")) 0L
+          else opts.get("stale-minutes").map(_.toLong * 60000L).getOrElse(3600000L)
         if (store.breakStaleLock(id.scoped, staleMs)) {
           println(s"broke lock for ${id.qualified}"); 0
-        } else { println(s"no lock (or not stale) for ${id.qualified}"); 1 }
+        } else { println(s"no lock (or not stale — use --force if the owner is dead) for ${id.qualified}"); 1 }
 
       case "s3clean" =>
         val (r, p) = runner
@@ -264,6 +268,6 @@ object Cli {
       |  merge     upsert staged files into the warehouse: -t table [--keys k1,k2]
       |  status    one line per table from the watermark store
       |  watermark get|set|reset -t table [--timestamp TS] [--id N]
-      |  unlock    break a table's session lock: -t table [--stale-minutes M]
+      |  unlock    break a stale session lock: -t table [--stale-minutes M (60)] [--force]
       |  s3clean   --older-than-hours H [--keep-newest N] [--dry-run]""".stripMargin
 }

@@ -158,13 +158,16 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     * match [[load]]; the merge itself is key-idempotent, so a crash between
     * the swap and the blacklist save re-merges the same rows harmlessly. */
   def mergeLoad(spark: SparkSession, id: TableId, stagedDir: String,
-                config: CdcConfig, keys: Seq[String]): LoadResult =
+                config: CdcConfig, keys: Seq[String],
+                buckets: Option[Int] = None): LoadResult =
     store.withTableLock(id.scoped) {
-      mergeLoadLocked(spark, id, stagedDir, config, keys)
+      mergeLoadLocked(spark, id, stagedDir, config, keys,
+        buckets.orElse(mergeBuckets))
     }
 
   private def mergeLoadLocked(spark: SparkSession, id: TableId, stagedDir: String,
-                              config: CdcConfig, keys: Seq[String]): LoadResult = {
+                              config: CdcConfig, keys: Seq[String],
+                              bucketsEff: Option[Int]): LoadResult = {
     val conf = spark.sparkContext.hadoopConfiguration
     val wm = store.getOrCreate(id.scoped, config.strategy.name)
     try {
@@ -175,7 +178,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
         return LoadResult(id, 0, 0, all.size.toLong, target)
       val t0 = System.nanoTime()
       val staged = spark.read.parquet(fresh: _*)
-      mergeBuckets match {
+      bucketsEff match {
         case Some(n) => mergeIntoBucketed(spark, id, staged, keys, n)
         case None    => mergeInto(spark, id, staged, keys)
       }
@@ -210,29 +213,53 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
   def mergeInto(spark: SparkSession, id: TableId, staged: DataFrame,
                 keys: Seq[String]): Long = {
     val target = targetPath(id)
-    val fs = new org.apache.hadoop.fs.Path(target)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tgt = new org.apache.hadoop.fs.Path(target)
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newPath = new org.apache.hadoop.fs.Path(target + ".__new")
+    val oldPath = new org.apache.hadoop.fs.Path(target + ".__old")
+    // crash recovery BEFORE reading the target: a previous run that died
+    // between the two swap renames left the only copy in `.__old` — restore
+    // it, or this merge would read zero existing rows and then destroy the
+    // backup (silent data loss)
+    recoverSwap(fs, tgt, oldPath)
+    fs.delete(newPath, true)
     val merged = readTarget(spark, id) match {
       case Some(existing) => graft.operators.Relational.merge(existing, staged, keys)
       case None => staged
     }
-    val newPath = new org.apache.hadoop.fs.Path(target + ".__new")
-    val oldPath = new org.apache.hadoop.fs.Path(target + ".__old")
-    fs.delete(newPath, true); fs.delete(oldPath, true)
     merged.write.mode(SaveMode.Overwrite)
       .option("compression", "snappy").parquet(newPath.toString)
     val rows = ParquetFooters.totalRows(
       listParquetFiles(spark, newPath.toString),
       spark.sparkContext.hadoopConfiguration)
-    val tgt = new org.apache.hadoop.fs.Path(target)
     if (fs.exists(tgt) && !fs.rename(tgt, oldPath))
       throw new java.io.IOException(s"swap failed: $tgt -> $oldPath")
     if (!fs.rename(newPath, tgt)) {
       fs.rename(oldPath, tgt) // roll back
       throw new java.io.IOException(s"swap failed: $newPath -> $tgt")
     }
+    // the old copy is deleted only AFTER the new one is verified installed
+    if (!fs.exists(tgt))
+      throw new java.io.IOException(s"swap verification failed: $tgt absent")
     fs.delete(oldPath, true)
     rows
+  }
+
+  /** Converge a directory-swap commit interrupted by a crash: if the live
+    * path is gone but its `.__old` backup survives, the crash hit between the
+    * two renames — restore the backup. If both exist, the install completed
+    * and the backup is stale — discard it. Never touches anything when no
+    * backup exists. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                          live: org.apache.hadoop.fs.Path,
+                          backup: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(backup)) return
+    if (fs.exists(live)) {
+      fs.delete(backup, true) // install completed; backup is stale
+    } else if (!fs.rename(backup, live)) {
+      throw new java.io.IOException(
+        s"crash recovery failed: could not restore $backup -> $live")
+    }
   }
 
   /** Bucket-partition column for [[mergeIntoBucketed]] targets. Internal —
@@ -250,8 +277,10 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     * Atomicity: each affected bucket commits with its own directory swap
     * (rename to a dot-prefixed dir — invisible to Spark's listing — then
     * rename in). Across buckets the merge is not one transaction, but it IS
-    * key-idempotent: re-running after a mid-merge crash converges, because a
-    * bucket merged twice with the same staged rows produces the same rows.
+    * key-idempotent: re-running after a mid-merge crash converges — entry-time
+    * recovery first restores any bucket whose swap was interrupted (its only
+    * copy lives in the `.__old_<b>` backup), then re-merging the same staged
+    * rows produces the same rows.
     */
   def mergeIntoBucketed(spark: SparkSession, id: TableId, staged: DataFrame,
                         keys: Seq[String], buckets: Int = 64): Long = {
@@ -262,6 +291,22 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     val fs = tgt.getFileSystem(conf)
     val withBucket = staged.withColumn(BucketCol,
       pmod(hash(keys.map(col): _*), lit(buckets)))
+
+    // crash recovery first: a migration/bootstrap crash between the root
+    // renames leaves the whole table only in `<target>.__old` — restore it
+    // BEFORE the existence check below, or this run would "bootstrap" a
+    // staged-rows-only table over the backup
+    recoverSwap(fs, tgt, new org.apache.hadoop.fs.Path(target + ".__old"))
+    // ... and a per-bucket crash between rename(cur→old_b) and
+    // rename(new→cur) leaves that bucket only in `.__old_<b>`
+    if (fs.exists(tgt)) {
+      fs.listStatus(tgt).filter(_.getPath.getName.startsWith(".__old_"))
+        .foreach { st =>
+          val b = st.getPath.getName.stripPrefix(".__old_")
+          recoverSwap(fs, new org.apache.hadoop.fs.Path(tgt, s"$BucketCol=$b"),
+            st.getPath)
+        }
+    }
 
     if (!fs.exists(tgt)) {
       // bootstrap: lay the table out bucketed from the first load
@@ -295,6 +340,8 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
         fs.rename(oldRoot0, tgt)
         throw new java.io.IOException(s"swap failed: $newRoot0 -> $tgt")
       }
+      if (!fs.exists(tgt))
+        throw new java.io.IOException(s"swap verification failed: $tgt absent")
       fs.delete(oldRoot0, true)
       return targetRowCount(spark, id)
     }
@@ -321,7 +368,8 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       val newB = new org.apache.hadoop.fs.Path(newRoot, s"$BucketCol=$b")
       val curB = new org.apache.hadoop.fs.Path(tgt, s"$BucketCol=$b")
       val oldB = new org.apache.hadoop.fs.Path(tgt, s".__old_$b")
-      fs.delete(oldB, true)
+      // entry-time recovery cleared any pre-existing backup; never delete
+      // oldB here before the new bucket is verified installed
       if (fs.exists(curB) && !fs.rename(curB, oldB))
         throw new java.io.IOException(s"bucket swap failed: $curB -> $oldB")
       // a bucket can be newly-born (no staged key hashed there before):
@@ -352,18 +400,33 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
   private def listParquetFiles(spark: SparkSession, dir: String): Seq[String] =
     listParquetFilesWithSize(spark, dir).map(_._1)
 
-  /** One recursive listing returning (path, bytes), sorted by path. */
+  /** One recursive listing returning (path, bytes), sorted by path. Skips
+    * files under hidden path segments (dot-prefixed, or underscore-prefixed
+    * non-partition dirs) — the same rule Spark's file index applies — so
+    * crash-recovery artifacts like `.__old_<b>` never double-count rows in
+    * the parity gate. */
   private def listParquetFilesWithSize(spark: SparkSession,
                                        dir: String): Seq[(String, Long)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Nil
     else {
+      val rootUri = fs.getFileStatus(path).getPath.toUri.getPath
+      def hiddenSegment(name: String): Boolean =
+        name.startsWith(".") || (name.startsWith("_") && !name.contains("="))
+      def underHidden(p: org.apache.hadoop.fs.Path): Boolean = {
+        var cur = p
+        while (cur != null && cur.toUri.getPath != rootUri) {
+          if (hiddenSegment(cur.getName)) return true
+          cur = cur.getParent
+        }
+        false
+      }
       val it = fs.listFiles(path, true)
       val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet"))
+        if (f.getPath.getName.endsWith(".parquet") && !underHidden(f.getPath))
           buf += ((f.getPath.toString, f.getLen))
       }
       buf.sortBy(_._1).toSeq

@@ -31,8 +31,11 @@ final case class TableSpec(
     targetName: Option[String] = None,
     tableType: TableType = TableType.Fact,
     countCheck: Boolean = false,               // post-load parity gate (D7)
-    mergeKeys: Seq[String] = Nil) {            // non-empty → upsert load
+    mergeKeys: Seq[String] = Nil,              // non-empty → upsert load
                                                // (ref settle_orders DELETE+INSERT)
+    mergeBuckets: Option[Int] = None) {        // bucket-partitioned merge: only
+                                               // buckets containing staged keys
+                                               // are rewritten per increment
   def tableId(connection: String): TableId = {
     val id = TableId.parse(s"$connection:$name")
     targetName.map(t => id.copy(table = t)).getOrElse(id)
@@ -209,7 +212,8 @@ object PipelineConfig {
       .flatMap(v => opt(v, "enable_count_check")).exists(_.asBoolean)
     val mergeKeys = opt(n, "merge_keys")
       .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    val mergeBuckets = opt(n, "merge_buckets").map(_.asInt)
     TableSpec(name, cdc, opt(n, "target_name").map(_.asText), ttype,
-      countCheck, mergeKeys)
+      countCheck, mergeKeys, mergeBuckets)
   }
 }

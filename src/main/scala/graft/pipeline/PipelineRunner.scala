@@ -112,7 +112,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
         val load = Retry.withBackoff(maxAttempts)(
           if (spec.mergeKeys.nonEmpty)
             loader.mergeLoad(spark, id, extractor.stagingDir(id), spec.cdc,
-              spec.mergeKeys)
+              spec.mergeKeys, spec.mergeBuckets)
           else
             loader.load(spark, id, extractor.stagingDir(id), spec.cdc))
         // D7 count-parity quality gate (ref DAG quality gate,

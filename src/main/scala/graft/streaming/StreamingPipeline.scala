@@ -15,14 +15,18 @@ object StreamingPipeline {
     * counts + value sums per event_type, exactly-once via checkpoint.
     * Returns the final aggregation state as a batch DataFrame.
     *
-    * Sink is UPDATE-mode `foreachBatch` → distributed parquet append (each
-    * micro-batch appends the groups whose aggregate changed, tagged with its
-    * batch_id); the final state is recovered at read with latest-batch-wins
-    * per group. Unlike a complete-mode memory sink this never materializes
-    * the whole aggregate on the driver and the state store stays bounded by
-    * the watermark — the 100-TB-safe shape. A replayed batch after a crash
-    * re-appends identical rows under the same batch_id, so the read-side
-    * dedup also makes recovery idempotent.
+    * Sink is UPDATE-mode `foreachBatch` → COMPACTED distributed parquet
+    * state: each micro-batch folds the groups whose aggregate changed into
+    * the previous batch's state snapshot and overwrites `batch=<id>` with the
+    * full current state (changed rows replace, unchanged rows carry over via
+    * anti-join). Reading the final result is then a plain scan of the single
+    * latest committed snapshot — no window dedup, no shuffle — while the
+    * driver never materializes the aggregate and the streaming state store
+    * stays bounded by the watermark: the 100-TB-safe shape without the
+    * read-side cost. Crash recovery is idempotent: a replayed batch finds its
+    * own committed `batch=<id>` dir and skips (the snapshot is already
+    * applied); a partially-written dir has no _SUCCESS marker and is
+    * invisible, so the replay simply overwrites it.
     *
     * The events fixture carries ns-epoch longs (ts); they become proper
     * timestamps at ingest (µs truncation — Spark's native precision).

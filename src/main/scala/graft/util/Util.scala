@@ -79,10 +79,22 @@ object ParquetFooters {
     * id-only cursor be recovered with ZERO data read after a write (int64
     * stats in parquet footers are exact, never truncated). Returns None for
     * the max when any row-bearing block lacks stats for the column — callers
-    * must then fall back to a scan. */
+    * must then fall back to a scan.
+    *
+    * The stats are only trusted when the column's LOGICAL type is absent or a
+    * plain signed integer: a DECIMAL(p,s)-annotated INT64 column stores the
+    * UNSCALED value in its stats, so taking it raw would jump the id cursor
+    * far past the real ids and silently drop every later increment. */
   def scanStats(files: Seq[String], conf: Configuration,
                 maxLongCol: Option[String] = None): (Long, Option[Long]) = {
     import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    def plainInteger(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean =
+      c.getPrimitiveType.getLogicalTypeAnnotation match {
+        case null => true
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+        case _ => false // DECIMAL/TIMESTAMP/etc: raw stats are not the value
+      }
     var rows = 0L
     var max: Option[Long] = None
     var statsComplete = maxLongCol.isDefined
@@ -97,7 +109,8 @@ object ParquetFooters {
               .find(_.getPath.toDotString == maxLongCol.get)
               .flatMap { c =>
                 val st = c.getStatistics
-                if (st == null || st.isEmpty || !st.hasNonNullValue) None
+                if (st == null || st.isEmpty || !st.hasNonNullValue ||
+                    !plainInteger(c)) None
                 else st.genericGetMax match {
                   case l: java.lang.Long    => Some(l.longValue())
                   case i: java.lang.Integer => Some(i.longValue())

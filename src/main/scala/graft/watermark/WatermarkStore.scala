@@ -22,8 +22,17 @@ final class TableLockedException(table: String)
   *
   * Scale note: the watermark is driver-side metadata (KBs per table) — it never
   * touches executors, so this component is size-independent of the data volume.
+  *
+  * `staleLockTtlMs`: locks whose file mtime is older than this are considered
+  * abandoned (crashed JVM, kill -9, OOM) and auto-broken by the next
+  * [[tryLock]] — one crash never turns into an indefinite pipeline outage.
+  * Live sessions are protected regardless of duration: [[withTableLock]]
+  * heartbeats the lock mtime at TTL/4, so only a truly dead owner's lock ages
+  * out. Set ≤0 to disable auto-break (manual `unlock` only).
   */
-final class WatermarkStore(rootDir: String, hadoopConf: Configuration = new Configuration()) {
+final class WatermarkStore(rootDir: String,
+                           hadoopConf: Configuration = new Configuration(),
+                           staleLockTtlMs: Long = 60L * 60 * 1000) {
 
   private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 
@@ -116,12 +125,18 @@ final class WatermarkStore(rootDir: String, hadoopConf: Configuration = new Conf
     }
 
   /** Acquire an exclusive per-table lock (uuid+pid+host owner identity like
-    * ref :408-463). Returns a token to release with, or None if already held. */
+    * ref :408-463). Returns a token to release with, or None if already held.
+    * A lock left behind by a dead owner (mtime older than `staleLockTtlMs`,
+    * i.e. no heartbeat for a full TTL) is auto-broken and re-acquired. */
   def tryLock(tableName: String, target: String = "default"): Option[String] = {
     val p = lockPath(tableName, target)
     val f = fs(p)
-    if (f.exists(p)) None
-    else {
+    if (f.exists(p)) {
+      val age = System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+      if (staleLockTtlMs <= 0 || age <= staleLockTtlMs) return None
+      f.delete(p, false) // abandoned: owner stopped heartbeating a TTL ago
+    }
+    {
       val token = java.util.UUID.randomUUID().toString
       val owner =
         s"""{"uuid":"$token","pid":${ProcessHandle.current().pid()},"hostname":"${java.net.InetAddress.getLocalHost.getHostName}","acquired_at":"${now()}"}"""
@@ -168,12 +183,36 @@ final class WatermarkStore(rootDir: String, hadoopConf: Configuration = new Conf
       val token = tryLock(tableName, target)
         .getOrElse(throw new TableLockedException(tableName))
       held += key -> token
+      val hb = startHeartbeat(lockPath(tableName, target))
       try body
       finally {
+        hb.interrupt()
         held -= key
         unlock(tableName, token, target)
       }
     }
+  }
+
+  /** Daemon thread refreshing the held lock's mtime at TTL/4 so a LIVE
+    * session — however long it runs — never looks stale to [[tryLock]]'s
+    * auto-break or the CLI's `unlock --stale-minutes`. */
+  private def startHeartbeat(p: Path): Thread = {
+    val interval = if (staleLockTtlMs > 0) staleLockTtlMs / 4 else Long.MaxValue
+    val t = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(interval)
+          val f = fs(p)
+          if (f.exists(p)) {
+            val nowMs = System.currentTimeMillis()
+            f.setTimes(p, nowMs, nowMs)
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-${p.getName}")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   def unlock(tableName: String, token: String, target: String = "default"): Boolean = {

@@ -113,6 +113,28 @@ class EtlSpec extends AnyFunSuite with SparkTestBase {
     assert(after == before, "parity count must not launch a Spark job")
   }
 
+  test("footer stats refuse DECIMAL-annotated columns (unscaled-value trap)") {
+    // a DECIMAL(p,s) column stored as INT64 keeps the UNSCALED value in its
+    // footer stats; trusting it would jump an id cursor to 100× the real max
+    // and silently drop every later increment — scanStats must return None so
+    // callers fall back to a value scan
+    import graft.util.ParquetFooters
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = tmpDir("decstats")
+    val df = events.limit(100)
+      .withColumn("dec_id", col("event_id").cast("decimal(12,2)"))
+    df.write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val (rows, decMax) = ParquetFooters.scanStats(files, conf, Some("dec_id"))
+    assert(rows == 100)
+    assert(decMax.isEmpty, "decimal-annotated footer stats must NOT be trusted")
+    // a plain integral column still yields its exact max with zero data read
+    val (_, longMax) = ParquetFooters.scanStats(files, conf, Some("event_id"))
+    assert(longMax.contains(events.limit(100).agg(max("event_id"))
+      .head().getLong(0)))
+  }
+
   test("incremental extract resumes from the committed cursor") {
     val (_, store, extractor, loader) = rig()
     val firstHalf = events.filter(col("event_id") <= 300)

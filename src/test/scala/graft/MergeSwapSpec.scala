@@ -122,6 +122,94 @@ class MergeSwapSpec extends AnyFunSuite with SparkTestBase {
     assert(dirs.exists(_.getName.startsWith("__gbucket=")))
   }
 
+  test("bucketed merge recovers a bucket whose swap crashed mid-rename") {
+    // simulate a crash between rename(cur→.__old_b) and rename(new→cur): the
+    // bucket's only copy lives in the dot-prefixed backup. The next merge must
+    // RESTORE it — not read zero survivors and destroy the backup.
+    val root = tmpDir("bcrash")
+    val store = new WatermarkStore(s"$root/wm")
+    val loader = new Loader(store, s"$root/warehouse")
+    val nBuckets = 8
+    loader.mergeIntoBucketed(spark, id,
+      orders.filter(col("o_orderkey") <= 1000), Seq("o_orderkey"), nBuckets)
+    val expectedTotal = orders.filter(col("o_orderkey") <= 1000).count()
+    val bucketOf500 = spark.range(1)
+      .select(pmod(hash(lit(500L)), lit(nBuckets))).head().getInt(0)
+    // crash simulation: the bucket dir is renamed aside, install never happened
+    val tgtDir = new java.io.File(loader.targetPath(id))
+    val cur = new java.io.File(tgtDir, s"__gbucket=$bucketOf500")
+    val bak = new java.io.File(tgtDir, s".__old_$bucketOf500")
+    assert(cur.exists())
+    assert(cur.renameTo(bak))
+    // re-run the same increment; entry recovery must restore the bucket first
+    val staged = orders.filter(col("o_orderkey") === 500)
+      .withColumn("o_orderstatus", lit("U"))
+    val total = loader.mergeIntoBucketed(spark, id, staged, Seq("o_orderkey"), nBuckets)
+    assert(total == expectedTotal, "pre-merge rows of the crashed bucket were lost")
+    val tgt = loader.readTarget(spark, id).get
+    assert(tgt.count() == expectedTotal)
+    assert(tgt.filter(col("o_orderkey") === 500).select("o_orderstatus")
+      .head().getString(0) == "U")
+    assert(!bak.exists(), "backup dir not cleaned up after recovery")
+  }
+
+  test("bucketed merge restores the whole table after a migration-swap crash") {
+    // simulate a crash between rename(tgt→.__old) and rename(.__new→tgt):
+    // the table exists ONLY in <target>.__old. Without recovery the next run
+    // takes the bootstrap branch and replaces the table with staged rows.
+    val root = tmpDir("bcrash2")
+    val store = new WatermarkStore(s"$root/wm")
+    val loader = new Loader(store, s"$root/warehouse")
+    loader.mergeIntoBucketed(spark, id,
+      orders.filter(col("o_orderkey") <= 1000), Seq("o_orderkey"), 8)
+    val expectedTotal = orders.filter(col("o_orderkey") <= 1000).count()
+    val tgtDir = new java.io.File(loader.targetPath(id))
+    val oldDir = new java.io.File(loader.targetPath(id) + ".__old")
+    assert(tgtDir.renameTo(oldDir)) // crash window: tgt absent, backup present
+    val staged = orders.filter(col("o_orderkey") === 7)
+      .withColumn("o_orderstatus", lit("U"))
+    val total = loader.mergeIntoBucketed(spark, id, staged, Seq("o_orderkey"), 8)
+    assert(total == expectedTotal, "migration crash recovery lost the table")
+    assert(!oldDir.exists())
+  }
+
+  test("mergeInto restores the target after a mid-swap crash") {
+    val root = tmpDir("mcrash")
+    val store = new WatermarkStore(s"$root/wm")
+    val loader = new Loader(store, s"$root/warehouse")
+    loader.mergeInto(spark, id,
+      orders.filter(col("o_orderkey") <= 500), Seq("o_orderkey"))
+    val expected = orders.filter(col("o_orderkey") <= 500).count()
+    val tgtDir = new java.io.File(loader.targetPath(id))
+    val oldDir = new java.io.File(loader.targetPath(id) + ".__old")
+    assert(tgtDir.renameTo(oldDir)) // crash between the two swap renames
+    val staged = orders.filter(col("o_orderkey") === 3)
+      .withColumn("o_orderstatus", lit("U"))
+    val rows = loader.mergeInto(spark, id, staged, Seq("o_orderkey"))
+    assert(rows == expected, "mid-swap crash recovery lost the target")
+    assert(!oldDir.exists())
+  }
+
+  test("targetRowCount ignores parquet under hidden recovery dirs") {
+    val root = tmpDir("hiddencount")
+    val store = new WatermarkStore(s"$root/wm")
+    val loader = new Loader(store, s"$root/warehouse")
+    loader.mergeInto(spark, id,
+      orders.filter(col("o_orderkey") <= 200), Seq("o_orderkey"))
+    val n = loader.targetRowCount(spark, id)
+    // drop a stray parquet file under a dot-prefixed dir (leftover artifact)
+    val tgtDir = new java.io.File(loader.targetPath(id))
+    val junk = new java.io.File(tgtDir, ".__old_junk")
+    junk.mkdirs()
+    val aParquet = tgtDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(aParquet.toPath,
+      new java.io.File(junk, aParquet.getName).toPath)
+    assert(loader.targetRowCount(spark, id) == n,
+      "hidden-dir parquet double-counted by the parity gate")
+    // Spark's own read agrees (it skips the same dirs)
+    assert(loader.readTarget(spark, id).get.count() == n)
+  }
+
   test("bucketed load: co-located join has NO shuffle exchange") {
     val root = tmpDir("bucketed")
     val store = new WatermarkStore(s"$root/wm")

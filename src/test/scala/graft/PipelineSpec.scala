@@ -201,6 +201,67 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("merge_buckets YAML key routes pipeline merges through the bucketed path") {
+    // the scale-correct merge (rewrite only buckets containing staged keys)
+    // must be reachable from the product surface: a YAML pipeline with
+    // merge_keys + merge_buckets syncs twice, and buckets untouched by the
+    // second increment keep byte-identical files (never rewritten)
+    val y =
+      s"""pipeline:
+         |  name: "bucketed_sync"
+         |  source: "$sfDir"
+         |  target: "warehouse"
+         |  s3:
+         |    isolation_prefix: "fx/"
+         |    partition_strategy: "table"
+         |tables:
+         |  fx.orders:
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "o_orderkey"
+         |    merge_keys: ["o_orderkey"]
+         |    merge_buckets: 8
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val spec = p.tables.find(_.name == "fx.orders").get
+    assert(spec.mergeKeys == Seq("o_orderkey") && spec.mergeBuckets.contains(8))
+    val work = tmpDir("pipebuckets")
+    val runner = new PipelineRunner(spark, work)
+    val r1 = runner.sync(p, tableFilter = Some("orders"))
+    assert(r1.allOk, r1.tables.flatMap(_.error).mkString(";"))
+    val (store, _, loader) = runner.rigFor(p)
+    val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+    val n = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(loader.readTarget(spark, id).get.count() == n)
+    // target is laid out bucketed — proof the pipeline reached mergeIntoBucketed
+    val targetDir = new java.io.File(loader.targetPath(id))
+    def bucketFiles(): Map[String, Map[String, (Long, Long)]] =
+      targetDir.listFiles().filter(_.getName.startsWith("__gbucket="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+        }.toMap
+    val before = bucketFiles()
+    assert(before.nonEmpty, "pipeline merge did not produce a bucketed layout")
+
+    // second increment: re-extract ONE key's worth of rows (cursor rewound
+    // just below the max id) → only that key's bucket may be rewritten
+    val maxId = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(max("o_orderkey")).head().getLong(0)
+    store.setManual(id.scoped, None, Some(maxId - 1))
+    val r2 = runner.sync(p, tableFilter = Some("orders"))
+    assert(r2.allOk, r2.tables.flatMap(_.error).mkString(";"))
+    assert(loader.readTarget(spark, id).get.count() == n) // upserted, not appended
+    val after = bucketFiles()
+    val rewritten = before.keys.filter(b => after.get(b) != before.get(b)).toSet
+    // the increment is a single key → at most ONE bucket may change
+    assert(rewritten.size <= 1,
+      s"increment of one key rewrote ${rewritten.size} buckets: $rewritten")
+    // the untouched buckets are byte-identical (same names, sizes, mtimes)
+    (before.keys.toSet -- rewritten).foreach { b =>
+      assert(after(b) == before(b), s"bucket $b was rewritten")
+    }
+  }
+
   test("count-parity gate passes on a clean sync and is reported") {
     val y = yaml.replace(
       "  fx.events:\n    cdc_strategy: \"id_only\"\n    cdc_id_column: \"event_id\"",

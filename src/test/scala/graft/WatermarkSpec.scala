@@ -107,6 +107,38 @@ class WatermarkSpec extends AnyFunSuite with SparkTestBase {
     assert(store.tryLock("t").isDefined)                      // re-acquirable
   }
 
+  test("store: tryLock auto-breaks a lock whose owner stopped heartbeating") {
+    // a kill -9'd JVM leaves its lock file behind forever; with a TTL the
+    // next scheduled sync recovers on its own instead of failing until an
+    // operator intervenes
+    val dir = tmpDir("ttl")
+    val store = new WatermarkStore(dir, staleLockTtlMs = 200)
+    assert(store.tryLock("t").isDefined)
+    assert(store.tryLock("t").isEmpty)     // fresh → refused
+    // age the lock file past the TTL (simulates a dead owner: no heartbeat)
+    val lockFile = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".lock")).get
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 10000))
+    assert(store.tryLock("t").isDefined, "abandoned lock not auto-broken")
+  }
+
+  test("store: heartbeat keeps a LIVE session's lock from aging out") {
+    val dir = tmpDir("hb")
+    val store = new WatermarkStore(dir, staleLockTtlMs = 400)
+    val other = new WatermarkStore(dir, staleLockTtlMs = 400)
+    @volatile var refusedDuring = true
+    store.withTableLock("t") {
+      // hold well past the TTL; the heartbeat (TTL/4) must keep mtime fresh
+      val deadline = System.currentTimeMillis() + 1200
+      while (System.currentTimeMillis() < deadline) {
+        if (other.tryLock("t").isDefined) refusedDuring = false
+        Thread.sleep(100)
+      }
+    }
+    assert(refusedDuring, "a live (heartbeating) session's lock was stolen")
+    assert(other.tryLock("t").isDefined) // released after the session
+  }
+
   test("store: reset persists and preserves blacklist") {
     val store = new WatermarkStore(tmpDir("reset"))
     val w = store.getOrCreate("t", "hybrid")
