@@ -56,22 +56,32 @@ object Cli {
     (header +: lines).mkString("\n")
   }
 
-  def main(args: Array[String]): Unit = {
+  /** Thrown by argument-validation helpers; [[run]] converts it to an exit
+    * code (keeps the CLI surface testable without sys.exit). */
+  private final case class CliExit(code: Int) extends RuntimeException
+
+  def main(args: Array[String]): Unit = sys.exit(run(args))
+
+  /** The whole CLI as a function returning the exit code. */
+  def run(args: Array[String]): Int =
+    try runOrThrow(args) catch { case CliExit(c) => c }
+
+  private def runOrThrow(args: Array[String]): Int = {
     val (verbs, opts, flags) = parseArgs(args.toSeq)
-    if (verbs.isEmpty) { System.err.println(usage); sys.exit(2) }
+    if (verbs.isEmpty) { System.err.println(usage); throw CliExit(2) }
 
     val configPath = opts.get("c").orElse(opts.get("config")).getOrElse {
-      System.err.println("missing -c <pipeline.yml>"); sys.exit(2); ""
+      System.err.println("missing -c <pipeline.yml>"); throw CliExit(2)
     }
     val pipeline =
       try PipelineConfig.fromFile(configPath)
       catch {
         case e: java.nio.file.NoSuchFileException =>
           System.err.println(s"config file not found: $configPath")
-          sys.exit(2); null
+          throw CliExit(2)
         case e: Exception =>
           System.err.println(s"invalid pipeline config $configPath: ${e.getMessage}")
-          sys.exit(2); null
+          throw CliExit(2)
       }
     val workDir = opts.getOrElse("work-dir", s"/tmp/graft_work/${pipeline.name}")
     val tableFilter = opts.get("t").orElse(opts.get("table"))
@@ -181,6 +191,43 @@ object Cli {
             System.err.println(s"unknown watermark subcommand: $other"); 2
         }
 
+      case "watermark-count" =>
+        // externally-verified target row count (ref src/cli/main.py:1959-2204):
+        // set the cumulative loaded-rows counter from an authoritative
+        // warehouse COUNT(*); get it back; status compares it against the
+        // actual warehouse footprint (footer-based, no data scan)
+        val sub = verbs.lift(1).getOrElse("get")
+        val (r, p) = runner
+        val (store, _, loader) = r.rigFor(p)
+        val spec = requireTable(p, tableFilter, "watermark-count")
+        val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+        sub match {
+          case "set" =>
+            val n = opts.get("count").map(_.toLong).getOrElse {
+              System.err.println("watermark-count set requires --count N")
+              throw CliExit(2)
+            }
+            val w = store.setExternalCount(id.scoped, n)
+            println(s"${id.qualified} external count set: " +
+              s"${w.redshift_state.total_rows}")
+            0
+          case "get" =>
+            store.get(id.scoped) match {
+              case Some(w) => println(w.redshift_state.total_rows); 0
+              case None => println("(no watermark)"); 1
+            }
+          case "status" =>
+            val wmCount = store.get(id.scoped)
+              .map(_.redshift_state.total_rows).getOrElse(0L)
+            val actual = loader.targetRowCount(spark, id)
+            val parity = wmCount == actual
+            println(s"${id.qualified} watermark=$wmCount warehouse=$actual " +
+              s"parity=${if (parity) "OK" else "MISMATCH"}")
+            if (parity) 0 else 1
+          case other =>
+            System.err.println(s"unknown watermark-count subcommand: $other"); 2
+        }
+
       case "merge" =>
         // DELETE+INSERT merge of staged-but-unprocessed files into the
         // warehouse table, committed by directory swap (ref settle_orders
@@ -191,7 +238,7 @@ object Cli {
         val keys = opts.get("keys").map(_.split(",").toSeq).orElse(
           spec.cdc.idColumn.map(Seq(_))).getOrElse {
           System.err.println("merge requires --keys k1,k2 or a cdc_id_column")
-          sys.exit(2)
+          throw CliExit(2)
         }
         val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
         val stagedDir = extractor.stagingDir(id)
@@ -223,7 +270,7 @@ object Cli {
       case "s3clean" =>
         val (r, p) = runner
         val hours = opts.get("older-than-hours").map(_.toDouble).getOrElse {
-          System.err.println("s3clean requires --older-than-hours"); sys.exit(2); 0.0
+          System.err.println("s3clean requires --older-than-hours"); throw CliExit(2)
         }
         val cutoff = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
         val stagingRoot = {
@@ -243,7 +290,7 @@ object Cli {
       case other =>
         System.err.println(s"unknown verb: $other\n$usage"); 2
     }
-    sys.exit(exitCode)
+    exitCode
   }
 
   /** Resolve `-t` to a configured table, REQUIRING it to be present — verbs
@@ -252,11 +299,11 @@ object Cli {
                            verb: String): TableSpec =
     tableFilter match {
       case None =>
-        System.err.println(s"$verb requires -t <table>"); sys.exit(2); null
+        System.err.println(s"$verb requires -t <table>"); throw CliExit(2)
       case Some(f) =>
         p.tables.find(t => t.name == f || t.name.endsWith(s".$f")).getOrElse {
           System.err.println(s"table not found in pipeline config: $f")
-          sys.exit(2); null
+          throw CliExit(2)
         }
     }
 
@@ -268,6 +315,7 @@ object Cli {
       |  merge     upsert staged files into the warehouse: -t table [--keys k1,k2]
       |  status    one line per table from the watermark store
       |  watermark get|set|reset -t table [--timestamp TS] [--id N]
+      |  watermark-count get|set|status -t table [--count N]
       |  unlock    break a stale session lock: -t table [--stale-minutes M (60)] [--force]
       |  s3clean   --older-than-hours H [--keep-newest N] [--dry-run]""".stripMargin
 }

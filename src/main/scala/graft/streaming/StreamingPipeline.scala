@@ -66,8 +66,8 @@ object StreamingPipeline {
     val q = agg.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(sinkDir)
+        compactStateSnapshot(batch, batchId, sinkDir,
+          Seq("hour_start", "event_type"))
         ()
       }
       .queryName(queryName)
@@ -75,14 +75,59 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // Latest emission per group = final aggregate state.
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("hour_start"), col("event_type"))
-      .orderBy(col("batch_id").desc)
-    spark.read.parquet(sinkDir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "batch_id")
+    // The latest committed snapshot IS the final aggregate state: one plain
+    // scan, no dedup shuffle.
+    latestSnapshotDir(spark, sinkDir) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], agg.schema)
+    }
+  }
+
+  /** Fold one micro-batch's UPDATE-mode emissions into the previous full
+    * state snapshot and commit the result as `sinkRoot/batch=<id>`: changed
+    * groups replace (anti-join on `keys`), unchanged groups carry over.
+    * Idempotent under crash-replay: a replayed batch sees its own committed
+    * snapshot and skips; a half-written dir (no _SUCCESS) is ignored and
+    * overwritten. Superseded snapshots are pruned after the commit. All data
+    * movement is distributed — the driver only lists directory names. */
+  private def compactStateSnapshot(batch: DataFrame, batchId: Long,
+                                   sinkRoot: String, keys: Seq[String]): Unit = {
+    val ss = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(sinkRoot)
+    val fs = root.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val myDir = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+    if (fs.exists(new org.apache.hadoop.fs.Path(myDir, "_SUCCESS"))) return
+    val committed = committedSnapshots(fs, root).filter(_ < batchId)
+    val newState = committed.maxOption match {
+      case Some(prevId) =>
+        val prev = ss.read.parquet(
+          new org.apache.hadoop.fs.Path(root, s"batch=$prevId").toString)
+        prev.join(batch, keys, "left_anti").unionByName(batch)
+      case None => batch
+    }
+    newState.write.mode("overwrite").parquet(myDir.toString)
+    committed.foreach(b =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$b"), true))
+  }
+
+  private def committedSnapshots(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        n.stripPrefix("batch=").toLongOption
+      else None
+    }
+
+  private def latestSnapshotDir(spark: SparkSession,
+                                sinkRoot: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(sinkRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedSnapshots(fs, root).maxOption
+      .map(b => new org.apache.hadoop.fs.Path(root, s"batch=$b").toString)
   }
 
   /** Streaming incremental load: staged parquet directory → warehouse
@@ -153,19 +198,30 @@ object StreamingPipeline {
       }
     // foreachBatch sink: unlike the memory sink it SUPPORTS checkpoint
     // recovery, which is the whole point here. Update mode → each run
-    // surfaces the groups whose state changed in that run.
-    val updated = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    // surfaces the groups whose state changed in that run. Each batch's
+    // updates land DISTRIBUTED in a per-run `batch=<id>` dir (overwrite →
+    // replay-idempotent); the run's result is read back latest-batch-wins
+    // per user. The driver never materializes a single row.
+    val runDir = s"${checkpointDir}_updates/$queryName"
     val q = counted.writeStream
       .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
-        updated.synchronized { updated ++= batch.collect() }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long)], batchId: Long) =>
+        batch.toDF("user_id", "total_events")
+          .write.mode("overwrite").parquet(s"$runDir/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    updated.toSeq.toDF("user_id", "total_events")
+    val runPath = new org.apache.hadoop.fs.Path(runDir)
+    val fs = runPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(runPath))
+      spark.emptyDataset[(Long, Long)].toDF("user_id", "total_events")
+    else
+      spark.read.parquet(runDir) // `batch` surfaces as a partition column
+        .groupBy("user_id")
+        .agg(max_by(col("total_events"), col("batch")).as("total_events"))
   }
 
   /** Stateful sessionization via mapGroupsWithState-style processing —

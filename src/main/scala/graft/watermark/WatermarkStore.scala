@@ -116,6 +116,22 @@ final class WatermarkStore(rootDir: String,
     updated
   }
 
+  /** Set an EXTERNALLY-verified target row count (ref watermark-count CLI,
+    * src/cli/main.py:1959-2204): ops can correct the cumulative loaded-rows
+    * counter from an authoritative warehouse COUNT(*) so the parity gate
+    * tracks reality after manual interventions. */
+  def setExternalCount(tableName: String, count: Long,
+                       target: String = "default"): Watermark = {
+    val w = get(tableName, target).getOrElse(
+      Watermark.default(tableName, "hybrid", now()))
+    val updated = w.copy(
+      redshift_state = w.redshift_state.copy(total_rows = count,
+        last_updated = Some(now())),
+      metadata = w.metadata.copy(manual_override = true))
+    save(updated, target)
+    updated
+  }
+
   /** Reset cursor, preserving blacklist (ref :387-406). */
   def reset(tableName: String, target: String = "default"): Option[Watermark] =
     get(tableName, target).map { w =>

@@ -139,6 +139,39 @@ class WatermarkSpec extends AnyFunSuite with SparkTestBase {
     assert(other.tryLock("t").isDefined) // released after the session
   }
 
+  test("watermark-count CLI verb: set → get → status round-trip") {
+    val work = tmpDir("wmcount")
+    val yml = java.nio.file.Paths.get(tmpDir("wmcountcfg"), "p.yml")
+    java.nio.file.Files.writeString(yml,
+      s"""pipeline:
+         |  name: "wmcount"
+         |  source: "$sfDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.region:
+         |    cdc_strategy: "full_sync"
+         |""".stripMargin)
+    def cli(args: String*): Int =
+      graft.Cli.run((args ++ Seq("-c", yml.toString, "--work-dir", work)).toArray)
+    // sync through the CLI so the warehouse + watermark exist
+    assert(cli("sync") == 0)
+    val n = spark.read.parquet(s"$sfDir/region.parquet").count()
+    // get returns the loaded count; status agrees with the warehouse footprint
+    assert(cli("watermark-count", "get", "-t", "fx.region") == 0)
+    assert(cli("watermark-count", "status", "-t", "fx.region") == 0)
+    // an external correction is visible in get and breaks parity in status
+    assert(cli("watermark-count", "set", "-t", "fx.region", "--count",
+      (n + 7).toString) == 0)
+    assert(cli("watermark-count", "status", "-t", "fx.region") == 1)
+    // correcting back restores parity
+    assert(cli("watermark-count", "set", "-t", "fx.region", "--count",
+      n.toString) == 0)
+    assert(cli("watermark-count", "status", "-t", "fx.region") == 0)
+    // -t is mandatory; set requires --count
+    assert(cli("watermark-count", "get") == 2)
+    assert(cli("watermark-count", "set", "-t", "fx.region") == 2)
+  }
+
   test("store: reset persists and preserves blacklist") {
     val store = new WatermarkStore(tmpDir("reset"))
     val w = store.getOrCreate("t", "hybrid")
