@@ -32,14 +32,22 @@ final class ParquetSource(dir: String) extends Source {
 /** JDBC source (MySQL parity). Partition bounds are chosen from min/max of the
   * partition column — the Spark-native replacement for the reference's
   * intra-table thread chunking (src/backup/intra_table.py + base.py:1302-1356,
-  * SURVEY §4 "scan parallelization"). Untested in this container (no DB), but
-  * the same `DataFrame` flows through every downstream operator.
+  * SURVEY §4 "scan parallelization"). Exercised against embedded Derby in
+  * JdbcSpec; the same `DataFrame` flows through every downstream operator.
   */
 final class JdbcSource(url: String, props: java.util.Properties,
                        numPartitions: Int = 32) extends Source {
 
   def table(spark: SparkSession, id: TableId): DataFrame =
     spark.read.jdbc(url, s"${id.schema}.${id.table}", props)
+
+  /** Live schema discovery (S7, ref flexible_schema_manager.py:137-176): the
+    * table's StructType straight from JDBC metadata — plan-only, no data
+    * read. Feed this to [[graft.load.Loader.generateDdl]] /
+    * [[graft.model.TypeMapper.sparkToWarehouseDdl]] for target DDL. */
+  def discoverSchema(spark: SparkSession, id: TableId):
+      org.apache.spark.sql.types.StructType =
+    table(spark, id).schema
 
   /** Range-partitioned read: one cheap min/max query picks even bounds, then
     * `numPartitions` parallel range scans — replaces detect_optimal_window_size
@@ -60,5 +68,16 @@ final class JdbcSource(url: String, props: java.util.Properties,
       .jdbc(url, s"${id.schema}.${id.table}", props)
   }
 
-  def listTables(spark: SparkSession): Seq[String] = Nil // needs live metadata
+  /** Live table listing via JDBC catalog metadata (ref SHOW TABLES,
+    * base.py:634-665) — returns `schema.table` names. */
+  def listTables(spark: SparkSession): Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (rs.next())
+        buf += s"${rs.getString("TABLE_SCHEM")}.${rs.getString("TABLE_NAME")}"
+      buf.toSeq.sorted
+    } finally conn.close()
+  }
 }
