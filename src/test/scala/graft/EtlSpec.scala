@@ -161,6 +161,73 @@ class EtlSpec extends AnyFunSuite with SparkTestBase {
     assert(loader.readTarget(spark, id).get.count() == 50)
   }
 
+  test("schema drift: removed column fails the load and marks the watermark") {
+    // ref incident path (SCHEMA_MISMATCH_INCIDENT_REPORT.md): destructive
+    // drift must HALT the load with an alert, never silently write
+    val (root, store, extractor, loader) = rig()
+    extractor.extract(spark, id, events, cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    val dropped = tmpDir("drift_removed")
+    events.drop("value").write.mode("overwrite").parquet(dropped)
+    val e = intercept[graft.sources.SchemaDriftException] {
+      loader.load(spark, id, dropped, cfg)
+    }
+    assert(e.diff.removed.map(_.name) == Seq("value"))
+    val wm = store.get(id.scoped).get
+    assert(wm.redshift_state.status == "failed")
+    assert(wm.redshift_state.error.exists(_.contains("schema drift")))
+    // the target is untouched by the refused batch
+    assert(loader.readTarget(spark, id).get.count() == events.count())
+  }
+
+  test("schema drift: retyped column fails under AdditiveOnly AND Strict") {
+    for (policy <- Seq(graft.sources.EvolutionPolicy.AdditiveOnly,
+                       graft.sources.EvolutionPolicy.Strict)) {
+      val root = tmpDir("drift_retyped")
+      val store = new WatermarkStore(s"$root/wm")
+      val extractor = new Extractor(store, s"$root/staging")
+      val loader = new Loader(store, s"$root/warehouse",
+        evolutionPolicy = policy)
+      extractor.extract(spark, id, events, cfg)
+      loader.load(spark, id, extractor.stagingDir(id), cfg)
+      val retyped = tmpDir("drift_retyped_staged")
+      events.withColumn("value", col("value").cast("string"))
+        .write.mode("overwrite").parquet(retyped)
+      val e = intercept[graft.sources.SchemaDriftException] {
+        loader.load(spark, id, retyped, cfg)
+      }
+      assert(e.diff.changed.map(_._1.name) == Seq("value"), s"policy $policy")
+      assert(store.get(id.scoped).get.redshift_state.status == "failed")
+    }
+  }
+
+  test("schema drift: added column merges under AdditiveOnly, fails Strict") {
+    val (root, store, extractor, loader) = rig()
+    extractor.extract(spark, id, events, cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    val widened = tmpDir("drift_added")
+    events.limit(10).withColumn("extra_col", lit("x"))
+      .write.mode("overwrite").parquet(widened)
+    // AdditiveOnly (the default): new column accepted; old rows read NULL
+    loader.load(spark, id, widened, cfg)
+    val tgt = loader.readTarget(spark, id).get
+    assert(tgt.columns.contains("extra_col"))
+    assert(tgt.count() == events.count() + 10)
+    assert(tgt.filter(col("extra_col").isNull).count() == events.count())
+    // Strict refuses the same batch
+    val strictRoot = tmpDir("drift_strict")
+    val strictStore = new WatermarkStore(s"$strictRoot/wm")
+    val strictEx = new Extractor(strictStore, s"$strictRoot/staging")
+    val strictLoader = new Loader(strictStore, s"$strictRoot/warehouse",
+      evolutionPolicy = graft.sources.EvolutionPolicy.Strict)
+    strictEx.extract(spark, id, events, cfg)
+    strictLoader.load(spark, id, strictEx.stagingDir(id), cfg)
+    intercept[graft.sources.SchemaDriftException] {
+      strictLoader.load(spark, id, widened, cfg)
+    }
+    assert(strictStore.get(id.scoped).get.redshift_state.status == "failed")
+  }
+
   test("retry wrapper retries then surfaces RetryExhausted") {
     var calls = 0
     val r = Retry.withBackoff(maxAttempts = 3, initialDelayMs = 1) {

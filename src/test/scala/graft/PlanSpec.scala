@@ -66,6 +66,53 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("staged datetime/hybrid layouts prune the scan to the filtered dirs") {
+    // the reference probed S3 prefixes by hand (gemini_redshift_loader.py:
+    // 411-447); its replacement is Spark partition pruning over the Hive-style
+    // staging layout — prove the plan carries PartitionFilters and reads ONLY
+    // the matching year=/month= directories
+    import org.apache.spark.sql.functions.{col, year, month}
+    import graft.cdc._
+    import graft.extract.Extractor
+    import graft.model._
+    import graft.watermark.WatermarkStore
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val hybridCfg = CdcConfig(CdcStrategyKind.Hybrid,
+      timestampColumn = Some("o_orderdate"), idColumn = Some("o_orderkey"))
+    val id = TableId("t", "fx", "orders")
+    for (strat <- Seq(PartitionStrategy.Datetime, PartitionStrategy.Hybrid)) {
+      val root = tmpDir(s"prune_${strat.getClass.getSimpleName}")
+      val store = new WatermarkStore(s"$root/wm")
+      val ex = new Extractor(store, s"$root/staging", strat)
+      ex.extract(spark, id, orders, hybridCfg)
+      val staged = spark.read.parquet(ex.stagingDir(id) + "/session=*")
+      val pruned = staged.filter(col("year") === 1997 && col("month") === 3)
+      // semantics unchanged by the layout
+      assert(pruned.count() == orders.filter(
+        year(col("o_orderdate")) === 1997 && month(col("o_orderdate")) === 3)
+        .count(), s"$strat row count")
+      // the plan prunes: partition filters present, and the scan's file list
+      // is exactly the files under year=1997/month=03 dirs
+      val scan = scans(pruned).head
+      val pf = scan.partitionFilters.map(_.toString).mkString(" ")
+      assert(pf.contains("year") && pf.contains("month"),
+        s"$strat missing PartitionFilters: $pf")
+      val scanned = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .map(_.files.size).sum
+      val allFiles = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$root/staging"))
+        .filter(p => p.toString.endsWith(".parquet")).count().toInt
+      val expectFiles = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$root/staging"))
+        .filter(p => p.toString.endsWith(".parquet") &&
+          p.toString.contains("year=1997") && p.toString.contains("/month=03"))
+        .count().toInt
+      assert(scanned == expectFiles, s"$strat scanned=$scanned expected=$expectFiles")
+      assert(scanned < allFiles, s"$strat did not prune ($scanned of $allFiles)")
+    }
+  }
+
   test("top-k is TakeOrdered, not a global sort") {
     val plan = executedString(q("q_topk_customers"))
     assert(plan.contains("TakeOrderedAndProject"),
