@@ -30,7 +30,8 @@ final case class ExtractResult(table: TableId, rows: Long, files: Long,
   */
 final class Extractor(val store: WatermarkStore, stagingRoot: String,
                       partitionStrategy: PartitionStrategy = PartitionStrategy.ByTable,
-                      targetFileRows: Long = 5000000) {
+                      targetFileRows: Long = 5000000,
+                      compression: String = "snappy") {
 
   def stagingDir(id: TableId): String = partitionStrategy match {
     case PartitionStrategy.ByTable => s"$stagingRoot/table=${id.table}"
@@ -80,7 +81,7 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
       val (_, secs) = SessionMetrics.timed {
         writer
           .mode(SaveMode.Append)
-          .option("compression", "snappy")
+          .option("compression", compression)
           // bound file size instead of per-batch files (small-file fix the
           // reference left as roadmap, PERFORMANCE_OPTIMIZATION_GUIDE.md:190-199)
           .option("maxRecordsPerFile", targetFileRows.toString)

@@ -37,7 +37,8 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
                    maxFilesPerLoad: Option[Int] = None,
                    evolutionPolicy: EvolutionPolicy = EvolutionPolicy.AdditiveOnly,
                    normalizeColumns: Boolean = false,
-                   mergeBuckets: Option[Int] = None) {
+                   mergeBuckets: Option[Int] = None,
+                   compression: String = "snappy") {
 
   def targetPath(id: TableId): String = s"$warehouseRoot/${id.safeName}"
 
@@ -119,7 +120,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
           } else raw
           val staged = SchemaEvolution(renamed, targetSchema, evolutionPolicy)
           val mode = if (doTruncate && first) SaveMode.Overwrite else SaveMode.Append
-          staged.write.mode(mode).option("compression", "snappy").parquet(target)
+          staged.write.mode(mode).option("compression", compression).parquet(target)
           first = false
           val rows = group.map(rowsByFile).sum
           loadedRows += rows
@@ -228,7 +229,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       case None => staged
     }
     merged.write.mode(SaveMode.Overwrite)
-      .option("compression", "snappy").parquet(newPath.toString)
+      .option("compression", compression).parquet(newPath.toString)
     val rows = ParquetFooters.totalRows(
       listParquetFiles(spark, newPath.toString),
       spark.sparkContext.hadoopConfiguration)
@@ -311,7 +312,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     if (!fs.exists(tgt)) {
       // bootstrap: lay the table out bucketed from the first load
       withBucket.write.mode(SaveMode.Overwrite)
-        .option("compression", "snappy")
+        .option("compression", compression)
         .partitionBy(BucketCol).parquet(target)
       return targetRowCount(spark, id)
     }
@@ -332,7 +333,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       val oldRoot0 = new org.apache.hadoop.fs.Path(target + ".__old")
       fs.delete(newRoot0, true); fs.delete(oldRoot0, true)
       mergedAll.write.mode(SaveMode.Overwrite)
-        .option("compression", "snappy")
+        .option("compression", compression)
         .partitionBy(BucketCol).parquet(newRoot0.toString)
       if (!fs.rename(tgt, oldRoot0))
         throw new java.io.IOException(s"swap failed: $tgt -> $oldRoot0")
@@ -361,7 +362,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     val newRoot = new org.apache.hadoop.fs.Path(target + ".__new")
     fs.delete(newRoot, true)
     mergedSlice.write.mode(SaveMode.Overwrite)
-      .option("compression", "snappy")
+      .option("compression", compression)
       .partitionBy(BucketCol).parquet(newRoot.toString)
 
     affected.foreach { b =>

@@ -11,7 +11,11 @@ final case class ProcessingSettings(
     strategy: String = "sequential",          // sequential | parallel
     batchSize: Int = 10000,
     timeoutMinutes: Int = 240,
-    maxParallelTables: Int = 1)
+    maxParallelTables: Int = 1,
+    commitBatchFiles: Int = 64,               // blacklist-commit granularity
+    maxFilesPerLoad: Option[Int] = None,      // newest-first backlog trim (O4)
+    evolutionPolicy: String = "additive",     // additive | strict | align
+    normalizeColumns: Boolean = false)        // P5 lowercase/digit-prefix renames
 
 /** Staged-sink settings (YAML `pipeline.s3`; ref s3_manager.py:57-65
   * isolation_prefix namespace + partition strategy selection). */
@@ -152,7 +156,11 @@ object PipelineConfig {
       strategy = str(proc, "strategy", "sequential"),
       batchSize = opt(proc, "batch_size").map(_.asInt).getOrElse(10000),
       timeoutMinutes = opt(proc, "timeout_minutes").map(_.asInt).getOrElse(240),
-      maxParallelTables = opt(proc, "max_parallel_tables").map(_.asInt).getOrElse(1))
+      maxParallelTables = opt(proc, "max_parallel_tables").map(_.asInt).getOrElse(1),
+      commitBatchFiles = opt(proc, "commit_batch_files").map(_.asInt).getOrElse(64),
+      maxFilesPerLoad = opt(proc, "max_files_per_load").map(_.asInt),
+      evolutionPolicy = str(proc, "evolution_policy", "additive"),
+      normalizeColumns = opt(proc, "normalize_columns").exists(_.asBoolean))
 
     val s3 = opt(p, "s3").orNull
     val sink = SinkSettings(

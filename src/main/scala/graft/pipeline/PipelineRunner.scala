@@ -56,6 +56,16 @@ final class ParquetCatalog(root: String) extends SourceCatalog {
 final class PipelineRunner(spark: SparkSession, workRoot: String,
                            maxAttempts: Int = 3) {
 
+  /** Report the ROOT failure, not the retry wrapper: "failed after 3
+    * attempts" hides the actionable message (e.g. schema drift). */
+  private def rootMessage(e: Throwable): String = {
+    val cause = e match {
+      case r: Retry.RetryExhausted => Option(r.getCause).getOrElse(r)
+      case other => other
+    }
+    Option(cause.getMessage).getOrElse(cause.getClass.getName)
+  }
+
   private def prefixed(p: Pipeline, sub: String): String = {
     val prefix = if (p.sink.isolationPrefix.nonEmpty)
       p.sink.isolationPrefix.stripSuffix("/") + "/" else ""
@@ -65,8 +75,14 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
   def rigFor(p: Pipeline): (WatermarkStore, Extractor, Loader) = {
     val store = new WatermarkStore(prefixed(p, "watermarks"))
     val extractor = new Extractor(store, prefixed(p, "staging"),
-      p.sink.partitionStrategy)
-    val loader = new Loader(store, prefixed(p, "warehouse"))
+      p.sink.partitionStrategy, compression = p.sink.compression)
+    val loader = new Loader(store, prefixed(p, "warehouse"),
+      commitBatchFiles = p.processing.commitBatchFiles,
+      maxFilesPerLoad = p.processing.maxFilesPerLoad,
+      evolutionPolicy =
+        graft.sources.EvolutionPolicy.fromName(p.processing.evolutionPolicy),
+      normalizeColumns = p.processing.normalizeColumns,
+      compression = p.sink.compression)
     (store, extractor, loader)
   }
 
@@ -137,7 +153,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
           (System.nanoTime() - t0) / 1e9, parity)
       case Failure(e) =>
         TableReport(id, ok = false, None, None,
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
+          Some(rootMessage(e)),
           (System.nanoTime() - t0) / 1e9)
     }
   }
@@ -173,7 +189,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
               Some(e match {
                 case _: java.util.concurrent.TimeoutException =>
                   s"timed out after ${p.processing.timeoutMinutes} minutes"
-                case other => Option(other.getMessage).getOrElse(other.getClass.getName)
+                case other => rootMessage(other)
               }),
               (p.processing.timeoutMinutes.toLong * 60).toDouble)
         }
@@ -196,7 +212,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
         case Success(ext) => TableReport(id, ok = true, Some(ext), None, None,
           (System.nanoTime() - s0) / 1e9)
         case Failure(e) => TableReport(id, ok = false, None, None,
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
+          Some(rootMessage(e)),
           (System.nanoTime() - s0) / 1e9)
       }
     }
@@ -217,7 +233,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
         case Success(l) => TableReport(id, ok = true, None, Some(l), None,
           (System.nanoTime() - s0) / 1e9)
         case Failure(e) => TableReport(id, ok = false, None, None,
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
+          Some(rootMessage(e)),
           (System.nanoTime() - s0) / 1e9)
       }
     }

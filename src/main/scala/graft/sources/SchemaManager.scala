@@ -43,6 +43,15 @@ object EvolutionPolicy {
   /** Staged data is forced into the existing target schema (extra columns
     * dropped, missing ones NULL) — the reference's alignment fallback. */
   case object AlignToTarget extends EvolutionPolicy
+
+  /** Config-string form (YAML `processing.evolution_policy`). */
+  def fromName(name: String): EvolutionPolicy = name.toLowerCase match {
+    case "additive" | "additive_only" => AdditiveOnly
+    case "strict"                     => Strict
+    case "align" | "align_to_target"  => AlignToTarget
+    case other => throw new IllegalArgumentException(
+      s"unknown evolution_policy: '$other' (additive | strict | align)")
+  }
 }
 
 final case class SchemaDriftException(diff: Relational.SchemaDiff)

@@ -275,6 +275,67 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(report.tables.head.parityOk.contains(true))
   }
 
+  test("evolution_policy YAML key gates schema drift through the sync path") {
+    // a mutable source dir: second sync sees a WIDENED schema
+    val srcDir = tmpDir("evsrc")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    events.filter(col("event_id") <= 300)
+      .write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    def pipelineWith(policy: String) = PipelineConfig.fromString(
+      s"""pipeline:
+         |  name: "ev_$policy"
+         |  source: "$srcDir"
+         |  target: "warehouse"
+         |  processing:
+         |    evolution_policy: "$policy"
+         |tables:
+         |  fx.events:
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "event_id"
+         |""".stripMargin)
+    for (policy <- Seq("strict", "additive")) {
+      val runner = new PipelineRunner(spark, tmpDir(s"evwork_$policy"),
+        maxAttempts = 1)
+      val p = pipelineWith(policy)
+      assert(runner.sync(p).allOk)
+      // widen the source schema; new rows only (cursor skips the old ones)
+      events.filter(col("event_id") > 300)
+        .withColumn("extra_col", lit("x"))
+        .write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+      val r2 = runner.sync(p)
+      if (policy == "strict") {
+        assert(!r2.allOk, "strict policy accepted drifted schema")
+        assert(r2.tables.head.error.exists(_.contains("schema drift")))
+      } else {
+        assert(r2.allOk, r2.tables.flatMap(_.error).mkString(";"))
+      }
+      // restore the source for the next loop iteration
+      events.filter(col("event_id") <= 300)
+        .write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    }
+  }
+
+  test("s3.compression YAML key reaches the staged and warehouse files") {
+    val y = yaml.replace("partition_strategy: \"table\"",
+      "partition_strategy: \"table\"\n    compression: \"zstd\"")
+    val p = PipelineConfig.fromString(y)
+    assert(p.sink.compression == "zstd")
+    val work = tmpDir("pipezstd")
+    val runner = new PipelineRunner(spark, work)
+    val report = runner.sync(p, tableFilter = Some("region"))
+    assert(report.allOk, report.tables.flatMap(_.error).mkString(";"))
+    import scala.jdk.CollectionConverters._
+    def parquets(dir: String): Seq[String] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val staged = parquets(s"$work/fx/staging")
+    val warehouse = parquets(s"$work/fx/warehouse")
+    assert(staged.nonEmpty && staged.forall(_.contains(".zstd.")),
+      s"staged not zstd: ${staged.take(2)}")
+    assert(warehouse.nonEmpty && warehouse.forall(_.contains(".zstd.")),
+      s"warehouse not zstd: ${warehouse.take(2)}")
+  }
+
   test("failed table is reported, others still succeed") {
     val y = yaml.replace("cdc_id_column: \"event_id\"",
       "cdc_id_column: \"no_such_column\"")
