@@ -104,6 +104,21 @@ object ExtQueries {
       Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
              |  event_type, COUNT(*) AS n_events,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-             |FROM events GROUP BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // --------------------------------- stateful mapGroupsWithState totals
+    // Custom keyed state (GroupState) through a real checkpointed streaming
+    // run: with a fresh checkpoint the post-run totals are exactly the batch
+    // per-user counts, so the opaque state function IS oracle-checkable.
+    Q("q_stream_user_totals",
+      (s, dir) => {
+        Tables.df(s, dir, "events") // ensures nanosAsLong is set first
+        StreamingPipeline.statefulUserCounts(s, s"$dir/events.parquet",
+          Tables.scratchDir("state_ckpt"),
+          s"user_totals_${System.nanoTime()}")
+      },
+      Some("""SELECT CAST(user_id AS BIGINT) AS user_id,
+             |  COUNT(*) AS total_events
+             |FROM events GROUP BY user_id""".stripMargin))
   )
 }

@@ -44,18 +44,7 @@ object StreamingPipeline {
                         checkpointDir: String, queryName: String,
                         statePartitions: Option[Int] = Some(8)): DataFrame = {
     val batchSchema = spark.read.parquet(eventsPath).schema
-    // The file-stream source monitors DIRECTORIES. A single-file input (the
-    // fixture layout) is staged as a symlink inside a scratch dir so the
-    // stream still reads the original bytes in place.
-    val streamDir = {
-      val f = new java.io.File(eventsPath)
-      if (f.isFile) {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(f.getName), f.toPath)
-        d.toString
-      } else eventsPath
-    }
+    val streamDir = streamSourceDir(eventsPath)
     val stream = spark.readStream
       .schema(batchSchema)
       .parquet(streamDir)
@@ -145,6 +134,18 @@ object StreamingPipeline {
       .map(b => new org.apache.hadoop.fs.Path(root, s"batch=$b").toString)
   }
 
+  /** The file-stream source monitors DIRECTORIES. A single-file input (the
+    * fixture layout) is staged as a symlink inside a scratch dir so the
+    * stream still reads the original bytes in place. */
+  private def streamSourceDir(path: String): String = {
+    val f = new java.io.File(path)
+    if (f.isFile) {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.createSymbolicLink(d.resolve(f.getName), f.toPath)
+      d.toString
+    } else path
+  }
+
   /** Streaming incremental load: staged parquet directory → warehouse
     * directory with EXACTLY-ONCE file tracking carried entirely by the
     * checkpoint (file-source offsets) and the parquet sink's _spark_metadata
@@ -200,7 +201,8 @@ object StreamingPipeline {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = spark.read.parquet(eventsDir).schema
-    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamSourceDir(eventsDir))
       .select(col("user_id").cast("long"), col("event_id").cast("long"))
       .as[(Long, Long)]
     val counted = stream
