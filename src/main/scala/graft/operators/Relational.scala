@@ -191,4 +191,99 @@ object Relational {
       .withColumn("share_pct",
         col("cnt") * lit(100.0) / sum(col("cnt")).over(Window.partitionBy()))
   }
+
+  // --------------------------------------------------------------------------
+  // As-of join (operator Spark lacks natively)
+  // --------------------------------------------------------------------------
+
+  /** As-of join: attach to each left row the payload of the LATEST right row
+    * with `rightTs <= leftTs` (or `<` when `strict`) in the same key group —
+    * the point-in-time lookup every feature/training pipeline needs (latest
+    * dimension snapshot, last signup before an event, price as of a trade).
+    *
+    * Formulation: ONE shuffle on the key. Both sides union into a single
+    * relation ordered by (ts, side, rightOrder); a running
+    * `last(payload-struct, ignoreNulls)` window then carries the most recent
+    * right payload forward onto each left row. This is the scalable shape —
+    * no per-row subquery, no range self-join, no broadcast requirement; cost
+    * is one sort-shuffle of |L|+|R| rows like any windowed aggregation.
+    *
+    * Ties on the timestamp: among right rows sharing (keys, ts), the LAST by
+    * `rightOrder` wins (pass an id column for determinism). The payload
+    * travels as one struct, so all attached columns come from the SAME right
+    * row even when some of its fields are null. Right rows with null ts are
+    * dropped (no defined position in as-of time).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String],
+               rightOrder: Seq[String] = Nil,
+               strict: Boolean = false): DataFrame = {
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    // side ordering at equal ts decides inclusivity: right-before-left → the
+    // same-ts right row is visible (<=); left-before-right → it is not (<)
+    val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ats", col(leftTs))
+      .withColumn("__side", lit(leftSide))
+      .withColumn("__pay", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(payload.map(col): _*).schema.fields)))
+      .withColumn("__ord", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightOrder.map(col): _*).schema.fields)))
+    val r = right
+      .filter(col(rightTs).isNotNull)
+      .withColumn("__ats", col(rightTs))
+      .withColumn("__side", lit(rightSide))
+      .withColumn("__pay", struct(payload.map(col): _*))
+      .withColumn("__ord", struct(rightOrder.map(col): _*))
+      .select(keys.map(col) ++ Seq(col("__ats"), col("__side"),
+        col("__pay"), col("__ord")): _*)
+    // align: left keeps its own columns; right contributes only the carriers
+    val lNorm = l.select((keys.map(col) ++ Seq(col("__ats"), col("__side"),
+      col("__pay"), col("__ord")) ++
+      leftCols.filterNot(keys.contains).map(col)): _*)
+    val rNorm = leftCols.filterNot(keys.contains).foldLeft(r)(
+      (d, c) => d.withColumn(c, lit(null).cast(l.schema(c).dataType)))
+      .select(lNorm.columns.map(col).toIndexedSeq: _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ats").asc, col("__side").asc,
+        col("__ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lNorm.unionByName(rNorm)
+      .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === leftSide && col("__pay").isNull)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__asof.$p").as(p)): _*)
+  }
+
+  // --------------------------------------------------------------------------
+  // Bucketed range join (point-in-interval without a nested-loop plan)
+  // --------------------------------------------------------------------------
+
+  /** Range join: left rows whose `leftPoint` falls inside a right row's
+    * `[rightLo, rightHi]` (inclusive). Spark plans a bare inequality join as
+    * a broadcast-nested-loop — O(|L|·|R|) and undistributable when neither
+    * side broadcasts. This operator BUCKETS the range instead: each right
+    * interval explodes to the buckets it covers, each left point maps to one
+    * bucket, and the join becomes an equi-join on (keys, bucket) + exact
+    * filter — shuffle-partitionable like any hash join. Pick `bucketWidth`
+    * near the typical interval length: cost scales with
+    * |L| + Σ(interval_len/width) right replicas.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+                leftPoint: String, rightLo: String, rightHi: String,
+                bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lb = left.withColumn("__bucket",
+      floor(col(leftPoint) / bucketWidth).cast("long"))
+    val rb = right.withColumn("__bucket", explode(sequence(
+      floor(col(rightLo) / bucketWidth).cast("long"),
+      floor(col(rightHi) / bucketWidth).cast("long"))))
+    lb.join(rb, keys :+ "__bucket")
+      .filter(col(leftPoint) >= col(rightLo) && col(leftPoint) <= col(rightHi))
+      .drop("__bucket")
+  }
 }

@@ -119,6 +119,60 @@ object ExtQueries {
       },
       Some("""SELECT CAST(user_id AS BIGINT) AS user_id,
              |  COUNT(*) AS total_events
-             |FROM events GROUP BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // ------------------------------------------------------------ as-of join
+    // Point-in-time lookup: each event gets the id of the user's latest
+    // signup at-or-before it. Both sides compare at µs (the fixture's ns
+    // timestamps truncate to µs in DuckDB). The oracle encodes the exact
+    // tiebreak (latest ts, then greatest id) as a correlated top-1.
+    Q("q_join_asof",
+      (s, dir) => {
+        val ev = Tables.df(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts DIV 1000").as("ts_us"))
+        val signups = Tables.df(s, dir, "events")
+          .filter(col("event_type") === "signup")
+          .select(col("user_id"), expr("ts DIV 1000").as("sts_us"),
+            col("event_id").as("signup_id"))
+        graft.operators.Relational.asofJoin(ev, signups, Seq("user_id"),
+          leftTs = "ts_us", rightTs = "sts_us",
+          payload = Seq("signup_id"), rightOrder = Seq("signup_id"))
+      },
+      Some("""WITH r AS (SELECT user_id, epoch_us(ts) AS rtsu,
+             |                  event_id AS signup_id
+             |           FROM events WHERE event_type = 'signup')
+             |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             |  (SELECT r.signup_id FROM r
+             |   WHERE r.user_id = e.user_id AND r.rtsu <= epoch_us(e.ts)
+             |   ORDER BY r.rtsu DESC, r.signup_id DESC LIMIT 1) AS signup_id
+             |FROM events e""".stripMargin)),
+
+    // ---------------------------------------------------------- range join
+    // Point-in-interval via bucketing (equi-join plan, never a nested loop —
+    // asserted in PlanSpec). Price bands are generated identically on both
+    // sides; bucketWidth deliberately differs from the band width so interval
+    // replication is exercised.
+    Q("q_join_range",
+      (s, dir) => {
+        val pts = Tables.df(s, dir, "orders")
+          .select(col("o_orderkey"),
+            floor(col("o_totalprice")).cast("long").as("price_pt"))
+        val bands = s.range(0, 61).select(
+          col("id").as("band_id"),
+          (col("id") * 10000L).as("lo"),
+          (col("id") * 10000L + 9999L).as("hi"))
+        graft.operators.Relational.rangeJoin(pts, bands,
+          leftPoint = "price_pt", rightLo = "lo", rightHi = "hi",
+          bucketWidth = 4000)
+          .select(col("o_orderkey"), col("band_id"))
+      },
+      Some("""WITH bands AS (SELECT k AS band_id, k*10000 AS lo,
+             |                      k*10000+9999 AS hi
+             |               FROM generate_series(0, 60) t(k)),
+             |pts AS (SELECT o_orderkey,
+             |          CAST(FLOOR(o_totalprice) AS BIGINT) AS p FROM orders)
+             |SELECT p.o_orderkey, b.band_id FROM pts p
+             |JOIN bands b ON p.p BETWEEN b.lo AND b.hi""".stripMargin))
   )
 }

@@ -11,6 +11,78 @@ import graft.pipeline._
   * pinned by an oracle query. */
 class RelationalSpec extends AnyFunSuite with SparkTestBase {
 
+  test("asofJoin: inclusive/strict, ties broken by rightOrder, no-match → null") {
+    val s = spark; import s.implicits._
+    val left = Seq(
+      (1L, "u1", 100L), // before any right row
+      (2L, "u1", 200L), // exactly at a right ts
+      (3L, "u1", 250L), // between right rows
+      (4L, "u2", 500L), // other key
+      (5L, "u3", 900L)  // key with no right rows at all
+    ).toDF("eid", "k", "t")
+    val right = Seq(
+      ("u1", 200L, 10L), ("u1", 200L, 11L), // tie on ts: id 11 must win
+      ("u1", 240L, 12L),
+      ("u2", 400L, 20L)
+    ).toDF("k", "rt", "rid")
+    def run(strict: Boolean): Map[Long, Option[Long]] =
+      Relational.asofJoin(left, right, Seq("k"), "t", "rt",
+        payload = Seq("rid"), rightOrder = Seq("rid"), strict = strict)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val incl = run(strict = false)
+    assert(incl == Map(1L -> None, 2L -> Some(11L), 3L -> Some(12L),
+      4L -> Some(20L), 5L -> None))
+    val strict = run(strict = true)
+    // at t=200 the same-ts right rows are now invisible
+    assert(strict(2L).isEmpty)
+    assert(strict(3L).contains(12L) && strict(4L).contains(20L))
+    // row count preserved (left outer semantics)
+    assert(Relational.asofJoin(left, right, Seq("k"), "t", "rt",
+      payload = Seq("rid"), rightOrder = Seq("rid")).count() == left.count())
+  }
+
+  test("asofJoin: multi-column payload comes from ONE right row") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, "k", 300L)).toDF("eid", "k", "t")
+    val right = Seq(
+      ("k", 100L, 1L, "old-name"),
+      ("k", 200L, 2L, null.asInstanceOf[String]) // latest row has a NULL field
+    ).toDF("k", "rt", "rid", "rname")
+    val out = Relational.asofJoin(left, right, Seq("k"), "t", "rt",
+      payload = Seq("rid", "rname"), rightOrder = Seq("rid")).head()
+    // per-column last(ignoreNulls) would mix rows (rid=2 with rname=old-name);
+    // the struct carrier must keep them together
+    assert(out.getLong(3) == 2L && out.isNullAt(4))
+  }
+
+  test("rangeJoin: boundary inclusivity and multi-bucket intervals") {
+    val s = spark; import s.implicits._
+    val pts = Seq((1L, 0L), (2L, 9999L), (3L, 10000L), (4L, 25000L))
+      .toDF("pid", "p")
+    val ivs = Seq((100L, 0L, 9999L), (200L, 10000L, 19999L),
+      (300L, 0L, 29999L)) // wide interval spans many buckets
+      .toDF("iid", "lo", "hi")
+    val out = Relational.rangeJoin(pts, ivs, "p", "lo", "hi", bucketWidth = 700)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 100L), (2L, 100L), (3L, 200L), (4L, 300L),
+      (1L, 300L), (2L, 300L), (3L, 300L)))
+  }
+
+  test("rangeJoin plans an equi-join, never a nested loop") {
+    val s = spark; import s.implicits._
+    val pts = (1L to 1000L).map(i => (i, i * 3)).toDF("pid", "p")
+    val ivs = (1L to 500L).map(i => (i, i * 6, i * 6 + 5)).toDF("iid", "lo", "hi")
+    val joined = Relational.rangeJoin(pts, ivs, "p", "lo", "hi", bucketWidth = 10)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n${plan.take(1500)}")
+    // correctness vs the naive condition
+    assert(joined.count() ==
+      pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi")).count())
+  }
+
   test("profile: one row per column, exact stats + plausible HLL") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val n = orders.count()
