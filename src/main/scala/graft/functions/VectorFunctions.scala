@@ -83,23 +83,37 @@ object VectorFunctions {
     * FAISS IVF training analog), then assign each corpus vector with one
     * narrow projection against the broadcast centroid literal.
     *
-    * Scale: KMeans fit is a few passes over (a sample of) the corpus; the
-    * centroid set (nlist × dim doubles) is driver/broadcast-sized by design.
-    * For a persisted index, write `assigned` partitioned BY centroid_id so
-    * queries prune to nprobe cells. */
+    * Scale: training NEVER sees the full corpus — a coarse quantizer needs a
+    * bounded sample (FAISS guidance is tens-to-hundreds of points per
+    * centroid; `maxTrainPoints` defaults to 256×nlist capped at 256k), and
+    * the sample is coalesced to partitions sized to the POINT COUNT so each
+    * Lloyd pass costs a handful of tasks instead of a full-width job over
+    * near-empty partitions. The centroid set (nlist × dim doubles) is
+    * driver/broadcast-sized by design. For a persisted index, write
+    * `assigned` partitioned BY centroid_id so queries prune to nprobe cells. */
   def buildIvf(corpus: DataFrame, nlist: Int,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               maxIter: Int = 10, trainFraction: Double = 1.0): IvfIndex = {
+               maxIter: Int = 10, trainFraction: Double = 1.0,
+               maxTrainPoints: Option[Int] = None): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val train0 = corpus.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val train = if (trainFraction < 1.0)
-      train0.sample(withReplacement = false, trainFraction, seed = 42L) else train0
-    val model = new KMeans()
-      .setK(nlist).setSeed(42L).setMaxIter(maxIter)
-      .setDistanceMeasure("cosine")
-      .fit(train)
+    val cap = maxTrainPoints.getOrElse(math.min(256 * nlist, 262144)).toLong
+    val total = train0.count()
+    val frac = math.min(trainFraction,
+      if (total > cap) cap.toDouble / total else 1.0)
+    val sampled = if (frac < 1.0)
+      train0.sample(withReplacement = false, frac, seed = 42L) else train0
+    val expectedPoints = math.max(1L, (total * frac).toLong)
+    val parts = math.max(1L, expectedPoints / 16384L).toInt
+    val train = sampled.coalesce(parts).cache()
+    val model =
+      try new KMeans()
+        .setK(nlist).setSeed(42L).setMaxIter(maxIter)
+        .setDistanceMeasure("cosine")
+        .fit(train)
+      finally train.unpersist()
     val centroids: Seq[(Int, Seq[Float])] = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray.toSeq.map(_.toFloat)) }.toSeq
     val centroidsDf = corpus.sparkSession.createDataFrame(

@@ -115,7 +115,10 @@ object ExtQueries {
         Tables.df(s, dir, "events") // ensures nanosAsLong is set first
         StreamingPipeline.statefulUserCounts(s, s"$dir/events.parquet",
           Tables.scratchDir("state_ckpt"),
-          s"user_totals_${System.nanoTime()}")
+          s"user_totals_${System.nanoTime()}",
+          // state partitions sized to key cardinality (users at this SF),
+          // not input volume — same argument as the hourly rollup
+          statePartitions = Some(8))
       },
       Some("""SELECT CAST(user_id AS BIGINT) AS user_id,
              |  COUNT(*) AS total_events

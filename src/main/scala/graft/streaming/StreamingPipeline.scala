@@ -195,9 +195,12 @@ object StreamingPipeline {
     * counts maintained in `GroupState` and carried ACROSS RUNS by the
     * checkpoint's state store — each `Trigger.AvailableNow` pass folds newly
     * staged events into the running totals (the streaming analog of the
-    * watermark's cumulative row counters). Returns the post-run totals. */
+    * watermark's cumulative row counters). Returns the post-run totals.
+    * `statePartitions` sizes the state-store count to the KEY cardinality
+    * (see [[hourlyEventRollup]]); None inherits the session setting. */
   def statefulUserCounts(spark: SparkSession, eventsDir: String,
-                         checkpointDir: String, queryName: String): DataFrame = {
+                         checkpointDir: String, queryName: String,
+                         statePartitions: Option[Int] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = spark.read.parquet(eventsDir).schema
@@ -220,17 +223,22 @@ object StreamingPipeline {
     // replay-idempotent); the run's result is read back latest-batch-wins
     // per user. The driver never materializes a single row.
     val runDir = s"${checkpointDir}_updates/$queryName"
-    val q = counted.writeStream
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long)], batchId: Long) =>
-        batch.toDF("user_id", "total_events")
-          .write.mode("overwrite").parquet(s"$runDir/batch=$batchId")
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = counted.writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long)], batchId: Long) =>
+          batch.toDF("user_id", "total_events")
+            .write.mode("overwrite").parquet(s"$runDir/batch=$batchId")
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val runPath = new org.apache.hadoop.fs.Path(runDir)
     val fs = runPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(runPath))
