@@ -47,6 +47,38 @@ object DedupFunctions {
       .drop("__fp", "__rn")
   }
 
+  /** INCREMENTAL exact dedup — the shape a 100 TB pipeline actually runs:
+    * dedup the new increment against the existing corpus WITHOUT rescanning
+    * the corpus text. `existingFingerprints` is a maintained side table of
+    * distinct content fingerprints (16 bytes per distinct doc — kept up to
+    * date by appending each accepted increment's fingerprints); the increment
+    * is deduped internally (min-id representative) and then anti-joined
+    * against it. Cost per increment: one shuffle of the increment plus a
+    * fingerprint-only join — the corpus payload is never touched. */
+  def dropDuplicatesIncremental(incoming: DataFrame,
+                                existingFingerprints: DataFrame,
+                                idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    incoming
+      .withColumn("__fp", TextFunctions.fingerprintMd5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(existingFingerprints.select(col("fingerprint").as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp", "__rn")
+  }
+
+  /** Convenience form deriving the fingerprint set from the existing corpus
+    * (first run / no side table yet). Only (fingerprint) is shuffled from the
+    * existing side — text stays columnar-pruned out. */
+  def dropDuplicatesAgainst(existing: DataFrame, incoming: DataFrame,
+                            idCol: String, textCol: String): DataFrame =
+    dropDuplicatesIncremental(incoming,
+      existing.select(
+        TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint")),
+      idCol, textCol)
+
   // --------------------------------------------------------------------------
   // Shingles + MinHash
   // --------------------------------------------------------------------------

@@ -47,6 +47,28 @@ object LlmQueries {
              |SELECT d.doc_id, d.lang, d.source FROM documents d
              |JOIN keep USING (doc_id)""".stripMargin)),
 
+    // ------------------------------------------------- incremental dedup
+    // The 100-TB shape: dedup an increment (odd doc_ids) against the corpus
+    // (even doc_ids) via fingerprint anti-join — corpus text never rescanned.
+    Q("q_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        DedupFunctions.dropDuplicatesAgainst(
+          existing = docs.filter(col("doc_id") % 2 === 0),
+          incoming = docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""WITH fp AS (SELECT doc_id, lang, source, md5($normSql) AS f
+             |            FROM documents),
+             |ex AS (SELECT DISTINCT f FROM fp WHERE doc_id % 2 = 0),
+             |inc AS (SELECT doc_id, lang, source, f,
+             |          row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+             |        FROM fp WHERE doc_id % 2 = 1)
+             |SELECT i.doc_id, i.lang, i.source FROM inc i
+             |LEFT JOIN ex ON i.f = ex.f
+             |WHERE i.rn = 1 AND ex.f IS NULL""".stripMargin)),
+
     // -------------------------------------------------- MinHash-LSH near-dup
     // Threshold 0.9 with k=64/b=16/r=4: detection prob 1-(1-0.9^4)^16 ≈
     // 1-2e-8 per true pair, and xxhash64 is deterministic → stable result.

@@ -29,6 +29,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("incremental dedup: side-table fingerprints gate the increment") {
+    val s = spark; import s.implicits._
+    // maintained fingerprint table = corpus state after accepting docs 1 & 4
+    val sideTable = DedupFunctions.exactDuplicateGroups(
+      docs.filter(col("doc_id").isin(1L, 4L)), "doc_id", "text")
+      .select(col("fingerprint"))
+    val increment = docs.filter(col("doc_id") > 1) // 2..5
+    val kept = DedupFunctions.dropDuplicatesIncremental(
+      increment, sideTable, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 = dup of corpus doc 1; 5 = dup of corpus doc 4 (after normalization);
+    // 3 is genuinely new → only 3 survives
+    assert(kept == Set(3L))
+    // empty side table degenerates to plain within-increment dedup
+    val bootstrapped = DedupFunctions.dropDuplicatesAgainst(
+      docs.limit(0), increment, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bootstrapped == Set(2L, 3L, 4L)) // min-id per content within 2..5
+  }
+
   test("minhash LSH finds exact and near duplicates with correct jaccard") {
     val pairs = DedupFunctions.minhashCandidatePairs(docs, "doc_id", "text")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
