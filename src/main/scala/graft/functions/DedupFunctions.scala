@@ -169,10 +169,16 @@ object DedupFunctions {
 
     // cap degenerate buckets (e.g. empty/boilerplate docs all colliding):
     // without this, one hot bucket at 100 TB produces an O(m²) pair explosion.
-    val counted = bucketed.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
+    // Hot buckets are found with a PARTIAL-AGG count (map-side combine — only
+    // distinct (band,bucket) rows reach the exchange) and removed with a
+    // broadcast anti-join; the previous window-count formulation full-sorted
+    // every banded row just to read its bucket size.
+    val hot = bucketed.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val counted = bucketed
+      .join(broadcast(hot), Seq("band", "bucket"), "left_anti")
       .select(col("band"), col("bucket"), col("doc_id"))
 
     val a = counted.withColumnRenamed("doc_id", "id_a")

@@ -248,9 +248,14 @@ object VectorFunctions {
               lit(1L << r)).reduce(_ + _)
         }: _*)).as(Seq("band", "bucket")))
 
-    val counted = banded.withColumn("bucket_n",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
+    // hot-bucket cap via partial-agg + broadcast anti-join (map-side combine;
+    // no full sort of the banded rows — same rewrite as the MinHash path)
+    val hot = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val counted = banded
+      .join(broadcast(hot), Seq("band", "bucket"), "left_anti")
       .select(col("band"), col("bucket"), col("doc_id"))
 
     val a2 = counted.withColumnRenamed("doc_id", "id_a")
