@@ -10,12 +10,15 @@ import graft.watermark.WatermarkStore
   * status :1116-1262, s3clean :2205-2410):
   *
   * {{{
-  * graft.Cli sync      -c pipeline.yml [-t table] [--work-dir DIR] [--parallel N]
+  * graft.Cli sync      -c pipeline.yml [-t table] [--work-dir DIR] [--parallel N] [--dry-run]
   * graft.Cli backup    -c pipeline.yml [-t table] [--work-dir DIR]
   * graft.Cli load      -c pipeline.yml [-t table] [--work-dir DIR]
+  * graft.Cli merge     -c pipeline.yml -t table [--keys k1,k2]
   * graft.Cli status    -c pipeline.yml [--work-dir DIR]
   * graft.Cli watermark get|set|reset -c pipeline.yml -t table
   *                     [--timestamp TS] [--id N] [--work-dir DIR]
+  * graft.Cli watermark-count get|set|status -c pipeline.yml -t table [--count N]
+  * graft.Cli unlock    -c pipeline.yml -t table [--stale-minutes M] [--force]
   * graft.Cli s3clean   -c pipeline.yml --older-than-hours H
   *                     [--keep-newest N] [--dry-run] [--work-dir DIR]
   * }}}

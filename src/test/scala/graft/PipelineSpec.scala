@@ -336,6 +336,40 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"warehouse not zstd: ${warehouse.take(2)}")
   }
 
+  test("CLI verb battery: sync/status/backup/load/watermark/unlock/s3clean") {
+    val work = tmpDir("cliverbs")
+    val ymlPath = java.nio.file.Paths.get(tmpDir("clicfg"), "p.yml")
+    java.nio.file.Files.writeString(ymlPath, yaml)
+    def cli(args: String*): Int =
+      graft.Cli.run((args ++ Seq("-c", ymlPath.toString,
+        "--work-dir", work)).toArray)
+    // plan preview executes nothing
+    assert(cli("sync", "--dry-run") == 0)
+    assert(!new java.io.File(s"$work/fx/warehouse").exists())
+    // extract-only, then load drains the staged files
+    assert(cli("backup", "-t", "fx.region") == 0)
+    assert(cli("load", "-t", "fx.region") == 0)
+    // full sync of the rest
+    assert(cli("sync") == 0)
+    assert(cli("status") == 0)
+    // watermark get/set/reset round-trip through the CLI
+    assert(cli("watermark", "get", "-t", "fx.events") == 0)
+    assert(cli("watermark", "set", "-t", "fx.events", "--id", "42") == 0)
+    assert(cli("watermark", "reset", "-t", "fx.events") == 0)
+    assert(cli("watermark", "get") == 2)          // -t is mandatory
+    // merge verb upserts staged files by the configured id column
+    assert(cli("merge", "-t", "fx.orders") == 0)
+    // unlock: nothing held → exit 1; --force on nothing → still 1
+    assert(cli("unlock", "-t", "fx.events") == 1)
+    assert(cli("unlock", "-t", "fx.events", "--force") == 1)
+    // s3clean dry-run reports, deletes nothing
+    assert(cli("s3clean", "--older-than-hours", "0", "--dry-run") == 0)
+    assert(cli("s3clean") == 2)                   // missing required option
+    // argument errors
+    assert(cli("no-such-verb") == 2)
+    assert(graft.Cli.run(Array("sync")) == 2)     // missing -c
+  }
+
   test("failed table is reported, others still succeed") {
     val y = yaml.replace("cdc_id_column: \"event_id\"",
       "cdc_id_column: \"no_such_column\"")
