@@ -56,6 +56,46 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(out.getLong(3) == 2L && out.isNullAt(4))
   }
 
+  test("asofJoin property: matches the naive per-row lookup on random data") {
+    // random (key, ts) streams with heavy ts collisions — the union+window
+    // formulation must agree with a brute-force per-left-row maximum
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark; import s.implicits._
+    val genCase = for {
+      nl <- Gen.choose(1, 30)
+      nr <- Gen.choose(0, 30)
+      lrows <- Gen.listOfN(nl, Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 8L)))
+      rrows <- Gen.listOfN(nr, Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 8L)))
+    } yield (lrows, rrows)
+    (1 to 25).foreach { i =>
+      val (lrows, rrows) = genCase(Gen.Parameters.default, Seed(i.toLong)).get
+      val left = lrows.zipWithIndex
+        .map { case ((k, t), idx) => (idx.toLong, s"k$k", t) }
+        .toDF("eid", "k", "t")
+      val right = rrows.zipWithIndex
+        .map { case ((k, t), idx) => (idx.toLong + 1000, s"k$k", t) }
+        .toDF("rid", "k", "rt")
+        .select(col("k"), col("rt"), col("rid"))
+      for (strict <- Seq(false, true)) {
+        val got = Relational.asofJoin(left, right, Seq("k"), "t", "rt",
+          payload = Seq("rid"), rightOrder = Seq("rid"), strict = strict)
+          .collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+          .toMap
+        val rSeq = rrows.zipWithIndex
+          .map { case ((k, t), idx) => (s"k$k", t, idx.toLong + 1000) }
+        val want = lrows.zipWithIndex.map { case ((k, t), idx) =>
+          val matches = rSeq.filter(r => r._1 == s"k$k" &&
+            (if (strict) r._2 < t else r._2 <= t))
+          idx.toLong -> (if (matches.isEmpty) -1L
+                         else matches.maxBy(r => (r._2, r._3))._3)
+        }.toMap
+        assert(got == want, s"case $i strict=$strict")
+      }
+    }
+  }
+
   test("rangeJoin: boundary inclusivity and multi-bucket intervals") {
     val s = spark; import s.implicits._
     val pts = Seq((1L, 0L), (2L, 9999L), (3L, 10000L), (4L, 25000L))
