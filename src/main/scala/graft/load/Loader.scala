@@ -178,7 +178,12 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       if (fresh.isEmpty)
         return LoadResult(id, 0, 0, all.size.toLong, target)
       val t0 = System.nanoTime()
-      val staged = spark.read.parquet(fresh: _*)
+      // the same schema-evolution gate as the append path: destructive drift
+      // refuses the session (and lands markLoadFailed below); additive drift
+      // flows through — the merge union carries new columns by name
+      val targetSchema = readTarget(spark, id).map(_.schema)
+      val staged = SchemaEvolution(spark.read.parquet(fresh: _*),
+        targetSchema, evolutionPolicy)
       bucketsEff match {
         case Some(n) => mergeIntoBucketed(spark, id, staged, keys, n)
         case None    => mergeInto(spark, id, staged, keys)
@@ -327,8 +332,8 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       val survivorsAll = existingAll.join(
         staged.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
-      val mergedAll = survivorsAll.unionByName(
-        withBucket.select(survivorsAll.columns.map(col).toIndexedSeq: _*))
+      val mergedAll = survivorsAll.unionByName(withBucket,
+        allowMissingColumns = true)
       val newRoot0 = new org.apache.hadoop.fs.Path(target + ".__new")
       val oldRoot0 = new org.apache.hadoop.fs.Path(target + ".__old")
       fs.delete(newRoot0, true); fs.delete(oldRoot0, true)
@@ -356,8 +361,8 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       .filter(col(BucketCol).isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
     val survivors = existing.join(
       staged.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    val mergedSlice = survivors.unionByName(
-      withBucket.select(survivors.columns.map(col).toIndexedSeq: _*))
+    val mergedSlice = survivors.unionByName(withBucket,
+      allowMissingColumns = true)
 
     val newRoot = new org.apache.hadoop.fs.Path(target + ".__new")
     fs.delete(newRoot, true)

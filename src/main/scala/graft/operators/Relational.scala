@@ -103,7 +103,11 @@ object Relational {
   def merge(target: DataFrame, staged: DataFrame, keys: Seq[String]): DataFrame = {
     val survivors = target.join(staged.select(keys.map(col): _*).distinct(),
       keys, "left_anti")
-    survivors.unionByName(staged.select(target.columns.map(col).toIndexedSeq: _*))
+    // by-name union with missing-column tolerance: an additively-evolved
+    // increment keeps its new columns (survivors read NULL) instead of having
+    // them silently projected away; destructive drift is refused UPSTREAM by
+    // the loader's SchemaEvolution gate
+    survivors.unionByName(staged, allowMissingColumns = true)
   }
 
   // --------------------------------------------------------------------------

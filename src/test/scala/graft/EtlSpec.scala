@@ -228,6 +228,36 @@ class EtlSpec extends AnyFunSuite with SparkTestBase {
     assert(strictStore.get(id.scoped).get.redshift_state.status == "failed")
   }
 
+  test("merge-mode load honors the schema-evolution gate") {
+    // the upsert path must refuse destructive drift like the append path
+    // (previously it bypassed the gate: added columns silently dropped,
+    // removed columns a raw AnalysisException with no watermark record)
+    val (root, store, extractor, loader) = rig()
+    extractor.extract(spark, id, events.filter(col("event_id") <= 300), cfg)
+    loader.mergeLoad(spark, id, extractor.stagingDir(id), cfg, Seq("event_id"))
+    // destructive: a staged increment missing a column refuses + marks failed
+    val dropped = tmpDir("mdrift_removed")
+    events.filter(col("event_id") > 300).drop("value")
+      .write.mode("overwrite").parquet(dropped)
+    intercept[graft.sources.SchemaDriftException] {
+      loader.mergeLoad(spark, id, dropped, cfg, Seq("event_id"))
+    }
+    assert(store.get(id.scoped).get.redshift_state.status == "failed")
+    // additive: the increment's NEW column survives the merge (old rows NULL)
+    val widened = tmpDir("mdrift_added")
+    events.filter(col("event_id") > 300).withColumn("extra_col", lit("x"))
+      .write.mode("overwrite").parquet(widened)
+    loader.mergeLoad(spark, id, widened, cfg, Seq("event_id"))
+    val tgt = loader.readTarget(spark, id).get
+    assert(tgt.count() == events.count())
+    assert(tgt.columns.contains("extra_col"),
+      "additive column was silently dropped by the merge")
+    assert(tgt.filter(col("extra_col") === "x").count() ==
+      events.filter(col("event_id") > 300).count())
+    assert(tgt.filter(col("event_id") <= 300 && col("extra_col").isNotNull)
+      .count() == 0)
+  }
+
   test("retry wrapper retries then surfaces RetryExhausted") {
     var calls = 0
     val r = Retry.withBackoff(maxAttempts = 3, initialDelayMs = 1) {
