@@ -251,6 +251,18 @@ object Cli {
           s"$rows rows in target")
         0
 
+      case "compact" =>
+        // small-file maintenance: rewrite a warehouse table (or each bucket
+        // of a bucketed one) into ~target-file-mb files, atomic dir swap
+        val (r, p) = runner
+        val (_, _, loader) = r.rigFor(p)
+        val spec = requireTable(p, tableFilter, "compact")
+        val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+        val mb = opts.get("target-file-mb").map(_.toLong).getOrElse(256L)
+        val (before, after) = loader.compact(spark, id, mb * 1024 * 1024)
+        println(s"compacted ${id.qualified}: $before -> $after files")
+        0
+
       case "unlock" =>
         // break a STALE per-table session lock — the manual recovery path
         // after a crashed sync left its lock behind (ref lock cleanup CLI,
@@ -319,6 +331,7 @@ object Cli {
       |  status    one line per table from the watermark store
       |  watermark get|set|reset -t table [--timestamp TS] [--id N]
       |  watermark-count get|set|status -t table [--count N]
+      |  compact   rewrite a table's small files: -t table [--target-file-mb N (256)]
       |  unlock    break a stale session lock: -t table [--stale-minutes M (60)] [--force]
       |  s3clean   --older-than-hours H [--keep-newest N] [--dry-run]""".stripMargin
 }

@@ -251,6 +251,19 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     rows
   }
 
+  /** Per-bucket form of [[recoverSwap]]: restore or clear any `.__old_<b>`
+    * backups a crashed bucket swap left inside the target. */
+  private def recoverBucketBackups(fs: org.apache.hadoop.fs.FileSystem,
+                                   tgt: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(tgt)) return
+    fs.listStatus(tgt).filter(_.getPath.getName.startsWith(".__old_"))
+      .foreach { st =>
+        val b = st.getPath.getName.stripPrefix(".__old_")
+        recoverSwap(fs, new org.apache.hadoop.fs.Path(tgt, s"$BucketCol=$b"),
+          st.getPath)
+      }
+  }
+
   /** Converge a directory-swap commit interrupted by a crash: if the live
     * path is gone but its `.__old` backup survives, the crash hit between the
     * two renames — restore the backup. If both exist, the install completed
@@ -305,14 +318,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     recoverSwap(fs, tgt, new org.apache.hadoop.fs.Path(target + ".__old"))
     // ... and a per-bucket crash between rename(cur→old_b) and
     // rename(new→cur) leaves that bucket only in `.__old_<b>`
-    if (fs.exists(tgt)) {
-      fs.listStatus(tgt).filter(_.getPath.getName.startsWith(".__old_"))
-        .foreach { st =>
-          val b = st.getPath.getName.stripPrefix(".__old_")
-          recoverSwap(fs, new org.apache.hadoop.fs.Path(tgt, s"$BucketCol=$b"),
-            st.getPath)
-        }
-    }
+    recoverBucketBackups(fs, tgt)
 
     if (!fs.exists(tgt)) {
       // bootstrap: lay the table out bucketed from the first load
@@ -388,6 +394,99 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     }
     fs.delete(newRoot, true)
     targetRowCount(spark, id)
+  }
+
+  /** Compact a warehouse table's accumulated small files (the long-run cost
+    * of per-session sub-batch appends — the reference left this as its "row
+    * accumulation buffer" roadmap item) into files of ~`targetFileBytes`,
+    * committed with the same crash-recovering directory swap as
+    * [[mergeInto]]. The row count is verified from footers BEFORE the swap —
+    * a compaction that would lose rows aborts with the target untouched.
+    * Returns (filesBefore, filesAfter). No-op when already at or below the
+    * target file count. */
+  def compact(spark: SparkSession, id: TableId,
+              targetFileBytes: Long = 256L * 1024 * 1024): (Int, Int) = {
+    val target = targetPath(id)
+    val tgt = new org.apache.hadoop.fs.Path(target)
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldPath = new org.apache.hadoop.fs.Path(target + ".__old")
+    recoverSwap(fs, tgt, oldPath)
+    recoverBucketBackups(fs, tgt)
+    if (!fs.exists(tgt)) return (0, 0)
+    // stale compaction scratch from a crashed run is never the only copy
+    fs.listStatus(tgt).filter(_.getPath.getName.startsWith(".__cnew_"))
+      .foreach(st => fs.delete(st.getPath, true))
+    val conf = spark.sparkContext.hadoopConfiguration
+    // bucket-partitioned targets compact PER BUCKET (layout preserved, each
+    // bucket swap independently crash-recoverable)
+    val bucketDirs = fs.listStatus(tgt)
+      .filter(_.getPath.getName.startsWith(s"$BucketCol="))
+    if (bucketDirs.nonEmpty) {
+      var before = 0
+      var after = 0
+      bucketDirs.foreach { st =>
+        val bdir = st.getPath
+        val bFiles = listParquetFilesWithSize(spark, bdir.toString)
+        val want = math.max(1L,
+          (bFiles.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
+        before += bFiles.size
+        if (bFiles.size <= want) { after += bFiles.size }
+        else {
+          val b = bdir.getName.stripPrefix(s"$BucketCol=")
+          val rows0 = ParquetFooters.totalRows(bFiles.map(_._1), conf)
+          val newB = new org.apache.hadoop.fs.Path(tgt, s".__cnew_$b")
+          fs.delete(newB, true)
+          spark.read.parquet(bdir.toString).repartition(want)
+            .write.mode(SaveMode.Overwrite)
+            .option("compression", compression).parquet(newB.toString)
+          val newFiles = listParquetFilesWithSize(spark, newB.toString)
+          if (ParquetFooters.totalRows(newFiles.map(_._1), conf) != rows0) {
+            fs.delete(newB, true)
+            throw new java.io.IOException(
+              s"compaction aborted: bucket $b row count changed")
+          }
+          val oldB = new org.apache.hadoop.fs.Path(tgt, s".__old_$b")
+          if (!fs.rename(bdir, oldB))
+            throw new java.io.IOException(s"bucket swap failed: $bdir -> $oldB")
+          if (!fs.rename(newB, bdir)) {
+            fs.rename(oldB, bdir)
+            throw new java.io.IOException(s"bucket swap failed: $newB -> $bdir")
+          }
+          fs.delete(oldB, true)
+          after += newFiles.size
+        }
+      }
+      return (before, after)
+    }
+    val files = listParquetFilesWithSize(spark, target)
+    if (files.isEmpty) return (0, 0)
+    val totalBytes = files.map(_._2).sum
+    val wantFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (files.size <= wantFiles) return (files.size, files.size)
+    val rowsBefore = ParquetFooters.totalRows(files.map(_._1), conf)
+    val newPath = new org.apache.hadoop.fs.Path(target + ".__new")
+    fs.delete(newPath, true)
+    spark.read.option("mergeSchema", "true").parquet(target)
+      .repartition(wantFiles)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", compression).parquet(newPath.toString)
+    val newFiles = listParquetFilesWithSize(spark, newPath.toString)
+    val rowsAfter = ParquetFooters.totalRows(newFiles.map(_._1), conf)
+    if (rowsAfter != rowsBefore) {
+      fs.delete(newPath, true)
+      throw new java.io.IOException(
+        s"compaction aborted: rewrite has $rowsAfter rows, target has $rowsBefore")
+    }
+    if (!fs.rename(tgt, oldPath))
+      throw new java.io.IOException(s"swap failed: $tgt -> $oldPath")
+    if (!fs.rename(newPath, tgt)) {
+      fs.rename(oldPath, tgt)
+      throw new java.io.IOException(s"swap failed: $newPath -> $tgt")
+    }
+    if (!fs.exists(tgt))
+      throw new java.io.IOException(s"swap verification failed: $tgt absent")
+    fs.delete(oldPath, true)
+    (files.size, newFiles.size)
   }
 
   /** Read the warehouse table (empty DataFrame if never loaded). mergeSchema

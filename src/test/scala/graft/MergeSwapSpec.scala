@@ -210,6 +210,61 @@ class MergeSwapSpec extends AnyFunSuite with SparkTestBase {
     assert(loader.readTarget(spark, id).get.count() == n)
   }
 
+  test("compact: many small files collapse to few, rows byte-identical") {
+    val root = tmpDir("compact")
+    val store = new WatermarkStore(s"$root/wm")
+    val extractor = new Extractor(store, s"$root/staging")
+    val loader = new Loader(store, s"$root/warehouse")
+    // accumulate small files: 6 separate single-key increments
+    (1 to 6).foreach { i =>
+      extractor.extract(spark, id,
+        orders.filter(col("o_orderkey") <= i * 100), cfg)
+      loader.load(spark, id, extractor.stagingDir(id), cfg)
+    }
+    val expect = loader.readTarget(spark, id).get
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val filesBefore = new java.io.File(loader.targetPath(id))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesBefore >= 6)
+    val (b, a) = loader.compact(spark, id) // default 256 MB → 1 file here
+    assert(b == filesBefore && a < b)
+    val after = loader.readTarget(spark, id).get
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == expect, "compaction changed the data")
+    // idempotent: second run is a no-op
+    assert(loader.compact(spark, id) == ((a, a)))
+    // and the count-parity gate still agrees
+    assert(loader.targetRowCount(spark, id) == expect.size.toLong)
+  }
+
+  test("compact preserves a bucketed layout (per-bucket rewrite)") {
+    val root = tmpDir("compactb")
+    val store = new WatermarkStore(s"$root/wm")
+    val loader = new Loader(store, s"$root/warehouse")
+    // several bucketed increments → multiple files per bucket
+    loader.mergeIntoBucketed(spark, id,
+      orders.filter(col("o_orderkey") <= 500), Seq("o_orderkey"), 4)
+    (1 to 3).foreach { i =>
+      loader.mergeIntoBucketed(spark, id,
+        orders.filter(col("o_orderkey").between(i * 200, i * 200 + 150))
+          .withColumn("o_orderstatus", lit(s"U$i")), Seq("o_orderkey"), 4)
+    }
+    val expect = loader.readTarget(spark, id).get.count()
+    val (b, a) = loader.compact(spark, id)
+    assert(a <= b)
+    val tgtDir = new java.io.File(loader.targetPath(id))
+    assert(tgtDir.listFiles().exists(_.getName.startsWith("__gbucket=")),
+      "compaction destroyed the bucket layout")
+    assert(loader.readTarget(spark, id).get.count() == expect)
+    // bucket-targeted merges still work after compaction
+    loader.mergeIntoBucketed(spark, id,
+      orders.filter(col("o_orderkey") === 42)
+        .withColumn("o_orderstatus", lit("Z")), Seq("o_orderkey"), 4)
+    assert(loader.readTarget(spark, id).get
+      .filter(col("o_orderkey") === 42 && col("o_orderstatus") === "Z")
+      .count() == 1)
+  }
+
   test("bucketed load: co-located join has NO shuffle exchange") {
     val root = tmpDir("bucketed")
     val store = new WatermarkStore(s"$root/wm")

@@ -362,6 +362,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // unlock: nothing held → exit 1; --force on nothing → still 1
     assert(cli("unlock", "-t", "fx.events") == 1)
     assert(cli("unlock", "-t", "fx.events", "--force") == 1)
+    // compact the synced table (tiny → no-op or collapse, either exits 0)
+    assert(cli("compact", "-t", "fx.region") == 0)
     // s3clean dry-run reports, deletes nothing
     assert(cli("s3clean", "--older-than-hours", "0", "--dry-run") == 0)
     assert(cli("s3clean") == 2)                   // missing required option
