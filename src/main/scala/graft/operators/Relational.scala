@@ -197,6 +197,31 @@ object Relational {
   }
 
   // --------------------------------------------------------------------------
+  // Deterministic dataset split (training-data staple)
+  // --------------------------------------------------------------------------
+
+  /** Deterministic train/validation split keyed on a stable id: assignment is
+    * `md5(key)` prefix vs a fraction threshold, so the same row lands in the
+    * same split across runs, engines, partitionings, and data growth (new
+    * rows never reshuffle existing assignments — unlike `randomSplit`, which
+    * is seed- AND partitioning-dependent). md5 is chosen deliberately: every
+    * engine computes the identical hex, so the split is reproducible outside
+    * Spark. Narrow projection — no shuffle, stays in codegen. */
+  def deterministicSplit(df: DataFrame, keyCol: String, trainFraction: Double,
+                         splitCol: String = "split"): DataFrame = {
+    require(trainFraction >= 0.0 && trainFraction <= 1.0,
+      "trainFraction must be in [0,1]")
+    val t = math.round(trainFraction * 4294967296.0) // fraction of 2^32
+    // fixed-width lowercase hex compares lexicographically == numerically
+    val cond =
+      if (t >= 4294967296L) lit(true)
+      else if (t <= 0L) lit(false)
+      else substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8) <
+        lit(f"$t%08x")
+    df.withColumn(splitCol, when(cond, "train").otherwise("validation"))
+  }
+
+  // --------------------------------------------------------------------------
   // As-of join (operator Spark lacks natively)
   // --------------------------------------------------------------------------
 

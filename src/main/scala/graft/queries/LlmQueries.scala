@@ -47,6 +47,19 @@ object LlmQueries {
              |SELECT d.doc_id, d.lang, d.source FROM documents d
              |JOIN keep USING (doc_id)""".stripMargin)),
 
+    // --------------------------------------------- deterministic split
+    // Same md5-prefix rule on both engines → identical assignment; 0.8 of
+    // 2^32 rounds to 0xcccccccd (hardcoded in the oracle).
+    Q("q_split_train_val",
+      (s, dir) => graft.operators.Relational.deterministicSplit(
+        Tables.df(s, dir, "documents"), "doc_id", trainFraction = 0.8)
+        .select(col("doc_id"), col("split")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             |            < 'cccccccd'
+             |       THEN 'train' ELSE 'validation' END AS split
+             |FROM documents""".stripMargin)),
+
     // ------------------------------------------------- incremental dedup
     // The 100-TB shape: dedup an increment (odd doc_ids) against the corpus
     // (even doc_ids) via fingerprint anti-join — corpus text never rescanned.

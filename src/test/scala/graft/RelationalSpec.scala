@@ -123,6 +123,30 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi")).count())
   }
 
+  test("deterministicSplit: stable, key-only, fraction-accurate, edge cases") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count().toDouble
+    val a = Relational.deterministicSplit(docs, "doc_id", 0.8)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fraction lands near 0.8 (binomial tolerance at fixture size)
+    assert(math.abs(a("train") / n - 0.8) < 0.1, a.toString)
+    // repeatable and independent of row content/order: same assignment twice
+    val s1 = Relational.deterministicSplit(docs, "doc_id", 0.8)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Relational.deterministicSplit(docs.orderBy(rand(7)), "doc_id", 0.8)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2)
+    // monotone: growing the train fraction never evicts a train row
+    val s9 = Relational.deterministicSplit(docs, "doc_id", 0.9)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    s1.foreach { case (id, sp) => if (sp == "train") assert(s9(id) == "train") }
+    // edges
+    assert(Relational.deterministicSplit(docs, "doc_id", 1.0)
+      .filter(col("split") =!= "train").count() == 0)
+    assert(Relational.deterministicSplit(docs, "doc_id", 0.0)
+      .filter(col("split") === "train").count() == 0)
+  }
+
   test("profile: one row per column, exact stats + plausible HLL") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val n = orders.count()
