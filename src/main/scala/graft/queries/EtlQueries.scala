@@ -59,6 +59,35 @@ object EtlQueries {
              |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
              |  SELECT * FROM target
              |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staged)
+             |  UNION ALL SELECT * FROM staged)""".stripMargin)),
+
+    // --------------------------------- bucketed merge (bucket-targeted swap)
+    // Same merge semantics as q_e2e_merge_swap through the OTHER physical
+    // path: the bucket-partitioned layout where an increment rewrites only
+    // the buckets containing its keys. One oracle proves both paths agree.
+    Q("q_e2e_merge_bucketed",
+      (s, dir) => {
+        val scratch = Tables.scratchDir("bmswap")
+        val store = new WatermarkStore(s"$scratch/wm")
+        val loader = new Loader(store, s"$scratch/warehouse")
+        val id = TableId("bench", "fixtures", "orders")
+        val orders = Tables.df(s, dir, "orders")
+        loader.mergeIntoBucketed(s, id,
+          orders.filter(col("o_orderkey") <= 1000), Seq("o_orderkey"), 8)
+        loader.mergeIntoBucketed(s, id,
+          orders.filter(col("o_orderkey") >= 500)
+            .withColumn("o_orderstatus", lit("U")),
+          Seq("o_orderkey"), 8)
+        loader.readTarget(s, id).get
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+      },
+      Some("""WITH target AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
+             |staged AS (SELECT * REPLACE ('U' AS o_orderstatus)
+             |  FROM orders WHERE o_orderkey >= 500)
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+             |  SELECT * FROM target
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staged)
              |  UNION ALL SELECT * FROM staged)""".stripMargin))
   )
 }
