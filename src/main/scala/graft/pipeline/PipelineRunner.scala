@@ -26,19 +26,37 @@ final case class PipelineReport(pipeline: String, tables: Seq[TableReport],
   def totalRows: Long = tables.map(_.rows).sum
 }
 
-/** Resolves a configured source name to per-table DataFrames. The default
-  * catalog reads `{root}/{table}.parquet` — the fixture layout; a JDBC
-  * catalog would plug in graft.sources.Sources the same way. */
+/** Resolves a configured table spec to a source DataFrame. The parquet
+  * catalog reads `{root}/{table}.parquet` (the fixture layout); the JDBC
+  * catalog serves a live database (`pipeline.source: "jdbc:..."` in YAML). */
 trait SourceCatalog {
-  def table(spark: SparkSession, name: String): DataFrame
+  def table(spark: SparkSession, spec: TableSpec): DataFrame
 }
 
 final class ParquetCatalog(root: String) extends SourceCatalog {
-  def table(spark: SparkSession, name: String): DataFrame = {
-    val bare = name.split("\\.").last
+  def table(spark: SparkSession, spec: TableSpec): DataFrame = {
+    val bare = spec.name.split("\\.").last
     if (bare == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$root/$bare.parquet")
+  }
+}
+
+/** Live-database catalog: `pipeline.source` is the JDBC url (credentials via
+  * url params or `${ENV}` interpolation in the YAML). Tables with a CDC id
+  * column get the RANGE-PARTITIONED scan (D3 — min/max bound chooser), so a
+  * 100 TB source table reads as parallel range scans with the CDC predicate
+  * pushed into each partition's WHERE; others read as a single JDBC relation
+  * with pushdown. */
+final class JdbcCatalog(url: String, numPartitions: Int = 32) extends SourceCatalog {
+  private val source = new graft.sources.JdbcSource(
+    url, new java.util.Properties(), numPartitions)
+  def table(spark: SparkSession, spec: TableSpec): DataFrame = {
+    val id = TableId.parse(spec.name)
+    spec.cdc.idColumn match {
+      case Some(idCol) => source.partitionedTable(spark, id, idCol)
+      case None => source.table(spark, id)
+    }
   }
 }
 
@@ -86,7 +104,9 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     (store, extractor, loader)
   }
 
-  def catalogFor(p: Pipeline): SourceCatalog = new ParquetCatalog(p.source)
+  def catalogFor(p: Pipeline): SourceCatalog =
+    if (p.source.startsWith("jdbc:")) new JdbcCatalog(p.source)
+    else new ParquetCatalog(p.source)
 
   /** Run the whole pipeline (extract+load per table). `tableFilter` narrows to
     * one table (CLI `-t`). */
@@ -122,7 +142,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     // extractor/loader's own locks are reentrant under it (same thread).
     Try {
       extractor.store.withTableLock(id.scoped) {
-        val df = cat.table(spark, spec.name)
+        val df = cat.table(spark, spec)
         val ext = Retry.withBackoff(maxAttempts)(
           extractor.extract(spark, id, df, spec.cdc))
         val load = Retry.withBackoff(maxAttempts)(
@@ -208,7 +228,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
       val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
       val s0 = System.nanoTime()
       Try(Retry.withBackoff(maxAttempts)(
-        extractor.extract(spark, id, cat.table(spark, spec.name), spec.cdc))) match {
+        extractor.extract(spark, id, cat.table(spark, spec), spec.cdc))) match {
         case Success(ext) => TableReport(id, ok = true, Some(ext), None, None,
           (System.nanoTime() - s0) / 1e9)
         case Failure(e) => TableReport(id, ok = false, None, None,
