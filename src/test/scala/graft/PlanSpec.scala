@@ -113,6 +113,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("asofJoin shuffles exactly once (the union+window formulation)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+    val signups = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), expr("ts DIV 1000").as("sts_us"),
+        col("event_id").as("signup_id"))
+    val joined = graft.operators.Relational.asofJoin(ev, signups, Seq("user_id"),
+      "ts_us", "sts_us", payload = Seq("signup_id"),
+      rightOrder = Seq("signup_id"))
+    val plan = executedString(joined)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"asofJoin should cost ONE shuffle, found $exchanges:\n${plan.take(1500)}")
+  }
+
   test("top-k is TakeOrdered, not a global sort") {
     val plan = executedString(q("q_topk_customers"))
     assert(plan.contains("TakeOrderedAndProject"),
