@@ -66,6 +66,18 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
     assert(df.filter(col("ID") > 400).count() == 100)
   }
 
+  test("CDC predicate pushes into the partitioned JDBC scan") {
+    // the whole point of predicate-not-SQL-string CDC: the same Column
+    // predicate the strategies build reaches the DATABASE as WHERE, composed
+    // with the range-partition clauses — the source filters, Spark doesn't
+    val df = source.partitionedTable(spark, id, "ID")
+      .filter(col("ID") > 400)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(ID,400"),
+      s"CDC predicate not pushed to JDBC:\n${plan.take(1200)}")
+    assert(df.count() == 100)
+  }
+
   test("live schema discovery feeds warehouse DDL generation (S7)") {
     val schema = source.discoverSchema(spark, id)
     // JDBC metadata → Spark types, no data read
