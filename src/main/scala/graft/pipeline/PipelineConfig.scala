@@ -51,7 +51,8 @@ final case class TableSpec(
 final case class Pipeline(
     name: String,
     description: String,
-    source: String,                            // connection name or parquet dir
+    source: String,                            // jdbc: url or file dir
+    sourceFormat: String = "parquet",          // parquet | json | csv (file dirs)
     target: String,
     defaultStrategy: CdcStrategyKind,
     processing: ProcessingSettings,
@@ -183,6 +184,7 @@ object PipelineConfig {
       name = str(p, "name", "unnamed"),
       description = str(p, "description", ""),
       source = str(p, "source", "default"),
+      sourceFormat = str(p, "source_format", "parquet"),
       target = str(p, "target", "default"),
       defaultStrategy = defaultStrategy,
       processing = processing,

@@ -33,13 +33,35 @@ trait SourceCatalog {
   def table(spark: SparkSession, spec: TableSpec): DataFrame
 }
 
-final class ParquetCatalog(root: String) extends SourceCatalog {
+/** File-based catalog: `{root}/{table}.{ext}` in the configured format.
+  * `parquet` is the fixture/warehouse norm; `json` (JSONL) and `csv` cover
+  * the common training-data delivery formats — the same CDC predicates and
+  * load path apply unchanged. */
+final class FileCatalog(root: String, format: String = "parquet")
+    extends SourceCatalog {
   def table(spark: SparkSession, spec: TableSpec): DataFrame = {
     val bare = spec.name.split("\\.").last
-    if (bare == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$root/$bare.parquet")
+    format match {
+      case "parquet" =>
+        if (bare == "events")
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$root/$bare.parquet")
+      case "json" =>
+        spark.read.json(s"$root/$bare.json")
+      case "csv" =>
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(s"$root/$bare.csv")
+      case other => throw new IllegalArgumentException(
+        s"unknown source_format: '$other' (parquet | json | csv)")
+    }
   }
+}
+
+/** Back-compat alias for the parquet fixture layout. */
+final class ParquetCatalog(root: String) extends SourceCatalog {
+  private val inner = new FileCatalog(root, "parquet")
+  def table(spark: SparkSession, spec: TableSpec): DataFrame =
+    inner.table(spark, spec)
 }
 
 /** Live-database catalog: `pipeline.source` is the JDBC url (credentials via
@@ -106,7 +128,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
 
   def catalogFor(p: Pipeline): SourceCatalog =
     if (p.source.startsWith("jdbc:")) new JdbcCatalog(p.source)
-    else new ParquetCatalog(p.source)
+    else new FileCatalog(p.source, p.sourceFormat)
 
   /** Run the whole pipeline (extract+load per table). `tableFilter` narrows to
     * one table (CLI `-t`). */

@@ -315,6 +315,37 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("source_format YAML key syncs JSONL and CSV sources") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "user_id", "event_type", "value")
+    val n = events.count()
+    for (fmt <- Seq("json", "csv")) {
+      val srcDir = tmpDir(s"fmt_$fmt")
+      fmt match {
+        case "json" => events.write.mode("overwrite").json(s"$srcDir/events.json")
+        case "csv" => events.write.mode("overwrite").option("header", "true")
+          .csv(s"$srcDir/events.csv")
+      }
+      val p = PipelineConfig.fromString(
+        s"""pipeline:
+           |  name: "fmt_$fmt"
+           |  source: "$srcDir"
+           |  source_format: "$fmt"
+           |  target: "warehouse"
+           |tables:
+           |  fx.events:
+           |    cdc_strategy: "id_only"
+           |    cdc_id_column: "event_id"
+           |""".stripMargin)
+      val runner = new PipelineRunner(spark, tmpDir(s"fmtwork_$fmt"))
+      val r = runner.sync(p)
+      assert(r.allOk, s"$fmt: ${r.tables.flatMap(_.error).mkString(";")}")
+      assert(r.totalRows == n, s"$fmt lost rows")
+      // incremental semantics hold regardless of source format
+      assert(runner.sync(p).totalRows == 0, s"$fmt cursor did not advance")
+    }
+  }
+
   test("s3.compression YAML key reaches the staged and warehouse files") {
     val y = yaml.replace("partition_strategy: \"table\"",
       "partition_strategy: \"table\"\n    compression: \"zstd\"")
