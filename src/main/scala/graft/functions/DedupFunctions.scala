@@ -79,6 +79,29 @@ object DedupFunctions {
         TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint")),
       idCol, textCol)
 
+  /** Maintain the fingerprint side table: append an ACCEPTED increment's
+    * distinct content fingerprints so the next increment dedups against it
+    * without ever touching the corpus. Append-idempotent — readers
+    * distinct() — so a crashed append retried is harmless. */
+  def appendFingerprints(accepted: DataFrame, textCol: String,
+                         sideTablePath: String): Unit =
+    accepted.select(TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .distinct()
+      .write.mode("append").parquet(sideTablePath)
+
+  /** Read the fingerprint side table (empty if not yet created). */
+  def readFingerprints(spark: org.apache.spark.sql.SparkSession,
+                       sideTablePath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(sideTablePath)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.read.parquet(sideTablePath)
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("fingerprint", StringType))))
+    }
+  }
+
   // --------------------------------------------------------------------------
   // Shingles + MinHash
   // --------------------------------------------------------------------------

@@ -150,20 +150,30 @@ object Relational {
     df.select(columns.map(c =>
       sum(col(c).isNull.cast("long")).as(s"${c}_nulls")).toIndexedSeq: _*)
 
-  /** One-pass data profile: per column — null count, approx distinct, and
-    * min/max (numeric/timestamp/string alike) — the engine's form of the
-    * reference's data-quality report (validation.py:138-350). One wide
-    * aggregation, one job; approx distinct is HLL so no per-column exact
-    * distinct shuffles at 100 TB. Output: one row per column. */
+  /** One-pass data profile: per column — null count, approx distinct,
+    * min/max (numeric/timestamp/string alike), and for NUMERIC columns
+    * sketch-based p50/p95 — the engine's form of the reference's data-quality
+    * report (validation.py:138-350). One wide aggregation, one job; approx
+    * distinct is HLL and the percentiles are KLL-style `approx_percentile`,
+    * so nothing sorts or shuffles exactly at 100 TB. Output: one row per
+    * column (non-numeric columns carry NULL percentiles). */
   def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val numeric = df.schema.fields
+      .filter(f => f.dataType.isInstanceOf[NumericType]).map(_.name).toSet
     val aggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"__rows_$c"),
         sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
         approx_count_distinct(col(c)).as(s"__distinct_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        max(col(c)).cast("string").as(s"__max_$c")) ++
+        (if (numeric(c)) Seq(
+          approx_percentile(col(c).cast("double"), lit(0.5), lit(1000))
+            .as(s"__p50_$c"),
+          approx_percentile(col(c).cast("double"), lit(0.95), lit(1000))
+            .as(s"__p95_$c"))
+        else Nil)
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single wide row into one row per column
@@ -173,7 +183,11 @@ object Relational {
         col(s"__nulls_$c").as("null_count"),
         col(s"__distinct_$c").as("approx_distinct"),
         col(s"__min_$c").as("min_value"),
-        col(s"__max_$c").as("max_value"))
+        col(s"__max_$c").as("max_value"),
+        (if (numeric(c)) col(s"__p50_$c")
+         else lit(null).cast("double")).as("approx_p50"),
+        (if (numeric(c)) col(s"__p95_$c")
+         else lit(null).cast("double")).as("approx_p95"))
     }
     wide.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
   }

@@ -222,6 +222,11 @@ object StreamingPipeline {
     // updates land DISTRIBUTED in a per-run `batch=<id>` dir (overwrite →
     // replay-idempotent); the run's result is read back latest-batch-wins
     // per user. The driver never materializes a single row.
+    // previous runs' update scratch is never read again — clear it so runs
+    // don't accumulate dirs under the checkpoint
+    val updatesRoot = new org.apache.hadoop.fs.Path(s"${checkpointDir}_updates")
+    updatesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(updatesRoot, true)
     val runDir = s"${checkpointDir}_updates/$queryName"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>

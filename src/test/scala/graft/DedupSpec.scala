@@ -49,6 +49,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(bootstrapped == Set(2L, 3L, 4L)) // min-id per content within 2..5
   }
 
+  test("incremental dedup workflow: side table maintained across increments") {
+    val s = spark; import s.implicits._
+    val side = tmpDir("fpside") + "/fingerprints"
+    // increment 1 bootstraps against an empty side table
+    val inc1 = docs.filter(col("doc_id") <= 2) // 1 + its exact dup 2
+    val kept1 = DedupFunctions.dropDuplicatesIncremental(inc1,
+      DedupFunctions.readFingerprints(spark, side), "doc_id", "text")
+    assert(kept1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    DedupFunctions.appendFingerprints(kept1, "text", side)
+    // increment 2: doc 3 is new, doc 5's content is new (4 not yet seen)
+    val inc2 = docs.filter(col("doc_id").isin(3L, 5L))
+    val kept2 = DedupFunctions.dropDuplicatesIncremental(inc2,
+      DedupFunctions.readFingerprints(spark, side), "doc_id", "text")
+    assert(kept2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L, 5L))
+    DedupFunctions.appendFingerprints(kept2, "text", side)
+    // increment 3: doc 4 normalizes to doc 5's accepted content → rejected
+    val inc3 = docs.filter(col("doc_id") === 4)
+    val kept3 = DedupFunctions.dropDuplicatesIncremental(inc3,
+      DedupFunctions.readFingerprints(spark, side), "doc_id", "text")
+    assert(kept3.count() == 0, "side table failed to gate a later increment")
+  }
+
   test("minhash LSH finds exact and near duplicates with correct jaccard") {
     val pairs = DedupFunctions.minhashCandidatePairs(docs, "doc_id", "text")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -159,6 +159,10 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     val approx = key.getLong(3).toDouble
     assert(approx > n * 0.9 && approx < n * 1.1)  // HLL within 10%
     assert(rows("o_orderstatus").getLong(3) <= 5) // tiny domain
+    // sketch percentiles: present for numeric, NULL for strings, ordered
+    val p50 = key.getDouble(6); val p95 = key.getDouble(7)
+    assert(p50 > 0 && p95 >= p50)
+    assert(rows("o_orderstatus").isNullAt(6) && rows("o_orderstatus").isNullAt(7))
   }
 
   test("alignToSchema: non-nullable string gets empty string, not NULL") {
