@@ -89,12 +89,13 @@ object Cli {
     val workDir = opts.getOrElse("work-dir", s"/tmp/graft_work/${pipeline.name}")
     val tableFilter = opts.get("t").orElse(opts.get("table"))
 
-    lazy val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName(s"graft-${pipeline.name}")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
+    // the product entry runs on the engine's scale configuration (AQE, skew
+    // join, scan-split sizing, S3A multipart) — GraftSession, not a bare
+    // builder
+    lazy val spark = GraftSession.builder(
+        appName = s"graft-${pipeline.name}",
+        master = Some(sys.env.getOrElse("SPARK_MASTER", "local[*]")),
+        shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       .config("spark.scheduler.mode",
         if (pipeline.processing.maxParallelTables > 1) "FAIR" else "FIFO")
       .getOrCreate()

@@ -109,6 +109,34 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       (1L, 300L), (2L, 300L), (3L, 300L)))
   }
 
+  test("rangeJoin property: matches the naive inequality join on random data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark; import s.implicits._
+    val genCase = for {
+      np <- Gen.choose(1, 25)
+      ni <- Gen.choose(0, 15)
+      pts <- Gen.listOfN(np, Gen.choose(-50L, 50L))
+      ivs <- Gen.listOfN(ni, Gen.zip(Gen.choose(-50L, 50L), Gen.choose(0L, 40L)))
+      width <- Gen.choose(1L, 30L)
+    } yield (pts, ivs, width)
+    (1 to 15).foreach { i =>
+      val (ptsL, ivsL, width) = genCase(Gen.Parameters.default, Seed(i.toLong)).get
+      val pts = ptsL.zipWithIndex.map { case (p, idx) => (idx.toLong, p) }
+        .toDF("pid", "p")
+      val ivs = ivsL.zipWithIndex
+        .map { case ((lo, len), idx) => (idx.toLong + 100, lo, lo + len) }
+        .toDF("iid", "lo", "hi")
+      val got = Relational.rangeJoin(pts, ivs, "p", "lo", "hi", width)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"case $i width=$width")
+    }
+  }
+
   test("rangeJoin plans an equi-join, never a nested loop") {
     val s = spark; import s.implicits._
     val pts = (1L to 1000L).map(i => (i, i * 3)).toDF("pid", "p")
