@@ -18,6 +18,19 @@ object TextFunctions {
   def wordCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))
 
+  /** Simplified GPT-2-style pretokenizer pattern (contractions, space-prefixed
+    * letter/digit runs, punctuation runs, whitespace runs). Deliberately
+    * lookahead-free so RE2-based engines (DuckDB) match Java regex exactly —
+    * the count is verifiable cross-engine. */
+  val BpePretokenPattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** BPE-ish token count: pretokenizer matches as a cheap, codegen'd proxy
+    * for subword token counts at corpus scale (real BPE needs the merges
+    * table; the pretokenizer bounds it and is tokenizer-family-stable). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePretokenPattern))
+
   /** BPE-ish subword-boundary token count: letter runs, digit runs, and single
     * punctuation marks each count as one token (the usual pre-tokenizer regex
     * families used by BPE vocabularies). */

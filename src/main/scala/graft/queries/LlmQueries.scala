@@ -47,6 +47,22 @@ object LlmQueries {
              |SELECT d.doc_id, d.lang, d.source FROM documents d
              |JOIN keep USING (doc_id)""".stripMargin)),
 
+    // ------------------------------------------------ BPE-ish token count
+    // Same lookahead-free pretokenizer pattern on both engines (Java regex ==
+    // RE2 on this subset) → exact count parity.
+    Q("q_token_count",
+      (s, dir) => Tables.df(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.wordCount(col("text")).as("word_count"),
+          TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens")),
+      Some("""SELECT doc_id,
+             |  len(list_filter(string_split_regex(text, '\s+'),
+             |      t -> len(t) > 0)) AS word_count,
+             |  len(regexp_extract_all(text,
+             |      '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+             |    AS bpe_tokens
+             |FROM documents""".stripMargin)),
+
     // --------------------------------------------- deterministic split
     // Same md5-prefix rule on both engines → identical assignment; 0.8 of
     // 2^32 rounds to 0xcccccccd (hardcoded in the oracle).

@@ -227,6 +227,22 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(remaining.select("v").collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("bpeTokenCount: contractions, unicode, digits, empty") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, "it's we'll they've"),   // 'it' ' s' ... contractions split off
+      (2L, ""),                     // empty → 0
+      (3L, "héllo wörld 42!"),      // unicode letters, digits, punct
+      (4L, "   ")                   // whitespace-only → 1 run
+    ).toDF("id", "t")
+      .select(col("id"), TextFunctions.bpeTokenCount(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows(1L) == 6) // it|'s| we|'ll| they|'ve
+    assert(rows(2L) == 0)
+    assert(rows(3L) == 4) // héllo| wörld| 42|!
+    assert(rows(4L) == 1)
+  }
+
   test("text functions: empty and unicode edges") {
     val s = spark; import s.implicits._
     val df = Seq("", "   ", "汉字文本", "word").toDF("text")
