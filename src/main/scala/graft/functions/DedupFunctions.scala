@@ -268,11 +268,14 @@ object DedupFunctions {
                    textCol: String, n: Int = 3): DataFrame = {
     // shingle ONLY the docs that appear in a candidate pair — at corpus scale
     // the candidate set is orders of magnitude smaller than the corpus, and
-    // shingling is the expensive projection
+    // shingling is the expensive projection. The id set is BROADCAST so the
+    // corpus text never shuffles for the semi-join (a plain semi-join's
+    // initial plan shuffles (id, text) on id — the exact payload-through-
+    // exchange this pipeline is designed to avoid; PlanSpec asserts it).
     val neededIds = pairs.select(col("id_a").as("jid"))
       .unionByName(pairs.select(col("id_b").as("jid"))).distinct()
     val sh = docs
-      .join(neededIds, col(idCol) === col("jid"), "left_semi")
+      .join(broadcast(neededIds), col(idCol) === col("jid"), "left_semi")
       .select(col(idCol).as("jid"), TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("jid"), shinglesFromTokens(col("toks"), n).as("jsh"))
     pairs

@@ -265,10 +265,12 @@ object VectorFunctions {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
-    // exact cosine verification on the candidate set only
+    // exact cosine verification on the candidate set only; the candidate
+    // side broadcasts at each lookup so the corpus VECTORS never shuffle
     val vecs = corpus.select(col(idCol), col(vecCol))
-    candidates
+    val withA = broadcast(candidates)
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+    broadcast(withA)
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)

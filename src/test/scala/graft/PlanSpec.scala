@@ -22,6 +22,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       case s: FileSourceScanExec => s
     })
 
+  /** Unwrap the AQE wrapper: `collect` does NOT descend into
+    * AdaptiveSparkPlanExec (its children are Nil), so matching physical
+    * nodes on the raw executedPlan finds nothing and assertions go vacuous. */
+  private def physical(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
   test("hybrid keyset predicate pushes down to the parquet scan") {
     val scan = scans(q("q_cdc_hybrid_scan")).head
     val pushed = scan.metadata("PushedFilters")
@@ -56,14 +66,37 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   test("minhash candidate generation shuffles only ids and band keys") {
     val df = graft.functions.DedupFunctions.minhashCandidatePairs(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
-    val exchanges = df.queryExecution.executedPlan.collect {
-      case e: ShuffleExchangeExec => e
-    }
+    val exchanges = physical(df).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "no exchanges found — assertion would be vacuous")
     exchanges.foreach { e =>
       val cols = e.child.output.map(_.name).toSet
       assert(!cols.contains("text") && !cols.contains("sh") && !cols.contains("hs"),
         s"payload column rides an exchange: $cols")
     }
+  }
+
+  test("incremental dedup ships only fingerprints from the existing corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.functions.DedupFunctions.dropDuplicatesAgainst(
+      existing = docs.filter(col("doc_id") % 2 === 0),
+      incoming = docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text")
+    // the existing-corpus side must contribute an exchange (shuffle OR
+    // broadcast — Spark picks broadcast when the fingerprint set is small)
+    // whose output is the fingerprint column ALONE: the corpus ships 16
+    // bytes/doc into the anti-join, never its text. The increment's own
+    // exchange legitimately carries its rows — they are the output.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val fromExisting = physical(df).collect {
+      case e: ShuffleExchangeExec
+        if e.output.nonEmpty && e.output.map(_.name).forall(_.startsWith("__fp")) => e
+      case b: BroadcastExchangeExec
+        if b.output.nonEmpty && b.output.map(_.name).forall(_.startsWith("__fp")) => b
+    }
+    assert(fromExisting.nonEmpty,
+      "no fingerprint-only exchange found for the existing corpus side:\n" +
+        physical(df).toString.take(1500))
   }
 
   test("staged datetime/hybrid layouts prune the scan to the filtered dirs") {
