@@ -272,8 +272,10 @@ object DedupFunctions {
     // corpus text never shuffles for the semi-join (a plain semi-join's
     // initial plan shuffles (id, text) on id — the exact payload-through-
     // exchange this pipeline is designed to avoid; PlanSpec asserts it).
-    val neededIds = pairs.select(col("id_a").as("jid"))
-      .unionByName(pairs.select(col("id_b").as("jid"))).distinct()
+    // One explode, not a union of two selects: the pairs subtree (the whole
+    // candidate pipeline) is expensive and must evaluate once here, not twice.
+    val neededIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("jid")).distinct()
     val sh = docs
       .join(broadcast(neededIds), col(idCol) === col("jid"), "left_semi")
       .select(col(idCol).as("jid"), TextFunctions.tokens(col(textCol)).as("toks"))

@@ -265,12 +265,14 @@ object VectorFunctions {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
-    // exact cosine verification on the candidate set only; the candidate
-    // side broadcasts at each lookup so the corpus VECTORS never shuffle
+    // exact cosine verification on the candidate set only. No explicit
+    // broadcast hints here: the candidate subtree feeds BOTH lookups, and a
+    // hint forces it to re-evaluate per build side (measured 2× the whole
+    // query at sf0.1); AQE's runtime stats broadcast the small side anyway
+    // once the candidate shuffle has materialized.
     val vecs = corpus.select(col(idCol), col(vecCol))
-    val withA = broadcast(candidates)
+    candidates
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
-    broadcast(withA)
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)

@@ -280,20 +280,35 @@ class MergeSwapSpec extends AnyFunSuite with SparkTestBase {
       extractor.stagingDir(id), distKey = "o_custkey", buckets = 8)
     val tCust = loader.loadBucketed(spark, custId,
       extractor.stagingDir(custId), distKey = "c_custkey", buckets = 8)
-    val joined = spark.table(tOrders)
-      .join(spark.table(tCust),
-        col("o_custkey") === col("c_custkey"))
-    // correctness
-    assert(joined.count() ==
-      orders.join(spark.read.parquet(s"$sfDir/customer.parquet"),
-        col("o_custkey") === col("c_custkey")).count())
-    // the whole point: no Exchange anywhere in the physical join plan
-    val hasExchange = joined.queryExecution.executedPlan.exists {
-      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
-      case _ => false
-    }
-    assert(!hasExchange, "bucketed join still shuffled:\n" +
-      joined.queryExecution.executedPlan.toString.take(2000))
+    // at fixture scale Spark would rather BROADCAST the small side (and then
+    // "no shuffle" proves nothing about bucketing — the planner even reports
+    // "Bucketed: false"). Disable broadcast so the planner must co-locate:
+    // a sort-merge join over matching buckets with ZERO Exchange is the
+    // actual DISTKEY-analog guarantee at warehouse scale.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(tOrders)
+        .join(spark.table(tCust),
+          col("o_custkey") === col("c_custkey"))
+      // correctness
+      assert(joined.count() ==
+        orders.join(spark.read.parquet(s"$sfDir/customer.parquet"),
+          col("o_custkey") === col("c_custkey")).count())
+      // unwrap AQE (collect/exists do not descend into AdaptiveSparkPlanExec)
+      // and pair the negative with POSITIVE evidence of the bucketed shape
+      val plan = (joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }).toString
+      assert(plan.contains("SortMergeJoin"),
+        s"join shape unseen:\n${plan.take(2000)}")
+      assert(plan.contains("Bucketed: true"),
+        s"scan not bucket-aware:\n${plan.take(2000)}")
+      assert(!plan.contains("Exchange"), "bucketed join still shuffled:\n" +
+        plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("partition layouts match the reference's three key shapes") {
