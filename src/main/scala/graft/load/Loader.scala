@@ -405,7 +405,13 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     * Returns (filesBefore, filesAfter). No-op when already at or below the
     * target file count. */
   def compact(spark: SparkSession, id: TableId,
-              targetFileBytes: Long = 256L * 1024 * 1024): (Int, Int) = {
+              targetFileBytes: Long = 256L * 1024 * 1024): (Int, Int) =
+    store.withTableLock(id.scoped) {
+      compactLocked(spark, id, targetFileBytes)
+    }
+
+  private def compactLocked(spark: SparkSession, id: TableId,
+                            targetFileBytes: Long): (Int, Int) = {
     val target = targetPath(id)
     val tgt = new org.apache.hadoop.fs.Path(target)
     val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -235,6 +235,13 @@ class MergeSwapSpec extends AnyFunSuite with SparkTestBase {
     assert(loader.compact(spark, id) == ((a, a)))
     // and the count-parity gate still agrees
     assert(loader.targetRowCount(spark, id) == expect.size.toLong)
+    // compaction holds the table session lock: a concurrent sync's lock
+    // refuses it (maintenance never races a live load's directory swaps)
+    val token = store.tryLock(id.scoped).get
+    intercept[graft.watermark.TableLockedException] {
+      loader.compact(spark, id)
+    }
+    store.unlock(id.scoped, token)
   }
 
   test("compact preserves a bucketed layout (per-bucket rewrite)") {
