@@ -97,19 +97,27 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       val t0 = System.nanoTime()
       var loadedRows = 0L
       var loadedBytes = 0L
+      val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(conf)
+      // EXACTLY-ONCE across crashes (SURVEY §7.4 hard-part #1): finish any
+      // sub-batch whose data was committed but whose blacklist save was lost
+      // — without this, a replay re-appends those rows (duplicates)
+      recoverCommittedBatches(fs, target, id, config, conf)
       if (valid.isEmpty && doTruncate) {
         // truncate with nothing new staged → empty the target
-        val fs = new org.apache.hadoop.fs.Path(target)
-          .getFileSystem(conf)
         fs.delete(new org.apache.hadoop.fs.Path(target), true)
       } else {
+        if (doTruncate)
+          fs.delete(new org.apache.hadoop.fs.Path(target), true)
         // schema-evolution gate (S7): staged batches meet the existing target
         // schema under the configured policy; the reference's alert/halt path
         // becomes SchemaDriftException. Computed once per session.
         val targetSchema =
           if (doTruncate) None else readTarget(spark, id).map(_.schema)
-        var first = true
-        valid.grouped(math.max(1, commitBatchFiles)).foreach { group =>
+        // recovery above may have blacklisted some of `valid`
+        val freshNow = store.getOrCreate(id.scoped, config.strategy.name)
+          .processedFileSet
+        valid.filterNot(freshNow).grouped(math.max(1, commitBatchFiles))
+          .foreach { group =>
           val raw = spark.read.parquet(group: _*)
           // P5: column-name normalization with the rename map PERSISTED next
           // to the target (ref column_mapper.py:57-84)
@@ -119,9 +127,32 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
             ColumnMapStore.apply(raw, mapping)
           } else raw
           val staged = SchemaEvolution(renamed, targetSchema, evolutionPolicy)
-          val mode = if (doTruncate && first) SaveMode.Overwrite else SaveMode.Append
-          staged.write.mode(mode).option("compression", compression).parquet(target)
-          first = false
+          // manifest-commit protocol, per sub-batch:
+          //  1. write the batch into a HIDDEN `.__inflight_<h>` dir together
+          //     with a manifest naming its source files (replays overwrite);
+          //  2. rename to `.__commit_<h>` — the write is now complete;
+          //  3. install: rename each part file into the target root under a
+          //     deterministic `b<h>_` prefix (idempotent — a replay moves
+          //     only what remains);
+          //  4. blacklist the source group;
+          //  5. drop the commit dir.
+          // A crash at ANY point replays exactly-once: before (2) the
+          // inflight dir is discarded and rewritten; between (2) and (4) the
+          // entry-time recovery finishes the install from the manifest and
+          // commits the blacklist; after (4) the group is skipped outright.
+          val h = groupHash(group)
+          val committed = new org.apache.hadoop.fs.Path(target, s".__commit_$h")
+          if (!fs.exists(committed)) {
+            val inflight = new org.apache.hadoop.fs.Path(target, s".__inflight_$h")
+            fs.delete(inflight, true)
+            staged.write.mode(SaveMode.Overwrite)
+              .option("compression", compression).parquet(inflight.toString)
+            writeGroupManifest(fs,
+              new org.apache.hadoop.fs.Path(inflight, ManifestName), group)
+            if (!fs.rename(inflight, committed))
+              throw new java.io.IOException(s"commit rename failed: $inflight")
+          }
+          installCommitted(fs, target, committed, h)
           val rows = group.map(rowsByFile).sum
           loadedRows += rows
           loadedBytes += group.map(f =>
@@ -129,6 +160,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
           // commit the blacklist for THIS sub-batch before starting the next
           store.save(store.getOrCreate(id.scoped, config.strategy.name)
             .afterLoadSession(group, rows, store.nowString()))
+          fs.delete(committed, true)
         }
       }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -151,6 +183,80 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
             store.nowString()))
         throw e
     }
+  }
+
+  private val ManifestName = "_graft_group.txt"
+
+  /** Stable identity of a sub-batch: md5 over its sorted source paths. */
+  private def groupHash(group: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(group.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def writeGroupManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                 p: org.apache.hadoop.fs.Path,
+                                 group: Seq[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(group.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readGroupManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    txt.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Install a committed sub-batch: rename its part files into the target
+    * root under the batch's deterministic prefix. Idempotent — a replay
+    * moves only the files still inside the commit dir. */
+  private def installCommitted(fs: org.apache.hadoop.fs.FileSystem,
+                               target: String,
+                               committed: org.apache.hadoop.fs.Path,
+                               h: String): Unit = {
+    fs.listStatus(committed)
+      .filter(_.getPath.getName.endsWith(".parquet")).foreach { p =>
+        val dest = new org.apache.hadoop.fs.Path(target,
+          s"b${h}_${p.getPath.getName}")
+        if (fs.exists(dest)) fs.delete(p.getPath, false)
+        else if (!fs.rename(p.getPath, dest))
+          throw new java.io.IOException(s"install failed: ${p.getPath} -> $dest")
+      }
+  }
+
+  /** Entry-time crash recovery for the manifest-commit protocol: every
+    * leftover `.__commit_<h>` dir is a sub-batch whose data write completed
+    * but whose blacklist save did not — finish its install, account its rows
+    * from the installed footers, commit its blacklist, and drop the dir.
+    * Incomplete `.__inflight_*` writes are discarded (the replay rebuilds
+    * them). */
+  private def recoverCommittedBatches(fs: org.apache.hadoop.fs.FileSystem,
+                                      target: String, id: TableId,
+                                      config: CdcConfig,
+                                      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val tgt = new org.apache.hadoop.fs.Path(target)
+    if (!fs.exists(tgt)) return
+    fs.listStatus(tgt).filter(_.getPath.getName.startsWith(".__commit_"))
+      .foreach { st =>
+        val h = st.getPath.getName.stripPrefix(".__commit_")
+        val group = readGroupManifest(fs,
+          new org.apache.hadoop.fs.Path(st.getPath, ManifestName))
+        installCommitted(fs, target, st.getPath, h)
+        val installed = fs.listStatus(tgt)
+          .filter(_.getPath.getName.startsWith(s"b${h}_"))
+          .map(_.getPath.toString).toSeq
+        val rows = ParquetFooters.totalRows(installed, conf)
+        store.save(store.getOrCreate(id.scoped, config.strategy.name)
+          .afterLoadSession(group, rows, store.nowString()))
+        fs.delete(st.getPath, true)
+      }
+    fs.listStatus(tgt).filter(_.getPath.getName.startsWith(".__inflight_"))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Merge-mode load: staged-but-unprocessed files upserted into the

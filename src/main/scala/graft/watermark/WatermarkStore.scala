@@ -30,9 +30,9 @@ final class TableLockedException(table: String)
   * heartbeats the lock mtime at TTL/4, so only a truly dead owner's lock ages
   * out. Set ≤0 to disable auto-break (manual `unlock` only).
   */
-final class WatermarkStore(rootDir: String,
-                           hadoopConf: Configuration = new Configuration(),
-                           staleLockTtlMs: Long = 60L * 60 * 1000) {
+class WatermarkStore(rootDir: String,
+                     hadoopConf: Configuration = new Configuration(),
+                     staleLockTtlMs: Long = 60L * 60 * 1000) {
 
   private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 

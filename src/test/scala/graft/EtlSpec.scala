@@ -228,6 +228,48 @@ class EtlSpec extends AnyFunSuite with SparkTestBase {
     assert(strictStore.get(id.scoped).get.redshift_state.status == "failed")
   }
 
+  test("crashed blacklist save replays EXACTLY-ONCE (no duplicate rows)") {
+    // simulate the worst crash window: a sub-batch's data is fully written
+    // and installed, then the blacklist save dies. The replay must adopt the
+    // committed batch from its manifest instead of re-appending it.
+    val root = tmpDir("eo")
+    class CrashingStore(dir: String) extends WatermarkStore(dir) {
+      @volatile var failuresLeft = 0
+      override def save(w: graft.watermark.Watermark,
+                        target: String = "default"): Unit = {
+        if (failuresLeft > 0 && w.redshift_state.status == "success") {
+          failuresLeft -= 1
+          throw new java.io.IOException("simulated watermark outage")
+        }
+        super.save(w, target)
+      }
+    }
+    val store = new CrashingStore(s"$root/wm")
+    val extractor = new Extractor(store, s"$root/staging")
+    // one file per sub-batch so the crash hits between batches
+    val loader = new Loader(store, s"$root/warehouse", commitBatchFiles = 1)
+    extractor.extract(spark, id, events, cfg)
+    store.failuresLeft = 1 // first successful-load save dies
+    intercept[java.io.IOException] {
+      loader.load(spark, id, extractor.stagingDir(id), cfg)
+    }
+    // the crash left a committed batch: data present, blacklist missing
+    val tgtDir = new java.io.File(loader.targetPath(id))
+    assert(tgtDir.exists(), "no data installed before the crash")
+    // replay with a healthy store: must converge to EXACTLY the source rows
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    val tgt = loader.readTarget(spark, id).get
+    assert(tgt.count() == events.count(),
+      "crash replay duplicated or lost rows")
+    assert(tgt.select("event_id").distinct().count() == events.count())
+    // watermark accounting converged too: every staged file blacklisted once
+    val wm = store.get(id.scoped).get
+    assert(wm.redshift_state.total_rows == events.count())
+    // no protocol litter left behind
+    assert(!tgtDir.listFiles().exists(f =>
+      f.getName.startsWith(".__commit_") || f.getName.startsWith(".__inflight_")))
+  }
+
   test("merge-mode load honors the schema-evolution gate") {
     // the upsert path must refuse destructive drift like the append path
     // (previously it bypassed the gate: added columns silently dropped,
