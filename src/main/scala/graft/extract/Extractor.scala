@@ -69,6 +69,24 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
       val batch = bounded(df)
 
       val outDir = stagingDir(id)
+      // orphan cleanup: session dirs ABOVE the committed high-water tag are
+      // leftovers of a crashed extract (cursor never advanced over them; the
+      // table lock excludes concurrent writers). They must be REMOVED before
+      // this session commits a higher tag, or they would become loadable and
+      // duplicate the rows this session is about to re-extract. The loader's
+      // own isSessionLoadable filter covers the window until we get here.
+      wm.metadata.last_session.foreach { committed =>
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(outPath)) {
+          fs.listStatus(outPath).foreach { st =>
+            val n = st.getPath.getName
+            if (n.startsWith("session=") &&
+                n.stripPrefix("session=").toLongOption.exists(_ > committed.toLong))
+              fs.delete(st.getPath, true)
+          }
+        }
+      }
       val partitionCols = datetimePartitionCols(batch, config, id)
       val sessionTag = System.nanoTime() // ms-resolution collided for rapid sequential sessions
       val sessionDir = s"$outDir/session=$sessionTag"
@@ -110,7 +128,11 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
 
       val done = store.getOrCreate(id.scoped, config.strategy.name)
         .afterExtractSession(next.lastTimestamp.orElse(cursor.lastTimestamp),
-          next.lastId.orElse(cursor.lastId), rows, files, store.nowString())
+          next.lastId.orElse(cursor.lastId), rows, files, store.nowString(),
+          // the ONE commit point: cursor advance + session loadability
+          // become visible together (a crashed session stays invisible to
+          // the loader and its rows are re-extracted — never duplicated)
+          sessionTag = Some(sessionTag.toString))
       store.save(done)
       ExtractResult(id, rows, files, next, sessionDir,
         SessionMetrics(rows, files, bytes, secs))

@@ -67,8 +67,12 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     val conf = spark.sparkContext.hadoopConfiguration
     val wm = store.getOrCreate(id.scoped, config.strategy.name)
     try {
-      // one recursive listing carries the byte sizes too (zero extra RPCs)
+      // one recursive listing carries the byte sizes too (zero extra RPCs).
+      // Sessions a crashed extract never committed are INVISIBLE here — their
+      // rows re-extract under the advanced-cursor-less watermark, so loading
+      // the orphans too would duplicate them.
       val allWithSize = listParquetFilesWithSize(spark, stagedDir)
+        .filter(f => wm.isSessionLoadable(f._1))
       val sizeByFile = allWithSize.toMap
       val all = allWithSize.map(_._1)
       val blacklist = wm.processedFileSet
@@ -279,6 +283,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     val wm = store.getOrCreate(id.scoped, config.strategy.name)
     try {
       val all = listParquetFiles(spark, stagedDir)
+        .filter(wm.isSessionLoadable)
       val fresh = all.filterNot(wm.processedFileSet)
       val target = targetPath(id)
       if (fresh.isEmpty)

@@ -29,7 +29,12 @@ final case class RedshiftState(
 
 final case class WatermarkMeta(
     created_at: String,
-    manual_override: Boolean = false)
+    manual_override: Boolean = false,
+    // highest COMMITTED extract-session tag: staged `session=<tag>` dirs with
+    // a greater tag are orphans of a crashed extract (cursor never advanced
+    // over them) and must not load — the next extract re-stages those rows.
+    // None on documents predating this field → legacy pick-up-everything.
+    last_session: Option[String] = None)
 
 final case class Watermark(
     version: String,
@@ -43,19 +48,41 @@ final case class Watermark(
   def processedFileSet: Set[String] = processed_files.toSet
 
   /** Record a completed extract session: advance cursor, add cumulative
-    * counters (ref simple_watermark_manager.py:120-184 cumulative semantics). */
+    * counters (ref simple_watermark_manager.py:120-184 cumulative semantics).
+    * `sessionTag` marks the staged `session=` dir as COMMITTED — the one
+    * atomic point where the cursor advance and the session's loadability
+    * become visible together. */
   def afterExtractSession(lastTs: Option[String], lastId: Option[Long],
                           sessionRows: Long, sessionFiles: Long,
-                          now: String): Watermark =
-    copy(mysql_state = mysql_state.copy(
-      last_timestamp = lastTs.orElse(mysql_state.last_timestamp),
-      last_id = lastId.orElse(mysql_state.last_id),
-      status = "success", error = None,
-      total_rows = mysql_state.total_rows + sessionRows,
-      last_session_rows = sessionRows,
-      s3_files_created = mysql_state.s3_files_created + sessionFiles,
-      last_session_files = sessionFiles,
-      last_updated = Some(now)))
+                          now: String,
+                          sessionTag: Option[String] = None): Watermark =
+    copy(
+      mysql_state = mysql_state.copy(
+        last_timestamp = lastTs.orElse(mysql_state.last_timestamp),
+        last_id = lastId.orElse(mysql_state.last_id),
+        status = "success", error = None,
+        total_rows = mysql_state.total_rows + sessionRows,
+        last_session_rows = sessionRows,
+        s3_files_created = mysql_state.s3_files_created + sessionFiles,
+        last_session_files = sessionFiles,
+        last_updated = Some(now)),
+      metadata = metadata.copy(
+        last_session = sessionTag.orElse(metadata.last_session)))
+
+  /** Staged-file loadability gate: files under a `session=<tag>` dir with a
+    * tag NEWER than the last committed session belong to a crashed extract
+    * whose cursor never advanced — loading them would duplicate the next
+    * extract's rows. Files outside session dirs (manual staging) and legacy
+    * watermarks (no last_session) always load. */
+  def isSessionLoadable(path: String): Boolean =
+    metadata.last_session match {
+      case None => true
+      case Some(committed) =>
+        "session=(\\d+)".r.findFirstMatchIn(path) match {
+          case Some(m) => m.group(1).toLong <= committed.toLong
+          case None => true
+        }
+    }
 
   def markExtractInProgress(now: String): Watermark =
     copy(mysql_state = mysql_state.copy(status = "in_progress",
@@ -100,7 +127,9 @@ object Watermark {
 
   val Version = "2.0"
 
-  /** Default all-zero document (ref :465-499 `_create_default_watermark`). */
+  /** Default all-zero document (ref :465-499 `_create_default_watermark`).
+    * `last_session = "0"` from birth: a FIRST extract that crashes mid-write
+    * leaves its orphan session excluded too (no legacy grace window). */
   def default(tableName: String, cdcStrategy: String, now: String): Watermark =
     Watermark(
       version = Version,
@@ -109,7 +138,7 @@ object Watermark {
       mysql_state = MysqlState(last_updated = Some(now)),
       redshift_state = RedshiftState(),
       processed_files = Nil,
-      metadata = WatermarkMeta(created_at = now))
+      metadata = WatermarkMeta(created_at = now, last_session = Some("0")))
 
   def toJson(w: Watermark): String = Serialization.writePretty(w)
 

@@ -270,6 +270,43 @@ class EtlSpec extends AnyFunSuite with SparkTestBase {
       f.getName.startsWith(".__commit_") || f.getName.startsWith(".__inflight_")))
   }
 
+  test("crashed extract's orphan session never loads (re-extract, no dups)") {
+    // crash window: staged parquet written, cursor save lost. The orphan
+    // session must stay INVISIBLE to the loader — its rows re-extract under
+    // the unadvanced cursor, so loading both would duplicate them.
+    val root = tmpDir("orphan")
+    class ExtractCrashStore(dir: String) extends WatermarkStore(dir) {
+      @volatile var failuresLeft = 0
+      override def save(w: graft.watermark.Watermark,
+                        target: String = "default"): Unit = {
+        if (failuresLeft > 0 && w.mysql_state.status == "success") {
+          failuresLeft -= 1
+          throw new java.io.IOException("simulated cursor-save outage")
+        }
+        super.save(w, target)
+      }
+    }
+    val store = new ExtractCrashStore(s"$root/wm")
+    val extractor = new Extractor(store, s"$root/staging")
+    val loader = new Loader(store, s"$root/warehouse")
+    store.failuresLeft = 1
+    intercept[java.io.IOException] {
+      extractor.extract(spark, id, events, cfg)
+    }
+    // staged bytes exist on disk, but the session was never committed
+    assert(new java.io.File(extractor.stagingDir(id)).exists())
+    val orphanLoad = loader.load(spark, id, extractor.stagingDir(id), cfg)
+    assert(orphanLoad.files == 0 && orphanLoad.loadedRows == 0,
+      "orphan session was loaded")
+    // healthy re-extract commits a new session; the load converges exactly
+    val ext = extractor.extract(spark, id, events, cfg)
+    assert(ext.rows == events.count()) // cursor had NOT advanced
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    val tgt = loader.readTarget(spark, id).get
+    assert(tgt.count() == events.count(), "orphan + re-extract duplicated rows")
+    assert(tgt.select("event_id").distinct().count() == events.count())
+  }
+
   test("merge-mode load honors the schema-evolution gate") {
     // the upsert path must refuse destructive drift like the append path
     // (previously it bypassed the gate: added columns silently dropped,
