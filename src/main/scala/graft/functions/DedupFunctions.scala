@@ -222,6 +222,60 @@ object DedupFunctions {
     minhashCandidatePairs(docs, idCol, textCol).filter(col("jaccard") >= threshold)
 
   // --------------------------------------------------------------------------
+  // Near-duplicate clustering (pairs → connected components)
+  // --------------------------------------------------------------------------
+
+  /** Connected components over a near-duplicate PAIR graph: every member of
+    * a cluster is labeled with the cluster's MIN id (its representative).
+    * Pairwise dedup alone under-removes chains (A~B, B~C but A≁C directly);
+    * clustering is the step every real pipeline runs after LSH.
+    *
+    * Distributed min-label propagation: iterate `label := min(label,
+    * neighbors' labels)` to fixed point — O(component diameter) rounds, and
+    * near-dup components are shallow (dense clumps of boilerplate). All data
+    * is CANDIDATE-scale (the pair graph), never corpus-scale; each round is
+    * localCheckpoint'ed so lineage stays bounded. Returns (id, cluster). */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("ncluster"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
+            .as("next"),
+          col("cluster"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("next") < col("cluster")).isEmpty
+      labels = updated.select(col("id"), col("next").as("cluster"))
+      i += 1
+    }
+    labels
+  }
+
+  /** Keep ONE representative (min id) per near-duplicate CLUSTER: docs in no
+    * pair survive untouched; docs in a cluster survive only as its min id. */
+  def dropNearDuplicateClusters(docs: DataFrame, pairs: DataFrame,
+                                idCol: String): DataFrame = {
+    val nonRepresentatives = duplicateClusters(pairs)
+      .filter(col("cluster") =!= col("id"))
+      .select(col("id"))
+    docs.join(broadcast(nonRepresentatives),
+      docs(idCol) === nonRepresentatives("id"), "left_anti")
+  }
+
+  // --------------------------------------------------------------------------
   // SimHash
   // --------------------------------------------------------------------------
 

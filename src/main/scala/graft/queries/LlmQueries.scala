@@ -117,6 +117,40 @@ object LlmQueries {
              |WHERE len(list_intersect(a.s, b.s)) /
              |    len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin)),
 
+    // --------------------------------------- near-dup CLUSTER dedup
+    // Pairs → connected components → keep min-id per component. The oracle
+    // computes the same exact-Jaccard pairs, closes them transitively with a
+    // recursive CTE, and keeps each component's min id.
+    Q("q_dedup_cluster_drop",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val pairs = DedupFunctions.minhashNearDuplicates(
+          docs, "doc_id", "text", threshold = 0.9)
+        DedupFunctions.dropNearDuplicateClusters(docs, pairs, "doc_id")
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, $shinglesSql AS s
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+             |  WHERE len(s) > 0),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.s, b.s)) /
+             |      len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |labels AS (
+             |  SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+             |  FROM reach GROUP BY src)
+             |SELECT d.doc_id, d.lang, d.source FROM documents d
+             |LEFT JOIN labels l ON d.doc_id = l.id
+             |WHERE l.id IS NULL OR l.cluster = d.doc_id""".stripMargin)),
+
     // ------------------------------------------------ SimHash near-dup (rows-only:
     // the 64-bit signature is a custom expression DuckDB can't reproduce;
     // pair invariants are asserted in DedupSpec instead)

@@ -110,4 +110,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       maxBucketSize = 10)
     assert(capped.count() == 0) // every bucket over cap → dropped
   }
+
+  test("duplicateClusters closes pair chains transitively (min-id labels)") {
+    val s = spark
+    import s.implicits._
+    // two components: {1,2,3,4} as a chain 1-2, 2-3, 3-4 (1≁3, 1≁4 directly)
+    // and {7,8}; node 9 appears in no pair.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val labels = DedupFunctions.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L))
+
+    val corpus = Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L)
+      .toDF("doc_id").withColumn("text", concat(lit("doc "), col("doc_id")))
+    val kept = DedupFunctions.dropNearDuplicateClusters(corpus, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // one representative per component + the unpaired doc
+    assert(kept == Set(1L, 7L, 9L))
+  }
 }
