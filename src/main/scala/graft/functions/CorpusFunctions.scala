@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data assembly: stratified
+  * deterministic sampling, token-budget selection, and benchmark
+  * decontamination. All three are deterministic (hash- or integer-based, no
+  * RNG) so results are reproducible across runs/engines and each carries an
+  * exact DuckDB oracle in the driver contract.
+  */
+object CorpusFunctions {
+
+  /** Lowercase-hex md5 prefix of a key, compared lexicographically — equals
+    * numeric comparison because the width is fixed. Same rule as
+    * [[graft.operators.Relational.deterministicSplit]]. */
+  private def hashBelow(key: Column, fraction: Double): Column = {
+    val t = math.round(fraction * 4294967296.0) // fraction of 2^32
+    if (t >= 4294967296L) lit(true)
+    else if (t <= 0L) lit(false)
+    else substring(md5(key.cast("string").cast("binary")), 1, 8) < lit(f"$t%08x")
+  }
+
+  /** Stratified deterministic sampling: keep each row with a PER-GROUP rate
+    * (corpus mixing — e.g. downsample `web` to 10% while keeping `books`
+    * whole). Membership depends only on (key, its group's rate): re-running
+    * on grown data keeps every previously-kept row, so downstream caches and
+    * dedup side-tables stay valid.
+    *
+    * Scale: a narrow projection + filter — no shuffle, no join; the rate map
+    * rides into the codegen'd plan as a CASE chain (group cardinality is
+    * human-scale: sources/domains/languages).
+    */
+  def sampleByGroup(df: DataFrame, keyCol: String, groupCol: String,
+                    rates: Map[String, Double],
+                    defaultRate: Double): DataFrame = {
+    val keep = rates.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (g, r)) => acc.when(col(groupCol) === g, hashBelow(col(keyCol), r))
+    }.otherwise(hashBelow(col(keyCol), defaultRate))
+    df.filter(keep)
+  }
+
+  /** Greedy token-budget selection: PER GROUP, admit documents in a
+    * deterministic order (ascending `orderCol`) until the group's cumulative
+    * token count would exceed `budget` — the "fill each source's quota"
+    * step of corpus assembly. Returns the admitted rows with their running
+    * total (`cum_tokens`).
+    *
+    * Scale: one shuffle on the group column; within a group the running sum
+    * is a single sorted window pass. Group count is small (sources), but
+    * rows per group are unbounded — the window never buffers the whole
+    * group (running frame), so this survives 100 TB as long as no single
+    * group must be TOTALLY ordered across more data than one task can sort;
+    * for pathological single-source corpora, pre-chunk by [[sampleByGroup]].
+    */
+  def selectWithinTokenBudget(df: DataFrame, groupCol: String,
+                              tokenCol: Column, orderCol: String,
+                              budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Long.MinValue, 0)
+    df.withColumn("cum_tokens", sum(tokenCol).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Benchmark decontamination: for every document, the fraction of its
+    * word n-gram shingles that also occur in a benchmark/eval corpus —
+    * the overlap test run before training so eval answers aren't memorized
+    * from the training set. Returns (id, n_shingles, n_hits, overlap).
+    *
+    * Scale: benchmark shingles are BENCHMARK-scale (eval sets are small) —
+    * distinct'd, then broadcast; each corpus doc explodes its shingles once
+    * and left-joins the broadcast set, and the hit-count groupBy carries
+    * only (id, hit) through partial aggregation. The corpus is never
+    * shuffled on text and never self-joined.
+    */
+  def contaminationScores(docs: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int = 3): DataFrame = {
+    def shingled(d: DataFrame, id: String) = d
+      .select(col(id), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(id), DedupFunctions.shinglesFromTokens(col("toks"), shingleN).as("s"))
+
+    val benchShingles = shingled(benchmark, idCol)
+      .select(explode(col("s")).as("shingle")).distinct()
+      .withColumn("hit", lit(1))
+    shingled(docs, idCol)
+      .select(col(idCol), explode(col("s")).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
+      .withColumn("overlap", col("n_hits").cast("double") / col("n_shingles"))
+  }
+
+  /** Drop documents whose benchmark shingle-overlap is at or above
+    * `threshold` (decontaminated corpus). Anti-join on the (small) flagged
+    * id set — broadcast, so the corpus is filtered without a shuffle. */
+  def dropContaminated(docs: DataFrame, benchmark: DataFrame,
+                       idCol: String, textCol: String,
+                       threshold: Double, shingleN: Int = 3): DataFrame = {
+    val flagged = contaminationScores(docs, benchmark, idCol, textCol, shingleN)
+      .filter(col("overlap") >= threshold)
+      .select(col(idCol).as("__contaminated_id"))
+    docs.join(broadcast(flagged),
+      docs(idCol) === flagged("__contaminated_id"), "left_anti")
+  }
+}

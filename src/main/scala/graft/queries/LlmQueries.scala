@@ -76,6 +76,71 @@ object LlmQueries {
              |       THEN 'train' ELSE 'validation' END AS split
              |FROM documents""".stripMargin)),
 
+    // -------------------------------------------- stratified corpus sampling
+    // Per-source deterministic rates (corpus mixing). Same md5-prefix rule on
+    // both engines; thresholds: 0.5→'80000000', 0.25→'40000000',
+    // default 0.6→'9999999a' (round(r·2^32) in fixed-width hex).
+    Q("q_sample_stratified",
+      (s, dir) => graft.functions.CorpusFunctions.sampleByGroup(
+        Tables.df(s, dir, "documents"), "doc_id", "source",
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.6)
+        .select(col("doc_id"), col("source"), col("lang")),
+      Some("""SELECT doc_id, source, lang FROM documents
+             |WHERE CASE source
+             |  WHEN 'src0' THEN TRUE
+             |  WHEN 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             |                   < '80000000'
+             |  WHEN 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             |                   < '40000000'
+             |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '9999999a'
+             |END""".stripMargin)),
+
+    // ---------------------------------------------- token-budget selection
+    // Greedy per-source quota fill in deterministic (doc_id) order; integer
+    // running sum → exact cross-engine parity.
+    Q("q_token_budget",
+      (s, dir) => graft.functions.CorpusFunctions.selectWithinTokenBudget(
+        Tables.df(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.wordCount(col("text")).as("word_count")),
+        "source", col("word_count"), "doc_id", budget = 2000L)
+        .withColumn("cum_tokens", col("cum_tokens").cast("long")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    len(list_filter(string_split_regex(text, '\s+'),
+             |        t -> len(t) > 0)) AS word_count
+             |  FROM documents),
+             |c AS (
+             |  SELECT *, CAST(SUM(word_count) OVER (
+             |      PARTITION BY source ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |  FROM t)
+             |SELECT doc_id, source, word_count, cum_tokens
+             |FROM c WHERE cum_tokens <= 2000""".stripMargin)),
+
+    // ---------------------------------------------- benchmark decontamination
+    // Shingle-overlap of every doc against a benchmark set (docs ≡ 0 mod 7
+    // stand in for the eval corpus). Oracle recomputes the same 3-gram
+    // overlap with list_intersect against the flattened benchmark list.
+    Q("q_decontaminate",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        graft.functions.CorpusFunctions.contaminationScores(
+          docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      },
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id, $shinglesSql AS s
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+             |  WHERE len(toks) > 0),
+             |bench AS (
+             |  SELECT list_distinct(flatten(list(s))) AS bs
+             |  FROM sh WHERE doc_id % 7 = 0)
+             |SELECT sh.doc_id, len(sh.s) AS n_shingles,
+             |  len(list_intersect(sh.s, b.bs)) AS n_hits,
+             |  len(list_intersect(sh.s, b.bs)) * 1.0 / len(sh.s) AS overlap
+             |FROM sh CROSS JOIN bench b""".stripMargin)),
+
     // ------------------------------------------------- incremental dedup
     // The 100-TB shape: dedup an increment (odd doc_ids) against the corpus
     // (even doc_ids) via fingerprint anti-join — corpus text never rescanned.

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.CorpusFunctions
+
+/** Invariants for the corpus-curation operators (stratified sampling,
+  * token-budget selection, benchmark decontamination). */
+class CorpusSpec extends AnyFunSuite with SparkTestBase {
+
+  test("sampleByGroup: rate 1 keeps all, rate 0 keeps none, rates nest") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val kept = CorpusFunctions.sampleByGroup(df, "id", "grp",
+      Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == (2L to 400L by 2).toSet) // all of a, none of b
+
+    // determinism + nesting: the 25% sample is a subset of the 50% sample
+    def sample(r: Double) = CorpusFunctions.sampleByGroup(df, "id", "grp",
+      Map.empty, defaultRate = r).select("id").collect().map(_.getLong(0)).toSet
+    val half = sample(0.5)
+    val quarter = sample(0.25)
+    assert(quarter.subsetOf(half))
+    assert(sample(0.5) == half) // re-run identical
+    // rate is approximately honored (md5 is uniform)
+    assert(half.size > 120 && half.size < 280)
+  }
+
+  test("selectWithinTokenBudget: greedy per-group fill in order") {
+    val s = spark
+    import s.implicits._
+    // group x: 60+50 admitted (110 <= 120), +30 would be 140 > 120 → cut,
+    // and the cut is positional, not best-fit (greedy in id order).
+    val df = Seq(
+      (1L, "x", 60L), (2L, "x", 50L), (3L, "x", 30L), (4L, "x", 5L),
+      (5L, "y", 120L), (6L, "y", 1L)
+    ).toDF("id", "grp", "tok")
+    val out = CorpusFunctions.selectWithinTokenBudget(
+      df, "grp", col("tok"), "id", budget = 120L)
+      .select("id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 60L, 2L -> 110L, 5L -> 120L))
+  }
+
+  test("contaminationScores: identical doc 1.0, disjoint 0.0, flagged dropped") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),      // == bench doc
+      (2L, "one two three four five six seven"),        // disjoint
+      (3L, "alpha beta gamma delta unrelated trailing") // partial overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val scores = CorpusFunctions.contaminationScores(docs, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(scores(1L) == 1.0)
+    assert(scores(2L) == 0.0)
+    // doc 3: 4 shingles, 2 of them ("alpha beta gamma", "beta gamma delta")
+    // in the benchmark set
+    assert(scores(3L) == 0.5)
+
+    val kept = CorpusFunctions.dropContaminated(
+      docs, bench, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+}
