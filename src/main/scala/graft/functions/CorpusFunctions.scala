@@ -93,6 +93,52 @@ object CorpusFunctions {
       .withColumn("overlap", col("n_hits").cast("double") / col("n_shingles"))
   }
 
+  /** Split every document into fixed-size token windows with a stride —
+    * the context-packing step that turns variable-length documents into
+    * training-window-sized chunks. `stride < chunkTokens` overlaps
+    * consecutive chunks; trailing chunks may be shorter. Emits
+    * (id, chunk_id, chunk, n_tokens); chunk_id counts from 0 in document
+    * order.
+    *
+    * Scale: a narrow per-row transform + generator — no shuffle, no UDF;
+    * the token array is built once per row and sliced lazily inside
+    * codegen. Output size is input × (1/stride) tokens, the expected
+    * amplification of overlap packing.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be > 0")
+    val starts = sequence(lit(0), size(col("toks")) - 1, lit(stride))
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        posexplode(transform(starts,
+          s => slice(col("toks"), s + 1, lit(chunkTokens))))
+          .as(Seq("chunk_id", "chunk_toks")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", col("chunk_toks")).as("chunk"),
+        size(col("chunk_toks")).cast("long").as("n_tokens"))
+  }
+
+  /** Corpus mixture statistics: documents, tokens, and token SHARE per
+    * (group, subgroup) — the table a mixing-weight decision reads. The
+    * share denominator is the whole corpus (a 1-row broadcast-ish window
+    * over the already-aggregated groups, not over rows).
+    */
+  def mixtureStats(docs: DataFrame, textCol: String,
+                   groupCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy() // whole (tiny, post-agg) relation
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    docs
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.wordCount(col(textCol))).as("n_tokens"))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+  }
+
   /** Drop documents whose benchmark shingle-overlap is at or above
     * `threshold` (decontaminated corpus). Anti-join on the (small) flagged
     * id set — broadcast, so the corpus is filtered without a shuffle. */

@@ -141,6 +141,35 @@ object LlmQueries {
              |  len(list_intersect(sh.s, b.bs)) * 1.0 / len(sh.s) AS overlap
              |FROM sh CROSS JOIN bench b""".stripMargin)),
 
+    // ------------------------------------------------- document chunking
+    // Fixed 64-token windows at stride 48 (overlap packing). Same
+    // start-set on both engines: Spark sequence(0, len-1, 48) ==
+    // DuckDB range(0, len, 48).
+    Q("q_chunk_documents",
+      (s, dir) => graft.functions.CorpusFunctions.chunkDocuments(
+        Tables.df(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, stride = 48),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+             |e AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS s
+             |      FROM t WHERE len(toks) > 0)
+             |SELECT doc_id, s // 48 AS chunk_id,
+             |  array_to_string(toks[s+1 : s+64], ' ') AS chunk,
+             |  len(toks[s+1 : s+64]) AS n_tokens
+             |FROM e""".stripMargin)),
+
+    // ------------------------------------------------ corpus mixture stats
+    Q("q_corpus_stats",
+      (s, dir) => graft.functions.CorpusFunctions.mixtureStats(
+        Tables.df(s, dir, "documents"), "text", Seq("source", "lang")),
+      Some("""WITH g AS (
+             |  SELECT source, lang, COUNT(*) AS n_docs,
+             |    CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+             |        t -> len(t) > 0))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT source, lang, n_docs, n_tokens,
+             |  n_tokens / SUM(n_tokens) OVER () AS token_share
+             |FROM g""".stripMargin)),
+
     // ------------------------------------------------- incremental dedup
     // The 100-TB shape: dedup an increment (odd doc_ids) against the corpus
     // (even doc_ids) via fingerprint anti-join — corpus text never rescanned.

@@ -68,4 +68,32 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L))
   }
+
+  test("chunkDocuments: stride windows, overlap, short-doc single chunk") {
+    val s = spark
+    import s.implicits._
+    // 10 tokens, chunk 4, stride 3 → starts 0,3,6,9
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "only two"))
+      .toDF("doc_id", "text")
+    val out = CorpusFunctions.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._3, c._4)).toSeq == Seq(
+      ("t0 t1 t2 t3", 4L), ("t3 t4 t5 t6", 4L),
+      ("t6 t7 t8 t9", 4L), ("t9", 1L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "only two", 2L)))
+  }
+
+  test("mixtureStats: token shares sum to 1 and counts are exact") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("a", "en", "one two three"), ("a", "en", "four five"),
+      ("b", "en", "six seven eight nine ten")
+    ).toDF("source", "lang", "text")
+    val rows = CorpusFunctions.mixtureStats(docs, "text", Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.toSet == Set(("a", 2L, 5L, 0.5), ("b", 1L, 5L, 0.5)))
+  }
 }
