@@ -72,22 +72,25 @@ object CorpusFunctions {
     * distinct'd, then broadcast; each corpus doc explodes its shingles once
     * and left-joins the broadcast set, and the hit-count groupBy carries
     * only (id, hit) through partial aggregation. The corpus is never
-    * shuffled on text and never self-joined.
+    * shuffled on text and never self-joined. Both sides shingle via the
+    * codegen'd [[ShingleHashes]] byte-scan (one pass, no token/shingle
+    * string allocation, 8-byte join keys) — set cardinalities equal the
+    * string-shingle ones short of a 64-bit collision inside one comparison
+    * (P ≈ |corpus-doc|·|bench| / 2⁶⁴ per doc — negligible).
     */
   def contaminationScores(docs: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String,
                           shingleN: Int = 3): DataFrame = {
-    def shingled(d: DataFrame, id: String) = d
-      .select(col(id), TextFunctions.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col(id), DedupFunctions.shinglesFromTokens(col("toks"), shingleN).as("s"))
+    def hashed(d: DataFrame) = d
+      .select(col(idCol), DedupFunctions.shingleHashes(col(textCol), shingleN).as("hs"))
+      .filter(size(col("hs")) > 0)
 
-    val benchShingles = shingled(benchmark, idCol)
-      .select(explode(col("s")).as("shingle")).distinct()
+    val benchShingles = hashed(benchmark)
+      .select(explode(col("hs")).as("h")).distinct()
       .withColumn("hit", lit(1))
-    shingled(docs, idCol)
-      .select(col(idCol), explode(col("s")).as("shingle"))
-      .join(broadcast(benchShingles), Seq("shingle"), "left")
+    hashed(docs)
+      .select(col(idCol), explode(col("hs")).as("h"))
+      .join(broadcast(benchShingles), Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
       .withColumn("overlap", col("n_hits").cast("double") / col("n_shingles"))
