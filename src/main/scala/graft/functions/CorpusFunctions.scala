@@ -142,6 +142,27 @@ object CorpusFunctions {
         col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
   }
 
+  /** Quality filtering: keep the `k` highest-[[TextFunctions.qualityScore]]
+    * documents per group (beam the best of each source/domain), ties broken
+    * deterministically by id. Returns the winners with their `quality` and
+    * 1-based per-group `rn`.
+    *
+    * Scale: one shuffle on the group columns; the rank filter is a
+    * WindowGroupLimit in Spark ≥3.5 (each map task pre-prunes to its local
+    * top-k before the exchange), so the shuffle carries ~k rows per
+    * (group, task) — not the corpus.
+    */
+  def topKByQuality(docs: DataFrame, idCol: String, textCol: String,
+                    groupCols: Seq[String], k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("quality").desc, col(idCol))
+    docs
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Drop documents whose benchmark shingle-overlap is at or above
     * `threshold` (decontaminated corpus). Anti-join on the (small) flagged
     * id set — broadcast, so the corpus is filtered without a shuffle. */

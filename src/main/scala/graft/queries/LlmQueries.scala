@@ -157,6 +157,40 @@ object LlmQueries {
              |  len(toks[s+1 : s+64]) AS n_tokens
              |FROM e""".stripMargin)),
 
+    // ---------------------------------------------- quality top-k per source
+    // Keep the 25 best-quality docs per source (deterministic ties by
+    // doc_id). The quality formula's DuckDB replica is the one proven exact
+    // by q_text_analysis.
+    Q("q_quality_topk",
+      (s, dir) => graft.functions.CorpusFunctions.topKByQuality(
+        Tables.df(s, dir, "documents"), "doc_id", "text",
+        Seq("source"), k = 25)
+        .select(col("doc_id"), col("source"), col("quality"), col("rn")),
+      Some("""WITH scored AS (
+             |  SELECT doc_id, source,
+             |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|for|with|on)\b')) AS s_en,
+             |    len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS word_cnt,
+             |    CASE WHEN len(text) = 0 THEN 0.0
+             |      ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / len(text) END AS punct_ratio,
+             |    len(regexp_extract_all(text, '[A-Za-z0-9]')) AS alnum_chars,
+             |    len(text) AS n
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, source,
+             |    (CAST(n BETWEEN 50 AND 100000 AS INT) +
+             |     CAST(punct_ratio <= 0.3 AS INT) +
+             |     CAST((CASE WHEN word_cnt = 0 THEN 0.0
+             |           ELSE s_en / word_cnt END) >= 0.01 AS INT) +
+             |     CAST((CASE WHEN word_cnt = 0 THEN 0.0
+             |           ELSE alnum_chars / word_cnt END) BETWEEN 2 AND 12 AS INT)
+             |    ) / 4.0 AS quality
+             |  FROM scored),
+             |r AS (
+             |  SELECT *, ROW_NUMBER() OVER (
+             |    PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+             |  FROM q)
+             |SELECT doc_id, source, quality, rn FROM r WHERE rn <= 25""".stripMargin)),
+
     // ------------------------------------------------ corpus mixture stats
     Q("q_corpus_stats",
       (s, dir) => graft.functions.CorpusFunctions.mixtureStats(

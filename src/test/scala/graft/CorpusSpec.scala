@@ -85,6 +85,22 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "only two", 2L)))
   }
 
+  test("topKByQuality: per-group k winners, deterministic ties") {
+    val s = spark
+    import s.implicits._
+    val good = ("x " * 40).trim // 79 chars: passes length/punct/mwl gates
+    val docs = Seq(
+      (1L, "a", good + " the"), (2L, "a", good + " the"), (3L, "a", "!!"),
+      (4L, "b", good + " the")
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusFunctions.topKByQuality(docs, "doc_id", "text",
+      Seq("source"), k = 2)
+      .select("doc_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // group a: docs 1,2 tie on quality → ordered by doc_id; doc 3 cut
+    assert(out == Map(1L -> 1L, 2L -> 2L, 4L -> 1L))
+  }
+
   test("mixtureStats: token shares sum to 1 and counts are exact") {
     val s = spark
     import s.implicits._

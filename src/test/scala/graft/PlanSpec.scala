@@ -168,4 +168,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"),
       "LIMIT+ORDER BY should be top-k, not full sort")
   }
+
+  test("per-group quality top-k pre-prunes before the exchange (WindowGroupLimit)") {
+    val plan = executedString(q("q_quality_topk"))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k filter should push a WindowGroupLimit below the shuffle:\n$plan")
+  }
 }
