@@ -257,16 +257,17 @@ object LlmQueries {
         DedupFunctions.dropNearDuplicateClusters(docs, pairs, "doc_id")
           .select(col("doc_id"), col("lang"), col("source"))
       },
-      Some(s"""WITH RECURSIVE sh AS (
+      Some(s"""WITH RECURSIVE sh AS MATERIALIZED (
              |  SELECT doc_id, $shinglesSql AS s
              |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
              |  WHERE len(s) > 0),
-             |pairs AS (
+             |pairs AS MATERIALIZED (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              |  WHERE len(list_intersect(a.s, b.s)) /
              |      len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
-             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |edges AS MATERIALIZED (
+             |          SELECT id_a AS src, id_b AS dst FROM pairs
              |          UNION SELECT id_b, id_a FROM pairs),
              |reach(src, dst) AS (
              |  SELECT src, dst FROM edges
