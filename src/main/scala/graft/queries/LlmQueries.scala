@@ -204,6 +204,18 @@ object LlmQueries {
              |  n_tokens / SUM(n_tokens) OVER () AS token_share
              |FROM g""".stripMargin)),
 
+    // ------------------------------------------------ streaming ingest dedup
+    // Exact dedup at INGEST: a real readStream → dropDuplicates(state-store)
+    // → parquet-append run (AvailableNow, checkpointed). The emitted
+    // fingerprint SET is deterministic (which duplicate row survives is
+    // arrival-order-dependent; its fingerprint is not) → exact oracle.
+    Q("q_stream_dedup",
+      (s, dir) => graft.streaming.StreamingPipeline.streamingDedupFingerprints(
+        s, s"$dir/documents.parquet", Tables.scratchDir("dedup_ckpt"),
+        s"stream_dedup_${System.nanoTime()}"),
+      Some(s"""SELECT DISTINCT md5($normSql) AS fingerprint
+             |FROM documents""".stripMargin)),
+
     // ------------------------------------------------- incremental dedup
     // The 100-TB shape: dedup an increment (odd doc_ids) against the corpus
     // (even doc_ids) via fingerprint anti-join — corpus text never rescanned.

@@ -254,6 +254,48 @@ object StreamingPipeline {
         .agg(max_by(col("total_events"), col("batch")).as("total_events"))
   }
 
+  /** Streaming ingestion dedup: drop exact-duplicate documents AS THEY
+    * ARRIVE, keyed on the content fingerprint in the state store, so
+    * downstream stages only ever see novel content. Emits the distinct
+    * fingerprint inventory — a set, hence deterministic regardless of
+    * arrival/partition order (WHICH physical row of a duplicate group
+    * survives is arrival-order-dependent; its fingerprint is not).
+    *
+    * State is one fingerprint key per distinct document — the irreducible cost
+    * of EXACT global streaming dedup. When near-time dedup suffices, swap
+    * in `dropDuplicatesWithinWatermark` to bound state by the watermark
+    * horizon instead of corpus size. Appends ride the parquet sink's
+    * _spark_metadata commit log → exactly-once across restarts.
+    */
+  def streamingDedupFingerprints(spark: SparkSession, docsPath: String,
+                                 checkpointDir: String, queryName: String,
+                                 statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val batchSchema = spark.read.parquet(docsPath).schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .parquet(streamSourceDir(docsPath))
+      .select(graft.functions.TextFunctions.fingerprintMd5(col("text"))
+        .as("fingerprint"))
+      .dropDuplicates("fingerprint")
+
+    val sinkDir = s"${checkpointDir}_sink"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = stream.writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", sinkDir)
+        .option("checkpointLocation", checkpointDir)
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.read.parquet(sinkDir)
+  }
+
   /** Stateful sessionization via mapGroupsWithState-style processing —
     * demonstrated with the batch-equivalent session-gap logic (events within
     * `gapMinutes` of each other belong to one session). Window-function form:

@@ -74,6 +74,31 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(StreamingPipeline.readStreamingTarget(spark, target).count() == 3)
   }
 
+  test("streamingDedupFingerprints: state-store dedup, exactly-once re-runs") {
+    val s = spark; import s.implicits._
+    val docsDir = tmpDir("sdedup_docs")
+    val ckpt = tmpDir("sdedup_ckpt")
+    Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "Alpha, beta!"),
+      (4L, "gamma delta"))
+      .toDF("doc_id", "text").write.mode("append").parquet(docsDir)
+    val out = StreamingPipeline.streamingDedupFingerprints(
+      spark, docsDir, ckpt, s"sdedup_${System.nanoTime()}")
+    // 1,2,3 normalize to the same content → 2 distinct fingerprints
+    assert(out.count() == 2)
+    // duplicate-only second batch, same checkpoint → state suppresses it
+    Seq((5L, "alpha beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(docsDir)
+    val after = StreamingPipeline.streamingDedupFingerprints(
+      spark, docsDir, ckpt, s"sdedup_${System.nanoTime()}")
+    assert(after.count() == 2)
+    // novel third batch → exactly one new fingerprint
+    Seq((6L, "epsilon zeta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(docsDir)
+    val last = StreamingPipeline.streamingDedupFingerprints(
+      spark, docsDir, ckpt, s"sdedup_${System.nanoTime()}")
+    assert(last.count() == 3)
+  }
+
   test("mapGroupsWithState: per-user state survives across checkpointed runs") {
     val s = spark; import s.implicits._
     val staging = tmpDir("state_staging")
