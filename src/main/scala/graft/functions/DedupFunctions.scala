@@ -230,12 +230,16 @@ object DedupFunctions {
     * Pairwise dedup alone under-removes chains (A~B, B~C but A≁C directly);
     * clustering is the step every real pipeline runs after LSH.
     *
-    * Distributed min-label propagation: iterate `label := min(label,
-    * neighbors' labels)` to fixed point — O(component diameter) rounds, and
-    * near-dup components are shallow (dense clumps of boilerplate). All data
-    * is CANDIDATE-scale (the pair graph), never corpus-scale; each round is
-    * localCheckpoint'ed so lineage stays bounded. Returns (id, cluster). */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    * Distributed min-label propagation with POINTER JUMPING: each round
+    * takes `label := min(label, neighbors' labels, label(label))` — the
+    * label-of-label hop doubles propagation distance, so convergence is
+    * O(log diameter) rounds, not O(diameter) (a 1M-doc boilerplate chain
+    * converges in ~20 rounds instead of 1M). All data is CANDIDATE-scale
+    * (the pair graph), never corpus-scale; each round is localCheckpoint'ed
+    * so lineage stays bounded. Throws rather than returning unconverged
+    * (silently wrong) labels if `maxIters` is exhausted — unreachable below
+    * diameter 2^25. Returns (id, cluster). */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -251,16 +255,27 @@ object DedupFunctions {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("ncluster"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
-            .as("next"),
-          col("cluster"))
+      // label-of-label: every cluster value is itself a node id, so the
+      // self-join always matches; hcluster = label(label(id))
+      val hop = labels
+        .join(labels.select(col("id").as("cluster"), col("cluster").as("hcluster")),
+          Seq("cluster"))
+        .select(col("id"), col("hcluster"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .join(hop, Seq("id"), "left")
+        .select(col("id"), col("cluster"),
+          least(col("cluster"),
+            coalesce(col("ncluster"), col("cluster")),
+            coalesce(col("hcluster"), col("cluster"))).as("next"))
         .localCheckpoint(true)
       converged = updated.filter(col("next") < col("cluster")).isEmpty
       labels = updated.select(col("id"), col("next").as("cluster"))
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters: not converged after $maxIters rounds " +
+        "(component diameter > 2^25?)")
     labels
   }
 

@@ -111,6 +111,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(capped.count() == 0) // every bucket over cap → dropped
   }
 
+  test("duplicateClusters matches union-find on random pair graphs") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    def unionFind(n: Int, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      // min-id representative == union-by-min root
+      nodes.map(v => v -> find(v)).toMap
+    }
+
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      pairs <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield pairs.distinct
+
+    for (seed <- 1 to 5) {
+      val pairs = gen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val expected = unionFind(0, pairs)
+      val got = DedupFunctions.duplicateClusters(
+        pairs.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected, s"seed=$seed pairs=$pairs")
+    }
+  }
+
   test("duplicateClusters closes pair chains transitively (min-id labels)") {
     val s = spark
     import s.implicits._

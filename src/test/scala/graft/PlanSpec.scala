@@ -174,4 +174,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("WindowGroupLimit"),
       s"rank<=k filter should push a WindowGroupLimit below the shuffle:\n$plan")
   }
+
+  test("stratified sampling and chunking are shuffle-free narrow plans") {
+    for (name <- Seq("q_sample_stratified", "q_chunk_documents")) {
+      val plan = executedString(q(name))
+      assert(!plan.contains("Exchange"),
+        s"$name should be a narrow scan->project->filter plan, found Exchange:\n$plan")
+    }
+  }
 }
