@@ -303,6 +303,40 @@ object Cli {
         report.deleted.foreach(f => println(s"  $f"))
         0
 
+      case "config" =>
+        // resolved-config inspection (ref config show-pipeline,
+        // src/cli/main.py:1441-1505): everything the engine will actually
+        // use, after template inheritance, env interpolation, and defaults.
+        println(s"pipeline: ${pipeline.name} — ${pipeline.description}")
+        println(s"source:   ${pipeline.source} (${pipeline.sourceFormat})")
+        println(s"target:   ${pipeline.target}")
+        val proc = pipeline.processing
+        println(s"processing: strategy=${proc.strategy} " +
+          s"parallel=${proc.maxParallelTables} timeout=${proc.timeoutMinutes}m " +
+          s"evolution=${proc.evolutionPolicy} " +
+          s"commitBatchFiles=${proc.commitBatchFiles} " +
+          s"maxFilesPerLoad=${proc.maxFilesPerLoad.getOrElse("-")} " +
+          s"normalizeColumns=${proc.normalizeColumns}")
+        println(s"sink: compression=${pipeline.sink.compression} " +
+          s"partitionStrategy=${pipeline.sink.partitionStrategy} " +
+          s"isolationPrefix=${pipeline.sink.isolationPrefix}")
+        pipeline.tables
+          .filter(t => tableFilter.forall(f =>
+            t.name == f || t.name.endsWith(s".$f")))
+          .foreach { spec =>
+            val mode =
+              if (spec.mergeKeys.isEmpty) "append"
+              else s"merge(${spec.mergeKeys.mkString(",")})" +
+                spec.mergeBuckets.map(b => s" buckets=$b").getOrElse("")
+            val cdc = spec.cdc
+            println(f"  ${spec.name}%-32s ${cdc.strategy.name}%-14s $mode%-28s " +
+              s"ts=${cdc.timestampColumn.getOrElse("-")} " +
+              s"id=${cdc.idColumn.getOrElse("-")} " +
+              s"where=${cdc.additionalWhere.getOrElse("-")} " +
+              s"type=${spec.tableType} countCheck=${spec.countCheck}")
+          }
+        0
+
       case other =>
         System.err.println(s"unknown verb: $other\n$usage"); 2
     }
@@ -324,8 +358,9 @@ object Cli {
     }
 
   private val usage: String =
-    """usage: graft.Cli <sync|backup|load|merge|status|watermark|unlock|s3clean> -c <pipeline.yml>
+    """usage: graft.Cli <sync|backup|load|merge|status|config|watermark|unlock|s3clean> -c <pipeline.yml>
       |  sync      extract + load every configured table (-t narrows; --parallel N)
+      |  config    print the RESOLVED pipeline config (post-inheritance/env/defaults)
       |  backup    extract only
       |  load      load staged-but-unprocessed files only
       |  merge     upsert staged files into the warehouse: -t table [--keys k1,k2]

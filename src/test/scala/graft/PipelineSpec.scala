@@ -395,6 +395,9 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(cli("unlock", "-t", "fx.events", "--force") == 1)
     // compact the synced table (tiny → no-op or collapse, either exits 0)
     assert(cli("compact", "-t", "fx.region") == 0)
+    // resolved-config inspection (whole pipeline, then one table)
+    assert(cli("config") == 0)
+    assert(cli("config", "-t", "fx.orders") == 0)
     // s3clean dry-run reports, deletes nothing
     assert(cli("s3clean", "--older-than-hours", "0", "--dry-run") == 0)
     assert(cli("s3clean") == 2)                   // missing required option
