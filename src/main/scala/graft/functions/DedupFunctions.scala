@@ -261,6 +261,9 @@ object DedupFunctions {
         .join(labels.select(col("id").as("cluster"), col("cluster").as("hcluster")),
           Seq("cluster"))
         .select(col("id"), col("hcluster"))
+      // LAZY checkpoint: the convergence count below materializes it, so
+      // each round costs ONE job (update + changed-count fused), and the
+      // next round's joins read the truncated-lineage checkpoint.
       val updated = labels
         .join(neighborMin, Seq("id"), "left")
         .join(hop, Seq("id"), "left")
@@ -268,8 +271,8 @@ object DedupFunctions {
           least(col("cluster"),
             coalesce(col("ncluster"), col("cluster")),
             coalesce(col("hcluster"), col("cluster"))).as("next"))
-        .localCheckpoint(true)
-      converged = updated.filter(col("next") < col("cluster")).isEmpty
+        .localCheckpoint(false)
+      converged = updated.filter(col("next") < col("cluster")).count() == 0
       labels = updated.select(col("id"), col("next").as("cluster"))
       i += 1
     }
