@@ -142,6 +142,29 @@ object CorpusFunctions {
         col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
   }
 
+  /** Corpus-wide n-gram DOCUMENT frequency, top-k: shingles are distinct
+    * within each document, so the count is "how many documents contain this
+    * n-gram" — the boilerplate/template detector (headers, cookie banners,
+    * license blurbs float to the top). Deterministic order: df desc, then
+    * ngram.
+    *
+    * Scale: partial aggregation combines per-task before the shuffle, and
+    * the final top-k is a TakeOrdered, never a global sort. The exchange
+    * carries one row per distinct n-gram per task — irreducible for exact
+    * counts; switch to a count-min sketch when approximate DF suffices.
+    */
+  def topNgramsByDocFreq(docs: DataFrame, textCol: String,
+                         shingleN: Int, k: Int): DataFrame =
+    docs
+      .select(TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(explode(DedupFunctions.shinglesFromTokens(col("toks"), shingleN))
+        .as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(k)
+
   /** Quality filtering: keep the `k` highest-[[TextFunctions.qualityScore]]
     * documents per group (beam the best of each source/domain), ties broken
     * deterministically by id. Returns the winners with their `quality` and

@@ -157,6 +157,18 @@ object LlmQueries {
              |  len(toks[s+1 : s+64]) AS n_tokens
              |FROM e""".stripMargin)),
 
+    // ------------------------------------------- top-k n-gram doc frequency
+    Q("q_ngram_topk",
+      (s, dir) => graft.functions.CorpusFunctions.topNgramsByDocFreq(
+        Tables.df(s, dir, "documents"), "text", shingleN = 3, k = 50),
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id, $shinglesSql AS s
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+             |  WHERE len(toks) > 0),
+             |e AS (SELECT unnest(s) AS ngram FROM sh)
+             |SELECT ngram, COUNT(*) AS df FROM e
+             |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 50""".stripMargin)),
+
     // ---------------------------------------------- quality top-k per source
     // Keep the 25 best-quality docs per source (deterministic ties by
     // doc_id). The quality formula's DuckDB replica is the one proven exact

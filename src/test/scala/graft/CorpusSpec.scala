@@ -101,6 +101,24 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 2L, 4L -> 1L))
   }
 
+  test("topNgramsByDocFreq: distinct-per-doc counts, deterministic order") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      "common header text common header text", // repeated in-doc: counts once
+      "common header text something else here",
+      "totally different content entirely now"
+    ).toDF("text")
+    val top = CorpusFunctions.topNgramsByDocFreq(docs, "text", shingleN = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head == ("common header text", 2L)) // df=2 despite 3 occurrences
+    assert(top(1)._2 == 1L)
+    // plan: top-k must be TakeOrdered, not a global sort
+    val plan = CorpusFunctions.topNgramsByDocFreq(docs, "text", 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("mixtureStats: token shares sum to 1 and counts are exact") {
     val s = spark
     import s.implicits._
