@@ -256,10 +256,11 @@ object DedupFunctions {
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("ncluster"))
       // label-of-label: every cluster value is itself a node id, so the
-      // self-join always matches; hcluster = label(label(id))
+      // self-join matches every row; LEFT join so a (never-expected) miss
+      // can only skip the hop for that row, not drop the row
       val hop = labels
         .join(labels.select(col("id").as("cluster"), col("cluster").as("hcluster")),
-          Seq("cluster"))
+          Seq("cluster"), "left")
         .select(col("id"), col("hcluster"))
       // LAZY checkpoint: the convergence count below materializes it, so
       // each round costs ONE job (update + changed-count fused), and the

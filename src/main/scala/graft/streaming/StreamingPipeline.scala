@@ -269,12 +269,13 @@ object StreamingPipeline {
     */
   def streamingDedupFingerprints(spark: SparkSession, docsPath: String,
                                  checkpointDir: String, queryName: String,
-                                 statePartitions: Option[Int] = Some(8)): DataFrame = {
+                                 statePartitions: Option[Int] = Some(8),
+                                 textCol: String = "text"): DataFrame = {
     val batchSchema = spark.read.parquet(docsPath).schema
     val stream = spark.readStream
       .schema(batchSchema)
       .parquet(streamSourceDir(docsPath))
-      .select(graft.functions.TextFunctions.fingerprintMd5(col("text"))
+      .select(graft.functions.TextFunctions.fingerprintMd5(col(textCol))
         .as("fingerprint"))
       .dropDuplicates("fingerprint")
 
