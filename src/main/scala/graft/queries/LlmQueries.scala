@@ -157,6 +157,59 @@ object LlmQueries {
              |  len(toks[s+1 : s+64]) AS n_tokens
              |FROM e""".stripMargin)),
 
+    // ------------------------------------------ composed curation pipeline
+    // The operators are built to COMPOSE: exact dedup → benchmark
+    // decontamination → stratified sampling → per-source token budget, one
+    // lazy plan end-to-end, each stage deterministic so the whole chain has
+    // an exact nested-CTE oracle.
+    Q("q_corpus_pipeline",
+      (s, dir) => {
+        import graft.functions.{CorpusFunctions, DedupFunctions}
+        val docs = Tables.df(s, dir, "documents")
+        val deduped = DedupFunctions.dropExactDuplicates(docs, "doc_id", "text")
+        val clean = CorpusFunctions.dropContaminated(
+          deduped, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+          threshold = 0.5)
+        val mixed = CorpusFunctions.sampleByGroup(
+          clean, "doc_id", "source", Map("src0" -> 1.0), defaultRate = 0.5)
+        CorpusFunctions.selectWithinTokenBudget(
+          mixed.select(col("doc_id"), col("source"),
+            TextFunctions.wordCount(col("text")).as("word_count")),
+          "source", col("word_count"), "doc_id", budget = 1500L)
+          .withColumn("cum_tokens", col("cum_tokens").cast("long"))
+      },
+      Some(s"""WITH keep AS (
+             |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
+             |d1 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+             |sh AS (
+             |  SELECT doc_id, $shinglesSql AS s
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+             |  WHERE len(toks) > 0),
+             |bench AS (
+             |  SELECT list_distinct(flatten(list(s))) AS bs
+             |  FROM sh WHERE doc_id % 7 = 0),
+             |flagged AS (
+             |  SELECT sh.doc_id FROM sh CROSS JOIN bench b
+             |  WHERE len(list_intersect(sh.s, b.bs)) / len(sh.s) >= 0.5),
+             |d2 AS (SELECT * FROM d1
+             |       WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+             |d3 AS (SELECT * FROM d2 WHERE CASE source
+             |  WHEN 'src0' THEN TRUE
+             |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+             |END),
+             |t AS (
+             |  SELECT doc_id, source,
+             |    len(list_filter(string_split_regex(text, '\\s+'),
+             |        t -> len(t) > 0)) AS word_count
+             |  FROM d3),
+             |c AS (
+             |  SELECT *, CAST(SUM(word_count) OVER (
+             |      PARTITION BY source ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |  FROM t)
+             |SELECT doc_id, source, word_count, cum_tokens
+             |FROM c WHERE cum_tokens <= 1500""".stripMargin)),
+
     // ------------------------------------------- top-k n-gram doc frequency
     Q("q_ngram_topk",
       (s, dir) => graft.functions.CorpusFunctions.topNgramsByDocFreq(
