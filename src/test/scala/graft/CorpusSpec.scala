@@ -101,6 +101,37 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 2L, 4L -> 1L))
   }
 
+  test("chunkDocuments: partition/coverage properties on random docs") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.choose('a', 'z').map(_.toString)
+    val docGen = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, word))
+    for (seed <- 1 to 3) {
+      val docsTokens = (1 to 8).map { i =>
+        (i.toLong, docGen.apply(Gen.Parameters.default,
+          Seed(seed * 100L + i)).get)
+      }
+      val docs = docsTokens.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      // stride == chunk → chunks PARTITION the token stream exactly
+      val back = CorpusFunctions.chunkDocuments(docs, "doc_id", "text", 5, 5)
+        .orderBy("doc_id", "chunk_id")
+        .collect().map(r => (r.getLong(0), r.getString(2)))
+        .groupBy(_._1).map { case (id, cs) =>
+          id -> cs.map(_._2).mkString(" ") }
+      docsTokens.foreach { case (id, ts) =>
+        assert(back(id) == ts.mkString(" "), s"seed=$seed doc=$id") }
+      // overlapping stride → chunk count == ceil(n/stride), all tokens covered
+      val counts = CorpusFunctions.chunkDocuments(docs, "doc_id", "text", 7, 3)
+        .groupBy("doc_id").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      docsTokens.foreach { case (id, ts) =>
+        assert(counts(id) == (ts.size + 2) / 3, s"seed=$seed doc=$id") }
+    }
+  }
+
   test("topNgramsByDocFreq: distinct-per-doc counts, deterministic order") {
     val s = spark
     import s.implicits._
