@@ -88,7 +88,14 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
         }
       }
       val partitionCols = datetimePartitionCols(batch, config, id)
-      val sessionTag = System.nanoTime() // ms-resolution collided for rapid sequential sessions
+      // nanoTime for uniqueness across rapid sequential sessions (ms
+      // resolution collided), clamped ABOVE the committed high-water: nanoTime
+      // is boot-relative, so after a host reboot it can run BELOW the
+      // committed tag — a crash would then leave an orphan session the
+      // high-water filter considers loadable (duplicates) and the orphan
+      // sweep above never deletes. Monotonic tags keep both invariants.
+      val sessionTag = math.max(System.nanoTime(),
+        wm.metadata.last_session.flatMap(_.toLongOption).getOrElse(0L) + 1L)
       val sessionDir = s"$outDir/session=$sessionTag"
 
       val writer = partitionCols match {

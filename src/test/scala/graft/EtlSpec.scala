@@ -307,6 +307,27 @@ class EtlSpec extends AnyFunSuite with SparkTestBase {
     assert(tgt.select("event_id").distinct().count() == events.count())
   }
 
+  test("session tags stay monotonic across a simulated host reboot") {
+    // nanoTime is boot-relative: after a reboot it can run BELOW the
+    // committed high-water tag. A tag below the high-water would make a
+    // subsequently-crashed session loadable (duplicates) and invisible to
+    // the orphan sweep. The extractor must clamp above the committed tag.
+    val (_, store, extractor, loader) = rig()
+    extractor.extract(spark, id, events.filter(col("event_id") <= 100), cfg)
+    // simulate "pre-reboot" state: committed tag far above current nanoTime
+    val future = System.nanoTime() + 100L * 365 * 24 * 3600 * 1000000000L
+    val wm = store.get(id.scoped).get
+    store.save(wm.copy(metadata = wm.metadata.copy(
+      last_session = Some(future.toString))))
+    val ext = extractor.extract(spark, id, events, cfg)
+    val tag = ext.stagedPath.split("session=").last.toLong
+    assert(tag > future, s"tag $tag not above committed high-water $future")
+    // and the session actually loads (it is NOT above-committed-orphaned
+    // once its own commit advances the high-water)
+    val load = loader.load(spark, id, extractor.stagingDir(id), cfg)
+    assert(load.loadedRows > 0)
+  }
+
   test("merge-mode load honors the schema-evolution gate") {
     // the upsert path must refuse destructive drift like the append path
     // (previously it bypassed the gate: added columns silently dropped,
