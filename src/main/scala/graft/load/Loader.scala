@@ -106,11 +106,25 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       // sub-batch whose data was committed but whose blacklist save was lost
       // — without this, a replay re-appends those rows (duplicates)
       recoverCommittedBatches(fs, target, id, config, conf)
+      // Truncate (snapshot replace) must clear the target EXACTLY ONCE per
+      // snapshot. A crash-replay mid-snapshot (fresh files share a session
+      // with already-blacklisted ones) must NOT re-truncate — that would
+      // drop the groups the crashed run already installed. Likewise an idle
+      // re-run of a fully-loaded snapshot (staged files exist, all
+      // blacklisted) must not wipe the table; only a truly empty staging
+      // area means "replace with nothing".
+      def sessionOf(p: String): Option[String] = {
+        val i = p.indexOf("session=")
+        if (i < 0) None else Some(p.substring(i).takeWhile(_ != '/'))
+      }
+      val isReplay = valid.flatMap(sessionOf).toSet
+        .intersect(all.filter(blacklist).flatMap(sessionOf).toSet).nonEmpty
       if (valid.isEmpty && doTruncate) {
-        // truncate with nothing new staged → empty the target
-        fs.delete(new org.apache.hadoop.fs.Path(target), true)
+        if (all.isEmpty)
+          fs.delete(new org.apache.hadoop.fs.Path(target), true)
+        // else: fully-loaded snapshot re-run → keep the table as loaded
       } else {
-        if (doTruncate)
+        if (doTruncate && !isReplay)
           fs.delete(new org.apache.hadoop.fs.Path(target), true)
         // schema-evolution gate (S7): staged batches meet the existing target
         // schema under the configured policy; the reference's alert/halt path

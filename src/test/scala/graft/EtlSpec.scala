@@ -328,6 +328,46 @@ class EtlSpec extends AnyFunSuite with SparkTestBase {
     assert(load.loadedRows > 0)
   }
 
+  test("full-replace crash replay neither re-truncates nor duplicates") {
+    // truncate must clear the target exactly ONCE per snapshot: a replay
+    // that re-truncated would drop the groups the crashed run already
+    // installed; an idle re-run of a loaded snapshot must not wipe the table
+    val root = tmpDir("truncreplay")
+    class FailNthStore(dir: String) extends WatermarkStore(dir) {
+      @volatile var saves = 0
+      @volatile var failAt = -1
+      override def save(w: graft.watermark.Watermark,
+                        target: String = "default"): Unit = {
+        saves += 1
+        if (saves == failAt) throw new java.io.IOException("simulated outage")
+        super.save(w, target)
+      }
+    }
+    val store = new FailNthStore(s"$root/wm")
+    // small target file size → several staged part files → several sub-batches
+    val extractor = new Extractor(store, s"$root/staging",
+      targetFileRows = 100)
+    val loader = new Loader(store, s"$root/warehouse", commitBatchFiles = 1)
+    val snapshot = events.filter(col("event_id") <= 400).coalesce(1)
+    val n = snapshot.count()
+    extractor.extract(spark, id, snapshot, cfg)
+    // crash during the SECOND sub-batch's blacklist save
+    store.failAt = store.saves + 2
+    intercept[java.io.IOException] {
+      loader.load(spark, id, extractor.stagingDir(id), cfg, truncate = true)
+    }
+    store.failAt = -1
+    // replay completes the snapshot: every row exactly once
+    loader.load(spark, id, extractor.stagingDir(id), cfg, truncate = true)
+    val tgt = loader.readTarget(spark, id).get
+    assert(tgt.count() == n, "replay lost or duplicated rows")
+    assert(tgt.select("event_id").distinct().count() == n)
+    // idle re-run of the fully-loaded snapshot: table stays intact
+    loader.load(spark, id, extractor.stagingDir(id), cfg, truncate = true)
+    assert(loader.readTarget(spark, id).get.count() == n,
+      "idle truncate re-run wiped the table")
+  }
+
   test("merge-mode load honors the schema-evolution gate") {
     // the upsert path must refuse destructive drift like the append path
     // (previously it bypassed the gate: added columns silently dropped,
