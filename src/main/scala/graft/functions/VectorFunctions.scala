@@ -279,6 +279,27 @@ object VectorFunctions {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Element-wise MEAN embedding per group — class/domain centroids (the
+    * seed for IVF training, drift monitoring, per-source semantic
+    * summaries). Returns (group, centroid: Array[Double]).
+    *
+    * Scale: posexplode fans each row out to `dim` (group, pos, v) triples,
+    * but partial aggregation collapses them to (groups × dim) partial sums
+    * PER TASK before the exchange — the shuffle carries group-count × dim
+    * rows, not corpus × dim. Final assembly sorts each group's dim means
+    * back into an array (second, group-count-sized shuffle).
+    */
+  def meanEmbeddingByGroup(df: DataFrame, groupCol: String,
+                           vecCol: String = "embedding"): DataFrame =
+    df
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(avg(col("v")).as("mean_v"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean_v")))),
+        s => s.getField("mean_v")).as("centroid"))
+
   private implicit class ListOps[T](l: List[T]) {
     def asJava: java.util.List[T] = {
       val out = new java.util.ArrayList[T](l.size)

@@ -403,6 +403,21 @@ object LlmQueries {
              |  md5($normSql) AS fingerprint
              |FROM feat""".stripMargin)),
 
+    // ----------------------------------------------- per-label mean embedding
+    // Element-wise centroids; the query explodes the assembled array so the
+    // oracle can AVG per (label, pos). Double accumulation-order differences
+    // sit far below the 1e-6 compare tolerance.
+    Q("q_embedding_centroids",
+      (s, dir) => VectorFunctions.meanEmbeddingByGroup(
+        Tables.df(s, dir, "embeddings"), "label")
+        .select(col("label"),
+          posexplode(col("centroid")).as(Seq("pos", "mean_v")))
+        .withColumn("pos", col("pos").cast("long")),
+      Some("""SELECT label, i - 1 AS pos, AVG(embedding[i]) AS mean_v
+             |FROM embeddings,
+             |     (SELECT unnest(generate_series(1, 64)) AS i) s
+             |GROUP BY 1, 2""".stripMargin)),
+
     // --------------------------------------------------- brute-force ANN top-k
     Q("q_ann_brute_topk",
       (s, dir) => {

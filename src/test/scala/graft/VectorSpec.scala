@@ -103,4 +103,18 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(idx.assigned.filter(col("centroid_id") < 0).count() == 0)
     assert(idx.centroids.count() == 8)
   }
+
+  test("meanEmbeddingByGroup: element-wise centroid, positions preserved") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1, Array(1.0f, 2.0f, 30.0f)),
+      (1, Array(3.0f, 6.0f, 10.0f)),
+      (2, Array(5.0f, 5.0f, 5.0f))
+    ).toDF("label", "embedding")
+    val out = VectorFunctions.meanEmbeddingByGroup(df, "label")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toList)).toMap
+    assert(out(1) == List(2.0, 4.0, 20.0)) // per-position, order kept
+    assert(out(2) == List(5.0, 5.0, 5.0))
+  }
 }
