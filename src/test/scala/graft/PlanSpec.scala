@@ -175,6 +175,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"rank<=k filter should push a WindowGroupLimit below the shuffle:\n$plan")
   }
 
+  test("decontamination joins the benchmark set by broadcast, never sort-merge") {
+    val plan = executedString(q("q_decontaminate"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingle set should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the benchmark join:\n$plan")
+  }
+
   test("stratified sampling and chunking are shuffle-free narrow plans") {
     for (name <- Seq("q_sample_stratified", "q_chunk_documents")) {
       val plan = executedString(q(name))
