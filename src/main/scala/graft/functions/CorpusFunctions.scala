@@ -187,15 +187,17 @@ object CorpusFunctions {
   }
 
   /** Drop documents whose benchmark shingle-overlap is at or above
-    * `threshold` (decontaminated corpus). Anti-join on the (small) flagged
-    * id set — broadcast, so the corpus is filtered without a shuffle. */
+    * `threshold` (decontaminated corpus). Anti-join on the flagged id set —
+    * no broadcast hint: against a large benchmark the flagged set can grow
+    * to corpus scale, where a forced broadcast OOMs; AQE still broadcasts
+    * at runtime whenever it is actually small. */
   def dropContaminated(docs: DataFrame, benchmark: DataFrame,
                        idCol: String, textCol: String,
                        threshold: Double, shingleN: Int = 3): DataFrame = {
     val flagged = contaminationScores(docs, benchmark, idCol, textCol, shingleN)
       .filter(col("overlap") >= threshold)
       .select(col(idCol).as("__contaminated_id"))
-    docs.join(broadcast(flagged),
+    docs.join(flagged,
       docs(idCol) === flagged("__contaminated_id"), "left_anti")
   }
 }

@@ -284,13 +284,16 @@ object DedupFunctions {
   }
 
   /** Keep ONE representative (min id) per near-duplicate CLUSTER: docs in no
-    * pair survive untouched; docs in a cluster survive only as its min id. */
+    * pair survive untouched; docs in a cluster survive only as its min id.
+    * No broadcast hint on the drop set: a heavily-duplicated corpus makes it
+    * corpus-scale, where a forced broadcast OOMs — AQE still turns the join
+    * into a broadcast at runtime whenever the set is actually small. */
   def dropNearDuplicateClusters(docs: DataFrame, pairs: DataFrame,
                                 idCol: String): DataFrame = {
     val nonRepresentatives = duplicateClusters(pairs)
       .filter(col("cluster") =!= col("id"))
       .select(col("id"))
-    docs.join(broadcast(nonRepresentatives),
+    docs.join(nonRepresentatives,
       docs(idCol) === nonRepresentatives("id"), "left_anti")
   }
 
