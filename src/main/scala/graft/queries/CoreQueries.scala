@@ -330,8 +330,11 @@ object CoreQueries {
         val l = Tables.df(s, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("1995-09-01 00:00:00").cast("timestamp_ntz") &&
             col("l_shipdate") < lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
+        // part is SF-proportional (not a bounded dim like nation/region):
+        // no broadcast hint — the optimizer broadcasts while it fits and
+        // falls back to a shuffle join at scales where it cannot
         val p = Tables.df(s, dir, "part")
-        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
           .agg(
             sum(when(col("p_type").startsWith("PROMO"),
               dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
