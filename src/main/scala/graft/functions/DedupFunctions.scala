@@ -245,8 +245,11 @@ object DedupFunctions {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // init fuses the first propagation round: label = min(self, neighbors)
+    // straight off the edge list (one groupBy instead of a join round)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mindst"))
+      .select(col("id"), least(col("id"), col("mindst")).as("cluster"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
