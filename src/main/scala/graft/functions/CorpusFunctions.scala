@@ -186,6 +186,81 @@ object CorpusFunctions {
       .filter(col("rn") <= k)
   }
 
+  /** Gopher-style repetition statistics per document — the "repetitious
+    * text" quality gates (duplicate-line fraction, duplicate-line CHARACTER
+    * fraction, most-frequent-word fraction). Returns
+    * (id, n_lines, dup_line_frac, dup_char_frac, top_word_frac); documents
+    * with no non-empty line or no word token are dropped (nothing to score).
+    *
+    * Scale: lines are grouped by (id, md5(line)) so the exchange carries a
+    * fixed-width 32-char key + length, never the line text; words group on
+    * (id, token). Both aggregations partial-combine map-side, and the final
+    * per-doc join is between two already-per-doc (narrow) relations on the
+    * same key. No self-join, no window over raw rows.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol), explode(filter(split(col(textCol), "\n"),
+        l => length(l) > 0)).as("line"))
+    val lineStats = lines
+      .groupBy(col(idCol), md5(col("line").cast("binary")).as("lh"))
+      .agg(count(lit(1)).as("n"), min(length(col("line"))).as("len"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("n")).as("n_lines"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") * col("len")).as("n_chars"),
+        sum(when(col("n") > 1, col("n") * col("len")).otherwise(0L)).as("dup_chars"))
+      .select(col(idCol), col("n_lines"),
+        ((col("n_lines") - col("n_distinct")).cast("double") /
+          col("n_lines").cast("double")).as("dup_line_frac"),
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(col("dup_chars").cast("double") /
+            col("n_chars").cast("double")).as("dup_char_frac"))
+    val wordStats = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg((max(col("n")).cast("double") /
+        sum(col("n")).cast("double")).as("top_word_frac"))
+    lineStats.join(wordStats, Seq(idCol))
+  }
+
+  /** Per-document top-`k` terms by TF-IDF (tf·ln(N/df)) — the keyword /
+    * topic-signature extractor. `nDocs` is the corpus size used for the IDF
+    * numerator; pass it in when known (e.g. from footer counts) to keep the
+    * operator one lazy plan, else it is computed with one `count()`.
+    * Returns (id, term, tf, df, tfidf, rn) with rn 1-based per document.
+    *
+    * Ranking orders on round(tfidf, 6) with the term string as tie-break, so
+    * the result is reproducible across engines whose `ln` differs in the
+    * last ulp.
+    *
+    * Scale: groupBy (id, term) partial-combines map-side; the document
+    * frequency is a window COUNT over the already-aggregated (id, term)
+    * rows — one row per distinct term-in-doc, never the raw token stream;
+    * and the final per-doc rank is a WindowGroupLimit (each task pre-prunes
+    * to its local top-k before the exchange).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, nDocs: Option[Long] = None): DataFrame = {
+    val n = nDocs.getOrElse(docs.count())
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(round(col("tfidf"), 6).desc, col("term"))
+    tf.withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")))
+      .withColumn("rn", row_number().over(byDoc).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Drop documents whose benchmark shingle-overlap is at or above
     * `threshold` (decontaminated corpus). Anti-join on the flagged id set —
     * no broadcast hint: against a large benchmark the flagged set can grow

@@ -99,6 +99,42 @@ object TextFunctions {
     gates.reduce(_ + _).cast("double") / lit(gates.size.toDouble)
   }
 
+  /** PII patterns, deliberately lookaround-free so Java regex and RE2
+    * (DuckDB) match identically — each rule is (pattern, replacement
+    * placeholder). Order matters: emails first (they contain digits and
+    * dots), then SSNs (3-2-4 shape) before phones (3-3-4 shape) so neither
+    * rule half-consumes the other's match, IPv4 last (a 3-group phone can
+    * never satisfy the 4-octet shape).
+    * Ref patterns: the usual scrubbing rules of web-corpus pipelines
+    * (C4/Dolma-style email/phone/IP masking). */
+  val PiiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** Redact emails, SSNs, phone numbers, and IPv4 addresses with typed
+    * placeholders — the pre-training scrub pass. A chain of codegen'd
+    * `regexp_replace` calls: narrow projection, no shuffle, no UDF. */
+  def redactPii(text: Column): Column =
+    PiiRules.foldLeft(text) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** Per-rule PII hit counts (audit/reporting side of the scrub). Counts are
+    * computed on the PROGRESSIVELY redacted text exactly as [[redactPii]]
+    * consumes it, so overlapping rules never double-count one span. */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val (counts, _) = PiiRules.foldLeft(
+      (Seq.empty[(String, Column)], text)) {
+      case ((acc, t), (pat, repl)) =>
+        val name = repl.stripPrefix("<").stripSuffix(">").toLowerCase
+        (acc :+ (s"n_$name" -> regexp_count(t, lit(pat))),
+          regexp_replace(t, pat, repl))
+    }
+    counts
+  }
+
   /** Normalized text for fingerprinting: lowercase, collapse whitespace,
     * strip punctuation — so near-identical docs collide. */
   def normalizedText(text: Column): Column =

@@ -403,6 +403,113 @@ object LlmQueries {
              |  md5($normSql) AS fingerprint
              |FROM feat""".stripMargin)),
 
+    // ------------------------------------------------------- PII redaction
+    // Deterministic synthetic PII (email/phone/SSN/IP built from doc_id) is
+    // appended on BOTH engines, then scrubbed with the same lookaround-free
+    // patterns (Java regex == RE2 on this subset) → exact parity on the
+    // redacted text and the per-rule hit counts.
+    Q("q_pii_redact",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val t = concat(lit("Contact u"), col("doc_id").cast("string"),
+          lit("@example.com or 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ssn 123-45-6789 ip 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".1 "), col("text"))
+        val counts = TextFunctions.piiCounts(t)
+          .map { case (n, c) => c.cast("long").as(n) }
+        docs.select(col("doc_id") +:
+          TextFunctions.redactPii(t).as("redacted") +: counts: _*)
+      },
+      Some {
+        val Seq((emailPat, _), (ssnPat, _), (phonePat, _), (ipPat, _)) =
+          TextFunctions.PiiRules
+        s"""WITH p AS (
+           |  SELECT doc_id,
+           |    'Contact u' || CAST(doc_id AS VARCHAR) ||
+           |    '@example.com or 555-867-' ||
+           |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           |    ' ssn 123-45-6789 ip 10.0.' ||
+           |    CAST(doc_id % 256 AS VARCHAR) || '.1 ' || text AS t
+           |  FROM documents),
+           |r1 AS (SELECT doc_id,
+           |    CAST(len(regexp_extract_all(t, '$emailPat')) AS BIGINT) AS n_email,
+           |    regexp_replace(t, '$emailPat', '<EMAIL>', 'g') AS t2 FROM p),
+           |r2 AS (SELECT doc_id, n_email,
+           |    CAST(len(regexp_extract_all(t2, '$ssnPat')) AS BIGINT) AS n_ssn,
+           |    regexp_replace(t2, '$ssnPat', '<SSN>', 'g') AS t3 FROM r1),
+           |r3 AS (SELECT doc_id, n_email, n_ssn,
+           |    CAST(len(regexp_extract_all(t3, '$phonePat')) AS BIGINT) AS n_phone,
+           |    regexp_replace(t3, '$phonePat', '<PHONE>', 'g') AS t4 FROM r2),
+           |r4 AS (SELECT doc_id, n_email, n_ssn, n_phone,
+           |    CAST(len(regexp_extract_all(t4, '$ipPat')) AS BIGINT) AS n_ip,
+           |    regexp_replace(t4, '$ipPat', '<IP>', 'g') AS redacted FROM r3)
+           |SELECT doc_id, redacted, n_email, n_ssn, n_phone, n_ip
+           |FROM r4""".stripMargin
+      }),
+
+    // --------------------------------------------- Gopher repetition stats
+    // Duplicate lines are forced deterministically (text is framed by its own
+    // first 80 chars on both engines) so the duplicate-line/char fractions
+    // exercise real repetition, not a constant-zero path.
+    Q("q_repetition_stats",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(substring(col("text"), 1, 80), lit("\n"), col("text"),
+              lit("\n"), substring(col("text"), 1, 80)).as("text"))
+        graft.functions.CorpusFunctions.repetitionStats(docs, "doc_id", "text")
+      },
+      Some(s"""WITH p AS (
+             |  SELECT doc_id, substr(text, 1, 80) || chr(10) || text ||
+             |    chr(10) || substr(text, 1, 80) AS t
+             |  FROM documents),
+             |l AS (SELECT doc_id,
+             |        unnest(list_filter(string_split(t, chr(10)),
+             |          x -> len(x) > 0)) AS line
+             |      FROM p),
+             |g AS (SELECT doc_id, line, COUNT(*) AS n, len(line) AS len
+             |      FROM l GROUP BY doc_id, line),
+             |ls AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_lines,
+             |         COUNT(*) AS n_distinct,
+             |         CAST(SUM(n * len) AS BIGINT) AS n_chars,
+             |         CAST(SUM(CASE WHEN n > 1 THEN n * len ELSE 0 END)
+             |           AS BIGINT) AS dup_chars
+             |       FROM g GROUP BY doc_id),
+             |w AS (SELECT doc_id, unnest($toksSql) AS w
+             |      FROM (SELECT doc_id, t AS text FROM p)),
+             |wg AS (SELECT doc_id, w, COUNT(*) AS n FROM w GROUP BY doc_id, w),
+             |ws AS (SELECT doc_id, MAX(n) * 1.0 / CAST(SUM(n) AS BIGINT)
+             |         AS top_word_frac
+             |       FROM wg GROUP BY doc_id)
+             |SELECT ls.doc_id, n_lines,
+             |  (n_lines - n_distinct) * 1.0 / n_lines AS dup_line_frac,
+             |  CASE WHEN n_chars = 0 THEN 0.0
+             |    ELSE dup_chars * 1.0 / n_chars END AS dup_char_frac,
+             |  ws.top_word_frac
+             |FROM ls JOIN ws ON ls.doc_id = ws.doc_id""".stripMargin)),
+
+    // ------------------------------------------------- TF-IDF top terms
+    // Per-doc top-5 keyword terms; ranking on round(tfidf, 6) + term so
+    // last-ulp ln() differences between engines can't flip ranks.
+    Q("q_tfidf_topk",
+      (s, dir) => graft.functions.CorpusFunctions.tfidfTopTerms(
+        Tables.df(s, dir, "documents"), "doc_id", "text", k = 5)
+        .withColumn("tfidf", round(col("tfidf"), 6)),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM tok GROUP BY doc_id, term),
+             |sc AS (SELECT doc_id, term, tf,
+             |         CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+             |       FROM tf),
+             |s2 AS (SELECT *, tf * ln((SELECT COUNT(*) FROM documents) * 1.0
+             |         / df) AS tfidf FROM sc),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |         ORDER BY round(tfidf, 6) DESC, term) AS rn FROM s2)
+             |SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rn
+             |FROM r WHERE rn <= 5""".stripMargin)),
+
     // ----------------------------------------------- per-label mean embedding
     // Element-wise centroids; the query explodes the assembled array so the
     // oracle can AVG per (label, pos). Double accumulation-order differences

@@ -161,4 +161,58 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
     assert(rows.toSet == Set(("a", 2L, 5L, 0.5), ("b", 1L, 5L, 0.5)))
   }
+
+  test("redactPii: each rule fires once, placeholders typed, clean text unchanged") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@ex-host.org phone 555.123.4567 ssn 123-45-6789 ip 192.168.0.1 end"),
+      (2L, "no pii here, just 12345 and 1.5 numbers")
+    ).toDF("id", "t")
+    val out = df.select(col("id"),
+      graft.functions.TextFunctions.redactPii(col("t")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "mail <EMAIL> phone <PHONE> ssn <SSN> ip <IP> end")
+    assert(out(2L) == "no pii here, just 12345 and 1.5 numbers")
+
+    // progressive counts: the SSN is not double-counted as a phone
+    val counts = df.filter(col("id") === 1L).select(
+      graft.functions.TextFunctions.piiCounts(col("t"))
+        .map { case (n, c) => c.as(n) }: _*).collect().head
+    assert((0 to 3).map(counts.getInt) == Seq(1, 1, 1, 1))
+  }
+
+  test("repetitionStats: exact fractions on a crafted doc") {
+    val s = spark
+    import s.implicits._
+    // doc 1: lines [aa, bb, aa, cc] → 4 lines, 3 distinct, dup_line=1/4;
+    // dup chars: 'aa' appears 2× → 4 of 8 chars; words: aa aa bb aa cc
+    // wait—tokens come from the whole text: aa,bb,aa,cc → top word aa 2/4
+    val df = Seq(
+      (1L, "aa\nbb\naa\ncc"),
+      (2L, "unique lines\nonly here")
+    ).toDF("doc_id", "text")
+    val out = CorpusFunctions.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((4L, 0.25, 0.5, 0.5)))
+    assert(out(2L) == ((2L, 0.0, 0.0, 0.25)))
+  }
+
+  test("tfidfTopTerms: corpus-wide terms score zero, rare terms rank first") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "common alpha alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma")
+    ).toDF("doc_id", "text")
+    val out = CorpusFunctions.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(5)))
+    // 'common' is in every doc → idf ln(1)=0 → ranks below the unique term
+    val first = out.filter(_._3 == 1L).map(t => (t._1, t._2)).toSet
+    assert(first == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    assert(out.filter(_._3 == 2L).forall(_._2 == "common"))
+  }
 }
