@@ -261,6 +261,105 @@ object CorpusFunctions {
       .filter(col("rn") <= k)
   }
 
+  /** Pack documents into fixed token-budget training sequences — the
+    * "concatenate docs up to the context window" sharding step of a training
+    * run. Documents are laid out in deterministic `orderCol` order (per
+    * `groupCols` stream when given); a document belongs to the sequence its
+    * FIRST token lands in: `seq_id = (cum_tokens - n_tokens) div budget`.
+    * A sequence therefore holds whole documents and may overflow `budget` by
+    * at most its last document (the standard concat-then-split-free
+    * approximation); a document larger than `budget` advances the stream by
+    * several ids (ids are monotone but not necessarily contiguous). Emits
+    * the input plus (n_tokens, cum_tokens, seq_id).
+    *
+    * Scale: identical shape to [[selectWithinTokenBudget]] — one shuffle on
+    * the group columns, then a single running-sum window pass; the integer
+    * `div` keeps ids exact at any corpus size (no float rounding at 100 TB
+    * token counts).
+    */
+  def packSequences(df: DataFrame, tokenCol: Column, orderCol: String,
+                    budget: Long, groupCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Long.MinValue, 0)
+    df.withColumn("n_tokens", tokenCol.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", expr(s"(cum_tokens - n_tokens) div ${budget}L"))
+  }
+
+  /** Corpus-wide line deduplication (the C4/CCNet boilerplate scrub): every
+    * NON-EMPTY line keeps only its first occurrence across the whole corpus
+    * (first = smallest (id, position)); empty lines are document structure
+    * and always survive. Documents are reassembled in original line order;
+    * documents whose every line was removed disappear. Returns
+    * (id, text_dedup, n_lines_kept).
+    *
+    * Scale: the dedup window partitions on md5(line) — a fixed-width key —
+    * WITH a per-row salt for empty lines, so the "millions of empty lines"
+    * group never converges on one task. Line text rides two exchanges
+    * (window, then reassembly groupBy) — irreducible, since the output IS
+    * the surviving text. Reassembly buffers one document's lines per group
+    * (documents are MB-scale; the corpus never aggregates).
+    */
+  def dedupLinesGlobal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val isEmpty = length(col("line")) === 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("line").cast("binary")),
+        when(isEmpty, col(idCol)).otherwise(lit(0L)),
+        when(isEmpty, col("pos")).otherwise(lit(0)))
+      .orderBy(col(idCol), col("pos"))
+    lines
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("text_dedup"),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
+  /** Quantile quality gate: keep documents at or above the `minPercentile`
+    * quality percentile WITHIN their group ("top 30% per language" curation).
+    * percent_rank is computed over (quality asc, id asc) — a total order —
+    * so membership is deterministic and engine-portable (one exact integer
+    * division per row). Returns the input plus (quality, pr).
+    *
+    * Scale: one shuffle on the group columns; percent_rank is a streaming
+    * two-pass frame within each group (no whole-group buffering). Unlike
+    * [[topKByQuality]] this keeps a FRACTION per group, so group size skew
+    * doesn't change selectivity.
+    */
+  def keepAboveQualityPercentile(docs: DataFrame, idCol: String, textCol: String,
+                                 groupCols: Seq[String],
+                                 minPercentile: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("quality"), col(idCol))
+    docs
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= minPercentile)
+  }
+
+  /** Exactly-N deterministic sample: the `n` rows with the smallest
+    * md5(key) — an unbiased fixed-size carve-out (eval/holdout sets that
+    * must be EXACTLY n docs, where [[sampleByGroup]]'s rate form only hits
+    * n in expectation). Unlike the rate form, membership shifts as the
+    * corpus grows (the n smallest hashes change) — use rates when
+    * growth-stability matters more than exact size.
+    *
+    * Scale: TakeOrdered (per-partition top-n → merge of n-row heaps), never
+    * a global sort — asserted in PlanSpec. */
+  def sampleExactN(df: DataFrame, keyCol: String, n: Int): DataFrame =
+    df.withColumn("__h", md5(col(keyCol).cast("string").cast("binary")))
+      .orderBy(col("__h"), col(keyCol))
+      .limit(n)
+      .drop("__h")
+
   /** Drop documents whose benchmark shingle-overlap is at or above
     * `threshold` (decontaminated corpus). Anti-join on the flagged id set —
     * no broadcast hint: against a large benchmark the flagged set can grow

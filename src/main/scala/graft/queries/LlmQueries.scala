@@ -510,6 +510,111 @@ object LlmQueries {
              |SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rn
              |FROM r WHERE rn <= 5""".stripMargin)),
 
+    // ------------------------------------------------- sequence packing
+    // Whole-document packing into 2048-token training sequences per source
+    // stream; integer running sum + integer div → exact cross-engine parity.
+    Q("q_pack_sequences",
+      (s, dir) => graft.functions.CorpusFunctions.packSequences(
+        Tables.df(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.wordCount(col("text")).as("wc")),
+        tokenCol = col("wc"), orderCol = "doc_id", budget = 2048L,
+        groupCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"), col("seq_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+             |        t -> len(t) > 0)) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT *, CAST(SUM(n_tokens) OVER (
+             |      PARTITION BY source ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             |  FROM t)
+             |SELECT doc_id, source, n_tokens, cum_tokens,
+             |  (cum_tokens - n_tokens) // 2048 AS seq_id
+             |FROM c""".stripMargin)),
+
+    // -------------------------------------------- corpus-wide line dedup
+    // C4-style boilerplate scrub: a constant banner line plus each doc's
+    // own first-60-chars line are framed around the text on BOTH engines,
+    // so real cross-document duplicate lines exist; only the first
+    // occurrence corpus-wide survives and docs are reassembled in order.
+    Q("q_dedup_lines_global",
+      (s, dir) => graft.functions.CorpusFunctions.dedupLinesGlobal(
+        Tables.df(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(lit("== graft corpus banner ==\n"), col("text"),
+              lit("\n"), substring(col("text"), 1, 60)).as("text")),
+        "doc_id", "text"),
+      Some("""WITH p AS (
+             |  SELECT doc_id, string_split('== graft corpus banner ==' ||
+             |    chr(10) || text || chr(10) || substr(text, 1, 60),
+             |    chr(10)) AS parts
+             |  FROM documents),
+             |l AS (
+             |  SELECT doc_id, unnest(parts) AS line,
+             |         generate_subscripts(parts, 1) AS pos
+             |  FROM p),
+             |r AS (
+             |  SELECT doc_id, pos, line,
+             |    CASE WHEN len(line) = 0 THEN 1
+             |         ELSE ROW_NUMBER() OVER (PARTITION BY line
+             |                ORDER BY doc_id, pos) END AS rn
+             |  FROM l)
+             |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+             |       CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+             |FROM r WHERE rn = 1
+             |GROUP BY doc_id""".stripMargin)),
+
+    // --------------------------------------- quality percentile gate
+    // Keep docs at/above the 60th quality percentile per source; the
+    // percent_rank total order (quality, doc_id) and its single integer
+    // division are engine-exact, so the boundary never flips.
+    Q("q_quality_percentile",
+      (s, dir) => graft.functions.CorpusFunctions.keepAboveQualityPercentile(
+        Tables.df(s, dir, "documents"), "doc_id", "text",
+        Seq("source"), minPercentile = 0.6)
+        .select(col("doc_id"), col("source"), col("quality"),
+          round(col("pr"), 6).as("pr6")),
+      Some("""WITH scored AS (
+             |  SELECT doc_id, source,
+             |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|for|with|on)\b')) AS s_en,
+             |    len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS word_cnt,
+             |    CASE WHEN len(text) = 0 THEN 0.0
+             |      ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / len(text) END AS punct_ratio,
+             |    len(regexp_extract_all(text, '[A-Za-z0-9]')) AS alnum_chars,
+             |    len(text) AS n
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, source,
+             |    (CAST(n BETWEEN 50 AND 100000 AS INT) +
+             |     CAST(punct_ratio <= 0.3 AS INT) +
+             |     CAST((CASE WHEN word_cnt = 0 THEN 0.0
+             |           ELSE s_en / word_cnt END) >= 0.01 AS INT) +
+             |     CAST((CASE WHEN word_cnt = 0 THEN 0.0
+             |           ELSE alnum_chars / word_cnt END) BETWEEN 2 AND 12 AS INT)
+             |    ) / 4.0 AS quality
+             |  FROM scored),
+             |r AS (
+             |  SELECT doc_id, source, quality, percent_rank() OVER (
+             |    PARTITION BY source ORDER BY quality, doc_id) AS pr
+             |  FROM q)
+             |SELECT doc_id, source, quality, round(pr, 6) AS pr6
+             |FROM r WHERE pr >= 0.6""".stripMargin)),
+
+    // --------------------------------------------- exactly-N sample
+    // The 137 docs with the smallest md5(doc_id) — fixed-size holdout
+    // carve-out; same hash text on both engines.
+    Q("q_sample_exact_n",
+      (s, dir) => graft.functions.CorpusFunctions.sampleExactN(
+        Tables.df(s, dir, "documents"), "doc_id", n = 137)
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""SELECT doc_id, lang, source FROM documents
+             |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             |LIMIT 137""".stripMargin)),
+
     // ----------------------------------------------- per-label mean embedding
     // Element-wise centroids; the query explodes the assembled array so the
     // oracle can AVG per (label, pos). Double accumulation-order differences

@@ -215,4 +215,79 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(first == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
     assert(out.filter(_._3 == 2L).forall(_._2 == "common"))
   }
+
+  test("packSequences: whole docs, budget overflow by last doc only, jumbo docs") {
+    val s = spark
+    import s.implicits._
+    // stream a: 60+50 start in seq 0 (cum-before 0, 60); 30 starts at 110
+    //   >= budget? (110 div 100 = 1) → seq 1; 5 at 140 → seq 1.
+    // stream b: a 250-token jumbo doc occupies seq 0 alone and advances the
+    //   stream to 250, so the next doc starts in seq 2 (ids skip 1).
+    val df = Seq(
+      (1L, "a", 60L), (2L, "a", 50L), (3L, "a", 30L), (4L, "a", 5L),
+      (5L, "b", 250L), (6L, "b", 10L)
+    ).toDF("id", "grp", "tok")
+    val out = CorpusFunctions.packSequences(df, col("tok"), "id",
+      budget = 100L, groupCols = Seq("grp"))
+      .select("id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 0L, 6L -> 2L))
+    // seq ids are monotone in the pack order within each stream
+    val byGroup = CorpusFunctions.packSequences(df, col("tok"), "id",
+      budget = 100L, groupCols = Seq("grp"))
+      .select("grp", "id", "seq_id").collect()
+      .groupBy(_.getString(0)).values
+    byGroup.foreach { rows =>
+      val seqs = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(seqs.zip(seqs.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
+  test("dedupLinesGlobal: first occurrence survives, empties kept, reassembly order") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "banner\nalpha\n\nbeta"),
+      (2L, "banner\ngamma\n\nalpha"), // banner+alpha dup'd away, empty kept
+      (3L, "banner")                  // everything dup'd away → doc dropped
+    ).toDF("doc_id", "text")
+    val out = CorpusFunctions.dedupLinesGlobal(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("banner\nalpha\n\nbeta", 4L)))
+    assert(out(2L) == (("gamma\n", 2L))) // kept: gamma + the empty line
+    assert(!out.contains(3L))
+  }
+
+  test("keepAboveQualityPercentile: per-group fraction, boundary inclusive") {
+    val s = spark
+    import s.implicits._
+    // 5 docs per group with strictly increasing quality (longer = better up
+    // to the length gate); percentile 0.5 keeps ranks 3,4,5 (pr 0.5,0.75,1).
+    val mk = (n: Int) => ("the and of to is in that for with on " * n).trim
+    val df = (1 to 5).flatMap(i => Seq(
+      (i.toLong, "g1", mk(i)), (i.toLong + 10, "g2", mk(i))))
+      .toDF("doc_id", "grp", "text")
+    val kept = CorpusFunctions.keepAboveQualityPercentile(
+      df, "doc_id", "text", Seq("grp"), minPercentile = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // quality ties resolve by doc_id, so the kept set is the top ids per grp
+    assert(kept.size == 6)
+    assert(kept.count(_ < 10) == 3 && kept.count(_ >= 10) == 3)
+  }
+
+  test("sampleExactN: exact size, deterministic, hash-ordered prefix nests") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 500L).toDF("id")
+    val take50 = CorpusFunctions.sampleExactN(df, "id", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(take50.size == 50)
+    val take20 = CorpusFunctions.sampleExactN(df, "id", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(take20.subsetOf(take50)) // same hash order → prefix nesting
+    assert(CorpusFunctions.sampleExactN(df, "id", 50)
+      .collect().map(_.getLong(0)).toSet == take50)
+  }
 }

@@ -190,4 +190,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         s"$name should be a narrow scan->project->filter plan, found Exchange:\n$plan")
     }
   }
+
+  test("exactly-N sample is TakeOrdered, never a global sort") {
+    val plan = executedString(q("q_sample_exact_n"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"hash-order LIMIT should be top-k, not full sort:\n$plan")
+  }
+
+  test("sequence packing costs one shuffle (the group-stream exchange)") {
+    val plan = executedString(q("q_pack_sequences"))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"packSequences should shuffle once on the stream key, found $exchanges:\n${plan.take(1500)}")
+  }
 }
