@@ -261,6 +261,59 @@ object CorpusFunctions {
       .filter(col("rn") <= k)
   }
 
+  /** [[contaminationScores]] for benchmark sets too large to broadcast raw:
+    * the benchmark's distinct shingle hashes are folded into a Bloom filter
+    * (~10 bits/element at the default 1% fpp — 50-100× smaller than the
+    * 8-byte hash set), the corpus's shingles are prefiltered against it
+    * inside codegen (`BloomFilterMightContain`), and only the survivors
+    * (true hits + the fpp sliver) take the exact verification semi-join.
+    * The RESULT is exact — identical to [[contaminationScores]], same
+    * oracle — only the plan shape changes: no broadcast of the benchmark,
+    * and the verify join's shuffle carries the BF-surviving (id, hash)
+    * pairs instead of every corpus shingle.
+    *
+    * Building the filter is one eager benchmark-scale aggregation
+    * (`stat.bloomFilter`), so unlike the broadcast form this is not a
+    * single lazy plan — the price of bounding driver/executor memory by
+    * bits-per-element instead of bytes-per-shingle.
+    */
+  def contaminationScoresBloom(docs: DataFrame, benchmark: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleN: Int = 3,
+                               fpp: Double = 0.01): DataFrame = {
+    def hashed(d: DataFrame) = d
+      .select(col(idCol), DedupFunctions.shingleHashes(col(textCol), shingleN).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+    val benchShingles = hashed(benchmark)
+      .select(explode(col("hs")).as("h")).distinct()
+    val corpus = hashed(docs).select(col(idCol), explode(col("hs")).as("h"))
+    val totals = corpus.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+
+    val nBench = benchShingles.count()
+    val scoredHits =
+      if (nBench == 0) totals.select(col(idCol), lit(0L).as("n_hits")).limit(0)
+      else {
+        val bf = benchShingles.stat.bloomFilter("h", nBench, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val mightContain = org.apache.spark.sql.GraftShim.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              bos.toByteArray,
+              org.apache.spark.sql.types.BinaryType),
+            org.apache.spark.sql.GraftShim.expression(col("h"))))
+        corpus
+          .filter(mightContain)
+          .join(benchShingles, Seq("h"), "left_semi") // exact: kill fpp ghosts
+          .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+      }
+    totals.join(scoredHits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("overlap", col("n_hits").cast("double") / col("n_shingles"))
+  }
+
   /** Pack documents into fixed token-budget training sequences — the
     * "concatenate docs up to the context window" sharding step of a training
     * run. Documents are laid out in deterministic `orderCol` order (per

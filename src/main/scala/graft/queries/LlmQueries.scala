@@ -27,6 +27,20 @@ object LlmQueries {
        |    i -> array_to_string(toks[i:i+2], ' ')))
        |ELSE [array_to_string(toks, ' ')] END""".stripMargin
 
+  /** Shared oracle for both decontamination plans (broadcast and Bloom). */
+  private val decontOracleSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS s
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |bench AS (
+       |  SELECT list_distinct(flatten(list(s))) AS bs
+       |  FROM sh WHERE doc_id % 7 = 0)
+       |SELECT sh.doc_id, len(sh.s) AS n_shingles,
+       |  len(list_intersect(sh.s, b.bs)) AS n_hits,
+       |  len(list_intersect(sh.s, b.bs)) * 1.0 / len(sh.s) AS overlap
+       |FROM sh CROSS JOIN bench b""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------------------ exact dedup groups
@@ -129,17 +143,20 @@ object LlmQueries {
         graft.functions.CorpusFunctions.contaminationScores(
           docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
       },
-      Some(s"""WITH sh AS (
-             |  SELECT doc_id, $shinglesSql AS s
-             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
-             |  WHERE len(toks) > 0),
-             |bench AS (
-             |  SELECT list_distinct(flatten(list(s))) AS bs
-             |  FROM sh WHERE doc_id % 7 = 0)
-             |SELECT sh.doc_id, len(sh.s) AS n_shingles,
-             |  len(list_intersect(sh.s, b.bs)) AS n_hits,
-             |  len(list_intersect(sh.s, b.bs)) * 1.0 / len(sh.s) AS overlap
-             |FROM sh CROSS JOIN bench b""".stripMargin)),
+      Some(decontOracleSql)),
+
+    // ------------------------------- decontamination, Bloom-filter plan
+    // Same semantics and ORACLE as q_decontaminate — only the plan differs
+    // (BF prefilter + exact verify semi-join instead of a broadcast of the
+    // raw benchmark shingle set), so the equality IS the correctness proof
+    // that the fpp ghosts are fully killed.
+    Q("q_decontaminate_bloom",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        graft.functions.CorpusFunctions.contaminationScoresBloom(
+          docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+      },
+      Some(decontOracleSql)),
 
     // ------------------------------------------------- document chunking
     // Fixed 64-token windows at stride 48 (overlap packing). Same

@@ -216,6 +216,28 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(_._3 == 2L).forall(_._2 == "common"))
   }
 
+  test("contaminationScoresBloom: identical to the broadcast-exact scores") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 60L).map(i =>
+      (i, s"token$i alpha beta gamma doc $i words ${i % 5} more filler"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    val exact = rows(CorpusFunctions.contaminationScores(
+      docs, bench, "doc_id", "text"))
+    val bloom = rows(CorpusFunctions.contaminationScoresBloom(
+      docs, bench, "doc_id", "text"))
+    assert(bloom == exact)
+    // empty benchmark: every doc scores zero hits, nothing errors
+    val none = CorpusFunctions.contaminationScoresBloom(
+      docs, bench.limit(0), "doc_id", "text")
+      .collect()
+    assert(none.length == 60 && none.forall(_.getLong(2) == 0L))
+  }
+
   test("packSequences: whole docs, budget overflow by last doc only, jumbo docs") {
     val s = spark
     import s.implicits._
