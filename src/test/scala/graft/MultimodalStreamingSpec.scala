@@ -47,6 +47,65 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("parseHeader: real PNG/JPEG/GIF/BMP/WAV container bytes") {
+    import Multimodal.MediaCodec.parseHeader
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+
+    // PNG: signature + IHDR length/name + width/height
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++ Array[Byte](8, 2, 0, 0, 0)
+    assert(parseHeader(png).contains(Multimodal.Decoded("image", 640, 480, 1)))
+
+    // JPEG: SOI, APP0 segment (skipped), then SOF0 with height/width
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(6) ++ "JFIF".getBytes ++
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++ Array[Byte](8) ++
+      be16(1080) ++ be16(1920) ++ Array[Byte](3, 0, 0, 0)
+    assert(parseHeader(jpeg).contains(Multimodal.Decoded("image", 1920, 1080, 1)))
+
+    // GIF89a with LE dims: 13-byte header (no color table) + trailer
+    val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++
+      Array[Byte](0, 0, 0, 0x3b)
+    assert(parseHeader(gif).contains(Multimodal.Decoded("image", 320, 200, 1)))
+
+    // BMP: 26-byte payload whose size field matches
+    val bmpBody = le32(26) ++ le32(0) ++ le32(26) ++ le32(12) ++
+      le32(800) ++ le32(600)
+    val bmp = "BM".getBytes ++ bmpBody
+    assert(parseHeader(bmp).contains(Multimodal.Decoded("image", 800, 600, 1)))
+
+    // WAV: RIFF/WAVE with fmt (2ch, 44100 Hz, block align 4) + 400-byte data
+    val wav = "RIFF".getBytes ++ le32(36 + 400) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(176400) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(400) ++ Array.fill[Byte](400)(0)
+    assert(parseHeader(wav).contains(Multimodal.Decoded("audio", 44100, 2, 100)))
+
+    // prose payloads never sniff as containers — even "BM"/"GIF89a" prefixes
+    assert(parseHeader("BMW sales rose in the third quarter of the year, says the report".getBytes).isEmpty)
+    assert(parseHeader("GIF89a is the 1989 revision of the format".getBytes).isEmpty)
+    assert(parseHeader("plain text document".getBytes).isEmpty)
+  }
+
+  test("extractMetadata uses the real header when the payload is a container") {
+    val s = spark
+    import s.implicits._
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++
+      Array[Byte](0, 0, 1, 0) ++ Array[Byte](0, 0, 2, 0) ++ // 256 x 512
+      Array[Byte](8, 2, 0, 0, 0)
+    // a real binary payload column passes through withPayload untouched
+    val df = Seq((1L, png)).toDF("doc_id", "payload")
+    val m = Multimodal.extractMetadata(spark, df).collect().head
+    assert(m.media_type == "image" && m.width == 256 && m.height == 512)
+    assert(m.byte_len == png.length.toLong)
+  }
+
   test("repartitionBySize balances without losing rows") {
     val out = Multimodal.repartitionBySize(docs, targetBytesPerPartition = 20000)
     assert(out.count() == docs.count())
