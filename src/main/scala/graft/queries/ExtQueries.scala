@@ -124,6 +124,26 @@ object ExtQueries {
              |  COUNT(*) AS total_events
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    // ----------------------------------------- stream-stream interval join
+    // Signup→purchase attribution within 1h as a REAL two-stream join with
+    // watermark-evicted state; over the bounded fixture the emitted set
+    // equals the batch interval join, so the oracle is exact.
+    Q("q_stream_join_attrib",
+      (s, dir) => {
+        Tables.df(s, dir, "events") // ensures nanosAsLong is set first
+        StreamingPipeline.streamStreamAttribution(s, s"$dir/events.parquet",
+          Tables.scratchDir("ssj_ckpt"),
+          s"ss_attrib_${System.nanoTime()}")
+      },
+      Some("""SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+             |  CAST(s.user_id AS BIGINT) AS user_id,
+             |  epoch_us(p.ts) - epoch_us(s.ts) AS lag_us
+             |FROM events s JOIN events p
+             |  ON s.user_id = p.user_id
+             | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+             | AND epoch_us(p.ts) BETWEEN epoch_us(s.ts)
+             |                        AND epoch_us(s.ts) + 3600000000""".stripMargin)),
+
     // ------------------------------------------------------------ as-of join
     // Point-in-time lookup: each event gets the id of the user's latest
     // signup at-or-before it. Both sides compare at µs (the fixture's ns

@@ -297,6 +297,60 @@ object StreamingPipeline {
     spark.read.parquet(sinkDir)
   }
 
+  /** STREAM-STREAM event-time interval join: signups joined to the same
+    * user's purchases within `horizonMinutes` — the attribution shape
+    * (impression→click, signup→conversion). Both sides are real streams;
+    * Spark buffers each side's in-horizon rows in the state store and the
+    * time-bound join condition plus both watermarks let it EVICT state as
+    * event time advances — without the interval bound the buffers grow
+    * unboundedly, which is the scale failure this operator exists to avoid.
+    * Append-mode parquet sink (inner stream-stream joins are append-only);
+    * exactly-once across restarts via the sink's _spark_metadata log.
+    * Over a bounded fixture the result equals the batch interval join —
+    * hence oracle-checkable. Returns (signup_id, purchase_id, user_id,
+    * lag_us).
+    */
+  def streamStreamAttribution(spark: SparkSession, eventsPath: String,
+                              checkpointDir: String, queryName: String,
+                              horizonMinutes: Int = 60,
+                              statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val batchSchema = spark.read.parquet(eventsPath).schema
+    val srcDir = streamSourceDir(eventsPath)
+    def side(kind: String, prefix: String) = spark.readStream
+      .schema(batchSchema)
+      .parquet(srcDir)
+      .filter(col("event_type") === kind)
+      .select(col("user_id").cast("long").as(s"${prefix}_user"),
+        col("event_id").cast("long").as(s"${prefix}_id"),
+        timestamp_micros(expr("ts DIV 1000")).as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+
+    val joined = side("signup", "s").join(side("purchase", "p"),
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("s_id").as("signup_id"), col("p_id").as("purchase_id"),
+        col("s_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("s_ts"))).as("lag_us"))
+
+    val sinkDir = s"${checkpointDir}_sink"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = joined.writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", sinkDir)
+        .option("checkpointLocation", checkpointDir)
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.read.parquet(sinkDir)
+  }
+
   /** Stateful sessionization via mapGroupsWithState-style processing —
     * demonstrated with the batch-equivalent session-gap logic (events within
     * `gapMinutes` of each other belong to one session). Window-function form:

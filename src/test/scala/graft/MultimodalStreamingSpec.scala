@@ -180,6 +180,31 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(!r2.contains(20L))   // unchanged group not re-emitted (Update mode)
   }
 
+  test("stream-stream interval join: batch-equal, re-run adds nothing") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ssj").toString + "/ckpt"
+    def run() = StreamingPipeline.streamStreamAttribution(
+      spark, s"$sfDir/events.parquet", ckpt, s"ssj_${System.nanoTime()}")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val first = run()
+    // batch equivalent: same-user signup→purchase within 1h
+    val s = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("u"), col("event_id").as("sid"),
+        expr("ts DIV 1000").as("sts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("event_id").as("pid"),
+        expr("ts DIV 1000").as("pts"))
+    val batch = s.join(p, Seq("u"))
+      .filter(col("pts") >= col("sts") &&
+        col("pts") <= col("sts") + 3600L * 1000000L)
+      .select(col("sid"), col("pid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(first == batch)
+    // same checkpoint, no new input → the join emits nothing further
+    assert(run() == first)
+  }
+
   test("streaming hourly rollup equals the batch aggregation") {
     val name = s"test_rollup_${System.nanoTime()}"
     val streamed = StreamingPipeline.hourlyEventRollup(spark,
