@@ -221,6 +221,61 @@ object DedupFunctions {
                             threshold: Double = 0.8): DataFrame =
     minhashCandidatePairs(docs, idCol, textCol).filter(col("jaccard") >= threshold)
 
+  /** Banded-signature LSH index rows for a document set: (doc_id, band,
+    * bucket). Persist this next to the corpus (append each accepted
+    * increment's rows) so later increments probe it via
+    * [[minhashNearDuplicatesIncremental]] without ever re-shingling the
+    * corpus — the near-dup analog of the exact-dedup fingerprint side table
+    * ([[appendFingerprints]]). ~`bands` longs per document. */
+  def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, k: Int = 64,
+                       bands: Int = 16): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), shingleN).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), minhashSignatureFromHashes(col("hs"), k).as("sig"))
+      .select(col("doc_id"),
+        posexplode(bandKeys(col("sig"), bands, k / bands))
+          .as(Seq("band", "bucket")))
+
+  /** INCREMENTAL MinHash-LSH near-dup — the 100 TB shape: find near-dup
+    * pairs with at least one side in the `incoming` increment, probing the
+    * corpus through its PERSISTED band index (`corpusIndex`, from
+    * [[minhashBandIndex]]). The corpus is never re-shingled: its text is
+    * touched only to verify the candidate ids (broadcast-semi-joined inside
+    * [[ngramJaccard]]). Corpus-internal pairs are already known from past
+    * runs and are excluded by construction — only incoming×(incoming ∪
+    * corpus) pairs emerge. Signature/band parameters MUST match the ones
+    * the index was built with. */
+  def minhashNearDuplicatesIncremental(incoming: DataFrame, corpus: DataFrame,
+                                       corpusIndex: DataFrame,
+                                       idCol: String, textCol: String,
+                                       threshold: Double = 0.8,
+                                       shingleN: Int = 3, k: Int = 64,
+                                       bands: Int = 16,
+                                       maxBucketSize: Int = 1000): DataFrame = {
+    val inc = minhashBandIndex(incoming, idCol, textCol, shingleN, k, bands)
+    val all = corpusIndex.select(col("doc_id"), col("band"), col("bucket"))
+      .unionByName(inc)
+    // hot-bucket cap across the COMBINED population (a boilerplate bucket is
+    // degenerate whether its members are old or new)
+    val hot = all.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val probe = inc.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val target = all.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val candidates = probe.withColumnRenamed("doc_id", "id_x")
+      .join(target.withColumnRenamed("doc_id", "id_y"), Seq("band", "bucket"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    ngramJaccard(corpus.unionByName(incoming), candidates, idCol, textCol, shingleN)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // --------------------------------------------------------------------------
   // Near-duplicate clustering (pairs → connected components)
   // --------------------------------------------------------------------------

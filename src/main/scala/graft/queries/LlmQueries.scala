@@ -339,6 +339,34 @@ object LlmQueries {
              |WHERE len(list_intersect(a.s, b.s)) /
              |    len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin)),
 
+    // ------------------------------------ incremental MinHash near-dup
+    // Odd doc_ids arrive as the increment and probe the even-id corpus
+    // through its persisted band index; only pairs touching the increment
+    // emerge. Same detection-probability argument as q_dedup_minhash_neardup
+    // (k=64/b=16 at threshold 0.9); the oracle is the exact all-pairs
+    // Jaccard restricted to non-corpus-internal pairs.
+    Q("q_dedup_minhash_incremental",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val incoming = docs.filter(col("doc_id") % 2 === 1)
+        DedupFunctions.minhashNearDuplicatesIncremental(
+          incoming, corpus,
+          DedupFunctions.minhashBandIndex(corpus, "doc_id", "text"),
+          "doc_id", "text", threshold = 0.9)
+      },
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id, $shinglesSql AS s
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+             |  WHERE len(s) > 0)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  len(list_intersect(a.s, b.s)) /
+             |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE NOT (a.doc_id % 2 = 0 AND b.doc_id % 2 = 0)
+             |  AND len(list_intersect(a.s, b.s)) /
+             |    len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin)),
+
     // --------------------------------------- near-dup CLUSTER dedup
     // Pairs → connected components → keep min-id per component. The oracle
     // computes the same exact-Jaccard pairs, closes them transitively with a

@@ -111,6 +111,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(capped.count() == 0) // every bucket over cap → dropped
   }
 
+  test("incremental minhash: increment probes the corpus index, corpus pairs excluded") {
+    val s = spark
+    import s.implicits._
+    // corpus: 10, 12 are near-dups of each other (corpus-internal — must NOT
+    // re-emerge); increment doc 21 is a near-dup of corpus doc 10, increment
+    // docs 21/23 are exact dups of each other.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (10L, s"$base today"), (12L, s"$base today"),
+      (14L, "entirely unrelated corpus content about catalyst optimizer rules")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (21L, s"$base tonight"), (23L, s"$base tonight"),
+      (25L, "fresh novel increment content with no duplicates anywhere")
+    ).toDF("doc_id", "text")
+    val idx = DedupFunctions.minhashBandIndex(corpus, "doc_id", "text")
+    val pairs = DedupFunctions.minhashNearDuplicatesIncremental(
+      incoming, corpus, idx, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((21L, 23L)))            // within-increment
+    assert(pairs.contains((10L, 21L)) || pairs.contains((10L, 23L))) // cross
+    assert(!pairs.contains((10L, 12L)))           // corpus-internal excluded
+    pairs.foreach { case (a, b) =>
+      assert(a >= 21L || b >= 21L, s"pair ($a,$b) touches no increment doc") }
+  }
+
   test("duplicateClusters matches union-find on random pair graphs") {
     val s = spark
     import s.implicits._
