@@ -555,6 +555,29 @@ object LlmQueries {
              |SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rn
              |FROM r WHERE rn <= 5""".stripMargin)),
 
+    // ------------------------------------- unigram log-prob fluency score
+    // Mean unigram log-probability under the corpus's own LM. Per-term
+    // log-probs round to 9 decimals and sum as DECIMAL on both engines, so
+    // ln() ulp differences and summation order can't flip the hash.
+    Q("q_unigram_logprob",
+      (s, dir) => graft.functions.CorpusFunctions.unigramLogProbScores(
+        Tables.df(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM tok GROUP BY 1, 2),
+             |lm AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c
+             |       FROM tf GROUP BY term),
+             |lp AS (SELECT term,
+             |         CAST(round(ln(c * 1.0 / CAST(SUM(c) OVER () AS BIGINT)), 4)
+             |           AS DECIMAL(28,4)) AS lp
+             |       FROM lm)
+             |SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             |  round(CAST(SUM(tf * lp) AS DOUBLE) /
+             |        CAST(SUM(tf) AS BIGINT), 6) AS avg_logprob
+             |FROM tf JOIN lp USING (term)
+             |GROUP BY tf.doc_id""".stripMargin)),
+
     // ------------------------------------------------- sequence packing
     // Whole-document packing into 2048-token training sequences per source
     // stream; integer running sum + integer div → exact cross-engine parity.

@@ -238,6 +238,25 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(none.length == 60 && none.forall(_.getLong(2) == 0L))
   }
 
+  test("unigramLogProbScores: common text scores higher than rare text") {
+    val s = spark
+    import s.implicits._
+    // docs 1-3 share the corpus-dominant phrasing; doc 4 is all-rare tokens
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the hat"),
+      (3L, "the cat sat on the rug"),
+      (4L, "zyx wvu tsr qpo nml kji")
+    ).toDF("doc_id", "text")
+    val out = CorpusFunctions.unigramLogProbScores(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out.forall(_._2._1 == 6L))                 // 6 tokens each
+    assert(out(1L)._2 > out(4L)._2)                   // fluent >> gibberish
+    // doc 1 repeats only corpus-common tokens → highest score of the three
+    assert(out(1L)._2 >= out(2L)._2 && out(2L)._2 == out(3L)._2)
+  }
+
   test("packSequences: whole docs, budget overflow by last doc only, jumbo docs") {
     val s = spark
     import s.implicits._
