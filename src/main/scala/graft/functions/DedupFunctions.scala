@@ -355,6 +355,28 @@ object DedupFunctions {
       docs(idCol) === nonRepresentatives("id"), "left_anti")
   }
 
+  /** Leakage-aware train/validation split: every document inherits the
+    * split of its near-duplicate CLUSTER representative, so two near-copies
+    * can never land on opposite sides (per-doc hash splitting leaks eval
+    * content into training whenever a near-dup pair straddles the
+    * boundary). `pairs` is a near-dup pair relation (e.g. from
+    * [[minhashNearDuplicates]]); docs in no pair split on their own id.
+    * Emits the input plus (split_key, split).
+    *
+    * Scale: cluster labels are CANDIDATE-scale ([[duplicateClusters]]); the
+    * corpus takes one left join against them and a narrow hash projection —
+    * the split itself never shuffles the corpus. */
+  def splitByCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                     trainFraction: Double): DataFrame = {
+    val labels = duplicateClusters(pairs)
+      .withColumnRenamed("id", "__cid")
+    val keyed = docs
+      .join(labels, docs(idCol) === labels("__cid"), "left")
+      .withColumn("split_key", coalesce(col("cluster"), col(idCol)))
+      .drop("__cid", "cluster")
+    graft.operators.Relational.deterministicSplit(keyed, "split_key", trainFraction)
+  }
+
   // --------------------------------------------------------------------------
   // SimHash
   // --------------------------------------------------------------------------

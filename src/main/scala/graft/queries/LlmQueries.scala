@@ -402,6 +402,44 @@ object LlmQueries {
              |LEFT JOIN labels l ON d.doc_id = l.id
              |WHERE l.id IS NULL OR l.cluster = d.doc_id""".stripMargin)),
 
+    // ------------------------------------ leakage-aware cluster split
+    // Near-dup clusters (same pair graph as q_dedup_cluster_drop) inherit
+    // one split from their min-id representative; the oracle closes the
+    // pairs with a recursive CTE and applies the same md5-threshold rule.
+    Q("q_split_by_cluster",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val pairs = DedupFunctions.minhashNearDuplicates(
+          docs, "doc_id", "text", threshold = 0.9)
+        DedupFunctions.splitByCluster(docs, pairs, "doc_id",
+          trainFraction = 0.8)
+          .select(col("doc_id"), col("split_key"), col("split"))
+      },
+      Some(s"""WITH RECURSIVE sh AS MATERIALIZED (
+             |  SELECT doc_id, $shinglesSql AS s
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+             |  WHERE len(s) > 0),
+             |pairs AS MATERIALIZED (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.s, b.s)) /
+             |      len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+             |edges AS MATERIALIZED (
+             |          SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |labels AS (
+             |  SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+             |  FROM reach GROUP BY src)
+             |SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS split_key,
+             |  CASE WHEN substr(md5(CAST(COALESCE(l.cluster, d.doc_id)
+             |              AS VARCHAR)), 1, 8) < 'cccccccd'
+             |       THEN 'train' ELSE 'validation' END AS split
+             |FROM documents d LEFT JOIN labels l ON d.doc_id = l.id""".stripMargin)),
+
     // ------------------------------------------------ SimHash near-dup (rows-only:
     // the 64-bit signature is a custom expression DuckDB can't reproduce;
     // pair invariants are asserted in DedupSpec instead)

@@ -138,6 +138,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       assert(a >= 21L || b >= 21L, s"pair ($a,$b) touches no increment doc") }
   }
 
+  test("splitByCluster: near-dup clusters never straddle the split") {
+    val s = spark
+    import s.implicits._
+    val docsDf = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain clusters {1..4}, {10,11}, plus scattered singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = DedupFunctions.splitByCluster(docsDf, pairs, "doc_id", 0.8)
+      .select("doc_id", "split_key", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = out.map(t => t._1 -> t._3).toMap
+    assert(Set(1L, 2L, 3L, 4L).map(byDoc).size == 1) // one side only
+    assert(Set(10L, 11L).map(byDoc).size == 1)
+    // cluster members share the representative key; singletons keep their id
+    out.foreach { case (id, key, _) =>
+      if (id <= 4) assert(key == 1L)
+      else if (id == 10 || id == 11) assert(key == 10L)
+      else assert(key == id)
+    }
+    // both splits are populated at this size
+    assert(out.map(_._3).toSet == Set("train", "validation"))
+  }
+
   test("duplicateClusters matches union-find on random pair graphs") {
     val s = spark
     import s.implicits._
