@@ -261,6 +261,32 @@ object CorpusFunctions {
       .filter(col("rn") <= k)
   }
 
+  /** Vocabulary statistics per group: token count, distinct-term count,
+    * type-token ratio, and the hapax share (terms occurring exactly once —
+    * the Zipf-tail gauge; OCR noise and boilerplate shift it in opposite
+    * directions). Returns (groups..., n_tokens, n_terms, type_token_ratio,
+    * hapax_share).
+    *
+    * Scale: two stacked partial aggregations — (group, term) counts combine
+    * map-side, then the per-group rollup is group-cardinality-sized; raw
+    * token streams never cross an exchange twice. */
+  def vocabularyStats(docs: DataFrame, textCol: String,
+                      groupCols: Seq[String]): DataFrame =
+    docs
+      .select(groupCols.map(col) :+
+        explode(TextFunctions.tokens(col(textCol))).as("term"): _*)
+      .groupBy((groupCols :+ "term").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_tokens"), col("n_terms"),
+        (col("n_terms").cast("double") / col("n_tokens")).as("type_token_ratio"),
+        (col("hapax").cast("double") / col("n_terms")).as("hapax_share")): _*)
+
   /** CCNet-style fluency score: per-document MEAN UNIGRAM LOG-PROBABILITY
     * under the corpus's own unigram language model — the perplexity-filter
     * analog that needs no external LM (gibberish and boilerplate-stuffed

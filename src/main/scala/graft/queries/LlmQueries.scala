@@ -593,6 +593,24 @@ object LlmQueries {
              |SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rn
              |FROM r WHERE rn <= 5""".stripMargin)),
 
+    // ------------------------------------------- vocabulary statistics
+    // Type-token ratio and hapax share per (source, lang); integer counts
+    // and single exact divisions → engine-exact.
+    Q("q_vocab_stats",
+      (s, dir) => graft.functions.CorpusFunctions.vocabularyStats(
+        Tables.df(s, dir, "documents"), "text", Seq("source", "lang")),
+      Some(s"""WITH tok AS (
+             |  SELECT source, lang, unnest($toksSql) AS term FROM documents),
+             |tf AS (SELECT source, lang, term, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM tok GROUP BY 1, 2, 3)
+             |SELECT source, lang,
+             |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+             |  COUNT(*) * 1.0 / CAST(SUM(n) AS BIGINT) AS type_token_ratio,
+             |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+             |    / COUNT(*) AS hapax_share
+             |FROM tf GROUP BY 1, 2""".stripMargin)),
+
     // ------------------------------------- unigram log-prob fluency score
     // Mean unigram log-probability under the corpus's own LM. Per-term
     // log-probs round to 9 decimals and sum as DECIMAL on both engines, so

@@ -238,6 +238,21 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(none.length == 60 && none.forall(_.getLong(2) == 0L))
   }
 
+  test("vocabularyStats: exact counts, ttr and hapax share on a crafted corpus") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", "x x y z"),   // group a: 4 tokens, terms {x:2, y:1, z:1}
+      ("a", "x"),         //   → x:3 total; terms 3, hapax {y,z} = 2
+      ("b", "unique words only here")
+    ).toDF("grp", "text")
+    val out = CorpusFunctions.vocabularyStats(df, "text", Seq("grp"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("a") == ((5L, 3L, 3.0 / 5.0, 2.0 / 3.0)))
+    assert(out("b") == ((4L, 4L, 1.0, 1.0)))
+  }
+
   test("unigramLogProbScores: common text scores higher than rare text") {
     val s = spark
     import s.implicits._
