@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CoreQueries, EtlQueries, ExtQueries, LlmQueries, Tables}
+import graft.queries.{CoreQueries, EtlQueries, ExtQueries, LlmQueries, OlapQueries, Tables}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -9,7 +9,8 @@ object SparkEntry {
       .fn(spark, "/root/testdata/sf0.001")
 
   private def allQ =
-    CoreQueries.all ++ LlmQueries.all ++ EtlQueries.all ++ ExtQueries.all
+    CoreQueries.all ++ LlmQueries.all ++ EtlQueries.all ++ ExtQueries.all ++
+      OlapQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2 (+ LLM-pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** OLAP-surface breadth queries: multi-level aggregation (ROLLUP/CUBE),
+  * pivot, analytic window functions, full-outer join, and a TPC-H Q5-shape
+  * multi-join — the general-analytics queries a user of the reference's
+  * warehouse (loaded by this engine) runs downstream of the sync
+  * (ref README "Query the backup data directly from Redshift",
+  * docs/ARCHITECTURE.md reporting examples).
+  *
+  * Scale notes per query inline; none of these introduce a shuffle beyond
+  * the irreducible group/join exchanges, and the bounded dims in the Q5
+  * shape broadcast (optimizer-chosen, not forced). */
+object OlapQueries {
+
+  private def dec(c: Column, scale: Int): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(18, scale))
+
+  /** Exact decimal SUM emitted as DOUBLE (comparator alignment — see
+    * CoreQueries.dsum). */
+  private def dsum(c: Column, scale: Int): Column = sum(dec(c, scale)).cast("double")
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------- ROLLUP
+    // Subtotal hierarchy (priority, status) → priority → grand total in ONE
+    // pass: Spark expands grouping sets before the partial aggregate, so the
+    // exchange still carries pre-aggregated rows — no extra shuffle vs a
+    // plain groupBy.
+    Q("q_agg_rollup",
+      (s, dir) => Tables.df(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("sum_price")),
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin)),
+
+    // --------------------------------------------------------------- CUBE
+    // All 2^2 grouping sets over a low-cardinality pair — the canonical
+    // warehouse-report shape.
+    Q("q_agg_cube",
+      (s, dir) => Tables.df(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+             |FROM orders
+             |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // -------------------------------------------------------------- PIVOT
+    // status → columns with EXPLICIT values (F/O/P): no discovery pass over
+    // the data, single aggregate exchange. Missing combinations surface as 0
+    // on both engines (Spark pivot yields NULL → filled; FILTER counts 0).
+    Q("q_pivot_status",
+      (s, dir) => Tables.df(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O", "P")),
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // --------------------------------------------- lag/lead/ntile analytics
+    // Per-customer order history: previous price, next order id, day gap,
+    // spend quartile. One hash exchange on o_custkey feeds all four window
+    // functions (same Window frame → single Window operator). The (date, key)
+    // ordering is total per partition, so every function is deterministic.
+    Q("q_window_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.df(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast("long").as("gap_days"),
+          ntile(4).over(w).cast("long").as("quartile"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  lag(o_totalprice) OVER w AS prev_price,
+             |  lead(o_orderkey) OVER w AS next_orderkey,
+             |  date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+        .stripMargin)),
+
+    // ---------------------------------------------------- FULL OUTER join
+    // Order counts vs the high-balance customer roster: each side holds keys
+    // the other lacks (customers with no orders / orders whose customer is
+    // below the balance cut), so both null-extensions are exercised. The
+    // using-column join coalesces the key on both engines.
+    Q("q_join_full_outer",
+      (s, dir) => {
+        val perCust = Tables.df(s, dir, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        val rich = Tables.df(s, dir, "customer")
+          .filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("o_custkey"), col("c_name"))
+        perCust.join(rich, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"), col("n_orders"), col("c_name"))
+      },
+      Some("""SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey,
+             |  o.n_orders, c.c_name
+             |FROM (SELECT o_custkey, COUNT(*) AS n_orders
+             |      FROM orders GROUP BY o_custkey) o
+             |FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer
+             |                 WHERE c_acctbal > 5000) c
+             |  ON o.o_custkey = c.c_custkey""".stripMargin)),
+
+    // ----------------------------------------------------------- INTERSECT
+    // Users present in BOTH behavioral cohorts. INTERSECT deduplicates both
+    // sides (set semantics) on both engines; Spark plans it as an aggregate +
+    // semi join, shuffling only the distinct user ids.
+    Q("q_set_intersect",
+      (s, dir) => {
+        val ev = Tables.df(s, dir, "events")
+        ev.filter(col("event_type") === "signup").select(col("user_id"))
+          .intersect(
+            ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'signup'
+             |INTERSECT
+             |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin)),
+
+    // ----------------------------------------- TPC-H Q5-shape multi-join
+    // Local-supplier revenue by nation for one region-year: a 6-table join
+    // where region/nation are bounded dims (optimizer broadcasts them) and
+    // the c_nationkey = s_nationkey condition rides the supplier equi-join.
+    // The orders date filter is pushed to the parquet scan.
+    Q("q5_local_supplier_revenue",
+      (s, dir) => {
+        val c = Tables.df(s, dir, "customer")
+        val o = Tables.df(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        val l = Tables.df(s, dir, "lineitem")
+        val sup = Tables.df(s, dir, "supplier")
+        val n = Tables.df(s, dir, "nation")
+        val r = Tables.df(s, dir, "region").filter(col("r_name") === "ASIA")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+          .join(n, sup("s_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY n_name""".stripMargin))
+  )
+}

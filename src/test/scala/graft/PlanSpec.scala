@@ -203,4 +203,49 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges == 1,
       s"packSequences should shuffle once on the stream key, found $exchanges:\n${plan.take(1500)}")
   }
+
+  test("rollup/cube aggregate in two phases over a single exchange") {
+    // Expand feeds the partial aggregate, so the grouping-set expansion is
+    // map-side — the exchange carries pre-aggregated rows for ALL levels
+    for (name <- Seq("q_agg_rollup", "q_agg_cube")) {
+      val plan = executedString(q(name))
+      assert(plan.contains("Expand"), s"$name missing grouping-set Expand")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$name missing partial+final HashAggregate pair")
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"$name should shuffle exactly once:\n${plan.take(1500)}")
+    }
+  }
+
+  test("pivot with explicit values is one aggregate pass, no discovery scan") {
+    val df = q("q_pivot_status")
+    val nScans = physical(df).collect { case s: FileSourceScanExec => s }.size
+    assert(nScans == 1,
+      "explicit pivot values must not add a distinct-discovery scan")
+    // Spark plans pivot as count-agg → pivotfirst-agg (two exchanges), but
+    // BOTH exchanges sit above a partial HashAggregate: only pre-aggregated
+    // (group, status) rows ride the wire, never input rows
+    val exchanges = physical(df).collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "no exchanges — assertion would be vacuous")
+    exchanges.foreach { e =>
+      assert(e.child.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec],
+        s"pivot exchange input is not pre-aggregated: ${e.child.getClass.getSimpleName}")
+    }
+  }
+
+  test("lag/lead/ntile share one Window operator over one exchange") {
+    val plan = executedString(q("q_window_lag_lead"))
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"same partitioning+ordering should reuse one exchange:\n${plan.take(1500)}")
+    assert("Window".r.findAllIn(plan).size == 1,
+      s"all four functions share a frame — expected a single Window operator:\n${plan.take(1500)}")
+  }
+
+  test("Q5-shape multi-join broadcasts the bounded dims, shuffles the facts") {
+    val plan = executedString(q("q5_local_supplier_revenue"))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"nation/region should broadcast:\n${plan.take(2000)}")
+  }
 }
