@@ -444,4 +444,105 @@ object DedupFunctions {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .drop("sh_a", "sh_b")
   }
+
+  // --------------------------------------------------------------------------
+  // Span-level verbatim dedup (the suffix-array analog)
+  // --------------------------------------------------------------------------
+
+  /** (doc_id, pos, window-hash) for every `window`-token sliding window of
+    * every doc — the distributable stand-in for a corpus suffix array
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": remove verbatim cross-document repeats, not just whole-doc
+    * dups). Only the 32-char md5 and two longs ride any downstream exchange;
+    * the window TEXT never leaves the map side. */
+  private def slidingWindowHashes(docs: DataFrame, idCol: String,
+                                  textCol: String, window: Int): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= window)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("__toks")) - window),
+          p => md5(concat_ws(" ", slice(col("__toks"), p + 1, lit(window))))))
+          .as(Seq("pos", "whash")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("whash"))
+
+  /** Window hashes that occur in ≥2 DISTINCT documents. Two-phase: the
+    * per-doc distinct is map-side-combinable on (whash, doc), then the count
+    * shuffles (whash, doc) pairs — never positions, never text. */
+  private def crossDocRepeatedHashes(wins: DataFrame, idCol: String): DataFrame =
+    wins.select(col("whash"), col(idCol)).distinct()
+      .groupBy(col("whash")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("whash"))
+
+  /** Per-document statistics of cross-document VERBATIM repeats: for each doc
+    * with at least one `window`-token span that also appears verbatim in
+    * another doc, report total windows, repeated windows, maximal merged
+    * spans, and the token count those spans cover. This is the measurement
+    * half of span-level dedup — the corpus-health number a curation run
+    * checks before deciding to scrub.
+    *
+    * Scale: #windows ≈ corpus token count, so the exchange is O(corpus) — the
+    * same asymptotic bill a suffix array pays, but embarrassingly parallel
+    * and with a 48-byte row instead of a pointer-chased index. Span merging
+    * is one window function over each doc's HIT positions only (repeated
+    * windows are sparse in a healthy corpus).
+    */
+  def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                        window: Int = 8): DataFrame = {
+    require(window > 0, "window must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val wins = slidingWindowHashes(docs, idCol, textCol, window)
+    val hits = wins
+      .join(crossDocRepeatedHashes(wins, idCol), Seq("whash"), "left_semi")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // a hit at pos merges into the previous span when it starts within
+    // `window` tokens of it (overlap or adjacency)
+    val spans = hits
+      .withColumn("__new", when(col("pos") - lag(col("pos"), 1).over(byDoc)
+        <= window, lit(0)).otherwise(lit(1)))
+      .withColumn("__span", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__span"))
+      .agg(count(lit(1)).as("__n"),
+        (max(col("pos")) - min(col("pos")) + window).as("__cov"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_repeated_windows"),
+        count(lit(1)).as("n_spans"),
+        sum(col("__cov")).as("covered_tokens"))
+    val total = wins.groupBy(col(idCol)).agg(count(lit(1)).as("n_windows"))
+    spans.join(total, Seq(idCol))
+      .select(col(idCol), col("n_windows"), col("n_repeated_windows"),
+        col("n_spans"), col("covered_tokens"))
+  }
+
+  /** The scrub half: remove every cross-document repeated span from every
+    * document, keeping the (tokenizer-normalized) remainder. Docs without
+    * repeats pass through with their full token stream; a doc whose tokens
+    * are ALL covered survives as an empty string (the caller filters on
+    * `n_tokens_kept` if it wants them gone — dropping is a policy choice).
+    *
+    * The repeated-start positions come back to each doc as one
+    * `collect_list` array (bounded by the doc's own length), and the cut is
+    * a codegen'd array filter — no per-token join. */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int = 8): DataFrame = {
+    require(window > 0, "window must be positive")
+    val wins = slidingWindowHashes(docs, idCol, textCol, window)
+    val hits = wins
+      .join(crossDocRepeatedHashes(wins, idCol), Seq("whash"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__starts"))
+    docs
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"),
+        coalesce(col("__starts"), array().cast("array<long>")).as("__starts"))
+      // keep the token at 0-based index i unless some repeated window
+      // starting at s covers it: s <= i < s+window
+      .select(col(idCol),
+        filter(col("__toks"), (t, i) => !exists(col("__starts"),
+          s => s <= i && i < s + window)).as("__kept"))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        size(col("__kept")).cast("long").as("n_tokens_kept"))
+  }
 }

@@ -692,6 +692,62 @@ object LlmQueries {
              |FROM r WHERE rn = 1
              |GROUP BY doc_id""".stripMargin)),
 
+    // --------------------------- span-level verbatim dedup (suffix-array analog)
+    // Cross-document repeated 8-token windows, merged into maximal spans per
+    // doc — the distributable form of suffix-array dedup (Lee et al. 2022).
+    // The fixture's near-duplicate docs give real cross-doc verbatim spans.
+    Q("q_dedup_span_stats",
+      (s, dir) => graft.functions.DedupFunctions.repeatedSpanStats(
+        Tables.df(s, dir, "documents"), "doc_id", "text", window = 8),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+             |w AS (SELECT doc_id, s AS pos,
+             |        md5(array_to_string(toks[s+1:s+8], ' ')) AS h
+             |      FROM t, unnest(range(0, len(toks) - 8 + 1)) u(s)
+             |      WHERE len(toks) >= 8),
+             |rep AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM w)
+             |        GROUP BY h HAVING COUNT(*) >= 2),
+             |hits AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM rep)),
+             |flg AS (SELECT doc_id, pos,
+             |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+             |           ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS nw FROM hits),
+             |sp AS (SELECT doc_id, pos, SUM(nw) OVER (PARTITION BY doc_id
+             |         ORDER BY pos) AS span_id FROM flg),
+             |agg AS (SELECT doc_id, span_id, COUNT(*) AS n,
+             |          MAX(pos) - MIN(pos) + 8 AS cov FROM sp GROUP BY 1, 2),
+             |per AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_repeated_windows,
+             |          COUNT(*) AS n_spans, CAST(SUM(cov) AS BIGINT) AS covered_tokens
+             |        FROM agg GROUP BY doc_id),
+             |tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id)
+             |SELECT p.doc_id AS doc_id, t2.n_windows, p.n_repeated_windows,
+             |  p.n_spans, p.covered_tokens
+             |FROM per p JOIN tot t2 ON p.doc_id = t2.doc_id""".stripMargin)),
+
+    // The scrub half: cut every repeated span, keep the normalized remainder
+    // for ALL docs (empty survivors included — dropping is a policy choice).
+    Q("q_dedup_span_scrub",
+      (s, dir) => graft.functions.DedupFunctions.scrubRepeatedSpans(
+        Tables.df(s, dir, "documents"), "doc_id", "text", window = 8),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+             |w AS (SELECT doc_id, s AS pos,
+             |        md5(array_to_string(toks[s+1:s+8], ' ')) AS h
+             |      FROM t, unnest(range(0, len(toks) - 8 + 1)) u(s)
+             |      WHERE len(toks) >= 8),
+             |rep AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM w)
+             |        GROUP BY h HAVING COUNT(*) >= 2),
+             |hits AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM rep)),
+             |cov AS (SELECT DISTINCT doc_id, s2
+             |        FROM hits, unnest(range(hits.pos, hits.pos + 8)) z(s2)),
+             |tpos AS (SELECT doc_id, u AS i, toks[CAST(u AS INT) + 1] AS tok
+             |         FROM t, unnest(range(0, len(toks))) v(u)),
+             |kept AS (SELECT p.doc_id AS doc_id, p.i, p.tok FROM tpos p
+             |         LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.s2
+             |         WHERE c.doc_id IS NULL),
+             |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt,
+             |         COUNT(*) AS n FROM kept GROUP BY doc_id)
+             |SELECT t.doc_id AS doc_id, COALESCE(ka.txt, '') AS clean_text,
+             |  COALESCE(ka.n, 0) AS n_tokens_kept
+             |FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id""".stripMargin)),
+
     // --------------------------------------- quality percentile gate
     // Keep docs at/above the 60th quality percentile per source; the
     // percent_rank total order (quality, doc_id) and its single integer

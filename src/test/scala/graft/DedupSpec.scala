@@ -220,4 +220,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // one representative per component + the unpaired doc
     assert(kept == Set(1L, 7L, 9L))
   }
+
+  test("repeated spans: cross-doc verbatim windows merge and scrub exactly") {
+    val s = spark
+    import s.implicits._
+    // a1..a8 is an 8-token span shared VERBATIM by docs 1 and 2 at different
+    // offsets; doc 3 has no 8-window in common with anyone; doc 4 is shorter
+    // than the window; docs 5 and 6 are identical 10-token docs (fully
+    // covered by their three repeated windows)
+    val shared = (1 to 8).map("a" + _).mkString(" ")
+    val corpus = Seq(
+      (1L, s"p1 p2 p3 $shared q1 q2"),
+      (2L, s"$shared r1 r2 r3 r4 r5"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (4L, "short doc"),
+      (5L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (6L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
+    ).toDF("doc_id", "text")
+
+    val stats = DedupFunctions.repeatedSpanStats(corpus, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: 6 windows total (13 tokens), exactly 1 repeated (the shared
+    // span), 1 merged span covering its 8 tokens
+    assert(stats(1L) == ((6L, 1L, 1L, 8L)))
+    assert(stats(2L) == ((6L, 1L, 1L, 8L)))
+    // docs 5/6: all 3 windows repeated, merging into ONE span of 10 tokens
+    assert(stats(5L) == ((3L, 3L, 1L, 10L)))
+    assert(stats(6L) == ((3L, 3L, 1L, 10L)))
+    // untouched docs never appear
+    assert(!stats.contains(3L) && !stats.contains(4L))
+
+    val clean = DedupFunctions.scrubRepeatedSpans(corpus, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(clean(1L) == (("p1 p2 p3 q1 q2", 5L)))
+    assert(clean(2L) == (("r1 r2 r3 r4 r5", 5L)))
+    // all docs pass through, normalized; full-coverage docs survive empty
+    assert(clean(3L) == (("u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", 10L)))
+    assert(clean(4L) == (("short doc", 2L)))
+    assert(clean(5L) == (("", 0L)))
+    assert(clean(6L) == (("", 0L)))
+  }
 }

@@ -204,6 +204,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"packSequences should shuffle once on the stream key, found $exchanges:\n${plan.take(1500)}")
   }
 
+  test("span dedup shuffles hashes and positions, never token payloads") {
+    val df = graft.functions.DedupFunctions.repeatedSpanStats(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 8)
+    val exchanges = physical(df).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "no exchanges — assertion would be vacuous")
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name).toSet
+      assert(!cols.contains("text") && !cols.contains("__toks"),
+        s"token payload rides an exchange: $cols")
+    }
+  }
+
   test("rollup/cube aggregate in two phases over a single exchange") {
     // Expand feeds the partial aggregate, so the grouping-set expansion is
     // map-side — the exchange carries pre-aggregated rows for ALL levels
