@@ -131,6 +131,35 @@ object OlapQueries {
              |INTERSECT
              |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin)),
 
+    // ------------------------------------- TPC-H Q18-shape (HAVING semi-join)
+    // Large-quantity orders: aggregate-then-filter produces a small key set
+    // that gates the orders/customer join. The HAVING sum is exact decimal,
+    // so the threshold boundary never flips between engines; the big-order
+    // key set is orders-of-magnitude smaller than lineitem, and AQE sizes
+    // the join accordingly.
+    Q("q18_large_orders",
+      (s, dir) => {
+        val l = Tables.df(s, dir, "lineitem")
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_quantity"), 2)).as("__sq"))
+          .filter(col("__sq") > 250)
+          .select(col("l_orderkey"), col("__sq").cast("double").as("sum_qty"))
+        val o = Tables.df(s, dir, "orders")
+        val c = Tables.df(s, dir, "customer")
+        o.join(big, o("o_orderkey") === big("l_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate_s"),
+            col("o_totalprice"), col("sum_qty"))
+      },
+      Some("""SELECT c_name, o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+             |  o_totalprice, CAST(sq AS DOUBLE) AS sum_qty
+             |FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+             |      FROM lineitem GROUP BY l_orderkey HAVING sq > 250) big
+             |JOIN orders ON o_orderkey = big.l_orderkey
+             |JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
     // ----------------------------------------- TPC-H Q5-shape multi-join
     // Local-supplier revenue by nation for one region-year: a 6-table join
     // where region/nation are bounded dims (optimizer broadcasts them) and
