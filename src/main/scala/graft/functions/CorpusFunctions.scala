@@ -320,8 +320,14 @@ object CorpusFunctions {
     tf.join(lm, Seq("term"))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"), sum(col("tf") * col("lp")).as("slp"))
+      // sum_logprob is EXACT (decimal sum → double, bit-identical across
+      // engines); avg_logprob is its plain float quotient for ranking and
+      // thresholding — deliberately unrounded, since rounding a double
+      // quotient at a fixed decimal is not cross-engine stable (a ~1e-16
+      // ulp difference flips a .5 boundary; measured at sf0.1)
       .select(col(idCol), col("n_tokens"),
-        round(col("slp").cast("double") / col("n_tokens").cast("double"), 6)
+        col("slp").cast("double").as("sum_logprob"),
+        (col("slp").cast("double") / col("n_tokens").cast("double"))
           .as("avg_logprob"))
   }
 

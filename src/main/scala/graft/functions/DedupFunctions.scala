@@ -510,7 +510,15 @@ object DedupFunctions {
       .agg(sum(col("__n")).as("n_repeated_windows"),
         count(lit(1)).as("n_spans"),
         sum(col("__cov")).as("covered_tokens"))
-    val total = wins.groupBy(col(idCol)).agg(count(lit(1)).as("n_windows"))
+    // n_windows is arithmetic on the token count — a tokenize-only
+    // projection, NOT a third pass through the per-window md5 pipeline
+    // (the hashing subtree already evaluates twice: the repeated-hash
+    // build side and the probe side)
+    val total = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= window)
+      .select(col(idCol),
+        (size(col("__toks")) - window + 1).cast("long").as("n_windows"))
     spans.join(total, Seq(idCol))
       .select(col(idCol), col("n_windows"), col("n_repeated_windows"),
         col("n_spans"), col("covered_tokens"))

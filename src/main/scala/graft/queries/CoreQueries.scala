@@ -14,16 +14,15 @@ final case class Q(name: String,
                    fn: (SparkSession, String) => DataFrame,
                    oracle: Option[String])
 
-/** Core-surface queries: every SQL-expressible operator from SURVEY §2
-  * (CDC scans S1-S5, projections P1/P2/P5/P6, aggregations A1-A6, joins
-  * J1-J3, windows W1/W2, sorts O1-O4, set ops, scalar functions). */
-object CoreQueries {
-
-  private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+/** Comparator-alignment helpers shared by every query file: the canonical
+  * ways to emit values that hash-match the DuckDB oracle. ONE definition —
+  * if the canonicalization ever changes, every query follows. */
+private[queries] object Align {
+  def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   /** Decimal cast used before floating sums so aggregation is exact and
     * order-independent — matches `CAST(x AS DECIMAL(18,p))` in the oracles. */
-  private def dec(c: Column, scale: Int): Column =
+  def dec(c: Column, scale: Int): Column =
     c.cast(org.apache.spark.sql.types.DecimalType(18, scale))
 
   /** Exact decimal SUM, emitted as DOUBLE. The aggregation stays decimal
@@ -31,7 +30,15 @@ object CoreQueries {
     * Spark and the DuckDB oracle hand the comparator the identical float64
     * (Spark fixed-scale Decimals vs DuckDB float64 otherwise canonicalize
     * differently on trailing fractional zeros — CORRECTNESS_r02 hash flags). */
-  private def dsum(c: Column, scale: Int): Column = sum(dec(c, scale)).cast("double")
+  def dsum(c: Column, scale: Int): Column = sum(dec(c, scale)).cast("double")
+}
+
+/** Core-surface queries: every SQL-expressible operator from SURVEY §2
+  * (CDC scans S1-S5, projections P1/P2/P5/P6, aggregations A1-A6, joins
+  * J1-J3, windows W1/W2, sorts O1-O4, set ops, scalar functions). */
+object CoreQueries {
+
+  import Align.{dec, dsum, fmt}
 
   val all: Seq[Q] = Seq(
 

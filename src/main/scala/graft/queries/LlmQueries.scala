@@ -612,12 +612,16 @@ object LlmQueries {
              |FROM tf GROUP BY 1, 2""".stripMargin)),
 
     // ------------------------------------- unigram log-prob fluency score
-    // Mean unigram log-probability under the corpus's own LM. Per-term
-    // log-probs round to 9 decimals and sum as DECIMAL on both engines, so
-    // ln() ulp differences and summation order can't flip the hash.
+    // Unigram log-probability mass under the corpus's own LM. Per-term
+    // log-probs round to 4 decimals and sum as DECIMAL on both engines, so
+    // ln() ulp differences and summation order can't flip the hash. The
+    // driver compares the EXACT columns (n_tokens, sum_logprob); the
+    // operator's avg_logprob is a float quotient of the two — rounding that
+    // quotient is not engine-stable, so it stays out of the hash check.
     Q("q_unigram_logprob",
       (s, dir) => graft.functions.CorpusFunctions.unigramLogProbScores(
-        Tables.df(s, dir, "documents"), "doc_id", "text"),
+        Tables.df(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("sum_logprob")),
       Some(s"""WITH tok AS (
              |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
              |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -629,8 +633,7 @@ object LlmQueries {
              |           AS DECIMAL(28,4)) AS lp
              |       FROM lm)
              |SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-             |  round(CAST(SUM(tf * lp) AS DOUBLE) /
-             |        CAST(SUM(tf) AS BIGINT), 6) AS avg_logprob
+             |  CAST(SUM(tf * lp) AS DOUBLE) AS sum_logprob
              |FROM tf JOIN lp USING (term)
              |GROUP BY tf.doc_id""".stripMargin)),
 

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,12 +15,7 @@ import org.apache.spark.sql.functions._
   * shape broadcast (optimizer-chosen, not forced). */
 object OlapQueries {
 
-  private def dec(c: Column, scale: Int): Column =
-    c.cast(org.apache.spark.sql.types.DecimalType(18, scale))
-
-  /** Exact decimal SUM emitted as DOUBLE (comparator alignment — see
-    * CoreQueries.dsum). */
-  private def dsum(c: Column, scale: Int): Column = sum(dec(c, scale)).cast("double")
+  import Align.{dec, dsum}
 
   val all: Seq[Q] = Seq(
 
@@ -149,7 +143,7 @@ object OlapQueries {
         o.join(big, o("o_orderkey") === big("l_orderkey"))
           .join(c, o("o_custkey") === c("c_custkey"))
           .select(col("c_name"), col("o_orderkey"),
-            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate_s"),
+            Align.fmt(col("o_orderdate")).as("o_orderdate_s"),
             col("o_totalprice"), col("sum_qty"))
       },
       Some("""SELECT c_name, o_orderkey,

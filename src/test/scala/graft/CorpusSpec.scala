@@ -263,13 +263,18 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       (3L, "the cat sat on the rug"),
       (4L, "zyx wvu tsr qpo nml kji")
     ).toDF("doc_id", "text")
-    val out = CorpusFunctions.unigramLogProbScores(df, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rows = CorpusFunctions.unigramLogProbScores(df, "doc_id", "text")
+    val out = rows.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getAs[Double]("avg_logprob"),
+        r.getAs[Double]("sum_logprob")))).toMap
     assert(out.keySet == Set(1L, 2L, 3L, 4L))
     assert(out.forall(_._2._1 == 6L))                 // 6 tokens each
     assert(out(1L)._2 > out(4L)._2)                   // fluent >> gibberish
     // doc 1 repeats only corpus-common tokens → highest score of the three
     assert(out(1L)._2 >= out(2L)._2 && out(2L)._2 == out(3L)._2)
+    // the exact sum and the float average agree: avg == sum / n
+    out.values.foreach { case (n, avg, s2) =>
+      assert(math.abs(avg - s2 / n) < 1e-12) }
   }
 
   test("packSequences: whole docs, budget overflow by last doc only, jumbo docs") {
