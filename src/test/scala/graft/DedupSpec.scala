@@ -261,4 +261,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(clean(5L) == (("", 0L)))
     assert(clean(6L) == (("", 0L)))
   }
+
+  test("span stats and scrub agree: covered + kept == total, per doc") {
+    val s = spark
+    import s.implicits._
+    // randomized corpus over a 12-word vocabulary: plenty of accidental
+    // cross-doc 4-windows. Deterministic seed — reproducible on failure.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val corpus = (1L to 120L).map { id =>
+      val len = 2 + rnd.nextInt(30)
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val window = 4
+    val totals = corpus
+      .select(col("doc_id"), size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stats = DedupFunctions.repeatedSpanStats(corpus, "doc_id", "text", window)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap // covered_tokens
+    val kept = DedupFunctions.scrubRepeatedSpans(corpus, "doc_id", "text", window)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // n_tokens_kept
+    assert(stats.nonEmpty, "seeded corpus produced no repeated spans — vacuous")
+    assert(kept.keySet == totals.keySet, "scrub must pass every doc through")
+    totals.foreach { case (id, n) =>
+      val covered = stats.getOrElse(id, 0L)
+      assert(covered + kept(id) == n,
+        s"doc $id: covered=$covered kept=${kept(id)} total=$n")
+    }
+  }
 }
