@@ -67,6 +67,17 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     val conf = spark.sparkContext.hadoopConfiguration
     val wm = store.getOrCreate(id.scoped, config.strategy.name)
     try {
+      // converge any crashed MERGE/COMPACT swap first: if a previous
+      // directory-swap died between its two renames, the table's only copy
+      // is the `.__old` backup — an append load that ran without restoring
+      // it would rebuild a staged-rows-only target, and the NEXT recovery
+      // would then discard the backup as stale (silent loss of the table)
+      locally {
+        val tgt0 = new org.apache.hadoop.fs.Path(targetPath(id))
+        val fs0 = tgt0.getFileSystem(conf)
+        recoverSwap(fs0, tgt0, new org.apache.hadoop.fs.Path(targetPath(id) + ".__old"))
+        recoverBucketBackups(fs0, tgt0)
+      }
       // one recursive listing carries the byte sizes too (zero extra RPCs).
       // Sessions a crashed extract never committed are INVISIBLE here — their
       // rows re-extract under the advanced-cursor-less watermark, so loading
@@ -92,9 +103,11 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       // per-file validation gate: corrupt footers → quarantine, not failure.
       // The SAME footer open yields the row count, reused for sub-batch
       // accounting below — each footer is read exactly once per session.
+      // NonFatal only: an interrupt or OOM must ABORT the session, not
+      // quarantine perfectly valid files under a success status
       val rowsByFile: Map[String, Long] = fresh.flatMap { f =>
         try Some(f -> ParquetFooters.rowCount(f, conf))
-        catch { case _: Throwable => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       }.toMap
       val (valid, quarantined) = fresh.partition(rowsByFile.contains)
 
@@ -117,8 +130,18 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
         val i = p.indexOf("session=")
         if (i < 0) None else Some(p.substring(i).takeWhile(_ != '/'))
       }
+      // For session-tagged staging (the product path) a replay is a session
+      // that is partially blacklisted. Files staged WITHOUT session tags
+      // can't be distinguished that way — there, ANY blacklisted file in the
+      // staging dir means a prior partial load of this same file set, and
+      // re-truncating would wipe its installed sub-batches (their sources
+      // stay blacklisted → permanent loss). The cost of the conservative
+      // fallback: mixing a new untagged snapshot into a dir with loaded
+      // leftovers appends instead of replacing — stage snapshots into fresh
+      // dirs (or session dirs) to get replace semantics.
       val isReplay = valid.flatMap(sessionOf).toSet
-        .intersect(all.filter(blacklist).flatMap(sessionOf).toSet).nonEmpty
+        .intersect(all.filter(blacklist).flatMap(sessionOf).toSet).nonEmpty ||
+        (valid.exists(sessionOf(_).isEmpty) && all.exists(blacklist))
       if (valid.isEmpty && doTruncate) {
         if (all.isEmpty)
           fs.delete(new org.apache.hadoop.fs.Path(target), true)
@@ -265,12 +288,18 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
         val group = readGroupManifest(fs,
           new org.apache.hadoop.fs.Path(st.getPath, ManifestName))
         installCommitted(fs, target, st.getPath, h)
-        val installed = fs.listStatus(tgt)
-          .filter(_.getPath.getName.startsWith(s"b${h}_"))
-          .map(_.getPath.toString).toSeq
-        val rows = ParquetFooters.totalRows(installed, conf)
-        store.save(store.getOrCreate(id.scoped, config.strategy.name)
-          .afterLoadSession(group, rows, store.nowString()))
+        // the blacklist save is all-or-nothing per group; if it already
+        // committed (crash hit between the save and the commit-dir delete),
+        // saving again would double-add the group's rows to the cumulative
+        // counter and permanently skew the count-parity gate
+        val wmNow = store.getOrCreate(id.scoped, config.strategy.name)
+        if (group.exists(g => !wmNow.processedFileSet(g))) {
+          val installed = fs.listStatus(tgt)
+            .filter(_.getPath.getName.startsWith(s"b${h}_"))
+            .map(_.getPath.toString).toSeq
+          val rows = ParquetFooters.totalRows(installed, conf)
+          store.save(wmNow.afterLoadSession(group, rows, store.nowString()))
+        }
         fs.delete(st.getPath, true)
       }
     fs.listStatus(tgt).filter(_.getPath.getName.startsWith(".__inflight_"))
@@ -309,9 +338,13 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       val targetSchema = readTarget(spark, id).map(_.schema)
       val staged = SchemaEvolution(spark.read.parquet(fresh: _*),
         targetSchema, evolutionPolicy)
+      // countRows=false: the LoadResult's row accounting comes from the
+      // staged footers below; re-counting the whole merged TABLE here would
+      // cost a footer open per warehouse file on every CDC increment
       bucketsEff match {
-        case Some(n) => mergeIntoBucketed(spark, id, staged, keys, n)
-        case None    => mergeInto(spark, id, staged, keys)
+        case Some(n) => mergeIntoBucketed(spark, id, staged, keys, n,
+          countRows = false)
+        case None    => mergeInto(spark, id, staged, keys, countRows = false)
       }
       val rows = ParquetFooters.totalRows(fresh, conf)
       val bytes = ParquetFooters.totalBytes(fresh, conf)
@@ -340,9 +373,13 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     *
     * Scale note: the anti-join broadcasts the staged keys when small (the
     * usual CDC increment), so the 100 TB target is read+rewritten once and
-    * never shuffled on the join key. */
+    * never shuffled on the join key.
+    *
+    * Returns the merged table's row count (from the rewrite's own footers),
+    * or -1 when `countRows=false` (pipeline loads account rows from the
+    * staged footers instead — skipping a whole-table footer pass). */
   def mergeInto(spark: SparkSession, id: TableId, staged: DataFrame,
-                keys: Seq[String]): Long = {
+                keys: Seq[String], countRows: Boolean = true): Long = {
     val target = targetPath(id)
     val tgt = new org.apache.hadoop.fs.Path(target)
     val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -360,9 +397,9 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     }
     merged.write.mode(SaveMode.Overwrite)
       .option("compression", compression).parquet(newPath.toString)
-    val rows = ParquetFooters.totalRows(
+    val rows = if (countRows) ParquetFooters.totalRows(
       listParquetFiles(spark, newPath.toString),
-      spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext.hadoopConfiguration) else -1L
     if (fs.exists(tgt) && !fs.rename(tgt, oldPath))
       throw new java.io.IOException(s"swap failed: $tgt -> $oldPath")
     if (!fs.rename(newPath, tgt)) {
@@ -427,8 +464,10 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     * rows produces the same rows.
     */
   def mergeIntoBucketed(spark: SparkSession, id: TableId, staged: DataFrame,
-                        keys: Seq[String], buckets: Int = 64): Long = {
+                        keys: Seq[String], buckets: Int = 64,
+                        countRows: Boolean = true): Long = {
     require(buckets > 0, "buckets must be positive")
+    def countIf(): Long = if (countRows) targetRowCount(spark, id) else -1L
     val target = targetPath(id)
     val conf = spark.sparkContext.hadoopConfiguration
     val tgt = new org.apache.hadoop.fs.Path(target)
@@ -450,7 +489,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       withBucket.write.mode(SaveMode.Overwrite)
         .option("compression", compression)
         .partitionBy(BucketCol).parquet(target)
-      return targetRowCount(spark, id)
+      return countIf()
     }
 
     // migration path: an existing NON-bucketed target is converted with one
@@ -480,12 +519,12 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       if (!fs.exists(tgt))
         throw new java.io.IOException(s"swap verification failed: $tgt absent")
       fs.delete(oldRoot0, true)
-      return targetRowCount(spark, id)
+      return countIf()
     }
 
     val affected = withBucket.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted
-    if (affected.isEmpty) return targetRowCount(spark, id)
+    if (affected.isEmpty) return countIf()
 
     // partition pruning keeps the read to the affected bucket dirs only
     val existing = spark.read.parquet(target)
@@ -518,7 +557,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       fs.delete(oldB, true)
     }
     fs.delete(newRoot, true)
-    targetRowCount(spark, id)
+    countIf()
   }
 
   /** Compact a warehouse table's accumulated small files (the long-run cost

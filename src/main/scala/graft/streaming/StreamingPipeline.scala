@@ -44,7 +44,7 @@ object StreamingPipeline {
                         checkpointDir: String, queryName: String,
                         statePartitions: Option[Int] = Some(8)): DataFrame = {
     val batchSchema = spark.read.parquet(eventsPath).schema
-    val streamDir = streamSourceDir(eventsPath)
+    val streamDir = streamSourceDir(eventsPath, checkpointDir)
     val stream = spark.readStream
       .schema(batchSchema)
       .parquet(streamDir)
@@ -136,12 +136,22 @@ object StreamingPipeline {
 
   /** The file-stream source monitors DIRECTORIES. A single-file input (the
     * fixture layout) is staged as a symlink inside a scratch dir so the
-    * stream still reads the original bytes in place. */
-  private def streamSourceDir(path: String): String = {
+    * stream still reads the original bytes in place.
+    *
+    * The scratch dir is DERIVED FROM THE CHECKPOINT, not a fresh temp dir:
+    * the file-source offset log records absolute paths, so a re-run against
+    * the same checkpoint must present the file under the SAME path or the
+    * source treats it as brand new and re-ingests every row (doubling all
+    * stateful aggregates/totals on recovery). */
+  private def streamSourceDir(path: String, checkpointDir: String): String = {
     val f = new java.io.File(path)
     if (f.isFile) {
-      val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
-      java.nio.file.Files.createSymbolicLink(d.resolve(f.getName), f.toPath)
+      val d = java.nio.file.Paths.get(checkpointDir + "_src")
+      java.nio.file.Files.createDirectories(d)
+      val link = d.resolve(f.getName)
+      if (!java.nio.file.Files.exists(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(link, f.toPath)
       d.toString
     } else path
   }
@@ -205,7 +215,7 @@ object StreamingPipeline {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = spark.read.parquet(eventsDir).schema
     val stream = spark.readStream.schema(schema)
-      .parquet(streamSourceDir(eventsDir))
+      .parquet(streamSourceDir(eventsDir, checkpointDir))
       .select(col("user_id").cast("long"), col("event_id").cast("long"))
       .as[(Long, Long)]
     val counted = stream
@@ -217,17 +227,14 @@ object StreamingPipeline {
           (user, total)
       }
     // foreachBatch sink: unlike the memory sink it SUPPORTS checkpoint
-    // recovery, which is the whole point here. Update mode → each run
-    // surfaces the groups whose state changed in that run. Each batch's
-    // updates land DISTRIBUTED in a per-run `batch=<id>` dir (overwrite →
-    // replay-idempotent); the run's result is read back latest-batch-wins
-    // per user. The driver never materializes a single row.
-    // previous runs' update scratch is never read again — clear it so runs
-    // don't accumulate dirs under the checkpoint
-    val updatesRoot = new org.apache.hadoop.fs.Path(s"${checkpointDir}_updates")
-    updatesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(updatesRoot, true)
-    val runDir = s"${checkpointDir}_updates/$queryName"
+    // recovery, which is the whole point here. Update mode → each batch
+    // surfaces the users whose state changed; each batch FOLDS its updates
+    // into the previous full snapshot (same compacted-state protocol as the
+    // hourly rollup), so the sink always holds the COMPLETE totals — a
+    // crash-recovery run that replays zero batches still reads back every
+    // user, and superseded snapshots are pruned as they're replaced. The
+    // driver never materializes a single row.
+    val sinkDir = s"${checkpointDir}_state/$queryName"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
@@ -235,8 +242,8 @@ object StreamingPipeline {
       val q = counted.writeStream
         .outputMode(OutputMode.Update())
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long)], batchId: Long) =>
-          batch.toDF("user_id", "total_events")
-            .write.mode("overwrite").parquet(s"$runDir/batch=$batchId")
+          compactStateSnapshot(batch.toDF("user_id", "total_events"), batchId,
+            sinkDir, Seq("user_id"))
           ()
         }
         .option("checkpointLocation", checkpointDir)
@@ -244,14 +251,10 @@ object StreamingPipeline {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    val runPath = new org.apache.hadoop.fs.Path(runDir)
-    val fs = runPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(runPath))
-      spark.emptyDataset[(Long, Long)].toDF("user_id", "total_events")
-    else
-      spark.read.parquet(runDir) // `batch` surfaces as a partition column
-        .groupBy("user_id")
-        .agg(max_by(col("total_events"), col("batch")).as("total_events"))
+    latestSnapshotDir(spark, sinkDir) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None => spark.emptyDataset[(Long, Long)].toDF("user_id", "total_events")
+    }
   }
 
   /** Streaming ingestion dedup: drop exact-duplicate documents AS THEY
@@ -274,7 +277,7 @@ object StreamingPipeline {
     val batchSchema = spark.read.parquet(docsPath).schema
     val stream = spark.readStream
       .schema(batchSchema)
-      .parquet(streamSourceDir(docsPath))
+      .parquet(streamSourceDir(docsPath, checkpointDir))
       .select(graft.functions.TextFunctions.fingerprintMd5(col(textCol))
         .as("fingerprint"))
       .dropDuplicates("fingerprint")
@@ -315,7 +318,7 @@ object StreamingPipeline {
                               horizonMinutes: Int = 60,
                               statePartitions: Option[Int] = Some(8)): DataFrame = {
     val batchSchema = spark.read.parquet(eventsPath).schema
-    val srcDir = streamSourceDir(eventsPath)
+    val srcDir = streamSourceDir(eventsPath, checkpointDir)
     def side(kind: String, prefix: String) = spark.readStream
       .schema(batchSchema)
       .parquet(srcDir)

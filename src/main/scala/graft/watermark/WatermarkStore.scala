@@ -36,11 +36,16 @@ class WatermarkStore(rootDir: String,
 
   private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 
-  /** Key scoping like the reference: one doc per (table, target). */
+  /** Key scoping like the reference: one doc per (table, target). The md5
+    * suffix keeps names that sanitize identically (`a.b_c` vs `a_b.c`) from
+    * silently SHARING one watermark/blacklist/lock document. */
   private[watermark] def docPath(tableName: String, target: String): Path = {
-    val safe = (tableName + "_" + target).toLowerCase
-      .replaceAll("[^a-z0-9_]", "_")
-    new Path(rootDir, s"$safe.json")
+    val raw = tableName + "_" + target
+    val safe = raw.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
+    new Path(rootDir, s"${safe}_$tag.json")
   }
 
   private def lockPath(tableName: String, target: String): Path =
@@ -148,16 +153,49 @@ class WatermarkStore(rootDir: String,
     val p = lockPath(tableName, target)
     val f = fs(p)
     if (f.exists(p)) {
-      val age = System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+      val age = try {
+        System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+      } catch {
+        // vanished between exists and stat: someone else just released or
+        // broke it — treat as contended, let the caller retry
+        case _: java.io.FileNotFoundException => return None
+      }
       if (staleLockTtlMs <= 0 || age <= staleLockTtlMs) return None
-      f.delete(p, false) // abandoned: owner stopped heartbeating a TTL ago
+      // abandoned (owner stopped heartbeating a full TTL ago). Break it by
+      // ATOMIC RENAME to a unique tombstone: of N concurrent breakers only
+      // one rename succeeds, so a loser can never delete the winner's
+      // freshly-created lock (the delete-then-create race). The tombstone is
+      // removed by the winner after its own lock is committed below.
+      val tomb = new Path(p.getParent,
+        s".${p.getName}.broken_${java.util.UUID.randomUUID().toString.take(8)}")
+      val won = try f.rename(p, tomb) catch { case _: java.io.IOException => false }
+      if (!won) return None
+      f.delete(tomb, false)
     }
     {
       val token = java.util.UUID.randomUUID().toString
       val owner =
         s"""{"uuid":"$token","pid":${ProcessHandle.current().pid()},"hostname":"${java.net.InetAddress.getLocalHost.getHostName}","acquired_at":"${now()}"}"""
-      try {
-        // create(path, overwrite=false) is atomic on HDFS/local; close to commit
+      val scheme = Option(p.toUri.getScheme).getOrElse("file")
+      if (scheme == "file") {
+        // Hadoop's LOCAL create(path, overwrite=false) is exists-check-then-
+        // create — two racers can both "succeed" (and read-back verification
+        // can't catch serialized overwrites). O_EXCL via NIO is the real
+        // single-winner primitive on a local/NFS path.
+        try {
+          val local = java.nio.file.Paths.get(p.toUri.getPath)
+          java.nio.file.Files.createDirectories(local.getParent)
+          java.nio.file.Files.write(local,
+            owner.getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          Some(token)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => None
+          case _: java.io.IOException => None
+        }
+      } else try {
+        // HDFS create(overwrite=false) IS atomic; S3A is last-writer-wins
+        // (documented limitation — pair with short TTLs there)
         val out = f.create(p, false)
         try out.write(owner.getBytes(StandardCharsets.UTF_8)) finally out.close()
         Some(token)
@@ -218,10 +256,20 @@ class WatermarkStore(rootDir: String,
       try {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(interval)
-          val f = fs(p)
-          if (f.exists(p)) {
-            val nowMs = System.currentTimeMillis()
-            f.setTimes(p, nowMs, nowMs)
+          // a transient FS error (S3A throttle, momentary NN failover) must
+          // not kill the beat — a dead heartbeat makes a LIVE session's lock
+          // age out and get auto-broken, which is the exact double-sync this
+          // thread exists to prevent. Skip the tick and try again.
+          try {
+            val f = fs(p)
+            if (f.exists(p)) {
+              val nowMs = System.currentTimeMillis()
+              f.setTimes(p, nowMs, nowMs)
+            }
+          } catch {
+            // NonFatal excludes InterruptedException — interrupts still
+            // terminate the thread through the outer catch
+            case scala.util.control.NonFatal(_) => ()
           }
         }
       } catch { case _: InterruptedException => () }

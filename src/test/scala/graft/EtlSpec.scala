@@ -424,4 +424,92 @@ class EtlSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(store.get(id.scoped).get.mysql_state.status == "failed")
   }
+
+  test("append load after a crashed merge swap restores the backup first") {
+    // crash window: mergeInto died between rename(target -> .__old) and
+    // rename(.__new -> target). The table's only copy is the backup. An
+    // append load must restore it BEFORE reading the target — otherwise it
+    // rebuilds a staged-rows-only table and the next recovery discards the
+    // backup as stale (the table silently vanishes).
+    val (_, _, extractor, loader) = rig()
+    extractor.extract(spark, id, events.limit(100), cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    val tgt = new org.apache.hadoop.fs.Path(loader.targetPath(id))
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(tgt, new org.apache.hadoop.fs.Path(
+      loader.targetPath(id) + ".__old")), "simulated crash rename failed")
+    // next increment arrives and loads
+    extractor.extract(spark, id, events.filter(col("event_id") > 100).limit(50), cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    assert(loader.readTarget(spark, id).get.count() == 150,
+      "pre-crash rows lost: backup was not restored before the append")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      loader.targetPath(id) + ".__old")), "stale backup left behind")
+  }
+
+  test("leftover commit dir of an already-counted group never double-counts") {
+    // crash window: blacklist save SUCCEEDED, commit-dir delete died. The
+    // next session's recovery must adopt the dir without re-adding the
+    // group's rows to the cumulative counter.
+    val (_, store, extractor, loader) = rig()
+    extractor.extract(spark, id, events.limit(100), cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    val wm0 = store.get(id.scoped).get
+    val total0 = wm0.redshift_state.total_rows
+    val group = wm0.processed_files.sorted
+    // resurrect the commit dir exactly as the crash would leave it: manifest
+    // naming the (already blacklisted, already installed) group
+    val h = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(group.mkString("\n").getBytes("UTF-8"))
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    }
+    val commitDir = new java.io.File(loader.targetPath(id), s".__commit_$h")
+    assert(commitDir.mkdirs())
+    java.nio.file.Files.write(
+      commitDir.toPath.resolve("_graft_group.txt"),
+      group.mkString("\n").getBytes("UTF-8"))
+    // fresh work so the load proceeds past the no-op early return
+    extractor.extract(spark, id, events.filter(col("event_id") > 100).limit(40), cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    val total1 = store.get(id.scoped).get.redshift_state.total_rows
+    assert(total1 == total0 + 40,
+      s"cumulative counter drifted: $total0 -> $total1 (expected +40)")
+    assert(!commitDir.exists(), "recovered commit dir not cleaned up")
+  }
+
+  test("session-less truncate replay never wipes installed sub-batches") {
+    // full_sync replace over files staged WITHOUT session= tags (the
+    // non-product path load() still supports): a crash after sub-batch 1's
+    // blacklist save must not re-truncate on replay — file 1 stays
+    // blacklisted, so its rows would be unrecoverable.
+    val root = tmpDir("snless")
+    class CrashingStore(dir: String) extends WatermarkStore(dir) {
+      @volatile var failuresLeft = 0
+      override def save(w: graft.watermark.Watermark,
+                        target: String = "default"): Unit = {
+        if (failuresLeft > 0 && w.redshift_state.status == "success") {
+          failuresLeft -= 1
+          super.save(w, target) // the save COMMITS...
+          throw new java.io.IOException("crash after save")
+        } else super.save(w, target)
+      }
+    }
+    val store = new CrashingStore(s"$root/wm")
+    val loader = new Loader(store, s"$root/warehouse", commitBatchFiles = 1)
+    val staging = s"$root/flat_staging"
+    // two single-file session-less staged parquets
+    events.limit(30).coalesce(1).write.parquet(s"$staging/p1")
+    events.filter(col("event_id") > 30).limit(20).coalesce(1)
+      .write.parquet(s"$staging/p2")
+    val full = CdcConfig(CdcStrategyKind.FullSync)
+    store.failuresLeft = 1 // die right after sub-batch 1 commits
+    intercept[java.io.IOException] {
+      loader.load(spark, id, staging, full, truncate = true)
+    }
+    // replay: must keep sub-batch 1's installed rows and add the rest
+    loader.load(spark, id, staging, full, truncate = true)
+    assert(loader.readTarget(spark, id).get.count() == 50,
+      "replay re-truncated and lost the first sub-batch")
+  }
 }

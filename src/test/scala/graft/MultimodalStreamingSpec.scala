@@ -180,6 +180,28 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(!r2.contains(20L))   // unchanged group not re-emitted (Update mode)
   }
 
+  test("stateful totals: re-run on the same checkpoint neither doubles nor forgets") {
+    val s = spark; import s.implicits._
+    // SINGLE-FILE input: the symlink staging dir must be stable across runs
+    // (a fresh temp dir per run makes the file-source re-ingest the file and
+    // double every total); and the snapshot sink must survive the re-run so
+    // a recovery pass that replays zero batches still returns every user
+    val dir = tmpDir("rerun_src")
+    Seq((10L, 1L), (10L, 2L), (20L, 3L)).toDF("user_id", "event_id")
+      .coalesce(1).write.parquet(s"$dir/ev")
+    val file = new java.io.File(s"$dir/ev").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val ckpt = tmpDir("rerun_ckpt") + "/ckpt"
+    val name = s"rerun_${System.nanoTime()}"
+    def run() = StreamingPipeline.statefulUserCounts(spark, file, ckpt, name)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = run()
+    assert(first == Map(10L -> 2L, 20L -> 1L))
+    val second = run() // zero new batches — pure recovery read
+    assert(second == first,
+      s"re-run changed the totals: $first -> $second")
+  }
+
   test("stream-stream interval join: batch-equal, re-run adds nothing") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val ckpt = java.nio.file.Files

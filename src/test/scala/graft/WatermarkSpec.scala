@@ -180,4 +180,44 @@ class WatermarkSpec extends AnyFunSuite with SparkTestBase {
     assert(r.processed_files == List("fileA"))
     assert(store.get("t").get.mysql_state.last_id.isEmpty)
   }
+
+  test("store: concurrent stale-lock breakers — exactly one wins") {
+    // the delete-then-create race: breaker B must never delete the lock
+    // breaker A just created. The rename-to-tombstone break makes the race
+    // single-winner; everyone else sees the table as locked.
+    val dir = tmpDir("race")
+    val store = new WatermarkStore(dir, staleLockTtlMs = 200)
+    assert(store.tryLock("t").isDefined)
+    val lockFile = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".lock")).get
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 10000))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val tokens = try {
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Option[String]] {
+          def call(): Option[String] = { gate.await(); store.tryLock("t") }
+        })
+      }
+      gate.countDown()
+      futures.map(_.get())
+    } finally pool.shutdown()
+    assert(tokens.count(_.isDefined) == 1,
+      s"${tokens.count(_.isDefined)} breakers acquired the same lock")
+    // the winner's lock is live: nobody else can take it
+    assert(store.tryLock("t").isEmpty)
+  }
+
+  test("store: names that sanitize identically get DISTINCT documents") {
+    // 'a.b_c' and 'a_b.c' both flatten to a_b_c — without disambiguation
+    // they'd share one watermark: one table's blacklist would suppress the
+    // other's loads with no error surfaced
+    val store = new WatermarkStore(tmpDir("collide"))
+    val w1 = store.getOrCreate("conn:a.b_c", "hybrid")
+    store.save(w1.afterLoadSession(Seq("f1"), 5, store.nowString()))
+    val w2 = store.getOrCreate("conn:a_b.c", "hybrid")
+    assert(w2.processed_files.isEmpty,
+      "distinct tables are sharing one watermark document")
+    assert(store.get("conn:a.b_c").get.processed_files == List("f1"))
+  }
 }
