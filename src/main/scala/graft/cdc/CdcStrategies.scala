@@ -22,9 +22,13 @@ final case class ScanSpec(predicate: Option[Column], orderBy: Seq[Column],
     // sort of a 100 TB scan would be a full range-shuffle for nothing — the
     // cursor is recovered with max(struct(ts,id)) instead (SURVEY §4 "sort for
     // resumability").
+    // clamp, don't truncate: a Long cap above Int.MaxValue must mean
+    // "effectively unbounded", not a silent 32-bit wrap (negative limits
+    // throw; positive wraps silently cap the run)
+    def cap(n: Long): Int = math.min(n, Int.MaxValue.toLong).toInt
     limit match {
-      case Some(n) if orderBy.nonEmpty => filtered.orderBy(orderBy: _*).limit(n.toInt)
-      case Some(n) => filtered.limit(n.toInt)
+      case Some(n) if orderBy.nonEmpty => filtered.orderBy(orderBy: _*).limit(cap(n))
+      case Some(n) => filtered.limit(cap(n))
       case None => filtered
     }
   }
@@ -121,10 +125,17 @@ final case class HybridStrategy(config: CdcConfig) extends CdcStrategy {
   }
 
   def extractCursor(batch: DataFrame): Cursor = {
-    // single-pass distributed reduction; no sort, no collect of data rows
+    // single-pass distributed reduction; no sort, no collect of data rows.
+    // Epoch-seconds ts columns (timestamp_is_unix_epoch) are BIGINT — they
+    // must convert before date_format or the plan fails analysis (the same
+    // branch maxTsString takes for TimestampOnly).
+    val tsField = col("m").getField(tsColName)
+    val tsString =
+      if (config.timestampIsUnixEpoch)
+        date_format(to_timestamp(tsField), "yyyy-MM-dd HH:mm:ss")
+      else date_format(tsField, CdcStrategy.CursorTsFormat)
     val row = batch.agg(max(struct(col(tsColName), col(idColName))).as("m"))
-      .select(
-        date_format(col("m").getField(tsColName), CdcStrategy.CursorTsFormat).as("ts"),
+      .select(tsString.as("ts"),
         col("m").getField(idColName).cast("long").as("id"))
       .head()
     if (row.isNullAt(0) && row.isNullAt(1)) Cursor()
@@ -150,12 +161,17 @@ final case class IdOnlyStrategy(config: CdcConfig) extends CdcStrategy {
 }
 
 /** S4 — full sync (ref cdc_strategy_engine.py:581-768). `paginate` mode
-  * dissolves into Spark's partitioned scan; `replace` signals target truncate. */
+  * dissolves into Spark's partitioned scan; `replace` signals target truncate.
+  *
+  * `maxRowsPerRun` is IGNORED here by design: the reference paginated
+  * LIMIT/OFFSET chunks within one session until the table was exhausted;
+  * Spark stages the whole snapshot in one distributed pass, so a per-run cap
+  * would take an ARBITRARY n-row subset with a cursor that never advances —
+  * every sync would re-stage (roughly) the same rows and an append-mode load
+  * would duplicate them without ever completing the table. */
 final case class FullSyncStrategy(config: CdcConfig) extends CdcStrategy {
   def requiredColumns: Seq[String] = Nil
-  def scanSpec(cursor: Cursor): ScanSpec =
-    ScanSpec(additionalPred, Nil,
-      if (config.fullSyncMode == FullSyncMode.Replace) None else config.maxRowsPerRun)
+  def scanSpec(cursor: Cursor): ScanSpec = ScanSpec(additionalPred, Nil, None)
   def extractCursor(batch: DataFrame): Cursor = Cursor()
 }
 

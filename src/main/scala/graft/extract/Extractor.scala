@@ -163,21 +163,40 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
   private def datetimePartitionCols(df: DataFrame, config: CdcConfig, id: TableId)
       : Option[(DataFrame, Seq[String])] = {
     def pad2(c: org.apache.spark.sql.Column) = format_string("%02d", c)
+    // withColumn on an existing name REPLACES it — a source column named
+    // 'year'/'hour'/... would be silently overwritten by the derived value
+    // and then stripped into the directory structure: its real data would
+    // never reach the staged leaf files. Refuse loudly instead.
+    def requireNoClash(derived: Seq[String]): Unit = {
+      val clash = df.columns.map(_.toLowerCase).toSet.intersect(derived.toSet)
+      require(clash.isEmpty,
+        s"source columns ${clash.mkString(",")} collide with the " +
+          s"$partitionStrategy staging layout's derived partition columns; " +
+          "rename them or use the 'table' partition strategy")
+    }
+    // epoch-seconds CDC columns are BIGINT: convert before the calendar
+    // functions or the write plan fails analysis
+    def tsExpr(ts: String) =
+      if (config.timestampIsUnixEpoch) to_timestamp(col(ts)) else col(ts)
     (partitionStrategy, config.timestampColumn) match {
       case (PartitionStrategy.Datetime, Some(ts)) =>
+        requireNoClash(Seq("year", "month", "day", "hour"))
+        val t = tsExpr(ts)
         val withParts = df
-          .withColumn("year", year(col(ts)))
-          .withColumn("month", pad2(month(col(ts))))
-          .withColumn("day", pad2(dayofmonth(col(ts))))
-          .withColumn("hour", pad2(hour(col(ts))))
+          .withColumn("year", year(t))
+          .withColumn("month", pad2(month(t)))
+          .withColumn("day", pad2(dayofmonth(t)))
+          .withColumn("hour", pad2(hour(t)))
         Some((withParts, Seq("year", "month", "day", "hour")))
       case (PartitionStrategy.Hybrid, Some(ts)) =>
+        requireNoClash(Seq("year", "month", "table", "day", "hour"))
+        val t = tsExpr(ts)
         val withParts = df
-          .withColumn("year", year(col(ts)))
-          .withColumn("month", pad2(month(col(ts))))
+          .withColumn("year", year(t))
+          .withColumn("month", pad2(month(t)))
           .withColumn("table", lit(id.table))
-          .withColumn("day", pad2(dayofmonth(col(ts))))
-          .withColumn("hour", pad2(hour(col(ts))))
+          .withColumn("day", pad2(dayofmonth(t)))
+          .withColumn("hour", pad2(hour(t)))
         Some((withParts, Seq("year", "month", "table", "day", "hour")))
       case _ => None
     }

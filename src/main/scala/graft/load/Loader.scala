@@ -82,15 +82,17 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       // Sessions a crashed extract never committed are INVISIBLE here — their
       // rows re-extract under the advanced-cursor-less watermark, so loading
       // the orphans too would duplicate them.
-      val allWithSize = listParquetFilesWithSize(spark, stagedDir)
+      val allMeta = listParquetFilesMeta(spark, stagedDir)
         .filter(f => wm.isSessionLoadable(f._1))
-      val sizeByFile = allWithSize.toMap
-      val all = allWithSize.map(_._1)
+      val sizeByFile = allMeta.map(f => f._1 -> f._2).toMap
+      val all = allMeta.map(_._1)
       val blacklist = wm.processedFileSet
       // newest-first trim (O4, ref gemini_redshift_loader.py:488-492): a huge
-      // backlog can't starve fresh data; older files load in later sessions
+      // backlog can't starve fresh data; older files load in later sessions.
+      // The mtimes come from the listing above — zero extra RPCs.
       val fresh = maxFilesPerLoad match {
-        case Some(cap) => Maintenance.newestFirst(all.filterNot(blacklist), cap, conf)
+        case Some(cap) => Maintenance.newestFirst(
+          allMeta.filterNot(f => blacklist(f._1)).map(f => (f._1, f._3)), cap)
         case None => all.filterNot(blacklist)
       }
       val target = targetPath(id)
@@ -681,7 +683,14 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     * crash-recovery artifacts like `.__old_<b>` never double-count rows in
     * the parity gate. */
   private def listParquetFilesWithSize(spark: SparkSession,
-                                       dir: String): Seq[(String, Long)] = {
+                                       dir: String): Seq[(String, Long)] =
+    listParquetFilesMeta(spark, dir).map(f => (f._1, f._2))
+
+  /** (path, bytes, modificationTime) — the LocatedFileStatus carries all
+    * three, so downstream consumers (size accounting, newest-first trim)
+    * never re-stat a file. */
+  private def listParquetFilesMeta(spark: SparkSession,
+                                   dir: String): Seq[(String, Long, Long)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Nil
@@ -698,11 +707,11 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
         false
       }
       val it = fs.listFiles(path, true)
-      val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
       while (it.hasNext) {
         val f = it.next()
         if (f.getPath.getName.endsWith(".parquet") && !underHidden(f.getPath))
-          buf += ((f.getPath.toString, f.getLen))
+          buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
       }
       buf.sortBy(_._1).toSeq
     }

@@ -43,23 +43,35 @@ object Maintenance {
       mtime < olderThanMs && !protectedSet.contains(p)
     }
     var freed = 0L
-    val deleted = victims.map { case (p, _, len) =>
-      if (!dryRun) p.getFileSystem(conf).delete(p, false)
-      freed += len
-      p.toString
+    // report only what was ACTUALLY removed: a concurrent deletion or an FS
+    // refusal returns false, and counting it as freed bytes would make the
+    // ops report claim space that is still occupied
+    val deleted = victims.flatMap { case (p, _, len) =>
+      val gone = dryRun || p.getFileSystem(conf).delete(p, false)
+      if (gone) { freed += len; Some(p.toString) } else None
     }
     CleanReport(all.size, deleted, keepNewest.min(all.size), freed)
   }
 
   /** Newest-first trim (O4): return the `maxFiles` most recently modified
     * files of a listing — the reference caps a load session at the newest N
-    * files so a huge backlog can't starve fresh data. */
+    * files so a huge backlog can't starve fresh data.
+    *
+    * Prefer the (path, mtime) overload when the caller just listed the
+    * files: the recursive listing's LocatedFileStatus already carried the
+    * mtime, and this form re-stats every file — O(files) extra namenode/S3
+    * RPCs per session on a large backlog. */
   def newestFirst(files: Seq[String], maxFiles: Int,
                   conf: Configuration = new Configuration()): Seq[String] = {
     if (files.size <= maxFiles) return files
-    files.map { f =>
+    newestFirst(files.map { f =>
       val p = new Path(f)
       (f, p.getFileSystem(conf).getFileStatus(p).getModificationTime)
-    }.sortBy(-_._2).take(maxFiles).map(_._1)
+    }, maxFiles)
   }
+
+  /** RPC-free form: trim an already-listed (path, modificationTime) set. */
+  def newestFirst(files: Seq[(String, Long)], maxFiles: Int): Seq[String] =
+    if (files.size <= maxFiles) files.map(_._1)
+    else files.sortBy(-_._2).take(maxFiles).map(_._1)
 }

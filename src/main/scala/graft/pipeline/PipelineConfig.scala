@@ -53,6 +53,7 @@ final case class Pipeline(
     description: String,
     source: String,                            // jdbc: url or file dir
     sourceFormat: String = "parquet",          // parquet | json | csv (file dirs)
+    sourceNanosAsLong: Boolean = false,        // TIMESTAMP(NANOS) parquet → ns longs
     target: String,
     defaultStrategy: CdcStrategyKind,
     processing: ProcessingSettings,
@@ -185,6 +186,7 @@ object PipelineConfig {
       description = str(p, "description", ""),
       source = str(p, "source", "default"),
       sourceFormat = str(p, "source_format", "parquet"),
+      sourceNanosAsLong = opt(p, "source_nanos_as_long").exists(_.asBoolean),
       target = str(p, "target", "default"),
       defaultStrategy = defaultStrategy,
       processing = processing,

@@ -37,13 +37,16 @@ trait SourceCatalog {
   * `parquet` is the fixture/warehouse norm; `json` (JSONL) and `csv` cover
   * the common training-data delivery formats — the same CDC predicates and
   * load path apply unchanged. */
-final class FileCatalog(root: String, format: String = "parquet")
-    extends SourceCatalog {
+final class FileCatalog(root: String, format: String = "parquet",
+                        nanosAsLong: Boolean = false) extends SourceCatalog {
   def table(spark: SparkSession, spec: TableSpec): DataFrame = {
     val bare = spec.name.split("\\.").last
     format match {
       case "parquet" =>
-        if (bare == "events")
+        // TIMESTAMP(NANOS) parquet sources (YAML `source_nanos_as_long`):
+        // surfaced as epoch-ns longs. A session-level legacy toggle — scoped
+        // to the pipeline's own config, never keyed on a table's NAME.
+        if (nanosAsLong)
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$root/$bare.parquet")
       case "json" =>
@@ -128,7 +131,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
 
   def catalogFor(p: Pipeline): SourceCatalog =
     if (p.source.startsWith("jdbc:")) new JdbcCatalog(p.source)
-    else new FileCatalog(p.source, p.sourceFormat)
+    else new FileCatalog(p.source, p.sourceFormat, p.sourceNanosAsLong)
 
   /** Run the whole pipeline (extract+load per table). `tableFilter` narrows to
     * one table (CLI `-t`). */
@@ -144,10 +147,18 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     // so a fact increment never joins against a stale dimension snapshot.
     // Within each phase, parallel mode applies.
     val (dims, facts) = specs.partition(_.tableType == TableType.Dimension)
+    // `strategy: parallel` is honored even when max_parallel_tables is left
+    // at its default (pool falls back to the phase size, capped at 4);
+    // max_parallel_tables > 1 alone also enables it (back-compat).
+    val wantParallel = p.processing.strategy.equalsIgnoreCase("parallel") ||
+      p.processing.maxParallelTables > 1
     def runPhase(phase: Seq[TableSpec]): Seq[TableReport] =
-      if (p.processing.maxParallelTables > 1 && phase.size > 1)
-        runParallel(p, phase, cat, extractor, loader)
-      else
+      if (wantParallel && phase.size > 1) {
+        val pool =
+          if (p.processing.maxParallelTables > 1) p.processing.maxParallelTables
+          else math.min(phase.size, 4)
+        runParallel(p, phase, cat, extractor, loader, pool)
+      } else
         phase.map(runTable(p, _, cat, extractor, loader))
     val reports = runPhase(dims) ++ runPhase(facts)
 
@@ -179,8 +190,13 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
         // append-style loads (replace resets the target but not the counter).
         // The count comes from parquet FOOTERS — O(files) metadata reads, not
         // a full scan of the warehouse per sync.
+        // ...and only for APPEND loads: merge-mode dedups by key, so the
+        // cumulative counter (which counts every staged row, updates
+        // included) legitimately exceeds the warehouse count — the gate
+        // would false-fail every merge table after its first update row
         val parity: Option[Boolean] =
-          if (spec.countCheck && !spec.cdc.requiresTruncateBeforeLoad) {
+          if (spec.countCheck && !spec.cdc.requiresTruncateBeforeLoad &&
+              spec.mergeKeys.isEmpty) {
             val targetRows = loader.targetRowCount(spark, id)
             val wmRows = extractor.store.get(id.scoped)
               .map(_.redshift_state.total_rows).getOrElse(0L)
@@ -204,8 +220,9 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     * Requires spark.scheduler.mode=FAIR for true pool fairness; with the
     * default FIFO it still overlaps stages, just unweighted. */
   private def runParallel(p: Pipeline, specs: Seq[TableSpec], cat: SourceCatalog,
-                          extractor: Extractor, loader: Loader): Seq[TableReport] = {
-    val pool = Executors.newFixedThreadPool(p.processing.maxParallelTables)
+                          extractor: Extractor, loader: Loader,
+                          poolSize: Int): Seq[TableReport] = {
+    val pool = Executors.newFixedThreadPool(poolSize)
     try {
       val futures = specs.map { spec =>
         pool.submit(new java.util.concurrent.Callable[TableReport] {

@@ -124,6 +124,45 @@ class CdcChunkingSpec extends AnyFunSuite with SparkTestBase {
       Set(5L, 6L, 7L, 8L, 9L))
   }
 
+  test("HYBRID unix-epoch variant: keyset scan + cursor round-trip") {
+    // the hybrid cursor reduction must take the same epoch branch the
+    // timestamp-only strategy does — date_format on the raw BIGINT fails
+    // analysis, so every hybrid+epoch extract would die after staging
+    val s = spark
+    import s.implicits._
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    val df = (0L until 10L).map(i => (base + (i / 2) * 3600, i)).toDF("ts", "id")
+    val cfg = CdcConfig(CdcStrategyKind.Hybrid,
+      timestampColumn = Some("ts"), idColumn = Some("id"),
+      timestampIsUnixEpoch = true)
+    val strategy = CdcStrategy(cfg)
+    assert(strategy.scanSpec(Cursor())(df).count() == 10)
+    val cursor = strategy.extractCursor(df)
+    assert(cursor.lastTimestamp.contains("2024-01-01 04:00:00"))
+    assert(cursor.lastId.contains(9L))
+    assert(strategy.scanSpec(cursor)(df).count() == 0)
+    // resume at an equal-timestamp boundary: (04:00, id=8) → only id 9 left
+    val mid = strategy.scanSpec(
+      Cursor(Some("2024-01-01 04:00:00"), Some(8L)))(df)
+    assert(mid.select("id").collect().map(_.getLong(0)).toSet == Set(9L))
+  }
+
+  test("full_sync ignores max_rows_per_run (pagination dissolved by design)") {
+    val cfg = CdcConfig(CdcStrategyKind.FullSync, maxRowsPerRun = Some(3L))
+    val spec = CdcStrategy(cfg).scanSpec(Cursor())
+    assert(spec.limit.isEmpty,
+      "a row cap on a full snapshot would re-stage the same arbitrary subset forever")
+  }
+
+  test("scan limit clamps Long caps instead of wrapping to negative") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 5L).toDF("id")
+    val cfg = CdcConfig(CdcStrategyKind.IdOnly, idColumn = Some("id"),
+      maxRowsPerRun = Some(3000000000L)) // toInt would wrap negative
+    assert(CdcStrategy(cfg).scanSpec(Cursor())(df).count() == 5)
+  }
+
   test("timestamp-only chunking converges (coarse cursor, no dup guarantee lost)") {
     // ts-only CANNOT split equal-ts runs safely; verify it still covers all
     // rows when chunk boundaries align with distinct timestamps

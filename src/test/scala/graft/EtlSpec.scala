@@ -425,6 +425,51 @@ class EtlSpec extends AnyFunSuite with SparkTestBase {
     assert(store.get(id.scoped).get.mysql_state.status == "failed")
   }
 
+  test("datetime layout refuses source columns that collide with derived partitions") {
+    // withColumn would silently REPLACE a real 'hour' column with the
+    // derived partition value and strip it into the directory structure —
+    // the column's data would never reach the staged leaf files
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("clash")
+    val store = new WatermarkStore(s"$root/wm")
+    val ex = new Extractor(store, s"$root/staging",
+      graft.model.PartitionStrategy.Datetime)
+    val df = Seq((1L, "2024-01-01 10:00:00", 7))
+      .toDF("id", "ts", "hour")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val hybrid = CdcConfig(CdcStrategyKind.Hybrid,
+      timestampColumn = Some("ts"), idColumn = Some("id"))
+    val e = intercept[IllegalArgumentException] {
+      ex.extract(spark, TableId("t", "fx", "clash"), df, hybrid)
+    }
+    assert(e.getMessage.contains("hour"), e.getMessage)
+  }
+
+  test("epoch-seconds CDC column works through the datetime staging layout") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("epochdt")
+    val store = new WatermarkStore(s"$root/wm")
+    val ex = new Extractor(store, s"$root/staging",
+      graft.model.PartitionStrategy.Datetime)
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    val df = (0L until 6L).map(i => (base + i * 3600, i)).toDF("ts", "id")
+    val cfg = CdcConfig(CdcStrategyKind.Hybrid,
+      timestampColumn = Some("ts"), idColumn = Some("id"),
+      timestampIsUnixEpoch = true)
+    val r = ex.extract(spark, TableId("t", "fx", "epoch"), df, cfg)
+    assert(r.rows == 6)
+    assert(r.cursor.lastTimestamp.contains("2024-01-01 05:00:00"))
+    assert(r.cursor.lastId.contains(5L))
+    // the staging layout derived real calendar dirs from the epoch column
+    val staged = new java.io.File(ex.stagingDir(TableId("t", "fx", "epoch")))
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f.getName
+      else Seq(f.getName)
+    assert(walk(staged).exists(_ == "year=2024"), "missing year= partition dir")
+  }
+
   test("append load after a crashed merge swap restores the backup first") {
     // crash window: mergeInto died between rename(target -> .__old) and
     // rename(.__new -> target). The table's only copy is the backup. An

@@ -46,4 +46,10 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestBase {
     // under the cap: unchanged
     assert(Maintenance.newestFirst(files.map(_.getPath), 10).size == 4)
   }
+
+  test("newestFirst RPC-free overload trims by the provided mtimes") {
+    val listed = Seq(("a", 100L), ("b", 300L), ("c", 200L))
+    assert(Maintenance.newestFirst(listed, 2) == Seq("b", "c"))
+    assert(Maintenance.newestFirst(listed, 5) == Seq("a", "b", "c"))
+  }
 }

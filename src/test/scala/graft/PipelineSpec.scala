@@ -220,6 +220,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
          |    cdc_id_column: "o_orderkey"
          |    merge_keys: ["o_orderkey"]
          |    merge_buckets: 8
+         |    validation:
+         |      enable_count_check: true   # must be SKIPPED for merge tables:
+         |                                 # the cumulative counter counts
+         |                                 # update rows the merge dedups
          |""".stripMargin
     val p = PipelineConfig.fromString(y)
     val spec = p.tables.find(_.name == "fx.orders").get
