@@ -35,7 +35,12 @@ object Cli {
         case "--dry-run" => flags += "dry-run"; i += 1
         case a if a.startsWith("-") =>
           val key = a.dropWhile(_ == '-')
-          if (i + 1 < args.length && !args(i + 1).startsWith("-")) {
+          // a following token is this option's VALUE unless it looks like
+          // another option — negative numbers ("--id -1") are values, not
+          // flags, or the cursor silently resets instead of being set
+          def isValue(t: String): Boolean =
+            !t.startsWith("-") || t.matches("-\\d+(\\.\\d+)?")
+          if (i + 1 < args.length && isValue(args(i + 1))) {
             opts(key) = args(i + 1); i += 2
           } else { flags += key; i += 1 }
         case v => verbs += v; i += 1
@@ -62,6 +67,17 @@ object Cli {
   /** Thrown by argument-validation helpers; [[run]] converts it to an exit
     * code (keeps the CLI surface testable without sys.exit). */
   private final case class CliExit(code: Int) extends RuntimeException
+
+  /** Numeric option with a usage error instead of a raw
+    * NumberFormatException stack trace. */
+  private def numOpt[T](opts: Map[String, String], key: String,
+                        parse: String => T): Option[T] =
+    opts.get(key).map { v =>
+      try parse(v) catch {
+        case _: NumberFormatException =>
+          System.err.println(s"--$key: '$v' is not a number"); throw CliExit(2)
+      }
+    }
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
@@ -101,7 +117,7 @@ object Cli {
       .getOrCreate()
 
     def runner = {
-      val parallel = opts.get("parallel").map(_.toInt)
+      val parallel = numOpt(opts, "parallel", _.toInt)
       val p = parallel.map(n => pipeline.copy(processing =
         pipeline.processing.copy(maxParallelTables = n))).getOrElse(pipeline)
       (new PipelineRunner(spark, workDir), p)
@@ -184,7 +200,7 @@ object Cli {
             }
           case "set" =>
             val w = store.setManual(id.scoped, opts.get("timestamp"),
-              opts.get("id").map(_.toLong))
+              numOpt(opts, "id", _.toLong))
             println(graft.watermark.Watermark.toJson(w)); 0
           case "reset" =>
             store.reset(id.scoped) match {
@@ -207,7 +223,7 @@ object Cli {
         val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
         sub match {
           case "set" =>
-            val n = opts.get("count").map(_.toLong).getOrElse {
+            val n = numOpt(opts, "count", _.toLong).getOrElse {
               System.err.println("watermark-count set requires --count N")
               throw CliExit(2)
             }
@@ -235,21 +251,26 @@ object Cli {
       case "merge" =>
         // DELETE+INSERT merge of staged-but-unprocessed files into the
         // warehouse table, committed by directory swap (ref settle_orders
-        // DELETE USING + INSERT transaction)
+        // DELETE USING + INSERT transaction). Routed through mergeLoad — the
+        // same path the pipeline takes — so the session lock is held, the
+        // processed-files blacklist filters already-merged increments (raw
+        // mergeInto over the whole staging dir would resurrect every stale
+        // version of every key), the schema-evolution gate applies, and a
+        // merge_buckets table keeps its bucketed layout.
         val (r, p) = runner
         val (_, extractor, loader) = r.rigFor(p)
         val spec = requireTable(p, tableFilter, "merge")
-        val keys = opts.get("keys").map(_.split(",").toSeq).orElse(
-          spec.cdc.idColumn.map(Seq(_))).getOrElse {
+        val keys = opts.get("keys").map(_.split(",").toSeq)
+          .orElse(Option(spec.mergeKeys).filter(_.nonEmpty))
+          .orElse(spec.cdc.idColumn.map(Seq(_))).getOrElse {
           System.err.println("merge requires --keys k1,k2 or a cdc_id_column")
           throw CliExit(2)
         }
         val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
-        val stagedDir = extractor.stagingDir(id)
-        val staged = spark.read.parquet(stagedDir)
-        val rows = loader.mergeInto(spark, id, staged, keys)
+        val res = loader.mergeLoad(spark, id, extractor.stagingDir(id),
+          spec.cdc, keys, spec.mergeBuckets)
         println(s"merged ${id.qualified} on (${keys.mkString(",")}): " +
-          s"$rows rows in target")
+          s"${res.loadedRows} staged rows merged, ${res.skippedFiles} files already processed")
         0
 
       case "compact" =>
@@ -259,7 +280,7 @@ object Cli {
         val (_, _, loader) = r.rigFor(p)
         val spec = requireTable(p, tableFilter, "compact")
         val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
-        val mb = opts.get("target-file-mb").map(_.toLong).getOrElse(256L)
+        val mb = numOpt(opts, "target-file-mb", _.toLong).getOrElse(256L)
         val (before, after) = loader.compact(spark, id, mb * 1024 * 1024)
         println(s"compacted ${id.qualified}: $before -> $after files")
         0
@@ -278,14 +299,14 @@ object Cli {
         val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
         val staleMs =
           if (flags("force")) 0L
-          else opts.get("stale-minutes").map(_.toLong * 60000L).getOrElse(3600000L)
+          else numOpt(opts, "stale-minutes", _.toLong).map(_ * 60000L).getOrElse(3600000L)
         if (store.breakStaleLock(id.scoped, staleMs)) {
           println(s"broke lock for ${id.qualified}"); 0
         } else { println(s"no lock (or not stale — use --force if the owner is dead) for ${id.qualified}"); 1 }
 
       case "s3clean" =>
         val (r, p) = runner
-        val hours = opts.get("older-than-hours").map(_.toDouble).getOrElse {
+        val hours = numOpt(opts, "older-than-hours", _.toDouble).getOrElse {
           System.err.println("s3clean requires --older-than-hours"); throw CliExit(2)
         }
         val cutoff = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
@@ -295,7 +316,7 @@ object Cli {
           s"$workDir/${prefix}staging"
         }
         val report = Maintenance.clean(stagingRoot, cutoff,
-          keepNewest = opts.get("keep-newest").map(_.toInt).getOrElse(0),
+          keepNewest = numOpt(opts, "keep-newest", _.toInt).getOrElse(0),
           dryRun = flags("dry-run"))
         val verb = if (flags("dry-run")) "would delete" else "deleted"
         println(s"s3clean: scanned ${report.scanned} files, $verb " +

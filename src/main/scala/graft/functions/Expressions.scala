@@ -34,13 +34,19 @@ case class RollingHash(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName: two instances of this expression can share one generated
+      // method — fixed local names would declare twice and throw janino
+      // back to the interpreter for the whole stage
+      val bytes = ctx.freshName("rhBytes")
+      val acc = ctx.freshName("rhAcc")
+      val i = ctx.freshName("rhI")
       s"""
-         |byte[] rhBytes = $c.getBytes();
-         |long rhAcc = 0L;
-         |for (int rhI = 0; rhI < rhBytes.length; rhI++) {
-         |  rhAcc = rhAcc * ${RollingHash.Base}L + (long)(rhBytes[rhI] & 0xFF);
+         |byte[] $bytes = $c.getBytes();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $acc = $acc * ${RollingHash.Base}L + (long)($bytes[$i] & 0xFF);
          |}
-         |${ev.value} = rhAcc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -95,17 +101,22 @@ case class SimHash64(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val simHashCls = SimHash64.getClass.getName.stripSuffix("$") + "$"
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName for the same duplicate-declaration reason as RollingHash
+      val counts = ctx.freshName("shCounts")
+      val i = ctx.freshName("shI")
+      val h = ctx.freshName("shH")
+      val b = ctx.freshName("shB")
       s"""
-         |int[] shCounts = new int[64];
-         |for (int shI = 0; shI < $c.numElements(); shI++) {
-         |  if (!$c.isNullAt(shI)) {
-         |    long shH = $simHashCls.MODULE$$.tokenHash($c.getUTF8String(shI).getBytes());
-         |    for (int shB = 0; shB < 64; shB++) {
-         |      if (((shH >>> shB) & 1L) == 1L) shCounts[shB]++; else shCounts[shB]--;
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = $simHashCls.MODULE$$.tokenHash($c.getUTF8String($i).getBytes());
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
          |    }
          |  }
          |}
-         |${ev.value} = $simHashCls.MODULE$$.collapse(shCounts);
+         |${ev.value} = $simHashCls.MODULE$$.collapse($counts);
        """.stripMargin
     })
   }
@@ -163,12 +174,17 @@ object exprs {
 /** Single-pass cosine similarity of two numeric arrays (float or double
   * elements), accumulating dot, |a|², |b|² in one loop — replaces the
   * three `aggregate(zip_with(...))` higher-order passes, whose lambdas are
-  * interpreted per element and fence codegen. Null if either side is null;
-  * 0 denominators yield NaN exactly like the composed form.
+  * interpreted per element and fence codegen. NULL if either side is null,
+  * the lengths differ, or any element is null — exactly the composed
+  * `aggregate(zip_with(...))` semantics (silently truncating to the shorter
+  * array or counting nulls as 0.0 would return a plausible-but-wrong
+  * similarity instead of surfacing the data problem). 0 denominators yield
+  * NaN exactly like the composed form.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   private def elemOk(t: DataType): Boolean = t match {
     case ArrayType(FloatType | DoubleType, _) => true
@@ -189,11 +205,13 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     val lf = isFloat(left); val rf = isFloat(right)
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
       ab += x * y; aa += x * x; bb += y * y
@@ -211,15 +229,26 @@ case class CosineSim(left: Expression, right: Expression)
       val ab = ctx.freshName("ab")
       val aa = ctx.freshName("aa")
       val bb = ctx.freshName("bb")
+      val x = ctx.freshName("csX")
+      val y = ctx.freshName("csY")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $ab = 0.0, $aa = 0.0, $bb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double csX = ${getA.format(a, i)};
-         |  double csY = ${getB.format(b, i)};
-         |  $ab += csX * csY; $aa += csX * csX; $bb += csY * csY;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $ab = 0.0, $aa = 0.0, $bb = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else {
+         |      double $x = ${getA.format(a, i)};
+         |      double $y = ${getB.format(b, i)};
+         |      $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $ab / (Math.sqrt($aa) * Math.sqrt($bb));
+         |  }
          |}
-         |${ev.value} = $ab / (Math.sqrt($aa) * Math.sqrt($bb));
        """.stripMargin
     })
   }
@@ -230,10 +259,12 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
-/** Single-pass dot product of two numeric arrays (float or double). */
+/** Single-pass dot product of two numeric arrays (float or double). NULL on
+  * length mismatch or null elements — see [[CosineSim]]. */
 case class DotProd(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   private def elemOk(t: DataType): Boolean = t match {
     case ArrayType(FloatType | DoubleType, _) => true
@@ -254,11 +285,13 @@ case class DotProd(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     val lf = isFloat(left); val rf = isFloat(right)
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -275,12 +308,17 @@ case class DotProd(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (${getA.format(a, i)}) * (${getB.format(b, i)});
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else { $acc += (${getA.format(a, i)}) * (${getB.format(b, i)}); }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

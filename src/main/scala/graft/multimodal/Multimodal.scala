@@ -76,17 +76,22 @@ object Multimodal {
       else if (n >= 26 && ascii(0, "BM") && le32(2) == n && le32(18) > 0)
         Some(Decoded("image", le32(18), math.abs(le32(22)), 1))
       else if (n >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
-        // WAV: scan RIFF chunks for fmt (rate/channels/block align) + data
+        // WAV: scan RIFF chunks for fmt (rate/channels/block align) + data.
+        // The chunk size is UNTRUSTED input: a crafted/corrupt 32-bit size
+        // can be negative as an int (stalling the loop forever or driving
+        // the index negative) — read it unsigned and bail on nonsense.
         var i = 12
         var rate = 0; var ch = 0; var align = 0; var dataLen = -1
-        while (i + 8 <= n && (rate == 0 || dataLen < 0)) {
-          val sz = le32(i + 4)
+        var bad = false
+        while (!bad && i + 8 <= n && (rate == 0 || dataLen < 0)) {
+          val sz = le32(i + 4).toLong & 0xffffffffL
           if (ascii(i, "fmt ") && i + 24 <= n) {
             ch = le16(i + 10); rate = le32(i + 12); align = le16(i + 20)
-          } else if (ascii(i, "data")) dataLen = sz
-          i += 8 + sz + (sz & 1) // chunks are word-aligned
+          } else if (ascii(i, "data")) dataLen = le32(i + 4)
+          val next = i.toLong + 8L + sz + (sz & 1L) // chunks are word-aligned
+          if (next <= i || next > Int.MaxValue) bad = true else i = next.toInt
         }
-        if (rate > 0 && ch > 0 && align > 0 && dataLen >= 0)
+        if (!bad && rate > 0 && ch > 0 && align > 0 && dataLen >= 0)
           Some(Decoded("audio", rate, ch, dataLen / align))
         else None
       }
@@ -128,7 +133,13 @@ object Multimodal {
   def extractMetadata(spark: SparkSession, docs: DataFrame,
                       idCol: String = "doc_id"): Dataset[MediaMeta] = {
     import spark.implicits._
-    val payloads = withPayload(docs).select(col(idCol).cast("long"), col("payload"))
+    // scraped corpora carry null payloads and null ids; a null either way
+    // would NPE the task (or fail the non-nullable encoder) — null ids are
+    // undecodable rows (dropped), null payloads decode as empty
+    val payloads = withPayload(docs)
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"),
+        coalesce(col("payload"), lit(Array.emptyByteArray)).as("payload"))
     payloads.as[(Long, Array[Byte])].mapPartitions { it =>
       it.map { case (id, bytes) =>
         val d = MediaCodec.decode(bytes)
@@ -148,12 +159,21 @@ object Multimodal {
   }
 
   /** Size-aware repartition: media payloads are heavily skewed (a 4 GB video
-    * next to a 30 kB icon); balance partitions by cumulative byte size, not
-    * row count, before the expensive decode stage. */
+    * next to a 30 kB icon); size the partition COUNT by total bytes and
+    * spread rows by id hash, so expected bytes per partition ≈ the target.
+    *
+    * Deliberately NOT repartitionByRange on the size column: ranging on size
+    * sorts similar sizes together — all the giant payloads land in the top
+    * range partition, the exact skew this function exists to remove. Hash
+    * placement is size-oblivious, so partitions converge to the target in
+    * expectation; a single payload larger than the target is irreducible
+    * either way (a row cannot split). */
   def repartitionBySize(docs: DataFrame, targetBytesPerPartition: Long): DataFrame = {
     val sized = withPayload(docs).withColumn("__bytes", octet_length(col("payload")))
-    val total = sized.agg(sum(col("__bytes"))).head().getLong(0)
-    val parts = math.max(1, (total / targetBytesPerPartition).toInt)
-    sized.repartitionByRange(parts, col("__bytes"), col("doc_id")).drop("__bytes")
+    // empty increment → no-op single partition, not an NPE on a null SUM
+    val total = Option(sized.agg(sum(col("__bytes"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val parts = math.max(1, (total / math.max(1L, targetBytesPerPartition)).toInt)
+    sized.repartition(parts, col("doc_id")).drop("__bytes")
   }
 }

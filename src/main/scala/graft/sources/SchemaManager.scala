@@ -101,16 +101,21 @@ object ColumnMapStore {
 
   private def path(tableDir: String) = new Path(tableDir, "_column_mapping.json")
 
+  // real JSON (Jackson, already on the classpath for YAML configs) — the
+  // previous hand-rolled writer escaped quotes in keys only, so a column
+  // name with a backslash or a quoted VALUE produced JSON the regex loader
+  // silently mis-parsed, dropping rename entries across sessions
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   def save(tableDir: String, mapping: Map[String, String],
            conf: Configuration): Unit = {
     if (mapping.isEmpty) return
     val p = path(tableDir)
     val fs = p.getFileSystem(conf)
-    val json = mapping.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${k.replace("\"", "\\\"")}": "$v"""" }
-      .mkString("{", ", ", "}")
+    val node = jsonMapper.createObjectNode()
+    mapping.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
     val out = fs.create(p, true)
-    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write(jsonMapper.writeValueAsBytes(node)) finally out.close()
   }
 
   def load(tableDir: String, conf: Configuration): Map[String, String] = {
@@ -120,9 +125,9 @@ object ColumnMapStore {
     val in = fs.open(p)
     val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
-    "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      .findAllMatchIn(json)
-      .map(m => m.group(1).replace("\\\"", "\"") -> m.group(2)).toMap
+    val node = jsonMapper.readTree(json)
+    import scala.jdk.CollectionConverters._
+    node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
   }
 
   /** Apply a rename map to a DataFrame (original → normalized). */

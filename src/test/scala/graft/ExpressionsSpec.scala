@@ -89,6 +89,39 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(cg == hof)
   }
 
+  test("two instances of one custom expression share a generated method") {
+    // fixed local names in doGenCode would declare twice in the fused
+    // projection → janino failure → silent interpreter fallback
+    def run(codegen: Boolean) = withCodegen(codegen) {
+      docsDf.select(
+        rolling_hash(col("text")).as("h1"),
+        rolling_hash(concat(col("text"), lit("x"))).as("h2"),
+        simhash64(split(col("text"), " ")).as("s1"),
+        simhash64(split(concat(col("text"), lit(" x")), " ")).as("s2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    assert(run(true) == run(false))
+  }
+
+  test("cosine_sim/dot_prod: NULL on length mismatch or null elements") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(3.0), Some(4.0))),
+      (Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(3.0), Some(4.0))),
+      (Seq[Option[Double]](Some(1.0), Some(2.0), Some(3.0)), Seq[Option[Double]](Some(3.0), Some(4.0)))
+    ).toDF("a", "b")
+    def run(codegen: Boolean) = withCodegen(codegen) {
+      df.select(cosine_sim(col("a"), col("b")).as("c"),
+        dot_prod(col("a"), col("b")).as("d"))
+        .collect().map(r => (r.isNullAt(0), r.isNullAt(1))).toSeq
+    }
+    val cg = run(true)
+    assert(cg == run(false))
+    // row 1 computes; a null element or a length mismatch is NULL, never a
+    // truncated/zero-filled similarity
+    assert(cg == Seq((false, false), (true, true), (true, true)))
+  }
+
   test("shingle_hashes: codegen == interpreted; cardinality matches string shingles") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     def run(codegen: Boolean) = withCodegen(codegen) {

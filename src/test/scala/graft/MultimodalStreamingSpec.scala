@@ -90,6 +90,31 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(parseHeader("BMW sales rose in the third quarter of the year, says the report".getBytes).isEmpty)
     assert(parseHeader("GIF89a is the 1989 revision of the format".getBytes).isEmpty)
     assert(parseHeader("plain text document".getBytes).isEmpty)
+
+    // crafted/corrupt RIFF chunk sizes are untrusted input: 0xFFFFFFF8 reads
+    // as -8 (stalls the scanner forever), 0xFFFFFF00 drives the index
+    // negative (AIOOBE) — both must terminate with None, not hang a task
+    val evil1 = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0xFFFFFFF8) ++ Array.fill[Byte](32)(0)
+    assert(parseHeader(evil1).isEmpty)
+    val evil2 = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0xFFFFFF00) ++ Array.fill[Byte](32)(0)
+    assert(parseHeader(evil2).isEmpty)
+  }
+
+  test("extractMetadata survives null payloads and ids; empty repartition no-ops") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), "real text"),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[String]),
+      (null.asInstanceOf[java.lang.Long], "orphan row")
+    ).toDF("doc_id", "text")
+    val meta = Multimodal.extractMetadata(spark, df).collect()
+      .map(m => m.doc_id -> m.byte_len).toMap
+    assert(meta == Map(1L -> 9L, 2L -> 0L)) // null text → empty payload; null id dropped
+    val empty = Multimodal.repartitionBySize(
+      df.filter(col("doc_id") < 0), targetBytesPerPartition = 1024)
+    assert(empty.count() == 0) // no NPE on the null SUM
   }
 
   test("extractMetadata uses the real header when the payload is a container") {

@@ -392,8 +392,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(cli("watermark", "set", "-t", "fx.events", "--id", "42") == 0)
     assert(cli("watermark", "reset", "-t", "fx.events") == 0)
     assert(cli("watermark", "get") == 2)          // -t is mandatory
-    // merge verb upserts staged files by the configured id column
+    // merge verb upserts staged files by the configured id column, THROUGH
+    // the blacklist-filtered mergeLoad path: after the sync above every
+    // staged file is processed, so the verb must be a no-op — the raw
+    // whole-staging-dir merge it used to run would resurrect every stale
+    // version of every key as duplicate rows
+    val p0 = PipelineConfig.fromString(yaml)
+    val ordersSpec = p0.tables.find(_.name == "fx.orders").get
+    val ordersId = ordersSpec.tableId(p0.source.replaceAll("[^A-Za-z0-9_]", "_"))
+    val runner0 = new PipelineRunner(spark, work)
+    val (_, _, loader0) = runner0.rigFor(p0)
+    val ordersBefore = loader0.readTarget(spark, ordersId).get.count()
     assert(cli("merge", "-t", "fx.orders") == 0)
+    assert(loader0.readTarget(spark, ordersId).get.count() == ordersBefore,
+      "merge verb over fully-processed staging must not change the target")
+    // negative option values parse as values, not flags
+    assert(cli("watermark", "set", "-t", "fx.events", "--id", "-1") == 0)
+    // non-numeric option → usage error, not a stack trace
+    assert(cli("sync", "--parallel", "abc") == 2)
     // unlock: nothing held → exit 1; --force on nothing → still 1
     assert(cli("unlock", "-t", "fx.events") == 1)
     assert(cli("unlock", "-t", "fx.events", "--force") == 1)

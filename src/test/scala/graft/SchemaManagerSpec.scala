@@ -83,6 +83,12 @@ class SchemaManagerSpec extends AnyFunSuite with SparkTestBase {
     val mapping = Map("2ND_REF" -> "col_2nd_ref", "MixedCase" -> "mixedcase")
     ColumnMapStore.save(dir, mapping, conf)
     assert(ColumnMapStore.load(dir, conf) == mapping)
+    // JSON metacharacters in names must round-trip exactly (a trailing
+    // backslash or embedded quote broke the old hand-rolled writer)
+    val evil = Map("""col\""" -> "col_bs", """we"ird""" -> """quo"ted""")
+    val dir2 = tmpDir("colmap_evil")
+    ColumnMapStore.save(dir2, evil, conf)
+    assert(ColumnMapStore.load(dir2, conf) == evil)
     val s = spark; import s.implicits._
     val df = Seq((1L, "x")).toDF("2ND_REF", "MixedCase")
     val renamed = ColumnMapStore.apply(df, mapping)
