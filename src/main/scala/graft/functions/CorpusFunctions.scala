@@ -11,15 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object CorpusFunctions {
 
-  /** Lowercase-hex md5 prefix of a key, compared lexicographically — equals
-    * numeric comparison because the width is fixed. Same rule as
-    * [[graft.operators.Relational.deterministicSplit]]. */
-  private def hashBelow(key: Column, fraction: Double): Column = {
-    val t = math.round(fraction * 4294967296.0) // fraction of 2^32
-    if (t >= 4294967296L) lit(true)
-    else if (t <= 0L) lit(false)
-    else substring(md5(key.cast("string").cast("binary")), 1, 8) < lit(f"$t%08x")
-  }
+  /** The SHARED md5-prefix threshold rule — one definition with
+    * [[graft.operators.Relational.deterministicSplit]], so sampling and
+    * splitting stay bit-identical by construction. */
+  private def hashBelow(key: Column, fraction: Double): Column =
+    graft.operators.Relational.md5Below(key, fraction)
 
   /** Stratified deterministic sampling: keep each row with a PER-GROUP rate
     * (corpus mixing — e.g. downsample `web` to 10% while keeping `books`
@@ -99,9 +95,15 @@ object CorpusFunctions {
   /** Split every document into fixed-size token windows with a stride —
     * the context-packing step that turns variable-length documents into
     * training-window-sized chunks. `stride < chunkTokens` overlaps
-    * consecutive chunks; trailing chunks may be shorter. Emits
+    * consecutive chunks; the LAST chunk may be shorter. Emits
     * (id, chunk_id, chunk, n_tokens); chunk_id counts from 0 in document
     * order.
+    *
+    * Starts past `len - chunkTokens` (beyond the first) are dropped: their
+    * windows are strict SUFFIXES of the previous chunk — zero novel tokens,
+    * pure duplicated training text (exactly what the dedup stages elsewhere
+    * remove). A start survives iff it is 0 or begins before the previous
+    * chunk's coverage ends, so the tail is covered exactly once.
     *
     * Scale: a narrow per-row transform + generator — no shuffle, no UDF;
     * the token array is built once per row and sliced lazily inside
@@ -111,7 +113,10 @@ object CorpusFunctions {
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
                      chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be > 0")
-    val starts = sequence(lit(0), size(col("toks")) - 1, lit(stride))
+    val len = size(col("toks"))
+    val starts = filter(
+      sequence(lit(0), len - 1, lit(stride)),
+      s => s === 0 || s < len - chunkTokens + stride)
     docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
@@ -157,7 +162,11 @@ object CorpusFunctions {
                          shingleN: Int, k: Int): DataFrame =
     docs
       .select(TextFunctions.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
+      // >= n, not > 0: shinglesFromTokens falls back to one whole-doc
+      // pseudo-shingle for shorter docs (right for Jaccard between short
+      // docs, wrong here — a repeated 2-token title would pollute the
+      // "top 3-grams" list with a non-3-gram)
+      .filter(size(col("toks")) >= shingleN)
       .select(explode(DedupFunctions.shinglesFromTokens(col("toks"), shingleN))
         .as("ngram"))
       .groupBy(col("ngram"))
@@ -418,25 +427,33 @@ object CorpusFunctions {
     * documents whose every line was removed disappear. Returns
     * (id, text_dedup, n_lines_kept).
     *
-    * Scale: the dedup window partitions on md5(line) — a fixed-width key —
-    * WITH a per-row salt for empty lines, so the "millions of empty lines"
-    * group never converges on one task. Line text rides two exchanges
-    * (window, then reassembly groupBy) — irreducible, since the output IS
-    * the surviving text. Reassembly buffers one document's lines per group
-    * (documents are MB-scale; the corpus never aggregates).
+    * Scale: the first-occurrence pick is a GROUP-BY min(struct(id,pos)) per
+    * line hash — partial-aggregatable, so a boilerplate line repeated 100M
+    * times collapses map-side instead of sorting 100M rows in one window
+    * partition on one task (the row_number formulation's failure mode).
+    * The keeper set joins back by hash; a residual hot hash on the probe
+    * side is a streamed SMJ partition that AQE's skew-join splitting
+    * handles — unlike a window, which AQE cannot split. Line text rides two
+    * exchanges (join, then reassembly groupBy) — irreducible, since the
+    * output IS the surviving text. Reassembly buffers one document's lines
+    * per group (documents are MB-scale; the corpus never aggregates).
     */
   def dedupLinesGlobal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = docs
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("__lh", md5(col("line").cast("binary")))
     val isEmpty = length(col("line")) === 0
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("line").cast("binary")),
-        when(isEmpty, col(idCol)).otherwise(lit(0L)),
-        when(isEmpty, col("pos")).otherwise(lit(0)))
-      .orderBy(col(idCol), col("pos"))
-    lines
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // keeper per distinct non-empty line: smallest (id, pos) corpus-wide
+    val keepers = lines.filter(!isEmpty)
+      .groupBy(col("__lh"))
+      .agg(min(struct(col(idCol).as("kid"), col("pos").as("kpos"))).as("__k"))
+    val keptNonEmpty = lines.filter(!isEmpty)
+      .join(keepers, Seq("__lh"))
+      .filter(col(idCol) === col("__k.kid") && col("pos") === col("__k.kpos"))
+      .select(col(idCol), col("pos"), col("line"))
+    val keptEmpty = lines.filter(isEmpty)
+      .select(col(idCol), col("pos"), col("line"))
+    keptNonEmpty.unionByName(keptEmpty)
       .groupBy(col(idCol))
       .agg(
         concat_ws("\n", transform(

@@ -171,37 +171,14 @@ object DedupFunctions {
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                             maxBucketSize: Int = 1000): DataFrame = {
-    val rowsPerBand = k / bands
     // Only (doc_id, band, bucket) rides the wide exchange — the shingle sets
     // (roughly document-sized) are joined back AFTER the candidate-id set is
     // deduped, so the ×bands explode + distinct never carry text payloads.
-    //
-    // Candidate generation never materializes token/shingle strings:
-    // ShingleHashes scans the raw bytes once into distinct gram hashes and
-    // MinHashSig folds them into the k signature minima — two codegen'd
-    // expressions. STAGED selects keep `hs`/`sig` computed once per row
-    // (CollapseProject leaves non-cheap exprs used >1× un-inlined; inlining
-    // recomputed them k× — measured 30× slower end-to-end at sf0.1).
-    val bucketed = docs
-      .select(col(idCol).as("doc_id"), shingleHashes(col(textCol), shingleN).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), minhashSignatureFromHashes(col("hs"), k).as("sig"))
-      .select(col("doc_id"),
-        posexplode(bandKeys(col("sig"), bands, rowsPerBand))
-          .as(Seq("band", "bucket")))
-
-    // cap degenerate buckets (e.g. empty/boilerplate docs all colliding):
-    // without this, one hot bucket at 100 TB produces an O(m²) pair explosion.
-    // Hot buckets are found with a PARTIAL-AGG count (map-side combine — only
-    // distinct (band,bucket) rows reach the exchange) and removed with a
-    // broadcast anti-join; the previous window-count formulation full-sorted
-    // every banded row just to read its bucket size.
-    val hot = bucketed.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val counted = bucketed
-      .join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    // The banded construction is EXACTLY the persisted index's
+    // ([[minhashBandIndex]]) — one definition, so batch and incremental
+    // LSH can never drift apart.
+    val bucketed = minhashBandIndex(docs, idCol, textCol, shingleN, k, bands)
+    val counted = dropHotBuckets(bucketed, maxBucketSize)
       .select(col("band"), col("bucket"), col("doc_id"))
 
     val a = counted.withColumnRenamed("doc_id", "id_a")
@@ -226,7 +203,14 @@ object DedupFunctions {
     * increment's rows) so later increments probe it via
     * [[minhashNearDuplicatesIncremental]] without ever re-shingling the
     * corpus — the near-dup analog of the exact-dedup fingerprint side table
-    * ([[appendFingerprints]]). ~`bands` longs per document. */
+    * ([[appendFingerprints]]). ~`bands` longs per document.
+    *
+    * Candidate generation never materializes token/shingle strings:
+    * ShingleHashes scans the raw bytes once into distinct gram hashes and
+    * MinHashSig folds them into the k signature minima — two codegen'd
+    * expressions. STAGED selects keep `hs`/`sig` computed once per row
+    * (CollapseProject leaves non-cheap exprs used >1× un-inlined; inlining
+    * recomputed them k× — measured 30× slower end-to-end at sf0.1). */
   def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, k: Int = 64,
                        bands: Int = 16): DataFrame =
@@ -238,6 +222,28 @@ object DedupFunctions {
       .select(col("doc_id"),
         posexplode(bandKeys(col("sig"), bands, k / bands))
           .as(Seq("band", "bucket")))
+
+  /** Remove degenerate LSH buckets (empty/boilerplate docs all colliding):
+    * without the cap, one hot bucket at 100 TB produces an O(m²) pair
+    * explosion. Hot buckets are found with a PARTIAL-AGG count (map-side
+    * combine — only distinct (band,bucket) rows reach the exchange) and
+    * removed with a broadcast anti-join; a window-count formulation would
+    * full-sort every banded row just to read its bucket size. ONE definition
+    * shared by the batch, incremental, and cosine-LSH paths. */
+  private[functions] def hotBuckets(bucketed: DataFrame, maxBucketSize: Int,
+                                    keyCols: Seq[String] = Seq("band", "bucket"))
+      : DataFrame =
+    bucketed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucketSize)
+      .select(keyCols.map(col): _*)
+
+  private[functions] def dropHotBuckets(bucketed: DataFrame,
+                                        maxBucketSize: Int,
+                                        keyCols: Seq[String] = Seq("band", "bucket"))
+      : DataFrame =
+    bucketed.join(broadcast(hotBuckets(bucketed, maxBucketSize, keyCols)),
+      keyCols, "left_anti")
 
   /** INCREMENTAL MinHash-LSH near-dup — the 100 TB shape: find near-dup
     * pairs with at least one side in the `incoming` increment, probing the
@@ -256,13 +262,16 @@ object DedupFunctions {
                                        bands: Int = 16,
                                        maxBucketSize: Int = 1000): DataFrame = {
     val inc = minhashBandIndex(incoming, idCol, textCol, shingleN, k, bands)
+    // distinct(): the index is maintained by APPEND (crash-retried appends
+    // legitimately duplicate rows, like the fingerprint side table) — raw
+    // duplicate rows would inflate bucket counts past maxBucketSize and
+    // silently drop legitimate buckets, missing near-dup pairs
     val all = corpusIndex.select(col("doc_id"), col("band"), col("bucket"))
+      .distinct()
       .unionByName(inc)
     // hot-bucket cap across the COMBINED population (a boilerplate bucket is
     // degenerate whether its members are old or new)
-    val hot = all.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
-      .select(col("band"), col("bucket"))
+    val hot = hotBuckets(all, maxBucketSize)
     val probe = inc.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val target = all.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val candidates = probe.withColumnRenamed("doc_id", "id_x")

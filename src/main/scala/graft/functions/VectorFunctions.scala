@@ -36,11 +36,17 @@ object VectorFunctions {
     * final per-query k-row top-k). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     queryIdCol: String = "query_id"): DataFrame = {
+                     queryIdCol: String = "query_id",
+                     excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(col(queryIdCol),
       col(vecCol).as("__qvec")))
+    // excludeSelf drops the id-equal pair — correct when the queries ARE
+    // corpus rows (self-similarity search); set false when query ids live in
+    // a DIFFERENT id space, or an unrelated corpus vector that happens to
+    // share the number would silently vanish from its top-k
+    val joinCond = if (excludeSelf) col(queryIdCol) =!= col(idCol) else lit(true)
     val scored = corpus.select(col(idCol), col(vecCol))
-      .join(q, col(queryIdCol) =!= col(idCol)) // exclude self-match
+      .join(q, joinCond)
       .withColumn("cosine", cosine(col(vecCol), col("__qvec")))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cosine").desc, col(idCol).asc)
@@ -150,7 +156,8 @@ object VectorFunctions {
     * turns each query into a few-cell read instead of a full scan). */
   def ivfTopK(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              queryIdCol: String = "query_id"): DataFrame = {
+              queryIdCol: String = "query_id",
+              excludeSelf: Boolean = true): DataFrame = {
     val centroids = index.centroids.collect().map(r =>
       (r.getInt(0), r.getSeq[Float](1))).toSeq
     // per query: scores to every centroid → keep nprobe best cells.
@@ -168,7 +175,8 @@ object VectorFunctions {
 
     val scored = index.assigned
       .join(broadcast(probed), Seq("centroid_id"))
-      .filter(col(queryIdCol) =!= col(idCol))
+      // see bruteForceTopK: only drop id-equal pairs when the ids share a space
+      .filter(if (excludeSelf) col(queryIdCol) =!= col(idCol) else lit(true))
       .withColumn("cosine", cosine(col(vecCol), col("__qvec")))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cosine").desc, col(idCol).asc)
@@ -226,7 +234,20 @@ object VectorFunctions {
                               idCol: String = "vec_id",
                               vecCol: String = "embedding",
                               maxBucketSize: Int = 10000): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // an empty increment (or an all-null embedding column) must yield an
+    // empty pair set, not a driver exception on head()
+    val dim = corpus.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d") > 0).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    if (dim == 0) {
+      val s = corpus.sparkSession
+      import org.apache.spark.sql.types._
+      val idT = corpus.schema(idCol).dataType
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("id_a", idT), StructField("id_b", idT),
+          StructField("cosine", DoubleType))))
+    }
     val rng = new scala.util.Random(42)
     val planes: Seq[Seq[Double]] =
       Seq.fill(bands * rowsPerBand)(Seq.fill(dim)(rng.nextGaussian()))
@@ -248,14 +269,9 @@ object VectorFunctions {
               lit(1L << r)).reduce(_ + _)
         }: _*)).as(Seq("band", "bucket")))
 
-    // hot-bucket cap via partial-agg + broadcast anti-join (map-side combine;
-    // no full sort of the banded rows — same rewrite as the MinHash path)
-    val hot = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val counted = banded
-      .join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    // hot-bucket cap — the ONE shared partial-agg + broadcast-anti-join
+    // helper (same rewrite as the MinHash path)
+    val counted = DedupFunctions.dropHotBuckets(banded, maxBucketSize)
       .select(col("band"), col("bucket"), col("doc_id"))
 
     val a2 = counted.withColumnRenamed("doc_id", "id_a")

@@ -221,18 +221,24 @@ object Relational {
     * is seed- AND partitioning-dependent). md5 is chosen deliberately: every
     * engine computes the identical hex, so the split is reproducible outside
     * Spark. Narrow projection — no shuffle, stays in codegen. */
+  /** The md5-prefix threshold shared by [[deterministicSplit]] and the
+    * corpus samplers (`CorpusFunctions.sampleByGroup`): lowercase-hex md5
+    * prefix compared lexicographically — equals numeric comparison because
+    * the width is fixed. ONE definition: the samplers' growth-stability
+    * guarantee depends on staying bit-identical with the splitter. */
+  def md5Below(key: Column, fraction: Double): Column = {
+    val t = math.round(fraction * 4294967296.0) // fraction of 2^32
+    if (t >= 4294967296L) lit(true)
+    else if (t <= 0L) lit(false)
+    else substring(md5(key.cast("string").cast("binary")), 1, 8) < lit(f"$t%08x")
+  }
+
   def deterministicSplit(df: DataFrame, keyCol: String, trainFraction: Double,
                          splitCol: String = "split"): DataFrame = {
     require(trainFraction >= 0.0 && trainFraction <= 1.0,
       "trainFraction must be in [0,1]")
-    val t = math.round(trainFraction * 4294967296.0) // fraction of 2^32
-    // fixed-width lowercase hex compares lexicographically == numerically
-    val cond =
-      if (t >= 4294967296L) lit(true)
-      else if (t <= 0L) lit(false)
-      else substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8) <
-        lit(f"$t%08x")
-    df.withColumn(splitCol, when(cond, "train").otherwise("validation"))
+    df.withColumn(splitCol,
+      when(md5Below(col(keyCol), trainFraction), "train").otherwise("validation"))
   }
 
   // --------------------------------------------------------------------------

@@ -167,7 +167,9 @@ object LlmQueries {
         Tables.df(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 64, stride = 48),
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-             |e AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS s
+             |e AS (SELECT doc_id, toks,
+             |        unnest(list_filter(range(0, len(toks), 48),
+             |          s -> s = 0 OR s < len(toks) - 64 + 48)) AS s
              |      FROM t WHERE len(toks) > 0)
              |SELECT doc_id, s // 48 AS chunk_id,
              |  array_to_string(toks[s+1 : s+64], ' ') AS chunk,
@@ -234,7 +236,7 @@ object LlmQueries {
       Some(s"""WITH sh AS (
              |  SELECT doc_id, $shinglesSql AS s
              |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
-             |  WHERE len(toks) > 0),
+             |  WHERE len(toks) >= 3),
              |e AS (SELECT unnest(s) AS ngram FROM sh)
              |SELECT ngram, COUNT(*) AS df FROM e
              |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 50""".stripMargin)),

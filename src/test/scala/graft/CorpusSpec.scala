@@ -79,9 +79,10 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       chunkTokens = 4, stride = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
     val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // start 9 is DROPPED: its window ("t9") is a strict suffix of the chunk
+    // at 6 — zero novel tokens, pure duplicated training text
     assert(d1.map(c => (c._3, c._4)).toSeq == Seq(
-      ("t0 t1 t2 t3", 4L), ("t3 t4 t5 t6", 4L),
-      ("t6 t7 t8 t9", 4L), ("t9", 1L)))
+      ("t0 t1 t2 t3", 4L), ("t3 t4 t5 t6", 4L), ("t6 t7 t8 t9", 4L)))
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "only two", 2L)))
   }
 
@@ -123,12 +124,19 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
           id -> cs.map(_._2).mkString(" ") }
       docsTokens.foreach { case (id, ts) =>
         assert(back(id) == ts.mkString(" "), s"seed=$seed doc=$id") }
-      // overlapping stride → chunk count == ceil(n/stride), all tokens covered
+      // overlapping stride → kept starts are 0 plus every stride multiple
+      // that begins before the previous chunk's coverage ends; the tail is
+      // covered exactly once and NO chunk is contained in another
       val counts = CorpusFunctions.chunkDocuments(docs, "doc_id", "text", 7, 3)
         .groupBy("doc_id").count().collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       docsTokens.foreach { case (id, ts) =>
-        assert(counts(id) == (ts.size + 2) / 3, s"seed=$seed doc=$id") }
+        val n = ts.size
+        val expected = (0 until n by 3).count(s => s == 0 || s < n - 7 + 3)
+        assert(counts(id) == expected, s"seed=$seed doc=$id n=$n")
+        // coverage: the last kept start's window reaches the end of the doc
+        assert(3 * (expected - 1) + 7 >= n, s"seed=$seed doc=$id tail uncovered")
+      }
     }
   }
 

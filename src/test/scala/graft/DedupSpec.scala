@@ -136,6 +136,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.contains((10L, 12L)))           // corpus-internal excluded
     pairs.foreach { case (a, b) =>
       assert(a >= 21L || b >= 21L, s"pair ($a,$b) touches no increment doc") }
+
+    // append-idempotence: a crash-retried index append duplicates rows; the
+    // probe must distinct() them or inflated bucket counts cross the hot
+    // cap and silently drop pairs. Cap 4 fits the real population (docs
+    // 10,12,21,23 share buckets) — only RAW duplicate rows would cross it.
+    val dupIdx = idx.unionByName(idx)
+    val pairsDup = DedupFunctions.minhashNearDuplicatesIncremental(
+      incoming, corpus, dupIdx, "doc_id", "text", threshold = 0.5,
+      maxBucketSize = 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsDup == pairs,
+      s"duplicated index rows changed the result: $pairs vs $pairsDup")
   }
 
   test("splitByCluster: near-dup clusters never straddle the split") {

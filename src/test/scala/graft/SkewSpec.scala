@@ -33,6 +33,41 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     assert(salted == plain && salted == orders.count())
   }
 
+  test("salted join refuses small-side-preserving join types") {
+    // each of the saltFactor small-side replicas would null-extend its own
+    // unmatched row — saltFactor spurious rows per absent key
+    val small = customer.limit(10)
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .select("o_custkey", "c_name")
+    for (t <- Seq("right", "right_outer", "full", "full_outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(orders, small, Seq("o_custkey"), 4, t)
+      }
+      assert(e.getMessage.contains("spurious"), t)
+    }
+  }
+
+  test("identical hot rows from different partitions spread across salts") {
+    val s = spark
+    import s.implicits._
+    // 200 byte-identical rows (the sentinel-row skew case) across multiple
+    // source partitions must not all take one salt
+    val hot = s.createDataFrame(
+      s.sparkContext.parallelize(Seq.fill(200)((1L, "sentinel")), 8))
+      .toDF("k", "v")
+    val dim = Seq((1L, "name")).toDF("k", "name")
+    val joined = Skew.saltedJoin(hot, dim, Seq("k"), saltFactor = 4)
+    assert(joined.count() == 200) // row-identical contract holds
+    val salts = hot.withColumn("__salt",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.spark_partition_id(),
+          hot("k"), hot("v")),
+        org.apache.spark.sql.functions.lit(4)))
+      .select("__salt").distinct().count()
+    assert(salts > 1, "identical rows all convoyed on one salt")
+  }
+
   test("salted two-phase agg equals direct agg on a skewed key") {
     val s = spark; import s.implicits._
     // 10k rows on ONE key + scattered tail: worst-case key skew

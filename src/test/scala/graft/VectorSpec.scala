@@ -27,6 +27,36 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("LSH near-dup degrades to empty on empty/all-null corpora") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.functions.VectorFunctions
+      .cosineNearDuplicatesLsh(empty, threshold = 0.9).count() == 0)
+    val allNull = Seq((1L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    assert(graft.functions.VectorFunctions
+      .cosineNearDuplicatesLsh(allNull, threshold = 0.9).count() == 0)
+  }
+
+  test("excludeSelf=false keeps an id-coincident corpus vector in the top-k") {
+    val s = spark
+    import s.implicits._
+    // query id 7 from a DIFFERENT id space; corpus vec_id 7 is its true
+    // nearest neighbor and must not silently vanish
+    val corpus = Seq((7L, Seq(1.0f, 0.0f)), (8L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((7L, Seq(1.0f, 0.1f))).toDF("query_id", "embedding")
+    val withSelf = graft.functions.VectorFunctions
+      .bruteForceTopK(corpus, queries, k = 1, excludeSelf = false)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(withSelf == Seq(7L))
+    val without = graft.functions.VectorFunctions
+      .bruteForceTopK(corpus, queries, k = 1)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(without == Seq(8L)) // default self-exclusion unchanged
+  }
+
   test("IVF top-k recall@10 >= 0.9 vs brute force") {
     // The fixture embeddings are near-uniform (top-10 neighbors share the
     // query's label at chance rate), so IVF recall ≈ probed fraction here —
