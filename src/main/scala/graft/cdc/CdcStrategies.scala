@@ -89,6 +89,23 @@ sealed trait CdcStrategy {
       else batch.agg(date_format(max(col(c)), CdcStrategy.CursorTsFormat))
     Option(raw.head().getString(0))
   }
+
+  /** max(struct(ts,id)) cursor reduction shared by the hybrid and custom-SQL
+    * strategies: single-pass distributed, no sort, no collect of data rows.
+    * Epoch-seconds BIGINT ts columns convert before formatting. */
+  protected def maxTsIdCursor(batch: DataFrame, ts: String, id: String): Cursor = {
+    val tsField = col("m").getField(ts)
+    val tsString =
+      if (config.timestampIsUnixEpoch)
+        date_format(to_timestamp(tsField), "yyyy-MM-dd HH:mm:ss")
+      else date_format(tsField, CdcStrategy.CursorTsFormat)
+    val row = batch.agg(max(struct(col(ts), col(id))).as("m"))
+      .select(tsString.as("ts"), col("m").getField(id).cast("long").as("id"))
+      .head()
+    if (row.isNullAt(0) && row.isNullAt(1)) Cursor()
+    else Cursor(Option(row.getString(0)),
+      if (row.isNullAt(1)) None else Some(row.getLong(1)))
+  }
 }
 
 /** S1 — timestamp-only incremental scan
@@ -124,24 +141,8 @@ final case class HybridStrategy(config: CdcConfig) extends CdcStrategy {
       orderCols(Seq(col(tsColName), col(idColName))), config.maxRowsPerRun)
   }
 
-  def extractCursor(batch: DataFrame): Cursor = {
-    // single-pass distributed reduction; no sort, no collect of data rows.
-    // Epoch-seconds ts columns (timestamp_is_unix_epoch) are BIGINT — they
-    // must convert before date_format or the plan fails analysis (the same
-    // branch maxTsString takes for TimestampOnly).
-    val tsField = col("m").getField(tsColName)
-    val tsString =
-      if (config.timestampIsUnixEpoch)
-        date_format(to_timestamp(tsField), "yyyy-MM-dd HH:mm:ss")
-      else date_format(tsField, CdcStrategy.CursorTsFormat)
-    val row = batch.agg(max(struct(col(tsColName), col(idColName))).as("m"))
-      .select(tsString.as("ts"),
-        col("m").getField(idColName).cast("long").as("id"))
-      .head()
-    if (row.isNullAt(0) && row.isNullAt(1)) Cursor()
-    else Cursor(Option(row.getString(0)),
-      if (row.isNullAt(1)) None else Some(row.getLong(1)))
-  }
+  def extractCursor(batch: DataFrame): Cursor =
+    maxTsIdCursor(batch, tsColName, idColName)
 }
 
 /** S3 — id-only keyset scan for append-only tables
@@ -181,7 +182,22 @@ final case class FullSyncStrategy(config: CdcConfig) extends CdcStrategy {
 final case class CustomSqlStrategy(config: CdcConfig) extends CdcStrategy {
   def requiredColumns: Seq[String] = Nil
   def scanSpec(cursor: Cursor): ScanSpec = ScanSpec(None, Nil, None)
-  def extractCursor(batch: DataFrame): Cursor = Cursor()
+
+  /** Cursor from the CONFIGURED ts/id columns of the query's output (ref
+    * extract_watermark_data for custom SQL, cdc_strategy_engine.py:822-834).
+    * Without cursor columns, the template's `{last_timestamp}/{last_id}`
+    * placeholders never advance — every sync would re-stage the same rows
+    * and an append load would duplicate them, so configure at least one for
+    * incremental templates. */
+  def extractCursor(batch: DataFrame): Cursor =
+    (config.timestampColumn, config.idColumn) match {
+      case (Some(ts), Some(id)) => maxTsIdCursor(batch, ts, id)
+      case (Some(ts), None) => Cursor(lastTimestamp = maxTsString(batch, ts))
+      case (None, Some(id)) =>
+        val row = batch.agg(max(col(id)).cast("long")).head()
+        if (row.isNullAt(0)) Cursor() else Cursor(lastId = Some(row.getLong(0)))
+      case _ => Cursor()
+    }
 
   /** Run the guarded, rendered template. `viewName` must already be registered. */
   def run(spark: SparkSession, viewName: String, cursor: Cursor): DataFrame = {

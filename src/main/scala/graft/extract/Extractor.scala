@@ -33,9 +33,13 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
                       targetFileRows: Long = 5000000,
                       compression: String = "snappy") {
 
+  /** Per-table staging root, keyed on the FULL safe name (conn_schema_table)
+    * — keying on the bare table name would share one dir between same-named
+    * tables of different schemas/connections, whose orphan sweeps would then
+    * delete each other's committed-but-unloaded sessions. */
   def stagingDir(id: TableId): String = partitionStrategy match {
-    case PartitionStrategy.ByTable => s"$stagingRoot/table=${id.table}"
-    case _ => s"$stagingRoot/${id.table}"
+    case PartitionStrategy.ByTable => s"$stagingRoot/table=${id.safeName}"
+    case _ => s"$stagingRoot/${id.safeName}"
   }
 
   /** Run one extract session for `id`, reading from `df` (already sourced).
@@ -57,16 +61,30 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
     store.save(wm.markExtractInProgress(store.nowString()))
     try {
       val cursor = Cursor(wm.mysql_state.last_timestamp, wm.mysql_state.last_id)
-      val scan = strategy.scanSpec(cursor)
-      // ceiling: snapshot MAX(id) bound so rows arriving mid-extract are left
-      // for the next session (ref row_based.py:278-292, 525-536)
-      val bounded = (ceiling, config.idColumn) match {
-        case (Some(c), Some(idCol)) => scan.copy(predicate =
-          Some(scan.predicate.map(_ && col(idCol) <= lit(c))
-            .getOrElse(col(idCol) <= lit(c))))
-        case _ => scan
+      val batch = strategy match {
+        // custom SQL: the TEMPLATE carries the incremental predicate (its
+        // {last_timestamp}/{last_id} placeholders render from the cursor) —
+        // running the raw df through an empty ScanSpec would re-stage the
+        // whole unfiltered source every sync and the append load would
+        // duplicate it. The view is dropped right after planning (the
+        // DataFrame holds the resolved plan, not the view reference).
+        case cs: CustomSqlStrategy =>
+          val view = s"graft_custom_${id.safeName}_${System.nanoTime()}"
+          df.createOrReplaceTempView(view)
+          try cs.run(spark, view, cursor)
+          finally spark.catalog.dropTempView(view)
+        case _ =>
+          val scan = strategy.scanSpec(cursor)
+          // ceiling: snapshot MAX(id) bound so rows arriving mid-extract are
+          // left for the next session (ref row_based.py:278-292, 525-536)
+          val bounded = (ceiling, config.idColumn) match {
+            case (Some(c), Some(idCol)) => scan.copy(predicate =
+              Some(scan.predicate.map(_ && col(idCol) <= lit(c))
+                .getOrElse(col(idCol) <= lit(c))))
+            case _ => scan
+          }
+          bounded(df)
       }
-      val batch = bounded(df)
 
       val outDir = stagingDir(id)
       // orphan cleanup: session dirs ABOVE the committed high-water tag are
@@ -205,24 +223,13 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
   private[extract] def listParquetFiles(spark: SparkSession, dir: String): Seq[String] =
     listParquetFilesWithSize(spark, dir).map(_._1)
 
-  /** One recursive listing returning (path, bytes) — the LocatedFileStatus
-    * already carries the length, so sizes cost zero extra namenode RPCs. */
+  /** One recursive listing returning (path, bytes) — the shared
+    * [[graft.util.FsListing]] (hidden-segment-aware, zero extra RPCs). */
   private[extract] def listParquetFilesWithSize(spark: SparkSession,
-                                                dir: String): Seq[(String, Long)] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Nil
-    else {
-      val it = fs.listFiles(path, true)
-      val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet"))
-          buf += ((f.getPath.toString, f.getLen))
-      }
-      buf.toSeq
-    }
-  }
+                                                dir: String): Seq[(String, Long)] =
+    graft.util.FsListing
+      .parquetFilesMeta(dir, spark.sparkContext.hadoopConfiguration)
+      .map(f => (f._1, f._2))
 
   /** Snapshot MAX(id) ceiling at session start (ref row_based.py:781-845). */
   def snapshotCeiling(df: DataFrame, idCol: String): Option[Long] = {

@@ -686,36 +686,12 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
                                        dir: String): Seq[(String, Long)] =
     listParquetFilesMeta(spark, dir).map(f => (f._1, f._2))
 
-  /** (path, bytes, modificationTime) — the LocatedFileStatus carries all
-    * three, so downstream consumers (size accounting, newest-first trim)
-    * never re-stat a file. */
+  /** (path, bytes, modificationTime) via the shared [[graft.util.FsListing]]
+    * — one definition of the hidden-segment rule for extractor and loader. */
   private def listParquetFilesMeta(spark: SparkSession,
-                                   dir: String): Seq[(String, Long, Long)] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Nil
-    else {
-      val rootUri = fs.getFileStatus(path).getPath.toUri.getPath
-      def hiddenSegment(name: String): Boolean =
-        name.startsWith(".") || (name.startsWith("_") && !name.contains("="))
-      def underHidden(p: org.apache.hadoop.fs.Path): Boolean = {
-        var cur = p
-        while (cur != null && cur.toUri.getPath != rootUri) {
-          if (hiddenSegment(cur.getName)) return true
-          cur = cur.getParent
-        }
-        false
-      }
-      val it = fs.listFiles(path, true)
-      val buf = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet") && !underHidden(f.getPath))
-          buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
-      }
-      buf.sortBy(_._1).toSeq
-    }
-  }
+                                   dir: String): Seq[(String, Long, Long)] =
+    graft.util.FsListing
+      .parquetFilesMeta(dir, spark.sparkContext.hadoopConfiguration)
 
   /** Warehouse row count from parquet FOOTERS — O(files) metadata reads, no
     * data scan. The count-parity gate at 100 TB costs seconds of namenode

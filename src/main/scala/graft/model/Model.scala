@@ -18,9 +18,22 @@ final case class TableId(connection: String, schema: String, table: String) {
   /** Unscoped `schema.table`. */
   def qualified: String = s"$schema.$table"
   /** Filesystem/S3-safe name: `conn_schema_table` (lowercased, like the
-    * reference's watermark key scoping, simple_watermark_manager.py:551-574). */
-  def safeName: String =
-    s"${connection}_${schema}_$table".toLowerCase.replaceAll("[^a-z0-9_]", "_")
+    * reference's watermark key scoping, simple_watermark_manager.py:551-574).
+    * When sanitization ALTERED the name, an md5 tag disambiguates it —
+    * otherwise `s.order-items` and `s.order_items` would share one staging
+    * dir and one warehouse directory, and either table's replace/merge swap
+    * would destroy the other's data. Clean names keep their readable form. */
+  def safeName: String = {
+    val raw = s"${connection}_${schema}_$table".toLowerCase
+    val safe = raw.replaceAll("[^a-z0-9_]", "_")
+    if (safe == raw) safe
+    else {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(8)
+      s"${safe}_$tag"
+    }
+  }
 }
 
 object TableId {

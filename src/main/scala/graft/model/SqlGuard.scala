@@ -45,6 +45,15 @@ object SqlGuard {
     "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
   }
 
+  /** Lowered text with single-quoted string literals blanked ('' doubling
+    * included), so the keyword scan never fires on literal CONTENT — a
+    * read-only query mentioning 'please update later' in a literal is
+    * legitimate. The structural checks (chaining, comments) still run on
+    * the full text: a ';' or '--' inside a literal stays forbidden, which
+    * is conservative but safe. */
+  private def lowerNoLiterals(text: String): String =
+    text.toLowerCase.replaceAll("'(?:[^']|'')*'", "''")
+
   /** Validate a custom-SQL template: SELECT-only, bounded length, no mutating
     * keywords, no statement chaining, no comments (ref :54-91). */
   def validateCustomSql(sql: String): String = {
@@ -58,10 +67,11 @@ object SqlGuard {
       throw SqlGuardViolation("statement chaining (';') not allowed")
     if (lower.contains("--") || lower.contains("/*"))
       throw SqlGuardViolation("SQL comments not allowed in custom SQL")
+    val scannable = lowerNoLiterals(trimmed)
     ForbiddenKeywords.foreach { kw =>
       // word-boundary match so e.g. 'created_at' does not trip on 'create'
       val re = ("(?s).*\\b" + java.util.regex.Pattern.quote(kw) + "\\b.*").r
-      if (re.findFirstIn(lower).isDefined)
+      if (re.findFirstIn(scannable).isDefined)
         throw SqlGuardViolation(s"forbidden keyword in custom SQL: '$kw'")
     }
     trimmed
@@ -78,10 +88,10 @@ object SqlGuard {
       throw SqlGuardViolation("statement chaining (';') not allowed")
     if (trimmed.contains("--") || trimmed.contains("/*"))
       throw SqlGuardViolation("SQL comments not allowed")
-    val lower = trimmed.toLowerCase
+    val scannable = lowerNoLiterals(trimmed)
     ForbiddenKeywords.foreach { kw =>
       val re = ("(?s).*\\b" + java.util.regex.Pattern.quote(kw) + "\\b.*").r
-      if (re.findFirstIn(lower).isDefined)
+      if (re.findFirstIn(scannable).isDefined)
         throw SqlGuardViolation(s"forbidden keyword in predicate: '$kw'")
     }
     trimmed
@@ -98,7 +108,13 @@ object SqlGuard {
       .replace("{table_name}", validateQualifiedIdentifier(tableName))
       .replace("{last_timestamp}",
         lastTimestamp.map(escapeStringLiteral).getOrElse("'1970-01-01 00:00:00'"))
-      .replace("{last_id}", lastId.getOrElse(0L).toString)
-      .replace("{limit}", limit.getOrElse(Long.MaxValue).toString)
+      // -1, not 0: templates compare strictly (`id > {last_id}`), and id
+      // sequences legitimately start at 0 — a 0 default silently drops the
+      // first row of the first sync
+      .replace("{last_id}", lastId.getOrElse(-1L).toString)
+      // clamp: Spark's LIMIT requires an INT expression — an unclamped Long
+      // renders a BIGINT literal and fails analysis on every run
+      .replace("{limit}",
+        math.min(limit.getOrElse(Int.MaxValue.toLong), Int.MaxValue.toLong).toString)
   }
 }

@@ -39,14 +39,24 @@ object TypeMapper {
       case "varchar" | "char" => StringType
       case b if b.endsWith("text") => StringType
       case "bigint" => LongType // forced signed even when unsigned (ref :227-230)
-      case "int" | "integer" | "mediumint" => IntegerType
-      case "smallint" => ShortType
+      // unsigned int/smallint WIDEN — the top half of their range overflows
+      // the signed Spark type (int unsigned 3e9 > Int.MaxValue would null
+      // or throw on ingest)
+      case "int" | "integer" | "mediumint" =>
+        if (t.unsigned) LongType else IntegerType
+      case "smallint" =>
+        if (t.unsigned) IntegerType else ShortType
       case "tinyint" =>
-        if (t.precision.contains(1)) BooleanType else ShortType // ref :240-245
+        if (t.precision.contains(1)) BooleanType
+        else if (t.unsigned) ShortType else ShortType // 0..255 fits SHORT
       case "decimal" | "numeric" =>
-        // precision capped at 18 (ref :212-219); default financial (15,4)
+        // precision capped at 18 (ref :212-219). Scale defaults: bare
+        // `decimal` → the financial (15,4); `decimal(p)` → (p,0), matching
+        // MySQL (a (p,4) default would shrink the integer range and null
+        // large values)
         val p = math.min(t.precision.getOrElse(15), 18)
-        val s = math.min(t.scale.getOrElse(4), p)
+        val s = math.min(t.scale.getOrElse(
+          if (t.precision.isDefined) 0 else 4), p)
         DecimalType(p, s)
       case "float" | "real" => FloatType
       case "double" => DoubleType
@@ -72,12 +82,14 @@ object TypeMapper {
         s"VARCHAR($len)"
       case b if b.endsWith("text") => "VARCHAR(65535)"
       case "bigint" => "BIGINT"
-      case "int" | "integer" | "mediumint" => "INTEGER"
-      case "smallint" => "SMALLINT"
+      case "int" | "integer" | "mediumint" =>
+        if (t.unsigned) "BIGINT" else "INTEGER"
+      case "smallint" => if (t.unsigned) "INTEGER" else "SMALLINT"
       case "tinyint" => if (t.precision.contains(1)) "BOOLEAN" else "SMALLINT"
       case "decimal" | "numeric" =>
         val p = math.min(t.precision.getOrElse(15), 18)
-        val s = math.min(t.scale.getOrElse(4), p)
+        val s = math.min(t.scale.getOrElse(
+          if (t.precision.isDefined) 0 else 4), p)
         s"DECIMAL($p,$s)"
       case "float" | "real" | "double" => "FLOAT"
       case "datetime" | "timestamp" => "TIMESTAMP"

@@ -20,10 +20,17 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => df(spark, sfDir, n).createOrReplaceTempView(n))
 
-  /** Fresh scratch dir for queries that exercise the write path. */
+  /** Fresh scratch dir for queries that exercise the write path, deleted
+    * RECURSIVELY at JVM exit (File.deleteOnExit only removes empty dirs —
+    * populated scratch trees would leak across long bench sessions). */
   def scratchDir(tag: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft_$tag")
-    d.toFile.deleteOnExit()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case scala.util.control.NonFatal(_) => () }))
     d.toString
   }
 }

@@ -128,3 +128,40 @@ object ParquetFooters {
     (rows, if (statsComplete) max else None)
   }
 }
+
+/** Recursive parquet listing shared by the extractor and loader: one pass
+  * over the LocatedFileStatus stream yields (path, bytes, mtime) with ZERO
+  * extra namenode/S3 RPCs, skipping files under hidden path segments
+  * (dot-prefixed, or underscore-prefixed non-partition dirs — Spark's own
+  * listing rule) so crash-recovery artifacts like `.__old_<b>` never enter
+  * row/byte accounting. */
+object FsListing {
+  def parquetFilesMeta(dir: String,
+                       conf: org.apache.hadoop.conf.Configuration)
+      : Seq[(String, Long, Long)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) Nil
+    else {
+      val rootUri = fs.getFileStatus(path).getPath.toUri.getPath
+      def hiddenSegment(name: String): Boolean =
+        name.startsWith(".") || (name.startsWith("_") && !name.contains("="))
+      def underHidden(p: org.apache.hadoop.fs.Path): Boolean = {
+        var cur = p
+        while (cur != null && cur.toUri.getPath != rootUri) {
+          if (hiddenSegment(cur.getName)) return true
+          cur = cur.getParent
+        }
+        false
+      }
+      val it = fs.listFiles(path, true)
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet") && !underHidden(f.getPath))
+          buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
+      }
+      buf.sortBy(_._1).toSeq
+    }
+  }
+}

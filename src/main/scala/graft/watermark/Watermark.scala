@@ -117,8 +117,11 @@ final case class Watermark(
     copy(
       mysql_state = MysqlState(last_updated = Some(now)),
       redshift_state = RedshiftState(last_updated = Some(now),
-        // blacklist-derived counters survive reset in the reference
-        total_rows = 0),
+        // blacklist-derived counters survive reset in the reference: the
+        // blacklisted files' rows are still IN the warehouse (they never
+        // reload), so zeroing the counter would fail the count-parity gate
+        // on every subsequent sync
+        total_rows = redshift_state.total_rows),
       metadata = metadata.copy(manual_override = true))
 }
 

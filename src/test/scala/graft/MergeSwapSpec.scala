@@ -343,14 +343,18 @@ class MergeSwapSpec extends AnyFunSuite with SparkTestBase {
       ex.extract(spark, id, orders.limit(100), hybridCfg)
       firstLeafDir(new java.io.File(s"$root/staging"))
     }
+    // the staging ROOT is namespaced by the full safe name (schema-distinct
+    // tables must never share an orphan-sweep domain); the reference-parity
+    // part is the datetime level ordering + %02d padding below it, and the
+    // hybrid layout's mid-path table= level keeps the BARE table name
     val dt = extractWith(PartitionStrategy.Datetime)
     assert(dt.matches(
-      "orders/session=\\d+/year=\\d{4}/month=\\d{2}/day=\\d{2}/hour=\\d{2}"), dt)
+      "t_fx_orders/session=\\d+/year=\\d{4}/month=\\d{2}/day=\\d{2}/hour=\\d{2}"), dt)
     val hy = extractWith(PartitionStrategy.Hybrid)
     assert(hy.matches(
-      "orders/session=\\d+/year=\\d{4}/month=\\d{2}/table=orders/day=\\d{2}/hour=\\d{2}"), hy)
+      "t_fx_orders/session=\\d+/year=\\d{4}/month=\\d{2}/table=orders/day=\\d{2}/hour=\\d{2}"), hy)
     val tb = extractWith(PartitionStrategy.ByTable)
-    assert(tb.matches("table=orders/session=\\d+"), tb)
+    assert(tb.matches("table=t_fx_orders/session=\\d+"), tb)
   }
 
   test("datetime layout: year/month/day dirs exist and prune the scan") {

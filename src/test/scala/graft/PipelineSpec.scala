@@ -426,6 +426,39 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.Cli.run(Array("sync")) == 2)     // missing -c
   }
 
+  test("custom_sql table syncs INCREMENTALLY through the pipeline") {
+    // the template's {last_id} placeholder must render from the cursor and
+    // the cursor must advance from the configured id column — without both,
+    // every sync re-stages the whole source and the append load duplicates it
+    val y = s"""pipeline:
+       |  name: "custom_sql_sync"
+       |  source: "$sfDir"
+       |  target: "warehouse"
+       |tables:
+       |  fx.events:
+       |    cdc_strategy: "custom_sql"
+       |    cdc_id_column: "event_id"
+       |    custom_sql: "SELECT event_id, user_id, event_type FROM {table_name} WHERE event_id > {last_id}"
+       |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val work = tmpDir("customsql")
+    val runner = new PipelineRunner(spark, work)
+    val r1 = runner.sync(p)
+    assert(r1.allOk, r1.tables.flatMap(_.error).mkString(";"))
+    val (store, _, loader) = runner.rigFor(p)
+    val id = p.tables.head.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+    val n = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(loader.readTarget(spark, id).get.count() == n)
+    // cursor advanced to max(event_id) → the second sync stages NOTHING
+    val maxId = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(org.apache.spark.sql.functions.max("event_id")).head().getLong(0)
+    assert(store.get(id.scoped).get.mysql_state.last_id.contains(maxId))
+    val r2 = runner.sync(p)
+    assert(r2.allOk)
+    assert(loader.readTarget(spark, id).get.count() == n,
+      "second custom_sql sync duplicated rows")
+  }
+
   test("failed table is reported, others still succeed") {
     val y = yaml.replace("cdc_id_column: \"event_id\"",
       "cdc_id_column: \"no_such_column\"")

@@ -56,4 +56,27 @@ class SqlGuardSpec extends AnyFunSuite {
     intercept[SqlGuardViolation](SqlGuard.renderCustomSql(
       "SELECT * FROM {table_name}", "bad name!", None, None, None))
   }
+
+  test("keywords inside string LITERALS are legitimate content") {
+    assert(SqlGuard.validateCustomSql(
+      "SELECT * FROM t WHERE note = 'please update later'").nonEmpty)
+    assert(SqlGuard.validateCustomSqlFragment(
+      "note = 'we can''t drop this client'").nonEmpty)
+    // outside a literal the keyword still trips
+    intercept[SqlGuardViolation](
+      SqlGuard.validateCustomSql("SELECT * FROM t WHERE update = 1"))
+  }
+
+  test("{limit} clamps to INT (Spark LIMIT rejects BIGINT literals)") {
+    val none = SqlGuard.renderCustomSql(
+      "SELECT * FROM {table_name} LIMIT {limit}", "db.t", None, None, None)
+    assert(none.endsWith(s"LIMIT ${Int.MaxValue}"))
+    val big = SqlGuard.renderCustomSql(
+      "SELECT * FROM {table_name} LIMIT {limit}", "db.t", None, None,
+      Some(5000000000L))
+    assert(big.endsWith(s"LIMIT ${Int.MaxValue}"))
+    val small = SqlGuard.renderCustomSql(
+      "SELECT * FROM {table_name} LIMIT {limit}", "db.t", None, None, Some(10L))
+    assert(small.endsWith("LIMIT 10"))
+  }
 }

@@ -100,4 +100,29 @@ class TypeMapperSpec extends AnyFunSuite {
     assert(names == Seq("a", "col_9lives", "ok"))
     assert(mapping == Map("A" -> "a", "9lives" -> "col_9lives"))
   }
+
+  test("unsigned widening and MySQL decimal scale defaults") {
+    import org.apache.spark.sql.types._
+    // unsigned int/smallint WIDEN (top half of the range overflows signed)
+    assert(TypeMapper.toSparkType("int unsigned") == LongType)
+    assert(TypeMapper.toSparkType("smallint unsigned") == IntegerType)
+    assert(TypeMapper.toSparkType("int") == IntegerType)
+    assert(TypeMapper.toWarehouseDdl("int unsigned") == "BIGINT")
+    assert(TypeMapper.toWarehouseDdl("smallint unsigned") == "INTEGER")
+    // decimal(p) means (p,0) in MySQL — a (p,4) default would shrink the
+    // integer range and null values like 1234567890
+    assert(TypeMapper.toSparkType("decimal(10)") == DecimalType(10, 0))
+    assert(TypeMapper.toSparkType("decimal") == DecimalType(15, 4))
+    assert(TypeMapper.toSparkType("decimal(12,2)") == DecimalType(12, 2))
+    assert(TypeMapper.toWarehouseDdl("decimal(10)") == "DECIMAL(10,0)")
+  }
+
+  test("safeName disambiguates names that sanitize identically") {
+    import graft.model.TableId
+    val a = TableId("c", "s", "order-items").safeName
+    val b = TableId("c", "s", "order_items").safeName
+    assert(a != b, "distinct tables share one staging/warehouse directory")
+    assert(b == "c_s_order_items") // clean names keep their readable form
+    assert(a.startsWith("c_s_order_items_"))
+  }
 }

@@ -172,13 +172,16 @@ class WatermarkSpec extends AnyFunSuite with SparkTestBase {
     assert(cli("watermark-count", "set", "-t", "fx.region") == 2)
   }
 
-  test("store: reset persists and preserves blacklist") {
+  test("store: reset persists and preserves blacklist AND cumulative counter") {
     val store = new WatermarkStore(tmpDir("reset"))
     val w = store.getOrCreate("t", "hybrid")
     store.save(w.afterLoadSession(Seq("fileA"), 5, store.nowString()))
     val r = store.reset("t").get
     assert(r.processed_files == List("fileA"))
     assert(store.get("t").get.mysql_state.last_id.isEmpty)
+    // the blacklisted file's rows are still IN the warehouse — zeroing the
+    // counter would fail the count-parity gate on every later sync
+    assert(r.redshift_state.total_rows == 5)
   }
 
   test("store: concurrent stale-lock breakers — exactly one wins") {
