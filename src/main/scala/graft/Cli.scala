@@ -132,7 +132,7 @@ object Cli {
           val (store, _, _) = r.rigFor(p)
           p.tables.filter(t => tableFilter.forall(f =>
             t.name == f || t.name.endsWith(s".$f"))).foreach { spec =>
-            val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+            val id = spec.tableId(p)
             val wm = store.get(id.scoped)
             val cursor = graft.cdc.Cursor(
               wm.flatMap(_.mysql_state.last_timestamp),
@@ -168,7 +168,7 @@ object Cli {
         val (r, p) = runner
         val (store, _, _) = r.rigFor(p)
         p.tables.foreach { spec =>
-          val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+          val id = spec.tableId(p)
           store.get(id.scoped) match {
             case Some(w) =>
               println(f"${id.qualified}%-32s mysql=${w.mysql_state.status}%-12s " +
@@ -191,7 +191,7 @@ object Cli {
         // be silently selected, and `watermark reset` would wipe the wrong
         // table's cursor (forcing a full re-extract)
         val spec = requireTable(p, tableFilter, "watermark")
-        val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+        val id = spec.tableId(p)
         sub match {
           case "get" =>
             store.get(id.scoped) match {
@@ -220,7 +220,7 @@ object Cli {
         val (r, p) = runner
         val (store, _, loader) = r.rigFor(p)
         val spec = requireTable(p, tableFilter, "watermark-count")
-        val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+        val id = spec.tableId(p)
         sub match {
           case "set" =>
             val n = numOpt(opts, "count", _.toLong).getOrElse {
@@ -266,7 +266,7 @@ object Cli {
           System.err.println("merge requires --keys k1,k2 or a cdc_id_column")
           throw CliExit(2)
         }
-        val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+        val id = spec.tableId(p)
         val res = loader.mergeLoad(spark, id, extractor.stagingDir(id),
           spec.cdc, keys, spec.mergeBuckets)
         println(s"merged ${id.qualified} on (${keys.mkString(",")}): " +
@@ -279,7 +279,7 @@ object Cli {
         val (r, p) = runner
         val (_, _, loader) = r.rigFor(p)
         val spec = requireTable(p, tableFilter, "compact")
-        val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+        val id = spec.tableId(p)
         val mb = numOpt(opts, "target-file-mb", _.toLong).getOrElse(256L)
         val (before, after) = loader.compact(spark, id, mb * 1024 * 1024)
         println(s"compacted ${id.qualified}: $before -> $after files")
@@ -296,7 +296,7 @@ object Cli {
         val (r, p) = runner
         val (store, _, _) = r.rigFor(p)
         val spec = requireTable(p, tableFilter, "unlock")
-        val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+        val id = spec.tableId(p)
         val staleMs =
           if (flags("force")) 0L
           else numOpt(opts, "stale-minutes", _.toLong).map(_ * 60000L).getOrElse(3600000L)

@@ -44,6 +44,12 @@ final case class TableSpec(
     val id = TableId.parse(s"$connection:$name")
     targetName.map(t => id.copy(table = t)).getOrElse(id)
   }
+
+  /** The ONE way to derive a table's id from its pipeline — the connection
+    * name is the sanitized source; a call site hand-rolling the
+    * sanitization that drifted would silently fork the table's
+    * watermark/staging/warehouse state. */
+  def tableId(p: Pipeline): TableId = tableId(p.connectionId)
 }
 
 /** A full parsed pipeline (ref PipelineConfig + example
@@ -58,7 +64,12 @@ final case class Pipeline(
     defaultStrategy: CdcStrategyKind,
     processing: ProcessingSettings,
     sink: SinkSettings,
-    tables: Seq[TableSpec])
+    tables: Seq[TableSpec]) {
+
+  /** Connection identity derived from the source (url/dir), sanitized for
+    * watermark scoping. See [[TableSpec.tableId]]. */
+  def connectionId: String = source.replaceAll("[^A-Za-z0-9_]", "_")
+}
 
 /** YAML pipeline loader: same document shape as the reference's
   * config/pipelines YAML files (configuration_manager.py:377-531), including
@@ -81,8 +92,14 @@ object PipelineConfig {
 
   def fromString(yaml: String, env: Map[String, String] = sys.env,
                  baseDir: Option[String] = None): Pipeline = {
-    val node = mapper.readTree(interpolate(yaml, env))
-    parse(resolveExtends(node, baseDir, env, depth = 0))
+    // interpolation runs on the PARSED, MERGED tree, not the raw text:
+    //  - ${VAR} inside comments can't abort the load (comments don't parse),
+    //  - a child's extends-override can replace a template key BEFORE its
+    //    ${PROD_ONLY_VAR} is ever evaluated,
+    //  - substituted values with YAML metacharacters can't restructure the
+    //    document (there is no second text parse).
+    val node = mapper.readTree(yaml)
+    parse(interpolateTree(resolveExtends(node, baseDir, env, depth = 0), env))
   }
 
   /** Resolve the `extends:` chain: load the template (path relative to the
@@ -93,9 +110,10 @@ object PipelineConfig {
     val ext = Option(node.get("extends")).filterNot(_.isNull).map(_.asText)
     ext match {
       case None => node
-      case Some(rel) =>
+      case Some(rel0) =>
         if (depth >= 10) throw new IllegalArgumentException(
-          s"extends chain deeper than 10 — inheritance cycle? (at $rel)")
+          s"extends chain deeper than 10 — inheritance cycle? (at $rel0)")
+        val rel = interpolate(rel0, env) // env-dependent template paths
         val path = baseDir match {
           case Some(d) => java.nio.file.Paths.get(d).resolve(rel).toString
           case None => rel
@@ -105,7 +123,7 @@ object PipelineConfig {
         val parentDir = Option(
           java.nio.file.Paths.get(path).toAbsolutePath.getParent).map(_.toString)
         val parent = resolveExtends(
-          mapper.readTree(interpolate(raw, env)), parentDir, env, depth + 1)
+          mapper.readTree(raw), parentDir, env, depth + 1)
         val child = node.deepCopy[JsonNode]()
         child.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
           .remove("extends")
@@ -135,13 +153,33 @@ object PipelineConfig {
 
   /** `${VAR}` or `${VAR:default}` → env value (ref env interpolation,
     * configuration_manager.py:443-531). Missing var with no default throws. */
-  private[pipeline] def interpolate(yaml: String, env: Map[String, String]): String =
-    "\\$\\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\\}".r.replaceAllIn(yaml, m => {
+  private[pipeline] def interpolate(text: String, env: Map[String, String]): String =
+    "\\$\\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\\}".r.replaceAllIn(text, m => {
       val v = env.get(m.group(1)).orElse(Option(m.group(2))).getOrElse(
         throw new IllegalArgumentException(
           s"environment variable ${m.group(1)} not set and no default given"))
       scala.util.matching.Regex.quoteReplacement(v)
     })
+
+  /** Interpolate every STRING VALUE of a parsed config tree. */
+  private[pipeline] def interpolateTree(node: JsonNode,
+                                        env: Map[String, String]): JsonNode = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, TextNode}
+    node match {
+      case o: ObjectNode =>
+        val out = o.deepCopy[ObjectNode]()
+        o.properties().asScala.foreach(e =>
+          out.set[JsonNode](e.getKey, interpolateTree(e.getValue, env)))
+        out
+      case a: ArrayNode =>
+        val out = a.deepCopy[ArrayNode]()
+        (0 until a.size()).foreach(i =>
+          out.set(i, interpolateTree(a.get(i), env)))
+        out
+      case t: TextNode => new TextNode(interpolate(t.asText(), env))
+      case other => other
+    }
+  }
 
   private def opt(n: JsonNode, field: String): Option[JsonNode] =
     Option(n).flatMap(x => Option(x.get(field))).filterNot(_.isNull)
@@ -149,13 +187,27 @@ object PipelineConfig {
   private def str(n: JsonNode, field: String, default: String): String =
     opt(n, field).map(_.asText).getOrElse(default)
 
+  /** A string list that ALSO accepts a scalar as a one-element list:
+    * `merge_keys: "o_orderkey"` is a natural way to write one key, and
+    * `elements()` on a scalar node silently yields Nil — which here would
+    * silently demote a merge table to append mode (duplicates). */
+  private def strOrList(n: JsonNode): Seq[String] =
+    if (n.isTextual) Seq(n.asText)
+    else n.elements().asScala.map(_.asText).toSeq
+
   private def parse(root: JsonNode): Pipeline = {
     val p = Option(root.get("pipeline")).getOrElse(
       throw new IllegalArgumentException("missing top-level 'pipeline' block"))
 
     val proc = opt(p, "processing").orNull
     val processing = ProcessingSettings(
-      strategy = str(proc, "strategy", "sequential"),
+      // strict: a typo'd strategy silently running sequential would be a
+      // multi-hour slowdown with no error anywhere
+      strategy = str(proc, "strategy", "sequential").trim.toLowerCase match {
+        case s @ ("sequential" | "parallel") => s
+        case other => throw new IllegalArgumentException(
+          s"unknown processing.strategy '$other' (sequential | parallel)")
+      },
       batchSize = opt(proc, "batch_size").map(_.asInt).getOrElse(10000),
       timeoutMinutes = opt(proc, "timeout_minutes").map(_.asInt).getOrElse(240),
       maxParallelTables = opt(proc, "max_parallel_tables").map(_.asInt).getOrElse(1),
@@ -207,8 +259,7 @@ object PipelineConfig {
       strategy = strategy,
       timestampColumn = opt(n, "cdc_timestamp_column").map(_.asText),
       idColumn = opt(n, "cdc_id_column").map(_.asText),
-      ordering = opt(n, "cdc_ordering").map(_.elements().asScala.map(_.asText).toSeq)
-        .getOrElse(Nil),
+      ordering = opt(n, "cdc_ordering").map(strOrList).getOrElse(Nil),
       additionalWhere = opt(n, "additional_where").map(_.asText),
       customSql = opt(n, "custom_sql").map(_.asText),
       fullSyncMode = opt(n, "full_sync_mode").map(m => FullSyncMode.fromName(m.asText))
@@ -216,14 +267,17 @@ object PipelineConfig {
       timestampIsUnixEpoch = opt(n, "timestamp_is_unix_epoch").exists(_.asBoolean),
       batchSize = tableBatch,
       maxRowsPerRun = opt(n, "max_rows_per_run").map(_.asLong))
-    val ttype = opt(n, "table_type").map(_.asText) match {
+    // strict like every other config enum: a typo'd table_type silently
+    // becoming Fact would break the dims-first DAG ordering with no error
+    val ttype = opt(n, "table_type").map(_.asText.toLowerCase) match {
       case Some("dimension") => TableType.Dimension
-      case _ => TableType.Fact
+      case Some("fact") | None => TableType.Fact
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown table_type '$other' (fact | dimension)")
     }
     val countCheck = opt(n, "validation")
       .flatMap(v => opt(v, "enable_count_check")).exists(_.asBoolean)
-    val mergeKeys = opt(n, "merge_keys")
-      .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    val mergeKeys = opt(n, "merge_keys").map(strOrList).getOrElse(Nil)
     val mergeBuckets = opt(n, "merge_buckets").map(_.asInt)
     TableSpec(name, cdc, opt(n, "target_name").map(_.asText), ttype,
       countCheck, mergeKeys, mergeBuckets)

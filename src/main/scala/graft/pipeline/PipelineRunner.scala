@@ -30,7 +30,12 @@ final case class PipelineReport(pipeline: String, tables: Seq[TableReport],
   * catalog reads `{root}/{table}.parquet` (the fixture layout); the JDBC
   * catalog serves a live database (`pipeline.source: "jdbc:..."` in YAML). */
 trait SourceCatalog {
-  def table(spark: SparkSession, spec: TableSpec): DataFrame
+  /** Lazy source DataFrame. `cursor` is the table's committed CDC cursor —
+    * a hint only: catalogs that can bound their scan with it (JDBC range
+    * partitioning) should; file catalogs ignore it. The STRATEGY still
+    * applies its exact predicate downstream either way. */
+  def table(spark: SparkSession, spec: TableSpec,
+            cursor: graft.cdc.Cursor = graft.cdc.Cursor()): DataFrame
 }
 
 /** File-based catalog: `{root}/{table}.{ext}` in the configured format.
@@ -39,7 +44,8 @@ trait SourceCatalog {
   * load path apply unchanged. */
 final class FileCatalog(root: String, format: String = "parquet",
                         nanosAsLong: Boolean = false) extends SourceCatalog {
-  def table(spark: SparkSession, spec: TableSpec): DataFrame = {
+  def table(spark: SparkSession, spec: TableSpec,
+            cursor: graft.cdc.Cursor = graft.cdc.Cursor()): DataFrame = {
     val bare = spec.name.split("\\.").last
     format match {
       case "parquet" =>
@@ -63,8 +69,9 @@ final class FileCatalog(root: String, format: String = "parquet",
 /** Back-compat alias for the parquet fixture layout. */
 final class ParquetCatalog(root: String) extends SourceCatalog {
   private val inner = new FileCatalog(root, "parquet")
-  def table(spark: SparkSession, spec: TableSpec): DataFrame =
-    inner.table(spark, spec)
+  def table(spark: SparkSession, spec: TableSpec,
+            cursor: graft.cdc.Cursor = graft.cdc.Cursor()): DataFrame =
+    inner.table(spark, spec, cursor)
 }
 
 /** Live-database catalog: `pipeline.source` is the JDBC url (credentials via
@@ -76,10 +83,16 @@ final class ParquetCatalog(root: String) extends SourceCatalog {
 final class JdbcCatalog(url: String, numPartitions: Int = 32) extends SourceCatalog {
   private val source = new graft.sources.JdbcSource(
     url, new java.util.Properties(), numPartitions)
-  def table(spark: SparkSession, spec: TableSpec): DataFrame = {
+  def table(spark: SparkSession, spec: TableSpec,
+            cursor: graft.cdc.Cursor = graft.cdc.Cursor()): DataFrame = {
     val id = TableId.parse(spec.name)
     spec.cdc.idColumn match {
-      case Some(idCol) => source.partitionedTable(spark, id, idCol)
+      // the cursor's last id tightens both the bounds query and the range
+      // layout for incremental reads — without it the ranges span the whole
+      // table and every new row lands in the last partition (serial scan)
+      case Some(idCol) =>
+        source.partitionedTable(spark, id, idCol,
+          lowerBoundHint = cursor.lastId)
       case None => source.table(spark, id)
     }
   }
@@ -167,7 +180,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
 
   private def runTable(p: Pipeline, spec: TableSpec, cat: SourceCatalog,
                        extractor: Extractor, loader: Loader): TableReport = {
-    val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+    val id = spec.tableId(p)
     val t0 = System.nanoTime()
     // ONE session lock spans extract+load+parity: a second concurrent sync of
     // the same table is refused outright (TableLockedException → failed
@@ -175,7 +188,10 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     // extractor/loader's own locks are reentrant under it (same thread).
     Try {
       extractor.store.withTableLock(id.scoped) {
-        val df = cat.table(spark, spec)
+        val wm0 = extractor.store.get(id.scoped)
+        val df = cat.table(spark, spec, graft.cdc.Cursor(
+          wm0.flatMap(_.mysql_state.last_timestamp),
+          wm0.flatMap(_.mysql_state.last_id)))
         val ext = Retry.withBackoff(maxAttempts)(
           extractor.extract(spark, id, df, spec.cdc))
         val load = Retry.withBackoff(maxAttempts)(
@@ -243,7 +259,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
           case Success(report) => report
           case Failure(e) =>
             fut.cancel(true)
-            TableReport(spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_")),
+            TableReport(spec.tableId(p),
               ok = false, None, None,
               Some(e match {
                 case _: java.util.concurrent.TimeoutException =>
@@ -264,7 +280,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
       t.name == f || t.name.endsWith(s".$f")))
     val t0 = System.nanoTime()
     val reports = specs.map { spec =>
-      val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+      val id = spec.tableId(p)
       val s0 = System.nanoTime()
       Try(Retry.withBackoff(maxAttempts)(
         extractor.extract(spark, id, cat.table(spark, spec), spec.cdc))) match {
@@ -285,7 +301,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
       t.name == f || t.name.endsWith(s".$f")))
     val t0 = System.nanoTime()
     val reports = specs.map { spec =>
-      val id = spec.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+      val id = spec.tableId(p)
       val s0 = System.nanoTime()
       Try(Retry.withBackoff(maxAttempts)(
         loader.load(spark, id, extractor.stagingDir(id), spec.cdc))) match {

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.model.TableId
+import graft.model.{SqlGuard, TableId}
 
 /** Source abstraction (SURVEY §7.0): the engine reads tables through `Source`
   * so the same CDC/extract code path serves Parquet fixtures (tests, bench)
@@ -11,7 +11,10 @@ trait Source {
   /** Lazy DataFrame for a table — plan only; Catalyst pushes CDC predicates
     * into the scan (JDBC WHERE / Parquet row-group skip). */
   def table(spark: SparkSession, id: TableId): DataFrame
-  /** List table names visible to this source (ref SHOW TABLES analog). */
+  /** List table names visible to this source (ref SHOW TABLES analog).
+    * Shape: `schema.table` where the source HAS schemas (JDBC); bare table
+    * names for schema-less sources (parquet dirs) — `TableId.parse` accepts
+    * both, defaulting the schema. */
   def listTables(spark: SparkSession): Seq[String]
 }
 
@@ -34,12 +37,20 @@ final class ParquetSource(dir: String) extends Source {
   * intra-table thread chunking (src/backup/intra_table.py + base.py:1302-1356,
   * SURVEY §4 "scan parallelization"). Exercised against embedded Derby in
   * JdbcSpec; the same `DataFrame` flows through every downstream operator.
+  *
+  * Every identifier that reaches source-side SQL (schema, table, partition
+  * column — ALL of them config-sourced) passes [[SqlGuard]] validation first:
+  * this is the one path where an injected string executes on the PRODUCTION
+  * DATABASE, not just in Spark.
   */
 final class JdbcSource(url: String, props: java.util.Properties,
                        numPartitions: Int = 32) extends Source {
 
+  private def qualified(id: TableId): String =
+    SqlGuard.validateQualifiedIdentifier(s"${id.schema}.${id.table}")
+
   def table(spark: SparkSession, id: TableId): DataFrame =
-    spark.read.jdbc(url, s"${id.schema}.${id.table}", props)
+    spark.read.jdbc(url, qualified(id), props)
 
   /** Live schema discovery (S7, ref flexible_schema_manager.py:137-176): the
     * table's StructType straight from JDBC metadata — plan-only, no data
@@ -51,32 +62,49 @@ final class JdbcSource(url: String, props: java.util.Properties,
 
   /** Range-partitioned read: one cheap min/max query picks even bounds, then
     * `numPartitions` parallel range scans — replaces detect_optimal_window_size
-    * (ref base.py:486-735) with ~10 lines. */
+    * (ref base.py:486-735) with ~10 lines.
+    *
+    * `lowerBoundHint` (e.g. the CDC cursor's last id) tightens the bounds
+    * query and the range layout for INCREMENTAL reads: without it the ranges
+    * span the whole table and the pushed-down watermark predicate leaves
+    * every new row in the last partition — a serial scan plus
+    * numPartitions-1 empty range queries against the source. */
   def partitionedTable(spark: SparkSession, id: TableId,
-                       partitionColumn: String): DataFrame = {
+                       partitionColumn: String,
+                       lowerBoundHint: Option[Long] = None): DataFrame = {
+    val colName = SqlGuard.validateIdentifier(partitionColumn)
+    val where = lowerBoundHint.map(lo => s" WHERE $colName > $lo").getOrElse("")
     val bounds = spark.read
       .jdbc(url,
-        s"(SELECT MIN($partitionColumn) lo, MAX($partitionColumn) hi FROM ${id.schema}.${id.table}) b",
+        s"(SELECT MIN($colName) lo, MAX($colName) hi FROM ${qualified(id)}$where) b",
         props)
       .head()
     if (bounds.isNullAt(0)) table(spark, id)
     else spark.read
-      .option("partitionColumn", partitionColumn)
+      .option("partitionColumn", colName)
       .option("lowerBound", bounds.get(0).toString)
       .option("upperBound", bounds.get(1).toString)
       .option("numPartitions", numPartitions.toString)
-      .jdbc(url, s"${id.schema}.${id.table}", props)
+      .jdbc(url, qualified(id), props)
   }
 
   /** Live table listing via JDBC catalog metadata (ref SHOW TABLES,
-    * base.py:634-665) — returns `schema.table` names. */
+    * base.py:634-665) — returns `schema.table` names. MySQL's driver reports
+    * databases as CATALOGS (TABLE_SCHEM is null), so the schema falls back
+    * catalog-first, and the listing is scoped to the CONNECTED
+    * catalog/schema rather than every database on the server. */
   def listTables(spark: SparkSession): Seq[String] = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val catalog = Option(conn.getCatalog).filter(_.nonEmpty).orNull
+      val rs = conn.getMetaData.getTables(catalog, null, "%", Array("TABLE"))
       val buf = scala.collection.mutable.ArrayBuffer[String]()
-      while (rs.next())
-        buf += s"${rs.getString("TABLE_SCHEM")}.${rs.getString("TABLE_NAME")}"
+      while (rs.next()) {
+        val schema = Option(rs.getString("TABLE_SCHEM"))
+          .orElse(Option(rs.getString("TABLE_CAT")))
+          .getOrElse("default")
+        buf += s"$schema.${rs.getString("TABLE_NAME")}"
+      }
       buf.toSeq.sorted
     } finally conn.close()
   }

@@ -426,6 +426,37 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.Cli.run(Array("sync")) == 2)     // missing -c
   }
 
+  test("config hardening: scalar lists, strict enums, comment-safe interpolation") {
+    // merge_keys as a YAML SCALAR is a natural way to write one key —
+    // silently parsing it to Nil would demote the table to append mode
+    val scalarKeys = PipelineConfig.fromString(
+      yaml.replace("cdc_id_column: \"o_orderkey\"",
+        "cdc_id_column: \"o_orderkey\"\n    merge_keys: \"o_orderkey\""))
+    assert(scalarKeys.tables.find(_.name == "fx.orders").get.mergeKeys ==
+      Seq("o_orderkey"))
+    // strict enums: typos throw instead of silently changing semantics
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      yaml.replace("cdc_strategy: \"hybrid\"",
+        "cdc_strategy: \"hybrid\"\n    table_type: \"dimensions\"")))
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      yaml.replace("batch_size: 50000", "batch_size: 50000\n    strategy: \"parallell\"")))
+    // capitalized Dimension parses (case-insensitive, still strict)
+    val dim = PipelineConfig.fromString(
+      yaml.replace("cdc_strategy: \"hybrid\"",
+        "cdc_strategy: \"hybrid\"\n    table_type: \"Dimension\""))
+    assert(dim.tables.find(_.name == "fx.orders").get.tableType ==
+      graft.model.TableType.Dimension)
+    // ${VAR} in a COMMENT must not abort the load (interpolation runs on
+    // the parsed tree, where comments no longer exist)
+    val commented = PipelineConfig.fromString(
+      "# remember to export ${TOTALLY_UNSET_VAR}\n" + yaml, env = Map.empty)
+    assert(commented.name == "fixtures_sync")
+    // ...but a missing var in a VALUE still throws
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      yaml.replace("target: \"warehouse\"", "target: \"${TOTALLY_UNSET_VAR}\""),
+      env = Map.empty))
+  }
+
   test("custom_sql table syncs INCREMENTALLY through the pipeline") {
     // the template's {last_id} placeholder must render from the cursor and
     // the cursor must advance from the configured id column — without both,
