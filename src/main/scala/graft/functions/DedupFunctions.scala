@@ -262,16 +262,18 @@ object DedupFunctions {
                                        bands: Int = 16,
                                        maxBucketSize: Int = 1000): DataFrame = {
     val inc = minhashBandIndex(incoming, idCol, textCol, shingleN, k, bands)
-    // distinct(): the index is maintained by APPEND (crash-retried appends
-    // legitimately duplicate rows, like the fingerprint side table) — raw
-    // duplicate rows would inflate bucket counts past maxBucketSize and
-    // silently drop legitimate buckets, missing near-dup pairs
     val all = corpusIndex.select(col("doc_id"), col("band"), col("bucket"))
-      .distinct()
       .unionByName(inc)
     // hot-bucket cap across the COMBINED population (a boilerplate bucket is
-    // degenerate whether its members are old or new)
-    val hot = hotBuckets(all, maxBucketSize)
+    // degenerate whether its members are old or new). The COUNT runs over
+    // the DISTINCT index rows: the index is maintained by APPEND
+    // (crash-retried appends legitimately duplicate rows, like the
+    // fingerprint side table), and raw duplicates would inflate bucket
+    // counts past maxBucketSize and silently drop legitimate buckets. The
+    // join sides below stay RAW — duplicate rows there only produce
+    // duplicate candidate pairs, which the final distinct() removes — so
+    // the dedup shuffle is paid once, on the count path only.
+    val hot = hotBuckets(all.distinct(), maxBucketSize)
     val probe = inc.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val target = all.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val candidates = probe.withColumnRenamed("doc_id", "id_x")
