@@ -550,18 +550,52 @@ object DedupFunctions {
     val wins = slidingWindowHashes(docs, idCol, textCol, window)
     val hits = wins
       .join(crossDocRepeatedHashes(wins, idCol), Seq("whash"), "left_semi")
+    scrubHitWindows(docs, hits, idCol, textCol, window)
+  }
+
+  /** Cut every window in `hits` (doc_id, pos) out of its document, keeping
+    * the tokenizer-normalized remainder for ALL docs. Shared by
+    * [[scrubRepeatedSpans]] (hits = cross-doc repeats) and
+    * [[scrubContaminatedSpans]] (hits = benchmark overlaps). */
+  private def scrubHitWindows(docs: DataFrame, hits: DataFrame, idCol: String,
+                              textCol: String, window: Int): DataFrame = {
+    val starts = hits
       .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__starts"))
     docs
-      .join(hits, Seq(idCol), "left")
+      .join(starts, Seq(idCol), "left")
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"),
         coalesce(col("__starts"), array().cast("array<long>")).as("__starts"))
-      // keep the token at 0-based index i unless some repeated window
-      // starting at s covers it: s <= i < s+window
+      // keep the token at 0-based index i unless some hit window starting
+      // at s covers it: s <= i < s+window
       .select(col(idCol),
         filter(col("__toks"), (t, i) => !exists(col("__starts"),
           s => s <= i && i < s + window)).as("__kept"))
       .select(col(idCol),
         concat_ws(" ", col("__kept")).as("clean_text"),
         size(col("__kept")).cast("long").as("n_tokens_kept"))
+  }
+
+  /** SURGICAL benchmark decontamination: cut the exact spans a document
+    * shares verbatim with the benchmark set, keeping the rest of the doc —
+    * the span-level complement of `CorpusFunctions.dropContaminated`
+    * (which drops whole documents over an overlap threshold). Standard
+    * eval-hygiene practice when benchmark sentences are quoted inside
+    * otherwise-good documents: dropping the doc wastes its clean tokens,
+    * keeping it verbatim leaks the benchmark.
+    *
+    * Plan shape: the corpus windows once ([[slidingWindowHashes]]); the
+    * benchmark's DISTINCT window hashes form the (much smaller) build side
+    * of a semi-join, so only 32-char hashes and (doc, pos) longs ride any
+    * exchange — corpus text never shuffles. */
+  def scrubContaminatedSpans(docs: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String,
+                             window: Int = 8): DataFrame = {
+    require(window > 0, "window must be positive")
+    val benchHashes = slidingWindowHashes(
+      benchmark.select(lit(0L).as(idCol), col(textCol)), idCol, textCol, window)
+      .select(col("whash")).distinct()
+    val hits = slidingWindowHashes(docs, idCol, textCol, window)
+      .join(benchHashes, Seq("whash"), "left_semi")
+    scrubHitWindows(docs, hits, idCol, textCol, window)
   }
 }

@@ -753,6 +753,43 @@ object LlmQueries {
              |  COALESCE(ka.n, 0) AS n_tokens_kept
              |FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id""".stripMargin)),
 
+    // --------------------- surgical decontamination (span-level scrub)
+    // Cut the exact 8-token spans shared verbatim with the benchmark set
+    // (docs ≡ 0 mod 7, the same benchmark as q_decontaminate) instead of
+    // dropping whole documents.
+    Q("q_decontaminate_span",
+      (s, dir) => {
+        val all = Tables.df(s, dir, "documents")
+        graft.functions.DedupFunctions.scrubContaminatedSpans(
+          all.filter(col("doc_id") % 7 =!= 0),
+          all.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", window = 8)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+             |           WHERE doc_id % 7 <> 0),
+             |bw AS (SELECT DISTINCT md5(array_to_string(toks[s+1:s+8], ' ')) AS h
+             |       FROM (SELECT $toksSql AS toks FROM documents
+             |             WHERE doc_id % 7 = 0) b,
+             |            unnest(range(0, len(toks) - 8 + 1)) u(s)
+             |       WHERE len(toks) >= 8),
+             |w AS (SELECT doc_id, s AS pos,
+             |        md5(array_to_string(toks[s+1:s+8], ' ')) AS h
+             |      FROM t, unnest(range(0, len(toks) - 8 + 1)) u(s)
+             |      WHERE len(toks) >= 8),
+             |hits AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM bw)),
+             |cov AS (SELECT DISTINCT doc_id, s2
+             |        FROM hits, unnest(range(hits.pos, hits.pos + 8)) z(s2)),
+             |tpos AS (SELECT doc_id, u AS i, toks[CAST(u AS INT) + 1] AS tok
+             |         FROM t, unnest(range(0, len(toks))) v(u)),
+             |kept AS (SELECT p.doc_id AS doc_id, p.i, p.tok FROM tpos p
+             |         LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.s2
+             |         WHERE c.doc_id IS NULL),
+             |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt,
+             |         COUNT(*) AS n FROM kept GROUP BY doc_id)
+             |SELECT t.doc_id AS doc_id, COALESCE(ka.txt, '') AS clean_text,
+             |  COALESCE(ka.n, 0) AS n_tokens_kept
+             |FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id""".stripMargin)),
+
     // --------------------------------------- quality percentile gate
     // Keep docs at/above the 60th quality percentile per source; the
     // percent_rank total order (quality, doc_id) and its single integer

@@ -275,6 +275,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(clean(6L) == (("", 0L)))
   }
 
+  test("scrubContaminatedSpans cuts benchmark overlaps, keeps clean text") {
+    val s = spark
+    import s.implicits._
+    val leak = (1 to 8).map("b" + _).mkString(" ") // a benchmark sentence
+    val corpus = Seq(
+      (1L, s"intro words here $leak closing words"),   // quotes the benchmark
+      (2L, "completely clean document with no overlap at all"),
+      (3L, leak)                                       // IS the benchmark text
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"$leak and more benchmark content"))
+      .toDF("doc_id", "text")
+    val out = DedupFunctions.scrubContaminatedSpans(corpus, bench,
+      "doc_id", "text", window = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("intro words here closing words", 5L)))
+    assert(out(2L) == (("completely clean document with no overlap at all", 8L)))
+    assert(out(3L) == (("", 0L))) // fully contaminated doc survives empty
+  }
+
   test("span stats and scrub agree: covered + kept == total, per doc") {
     val s = spark
     import s.implicits._
