@@ -45,6 +45,22 @@ object OlapQueries {
              |FROM orders
              |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // ----------------------------------------------- GROUPING() markers
+    // Subtotal rows are distinguishable from genuine-NULL group values only
+    // through the grouping markers — the disambiguation every reporting
+    // layer over ROLLUP output needs.
+    Q("q_agg_grouping_id",
+      (s, dir) => Tables.df(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status")),
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+             |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+             |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+             |FROM orders
+             |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin)),
+
     // -------------------------------------------------------------- PIVOT
     // status → columns with EXPLICIT values (F/O/P): no discovery pass over
     // the data, single aggregate exchange. Missing combinations surface as 0

@@ -216,6 +216,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("span decontamination shuffles hashes and positions, never token payloads") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.functions.DedupFunctions.scrubContaminatedSpans(
+      docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", 8)
+    val exchanges = physical(df).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "no exchanges — assertion would be vacuous")
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name).toSet
+      assert(!cols.contains("text") && !cols.contains("__toks"),
+        s"token payload rides an exchange: $cols")
+    }
+  }
+
   test("rollup/cube aggregate in two phases over a single exchange") {
     // Expand feeds the partial aggregate, so the grouping-set expansion is
     // map-side — the exchange carries pre-aggregated rows for ALL levels
