@@ -141,6 +141,43 @@ object OlapQueries {
              |INTERSECT
              |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin)),
 
+    // ------------------------------- TPC-H Q10-shape (returned-item ranking)
+    // Customers ranked by revenue lost to returns in one quarter: date-pushed
+    // orders scan, flag-pushed lineitem scan, exact-decimal ordered top-20
+    // (TakeOrdered, never a global sort).
+    Q("q10_returned_items",
+      (s, dir) => {
+        val o = Tables.df(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-10-01 00:00:00").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        val l = Tables.df(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val c = Tables.df(s, dir, "customer")
+        val n = Tables.df(s, dir, "nation")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+          .withColumn("revenue", col("revenue").cast("double"))
+      },
+      Some("""SELECT c_custkey, c_name, n_name, CAST(revenue AS DOUBLE) AS revenue
+             |FROM (
+             |  SELECT c_custkey, c_name, n_name,
+             |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             |        AS DECIMAL(18,4))) AS revenue
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE l_returnflag = 'R'
+             |    AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+             |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+             |  GROUP BY 1, 2, 3
+             |  ORDER BY revenue DESC, c_custkey ASC LIMIT 20)""".stripMargin)),
+
     // ------------------------------------- TPC-H Q18-shape (HAVING semi-join)
     // Large-quantity orders: aggregate-then-filter produces a small key set
     // that gates the orders/customer join. The HAVING sum is exact decimal,
