@@ -275,4 +275,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       s"nation/region should broadcast:\n${plan.take(2000)}")
   }
+
+  test("Q10 top-20 is TakeOrdered over a pushed-down returnflag scan") {
+    val df = q("q10_returned_items")
+    val plan = executedString(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT should be top-k, not a global sort")
+    val liScan = physical(df).collect { case s: FileSourceScanExec => s }
+      .find(_.metadata("Location").contains("lineitem")).get
+    assert(liScan.metadata("PushedFilters").contains("EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed: ${liScan.metadata("PushedFilters")}")
+  }
 }
