@@ -126,6 +126,22 @@ object OlapQueries {
              |                 WHERE c_acctbal > 5000) c
              |  ON o.o_custkey = c.c_custkey""".stripMargin)),
 
+    // ----------------------------------------------- EXCEPT ALL (multiset)
+    // Bag semantics preserve multiplicity: a user with 3 signups and 1
+    // purchase keeps 2 signup rows — the set form would keep 0. Spark plans
+    // both ALL-variants as a count-aggregate + generate, never a join per
+    // duplicate.
+    Q("q_set_except_all",
+      (s, dir) => {
+        val ev = Tables.df(s, dir, "events")
+        ev.filter(col("event_type") === "signup").select(col("user_id"))
+          .exceptAll(
+            ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'signup'
+             |EXCEPT ALL
+             |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin)),
+
     // ----------------------------------------------------------- INTERSECT
     // Users present in BOTH behavioral cohorts. INTERSECT deduplicates both
     // sides (set semantics) on both engines; Spark plans it as an aggregate +
