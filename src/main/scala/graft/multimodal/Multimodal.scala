@@ -3,17 +3,23 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with a typed metadata struct, processed in partition-sized batches.
   *
-  * The Spark-side plumbing (schema, batch shape, partitioning) is real, and
-  * so is container-HEADER metadata extraction ([[MediaCodec.parseHeader]]:
-  * PNG/JPEG/GIF/BMP dimensions, WAV rate/channels/samples — pure byte
-  * layout, no codec library). Pixel/sample DATA decode is STUBBED behind
-  * [[MediaCodec.decodeStub]] — the image/audio libraries are not in this
-  * container. Swapping the stub for javacv/ffmpeg is a one-function change;
-  * everything else (columnar transport, per-partition batching, skew-aware
-  * repartition by size) stays.
+  * Three decode depths, cheapest first:
+  *   1. container-HEADER metadata ([[MediaCodec.parseHeader]]: PNG/JPEG/GIF/
+  *      BMP dimensions, WAV rate/channels/frames — pure byte layout, no
+  *      codec, the right cost for a 100 TB metadata sweep);
+  *   2. REAL pixel/sample decode via the JDK's built-in codecs
+  *      ([[MediaCodec.decodeImage]]: `javax.imageio.ImageIO` for
+  *      PNG/JPEG/GIF/BMP; [[MediaCodec.decodeAudio]]:
+  *      `javax.sound.sampled` for WAV PCM) — run per-partition, narrow,
+  *      no shuffle;
+  *   3. [[MediaCodec.decodeStub]] for containers the JDK genuinely cannot
+  *      decode (MP4/H.264 video frames need ffmpeg-class codecs) — a
+  *      deterministic fake so downstream plumbing stays testable.
   */
 object Multimodal {
 
@@ -52,6 +58,10 @@ object Multimodal {
         var i = 2
         var out: Option[Decoded] = None
         while (out.isEmpty && i + 9 < n && u8(i) == 0xff) {
+          // 0xFF fill/padding bytes are legal before any marker code — skip
+          // them, or a padded JPEG reads garbage as a segment length and
+          // walks past its SOF
+          while (i + 9 < n && u8(i + 1) == 0xff) i += 1
           val m = u8(i + 1)
           if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
             out = Some(Decoded("image", be16(i + 7), be16(i + 5), 1))
@@ -98,10 +108,71 @@ object Multimodal {
       else None
     }
 
+    /** Decoded pixel content: dimensions plus the exact sum of all RGB
+      * channel bytes (luminance numerator — divide by `width*height*3` for
+      * mean channel value; kept as an exact Long so an oracle engine can
+      * reproduce it without float drift). */
+    final case class ImagePixels(width: Int, height: Int, lumSum: Long)
+
+    /** Decoded PCM content: format fields plus the interleaved sample
+      * values (channel-major within each frame), sign-extended to Int. */
+    final case class AudioPcm(sampleRate: Int, channels: Int,
+                              samples: Array[Int]) {
+      def nFrames: Int = if (channels == 0) 0 else samples.length / channels
+    }
+
+    /** REAL pixel decode via the JDK's `javax.imageio.ImageIO`
+      * (PNG/JPEG/GIF/BMP readers ship with the JDK — no external codec).
+      * Returns None for payloads no installed reader recognizes. */
+    def decodeImage(bytes: Array[Byte]): Option[ImagePixels] =
+      try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y) // sRGB-normalized ARGB
+            sum += ((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ImagePixels(w, h, sum)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** REAL sample decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+      * readers ship with the JDK). Handles the PCM_SIGNED 16-bit layout —
+      * the overwhelmingly common uncompressed interchange format; anything
+      * else returns None rather than guessing. */
+    def decodeAudio(bytes: Array[Byte]): Option[AudioPcm] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              || fmt.getSampleSizeInBits != 16) None
+          else {
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            val out = new Array[Int](n)
+            val big = fmt.isBigEndian
+            var j = 0
+            while (j < n) {
+              val b0 = raw(2 * j) & 0xff; val b1 = raw(2 * j + 1) & 0xff
+              out(j) = (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+              j += 1
+            }
+            Some(AudioPcm(fmt.getSampleRate.toInt, fmt.getChannels, out))
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** STUB — deterministic fake decode for payloads [[parseHeader]] doesn't
-      * recognize (and for pixel/sample data, which needs a real codec). The
-      * fake derives stable pseudo-dimensions from payload bytes so tests are
-      * deterministic and engine-independent. */
+      * recognize (containers the JDK has no codec for — e.g. MP4/H.264
+      * video frames). The fake derives stable pseudo-dimensions from payload
+      * bytes so tests are deterministic and engine-independent. */
     def decodeStub(bytes: Array[Byte]): Decoded = {
       val h = graft.functions.RollingHash.hashBytes(bytes)
       val mt = (java.lang.Long.remainderUnsigned(h, 3L)) match {
@@ -116,6 +187,140 @@ object Multimodal {
     /** Header metadata when the container is recognized, stub otherwise. */
     def decode(bytes: Array[Byte]): Decoded =
       parseHeader(bytes).getOrElse(decodeStub(bytes))
+  }
+
+  /** Deterministic synthetic media: REAL container bytes (PNG written by
+    * `ImageIO.write`, PCM16 WAV written by `AudioSystem.write`) whose
+    * pixel/sample values follow a closed-form formula of the doc id — so an
+    * engine with no codecs (the DuckDB oracle) can still verify what the
+    * real JDK decode must return. Even ids carry an image, odd ids audio. */
+  object MediaFixtures {
+    /** Image dims for even ids: w in 4..8, h in 3..6. */
+    def imageDims(docId: Long): (Int, Int) =
+      (4 + (docId % 5).toInt, 3 + (docId % 4).toInt)
+
+    /** Channel byte j (row-major, RGB interleaved): (id*31 + j) mod 256. */
+    def pixelByte(docId: Long, j: Long): Int = ((docId * 31 + j) % 256).toInt
+
+    /** PCM frame count for odd ids: 400..499. */
+    def audioFrames(docId: Long): Int = 400 + (docId % 100).toInt
+
+    /** Mono PCM16 sample j: ((id*17 + j*7) mod 4001) - 2000 ∈ [-2000, 2000]. */
+    def sampleValue(docId: Long, j: Long): Int =
+      ((docId * 17 + j * 7) % 4001).toInt - 2000
+
+    def pngPayload(docId: Long): Array[Byte] = {
+      val (w, h) = imageDims(docId)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = pixelByte(docId, p * 3L)
+          val g = pixelByte(docId, p * 3L + 1)
+          val b = pixelByte(docId, p * 3L + 2)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          p += 1; x += 1
+        }
+        y += 1
+      }
+      val baos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
+    def wavPayload(docId: Long): Array[Byte] = {
+      import javax.sound.sampled._
+      val n = audioFrames(docId)
+      val data = new Array[Byte](n * 2)
+      var j = 0
+      while (j < n) {
+        val s = sampleValue(docId, j)
+        data(2 * j) = (s & 0xff).toByte          // little-endian PCM16
+        data(2 * j + 1) = ((s >> 8) & 0xff).toByte
+        j += 1
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+      val baos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
+    def payload(docId: Long): Array[Byte] =
+      if (docId % 2 == 0) pngPayload(docId) else wavPayload(docId)
+  }
+
+  /** Attach deterministic fixture media payloads (real PNG/WAV bytes, see
+    * [[MediaFixtures]]) — the fixture-generation stage feeding the real
+    * decode operators below. Narrow mapPartitions; no shuffle. */
+  def withFixtureMedia(spark: SparkSession, docs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull).select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(d => (d, MediaFixtures.payload(d))))
+      .toDF(idCol, "payload")
+  }
+
+  /** REAL image decode pass: every payload an installed `ImageIO` reader
+    * recognizes (PNG/JPEG/GIF/BMP) yields its dimensions and the exact sum
+    * of RGB channel bytes; undecodable payloads drop out. Per-partition
+    * batch over the binary column, narrow, no shuffle. */
+  def decodeImageStats(spark: SparkSession, docs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        MediaCodec.decodeImage(bytes).map(ip =>
+          (id, ip.width.toLong, ip.height.toLong, ip.lumSum))
+      })
+      .toDF(idCol, "width", "height", "lum_sum")
+  }
+
+  /** REAL audio decode pass: every payload `javax.sound.sampled` can read
+    * as 16-bit PCM yields format fields plus exact sample-sum and
+    * sum-of-squares (RMS numerator); undecodable payloads drop out. */
+  def decodeAudioStats(spark: SparkSession, docs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        MediaCodec.decodeAudio(bytes).map { pcm =>
+          var sum = 0L; var sq = 0L
+          var j = 0
+          while (j < pcm.samples.length) {
+            val s = pcm.samples(j); sum += s; sq += s.toLong * s; j += 1
+          }
+          (id, pcm.sampleRate.toLong, pcm.channels.toLong,
+            pcm.nFrames.toLong, sum, sq)
+        }
+      })
+      .toDF(idCol, "sample_rate", "channels", "n_frames", "amp_sum", "amp_sq_sum")
+  }
+
+  /** REAL frame sampling: decode each audio payload with the JDK codec and
+    * emit every `stride`-th PCM frame (first channel) — the audio analog of
+    * video frame extraction, and the oracle-checkable successor of the
+    * stub-driven [[frameSamplePlan]]. Narrow; no shuffle. */
+  def sampleAudioFrames(spark: SparkSession, docs: DataFrame, stride: Int,
+                        idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        MediaCodec.decodeAudio(bytes).iterator.flatMap { pcm =>
+          Iterator.range(0, pcm.nFrames, stride)
+            .map(j => (id, j.toLong, pcm.samples(j * pcm.channels).toLong))
+        }
+      })
+      .toDF(idCol, "frame_idx", "amplitude")
   }
 
   /** Attach a payload column. A dataset that already carries a binary

@@ -48,24 +48,64 @@ object ExtQueries {
              |FROM orders""".stripMargin)),
 
     // ------------------------------------------------- multimodal metadata
-    // byte_len is the real (oracle-checkable) part of the stubbed decode
-    // path: utf-8 payload length through the binary column + mapPartitions
-    // batch plumbing. The pseudo-decode fields ride along in the rows-only
-    // q_mm_frame_sample below.
+    // Header-only metadata sweep (the cheap decode depth): utf-8 payload
+    // length through the binary column + mapPartitions batch plumbing.
+    // Real pixel/sample decode is exercised by the q_mm_decode_* queries.
     Q("q_mm_metadata",
       (s, dir) => Multimodal.extractMetadata(s, Tables.df(s, dir, "documents"))
         .toDF().select(col("doc_id"), col("byte_len")),
       Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len
              |FROM documents""".stripMargin)),
 
-    // ------------------------------------- multimodal frame-sample (rows-only:
-    // frame counts come from the deterministic decode STUB, which DuckDB
-    // cannot reproduce; the plumbing invariants live in MultimodalSpec)
+    // --------------------------------------- multimodal REAL pixel decode
+    // Fixture media are REAL container bytes (PNG written by ImageIO.write)
+    // whose pixel values follow a closed-form formula of doc_id, so DuckDB —
+    // which has no codec — verifies what the JDK decode must return.
+    Q("q_mm_decode_image",
+      (s, dir) => Multimodal.decodeImageStats(s,
+        Multimodal.withFixtureMedia(s, Tables.df(s, dir, "documents"))),
+      Some("""WITH img AS (SELECT CAST(doc_id AS BIGINT) AS d,
+             |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |px AS (SELECT d, w, h, j FROM img, generate_series(0, 143) t(j)
+             |       WHERE j < w*h*3)
+             |SELECT d AS doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(SUM((d*31 + j) % 256) AS BIGINT) AS lum_sum
+             |FROM px GROUP BY d, w, h""".stripMargin)),
+
+    // -------------------------------------- multimodal REAL sample decode
+    // Real PCM16 WAV bytes (AudioSystem.write) decoded back with
+    // javax.sound.sampled; exact sum / sum-of-squares so the oracle needs
+    // no float tolerance.
+    Q("q_mm_decode_audio",
+      (s, dir) => Multimodal.decodeAudioStats(s,
+        Multimodal.withFixtureMedia(s, Tables.df(s, dir, "documents"))),
+      Some("""WITH au AS (SELECT CAST(doc_id AS BIGINT) AS d,
+             |    400 + doc_id % 100 AS n
+             |  FROM documents WHERE doc_id % 2 = 1),
+             |sm AS (SELECT d, n, ((d*17 + j*7) % 4001) - 2000 AS s
+             |       FROM au, generate_series(0, 499) t(j) WHERE j < n)
+             |SELECT d AS doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+             |  CAST(1 AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_frames,
+             |  CAST(SUM(s) AS BIGINT) AS amp_sum,
+             |  CAST(SUM(s*s) AS BIGINT) AS amp_sq_sum
+             |FROM sm GROUP BY d, n""".stripMargin)),
+
+    // ------------------------------------------- multimodal frame sampling
+    // Every 30th PCM frame from each real WAV payload, via the real JDK
+    // decode — fully oracle-checked (was rows-only when decode was stubbed).
     Q("q_mm_frame_sample",
-      (s, dir) => Multimodal.frameSamplePlan(
-        Multimodal.extractMetadata(s, Tables.df(s, dir, "documents")),
+      (s, dir) => Multimodal.sampleAudioFrames(s,
+        Multimodal.withFixtureMedia(s, Tables.df(s, dir, "documents")),
         stride = 30),
-      None),
+      Some("""WITH au AS (SELECT CAST(doc_id AS BIGINT) AS d,
+             |    400 + doc_id % 100 AS n
+             |  FROM documents WHERE doc_id % 2 = 1)
+             |SELECT d AS doc_id, CAST(j AS BIGINT) AS frame_idx,
+             |  CAST(((d*17 + j*7) % 4001) - 2000 AS BIGINT) AS amplitude
+             |FROM au, generate_series(0, 499) t(j)
+             |WHERE j < n AND j % 30 = 0""".stripMargin)),
 
     // --------------------------------- native session_window (batch form)
     // Session end = last event + gap (the operator's semantics); the oracle

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 import graft.streaming.StreamingPipeline
 
-/** Multimodal plumbing invariants (the decode itself is a documented stub)
-  * and the Structured Streaming rollup path. */
+/** Multimodal invariants — header parsing, REAL JDK pixel/sample decode
+  * (ImageIO / javax.sound.sampled), batch plumbing — and the Structured
+  * Streaming rollup path. */
 class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -129,6 +130,112 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     val m = Multimodal.extractMetadata(spark, df).collect().head
     assert(m.media_type == "image" && m.width == 256 && m.height == 512)
     assert(m.byte_len == png.length.toLong)
+  }
+
+  test("parseHeader: JPEG with 0xFF fill padding before markers still finds SOF") {
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    // SOI, APP0, then THREE 0xFF fill bytes before the SOF0 marker code —
+    // legal per the spec; without the fill-skip the walker reads a garbage
+    // segment length and misses the SOF
+    val padded = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(6) ++ "JFIF".getBytes ++
+      Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++ Array[Byte](8) ++
+      be16(480) ++ be16(640) ++ Array[Byte](3, 0, 0, 0)
+    assert(Multimodal.MediaCodec.parseHeader(padded)
+      .contains(Multimodal.Decoded("image", 640, 480, 1)))
+  }
+
+  test("decodeImage: real PNG round-trip returns the exact pixel formula") {
+    import Multimodal.{MediaCodec, MediaFixtures}
+    for (d <- Seq(0L, 2L, 14L, 100L)) {
+      val (w, h) = MediaFixtures.imageDims(d)
+      val expectedLum = (0L until w.toLong * h * 3)
+        .map(MediaFixtures.pixelByte(d, _).toLong).sum
+      val got = MediaCodec.decodeImage(MediaFixtures.pngPayload(d))
+      assert(got.contains(MediaCodec.ImagePixels(w, h, expectedLum)))
+    }
+  }
+
+  test("decodeImage: JPEG written by ImageIO decodes with exact dimensions") {
+    val img = new java.awt.image.BufferedImage(
+      17, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 17) img.setRGB(x, y, 0x808080)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val got = Multimodal.MediaCodec.decodeImage(baos.toByteArray).get
+    assert(got.width == 17 && got.height == 9)
+    // JPEG is lossy but a uniform gray block stays within a few code values
+    val mean = got.lumSum.toDouble / (17 * 9 * 3)
+    assert(math.abs(mean - 0x80) < 4.0, s"mean channel drifted to $mean")
+  }
+
+  test("decodeAudio: real WAV round-trip returns the exact PCM samples") {
+    import Multimodal.{MediaCodec, MediaFixtures}
+    for (d <- Seq(1L, 3L, 99L)) {
+      val n = MediaFixtures.audioFrames(d)
+      val got = MediaCodec.decodeAudio(MediaFixtures.wavPayload(d)).get
+      assert(got.sampleRate == 8000 && got.channels == 1 && got.nFrames == n)
+      assert(got.samples.toSeq ==
+        (0 until n).map(j => MediaFixtures.sampleValue(d, j.toLong)))
+    }
+  }
+
+  test("decodeAudio: big-endian AIFF exercises the endian branch") {
+    import javax.sound.sampled._
+    val samples = Array[Int](-2000, -1, 0, 1, 1999, 32767, -32768)
+    val data = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { j =>                 // big-endian PCM16
+      data(2 * j) = ((samples(j) >> 8) & 0xff).toByte
+      data(2 * j + 1) = (samples(j) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, true)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, baos)
+    val got = Multimodal.MediaCodec.decodeAudio(baos.toByteArray).get
+    assert(got.sampleRate == 16000 && got.samples.toSeq == samples.toSeq)
+  }
+
+  test("decodeImage/decodeAudio reject the other modality and junk") {
+    import Multimodal.{MediaCodec, MediaFixtures}
+    assert(MediaCodec.decodeImage(MediaFixtures.wavPayload(1L)).isEmpty)
+    assert(MediaCodec.decodeAudio(MediaFixtures.pngPayload(2L)).isEmpty)
+    assert(MediaCodec.decodeImage("not media at all".getBytes).isEmpty)
+    assert(MediaCodec.decodeAudio("not media at all".getBytes).isEmpty)
+    assert(MediaCodec.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(MediaCodec.decodeAudio(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decode operators agree with the fixture formulas end-to-end") {
+    val s = spark; import s.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 10L, 11L).toDF("doc_id")
+    val media = Multimodal.withFixtureMedia(spark, ids)
+    val img = Multimodal.decodeImageStats(spark, media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(img.keySet == Set(0L, 2L, 10L))       // even ids are images
+    img.foreach { case (d, (w, h, lum)) =>
+      val (ew, eh) = Multimodal.MediaFixtures.imageDims(d)
+      val elum = (0L until ew.toLong * eh * 3)
+        .map(Multimodal.MediaFixtures.pixelByte(d, _).toLong).sum
+      assert((w, h, lum) == (ew.toLong, eh.toLong, elum))
+    }
+    val au = Multimodal.decodeAudioStats(spark, media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(au.keySet == Set(1L, 3L, 11L))        // odd ids are audio
+    au.foreach { case (d, (n, sum, sq)) =>
+      val ss = (0 until Multimodal.MediaFixtures.audioFrames(d))
+        .map(j => Multimodal.MediaFixtures.sampleValue(d, j.toLong).toLong)
+      assert((n, sum, sq) == (ss.size.toLong, ss.sum, ss.map(v => v * v).sum))
+    }
+    val frames = Multimodal.sampleAudioFrames(spark, media, stride = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(frames.forall { case (d, j, a) =>
+      d % 2 == 1 && j % 100 == 0 &&
+        a == Multimodal.MediaFixtures.sampleValue(d, j).toLong
+    })
+    assert(frames.groupBy(_._1).keySet == Set(1L, 3L, 11L))
   }
 
   test("repartitionBySize balances without losing rows") {
