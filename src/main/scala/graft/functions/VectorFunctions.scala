@@ -67,6 +67,12 @@ object VectorFunctions {
     * cf. FAISS IVF-Flat). */
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
 
+  /** Wall-clock seconds of the most recent [[buildIvf]] KMeans fit — bench
+    * instrumentation so `q_ann_ivf_topk` cost can be attributed to training
+    * vs probe (the query's wall time has drifted between rounds; this
+    * separates coarse-quantizer training variance from plan regressions). */
+  @volatile var lastTrainSec: Double = -1.0
+
   /** Nearest-centroid id: a single `aggregate` fold over ONE literal array of
     * (cid, vec) structs — O(nlist) data in a single Literal node, O(1)
     * expression-tree depth, each cosine computed once. (The previous
@@ -114,12 +120,16 @@ object VectorFunctions {
     val expectedPoints = math.max(1L, (total * frac).toLong)
     val parts = math.max(1L, expectedPoints / 16384L).toInt
     val train = sampled.coalesce(parts).cache()
+    val t0 = System.nanoTime()
     val model =
       try new KMeans()
         .setK(nlist).setSeed(42L).setMaxIter(maxIter)
         .setDistanceMeasure("cosine")
         .fit(train)
-      finally train.unpersist()
+      finally {
+        train.unpersist()
+        lastTrainSec = (System.nanoTime() - t0) / 1e9
+      }
     val centroids: Seq[(Int, Seq[Float])] = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray.toSeq.map(_.toFloat)) }.toSeq
     val centroidsDf = corpus.sparkSession.createDataFrame(
