@@ -260,6 +260,131 @@ object OlapQueries {
              |WHERE r_name = 'ASIA'
              |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
              |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-             |GROUP BY n_name""".stripMargin))
+             |GROUP BY n_name""".stripMargin)),
+
+    // ---------------------- TPC-H Q2-shape (correlated scalar MIN subquery)
+    // Cheapest supplier per part within a region, written AS a correlated
+    // scalar subquery so Catalyst's RewriteCorrelatedScalarSubquery is the
+    // surface under test: the per-part MIN must decorrelate to an aggregate
+    // + join, never a per-row subquery execution (PlanSpec guard). lineitem
+    // stands in for partsupp (the fixture schema has no partsupp table);
+    // min_cost is a raw parquet double — no arithmetic, so the equality
+    // boundary is engine-exact.
+    Q("q2_min_cost_supplier",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT sp.s_name, p.p_partkey, p.p_type,
+                 l.l_extendedprice AS min_cost
+          FROM part p, supplier sp, lineitem l, nation n, region r
+          WHERE p.p_partkey = l.l_partkey AND sp.s_suppkey = l.l_suppkey
+            AND sp.s_nationkey = n.n_nationkey
+            AND n.n_regionkey = r.r_regionkey
+            AND r.r_name = 'ASIA'
+            AND l.l_extendedprice = (
+              SELECT MIN(l2.l_extendedprice)
+              FROM lineitem l2, supplier s2, nation n2, region r2
+              WHERE l2.l_partkey = p.p_partkey
+                AND s2.s_suppkey = l2.l_suppkey
+                AND s2.s_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r2.r_regionkey
+                AND r2.r_name = 'ASIA')""")
+      },
+      Some("""SELECT sp.s_name, p.p_partkey, p.p_type,
+             |       l.l_extendedprice AS min_cost
+             |FROM part p, supplier sp, lineitem l, nation n, region r
+             |WHERE p.p_partkey = l.l_partkey AND sp.s_suppkey = l.l_suppkey
+             |  AND sp.s_nationkey = n.n_nationkey
+             |  AND n.n_regionkey = r.r_regionkey
+             |  AND r.r_name = 'ASIA'
+             |  AND l.l_extendedprice = (
+             |    SELECT MIN(l2.l_extendedprice)
+             |    FROM lineitem l2, supplier s2, nation n2, region r2
+             |    WHERE l2.l_partkey = p.p_partkey
+             |      AND s2.s_suppkey = l2.l_suppkey
+             |      AND s2.s_nationkey = n2.n_nationkey
+             |      AND n2.n_regionkey = r2.r_regionkey
+             |      AND r2.r_name = 'ASIA')""".stripMargin)),
+
+    // ------------------- TPC-H Q21-shape (EXISTS + NOT EXISTS self-joins)
+    // "Supplier whose line shipped last in a multi-supplier order": the
+    // canonical EXISTS (another supplier participated) + NOT EXISTS (none
+    // of them shipped later) pair, correlated on the SAME big fact table —
+    // both must decorrelate to semi/anti self-joins on l_orderkey. The
+    // fixture lineitem has no commit/receipt dates, so the lateness
+    // predicate rides l_shipdate; the shape (two correlated predicate
+    // subqueries against self) is Q21's.
+    Q("q21_waiting_supplier",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT sp.s_name, COUNT(*) AS numwait
+          FROM supplier sp, lineitem l1, orders o
+          WHERE sp.s_suppkey = l1.l_suppkey
+            AND o.o_orderkey = l1.l_orderkey
+            AND o.o_orderstatus = 'F'
+            AND EXISTS (
+              SELECT * FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (
+              SELECT * FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l1.l_shipdate)
+          GROUP BY sp.s_name""")
+      },
+      Some("""SELECT sp.s_name, COUNT(*) AS numwait
+             |FROM supplier sp, lineitem l1, orders o
+             |WHERE sp.s_suppkey = l1.l_suppkey
+             |  AND o.o_orderkey = l1.l_orderkey
+             |  AND o.o_orderstatus = 'F'
+             |  AND EXISTS (
+             |    SELECT * FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (
+             |    SELECT * FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_shipdate > l1.l_shipdate)
+             |GROUP BY sp.s_name""".stripMargin)),
+
+    // ---------------- TPC-H Q22-shape (NOT EXISTS + scalar AVG subquery)
+    // Above-average-balance customers with no orders, grouped by country.
+    // The average is compared multiplicatively (bal × n > Σbal, all exact
+    // decimals) so the threshold boundary cannot flip between engines the
+    // way a float AVG could; the fixture customer has no phone column, so
+    // nationkey stands in for the country code. NOT EXISTS must become an
+    // anti join against orders; the two uncorrelated scalars execute once.
+    Q("q22_idle_customers",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT CAST(c.c_nationkey AS BIGINT) AS cntry,
+                 COUNT(*) AS numcust,
+                 CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+          FROM customer c
+          WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) *
+                (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+              > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2)))
+                 FROM customer c3 WHERE c3.c_acctbal > 0.0)
+            AND NOT EXISTS (
+              SELECT * FROM orders o WHERE o.o_custkey = c.c_custkey)
+          GROUP BY c.c_nationkey""")
+      },
+      Some("""SELECT CAST(c.c_nationkey AS BIGINT) AS cntry,
+             |       COUNT(*) AS numcust,
+             |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |         AS totacctbal
+             |FROM customer c
+             |WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) *
+             |      (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+             |    > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2)))
+             |       FROM customer c3 WHERE c3.c_acctbal > 0.0)
+             |  AND NOT EXISTS (
+             |    SELECT * FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |GROUP BY c.c_nationkey""".stripMargin))
   )
 }

@@ -286,4 +286,42 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(liScan.metadata("PushedFilters").contains("EqualTo(l_returnflag,R)"),
       s"returnflag not pushed: ${liScan.metadata("PushedFilters")}")
   }
+
+  test("Q2-shape correlated scalar MIN decorrelates to aggregate + join") {
+    val plan = executedString(q("q2_min_cost_supplier"))
+    // RewriteCorrelatedScalarSubquery must leave NO subquery node behind:
+    // the per-part MIN becomes a grouped aggregate joined back on
+    // (partkey, min-price) — per-row subquery execution would be O(parts ×
+    // lineitem) at scale
+    assert(!plan.contains("Subquery"),
+      "correlated scalar subquery survived to the physical plan")
+    assert(plan.contains("functions=[min(l_extendedprice"),
+      "expected the decorrelated per-part MIN aggregate")
+    assert("Join".r.findAllIn(plan).size >= 4,
+      "expected the subquery to appear as a join against the aggregate")
+  }
+
+  test("Q21-shape EXISTS/NOT EXISTS decorrelate to semi/anti self-joins") {
+    val plan = executedString(q("q21_waiting_supplier"))
+    assert(!plan.contains("Subquery"),
+      "predicate subquery survived to the physical plan")
+    assert(plan.contains("LeftSemi"), "EXISTS should become a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS should become an anti join")
+    // the lateness predicate rides the anti join as its condition — the
+    // decorrelated form keeps the non-equi part out of a per-row loop
+    assert(plan.contains("l_shipdate") && plan.contains("LeftAnti"),
+      "ship-date lateness predicate should ride the anti join")
+  }
+
+  test("Q22-shape: anti join for NOT EXISTS, scalar subqueries execute once") {
+    val df = q("q22_idle_customers")
+    val plan = executedString(df)
+    assert(plan.contains("LeftAnti"),
+      "NOT EXISTS against orders should become an anti join")
+    // the two UNcorrelated scalars (count, sum) are legal once-executed
+    // subqueries — and Spark merges them into ONE shared aggregate pass
+    // (mergedValue); what must NOT appear is any correlated leftover
+    assert(plan.contains("mergedValue"),
+      "the two scalar aggregates should merge into one subquery pass")
+  }
 }
