@@ -90,6 +90,64 @@ object SchemaEvolution {
   }
 }
 
+/** One INFORMATION_SCHEMA.COLUMNS row — the reference's discovery input
+  * (flexible_schema_manager.py:151-168 selects exactly these fields from
+  * MySQL). `columnType` is the full display type (`tinyint(1)`,
+  * `bigint(20) unsigned`, `enum('a','b')`) — the field that carries the
+  * MySQL-dialect quirks DATA_TYPE alone loses. */
+final case class InfoSchemaColumn(columnName: String, dataType: String,
+                                  columnType: String, isNullable: Boolean,
+                                  ordinalPosition: Int,
+                                  columnDefault: Option[String] = None,
+                                  extra: String = "")
+
+/** MySQL INFORMATION_SCHEMA rows → Spark schema + rename map + warehouse
+  * DDL — the reference's discovery pipeline
+  * (flexible_schema_manager.py:178-272, :494-543) as a PURE function, so
+  * recorded fixtures of real MySQL catalogs replay through it without a
+  * live server (and `JdbcSource.discoverSchemaInfoSchema` feeds it live).
+  *
+  * Dialect fidelity notes (each has a TypeMapperSpec/JdbcSpec case):
+  *  - `tinyint(1)` → Boolean, even when unsigned (ref :240-245 keys on the
+  *    display width, not the sign)
+  *  - `bigint(20) unsigned` → signed Long (ref :227-230 forces signed for
+  *    warehouse compat); `int unsigned`/`smallint unsigned` WIDEN instead
+  *    (top half of their range fits the next signed type)
+  *  - `decimal(20,6)` → precision capped at 18, scale preserved (ref :212-219)
+  *  - zero-date COLUMN_DEFAULTs (`0000-00-00 00:00:00`) are metadata, not
+  *    parsed timestamps — discovery must carry them untouched (reading the
+  *    VALUES needs `zeroDateTimeBehavior=convertToNull` on the MySQL URL,
+  *    a connection property, not a schema concern)
+  *  - `enum('a','b')`/`set(...)` value lists parse away to string types
+  *  - digit-leading / mixed-case names normalize with the rename map
+  *    persisted via [[ColumnMapStore]] (ref :857-873)
+  */
+object InfoSchemaDiscovery {
+  import graft.model.TypeMapper
+  import org.apache.spark.sql.types.StructField
+
+  /** Ordered (schema, original→normalized rename map). */
+  def toSchema(cols: Seq[InfoSchemaColumn]): (StructType, Map[String, String]) = {
+    val ordered = cols.sortBy(_.ordinalPosition)
+    val (names, mapping) =
+      TypeMapper.normalizeColumnNames(ordered.map(_.columnName))
+    val fields = ordered.lazyZip(names).map { (c, n) =>
+      StructField(n, TypeMapper.toSparkType(c.columnType), c.isNullable)
+    }
+    (StructType(fields.toSeq), mapping)
+  }
+
+  /** Warehouse (Redshift-dialect) column DDL lines, normalized names. */
+  def warehouseColumnDdl(cols: Seq[InfoSchemaColumn]): Seq[String] = {
+    val ordered = cols.sortBy(_.ordinalPosition)
+    val (names, _) = TypeMapper.normalizeColumnNames(ordered.map(_.columnName))
+    ordered.lazyZip(names).map { (c, n) =>
+      val nn = if (c.isNullable) "" else " NOT NULL"
+      s"$n ${TypeMapper.toWarehouseDdl(c.columnType)}$nn"
+    }.toSeq
+  }
+}
+
 /** Column-name mapping persistence (P5, ref column_mapper.py:57-84: the
   * normalize rename map is SAVED next to the target so reads/writes apply it
   * consistently across sessions). Stored as `_column_mapping.json` inside the

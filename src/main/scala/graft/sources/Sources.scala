@@ -60,6 +60,60 @@ final class JdbcSource(url: String, props: java.util.Properties,
       org.apache.spark.sql.types.StructType =
     table(spark, id).schema
 
+  /** MySQL-dialect schema discovery through INFORMATION_SCHEMA.COLUMNS —
+    * the reference's actual mechanism (flexible_schema_manager.py:151-176
+    * runs this exact projection), preserving the COLUMN_TYPE display-width
+    * quirks (`tinyint(1)`, `bigint(20) unsigned`) the JDBC-metadata path
+    * of [[discoverSchema]] loses. Rows replay through the pure
+    * [[InfoSchemaDiscovery]]; JdbcSpec drives this live against a recorded
+    * catalog fixture. */
+  def infoSchemaColumns(spark: SparkSession, id: TableId): Seq[InfoSchemaColumn] = {
+    val schema = SqlGuard.validateIdentifier(id.schema)
+    val table = SqlGuard.validateIdentifier(id.table)
+    val q =
+      s"""(SELECT COLUMN_NAME, DATA_TYPE, COLUMN_TYPE, IS_NULLABLE,
+         |        ORDINAL_POSITION, COLUMN_DEFAULT, EXTRA
+         | FROM INFORMATION_SCHEMA.COLUMNS
+         | WHERE TABLE_SCHEMA = '$schema' AND TABLE_NAME = '$table') c""".stripMargin
+    spark.read.jdbc(url, q, props).collect().toSeq.map { r =>
+      InfoSchemaColumn(
+        columnName = r.getString(0),
+        dataType = r.getString(1),
+        columnType = r.getString(2),
+        isNullable = r.getString(3).equalsIgnoreCase("YES"),
+        ordinalPosition = r.get(4).toString.toInt,
+        columnDefault = Option(r.get(5)).map(_.toString),
+        extra = Option(r.get(6)).map(_.toString).getOrElse(""))
+    }
+  }
+
+  /** Discovered Spark schema + persisted-style rename map via the
+    * INFORMATION_SCHEMA path. */
+  def discoverSchemaInfoSchema(spark: SparkSession, id: TableId):
+      (org.apache.spark.sql.types.StructType, Map[String, String]) =
+    InfoSchemaDiscovery.toSchema(infoSchemaColumns(spark, id))
+
+  /** EXACT-match existence check. The reference probes with
+    * `SHOW TABLES LIKE '<name>'` (base.py:934) — MySQL LIKE treats `_`/`%`
+    * as wildcards there, so a probe for `settle_orders` also matches
+    * `settleXorders`; this deliberately uses catalog metadata with the
+    * literal name instead (JdbcSpec proves the non-match). */
+  def tableExists(spark: SparkSession, id: TableId): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val catalog = Option(conn.getCatalog).filter(_.nonEmpty).orNull
+      val rs = conn.getMetaData.getTables(catalog, null, "%", Array("TABLE"))
+      var found = false
+      while (!found && rs.next()) {
+        val schema = Option(rs.getString("TABLE_SCHEM"))
+          .orElse(Option(rs.getString("TABLE_CAT"))).getOrElse("default")
+        found = schema.equalsIgnoreCase(id.schema) &&
+          rs.getString("TABLE_NAME").equalsIgnoreCase(id.table)
+      }
+      found
+    } finally conn.close()
+  }
+
   /** Range-partitioned read: one cheap min/max query picks even bounds, then
     * `numPartitions` parallel range scans — replaces detect_optimal_window_size
     * (ref base.py:486-735) with ~10 lines.

@@ -98,6 +98,124 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
     assert(source.listTables(spark).contains("FX.ORDERS"))
   }
 
+  test("recorded MySQL INFORMATION_SCHEMA replays through discovery → DDL → alignment") {
+    // A RECORDED catalog fixture: real MySQL INFORMATION_SCHEMA.COLUMNS rows
+    // (the dialect quirks of ref flexible_schema_manager.py:206-272 —
+    // tinyint(1), unsigned bigint/int/smallint, decimal(20,6), zero-date
+    // default, enum value list, digit-leading + mixed-case names) loaded
+    // into an embedded-Derby INFORMATION_SCHEMA.COLUMNS so the LIVE
+    // JdbcSource.discoverSchemaInfoSchema path runs the reference's exact
+    // query shape without a MySQL server.
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE SCHEMA INFORMATION_SCHEMA")
+      st.execute(
+        """CREATE TABLE INFORMATION_SCHEMA.COLUMNS (
+          |  TABLE_SCHEMA VARCHAR(64), TABLE_NAME VARCHAR(64),
+          |  COLUMN_NAME VARCHAR(64), DATA_TYPE VARCHAR(64),
+          |  COLUMN_TYPE VARCHAR(128), IS_NULLABLE VARCHAR(3),
+          |  ORDINAL_POSITION INT, COLUMN_DEFAULT VARCHAR(128),
+          |  EXTRA VARCHAR(64)
+          |)""".stripMargin)
+      val ins = conn.prepareStatement(
+        "INSERT INTO INFORMATION_SCHEMA.COLUMNS VALUES " +
+          "('settlement','settle_orders',?,?,?,?,?,?,?)")
+      val rows = Seq(
+        ("id", "bigint", "bigint(20) unsigned", "NO", 1, null, "auto_increment"),
+        ("is_active", "tinyint", "tinyint(1)", "YES", 2, "1", ""),
+        ("retry_count", "tinyint", "tinyint(3) unsigned", "NO", 3, "0", ""),
+        ("amount", "decimal", "decimal(20,6)", "YES", 4, null, ""),
+        ("created_at", "datetime", "datetime", "NO", 5, "0000-00-00 00:00:00", ""),
+        ("2nd_phone", "varchar", "varchar(32)", "YES", 6, null, ""),
+        ("UserName", "varchar", "varchar(255)", "YES", 7, null, ""),
+        ("status", "enum", "enum('new','done')", "NO", 8, "new", ""),
+        ("payload", "json", "json", "YES", 9, null, ""),
+        ("big_count", "int", "int(10) unsigned", "NO", 10, "0", ""),
+        ("small_u", "smallint", "smallint(5) unsigned", "YES", 11, null, ""),
+        ("notes", "text", "text", "YES", 12, null, ""))
+      rows.foreach { case (n, dt, ct, nul, pos, dflt, extra) =>
+        ins.setString(1, n); ins.setString(2, dt); ins.setString(3, ct)
+        ins.setString(4, nul); ins.setInt(5, pos); ins.setString(6, dflt)
+        ins.setString(7, extra); ins.addBatch()
+      }
+      ins.executeBatch(); st.close(); ins.close()
+    } finally conn.close()
+
+    import org.apache.spark.sql.types._
+    val mysqlId = TableId("mysql", "settlement", "settle_orders")
+    val cols = source.infoSchemaColumns(spark, mysqlId)
+    assert(cols.size == 12)
+    // zero-date default rides through as opaque metadata, never parsed
+    assert(cols.find(_.columnName == "created_at").get.columnDefault
+      .contains("0000-00-00 00:00:00"))
+
+    val (schema, mapping) = source.discoverSchemaInfoSchema(spark, mysqlId)
+    // one assertion per reference quirk:
+    assert(schema("id").dataType == LongType && !schema("id").nullable,
+      "bigint(20) unsigned must force SIGNED Long (ref :227-230)")
+    assert(schema("is_active").dataType == BooleanType,
+      "tinyint(1) must map to Boolean (ref :240-245)")
+    assert(schema("retry_count").dataType == ShortType,
+      "tinyint(3) unsigned stays int16 'for better range' (ref :245)")
+    assert(schema("amount").dataType == DecimalType(18, 6),
+      "decimal(20,6) precision caps at 18, scale preserved (ref :212-219)")
+    assert(schema("created_at").dataType == TimestampType &&
+      !schema("created_at").nullable)
+    assert(schema("col_2nd_phone").dataType == StringType,
+      "digit-leading name must normalize with col_ prefix")
+    assert(schema("username").dataType == StringType, "names lowercase")
+    assert(schema("status").dataType == StringType, "enum value list → string")
+    assert(schema("payload").dataType == StringType, "json → string")
+    assert(schema("big_count").dataType == LongType,
+      "int(10) unsigned must WIDEN to Long (3e9 overflows signed int)")
+    assert(schema("small_u").dataType == IntegerType,
+      "smallint unsigned must WIDEN to Integer")
+    assert(schema("notes").dataType == StringType)
+    assert(mapping == Map("2nd_phone" -> "col_2nd_phone",
+      "UserName" -> "username"))
+
+    // → warehouse DDL (ref :494-543): 2× varchar buffer, capped decimal
+    val ddl = graft.sources.InfoSchemaDiscovery.warehouseColumnDdl(cols)
+    assert(ddl.contains("id BIGINT NOT NULL"))
+    assert(ddl.contains("is_active BOOLEAN"))
+    assert(ddl.contains("amount DECIMAL(18,6)"))
+    assert(ddl.contains("col_2nd_phone VARCHAR(64)"), "2x safety buffer")
+    assert(ddl.contains("username VARCHAR(510)"))
+    assert(ddl.contains("status VARCHAR(255) NOT NULL"))
+    assert(ddl.contains("payload VARCHAR(65535)"))
+    assert(ddl.contains("big_count BIGINT NOT NULL"))
+
+    // → alignment: a staged batch with the ORIGINAL MySQL names flows
+    // through the persisted rename map into the discovered target schema
+    val s = spark; import s.implicits._
+    val staged0 = Seq((7L, "555", "Ada"))
+      .toDF("id", "2nd_phone", "UserName")
+    val renamed = graft.sources.ColumnMapStore(staged0, mapping)
+    assert(renamed.columns.toSeq == Seq("id", "col_2nd_phone", "username"))
+    val aligned = graft.operators.Relational.alignToSchema(renamed, schema)
+    assert(aligned.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+    assert(aligned.select("id", "col_2nd_phone", "username", "notes")
+      .collect().head.toSeq == Seq(7L, "555", "Ada", null))
+  }
+
+  test("tableExists is exact-match, not SHOW TABLES LIKE wildcard semantics") {
+    // ref base.py:934 probes `SHOW TABLES LIKE '<name>'`: MySQL LIKE treats
+    // `_` as any-char there, so probing settle_orders would also match a
+    // table named settleXorders. Create ONLY the X variant: the exact-match
+    // probe must say no.
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE FX.SETTLEXORDERS (ID BIGINT)")
+      st.close()
+    } finally conn.close()
+    assert(source.tableExists(spark, TableId("derby", "FX", "SETTLEXORDERS")))
+    assert(!source.tableExists(spark, TableId("derby", "FX", "SETTLE_ORDERS")),
+      "underscore must NOT act as a wildcard in the existence probe")
+    assert(source.tableExists(spark, TableId("derby", "FX", "ORDERS")))
+  }
+
   test("YAML pipeline syncs a live JDBC source incrementally (product path)") {
     // the reference's core behavior — incremental CDC off a live database —
     // through the FULL product surface: pipeline.source = jdbc url, range-
