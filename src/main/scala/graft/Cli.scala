@@ -18,6 +18,7 @@ import graft.watermark.WatermarkStore
   * graft.Cli watermark get|set|reset -c pipeline.yml -t table
   *                     [--timestamp TS] [--id N] [--work-dir DIR]
   * graft.Cli watermark-count get|set|status -c pipeline.yml -t table [--count N]
+  * graft.Cli column-map list|get|clear -c pipeline.yml [-t table] [--force]
   * graft.Cli unlock    -c pipeline.yml -t table [--stale-minutes M] [--force]
   * graft.Cli s3clean   -c pipeline.yml --older-than-hours H
   *                     [--keep-newest N] [--dry-run] [--work-dir DIR]
@@ -248,6 +249,53 @@ object Cli {
             System.err.println(s"unknown watermark-count subcommand: $other"); 2
         }
 
+      case "column-map" =>
+        // inspect/manage the PERSISTED column rename maps (digit-prefix /
+        // lowercase normalization, P5) — the operator surface of ref
+        // src/cli/column_mapping_commands.py (list/show/clear). The map
+        // lives as _column_mapping.json next to the warehouse table data.
+        val sub = verbs.lift(1).getOrElse("list")
+        val (r, p) = runner
+        val (_, _, loader) = r.rigFor(p)
+        val conf = spark.sparkContext.hadoopConfiguration
+        sub match {
+          case "list" =>
+            val withMaps = p.tables.map { spec =>
+              val id = spec.tableId(p)
+              id -> graft.sources.ColumnMapStore.load(loader.targetPath(id), conf)
+            }.filter(_._2.nonEmpty)
+            if (withMaps.isEmpty) println("(no column mappings)")
+            else withMaps.foreach { case (id, m) =>
+              println(s"${id.qualified}: ${m.size} mapped column(s)")
+              m.toSeq.sortBy(_._1).foreach { case (o, n) =>
+                println(s"  $o -> $n")
+              }
+            }
+            0
+          case "get" =>
+            val spec = requireTable(p, tableFilter, "column-map")
+            val id = spec.tableId(p)
+            val m = graft.sources.ColumnMapStore.load(loader.targetPath(id), conf)
+            if (m.isEmpty) { println(s"(no mapping for ${id.qualified})"); 1 }
+            else {
+              m.toSeq.sortBy(_._1).foreach { case (o, n) => println(s"$o -> $n") }
+              0
+            }
+          case "clear" =>
+            // destructive: future loads re-derive the map, but readers that
+            // rely on the persisted original→normalized record lose it —
+            // mirror the reference's confirmation gate with --force
+            val spec = requireTable(p, tableFilter, "column-map")
+            val id = spec.tableId(p)
+            if (!flags("force")) {
+              System.err.println("column-map clear requires --force"); 2
+            } else if (graft.sources.ColumnMapStore.clear(loader.targetPath(id), conf)) {
+              println(s"cleared column mapping for ${id.qualified}"); 0
+            } else { println(s"(no mapping for ${id.qualified})"); 1 }
+          case other =>
+            System.err.println(s"unknown column-map subcommand: $other"); 2
+        }
+
       case "merge" =>
         // DELETE+INSERT merge of staged-but-unprocessed files into the
         // warehouse table, committed by directory swap (ref settle_orders
@@ -388,6 +436,7 @@ object Cli {
       |  status    one line per table from the watermark store
       |  watermark get|set|reset -t table [--timestamp TS] [--id N]
       |  watermark-count get|set|status -t table [--count N]
+      |  column-map list|get|clear [-t table] [--force]  persisted rename maps
       |  compact   rewrite a table's small files: -t table [--target-file-mb N (256)]
       |  unlock    break a stale session lock: -t table [--stale-minutes M (60)] [--force]
       |  s3clean   --older-than-hours H [--keep-newest N] [--dry-run]""".stripMargin

@@ -192,4 +192,12 @@ object ColumnMapStore {
   def apply(df: DataFrame, mapping: Map[String, String]): DataFrame =
     df.select(df.columns.map(c =>
       col(c).as(mapping.getOrElse(c, c))).toIndexedSeq: _*)
+
+  /** Delete a persisted mapping (CLI `column-map clear`, ref
+    * column_mapping_commands.py:85-104). Returns true when one existed. */
+  def clear(tableDir: String, conf: Configuration): Boolean = {
+    val p = path(tableDir)
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && fs.delete(p, false)
+  }
 }

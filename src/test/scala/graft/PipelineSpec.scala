@@ -426,6 +426,63 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.Cli.run(Array("sync")) == 2)     // missing -c
   }
 
+  test("column-map CLI inspects the mapping persisted by a normalizing sync") {
+    // a source table whose column names need normalization (digit-leading,
+    // mixed case) flows through a normalize_columns sync; the CLI then
+    // inspects the PERSISTED rename map (ref column_mapping_commands.py)
+    val s = spark; import s.implicits._
+    val srcDir = tmpDir("cmap_src")
+    Seq((1L, "a", "Zoe"), (2L, "b", "Kai"))
+      .toDF("id", "2nd_phone", "UserName")
+      .write.parquet(s"$srcDir/codes.parquet")
+    val work = tmpDir("cmap_work")
+    val ymlPath = java.nio.file.Paths.get(tmpDir("cmap_cfg"), "p.yml")
+    java.nio.file.Files.writeString(ymlPath,
+      s"""pipeline:
+         |  name: "colmap"
+         |  source: "$srcDir"
+         |  target: "warehouse"
+         |  processing:
+         |    normalize_columns: true
+         |tables:
+         |  fx.codes:
+         |    cdc_strategy: "full_sync"
+         |""".stripMargin)
+    def cli(args: String*): (Int, String) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val code = Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        graft.Cli.run((args ++ Seq("-c", ymlPath.toString,
+          "--work-dir", work)).toArray)
+      }
+      (code, buf.toString("UTF-8"))
+    }
+    assert(cli("sync")._1 == 0)
+    // the warehouse table carries the NORMALIZED names
+    val p = PipelineConfig.fromString(
+      java.nio.file.Files.readString(ymlPath))
+    val runner = new PipelineRunner(spark, work)
+    val (_, _, loader) = runner.rigFor(p)
+    val id = p.tables.head.tableId(p)
+    assert(loader.readTarget(spark, id).get.columns.toSeq ==
+      Seq("id", "col_2nd_phone", "username"))
+    // get: the persisted original→normalized record, one line per rename
+    val (gc, gout) = cli("column-map", "get", "-t", "fx.codes")
+    assert(gc == 0, gout)
+    assert(gout.contains("2nd_phone -> col_2nd_phone"))
+    assert(gout.contains("UserName -> username"))
+    assert(!gout.contains("id ->"), "unchanged names must not be in the map")
+    // list: pipeline-wide view
+    val (lc, lout) = cli("column-map", "list")
+    assert(lc == 0 && lout.contains("2 mapped column(s)"))
+    // clear requires --force, then the map is gone
+    assert(cli("column-map", "clear", "-t", "fx.codes")._1 == 2)
+    assert(cli("column-map", "clear", "-t", "fx.codes", "--force")._1 == 0)
+    assert(cli("column-map", "get", "-t", "fx.codes")._1 == 1)
+    assert(cli("column-map", "list")._2.contains("(no column mappings)"))
+    // -t is mandatory for get
+    assert(cli("column-map", "get")._1 == 2)
+  }
+
   test("config hardening: scalar lists, strict enums, comment-safe interpolation") {
     // merge_keys as a YAML SCALAR is a natural way to write one key —
     // silently parsing it to Nil would demote the table to append mode
