@@ -478,13 +478,105 @@ object DedupFunctions {
           .as(Seq("pos", "whash")))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("whash"))
 
-  /** Window hashes that occur in ≥2 DISTINCT documents. Two-phase: the
-    * per-doc distinct is map-side-combinable on (whash, doc), then the count
-    * shuffles (whash, doc) pairs — never positions, never text. */
-  private def crossDocRepeatedHashes(wins: DataFrame, idCol: String): DataFrame =
-    wins.select(col("whash"), col(idCol)).distinct()
+  /** Cheap 64-bit window hashes, values only — the frequency-prefilter pass
+    * input (no md5 string, no id/pos: the exchange rows are 16 bytes). */
+  private def slidingWindowHash64s(docs: DataFrame, textCol: String,
+                                   window: Int): DataFrame =
+    docs
+      .select(TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= window)
+      .select(explode(transform(
+        sequence(lit(0), size(col("__toks")) - window),
+        p => xxhash64(concat_ws(" ", slice(col("__toks"), p + 1, lit(window))))))
+        .as("h64"))
+
+  /** Above this many repeated hashes the driver-side Bloom filter stops
+    * paying for itself (it would broadcast tens of MB to save an exchange
+    * the corpus is going to pay anyway on such a degenerate input). */
+  private val MaxBloomRepeatedHashes = 8L * 1000 * 1000
+
+  /** Engage the span-dedup frequency prefilter above this much input (plan
+    * statistics, no job): below it the direct distinct-doc count finishes
+    * before the prefilter's extra corpus pass pays for itself (measured 4×
+    * at sf0.1); above it the corpus-wide (md5, doc) string exchange IS the
+    * bill, and trading it for a 16-byte numeric count pass wins. */
+  private val SpanPrefilterMinInputBytes = BigInt(1L << 30)
+
+  /** The (id, pos, whash) windows that belong to a hash occurring in ≥2
+    * DISTINCT documents — exactly.
+    *
+    * Two plans, same result (DedupSpec asserts equivalence):
+    *  - DIRECT (small inputs): distinct (whash, doc) pairs → count ≥2 —
+    *    one string exchange, no extra pass.
+    *  - PREFILTERED (large inputs, mirrors
+    *    [[CorpusFunctions.contaminationScoresBloom]]): singleton window
+    *    hashes — the overwhelming majority of a healthy corpus — must not
+    *    ride the distinct-doc-count exchange as (32-char md5, doc) string
+    *    pairs. Pass 1 counts total occurrences per 64-BIT hash: a numeric,
+    *    map-side-combinable exchange of 16-byte rows. The sparse survivors
+    *    (any hash seen ≥2 times anywhere — a superset of cross-doc repeats)
+    *    fold into a driver Bloom filter that gates the window stream INSIDE
+    *    codegen — md5 is only computed for Bloom survivors — so only
+    *    candidate windows reach the exact distinct-doc count. 64-bit
+    *    collisions and same-doc repeats are ghosts the exact verify kills;
+    *    degenerate all-repeated corpora fall back to the direct plan.
+    *
+    * `prefilter`: None = adaptive on plan-statistics input size;
+    * Some(x) forces the choice (tests, known-shape pipelines). */
+  private def crossDocRepeatedHits(docs: DataFrame, idCol: String,
+                                   textCol: String, window: Int,
+                                   prefilter: Option[Boolean]): DataFrame = {
+    val wins = slidingWindowHashes(docs, idCol, textCol, window)
+    val engage = prefilter.getOrElse(
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes >
+        SpanPrefilterMinInputBytes)
+    if (!engage)
+      return wins.join(
+        wins.select(col("whash"), col(idCol)).distinct()
+          .groupBy(col("whash")).agg(count(lit(1)).as("__nd"))
+          .filter(col("__nd") >= 2).select(col("whash")),
+        Seq("whash"), "left_semi")
+    // the sparse survivor set feeds TWO driver actions (count + Bloom
+    // build) — persist it so the corpus-wide h64 pass runs once, not twice
+    val repeated64 = slidingWindowHash64s(docs, textCol, window)
+      .groupBy(col("h64")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("h64"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRep = repeated64.count()
+    val candidates = try {
+      if (nRep == 0) wins.limit(0)
+      else if (nRep > MaxBloomRepeatedHashes) wins
+      else {
+        val bf = repeated64.stat.bloomFilter("h64", nRep, 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val mightContain = (h64: org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.GraftShim.column(
+            org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+              org.apache.spark.sql.GraftShim.expression(h64)))
+        // gate on the RAW window string's 64-bit hash — the same value the
+        // filter was built from — before md5ing, so the md5 itself is only
+        // paid for Bloom survivors
+        docs
+          .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+          .filter(size(col("__toks")) >= window)
+          .select(col(idCol), posexplode(transform(
+            sequence(lit(0), size(col("__toks")) - window),
+            p => concat_ws(" ", slice(col("__toks"), p + 1, lit(window)))))
+            .as(Seq("pos", "__win")))
+          .filter(mightContain(xxhash64(col("__win"))))
+          .select(col(idCol), col("pos").cast("long").as("pos"),
+            md5(col("__win")).as("whash"))
+      }
+    } finally repeated64.unpersist(blocking = false)
+    // exact distinct-doc count over the candidate set only
+    val repeatedExact = candidates.select(col("whash"), col(idCol)).distinct()
       .groupBy(col("whash")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2).select(col("whash"))
+    candidates.join(repeatedExact, Seq("whash"), "left_semi")
+  }
 
   /** Per-document statistics of cross-document VERBATIM repeats: for each doc
     * with at least one `window`-token span that also appears verbatim in
@@ -493,19 +585,21 @@ object DedupFunctions {
     * half of span-level dedup — the corpus-health number a curation run
     * checks before deciding to scrub.
     *
-    * Scale: #windows ≈ corpus token count, so the exchange is O(corpus) — the
-    * same asymptotic bill a suffix array pays, but embarrassingly parallel
-    * and with a 48-byte row instead of a pointer-chased index. Span merging
-    * is one window function over each doc's HIT positions only (repeated
-    * windows are sparse in a healthy corpus).
+    * Scale: #windows ≈ corpus token count — the same asymptotic bill a
+    * suffix array pays, but embarrassingly parallel. Above the adaptive
+    * input-size threshold the corpus-wide exchange is the frequency-
+    * prefilter COUNT pass of [[crossDocRepeatedHits]]: 16-byte numeric rows
+    * with map-side combine; md5 windows and (doc, pos) pairs shuffle only
+    * for Bloom-surviving candidates. Span merging is one window function
+    * over each doc's HIT positions only (repeated windows are sparse in a
+    * healthy corpus).
     */
   def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
-                        window: Int = 8): DataFrame = {
+                        window: Int = 8,
+                        prefilter: Option[Boolean] = None): DataFrame = {
     require(window > 0, "window must be positive")
     import org.apache.spark.sql.expressions.Window
-    val wins = slidingWindowHashes(docs, idCol, textCol, window)
-    val hits = wins
-      .join(crossDocRepeatedHashes(wins, idCol), Seq("whash"), "left_semi")
+    val hits = crossDocRepeatedHits(docs, idCol, textCol, window, prefilter)
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     // a hit at pos merges into the previous span when it starts within
     // `window` tokens of it (overlap or adjacency)
@@ -545,11 +639,10 @@ object DedupFunctions {
     * `collect_list` array (bounded by the doc's own length), and the cut is
     * a codegen'd array filter — no per-token join. */
   def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                         window: Int = 8): DataFrame = {
+                         window: Int = 8,
+                         prefilter: Option[Boolean] = None): DataFrame = {
     require(window > 0, "window must be positive")
-    val wins = slidingWindowHashes(docs, idCol, textCol, window)
-    val hits = wins
-      .join(crossDocRepeatedHashes(wins, idCol), Seq("whash"), "left_semi")
+    val hits = crossDocRepeatedHits(docs, idCol, textCol, window, prefilter)
     scrubHitWindows(docs, hits, idCol, textCol, window)
   }
 

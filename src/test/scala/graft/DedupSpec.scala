@@ -294,6 +294,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) == (("", 0L))) // fully contaminated doc survives empty
   }
 
+  test("span dedup: Bloom-prefiltered plan is result-identical to the direct plan") {
+    // the adaptive prefilter (engaged on big inputs) must be a pure plan
+    // choice: forced-on and forced-off runs agree row-for-row on a corpus
+    // with dense accidental repeats (the exact-verify must kill both FPP
+    // ghosts and same-doc-only repeats)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val corpus = ((1L to 150L).map { id =>
+      val len = 2 + rnd.nextInt(24)
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (999L, "x1 x2 x3 x1 x2 x3 x1 x2 x3 x1 x2 x3")) // same-doc-only repeats
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val window = 4
+    val direct = DedupFunctions.repeatedSpanStats(
+      corpus, "doc_id", "text", window, prefilter = Some(false))
+    val bloom = DedupFunctions.repeatedSpanStats(
+      corpus, "doc_id", "text", window, prefilter = Some(true))
+    assert(direct.count() > 0, "vacuous fixture")
+    assert(rows(direct) == rows(bloom))
+    assert(rows(DedupFunctions.scrubRepeatedSpans(
+      corpus, "doc_id", "text", window, prefilter = Some(false))) ==
+      rows(DedupFunctions.scrubRepeatedSpans(
+        corpus, "doc_id", "text", window, prefilter = Some(true))))
+    // the doc with only SAME-doc repeats must not appear in either
+    assert(!rows(direct).exists(_.head == 999L))
+  }
+
   test("span stats and scrub agree: covered + kept == total, per doc") {
     val s = spark
     import s.implicits._

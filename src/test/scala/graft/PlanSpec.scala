@@ -205,14 +205,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("span dedup shuffles hashes and positions, never token payloads") {
-    val df = graft.functions.DedupFunctions.repeatedSpanStats(
-      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 8)
-    val exchanges = physical(df).collect { case e: ShuffleExchangeExec => e }
-    assert(exchanges.nonEmpty, "no exchanges — assertion would be vacuous")
-    exchanges.foreach { e =>
-      val cols = e.child.output.map(_.name).toSet
-      assert(!cols.contains("text") && !cols.contains("__toks"),
-        s"token payload rides an exchange: $cols")
+    for (pf <- Seq(Some(false), Some(true))) {
+      val df = graft.functions.DedupFunctions.repeatedSpanStats(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 8,
+        prefilter = pf)
+      val exchanges = physical(df).collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, "no exchanges — assertion would be vacuous")
+      exchanges.foreach { e =>
+        val cols = e.child.output.map(_.name).toSet
+        assert(!cols.contains("text") && !cols.contains("__toks") &&
+          !cols.contains("__win"),
+          s"token payload rides an exchange (prefilter=$pf): $cols")
+      }
+      // the frequency prefilter must gate the window stream in codegen:
+      // singleton hashes die BEFORE any (whash, doc) exchange, so the only
+      // corpus-wide exchange carries 64-bit counts
+      assert(executedString(df).contains("might_contain") == pf.get,
+        s"prefilter=$pf but plan disagrees on the Bloom gate")
     }
   }
 
