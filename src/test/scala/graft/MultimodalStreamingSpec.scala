@@ -359,6 +359,34 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(run() == first)
   }
 
+  test("rollup read path scans exactly one batch= snapshot, no dedup shuffle") {
+    // the round-4 fix replaced a window-dedup read (13.98s at sf0.1) with a
+    // compacted single-snapshot scan (2.23s) — lock the shape in so a
+    // refactor can't silently reintroduce the read-side dedup:
+    //  1. every file the result reads lives under ONE batch= directory;
+    //  2. the read plan is exchange- and window-free (plain scan);
+    //  3. superseded snapshots were pruned from the sink.
+    val ckpt = tmpDir("rollup_guard")
+    val df = StreamingPipeline.hourlyEventRollup(spark,
+      s"$sfDir/events.parquet", ckpt, s"guard_rollup_${System.nanoTime()}")
+    val files = df.inputFiles
+    assert(files.nonEmpty, "rollup produced no snapshot — vacuous")
+    val batchDirs = files.map(f =>
+      f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(batchDirs.length == 1 && batchDirs.head.contains("batch="),
+      s"result must read ONE batch= snapshot, got: ${batchDirs.toSeq}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"read-side dedup reintroduced:\n$plan")
+    // the sink keeps only the latest committed snapshot
+    val sink = new java.io.File(s"${ckpt}_sink")
+    val committed = sink.listFiles().filter(d =>
+      d.getName.startsWith("batch=") &&
+        new java.io.File(d, "_SUCCESS").exists())
+    assert(committed.length == 1,
+      s"superseded snapshots not pruned: ${committed.map(_.getName).toSeq}")
+  }
+
   test("streaming hourly rollup equals the batch aggregation") {
     val name = s"test_rollup_${System.nanoTime()}"
     val streamed = StreamingPipeline.hourlyEventRollup(spark,
