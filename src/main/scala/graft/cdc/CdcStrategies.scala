@@ -224,7 +224,15 @@ object CdcStrategy {
     case CdcStrategyKind.TimestampOnly => TimestampOnlyStrategy(config)
     case CdcStrategyKind.Hybrid        => HybridStrategy(config)
     case CdcStrategyKind.IdOnly        => IdOnlyStrategy(config)
-    case CdcStrategyKind.FullSync      => FullSyncStrategy(config)
+    case CdcStrategyKind.FullSync      =>
+      // the cap is dropped by design here (see FullSyncStrategy scaladoc) —
+      // but a user who configured it deserves a signal, not silence
+      config.maxRowsPerRun.foreach(n =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"max_rows_per_run=$n is ignored for full_sync tables: the " +
+            "snapshot stages in one distributed pass (a per-run cap would " +
+            "re-stage the same arbitrary subset forever)"))
+      FullSyncStrategy(config)
     case CdcStrategyKind.CustomSql     => CustomSqlStrategy(config)
   }
 }

@@ -23,8 +23,22 @@ final case class TableId(connection: String, schema: String, table: String) {
     * otherwise `s.order-items` and `s.order_items` would share one staging
     * dir and one warehouse directory, and either table's replace/merge swap
     * would destroy the other's data. Clean names keep their readable form. */
-  def safeName: String = {
-    val raw = s"${connection}_${schema}_$table".toLowerCase
+  def safeName: String =
+    Names.taggedSanitize(s"${connection}_${schema}_$table")
+}
+
+/** THE filesystem-name sanitization convention — one definition for every
+  * state-keyed name (staging/warehouse dirs via [[TableId.safeName]],
+  * watermark/lock documents via `WatermarkStore.docPath`), so the
+  * disambiguation rules cannot drift between the stores that must agree. */
+object Names {
+  /** Lowercase + sanitize to `[a-z0-9_]`. When sanitization ALTERED the
+    * (lowercased) name, an 8-hex md5 tag of it disambiguates — otherwise
+    * `s.order-items` and `s.order_items` would share one directory/document
+    * and either table's swap or cursor write would destroy the other's
+    * state. Clean names keep their readable, tag-free form. */
+  def taggedSanitize(raw0: String): String = {
+    val raw = raw0.toLowerCase
     val safe = raw.replaceAll("[^a-z0-9_]", "_")
     if (safe == raw) safe
     else {

@@ -48,7 +48,7 @@ object TypeMapper {
         if (t.unsigned) IntegerType else ShortType
       case "tinyint" =>
         if (t.precision.contains(1)) BooleanType
-        else if (t.unsigned) ShortType else ShortType // 0..255 fits SHORT
+        else ShortType // signed or unsigned: 0..255 and -128..127 both fit SHORT
       case "decimal" | "numeric" =>
         // precision capped at 18 (ref :212-219). Scale defaults: bare
         // `decimal` → the financial (15,4); `decimal(p)` → (p,0), matching

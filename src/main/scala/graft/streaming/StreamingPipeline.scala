@@ -142,7 +142,10 @@ object StreamingPipeline {
     * the file-source offset log records absolute paths, so a re-run against
     * the same checkpoint must present the file under the SAME path or the
     * source treats it as brand new and re-ingests every row (doubling all
-    * stateful aggregates/totals on recovery). */
+    * stateful aggregates/totals on recovery). The single-file staging is a
+    * local-filesystem mechanism (symlinks) — matching the checkpoint, which
+    * the caller supplies as a local path in this mode; directory inputs
+    * (the production layout, any filesystem) bypass it entirely. */
   private def streamSourceDir(path: String, checkpointDir: String): String = {
     val f = new java.io.File(path)
     if (f.isFile) {
@@ -152,6 +155,16 @@ object StreamingPipeline {
       if (!java.nio.file.Files.exists(link,
           java.nio.file.LinkOption.NOFOLLOW_LINKS))
         java.nio.file.Files.createSymbolicLink(link, f.toPath)
+      else if (java.nio.file.Files.isSymbolicLink(link) &&
+               java.nio.file.Files.readSymbolicLink(link) != f.toPath)
+        // same filename, DIFFERENT file, same checkpoint: silently keeping
+        // the old link would stream the OLD file's bytes; re-pointing it
+        // would desync the offset log. Either way the caller's intent is
+        // ambiguous — fail loudly.
+        throw new IllegalStateException(
+          s"checkpoint $checkpointDir already streams " +
+            s"${java.nio.file.Files.readSymbolicLink(link)}; refusing to " +
+            s"re-point its source at $path — use a fresh checkpoint")
       d.toString
     } else path
   }

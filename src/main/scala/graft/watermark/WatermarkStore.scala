@@ -36,17 +36,13 @@ class WatermarkStore(rootDir: String,
 
   private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 
-  /** Key scoping like the reference: one doc per (table, target). The md5
-    * suffix keeps names that sanitize identically (`a.b_c` vs `a_b.c`) from
-    * silently SHARING one watermark/blacklist/lock document. */
-  private[watermark] def docPath(tableName: String, target: String): Path = {
-    val raw = tableName + "_" + target
-    val safe = raw.toLowerCase.replaceAll("[^a-z0-9_]", "_")
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(raw.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(8)
-    new Path(rootDir, s"${safe}_$tag.json")
-  }
+  /** Key scoping like the reference: one doc per (table, target), named by
+    * THE shared sanitize convention ([[graft.model.Names.taggedSanitize]] —
+    * the same rule as `TableId.safeName`, so watermark docs and data dirs
+    * can never disagree on how `a.b_c` vs `a_b.c` disambiguate). */
+  private[watermark] def docPath(tableName: String, target: String): Path =
+    new Path(rootDir,
+      graft.model.Names.taggedSanitize(tableName + "_" + target) + ".json")
 
   private def lockPath(tableName: String, target: String): Path =
     new Path(docPath(tableName, target).toString + ".lock")
