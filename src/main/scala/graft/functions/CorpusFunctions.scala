@@ -195,6 +195,25 @@ object CorpusFunctions {
       .filter(col("rn") <= k)
   }
 
+  /** Per-source/domain document CAP (the C4/RefinedWeb-style per-domain
+    * limit): keep at most `cap` docs per group, selected DETERMINISTICALLY
+    * at random (md5 of the id, then id) rather than by quality — a cap
+    * preserves the within-source distribution where [[topKByQuality]]
+    * creams the top. Returns survivors with their 1-based per-group `rn`.
+    *
+    * Scale: same WindowGroupLimit shape as [[topKByQuality]] — map tasks
+    * pre-prune to their local cap before the one group-column exchange, so
+    * a 10-billion-doc domain ships ~cap rows per task, not the domain. */
+  def capPerGroup(docs: DataFrame, idCol: String,
+                  groupCols: Seq[String], cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= cap)
+  }
+
   /** Gopher-style repetition statistics per document — the "repetitious
     * text" quality gates (duplicate-line fraction, duplicate-line CHARACTER
     * fraction, most-frequent-word fraction). Returns

@@ -245,6 +245,22 @@ object LlmQueries {
     // Keep the 25 best-quality docs per source (deterministic ties by
     // doc_id). The quality formula's DuckDB replica is the one proven exact
     // by q_text_analysis.
+    // ------------------------------------------------ per-source doc cap
+    // C4/RefinedWeb-style per-domain limit: at most 20 docs per source,
+    // picked by deterministic md5 order (distribution-preserving, unlike
+    // the quality-creaming top-k below).
+    Q("q_source_caps",
+      (s, dir) => graft.functions.CorpusFunctions.capPerGroup(
+        Tables.df(s, dir, "documents"), "doc_id", Seq("source"), cap = 20)
+        .select(col("doc_id"), col("source"), col("rn")),
+      Some("""SELECT doc_id, source, rn FROM (
+             |  SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             |      AS rn
+             |  FROM documents) t
+             |WHERE rn <= 20""".stripMargin)),
+
     Q("q_quality_topk",
       (s, dir) => graft.functions.CorpusFunctions.topKByQuality(
         Tables.df(s, dir, "documents"), "doc_id", "text",

@@ -385,6 +385,183 @@ object OlapQueries {
              |       FROM customer c3 WHERE c3.c_acctbal > 0.0)
              |  AND NOT EXISTS (
              |    SELECT * FROM orders o WHERE o.o_custkey = c.c_custkey)
-             |GROUP BY c.c_nationkey""".stripMargin))
+             |GROUP BY c.c_nationkey""".stripMargin)),
+
+    // -------------------- TPC-H Q13-shape (outer-join count distribution)
+    // Customer distribution by order count INCLUDING zero-order customers:
+    // the LEFT OUTER join with an extra non-key ON predicate, a COUNT over
+    // the nullable side (counting rows, not nulls), then a second grouping
+    // over the counts. The zero bucket only exists if the outer join and
+    // null-aware COUNT are both right.
+    Q("q13_customer_distribution",
+      (s, dir) => {
+        val c = Tables.df(s, dir, "customer")
+        val o = Tables.df(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey") &&
+          o("o_orderpriority") =!= "1-URGENT", "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+             |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+             |  FROM customer c LEFT OUTER JOIN orders o
+             |    ON c.c_custkey = o.o_custkey
+             |   AND o.o_orderpriority <> '1-URGENT'
+             |  GROUP BY c.c_custkey) t
+             |GROUP BY c_count""".stripMargin)),
+
+    // ------------------------- TPC-H Q15-shape (top supplier, scalar MAX)
+    // Revenue per supplier for one quarter, then the supplier(s) whose
+    // revenue EQUALS the maximum — the aggregate-of-aggregate scalar
+    // subquery (the reference CTE is referenced twice: once as the join
+    // input, once under MAX). Exact decimal revenue keeps the equality
+    // boundary engine-exact.
+    Q("q15_top_supplier",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(18,4))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey)
+          SELECT sp.s_suppkey, sp.s_name,
+                 CAST(r.total_rev AS DOUBLE) AS total_rev
+          FROM supplier sp JOIN rev r ON sp.s_suppkey = r.l_suppkey
+          WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)""")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |         SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             |             AS DECIMAL(18,4))) AS total_rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY l_suppkey)
+             |SELECT sp.s_suppkey, sp.s_name,
+             |       CAST(r.total_rev AS DOUBLE) AS total_rev
+             |FROM supplier sp JOIN rev r ON sp.s_suppkey = r.l_suppkey
+             |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin)),
+
+    // ----------------- TPC-H Q17-shape (correlated AVG scalar subquery)
+    // Revenue from small-quantity orders of one brand: each lineitem
+    // compares against 20% of ITS part's average quantity. The average is
+    // compared multiplicatively (qty × 5 × n < Σqty, exact decimals — same
+    // trick as Q22) so the threshold boundary cannot flip between engines;
+    // both correlated scalars decorrelate to per-part aggregates that Spark
+    // merges into one pass.
+    Q("q17_small_quantity_revenue",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0 AS avg_yearly
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_brand = 'Brand#3'
+            AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 *
+                (SELECT COUNT(*) FROM lineitem l2
+                 WHERE l2.l_partkey = p.p_partkey)
+              < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+                 FROM lineitem l3 WHERE l3.l_partkey = p.p_partkey)""")
+      },
+      Some("""SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+             |            AS DOUBLE) / 7.0 AS avg_yearly
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE p.p_brand = 'Brand#3'
+             |  AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 *
+             |      (SELECT COUNT(*) FROM lineitem l2
+             |       WHERE l2.l_partkey = p.p_partkey)
+             |    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+             |       FROM lineitem l3 WHERE l3.l_partkey = p.p_partkey)""".stripMargin)),
+
+    // --------------------- TPC-H Q19-shape (disjunctive predicate join)
+    // Revenue under an OR of (brand, size-range, quantity-range) triples:
+    // the optimizer must keep the common p_partkey = l_partkey conjunct as
+    // an EQUI hash join (never a nested loop over the disjunction) and
+    // evaluate the residual OR as a post-join filter — PlanSpec guards the
+    // join algorithm.
+    Q("q19_disjunctive_revenue",
+      (s, dir) => {
+        val l = Tables.df(s, dir, "lineitem")
+        val p = Tables.df(s, dir, "part")
+        l.join(p, l("l_partkey") === p("p_partkey") && (
+          (p("p_brand") === "Brand#1" && p("p_size").between(1, 15) &&
+            l("l_quantity").between(1, 20)) ||
+          (p("p_brand") === "Brand#2" && p("p_size").between(10, 30) &&
+            l("l_quantity").between(10, 40)) ||
+          (p("p_brand") === "Brand#3" && p("p_size").between(20, 50) &&
+            l("l_quantity").between(20, 60))))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+             |       AND l.l_quantity BETWEEN 1 AND 20)
+             |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+             |       AND l.l_quantity BETWEEN 10 AND 40)
+             |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+             |       AND l.l_quantity BETWEEN 20 AND 60)""".stripMargin)),
+
+    // ------------------------ TPC-H Q20-shape (nested IN over aggregates)
+    // Suppliers who shipped more than half of some part's total quantity:
+    // an IN subquery whose body joins two grouped aggregates of the same
+    // fact table — the nested-IN decorrelation (semi join over aggregate
+    // subplans). Share comparison is multiplicative exact decimal.
+    Q("q20_majority_suppliers",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT sp.s_suppkey, sp.s_name
+          FROM supplier sp
+          WHERE sp.s_suppkey IN (
+            SELECT per.l_suppkey
+            FROM (SELECT l_suppkey, l_partkey,
+                         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+                  FROM lineitem GROUP BY l_suppkey, l_partkey) per
+            JOIN (SELECT l_partkey,
+                         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+                  FROM lineitem GROUP BY l_partkey) tot
+              ON per.l_partkey = tot.l_partkey
+            WHERE per.q * 2 > tot.tq)""")
+      },
+      Some("""SELECT sp.s_suppkey, sp.s_name
+             |FROM supplier sp
+             |WHERE sp.s_suppkey IN (
+             |  SELECT per.l_suppkey
+             |  FROM (SELECT l_suppkey, l_partkey,
+             |               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+             |        FROM lineitem GROUP BY l_suppkey, l_partkey) per
+             |  JOIN (SELECT l_partkey,
+             |               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+             |        FROM lineitem GROUP BY l_partkey) tot
+             |    ON per.l_partkey = tot.l_partkey
+             |  WHERE per.q * 2 > tot.tq)""".stripMargin)),
+
+    // ------------------------------- semi-structured JSON column handling
+    // The events fixture carries a JSON props column; extract a typed field
+    // with the codegen'd JSON path expression and aggregate it — the
+    // "schema-on-read over a VARCHAR JSON column" surface every warehouse
+    // query layer needs.
+    Q("q_json_extract",
+      (s, dir) => Tables.df(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k")),
+      Some("""SELECT event_type,
+             |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS n_with_k,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS BIGINT) AS sum_k,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type""".stripMargin))
   )
 }

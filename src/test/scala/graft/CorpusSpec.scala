@@ -102,6 +102,26 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 2L, 4L -> 1L))
   }
 
+  test("capPerGroup: deterministic distribution-preserving per-source cap") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 100L).map(i =>
+      (i, if (i <= 70) "big" else "small", s"doc $i")).toDF("doc_id", "source", "text")
+    def run() = CorpusFunctions.capPerGroup(docs, "doc_id", Seq("source"), 25)
+      .select("doc_id", "source", "rn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val out = run()
+    // big source capped to 25, small (30 docs) also capped to 25
+    assert(out.count(_._2 == "big") == 25)
+    assert(out.count(_._2 == "small") == 25)
+    assert(out.forall(_._3 <= 25) && out.map(_._3).nonEmpty)
+    // deterministic across runs (md5 order, not a random sample)
+    assert(run() == out)
+    // a cap larger than every group passes everything through
+    assert(CorpusFunctions.capPerGroup(docs, "doc_id", Seq("source"), 1000)
+      .count() == 100)
+  }
+
   test("chunkDocuments: partition/coverage properties on random docs") {
     val s = spark
     import s.implicits._

@@ -322,6 +322,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "ship-date lateness predicate should ride the anti join")
   }
 
+  test("Q19-shape disjunction keeps the equi hash join, never a nested loop") {
+    val plan = executedString(q("q19_disjunctive_revenue"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the common p_partkey = l_partkey conjunct must stay an equi join")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "expected a hash/merge equi join with the OR as residual condition")
+  }
+
+  test("per-source cap pre-prunes map-side (WindowGroupLimit)") {
+    val plan = executedString(q("q_source_caps"))
+    assert(plan.contains("WindowGroupLimit"),
+      "rank filter should prune to the local cap before the exchange")
+  }
+
   test("Q22-shape: anti join for NOT EXISTS, scalar subqueries execute once") {
     val df = q("q22_idle_customers")
     val plan = executedString(df)
