@@ -562,6 +562,69 @@ object OlapQueries {
              |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
              |    AS BIGINT) AS sum_k,
              |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-             |FROM events GROUP BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ---------------------- incremental aggregate maintenance (MV fold)
+    // Three disjoint increments folded one at a time into a per-group
+    // aggregate state must equal the direct aggregate over everything —
+    // the CDC answer to keeping a 100 TB rollup fresh without rescanning
+    // history. The chunk boundaries are arbitrary id ranges.
+    Q("q_incremental_rollup",
+      (s, dir) => {
+        import graft.operators.Relational
+        val ev = Tables.df(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val sums = Seq(Relational.SumSpec("sum_value", "value", 2))
+        val chunks = Seq(
+          ev.filter(col("event_id") % 3 === 0),
+          ev.filter(col("event_id") % 3 === 1),
+          ev.filter(col("event_id") % 3 === 2))
+        val state = chunks.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+          (prev, chunk) => Some(Relational.foldAggregate(
+            prev, chunk, Seq("event_type"), sums))
+        }.get
+        Relational.readAggState(state, sums)
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ------------------------------ incremental distinct-count (HLL fold)
+    // rows-only: the estimate comes from DataSketches HLL, which DuckDB's
+    // approx_count_distinct (a different sketch) cannot reproduce;
+    // RelationalSpec bounds the error vs exact and covers chunked folds.
+    Q("q_distinct_sketch",
+      (s, dir) => {
+        import graft.operators.Relational
+        val ev = Tables.df(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("user_id"))
+        val chunks = Seq(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1))
+        Relational.readDistinctSketch(
+          chunks.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+            (p, c) => Some(Relational.foldDistinctSketch(
+              p, c, Seq("event_type"), "user_id"))
+          }.get)
+      },
+      None),
+
+    // -------------------------------------------- explicit GROUPING SETS
+    // Arbitrary (non-hierarchical) grouping-set list — the shape ROLLUP and
+    // CUBE cannot express: (priority, status), (status), and grand total,
+    // skipping the (priority) level.
+    Q("q_agg_grouping_sets",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                  (o_orderstatus), ())""")
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+             |                        (o_orderstatus), ())""".stripMargin))
   )
 }

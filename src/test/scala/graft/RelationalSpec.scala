@@ -282,4 +282,79 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     // a second loadOnly drains nothing (blacklist)
     assert(runner.loadOnly(p).totalRows == 0)
   }
+
+  test("foldAggregate: any chunking folds to the direct aggregate, schema stable") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(i =>
+      (i.toLong, s"g${rnd.nextInt(5)}", rnd.nextInt(1000) / 100.0))
+    val df = rows.toDF("id", "grp", "v")
+    val sums = Seq(Relational.SumSpec("sum_v", "v", 2))
+    def fold(chunks: Seq[org.apache.spark.sql.DataFrame]) =
+      Relational.readAggState(
+        chunks.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+          (p, c) => Some(Relational.foldAggregate(p, c, Seq("grp"), sums))
+        }.get, sums)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+    val direct = fold(Seq(df))
+    // three different random chunkings, incl. single-row chunks and chunks
+    // that miss some groups entirely
+    for (seed <- 1 to 3) {
+      val r2 = new scala.util.Random(seed)
+      val parts = (0 until 4).map(k =>
+        df.filter(abs(hash(col("id"), lit(seed))) % 4 === k))
+      assert(fold(r2.shuffle(parts.toList)) == direct,
+        s"chunking seed=$seed diverged")
+    }
+    // the state schema must be a fixpoint: after ten folds the sum column
+    // is still DECIMAL(38,2) (no unbounded widening / analysis drift)
+    val many = (1 to 10).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      (p, k) => Some(Relational.foldAggregate(
+        p, df.filter(col("id") % 10 === k - 1), Seq("grp"), sums))
+    }.get
+    assert(many.schema("sum_v").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 2))
+    assert(Relational.readAggState(many, sums)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap == direct)
+  }
+
+  test("foldDistinctSketch: chunk-invariant estimates within HLL error bounds") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // per-group true distinct counts of a few hundred — HLL's standard
+    // error at default lgK=12 is ~1.6%, so a 5% assertion bound is safe
+    val rows = (1 to 3000).map(i =>
+      (i.toLong, s"g${i % 3}", s"user_${rnd.nextInt(500)}"))
+    val df = rows.toDF("id", "grp", "user")
+    val exact = df.groupBy("grp").agg(countDistinct(col("user")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def estimates(chunks: Seq[org.apache.spark.sql.DataFrame]) =
+      Relational.readDistinctSketch(
+        chunks.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+          (p, c) => Some(Relational.foldDistinctSketch(p, c, Seq("grp"), "user"))
+        }.get)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = estimates(Seq(df))
+    exact.foreach { case (g, d) =>
+      val e = direct(g)
+      assert(math.abs(e - d).toDouble / d < 0.05,
+        s"group $g: estimate $e vs exact $d")
+    }
+    // chunked folds — in either order — stay within the error bound too.
+    // (Union is NOT bit-identical across orders: DataSketches sketches
+    // transition list→set→HLL modes at different points per merge order, so
+    // the guarantee is the bound, not equality.)
+    val parts = (0 until 5).map(k => df.filter(col("id") % 5 === k))
+    for (chunks <- Seq(parts, parts.reverse)) {
+      val est = estimates(chunks)
+      exact.foreach { case (g, d) =>
+        assert(math.abs(est(g) - d).toDouble / d < 0.05,
+          s"group $g chunked: estimate ${est(g)} vs exact $d")
+      }
+    }
+  }
 }
