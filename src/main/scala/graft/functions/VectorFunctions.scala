@@ -197,6 +197,140 @@ object VectorFunctions {
   }
 
   // --------------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011) — compressed-code ANN
+  // --------------------------------------------------------------------------
+
+  /** Trained PQ codebooks: `m` subspaces of `subDim` dims; per subspace a
+    * list of (code, centroid, ||centroid||²). Vectors are unit-normalized
+    * before quantization, so the reconstructed inner product approximates
+    * cosine. */
+  final case class PqModel(m: Int, subDim: Int,
+                           codebooks: Seq[Seq[(Int, Seq[Float], Double)]])
+
+  /** Unit-normalize an array<float|double> column (zero vectors pass
+    * through unscaled rather than dividing by zero). */
+  private def unitNorm(vec: Column): Column = {
+    val n = norm(vec)
+    when(n > 0, transform(vec, x => x.cast("double") / n))
+      .otherwise(transform(vec, x => x.cast("double")))
+  }
+
+  /** Train PQ codebooks: KMeans (euclidean — PQ quantizes subvectors by L2)
+    * per subspace over a bounded deterministic sample of unit-normalized
+    * vectors. Like [[buildIvf]]: training never sees the full corpus, the
+    * model is driver-sized by design (m × k × subDim floats). */
+  def trainPq(corpus: DataFrame, m: Int = 8, k: Int = 16,
+              vecCol: String = "embedding", maxIter: Int = 10,
+              maxTrainPoints: Int = 65536): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("empty corpus"))
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val total = corpus.count()
+    val frac = if (total > maxTrainPoints) maxTrainPoints.toDouble / total else 1.0
+    val base = corpus.select(unitNorm(col(vecCol)).as("__u"))
+    val sampled = (if (frac < 1.0)
+      base.sample(withReplacement = false, frac, seed = 42L) else base)
+      .coalesce(math.max(1, (total * frac / 16384L).toInt)).cache()
+    try {
+      val books = (0 until m).map { j =>
+        val sub = sampled.select(array_to_vector(
+          slice(col("__u"), j * subDim + 1, subDim)).as("features"))
+        val model = new KMeans().setK(k).setSeed(42L + j).setMaxIter(maxIter)
+          .fit(sub)
+        model.clusterCenters.zipWithIndex.map { case (c, i) =>
+          val arr = c.toArray
+          (i, arr.toSeq.map(_.toFloat), arr.map(x => x * x).sum)
+        }.toSeq
+      }
+      PqModel(m, subDim, books)
+    } finally { sampled.unpersist(); () }
+  }
+
+  /** Encode the corpus: each vector becomes `m` small codes (nearest
+    * codebook centroid per subspace, squared-L2 via the fold-over-literal
+    * trick — argmin ‖x−c‖² = argmax 2·x·c − ‖c‖²). The codes column is the
+    * PERSISTED index: m bytes of information per vector instead of dim
+    * floats (32× compression at dim=64/m=8) — at 100 TB the ANN scan reads
+    * codes only; raw vectors are touched just for the rerank candidates. */
+  def encodePq(model: PqModel, corpus: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val u = unitNorm(col(vecCol))
+    val codeCols = (0 until model.m).map { j =>
+      val sub = slice(u, j * model.subDim + 1, model.subDim)
+      val bookLit = typedlit(model.codebooks(j))
+      aggregate(bookLit,
+        struct(lit(-1).as("code"), lit(Double.MinValue).as("s")),
+        (acc, c) => {
+          val s = dot(sub, c.getField("_2")) * 2 - c.getField("_3")
+          when(s > acc.getField("s"),
+            struct(c.getField("_1").as("code"), s.as("s"))).otherwise(acc)
+        },
+        acc => acc.getField("code"))
+    }
+    corpus.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ top-k with asymmetric distance + exact rerank (the production ADC
+    * pattern): per query a lookup table lut[j][c] = q̂_j · c_{j,c} is built
+    * DRIVER-side (m × k doubles — the query set is driver-sized by
+    * contract, same as [[bruteForceTopK]]'s broadcast); the corpus scan
+    * scores each row by summing m table lookups over its codes (no float
+    * vector touched), keeps `rerankDepth` approximate candidates per
+    * query, then reranks exactly on the candidates' raw vectors. */
+  def pqTopK(model: PqModel, codes: DataFrame, corpus: DataFrame,
+             queries: DataFrame, k: Int, rerankDepth: Int = 50,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             queryIdCol: String = "query_id",
+             excludeSelf: Boolean = true): DataFrame = {
+    val qRows = queries.select(col(queryIdCol), unitNorm(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // lut(qi)(j)(c) = q̂_j · centroid_{j,c}
+    val luts: Seq[Seq[Seq[Double]]] = qRows.toSeq.map { case (_, qv) =>
+      (0 until model.m).map { j =>
+        val qSub = qv.slice(j * model.subDim, (j + 1) * model.subDim)
+        model.codebooks(j).sortBy(_._1).map { case (_, c, _) =>
+          qSub.lazyZip(c).map((a, b) => a * b.toDouble).sum
+        }
+      }
+    }
+    val lutLit = typedlit(luts)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qDf = broadcast(qRows.zipWithIndex
+      .map { case ((qid, _), i) => (qid, i) }.toSeq.toDF(queryIdCol, "__qi"))
+    val joinCond = if (excludeSelf) col(queryIdCol) =!= col(idCol) else lit(true)
+    val approx = codes.join(qDf, joinCond)
+      .withColumn("__score", aggregate(
+        transform(col("codes"), (c, j) => element_at(
+          element_at(element_at(lutLit, col("__qi") + 1), j + 1), c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val wA = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__score").desc, col(idCol).asc)
+    val candidates = approx
+      .withColumn("__ar", row_number().over(wA))
+      .filter(col("__ar") <= rerankDepth)
+      .select(col(queryIdCol), col(idCol))
+    // exact rerank on candidates only
+    val qVecs = broadcast(queries.select(col(queryIdCol),
+      col(vecCol).as("__qvec")))
+    val wE = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    candidates
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(qVecs, Seq(queryIdCol))
+      .withColumn("cosine", cosine(col(vecCol), col("__qvec")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("rank"),
+        col("cosine"))
+  }
+
+  // --------------------------------------------------------------------------
   // Embedding-cosine near-duplicate pairs
   // --------------------------------------------------------------------------
 

@@ -925,6 +925,21 @@ object LlmQueries {
         val idx = VectorFunctions.buildIvf(emb, nlist = 16, maxIter = 5)
         VectorFunctions.ivfTopK(idx, queries, k = 10, nprobe = 4)
       },
+      None),
+
+    // ------------------------------------- PQ ANN (rows-only: quantized
+    // approximate scoring; recall ≥0.9 + exact-rerank score parity vs brute
+    // force asserted in VectorSpec)
+    Q("q_ann_pq_topk",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val model = VectorFunctions.trainPq(emb, m = 16, k = 16, maxIter = 5)
+        val codes = VectorFunctions.encodePq(model, emb)
+        VectorFunctions.pqTopK(model, codes, emb, queries,
+          k = 10, rerankDepth = 80)
+      },
       None)
   )
 }

@@ -589,6 +589,46 @@ object OlapQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // --------------------------------------- RANGE-frame trailing window
+    // One-hour trailing sum per user over event time — the time-based
+    // RANGE frame (peers included by VALUE distance, not row count) that a
+    // rows-frame cannot express. Exact decimal sum, one exchange on
+    // user_id.
+    Q("q_window_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0)
+        Tables.df(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts DIV 1000").as("ts_us"), col("value"))
+          .withColumn("trailing_1h_sum",
+            sum(dec(col("value"), 2)).over(w).cast("double"))
+          .drop("value")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts)
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE) AS trailing_1h_sum
+             |FROM events""".stripMargin)),
+
+    // ----------------------------------------------------------- UNPIVOT
+    // Wide measures melted to (measure, value) rows — the report-layer
+    // reshape dual of pivot. Spark's native unpivot (a generator, no
+    // shuffle) vs DuckDB's UNPIVOT.
+    Q("q_unpivot_measures",
+      (s, dir) => Tables.df(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_tax")),
+          variableColumnName = "measure", valueColumnName = "val"),
+      Some("""SELECT l_orderkey, l_linenumber, measure, val FROM (
+             |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_tax
+             |           FROM lineitem)
+             |  ON l_quantity, l_tax INTO NAME measure VALUE val)""".stripMargin)),
+
     // ------------------------------ incremental distinct-count (HLL fold)
     // rows-only: the estimate comes from DataSketches HLL, which DuckDB's
     // approx_count_distinct (a different sketch) cannot reproduce;

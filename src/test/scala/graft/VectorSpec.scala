@@ -73,6 +73,36 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.9, s"IVF recall@10 = $recall")
   }
 
+  test("PQ top-k with rerank: recall@10 >= 0.9 vs brute force") {
+    val exact = VectorFunctions.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = VectorFunctions.trainPq(emb, m = 16, k = 16)
+    assert(model.codebooks.size == 16 &&
+      model.codebooks.forall(_.size == 16))
+    val codes = VectorFunctions.encodePq(model, emb)
+    // every vector gets m codes in [0, k)
+    val c0 = codes.collect()
+    assert(c0.length == emb.count())
+    assert(c0.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+    val approx = VectorFunctions.pqTopK(model, codes, emb, queries,
+      k = 10, rerankDepth = 80)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ recall@10 = $recall")
+    // the rerank is exact cosine: returned scores must match brute force
+    // for the overlapping neighbors
+    val bfScores = VectorFunctions.bruteForceTopK(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val pqScores = VectorFunctions.pqTopK(model, codes, emb, queries,
+      k = 10, rerankDepth = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    (exact & approx).foreach { key =>
+      assert(math.abs(bfScores(key) - pqScores(key)) < 1e-12)
+    }
+  }
+
   test("cosine near-dup: LSH finds the pairs the exact join finds") {
     // synthetic clustered corpus: 40 bases, 3 noisy copies each — near-dup
     // pairs exist by construction (the fixture embeddings are near-uniform)
