@@ -414,4 +414,77 @@ object Relational {
   def readDistinctSketch(state: DataFrame, out: String = "sketch"): DataFrame =
     state.withColumn("approx_distinct", hll_sketch_estimate(col(out)))
       .drop(out)
+
+  // --------------------------------------------------------------------------
+  // SCD Type-2 version history
+  // --------------------------------------------------------------------------
+
+  /** Apply one increment to a slowly-changing-dimension TYPE-2 history:
+    * instead of overwriting changed rows (the merge path), every change
+    * closes the key's open version (`valid_to` = the increment's effective
+    * time) and opens a new one — the warehouse answer to "what did this row
+    * look like when that training run snapshotted?".
+    *
+    * `history` columns: keys ++ attrCols ++ (valid_from, valid_to), open
+    * versions have `valid_to` NULL. The increment is first reduced to its
+    * LATEST state per key (by `tsCol`, then `orderCols` — intra-increment
+    * transitions are invisible by design, like any snapshot-based fold).
+    * Unchanged keys keep their open row (null-safe attr comparison); new
+    * keys open their first version.
+    *
+    * Scale: the fold joins the OPEN slice (key cardinality) with the
+    * increment's per-key latest (increment-key cardinality) — closed
+    * history is carried through untouched, never joined, so cost is
+    * independent of how deep the version history grows. */
+  def scd2Apply(history: Option[DataFrame], increment: DataFrame,
+                keys: Seq[String], tsCol: String, attrCols: Seq[String],
+                orderCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: orderCols).map(col(_).desc): _*)
+    val latest = increment
+      .filter(col(tsCol).isNotNull)   // a null effective time cannot version
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select((keys ++ attrCols).map(col) :+ col(tsCol): _*)
+    val opened = latest.select(
+      (keys ++ attrCols).map(col) :+ col(tsCol).as("valid_from") :+
+        lit(null).cast(latest.schema(tsCol).dataType).as("valid_to"): _*)
+    history match {
+      case None => opened
+      case Some(h) =>
+        val closed = h.filter(col("valid_to").isNotNull)
+        val open = h.filter(col("valid_to").isNull)
+          .withColumn("__o", lit(true))
+        val inc = latest.withColumn("__i", lit(true))
+          .withColumnRenamed(tsCol, "__its")
+        val oAttr = attrCols.map(a => col(s"o.$a"))
+        val iAttr = attrCols.map(a => col(s"i.$a"))
+        val j = open.as("o").join(inc.as("i"), keys, "full_outer")
+        val changed = oAttr.zip(iAttr)
+          .map { case (a, b) => !(a <=> b) }.reduce(_ || _)
+        val hCols = (valid_from: Column, valid_to: Column, attrs: Seq[Column]) =>
+          keys.map(col) ++ attrs.zip(attrCols).map { case (c, n) => c.as(n) } ++
+            Seq(valid_from.as("valid_from"), valid_to.as("valid_to"))
+        val keptOpen = j.filter(col("i.__i").isNull)
+          .select(hCols(col("o.valid_from"), col("o.valid_to"), oAttr): _*)
+        val newKeys = j.filter(col("o.__o").isNull)
+          .select(hCols(col("i.__its"), lit(null), iAttr): _*)
+        val unchanged = j.filter(col("o.__o").isNotNull &&
+          col("i.__i").isNotNull && !changed)
+          .select(hCols(col("o.valid_from"), col("o.valid_to"), oAttr): _*)
+        val nowClosed = j.filter(col("o.__o").isNotNull &&
+          col("i.__i").isNotNull && changed)
+          .select(hCols(col("o.valid_from"), col("i.__its"), oAttr): _*)
+        val reopened = j.filter(col("o.__o").isNotNull &&
+          col("i.__i").isNotNull && changed)
+          .select(hCols(col("i.__its"), lit(null), iAttr): _*)
+        Seq(keptOpen, newKeys, unchanged, nowClosed, reopened)
+          .foldLeft(closed)(_ unionByName _)
+    }
+  }
+
+  /** Point-in-time view of a [[scd2Apply]] history: the version of each key
+    * valid at `asOf` (valid_from ≤ asOf < valid_to, open = ∞). */
+  def scd2AsOf(history: DataFrame, asOf: Column): DataFrame =
+    history.filter(col("valid_from") <= asOf &&
+      (col("valid_to").isNull || col("valid_to") > asOf))
 }

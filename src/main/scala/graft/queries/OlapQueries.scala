@@ -649,6 +649,62 @@ object OlapQueries {
       },
       None),
 
+    // -------------------------------------- SCD Type-2 version history
+    // Two snapshot increments (events split at a time boundary, reduced to
+    // latest-per-user) folded into a version history: changed users close
+    // their old version and open a new one, unchanged keep the original
+    // valid_from, new users open their first. The oracle reconstructs the
+    // exact fold semantics with joins over the two snapshots.
+    Q("q_scd2_history",
+      (s, dir) => {
+        import graft.operators.Relational
+        val boundary = 1705276800000000L // 2024-01-15 in epoch-µs
+        val ev = Tables.df(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts DIV 1000").as("ts_us"), col("event_id"))
+        val h1 = Relational.scd2Apply(None,
+          ev.filter(col("ts_us") < boundary),
+          Seq("user_id"), "ts_us", Seq("event_type"), Seq("event_id"))
+        Relational.scd2Apply(Some(h1),
+          ev.filter(col("ts_us") >= boundary),
+          Seq("user_id"), "ts_us", Seq("event_type"), Seq("event_id"))
+      },
+      Some("""WITH c1 AS (
+             |  SELECT user_id, event_type, tsu FROM (
+             |    SELECT user_id, event_type, epoch_us(ts) AS tsu,
+             |      row_number() OVER (PARTITION BY user_id
+             |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             |    FROM events WHERE epoch_us(ts) < 1705276800000000) t
+             |  WHERE rn = 1),
+             |c2 AS (
+             |  SELECT user_id, event_type, tsu FROM (
+             |    SELECT user_id, event_type, epoch_us(ts) AS tsu,
+             |      row_number() OVER (PARTITION BY user_id
+             |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             |    FROM events WHERE epoch_us(ts) >= 1705276800000000) t
+             |  WHERE rn = 1)
+             |SELECT a.user_id, a.event_type, a.tsu AS valid_from,
+             |       CAST(NULL AS BIGINT) AS valid_to
+             |FROM c1 a WHERE NOT EXISTS (
+             |  SELECT 1 FROM c2 b WHERE b.user_id = a.user_id)
+             |UNION ALL
+             |SELECT b.user_id, b.event_type, b.tsu, CAST(NULL AS BIGINT)
+             |FROM c2 b WHERE NOT EXISTS (
+             |  SELECT 1 FROM c1 a WHERE a.user_id = b.user_id)
+             |UNION ALL
+             |SELECT a.user_id, a.event_type, a.tsu, CAST(NULL AS BIGINT)
+             |FROM c1 a JOIN c2 b
+             |  ON a.user_id = b.user_id AND a.event_type = b.event_type
+             |UNION ALL
+             |SELECT a.user_id, a.event_type, a.tsu, b.tsu
+             |FROM c1 a JOIN c2 b
+             |  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+             |UNION ALL
+             |SELECT b.user_id, b.event_type, b.tsu, CAST(NULL AS BIGINT)
+             |FROM c1 a JOIN c2 b
+             |  ON a.user_id = b.user_id AND a.event_type <> b.event_type"""
+        .stripMargin)),
+
     // -------------------------------------------- explicit GROUPING SETS
     // Arbitrary (non-hierarchical) grouping-set list — the shape ROLLUP and
     // CUBE cannot express: (priority, status), (status), and grand total,

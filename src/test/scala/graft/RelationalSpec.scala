@@ -321,6 +321,43 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .toMap == direct)
   }
 
+  test("scd2Apply: versions close and reopen; asOf reads any point in time") {
+    val s = spark
+    import s.implicits._
+    def inc(rows: (Long, String, Long)*) =
+      rows.toSeq.toDF("k", "status", "ts")
+    // t=10: A=new, B=new. t=20: A→done (change), B same, C appears.
+    // t=30: A back to new (change again — THREE versions of A).
+    val h1 = Relational.scd2Apply(None, inc((1L, "new", 10L), (2L, "new", 10L)),
+      Seq("k"), "ts", Seq("status"))
+    val h2 = Relational.scd2Apply(Some(h1),
+      inc((1L, "done", 20L), (2L, "new", 20L), (3L, "new", 20L)),
+      Seq("k"), "ts", Seq("status"))
+    val h3 = Relational.scd2Apply(Some(h2), inc((1L, "new", 30L)),
+      Seq("k"), "ts", Seq("status"))
+    val rows = h3.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(rows == Set(
+      (1L, "new", 10L, 20L), (1L, "done", 20L, 30L), (1L, "new", 30L, -1L),
+      (2L, "new", 10L, -1L),   // unchanged across folds: original valid_from
+      (3L, "new", 20L, -1L)))
+    // point-in-time views
+    def asOf(t: Long) = Relational.scd2AsOf(h3, lit(t))
+      .select("k", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(asOf(15L) == Map(1L -> "new", 2L -> "new"))
+    assert(asOf(25L) == Map(1L -> "done", 2L -> "new", 3L -> "new"))
+    assert(asOf(35L) == Map(1L -> "new", 2L -> "new", 3L -> "new"))
+    // intra-increment transitions are invisible: only the latest per key
+    // versions (by ts, then order col)
+    val multi = Relational.scd2Apply(None,
+      Seq((1L, "a", 5L, 1L), (1L, "b", 5L, 2L), (1L, "c", 4L, 9L))
+        .toDF("k", "status", "ts", "seq"),
+      Seq("k"), "ts", Seq("status"), orderCols = Seq("seq"))
+    assert(multi.collect().map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("b", 5L)))   // ts 5 beats 4; seq 2 beats 1
+  }
+
   test("foldDistinctSketch: chunk-invariant estimates within HLL error bounds") {
     val s = spark
     import s.implicits._
