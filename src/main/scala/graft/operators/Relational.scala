@@ -487,4 +487,25 @@ object Relational {
   def scd2AsOf(history: DataFrame, asOf: Column): DataFrame =
     history.filter(col("valid_from") <= asOf &&
       (col("valid_to").isNull || col("valid_to") > asOf))
+
+  /** Blocked fuzzy-duplicate pairs (classic entity-resolution blocking):
+    * within each `blockExpr` bucket, the (id_a < id_b) pairs whose
+    * `nameCol` edit distance is ≤ `maxDistance`. The block equi-join keeps
+    * comparisons at O(Σ block²) instead of O(n²) — the same discipline as
+    * the embedding near-dup paths — and the codegen'd levenshtein runs
+    * only on co-blocked pairs. Pick the block key so true matches agree on
+    * it (sorted-neighborhood key, phonetic code, a stable token). */
+  def fuzzyMatchPairs(df: DataFrame, idCol: String, nameCol: String,
+                      blockExpr: Column, maxDistance: Int): DataFrame = {
+    val side = df.select(col(idCol), col(nameCol), blockExpr.as("__blk"))
+    val a = side.select(col(idCol).as("id_a"),
+      col(nameCol).as("__na"), col("__blk"))
+    val b = side.select(col(idCol).as("id_b"),
+      col(nameCol).as("__nb"), col("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__na"), col("__nb")).cast("long"))
+      .filter(col("dist") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -649,6 +649,40 @@ object OlapQueries {
       },
       None),
 
+    // --------------------------------------------------- exact percentiles
+    // Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    // standard linear-interpolation definition (h = (n-1)q over the sorted
+    // values) — interpolated on the raw parquet doubles, so the results are
+    // bit-identical and hash-checkable.
+    Q("q_percentiles",
+      (s, dir) => Tables.df(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.25)").as("p25"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90")),
+      Some("""SELECT event_type,
+             |  quantile_cont(value, 0.25) AS p25,
+             |  quantile_cont(value, 0.5) AS p50,
+             |  quantile_cont(value, 0.9) AS p90
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ------------------------------------ fuzzy entity matching (blocked)
+    // Near-identical part names (edit distance ≤ 2) found by
+    // entity-resolution blocking on the product word — the string-side
+    // analog of embedding near-dup: O(Σ block²), never all-pairs.
+    Q("q_fuzzy_pairs",
+      (s, dir) => graft.operators.Relational.fuzzyMatchPairs(
+        Tables.df(s, dir, "part"), "p_partkey", "p_name",
+        element_at(split(col("p_name"), " "), -1), maxDistance = 2),
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM part a JOIN part b
+             |  ON regexp_extract(a.p_name, '(\S+)$', 1) =
+             |     regexp_extract(b.p_name, '(\S+)$', 1)
+             | AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin)),
+
     // -------------------------------------- SCD Type-2 version history
     // Two snapshot increments (events split at a time boundary, reduced to
     // latest-per-user) folded into a version history: changed users close
