@@ -929,15 +929,18 @@ object LlmQueries {
 
     // ------------------------------------- PQ ANN (rows-only: quantized
     // approximate scoring; recall ≥0.9 + exact-rerank score parity vs brute
-    // force asserted in VectorSpec)
+    // force asserted in VectorSpec). The production shape end-to-end:
+    // train → encode → PERSIST the index → probe the persisted codes.
     Q("q_ann_pq_topk",
       (s, dir) => {
         val emb = Tables.df(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding"))
         val model = VectorFunctions.trainPq(emb, m = 16, k = 16, maxIter = 5)
-        val codes = VectorFunctions.encodePq(model, emb)
-        VectorFunctions.pqTopK(model, codes, emb, queries,
+        val path = Tables.scratchDir("pq") + "/index"
+        VectorFunctions.writePq(model, VectorFunctions.encodePq(model, emb), path)
+        val (loaded, codes) = VectorFunctions.readPq(s, path)
+        VectorFunctions.pqTopK(loaded, codes, emb, queries,
           k = 10, rerankDepth = 80)
       },
       None)

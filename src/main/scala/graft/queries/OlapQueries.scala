@@ -667,20 +667,24 @@ object OlapQueries {
              |  quantile_cont(value, 0.9) AS p90
              |FROM events GROUP BY event_type""".stripMargin)),
 
-    // ------------------------------------ fuzzy entity matching (blocked)
-    // Near-identical part names (edit distance ≤ 2) found by
-    // entity-resolution blocking on the product word — the string-side
-    // analog of embedding near-dup: O(Σ block²), never all-pairs.
+    // ------------------------- fuzzy entity matching (sorted neighborhood)
+    // Near-identical part names (edit distance ≤ 2) via the
+    // sorted-neighborhood scale path: distributed sort, global positions,
+    // bucketed range join over the next-10 window — O(n·w) comparisons, and
+    // the pair set is a pure function of the sort order, so the oracle
+    // reproduces it exactly. (The blocked variant lives in RelationalSpec —
+    // a coarse block key degenerates to O(block²) on this fixture.)
     Q("q_fuzzy_pairs",
-      (s, dir) => graft.operators.Relational.fuzzyMatchPairs(
+      (s, dir) => graft.operators.Relational.sortedNeighborPairs(
         Tables.df(s, dir, "part"), "p_partkey", "p_name",
-        element_at(split(col("p_name"), " "), -1), maxDistance = 2),
-      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-             |FROM part a JOIN part b
-             |  ON regexp_extract(a.p_name, '(\S+)$', 1) =
-             |     regexp_extract(b.p_name, '(\S+)$', 1)
-             | AND a.p_partkey < b.p_partkey
+        windowSize = 10, maxDistance = 2),
+      Some("""WITH s AS (SELECT p_partkey, p_name,
+             |    row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS pos
+             |  FROM part)
+             |SELECT LEAST(a.p_partkey, b.p_partkey) AS id_a,
+             |       GREATEST(a.p_partkey, b.p_partkey) AS id_b,
+             |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM s a JOIN s b ON b.pos BETWEEN a.pos + 1 AND a.pos + 10
              |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin)),
 
     // -------------------------------------- SCD Type-2 version history

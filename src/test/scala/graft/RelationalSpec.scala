@@ -321,6 +321,28 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .toMap == direct)
   }
 
+  test("fuzzy matching: blocked pairs and sorted-neighborhood agree on plants") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "acme corp"), (2L, "acme c0rp"),     // dist 1, same block "corp"? no —
+      (3L, "acme inc"), (4L, "acme incx"),      // blocks differ; see below
+      (5L, "zzz unrelated name")
+    ).toDF("id", "name")
+    // blocked on the FIRST token: all acme* share a block
+    val blocked = Relational.fuzzyMatchPairs(docs, "id", "name",
+      element_at(split(col("name"), " "), 1), maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == Set((1L, 2L, 1L), (3L, 4L, 1L)),
+      s"blocked pairs: $blocked")
+    // sorted neighborhood: lexicographic sort puts the acme variants
+    // adjacent, so a window of 2 finds the same true pairs
+    val snm = Relational.sortedNeighborPairs(docs, "id", "name",
+      windowSize = 2, maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(snm == Set((1L, 2L, 1L), (3L, 4L, 1L)), s"snm pairs: $snm")
+  }
+
   test("scd2Apply: versions close and reopen; asOf reads any point in time") {
     val s = spark
     import s.implicits._
