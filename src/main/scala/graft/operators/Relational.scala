@@ -509,6 +509,60 @@ object Relational {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Ordered funnel: per entity, the earliest stage-1 event, then the
+    * earliest stage-2 event STRICTLY AFTER it, and so on — the canonical
+    * product-analytics conversion funnel (out-of-order events don't
+    * count). Returns one row per stage: (stage_idx, stage, n_entities).
+    *
+    * Scale: each stage is a per-entity MIN aggregate (map-side partial)
+    * joined to the previous stage's entity-cardinality frontier — events
+    * scan once per stage with the stage filter pushed down; no window over
+    * raw events, no per-entity event lists. */
+  def funnelCounts(events: DataFrame, entityCol: String, tsCol: String,
+                   stageCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val frontiers = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val hits = events.filter(col(stageCol) === stage)
+          .select(col(entityCol), col(tsCol).as("__ts"))
+        Some(prev match {
+          case None =>
+            hits.groupBy(col(entityCol)).agg(min(col("__ts")).as("__t"))
+          case Some(p) =>
+            hits.join(p.withColumnRenamed("__t", "__pt"), Seq(entityCol))
+              .filter(col("__ts") > col("__pt"))
+              .groupBy(col(entityCol)).agg(min(col("__ts")).as("__t"))
+        })
+    }.flatten
+    frontiers.zip(stages).zipWithIndex.map { case ((f, stage), i) =>
+      f.agg(count(lit(1)).as("n_entities"))
+        .select(lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
+          col("n_entities"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention: entities cohorted by the time bucket of their FIRST
+    * event; for each (cohort, bucket offset ≥ 0) the count of cohort
+    * members active in that bucket. Buckets are integer divisions of the
+    * (numeric) time column — engine-exact, no calendar dependence.
+    *
+    * Scale: first-event and activity relations are both entity-cardinality
+    * after their map-side-combined aggregates; the join and final count
+    * shuffle entity-scale rows only. */
+  def cohortRetention(events: DataFrame, entityCol: String, tsCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val bucket = (c: Column) => floor(c / bucketWidth).cast("long")
+    val first = events.groupBy(col(entityCol))
+      .agg(bucket(min(col(tsCol))).as("cohort_bucket"))
+    val active = events
+      .select(col(entityCol), bucket(col(tsCol)).as("__b")).distinct()
+    first.join(active, Seq(entityCol))
+      .groupBy(col("cohort_bucket"),
+        (col("__b") - col("cohort_bucket")).as("bucket_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Sorted-neighborhood fuzzy pairs — the SCALE path for edit-distance
     * matching (Hernández & Stolfo 1995): sort by the name, compare each row
     * only with its next `windowSize` neighbors in sort order. O(n·w)

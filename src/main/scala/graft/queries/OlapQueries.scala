@@ -649,6 +649,53 @@ object OlapQueries {
       },
       None),
 
+    // ------------------------------------------------- conversion funnel
+    // signup → view → purchase in strict time order per user; a later
+    // stage only counts after the previous stage's earliest qualifying
+    // event. The oracle chains the same per-stage MIN frontiers.
+    Q("q_funnel",
+      (s, dir) => graft.operators.Relational.funnelCounts(
+        Tables.df(s, dir, "events")
+          .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+            col("event_type")),
+        "user_id", "ts_us", "event_type",
+        Seq("signup", "view", "purchase")),
+      Some("""WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t
+             |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+             |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+             |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t
+             |  GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+             |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+             |  GROUP BY e.user_id)
+             |SELECT CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage,
+             |       COUNT(*) AS n_entities FROM s1
+             |UNION ALL SELECT 1, 'view', COUNT(*) FROM s2
+             |UNION ALL SELECT 2, 'purchase', COUNT(*) FROM s3""".stripMargin)),
+
+    // ------------------------------------------------- cohort retention
+    // Users cohorted by the week bucket of their first event; per
+    // (cohort, offset) the count still active — integer week buckets so
+    // both engines bucket identically.
+    Q("q_cohort_retention",
+      (s, dir) => graft.operators.Relational.cohortRetention(
+        Tables.df(s, dir, "events")
+          .select(col("user_id"), expr("ts DIV 1000").as("ts_us")),
+        "user_id", "ts_us", bucketWidth = 7L * 86400 * 1000000),
+      Some("""WITH f AS (SELECT user_id,
+             |    CAST(FLOOR(MIN(epoch_us(ts)) / 604800000000) AS BIGINT)
+             |      AS cohort_bucket
+             |  FROM events GROUP BY user_id),
+             |a AS (SELECT DISTINCT user_id,
+             |    CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS b
+             |  FROM events)
+             |SELECT f.cohort_bucket, a.b - f.cohort_bucket AS bucket_offset,
+             |       COUNT(*) AS n_active
+             |FROM f JOIN a ON f.user_id = a.user_id
+             |GROUP BY f.cohort_bucket, a.b - f.cohort_bucket""".stripMargin)),
+
     // --------------------------------------------------- exact percentiles
     // Spark's exact `percentile` and DuckDB's `quantile_cont` share the
     // standard linear-interpolation definition (h = (n-1)q over the sorted

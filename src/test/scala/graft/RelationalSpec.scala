@@ -321,6 +321,31 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .toMap == direct)
   }
 
+  test("funnelCounts: strict ordering — out-of-order stages don't convert") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 30L, "purchase"),
+      // user 2: purchase BEFORE view — reaches view, not purchase
+      (2L, 10L, "signup"), (2L, 30L, "view"), (2L, 20L, "purchase"),
+      // user 3: no signup — contributes to nothing
+      (3L, 5L, "view"), (3L, 6L, "purchase"),
+      // user 4: signup only
+      (4L, 50L, "signup"),
+      // user 5: view at the SAME instant as signup — strict > excludes it
+      (5L, 10L, "signup"), (5L, 10L, "view")
+    ).toDF("u", "ts", "stage")
+    val out = Relational.funnelCounts(ev, "u", "ts", "stage",
+      Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("signup" -> 4L, "view" -> 2L, "purchase" -> 1L))
+    // cohort retention on the same fixture, bucket width 100
+    val ret = Relational.cohortRetention(ev, "u", "ts", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ret == Map((0L, 0L) -> 5L)) // everyone active in their own cohort bucket
+  }
+
   test("fuzzy matching: blocked pairs and sorted-neighborhood agree on plants") {
     val s = spark
     import s.implicits._
