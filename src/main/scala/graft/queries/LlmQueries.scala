@@ -245,6 +245,25 @@ object LlmQueries {
     // Keep the 25 best-quality docs per source (deterministic ties by
     // doc_id). The quality formula's DuckDB replica is the one proven exact
     // by q_text_analysis.
+    // ------------------------------- dictionary multi-pattern search (AC)
+    // One Aho–Corasick pass over each document counts every dictionary
+    // phrase — O(corpus + matches), not O(patterns × corpus). The chosen
+    // phrases are border-free (no self-overlap), so DuckDB's
+    // non-overlapping replace-count reproduces the AC occurrence count
+    // exactly.
+    Q("q_multi_pattern",
+      (s, dir) => graft.functions.AhoCorasick.multiPatternCounts(
+        s, Tables.df(s, dir, "documents"),
+        Seq("table scan", "hash join", "batch stream", "key order")),
+      Some("""WITH pats AS (SELECT * FROM (VALUES ('table scan'),
+             |    ('hash join'), ('batch stream'), ('key order')) p(pattern))
+             |SELECT d.doc_id, p.pattern,
+             |  CAST((len(d.text) - len(replace(d.text, p.pattern, '')))
+             |       / len(p.pattern) AS BIGINT) AS n_matches
+             |FROM documents d, pats p
+             |WHERE len(replace(d.text, p.pattern, '')) < len(d.text)"""
+        .stripMargin)),
+
     // ------------------------------------------------ per-source doc cap
     // C4/RefinedWeb-style per-domain limit: at most 20 docs per source,
     // picked by deterministic md5 order (distribution-preserving, unlike

@@ -156,4 +156,29 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(SimHash64.hamming(hs(1L), hs(2L)) <= 12) // small edit → few bits
     assert(hs(1L) != hs(2L))
   }
+
+  test("AhoCorasick: overlapping matches, suffix patterns, distributed counts") {
+    import graft.functions.AhoCorasick
+    // classic automaton fixture: suffix patterns surface through fail links
+    val ac = new AhoCorasick(IndexedSeq("he", "she", "his", "hers"))
+    val counts = ac.countMatches("ushers and his herd")
+      .zip(Seq("he", "she", "his", "hers")).map(_.swap).toMap
+    assert(counts == Map("he" -> 2L, "she" -> 1L, "his" -> 1L, "hers" -> 1L))
+    // overlapping occurrences ALL count (AC semantics)
+    val aa = new AhoCorasick(IndexedSeq("aa"))
+    assert(aa.countMatches("aaaa").head == 3L)
+    // no-match text
+    assert(new AhoCorasick(IndexedSeq("zz")).countMatches("abc").head == 0L)
+    // distributed operator: per-doc counts, zero-match docs absent
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "she sells seashells"), (2L, "plain text"),
+      (3L, "hers and his")).toDF("doc_id", "text")
+    val out = AhoCorasick.multiPatternCounts(spark, docs,
+      Seq("she", "his", "hers"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc 1 has "she" twice: the standalone word AND inside "seashells"
+    assert(out == Map((1L, "she") -> 2L, (3L, "his") -> 1L,
+      (3L, "hers") -> 1L))
+  }
 }
