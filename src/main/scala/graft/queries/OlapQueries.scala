@@ -649,6 +649,71 @@ object OlapQueries {
       },
       None),
 
+    // ----------------------- TPC-H Q6-shape (pure-pushdown filter agg)
+    // Every predicate is scan-pushable; the whole query is one scan + one
+    // partial/final aggregate pair — the shape where pushdown either works
+    // or the engine reads 10× the data.
+    Q("q6_forecast_revenue",
+      (s, dir) => Tables.df(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // ------------- TPC-H Q11-shape (HAVING vs scalar over the same agg)
+    // Part values filtered against a fraction of their own total: the
+    // grouped aggregate is referenced both as the row source and inside
+    // the scalar subquery. Multiplicative exact-decimal comparison (val ×
+    // 1000 > Σval ⟺ val > 0.1% of total) keeps the boundary engine-exact.
+    Q("q11_important_stock",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          WITH v AS (SELECT l_partkey,
+                            SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+                     FROM lineitem GROUP BY l_partkey)
+          SELECT l_partkey, CAST(val AS DOUBLE) AS value
+          FROM v WHERE val * 1000 > (SELECT SUM(val) FROM v)""")
+      },
+      Some("""WITH v AS (SELECT l_partkey,
+             |                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+             |           FROM lineitem GROUP BY l_partkey)
+             |SELECT l_partkey, CAST(val AS DOUBLE) AS value
+             |FROM v WHERE val * 1000 > (SELECT SUM(val) FROM v)""".stripMargin)),
+
+    // ------------------- TPC-H Q16-shape (NOT IN + COUNT DISTINCT)
+    // Supplier diversity per (brand, type, size) slice, excluding a
+    // blocklisted supplier set via NOT IN — the null-aware anti join — and
+    // an exact COUNT(DISTINCT) over the surviving join.
+    Q("q16_supplier_diversity",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT p.p_brand, p.p_type, p.p_size,
+                 COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+          FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+          WHERE p.p_brand <> 'Brand#3'
+            AND p.p_size IN (1, 5, 9, 14, 20)
+            AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+          GROUP BY p.p_brand, p.p_type, p.p_size""")
+      },
+      Some("""SELECT p.p_brand, p.p_type, p.p_size,
+             |       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+             |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+             |WHERE p.p_brand <> 'Brand#3'
+             |  AND p.p_size IN (1, 5, 9, 14, 20)
+             |  AND l.l_suppkey NOT IN (
+             |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+             |GROUP BY p.p_brand, p.p_type, p.p_size""".stripMargin)),
+
     // ------------------------------------------------- conversion funnel
     // signup → view → purchase in strict time order per user; a later
     // stage only counts after the previous stage's earliest qualifying

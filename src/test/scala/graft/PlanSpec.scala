@@ -337,6 +337,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "rank filter should prune to the local cap before the exchange")
   }
 
+  test("Q6-shape: every predicate reaches the parquet scan") {
+    val df = q("q6_forecast_revenue")
+    // AQE wraps the agg plan — unwrap before collecting the scan
+    val scan = physical(df).collectLeaves().flatMap(_.collect {
+      case s: FileSourceScanExec => s
+    }).head
+    val pushed = scan.metadata("PushedFilters")
+    for (p <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(p), s"$p not pushed: $pushed")
+    // one scan + partial/final agg — nothing else
+    val plan = executedString(df)
+    assert(!plan.contains("Join") &&
+      "HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("Q16-shape: NOT IN becomes an anti join, never a per-row subquery") {
+    val plan = executedString(q("q16_supplier_diversity"))
+    assert(plan.contains("LeftAnti"), "NOT IN should decorrelate to anti join")
+    assert(!plan.contains("InSubquery"), "per-row IN subquery survived")
+  }
+
   test("Q22-shape: anti join for NOT EXISTS, scalar subqueries execute once") {
     val df = q("q22_idle_customers")
     val plan = executedString(df)
