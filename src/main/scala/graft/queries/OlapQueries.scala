@@ -649,6 +649,114 @@ object OlapQueries {
       },
       None),
 
+    // ------------------- TPC-H Q7-shape (bidirectional nation-pair trade)
+    // Revenue between two specific nations in BOTH directions, by year:
+    // the double-nation join with a symmetric OR pair condition.
+    Q("q7_nation_trade",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                 CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                      AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          FROM supplier sp
+          JOIN lineitem l ON sp.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON sp.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+          GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             |       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+             |            AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM supplier sp
+             |JOIN lineitem l ON sp.s_suppkey = l.l_suppkey
+             |JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |JOIN customer c ON c.c_custkey = o.o_custkey
+             |JOIN nation n1 ON sp.s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+             |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+             |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""".stripMargin)),
+
+    // --------------------------- TPC-H Q8-shape (market-share fraction)
+    // One nation's share of a region's yearly order volume: conditional
+    // aggregation over the same rows, the share emitted as a ratio of the
+    // two exact-decimal sums converted to double at the END (one canonical
+    // conversion point, so the division is engine-exact).
+    Q("q8_market_share",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                           AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+                 CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                      AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+          FROM lineitem l
+          JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+          JOIN nation n1 ON sp.s_nationkey = n1.n_nationkey
+          JOIN region r ON n1.n_regionkey = r.r_regionkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE r.r_name = 'ASIA'
+          GROUP BY year(o.o_orderdate)""")
+      },
+      Some("""SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             |       CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+             |            THEN CAST(l.l_extendedprice * (1.0 - l.l_discount)
+             |                 AS DECIMAL(18,4))
+             |            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+             |       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+             |            AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+             |FROM lineitem l
+             |JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+             |JOIN nation n1 ON sp.s_nationkey = n1.n_nationkey
+             |JOIN region r ON n1.n_regionkey = r.r_regionkey
+             |JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |WHERE r.r_name = 'ASIA'
+             |GROUP BY year(o.o_orderdate)""".stripMargin)),
+
+    // ------------------------------- TPC-H Q9-shape (profit by nation)
+    // Profit per (nation, year) over LIKE-filtered parts; the fixture has
+    // no partsupp, so cost = 10% of retail price × quantity — the shape
+    // (fact × part-filter × supplier-nation, mixed-sign sums) is Q9's.
+    Q("q9_product_profit",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT n.n_name AS nation,
+                 CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                        - p.p_retailprice * 0.1 * l.l_quantity
+                      AS DECIMAL(18,4))) AS DOUBLE) AS profit
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+          JOIN nation n ON sp.s_nationkey = n.n_nationkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE p.p_name LIKE '%widget%'
+          GROUP BY n.n_name, year(o.o_orderdate)""")
+      },
+      Some("""SELECT n.n_name AS nation,
+             |       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             |       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+             |              - p.p_retailprice * 0.1 * l.l_quantity
+             |            AS DECIMAL(18,4))) AS DOUBLE) AS profit
+             |FROM lineitem l
+             |JOIN part p ON p.p_partkey = l.l_partkey
+             |JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+             |JOIN nation n ON sp.s_nationkey = n.n_nationkey
+             |JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |WHERE p.p_name LIKE '%widget%'
+             |GROUP BY n.n_name, year(o.o_orderdate)""".stripMargin)),
+
     // ----------------------- TPC-H Q6-shape (pure-pushdown filter agg)
     // Every predicate is scan-pushable; the whole query is one scan + one
     // partial/final aggregate pair — the shape where pushdown either works
