@@ -332,6 +332,51 @@ object CorpusFunctions {
     * per-doc-distinct (term, tf) rows (vocabulary-sized output); the score
     * join shuffles (id, term, tf) against the vocabulary — never raw text.
     */
+  /** Bigram-LM fluency (corpus-own, add-1 smoothed): per doc the exact
+    * decimal sum and plain-float mean of log P(w2|w1) over its adjacent
+    * token pairs, with P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V) — head counts
+    * c(w1·) are the pair counts summed per head (so the last token of a
+    * doc never skews the denominator) and V is the corpus vocabulary.
+    * The same per-term round-to-4-decimals trick as
+    * [[unigramLogProbScores]] absorbs cross-engine log() ulp differences;
+    * the decimal SUM is then bit-identical.
+    *
+    * Scale: pair counts partial-aggregate map-side; the LM relation is
+    * bigram-vocabulary-sized; docs join it by pair key — same shape as the
+    * unigram path, one extra key column. */
+  def bigramLogProbScores(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val toked = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+    val pf = toked.filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("p"))
+      .groupBy(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("pf"))
+    val vocab = toked.select(explode(col("__toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val c12 = pf.groupBy(col("w1"), col("w2")).agg(sum(col("pf")).as("c12"))
+    val lm = c12
+      .withColumn("c1", sum(col("c12")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(log((col("c12") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("lp"))
+    pf.join(lm, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("pf")).as("n_bigrams"), sum(col("pf") * col("lp")).as("slp"))
+      .select(col(idCol), col("n_bigrams"),
+        col("slp").cast("double").as("sum_logprob"),
+        (col("slp").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_logprob"))
+  }
+
   def unigramLogProbScores(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -674,6 +674,35 @@ object LlmQueries {
              |FROM tf JOIN lp USING (term)
              |GROUP BY tf.doc_id""".stripMargin)),
 
+    // --------------------------------------------- bigram LM fluency
+    // Corpus-own add-1-smoothed bigram model: per-doc exact decimal sum of
+    // log P(w2|w1). Head counts derive from pair counts (not raw unigrams)
+    // so both engines share one definition; per-term 4-decimal rounding
+    // absorbs ln() ulp differences (the unigram technique).
+    Q("q_bigram_logprob",
+      (s, dir) => graft.functions.CorpusFunctions.bigramLogProbScores(
+        Tables.df(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), col("sum_logprob")),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+             |pr AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+             |       FROM t, unnest(range(1, len(toks))) u(i)
+             |       WHERE len(toks) >= 2),
+             |pf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS pf
+             |       FROM pr GROUP BY 1, 2, 3),
+             |c12 AS (SELECT w1, w2, CAST(SUM(pf) AS BIGINT) AS c12
+             |        FROM pf GROUP BY 1, 2),
+             |v AS (SELECT COUNT(DISTINCT tok) AS v
+             |      FROM (SELECT unnest(toks) AS tok FROM t)),
+             |lp AS (SELECT w1, w2,
+             |         CAST(round(ln((c12 + 1) * 1.0 /
+             |           (SUM(c12) OVER (PARTITION BY w1) + v.v)), 4)
+             |           AS DECIMAL(28,4)) AS lp
+             |       FROM c12, v)
+             |SELECT pf.doc_id, CAST(SUM(pf) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(pf * lp) AS DOUBLE) AS sum_logprob
+             |FROM pf JOIN lp USING (w1, w2)
+             |GROUP BY pf.doc_id""".stripMargin)),
+
     // ------------------------------------------------- sequence packing
     // Whole-document packing into 2048-token training sequences per source
     // stream; integer running sum + integer div → exact cross-engine parity.

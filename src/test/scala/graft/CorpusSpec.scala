@@ -281,6 +281,34 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(out("b") == ((4L, 4L, 1.0, 1.0)))
   }
 
+  test("bigramLogProbScores: word ORDER matters — shuffled text scores lower") {
+    val s = spark
+    import s.implicits._
+    // docs 1-3 share the dominant phrasing; doc 4 has the SAME TOKENS as
+    // doc 1 but scrambled — a unigram model cannot tell them apart, the
+    // bigram model must
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the rug"),
+      (4L, "mat the on sat cat the")
+    ).toDF("doc_id", "text")
+    val bi = CorpusFunctions.bigramLogProbScores(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getAs[Double]("avg_logprob")))).toMap
+    assert(bi.keySet == Set(1L, 2L, 3L, 4L))
+    assert(bi.forall(_._2._1 == 5L))          // 5 adjacent pairs each
+    assert(bi(1L)._2 > bi(4L)._2, s"order-scrambled doc not penalized: $bi")
+    // unigram scores for docs 1 and 4 are IDENTICAL (same bag of tokens)
+    val uni = CorpusFunctions.unigramLogProbScores(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob")).toMap
+    assert(math.abs(uni(1L) - uni(4L)) < 1e-12)
+    // docs too short for a bigram are dropped, not scored
+    val short = CorpusFunctions.bigramLogProbScores(
+      Seq((9L, "single")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(short.count() == 0)
+  }
+
   test("unigramLogProbScores: common text scores higher than rare text") {
     val s = spark
     import s.implicits._
