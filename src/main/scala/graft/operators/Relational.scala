@@ -336,6 +336,37 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Interval-OVERLAP join (both sides carry [lo, hi] intervals): pairs
+    * where `a` and `b` overlap (a.lo ≤ b.hi AND b.lo ≤ a.hi), optionally
+    * within equi `keys`. Complements [[rangeJoin]] (point-in-interval).
+    *
+    * Scale: both sides explode to the fixed-width buckets they cover, the
+    * join runs as an equi-join on (keys, bucket) + exact overlap filter,
+    * and each overlapping pair is emitted EXACTLY ONCE without a distinct
+    * pass: a pair is attributed to the first bucket both intervals cover —
+    * `max(floor(a.lo/w), floor(b.lo/w))` — so the replicated copies in
+    * later shared buckets drop out by construction. Pick `bucketWidth`
+    * near the typical interval length (cost = Σ interval_len/width
+    * replicas per side, same rule as [[rangeJoin]]). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          leftLo: String, leftHi: String,
+                          rightLo: String, rightHi: String,
+                          bucketWidth: Long,
+                          keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(lo: String, hi: String) = explode(sequence(
+      floor(col(lo) / bucketWidth).cast("long"),
+      floor(col(hi) / bucketWidth).cast("long")))
+    val lb = left.withColumn("__bucket", buckets(leftLo, leftHi))
+    val rb = right.withColumn("__bucket", buckets(rightLo, rightHi))
+    lb.join(rb, keys :+ "__bucket")
+      .filter(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi))
+      .filter(col("__bucket") === greatest(
+        floor(col(leftLo) / bucketWidth).cast("long"),
+        floor(col(rightLo) / bucketWidth).cast("long")))
+      .drop("__bucket")
+  }
+
   // --------------------------------------------------------------------------
   // Incremental aggregate maintenance (materialized-view fold)
   // --------------------------------------------------------------------------

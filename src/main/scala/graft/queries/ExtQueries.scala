@@ -130,6 +130,48 @@ object ExtQueries {
              |  FROM flagged)
              |GROUP BY user_id, session_seq""".stripMargin)),
 
+    // ----------------------------------------- interval-overlap join
+    // Concurrent-session analysis: pairs of (different-user) sessions that
+    // overlapped in time, via the bucketed interval-overlap join (equi-join
+    // on hour buckets + exact filter; canonical-bucket rule dedups without
+    // a distinct). Sessions come from the same gap construction the
+    // session-window oracle uses.
+    Q("q_session_overlap",
+      (s, dir) => {
+        val sess = StreamingPipeline.sessionWindows(
+          Tables.df(s, dir, "events"), gapMinutes = 30)
+        val a = sess.select(col("user_id").as("user_a"),
+          col("session_start_us").as("start_a"),
+          col("session_end_us").as("end_a"))
+        val b = sess.select(col("user_id").as("user_b"),
+          col("session_start_us").as("start_b"),
+          col("session_end_us").as("end_b"))
+        graft.operators.Relational.intervalOverlapJoin(a, b,
+          "start_a", "end_a", "start_b", "end_b",
+          bucketWidth = 3600000000L)
+          .filter(col("user_a") < col("user_b"))
+          .select(col("user_a"), col("start_a"), col("user_b"), col("start_b"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, epoch_us(ts) AS tsu,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+             |sess AS (
+             |  SELECT user_id, MIN(tsu) AS s, MAX(tsu) + 1800000000 AS e
+             |  FROM (
+             |    SELECT user_id, tsu, SUM(new_session) OVER (
+             |      PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING)
+             |      AS session_seq
+             |    FROM flagged)
+             |  GROUP BY user_id, session_seq)
+             |SELECT a.user_id AS user_a, a.s AS start_a,
+             |       b.user_id AS user_b, b.s AS start_b
+             |FROM sess a JOIN sess b
+             |  ON a.s <= b.e AND b.s <= a.e AND a.user_id < b.user_id"""
+        .stripMargin)),
+
     // --------------------------------------------- streaming hourly rollup
     // A REAL readStream→window agg→writeStream pass (AvailableNow, update-mode
     // foreachBatch → parquet, checkpointed) whose final table is checked

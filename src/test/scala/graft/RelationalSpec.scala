@@ -321,6 +321,26 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .toMap == direct)
   }
 
+  test("intervalOverlapJoin: exact-once pairs incl. touching, containment, long spans") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 0L, 10L), (2L, 95L, 105L), (3L, 0L, 1000L))
+      .toDF("lid", "lo_a", "hi_a")
+    val right = Seq(
+      (10L, 10L, 20L),    // touches interval 1 at a point; inside 3
+      (11L, 200L, 210L),  // inside the long interval 3 only
+      (12L, 1001L, 1100L) // disjoint from everything
+    ).toDF("rid", "lo_b", "hi_b")
+    val out = Relational.intervalOverlapJoin(left, right,
+      "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 7)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // EXACTLY once per overlapping pair despite both intervals covering
+    // many shared 7-wide buckets
+    assert(out.sorted == Seq((1L, 10L), (3L, 10L), (3L, 11L)))
+    assert(out.distinct.length == out.length, "duplicated pair emission")
+  }
+
   test("funnelCounts: strict ordering — out-of-order stages don't convert") {
     val s = spark
     import s.implicits._
