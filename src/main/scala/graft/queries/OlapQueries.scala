@@ -351,7 +351,9 @@ object OlapQueries {
              |GROUP BY sp.s_name""".stripMargin)),
 
     // ---------------- TPC-H Q22-shape (NOT EXISTS + scalar AVG subquery)
-    // Above-average-balance customers with no orders, grouped by country.
+    // Above-average-balance customers with no FINALIZED orders, grouped
+    // by country (every fixture customer has SOME order, so the classic
+    // no-order-at-all form is vacuous — the anti join anchors on status).
     // The average is compared multiplicatively (bal × n > Σbal, all exact
     // decimals) so the threshold boundary cannot flip between engines the
     // way a float AVG could; the fixture customer has no phone column, so
@@ -371,7 +373,8 @@ object OlapQueries {
               > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2)))
                  FROM customer c3 WHERE c3.c_acctbal > 0.0)
             AND NOT EXISTS (
-              SELECT * FROM orders o WHERE o.o_custkey = c.c_custkey)
+              SELECT * FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
           GROUP BY c.c_nationkey""")
       },
       Some("""SELECT CAST(c.c_nationkey AS BIGINT) AS cntry,
@@ -384,7 +387,8 @@ object OlapQueries {
              |    > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2)))
              |       FROM customer c3 WHERE c3.c_acctbal > 0.0)
              |  AND NOT EXISTS (
-             |    SELECT * FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |    SELECT * FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
              |GROUP BY c.c_nationkey""".stripMargin)),
 
     // -------------------- TPC-H Q13-shape (outer-join count distribution)
@@ -510,7 +514,9 @@ object OlapQueries {
              |       AND l.l_quantity BETWEEN 20 AND 60)""".stripMargin)),
 
     // ------------------------ TPC-H Q20-shape (nested IN over aggregates)
-    // Suppliers who shipped more than half of some part's total quantity:
+    // Suppliers who shipped more than a SIXTH of some part's total (a
+    // majority share never occurs once parts have many suppliers — the
+    // threshold must scale with fan-out to stay non-vacuous):
     // an IN subquery whose body joins two grouped aggregates of the same
     // fact table — the nested-IN decorrelation (semi join over aggregate
     // subplans). Share comparison is multiplicative exact decimal.
@@ -529,7 +535,7 @@ object OlapQueries {
                          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
                   FROM lineitem GROUP BY l_partkey) tot
               ON per.l_partkey = tot.l_partkey
-            WHERE per.q * 2 > tot.tq)""")
+            WHERE per.q * 6 > tot.tq)""")
       },
       Some("""SELECT sp.s_suppkey, sp.s_name
              |FROM supplier sp
@@ -542,7 +548,7 @@ object OlapQueries {
              |               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
              |        FROM lineitem GROUP BY l_partkey) tot
              |    ON per.l_partkey = tot.l_partkey
-             |  WHERE per.q * 2 > tot.tq)""".stripMargin)),
+             |  WHERE per.q * 6 > tot.tq)""".stripMargin)),
 
     // ------------------------------- semi-structured JSON column handling
     // The events fixture carries a JSON props column; extract a typed field
@@ -776,10 +782,12 @@ object OlapQueries {
              |  AND l_quantity < 24""".stripMargin)),
 
     // ------------- TPC-H Q11-shape (HAVING vs scalar over the same agg)
-    // Part values filtered against a fraction of their own total: the
-    // grouped aggregate is referenced both as the row source and inside
-    // the scalar subquery. Multiplicative exact-decimal comparison (val ×
-    // 1000 > Σval ⟺ val > 0.1% of total) keeps the boundary engine-exact.
+    // Part values filtered against their own aggregate's statistics: the
+    // grouped aggregate is referenced as the row source AND inside two
+    // scalar subqueries. "Above 1.5× the mean part value" in exact
+    // multiplicative decimals (val × n × 2 > Σval × 3) — scale-stable
+    // (a fixed fraction-of-total threshold returns zero rows as the part
+    // count grows) and boundary-exact on both engines.
     Q("q11_important_stock",
       (s, dir) => {
         Tables.registerAll(s, dir)
@@ -788,13 +796,15 @@ object OlapQueries {
                             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
                      FROM lineitem GROUP BY l_partkey)
           SELECT l_partkey, CAST(val AS DOUBLE) AS value
-          FROM v WHERE val * 1000 > (SELECT SUM(val) FROM v)""")
+          FROM v WHERE val * (SELECT COUNT(*) FROM v) * 2
+                   > (SELECT SUM(val) FROM v) * 3""")
       },
       Some("""WITH v AS (SELECT l_partkey,
              |                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
              |           FROM lineitem GROUP BY l_partkey)
              |SELECT l_partkey, CAST(val AS DOUBLE) AS value
-             |FROM v WHERE val * 1000 > (SELECT SUM(val) FROM v)""".stripMargin)),
+             |FROM v WHERE val * (SELECT COUNT(*) FROM v) * 2
+             |         > (SELECT SUM(val) FROM v) * 3""".stripMargin)),
 
     // ------------------- TPC-H Q16-shape (NOT IN + COUNT DISTINCT)
     // Supplier diversity per (brand, type, size) slice, excluding a
