@@ -41,7 +41,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     val totalSteady = results.map(_._3).filter(_ > 0).sum
-    val nFail = results.count(_._2 < 0)
+    // a cold-pass/steady-fail query (state-dependent breakage) must count
+    // as failed too, or its silent absence from total_steady reads as a
+    // round-over-round improvement
+    val nFail = results.count(r => r._2 < 0 || r._3 < 0)
 
     // end-to-end extract→parquet throughput (BASELINE.md bar: >=115k rows/s).
     // Measured over LINEITEM (the largest fixture, 600k rows at sf0.1) so the

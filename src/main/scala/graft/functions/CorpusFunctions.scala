@@ -346,8 +346,6 @@ object CorpusFunctions {
     * unigram path, one extra key column. */
   def bigramLogProbScores(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val toked = docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
     val pf = toked.filter(size(col("__toks")) >= 2)

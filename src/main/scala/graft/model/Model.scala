@@ -30,7 +30,13 @@ final case class TableId(connection: String, schema: String, table: String) {
 /** THE filesystem-name sanitization convention — one definition for every
   * state-keyed name (staging/warehouse dirs via [[TableId.safeName]],
   * watermark/lock documents via `WatermarkStore.docPath`), so the
-  * disambiguation rules cannot drift between the stores that must agree. */
+  * disambiguation rules cannot drift between the stores that must agree.
+  *
+  * NOTE: unifying on this convention RENAMED watermark documents written
+  * before round 5 (they always carried a tag; clean names now don't) — a
+  * deliberate one-time, pre-release break. A deployment with live state
+  * would need a rename migration of `*_<md5>.json` docs, or its cursors
+  * silently reset and the next sync re-extracts from scratch. */
 object Names {
   /** Lowercase + sanitize to `[a-z0-9_]`. When sanitization ALTERED the
     * (lowercased) name, an 8-hex md5 tag of it disambiguates — otherwise

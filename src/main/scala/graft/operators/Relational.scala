@@ -490,8 +490,14 @@ object Relational {
         val oAttr = attrCols.map(a => col(s"o.$a"))
         val iAttr = attrCols.map(a => col(s"i.$a"))
         val j = open.as("o").join(inc.as("i"), keys, "full_outer")
+        // a change only versions when the increment is STRICTLY NEWER than
+        // the open version: a late-arriving increment whose effective time
+        // is at-or-before valid_from is stale information — closing the
+        // open row with it would write an inverted interval
+        // (valid_to < valid_from) and silently rewrite history backwards
         val changed = oAttr.zip(iAttr)
-          .map { case (a, b) => !(a <=> b) }.reduce(_ || _)
+          .map { case (a, b) => !(a <=> b) }.reduce(_ || _) &&
+          col("i.__its") > col("o.valid_from")
         val hCols = (valid_from: Column, valid_to: Column, attrs: Seq[Column]) =>
           keys.map(col) ++ attrs.zip(attrCols).map { case (c, n) => c.as(n) } ++
             Seq(valid_from.as("valid_from"), valid_to.as("valid_to"))

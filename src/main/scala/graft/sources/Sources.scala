@@ -96,21 +96,27 @@ final class JdbcSource(url: String, props: java.util.Properties,
   /** EXACT-match existence check. The reference probes with
     * `SHOW TABLES LIKE '<name>'` (base.py:934) — MySQL LIKE treats `_`/`%`
     * as wildcards there, so a probe for `settle_orders` also matches
-    * `settleXorders`; this deliberately uses catalog metadata with the
-    * literal name instead (JdbcSpec proves the non-match). */
+    * `settleXorders`; this escapes the metadata wildcards instead (JdbcSpec
+    * proves the non-match). The escaped-literal probe is O(1) against the
+    * catalog — never an O(all-tables) enumeration; as-given, UPPER and
+    * lower spellings are each probed for case-insensitive catalogs. */
   def tableExists(spark: SparkSession, id: TableId): Boolean = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
+      val meta = conn.getMetaData
+      // Derby reports an EMPTY escape string yet honors backslash — treat
+      // blank like null or the wildcards go through unescaped
+      val esc = Option(meta.getSearchStringEscape)
+        .filter(_.nonEmpty).getOrElse("\\")
+      def lit(s: String) = s.replace(esc, esc + esc)
+        .replace("_", esc + "_").replace("%", esc + "%")
       val catalog = Option(conn.getCatalog).filter(_.nonEmpty).orNull
-      val rs = conn.getMetaData.getTables(catalog, null, "%", Array("TABLE"))
-      var found = false
-      while (!found && rs.next()) {
-        val schema = Option(rs.getString("TABLE_SCHEM"))
-          .orElse(Option(rs.getString("TABLE_CAT"))).getOrElse("default")
-        found = schema.equalsIgnoreCase(id.schema) &&
-          rs.getString("TABLE_NAME").equalsIgnoreCase(id.table)
-      }
-      found
+      Seq[String => String](identity, _.toUpperCase, _.toLowerCase)
+        .exists { f =>
+          val rs = meta.getTables(catalog, lit(f(id.schema)),
+            lit(f(id.table)), Array("TABLE"))
+          try rs.next() finally rs.close()
+        }
     } finally conn.close()
   }
 

@@ -155,8 +155,13 @@ object StreamingPipeline {
       if (!java.nio.file.Files.exists(link,
           java.nio.file.LinkOption.NOFOLLOW_LINKS))
         java.nio.file.Files.createSymbolicLink(link, f.toPath)
-      else if (java.nio.file.Files.isSymbolicLink(link) &&
-               java.nio.file.Files.readSymbolicLink(link) != f.toPath)
+      else if (java.nio.file.Files.isSymbolicLink(link) && {
+          // FILE identity, not path spelling: a resume via './', a relative
+          // path, or a symlinked parent is the same file and must not be
+          // refused; a deleted old target means the input really changed
+          try !java.nio.file.Files.isSameFile(link, f.toPath)
+          catch { case _: java.io.IOException => true }
+        })
         // same filename, DIFFERENT file, same checkpoint: silently keeping
         // the old link would stream the OLD file's bytes; re-pointing it
         // would desync the offset log. Either way the caller's intent is

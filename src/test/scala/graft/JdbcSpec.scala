@@ -16,30 +16,44 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
   private val props = new java.util.Properties()
   private val id = TableId("derby", "FX", "ORDERS")
 
+  /** Execute DDL, tolerating Derby's already-exists errors (X0Y32/X0Y68):
+    * the in-memory db is keyed by NAME within the test JVM, so a filtered
+    * re-run or suite-ordering change must not trip over leftover state. */
+  private def ddl(st: java.sql.Statement, sql: String): Unit =
+    try { st.execute(sql); () } catch {
+      case e: java.sql.SQLException
+        if e.getSQLState == "X0Y32" || e.getSQLState == "X0Y68" => ()
+    }
+
   private lazy val setup: Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      st.execute("CREATE SCHEMA FX")
-      st.execute(
+      ddl(st, "CREATE SCHEMA FX")
+      ddl(st,
         """CREATE TABLE FX.ORDERS (
           |  ID BIGINT NOT NULL,
           |  CREATED_AT TIMESTAMP,
           |  STATUS VARCHAR(10),
           |  AMOUNT DECIMAL(12,2)
           |)""".stripMargin)
-      val ins = conn.prepareStatement(
-        "INSERT INTO FX.ORDERS VALUES (?, ?, ?, ?)")
-      (1 to 500).foreach { i =>
-        ins.setLong(1, i.toLong)
-        ins.setTimestamp(2, java.sql.Timestamp.valueOf(
-          f"2026-01-${i % 28 + 1}%02d 12:00:00"))
-        ins.setString(3, if (i % 3 == 0) "done" else "open")
-        ins.setBigDecimal(4, new java.math.BigDecimal(s"$i.25"))
-        ins.addBatch()
+      val rs = st.executeQuery("SELECT COUNT(*) FROM FX.ORDERS")
+      rs.next()
+      if (rs.getLong(1) == 0) {
+        val ins = conn.prepareStatement(
+          "INSERT INTO FX.ORDERS VALUES (?, ?, ?, ?)")
+        (1 to 500).foreach { i =>
+          ins.setLong(1, i.toLong)
+          ins.setTimestamp(2, java.sql.Timestamp.valueOf(
+            f"2026-01-${i % 28 + 1}%02d 12:00:00"))
+          ins.setString(3, if (i % 3 == 0) "done" else "open")
+          ins.setBigDecimal(4, new java.math.BigDecimal(s"$i.25"))
+          ins.addBatch()
+        }
+        ins.executeBatch()
+        ins.close()
       }
-      ins.executeBatch()
-      st.close(); ins.close()
+      st.close()
     } finally conn.close()
   }
 
@@ -109,8 +123,8 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      st.execute("CREATE SCHEMA INFORMATION_SCHEMA")
-      st.execute(
+      ddl(st, "CREATE SCHEMA INFORMATION_SCHEMA")
+      ddl(st,
         """CREATE TABLE INFORMATION_SCHEMA.COLUMNS (
           |  TABLE_SCHEMA VARCHAR(64), TABLE_NAME VARCHAR(64),
           |  COLUMN_NAME VARCHAR(64), DATA_TYPE VARCHAR(64),
@@ -118,6 +132,7 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
           |  ORDINAL_POSITION INT, COLUMN_DEFAULT VARCHAR(128),
           |  EXTRA VARCHAR(64)
           |)""".stripMargin)
+      st.execute("DELETE FROM INFORMATION_SCHEMA.COLUMNS") // re-run: reseed
       val ins = conn.prepareStatement(
         "INSERT INTO INFORMATION_SCHEMA.COLUMNS VALUES " +
           "('settlement','settle_orders',?,?,?,?,?,?,?)")
@@ -176,15 +191,15 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
       "UserName" -> "username"))
 
     // → warehouse DDL (ref :494-543): 2× varchar buffer, capped decimal
-    val ddl = graft.sources.InfoSchemaDiscovery.warehouseColumnDdl(cols)
-    assert(ddl.contains("id BIGINT NOT NULL"))
-    assert(ddl.contains("is_active BOOLEAN"))
-    assert(ddl.contains("amount DECIMAL(18,6)"))
-    assert(ddl.contains("col_2nd_phone VARCHAR(64)"), "2x safety buffer")
-    assert(ddl.contains("username VARCHAR(510)"))
-    assert(ddl.contains("status VARCHAR(255) NOT NULL"))
-    assert(ddl.contains("payload VARCHAR(65535)"))
-    assert(ddl.contains("big_count BIGINT NOT NULL"))
+    val colDdl = graft.sources.InfoSchemaDiscovery.warehouseColumnDdl(cols)
+    assert(colDdl.contains("id BIGINT NOT NULL"))
+    assert(colDdl.contains("is_active BOOLEAN"))
+    assert(colDdl.contains("amount DECIMAL(18,6)"))
+    assert(colDdl.contains("col_2nd_phone VARCHAR(64)"), "2x safety buffer")
+    assert(colDdl.contains("username VARCHAR(510)"))
+    assert(colDdl.contains("status VARCHAR(255) NOT NULL"))
+    assert(colDdl.contains("payload VARCHAR(65535)"))
+    assert(colDdl.contains("big_count BIGINT NOT NULL"))
 
     // → alignment: a staged batch with the ORIGINAL MySQL names flows
     // through the persisted rename map into the discovered target schema
@@ -207,7 +222,7 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      st.execute("CREATE TABLE FX.SETTLEXORDERS (ID BIGINT)")
+      ddl(st, "CREATE TABLE FX.SETTLEXORDERS (ID BIGINT)")
       st.close()
     } finally conn.close()
     assert(source.tableExists(spark, TableId("derby", "FX", "SETTLEXORDERS")))

@@ -423,6 +423,19 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       Seq("k"), "ts", Seq("status"), orderCols = Seq("seq"))
     assert(multi.collect().map(r => (r.getString(1), r.getLong(2))).toSeq ==
       Seq(("b", 5L)))   // ts 5 beats 4; seq 2 beats 1
+    // LATE-ARRIVING increment (effective time at-or-before the open
+    // version's valid_from) is stale information: it must NOT close the
+    // open row with an inverted interval or rewrite history backwards
+    val base = Relational.scd2Apply(None, inc((7L, "new", 20L)),
+      Seq("k"), "ts", Seq("status"))
+    for (lateTs <- Seq(10L, 20L)) {
+      val after = Relational.scd2Apply(Some(base),
+        inc((7L, "stale", lateTs)), Seq("k"), "ts", Seq("status"))
+        .collect().map(r => (r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+      assert(after == Seq(("new", 20L, -1L)),
+        s"late ts=$lateTs corrupted history: $after")
+    }
   }
 
   test("foldDistinctSketch: chunk-invariant estimates within HLL error bounds") {
