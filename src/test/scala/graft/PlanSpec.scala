@@ -358,6 +358,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("InSubquery"), "per-row IN subquery survived")
   }
 
+  test("round-5 operators keep their scale shapes (funnel/overlap/fold)") {
+    // funnel: each stage's type filter reaches its own scan — the fact
+    // table is never scanned unfiltered
+    val funnel = q("q_funnel")
+    val fScans = physical(funnel).collectLeaves().flatMap(_.collect {
+      case s: FileSourceScanExec => s
+    })
+    assert(fScans.nonEmpty &&
+      fScans.forall(_.metadata("PushedFilters").contains("event_type")),
+      "funnel stage filters must push to every events scan")
+    // interval-overlap join: equi hash/merge join on buckets, no nested loop
+    val overlap = executedString(q("q_session_overlap"))
+    assert(!overlap.contains("BroadcastNestedLoopJoin") &&
+      !overlap.contains("CartesianProduct"),
+      "interval overlap must stay a bucketed equi join")
+    // incremental fold: partial + final aggregate pairs (map-side combine)
+    val fold = executedString(q("q_incremental_rollup"))
+    assert(fold.contains("partial_count") || fold.contains("partial_sum"),
+      "fold increments must partial-aggregate before the exchange")
+  }
+
   test("Q22-shape: anti join for NOT EXISTS, scalar subqueries execute once") {
     val df = q("q22_idle_customers")
     val plan = executedString(df)
