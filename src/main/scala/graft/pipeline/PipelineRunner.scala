@@ -36,6 +36,19 @@ trait SourceCatalog {
     * applies its exact predicate downstream either way. */
   def table(spark: SparkSession, spec: TableSpec,
             cursor: graft.cdc.Cursor = graft.cdc.Cursor()): DataFrame
+
+  /** Session-start MAX(id) snapshot feeding the extract ceiling (A2
+    * infinite-sync guard, ref row_based.py:278-292): rows arriving after
+    * this point must not extend the running session. Catalogs override with
+    * a pushed / metadata-only form — the default is a pruned single-column
+    * Spark aggregate, correct everywhere but a full column scan. */
+  def snapshotCeiling(spark: SparkSession, spec: TableSpec): Option[Long] =
+    spec.cdc.idColumn.flatMap { idCol =>
+      val row = table(spark, spec)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(idCol)).cast("long")).head()
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    }
 }
 
 /** File-based catalog: `{root}/{table}.{ext}` in the configured format.
@@ -64,6 +77,23 @@ final class FileCatalog(root: String, format: String = "parquet",
         s"unknown source_format: '$other' (parquet | json | csv)")
     }
   }
+
+  /** Parquet ceiling from FOOTER int64 statistics — zero Spark jobs, one
+    * footer open per file (same machinery as the extractor's post-write
+    * accounting). Falls back to the scan-based default when any row-bearing
+    * block lacks trustworthy stats for the id column. */
+  override def snapshotCeiling(spark: SparkSession, spec: TableSpec): Option[Long] =
+    spec.cdc.idColumn match {
+      case Some(idCol) if format == "parquet" =>
+        val bare = spec.name.split("\\.").last
+        val conf = spark.sparkContext.hadoopConfiguration
+        val files = graft.util.FsListing
+          .parquetFilesMeta(s"$root/$bare.parquet", conf).map(_._1)
+        val (_, footerMax) =
+          graft.util.ParquetFooters.scanStats(files, conf, Some(idCol))
+        footerMax.orElse(super.snapshotCeiling(spark, spec))
+      case _ => super.snapshotCeiling(spark, spec)
+    }
 }
 
 /** Back-compat alias for the parquet fixture layout. */
@@ -96,6 +126,13 @@ final class JdbcCatalog(url: String, numPartitions: Int = 32) extends SourceCata
       case None => source.table(spark, id)
     }
   }
+
+  /** Ceiling as a PUSHED source-side scalar (`SELECT MAX(id)`) — one row
+    * fetched, no Spark job, no table scan. DSv1 JDBC never pushes Spark
+    * aggregates, so the default `df.agg(max)` would fetch the whole table. */
+  override def snapshotCeiling(spark: SparkSession, spec: TableSpec): Option[Long] =
+    spec.cdc.idColumn.flatMap(idCol =>
+      source.maxId(TableId.parse(spec.name), idCol))
 }
 
 /** Composes Extractor → Loader over a configured table set — the engine's
@@ -178,6 +215,19 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     PipelineReport(p.name, reports, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Session-start ceiling for the id-keyset strategies (A2): snapshot
+    * MAX(id) BEFORE the source scan plans, so rows arriving mid-extract
+    * stay for the next session (ref row_based.py:278-292). Timestamp-only /
+    * full-sync / custom-SQL syncs take no id ceiling, matching the
+    * reference's row_based-only guard. */
+  private def ceilingFor(cat: SourceCatalog, spec: TableSpec): Option[Long] =
+    spec.cdc.strategy match {
+      case CdcStrategyKind.IdOnly | CdcStrategyKind.Hybrid
+          if spec.cdc.idColumn.isDefined =>
+        cat.snapshotCeiling(spark, spec)
+      case _ => None
+    }
+
   private def runTable(p: Pipeline, spec: TableSpec, cat: SourceCatalog,
                        extractor: Extractor, loader: Loader): TableReport = {
     val id = spec.tableId(p)
@@ -189,11 +239,12 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     Try {
       extractor.store.withTableLock(id.scoped) {
         val wm0 = extractor.store.get(id.scoped)
+        val ceiling = ceilingFor(cat, spec)
         val df = cat.table(spark, spec, graft.cdc.Cursor(
           wm0.flatMap(_.mysql_state.last_timestamp),
           wm0.flatMap(_.mysql_state.last_id)))
         val ext = Retry.withBackoff(maxAttempts)(
-          extractor.extract(spark, id, df, spec.cdc))
+          extractor.extract(spark, id, df, spec.cdc, ceiling))
         val load = Retry.withBackoff(maxAttempts)(
           if (spec.mergeKeys.nonEmpty)
             loader.mergeLoad(spark, id, extractor.stagingDir(id), spec.cdc,
@@ -282,8 +333,10 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     val reports = specs.map { spec =>
       val id = spec.tableId(p)
       val s0 = System.nanoTime()
+      val ceiling = ceilingFor(cat, spec)
       Try(Retry.withBackoff(maxAttempts)(
-        extractor.extract(spark, id, cat.table(spark, spec), spec.cdc))) match {
+        extractor.extract(spark, id, cat.table(spark, spec), spec.cdc,
+          ceiling))) match {
         case Success(ext) => TableReport(id, ok = true, Some(ext), None, None,
           (System.nanoTime() - s0) / 1e9)
         case Failure(e) => TableReport(id, ok = false, None, None,

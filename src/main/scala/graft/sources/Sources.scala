@@ -120,6 +120,58 @@ final class JdbcSource(url: String, props: java.util.Properties,
     } finally conn.close()
   }
 
+  /** Source-side scalar execution: ONE row over a direct JDBC statement —
+    * zero Spark jobs, nothing shipped to the cluster. This is the channel the
+    * reference uses for its session-start MAX(id) snapshot
+    * (src/backup/row_based.py:799) and COUNT(*) window estimates
+    * (src/backup/base.py:1018-1022). It matters because Spark's DSv1 JDBC
+    * relation does NOT push aggregates: a Spark-side `df.agg(max(id))`
+    * against a live source fetches the whole table to compute one number.
+    * `params` bind as prepared-statement parameters (never interpolated). */
+  def scalarLong(selectSql: String, params: Seq[Any] = Nil): Option[Long] = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.prepareStatement(selectSql)
+      try {
+        st.setMaxRows(1)
+        params.zipWithIndex.foreach {
+          case (v: java.sql.Timestamp, i) => st.setTimestamp(i + 1, v)
+          case (v: Long, i)               => st.setLong(i + 1, v)
+          case (v: Int, i)                => st.setInt(i + 1, v)
+          case (v, i)                     => st.setString(i + 1, String.valueOf(v))
+        }
+        val rs = st.executeQuery()
+        try {
+          if (!rs.next()) None
+          else {
+            val v = rs.getLong(1)
+            if (rs.wasNull()) None else Some(v)
+          }
+        } finally rs.close()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Session-start MAX(id) ceiling, pushed to the source (A2 infinite-sync
+    * guard, ref row_based.py:278-292, 799). */
+  def maxId(id: TableId, idColumn: String): Option[Long] =
+    scalarLong(
+      s"SELECT MAX(${SqlGuard.validateIdentifier(idColumn)}) FROM ${qualified(id)}")
+
+  /** Source row count, pushed (A4 parity counts, ref base.py:1360-1399). */
+  def rowCount(id: TableId): Long =
+    scalarLong(s"SELECT COUNT(*) FROM ${qualified(id)}").getOrElse(0L)
+
+  /** COUNT(*) in a `(lo, hi]` timestamp window, pushed (A1 window estimate
+    * the reference runs before sizing a sync, base.py:1018-1022). */
+  def windowCount(id: TableId, tsColumn: String,
+                  lo: java.sql.Timestamp, hi: java.sql.Timestamp): Long = {
+    val c = SqlGuard.validateIdentifier(tsColumn)
+    scalarLong(
+      s"SELECT COUNT(*) FROM ${qualified(id)} WHERE $c > ? AND $c <= ?",
+      Seq(lo, hi)).getOrElse(0L)
+  }
+
   /** Range-partitioned read: one cheap min/max query picks even bounds, then
     * `numPartitions` parallel range scans — replaces detect_optimal_window_size
     * (ref base.py:486-735) with ~10 lines.

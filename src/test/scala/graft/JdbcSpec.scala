@@ -231,6 +231,43 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
     assert(source.tableExists(spark, TableId("derby", "FX", "ORDERS")))
   }
 
+  test("pushed scalars: ceiling/count/window fetch ONE source-side row, zero Spark jobs") {
+    // The reference runs MAX(id) (row_based.py:799) and COUNT(*) window
+    // estimates (base.py:1018-1022) INSIDE MySQL. Spark's DSv1 JDBC relation
+    // does not push aggregates, so the equivalent df.agg would fetch the
+    // whole table — these APIs must bypass Spark entirely.
+    val s = source
+    // job ids are monotonic; anything the calls launch would appear above
+    // this high-water mark (immune to UI-store eviction of old jobs)
+    def jobsAbove(n: Int): Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).count(_ > n)
+    val beforeMax = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).maxOption.getOrElse(-1)
+
+    assert(s.maxId(id, "ID").contains(500L))                        // A2 ceiling
+    assert(s.rowCount(id) == 500L)                                  // A4 parity
+    val lo = java.sql.Timestamp.valueOf("2026-01-10 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2026-01-20 23:59:59")
+    val expect = (1 to 500).count { i => val d = i % 28 + 1; d >= 10 && d <= 20 }
+    assert(s.windowCount(id, "CREATED_AT", lo, hi) == expect.toLong) // A1 window
+    // catalog-level ceiling rides the same pushed channel
+    val cat = new graft.pipeline.JdbcCatalog(url)
+    val spec = graft.pipeline.TableSpec("FX.ORDERS",
+      graft.model.CdcConfig(graft.model.CdcStrategyKind.IdOnly,
+        idColumn = Some("ID")))
+    assert(cat.snapshotCeiling(spark, spec).contains(500L))
+
+    // one sentinel job flushes the ordered listener bus; the tracker must
+    // then show exactly that sentinel above the mark and nothing else
+    spark.sparkContext.parallelize(1 to 2, 1).count()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (jobsAbove(beforeMax) < 1 && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(jobsAbove(beforeMax) == 1,
+      "pushed scalars must not launch Spark jobs (a DSv1 JDBC aggregate " +
+        "would scan the whole source table)")
+  }
+
   test("YAML pipeline syncs a live JDBC source incrementally (product path)") {
     // the reference's core behavior — incremental CDC off a live database —
     // through the FULL product surface: pipeline.source = jdbc url, range-

@@ -145,6 +145,53 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       spark.read.parquet(s"$sfDir/events.parquet").count())
   }
 
+  test("ceiling guard: rows arriving after session start don't extend the extract") {
+    // the reference snapshots MAX(id) at sync start so a writer racing the
+    // extract can't extend the session indefinitely (row_based.py:278-292);
+    // here the "late" rows land between the ceiling snapshot and the scan
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("ceil_src")
+    def writeRows(lo: Long, hi: Long, mode: String): Unit =
+      (lo to hi).toDF("event_id").withColumn("v", col("event_id") * 2)
+        .write.mode(mode).parquet(s"$srcDir/cevents.parquet")
+    writeRows(1, 20, "errorifexists")
+    val y =
+      s"""pipeline:
+         |  name: "ceil_sync"
+         |  source: "$srcDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.cevents:
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "event_id"
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("ceil_work"))
+    val inner = new FileCatalog(srcDir)
+    val racing = new SourceCatalog {
+      def table(sp: org.apache.spark.sql.SparkSession, spec: TableSpec,
+                cursor: graft.cdc.Cursor): org.apache.spark.sql.DataFrame =
+        inner.table(sp, spec, cursor)
+      override def snapshotCeiling(sp: org.apache.spark.sql.SparkSession,
+                                   spec: TableSpec): Option[Long] = {
+        val c = inner.snapshotCeiling(sp, spec)
+        writeRows(21, 30, "append") // arrives "mid-extract"
+        c
+      }
+    }
+    assert(runner.sync(p, catalog = Some(racing)).allOk)
+    val (_, _, loader) = runner.rigFor(p)
+    val id = p.tables.head.tableId(p)
+    val t1 = loader.readTarget(spark, id).get
+    assert(t1.count() == 20, "late rows must not extend the running session")
+    assert(t1.agg(max(col("event_id"))).head().getLong(0) == 20L)
+    // the NEXT session picks up exactly the late rows — none lost, none duplicated
+    val r2 = runner.sync(p)
+    assert(r2.allOk && r2.totalRows == 10, s"second sync rows: ${r2.totalRows}")
+    assert(loader.readTarget(spark, id).get.count() == 30)
+  }
+
   test("parallel mode produces the same result as sequential") {
     val p0 = PipelineConfig.fromString(yaml)
     val p = p0.copy(processing = p0.processing.copy(maxParallelTables = 3))
