@@ -551,31 +551,53 @@ object Relational {
     * product-analytics conversion funnel (out-of-order events don't
     * count). Returns one row per stage: (stage_idx, stage, n_entities).
     *
-    * Scale: each stage is a per-entity MIN aggregate (map-side partial)
-    * joined to the previous stage's entity-cardinality frontier — events
-    * scan once per stage with the stage filter pushed down; no window over
-    * raw events, no per-entity event lists. */
+    * Scale: ONE scan of the fact table and ONE exchange, total. The scan
+    * keeps only funnel-stage events (the IN filter pushes down), a
+    * `pivot(stage).agg(collect_set(ts))` groups each entity's distinct
+    * per-stage event times in a single map-side-combined aggregate, and the
+    * strict-order frontier then folds per entity with array primitives
+    * (`array_min(filter(ts_set, _ > prev))`). The earlier k-frontier chain
+    * cost k filtered scans and k−1 shuffles — and, because frontier j's
+    * plan embedded frontiers 1..j−1, re-derived stage subplans O(k²) times
+    * unless exchange reuse kicked in.
+    *
+    * NOTE a plain `pivot.agg(min(ts))` would be WRONG here: an entity with
+    * stage-2 events at t=1 and t=5 and stage 1 at t=2 converts via t=5,
+    * but min(stage2)=1 fails the strict `> t1` test. The fold needs each
+    * stage's distinct-time SET, not its minimum. Reducer memory is bounded
+    * by one entity's distinct funnel-event times (the sessionization
+    * bound); duplicates combine map-side. */
   def funnelCounts(events: DataFrame, entityCol: String, tsCol: String,
                    stageCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val frontiers = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (stage, _)) =>
-        val hits = events.filter(col(stageCol) === stage)
-          .select(col(entityCol), col(tsCol).as("__ts"))
-        Some(prev match {
-          case None =>
-            hits.groupBy(col(entityCol)).agg(min(col("__ts")).as("__t"))
-          case Some(p) =>
-            hits.join(p.withColumnRenamed("__t", "__pt"), Seq(entityCol))
-              .filter(col("__ts") > col("__pt"))
-              .groupBy(col(entityCol)).agg(min(col("__ts")).as("__t"))
-        })
-    }.flatten
-    frontiers.zip(stages).zipWithIndex.map { case ((f, stage), i) =>
-      f.agg(count(lit(1)).as("n_entities"))
-        .select(lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
-          col("n_entities"))
-    }.reduce(_ unionByName _)
+    val tsCols = stages.indices.map(i => s"__s$i")
+    // pivot emits the entity column first, then one column per value in the
+    // declared order — toDF renames positionally to collision-free names
+    val pivoted = events
+      .filter(col(stageCol).isin(stages.map(_.asInstanceOf[Any]): _*))
+      .select(col(entityCol).as("__e"), col(tsCol).as("__ts"),
+        col(stageCol).as("__stage"))
+      .groupBy(col("__e"))
+      .pivot("__stage", stages)
+      .agg(collect_set(col("__ts")))
+      .toDF("__e" +: tsCols: _*)
+    val withChain = tsCols.zipWithIndex.foldLeft(pivoted) {
+      case (df, (c, 0)) => df.withColumn("__t0", array_min(col(c)))
+      case (df, (c, i)) =>
+        val prev = col(s"__t${i - 1}")
+        df.withColumn(s"__t$i", array_min(filter(col(c), x => x > prev)))
+    }
+    // entities missing a stage pivot to NULL; the null cascades through
+    // filter/array_min, so "reached stage i" is exactly __ti IS NOT NULL
+    val countExprs = stages.indices.map(i =>
+      coalesce(sum(when(col(s"__t$i").isNotNull, 1L)), lit(0L)).as(s"__n$i"))
+    val counts = withChain.agg(countExprs.head, countExprs.tail: _*)
+    counts
+      .select(explode(array(stages.zipWithIndex.map { case (stage, i) =>
+        struct(lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
+          col(s"__n$i").as("n_entities"))
+      }: _*)).as("__r"))
+      .select(col("__r.stage_idx"), col("__r.stage"), col("__r.n_entities"))
   }
 
   /** Cohort retention: entities cohorted by the time bucket of their FIRST

@@ -359,15 +359,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("round-5 operators keep their scale shapes (funnel/overlap/fold)") {
-    // funnel: each stage's type filter reaches its own scan — the fact
-    // table is never scanned unfiltered
+    // funnel: ONE scan of the fact table (stage-IN filter pushed), one
+    // entity exchange + the single-row count exchange — never k rescans
     val funnel = q("q_funnel")
-    val fScans = physical(funnel).collectLeaves().flatMap(_.collect {
+    val fPlan = physical(funnel)
+    val fScans = fPlan.collectLeaves().flatMap(_.collect {
       case s: FileSourceScanExec => s
     })
-    assert(fScans.nonEmpty &&
-      fScans.forall(_.metadata("PushedFilters").contains("event_type")),
-      "funnel stage filters must push to every events scan")
+    assert(fScans.size == 1,
+      s"funnel must scan events exactly once, saw ${fScans.size} scans")
+    assert(fScans.head.metadata("PushedFilters").contains("event_type"),
+      "funnel stage-IN filter must push to the events scan")
+    val fShuffles = fPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(fShuffles.size <= 2,
+      s"funnel should shuffle once (plus the 1-row count), saw ${fShuffles.size}")
     // interval-overlap join: equi hash/merge join on buckets, no nested loop
     val overlap = executedString(q("q_session_overlap"))
     assert(!overlap.contains("BroadcastNestedLoopJoin") &&
