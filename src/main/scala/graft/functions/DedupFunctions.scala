@@ -420,7 +420,7 @@ object DedupFunctions {
     a.join(b, Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+        hamming64(col("sim_a"), col("sim_b")).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

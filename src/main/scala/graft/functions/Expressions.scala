@@ -65,12 +65,18 @@ object RollingHash {
   }
 }
 
-/** 64-bit SimHash over an array of string tokens: each token is hashed
-  * (xxhash-style 64-bit avalanche of the token's rolling hash); bit i of the
-  * result is 1 iff Σ_tokens (bit_i(h) ? +1 : -1) > 0. Near-duplicate docs
-  * differ in few bits → Hamming-ball lookup. Charikar (2002), "Similarity
-  * estimation techniques from rounding algorithms".
-  */
+/** 64-bit SimHash over an array of string tokens: each token hashes to the
+  * first 8 bytes (big-endian) of its md5 — i.e. the value of the md5 hex
+  * string's first 16 chars — and bit i of the result is 1 iff
+  * Σ_tokens (bit_i(h) ? +1 : -1) > 0. Near-duplicate docs differ in few
+  * bits → Hamming-ball lookup. Charikar (2002), "Similarity estimation
+  * techniques from rounding algorithms".
+  *
+  * md5 (not a bespoke avalanche) is deliberate: the signature is then
+  * ENGINE-REPRODUCIBLE — DuckDB computes the identical bit votes from
+  * `md5(token)`, which upgrades the SimHash driver query from rows-only to
+  * a full value-checked oracle. md5 costs ~100ns/token, dwarfed by the
+  * banded join it feeds. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -127,12 +133,21 @@ case class SimHash64(child: Expression)
 }
 
 object SimHash64 {
-  /** Rolling hash + 64-bit finalizer (xxhash/murmur-style avalanche). */
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(token), big-endian — `substr(md5(t),1,16)` read
+    * as a 64-bit integer, bit-identical across engines. */
   def tokenHash(bytes: Array[Byte]): Long = {
-    var h = RollingHash.hashBytes(bytes) + 0x9e3779b97f4a7c15L
-    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
-    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
-    h ^ (h >>> 31)
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
   }
   def collapse(counts: Array[Int]): Long = {
     var out = 0L

@@ -477,13 +477,36 @@ object LlmQueries {
              |       THEN 'train' ELSE 'validation' END AS split
              |FROM documents d LEFT JOIN labels l ON d.doc_id = l.id""".stripMargin)),
 
-    // ------------------------------------------------ SimHash near-dup (rows-only:
-    // the 64-bit signature is a custom expression DuckDB can't reproduce;
-    // pair invariants are asserted in DedupSpec instead)
+    // ------------------------------------------------ SimHash near-dup.
+    // FULL oracle: the signature's token hash is the first 16 md5 hex chars
+    // read as a 64-bit integer, so DuckDB reproduces the identical bit
+    // votes; and the 4-band lookup is EXACT by pigeonhole (≤3 differing
+    // bits → ≥1 identical 16-bit band), so the all-pairs Hamming filter
+    // below is the complete answer, not a sample.
     Q("q_dedup_simhash_neardup",
       (s, dir) => DedupFunctions.simhashNearDuplicates(
         Tables.df(s, dir, "documents"), "doc_id", "text", maxHamming = 3),
-      None),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(toks) AS t
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+             |votes AS (
+             |  SELECT doc_id, b,
+             |    SUM(CASE WHEN (CAST(concat('0x', substr(md5(t),1,16))
+             |                        AS UBIGINT) >> b) & 1 = 1
+             |        THEN 1 ELSE -1 END) AS v
+             |  FROM tok, (SELECT unnest(range(64)) AS b) bb
+             |  GROUP BY doc_id, b),
+             |persig AS (
+             |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN 1::UBIGINT << b
+             |                               ELSE 0::UBIGINT END) AS UBIGINT) AS sim
+             |  FROM votes GROUP BY doc_id),
+             |sig AS (
+             |  SELECT d.doc_id, CAST(COALESCE(s.sim, 0) AS UBIGINT) AS sim
+             |  FROM documents d LEFT JOIN persig s ON d.doc_id = s.doc_id)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin)),
 
     // ----------------------------------------------------------- text analysis
     Q("q_text_analysis",
