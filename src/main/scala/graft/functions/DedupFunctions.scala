@@ -527,9 +527,18 @@ object DedupFunctions {
                                    textCol: String, window: Int,
                                    prefilter: Option[Boolean]): DataFrame = {
     val wins = slidingWindowHashes(docs, idCol, textCol, window)
-    val engage = prefilter.getOrElse(
-      docs.queryExecution.optimizedPlan.stats.sizeInBytes >
-        SpanPrefilterMinInputBytes)
+    val engage = prefilter.getOrElse {
+      val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      // relations without computed stats (JDBC and other non-file sources)
+      // report spark.sql.defaultSizeInBytes — Long.MaxValue by default — as
+      // a broadcast-suppressing sentinel, not a size. Trusting it would
+      // engage the extra corpus-wide count pass on arbitrarily small
+      // inputs; treat it as UNKNOWN and take the direct plan (callers that
+      // know their non-file input is huge pass prefilter = Some(true)).
+      val unknown = bytes >=
+        org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes
+      !unknown && bytes > SpanPrefilterMinInputBytes
+    }
     if (!engage)
       return wins.join(
         wins.select(col("whash"), col(idCol)).distinct()

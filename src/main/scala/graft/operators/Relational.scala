@@ -390,6 +390,17 @@ object Relational {
     * widening — so the state schema is stable across arbitrarily many
     * folds and the arithmetic stays exact (order-independent) throughout.
     * Derived ratios (avg = sum/n) belong at read time, never in state.
+    *
+    * MAGNITUDE CONTRACT: each increment VALUE is first pinned to
+    * DECIMAL(18, scale) — the repo-wide dsum/oracle convention. Under the
+    * engine's ANSI default (Spark 4) a value whose magnitude exceeds
+    * 18−scale integer digits FAILS the fold loudly
+    * (NUMERIC_VALUE_OUT_OF_RANGE — RelationalSpec pins this; a session
+    * with `spark.sql.ansi.enabled=false` would instead NULL the value and
+    * silently drop it from the sum while `n_rows` still counts its row).
+    * Inputs are expected to be physical measures well inside that range;
+    * pre-aggregated inputs near 10^(18−scale) must be re-scaled by the
+    * caller before folding.
     */
   def foldAggregate(prev: Option[DataFrame], increment: DataFrame,
                     keys: Seq[String], sums: Seq[SumSpec]): DataFrame = {

@@ -374,7 +374,7 @@ object OlapQueries {
                  FROM customer c3 WHERE c3.c_acctbal > 0.0)
             AND NOT EXISTS (
               SELECT * FROM orders o WHERE o.o_custkey = c.c_custkey
-                    AND o.o_orderstatus = 'F')
+                AND o.o_orderstatus = 'F')
           GROUP BY c.c_nationkey""")
       },
       Some("""SELECT CAST(c.c_nationkey AS BIGINT) AS cntry,
@@ -388,7 +388,7 @@ object OlapQueries {
              |       FROM customer c3 WHERE c3.c_acctbal > 0.0)
              |  AND NOT EXISTS (
              |    SELECT * FROM orders o WHERE o.o_custkey = c.c_custkey
-                    AND o.o_orderstatus = 'F')
+             |      AND o.o_orderstatus = 'F')
              |GROUP BY c.c_nationkey""".stripMargin)),
 
     // -------------------- TPC-H Q13-shape (outer-join count distribution)

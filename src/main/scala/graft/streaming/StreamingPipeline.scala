@@ -155,6 +155,12 @@ object StreamingPipeline {
       if (!java.nio.file.Files.exists(link,
           java.nio.file.LinkOption.NOFOLLOW_LINKS))
         java.nio.file.Files.createSymbolicLink(link, f.toPath)
+      else if (!java.nio.file.Files.isSymbolicLink(link))
+        // a stale REGULAR file/dir squatting on the link path: streaming
+        // whatever it holds would silently diverge from the caller's input
+        throw new IllegalStateException(
+          s"staging entry $link exists but is not a symlink; remove the " +
+            "stale entry or use a fresh checkpoint")
       else if (java.nio.file.Files.isSymbolicLink(link) && {
           // FILE identity, not path spelling: a resume via './', a relative
           // path, or a symlinked parent is the same file and must not be

@@ -334,6 +334,27 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
       s"re-run changed the totals: $first -> $second")
   }
 
+  test("single-file staging refuses a stale non-symlink squatting on the link path") {
+    // a stale REGULAR file at the link path means the source would stream
+    // whatever it holds instead of the caller's input — must fail loudly,
+    // not proceed (the guard previously only fired for symlinks)
+    val s = spark; import s.implicits._
+    val dir = tmpDir("stale_src")
+    Seq((1L, 1L)).toDF("user_id", "event_id").coalesce(1).write.parquet(s"$dir/ev")
+    val file = new java.io.File(s"$dir/ev").listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val ckpt = tmpDir("stale_ckpt") + "/ckpt"
+    val staging = java.nio.file.Paths.get(ckpt + "_src")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.writeString(
+      staging.resolve(new java.io.File(file).getName), "not the input")
+    val e = intercept[IllegalStateException] {
+      StreamingPipeline.statefulUserCounts(spark, file, ckpt,
+        s"stale_${System.nanoTime()}")
+    }
+    assert(e.getMessage.contains("not a symlink"))
+  }
+
   test("stream-stream interval join: batch-equal, re-run adds nothing") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val ckpt = java.nio.file.Files

@@ -321,6 +321,31 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .toMap == direct)
   }
 
+  test("foldAggregate magnitude contract: over-18-digit values fail the fold loudly") {
+    // pins the DOCUMENTED boundary (scaladoc): increment values pin to
+    // DECIMAL(18, scale); under the engine's ANSI default (Spark 4) a
+    // magnitude beyond 18−scale integer digits raises
+    // NUMERIC_VALUE_OUT_OF_RANGE instead of silently dropping from the
+    // sum — callers with pre-aggregated near-boundary inputs must
+    // re-scale before folding
+    val s = spark
+    import s.implicits._
+    val sums = Seq(Relational.SumSpec("sum_v", "v", 2))
+    // in range: 10^16 − 1 survives at scale 2
+    val ok = Relational.readAggState(
+      Relational.foldAggregate(None,
+        Seq(("g", 1.5)).toDF("grp", "v"), Seq("grp"), sums), sums).head()
+    assert(ok.getLong(1) == 1L && ok.getDouble(2) == 1.5)
+    // out of range: 1e17 > max DECIMAL(18,2) magnitude → loud failure
+    val e = intercept[Exception] {
+      Relational.foldAggregate(None,
+        Seq(("g", 1.5), ("g", 1e17)).toDF("grp", "v"), Seq("grp"), sums)
+        .collect()
+    }
+    assert(e.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE"),
+      s"expected decimal range failure, got: ${e.getMessage.take(200)}")
+  }
+
   test("intervalOverlapJoin: exact-once pairs incl. touching, containment, long spans") {
     val s = spark
     import s.implicits._
