@@ -1,19 +1,74 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Per-run stage-metric attribution (executor run/cpu/GC time, spill,
+    * tasks) — the signal that separates "the plan got slower" from "the
+    * session got noisier" (GC/codegen pressure from 126 queries × 2 runs in
+    * one JVM). Counters are cumulative; callers snapshot around a run after
+    * draining the listener bus. */
+  private final class StageAcc extends org.apache.spark.scheduler.SparkListener {
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      runMs.addAndGet(m.executorRunTime)
+      cpuNs.addAndGet(m.executorCpuTime)
+      gcMs.addAndGet(m.jvmGCTime)
+      spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      tasks.addAndGet(s.stageInfo.numTasks.toLong)
+      ()
+    }
+    def snapshot: (Long, Long, Long, Long, Long) =
+      (runMs.get, cpuNs.get, gcMs.get, spill.get, tasks.get)
+  }
+
+  final case class Attrib(execSec: Double, cpuSec: Double, gcSec: Double,
+                          spillMb: Double, tasks: Long, leakedRdds: Int) {
+    def json: String =
+      f"""{"exec_sec":$execSec%.3f,"cpu_sec":$cpuSec%.3f,"gc_sec":$gcSec%.3f,""" +
+        f""""spill_mb":$spillMb%.1f,"tasks":$tasks,"leaked_rdds":$leakedRdds}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // isolation mode: SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs just those
+    // queries in this (fresh) JVM — the clean-room cross-check for any
+    // in-session number that looks interference-shaped
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val acc = new StageAcc
+    spark.sparkContext.addSparkListener(acc)
     // untimed warmup: pay parquet-driver + codegen init before the clock
     // starts so the alphabetically-first query isn't charged for it
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
+
+    // Inter-query hygiene: operators that localCheckpoint/persist
+    // internally (cluster label propagation, PQ/IVF training) leave blocks
+    // behind until the ContextCleaner happens to run; across 252 query
+    // executions those blocks pile up and later queries pay the memory/GC
+    // bill (round 5's "steady slower than cold" signature). Unpersist
+    // everything between runs — each run rebuilds its own plan, so only
+    // garbage goes — and REPORT what leaked so the leaking operator is
+    // visible, not just its victims.
+    def sweepLeaked(): Int = {
+      val leaked = spark.sparkContext.getPersistentRDDs
+      leaked.values.foreach(_.unpersist(blocking = false))
+      leaked.size
+    }
 
     // Failed queries report NEGATIVE elapsed time so they are visible in
     // BENCH json (a swallowed failure must not look like a fast pass).
@@ -21,7 +76,11 @@ object Bench {
     // first-touch costs, the second is the steady state a long session sees
     // — report both so round-over-round comparison isn't polluted by
     // compile-time noise.
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOne(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Attrib) = {
+      org.apache.spark.sql.GraftShim.waitListenerBus(spark)
+      val (r0, c0, g0, s0, t0n) = acc.snapshot
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -29,15 +88,26 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      if (ok) sec else -sec
+      org.apache.spark.sql.GraftShim.waitListenerBus(spark)
+      val (r1, c1, g1, s1, t1n) = acc.snapshot
+      val leaked = sweepLeaked()
+      val attrib = Attrib((r1 - r0) / 1e3, (c1 - c0) / 1e9, (g1 - g0) / 1e3,
+        (s1 - s0) / 1e6, t1n - t0n, leaked)
+      (if (ok) sec else -sec, attrib)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = timeOne(name, fn)
-      val steady = if (cold < 0) cold else timeOne(name, fn)
-      (name, cold, steady)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = queries.map { case (name, fn) =>
+      val (cold, _) = timeOne(name, fn)
+      val (steady, attrib) =
+        if (cold < 0) (cold, Attrib(0, 0, 0, 0, 0, 0)) else timeOne(name, fn)
+      (name, cold, steady, attrib)
     }
-    def fmtQs(sel: ((String, Double, Double)) => Double) = results
-      .map { case r @ (k, _, _) => "\"" + k + "\":" + sel(r) }
+    def fmtQs(sel: ((String, Double, Double, Attrib)) => Double) = results
+      .map { case r @ (k, _, _, _) => "\"" + k + "\":" + sel(r) }
+      .mkString("{", ",", "}")
+    val attribJson = results
+      .map { case (k, _, _, a) => "\"" + k + "\":" + a.json }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     val totalSteady = results.map(_._3).filter(_ > 0).sum
@@ -70,12 +140,14 @@ object Bench {
         System.err.println(s"[bench] e2e throughput FAILED: ${e.getMessage}"); -1.0
       }
 
-    // attribute q_ann_ivf_topk's wall time: how much was KMeans training
+    // attribute the ANN queries' wall time: training/encode cost
     // (variance-prone) vs the probe plan (regression-prone)
     val ivfTrain = graft.functions.VectorFunctions.lastTrainSec
+    val pqTrain = graft.functions.VectorFunctions.lastPqTrainSec
+    val pqEncode = graft.functions.VectorFunctions.lastPqEncodeSec
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"extract_rows_per_sec":$rps,"total_steady":$totalSteady,"ivf_train_sec":$ivfTrain,"queries":${fmtQs(_._2)},"queries_steady":${fmtQs(_._3)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"extract_rows_per_sec":$rps,"total_steady":$totalSteady,"ivf_train_sec":$ivfTrain,"pq_train_sec":$pqTrain,"pq_encode_sec":$pqEncode,"queries":${fmtQs(_._2)},"queries_steady":${fmtQs(_._3)},"attrib":$attribJson,"sf":"$sfDir"}"""
     println(json)
     // Also persist the artifact ourselves: a tail-capture of stdout can clip
     // the line (it did in round 4) and lose the round-over-round signal.

@@ -73,6 +73,13 @@ object VectorFunctions {
     * separates coarse-quantizer training variance from plan regressions). */
   @volatile var lastTrainSec: Double = -1.0
 
+  /** Wall-clock seconds of the most recent [[trainPq]] fit / [[writePq]]
+    * codes materialization — same bench-attribution purpose as
+    * [[lastTrainSec]]: `q_ann_pq_topk` runs train→encode→persist→probe
+    * end-to-end, and without these its wall time is unattributable. */
+  @volatile var lastPqTrainSec: Double = -1.0
+  @volatile var lastPqEncodeSec: Double = -1.0
+
   /** Nearest-centroid id: a single `aggregate` fold over ONE literal array of
     * (cid, vec) structs — O(nlist) data in a single Literal node, O(1)
     * expression-tree depth, each cosine computed once. (The previous
@@ -229,6 +236,7 @@ object VectorFunctions {
       .getOrElse(throw new IllegalArgumentException("empty corpus"))
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val subDim = dim / m
+    val tTrain0 = System.nanoTime()
     val total = corpus.count()
     val frac = if (total > maxTrainPoints) maxTrainPoints.toDouble / total else 1.0
     val base = corpus.select(unitNorm(col(vecCol)).as("__u"))
@@ -258,6 +266,7 @@ object VectorFunctions {
           }.toSeq
         }
       }), Duration.Inf)
+      lastPqTrainSec = (System.nanoTime() - tTrain0) / 1e9
       PqModel(m, subDim, books)
     } finally { sampled.unpersist(); () }
   }
@@ -323,7 +332,11 @@ object VectorFunctions {
     * projection (Catalyst's CollapseProject duplicates it per lookup —
     * measured 25× on the fully-lazy composition). */
   def writePq(model: PqModel, codes: DataFrame, path: String): Unit = {
+    val t0 = System.nanoTime()
     codes.write.mode("overwrite").parquet(s"$path/codes")
+    // the codes write is where the (lazy) encode actually executes — this
+    // is the honest "encode cost" cut for bench attribution
+    lastPqEncodeSec = (System.nanoTime() - t0) / 1e9
     val sp = codes.sparkSession
     import sp.implicits._
     model.codebooks.zipWithIndex.flatMap { case (book, j) =>
@@ -352,7 +365,14 @@ object VectorFunctions {
     * contract, same as [[bruteForceTopK]]'s broadcast); the corpus scan
     * scores each row by summing m table lookups over its codes (no float
     * vector touched), keeps `rerankDepth` approximate candidates per
-    * query, then reranks exactly on the candidates' raw vectors. */
+    * query, then reranks exactly on the candidates' raw vectors.
+    *
+    * The LUT rides an executor BROADCAST, scored by a primitive-loop
+    * kernel — one Q×m×k copy fetched per executor. The earlier plan-literal
+    * form (`typedlit` + nested element_at) re-serialized the whole LUT
+    * with EVERY task and re-walked three levels of boxed Seqs per code:
+    * linear-in-Q cost in exactly the place batch ANN (thousands of
+    * queries) scales Q. Same model-apply-kernel rule as [[encodePq]]. */
   def pqTopK(model: PqModel, codes: DataFrame, corpus: DataFrame,
              queries: DataFrame, k: Int, rerankDepth: Int = 50,
              idCol: String = "vec_id", vecCol: String = "embedding",
@@ -361,26 +381,33 @@ object VectorFunctions {
     val qRows = queries.select(col(queryIdCol), unitNorm(col(vecCol)))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    // lut(qi)(j)(c) = q̂_j · centroid_{j,c}
-    val luts: Seq[Seq[Seq[Double]]] = qRows.toSeq.map { case (_, qv) =>
-      (0 until model.m).map { j =>
-        val qSub = qv.slice(j * model.subDim, (j + 1) * model.subDim)
+    // lut(qi)(j)(c) = q̂_j · centroid_{j,c} — primitive arrays end to end
+    val luts: Array[Array[Array[Double]]] = qRows.map { case (_, qv) =>
+      Array.tabulate(model.m) { j =>
+        val qSub = qv.slice(j * model.subDim, (j + 1) * model.subDim).toArray
         model.codebooks(j).sortBy(_._1).map { case (_, c, _) =>
-          qSub.lazyZip(c).map((a, b) => a * b.toDouble).sum
-        }
+          var s = 0.0
+          var t = 0
+          while (t < qSub.length) { s += qSub(t) * c(t); t += 1 }
+          s
+        }.toArray
       }
     }
-    val lutLit = typedlit(luts)
     val spark = corpus.sparkSession
     import spark.implicits._
+    val lutBc = spark.sparkContext.broadcast(luts)
+    val adcScore = udf { (qi: Int, codes: Seq[Int]) =>
+      val lut = lutBc.value(qi)
+      var s = 0.0
+      var j = 0
+      while (j < lut.length) { s += lut(j)(codes(j)); j += 1 }
+      s
+    }
     val qDf = broadcast(qRows.zipWithIndex
       .map { case ((qid, _), i) => (qid, i) }.toSeq.toDF(queryIdCol, "__qi"))
     val joinCond = if (excludeSelf) col(queryIdCol) =!= col(idCol) else lit(true)
     val approx = codes.join(qDf, joinCond)
-      .withColumn("__score", aggregate(
-        transform(col("codes"), (c, j) => element_at(
-          element_at(element_at(lutLit, col("__qi") + 1), j + 1), c + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("__score", adcScore(col("__qi"), col("codes")))
     val wA = Window.partitionBy(col(queryIdCol))
       .orderBy(col("__score").desc, col(idCol).asc)
     val candidates = approx

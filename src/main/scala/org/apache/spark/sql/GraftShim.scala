@@ -9,4 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Drain the listener bus (`private[spark]`): after this returns, every
+    * event of already-completed jobs has reached registered listeners —
+    * the bench's per-query stage-metric attribution needs a precise cut
+    * between queries. */
+  def waitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
