@@ -402,18 +402,32 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     val rows = if (countRows) ParquetFooters.totalRows(
       listParquetFiles(spark, newPath.toString),
       spark.sparkContext.hadoopConfiguration) else -1L
-    if (fs.exists(tgt) && !fs.rename(tgt, oldPath))
-      throw new java.io.IOException(s"swap failed: $tgt -> $oldPath")
-    if (!fs.rename(newPath, tgt)) {
-      fs.rename(oldPath, tgt) // roll back
-      throw new java.io.IOException(s"swap failed: $newPath -> $tgt")
-    }
-    // the old copy is deleted only AFTER the new one is verified installed
-    if (!fs.exists(tgt))
-      throw new java.io.IOException(s"swap verification failed: $tgt absent")
-    fs.delete(oldPath, true)
+    installSwap(fs, tgt, newPath, oldPath)
     rows
   }
+
+  /** Double-rename install — shared protocol, see [[graft.util.AtomicDir]]. */
+  private def installSwap(fs: org.apache.hadoop.fs.FileSystem,
+                          tgt: org.apache.hadoop.fs.Path,
+                          newPath: org.apache.hadoop.fs.Path,
+                          oldPath: org.apache.hadoop.fs.Path): Unit =
+    graft.util.AtomicDir.installSwap(fs, tgt, newPath, oldPath)
+
+  /** Atomically REPLACE a derived warehouse table with `df` — the sink for
+    * post-load operators (YAML `post_ops`). Same write-new + double-rename
+    * discipline as [[mergeInto]]: for scd2/fold state the derived copy is
+    * the ONLY copy (history is not rebuildable from the base table), so a
+    * plain overwrite's crash window would be silent data loss. `stateJson`,
+    * when given, commits atomically WITH the data (see
+    * [[graft.util.AtomicDir.replace]]). */
+  def replaceDerived(spark: SparkSession, id: TableId, df: DataFrame,
+                     stateJson: Option[String] = None): Long =
+    graft.util.AtomicDir.replace(spark, targetPath(id), df, compression,
+      stateJson)
+
+  /** The committed post-op state of a derived table (see [[replaceDerived]]). */
+  def readDerivedState(spark: SparkSession, id: TableId): Option[String] =
+    graft.util.AtomicDir.readState(spark, targetPath(id))
 
   /** Per-bucket form of [[recoverSwap]]: restore or clear any `.__old_<b>`
     * backups a crashed bucket swap left inside the target. */
@@ -435,15 +449,8 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     * backup exists. */
   private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
                           live: org.apache.hadoop.fs.Path,
-                          backup: org.apache.hadoop.fs.Path): Unit = {
-    if (!fs.exists(backup)) return
-    if (fs.exists(live)) {
-      fs.delete(backup, true) // install completed; backup is stale
-    } else if (!fs.rename(backup, live)) {
-      throw new java.io.IOException(
-        s"crash recovery failed: could not restore $backup -> $live")
-    }
-  }
+                          backup: org.apache.hadoop.fs.Path): Unit =
+    graft.util.AtomicDir.recoverSwap(fs, live, backup)
 
   /** Bucket-partition column for [[mergeIntoBucketed]] targets. Internal —
     * stripped by [[readTarget]]. */

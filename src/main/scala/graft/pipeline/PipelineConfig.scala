@@ -24,6 +24,24 @@ final case class SinkSettings(
     partitionStrategy: PartitionStrategy = PartitionStrategy.ByTable,
     compression: String = "snappy")
 
+/** One post-load derived-table operator (YAML `tables.<t>.post_ops`) — the
+  * reference's post-load SQL stage as pipeline config: ROW_NUMBER dedup and
+  * "latest status" views run as part of the sync, not as library calls
+  * (settle_orders_download_and_sync.py:275-388, LATEST_STATUS_USAGE.sql:
+  * 17-40); `scd2_apply`/`fold_aggregate` are their incremental
+  * generalizations (history table / materialized rollup kept fresh per
+  * sync). `target` names the derived warehouse table the op maintains. */
+final case class PostOpSpec(
+    op: String,                                // dedup_latest | latest_status
+                                               // | scd2_apply | fold_aggregate
+    target: String,                            // derived output table name
+    keys: Seq[String] = Nil,
+    tsColumn: Option[String] = None,
+    idColumn: Option[String] = None,
+    statusColumn: Option[String] = None,
+    attrColumns: Seq[String] = Nil,
+    sums: Seq[graft.operators.Relational.SumSpec] = Nil)
+
 /** One configured table: scoped name + CDC config + optional rename
   * (YAML `tables.<schema.table>`; ref TableConfig, configuration_manager.py:23-43).
   * `tableType` drives DAG-style phase ordering (D7, ref
@@ -37,9 +55,10 @@ final case class TableSpec(
     countCheck: Boolean = false,               // post-load parity gate (D7)
     mergeKeys: Seq[String] = Nil,              // non-empty → upsert load
                                                // (ref settle_orders DELETE+INSERT)
-    mergeBuckets: Option[Int] = None) {        // bucket-partitioned merge: only
+    mergeBuckets: Option[Int] = None,          // bucket-partitioned merge: only
                                                // buckets containing staged keys
                                                // are rewritten per increment
+    postOps: Seq[PostOpSpec] = Nil) {          // post-load derived tables
   def tableId(connection: String): TableId = {
     val id = TableId.parse(s"$connection:$name")
     targetName.map(t => id.copy(table = t)).getOrElse(id)
@@ -233,6 +252,16 @@ object PipelineConfig {
       }
     }.getOrElse(Nil)
 
+    // derived-table names must be globally unique: two post_ops (or a
+    // post_op and a base table) sharing a warehouse name would silently
+    // overwrite each other's data on every sync
+    val sinkNames = tables.flatMap(t =>
+      (t.targetName.getOrElse(t.name.split("\\.").last) +:
+        t.postOps.map(_.target)))
+    val dup = sinkNames.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"duplicate warehouse table name(s) across tables/post_ops: ${dup.mkString(", ")}")
+
     Pipeline(
       name = str(p, "name", "unnamed"),
       description = str(p, "description", ""),
@@ -279,7 +308,55 @@ object PipelineConfig {
       .flatMap(v => opt(v, "enable_count_check")).exists(_.asBoolean)
     val mergeKeys = opt(n, "merge_keys").map(strOrList).getOrElse(Nil)
     val mergeBuckets = opt(n, "merge_buckets").map(_.asInt)
+    val postOps = opt(n, "post_ops").map(_.elements().asScala.toSeq
+      .map(parsePostOp(name, _))).getOrElse(Nil)
     TableSpec(name, cdc, opt(n, "target_name").map(_.asText), ttype,
-      countCheck, mergeKeys, mergeBuckets)
+      countCheck, mergeKeys, mergeBuckets, postOps)
+  }
+
+  /** Strict per-op validation at PARSE time: a post_op missing its columns
+    * failing only mid-sync (after extract+load committed) would be found
+    * hours later — same strictness rule as the config enums. */
+  private def parsePostOp(table: String, n: JsonNode): PostOpSpec = {
+    def bad(msg: String) = throw new IllegalArgumentException(
+      s"tables.$table.post_ops: $msg")
+    val op = opt(n, "op").map(_.asText.trim.toLowerCase)
+      .getOrElse(bad("entry missing 'op'"))
+    val target = opt(n, "target").map(_.asText.trim).filter(_.nonEmpty)
+      .getOrElse(bad(s"'$op' missing 'target'"))
+    val spec = PostOpSpec(op, target,
+      keys = opt(n, "keys").map(strOrList).getOrElse(Nil),
+      tsColumn = opt(n, "ts_column").map(_.asText),
+      idColumn = opt(n, "id_column").map(_.asText),
+      statusColumn = opt(n, "status_column").map(_.asText),
+      attrColumns = opt(n, "attr_columns").map(strOrList).getOrElse(Nil),
+      sums = opt(n, "sums").map(_.elements().asScala.toSeq.map { s =>
+        graft.operators.Relational.SumSpec(
+          out = opt(s, "out").map(_.asText).getOrElse(bad(s"'$op' sum missing 'out'")),
+          in = opt(s, "in").map(_.asText).getOrElse(bad(s"'$op' sum missing 'in'")),
+          scale = opt(s, "scale").map(_.asInt).getOrElse(2))
+      }).getOrElse(Nil))
+    def need(cond: Boolean, what: String): Unit =
+      if (!cond) bad(s"'$op' (target $target) requires $what")
+    op match {
+      case "dedup_latest" =>
+        need(spec.keys.nonEmpty, "'keys'")
+        need(spec.tsColumn.isDefined && spec.idColumn.isDefined,
+          "'ts_column' and 'id_column'")
+      case "latest_status" =>
+        need(spec.keys.size == 1, "exactly one key in 'keys'")
+        need(spec.statusColumn.isDefined && spec.tsColumn.isDefined &&
+          spec.idColumn.isDefined, "'status_column', 'ts_column', 'id_column'")
+      case "scd2_apply" =>
+        need(spec.keys.nonEmpty, "'keys'")
+        need(spec.tsColumn.isDefined, "'ts_column'")
+        need(spec.attrColumns.nonEmpty, "'attr_columns'")
+      case "fold_aggregate" =>
+        need(spec.keys.nonEmpty, "'keys'")
+        need(spec.sums.nonEmpty, "'sums'")
+      case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
+        " | scd2_apply | fold_aggregate)")
+    }
+    spec
   }
 }

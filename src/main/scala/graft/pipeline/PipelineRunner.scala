@@ -269,6 +269,10 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
               .map(_.redshift_state.total_rows).getOrElse(0L)
             Some(targetRows == wmRows)
           } else None
+        // post-load derived tables (YAML post_ops), still under the
+        // session lock — the reference's post-load SQL stage runs inside
+        // every sync the same way
+        PostOps.run(spark, spec, id, extractor, loader)
         (ext, load, parity)
       }
     } match {
@@ -356,8 +360,13 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     val reports = specs.map { spec =>
       val id = spec.tableId(p)
       val s0 = System.nanoTime()
-      Try(Retry.withBackoff(maxAttempts)(
-        loader.load(spark, id, extractor.stagingDir(id), spec.cdc))) match {
+      Try(Retry.withBackoff(maxAttempts) {
+        val l = loader.load(spark, id, extractor.stagingDir(id), spec.cdc)
+        // load-only drains staged sessions, so the derived tables that
+        // depend on them must refresh here too
+        PostOps.run(spark, spec, id, extractor, loader)
+        l
+      }) match {
         case Success(l) => TableReport(id, ok = true, None, Some(l), None,
           (System.nanoTime() - s0) / 1e9)
         case Failure(e) => TableReport(id, ok = false, None, None,

@@ -210,6 +210,69 @@ object StreamingPipeline {
   def readStreamingTarget(spark: SparkSession, targetDir: String) =
     spark.read.parquet(targetDir)
 
+  /** Streaming materialized-view maintenance: fold each micro-batch of a
+    * staged stream into a persisted [[graft.operators.Relational.foldAggregate]]
+    * state, so the rollup the batch `post_ops` maintain stays fresh under
+    * the streaming load path too. Exactly-once: `foreachBatch` can REPLAY a
+    * batch after a crash (its checkpoint commits after the function
+    * returns), so the folded batch id commits atomically WITH the state
+    * ([[graft.util.AtomicDir.replace]]) and a replayed id is skipped — the
+    * canonical idempotent-foreachBatch discipline. Returns the post-run
+    * state. */
+  def streamingFoldAggregate(spark: SparkSession, stagingDir: String,
+                             statePath: String, checkpointDir: String,
+                             keys: Seq[String],
+                             sums: Seq[graft.operators.Relational.SumSpec])
+      : DataFrame =
+    streamingFold(spark, stagingDir, statePath, checkpointDir)(
+      (prev, batch) =>
+        graft.operators.Relational.foldAggregate(prev, batch, keys, sums))
+
+  /** Streaming SCD2 history maintenance — same exactly-once foreachBatch
+    * harness as [[streamingFoldAggregate]], folding each micro-batch into
+    * the slowly-changing-dimension history
+    * ([[graft.operators.Relational.scd2Apply]]). */
+  def streamingScd2(spark: SparkSession, stagingDir: String,
+                    statePath: String, checkpointDir: String,
+                    keys: Seq[String], tsCol: String,
+                    attrCols: Seq[String]): DataFrame =
+    streamingFold(spark, stagingDir, statePath, checkpointDir)(
+      (prev, batch) =>
+        graft.operators.Relational.scd2Apply(prev, batch, keys, tsCol, attrCols))
+
+  private def streamingFold(spark: SparkSession, stagingDir: String,
+                            statePath: String, checkpointDir: String)(
+      fold: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {
+    import graft.util.AtomicDir
+    val schema = spark.read.parquet(stagingDir).schema
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(streamSourceDir(stagingDir, checkpointDir))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val folded = AtomicDir.readState(spark, statePath)
+          .flatMap("\"folded_batch\"\\s*:\\s*\"(-?\\d+)\"".r.findFirstMatchIn(_))
+          .flatMap(_.group(1).toLongOption).getOrElse(-1L)
+        if (batchId > folded) {
+          val fs = new org.apache.hadoop.fs.Path(statePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val prev =
+            if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+              Some(spark.read.parquet(statePath))
+            else None
+          AtomicDir.replace(spark, statePath, fold(prev, batch),
+            stateJson = Some(s"""{"folded_batch":"$batchId"}"""))
+          ()
+        } // replayed batch: already folded, skip (exactly-once)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(statePath)
+  }
+
   /** Gap-based sessions via Spark's NATIVE `session_window` (works identically
     * in batch and streaming): session end = last event + gap, per the
     * operator's semantics (unlike [[sessionize]], whose end = last event).

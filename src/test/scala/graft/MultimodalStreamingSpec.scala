@@ -334,6 +334,39 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
       s"re-run changed the totals: $first -> $second")
   }
 
+  test("streaming fold maintenance: micro-batches fold to the batch result, exactly once") {
+    val s = spark; import s.implicits._
+    import graft.operators.Relational
+    val dir = tmpDir("sfold")
+    val staging = s"$dir/staged"
+    val statePath = s"$dir/state"
+    val ckpt = s"$dir/ckpt"
+    val sums = Seq(Relational.SumSpec("sum_v", "v", 2))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      Relational.readAggState(df, sums).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    Seq((1L, "a", 1.5), (2L, "b", 2.0), (3L, "a", 0.5))
+      .toDF("id", "grp", "v").write.parquet(staging)
+    val s1 = StreamingPipeline.streamingFoldAggregate(
+      spark, staging, statePath, ckpt, Seq("grp"), sums)
+    assert(asMap(s1) == Map("a" -> ((2L, 2.0)), "b" -> ((1L, 2.0))))
+    // second micro-batch: new staged files drain into the same state
+    Seq((4L, "a", 3.0), (5L, "c", 1.0))
+      .toDF("id", "grp", "v").write.mode("append").parquet(staging)
+    val s2 = StreamingPipeline.streamingFoldAggregate(
+      spark, staging, statePath, ckpt, Seq("grp"), sums)
+    // two micro-batches must equal the one-shot BATCH fold of all rows
+    val direct = Relational.foldAggregate(None,
+      spark.read.parquet(staging), Seq("grp"), sums)
+    assert(asMap(s2) == asMap(direct))
+    assert(asMap(s2) == Map("a" -> ((3L, 5.0)), "b" -> ((1L, 2.0)),
+      "c" -> ((1L, 1.0))))
+    // a third run with nothing staged folds nothing (exactly-once)
+    val s3 = StreamingPipeline.streamingFoldAggregate(
+      spark, staging, statePath, ckpt, Seq("grp"), sums)
+    assert(asMap(s3) == asMap(s2))
+  }
+
   test("single-file staging refuses a stale non-symlink squatting on the link path") {
     // a stale REGULAR file at the link path means the source would stream
     // whatever it holds instead of the caller's input — must fail loudly,

@@ -145,6 +145,138 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       spark.read.parquet(s"$sfDir/events.parquet").count())
   }
 
+  test("post_ops views: dedup_latest + latest_status maintained by the sync") {
+    val y =
+      s"""pipeline:
+         |  name: "postops_views"
+         |  source: "$sfDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.orders:
+         |    cdc_strategy: "full_sync"
+         |    post_ops:
+         |      - op: dedup_latest
+         |        target: orders_latest
+         |        keys: [o_custkey]
+         |        ts_column: o_orderdate
+         |        id_column: o_orderkey
+         |      - op: latest_status
+         |        target: orders_status
+         |        keys: o_custkey
+         |        status_column: o_orderstatus
+         |        ts_column: o_orderdate
+         |        id_column: o_orderkey
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("postops_v"))
+    val r = runner.sync(p)
+    assert(r.allOk, r.tables.flatMap(_.error).mkString(";"))
+    val (_, _, loader) = runner.rigFor(p)
+    val baseId = p.tables.head.tableId(p)
+    val base = loader.readTarget(spark, baseId).get
+    // derived tables must equal the direct operator application
+    val latest = loader.readTarget(spark, baseId.copy(table = "orders_latest")).get
+    val expectLatest = graft.operators.Relational.dedupLatestByTs(
+      base, Seq("o_custkey"), "o_orderdate", "o_orderkey")
+    assert(latest.count() == expectLatest.count() &&
+      latest.exceptAll(expectLatest).isEmpty &&
+      expectLatest.exceptAll(latest).isEmpty)
+    val status = loader.readTarget(spark, baseId.copy(table = "orders_status")).get
+    val expectStatus = graft.operators.Relational.latestStatusSummary(
+      base, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+    assert(status.collect().map(_.toSeq).toSet ==
+      expectStatus.collect().map(_.toSeq).toSet)
+  }
+
+  test("post_ops folds: scd2 history and rollup stay fresh, exactly once") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("postops_src")
+    def writeRows(rows: Seq[(Long, Long, String, Double)], mode: String): Unit =
+      rows.toDF("event_id", "k", "status", "amount")
+        .write.mode(mode).parquet(s"$srcDir/facts.parquet")
+    val inc1 = Seq((1L, 1L, "open", 10.0), (2L, 2L, "open", 5.0),
+      (3L, 1L, "open", 2.5))
+    writeRows(inc1, "errorifexists")
+    val y =
+      s"""pipeline:
+         |  name: "postops_folds"
+         |  source: "$srcDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.facts:
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "event_id"
+         |    post_ops:
+         |      - op: fold_aggregate
+         |        target: facts_rollup
+         |        keys: [k]
+         |        sums:
+         |          - {out: sum_amount, in: amount, scale: 2}
+         |      - op: scd2_apply
+         |        target: facts_history
+         |        keys: [k]
+         |        ts_column: event_id
+         |        attr_columns: [status]
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("postops_f"))
+    assert(runner.sync(p).allOk)
+    val (_, _, loader) = runner.rigFor(p)
+    val baseId = p.tables.head.tableId(p)
+    def rollup() = loader.readTarget(spark, baseId.copy(table = "facts_rollup"))
+      .get.collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[java.math.BigDecimal]("sum_amount")
+          .doubleValue))).toMap
+    assert(rollup() == Map(1L -> ((2L, 12.5)), 2L -> ((1L, 5.0))))
+    // increment: k=1 changes status (new history version), more amounts
+    writeRows(Seq((4L, 1L, "done", 1.5), (5L, 3L, "open", 7.0)), "append")
+    assert(runner.sync(p).allOk)
+    assert(rollup() == Map(1L -> ((3L, 14.0)), 2L -> ((1L, 5.0)),
+      3L -> ((1L, 7.0))))
+    val hist = loader.readTarget(spark, baseId.copy(table = "facts_history")).get
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("status"),
+        r.getAs[Long]("valid_from"), Option(r.getAs[java.lang.Long]("valid_to"))))
+      .toSet
+    assert(hist == Set(
+      (1L, "open", 3L, Some(java.lang.Long.valueOf(4L))), // closed by the change
+      (1L, "done", 4L, None),
+      (2L, "open", 2L, None),
+      (3L, "open", 5L, None)), s"history was: $hist")
+    // third sync, NO new rows: folds must be exactly-once no-ops
+    assert(runner.sync(p).allOk)
+    assert(rollup() == Map(1L -> ((3L, 14.0)), 2L -> ((1L, 5.0)),
+      3L -> ((1L, 7.0))), "re-run must not double-fold")
+  }
+
+  test("post_ops config: strict validation at parse time") {
+    def parse(postOps: String) = PipelineConfig.fromString(
+      s"""pipeline:
+         |  name: "x"
+         |  source: "s"
+         |tables:
+         |  fx.t:
+         |    cdc_strategy: "full_sync"
+         |    post_ops:
+         |$postOps
+         |""".stripMargin)
+    intercept[IllegalArgumentException](parse(
+      "      - op: frobnicate\n        target: t2"))
+    intercept[IllegalArgumentException](parse(
+      "      - op: dedup_latest\n        target: t2"))         // missing cols
+    intercept[IllegalArgumentException](parse(
+      "      - op: fold_aggregate\n        target: t2\n        keys: [k]"))
+    // duplicate sink name across table + post_op
+    intercept[IllegalArgumentException](parse(
+      "      - op: dedup_latest\n        target: t\n        keys: [k]\n" +
+        "        ts_column: ts\n        id_column: id"))
+    // a valid one parses
+    val ok = parse(
+      "      - op: dedup_latest\n        target: t_latest\n        keys: [k]\n" +
+        "        ts_column: ts\n        id_column: id")
+    assert(ok.tables.head.postOps.head.target == "t_latest")
+  }
+
   test("ceiling guard: rows arriving after session start don't extend the extract") {
     // the reference snapshots MAX(id) at sync start so a writer racing the
     // extract can't extend the session indefinitely (row_based.py:278-292);
