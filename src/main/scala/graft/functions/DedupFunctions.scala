@@ -366,6 +366,31 @@ object DedupFunctions {
       docs(idCol) === nonRepresentatives("id"), "left_anti")
   }
 
+  /** Keep the BEST-quality representative per near-duplicate cluster —
+    * the quality-aware alternative to [[dropNearDuplicateClusters]]'s
+    * min-id convention: within a cluster the max `scoreCol` survives, ties
+    * broken by min id. The standard curation choice when near-copies
+    * differ in extraction quality (keep the cleanest copy, not the
+    * arbitrary first one). Docs in no pair survive untouched.
+    *
+    * Scale: labels are CANDIDATE-scale; the unclustered branch is one left
+    * join with NO corpus shuffle (the label side broadcasts under AQE),
+    * and only cluster MEMBERS — a tiny fraction of a healthy corpus — pay
+    * the within-cluster rank. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                         scoreCol: Column): DataFrame = {
+    val labels = duplicateClusters(pairs).withColumnRenamed("id", "__cid")
+    val keyed = docs.join(labels, docs(idCol) === labels("__cid"), "left")
+      .drop("__cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(scoreCol.desc, col(idCol).asc)
+    keyed.filter(col("cluster").isNull).drop("cluster")
+      .unionByName(keyed.filter(col("cluster").isNotNull)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "cluster"))
+  }
+
   /** Leakage-aware train/validation split: every document inherits the
     * split of its near-duplicate CLUSTER representative, so two near-copies
     * can never land on opposite sides (per-doc hash splitting leaks eval

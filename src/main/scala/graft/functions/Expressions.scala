@@ -281,20 +281,31 @@ case class DotProd(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  // any fixed-width numeric element: float/double embeddings, AND the
+  // integral code arrays of the quantized ANN paths (int8 scalar
+  // quantization dots two tinyint vectors — exact in double up to 2^53)
   private def elemOk(t: DataType): Boolean = t match {
-    case ArrayType(FloatType | DoubleType, _) => true
+    case ArrayType(ByteType | ShortType | IntegerType | LongType |
+                   FloatType | DoubleType, _) => true
     case _ => false
   }
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemOk(left.dataType) && elemOk(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"dot_prod expects ARRAY<FLOAT|DOUBLE>, got " +
+      s"dot_prod expects arrays of a fixed-width numeric type, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
 
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def getD(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType   => a.getFloat(i).toDouble
+    case DoubleType  => a.getDouble(i)
+    case ByteType    => a.getByte(i).toDouble
+    case ShortType   => a.getShort(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case _           => a.getLong(i).toDouble
   }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -304,20 +315,27 @@ case class DotProd(left: Expression, right: Expression)
     val n = a.numElements()
     var acc = 0.0
     var i = 0
-    val lf = isFloat(left); val rf = isFloat(right)
+    val lt = elemType(left); val rt = elemType(right)
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
+      acc += getD(a, i, lt) * getD(b, i, rt)
       i += 1
     }
     acc
   }
 
+  private def getter(t: DataType): String = t match {
+    case FloatType   => "(double)%s.getFloat(%s)"
+    case DoubleType  => "%s.getDouble(%s)"
+    case ByteType    => "(double)%s.getByte(%s)"
+    case ShortType   => "(double)%s.getShort(%s)"
+    case IntegerType => "(double)%s.getInt(%s)"
+    case _           => "(double)%s.getLong(%s)"
+  }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val getA = if (isFloat(left)) "(double)%s.getFloat(%s)" else "%s.getDouble(%s)"
-    val getB = if (isFloat(right)) "(double)%s.getFloat(%s)" else "%s.getDouble(%s)"
+    val getA = getter(elemType(left))
+    val getB = getter(elemType(right))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")

@@ -430,6 +430,66 @@ object VectorFunctions {
   }
 
   // --------------------------------------------------------------------------
+  // Scalar quantization (int8) — the exact-arithmetic compression point
+  // --------------------------------------------------------------------------
+
+  /** Per-dimension symmetric int8 scales: s_d = max|x_d| / 127 over the
+    * corpus — ONE narrow posexplode pass, `dim` doubles to the driver.
+    * This is the 4× point on the ANN compression spectrum (PQ is the 32×
+    * point), and unlike PQ's KMeans the whole path is IEEE-deterministic:
+    * train, encode and ADC scoring reproduce bit-exactly in any engine, so
+    * the driver query carries a FULL value oracle — the only compressed-ANN
+    * path that can. */
+  def trainSq(corpus: DataFrame, vecCol: String = "embedding"): Array[Double] = {
+    val rows = corpus.select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(max(abs(col("x").cast("double"))).as("m"))
+      .collect()
+    require(rows.nonEmpty, "empty corpus")
+    val dim = rows.map(_.getInt(0)).max + 1
+    val scales = new Array[Double](dim)
+    // dead dimension (all zeros): any positive scale maps 0 → code 0; the
+    // 1e-30 floor is mirrored LITERALLY by the oracle SQL
+    rows.foreach(r =>
+      scales(r.getInt(0)) = math.max(r.getDouble(1) / 127.0, 1e-30))
+    scales
+  }
+
+  /** Encode to int8 codes: q_d = clamp(floor(x_d/s_d + 0.5), −127, 127),
+    * stored as `array<tinyint>` — 1 byte per dimension, 4× down from
+    * float32; the ANN scan then reads codes only. floor(+0.5) instead of
+    * round(): round's half-tie rule is the one place engines disagree,
+    * floor is IEEE-identical everywhere. */
+  def encodeSq(corpus: DataFrame, scales: Array[Double],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val sLit = typedlit(scales.toSeq)
+    corpus.select(col(idCol),
+      transform(col(vecCol), (x, i) =>
+        greatest(lit(-127), least(lit(127),
+          floor(x.cast("double") / element_at(sLit, i + lit(1)) + lit(0.5))
+            .cast("int"))).cast("byte")).as("codes"))
+  }
+
+  /** Int8 ADC top-k: the integer dot product of code vectors ranks
+    * neighbors (exact in double — |score| ≤ dim·127²), query codes ride a
+    * broadcast, ties break on id. Same contract as [[bruteForceTopK]] but
+    * the scan touches 1 byte/dim instead of 4. */
+  def sqTopK(codes: DataFrame, queryCodes: DataFrame, k: Int,
+             idCol: String = "vec_id", queryIdCol: String = "query_id",
+             excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queryCodes.select(col(queryIdCol), col("codes").as("__qc")))
+    val joinCond = if (excludeSelf) col(queryIdCol) =!= col(idCol) else lit(true)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    codes.join(q, joinCond)
+      .withColumn("score", dot(col("codes"), col("__qc")).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("rank"),
+        col("score"))
+  }
+
+  // --------------------------------------------------------------------------
   // Embedding-cosine near-duplicate pairs
   // --------------------------------------------------------------------------
 

@@ -53,6 +53,10 @@ final case class TableSpec(
     targetName: Option[String] = None,
     tableType: TableType = TableType.Fact,
     countCheck: Boolean = false,               // post-load parity gate (D7)
+    sourceCountCheck: Boolean = false,         // source-vs-target count gate
+                                               // (A4; snapshot/append-only
+                                               // tables — updates break the
+                                               // equality by design)
     mergeKeys: Seq[String] = Nil,              // non-empty → upsert load
                                                // (ref settle_orders DELETE+INSERT)
     mergeBuckets: Option[Int] = None,          // bucket-partitioned merge: only
@@ -306,12 +310,14 @@ object PipelineConfig {
     }
     val countCheck = opt(n, "validation")
       .flatMap(v => opt(v, "enable_count_check")).exists(_.asBoolean)
+    val sourceCountCheck = opt(n, "validation")
+      .flatMap(v => opt(v, "enable_source_count_check")).exists(_.asBoolean)
     val mergeKeys = opt(n, "merge_keys").map(strOrList).getOrElse(Nil)
     val mergeBuckets = opt(n, "merge_buckets").map(_.asInt)
     val postOps = opt(n, "post_ops").map(_.elements().asScala.toSeq
       .map(parsePostOp(name, _))).getOrElse(Nil)
     TableSpec(name, cdc, opt(n, "target_name").map(_.asText), ttype,
-      countCheck, mergeKeys, mergeBuckets, postOps)
+      countCheck, sourceCountCheck, mergeKeys, mergeBuckets, postOps)
   }
 
   /** Strict per-op validation at PARSE time: a post_op missing its columns

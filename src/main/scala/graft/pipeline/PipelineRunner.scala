@@ -49,12 +49,21 @@ trait SourceCatalog {
           org.apache.spark.sql.functions.col(idCol)).cast("long")).head()
       if (row.isNullAt(0)) None else Some(row.getLong(0))
     }
+
+  /** Source row count for the optional source-vs-target parity gate
+    * (`validation.enable_source_count_check`; ref count validation,
+    * base.py:1360-1399). Catalogs override with pushed/metadata-only
+    * forms; the default is a Spark count — correct everywhere, a scan on
+    * live sources. */
+  def sourceRowCount(spark: SparkSession, spec: TableSpec): Long =
+    table(spark, spec).count()
 }
 
 /** File-based catalog: `{root}/{table}.{ext}` in the configured format.
-  * `parquet` is the fixture/warehouse norm; `json` (JSONL) and `csv` cover
-  * the common training-data delivery formats — the same CDC predicates and
-  * load path apply unchanged. */
+  * `parquet` is the fixture/warehouse norm; `orc` the other columnar
+  * warehouse staple; `json` (JSONL) and `csv` cover the common
+  * training-data delivery formats — the same CDC predicates and load path
+  * apply unchanged. */
 final class FileCatalog(root: String, format: String = "parquet",
                         nanosAsLong: Boolean = false) extends SourceCatalog {
   def table(spark: SparkSession, spec: TableSpec,
@@ -68,13 +77,15 @@ final class FileCatalog(root: String, format: String = "parquet",
         if (nanosAsLong)
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$root/$bare.parquet")
+      case "orc" =>
+        spark.read.orc(s"$root/$bare.orc")
       case "json" =>
         spark.read.json(s"$root/$bare.json")
       case "csv" =>
         spark.read.option("header", "true").option("inferSchema", "true")
           .csv(s"$root/$bare.csv")
       case other => throw new IllegalArgumentException(
-        s"unknown source_format: '$other' (parquet | json | csv)")
+        s"unknown source_format: '$other' (parquet | orc | json | csv)")
     }
   }
 
@@ -94,6 +105,16 @@ final class FileCatalog(root: String, format: String = "parquet",
         footerMax.orElse(super.snapshotCeiling(spark, spec))
       case _ => super.snapshotCeiling(spark, spec)
     }
+
+  /** Parquet sources answer the count gate from FOOTERS — zero jobs. */
+  override def sourceRowCount(spark: SparkSession, spec: TableSpec): Long =
+    if (format == "parquet") {
+      val bare = spec.name.split("\\.").last
+      val conf = spark.sparkContext.hadoopConfiguration
+      graft.util.ParquetFooters.totalRows(
+        graft.util.FsListing
+          .parquetFilesMeta(s"$root/$bare.parquet", conf).map(_._1), conf)
+    } else super.sourceRowCount(spark, spec)
 }
 
 /** Back-compat alias for the parquet fixture layout. */
@@ -133,6 +154,10 @@ final class JdbcCatalog(url: String, numPartitions: Int = 32) extends SourceCata
   override def snapshotCeiling(spark: SparkSession, spec: TableSpec): Option[Long] =
     spec.cdc.idColumn.flatMap(idCol =>
       source.maxId(TableId.parse(spec.name), idCol))
+
+  /** Count gate as a pushed `SELECT COUNT(*)` — one source-side row. */
+  override def sourceRowCount(spark: SparkSession, spec: TableSpec): Long =
+    source.rowCount(TableId.parse(spec.name))
 }
 
 /** Composes Extractor → Loader over a configured table set — the engine's
@@ -261,7 +286,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
         // cumulative counter (which counts every staged row, updates
         // included) legitimately exceeds the warehouse count — the gate
         // would false-fail every merge table after its first update row
-        val parity: Option[Boolean] =
+        val wmParity: Option[Boolean] =
           if (spec.countCheck && !spec.cdc.requiresTruncateBeforeLoad &&
               spec.mergeKeys.isEmpty) {
             val targetRows = loader.targetRowCount(spark, id)
@@ -269,6 +294,19 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
               .map(_.redshift_state.total_rows).getOrElse(0L)
             Some(targetRows == wmRows)
           } else None
+        // A4 source-vs-target count gate (ref base.py:1360-1399): pushed
+        // COUNT(*) on JDBC, footer rows on parquet — valid for snapshot
+        // (full-sync replace) and append-only tables, where the counts are
+        // expected equal after every sync
+        val srcParity: Option[Boolean] =
+          if (spec.sourceCountCheck)
+            Some(cat.sourceRowCount(spark, spec) ==
+              loader.targetRowCount(spark, id))
+          else None
+        val parity: Option[Boolean] = (wmParity, srcParity) match {
+          case (None, None) => None
+          case (a, b) => Some(a.forall(identity) && b.forall(identity))
+        }
         // post-load derived tables (YAML post_ops), still under the
         // session lock — the reference's post-load SQL stage runs inside
         // every sync the same way

@@ -439,6 +439,50 @@ object LlmQueries {
              |LEFT JOIN labels l ON d.doc_id = l.id
              |WHERE l.id IS NULL OR l.cluster = d.doc_id""".stripMargin)),
 
+    // --------------------------------------- quality-aware cluster dedup
+    // Same pair graph, but the LONGEST text per cluster survives (tie →
+    // min id) instead of the arbitrary min-id copy — the curation variant
+    // that keeps the cleanest extraction. Oracle: same recursive closure,
+    // per-cluster argmax by (length DESC, id ASC).
+    Q("q_dedup_keep_best",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val pairs = DedupFunctions.minhashNearDuplicates(
+          docs, "doc_id", "text", threshold = 0.9)
+        DedupFunctions.keepBestPerCluster(docs, pairs, "doc_id",
+          length(col("text")))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""WITH RECURSIVE sh AS MATERIALIZED (
+             |  SELECT doc_id, $shinglesSql AS s
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+             |  WHERE len(s) > 0),
+             |pairs AS MATERIALIZED (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.s, b.s)) /
+             |      len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+             |edges AS MATERIALIZED (
+             |          SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |labels AS (
+             |  SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+             |  FROM reach GROUP BY src),
+             |best AS (
+             |  SELECT id FROM (
+             |    SELECT l.id, ROW_NUMBER() OVER (PARTITION BY l.cluster
+             |      ORDER BY length(d.text) DESC, l.id ASC) AS rn
+             |    FROM labels l JOIN documents d ON l.id = d.doc_id)
+             |  WHERE rn = 1)
+             |SELECT d.doc_id, d.lang, d.source FROM documents d
+             |LEFT JOIN labels l ON d.doc_id = l.id
+             |WHERE l.id IS NULL OR d.doc_id IN (SELECT id FROM best)"""
+        .stripMargin)),
+
     // ------------------------------------ leakage-aware cluster split
     // Near-dup clusters (same pair graph as q_dedup_cluster_drop) inherit
     // one split from their min-id representative; the oracle closes the
@@ -961,6 +1005,44 @@ object LlmQueries {
              |  FROM embeddings e CROSS JOIN q
              |  WHERE e.vec_id <> q.query_id)
              |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
+             |FROM scored WHERE rank <= 10""".stripMargin)),
+
+    // ------------------------------------------ int8 scalar-quantized ANN
+    // Per-dim symmetric scales, floor(+0.5) clamp encode, integer-dot ADC
+    // ranking — every step IEEE-deterministic, so unlike IVF/PQ this
+    // compressed path carries a FULL value oracle.
+    Q("q_ann_sq_topk",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val scales = VectorFunctions.trainSq(emb)
+        val codes = VectorFunctions.encodeSq(emb, scales)
+        val qc = codes.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("codes"))
+        VectorFunctions.sqTopK(codes, qc, k = 10)
+      },
+      Some("""WITH sc AS (
+             |  SELECT list(GREATEST(m/127.0, 1e-30) ORDER BY d) AS sv FROM (
+             |    SELECT d, MAX(ABS(CAST(x AS DOUBLE))) AS m
+             |    FROM (SELECT unnest(embedding) AS x,
+             |                 generate_subscripts(embedding, 1) AS d
+             |          FROM embeddings)
+             |    GROUP BY d)),
+             |codes AS (
+             |  SELECT vec_id,
+             |    list_transform(range(1, 65), i -> GREATEST(-127, LEAST(127,
+             |      CAST(FLOOR(CAST(embedding[i] AS DOUBLE)/sv[i] + 0.5)
+             |           AS BIGINT)))) AS c
+             |  FROM embeddings, sc),
+             |q AS (SELECT vec_id AS query_id, c AS qc FROM codes
+             |      WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    CAST(list_dot_product(e.c, q.qc) AS BIGINT) AS score,
+             |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+             |      ORDER BY list_dot_product(e.c, q.qc) DESC,
+             |               e.vec_id ASC) AS rank
+             |  FROM codes e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+             |SELECT query_id, neighbor_id, rank, score
              |FROM scored WHERE rank <= 10""".stripMargin)),
 
     // -------------------------------------------- embedding-cosine near-dup

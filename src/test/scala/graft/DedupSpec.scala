@@ -234,6 +234,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 7L, 9L))
   }
 
+  test("keepBestPerCluster: max score survives, ties break to min id") {
+    val s = spark
+    import s.implicits._
+    // components {1,2,3,4} and {7,8}; 9 unpaired. Scores pick 3 from the
+    // first (strictly best) and 7 from the second (tie with 8 → min id).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val corpus = Seq((1L, 10.0), (2L, 30.0), (3L, 99.0), (4L, 50.0),
+      (7L, 5.0), (8L, 5.0), (9L, 0.0)).toDF("doc_id", "quality")
+    val kept = DedupFunctions.keepBestPerCluster(
+      corpus, pairs, "doc_id", col("quality"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 7L, 9L), s"kept: $kept")
+    // schema preserved, no helper columns leak
+    assert(DedupFunctions.keepBestPerCluster(
+      corpus, pairs, "doc_id", col("quality")).columns.toSeq ==
+      Seq("doc_id", "quality"))
+  }
+
   test("repeated spans: cross-doc verbatim windows merge and scrub exactly") {
     val s = spark
     import s.implicits._

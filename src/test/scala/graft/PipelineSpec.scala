@@ -498,13 +498,14 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("source_format YAML key syncs JSONL and CSV sources") {
+  test("source_format YAML key syncs ORC, JSONL and CSV sources") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
       .select("event_id", "user_id", "event_type", "value")
     val n = events.count()
-    for (fmt <- Seq("json", "csv")) {
+    for (fmt <- Seq("orc", "json", "csv")) {
       val srcDir = tmpDir(s"fmt_$fmt")
       fmt match {
+        case "orc" => events.write.mode("overwrite").orc(s"$srcDir/events.orc")
         case "json" => events.write.mode("overwrite").json(s"$srcDir/events.json")
         case "csv" => events.write.mode("overwrite").option("header", "true")
           .csv(s"$srcDir/events.csv")
@@ -527,6 +528,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       // incremental semantics hold regardless of source format
       assert(runner.sync(p).totalRows == 0, s"$fmt cursor did not advance")
     }
+  }
+
+  test("source count gate: metadata-only counts pass clean syncs, catch divergence") {
+    val y =
+      s"""pipeline:
+         |  name: "srccount"
+         |  source: "$sfDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.region:
+         |    cdc_strategy: "full_sync"
+         |    validation:
+         |      enable_source_count_check: true
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    assert(p.tables.head.sourceCountCheck)
+    val runner = new PipelineRunner(spark, tmpDir("srccount"))
+    val clean = runner.sync(p)
+    assert(clean.allOk && clean.tables.head.parityOk.contains(true))
+    // a catalog whose source count diverges from the loaded target must
+    // fail the gate (stands in for rows changing between scan and count)
+    val inner = new FileCatalog(sfDir)
+    val lying = new SourceCatalog {
+      def table(sp: org.apache.spark.sql.SparkSession, spec: TableSpec,
+                cursor: graft.cdc.Cursor): org.apache.spark.sql.DataFrame =
+        inner.table(sp, spec, cursor)
+      override def sourceRowCount(sp: org.apache.spark.sql.SparkSession,
+                                  spec: TableSpec): Long =
+        inner.sourceRowCount(sp, spec) + 1
+    }
+    val bad = runner.sync(p, catalog = Some(lying))
+    assert(!bad.allOk && bad.tables.head.parityOk.contains(false))
   }
 
   test("s3.compression YAML key reaches the staged and warehouse files") {
