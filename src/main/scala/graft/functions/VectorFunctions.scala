@@ -619,6 +619,62 @@ object VectorFunctions {
         array_sort(collect_list(struct(col("pos"), col("mean_v")))),
         s => s.getField("mean_v")).as("centroid"))
 
+  // --------------------------------------------------------------------------
+  // Semantic deduplication (SemDeDup, Abbas et al. 2023)
+  // --------------------------------------------------------------------------
+
+  /** Assign every vector to its nearest LEADER by cosine (ties → min leader
+    * id). Leaders are the `kLeaders` vectors with the smallest
+    * `md5(cast(id as string))` — a deterministic, engine-portable pick (the
+    * repo's split/sampling convention), unlike KMeans centroids whose random
+    * init DuckDB cannot replay. One-pass assignment, NO iteration: this is
+    * the clustering stage of semantic dedup, where cluster quality only
+    * gates how much all-pairs work survives, not correctness.
+    *
+    * Scale: leaders are TakeOrdered'd (k rows, never a full sort) and ride a
+    * broadcast; assignment is a map-side broadcast join fanning each row to
+    * k candidates, and partial `max_by` collapses them back to one row per
+    * vector BEFORE the exchange — the shuffle carries n rows, not n×k.
+    * Returns the input plus `leader_id`. */
+  def assignLeaders(corpus: DataFrame, kLeaders: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val leaders = broadcast(
+      corpus.orderBy(md5(col(idCol).cast("string")), col(idCol))
+        .limit(kLeaders)
+        .select(col(idCol).as("__leader_id"), col(vecCol).as("__lvec")))
+    val best = corpus.select(col(idCol), col(vecCol))
+      .join(leaders, lit(true))
+      .withColumn("__cos", cosine(col(vecCol), col("__lvec")))
+      .groupBy(col(idCol))
+      .agg(max_by(col("__leader_id"),
+        struct(col("__cos"), negate(col("__leader_id")))).as("leader_id"))
+    corpus.join(best, idCol)
+  }
+
+  /** SemDeDup (Abbas et al. 2023): cluster embeddings, compare pairs ONLY
+    * within a cluster, keep one representative (min id) per near-duplicate
+    * connected component. The 100 TB shape for embedding-space dedup:
+    * [[assignLeaders]] bounds pairwise work to O(Σ cluster²) instead of
+    * O(n²), exact cosine decides inside each cluster, and the component
+    * closure reuses [[graft.functions.DedupFunctions.duplicateClusters]]'s
+    * candidate-scale label propagation. Cross-cluster near-dups are missed
+    * by construction — the SemDeDup trade, recall bought back by raising
+    * `kLeaders` quality (finer clusters → smaller blocks → cheaper pairs,
+    * but more boundary misses).
+    *
+    * Deterministic end-to-end (md5 leaders, exact cosine, min-id reps), so
+    * the whole pipeline carries a full value oracle. Returns surviving rows
+    * of `corpus` unchanged. */
+  def semanticDedup(corpus: DataFrame, kLeaders: Int, threshold: Double,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignLeaders(corpus, kLeaders, idCol, vecCol)
+    val pairs = cosineNearDuplicates(assigned, threshold, idCol, vecCol,
+      blockCol = Some("leader_id"))
+    DedupFunctions.dropNearDuplicateClusters(corpus, pairs, idCol)
+  }
+
   private implicit class ListOps[T](l: List[T]) {
     def asJava: java.util.List[T] = {
       val out = new java.util.ArrayList[T](l.size)

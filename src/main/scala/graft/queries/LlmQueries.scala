@@ -1068,6 +1068,52 @@ object LlmQueries {
         Tables.df(s, dir, "embeddings"), threshold = 0.5),
       None),
 
+    // ------------------------------- semantic dedup (SemDeDup, Abbas 2023)
+    // Deterministic md5-leader clustering bounds pairwise cosine to within-
+    // cluster blocks; one representative (min id) survives per near-dup
+    // component. Every stage is engine-reproducible, so unlike KMeans-based
+    // semantic dedup this carries a FULL value oracle: DuckDB re-derives the
+    // leaders, replays the argmax assignment, and closes the pair graph with
+    // the same recursive CTE as the MinHash cluster oracles.
+    Q("q_semantic_dedup",
+      (s, dir) => VectorFunctions.semanticDedup(
+        Tables.df(s, dir, "embeddings"), kLeaders = 16, threshold = 0.4)
+        .select(col("vec_id"), col("label")),
+      Some("""WITH RECURSIVE leaders AS MATERIALIZED (
+             |  SELECT vec_id AS leader_id, embedding FROM embeddings
+             |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             |assign AS MATERIALIZED (
+             |  SELECT e.vec_id, l.leader_id,
+             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+             |                 l.embedding::DOUBLE[]) DESC,
+             |               l.leader_id ASC) AS rn
+             |  FROM embeddings e CROSS JOIN leaders l),
+             |cl AS MATERIALIZED (
+             |  SELECT vec_id, leader_id FROM assign WHERE rn = 1),
+             |pairs AS MATERIALIZED (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM embeddings a
+             |  JOIN cl ca ON ca.vec_id = a.vec_id
+             |  JOIN embeddings b ON a.vec_id < b.vec_id
+             |  JOIN cl cb ON cb.vec_id = b.vec_id
+             |    AND cb.leader_id = ca.leader_id
+             |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+             |          b.embedding::DOUBLE[]) >= 0.4),
+             |edges AS MATERIALIZED (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |labels AS (
+             |  SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+             |  FROM reach GROUP BY src)
+             |SELECT e.vec_id, e.label FROM embeddings e
+             |LEFT JOIN labels l ON e.vec_id = l.id
+             |WHERE l.id IS NULL OR l.cluster = e.vec_id""".stripMargin)),
+
     // ------------------------------------------------------ IVF ANN (rows-only:
     // approximate by construction; recall vs brute force asserted in VectorSpec)
     Q("q_ann_ivf_topk",

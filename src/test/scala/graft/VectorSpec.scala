@@ -228,4 +228,42 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1) == List(2.0, 4.0, 20.0)) // per-position, order kept
     assert(out(2) == List(5.0, 5.0, 5.0))
   }
+
+  test("assignLeaders: every vector gets exactly one leader, leaders self-assign") {
+    val assigned = VectorFunctions.assignLeaders(emb, kLeaders = 16)
+    assert(assigned.count() == emb.count()) // total function, no fan-out residue
+    val leaders = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(16).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(assigned.select("leader_id").distinct().collect()
+      .map(_.getLong(0)).toSet.subsetOf(leaders))
+    // a leader's nearest leader is itself (cosine(v, v) = 1 is the max)
+    val self = assigned.filter(col("vec_id").isin(leaders.toSeq: _*))
+    assert(self.filter(col("vec_id") =!= col("leader_id")).count() == 0)
+  }
+
+  test("semanticDedup: keeps min id per within-cluster near-dup component, " +
+    "survivors have no surviving near-dup partner in their cluster") {
+    val survivors = VectorFunctions.semanticDedup(emb, kLeaders = 16,
+      threshold = 0.4)
+    val n = survivors.count()
+    assert(n > 0 && n < emb.count()) // non-vacuous: something was dropped
+    // no two SURVIVORS in the same cluster are still near-dups: recompute
+    // pairs over the surviving set — dedup must be a fixpoint
+    val residual = VectorFunctions.cosineNearDuplicates(
+      VectorFunctions.assignLeaders(emb, kLeaders = 16)
+        .join(survivors.select("vec_id"), "vec_id"),
+      threshold = 0.4, blockCol = Some("leader_id"))
+    assert(residual.count() == 0)
+    // dropped ids: each has a smaller-id near-dup path inside its cluster —
+    // spot-check that every dropped id appears in the original pair graph
+    val pairs = VectorFunctions.cosineNearDuplicates(
+      VectorFunctions.assignLeaders(emb, kLeaders = 16),
+      threshold = 0.4, blockCol = Some("leader_id"))
+    val paired = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val dropped = emb.join(survivors.select("vec_id"), Seq("vec_id"),
+      "left_anti").collect().map(_.getLong(0)).toSet
+    assert(dropped.subsetOf(paired))
+    assert(dropped.nonEmpty)
+  }
 }
