@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc._
 import graft.model._
 import graft.operators.Relational
+import graft.util.TimeCols
 
 /** One driver-contract query: Spark plan + optional DuckDB oracle SQL.
   * Column names MUST match between the two (the driver sorts columns by name
@@ -46,16 +47,15 @@ object CoreQueries {
     Q("q_cdc_timestamp_scan",
       (s, dir) => {
         val events = Tables.df(s, dir, "events")
-        // watermark 2024-01-15T00:00:00Z as epoch-ns; strictly-greater scan
-        // (TimestampOnlyStrategy semantics on a ns-long CDC column)
-        // ts is epoch-ns; emit µs for the oracle compare (DuckDB reads the
-        // ns parquet column truncated to µs, so ns output would hash-mismatch)
-        events.filter(col("ts") > lit(1705276800000000000L))
-          .select(col("event_id"), expr("ts DIV 1000").as("ts_us"), col("user_id"),
+        // watermark 2024-01-15T00:00:00 (UTC wall time); strictly-greater scan
+        // (TimestampOnlyStrategy semantics). The NTZ literal predicate pushes
+        // into the parquet scan; emit epoch-µs for the oracle compare.
+        events.filter(col("ts") > expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'"))
+          .select(col("event_id"), TimeCols.epochUs("ts").as("ts_us"), col("user_id"),
             col("event_type"), col("value"))
       },
       Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
-             |FROM events WHERE epoch_ns(ts) > 1705276800000000000""".stripMargin)),
+             |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'""".stripMargin)),
 
     // ----------------------------------------------------------------- S2
     Q("q_cdc_hybrid_scan",
@@ -152,9 +152,9 @@ object CoreQueries {
     // --------------------------------------------------------------- A3/W2
     Q("q_agg_hourly_density",
       (s, dir) => Tables.df(s, dir, "events")
-        .groupBy(expr("ts DIV 3600000000000").as("hour_bucket"))
+        .groupBy(expr(s"${TimeCols.epochUsSql("ts")} DIV 3600000000").as("hour_bucket"))
         .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("uniq_users")),
-      Some("""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+      Some("""SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
              |  COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS uniq_users
              |FROM events GROUP BY 1""".stripMargin)),
 
@@ -539,10 +539,10 @@ object CoreQueries {
     Q("q_sessionize",
       (s, dir) => graft.streaming.StreamingPipeline
         .sessionize(Tables.df(s, dir, "events"), gapMinutes = 30)
-        // session bounds at µs so DuckDB's µs-truncated timestamps compare equal
+        // session bounds at epoch-µs so both engines compare identically
         .select(col("user_id"), col("session_seq"), col("n_events"),
-          expr("session_start DIV 1000").as("session_start_us"),
-          expr("session_end DIV 1000").as("session_end_us")),
+          TimeCols.epochUs("session_start").as("session_start_us"),
+          TimeCols.epochUs("session_end").as("session_end_us")),
       Some("""WITH flagged AS (
              |  SELECT user_id, epoch_us(ts) AS tsu,
              |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

@@ -27,7 +27,7 @@ object EtlQueries {
         loader.load(s, id, extractor.stagingDir(id), cfg)
         loader.readTarget(s, id).get
           .select(col("event_id"), col("user_id"), col("event_type"),
-            col("value"), expr("ts DIV 1000").as("ts_us"))
+            col("value"), graft.util.TimeCols.epochUs("ts").as("ts_us"))
       },
       Some("""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
              |FROM events""".stripMargin)),

@@ -178,7 +178,6 @@ object ExtQueries {
     // against plain SQL.
     Q("q_stream_hourly_rollup",
       (s, dir) => {
-        Tables.df(s, dir, "events") // ensures nanosAsLong is set first
         val name = s"rollup_${System.nanoTime()}"
         StreamingPipeline.hourlyEventRollup(s, s"$dir/events.parquet",
           Tables.scratchDir("ckpt"), name)
@@ -194,7 +193,6 @@ object ExtQueries {
     // per-user counts, so the opaque state function IS oracle-checkable.
     Q("q_stream_user_totals",
       (s, dir) => {
-        Tables.df(s, dir, "events") // ensures nanosAsLong is set first
         StreamingPipeline.statefulUserCounts(s, s"$dir/events.parquet",
           Tables.scratchDir("state_ckpt"),
           s"user_totals_${System.nanoTime()}",
@@ -212,7 +210,6 @@ object ExtQueries {
     // equals the batch interval join, so the oracle is exact.
     Q("q_stream_join_attrib",
       (s, dir) => {
-        Tables.df(s, dir, "events") // ensures nanosAsLong is set first
         StreamingPipeline.streamStreamAttribution(s, s"$dir/events.parquet",
           Tables.scratchDir("ssj_ckpt"),
           s"ss_attrib_${System.nanoTime()}")
@@ -235,10 +232,10 @@ object ExtQueries {
       (s, dir) => {
         val ev = Tables.df(s, dir, "events")
           .select(col("event_id"), col("user_id"),
-            expr("ts DIV 1000").as("ts_us"))
+            graft.util.TimeCols.epochUs("ts").as("ts_us"))
         val signups = Tables.df(s, dir, "events")
           .filter(col("event_type") === "signup")
-          .select(col("user_id"), expr("ts DIV 1000").as("sts_us"),
+          .select(col("user_id"), graft.util.TimeCols.epochUs("ts").as("sts_us"),
             col("event_id").as("signup_id"))
         graft.operators.Relational.asofJoin(ev, signups, Seq("user_id"),
           leftTs = "ts_us", rightTs = "sts_us",

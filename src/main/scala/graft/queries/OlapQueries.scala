@@ -606,7 +606,7 @@ object OlapQueries {
           .rangeBetween(-3600000000L, 0)
         Tables.df(s, dir, "events")
           .select(col("event_id"), col("user_id"),
-            expr("ts DIV 1000").as("ts_us"), col("value"))
+            graft.util.TimeCols.epochUs("ts").as("ts_us"), col("value"))
           .withColumn("trailing_1h_sum",
             sum(dec(col("value"), 2)).over(w).cast("double"))
           .drop("value")
@@ -839,7 +839,7 @@ object OlapQueries {
     Q("q_funnel",
       (s, dir) => graft.operators.Relational.funnelCounts(
         Tables.df(s, dir, "events")
-          .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+          .select(col("user_id"), graft.util.TimeCols.epochUs("ts").as("ts_us"),
             col("event_type")),
         "user_id", "ts_us", "event_type",
         Seq("signup", "view", "purchase")),
@@ -865,7 +865,7 @@ object OlapQueries {
     Q("q_cohort_retention",
       (s, dir) => graft.operators.Relational.cohortRetention(
         Tables.df(s, dir, "events")
-          .select(col("user_id"), expr("ts DIV 1000").as("ts_us")),
+          .select(col("user_id"), graft.util.TimeCols.epochUs("ts").as("ts_us")),
         "user_id", "ts_us", bucketWidth = 7L * 86400 * 1000000),
       Some("""WITH f AS (SELECT user_id,
              |    CAST(FLOOR(MIN(epoch_us(ts)) / 604800000000) AS BIGINT)
@@ -929,7 +929,7 @@ object OlapQueries {
         val boundary = 1705276800000000L // 2024-01-15 in epoch-µs
         val ev = Tables.df(s, dir, "events")
           .select(col("user_id"), col("event_type"),
-            expr("ts DIV 1000").as("ts_us"), col("event_id"))
+            graft.util.TimeCols.epochUs("ts").as("ts_us"), col("event_id"))
         val h1 = Relational.scd2Apply(None,
           ev.filter(col("ts_us") < boundary),
           Seq("user_id"), "ts_us", Seq("event_type"), Seq("event_id"))

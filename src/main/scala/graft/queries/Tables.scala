@@ -7,14 +7,11 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read a fixture table. The events table stores ns-precision timestamps;
-    * Spark reads them as epoch-ns longs under the legacy flag (set lazily so
-    * driver-created sessions work too). */
-  def df(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Read a fixture table. Timestamp columns are naive (TIMESTAMP_NTZ,
+    * parquet µs with no zone; UTC by fixture convention) — epoch arithmetic
+    * on them goes through [[graft.util.TimeCols]], never a session-tz cast. */
+  def df(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
-  }
 
   /** Register every fixture as a temp view (for custom-SQL strategy queries). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.util.TimeCols
 
 /** Structured Streaming face of the engine (SURVEY §2.10): the reference's
   * micro-batch pull CDC expressed as `readStream` → transforms → `writeStream`
@@ -28,8 +29,8 @@ object StreamingPipeline {
     * applied); a partially-written dir has no _SUCCESS marker and is
     * invisible, so the replay simply overwrites it.
     *
-    * The events fixture carries ns-epoch longs (ts); they become proper
-    * timestamps at ingest (µs truncation — Spark's native precision).
+    * The events fixture carries naive (NTZ) wall-clock timestamps; they
+    * become absolute instants at ingest (UTC convention, tz-independent).
     *
     * `statePartitions` sizes the aggregation's state-store count. Streaming
     * state partitioning should match STATE cardinality (in-watermark windows ×
@@ -48,7 +49,7 @@ object StreamingPipeline {
     val stream = spark.readStream
       .schema(batchSchema)
       .parquet(streamDir)
-      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("event_ts", TimeCols.utcTs("ts"))
 
     val agg = stream
       .withWatermark("event_ts", "1 hour")
@@ -276,10 +277,10 @@ object StreamingPipeline {
   /** Gap-based sessions via Spark's NATIVE `session_window` (works identically
     * in batch and streaming): session end = last event + gap, per the
     * operator's semantics (unlike [[sessionize]], whose end = last event).
-    * Input `ts` is the fixture's epoch-ns long. */
+    * Input `ts` is the fixture's naive (NTZ) timestamp. */
   def sessionWindows(events: DataFrame, gapMinutes: Int): DataFrame =
     events
-      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("event_ts", TimeCols.utcTs("ts"))
       .groupBy(col("user_id"),
         session_window(col("event_ts"), s"$gapMinutes minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
@@ -412,7 +413,7 @@ object StreamingPipeline {
       .filter(col("event_type") === kind)
       .select(col("user_id").cast("long").as(s"${prefix}_user"),
         col("event_id").cast("long").as(s"${prefix}_id"),
-        timestamp_micros(expr("ts DIV 1000")).as(s"${prefix}_ts"))
+        TimeCols.utcTs("ts").as(s"${prefix}_ts"))
       .withWatermark(s"${prefix}_ts", "1 hour")
 
     val joined = side("signup", "s").join(side("purchase", "p"),
@@ -451,11 +452,12 @@ object StreamingPipeline {
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val gapNs = gapMinutes.toLong * 60L * 1000000000L
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
-        (col("prev_ts").isNull || (col("ts") - col("prev_ts") > gapNs)).cast("int"))
+        (col("prev_ts").isNull ||
+          (expr("timestampdiff(MICROSECOND, prev_ts, ts)") > gapUs)).cast("int"))
       .withColumn("session_seq",
         sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_seq"))

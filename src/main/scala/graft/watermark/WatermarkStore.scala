@@ -157,46 +157,67 @@ class WatermarkStore(rootDir: String,
         case _: java.io.FileNotFoundException => return None
       }
       if (staleLockTtlMs <= 0 || age <= staleLockTtlMs) return None
-      // abandoned (owner stopped heartbeating a full TTL ago). Break it by
-      // ATOMIC RENAME to a unique tombstone: of N concurrent breakers only
-      // one rename succeeds, so a loser can never delete the winner's
-      // freshly-created lock (the delete-then-create race). The tombstone is
-      // removed by the winner after its own lock is committed below.
-      val tomb = new Path(p.getParent,
-        s".${p.getName}.broken_${java.util.UUID.randomUUID().toString.take(8)}")
-      val won = try f.rename(p, tomb) catch { case _: java.io.IOException => false }
-      if (!won) return None
-      f.delete(tomb, false)
+      // Abandoned (owner stopped heartbeating a full TTL ago). Breaking must
+      // be SINGLE-WINNER and must never hit a lock another breaker just
+      // recreated: a plain stat-then-delete (or rename) lets breaker B stat
+      // the stale file, sleep through A's break+reacquire, and then destroy
+      // A's FRESH lock. So the break runs under an exclusive breaker MARKER:
+      // only the marker owner may delete, and only after re-verifying
+      // staleness under the marker. A marker left by a crashed breaker
+      // expires after max(TTL, 1s) and is cleared by the next caller.
+      val marker = new Path(p.getParent, s".${p.getName}.breaking")
+      val markerTtl = math.max(staleLockTtlMs, 1000L)
+      if (f.exists(marker)) {
+        val mAge = try {
+          System.currentTimeMillis() - f.getFileStatus(marker).getModificationTime
+        } catch { case _: java.io.FileNotFoundException => return None }
+        if (mAge > markerTtl) f.delete(marker, false)
+        return None // a break is (or was) in flight — contended, retry later
+      }
+      if (!createExclusive(f, marker, "{}")) return None
+      try {
+        val age2 = try {
+          System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+        } catch { case _: java.io.FileNotFoundException => return None }
+        // fresh again (recreated or late heartbeat) — not ours to break
+        if (age2 <= staleLockTtlMs) return None
+        f.delete(p, false)
+      } finally f.delete(marker, false)
     }
-    {
-      val token = java.util.UUID.randomUUID().toString
-      val owner =
-        s"""{"uuid":"$token","pid":${ProcessHandle.current().pid()},"hostname":"${java.net.InetAddress.getLocalHost.getHostName}","acquired_at":"${now()}"}"""
-      val scheme = Option(p.toUri.getScheme).getOrElse("file")
-      if (scheme == "file") {
-        // Hadoop's LOCAL create(path, overwrite=false) is exists-check-then-
-        // create — two racers can both "succeed" (and read-back verification
-        // can't catch serialized overwrites). O_EXCL via NIO is the real
-        // single-winner primitive on a local/NFS path.
-        try {
-          val local = java.nio.file.Paths.get(p.toUri.getPath)
-          java.nio.file.Files.createDirectories(local.getParent)
-          java.nio.file.Files.write(local,
-            owner.getBytes(StandardCharsets.UTF_8),
-            java.nio.file.StandardOpenOption.CREATE_NEW)
-          Some(token)
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => None
-          case _: java.io.IOException => None
-        }
-      } else try {
-        // HDFS create(overwrite=false) IS atomic; S3A is last-writer-wins
-        // (documented limitation — pair with short TTLs there)
-        val out = f.create(p, false)
-        try out.write(owner.getBytes(StandardCharsets.UTF_8)) finally out.close()
-        Some(token)
-      } catch { case _: java.io.IOException => None }
-    }
+    val token = java.util.UUID.randomUUID().toString
+    val owner =
+      s"""{"uuid":"$token","pid":${ProcessHandle.current().pid()},"hostname":"${java.net.InetAddress.getLocalHost.getHostName}","acquired_at":"${now()}"}"""
+    if (createExclusive(f, p, owner)) Some(token) else None
+  }
+
+  /** Create `p` with `content` iff it does not exist — the single-winner
+    * primitive both lock acquisition and lock-breaking rest on. */
+  private def createExclusive(f: org.apache.hadoop.fs.FileSystem, p: Path,
+                              content: String): Boolean = {
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      // Hadoop's LOCAL create(path, overwrite=false) is exists-check-then-
+      // create — two racers can both "succeed" (and read-back verification
+      // can't catch serialized overwrites). O_EXCL via NIO is the real
+      // single-winner primitive on a local/NFS path.
+      try {
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.write(local,
+          content.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else try {
+      // HDFS create(overwrite=false) IS atomic; S3A is last-writer-wins
+      // (documented limitation — pair with short TTLs there)
+      val out = f.create(p, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
   }
 
   /** Break a lock whose holder is gone: deletes the lock object if it is

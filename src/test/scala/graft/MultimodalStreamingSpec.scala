@@ -399,10 +399,10 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     // batch equivalent: same-user signup→purchase within 1h
     val s = events.filter(col("event_type") === "signup")
       .select(col("user_id").as("u"), col("event_id").as("sid"),
-        expr("ts DIV 1000").as("sts"))
+        graft.util.TimeCols.epochUs("ts").as("sts"))
     val p = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("u"), col("event_id").as("pid"),
-        expr("ts DIV 1000").as("pts"))
+        graft.util.TimeCols.epochUs("ts").as("pts"))
     val batch = s.join(p, Seq("u"))
       .filter(col("pts") >= col("sts") &&
         col("pts") <= col("sts") + 3600L * 1000000L)
@@ -448,7 +448,7 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("event_ts", timestamp_micros(graft.util.TimeCols.epochUs("ts")))
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))

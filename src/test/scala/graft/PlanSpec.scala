@@ -149,10 +149,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   test("asofJoin shuffles exactly once (the union+window formulation)") {
     import org.apache.spark.sql.functions.{col, expr}
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), graft.util.TimeCols.epochUs("ts").as("ts_us"))
     val signups = spark.read.parquet(s"$sfDir/events.parquet")
       .filter(col("event_type") === "signup")
-      .select(col("user_id"), expr("ts DIV 1000").as("sts_us"),
+      .select(col("user_id"), graft.util.TimeCols.epochUs("ts").as("sts_us"),
         col("event_id").as("signup_id"))
     val joined = graft.operators.Relational.asofJoin(ev, signups, Seq("user_id"),
       "ts_us", "sts_us", payload = Seq("signup_id"),
