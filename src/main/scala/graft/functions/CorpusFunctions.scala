@@ -576,4 +576,80 @@ object CorpusFunctions {
     docs.join(flagged,
       docs(idCol) === flagged("__contaminated_id"), "left_anti")
   }
+
+  /** Okapi BM25 top-`k` retrieval: for each query in `queries`
+    * (query_id, query_text — a SMALL, driver-known probe set), the `k`
+    * best-scoring documents. The keyword-retrieval complement of the
+    * embedding ANN family ([[VectorFunctions]]) — together they form the
+    * hybrid-retrieval pair a RAG pipeline runs.
+    *
+    * score(q,d) = Σ_t∈q idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5))  (Robertson–Spärck Jones).
+    *
+    * Engine parity: each per-term contribution is rounded to 6 decimals and
+    * summed as DECIMAL(18,6) — the sum is then order-independent and exact,
+    * so cross-engine `ln` ulp drift cannot reorder the ranking (same
+    * convention as the LM fluency scores). Ties break on doc id.
+    *
+    * Scale shape: the token stream is cut to QUERY TERMS ONLY by a broadcast
+    * semi-join before the (doc, term) aggregation, so the exchange carries
+    * O(docs × query-terms), not the corpus vocabulary; df comes from a
+    * window over the already-aggregated rows; doc lengths are a separate
+    * partial-agg; the final per-query rank is a WindowGroupLimit (map-side
+    * top-k pre-prune). N must be passed or is computed with one count().
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               nDocs: Option[Long] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = nDocs.getOrElse(docs.count())
+    val qTerms = queries
+      .flatMap { case (qid, qtext) =>
+        qtext.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+          .map(t => (qid, t))
+      }.toDF("query_id", "term")
+
+    val tok = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    // doc length over ALL tokens (partial-agg, one row per doc); avgdl rides
+    // along as a broadcast 1-row aggregate — one lazy plan, no driver action
+    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(
+      (sum(col("dl")).cast("double") / lit(n.toDouble)).as("avgdl"))
+    // …but tf/df only over terms some query mentions (broadcast semi-join
+    // BEFORE the aggregation: the exchange never carries the full vocab)
+    val tf = tok
+      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(byTerm).cast("double"))
+      .join(broadcast(qTerms), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        round(col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("contrib")).as("score_dec"),
+        count(lit(1)).as("n_terms_hit"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_dec").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol),
+        col("score_dec").cast("double").as("score"),
+        col("n_terms_hit"), col("rank"))
+  }
 }

@@ -697,6 +697,53 @@ object LlmQueries {
              |SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rn
              |FROM r WHERE rn <= 5""".stripMargin)),
 
+    // ----------------------------------------------- BM25 top-k retrieval
+    // Okapi BM25 over three probe queries — the keyword half of hybrid
+    // retrieval (the ANN queries are the embedding half). Per-term
+    // contributions are rounded to 6 decimals and summed as DECIMAL(18,6),
+    // so scores are order-independent and engine-exact; the oracle replays
+    // the identical formula with the identical association order.
+    Q("q_bm25_topk",
+      (s, dir) => graft.functions.CorpusFunctions.bm25TopK(
+        Tables.df(s, dir, "documents"), "doc_id", "text",
+        queries = Seq((0L, "spark join merge"), (1L, "vector scan filter"),
+          (2L, "window agg stream")),
+        k = 10),
+      Some(s"""WITH q(query_id, qtext) AS (VALUES
+             |    (0, 'spark join merge'), (1, 'vector scan filter'),
+             |    (2, 'window agg stream')),
+             |qt AS (SELECT query_id, unnest(list_distinct(
+             |    list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'),
+             |                t -> len(t) > 0))) AS term FROM q),
+             |tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+             |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+             |       FROM tok GROUP BY doc_id),
+             |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) /
+             |    (SELECT COUNT(*) FROM documents) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+             |       GROUP BY doc_id, term),
+             |sc AS (SELECT doc_id, term, tf,
+             |         CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+             |       FROM tf),
+             |con AS (SELECT qt.query_id, sc.doc_id,
+             |    CAST(round(
+             |      ln(1.0 + ((SELECT COUNT(*) FROM documents) - df + 0.5)
+             |               / (df + 0.5))
+             |      * (tf * (1.2 + 1.0))
+             |      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+             |      6) AS DECIMAL(18,6)) AS contrib
+             |  FROM sc JOIN qt USING (term) JOIN dl USING (doc_id), stats),
+             |agg AS (SELECT query_id, doc_id, SUM(contrib) AS score_dec,
+             |         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+             |       FROM con GROUP BY 1, 2),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |         ORDER BY score_dec DESC, doc_id) AS rank FROM agg)
+             |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             |  CAST(score_dec AS DOUBLE) AS score, n_terms_hit,
+             |  CAST(rank AS BIGINT) AS rank
+             |FROM r WHERE rank <= 10""".stripMargin)),
+
     // ------------------------------------------- vocabulary statistics
     // Type-token ratio and hapax share per (source, lang); integer counts
     // and single exact divisions → engine-exact.

