@@ -652,4 +652,40 @@ object CorpusFunctions {
         col("score_dec").cast("double").as("score"),
         col("n_terms_hit"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack–Clarke–Buettcher 2009): merge per-query
+    * rankings from heterogeneous retrievers (e.g. [[bm25TopK]] keyword ranks
+    * and [[VectorFunctions.bruteForceTopK]] embedding ranks) into one list by
+    * rrf(q,d) = Σ_r 1/(c + rank_r(q,d)) — rank-only fusion, so the rankers'
+    * incomparable score scales never need calibrating.
+    *
+    * Each input needs (queryCol, idCol, rankCol); ids must share one space.
+    * Contributions are rounded to 9 decimals and summed as DECIMAL(18,9):
+    * order-independent and engine-exact, same convention as the BM25/LM
+    * scores. Ties break on id. Returns (queryCol, idCol, rrf_score,
+    * n_rankers, rank).
+    *
+    * Scale: inputs are already top-k-per-query (tiny relative to corpora);
+    * the union aggregates map-side on (query, id) and the final rank is a
+    * WindowGroupLimit pre-prune — one exchange over candidate lists, the
+    * corpora themselves are never touched here. */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, idCol: String,
+              rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map(_.select(col(queryCol), col(idCol),
+      round(lit(1.0) / (lit(c.toDouble) + col(rankCol).cast("double")), 9)
+        .cast("decimal(18,9)").as("__rrf")))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol))
+      .orderBy(col("__rrf_dec").desc, col(idCol))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col(queryCol), col(idCol))
+      .agg(sum(col("__rrf")).as("__rrf_dec"),
+        count(lit(1)).as("n_rankers"))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol),
+        col("__rrf_dec").cast("double").as("rrf_score"),
+        col("n_rankers"), col("rank"))
+  }
 }

@@ -744,6 +744,87 @@ object LlmQueries {
              |  CAST(rank AS BIGINT) AS rank
              |FROM r WHERE rank <= 10""".stripMargin)),
 
+    // ------------------------------------- hybrid retrieval (RRF fusion)
+    // Keyword BM25 ranks over documents + exact cosine ranks over the
+    // aligned embeddings (vec_id ≡ doc_id), fused by reciprocal-rank
+    // fusion. Both rankers are deterministic, contributions are
+    // decimal-summed, so the fused list carries a full value oracle that
+    // replays the whole composition.
+    Q("q_hybrid_retrieval",
+      (s, dir) => {
+        import graft.functions.{CorpusFunctions, VectorFunctions}
+        val bm = CorpusFunctions.bm25TopK(
+          Tables.df(s, dir, "documents"), "doc_id", "text",
+          queries = Seq((0L, "spark join merge"), (1L, "vector scan filter"),
+            (2L, "window agg stream")),
+          k = 20)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val emb = Tables.df(s, dir, "embeddings")
+        val ann = VectorFunctions.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 3)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("rank"))
+        CorpusFunctions.rrfFuse(Seq(bm, ann), "query_id", "doc_id",
+          "rank", k = 10)
+      },
+      Some(s"""WITH q(query_id, qtext) AS (VALUES
+             |    (0, 'spark join merge'), (1, 'vector scan filter'),
+             |    (2, 'window agg stream')),
+             |qt AS (SELECT query_id, unnest(list_distinct(
+             |    list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'),
+             |                t -> len(t) > 0))) AS term FROM q),
+             |tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+             |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+             |       FROM tok GROUP BY doc_id),
+             |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) /
+             |    (SELECT COUNT(*) FROM documents) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+             |       GROUP BY doc_id, term),
+             |sc AS (SELECT doc_id, term, tf,
+             |         CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+             |       FROM tf),
+             |con AS (SELECT qt.query_id, sc.doc_id,
+             |    CAST(round(
+             |      ln(1.0 + ((SELECT COUNT(*) FROM documents) - df + 0.5)
+             |               / (df + 0.5))
+             |      * (tf * (1.2 + 1.0))
+             |      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+             |      6) AS DECIMAL(18,6)) AS contrib
+             |  FROM sc JOIN qt USING (term) JOIN dl USING (doc_id), stats),
+             |bmagg AS (SELECT query_id, doc_id, SUM(contrib) AS score_dec
+             |       FROM con GROUP BY 1, 2),
+             |bm AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (
+             |         PARTITION BY query_id ORDER BY score_dec DESC, doc_id)
+             |         AS rank FROM bmagg QUALIFY rank <= 20),
+             |aq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |       FROM embeddings WHERE vec_id < 3),
+             |ann AS (SELECT query_id, vec_id AS doc_id, ROW_NUMBER() OVER (
+             |         PARTITION BY query_id
+             |         ORDER BY list_cosine_similarity(
+             |           embedding::DOUBLE[], qv) DESC, vec_id) AS rank
+             |       FROM embeddings CROSS JOIN aq
+             |       WHERE vec_id <> query_id QUALIFY rank <= 20),
+             |fused AS (
+             |  SELECT query_id, doc_id,
+             |    CAST(round(1.0 / (60.0 + rank), 9) AS DECIMAL(18,9)) AS rrf
+             |  FROM bm
+             |  UNION ALL
+             |  SELECT query_id, doc_id,
+             |    CAST(round(1.0 / (60.0 + rank), 9) AS DECIMAL(18,9)) AS rrf
+             |  FROM ann),
+             |agg2 AS (SELECT query_id, doc_id, SUM(rrf) AS rrf_dec,
+             |         CAST(COUNT(*) AS BIGINT) AS n_rankers
+             |       FROM fused GROUP BY 1, 2),
+             |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |         ORDER BY rrf_dec DESC, doc_id) AS rank FROM agg2)
+             |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             |  CAST(rrf_dec AS DOUBLE) AS rrf_score, n_rankers,
+             |  CAST(rank AS BIGINT) AS rank
+             |FROM r2 WHERE rank <= 10""".stripMargin)),
+
     // ------------------------------------------- vocabulary statistics
     // Type-token ratio and hapax share per (source, lang); integer counts
     // and single exact divisions → engine-exact.

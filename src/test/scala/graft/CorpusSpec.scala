@@ -438,4 +438,24 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq == out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
+
+  test("rrfFuse: both-list docs outrank single-list, ties on id, k cap") {
+    val s = spark
+    import s.implicits._
+    // doc 10 is rank 1 in both lists; 20 only in A (rank 2); 30 only in B
+    // (rank 2); 40 only in B (rank 3)
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "id", "rank")
+    val b = Seq((1L, 10L, 1L), (1L, 30L, 2L), (1L, 40L, 3L))
+      .toDF("query_id", "id", "rank")
+    val fused = CorpusFunctions.rrfFuse(Seq(a, b), "query_id", "id", "rank",
+      k = 10).collect().sortBy(_.getLong(4))
+    assert(fused.map(_.getLong(1)).toSeq == Seq(10L, 20L, 30L, 40L))
+    // 10: 2/(60+1); 20 and 30 both 1/62 — the id tiebreak orders 20 first
+    assert(fused.head.getLong(3) == 2L) // n_rankers
+    assert(math.abs(fused.head.getDouble(2) - 2.0 / 61.0) < 1e-6)
+    assert(fused(1).getDouble(2) == fused(2).getDouble(2)) // exact tie
+    // k cap
+    assert(CorpusFunctions.rrfFuse(Seq(a, b), "query_id", "id", "rank",
+      k = 2).count() == 2L)
+  }
 }
