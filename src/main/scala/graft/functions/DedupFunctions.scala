@@ -343,12 +343,21 @@ object DedupFunctions {
             coalesce(col("hcluster"), col("cluster"))).as("next"))
         .localCheckpoint(false)
       converged = updated.filter(col("next") < col("cluster")).count() == 0
+      // the superseded iteration's checkpoint blocks are dead the moment the
+      // new checkpoint materializes (its lineage is truncated) — unpersist
+      // eagerly, or a long session leaks one RDD per round until the
+      // ContextCleaner happens by (round 5's creeping-slowdown signature)
+      org.apache.spark.sql.GraftShim.checkpointRdd(labels)
+        .foreach(_.unpersist(blocking = false))
       labels = updated.select(col("id"), col("next").as("cluster"))
       i += 1
     }
     if (!converged) throw new IllegalStateException(
       s"duplicateClusters: not converged after $maxIters rounds " +
         "(component diameter > 2^25?)")
+    // edges fed only the loop; the returned labels keep their own checkpoint
+    org.apache.spark.sql.GraftShim.checkpointRdd(edges)
+      .foreach(_.unpersist(blocking = false))
     labels
   }
 

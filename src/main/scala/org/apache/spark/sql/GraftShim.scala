@@ -16,4 +16,13 @@ object GraftShim {
     * between queries. */
   def waitListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** The persisted RDD behind a `localCheckpoint`ed DataFrame (its analyzed
+    * plan is a `LogicalRDD`), or None for non-checkpointed frames. Lets
+    * iterative operators unpersist SUPERSEDED checkpoints eagerly instead of
+    * leaking every iteration's blocks until the ContextCleaner happens by. */
+  def checkpointRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }
