@@ -457,6 +457,55 @@ object Relational {
     state.withColumn("approx_distinct", hll_sketch_estimate(col(out)))
       .drop(out)
 
+  /** Fold an increment into per-group mergeable QUANTILE state (DataSketches
+    * KLL, Karnin–Lang–Liberty 2016) — percentiles maintained without ever
+    * rescanning history, completing the incremental-maintenance family next
+    * to [[foldAggregate]] (sums/counts) and [[foldDistinctSketch]]
+    * (distincts). Spark ships no KLL SQL surface, so this builds one:
+    *
+    * 1. a narrow `mapPartitions` pass reduces each partition to one KLL
+    *    sketch per group it holds (the classic map-side partial aggregate —
+    *    raw values never cross the exchange, only ~KB sketches per
+    *    (partition × group));
+    * 2. a binary [[graft.functions.KllMergeAgg]] Aggregator merges
+    *    partition sketches per group. Deserialize-merge-serialize per input
+    *    ROW is acceptable exactly because its rows are already
+    *    partition-level sketches, never data rows.
+    *
+    * KLL compaction is randomized, so estimates are reproducible only
+    * within the sketch's rank-error bound (ε ≈ 2.4%/√(k/200) at 99%
+    * confidence) — the state is rows-only for cross-engine checks, like the
+    * HLL fold; RelationalSpec bounds the error and proves chunking
+    * invariance at the rank level. */
+  def foldQuantileSketch(prev: Option[DataFrame], increment: DataFrame,
+                         keys: Seq[String], valueCol: String,
+                         out: String = "qsketch", k: Int = 200): DataFrame = {
+    val merge = udaf(new graft.functions.KllMergeAgg(k))
+    val partial = graft.functions.KllMergeAgg
+      .partitionSketches(increment, keys, valueCol, out, k)
+    val incState = partial.groupBy(keys.map(col): _*)
+      .agg(merge(col(out)).as(out))
+    prev match {
+      case None => incState
+      case Some(p) =>
+        p.unionByName(incState).groupBy(keys.map(col): _*)
+          .agg(merge(col(out)).as(out))
+    }
+  }
+
+  /** Read a [[foldQuantileSketch]] state: (keys, q_<pct>…) — one column per
+    * requested quantile, null for empty-sketch groups. The deserializing
+    * reader is a plain function over state rows (group cardinality), never
+    * over data rows. */
+  def readQuantileSketch(state: DataFrame, quantiles: Seq[Double],
+                         out: String = "qsketch"): DataFrame = {
+    val read = udf((bytes: Array[Byte], q: Double) =>
+      graft.functions.KllMergeAgg.quantile(bytes, q))
+    quantiles.foldLeft(state) { (df, q) =>
+      df.withColumn(s"q_${(q * 100).round}", read(col(out), lit(q)))
+    }.drop(out)
+  }
+
   // --------------------------------------------------------------------------
   // SCD Type-2 version history
   // --------------------------------------------------------------------------

@@ -655,6 +655,27 @@ object OlapQueries {
       },
       None),
 
+    // --------------------------- incremental quantile state (KLL fold)
+    // rows-only: KLL compaction is randomized, so estimates reproduce only
+    // within the sketch's rank-error bound — no engine-exact oracle exists
+    // by construction; RelationalSpec bounds rank error vs exact and covers
+    // chunked folds in both orders.
+    Q("q_quantile_sketch",
+      (s, dir) => {
+        import graft.operators.Relational
+        val ev = Tables.df(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val chunks = Seq(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1))
+        Relational.readQuantileSketch(
+          chunks.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+            (p, c) => Some(Relational.foldQuantileSketch(
+              p, c, Seq("event_type"), "value"))
+          }.get, Seq(0.5, 0.9, 0.99))
+      },
+      None),
+
     // ------------------- TPC-H Q7-shape (bidirectional nation-pair trade)
     // Revenue between two specific nations in BOTH directions, by year:
     // the double-nation join with a symmetric OR pair condition.

@@ -499,4 +499,54 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("foldQuantileSketch: rank-accurate within KLL bounds for any chunking") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    // two groups with very different distributions (uniform vs squared)
+    val rows = (1 to 8000).map { i =>
+      val g = s"g${i % 2}"
+      val v = if (i % 2 == 0) rnd.nextDouble() * 100 else {
+        val u = rnd.nextDouble(); u * u * 100
+      }
+      (i.toLong, g, v)
+    }
+    val df = rows.toDF("id", "grp", "v")
+    val sorted = rows.groupBy(_._2).map { case (g, rs) =>
+      g -> rs.map(_._3).sorted.toIndexedSeq
+    }
+    // true rank of the estimated quantile must sit within eps of q·n;
+    // k=400 → normalized rank error ~1.1% at 99% conf; assert 3%
+    def rankCheck(est: Map[String, org.apache.spark.sql.Row], qIdx: Int,
+                  q: Double): Unit =
+      sorted.foreach { case (g, vs) =>
+        val e = est(g).getDouble(qIdx)
+        val rank = vs.count(_ <= e).toDouble / vs.size
+        assert(math.abs(rank - q) < 0.03,
+          s"group $g q=$q: estimate $e has rank $rank")
+      }
+    def estimates(chunks: Seq[org.apache.spark.sql.DataFrame]) =
+      Relational.readQuantileSketch(
+        chunks.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+          (p, c) => Some(Relational.foldQuantileSketch(
+            p, c, Seq("grp"), "v", k = 400))
+        }.get, Seq(0.5, 0.95))
+        .collect().map(r => r.getString(0) -> r).toMap
+    val direct = estimates(Seq(df))
+    rankCheck(direct, 1, 0.5); rankCheck(direct, 2, 0.95)
+    // chunked folds (either order) hold the same rank bound — merge is the
+    // whole point of the KLL state; estimates are bound-reproducible, not
+    // bit-identical (randomized compaction)
+    val parts = (0 until 4).map(k => df.filter(col("id") % 4 === k))
+    for (chunks <- Seq(parts, parts.reverse)) {
+      val est = estimates(chunks)
+      rankCheck(est, 1, 0.5); rankCheck(est, 2, 0.95)
+    }
+    // null-only group reads as null quantiles, not a crash
+    val withNulls = Seq((1L, "gn", Option.empty[Double]),
+      (2L, "gn", Option.empty[Double])).toDF("id", "grp", "v")
+    val nulls = estimates(Seq(withNulls.unionByName(df.limit(0))))
+    assert(nulls("gn").isNullAt(1) && nulls("gn").isNullAt(2))
+  }
 }
