@@ -184,6 +184,80 @@ object exprs {
     * no token/shingle string materialization). */
   def shingle_hashes(c: Column, n: Int): Column =
     GraftShim.column(ShingleHashes(GraftShim.expression(c), n))
+  /** Unicode-normalize a string column (NFC/NFKC/NFD/NFKD), optionally
+    * stripping combining marks after NFD (accent folding). */
+  def unicode_normalize(c: Column, form: String = "NFC",
+                        stripAccents: Boolean = false): Column =
+    GraftShim.column(NormalizeText(GraftShim.expression(c), form, stripAccents))
+}
+
+/** Unicode normalization of a string (java.text.Normalizer), with optional
+  * accent folding: decompose (NFD), drop combining marks (Mn), then
+  * recompose via the requested form — 'café' and 'café' normalize
+  * identically, and with `stripAccents` both become 'cafe'. The text-prep
+  * step that belongs BEFORE tokenization/fingerprinting in a corpus
+  * pipeline: byte-level dedup and md5 fingerprints treat the two encodings
+  * of 'café' as different documents without it.
+  *
+  * Spark has no normalization built-in (collations normalize for COMPARES,
+  * not for output); a Scala UDF would fence codegen on exactly the hot
+  * full-corpus path this runs on — hence a codegen'd expression. The ICU
+  * behavior matches DuckDB's `nfc_normalize`/`strip_accents`, so queries
+  * over it keep full value oracles. */
+case class NormalizeText(child: Expression, form: String,
+                         stripAccents: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"unicode_normalize expects STRING, got ${child.dataType.catalogString}")
+    else if (!NormalizeText.Forms.contains(form))
+      TypeCheckResult.TypeCheckFailure(
+        s"unknown normalization form '$form' (one of ${NormalizeText.Forms.mkString(", ")})")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(NormalizeText.normalize(
+      input.asInstanceOf[UTF8String].toString, form, stripAccents))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = NormalizeText.getClass.getName.stripSuffix("$") + "$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  $cls.MODULE$$.normalize($c.toString(), "$form", $stripAccents));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+  override def prettyName: String = "unicode_normalize"
+}
+
+object NormalizeText {
+  import java.text.Normalizer
+  final val Forms = Set("NFC", "NFKC", "NFD", "NFKD")
+
+  def normalize(s: String, form: String, stripAccents: Boolean): String = {
+    if (!stripAccents)
+      return Normalizer.normalize(s, Normalizer.Form.valueOf(form))
+    // decompose, drop combining marks, recompose in the requested form
+    val decomposed = Normalizer.normalize(s,
+      if (form == "NFKC" || form == "NFKD") Normalizer.Form.NFKD
+      else Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var i = 0
+    while (i < decomposed.length) {
+      val cp = decomposed.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    if (form == "NFC" || form == "NFKC")
+      Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
+    else sb.toString
+  }
 }
 
 /** Single-pass cosine similarity of two numeric arrays (float or double

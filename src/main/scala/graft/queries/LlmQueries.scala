@@ -553,6 +553,32 @@ object LlmQueries {
              |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin)),
 
     // ----------------------------------------------------------- text analysis
+    // --------------------------------------- Unicode normalization (NFC)
+    // The fixture text is pure ASCII, so the query PLANTS decomposed accent
+    // sequences (a + U+0301, i + U+0308) deterministically and checks the
+    // codegen'd normalizer composes (NFC) and folds (strip accents) them
+    // exactly as DuckDB's nfc_normalize/strip_accents do.
+    Q("q_unicode_normalize",
+      (s, dir) => {
+        import graft.functions.exprs.unicode_normalize
+        val dirty = concat(lit("cafe\u0301 nai\u0308ve "), col("text"))
+        Tables.df(s, dir, "documents")
+          .select(col("doc_id"),
+            unicode_normalize(dirty).as("norm"),
+            unicode_normalize(dirty, stripAccents = true).as("folded"),
+            (length(unicode_normalize(dirty)) < length(dirty)).as("composed"))
+      },
+      Some("""SELECT doc_id,
+             |  nfc_normalize('cafe' || chr(769) || ' nai' || chr(776) || 've '
+             |    || text) AS norm,
+             |  strip_accents(nfc_normalize('cafe' || chr(769) || ' nai'
+             |    || chr(776) || 've ' || text)) AS folded,
+             |  len(nfc_normalize('cafe' || chr(769) || ' nai' || chr(776)
+             |    || 've ' || text)) <
+             |    len('cafe' || chr(769) || ' nai' || chr(776) || 've ' || text)
+             |    AS composed
+             |FROM documents""".stripMargin)),
+
     Q("q_text_analysis",
       (s, dir) => TextFunctions.analyze(Tables.df(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"), col("word_cnt"),

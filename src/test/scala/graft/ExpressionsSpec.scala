@@ -157,6 +157,35 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(hs(1L) != hs(2L))
   }
 
+  test("unicode_normalize: codegen == interpreted; composes, folds, rejects") {
+    val s = spark
+    import s.implicits._
+    // decomposed e+combining-acute, composed é, precomposed-only ASCII
+    val df = Seq((1L, "café"), (2L, "café"), (3L, "cafe"),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    def run(codegen: Boolean) = withCodegen(codegen) {
+      df.select(col("id"), unicode_normalize(col("t")).as("n"),
+        unicode_normalize(col("t"), stripAccents = true).as("f"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else (r.getString(1), r.getString(2)))).toMap
+    }
+    val cg = run(true)
+    assert(cg == run(false))
+    assert(cg(1L) == (("caf\u00e9", "cafe"))) // NFC composes; fold strips
+    assert(cg(2L) == (("caf\u00e9", "cafe"))) // both encodings converge
+    assert(cg(3L) == (("cafe", "cafe")))
+    assert(cg(4L) == null)                    // null-safe
+    // NFKC folds compatibility chars (ﬁ ligature → fi)
+    val nfkc = Seq((1L, "\uFB01n")).toDF("id", "t")
+      .select(unicode_normalize(col("t"), form = "NFKC").as("n"))
+      .head().getString(0)
+    assert(nfkc == "fin")
+    // bad form fails analysis, not execution
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(unicode_normalize(col("t"), form = "NFX")).collect()
+    }
+  }
+
   test("AhoCorasick: overlapping matches, suffix patterns, distributed counts") {
     import graft.functions.AhoCorasick
     // classic automaton fixture: suffix patterns surface through fail links
