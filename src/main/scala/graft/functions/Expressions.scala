@@ -189,6 +189,132 @@ object exprs {
   def unicode_normalize(c: Column, form: String = "NFC",
                         stripAccents: Boolean = false): Column =
     GraftShim.column(NormalizeText(GraftShim.expression(c), form, stripAccents))
+  /** Equi-depth bucket id of a double column against sorted boundaries
+    * (binary search; null → 0, NaN → top). */
+  def range_bucket(c: Column, boundaries: Array[Double]): Column =
+    GraftShim.column(RangeBucket(GraftShim.expression(c), boundaries))
+  /** Morton z-value interleaving `bitsPerDim` bits of each element of an
+    * array<int> bucket-id column. */
+  def z_value(c: Column, bitsPerDim: Int): Column =
+    GraftShim.column(ZValue(GraftShim.expression(c), bitsPerDim))
+}
+
+/** Equi-depth bucket id of a numeric value against a SORTED boundaries array
+  * (typically approxQuantile output): the count of boundaries at or below
+  * the value, via binary search. Null buckets to 0 (nulls cluster at the
+  * z-curve origin), NaN to the top bucket — a LAYOUT op only needs a
+  * monotone, total assignment, never an exact one. Boundaries ride the plan
+  * as a reference object (bounded: ≤ 2^bits − 1 doubles, unlike per-query
+  * payloads that grow with the workload). */
+case class RangeBucket(child: Expression, boundaries: Array[Double])
+    extends UnaryExpression {
+  require(boundaries.nonEmpty, "empty boundaries")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"range_bucket expects DOUBLE, got ${child.dataType.catalogString}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0
+    else RangeBucket.bucket(boundaries, v.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val cls = RangeBucket.getClass.getName.stripSuffix("$") + "$"
+    val bounds = ctx.addReferenceObj("rbBounds", boundaries, "double[]")
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |int ${ev.value} = ${c.isNull} ? 0 :
+        |  $cls.MODULE$$.bucket($bounds, ${c.value});
+        |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RangeBucket =
+    copy(child = newChild)
+  override def prettyName: String = "range_bucket"
+}
+
+object RangeBucket {
+  /** Count of boundaries ≤ v (rightmost insertion point). */
+  def bucket(bounds: Array[Double], v: Double): Int = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
+/** Morton (z-order) value of an array of per-dimension bucket ids:
+  * bit j of dimension d lands at output bit j·k + d, so files cut from a
+  * z-sorted stream carry narrow min/max ranges in EVERY dimension — the
+  * multi-column data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER analog).
+  * Null elements bucket to 0; k·bitsPerDim must fit in 63 bits. */
+case class ZValue(child: Expression, bitsPerDim: Int)
+    extends UnaryExpression {
+  require(bitsPerDim > 0 && bitsPerDim <= 32, "bitsPerDim out of range")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"z_value expects ARRAY<INT>, got ${t.catalogString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else ZValue.interleave(v.asInstanceOf[ArrayData], bitsPerDim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val cls = ZValue.getClass.getName.stripSuffix("$") + "$"
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |long ${ev.value} = ${c.isNull} ? 0L :
+        |  $cls.MODULE$$.interleave(${c.value}, $bitsPerDim);
+        |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ZValue =
+    copy(child = newChild)
+  override def prettyName: String = "z_value"
+}
+
+object ZValue {
+  def interleave(arr: ArrayData, bitsPerDim: Int): Long = {
+    val k = arr.numElements()
+    require(k.toLong * bitsPerDim <= 63,
+      s"z_value: $k dims × $bitsPerDim bits exceeds 63")
+    var out = 0L
+    var d = 0
+    while (d < k) {
+      val v = if (arr.isNullAt(d)) 0L
+        else arr.getInt(d).toLong & ((1L << bitsPerDim) - 1)
+      var j = 0
+      while (j < bitsPerDim) {
+        out |= ((v >>> j) & 1L) << (j * k + d)
+        j += 1
+      }
+      d += 1
+    }
+    out
+  }
 }
 
 /** Unicode normalization of a string (java.text.Normalizer), with optional

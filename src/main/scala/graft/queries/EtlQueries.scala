@@ -32,6 +32,27 @@ object EtlQueries {
       Some("""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
              |FROM events""".stripMargin)),
 
+    // ------------------------------------- z-order layout optimization
+    // Cluster lineitem on the (l_partkey, l_suppkey) Morton curve, write,
+    // read back: the oracle proves the rewrite is content-exact (row set
+    // unchanged); the per-file min/max narrowing claim — every dimension,
+    // not just the leading one — is measured from real parquet footers in
+    // LayoutSpec.
+    Q("q_zorder_layout",
+      (s, dir) => {
+        val scratch = Tables.scratchDir("zorder")
+        graft.operators.Layout.zorderBy(
+          Tables.df(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey")),
+          Seq("l_partkey", "l_suppkey"), bitsPerDim = 8,
+          outPartitions = Some(8))
+          .write.parquet(s"$scratch/zorder")
+        s.read.parquet(s"$scratch/zorder")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+             |FROM lineitem""".stripMargin)),
+
     // ------------------------------------------- atomic merge (dir swap)
     // Bootstrap the warehouse with orders<=1000, then mergeInto the >=500
     // increment (status forced 'U'); the swapped-in table must equal the
