@@ -668,6 +668,60 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     (files.size, newFiles.size)
   }
 
+  /** Rewrite the warehouse table clustered on the z-curve over `cols`
+    * ([[graft.operators.Layout.zorderBy]]) — compact's crash-safe
+    * row-verified swap, but the rewrite ORDER is the product: after it,
+    * footer min/max pruning cuts scans on ANY clustered column. Sized to
+    * `targetFileBytes` like compaction. Bucketed-merge targets are refused:
+    * their bucket dirs ARE the layout contract; z-order within buckets
+    * would multiply files per bucket for little pruning gain.
+    * Returns (filesBefore, filesAfter). */
+  def rewriteLayoutZorder(spark: SparkSession, id: TableId,
+                          cols: Seq[String], bitsPerDim: Int = 8,
+                          targetFileBytes: Long = 256L * 1024 * 1024): (Int, Int) =
+    store.withTableLock(id.scoped) {
+      val target = targetPath(id)
+      val tgt = new org.apache.hadoop.fs.Path(target)
+      val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val oldPath = new org.apache.hadoop.fs.Path(target + ".__old")
+      recoverSwap(fs, tgt, oldPath)
+      recoverBucketBackups(fs, tgt)
+      if (!fs.exists(tgt)) return (0, 0)
+      if (fs.listStatus(tgt).exists(_.getPath.getName.startsWith(s"$BucketCol=")))
+        throw new IllegalArgumentException(
+          s"zorder rewrite refused for bucketed target ${id.scoped}: the " +
+            "bucket layout is the clustering contract there")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val files = listParquetFilesWithSize(spark, target)
+      if (files.isEmpty) return (0, 0)
+      val totalBytes = files.map(_._2).sum
+      val wantFiles = math.max(1L,
+        (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val rowsBefore = ParquetFooters.totalRows(files.map(_._1), conf)
+      val newPath = new org.apache.hadoop.fs.Path(target + ".__new")
+      fs.delete(newPath, true)
+      graft.operators.Layout.zorderBy(
+          spark.read.option("mergeSchema", "true").parquet(target),
+          cols, bitsPerDim, outPartitions = Some(wantFiles))
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", compression).parquet(newPath.toString)
+      val newFiles = listParquetFilesWithSize(spark, newPath.toString)
+      val rowsAfter = ParquetFooters.totalRows(newFiles.map(_._1), conf)
+      if (rowsAfter != rowsBefore) {
+        fs.delete(newPath, true)
+        throw new java.io.IOException(
+          s"zorder rewrite aborted: rewrite has $rowsAfter rows, target has $rowsBefore")
+      }
+      if (!fs.rename(tgt, oldPath))
+        throw new java.io.IOException(s"swap failed: $tgt -> $oldPath")
+      if (!fs.rename(newPath, tgt)) {
+        fs.rename(oldPath, tgt)
+        throw new java.io.IOException(s"swap failed: $newPath -> $tgt")
+      }
+      fs.delete(oldPath, true)
+      (files.size, newFiles.size)
+    }
+
   /** Read the warehouse table (empty DataFrame if never loaded). mergeSchema
     * so additively-evolved tables surface the union schema (old files read
     * NULL for new columns). Bucketed-merge targets surface WITHOUT the

@@ -34,7 +34,9 @@ final case class SinkSettings(
 final case class PostOpSpec(
     op: String,                                // dedup_latest | latest_status
                                                // | scd2_apply | fold_aggregate
+                                               // | zorder (in-place layout)
     target: String,                            // derived output table name
+                                               // (zorder: the BASE table)
     keys: Seq[String] = Nil,
     tsColumn: Option[String] = None,
     idColumn: Option[String] = None,
@@ -261,7 +263,7 @@ object PipelineConfig {
     // overwrite each other's data on every sync
     val sinkNames = tables.flatMap(t =>
       (t.targetName.getOrElse(t.name.split("\\.").last) +:
-        t.postOps.map(_.target)))
+        t.postOps.filterNot(_.op == "zorder").map(_.target)))
     val dup = sinkNames.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
     if (dup.nonEmpty) throw new IllegalArgumentException(
       s"duplicate warehouse table name(s) across tables/post_ops: ${dup.mkString(", ")}")
@@ -329,7 +331,8 @@ object PipelineConfig {
     val op = opt(n, "op").map(_.asText.trim.toLowerCase)
       .getOrElse(bad("entry missing 'op'"))
     val target = opt(n, "target").map(_.asText.trim).filter(_.nonEmpty)
-      .getOrElse(bad(s"'$op' missing 'target'"))
+      .getOrElse(if (op == "zorder") "" // rewrites the base table in place
+                 else bad(s"'$op' missing 'target'"))
     val spec = PostOpSpec(op, target,
       keys = opt(n, "keys").map(strOrList).getOrElse(Nil),
       tsColumn = opt(n, "ts_column").map(_.asText),
@@ -360,8 +363,10 @@ object PipelineConfig {
       case "fold_aggregate" =>
         need(spec.keys.nonEmpty, "'keys'")
         need(spec.sums.nonEmpty, "'sums'")
+      case "zorder" =>
+        need(spec.keys.nonEmpty, "'keys' (the clustering columns)")
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
-        " | scd2_apply | fold_aggregate)")
+        " | scd2_apply | fold_aggregate | zorder)")
     }
     spec
   }

@@ -56,6 +56,11 @@ object PostOps {
       case "fold_aggregate" =>
         foldIncremental(spark, id, derivedId, extractor, loader)(
           (prev, inc) => Relational.foldAggregate(prev, inc, po.keys, po.sums))
+      case "zorder" =>
+        // in-place layout rewrite of the BASE table (crash-safe swap, row
+        // parity verified) — idempotent, so a replayed sync just re-sorts
+        loader.rewriteLayoutZorder(spark, id, po.keys)
+        ()
       case other => // unreachable: PipelineConfig validates at parse time
         throw new IllegalArgumentException(s"unknown post_op '$other'")
     }

@@ -188,6 +188,50 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       expectStatus.collect().map(_.toSeq).toSet)
   }
 
+  test("post_ops zorder: in-place layout rewrite, content-exact, idempotent") {
+    val y =
+      s"""pipeline:
+         |  name: "postops_zorder"
+         |  source: "$sfDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.lineitem:
+         |    cdc_strategy: "full_sync"
+         |    post_ops:
+         |      - op: zorder
+         |        keys: [l_partkey, l_suppkey]
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("postops_z"))
+    val r = runner.sync(p)
+    assert(r.allOk, r.tables.flatMap(_.error).mkString(";"))
+    val (_, _, loader) = runner.rigFor(p)
+    val baseId = p.tables.head.tableId(p)
+    val got = loader.readTarget(spark, baseId).get
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    assert(got.count() == src.count())
+    assert(got.select("l_orderkey", "l_linenumber").exceptAll(
+      src.select("l_orderkey", "l_linenumber")).isEmpty)
+    // idempotent: a second sync (replace + re-sort) converges to the same
+    val r2 = runner.sync(p)
+    assert(r2.allOk)
+    assert(loader.readTarget(spark, baseId).get.count() == src.count())
+    // validation: zorder without keys is rejected at parse time
+    intercept[IllegalArgumentException] {
+      PipelineConfig.fromString(
+        s"""pipeline:
+           |  name: "bad"
+           |  source: "$sfDir"
+           |  target: "warehouse"
+           |tables:
+           |  fx.lineitem:
+           |    cdc_strategy: "full_sync"
+           |    post_ops:
+           |      - op: zorder
+           |""".stripMargin)
+    }
+  }
+
   test("post_ops folds: scd2 history and rollup stay fresh, exactly once") {
     val s = spark
     import s.implicits._
