@@ -85,6 +85,71 @@ object Multimodal {
       // field match the payload so prose starting with "BM" never sniffs
       else if (n >= 26 && ascii(0, "BM") && le32(2) == n && le32(18) > 0)
         Some(Decoded("image", le32(18), math.abs(le32(22)), 1))
+      else if (n >= 16 && ascii(4, "ftyp")) {
+        // ISO BMFF (MP4/MOV): the box tree is pure byte layout — no codec
+        // needed for METADATA. Walk top-level boxes to moov, take the first
+        // visual trak's tkhd presentation size (16.16 fixed point) and its
+        // stbl/stsz sample count (= frame count). Box sizes are UNTRUSTED
+        // 32-bit values (64-bit largesize handled): walk with longs, bail
+        // on nonsense — same discipline as the WAV chunk loop. Only frame
+        // PIXEL decode (H.264) remains stubbed.
+        def boxes(start: Int, end: Int): Seq[(String, Int, Int)] = {
+          val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+          var i = start
+          var ok = true
+          while (ok && i + 8 <= end) {
+            val sz0 = be32(i).toLong & 0xffffffffL
+            val name = new String(bytes, i + 4, 4, "ISO-8859-1")
+            var hdr = 8L
+            var sz = sz0
+            if (sz0 == 1L) {
+              if (i + 16 <= end) {
+                hdr = 16L
+                sz = ((be32(i + 8).toLong & 0xffffffffL) << 32) |
+                  (be32(i + 12).toLong & 0xffffffffL)
+              } else ok = false
+            } else if (sz0 == 0L) sz = (end - i).toLong // box runs to the end
+            if (ok) {
+              if (sz < hdr || i.toLong + sz > end) ok = false
+              else {
+                out += ((name, (i + hdr).toInt, (i + sz).toInt))
+                i = (i + sz).toInt
+              }
+            }
+          }
+          if (ok) out.toSeq else Seq.empty
+        }
+        def child(kids: Seq[(String, Int, Int)], name: String) =
+          kids.find(_._1 == name)
+        val top = boxes(0, n)
+        child(top, "moov").flatMap { case (_, ms, me) =>
+          val mkids = boxes(ms, me)
+          val visual = mkids.filter(_._1 == "trak").flatMap { case (_, ts, te) =>
+            val tkids = boxes(ts, te)
+            child(tkids, "tkhd").flatMap { case (_, hs, he) =>
+              val v = u8(hs)
+              val (wOff, hOff) = if (v == 1) (88, 92) else (76, 80)
+              if (hs + hOff + 4 > he) None
+              else {
+                val w = be32(hs + wOff) >>> 16 // 16.16 fixed
+                val h = be32(hs + hOff) >>> 16
+                if (w <= 0 || h <= 0) None // audio/hint tracks have size 0
+                else {
+                  val frames = for {
+                    (_, ds, de) <- child(tkids, "mdia")
+                    (_, ns2, ne2) <- child(boxes(ds, de), "minf")
+                    (_, ss, se) <- child(boxes(ns2, ne2), "stbl")
+                    (_, zs, ze) <- child(boxes(ss, se), "stsz")
+                    if zs + 12 <= ze
+                  } yield be32(zs + 8) // vf(4) sample_size(4) COUNT(4)
+                  Some(Decoded("video", w, h, math.max(1, frames.getOrElse(1))))
+                }
+              }
+            }
+          }
+          visual.headOption
+        }
+      }
       else if (n >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
         // WAV: scan RIFF chunks for fmt (rate/channels/block align) + data.
         // The chunk size is UNTRUSTED input: a crafted/corrupt 32-bit size
@@ -251,6 +316,43 @@ object Multimodal {
 
     def payload(docId: Long): Array[Byte] =
       if (docId % 2 == 0) pngPayload(docId) else wavPayload(docId)
+
+    /** Video presentation size / frame count formulas for [[mp4Payload]]. */
+    def videoDims(docId: Long): (Int, Int) =
+      (160 + (docId % 8).toInt * 16, 96 + (docId % 5).toInt * 24)
+    def videoFrames(docId: Long): Int = 24 + (docId % 50).toInt
+
+    /** Minimal REAL ISO-BMFF container (hand-assembled boxes: ftyp +
+      * moov[mvhd, trak[tkhd(w,h), mdia[minf[stbl[stsz(frames)]]]]] + mdat):
+      * the byte layout [[MediaCodec.parseHeader]]'s MP4 branch must read
+      * back — structurally honest (sized boxes, 16.16 fixed-point tkhd
+      * dimensions, constant-sample-size stsz), only the mdat payload is
+      * filler since frame PIXEL decode stays stubbed (no JDK H.264). */
+    def mp4Payload(docId: Long): Array[Byte] = {
+      val (w, h) = videoDims(docId)
+      val frames = videoFrames(docId)
+      def be32(v: Int): Array[Byte] = Array(
+        ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def box(name: String, content: Array[Byte]): Array[Byte] =
+        be32(8 + content.length) ++ name.getBytes("ISO-8859-1") ++ content
+      val matrix = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .flatMap(be32)
+      val mvhd = box("mvhd",
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(frames * 25) ++
+          be32(0x00010000) ++ Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+          matrix ++ new Array[Byte](24) ++ be32(2))
+      val tkhd = box("tkhd",
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(frames * 25) ++
+          new Array[Byte](8) ++ new Array[Byte](8) ++ matrix ++
+          be32(w << 16) ++ be32(h << 16))
+      val stsz = box("stsz", be32(0) ++ be32(256) ++ be32(frames))
+      val mdia = box("mdia", box("minf", box("stbl", stsz)))
+      val moov = box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+      val mdat = box("mdat",
+        Array.tabulate(32)(j => pixelByte(docId, j.toLong).toByte))
+      box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0x200)) ++ moov ++ mdat
+    }
   }
 
   /** Attach deterministic fixture media payloads (real PNG/WAV bytes, see
@@ -261,6 +363,16 @@ object Multimodal {
     import spark.implicits._
     docs.filter(col(idCol).isNotNull).select(col(idCol).cast("long")).as[Long]
       .mapPartitions(it => it.map(d => (d, MediaFixtures.payload(d))))
+      .toDF(idCol, "payload")
+  }
+
+  /** Attach deterministic MP4 container payloads ([[MediaFixtures.mp4Payload]])
+    * to every doc — the video analog of [[withFixtureMedia]]. */
+  def withFixtureVideo(spark: SparkSession, docs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull).select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(d => (d, MediaFixtures.mp4Payload(d))))
       .toDF(idCol, "payload")
   }
 

@@ -57,6 +57,30 @@ object ExtQueries {
       Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len
              |FROM documents""".stripMargin)),
 
+    // ----------------------------------- multimodal MP4 container metadata
+    // Hand-assembled (structurally real) ISO-BMFF boxes round-trip through
+    // the pure-byte MP4 parser: tkhd 16.16 presentation size, stsz frame
+    // count, and the stride-10 frame-sampling plan over the parsed count.
+    // Only frame PIXEL decode (H.264) stays stubbed — the JDK has no codec.
+    Q("q_mm_video_metadata",
+      (s, dir) => {
+        val meta = Multimodal.extractMetadata(s,
+          Multimodal.withFixtureVideo(s, Tables.df(s, dir, "documents")))
+        val sampled = Multimodal.frameSamplePlan(meta, stride = 10)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))
+        meta.toDF()
+          .select(col("doc_id"), col("media_type"), col("width"),
+            col("height"), col("n_frames"))
+          .join(sampled, Seq("doc_id"))
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  'video' AS media_type,
+             |  CAST(160 + (doc_id % 8) * 16 AS INT) AS width,
+             |  CAST(96 + (doc_id % 5) * 24 AS INT) AS height,
+             |  CAST(24 + doc_id % 50 AS INT) AS n_frames,
+             |  CAST((24 + doc_id % 50 - 1) // 10 + 1 AS BIGINT) AS n_sampled
+             |FROM documents""".stripMargin)),
+
     // --------------------------------------- multimodal REAL pixel decode
     // Fixture media are REAL container bytes (PNG written by ImageIO.write)
     // whose pixel values follow a closed-form formula of doc_id, so DuckDB —

@@ -103,6 +103,42 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(parseHeader(evil2).isEmpty)
   }
 
+  test("parseHeader MP4: box walk, fixed-point dims, stsz count, hostile sizes") {
+    import Multimodal.{MediaCodec, MediaFixtures}
+    // the fixture's hand-assembled container parses back to its formulas
+    val d = MediaCodec.parseHeader(MediaFixtures.mp4Payload(7L))
+    val (w, h) = MediaFixtures.videoDims(7L)
+    assert(d.contains(Multimodal.Decoded("video", w, h,
+      MediaFixtures.videoFrames(7L))))
+    val bytes = MediaFixtures.mp4Payload(7L)
+    // 64-bit largesize on the leading ftyp still walks (size=1 + 8-byte size)
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val ftypLen = ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) |
+      ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
+    val rest = bytes.drop(ftypLen)
+    val large = be32(1) ++ "ftyp".getBytes ++ be32(0) ++ be32(ftypLen + 8) ++
+      bytes.slice(8, ftypLen) ++ rest
+    assert(MediaCodec.parseHeader(large) ==
+      MediaCodec.parseHeader(bytes))
+    // a corrupt box size (overruns the file) fails the parse, not the JVM
+    val corrupt = bytes.clone()
+    corrupt(ftypLen) = 0x7f.toByte // moov size → huge
+    assert(MediaCodec.parseHeader(corrupt).isEmpty)
+    // prose that happens to contain 'ftyp' at offset 4 is not a video
+    assert(MediaCodec.parseHeader(
+      "someftyp prose that mentions boxes".getBytes("UTF-8")).isEmpty)
+    // an audio-only trak (tkhd width 0) yields no visual track
+    val zeroDim = MediaFixtures.mp4Payload(8L) // w=160*…: find tkhd and zero it
+    val tkhdAt = {
+      val s = new String(zeroDim, "ISO-8859-1")
+      s.indexOf("tkhd")
+    }
+    // width sits 76 bytes into tkhd content (+4 past the name)
+    java.util.Arrays.fill(zeroDim, tkhdAt + 4 + 76, tkhdAt + 4 + 84, 0.toByte)
+    assert(MediaCodec.parseHeader(zeroDim).isEmpty)
+  }
+
   test("extractMetadata survives null payloads and ids; empty repartition no-ops") {
     val s = spark; import s.implicits._
     val df = Seq(
