@@ -579,6 +579,28 @@ object LlmQueries {
              |    AS composed
              |FROM documents""".stripMargin)),
 
+    // ----------------------------- custom expressions on the SQL surface
+    // GraftFunctions.register puts the engine's custom Catalyst expressions
+    // into the session's function registry (the runtime face of the
+    // spark.sql.extensions injector, GraftExtensions) — pure-SQL users get
+    // normalization and z-ordering; the oracle replays z_value's bit
+    // interleave arithmetically and NFKC-over-ASCII as identity.
+    Q("q_sql_custom_functions",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT doc_id,
+                 unicode_normalize(text, 'NFKC') AS norm,
+                 z_value(array(CAST(doc_id % 16 AS INT),
+                               CAST(n_chars % 16 AS INT)), 4) AS z
+                 FROM documents""")
+      },
+      Some("""SELECT doc_id, text AS norm,
+             |  (SELECT SUM((((doc_id % 16) >> j) & 1) * (1 << (2*j)) +
+             |              (((n_chars % 16) >> j) & 1) * (1 << (2*j + 1)))
+             |   FROM generate_series(0, 3) t(j)) AS z
+             |FROM documents""".stripMargin)),
+
     Q("q_text_analysis",
       (s, dir) => TextFunctions.analyze(Tables.df(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"), col("word_cnt"),

@@ -25,4 +25,11 @@ object GraftShim {
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
+
+  /** The session's function registry (`sessionState` is `private[sql]`) —
+    * lets graft register its custom expressions as SQL functions into a
+    * session it did not build (the driver owns session construction). */
+  def functionRegistry(
+      spark: SparkSession): org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.sessionState.functionRegistry
 }

@@ -186,6 +186,35 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SQL surface: registered functions equal the Column API") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    docsDf.createOrReplaceTempView("sql_docs")
+    val viaSql = s.sql(
+      """SELECT id, rolling_hash(text) AS h,
+        |  simhash64(split(text, ' ')) AS sh,
+        |  unicode_normalize(text, 'NFKC', true) AS n
+        |FROM sql_docs""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val viaCols = docsDf.select(col("id"), rolling_hash(col("text")).as("h"),
+      simhash64(split(col("text"), " ")).as("sh"),
+      unicode_normalize(col("text"), "NFKC", stripAccents = true).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(viaSql == viaCols)
+    // registration is idempotent; extension injector applies cleanly
+    graft.functions.GraftFunctions.register(s)
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // arity/type errors surface at analysis, not execution
+    intercept[Exception] { s.sql("SELECT rolling_hash()").collect() }
+    intercept[Exception] {
+      s.sql("SELECT unicode_normalize('x', 'NFX')").collect()
+    }
+  }
+
   test("AhoCorasick: overlapping matches, suffix patterns, distributed counts") {
     import graft.functions.AhoCorasick
     // classic automaton fixture: suffix patterns surface through fail links
