@@ -206,6 +206,27 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
           fs.delete(committed, true)
         }
       }
+      // Tombstone gate: a CDC re-sync can legally re-deliver rows that were
+      // taken down (deleteKeys) — re-suppress when, and only when, THIS
+      // session's increment actually contains tombstoned keys. The gate
+      // costs one increment-sized semi-join; the rewrite runs only on a hit
+      // (and prunes to affected buckets on bucketed layouts).
+      if (loadedRows > 0) {
+        val tombP = new org.apache.hadoop.fs.Path(tombstonePath(id))
+        if (fs.exists(tombP)) {
+          val tomb = spark.read.parquet(tombstonePath(id))
+          val incRaw = spark.read.parquet(valid: _*)
+          // the increment must be compared in the TARGET's column namespace
+          val inc = if (normalizeColumns) {
+            val (_, mapping) = TypeMapper.normalizeColumnNames(incRaw.columns.toSeq)
+            ColumnMapStore.apply(incRaw, mapping)
+          } else incRaw
+          if (tomb.columns.forall(inc.columns.contains) &&
+              !inc.join(tomb, tomb.columns.toSeq, "left_semi").isEmpty)
+            deleteKeysLocked(spark, id, tomb, persistTombstones = false,
+              buckets = 64)
+        }
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       // record the quarantine AFTER the sub-batch commits so the note isn't
       // overwritten by their success saves: status stays success (the valid
@@ -666,6 +687,130 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       throw new java.io.IOException(s"swap verification failed: $tgt absent")
     fs.delete(oldPath, true)
     (files.size, newFiles.size)
+  }
+
+  /** Tombstone side-table of a target (hidden sibling dir — dot-prefixed, so
+    * table listings and swaps never see it). Schema = the key columns. */
+  def tombstonePath(id: TableId): String = targetPath(id) + ".__tombstones"
+
+  /** Targeted key deletion — the takedown / right-to-be-forgotten operator
+    * (GDPR Art. 17; a training-data pipeline's legal-removal path). Rewrites
+    * the table WITHOUT rows whose key tuple appears in `keys` (column names
+    * of `keys` = the key columns), committed with the same crash-recovering
+    * swaps as merge/compact. Bucketed-merge targets rewrite ONLY the buckets
+    * the keys hash to (`buckets` must match the merge layout); flat targets
+    * pay one full rewrite. The watermark's cumulative row counter is
+    * decremented so the count-parity gate tracks the post-deletion truth.
+    *
+    * With `persistTombstones` (default) the keys also merge into a persisted
+    * tombstone side-table: a later CDC re-sync that re-delivers a deleted
+    * row is RE-SUPPRESSED by [[load]]'s tombstone gate — deletion survives
+    * the source disagreeing. (An explicit [[mergeInto]] of a tombstoned key
+    * is an application-level write and wins; syncs re-suppress.)
+    * Returns the number of rows deleted from the current table. */
+  def deleteKeys(spark: SparkSession, id: TableId, keys: DataFrame,
+                 persistTombstones: Boolean = true,
+                 buckets: Int = 64): Long =
+    store.withTableLock(id.scoped) {
+      deleteKeysLocked(spark, id, keys, persistTombstones, buckets)
+    }
+
+  private def deleteKeysLocked(spark: SparkSession, id: TableId,
+                               keys: DataFrame, persistTombstones: Boolean,
+                               buckets: Int): Long = {
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "deleteKeys: keys frame has no columns")
+    val target = targetPath(id)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tgt = new org.apache.hadoop.fs.Path(target)
+    val fs = tgt.getFileSystem(conf)
+    recoverSwap(fs, tgt, new org.apache.hadoop.fs.Path(target + ".__old"))
+    recoverBucketBackups(fs, tgt)
+    if (persistTombstones) {
+      val tp = tombstonePath(id)
+      val prev =
+        if (fs.exists(new org.apache.hadoop.fs.Path(tp)))
+          Some(spark.read.parquet(tp)) else None
+      val merged = prev.fold(keys.distinct())(p =>
+        p.unionByName(keys).distinct())
+      graft.util.AtomicDir.replace(spark, tp, merged, compression)
+    }
+    if (!fs.exists(tgt)) return 0L
+
+    val before = targetRowCount(spark, id)
+    val isBucketed = fs.listStatus(tgt)
+      .exists(_.getPath.getName.startsWith(s"$BucketCol="))
+    if (isBucketed) {
+      val affected = keys
+        .select(pmod(hash(keyCols.map(col): _*), lit(buckets)).as(BucketCol))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val existing = spark.read.parquet(target)
+        .filter(col(BucketCol).isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
+      val survivors = existing.join(keys.distinct(), keyCols, "left_anti")
+      val newRoot = new org.apache.hadoop.fs.Path(target + ".__new")
+      fs.delete(newRoot, true)
+      survivors.write.mode(SaveMode.Overwrite)
+        .option("compression", compression)
+        .partitionBy(BucketCol).parquet(newRoot.toString)
+      affected.foreach { b =>
+        val newB = new org.apache.hadoop.fs.Path(newRoot, s"$BucketCol=$b")
+        val curB = new org.apache.hadoop.fs.Path(tgt, s"$BucketCol=$b")
+        val oldB = new org.apache.hadoop.fs.Path(tgt, s".__old_$b")
+        if (fs.exists(curB) && !fs.rename(curB, oldB))
+          throw new java.io.IOException(s"bucket swap failed: $curB -> $oldB")
+        if (fs.exists(newB) && !fs.rename(newB, curB)) {
+          fs.rename(oldB, curB)
+          throw new java.io.IOException(s"bucket swap failed: $newB -> $curB")
+        }
+        fs.delete(oldB, true)
+      }
+      fs.delete(newRoot, true)
+    } else {
+      val survivors = spark.read.option("mergeSchema", "true").parquet(target)
+        .join(keys.distinct(), keyCols, "left_anti")
+      val newPath = new org.apache.hadoop.fs.Path(target + ".__new")
+      val oldPath = new org.apache.hadoop.fs.Path(target + ".__old")
+      fs.delete(newPath, true)
+      survivors.write.mode(SaveMode.Overwrite)
+        .option("compression", compression).parquet(newPath.toString)
+      if (!fs.rename(tgt, oldPath))
+        throw new java.io.IOException(s"swap failed: $tgt -> $oldPath")
+      if (!fs.rename(newPath, tgt)) {
+        fs.rename(oldPath, tgt)
+        throw new java.io.IOException(s"swap failed: $newPath -> $tgt")
+      }
+      fs.delete(oldPath, true)
+    }
+    val deleted = before - targetRowCount(spark, id)
+    if (deleted != 0) {
+      // keep the count-parity gate honest: the cumulative loaded-rows
+      // counter must drop with the rows, marked as a manual intervention
+      // (the same audit convention as watermark-count)
+      val wm = store.get(id.scoped)
+      wm.foreach { w =>
+        store.save(w.copy(
+          redshift_state = w.redshift_state.copy(
+            total_rows = math.max(0L, w.redshift_state.total_rows - deleted),
+            last_updated = Some(store.nowString())),
+          metadata = w.metadata.copy(manual_override = true)))
+      }
+    }
+    deleted
+  }
+
+  /** Re-apply the persisted tombstones (if any) to the current table —
+    * the idempotent form [[load]] uses after an increment re-delivered
+    * deleted keys. Returns rows deleted. */
+  def applyTombstones(spark: SparkSession, id: TableId,
+                      buckets: Int = 64): Long = {
+    val tp = tombstonePath(id)
+    val fs = new org.apache.hadoop.fs.Path(tp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tp))) 0L
+    else store.withTableLock(id.scoped) {
+      deleteKeysLocked(spark, id, spark.read.parquet(tp),
+        persistTombstones = false, buckets)
+    }
   }
 
   /** Rewrite the warehouse table clustered on the z-curve over `cols`

@@ -32,6 +32,34 @@ object EtlQueries {
       Some("""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
              |FROM events""".stripMargin)),
 
+    // ------------------------- targeted deletion (right-to-be-forgotten)
+    // Two-phase probe of the takedown path: load the first half, tombstone
+    // every 5th event id (including ids that have NOT arrived yet), load
+    // the second half — the first half is deleted by the crash-safe
+    // rewrite, the second half's tombstoned arrivals are RE-SUPPRESSED by
+    // load's tombstone gate. Final table = events minus every 5th id.
+    Q("q_e2e_delete_keys",
+      (s, dir) => {
+        val scratch = Tables.scratchDir("forget")
+        val store = new WatermarkStore(s"$scratch/wm")
+        val extractor = new Extractor(store, s"$scratch/staging")
+        val loader = new Loader(store, s"$scratch/warehouse")
+        val id = TableId("bench", "fixtures", "events")
+        val cfg = CdcConfig(CdcStrategyKind.IdOnly, idColumn = Some("event_id"))
+        val events = Tables.df(s, dir, "events")
+        extractor.extract(s, id, events.filter(col("event_id") <= 500), cfg)
+        loader.load(s, id, extractor.stagingDir(id), cfg)
+        loader.deleteKeys(s, id,
+          events.filter(col("event_id") % 5 === 0)
+            .select(col("event_id")))
+        extractor.extract(s, id, events, cfg) // cursor resumes past 500
+        loader.load(s, id, extractor.stagingDir(id), cfg)
+        loader.readTarget(s, id).get
+          .select(col("event_id"), col("user_id"), col("event_type"))
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |WHERE event_id % 5 <> 0""".stripMargin)),
+
     // ------------------------------------- z-order layout optimization
     // Cluster lineitem on the (l_partkey, l_suppkey) Morton curve, write,
     // read back: the oracle proves the rewrite is content-exact (row set

@@ -99,6 +99,85 @@ class MergeSwapSpec extends AnyFunSuite with SparkTestBase {
     assert(!tgt.columns.contains("__gbucket"))
   }
 
+  test("deleteKeys: crash-safe rewrite, tombstone re-suppression, parity kept") {
+    val root = tmpDir("forget")
+    val store = new WatermarkStore(s"$root/wm")
+    val extractor = new Extractor(store, s"$root/staging")
+    val loader = new Loader(store, s"$root/warehouse")
+    extractor.extract(spark, id, orders.filter(col("o_orderkey") <= 1000), cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    val n0 = loader.readTarget(spark, id).get.count()
+    val s = spark; import s.implicits._
+    // tombstone EVERY %7 key — including ones that have not arrived yet
+    val doomed = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"))
+    val nDoomed = orders.filter(col("o_orderkey") <= 1000)
+      .filter(col("o_orderkey") % 7 === 0).count()
+
+    val deleted = loader.deleteKeys(spark, id, doomed)
+    assert(deleted == nDoomed) // only the present rows count as deleted
+    val tgt = loader.readTarget(spark, id).get
+    assert(tgt.count() == n0 - nDoomed)
+    assert(tgt.filter(col("o_orderkey") % 7 === 0).isEmpty)
+    // the count-parity counter followed the deletion
+    assert(store.get(id.scoped).get.redshift_state.total_rows == n0 - nDoomed)
+    // idempotent: deleting the same keys again removes nothing
+    assert(loader.deleteKeys(spark, id, doomed) == 0L)
+
+    // a later sync re-delivering tombstoned keys is re-suppressed
+    extractor.extract(spark, id, orders.filter(col("o_orderkey") <= 1200), cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    val tgt2 = loader.readTarget(spark, id).get
+    assert(tgt2.filter(col("o_orderkey") % 7 === 0).isEmpty,
+      "tombstoned keys re-appeared after a re-sync")
+    val n2 = tgt2.count()
+    assert(n2 ==
+      orders.filter(col("o_orderkey") <= 1200)
+        .filter(col("o_orderkey") % 7 =!= 0).count())
+
+    // crash recovery: simulate a mid-swap crash (table only in .__old).
+    // (tgt2's plan dies with the swap — swap-based rewrites invalidate
+    // earlier frames, hence the count captured above.)
+    val tgtDir = new java.io.File(loader.targetPath(id))
+    val oldDir = new java.io.File(loader.targetPath(id) + ".__old")
+    assert(tgtDir.renameTo(oldDir))
+    assert(loader.deleteKeys(spark, id,
+      Seq(999999L).toDF("o_orderkey")) == 0L) // entry recovery restores first
+    assert(loader.readTarget(spark, id).get.count() == n2)
+  }
+
+  test("deleteKeys on a bucketed target rewrites only the keys' buckets") {
+    val root = tmpDir("bforget")
+    val store = new WatermarkStore(s"$root/wm")
+    val loader = new Loader(store, s"$root/warehouse")
+    val nBuckets = 16
+    loader.mergeIntoBucketed(spark, id,
+      orders.filter(col("o_orderkey") <= 1000), Seq("o_orderkey"), nBuckets)
+    val targetDir = new java.io.File(loader.targetPath(id))
+    def bucketFiles(): Map[String, Map[String, (Long, Long)]] =
+      targetDir.listFiles().filter(_.getName.startsWith("__gbucket="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+        }.toMap
+    val before = bucketFiles()
+    val s = spark; import s.implicits._
+    val deleted = loader.deleteKeys(spark, id, Seq(500L).toDF("o_orderkey"),
+      buckets = nBuckets)
+    assert(deleted == 1L)
+    val expectedBucket = spark.range(1)
+      .select(pmod(hash(lit(500L)), lit(nBuckets))).head().getInt(0)
+    val after = bucketFiles()
+    before.foreach { case (bucket, files) =>
+      if (bucket != s"__gbucket=$expectedBucket")
+        assert(after(bucket) == files, s"bucket $bucket was rewritten")
+    }
+    val tgt = loader.readTarget(spark, id).get
+    assert(tgt.filter(col("o_orderkey") === 500).isEmpty)
+    assert(tgt.count() ==
+      orders.filter(col("o_orderkey") <= 1000).count() - 1)
+  }
+
   test("bucketed merge converts a non-bucketed target once, then targets buckets") {
     val root = tmpDir("bmerge2")
     val store = new WatermarkStore(s"$root/wm")
