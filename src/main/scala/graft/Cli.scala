@@ -321,6 +321,41 @@ object Cli {
           s"${res.loadedRows} staged rows merged, ${res.skippedFiles} files already processed")
         0
 
+      case "forget" =>
+        // targeted deletion (right-to-be-forgotten): remove the given key
+        // values from the warehouse table AND tombstone them so a later
+        // re-sync cannot resurrect the rows. --key-column defaults to the
+        // table's CDC id column; --values is a comma list of key values.
+        val (r, p) = runner
+        val (_, _, loader) = r.rigFor(p)
+        val spec = requireTable(p, tableFilter, "forget")
+        val keyCol = opts.get("key-column").orElse(spec.cdc.idColumn).getOrElse {
+          System.err.println("forget requires --key-column (no cdc_id_column)")
+          throw CliExit(2)
+        }
+        val values = opts.get("values").map(_.split(",").toSeq).getOrElse {
+          System.err.println("forget requires --values v1,v2,...")
+          throw CliExit(2)
+        }
+        val id = spec.tableId(p)
+        val keysDf = {
+          import spark.implicits._
+          // key values arrive as strings; cast to the target column's type
+          // so the anti-join compares natively
+          val raw = values.toDF(keyCol)
+          loader.readTarget(spark, id) match {
+            case Some(t) if t.columns.contains(keyCol) =>
+              raw.select(org.apache.spark.sql.functions.col(keyCol)
+                .cast(t.schema(keyCol).dataType))
+            case _ => raw
+          }
+        }
+        val deleted = loader.deleteKeys(spark, id, keysDf,
+          buckets = spec.mergeBuckets.getOrElse(64))
+        println(s"forgot ${values.size} key(s) from ${id.qualified}: " +
+          s"$deleted row(s) deleted, tombstones persisted")
+        0
+
       case "compact" =>
         // small-file maintenance: rewrite a warehouse table (or each bucket
         // of a bucketed one) into ~target-file-mb files, atomic dir swap
@@ -438,6 +473,7 @@ object Cli {
       |  watermark-count get|set|status -t table [--count N]
       |  column-map list|get|clear [-t table] [--force]  persisted rename maps
       |  compact   rewrite a table's small files: -t table [--target-file-mb N (256)]
+      |  forget    delete + tombstone keys: -t table --values v1,v2 [--key-column c]
       |  unlock    break a stale session lock: -t table [--stale-minutes M (60)] [--force]
       |  s3clean   --older-than-hours H [--keep-newest N] [--dry-run]""".stripMargin
 }

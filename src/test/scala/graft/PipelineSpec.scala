@@ -671,6 +671,14 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(cli("unlock", "-t", "fx.events", "--force") == 1)
     // compact the synced table (tiny → no-op or collapse, either exits 0)
     assert(cli("compact", "-t", "fx.region") == 0)
+    // forget: delete + tombstone two order keys through the CLI
+    val forgetBefore = loader0.readTarget(spark, ordersId).get.count()
+    assert(cli("forget", "-t", "fx.orders", "--values", "1,2",
+      "--key-column", "o_orderkey") == 0)
+    val afterForget = loader0.readTarget(spark, ordersId).get
+    assert(afterForget.filter(col("o_orderkey").isin(1L, 2L)).isEmpty)
+    assert(afterForget.count() == forgetBefore - 2)
+    assert(cli("forget", "-t", "fx.orders") == 2)  // missing --values
     // resolved-config inspection (whole pipeline, then one table)
     assert(cli("config") == 0)
     assert(cli("config", "-t", "fx.orders") == 0)
