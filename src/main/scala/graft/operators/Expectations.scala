@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.pipeline.ExpectationSpec
+
+/** Declarative post-load data-quality gate (YAML `tables.<t>.expectations`):
+  * the reference's count-validation idea generalized to column contracts.
+  * Every rule across every expectation evaluates in ONE aggregate pass over
+  * the table (one job, map-side partials — no per-rule scans), so the gate's
+  * cost at 100 TB is one scan regardless of how many contracts it checks.
+  * `distinct_min` uses approx_count_distinct (HLL: deterministic, ~1% rsd —
+  * thresholds should carry margin); min/max/null-fraction/row-count are
+  * exact. Returns human-readable violation messages; empty = pass.
+  */
+object Expectations {
+
+  def violations(df: DataFrame, specs: Seq[ExpectationSpec]): Seq[String] = {
+    if (specs.isEmpty) return Nil
+    val missing = specs.flatMap(_.column).distinct
+      .filterNot(df.columns.contains)
+      .map(c => s"expectation column '$c' not in table")
+    if (missing.nonEmpty) return missing
+
+    val aggs = scala.collection.mutable.ArrayBuffer[Column](
+      count(lit(1)).as("__n"))
+    specs.zipWithIndex.foreach { case (e, i) =>
+      e.column.foreach { c =>
+        if (e.minValue.isDefined) aggs += min(col(c)).cast("double").as(s"__min_$i")
+        if (e.maxValue.isDefined) aggs += max(col(c)).cast("double").as(s"__max_$i")
+        if (e.nullFracMax.isDefined)
+          aggs += avg(col(c).isNull.cast("double")).as(s"__nf_$i")
+        if (e.distinctMin.isDefined)
+          aggs += approx_count_distinct(col(c), 0.01).as(s"__d_$i")
+      }
+    }
+    val row = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
+    def d(name: String): Option[Double] = {
+      val idx = row.fieldIndex(name)
+      if (row.isNullAt(idx)) None else Some(row.getDouble(idx))
+    }
+    val n = row.getLong(row.fieldIndex("__n"))
+
+    specs.zipWithIndex.flatMap { case (e, i) =>
+      val c = e.column.getOrElse("")
+      val vMin = e.minValue.flatMap(m => d(s"__min_$i").collect {
+        case v if v < m => f"$c: min $v%.6g < required $m%.6g" })
+      val vMax = e.maxValue.flatMap(m => d(s"__max_$i").collect {
+        case v if v > m => f"$c: max $v%.6g > allowed $m%.6g" })
+      val vNull = e.nullFracMax.flatMap(m => d(s"__nf_$i").collect {
+        case v if v > m => f"$c: null fraction $v%.4f > allowed $m%.4f" })
+      val vDist = e.distinctMin.flatMap { m =>
+        val idx = row.fieldIndex(s"__d_$i")
+        val v = row.getLong(idx)
+        if (v < m) Some(s"$c: ~$v distinct < required $m") else None
+      }
+      val vRows = e.rowCountMin.collect {
+        case m if n < m => s"row count $n < required $m" }
+      Seq(vMin, vMax, vNull, vDist, vRows).flatten
+    }
+  }
+}

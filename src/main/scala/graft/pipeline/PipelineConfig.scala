@@ -24,6 +24,20 @@ final case class SinkSettings(
     partitionStrategy: PartitionStrategy = PartitionStrategy.ByTable,
     compression: String = "snappy")
 
+/** One declarative data-quality rule (YAML `tables.<t>.expectations`) —
+  * evaluated after every load in ONE aggregate pass over the target; any
+  * violation fails the table's report (the reference's count-validation
+  * idea generalized to column-level contracts). `distinct_min` uses the
+  * HLL approximate distinct (deterministic, ~1% error — set thresholds
+  * with margin); the rest are exact. */
+final case class ExpectationSpec(
+    column: Option[String],
+    minValue: Option[Double] = None,           // min(column) >= this
+    maxValue: Option[Double] = None,           // max(column) <= this
+    nullFracMax: Option[Double] = None,        // null fraction <= this
+    distinctMin: Option[Long] = None,          // approx distinct >= this
+    rowCountMin: Option[Long] = None)          // table-level: rows >= this
+
 /** One post-load derived-table operator (YAML `tables.<t>.post_ops`) — the
   * reference's post-load SQL stage as pipeline config: ROW_NUMBER dedup and
   * "latest status" views run as part of the sync, not as library calls
@@ -64,7 +78,8 @@ final case class TableSpec(
     mergeBuckets: Option[Int] = None,          // bucket-partitioned merge: only
                                                // buckets containing staged keys
                                                // are rewritten per increment
-    postOps: Seq[PostOpSpec] = Nil) {          // post-load derived tables
+    postOps: Seq[PostOpSpec] = Nil,            // post-load derived tables
+    expectations: Seq[ExpectationSpec] = Nil) { // post-load quality gate
   def tableId(connection: String): TableId = {
     val id = TableId.parse(s"$connection:$name")
     targetName.map(t => id.copy(table = t)).getOrElse(id)
@@ -318,8 +333,34 @@ object PipelineConfig {
     val mergeBuckets = opt(n, "merge_buckets").map(_.asInt)
     val postOps = opt(n, "post_ops").map(_.elements().asScala.toSeq
       .map(parsePostOp(name, _))).getOrElse(Nil)
+    val expectations = opt(n, "expectations").map(_.elements().asScala.toSeq
+      .map(parseExpectation(name, _))).getOrElse(Nil)
     TableSpec(name, cdc, opt(n, "target_name").map(_.asText), ttype,
-      countCheck, sourceCountCheck, mergeKeys, mergeBuckets, postOps)
+      countCheck, sourceCountCheck, mergeKeys, mergeBuckets, postOps,
+      expectations)
+  }
+
+  /** Same parse-time strictness as post_ops: an expectation with no rule
+    * (or a column rule without a column) must fail at config load. */
+  private def parseExpectation(table: String, n: JsonNode): ExpectationSpec = {
+    def bad(msg: String) = throw new IllegalArgumentException(
+      s"tables.$table.expectations: $msg")
+    val spec = ExpectationSpec(
+      column = opt(n, "column").map(_.asText.trim).filter(_.nonEmpty),
+      minValue = opt(n, "min").map(_.asDouble),
+      maxValue = opt(n, "max").map(_.asDouble),
+      nullFracMax = opt(n, "null_frac_max").map(_.asDouble),
+      distinctMin = opt(n, "distinct_min").map(_.asLong),
+      rowCountMin = opt(n, "row_count_min").map(_.asLong))
+    val hasColRule = spec.minValue.isDefined || spec.maxValue.isDefined ||
+      spec.nullFracMax.isDefined || spec.distinctMin.isDefined
+    if (!hasColRule && spec.rowCountMin.isEmpty)
+      bad("entry declares no rule (min/max/null_frac_max/distinct_min/row_count_min)")
+    if (hasColRule && spec.column.isEmpty)
+      bad("column rule (min/max/null_frac_max/distinct_min) requires 'column'")
+    spec.nullFracMax.foreach(f =>
+      if (f < 0.0 || f > 1.0) bad(s"null_frac_max $f outside [0,1]"))
+    spec
   }
 
   /** Strict per-op validation at PARSE time: a post_op missing its columns

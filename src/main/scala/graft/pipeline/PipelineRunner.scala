@@ -307,16 +307,29 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
           case (None, None) => None
           case (a, b) => Some(a.forall(identity) && b.forall(identity))
         }
+        // declarative data-quality gate (YAML expectations): all contracts
+        // in ONE aggregate pass over the target; violations fail the table
+        val expViolations: Seq[String] =
+          if (spec.expectations.isEmpty) Nil
+          else loader.readTarget(spark, id) match {
+            case Some(t) =>
+              graft.operators.Expectations.violations(t, spec.expectations)
+            case None => Seq("expectations declared but table never loaded")
+          }
         // post-load derived tables (YAML post_ops), still under the
         // session lock — the reference's post-load SQL stage runs inside
         // every sync the same way
         PostOps.run(spark, spec, id, extractor, loader)
-        (ext, load, parity)
+        (ext, load, parity, expViolations)
       }
     } match {
-      case Success((ext, load, parity)) =>
-        TableReport(id, ok = parity.forall(identity), Some(ext), Some(load),
-          if (parity.contains(false)) Some("count parity check failed") else None,
+      case Success((ext, load, parity, expViolations)) =>
+        val errs =
+          (if (parity.contains(false)) Seq("count parity check failed")
+           else Nil) ++ expViolations
+        TableReport(id, ok = parity.forall(identity) && expViolations.isEmpty,
+          Some(ext), Some(load),
+          if (errs.nonEmpty) Some(errs.mkString("; ")) else None,
           (System.nanoTime() - t0) / 1e9, parity)
       case Failure(e) =>
         TableReport(id, ok = false, None, None,

@@ -188,6 +188,54 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       expectStatus.collect().map(_.toSeq).toSet)
   }
 
+  test("expectations: one-pass quality gate passes, fails, and validates") {
+    def yml(rules: String) =
+      s"""pipeline:
+         |  name: "expect"
+         |  source: "$sfDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.orders:
+         |    cdc_strategy: "full_sync"
+         |    expectations:
+         |$rules
+         |""".stripMargin
+    // contracts the orders fixture satisfies
+    val good = PipelineConfig.fromString(yml(
+      """      - column: o_totalprice
+        |        min: 0
+        |        null_frac_max: 0.0
+        |      - column: o_orderkey
+        |        distinct_min: 100
+        |      - row_count_min: 10""".stripMargin))
+    val r1 = new PipelineRunner(spark, tmpDir("exp_ok")).sync(good)
+    assert(r1.allOk, r1.tables.flatMap(_.error).mkString(";"))
+
+    // an impossible contract fails the TABLE with a named violation
+    val bad = PipelineConfig.fromString(yml(
+      """      - column: o_totalprice
+        |        min: 1.0e12""".stripMargin))
+    val r2 = new PipelineRunner(spark, tmpDir("exp_bad")).sync(bad)
+    assert(!r2.allOk)
+    assert(r2.tables.head.error.exists(_.contains("o_totalprice")), r2.tables.head.error)
+
+    // a contract on a missing column reports, never crashes
+    val miss = PipelineConfig.fromString(yml(
+      """      - column: no_such_col
+        |        min: 0""".stripMargin))
+    val r3 = new PipelineRunner(spark, tmpDir("exp_miss")).sync(miss)
+    assert(!r3.allOk)
+    assert(r3.tables.head.error.exists(_.contains("no_such_col")))
+
+    // parse-time strictness: no rule / column rule without column
+    intercept[IllegalArgumentException] {
+      PipelineConfig.fromString(yml("      - column: o_totalprice"))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineConfig.fromString(yml("      - min: 0"))
+    }
+  }
+
   test("post_ops zorder: in-place layout rewrite, content-exact, idempotent") {
     val y =
       s"""pipeline:
