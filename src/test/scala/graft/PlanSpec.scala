@@ -63,6 +63,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!readSchema.contains("ts"), s"unpruned scan: $readSchema")
   }
 
+  test("zorderBy costs exactly one range exchange; expressions codegen") {
+    val df = graft.operators.Layout.zorderBy(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"),
+      Seq("l_partkey", "l_suppkey"), bitsPerDim = 8, outPartitions = Some(4))
+    val exchanges = physical(df).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1,
+      s"z-order should cost ONE range exchange, found ${exchanges.size}")
+    assert(exchanges.head.outputPartitioning.getClass.getSimpleName
+      .contains("RangePartitioning"),
+      s"expected a range exchange, got ${exchanges.head.outputPartitioning}")
+    // (RangeBucket/ZValue codegen==interpreted parity lives in LayoutSpec)
+  }
+
   test("minhash candidate generation shuffles only ids and band keys") {
     val df = graft.functions.DedupFunctions.minhashCandidatePairs(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
