@@ -214,17 +214,21 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       if (loadedRows > 0) {
         val tombP = new org.apache.hadoop.fs.Path(tombstonePath(id))
         if (fs.exists(tombP)) {
-          val tomb = spark.read.parquet(tombstonePath(id))
+          val tombRaw = spark.read.parquet(tombstonePath(id))
           val incRaw = spark.read.parquet(valid: _*)
           // the increment must be compared in the TARGET's column namespace
           val inc = if (normalizeColumns) {
             val (_, mapping) = TypeMapper.normalizeColumnNames(incRaw.columns.toSeq)
             ColumnMapStore.apply(incRaw, mapping)
           } else incRaw
+          // ... and in the increment's TYPES: tombstones persisted before the
+          // table first loaded carry CLI strings, which an implicit-cast
+          // semi-join can fail to match against native numeric/temporal keys
+          val tomb = castKeysLike(tombRaw, inc.schema)
           if (tomb.columns.forall(inc.columns.contains) &&
               !inc.join(tomb, tomb.columns.toSeq, "left_semi").isEmpty)
             deleteKeysLocked(spark, id, tomb, persistTombstones = false,
-              buckets = 64)
+              buckets = mergeBuckets.getOrElse(64))
         }
       }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -373,6 +377,25 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       val bytes = ParquetFooters.totalBytes(fresh, conf)
       store.save(store.getOrCreate(id.scoped, config.strategy.name)
         .afterLoadSession(fresh, rows, store.nowString()))
+      // Tombstone gate — merge-mode counterpart of [[load]]'s: a keyed CDC
+      // re-sync that re-delivers forgotten rows has just UPSERTED them, so
+      // re-suppress here or the `forget` guarantee ("deletion survives the
+      // source disagreeing") silently fails on exactly the merge-keyed
+      // tables the CLI verb targets. Same cost shape: one increment-sized
+      // semi-join; the rewrite runs only on a hit and prunes to the
+      // marker's buckets on bucketed layouts.
+      locally {
+        val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(conf)
+        val tombP = new org.apache.hadoop.fs.Path(tombstonePath(id))
+        if (fs.exists(tombP)) {
+          val tomb = castKeysLike(spark.read.parquet(tombstonePath(id)),
+            staged.schema)
+          if (tomb.columns.forall(staged.columns.contains) &&
+              !staged.join(tomb, tomb.columns.toSeq, "left_semi").isEmpty)
+            deleteKeysLocked(spark, id, tomb, persistTombstones = false,
+              buckets = bucketsEff.getOrElse(64))
+        }
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       LoadResult(id, fresh.size.toLong, rows, (all.size - fresh.size).toLong,
         target, Nil, SessionMetrics(rows, fresh.size.toLong, bytes, secs))
@@ -477,6 +500,57 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     * stripped by [[readTarget]]. */
   private val BucketCol = "__gbucket"
 
+  /** Layout contract of a bucketed target, persisted as a dot-file INSIDE the
+    * target dir (invisible to Spark's listing, travels with directory swaps):
+    * the bucket count and the key columns, in hash order. Written whenever
+    * [[mergeIntoBucketed]] (re)defines the layout; consumed by the deletion /
+    * tombstone path so bucket pruning NEVER trusts a caller-supplied bucket
+    * count or key order — `pmod(hash(keys), n)` only prunes correctly when
+    * both `n` and the key sequence match what laid the data out. */
+  private val LayoutMarker = ".__glayout"
+
+  private def writeLayoutMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                tgt: org.apache.hadoop.fs.Path,
+                                buckets: Int, keys: Seq[String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(tgt, LayoutMarker), true)
+    try out.write(s"buckets=$buckets\nkeys=${keys.mkString(",")}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readLayoutMarker(fs: org.apache.hadoop.fs.FileSystem,
+                               tgt: org.apache.hadoop.fs.Path): Option[(Int, Seq[String])] = {
+    val p = new org.apache.hadoop.fs.Path(tgt, LayoutMarker)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val kv = txt.split("\n").map(_.trim).filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    for {
+      n <- kv.get("buckets").flatMap(_.toIntOption)
+      ks <- kv.get("keys").map(_.split(",").toSeq.filter(_.nonEmpty))
+      if ks.nonEmpty
+    } yield (n, ks)
+  }
+
+  /** Cast `keys`' columns to the types `schema` declares for them (columns
+    * `schema` doesn't carry pass through). The deletion/tombstone path meets
+    * key frames of foreign provenance — CLI string values persisted before
+    * the table first loaded, tombstones written under an older schema — and
+    * an implicit-cast comparison against natively-typed data can silently
+    * fail to match (string "42" vs BIGINT 42 compares as DOUBLE; fine — but
+    * string keys against DECIMAL or TIMESTAMP columns need not be). */
+  private def castKeysLike(keys: DataFrame,
+                           schema: org.apache.spark.sql.types.StructType): DataFrame =
+    keys.select(keys.columns.toIndexedSeq.map { c =>
+      schema.fields.find(_.name == c) match {
+        case Some(f) if f.dataType != keys.schema(c).dataType =>
+          col(c).cast(f.dataType).as(c)
+        case _ => col(c)
+      }
+    }: _*)
+
   /** Merge (upsert) into a BUCKET-PARTITIONED warehouse table, rewriting only
     * the buckets that contain staged keys — the scale-correct form of
     * [[mergeInto]] (which rewrites the whole target every increment). The
@@ -502,8 +576,8 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     val conf = spark.sparkContext.hadoopConfiguration
     val tgt = new org.apache.hadoop.fs.Path(target)
     val fs = tgt.getFileSystem(conf)
-    val withBucket = staged.withColumn(BucketCol,
-      pmod(hash(keys.map(col): _*), lit(buckets)))
+    def bucketed(n: Int, ks: Seq[String]): DataFrame =
+      staged.withColumn(BucketCol, pmod(hash(ks.map(col): _*), lit(n)))
 
     // crash recovery first: a migration/bootstrap crash between the root
     // renames leaves the whole table only in `<target>.__old` — restore it
@@ -515,19 +589,25 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     recoverBucketBackups(fs, tgt)
 
     if (!fs.exists(tgt)) {
-      // bootstrap: lay the table out bucketed from the first load
-      withBucket.write.mode(SaveMode.Overwrite)
+      // bootstrap: lay the table out bucketed from the first load, and
+      // persist the layout contract alongside it
+      bucketed(buckets, keys).write.mode(SaveMode.Overwrite)
         .option("compression", compression)
         .partitionBy(BucketCol).parquet(target)
+      writeLayoutMarker(fs, tgt, buckets, keys)
       return countIf()
     }
 
-    // migration path: an existing NON-bucketed target is converted with one
-    // full bucketed rewrite (the old mergeInto cost, paid once), after which
-    // every increment is bucket-targeted
+    // migration path: an existing NON-bucketed target — or a bucketed one
+    // whose persisted layout keys no longer match the merge keys (pruning
+    // by the new keys would hash into the wrong dirs) — is converted with
+    // one full bucketed rewrite (the old mergeInto cost, paid once), after
+    // which every increment is bucket-targeted
     val isBucketed = fs.listStatus(tgt)
       .exists(_.getPath.getName.startsWith(s"$BucketCol="))
-    if (!isBucketed) {
+    val markerOpt = if (isBucketed) readLayoutMarker(fs, tgt) else None
+    if (!isBucketed || markerOpt.exists(_._2.toSet != keys.toSet)) {
+      val withBucket = bucketed(buckets, keys)
       val existingAll = spark.read.parquet(target)
       val survivorsAll = existingAll.join(
         staged.select(keys.map(col): _*).distinct(), keys, "left_anti")
@@ -549,9 +629,18 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       if (!fs.exists(tgt))
         throw new java.io.IOException(s"swap verification failed: $tgt absent")
       fs.delete(oldRoot0, true)
+      writeLayoutMarker(fs, tgt, buckets, keys)
       return countIf()
     }
 
+    // the persisted layout (count + key ORDER) governs the hash, not the
+    // caller's config — a YAML bucket-count change must not silently corrupt
+    // pruning. Legacy pre-marker targets adopt the caller's params (the
+    // status-quo trust) and persist them so the adoption happens once.
+    val (nEff, layoutKeys) = markerOpt.getOrElse {
+      writeLayoutMarker(fs, tgt, buckets, keys); (buckets, keys)
+    }
+    val withBucket = bucketed(nEff, layoutKeys)
     val affected = withBucket.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted
     if (affected.isEmpty) return countIf()
@@ -698,9 +787,13 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     * the table WITHOUT rows whose key tuple appears in `keys` (column names
     * of `keys` = the key columns), committed with the same crash-recovering
     * swaps as merge/compact. Bucketed-merge targets rewrite ONLY the buckets
-    * the keys hash to (`buckets` must match the merge layout); flat targets
-    * pay one full rewrite. The watermark's cumulative row counter is
-    * decremented so the count-parity gate tracks the post-deletion truth.
+    * the keys hash to when the persisted layout marker confirms the deletion
+    * keys ARE the layout keys; otherwise (no marker, or foreign key columns)
+    * every bucket is rewritten — unpruned but correct. `buckets` is a legacy
+    * fallback the marker supersedes. Flat targets pay one full rewrite. The
+    * watermark's cumulative row counter is decremented so the count-parity
+    * gate tracks the post-deletion truth. Keys are cast to the target's
+    * column types before comparison and persistence.
     *
     * With `persistTombstones` (default) the keys also merge into a persisted
     * tombstone side-table: a later CDC re-sync that re-delivers a deleted
@@ -716,9 +809,9 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     }
 
   private def deleteKeysLocked(spark: SparkSession, id: TableId,
-                               keys: DataFrame, persistTombstones: Boolean,
+                               keys0: DataFrame, persistTombstones: Boolean,
                                buckets: Int): Long = {
-    val keyCols = keys.columns.toSeq
+    val keyCols = keys0.columns.toSeq
     require(keyCols.nonEmpty, "deleteKeys: keys frame has no columns")
     val target = targetPath(id)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -726,11 +819,19 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     val fs = tgt.getFileSystem(conf)
     recoverSwap(fs, tgt, new org.apache.hadoop.fs.Path(target + ".__old"))
     recoverBucketBackups(fs, tgt)
+    // compare (and persist) keys in the TARGET's types: string-typed keys —
+    // CLI values tombstoned before the table first loaded — must not meet
+    // typed columns through implicit casts that can fail to match
+    val keys = readTarget(spark, id) match {
+      case Some(t) => castKeysLike(keys0, t.schema)
+      case None => keys0
+    }
     if (persistTombstones) {
       val tp = tombstonePath(id)
       val prev =
         if (fs.exists(new org.apache.hadoop.fs.Path(tp)))
-          Some(spark.read.parquet(tp)) else None
+          Some(castKeysLike(spark.read.parquet(tp), keys.schema))
+        else None
       val merged = prev.fold(keys.distinct())(p =>
         p.unionByName(keys).distinct())
       graft.util.AtomicDir.replace(spark, tp, merged, compression)
@@ -741,9 +842,23 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     val isBucketed = fs.listStatus(tgt)
       .exists(_.getPath.getName.startsWith(s"$BucketCol="))
     if (isBucketed) {
-      val affected = keys
-        .select(pmod(hash(keyCols.map(col): _*), lit(buckets)).as(BucketCol))
-        .distinct().collect().map(_.getInt(0)).sorted
+      // bucket pruning is only sound when the hash replays the layout that
+      // wrote the dirs: the persisted marker's (count, key order), with the
+      // deletion keys covering exactly the layout keys. Anything else —
+      // no marker, foreign key columns — degrades to a FULL rewrite of
+      // every bucket present (correct, just unpruned) instead of silently
+      // deleting from wrongly-hashed buckets.
+      val allBuckets = fs.listStatus(tgt)
+        .filter(_.getPath.getName.startsWith(s"$BucketCol="))
+        .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt).sorted.toSeq
+      val affected: Seq[Int] = readLayoutMarker(fs, tgt) match {
+        case Some((n, layoutKeys)) if layoutKeys.toSet == keyCols.toSet =>
+          val hit = keys
+            .select(pmod(hash(layoutKeys.map(col): _*), lit(n)).as(BucketCol))
+            .distinct().collect().map(_.getInt(0)).toSet
+          allBuckets.filter(hit)
+        case _ => allBuckets
+      }
       val existing = spark.read.parquet(target)
         .filter(col(BucketCol).isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
       val survivors = existing.join(keys.distinct(), keyCols, "left_anti")

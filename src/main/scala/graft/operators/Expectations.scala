@@ -22,12 +22,28 @@ object Expectations {
       .map(c => s"expectation column '$c' not in table")
     if (missing.nonEmpty) return missing
 
+    // min/max bounds are NUMERIC contracts: a non-numeric column can't
+    // satisfy one, and under ANSI a string→double cast on the aggregate
+    // would throw mid-job — refuse it as a named violation up front instead
+    def numeric(c: String): Boolean = df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
+    val nonNumeric = specs.zipWithIndex.flatMap { case (e, i) =>
+      e.column.filter(c =>
+        (e.minValue.isDefined || e.maxValue.isDefined) && !numeric(c))
+        .map(c => i -> (s"$c: min/max bound declared on non-numeric column " +
+          s"(${df.schema(c).dataType.simpleString})"))
+    }.toMap
     val aggs = scala.collection.mutable.ArrayBuffer[Column](
       count(lit(1)).as("__n"))
     specs.zipWithIndex.foreach { case (e, i) =>
       e.column.foreach { c =>
-        if (e.minValue.isDefined) aggs += min(col(c)).cast("double").as(s"__min_$i")
-        if (e.maxValue.isDefined) aggs += max(col(c)).cast("double").as(s"__max_$i")
+        val num = !nonNumeric.contains(i)
+        if (e.minValue.isDefined && num)
+          aggs += min(col(c)).cast("double").as(s"__min_$i")
+        if (e.maxValue.isDefined && num)
+          aggs += max(col(c)).cast("double").as(s"__max_$i")
         if (e.nullFracMax.isDefined)
           aggs += avg(col(c).isNull.cast("double")).as(s"__nf_$i")
         if (e.distinctMin.isDefined)
@@ -43,10 +59,23 @@ object Expectations {
 
     specs.zipWithIndex.flatMap { case (e, i) =>
       val c = e.column.getOrElse("")
-      val vMin = e.minValue.flatMap(m => d(s"__min_$i").collect {
-        case v if v < m => f"$c: min $v%.6g < required $m%.6g" })
-      val vMax = e.maxValue.flatMap(m => d(s"__max_$i").collect {
-        case v if v > m => f"$c: max $v%.6g > allowed $m%.6g" })
+      // a non-numeric column under a bound contract reported once, up front;
+      // a NULL aggregate on a numeric column means ALL-NULL — neither can
+      // satisfy a declared bound by vacuity, so both violate rather than pass
+      def bound(kind: String, m: Double, slot: String)(
+          cmp: Double => Boolean, sym: String): Option[String] =
+        if (nonNumeric.contains(i)) None // reported via vType below
+        else d(slot) match {
+          case None => Some(
+            s"$c: $kind bound declared but the column is all-NULL")
+          case Some(v) if cmp(v) => Some(f"$c: $kind $v%.6g $sym $m%.6g")
+          case _ => None
+        }
+      val vType = nonNumeric.get(i)
+      val vMin = e.minValue.flatMap(m =>
+        bound("min", m, s"__min_$i")(_ < m, "< required"))
+      val vMax = e.maxValue.flatMap(m =>
+        bound("max", m, s"__max_$i")(_ > m, "> allowed"))
       val vNull = e.nullFracMax.flatMap(m => d(s"__nf_$i").collect {
         case v if v > m => f"$c: null fraction $v%.4f > allowed $m%.4f" })
       val vDist = e.distinctMin.flatMap { m =>
@@ -56,7 +85,7 @@ object Expectations {
       }
       val vRows = e.rowCountMin.collect {
         case m if n < m => s"row count $n < required $m" }
-      Seq(vMin, vMax, vNull, vDist, vRows).flatten
+      Seq(vType, vMin, vMax, vNull, vDist, vRows).flatten
     }
   }
 }

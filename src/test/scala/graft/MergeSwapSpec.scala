@@ -178,6 +178,116 @@ class MergeSwapSpec extends AnyFunSuite with SparkTestBase {
       orders.filter(col("o_orderkey") <= 1000).count() - 1)
   }
 
+  test("merge-mode load re-suppresses tombstoned keys (forget survives keyed re-sync)") {
+    // the GDPR guarantee on exactly the tables the CLI forget verb targets:
+    // a keyed CDC re-sync routes through mergeLoad, which UPSERTS the
+    // re-delivered rows — the tombstone gate must take them back out
+    val root = tmpDir("mforget")
+    val store = new WatermarkStore(s"$root/wm")
+    val extractor = new Extractor(store, s"$root/staging")
+    val loader = new Loader(store, s"$root/warehouse")
+    extractor.extract(spark, id, orders.filter(col("o_orderkey") <= 1000), cfg)
+    loader.mergeLoad(spark, id, extractor.stagingDir(id), cfg,
+      Seq("o_orderkey"), Some(8))
+    val s = spark; import s.implicits._
+    // 500 is present now; 1100 is tombstoned BEFORE it ever arrives
+    loader.deleteKeys(spark, id, Seq(500L, 1100L).toDF("o_orderkey"))
+    assert(loader.readTarget(spark, id).get
+      .filter(col("o_orderkey") === 500).isEmpty)
+    // re-sync delivers 1001..1200 (incl. the tombstoned 1100) via MERGE
+    extractor.extract(spark, id, orders.filter(col("o_orderkey") <= 1200), cfg)
+    loader.mergeLoad(spark, id, extractor.stagingDir(id), cfg,
+      Seq("o_orderkey"), Some(8))
+    val tgt = loader.readTarget(spark, id).get
+    assert(tgt.filter(col("o_orderkey").isin(500L, 1100L)).isEmpty,
+      "merge-mode re-sync resurrected forgotten keys")
+    assert(tgt.count() ==
+      orders.filter(col("o_orderkey") <= 1200).count() - 2)
+    // count-parity counter tracked both the merge and the re-suppression
+    assert(store.get(id.scoped).get.redshift_state.total_rows == tgt.count())
+  }
+
+  test("deleteKeys prunes by the persisted layout marker, not the caller's count") {
+    val root = tmpDir("bforget2")
+    val store = new WatermarkStore(s"$root/wm")
+    val loader = new Loader(store, s"$root/warehouse")
+    val nBuckets = 16
+    loader.mergeIntoBucketed(spark, id,
+      orders.filter(col("o_orderkey") <= 1000), Seq("o_orderkey"), nBuckets)
+    val targetDir = new java.io.File(loader.targetPath(id))
+    def bucketFiles(): Map[String, Map[String, (Long, Long)]] =
+      targetDir.listFiles().filter(_.getName.startsWith("__gbucket="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+        }.toMap
+    val before = bucketFiles()
+    val s = spark; import s.implicits._
+    // caller passes a WRONG bucket count (the pre-marker bug: pmod(hash,64)
+    // would pick a bucket the data isn't in, deleting nothing while
+    // reporting success) — the marker must govern
+    val deleted = loader.deleteKeys(spark, id, Seq(500L).toDF("o_orderkey"),
+      buckets = 64)
+    assert(deleted == 1L, "deletion missed under a mismatched caller bucket count")
+    val expectedBucket = spark.range(1)
+      .select(pmod(hash(lit(500L)), lit(nBuckets))).head().getInt(0)
+    val after = bucketFiles()
+    before.foreach { case (bucket, files) =>
+      if (bucket != s"__gbucket=$expectedBucket")
+        assert(after(bucket) == files, s"bucket $bucket was rewritten")
+    }
+    assert(loader.readTarget(spark, id).get
+      .filter(col("o_orderkey") === 500).isEmpty)
+  }
+
+  test("deleteKeys by a non-layout column falls back to a full (correct) rewrite") {
+    val root = tmpDir("bforget3")
+    val store = new WatermarkStore(s"$root/wm")
+    val loader = new Loader(store, s"$root/warehouse")
+    loader.mergeIntoBucketed(spark, id,
+      orders.filter(col("o_orderkey") <= 1000), Seq("o_orderkey"), 8)
+    val s = spark; import s.implicits._
+    // delete by o_custkey — NOT the bucket layout key; hashing it would
+    // prune to wrong buckets, so the path must rewrite every bucket instead
+    val victim = orders.filter(col("o_orderkey") <= 1000)
+      .select("o_custkey").head().getLong(0)
+    val expectGone = orders.filter(col("o_orderkey") <= 1000)
+      .filter(col("o_custkey") === victim).count()
+    assert(expectGone >= 1)
+    val deleted = loader.deleteKeys(spark, id, Seq(victim).toDF("o_custkey"),
+      buckets = 8)
+    assert(deleted == expectGone,
+      "non-layout-key deletion missed rows (wrongly-hashed bucket pruning)")
+    val tgt = loader.readTarget(spark, id).get
+    assert(tgt.filter(col("o_custkey") === victim).isEmpty)
+    assert(tgt.count() ==
+      orders.filter(col("o_orderkey") <= 1000).count() - expectGone)
+  }
+
+  test("string tombstones persisted before the first load still suppress typed keys") {
+    // CLI forget on a never-loaded table has no target schema to cast
+    // against: values persist as STRING. The load-time gate must cast them
+    // to the increment's native types before comparing.
+    val root = tmpDir("sforget")
+    val store = new WatermarkStore(s"$root/wm")
+    val extractor = new Extractor(store, s"$root/staging")
+    val loader = new Loader(store, s"$root/warehouse")
+    val s = spark; import s.implicits._
+    assert(loader.deleteKeys(spark, id,
+      Seq("500", "707").toDF("o_orderkey")) == 0L) // nothing to delete yet
+    extractor.extract(spark, id, orders.filter(col("o_orderkey") <= 1000), cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    val tgt = loader.readTarget(spark, id).get
+    assert(tgt.filter(col("o_orderkey").isin(500L, 707L)).isEmpty,
+      "string tombstones failed to suppress natively-typed keys")
+    // a second forget AFTER the table exists converges the side-table to
+    // the target's native types (castKeysLike on both sides of the merge)
+    assert(loader.deleteKeys(spark, id, Seq("3").toDF("o_orderkey")) == 1L)
+    val tomb = spark.read.parquet(loader.tombstonePath(id))
+    assert(tomb.schema("o_orderkey").dataType ==
+      tgt.schema("o_orderkey").dataType)
+  }
+
   test("bucketed merge converts a non-bucketed target once, then targets buckets") {
     val root = tmpDir("bmerge2")
     val store = new WatermarkStore(s"$root/wm")

@@ -234,6 +234,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       PipelineConfig.fromString(yml("      - min: 0"))
     }
+
+    // a min/max contract over an all-null or non-numeric column must report
+    // a violation, not pass by vacuity (the NULL aggregate is not evidence
+    // the bound holds)
+    import org.apache.spark.sql.functions.{lit, col}
+    val allNull = spark.range(10)
+      .select(col("id"), lit(null).cast("double").as("v"), lit("x").as("s"))
+    val vNull = graft.operators.Expectations.violations(allNull,
+      Seq(graft.pipeline.ExpectationSpec(column = Some("v"),
+        minValue = Some(0.0))))
+    assert(vNull.exists(_.contains("all-NULL")), vNull.mkString(";"))
+    val vStr = graft.operators.Expectations.violations(allNull,
+      Seq(graft.pipeline.ExpectationSpec(column = Some("s"),
+        maxValue = Some(100.0))))
+    assert(vStr.exists(_.contains("non-numeric")), vStr.mkString(";"))
   }
 
   test("post_ops zorder: in-place layout rewrite, content-exact, idempotent") {
