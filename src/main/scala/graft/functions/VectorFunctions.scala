@@ -139,6 +139,14 @@ object VectorFunctions {
       }
     val centroids: Seq[(Int, Seq[Float])] = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray.toSeq.map(_.toFloat)) }.toSeq
+    indexFromCentroids(corpus, centroids, vecCol)
+  }
+
+  /** Assemble an [[IvfIndex]] from explicit centroids: the centroid table
+    * plus one nearest-centroid assignment pass over the corpus. */
+  private def indexFromCentroids(corpus: DataFrame,
+                                 centroids: Seq[(Int, Seq[Float])],
+                                 vecCol: String): IvfIndex = {
     val centroidsDf = corpus.sparkSession.createDataFrame(
       centroids.map { case (i, v) => org.apache.spark.sql.Row(i, v) }.toList.asJava,
       org.apache.spark.sql.types.StructType(Seq(
@@ -150,6 +158,30 @@ object VectorFunctions {
     val assigned = corpus.withColumn("centroid_id",
       nearestCentroid(col(vecCol), centroids))
     IvfIndex(centroidsDf, assigned)
+  }
+
+  /** Deterministic corpus-seeded coarse quantizer: the `nlist` corpus
+    * vectors with the smallest `md5(cast(id as string))` ARE the centroids
+    * (the repo's engine-portable sampling convention, cf. [[assignLeaders]]),
+    * in md5 order so ties in the assignment fold break toward the lower
+    * centroid id. A FAISS-style "caller-supplied coarse quantizer": no Lloyd
+    * rounds means training is one TakeOrdered (k rows to the driver) and the
+    * whole pipeline — selection, assignment argmax, probe — is
+    * IEEE-replayable in another engine, so the driver query carries a FULL
+    * value oracle. (KMeans Lloyd rounds are not replayable: their centroid
+    * averages accumulate in engine-specific order.) Recall trade vs the
+    * KMeans quantizer is measured in VectorSpec. */
+  def buildIvfSeeded(corpus: DataFrame, nlist: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): IvfIndex = {
+    val t0 = System.nanoTime()
+    val rows = corpus.orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nlist).select(col(vecCol)).collect()
+    require(rows.nonEmpty, "empty corpus")
+    val centroids: Seq[(Int, Seq[Float])] = rows.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0)) }.toSeq
+    lastTrainSec = (System.nanoTime() - t0) / 1e9
+    indexFromCentroids(corpus, centroids, vecCol)
   }
 
   /** Persist an IVF index: the assigned corpus written PARTITIONED BY
@@ -185,7 +217,8 @@ object VectorFunctions {
       .select(col(queryIdCol), col("__qvec"),
         col("c._1").as("centroid_id"),
         cosine(col("__qvec"), col("c._2")).as("csim"))
-    val wCell = Window.partitionBy(col(queryIdCol)).orderBy(col("csim").desc)
+    val wCell = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
     val probed = qCells.withColumn("cr", row_number().over(wCell))
       .filter(col("cr") <= nprobe)
       .select(col(queryIdCol), col("__qvec"), col("centroid_id"))
@@ -269,6 +302,46 @@ object VectorFunctions {
       lastPqTrainSec = (System.nanoTime() - tTrain0) / 1e9
       PqModel(m, subDim, books)
     } finally { sampled.unpersist(); () }
+  }
+
+  /** Deterministic corpus-seeded PQ codebooks: the `k` vectors with the
+    * smallest `md5(cast(id as string))` are unit-normalized and sliced into
+    * the `m` sub-codebooks (code = position in md5 order). Like
+    * [[buildIvfSeeded]], this trades Lloyd refinement for full cross-engine
+    * replayability — every arithmetic step (the 1/√n² reciprocal-multiply
+    * normalization mirroring [[encodePq]], the float rounding of stored
+    * centroids, the ‖c‖² sums) is IEEE-deterministic, so the PQ
+    * encode→ADC→rerank pipeline carries a full value oracle. Approximation
+    * quality vs KMeans-trained codebooks is measured in VectorSpec. */
+  def trainPqSeeded(corpus: DataFrame, m: Int = 8, k: Int = 16,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): PqModel = {
+    val t0 = System.nanoTime()
+    val rows = corpus.orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .select(transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "empty corpus")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    // EXACTLY encodePq's normalization: multiply by the reciprocal of the
+    // norm (one extra rounding vs dividing — the oracle replays this form)
+    val units = rows.map { v =>
+      var n2 = 0.0
+      var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 1.0
+      v.map(_ * inv)
+    }
+    val books = (0 until m).map { j =>
+      units.zipWithIndex.map { case (u, i) =>
+        val sub = u.slice(j * subDim, (j + 1) * subDim).map(_.toFloat)
+        (i, sub.toSeq, sub.map(x => x.toDouble * x.toDouble).sum)
+      }.toSeq
+    }
+    lastPqTrainSec = (System.nanoTime() - t0) / 1e9
+    PqModel(m, subDim, books)
   }
 
   /** Encode the corpus: each vector becomes `m` small codes (nearest
@@ -531,7 +604,14 @@ object VectorFunctions {
     * pseudo-random planes); vectors sharing ANY band's bit-pattern become
     * candidates; exact cosine verifies. Only (id, band, bucket) rides the
     * wide exchange — the same payload discipline as the MinHash pipeline.
-    * Detection prob for cosine s: 1-(1-p^r)^b with p = 1 - arccos(s)/π. */
+    * Detection prob for cosine s: 1-(1-p^r)^b with p = 1 - arccos(s)/π.
+    *
+    * Planes are RADEMACHER (±1 entries), derived from `md5("<plane>_<dim>")`
+    * — sign projections preserve angles like gaussian ones (Achlioptas 2001
+    * database-friendly projections; Charikar's analysis needs only symmetry)
+    * and, unlike a seeded Gaussian stream, the derivation replays in any
+    * engine with an md5 function — which gives this approximate operator a
+    * FULL value oracle. */
   def cosineNearDuplicatesLsh(corpus: DataFrame, threshold: Double,
                               bands: Int = 8, rowsPerBand: Int = 4,
                               idCol: String = "vec_id",
@@ -551,9 +631,16 @@ object VectorFunctions {
           StructField("id_a", idT), StructField("id_b", idT),
           StructField("cosine", DoubleType))))
     }
-    val rng = new scala.util.Random(42)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, d: Int): Double = {
+      val hex = md.digest(s"${p}_${d}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first hex digit < 8 → +1 (top nibble of byte 0), else −1; DuckDB
+      // replays as substr(md5(p || '_' || d), 1, 1) against '01234567'
+      if (((hex(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
     val planes: Seq[Seq[Double]] =
-      Seq.fill(bands * rowsPerBand)(Seq.fill(dim)(rng.nextGaussian()))
+      (0 until bands * rowsPerBand).map(p => (0 until dim).map(d => sign(p, d)))
 
     // one literal array<array<double>> of planes; per-row sig = sign bit per
     // plane (single transform over the literal — one dot per plane per row)

@@ -596,9 +596,9 @@ object LlmQueries {
                  FROM documents""")
       },
       Some("""SELECT doc_id, text AS norm,
-             |  (SELECT SUM((((doc_id % 16) >> j) & 1) * (1 << (2*j)) +
+             |  CAST((SELECT SUM((((doc_id % 16) >> j) & 1) * (1 << (2*j)) +
              |              (((n_chars % 16) >> j) & 1) * (1 << (2*j + 1)))
-             |   FROM generate_series(0, 3) t(j)) AS z
+             |   FROM generate_series(0, 3) t(j)) AS BIGINT) AS z
              |FROM documents""".stripMargin)),
 
     Q("q_text_analysis",
@@ -1239,10 +1239,45 @@ object LlmQueries {
              |                             b.embedding::DOUBLE[]) >= 0.4"""
         .stripMargin)),
 
+    // Random-hyperplane LSH over md5-derived RADEMACHER planes: the plane
+    // derivation, sign bits, band packing, hot-bucket cap and exact-cosine
+    // verification all replay in DuckDB — a FULL oracle for the bucketed
+    // approximate path (the candidate set itself is deterministic).
     Q("q_ann_cosine_neardup_lsh",
       (s, dir) => VectorFunctions.cosineNearDuplicatesLsh(
-        Tables.df(s, dir, "embeddings"), threshold = 0.5),
-      None),
+        Tables.df(s, dir, "embeddings"), threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos4")),
+      Some("""WITH planes AS MATERIALIZED (
+             |  SELECT p, list(CASE WHEN strpos('01234567',
+             |      substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)),
+             |             1, 1)) > 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
+             |  FROM (SELECT unnest(generate_series(0, 31)) AS p),
+             |       (SELECT unnest(generate_series(0, 63)) AS d)
+             |  GROUP BY p),
+             |bits AS MATERIALIZED (
+             |  SELECT e.vec_id, pl.p,
+             |    CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pl) > 0
+             |      THEN 1 ELSE 0 END AS bit
+             |  FROM embeddings e CROSS JOIN planes pl),
+             |bucketed AS MATERIALIZED (
+             |  SELECT vec_id, p // 4 AS band,
+             |    SUM(bit * (1 << (p % 4))) AS bucket
+             |  FROM bits GROUP BY 1, 2),
+             |ok AS MATERIALIZED (
+             |  SELECT band, bucket, vec_id FROM bucketed
+             |  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 10000),
+             |cand AS MATERIALIZED (
+             |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket
+             |    AND a.vec_id < b.vec_id)
+             |SELECT c.id_a, c.id_b,
+             |  round(list_cosine_similarity(ea.embedding::DOUBLE[],
+             |                               eb.embedding::DOUBLE[]), 4) AS cos4
+             |FROM cand c
+             |JOIN embeddings ea ON ea.vec_id = c.id_a
+             |JOIN embeddings eb ON eb.vec_id = c.id_b
+             |WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+             |        eb.embedding::DOUBLE[]) >= 0.5""".stripMargin)),
 
     // ------------------------------- semantic dedup (SemDeDup, Abbas 2023)
     // Deterministic md5-leader clustering bounds pairwise cosine to within-
@@ -1290,34 +1325,141 @@ object LlmQueries {
              |LEFT JOIN labels l ON e.vec_id = l.id
              |WHERE l.id IS NULL OR l.cluster = e.vec_id""".stripMargin)),
 
-    // ------------------------------------------------------ IVF ANN (rows-only:
-    // approximate by construction; recall vs brute force asserted in VectorSpec)
+    // --------------------------------------------------------------- IVF ANN
+    // Corpus-seeded deterministic coarse quantizer (buildIvfSeeded): the md5
+    // selection, nearest-centroid assignment, nprobe cell choice and
+    // in-cell exact cosine ALL replay in DuckDB, so the approximate index
+    // probe carries a FULL value oracle (the q_ann_sq_topk recipe extended
+    // to IVF; Lloyd-trained KMeans centroids stay recall-tested in
+    // VectorSpec — their per-round averages don't replay cross-engine).
     Q("q_ann_ivf_topk",
       (s, dir) => {
         val emb = Tables.df(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding"))
-        val idx = VectorFunctions.buildIvf(emb, nlist = 16, maxIter = 5)
+        val idx = VectorFunctions.buildIvfSeeded(emb, nlist = 16)
         VectorFunctions.ivfTopK(idx, queries, k = 10, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 4).as("cos4"))
       },
-      None),
+      Some("""WITH cents AS MATERIALIZED (
+             |  SELECT ROW_NUMBER() OVER (
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             |      AS centroid_id,
+             |    embedding
+             |  FROM (SELECT vec_id, embedding FROM embeddings
+             |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+             |cells AS MATERIALIZED (
+             |  SELECT e.vec_id, c.centroid_id
+             |  FROM embeddings e CROSS JOIN cents c
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+             |               c.embedding::DOUBLE[]) DESC,
+             |             c.centroid_id ASC) = 1),
+             |q AS MATERIALIZED (
+             |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |probe AS MATERIALIZED (
+             |  SELECT query_id, centroid_id
+             |  FROM q CROSS JOIN cents c
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], qv) DESC,
+             |             c.centroid_id ASC) <= 4),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos,
+             |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+             |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+             |                 q.qv) DESC, e.vec_id ASC) AS rank
+             |  FROM q
+             |  JOIN probe p ON p.query_id = q.query_id
+             |  JOIN cells ce ON ce.centroid_id = p.centroid_id
+             |  JOIN embeddings e ON e.vec_id = ce.vec_id
+             |  WHERE e.vec_id <> q.query_id)
+             |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
+             |FROM scored WHERE rank <= 10""".stripMargin)),
 
-    // ------------------------------------- PQ ANN (rows-only: quantized
-    // approximate scoring; recall ≥0.9 + exact-rerank score parity vs brute
-    // force asserted in VectorSpec). The production shape end-to-end:
-    // train → encode → PERSIST the index → probe the persisted codes.
+    // ---------------------------------------------------------------- PQ ANN
+    // Corpus-seeded deterministic codebooks (trainPqSeeded) keep the
+    // production shape end-to-end — train → encode → PERSIST → ADC probe of
+    // the persisted codes → exact rerank — while every arithmetic step
+    // (reciprocal-multiply normalization, float-rounded centroids, argmax
+    // encode, LUT sums) replays in DuckDB: a FULL value oracle for
+    // compressed ANN. KMeans-trained codebooks stay recall-tested in
+    // VectorSpec. dim=64, m=16 → subDim=4 (the `[j*4+1 : j*4+4]` slices).
     Q("q_ann_pq_topk",
       (s, dir) => {
         val emb = Tables.df(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding"))
-        val model = VectorFunctions.trainPq(emb, m = 16, k = 16, maxIter = 5)
+        val model = VectorFunctions.trainPqSeeded(emb, m = 16, k = 16)
         val path = Tables.scratchDir("pq") + "/index"
         VectorFunctions.writePq(model, VectorFunctions.encodePq(model, emb), path)
         val (loaded, codes) = VectorFunctions.readPq(s, path)
         VectorFunctions.pqTopK(loaded, codes, emb, queries,
           k = 10, rerankDepth = 80)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 4).as("cos4"))
       },
-      None)
+      Some("""WITH samp AS MATERIALIZED (
+             |  SELECT ROW_NUMBER() OVER (
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+             |    embedding::DOUBLE[] AS v
+             |  FROM (SELECT vec_id, embedding FROM embeddings
+             |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+             |cb AS MATERIALIZED (
+             |  SELECT j.j, s.code,
+             |    list_transform(s.u[j.j*4+1 : j.j*4+4],
+             |      x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
+             |  FROM (SELECT code,
+             |          list_transform(v,
+             |            x -> x * (1.0/sqrt(list_dot_product(v, v)))) AS u
+             |        FROM samp) s,
+             |       (SELECT unnest(generate_series(0, 15)) AS j) j),
+             |cb2 AS MATERIALIZED (
+             |  SELECT j, code, c, list_dot_product(c, c) AS c2 FROM cb),
+             |vnorm AS MATERIALIZED (
+             |  SELECT vec_id,
+             |    list_transform(v, x -> x * (1.0/sqrt(list_dot_product(v, v)))) AS u
+             |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+             |enc AS MATERIALIZED (
+             |  SELECT vec_id, j, code FROM (
+             |    SELECT v.vec_id, b.j, b.code,
+             |      2*list_dot_product(v.u[b.j*4+1 : b.j*4+4], b.c) - b.c2 AS s
+             |    FROM vnorm v CROSS JOIN cb2 b)
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j
+             |    ORDER BY s DESC, code ASC) = 1),
+             |qn AS MATERIALIZED (
+             |  SELECT vec_id AS query_id,
+             |    list_transform(embedding::DOUBLE[],
+             |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+             |                                     embedding::DOUBLE[]))) AS qu
+             |  FROM embeddings WHERE vec_id < 5),
+             |lut AS MATERIALIZED (
+             |  SELECT q.query_id, b.j, b.code,
+             |    list_dot_product(q.qu[b.j*4+1 : b.j*4+4], b.c) AS l
+             |  FROM qn q CROSS JOIN cb2 b),
+             |adc AS MATERIALIZED (
+             |  SELECT l.query_id, e.vec_id, SUM(l.l) AS score
+             |  FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+             |  GROUP BY 1, 2),
+             |cand AS MATERIALIZED (
+             |  SELECT query_id, vec_id FROM adc
+             |  WHERE vec_id <> query_id
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, vec_id ASC) <= 80),
+             |rer AS (
+             |  SELECT c.query_id, c.vec_id AS neighbor_id,
+             |    list_cosine_similarity(e.embedding::DOUBLE[],
+             |                           qe.embedding::DOUBLE[]) AS cos,
+             |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+             |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+             |                 qe.embedding::DOUBLE[]) DESC,
+             |               c.vec_id ASC) AS rank
+             |  FROM cand c
+             |  JOIN embeddings e ON e.vec_id = c.vec_id
+             |  JOIN embeddings qe ON qe.vec_id = c.query_id)
+             |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
+             |FROM rer WHERE rank <= 10""".stripMargin))
   )
 }

@@ -103,6 +103,42 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("seeded (oracle-able) IVF: full assignment, recall tracks probed fraction") {
+    val idx = VectorFunctions.buildIvfSeeded(emb, nlist = 8)
+    assert(idx.assigned.count() == emb.count())
+    assert(idx.centroids.count() == 8)
+    assert(idx.assigned.filter(col("centroid_id") < 0).count() == 0)
+    val exact = VectorFunctions.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorFunctions.ivfTopK(idx, queries, k = 10, nprobe = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // corpus-seeded centroids trade Lloyd refinement for replayability; on
+    // the near-uniform fixture recall still ≈ probed fraction (6/8)
+    assert(recall >= 0.7, s"seeded IVF recall@10 = $recall")
+  }
+
+  test("seeded (oracle-able) PQ: valid codes, exact rerank keeps recall high") {
+    val model = VectorFunctions.trainPqSeeded(emb, m = 16, k = 16)
+    assert(model.codebooks.size == 16 && model.codebooks.forall(_.size == 16))
+    assert(model.subDim == 4)
+    val codes = VectorFunctions.encodePq(model, emb)
+    val c0 = codes.collect()
+    assert(c0.length == emb.count())
+    assert(c0.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+    val exact = VectorFunctions.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorFunctions.pqTopK(model, codes, emb, queries,
+      k = 10, rerankDepth = 80)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"seeded PQ recall@10 = $recall")
+  }
+
   test("int8 scalar quantization: codes clamp, decode error bounded, recall high") {
     val scales = VectorFunctions.trainSq(emb)
     assert(scales.length == 64 && scales.forall(_ > 0))
