@@ -66,6 +66,9 @@ final case class PostOpSpec(
 final case class TableSpec(
     name: String,                              // schema.table
     cdc: CdcConfig,
+    connection: Option[String] = None,         // named entry in
+                                               // pipeline.connections; None →
+                                               // the pipeline's default source
     targetName: Option[String] = None,
     tableType: TableType = TableType.Fact,
     countCheck: Boolean = false,               // post-load parity gate (D7)
@@ -86,11 +89,23 @@ final case class TableSpec(
   }
 
   /** The ONE way to derive a table's id from its pipeline — the connection
-    * name is the sanitized source; a call site hand-rolling the
-    * sanitization that drifted would silently fork the table's
-    * watermark/staging/warehouse state. */
-  def tableId(p: Pipeline): TableId = tableId(p.connectionId)
+    * component is the NAMED connection when the table declares one
+    * (watermarks/staging/warehouse scope per connection, the reference's
+    * `[connection:]schema.table` semantics), else the sanitized default
+    * source. A call site hand-rolling this that drifted would silently fork
+    * the table's watermark/staging/warehouse state. */
+  def tableId(p: Pipeline): TableId = tableId(connection.getOrElse(p.connectionId))
 }
+
+/** One named source connection (YAML `pipeline.connections.<name>`): the
+  * reference's multi-connection registry re-expressed as config — tables
+  * address it by name, watermark/staging/warehouse state scopes under it
+  * (connection_registry.py:378-449, 505-607; config/connections.yml). The
+  * same url/dir + format knobs as the pipeline's default source. */
+final case class ConnectionSpec(
+    source: String,                            // jdbc: url or file dir
+    sourceFormat: String = "parquet",
+    sourceNanosAsLong: Boolean = false)
 
 /** A full parsed pipeline (ref PipelineConfig + example
   * config/pipelines/us_dw_hybrid_v1_2.yml). */
@@ -104,7 +119,8 @@ final case class Pipeline(
     defaultStrategy: CdcStrategyKind,
     processing: ProcessingSettings,
     sink: SinkSettings,
-    tables: Seq[TableSpec]) {
+    tables: Seq[TableSpec],
+    connections: Map[String, ConnectionSpec] = Map.empty) {
 
   /** Connection identity derived from the source (url/dir), sanitized for
     * watermark scoping. See [[TableSpec.tableId]]. */
@@ -267,11 +283,40 @@ object PipelineConfig {
       opt(p, "cdc_settings").flatMap(c => opt(c, "default_strategy"))
         .map(_.asText).getOrElse("full_sync"))
 
+    // named connections (ref connection_registry.py:378-449): each entry is
+    // a full source spec; tables opt in by `connection:` key or by the
+    // reference's scoped-name form `conn:schema.table`
+    val connections: Map[String, ConnectionSpec] =
+      opt(p, "connections").map { c =>
+        c.properties().asScala.map { e =>
+          val name = e.getKey.trim
+          if (!name.matches("[A-Za-z0-9_]+")) throw new IllegalArgumentException(
+            s"connection name '$name' must match [A-Za-z0-9_]+ " +
+              "(it scopes watermark/warehouse state)")
+          val n = e.getValue
+          val src = opt(n, "source").map(_.asText).getOrElse(
+            throw new IllegalArgumentException(
+              s"pipeline.connections.$name: missing 'source'"))
+          name -> ConnectionSpec(src,
+            sourceFormat = str(n, "source_format", "parquet"),
+            sourceNanosAsLong = opt(n, "source_nanos_as_long").exists(_.asBoolean))
+        }.toMap
+      }.getOrElse(Map.empty)
+
     val tables = Option(root.get("tables")).map { t =>
       t.properties().asScala.toSeq.map { e =>
         parseTable(e.getKey, e.getValue, defaultStrategy, processing.batchSize)
       }
     }.getOrElse(Nil)
+
+    // strict like every config enum: a typo'd connection silently falling
+    // back to the default source would sync the WRONG DATABASE
+    tables.flatMap(_.connection).distinct.foreach { c =>
+      if (!connections.contains(c)) throw new IllegalArgumentException(
+        s"table references unknown connection '$c' " +
+          s"(declared: ${connections.keys.toSeq.sorted.mkString(", ") match {
+            case "" => "none"; case s => s }})")
+    }
 
     // derived-table names must be globally unique: two post_ops (or a
     // post_op and a base table) sharing a warehouse name would silently
@@ -293,12 +338,26 @@ object PipelineConfig {
       defaultStrategy = defaultStrategy,
       processing = processing,
       sink = sink,
-      tables = tables)
+      tables = tables,
+      connections = connections)
   }
 
-  private def parseTable(name: String, n: JsonNode,
+  private def parseTable(name0: String, n: JsonNode,
                          defaultStrategy: CdcStrategyKind,
                          pipelineBatch: Int): TableSpec = {
+    // the reference's scoped-name addressing: a table KEY `conn:schema.table`
+    // is shorthand for `connection: conn` (an explicit connection key must
+    // agree — two different connections on one table is a config error)
+    val (scopedConn, name) = name0.split(":", 2) match {
+      case Array(c, rest) => (Some(c.trim), rest)
+      case _ => (None, name0)
+    }
+    val declaredConn = opt(n, "connection").map(_.asText.trim).filter(_.nonEmpty)
+    val connection = (scopedConn, declaredConn) match {
+      case (Some(a), Some(b)) if a != b => throw new IllegalArgumentException(
+        s"table '$name0' declares connection '$b' but its scoped name says '$a'")
+      case (a, b) => a.orElse(b)
+    }
     val strategy = opt(n, "cdc_strategy").map(s => CdcStrategyKind.fromName(s.asText))
       .getOrElse(defaultStrategy)
     // batch-size hierarchy: table.processing > pipeline > default
@@ -335,8 +394,8 @@ object PipelineConfig {
       .map(parsePostOp(name, _))).getOrElse(Nil)
     val expectations = opt(n, "expectations").map(_.elements().asScala.toSeq
       .map(parseExpectation(name, _))).getOrElse(Nil)
-    TableSpec(name, cdc, opt(n, "target_name").map(_.asText), ttype,
-      countCheck, sourceCountCheck, mergeKeys, mergeBuckets, postOps,
+    TableSpec(name, cdc, connection, opt(n, "target_name").map(_.asText),
+      ttype, countCheck, sourceCountCheck, mergeKeys, mergeBuckets, postOps,
       expectations)
   }
 

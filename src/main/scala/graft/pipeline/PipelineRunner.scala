@@ -204,15 +204,39 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     (store, extractor, loader)
   }
 
-  def catalogFor(p: Pipeline): SourceCatalog =
-    if (p.source.startsWith("jdbc:")) new JdbcCatalog(p.source)
-    else new FileCatalog(p.source, p.sourceFormat, p.sourceNanosAsLong)
+  def catalogFor(p: Pipeline): SourceCatalog = catalogFor(p, None)
+
+  /** Catalog for one (possibly named) connection — the reference's
+    * multi-connection registry resolution (connection_registry.py:505-607):
+    * a table's `connection:` name selects its own source url/dir + format;
+    * None is the pipeline's default `source:`. Unknown names were rejected
+    * at config parse, so the lookup here cannot miss. */
+  def catalogFor(p: Pipeline, conn: Option[String]): SourceCatalog = {
+    val (src, fmt, nanos) = conn.flatMap(p.connections.get) match {
+      case Some(c) => (c.source, c.sourceFormat, c.sourceNanosAsLong)
+      case None => (p.source, p.sourceFormat, p.sourceNanosAsLong)
+    }
+    if (src.startsWith("jdbc:")) new JdbcCatalog(src)
+    else new FileCatalog(src, fmt, nanos)
+  }
+
+  /** One catalog per distinct connection per run (a JDBC catalog carries
+    * partition-bound state worth reusing across that connection's tables);
+    * an explicit `catalog` override (tests, CLI injection) wins for ALL
+    * tables. Thread-safe — parallel mode resolves from worker threads. */
+  private def catalogResolver(p: Pipeline, overrideCat: Option[SourceCatalog])
+      : TableSpec => SourceCatalog = {
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, SourceCatalog]()
+    spec => overrideCat.getOrElse(
+      cache.computeIfAbsent(spec.connection.getOrElse(""),
+        _ => catalogFor(p, spec.connection)))
+  }
 
   /** Run the whole pipeline (extract+load per table). `tableFilter` narrows to
     * one table (CLI `-t`). */
   def sync(p: Pipeline, tableFilter: Option[String] = None,
            catalog: Option[SourceCatalog] = None): PipelineReport = {
-    val cat = catalog.getOrElse(catalogFor(p))
+    val cat = catalogResolver(p, catalog)
     val (_, extractor, loader) = rigFor(p)
     val specs = p.tables.filter(t => tableFilter.forall(f =>
       t.name == f || t.name.endsWith(s".$f")))
@@ -253,8 +277,10 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
       case _ => None
     }
 
-  private def runTable(p: Pipeline, spec: TableSpec, cat: SourceCatalog,
+  private def runTable(p: Pipeline, spec: TableSpec,
+                       cats: TableSpec => SourceCatalog,
                        extractor: Extractor, loader: Loader): TableReport = {
+    val cat = cats(spec)
     val id = spec.tableId(p)
     val t0 = System.nanoTime()
     // ONE session lock spans extract+load+parity: a second concurrent sync of
@@ -341,7 +367,8 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
   /** Inter-table parallelism (D2): driver threads + FAIR scheduler pools.
     * Requires spark.scheduler.mode=FAIR for true pool fairness; with the
     * default FIFO it still overlaps stages, just unweighted. */
-  private def runParallel(p: Pipeline, specs: Seq[TableSpec], cat: SourceCatalog,
+  private def runParallel(p: Pipeline, specs: Seq[TableSpec],
+                          cat: TableSpec => SourceCatalog,
                           extractor: Extractor, loader: Loader,
                           poolSize: Int): Seq[TableReport] = {
     val pool = Executors.newFixedThreadPool(poolSize)
@@ -380,12 +407,13 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
 
   /** Extract-only (CLI `backup`). */
   def backup(p: Pipeline, tableFilter: Option[String] = None): PipelineReport = {
-    val cat = catalogFor(p)
+    val cats = catalogResolver(p, None)
     val (_, extractor, _) = rigFor(p)
     val specs = p.tables.filter(t => tableFilter.forall(f =>
       t.name == f || t.name.endsWith(s".$f")))
     val t0 = System.nanoTime()
     val reports = specs.map { spec =>
+      val cat = cats(spec)
       val id = spec.tableId(p)
       val s0 = System.nanoTime()
       val ceiling = ceilingFor(cat, spec)

@@ -323,6 +323,78 @@ class JdbcSpec extends AnyFunSuite with SparkTestBase {
     assert(target.filter(col("STATUS") === "new").count() == 30)
   }
 
+  test("multi-connection pipeline: two Derby databases sync in ONE run, " +
+    "state scoped per connection") {
+    // the reference's [connection:]schema.table addressing
+    // (connection_registry.py:378-449): one pipeline, two live databases —
+    // each table resolves its own catalog, watermarks/warehouse scope under
+    // the connection name, and deltas advance independently
+    val urlA = "jdbc:derby:memory:graftconnA;create=true"
+    val urlB = "jdbc:derby:memory:graftconnB;create=true"
+    def seed(url: String, n: Int, status: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val st = c.createStatement()
+        ddl(st, "CREATE SCHEMA FX")
+        ddl(st,
+          "CREATE TABLE FX.EVENTS (ID BIGINT NOT NULL, STATUS VARCHAR(10))")
+        val rs = st.executeQuery("SELECT COALESCE(MAX(ID), 0) FROM FX.EVENTS")
+        rs.next()
+        val from = rs.getLong(1) + 1
+        val ins = c.prepareStatement("INSERT INTO FX.EVENTS VALUES (?, ?)")
+        (from until from + n).foreach { i =>
+          ins.setLong(1, i); ins.setString(2, status); ins.addBatch()
+        }
+        ins.executeBatch(); ins.close(); st.close()
+      } finally c.close()
+    }
+    seed(urlA, 100, "a")
+    seed(urlB, 40, "b")
+    val work = tmpDir("multiconn")
+    // table one uses the scoped-name form, table two the connection: key —
+    // both reference syntaxes must land on the same resolution
+    val p = graft.pipeline.PipelineConfig.fromString(
+      s"""pipeline:
+         |  name: "two_dbs"
+         |  target: "warehouse"
+         |  connections:
+         |    dba:
+         |      source: "$urlA"
+         |    dbb:
+         |      source: "$urlB"
+         |tables:
+         |  "dba:FX.EVENTS":
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "ID"
+         |    target_name: "events_a"
+         |  FX.EVENTS:
+         |    connection: dbb
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "ID"
+         |    target_name: "events_b"
+         |""".stripMargin)
+    val runner = new graft.pipeline.PipelineRunner(spark, work)
+    val r1 = runner.sync(p)
+    assert(r1.allOk, r1.tables.flatMap(_.error).mkString(";"))
+    assert(r1.totalRows == 140)
+    val (store, _, loader) = runner.rigFor(p)
+    val idA = p.tables.find(_.targetName.contains("events_a")).get.tableId(p)
+    val idB = p.tables.find(_.targetName.contains("events_b")).get.tableId(p)
+    assert(idA.connection == "dba" && idB.connection == "dbb")
+    assert(loader.readTarget(spark, idA).get.count() == 100)
+    assert(loader.readTarget(spark, idB).get.count() == 40)
+    // watermark state is per connection — distinct scoped documents, each
+    // carrying its own cursor
+    assert(store.get(idA.scoped).flatMap(_.mysql_state.last_id).contains(100L))
+    assert(store.get(idB.scoped).flatMap(_.mysql_state.last_id).contains(40L))
+    // a delta lands on connection A only; B stays idle on the next run
+    seed(urlA, 10, "a2")
+    val r2 = runner.sync(p)
+    assert(r2.allOk && r2.totalRows == 10, s"delta moved ${r2.totalRows} rows")
+    assert(loader.readTarget(spark, idA).get.count() == 110)
+    assert(loader.readTarget(spark, idB).get.count() == 40)
+  }
+
   test("JDBC write sink round-trips through the warehouse (D3)") {
     // extract from Derby → stage → write back to a Derby sink table, the
     // df.write.jdbc path the loader uses against a real warehouse

@@ -839,6 +839,41 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](PipelineConfig.fromString(
       yaml.replace("target: \"warehouse\"", "target: \"${TOTALLY_UNSET_VAR}\""),
       env = Map.empty))
+    // multi-connection strictness: a table naming an UNDECLARED connection
+    // must fail at parse (silently reading the default source would sync
+    // the wrong database), and a scoped name disagreeing with an explicit
+    // connection: key is a config contradiction
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      yaml.replace("cdc_id_column: \"o_orderkey\"",
+        "cdc_id_column: \"o_orderkey\"\n    connection: \"nope\"")))
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      s"""pipeline:
+         |  name: "x"
+         |  target: "warehouse"
+         |  connections:
+         |    a:
+         |      source: "dirA"
+         |    b:
+         |      source: "dirB"
+         |tables:
+         |  "a:fx.orders":
+         |    cdc_strategy: "full_sync"
+         |    connection: "b"
+         |""".stripMargin))
+    // a declared connection parses and lands on the table id's scope
+    val mc = PipelineConfig.fromString(
+      s"""pipeline:
+         |  name: "x"
+         |  target: "warehouse"
+         |  connections:
+         |    alt:
+         |      source: "$sfDir"
+         |tables:
+         |  "alt:fx.orders":
+         |    cdc_strategy: "full_sync"
+         |""".stripMargin)
+    assert(mc.tables.head.connection.contains("alt"))
+    assert(mc.tables.head.tableId(mc).connection == "alt")
   }
 
   test("custom_sql table syncs INCREMENTALLY through the pipeline") {
