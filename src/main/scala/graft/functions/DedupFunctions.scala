@@ -361,6 +361,57 @@ object DedupFunctions {
     labels
   }
 
+  /** Incrementally MAINTAIN a persisted cluster-label table — the label
+    * analog of the band index ([[minhashBandIndex]]): persist the (id,
+    * cluster) relation this returns, and each sync folds ONLY the pairs its
+    * increment's band-probe produced ([[minhashNearDuplicatesIncremental]])
+    * instead of re-propagating the full corpus pair graph (round 6's one
+    * remaining rebuild-the-world step).
+    *
+    * The fold is a union-find merge of the TOUCHED components: each new
+    * pair endpoint CONTRACTS to its current component representative (its
+    * persisted label; unlabeled ids — new docs, previously pairless docs —
+    * stand for themselves), min-label propagation runs over that contracted
+    * graph alone, and the label table takes one broadcast-sized relabel
+    * join (old cluster → merged cluster) plus the new nodes' rows. Because
+    * every persisted label IS its component's min id, the contracted
+    * propagation's min equals the global min — chain-folded labels are
+    * EXACTLY the batch [[duplicateClusters]] labels (DedupSpec chains two
+    * increments against batch; `q_dedup_cluster_incremental` oracles the
+    * fold against DuckDB's recursive closure of the full pair set).
+    *
+    * Scale: new-pair scale + touched-component scale, never corpus scale —
+    * the label table itself is only scanned for the relabel join, and the
+    * corpus text not at all. */
+  def foldClusterLabels(prevLabels: Option[DataFrame], newPairs: DataFrame,
+                        maxIters: Int = 25): DataFrame = prevLabels match {
+    case None => duplicateClusters(newPairs, maxIters)
+    case Some(labels0) =>
+      val labels = labels0.select(col("id"), col("cluster"))
+      val contracted = newPairs
+        .select(col("id_a"), col("id_b"))
+        .join(labels.select(col("id").as("id_a"), col("cluster").as("__ca")),
+          Seq("id_a"), "left")
+        .join(labels.select(col("id").as("id_b"), col("cluster").as("__cb")),
+          Seq("id_b"), "left")
+        .select(coalesce(col("__ca"), col("id_a")).as("id_a"),
+          coalesce(col("__cb"), col("id_b")).as("id_b"))
+        // a pair internal to one existing component contracts away — it
+        // can change no label and must not pay a propagation round
+        .filter(col("id_a") =!= col("id_b"))
+      val repLabels = duplicateClusters(contracted, maxIters)
+      // old cluster id → merged cluster id (both sides component-scale)
+      val relabel = repLabels
+        .select(col("id").as("cluster"), col("cluster").as("__newc"))
+      val rewritten = labels.join(relabel, Seq("cluster"), "left")
+        .select(col("id"), coalesce(col("__newc"), col("cluster")).as("cluster"))
+      // contracted-graph nodes with no existing label row = genuinely new
+      // members (incoming docs, previously pairless docs)
+      val newRows = repLabels
+        .join(labels.select(col("id")), Seq("id"), "left_anti")
+      rewritten.unionByName(newRows)
+  }
+
   /** Keep ONE representative (min id) per near-duplicate CLUSTER: docs in no
     * pair survive untouched; docs in a cluster survive only as its min id.
     * No broadcast hint on the drop set: a heavily-duplicated corpus makes it

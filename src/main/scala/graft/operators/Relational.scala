@@ -391,16 +391,15 @@ object Relational {
     * folds and the arithmetic stays exact (order-independent) throughout.
     * Derived ratios (avg = sum/n) belong at read time, never in state.
     *
-    * MAGNITUDE CONTRACT: each increment VALUE is first pinned to
-    * DECIMAL(18, scale) — the repo-wide dsum/oracle convention. Under the
-    * engine's ANSI default (Spark 4) a value whose magnitude exceeds
-    * 18−scale integer digits FAILS the fold loudly
-    * (NUMERIC_VALUE_OUT_OF_RANGE — RelationalSpec pins this; a session
-    * with `spark.sql.ansi.enabled=false` would instead NULL the value and
-    * silently drop it from the sum while `n_rows` still counts its row).
-    * Inputs are expected to be physical measures well inside that range;
-    * pre-aggregated inputs near 10^(18−scale) must be re-scaled by the
-    * caller before folding.
+    * MAGNITUDE CONTRACT: increment values accumulate at DECIMAL(38, scale)
+    * END TO END — the same fixpoint type as the state — so pre-aggregated
+    * inputs (a rollup folding another rollup's sums, magnitudes near 10^17)
+    * fold without any caller-side re-scaling. The overflow contract sits at
+    * the one boundary that can actually overflow: under the engine's ANSI
+    * default (Spark 4) a SUM exceeding 38−scale integer digits FAILS the
+    * fold loudly (NUMERIC_VALUE_OUT_OF_RANGE — RelationalSpec pins this; a
+    * session with `spark.sql.ansi.enabled=false` would instead NULL the
+    * overflowed group's sum while `n_rows` still counts its rows).
     */
   def foldAggregate(prev: Option[DataFrame], increment: DataFrame,
                     keys: Seq[String], sums: Seq[SumSpec]): DataFrame = {
@@ -408,7 +407,7 @@ object Relational {
       c.cast(DecimalType(38, s.scale)).as(s.out)
     val incState = increment.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        sums.map(s => pin(sum(col(s.in).cast(DecimalType(18, s.scale))), s)): _*)
+        sums.map(s => pin(sum(col(s.in).cast(DecimalType(38, s.scale))), s)): _*)
     prev match {
       case None => incState
       case Some(p) =>

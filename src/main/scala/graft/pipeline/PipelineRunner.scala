@@ -237,7 +237,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
   def sync(p: Pipeline, tableFilter: Option[String] = None,
            catalog: Option[SourceCatalog] = None): PipelineReport = {
     val cat = catalogResolver(p, catalog)
-    val (_, extractor, loader) = rigFor(p)
+    val (store, extractor, loader) = rigFor(p)
     val specs = p.tables.filter(t => tableFilter.forall(f =>
       t.name == f || t.name.endsWith(s".$f")))
     val t0 = System.nanoTime()
@@ -261,7 +261,25 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
         phase.map(runTable(p, _, cat, extractor, loader))
     val reports = runPhase(dims) ++ runPhase(facts)
 
-    PipelineReport(p.name, reports, (System.nanoTime() - t0) / 1e9)
+    val report = PipelineReport(p.name, reports, (System.nanoTime() - t0) / 1e9)
+    // completion markers for external orchestration — written strictly
+    // AFTER every table's lock released, from the FINAL reports (a crash
+    // anywhere above emits nothing; a failed table emits only a _FAILED
+    // artifact). A marker-write failure must not fail a sync that already
+    // committed — it is reported, and the sensor's timeout is the backstop.
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = prefixed(p, "markers")
+      val execId = s"${p.name.replaceAll("[^A-Za-z0-9_]", "_")}_" +
+        s"${System.currentTimeMillis()}"
+      reports.foreach(r => CompletionMarkers.writeTable(conf, root, p.name,
+        execId, r, store.get(r.table.scoped)))
+      CompletionMarkers.writePipeline(conf, root, report, execId)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] completion-marker write failed: ${e.getMessage}")
+    }
+    report
   }
 
   /** Session-start ceiling for the id-keyset strategies (A2): snapshot

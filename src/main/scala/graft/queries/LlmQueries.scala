@@ -439,6 +439,46 @@ object LlmQueries {
              |LEFT JOIN labels l ON d.doc_id = l.id
              |WHERE l.id IS NULL OR l.cluster = d.doc_id""".stripMargin)),
 
+    // ------------------------------- INCREMENTAL cluster-label maintenance
+    // The label side-table analog of q_dedup_minhash_incremental: batch-
+    // cluster the even-id corpus, then FOLD the odd-id increment's band-
+    // probe pairs into the persisted labels (contracted union-find merge —
+    // no full-graph re-propagation). The oracle ignores the staging
+    // entirely and closes the FULL pair set with the recursive CTE: fold
+    // output must equal batch clustering exactly.
+    Q("q_dedup_cluster_incremental",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 2 === 0)
+        val inc = docs.filter(col("doc_id") % 2 === 1)
+        val baseLabels = DedupFunctions.foldClusterLabels(None,
+          DedupFunctions.minhashNearDuplicates(base, "doc_id", "text",
+            threshold = 0.9))
+        val incPairs = DedupFunctions.minhashNearDuplicatesIncremental(
+          inc, base, DedupFunctions.minhashBandIndex(base, "doc_id", "text"),
+          "doc_id", "text", threshold = 0.9)
+        DedupFunctions.foldClusterLabels(Some(baseLabels), incPairs)
+          .select(col("id").as("doc_id"), col("cluster"))
+      },
+      Some(s"""WITH RECURSIVE sh AS MATERIALIZED (
+             |  SELECT doc_id, $shinglesSql AS s
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+             |  WHERE len(s) > 0),
+             |pairs AS MATERIALIZED (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.s, b.s)) /
+             |      len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+             |edges AS MATERIALIZED (
+             |          SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+             |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+             |FROM reach GROUP BY src""".stripMargin)),
+
     // --------------------------------------- quality-aware cluster dedup
     // Same pair graph, but the LONGEST text per cluster survives (tie →
     // min id) instead of the arbitrary min-id copy — the curation variant

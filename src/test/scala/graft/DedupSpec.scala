@@ -151,6 +151,67 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"duplicated index rows changed the result: $pairs vs $pairsDup")
   }
 
+  test("foldClusterLabels: contracted merge equals batch, incl. component bridging") {
+    val s = spark
+    import s.implicits._
+    // base state: two separate components {1,2} and {4,5}
+    val basePairs = Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val l0 = DedupFunctions.foldClusterLabels(None, basePairs)
+    assert(l0.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L)))
+    // increment doc 3 BRIDGES them: (2,3) and (3,4) must merge both old
+    // components into one — the fold's hard path (old cluster 4 relabels
+    // to 1 through the contracted graph, not just new rows appended)
+    val incPairs = Seq((2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val l1 = DedupFunctions.foldClusterLabels(Some(l0), incPairs)
+    val batch = DedupFunctions.duplicateClusters(
+      basePairs.unionByName(incPairs))
+    assert(l1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(l1.filter(col("cluster") =!= 1L).isEmpty, "bridge did not merge")
+    // a new MIN id arriving re-labels the whole component it joins
+    val l2 = DedupFunctions.foldClusterLabels(Some(l1),
+      Seq((0L, 5L)).toDF("id_a", "id_b"))
+    assert(l2.collect().map(_.getLong(1)).toSet == Set(0L))
+    assert(l2.count() == 6)
+    // pairs internal to one existing component are a no-op fold
+    val l3 = DedupFunctions.foldClusterLabels(Some(l2),
+      Seq((1L, 4L)).toDF("id_a", "id_b"))
+    assert(l3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      l2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("foldClusterLabels: two-increment minhash chain equals batch clustering") {
+    val s = spark
+    import s.implicits._
+    // three near-dup families spread across base + two increments, so
+    // cross-increment pairs exist at every fold
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def part(m: Int) = all.filter(col("doc_id") % 3 === m)
+    val (base, inc1, inc2) = (part(0), part(1), part(2))
+    val thr = 0.9
+
+    val l0 = DedupFunctions.foldClusterLabels(None,
+      DedupFunctions.minhashNearDuplicates(base, "doc_id", "text", thr))
+    val idx0 = DedupFunctions.minhashBandIndex(base, "doc_id", "text")
+    val p1 = DedupFunctions.minhashNearDuplicatesIncremental(
+      inc1, base, idx0, "doc_id", "text", threshold = thr)
+    val l1 = DedupFunctions.foldClusterLabels(Some(l0), p1)
+    val idx1 = idx0.unionByName(
+      DedupFunctions.minhashBandIndex(inc1, "doc_id", "text"))
+    val p2 = DedupFunctions.minhashNearDuplicatesIncremental(
+      inc2, base.unionByName(inc1), idx1, "doc_id", "text", threshold = thr)
+    val l2 = DedupFunctions.foldClusterLabels(Some(l1), p2)
+
+    val batch = DedupFunctions.duplicateClusters(
+      DedupFunctions.minhashNearDuplicates(all, "doc_id", "text", thr))
+    val got = l2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"chain-folded labels diverge from batch: extra=${got -- want} missing=${want -- got}")
+  }
+
   test("splitByCluster: near-dup clusters never straddle the split") {
     val s = spark
     import s.implicits._

@@ -876,6 +876,58 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(mc.tables.head.tableId(mc).connection == "alt")
   }
 
+  test("completion markers: SUCCESS artifact with sync facts; failure never signals success") {
+    val y = s"""pipeline:
+       |  name: "mark"
+       |  source: "$sfDir"
+       |  target: "warehouse"
+       |tables:
+       |  fx.orders:
+       |    cdc_strategy: "id_only"
+       |    cdc_id_column: "o_orderkey"
+       |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val work = tmpDir("markers")
+    val r = new PipelineRunner(spark, work).sync(p)
+    assert(r.allOk, r.tables.flatMap(_.error).mkString(";"))
+    val today = java.time.LocalDate.now()
+      .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    val dir = new java.io.File(s"$work/markers/$today")
+    val id = p.tables.head.tableId(p)
+    val files = dir.listFiles().map(_.getName).toSet
+    // the sensor contract: date + table + terminal status IN THE KEY
+    assert(files.contains(s"sync_${id.safeName}_SUCCESS.json"), files.toString)
+    assert(files.contains("pipeline_mark_SUCCESS.json"), files.toString)
+    // body carries the machine-readable sync facts a downstream gate needs
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = om.readTree(new java.io.File(dir, s"sync_${id.safeName}_SUCCESS.json"))
+    val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(m.get("rows").asLong() == nOrders)
+    assert(m.get("status").asText() == "SUCCESS")
+    assert(m.get("pipeline").asText() == "mark")
+    assert(m.get("watermark").get("last_id").asLong() > 0)
+    assert(m.get("watermark").get("total_rows").asLong() == nOrders)
+    assert(m.get("execution_id").asText().startsWith("mark_"))
+    val pm = om.readTree(new java.io.File(dir, "pipeline_mark_SUCCESS.json"))
+    assert(pm.get("tables_count").asInt() == 1 &&
+      pm.get("total_rows").asLong() == nOrders)
+
+    // a failing table emits a _FAILED artifact and NEVER a success one — a
+    // sensor polling the SUCCESS key keeps waiting (ref airflow_integration
+    // failure semantics); a hard crash emits nothing by construction
+    // (markers write strictly after the final report exists)
+    val bad = PipelineConfig.fromString(y.replace(s"source: \"$sfDir\"",
+      "source: \"/nonexistent_graft_dir\""))
+    val work2 = tmpDir("markers_bad")
+    val r2 = new PipelineRunner(spark, work2).sync(bad)
+    assert(!r2.allOk)
+    val files2 = new java.io.File(s"$work2/markers/$today")
+      .listFiles().map(_.getName).toSet
+    assert(files2.contains(s"sync_${bad.tables.head.tableId(bad).safeName}_FAILED.json"),
+      files2.toString)
+    assert(!files2.exists(_.contains("_SUCCESS")), files2.toString)
+  }
+
   test("custom_sql table syncs INCREMENTALLY through the pipeline") {
     // the template's {last_id} placeholder must render from the cursor and
     // the cursor must advance from the configured id column — without both,

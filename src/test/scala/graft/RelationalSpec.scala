@@ -321,28 +321,39 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .toMap == direct)
   }
 
-  test("foldAggregate magnitude contract: over-18-digit values fail the fold loudly") {
-    // pins the DOCUMENTED boundary (scaladoc): increment values pin to
-    // DECIMAL(18, scale); under the engine's ANSI default (Spark 4) a
-    // magnitude beyond 18−scale integer digits raises
-    // NUMERIC_VALUE_OUT_OF_RANGE instead of silently dropping from the
-    // sum — callers with pre-aggregated near-boundary inputs must
-    // re-scale before folding
+  test("foldAggregate magnitude contract: 38-digit accumulation, loud overflow") {
+    // pins the DOCUMENTED boundary (scaladoc): values accumulate at
+    // DECIMAL(38, scale) end to end, so pre-aggregated inputs near 10^17
+    // fold WITHOUT caller-side re-scaling (the round-6 trap); only a SUM
+    // overflowing 38−scale digits fails — loudly under ANSI
+    // (NUMERIC_VALUE_OUT_OF_RANGE), never by silently dropping values
     val s = spark
     import s.implicits._
     val sums = Seq(Relational.SumSpec("sum_v", "v", 2))
-    // in range: 10^16 − 1 survives at scale 2
-    val ok = Relational.readAggState(
-      Relational.foldAggregate(None,
-        Seq(("g", 1.5)).toDF("grp", "v"), Seq("grp"), sums), sums).head()
-    assert(ok.getLong(1) == 1L && ok.getDouble(2) == 1.5)
-    // out of range: 1e17 > max DECIMAL(18,2) magnitude → loud failure
+    // pre-aggregated magnitudes (1e17) fold exactly — no 18-digit value trap
+    val big = Relational.foldAggregate(None,
+      Seq(("g", 1e17), ("g", 1e17), ("g", 1.5)).toDF("grp", "v"),
+      Seq("grp"), sums)
+    val row = big.head()
+    assert(row.getLong(1) == 3L)
+    assert(row.getDecimal(2) ==
+      new java.math.BigDecimal("200000000000000001.50"))
+    // ...and the state keeps folding at full width
+    val twice = Relational.readAggState(
+      Relational.foldAggregate(Some(big),
+        Seq(("g", 1e17)).toDF("grp", "v"), Seq("grp"), sums), sums).head()
+    assert(twice.getLong(1) == 4L &&
+      math.abs(twice.getDouble(2) - 3.0e17) / 3.0e17 < 1e-15)
+    // out of range: a SUM beyond DECIMAL(38,2)'s 36 integer digits → loud
+    // (each 1e35 value fits; their sum 2e36 exceeds the state type)
     val e = intercept[Exception] {
       Relational.foldAggregate(None,
-        Seq(("g", 1.5), ("g", 1e17)).toDF("grp", "v"), Seq("grp"), sums)
+        Seq.fill(20)(("g", 1e35)).toDF("grp", "v"), Seq("grp"), sums)
         .collect()
     }
-    assert(e.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE"),
+    assert(e.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+      e.getMessage.contains("CAST_OVERFLOW") ||
+      e.getMessage.contains("ARITHMETIC_OVERFLOW"),
       s"expected decimal range failure, got: ${e.getMessage.take(200)}")
   }
 
