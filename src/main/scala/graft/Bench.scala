@@ -77,13 +77,14 @@ object Bench {
     // — report both so round-over-round comparison isn't polluted by
     // compile-time noise.
     def timeOne(name: String,
-                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String = sfDir)
         : (Double, Attrib) = {
       org.apache.spark.sql.GraftShim.waitListenerBus(spark)
       val (r0, c0, g0, s0, t0n) = acc.snapshot
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { fn(spark, dir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
@@ -146,8 +147,70 @@ object Bench {
     val pqTrain = graft.functions.VectorFunctions.lastPqTrainSec
     val pqEncode = graft.functions.VectorFunctions.lastPqEncodeSec
 
+    // ---- second scale point: synthesize ~10× locally and re-measure the
+    // operators whose constant factors could hide at sf0.1 (span/cluster
+    // dedup family + z-order write). documents ×8 with a per-copy Caesar
+    // SUBSTITUTION on the text: each copy keeps the original's internal
+    // near-dup structure (pairs/clusters scale by exactly 8×) while copies
+    // stay mutually non-duplicate — the row-scaled workload, not a
+    // quadratic cross-copy pair explosion. lineitem ×10 with shifted keys
+    // feeds the extract and z-order paths. A query is scale-healthy when
+    // its 10× steady time stays within ~linear of its sf time.
+    val scaleQueries = Seq("q_dedup_span_stats", "q_dedup_cluster_drop",
+      "q_split_by_cluster", "q_dedup_minhash_neardup", "q_dedup_lines_global",
+      "q_zorder_layout")
+    val scaleCheck = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
+    val (scaleJson, rps10x): (String, Double) = if (!scaleCheck) ("{}", -1.0)
+    else try {
+      import org.apache.spark.sql.functions._
+      val dir10 = java.nio.file.Files.createTempDirectory("graft_bench_10x")
+        .toString
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until 8).map { i =>
+        val d = docs.withColumn("doc_id",
+          col("doc_id") + lit(i.toLong * 10000000L))
+        if (i == 0) d
+        else d.withColumn("text",
+          translate(col("text"), alpha, alpha.drop(i) + alpha.take(i)))
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$dir10/documents.parquet")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      (0 until 10).map(i => li.withColumn("l_orderkey",
+          col("l_orderkey") + lit(i.toLong * 100000000L)))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$dir10/lineitem.parquet")
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "events", "embeddings"))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(dir10, s"$t.parquet"),
+          java.nio.file.Paths.get(sfDir, s"$t.parquet"))
+      val qmap = SparkEntry.queries
+      val res10 = scaleQueries.flatMap(n => qmap.get(n).map { fn =>
+        timeOne(n, fn, dir10) // warm (codegen already paid); one timed run
+        n -> timeOne(n, fn, dir10)._1
+      })
+      val r10 = {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_bench_e2e10").toString
+        val store = new graft.watermark.WatermarkStore(s"$scratch/wm")
+        val extractor = new graft.extract.Extractor(store, s"$scratch/staging")
+        val cfg = graft.model.CdcConfig(graft.model.CdcStrategyKind.IdOnly,
+          idColumn = Some("l_orderkey"))
+        extractor.extract(spark,
+          graft.model.TableId("bench10", "fixtures", "lineitem"),
+          spark.read.parquet(s"$dir10/lineitem.parquet"), cfg)
+          .metrics.rowsPerSec
+      }
+      (res10.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}"), r10)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] 10x scale point FAILED: ${e.getMessage}")
+      ("{}", -1.0)
+    }
+
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"extract_rows_per_sec":$rps,"total_steady":$totalSteady,"ivf_train_sec":$ivfTrain,"pq_train_sec":$pqTrain,"pq_encode_sec":$pqEncode,"queries":${fmtQs(_._2)},"queries_steady":${fmtQs(_._3)},"attrib":$attribJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"extract_rows_per_sec":$rps,"total_steady":$totalSteady,"ivf_train_sec":$ivfTrain,"pq_train_sec":$pqTrain,"pq_encode_sec":$pqEncode,"queries":${fmtQs(_._2)},"queries_steady":${fmtQs(_._3)},"attrib":$attribJson,"queries_10x":$scaleJson,"extract_rows_per_sec_10x":$rps10x,"scale_10x":{"documents":8,"lineitem":10},"sf":"$sfDir"}"""
     println(json)
     // Also persist the artifact ourselves: a tail-capture of stdout can clip
     // the line (it did in round 4) and lose the round-over-round signal.

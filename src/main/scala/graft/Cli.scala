@@ -407,6 +407,30 @@ object Cli {
         report.deleted.foreach(f => println(s"  $f"))
         0
 
+      case "markers" =>
+        // list a run date's completion markers (ref completion-marker CLI,
+        // src/cli/completion_marker_utils.py): the sensor's view — each
+        // artifact's key already carries table + terminal status; the body
+        // is echoed for --verbose-style inspection via cat. --date YYYYMMDD
+        // defaults to today.
+        val (r, p) = runner
+        val date = opts.getOrElse("date",
+          java.time.LocalDate.now()
+            .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE))
+        val prefix = if (p.sink.isolationPrefix.nonEmpty)
+          p.sink.isolationPrefix.stripSuffix("/") + "/" else ""
+        val dir = new java.io.File(s"$workDir/${prefix}markers/$date")
+        val files = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+        if (files.isEmpty) { println(s"no markers for $date"); 1 }
+        else {
+          files.foreach { f =>
+            val status = if (f.getName.contains("_SUCCESS")) "OK  " else "FAIL"
+            println(s"  $status ${f.getName}  (${f.length()} B)")
+          }
+          if (files.exists(_.getName.contains("_FAILED"))) 1 else 0
+        }
+
       case "config" =>
         // resolved-config inspection (ref config show-pipeline,
         // src/cli/main.py:1441-1505): everything the engine will actually
@@ -462,7 +486,7 @@ object Cli {
     }
 
   private val usage: String =
-    """usage: graft.Cli <sync|backup|load|merge|status|config|watermark|unlock|s3clean> -c <pipeline.yml>
+    """usage: graft.Cli <sync|backup|load|merge|status|config|watermark|markers|unlock|s3clean> -c <pipeline.yml>
       |  sync      extract + load every configured table (-t narrows; --parallel N)
       |  config    print the RESOLVED pipeline config (post-inheritance/env/defaults)
       |  backup    extract only
@@ -474,6 +498,7 @@ object Cli {
       |  column-map list|get|clear [-t table] [--force]  persisted rename maps
       |  compact   rewrite a table's small files: -t table [--target-file-mb N (256)]
       |  forget    delete + tombstone keys: -t table --values v1,v2 [--key-column c]
+      |  markers   list a date's completion markers [--date YYYYMMDD]; exit 1 on any FAILED
       |  unlock    break a stale session lock: -t table [--stale-minutes M (60)] [--force]
       |  s3clean   --older-than-hours H [--keep-newest N] [--dry-run]""".stripMargin
 }

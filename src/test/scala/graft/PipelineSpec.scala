@@ -748,6 +748,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // s3clean dry-run reports, deletes nothing
     assert(cli("s3clean", "--older-than-hours", "0", "--dry-run") == 0)
     assert(cli("s3clean") == 2)                   // missing required option
+    // markers: today's sync artifacts list clean (exit 0 = no FAILED);
+    // a bogus date has none (exit 1)
+    assert(cli("markers") == 0)
+    assert(cli("markers", "--date", "19700101") == 1)
     // argument errors
     assert(cli("no-such-verb") == 2)
     assert(graft.Cli.run(Array("sync")) == 2)     // missing -c
