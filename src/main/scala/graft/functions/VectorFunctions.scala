@@ -725,18 +725,34 @@ object VectorFunctions {
     * Returns the input plus `leader_id`. */
   def assignLeaders(corpus: DataFrame, kLeaders: Int,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
-    val leaders = broadcast(
-      corpus.orderBy(md5(col(idCol).cast("string")), col(idCol))
-        .limit(kLeaders)
-        .select(col(idCol).as("__leader_id"), col(vecCol).as("__lvec")))
-    val best = corpus.select(col(idCol), col(vecCol))
-      .join(leaders, lit(true))
+                    vecCol: String = "embedding"): DataFrame =
+    assignToLeaders(corpus, pickLeaders(corpus, kLeaders, idCol, vecCol),
+      idCol, vecCol)
+
+  /** The deterministic leader pick [[assignLeaders]] uses, exposed so a
+    * pipeline can PERSIST the leader set and keep it FIXED across
+    * increments ([[semanticDedupIncremental]]): k rows
+    * (`__leader_id`, `__lvec`), smallest md5(id) first. */
+  def pickLeaders(corpus: DataFrame, kLeaders: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    corpus.orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(kLeaders)
+      .select(col(idCol).as("__leader_id"), col(vecCol).as("__lvec"))
+
+  /** Assign every vector of `df` to its nearest leader from an EXPLICIT
+    * leader set (broadcast; ties → min leader id) — one map-side pass over
+    * `df` only. Returns `df` plus `leader_id`. */
+  def assignToLeaders(df: DataFrame, leaders: DataFrame,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val best = df.select(col(idCol), col(vecCol))
+      .join(broadcast(leaders), lit(true))
       .withColumn("__cos", cosine(col(vecCol), col("__lvec")))
       .groupBy(col(idCol))
       .agg(max_by(col("__leader_id"),
         struct(col("__cos"), negate(col("__leader_id")))).as("leader_id"))
-    corpus.join(best, idCol)
+    df.join(best, idCol)
   }
 
   /** SemDeDup (Abbas et al. 2023): cluster embeddings, compare pairs ONLY
@@ -760,6 +776,49 @@ object VectorFunctions {
     val pairs = cosineNearDuplicates(assigned, threshold, idCol, vecCol,
       blockCol = Some("leader_id"))
     DedupFunctions.dropNearDuplicateClusters(corpus, pairs, idCol)
+  }
+
+  /** INCREMENTAL SemDeDup — the 100 TB maintenance shape: leaders are
+    * PERSISTED and FIXED ([[pickLeaders]] once, at bootstrap), the corpus
+    * keeps its persisted `leader_id` assignment and cluster-label
+    * side-table, and each increment pays only (a) one broadcast
+    * assignment pass over ITS OWN rows, (b) exact cosine against the
+    * members of the leader blocks it lands in (semi-join — blocks without
+    * incoming rows are never read), and (c) a contracted label fold
+    * ([[graft.functions.DedupFunctions.foldClusterLabels]]). The corpus is
+    * never re-assigned and its internal pairs never recomputed.
+    *
+    * Equality contract: chain-folded labels equal the BATCH clustering
+    * computed with the same fixed leader set (fixed leaders are the
+    * incremental trade — a batch re-run would re-pick leaders over the
+    * grown corpus and draw different block boundaries). Deterministic end
+    * to end, so the driver query carries a full value oracle.
+    *
+    * `corpusAssigned` must carry `leader_id` (from a previous
+    * [[assignToLeaders]]); returns the updated (id, cluster) label table.
+    */
+  def semanticDedupIncremental(corpusAssigned: DataFrame, incoming: DataFrame,
+                               leaders: DataFrame,
+                               prevLabels: Option[DataFrame],
+                               threshold: Double,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val incAssigned = assignToLeaders(incoming, leaders, idCol, vecCol)
+    val a = incAssigned.select(col("leader_id"), col(idCol).as("id_x"),
+      col(vecCol).as("__vx"))
+    val b = corpusAssigned.unionByName(incAssigned, allowMissingColumns = true)
+      .select(col("leader_id"), col(idCol).as("id_y"), col(vecCol).as("__vy"))
+    // incoming × (corpus ∪ incoming) within the same leader block; the
+    // least/greatest + distinct collapses the doubled incoming-internal
+    // pairs (seen once from each side)
+    val newPairs = a.join(b, Seq("leader_id"))
+      .filter(col("id_x") =!= col("id_y"))
+      .withColumn("__cos", cosine(col("__vx"), col("__vy")))
+      .filter(col("__cos") >= threshold)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    DedupFunctions.foldClusterLabels(prevLabels, newPairs)
   }
 
   private implicit class ListOps[T](l: List[T]) {

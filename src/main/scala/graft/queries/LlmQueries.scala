@@ -1365,6 +1365,58 @@ object LlmQueries {
              |LEFT JOIN labels l ON e.vec_id = l.id
              |WHERE l.id IS NULL OR l.cluster = e.vec_id""".stripMargin)),
 
+    // ---------------------------- INCREMENTAL SemDeDup (fixed leaders)
+    // Leaders picked ONCE from the even-id base and persisted; the odd-id
+    // increment assigns itself, compares only inside the blocks it lands
+    // in, and folds into the label side-table. The oracle replays the
+    // SAME fixed-leader contract: leaders from the base half, assignment
+    // + closure over the full corpus — fold output must equal it exactly.
+    Q("q_semantic_dedup_incremental",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 2 === 0)
+        val inc = emb.filter(col("vec_id") % 2 === 1)
+        val leaders = VectorFunctions.pickLeaders(base, 16)
+        val baseAssigned = VectorFunctions.assignToLeaders(base, leaders)
+        val basePairs = VectorFunctions.cosineNearDuplicates(baseAssigned,
+          threshold = 0.4, blockCol = Some("leader_id"))
+        val l0 = DedupFunctions.foldClusterLabels(None, basePairs)
+        VectorFunctions.semanticDedupIncremental(baseAssigned, inc, leaders,
+          Some(l0), threshold = 0.4)
+          .select(col("id").as("vec_id"), col("cluster"))
+      },
+      Some("""WITH RECURSIVE leaders AS MATERIALIZED (
+             |  SELECT vec_id AS leader_id, embedding FROM embeddings
+             |  WHERE vec_id % 2 = 0
+             |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             |assign AS MATERIALIZED (
+             |  SELECT e.vec_id, l.leader_id,
+             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+             |                 l.embedding::DOUBLE[]) DESC,
+             |               l.leader_id ASC) AS rn
+             |  FROM embeddings e CROSS JOIN leaders l),
+             |cl AS MATERIALIZED (
+             |  SELECT vec_id, leader_id FROM assign WHERE rn = 1),
+             |pairs AS MATERIALIZED (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM embeddings a
+             |  JOIN cl ca ON ca.vec_id = a.vec_id
+             |  JOIN embeddings b ON a.vec_id < b.vec_id
+             |  JOIN cl cb ON cb.vec_id = b.vec_id
+             |    AND cb.leader_id = ca.leader_id
+             |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+             |          b.embedding::DOUBLE[]) >= 0.4),
+             |edges AS MATERIALIZED (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+             |SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster
+             |FROM reach GROUP BY src""".stripMargin)),
+
     // --------------------------------------------------------------- IVF ANN
     // Corpus-seeded deterministic coarse quantizer (buildIvfSeeded): the md5
     // selection, nearest-centroid assignment, nprobe cell choice and

@@ -277,6 +277,29 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(self.filter(col("vec_id") =!= col("leader_id")).count() == 0)
   }
 
+  test("semanticDedupIncremental: fold equals fixed-leader batch clustering") {
+    import graft.functions.DedupFunctions
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val inc = emb.filter(col("vec_id") % 2 === 1)
+    val leaders = VectorFunctions.pickLeaders(base, 16)
+    val baseAssigned = VectorFunctions.assignToLeaders(base, leaders)
+    val basePairs = VectorFunctions.cosineNearDuplicates(baseAssigned,
+      threshold = 0.4, blockCol = Some("leader_id"))
+    val l0 = DedupFunctions.foldClusterLabels(None, basePairs)
+    val l1 = VectorFunctions.semanticDedupIncremental(baseAssigned, inc,
+      leaders, Some(l0), threshold = 0.4)
+    // batch ground truth under the SAME fixed leader set
+    val allAssigned = VectorFunctions.assignToLeaders(emb, leaders)
+    val allPairs = VectorFunctions.cosineNearDuplicates(allAssigned,
+      threshold = 0.4, blockCol = Some("leader_id"))
+    val batch = DedupFunctions.duplicateClusters(allPairs)
+    val got = l1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"incremental semantic labels diverge: extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty)
+  }
+
   test("semanticDedup: keeps min id per within-cluster near-dup component, " +
     "survivors have no surviving near-dup partner in their cluster") {
     val survivors = VectorFunctions.semanticDedup(emb, kLeaders = 16,
