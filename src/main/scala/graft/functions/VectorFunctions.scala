@@ -199,6 +199,35 @@ object VectorFunctions {
       centroids = spark.read.parquet(s"$path/centroids"),
       assigned = spark.read.parquet(s"$path/cells"))
 
+  /** Assign an increment against an EXISTING index's centroids (the
+    * index's layout contract — fixed, like [[pickLeaders]]' fixed leader
+    * sets): one broadcast-literal pass over the increment only. Returns the
+    * increment's cell rows. */
+  def assignIvf(index: IvfIndex, incoming: DataFrame,
+                vecCol: String = "embedding"): DataFrame = {
+    val centroids = index.centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    incoming.withColumn("centroid_id",
+      nearestCentroid(col(vecCol), centroids))
+  }
+
+  /** INCREMENTAL IVF maintenance — the persisted-index analog of the band
+    * index / label side-table folds: new vectors assign against the
+    * existing centroids and APPEND into their cell partitions; the corpus
+    * is never re-assigned, untouched cells are never rewritten, and a
+    * probe of the grown index equals a probe of an index built whole with
+    * the same centroids (VectorSpec). Centroid drift under a changing
+    * distribution is the fixed-quantizer trade — re-train + rewrite when
+    * recall SLOs say so. */
+  def appendIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                incoming: DataFrame, vecCol: String = "embedding"): Unit = {
+    val idx = IvfIndex(
+      centroids = spark.read.parquet(s"$path/centroids"),
+      assigned = spark.emptyDataFrame)
+    assignIvf(idx, incoming, vecCol)
+      .write.mode("append").partitionBy("centroid_id").parquet(s"$path/cells")
+  }
+
   /** IVF top-k: probe only the `nprobe` nearest centroid cells per query, then
     * exact cosine within the probed cells. At scale: corpus pre-partitioned
     * (and persistable, partitioned BY centroid_id on disk → partition pruning

@@ -243,6 +243,38 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("appendIvf: incremental cells probe identically to a whole-built index") {
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val inc = emb.filter(col("vec_id") % 2 === 1)
+    val idx0 = VectorFunctions.buildIvfSeeded(base, nlist = 8)
+    val path = tmpDir("ivfappend") + "/index"
+    VectorFunctions.writeIvf(idx0, path)
+    val before = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+      .map(d => d.getName -> d.listFiles().map(f =>
+        f.getName -> f.lastModified()).toMap).toMap
+    VectorFunctions.appendIvf(spark, path, inc)
+    // append never rewrote an existing cell file
+    val after = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+      .map(d => d.getName -> d.listFiles().map(f =>
+        f.getName -> f.lastModified()).toMap).toMap
+    before.foreach { case (cell, files) =>
+      files.foreach { case (f, m) =>
+        assert(after(cell).get(f).contains(m), s"$cell/$f was rewritten") }
+    }
+    val grown = VectorFunctions.readIvf(spark, path)
+    assert(grown.assigned.count() == emb.count())
+    // ground truth: whole index under the SAME centroids
+    val whole = VectorFunctions.IvfIndex(idx0.centroids,
+      VectorFunctions.assignIvf(idx0, emb))
+    val a = VectorFunctions.ivfTopK(grown, queries, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = VectorFunctions.ivfTopK(whole, queries, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b, "incrementally-grown index probes differently")
+  }
+
   test("IVF assigns every corpus vector to exactly one centroid") {
     val idx = VectorFunctions.buildIvf(emb, nlist = 8)
     val n = emb.count()
