@@ -261,7 +261,11 @@ object DedupFunctions {
                                        shingleN: Int = 3, k: Int = 64,
                                        bands: Int = 16,
                                        maxBucketSize: Int = 1000): DataFrame = {
+    // the increment's band rows feed THREE consumers (the combined count,
+    // the probe side, the target side) — materialize the increment-scale
+    // relation once instead of re-shingling the increment per consumer
     val inc = minhashBandIndex(incoming, idCol, textCol, shingleN, k, bands)
+      .localCheckpoint(true)
     val all = corpusIndex.select(col("doc_id"), col("band"), col("bucket"))
       .unionByName(inc)
     // hot-bucket cap across the COMBINED population (a boilerplate bucket is
@@ -306,11 +310,19 @@ object DedupFunctions {
     * (silently wrong) labels if `maxIters` is exhausted — unreachable below
     * diameter 2^25. Returns (id, cluster). */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs
+    // materialize the pair relation ONCE before the symmetrize union: both
+    // union branches read the (pair-scale) checkpoint instead of each
+    // re-running the whole upstream candidate pipeline (LSH banding +
+    // jaccard verification — measured ~2× the family's pair-gen cost)
+    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = p0
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .unionByName(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // p0's blocks are dead once edges' checkpoint exists
+    org.apache.spark.sql.GraftShim.checkpointRdd(p0)
+      .foreach(_.unpersist(blocking = false))
     // init fuses the first propagation round: label = min(self, neighbors)
     // straight off the edge list (one groupBy instead of a join round)
     var labels = edges.groupBy(col("src").as("id"))

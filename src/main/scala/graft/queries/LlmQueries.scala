@@ -389,7 +389,10 @@ object LlmQueries {
         val incoming = docs.filter(col("doc_id") % 2 === 1)
         DedupFunctions.minhashNearDuplicatesIncremental(
           incoming, corpus,
-          DedupFunctions.minhashBandIndex(corpus, "doc_id", "text"),
+          // production reads the PERSISTED side-table; materialize the
+          // in-query stand-in once so it isn't re-shingled per consumer
+          DedupFunctions.minhashBandIndex(corpus, "doc_id", "text")
+            .localCheckpoint(true),
           "doc_id", "text", threshold = 0.9)
       },
       Some(s"""WITH sh AS (
@@ -455,7 +458,9 @@ object LlmQueries {
           DedupFunctions.minhashNearDuplicates(base, "doc_id", "text",
             threshold = 0.9))
         val incPairs = DedupFunctions.minhashNearDuplicatesIncremental(
-          inc, base, DedupFunctions.minhashBandIndex(base, "doc_id", "text"),
+          inc, base,
+          DedupFunctions.minhashBandIndex(base, "doc_id", "text")
+            .localCheckpoint(true),
           "doc_id", "text", threshold = 0.9)
         DedupFunctions.foldClusterLabels(Some(baseLabels), incPairs)
           .select(col("id").as("doc_id"), col("cluster"))
