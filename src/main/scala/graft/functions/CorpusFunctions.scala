@@ -36,6 +36,33 @@ object CorpusFunctions {
     df.filter(keep)
   }
 
+  /** Temperature-flattened mixture sampling (the mT5/multilingual-curation
+    * rebalance, Xue et al. 2021): post-sample source sizes follow
+    * m_s ∝ n_s^(1/T), scaled so the SMALLEST source is kept whole — rare
+    * sources survive intact, dominant ones downsample by
+    * r_s = (n_min/n_s)^(1−1/T). T=1 is the identity; T→∞ equalizes.
+    * Membership is the repo's deterministic md5-threshold rule
+    * ([[graft.operators.Relational.md5Below]]), so the sample is stable
+    * under corpus growth within a source and engine-portable (full value
+    * oracle). Source cardinality is assumed driver-small (languages /
+    * provenance buckets) — one partial-agg count pass, then a filter. */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+                        temperature: Double): DataFrame = {
+    require(temperature >= 1.0, "temperature must be >= 1 (1 = keep all)")
+    val exponent = 1.0 - 1.0 / temperature
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toSeq
+    if (counts.isEmpty) return df
+    val nMin = counts.map(_._2).min.toDouble
+    val keep = counts.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (s, n)) =>
+        val r = math.pow(nMin / n, exponent)
+        acc.when(col(sourceCol) === lit(s),
+          graft.operators.Relational.md5Below(col(idCol), r))
+    }.otherwise(lit(false))
+    df.filter(keep)
+  }
+
   /** Greedy token-budget selection: PER GROUP, admit documents in a
     * deterministic order (ascending `orderCol`) until the group's cumulative
     * token count would exceed `budget` — the "fill each source's quota"
@@ -513,6 +540,33 @@ object CorpusFunctions {
       .join(keepers, Seq("__lh"))
       .filter(col(idCol) === col("__k.kid") && col("pos") === col("__k.kpos"))
       .select(col(idCol), col("pos"), col("line"))
+    val keptEmpty = lines.filter(isEmpty)
+      .select(col(idCol), col("pos"), col("line"))
+    keptNonEmpty.unionByName(keptEmpty)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("text_dedup"),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
+  /** WITHIN-document line dedup — the C4 "repeated lines inside one page"
+    * scrub (boilerplate headers/footers, quoted reply chains), complement
+    * of the corpus-wide [[dedupLinesGlobal]]: each document keeps the FIRST
+    * occurrence of each of its non-empty lines; empty lines pass through
+    * (layout, not content). Purely per-document — the only exchange is the
+    * (id, line-hash) partial-agg reassembly; no corpus-wide state.
+    * Returns (id, text_dedup, n_lines_kept), [[dedupLinesGlobal]]'s shape. */
+  def dedupLinesWithinDoc(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val isEmpty = length(col("line")) === 0
+    val keptNonEmpty = lines.filter(!isEmpty)
+      .groupBy(col(idCol), md5(col("line").cast("binary")).as("__lh"))
+      .agg(min(struct(col("pos"), col("line"))).as("__k"))
+      .select(col(idCol), col("__k.pos").as("pos"), col("__k.line").as("line"))
     val keptEmpty = lines.filter(isEmpty)
       .select(col(idCol), col("pos"), col("line"))
     keptNonEmpty.unionByName(keptEmpty)

@@ -110,6 +110,29 @@ object LlmQueries {
              |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '9999999a'
              |END""".stripMargin)),
 
+    // ------------------------------------- temperature mixture sampling
+    // mT5-style rebalance at T=2: the smallest source is kept whole, a
+    // source n times larger keeps (1/n)^(1-1/T) of its docs. The oracle
+    // recomputes the per-source rates (POWER over the count aggregate) and
+    // replays the md5-threshold membership rule.
+    Q("q_sample_temperature",
+      (s, dir) => graft.functions.CorpusFunctions.temperatureSample(
+        Tables.df(s, dir, "documents"), "doc_id", "source",
+        temperature = 2.0)
+        .select(col("doc_id"), col("source"), col("lang")),
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+             |          GROUP BY source),
+             |r AS (SELECT source,
+             |        POWER((SELECT MIN(n) FROM c) / CAST(n AS DOUBLE),
+             |              0.5) AS rate
+             |      FROM c)
+             |SELECT d.doc_id, d.source, d.lang
+             |FROM documents d JOIN r USING (source)
+             |WHERE rate >= 1.0
+             |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+             |      < printf('%08x',
+             |          CAST(round(rate * 4294967296) AS BIGINT))""".stripMargin)),
+
     // ---------------------------------------------- token-budget selection
     // Greedy per-source quota fill in deterministic (doc_id) order; integer
     // running sum → exact cross-engine parity.
@@ -1043,6 +1066,37 @@ object LlmQueries {
              |    CASE WHEN len(line) = 0 THEN 1
              |         ELSE ROW_NUMBER() OVER (PARTITION BY line
              |                ORDER BY doc_id, pos) END AS rn
+             |  FROM l)
+             |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+             |       CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+             |FROM r WHERE rn = 1
+             |GROUP BY doc_id""".stripMargin)),
+
+    // ------------------------------------------ WITHIN-doc line dedup (C4)
+    // The input doubles each doc's own body plus a repeated banner, so real
+    // within-document duplicate lines exist; cross-doc duplicates must
+    // SURVIVE (that is dedup_lines_global's job, not this one's).
+    Q("q_dedup_lines_within",
+      (s, dir) => graft.functions.CorpusFunctions.dedupLinesWithinDoc(
+        Tables.df(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(lit("== graft corpus banner ==\n"), col("text"),
+              lit("\n== graft corpus banner ==\n"), col("text")).as("text")),
+        "doc_id", "text"),
+      Some("""WITH p AS (
+             |  SELECT doc_id, string_split('== graft corpus banner ==' ||
+             |    chr(10) || text || chr(10) || '== graft corpus banner ==' ||
+             |    chr(10) || text, chr(10)) AS parts
+             |  FROM documents),
+             |l AS (
+             |  SELECT doc_id, unnest(parts) AS line,
+             |         generate_subscripts(parts, 1) AS pos
+             |  FROM p),
+             |r AS (
+             |  SELECT doc_id, pos, line,
+             |    CASE WHEN len(line) = 0 THEN 1
+             |         ELSE ROW_NUMBER() OVER (PARTITION BY doc_id, line
+             |                ORDER BY pos) END AS rn
              |  FROM l)
              |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
              |       CAST(COUNT(*) AS BIGINT) AS n_lines_kept

@@ -29,6 +29,55 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(half.size > 120 && half.size < 280)
   }
 
+  test("temperatureSample: smallest source whole, sizes track n^(1/T), stable") {
+    val s = spark
+    import s.implicits._
+    // sources of 1000 / 4000 / 250 docs
+    val df = ((1L to 1000L).map(i => (i, "big")) ++
+      (1001L to 5000L).map(i => (i, "huge")) ++
+      (5001L to 5250L).map(i => (i, "rare"))).toDF("id", "src")
+    val kept = CorpusFunctions.temperatureSample(df, "id", "src",
+      temperature = 2.0)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the smallest source is kept WHOLE
+    assert(bySrc("rare") == 250L)
+    // expected rates: (250/n)^(1-1/2) → big .5, huge .25 (md5 thresholds
+    // are uniform — allow sampling noise)
+    assert(math.abs(bySrc("big") - 500.0) < 60, bySrc.toString)
+    assert(math.abs(bySrc("huge") - 1000.0) < 100, bySrc.toString)
+    // T=1 is the identity
+    assert(CorpusFunctions.temperatureSample(df, "id", "src", 1.0).count() ==
+      df.count())
+    // growth stability: adding docs to one source never evicts another
+    // source's members (same md5 rule as the splitter)
+    val grown = df.unionByName(
+      (9001L to 9500L).map(i => (i, "huge")).toDF("id", "src"))
+    val keptIds = kept.filter(col("src") === "big")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val grownBigIds = CorpusFunctions.temperatureSample(grown, "id", "src", 2.0)
+      .filter(col("src") === "big")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(grownBigIds.subsetOf(keptIds),
+      "growing another source must only SHRINK a source's kept set")
+  }
+
+  test("dedupLinesWithinDoc: first occurrence kept, cross-doc dups survive") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "header\nalpha\nheader\n\nbeta\nalpha"),
+      (2L, "header\ngamma")                      // cross-doc dup of 'header'
+    ).toDF("doc_id", "text")
+    val out = CorpusFunctions.dedupLinesWithinDoc(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // within-doc repeats drop (second 'header', second 'alpha'); the empty
+    // layout line survives; order is original first-occurrence order
+    assert(out(1L) == (("header\nalpha\n\nbeta", 4L)), out(1L).toString)
+    // doc 2 keeps its own 'header' — within-doc scope only
+    assert(out(2L) == (("header\ngamma", 2L)))
+  }
+
   test("selectWithinTokenBudget: greedy per-group fill in order") {
     val s = spark
     import s.implicits._

@@ -413,6 +413,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "fold increments must partial-aggregate before the exchange")
   }
 
+  test("cluster-label fold ships only id/cluster longs, never payloads") {
+    // foldClusterLabels is the incremental-maintenance hot path: its whole
+    // data flow must stay at pair/component scale — every exchange in the
+    // folded-labels plan carries id/cluster columns only (16 bytes/row),
+    // no text, no vectors, no upstream candidate-pipeline payloads
+    val s = spark; import s.implicits._
+    val l0 = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L)).toDF("id", "cluster")
+    val pairs = Seq((2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val folded = graft.functions.DedupFunctions.foldClusterLabels(Some(l0), pairs)
+    folded.count() // materialize through AQE so the final plan is real
+    val exchanges = physical(folded).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val allowed = Set("id", "cluster", "id_a", "id_b", "__ca", "__cb", "__newc")
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name.takeWhile(_ != '#')).toSet
+      assert(cols.subsetOf(allowed),
+        s"non-label column rides the fold exchange: $cols")
+    }
+  }
+
   test("Q22-shape: anti join for NOT EXISTS, scalar subqueries execute once") {
     val df = q("q22_idle_customers")
     val plan = executedString(df)
