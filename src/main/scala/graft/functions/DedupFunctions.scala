@@ -393,8 +393,10 @@ object DedupFunctions {
     * fold against DuckDB's recursive closure of the full pair set).
     *
     * Scale: new-pair scale + touched-component scale, never corpus scale —
-    * the label table itself is only scanned for the relabel join, and the
-    * corpus text not at all. */
+    * the label table is read twice (the broadcast relabel join, and an
+    * id-only anti-join finding genuinely new nodes; PlanSpec pins that no
+    * exchange carries more than id/cluster longs), and the corpus text not
+    * at all. */
   def foldClusterLabels(prevLabels: Option[DataFrame], newPairs: DataFrame,
                         maxIters: Int = 25): DataFrame = prevLabels match {
     case None => duplicateClusters(newPairs, maxIters)

@@ -373,17 +373,16 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
           countRows = false)
         case None    => mergeInto(spark, id, staged, keys, countRows = false)
       }
-      val rows = ParquetFooters.totalRows(fresh, conf)
-      val bytes = ParquetFooters.totalBytes(fresh, conf)
-      store.save(store.getOrCreate(id.scoped, config.strategy.name)
-        .afterLoadSession(fresh, rows, store.nowString()))
       // Tombstone gate — merge-mode counterpart of [[load]]'s: a keyed CDC
       // re-sync that re-delivers forgotten rows has just UPSERTED them, so
       // re-suppress here or the `forget` guarantee ("deletion survives the
       // source disagreeing") silently fails on exactly the merge-keyed
       // tables the CLI verb targets. Same cost shape: one increment-sized
       // semi-join; the rewrite runs only on a hit and prunes to the
-      // marker's buckets on bucketed layouts.
+      // marker's buckets on bucketed layouts. Runs BEFORE the blacklist
+      // save: a crash anywhere in between replays the (key-idempotent)
+      // merge AND the gate, so no window exists where resurrected rows
+      // are committed as processed.
       locally {
         val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(conf)
         val tombP = new org.apache.hadoop.fs.Path(tombstonePath(id))
@@ -396,6 +395,10 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
               buckets = bucketsEff.getOrElse(64))
         }
       }
+      val rows = ParquetFooters.totalRows(fresh, conf)
+      val bytes = ParquetFooters.totalBytes(fresh, conf)
+      store.save(store.getOrCreate(id.scoped, config.strategy.name)
+        .afterLoadSession(fresh, rows, store.nowString()))
       val secs = (System.nanoTime() - t0) / 1e9
       LoadResult(id, fresh.size.toLong, rows, (all.size - fresh.size).toLong,
         target, Nil, SessionMetrics(rows, fresh.size.toLong, bytes, secs))
