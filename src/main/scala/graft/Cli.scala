@@ -132,7 +132,7 @@ object Cli {
           // cursor — nothing executes, nothing is written
           val (store, _, _) = r.rigFor(p)
           p.tables.filter(t => tableFilter.forall(f =>
-            t.name == f || t.name.endsWith(s".$f"))).foreach { spec =>
+            t.matches(f))).foreach { spec =>
             val id = spec.tableId(p)
             val wm = store.get(id.scoped)
             val cursor = graft.cdc.Cursor(
@@ -417,9 +417,7 @@ object Cli {
         val date = opts.getOrElse("date",
           java.time.LocalDate.now()
             .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE))
-        val prefix = if (p.sink.isolationPrefix.nonEmpty)
-          p.sink.isolationPrefix.stripSuffix("/") + "/" else ""
-        val dir = new java.io.File(s"$workDir/${prefix}markers/$date")
+        val dir = new java.io.File(s"${r.markersRoot(p)}/$date")
         val files = Option(dir.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".json")).sortBy(_.getName)
         if (files.isEmpty) { println(s"no markers for $date"); 1 }
@@ -450,7 +448,7 @@ object Cli {
           s"isolationPrefix=${pipeline.sink.isolationPrefix}")
         pipeline.tables
           .filter(t => tableFilter.forall(f =>
-            t.name == f || t.name.endsWith(s".$f")))
+            t.matches(f)))
           .foreach { spec =>
             val mode =
               if (spec.mergeKeys.isEmpty) "append"
@@ -479,9 +477,19 @@ object Cli {
       case None =>
         System.err.println(s"$verb requires -t <table>"); throw CliExit(2)
       case Some(f) =>
-        p.tables.find(t => t.name == f || t.name.endsWith(s".$f")).getOrElse {
-          System.err.println(s"table not found in pipeline config: $f")
-          throw CliExit(2)
+        p.tables.filter(_.matches(f)) match {
+          case Seq(one) => one
+          case Seq() =>
+            System.err.println(s"table not found in pipeline config: $f")
+            throw CliExit(2)
+          case many =>
+            // two same-named tables on different connections are legal
+            // config; a single-table verb silently taking the FIRST would
+            // e.g. forget a key from only one connection's warehouse while
+            // reporting success — demand the scoped form instead
+            System.err.println(s"-t $f is ambiguous; use a scoped name: " +
+              many.map(_.scopedName).mkString(", "))
+            throw CliExit(2)
         }
     }
 

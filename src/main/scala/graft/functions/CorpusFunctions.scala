@@ -54,11 +54,15 @@ object CorpusFunctions {
       .collect().map(r => r.get(0) -> r.getLong(1)).toSeq
     if (counts.isEmpty) return df
     val nMin = counts.map(_._2).min.toDouble
+    // a NULL source is a group like any other (col === lit(null) is never
+    // true — the null-safe branch keeps those rows in the mixture instead
+    // of silently deleting them while their count still skewed the rates)
     val keep = counts.foldLeft(when(lit(false), lit(false))) {
       case (acc, (s, n)) =>
         val r = math.pow(nMin / n, exponent)
-        acc.when(col(sourceCol) === lit(s),
-          graft.operators.Relational.md5Below(col(idCol), r))
+        val cond = if (s == null) col(sourceCol).isNull
+                   else col(sourceCol) === lit(s)
+        acc.when(cond, graft.operators.Relational.md5Below(col(idCol), r))
     }.otherwise(lit(false))
     df.filter(keep)
   }

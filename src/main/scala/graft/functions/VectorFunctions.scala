@@ -205,8 +205,13 @@ object VectorFunctions {
     * increment's cell rows. */
   def assignIvf(index: IvfIndex, incoming: DataFrame,
                 vecCol: String = "embedding"): DataFrame = {
+    // sort by centroid id after the collect: nearestCentroid breaks
+    // exact-cosine ties by LITERAL POSITION, and a reloaded centroid
+    // table's row order is whatever the parquet split produced — unsorted,
+    // a tie between duplicate seed vectors could assign differently than
+    // the original build (and than the oracle's `centroid_id ASC` rule)
     val centroids = index.centroids.collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
     incoming.withColumn("centroid_id",
       nearestCentroid(col(vecCol), centroids))
   }

@@ -515,10 +515,18 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
   private def writeLayoutMarker(fs: org.apache.hadoop.fs.FileSystem,
                                 tgt: org.apache.hadoop.fs.Path,
                                 buckets: Int, keys: Seq[String]): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(tgt, LayoutMarker), true)
+    // temp + rename: a TORN marker would parse to a valid-but-wrong key
+    // subset and silently mis-prune later deletions — worse than no marker
+    // (which degrades to the full-rewrite path)
+    val tmp = new org.apache.hadoop.fs.Path(tgt, s"$LayoutMarker.tmp")
+    val dst = new org.apache.hadoop.fs.Path(tgt, LayoutMarker)
+    val out = fs.create(tmp, true)
     try out.write(s"buckets=$buckets\nkeys=${keys.mkString(",")}\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"layout marker rename failed: $tmp -> $dst")
   }
 
   private def readLayoutMarker(fs: org.apache.hadoop.fs.FileSystem,

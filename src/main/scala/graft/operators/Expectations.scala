@@ -66,8 +66,12 @@ object Expectations {
           cmp: Double => Boolean, sym: String): Option[String] =
         if (nonNumeric.contains(i)) None // reported via vType below
         else d(slot) match {
-          case None => Some(
+          // an EMPTY table is vacuously within any bound (emptiness is
+          // row_count_min's contract, not min/max's); a NULL aggregate
+          // over n>0 rows means the column is genuinely all-NULL
+          case None if n > 0 => Some(
             s"$c: $kind bound declared but the column is all-NULL")
+          case None => None
           case Some(v) if cmp(v) => Some(f"$c: $kind $v%.6g $sym $m%.6g")
           case _ => None
         }

@@ -88,6 +88,17 @@ final case class TableSpec(
     targetName.map(t => id.copy(table = t)).getOrElse(id)
   }
 
+  /** THE `-t` filter rule, shared by the runner and every CLI verb: bare
+    * `schema.table`, a bare-table suffix, or the connection-scoped form
+    * `conn:schema.table` (the only way to address one of two same-named
+    * tables on different connections). */
+  def matches(filter: String): Boolean =
+    name == filter || name.endsWith(s".$filter") ||
+      connection.exists(c => s"$c:$name" == filter)
+
+  /** Scoped display name (`conn:schema.table` when a connection is set). */
+  def scopedName: String = connection.fold(name)(c => s"$c:$name")
+
   /** The ONE way to derive a table's id from its pipeline — the connection
     * component is the NAMED connection when the table declares one
     * (watermarks/staging/warehouse scope per connection, the reference's

@@ -239,7 +239,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     val cat = catalogResolver(p, catalog)
     val (store, extractor, loader) = rigFor(p)
     val specs = p.tables.filter(t => tableFilter.forall(f =>
-      t.name == f || t.name.endsWith(s".$f")))
+      t.matches(f)))
     val t0 = System.nanoTime()
 
     // DAG-style phase ordering (D7): dimensions complete before facts start,
@@ -265,22 +265,36 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     // completion markers for external orchestration — written strictly
     // AFTER every table's lock released, from the FINAL reports (a crash
     // anywhere above emits nothing; a failed table emits only a _FAILED
-    // artifact). A marker-write failure must not fail a sync that already
-    // committed — it is reported, and the sensor's timeout is the backstop.
+    // artifact). ONE date + timestamp for the whole run, or a sync crossing
+    // midnight would scatter its artifacts over two date dirs and strand a
+    // sensor polling either. A marker-write failure must not fail a sync
+    // that already committed — it is reported, and the sensor's timeout is
+    // the backstop.
     try {
       val conf = spark.sparkContext.hadoopConfiguration
-      val root = prefixed(p, "markers")
+      val root = markersRoot(p)
+      val date = java.time.LocalDate.now()
+      val now = java.time.Instant.now()
       val execId = s"${p.name.replaceAll("[^A-Za-z0-9_]", "_")}_" +
         s"${System.currentTimeMillis()}"
       reports.foreach(r => CompletionMarkers.writeTable(conf, root, p.name,
-        execId, r, store.get(r.table.scoped)))
-      CompletionMarkers.writePipeline(conf, root, report, execId)
+        execId, r, store.get(r.table.scoped), date, now))
+      // a FILTERED sync is a partial run: its tables get their markers, but
+      // signaling whole-pipeline completion from a one-table backfill would
+      // fire every downstream sensor gated on the pipeline artifact
+      if (tableFilter.isEmpty)
+        CompletionMarkers.writePipeline(conf, root, report, execId, date, now)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] completion-marker write failed: ${e.getMessage}")
     }
     report
   }
+
+  /** THE marker-artifact root for a pipeline — one definition shared with
+    * the CLI `markers` verb (a drifting copy would list an empty dir and
+    * report "no markers" while markers exist). */
+  def markersRoot(p: Pipeline): String = prefixed(p, "markers")
 
   /** Session-start ceiling for the id-keyset strategies (A2): snapshot
     * MAX(id) BEFORE the source scan plans, so rows arriving mid-extract
@@ -428,7 +442,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     val cats = catalogResolver(p, None)
     val (_, extractor, _) = rigFor(p)
     val specs = p.tables.filter(t => tableFilter.forall(f =>
-      t.name == f || t.name.endsWith(s".$f")))
+      t.matches(f)))
     val t0 = System.nanoTime()
     val reports = specs.map { spec =>
       val cat = cats(spec)
@@ -452,7 +466,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
   def loadOnly(p: Pipeline, tableFilter: Option[String] = None): PipelineReport = {
     val (_, extractor, loader) = rigFor(p)
     val specs = p.tables.filter(t => tableFilter.forall(f =>
-      t.name == f || t.name.endsWith(s".$f")))
+      t.matches(f)))
     val t0 = System.nanoTime()
     val reports = specs.map { spec =>
       val id = spec.tableId(p)

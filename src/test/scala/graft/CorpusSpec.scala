@@ -60,6 +60,13 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(grownBigIds.subsetOf(keptIds),
       "growing another source must only SHRINK a source's kept set")
+    // NULL source is a group like any other — sampled at its rate, never
+    // silently deleted
+    val withNull = df.unionByName(
+      (8001L to 8250L).map(i => (i, null.asInstanceOf[String])).toDF("id", "src"))
+    val keptNull = CorpusFunctions.temperatureSample(withNull, "id", "src", 2.0)
+      .filter(col("src").isNull).count()
+    assert(keptNull == 250L, s"null-source rows were dropped: kept $keptNull/250")
   }
 
   test("dedupLinesWithinDoc: first occurrence kept, cross-doc dups survive") {

@@ -755,6 +755,34 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // argument errors
     assert(cli("no-such-verb") == 2)
     assert(graft.Cli.run(Array("sync")) == 2)     // missing -c
+
+    // a bare -t matching two same-named tables on DIFFERENT connections is
+    // refused (a single-table verb silently taking the first would e.g.
+    // forget a key from only one connection's warehouse); the scoped form
+    // addresses exactly one
+    val mcYml = java.nio.file.Paths.get(tmpDir("mccfg"), "mc.yml")
+    java.nio.file.Files.writeString(mcYml,
+      s"""pipeline:
+         |  name: "mc"
+         |  target: "warehouse"
+         |  connections:
+         |    a:
+         |      source: "$sfDir"
+         |    b:
+         |      source: "$sfDir"
+         |tables:
+         |  "a:fx.orders":
+         |    cdc_strategy: "full_sync"
+         |    target_name: "oa"
+         |  "b:fx.orders":
+         |    cdc_strategy: "full_sync"
+         |    target_name: "ob"
+         |""".stripMargin)
+    def mcCli(args: String*): Int =
+      graft.Cli.run((args ++ Seq("-c", mcYml.toString,
+        "--work-dir", tmpDir("mcwork"))).toArray)
+    assert(mcCli("compact", "-t", "fx.orders") == 2)
+    assert(mcCli("compact", "-t", "a:fx.orders") == 0)
   }
 
   test("column-map CLI inspects the mapping persisted by a normalizing sync") {
@@ -915,6 +943,18 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val pm = om.readTree(new java.io.File(dir, "pipeline_mark_SUCCESS.json"))
     assert(pm.get("tables_count").asInt() == 1 &&
       pm.get("total_rows").asLong() == nOrders)
+
+    // a FILTERED (one-table) sync is a partial run: the table's own marker
+    // is written, but the PIPELINE-completion artifact must not be — a
+    // backfill would otherwise fire every downstream sensor
+    val workF = tmpDir("markers_filtered")
+    assert(new PipelineRunner(spark, workF).sync(p,
+      tableFilter = Some("fx.orders")).allOk)
+    val filesF = new java.io.File(s"$workF/markers/$today")
+      .listFiles().map(_.getName).toSet
+    assert(filesF.contains(s"sync_${id.safeName}_SUCCESS.json"))
+    assert(!filesF.exists(_.startsWith("pipeline_")),
+      s"partial sync signaled whole-pipeline completion: $filesF")
 
     // a failing table emits a _FAILED artifact and NEVER a success one — a
     // sensor polling the SUCCESS key keeps waiting (ref airflow_integration
