@@ -49,6 +49,8 @@ final case class PostOpSpec(
     op: String,                                // dedup_latest | latest_status
                                                // | scd2_apply | fold_aggregate
                                                // | zorder (in-place layout)
+                                               // | neardup_labels (incremental
+                                               //   MinHash cluster maintenance)
     target: String,                            // derived output table name
                                                // (zorder: the BASE table)
     keys: Seq[String] = Nil,
@@ -56,7 +58,9 @@ final case class PostOpSpec(
     idColumn: Option[String] = None,
     statusColumn: Option[String] = None,
     attrColumns: Seq[String] = Nil,
-    sums: Seq[graft.operators.Relational.SumSpec] = Nil)
+    sums: Seq[graft.operators.Relational.SumSpec] = Nil,
+    textColumn: Option[String] = None,         // neardup_labels
+    threshold: Option[Double] = None)          // neardup_labels jaccard cut
 
 /** One configured table: scoped name + CDC config + optional rename
   * (YAML `tables.<schema.table>`; ref TableConfig, configuration_manager.py:23-43).
@@ -455,7 +459,9 @@ object PipelineConfig {
           out = opt(s, "out").map(_.asText).getOrElse(bad(s"'$op' sum missing 'out'")),
           in = opt(s, "in").map(_.asText).getOrElse(bad(s"'$op' sum missing 'in'")),
           scale = opt(s, "scale").map(_.asInt).getOrElse(2))
-      }).getOrElse(Nil))
+      }).getOrElse(Nil),
+      textColumn = opt(n, "text_column").map(_.asText),
+      threshold = opt(n, "threshold").map(_.asDouble))
     def need(cond: Boolean, what: String): Unit =
       if (!cond) bad(s"'$op' (target $target) requires $what")
     op match {
@@ -476,8 +482,13 @@ object PipelineConfig {
         need(spec.sums.nonEmpty, "'sums'")
       case "zorder" =>
         need(spec.keys.nonEmpty, "'keys' (the clustering columns)")
+      case "neardup_labels" =>
+        need(spec.idColumn.isDefined && spec.textColumn.isDefined,
+          "'id_column' and 'text_column'")
+        spec.threshold.foreach(t =>
+          if (t <= 0.0 || t > 1.0) bad(s"threshold $t outside (0,1]"))
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
-        " | scd2_apply | fold_aggregate | zorder)")
+        " | scd2_apply | fold_aggregate | zorder | neardup_labels)")
     }
     spec
   }

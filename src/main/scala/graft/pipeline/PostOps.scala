@@ -61,6 +61,49 @@ object PostOps {
         // parity verified) — idempotent, so a replayed sync just re-sorts
         loader.rewriteLayoutZorder(spark, id, po.keys)
         ()
+      case "neardup_labels" =>
+        // incremental MinHash near-dup CLUSTER maintenance as pipeline
+        // config: the derived table is the (id, cluster) label relation,
+        // kept exactly equal to batch clustering of the whole corpus while
+        // each sync pays only its increment — band-probe pair generation
+        // against the persisted band index
+        // (DedupFunctions.minhashNearDuplicatesIncremental) + contracted
+        // label fold (foldClusterLabels). The band index lives in a hidden
+        // sibling of the label table (the tombstone side-table convention)
+        // and is APPEND-maintained; a replayed session appends duplicate
+        // band rows (tolerated — the probe distincts them) and refolds the
+        // same pairs (a no-op fold), so the whole op is crash-convergent
+        // under the fold cursor's exactly-once rules.
+        val idc = po.idColumn.get
+        val txt = po.textColumn.get
+        val thr = po.threshold.getOrElse(0.9)
+        val bandsPath = loader.targetPath(derivedId) + ".__bands"
+        foldIncremental(spark, id, derivedId, extractor, loader) { (prev, inc0) =>
+          import org.apache.spark.sql.functions.col
+          val inc = inc0.select(col(idc), col(txt))
+          // the base table loaded BEFORE post-ops run, so the increment is
+          // already in it — the probe corpus is everything else
+          val corpus = requireBase(spark, loader, id, po)
+            .select(col(idc), col(txt))
+            .join(inc.select(col(idc)), Seq(idc), "left_anti")
+          val fs = new org.apache.hadoop.fs.Path(bandsPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val corpusIndex =
+            if (fs.exists(new org.apache.hadoop.fs.Path(bandsPath)))
+              spark.read.parquet(bandsPath)
+            else // first sync: empty index with the right schema
+              graft.functions.DedupFunctions.minhashBandIndex(
+                corpus.limit(0), idc, txt)
+          val newPairs = graft.functions.DedupFunctions
+            .minhashNearDuplicatesIncremental(inc, corpus, corpusIndex,
+              idc, txt, threshold = thr)
+          // maintain the index FIRST: a crash between the append and the
+          // label swap replays with duplicate band rows (harmless) rather
+          // than with an index missing this session's documents
+          graft.functions.DedupFunctions.minhashBandIndex(inc, idc, txt)
+            .write.mode("append").parquet(bandsPath)
+          graft.functions.DedupFunctions.foldClusterLabels(prev, newPairs)
+        }
       case other => // unreachable: PipelineConfig validates at parse time
         throw new IllegalArgumentException(s"unknown post_op '$other'")
     }

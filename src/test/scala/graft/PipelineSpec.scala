@@ -356,6 +356,58 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       3L -> ((1L, 7.0))), "re-run must not double-fold")
   }
 
+  test("post_ops neardup_labels: label table tracks batch clustering across syncs") {
+    // the incremental dedup story wired into the PIPELINE surface: a
+    // growing documents source syncs twice; after each sync the derived
+    // label table must equal BATCH clustering of everything loaded so far,
+    // while each sync's fold only band-probes its own increment
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val srcDir = tmpDir("ndsrc")
+    docs.filter(col("doc_id") < 250).write.mode("overwrite")
+      .parquet(s"$srcDir/documents.parquet")
+    val y = s"""pipeline:
+       |  name: "ndlabels"
+       |  source: "$srcDir"
+       |  target: "warehouse"
+       |tables:
+       |  fx.documents:
+       |    cdc_strategy: "id_only"
+       |    cdc_id_column: "doc_id"
+       |    post_ops:
+       |      - op: neardup_labels
+       |        target: doc_clusters
+       |        id_column: doc_id
+       |        text_column: text
+       |        threshold: 0.9
+       |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val work = tmpDir("ndwork")
+    val runner = new PipelineRunner(spark, work)
+    val (_, _, loader) = runner.rigFor(p)
+    val labelsId = p.tables.head.tableId(p).copy(table = "doc_clusters")
+    def labelSet() = loader.readTarget(spark, labelsId).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def batchSet(upTo: Long) = graft.functions.DedupFunctions
+      .duplicateClusters(graft.functions.DedupFunctions.minhashNearDuplicates(
+        docs.filter(col("doc_id") < upTo), "doc_id", "text", threshold = 0.9))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val r1 = runner.sync(p)
+    assert(r1.allOk, r1.tables.flatMap(_.error).mkString(";"))
+    assert(labelSet() == batchSet(250L))
+    // the source grows; the second sync folds only doc_id >= 250
+    docs.write.mode("overwrite").parquet(s"$srcDir/documents.parquet")
+    val r2 = runner.sync(p)
+    assert(r2.allOk && r2.totalRows == docs.filter(col("doc_id") >= 250).count())
+    assert(labelSet() == batchSet(100000L),
+      "chained label folds diverged from batch clustering")
+    // idle re-sync leaves the labels untouched (fold cursor no-op)
+    val before = labelSet()
+    assert(runner.sync(p).allOk)
+    assert(labelSet() == before)
+  }
+
   test("post_ops config: strict validation at parse time") {
     def parse(postOps: String) = PipelineConfig.fromString(
       s"""pipeline:
