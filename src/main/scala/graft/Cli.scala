@@ -352,6 +352,37 @@ object Cli {
         }
         val deleted = loader.deleteKeys(spark, id, keysDf,
           buckets = spec.mergeBuckets.getOrElse(64))
+        // right-to-be-forgotten must reach DERIVED near-dup state too: the
+        // forgotten doc's label row and its CONTENT-DERIVED band hashes are
+        // scrubbed from each neardup_labels side-table, preserving the fold
+        // cursor (or the next sync would refold history and resurrect the
+        // pairs). Other docs' cluster labels may retain the forgotten doc's
+        // NUMERIC id as their group label — an opaque group id, not content.
+        spec.postOps.filter(_.op == "neardup_labels")
+          .filter(_.idColumn.contains(keyCol)).foreach { po =>
+            val dId = id.copy(table = po.target)
+            val state = loader.readDerivedState(spark, dId)
+            def scrub(path: String, keyName: String,
+                      keepState: Boolean): Unit = {
+              val fsP = new org.apache.hadoop.fs.Path(path)
+              val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (fs.exists(fsP)) {
+                import org.apache.spark.sql.functions.col
+                val cur = spark.read.parquet(path)
+                val s2 = spark; import s2.implicits._
+                val doomed = values.toDF(keyName)
+                  .select(col(keyName).cast(cur.schema(keyName).dataType))
+                graft.util.AtomicDir.replace(spark, path,
+                  cur.join(doomed, Seq(keyName), "left_anti"), "snappy",
+                  if (keepState) state else None)
+                ()
+              }
+            }
+            scrub(loader.targetPath(dId), "id", keepState = true)
+            scrub(loader.targetPath(dId) + ".__bands", "doc_id",
+              keepState = false)
+            println(s"scrubbed ${po.target} labels + band index")
+          }
         println(s"forgot ${values.size} key(s) from ${id.qualified}: " +
           s"$deleted row(s) deleted, tombstones persisted")
         0

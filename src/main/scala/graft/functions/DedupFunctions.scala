@@ -260,12 +260,18 @@ object DedupFunctions {
                                        threshold: Double = 0.8,
                                        shingleN: Int = 3, k: Int = 64,
                                        bands: Int = 16,
-                                       maxBucketSize: Int = 1000): DataFrame = {
+                                       maxBucketSize: Int = 1000,
+                                       incomingIndex: Option[DataFrame] = None)
+      : DataFrame = {
     // the increment's band rows feed THREE consumers (the combined count,
     // the probe side, the target side) — materialize the increment-scale
-    // relation once instead of re-shingling the increment per consumer
-    val inc = minhashBandIndex(incoming, idCol, textCol, shingleN, k, bands)
-      .localCheckpoint(true)
+    // relation once instead of re-shingling the increment per consumer.
+    // A caller that ALSO persists the increment's index (the neardup_labels
+    // post-op) passes it in, so the most expensive projection in the path
+    // (shingle+minhash over the increment) runs once per sync, not twice.
+    val inc = incomingIndex.getOrElse(
+      minhashBandIndex(incoming, idCol, textCol, shingleN, k, bands)
+        .localCheckpoint(true))
     val all = corpusIndex.select(col("doc_id"), col("band"), col("bucket"))
       .unionByName(inc)
     // hot-bucket cap across the COMBINED population (a boilerplate bucket is

@@ -333,6 +333,29 @@ object PipelineConfig {
             case "" => "none"; case s => s }})")
     }
 
+    // neardup_labels is only sound over APPEND-ONLY increments the base
+    // table fully contains: updates would leave stale band rows and merged
+    // labels that can never split, and the loader's backlog trim
+    // (max_files_per_load) loads fewer files than the fold folds — the
+    // probe corpus would be missing folded docs' text and pairs would drop
+    // silently. Reject the combinations at parse, per the strict-config
+    // convention.
+    tables.filter(_.postOps.exists(_.op == "neardup_labels")).foreach { t =>
+      def bad(msg: String) = throw new IllegalArgumentException(
+        s"tables.${t.name}.post_ops.neardup_labels: $msg")
+      if (t.cdc.strategy != CdcStrategyKind.IdOnly)
+        bad(s"requires cdc_strategy id_only (append-only increments); " +
+          s"'${t.cdc.strategy.name}' can restage or update already-folded " +
+          "documents, leaving stale band rows and unmergeable labels")
+      if (t.mergeKeys.nonEmpty)
+        bad("incompatible with merge_keys (updates cannot be unfolded " +
+          "from the label side-table)")
+      if (processing.maxFilesPerLoad.isDefined)
+        bad("incompatible with processing.max_files_per_load (the fold " +
+          "tracks staged sessions; a trimmed load would leave folded " +
+          "documents missing from the probe corpus)")
+    }
+
     // derived-table names must be globally unique: two post_ops (or a
     // post_op and a base table) sharing a warehouse name would silently
     // overwrite each other's data on every sync

@@ -376,8 +376,13 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
           }
         // post-load derived tables (YAML post_ops), still under the
         // session lock — the reference's post-load SQL stage runs inside
-        // every sync the same way
-        PostOps.run(spark, spec, id, extractor, loader)
+        // every sync the same way. The expectations gate GATES them: a
+        // violating increment must not be folded into derived state whose
+        // exactly-once cursors make the fold irreversible (neardup_labels
+        // bands, scd2 history). Held-back sessions refold on the next
+        // PASSING sync — the fold cursor never advanced.
+        if (expViolations.isEmpty)
+          PostOps.run(spark, spec, id, extractor, loader)
         (ext, load, parity, expViolations)
       }
     } match {

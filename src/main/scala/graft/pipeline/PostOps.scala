@@ -64,9 +64,9 @@ object PostOps {
       case "neardup_labels" =>
         // incremental MinHash near-dup CLUSTER maintenance as pipeline
         // config: the derived table is the (id, cluster) label relation,
-        // kept exactly equal to batch clustering of the whole corpus while
-        // each sync pays only its increment — band-probe pair generation
-        // against the persisted band index
+        // equal to batch clustering of everything loaded so far while each
+        // sync pays only its increment — band-probe pair generation against
+        // the persisted band index
         // (DedupFunctions.minhashNearDuplicatesIncremental) + contracted
         // label fold (foldClusterLabels). The band index lives in a hidden
         // sibling of the label table (the tombstone side-table convention)
@@ -74,6 +74,15 @@ object PostOps {
         // band rows (tolerated — the probe distincts them) and refolds the
         // same pairs (a no-op fold), so the whole op is crash-convergent
         // under the fold cursor's exactly-once rules.
+        //
+        // Equality caveat (inherent to capped LSH): batch-equality is
+        // relative to each sync's hot-bucket populations. A (band,bucket)
+        // crossing maxBucketSize as the corpus grows is DROPPED going
+        // forward, but pairs folded while it was small persist — labels
+        // are monotone (dedup decisions never un-happen), so a from-scratch
+        // batch run over the grown corpus can label strictly less. The
+        // append-only/no-update contract itself is enforced at config
+        // parse (id_only strategy, no merge_keys, no backlog trim).
         val idc = po.idColumn.get
         val txt = po.textColumn.get
         val thr = po.threshold.getOrElse(0.9)
@@ -94,14 +103,17 @@ object PostOps {
             else // first sync: empty index with the right schema
               graft.functions.DedupFunctions.minhashBandIndex(
                 corpus.limit(0), idc, txt)
+          // ONE shingle+minhash pass over the increment serves both the
+          // probe and the persisted-index append
+          val incIndex = graft.functions.DedupFunctions
+            .minhashBandIndex(inc, idc, txt).localCheckpoint(true)
           val newPairs = graft.functions.DedupFunctions
             .minhashNearDuplicatesIncremental(inc, corpus, corpusIndex,
-              idc, txt, threshold = thr)
+              idc, txt, threshold = thr, incomingIndex = Some(incIndex))
           // maintain the index FIRST: a crash between the append and the
           // label swap replays with duplicate band rows (harmless) rather
           // than with an index missing this session's documents
-          graft.functions.DedupFunctions.minhashBandIndex(inc, idc, txt)
-            .write.mode("append").parquet(bandsPath)
+          incIndex.write.mode("append").parquet(bandsPath)
           graft.functions.DedupFunctions.foldClusterLabels(prev, newPairs)
         }
       case other => // unreachable: PipelineConfig validates at parse time

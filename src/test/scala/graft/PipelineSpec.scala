@@ -406,6 +406,58 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val before = labelSet()
     assert(runner.sync(p).allOk)
     assert(labelSet() == before)
+
+    // right-to-be-forgotten reaches the DERIVED state: forget scrubs the
+    // doc's label row and its content-derived band hashes, preserving the
+    // fold cursor so an idle re-sync cannot refold history and resurrect
+    val victim = before.head._1
+    val ymlPath = java.nio.file.Paths.get(tmpDir("ndcfg"), "nd.yml")
+    java.nio.file.Files.writeString(ymlPath, y)
+    assert(graft.Cli.run(Array("forget", "-t", "fx.documents",
+      "--values", victim.toString, "--key-column", "doc_id",
+      "-c", ymlPath.toString, "--work-dir", work)) == 0)
+    assert(!labelSet().exists(_._1 == victim), "label row survived forget")
+    val bands = spark.read.parquet(
+      loader.targetPath(labelsId) + ".__bands")
+    assert(bands.filter(col("doc_id") === victim).isEmpty,
+      "band hashes survived forget")
+    assert(runner.sync(p).allOk) // idle: cursor intact, no refold
+    assert(!labelSet().exists(_._1 == victim),
+      "idle re-sync resurrected the forgotten doc's label")
+  }
+
+  test("expectations gate holds back post_ops on a violating sync") {
+    // a violating increment must not advance derived state whose fold
+    // cursors make the advance irreversible — the quality gate actually
+    // gates; the next PASSING sync recomputes/refolds normally
+    def yml(minRows: Long) = s"""pipeline:
+       |  name: "gatepo"
+       |  source: "$sfDir"
+       |  target: "warehouse"
+       |tables:
+       |  fx.orders:
+       |    cdc_strategy: "full_sync"
+       |    expectations:
+       |      - row_count_min: $minRows
+       |    post_ops:
+       |      - op: dedup_latest
+       |        target: orders_latest
+       |        keys: [o_custkey]
+       |        ts_column: o_orderdate
+       |        id_column: o_orderkey
+       |""".stripMargin
+    val work = tmpDir("gatepo")
+    val runner = new PipelineRunner(spark, work)
+    val bad = PipelineConfig.fromString(yml(10000000L))
+    val r1 = runner.sync(bad)
+    assert(!r1.allOk)
+    val (_, _, loader) = runner.rigFor(bad)
+    val dId = bad.tables.head.tableId(bad).copy(table = "orders_latest")
+    assert(loader.readTarget(spark, dId).isEmpty,
+      "post_op ran despite a failed expectations gate")
+    val good = PipelineConfig.fromString(yml(10L))
+    assert(runner.sync(good).allOk)
+    assert(loader.readTarget(spark, dId).nonEmpty)
   }
 
   test("post_ops config: strict validation at parse time") {
@@ -434,6 +486,37 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "      - op: dedup_latest\n        target: t_latest\n        keys: [k]\n" +
         "        ts_column: ts\n        id_column: id")
     assert(ok.tables.head.postOps.head.target == "t_latest")
+
+    // neardup_labels enforces its append-only contract at parse: the fold
+    // is irreversible, so strategies that restage/update, merge tables,
+    // and the loader's backlog trim are all rejected loudly
+    def ndYml(strategy: String, extra: String = "",
+              processing: String = ""): String =
+      s"""pipeline:
+         |  name: "x"
+         |  source: "s"
+         |$processing
+         |tables:
+         |  fx.docs:
+         |    cdc_strategy: "$strategy"
+         |    cdc_id_column: "doc_id"
+         |$extra
+         |    post_ops:
+         |      - op: neardup_labels
+         |        target: clusters
+         |        id_column: doc_id
+         |        text_column: text
+         |""".stripMargin
+    assert(PipelineConfig.fromString(ndYml("id_only"))
+      .tables.head.postOps.head.op == "neardup_labels")
+    intercept[IllegalArgumentException](
+      PipelineConfig.fromString(ndYml("full_sync")))
+    intercept[IllegalArgumentException](
+      PipelineConfig.fromString(ndYml("id_only",
+        extra = "    merge_keys: [doc_id]")))
+    intercept[IllegalArgumentException](
+      PipelineConfig.fromString(ndYml("id_only",
+        processing = "  processing:\n    max_files_per_load: 10")))
   }
 
   test("ceiling guard: rows arriving after session start don't extend the extract") {
