@@ -478,12 +478,23 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
       val s0 = System.nanoTime()
       Try(Retry.withBackoff(maxAttempts) {
         val l = loader.load(spark, id, extractor.stagingDir(id), spec.cdc)
+        // the same expectations gate as sync: load-only drains staged
+        // sessions into the target, so the quality contracts apply — and
+        // must hold back the post_ops folds — identically
+        val viol: Seq[String] =
+          if (spec.expectations.isEmpty) Nil
+          else loader.readTarget(spark, id) match {
+            case Some(t) =>
+              graft.operators.Expectations.violations(t, spec.expectations)
+            case None => Seq("expectations declared but table never loaded")
+          }
         // load-only drains staged sessions, so the derived tables that
         // depend on them must refresh here too
-        PostOps.run(spark, spec, id, extractor, loader)
-        l
+        if (viol.isEmpty) PostOps.run(spark, spec, id, extractor, loader)
+        (l, viol)
       }) match {
-        case Success(l) => TableReport(id, ok = true, None, Some(l), None,
+        case Success((l, viol)) => TableReport(id, ok = viol.isEmpty, None,
+          Some(l), if (viol.isEmpty) None else Some(viol.mkString("; ")),
           (System.nanoTime() - s0) / 1e9)
         case Failure(e) => TableReport(id, ok = false, None, None,
           Some(rootMessage(e)),
