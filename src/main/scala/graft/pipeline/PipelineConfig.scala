@@ -51,6 +51,10 @@ final case class PostOpSpec(
                                                // | zorder (in-place layout)
                                                // | neardup_labels (incremental
                                                //   MinHash cluster maintenance)
+                                               // | fold_kmv_distinct
+                                               // | fold_count_min
+                                               // | fold_sample (deterministic
+                                               //   sketch state, Sketches.*)
     target: String,                            // derived output table name
                                                // (zorder: the BASE table)
     keys: Seq[String] = Nil,
@@ -60,7 +64,10 @@ final case class PostOpSpec(
     attrColumns: Seq[String] = Nil,
     sums: Seq[graft.operators.Relational.SumSpec] = Nil,
     textColumn: Option[String] = None,         // neardup_labels
-    threshold: Option[Double] = None)          // neardup_labels jaccard cut
+    threshold: Option[Double] = None,          // neardup_labels jaccard cut
+    valueColumn: Option[String] = None,        // fold_kmv_distinct /
+                                               // fold_count_min / fold_sample
+    k: Option[Int] = None)                     // sketch size (state bound)
 
 /** One configured table: scoped name + CDC config + optional rename
   * (YAML `tables.<schema.table>`; ref TableConfig, configuration_manager.py:23-43).
@@ -484,7 +491,9 @@ object PipelineConfig {
           scale = opt(s, "scale").map(_.asInt).getOrElse(2))
       }).getOrElse(Nil),
       textColumn = opt(n, "text_column").map(_.asText),
-      threshold = opt(n, "threshold").map(_.asDouble))
+      threshold = opt(n, "threshold").map(_.asDouble),
+      valueColumn = opt(n, "value_column").map(_.asText),
+      k = opt(n, "k").map(_.asInt))
     def need(cond: Boolean, what: String): Unit =
       if (!cond) bad(s"'$op' (target $target) requires $what")
     op match {
@@ -510,8 +519,21 @@ object PipelineConfig {
           "'id_column' and 'text_column'")
         spec.threshold.foreach(t =>
           if (t <= 0.0 || t > 1.0) bad(s"threshold $t outside (0,1]"))
+      case "fold_kmv_distinct" =>
+        need(spec.keys.nonEmpty, "'keys'")
+        need(spec.valueColumn.isDefined, "'value_column'")
+        spec.k.foreach(k => if (k < 2) bad(s"k $k < 2"))
+      case "fold_count_min" =>
+        need(spec.keys.nonEmpty, "'keys'")
+        need(spec.valueColumn.isDefined, "'value_column' (the item column)")
+      case "fold_sample" =>
+        need(spec.keys.nonEmpty, "'keys'")
+        need(spec.idColumn.isDefined && spec.valueColumn.isDefined,
+          "'id_column' (row-unique) and 'value_column'")
+        spec.k.foreach(k => if (k < 1) bad(s"k $k < 1"))
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
-        " | scd2_apply | fold_aggregate | zorder | neardup_labels)")
+        " | scd2_apply | fold_aggregate | zorder | neardup_labels" +
+        " | fold_kmv_distinct | fold_count_min | fold_sample)")
     }
     spec
   }

@@ -56,6 +56,23 @@ object PostOps {
       case "fold_aggregate" =>
         foldIncremental(spark, id, derivedId, extractor, loader)(
           (prev, inc) => Relational.foldAggregate(prev, inc, po.keys, po.sums))
+      // deterministic sketch folds (graft.operators.Sketches): bounded
+      // per-group state maintained per sync, bit-identical to a one-pass
+      // build over everything synced so far (exact merge invariance), read
+      // back through Sketches.read* at query time
+      case "fold_kmv_distinct" =>
+        foldIncremental(spark, id, derivedId, extractor, loader)(
+          (prev, inc) => graft.operators.Sketches.foldKmvDistinct(
+            prev, inc, po.keys, po.valueColumn.get, po.k.getOrElse(256)))
+      case "fold_count_min" =>
+        foldIncremental(spark, id, derivedId, extractor, loader)(
+          (prev, inc) => graft.operators.Sketches.foldCountMin(
+            prev, inc, po.keys, po.valueColumn.get))
+      case "fold_sample" =>
+        foldIncremental(spark, id, derivedId, extractor, loader)(
+          (prev, inc) => graft.operators.Sketches.foldSampleState(
+            prev, inc, po.keys, po.idColumn.get, po.valueColumn.get,
+            po.k.getOrElse(256)))
       case "zorder" =>
         // in-place layout rewrite of the BASE table (crash-safe swap, row
         // parity verified) — idempotent, so a replayed sync just re-sorts

@@ -676,6 +676,124 @@ object OlapQueries {
       },
       None),
 
+    // --------------- deterministic KMV distinct fold (FULL value oracle)
+    // The exactly-replayable sibling of q_distinct_sketch: bottom-k-by-md5
+    // state is a pure function of the value SET, so the 2-chunk fold below
+    // is bit-identical to the oracle's one-pass recompute — merge
+    // invariance is PROVED by the hash match, not just spec-bounded.
+    Q("q_distinct_kmv",
+      (s, dir) => {
+        import graft.operators.Sketches
+        val ev = Tables.df(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("user_id"))
+        val chunks = Seq(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1))
+        // k=64 < the per-group user cardinality at sf0.01 so the oracle
+        // exercises the SATURATED estimator branch, not just exact counts
+        Sketches.readKmvDistinct(
+          chunks.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+            (p, c) => Some(Sketches.foldKmvDistinct(
+              p, c, Seq("event_type"), "user_id", k = 64))
+          }.get, k = 64)
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT event_type,
+             |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+             |                             1, 15)) AS BIGINT) AS h
+             |  FROM events),
+             |r AS (SELECT event_type, h, ROW_NUMBER() OVER (
+             |        PARTITION BY event_type ORDER BY h) AS rn FROM h),
+             |g AS (SELECT event_type, COUNT(*) AS n_kept,
+             |        MAX(CASE WHEN rn = 64 THEN h END) AS kth_hash
+             |      FROM r WHERE rn <= 64 GROUP BY 1)
+             |SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept, kth_hash,
+             |  CAST(CASE WHEN n_kept < 64 THEN n_kept
+             |       ELSE ROUND(63.0 * 1152921504606846976 / kth_hash) END
+             |    AS BIGINT) AS est_distinct
+             |FROM g""".stripMargin)),
+
+    // -------------- count-min heavy hitters fold (FULL value oracle)
+    // Per-group CMS counters folded over two chunks, then the top-10 items
+    // by estimate; counters are integer sums of md5-derived cells, so
+    // DuckDB replays every estimate exactly (including collision
+    // inflation, which only ever OVERcounts — SketchesSpec pins that).
+    Q("q_heavy_hitters_cms",
+      (s, dir) => {
+        import graft.operators.Sketches
+        val ev = Tables.df(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("user_id"))
+        val chunks = Seq(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1))
+        val state = chunks.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+          (p, c) => Some(Sketches.foldCountMin(
+            p, c, Seq("event_type"), "user_id"))
+        }.get
+        val cand = ev.select(col("event_type"), col("user_id")).distinct()
+        Sketches.heavyHitters(state, cand, Seq("event_type"), "user_id",
+          topN = 10)
+      },
+      Some("""WITH j AS (SELECT unnest(range(4)) AS jj),
+             |cnt AS (
+             |  SELECT event_type, jj,
+             |    CAST(concat('0x', substr(md5(CAST(jj AS VARCHAR) || '_'
+             |        || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      % 1024 AS idx,
+             |    COUNT(*) AS c
+             |  FROM events, j GROUP BY 1, 2, 3),
+             |cand AS (SELECT DISTINCT event_type, user_id FROM events),
+             |est AS (
+             |  SELECT cand.event_type, cand.user_id, MIN(cnt.c) AS est_count
+             |  FROM cand JOIN j ON TRUE
+             |  JOIN cnt ON cnt.event_type = cand.event_type
+             |    AND cnt.jj = j.jj
+             |    AND cnt.idx = CAST(concat('0x', substr(md5(
+             |          CAST(j.jj AS VARCHAR) || '_'
+             |          || CAST(cand.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |        % 1024
+             |  GROUP BY 1, 2)
+             |SELECT event_type, user_id, est_count, rank FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY est_count DESC, user_id) AS rank FROM est)
+             |WHERE rank <= 10""".stripMargin)),
+
+    // ------------- bottom-k uniform-sample quantile fold (FULL oracle)
+    // The deterministic sibling of q_quantile_sketch: the sample is the k
+    // rows with smallest md5(event_id), so the fold is chunk-invariant and
+    // the exact-element quantile picks replay bit-for-bit in DuckDB.
+    Q("q_quantile_sample",
+      (s, dir) => {
+        import graft.operators.Sketches
+        val ev = Tables.df(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val chunks = Seq(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1))
+        Sketches.readSampleQuantiles(
+          chunks.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+            (p, c) => Some(Sketches.foldSampleState(
+              p, c, Seq("event_type"), "event_id", "value"))
+          }.get, Seq(0.25, 0.5, 0.9))
+      },
+      Some("""WITH s AS (
+             |  SELECT event_type,
+             |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+             |                             1, 15)) AS BIGINT) AS h,
+             |    value AS v
+             |  FROM events),
+             |r AS (SELECT *, ROW_NUMBER() OVER (
+             |        PARTITION BY event_type ORDER BY h, v) AS rn FROM s),
+             |samp AS (SELECT event_type, list(v ORDER BY v) AS vs,
+             |           COUNT(*) AS n
+             |         FROM r WHERE rn <= 256 GROUP BY 1)
+             |SELECT event_type,
+             |  vs[CAST(FLOOR((n - 1) * 0.25) AS INT) + 1] AS q_25,
+             |  vs[CAST(FLOOR((n - 1) * 0.5) AS INT) + 1] AS q_50,
+             |  vs[CAST(FLOOR((n - 1) * 0.9) AS INT) + 1] AS q_90,
+             |  CAST(n AS BIGINT) AS n_sample
+             |FROM samp""".stripMargin)),
+
     // ------------------- TPC-H Q7-shape (bidirectional nation-pair trade)
     // Revenue between two specific nations in BOTH directions, by year:
     // the double-nation join with a symmetric OR pair condition.

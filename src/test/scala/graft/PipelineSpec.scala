@@ -356,6 +356,83 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       3L -> ((1L, 7.0))), "re-run must not double-fold")
   }
 
+  test("post_ops sketch folds: state bit-identical to a one-pass build across syncs") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("sketch_src")
+    def rows(lo: Long, hi: Long) = (lo to hi).map(i =>
+      (i, s"t${i % 3}", (i * 7) % 40, (i % 100) / 2.0))
+    def write(lo: Long, hi: Long, mode: String): Unit =
+      rows(lo, hi).toDF("event_id", "etype", "uid", "amt")
+        .write.mode(mode).parquet(s"$srcDir/ev.parquet")
+    write(1, 300, "errorifexists")
+    val y =
+      s"""pipeline:
+         |  name: "sketch_folds"
+         |  source: "$srcDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.ev:
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "event_id"
+         |    post_ops:
+         |      - op: fold_kmv_distinct
+         |        target: ev_kmv
+         |        keys: [etype]
+         |        value_column: uid
+         |        k: 16
+         |      - op: fold_count_min
+         |        target: ev_cms
+         |        keys: [etype]
+         |        value_column: uid
+         |      - op: fold_sample
+         |        target: ev_sample
+         |        keys: [etype]
+         |        id_column: event_id
+         |        value_column: amt
+         |        k: 32
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("sketch_wh"))
+    assert(runner.sync(p).allOk)
+    write(301, 500, "append")
+    assert(runner.sync(p).allOk)
+    val (_, _, loader) = runner.rigFor(p)
+    val baseId = p.tables.head.tableId(p)
+    import graft.operators.Sketches
+    val all = rows(1, 500).toDF("event_id", "etype", "uid", "amt")
+    // every sketch state after two incremental syncs must equal the state
+    // of ONE direct fold over the full source — exact merge invariance on
+    // the pipeline surface, not just the operator surface
+    def state(t: String) = loader.readTarget(spark, baseId.copy(table = t)).get
+    val kmvGot = state("ev_kmv").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val kmvWant = Sketches.foldKmvDistinct(None, all, Seq("etype"), "uid",
+      k = 16).collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(kmvGot == kmvWant)
+    val cmsGot = state("ev_cms").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val cmsWant = Sketches.foldCountMin(None, all, Seq("etype"), "uid")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(cmsGot == cmsWant)
+    val qGot = Sketches.readSampleQuantiles(state("ev_sample"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("q_50")).toMap
+    val qWant = Sketches.readSampleQuantiles(
+      Sketches.foldSampleState(None, all, Seq("etype"), "event_id", "amt",
+        k = 32), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("q_50")).toMap
+    assert(qGot == qWant)
+    // no new rows → exactly-once no-op
+    assert(runner.sync(p).allOk)
+    assert(state("ev_kmv").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap == kmvWant)
+    // parse-time validation: fold_sample without id_column is rejected
+    intercept[IllegalArgumentException] {
+      PipelineConfig.fromString(y.replace("        id_column: event_id\n", ""))
+    }
+  }
+
   test("post_ops neardup_labels: label table tracks batch clustering across syncs") {
     // the incremental dedup story wired into the PIPELINE surface: a
     // growing documents source syncs twice; after each sync the derived

@@ -88,6 +88,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("KMV distinct fold shuffles only keys and 8-byte hashes, never values") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val st = graft.operators.Sketches.foldKmvDistinct(
+      None, docs, Seq("lang"), "text", k = 64)
+    val exchanges = physical(st).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "no exchanges found — assertion would be vacuous")
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name).toSet
+      assert(!cols.contains("text"),
+        s"value payload rides a KMV exchange: $cols")
+    }
+  }
+
   test("incremental dedup ships only fingerprints from the existing corpus") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
