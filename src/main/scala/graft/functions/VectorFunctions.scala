@@ -855,6 +855,141 @@ object VectorFunctions {
     DedupFunctions.foldClusterLabels(prevLabels, newPairs)
   }
 
+  // --------------------------------------------------------------------------
+  // Diversity-aware selection: MMR rerank + greedy k-center coreset
+  // --------------------------------------------------------------------------
+
+  /** Exact replica of the [[graft.functions.Expressions.CosineSim]] fold
+    * (sequential double accumulation, ab/(√aa·√bb)) for group-local greedy
+    * loops — keeps selection decisions bit-identical to the Expression path
+    * and to DuckDB's `list_cosine_similarity`. */
+  private def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+    val n = a.length
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      ab += x * y; aa += x * x; bb += y * y; i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998): from
+    * each query's candidate list, greedily select `k` items maximizing
+    * `λ·rel − (1−λ)·max_sim_to_already_selected` — the diversity-aware
+    * final stage after BM25 / ANN / RRF retrieval, and the standard
+    * redundancy guard when sampling few-shot or training examples from a
+    * near-dup-heavy pool. The first pick scores `λ·rel` (empty-selection
+    * similarity term is 0). Ties break on candidate id ascending; every
+    * arithmetic step is deterministic double math on the [[cosineLocal]]
+    * contract, so a SQL oracle replays selections and scores exactly.
+    *
+    * Scale: the greedy is inherently sequential in k but LOCAL to each
+    * query group — `flatMapGroups` distributes queries across executors,
+    * and each group holds only its own top-N candidate vectors (rerank
+    * input, bounded upstream), so the exchange carries candidate-scale
+    * payloads, never the corpus. O(k·N) similarity evaluations per query.
+    */
+  def mmrRerank(candidates: DataFrame, k: Int, lambda: Double,
+                queryIdCol: String = "query_id", idCol: String = "cand_id",
+                relCol: String = "rel",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"mmrRerank needs k >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda outside [0,1]")
+    val s = candidates.sparkSession
+    import s.implicits._
+    val ds = candidates.select(
+      col(queryIdCol).cast("long"), col(idCol).cast("long"),
+      col(relCol).cast("double"),
+      transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Long, Double, Seq[Double])]
+    ds.groupByKey(_._1).flatMapGroups { (q, it) =>
+      val cands = it.toArray.sortBy(_._2) // id-sorted: stable tiebreaks
+      val n = cands.length
+      val chosen = new Array[Boolean](n)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double)]
+      var step = 1
+      while (step <= math.min(k, n)) {
+        var bestIdx = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!chosen(i)) {
+            val c = cands(i)
+            var maxSim = 0.0
+            var first = true
+            selected.foreach { j =>
+              val sim = cosineLocal(c._4, cands(j)._4)
+              if (first || sim > maxSim) { maxSim = sim; first = false }
+            }
+            val score =
+              if (selected.isEmpty) lambda * c._3
+              else lambda * c._3 - (1.0 - lambda) * maxSim
+            // strict > under id-ascending iteration = smallest id on ties
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+          }
+          i += 1
+        }
+        chosen(bestIdx) = true
+        selected += bestIdx
+        out += ((q, cands(bestIdx)._2, step.toLong, bestScore))
+        step += 1
+      }
+      out.iterator
+    }.toDF(queryIdCol, "selected_id", "sel_rank", "mmr_score")
+  }
+
+  /** Greedy k-center (farthest-point traversal, Gonzalez 1985) over an
+    * embedding corpus: start from the smallest id, then repeatedly pick the
+    * point LEAST similar to every center chosen so far (argmin of max
+    * cosine, ties on id ascending) — the classic coreset / diverse-seed
+    * selection for active learning and dataset distillation, with the
+    * 2-approximation cover guarantee. Returns (center_id, sel_rank,
+    * max_cos) where max_cos is the selected point's similarity to the
+    * nearest prior center (1 − covering radius at that step; the first
+    * row's is −1, it has no prior center).
+    *
+    * Scale: round t is ONE full scan computing each point's max-cosine to
+    * the t−1 current centers via a single literal-array `aggregate` fold
+    * (the [[nearestCentroid]] pattern — O(1) expression depth), then a
+    * TakeOrdered(1) argmin; only the 1-row winner is collected per round.
+    * O(k) scans total, no growing lineage, no driver-side corpus. */
+  def kcenterSelect(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"kcenterSelect needs k >= 1, got $k")
+    val s = corpus.sparkSession
+    val pts = corpus.select(col(idCol).cast("long").as("__id"),
+      transform(col(vecCol), x => x.cast("float")).as("__v"))
+    val first = pts.orderBy(col("__id")).limit(1)
+      .collect().headOption.getOrElse(
+        throw new IllegalArgumentException("kcenterSelect: empty corpus"))
+    var centers = Vector[(Long, Seq[Float])](
+      (first.getLong(0), first.getSeq[Float](1)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    out += ((centers.head._1, 1L, -1.0))
+    var step = 2
+    while (step <= k) {
+      val centLit = typedlit(centers.map(_._2))
+      val maxCos = aggregate(centLit, lit(-2.0),
+        (acc, c) => greatest(acc, cosine(col("__v"), c)))
+      val winner = pts
+        .filter(!col("__id").isin(centers.map(_._1): _*))
+        .withColumn("__mc", maxCos)
+        .orderBy(col("__mc").asc, col("__id").asc)
+        .limit(1).collect().headOption
+      winner match {
+        case None => step = k + 1 // corpus exhausted
+        case Some(w) =>
+          centers = centers :+ ((w.getLong(0), w.getSeq[Float](1)))
+          out += ((w.getLong(0), step.toLong, w.getDouble(2)))
+          step += 1
+      }
+    }
+    import s.implicits._
+    out.toSeq.toDF("center_id", "sel_rank", "max_cos")
+  }
+
   private implicit class ListOps[T](l: List[T]) {
     def asJava: java.util.List[T] = {
       val out = new java.util.ArrayList[T](l.size)

@@ -1282,6 +1282,113 @@ object LlmQueries {
              |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
              |FROM scored WHERE rank <= 10""".stripMargin)),
 
+    // ------------------------------------- MMR diversity rerank (full oracle)
+    // Greedy λ·rel − (1−λ)·max-sim selection over each query's top-30
+    // candidates. λ=0.5 keeps BOTH coefficients exactly representable so
+    // the engines' score arithmetic is bit-identical; the oracle unrolls
+    // the 5 greedy steps as chained CTE stages (no recursion needed at
+    // fixed k) and replays every pick and score.
+    Q("q_mmr_rerank",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val top = VectorFunctions.bruteForceTopK(emb, queries, k = 30)
+        val cands = top
+          .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+            Seq("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id").as("cand_id"),
+            col("cosine").as("rel"), col("embedding"))
+        VectorFunctions.mmrRerank(cands, k = 5, lambda = 0.5)
+          .select(col("query_id"), col("selected_id"), col("sel_rank"),
+            round(col("mmr_score"), 4).as("score4"))
+      },
+      Some {
+        def stage(t: Int): String = {
+          val prev = (1 until t)
+            .map(i => s"SELECT query_id, cand_id FROM s$i")
+            .mkString(" UNION ALL ")
+          s"""p$t AS ($prev),
+             |st$t AS (
+             |  SELECT c.query_id, c.cand_id,
+             |    0.5*c.rel - 0.5*(SELECT MAX(list_cosine_similarity(
+             |        c.embedding::DOUBLE[], pc.embedding::DOUBLE[]))
+             |      FROM p$t JOIN cand pc ON pc.query_id = p$t.query_id
+             |        AND pc.cand_id = p$t.cand_id
+             |      WHERE p$t.query_id = c.query_id) AS score
+             |  FROM cand c
+             |  WHERE NOT EXISTS (SELECT 1 FROM p$t
+             |    WHERE p$t.query_id = c.query_id AND p$t.cand_id = c.cand_id)),
+             |s$t AS (SELECT query_id, cand_id, score FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, cand_id) rn FROM st$t) WHERE rn = 1)"""
+            .stripMargin
+        }
+        """WITH q AS (SELECT vec_id AS query_id, embedding
+          |  FROM embeddings WHERE vec_id < 3),
+          |sc AS (
+          |  SELECT q.query_id, e.vec_id AS cand_id,
+          |    list_cosine_similarity(e.embedding::DOUBLE[],
+          |      q.embedding::DOUBLE[]) AS rel,
+          |    e.embedding
+          |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+          |cand AS (
+          |  SELECT query_id, cand_id, rel, embedding FROM (
+          |    SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY query_id
+          |      ORDER BY rel DESC, cand_id ASC) rn FROM sc) WHERE rn <= 30),
+          |s1 AS (SELECT query_id, cand_id, 0.5 * rel AS score FROM (
+          |  SELECT query_id, cand_id, rel, ROW_NUMBER() OVER (
+          |    PARTITION BY query_id ORDER BY rel DESC, cand_id ASC) rn
+          |  FROM cand) WHERE rn = 1),
+          |""".stripMargin +
+          (2 to 5).map(stage).mkString(",\n") + "\n" +
+          """SELECT query_id, cand_id AS selected_id,
+            |  CAST(1 AS BIGINT) AS sel_rank, ROUND(score, 4) AS score4
+            |FROM s1
+            |""".stripMargin +
+          (2 to 5).map(t => s"UNION ALL SELECT query_id, cand_id, $t, " +
+            s"ROUND(score,4) FROM s$t").mkString("\n")
+      }),
+
+    // ------------------- greedy k-center coreset selection (full oracle)
+    // Farthest-point traversal: each round's winner is the point least
+    // similar to every chosen center (argmin of max cosine) — diverse-seed
+    // / coreset sampling with the classic 2-approx cover guarantee. One
+    // corpus scan per round via a literal-array aggregate fold; the oracle
+    // unrolls the 6 rounds as CTE stages.
+    Q("q_kcenter_select",
+      (s, dir) => VectorFunctions.kcenterSelect(
+        Tables.df(s, dir, "embeddings"), k = 6)
+        .select(col("center_id"), col("sel_rank"),
+          round(col("max_cos"), 4).as("max_cos4")),
+      Some {
+        def stage(t: Int): String = {
+          val prev = (1 until t).map(i => s"SELECT vec_id FROM c$i")
+            .mkString(" UNION ALL ")
+          s"""p$t AS ($prev),
+             |st$t AS (SELECT e.vec_id,
+             |   (SELECT MAX(list_cosine_similarity(e.embedding::DOUBLE[],
+             |        c.embedding::DOUBLE[]))
+             |    FROM embeddings c
+             |    WHERE c.vec_id IN (SELECT vec_id FROM p$t)) AS mc
+             | FROM embeddings e
+             | WHERE e.vec_id NOT IN (SELECT vec_id FROM p$t)),
+             |c$t AS (SELECT vec_id, mc FROM (
+             |  SELECT *, ROW_NUMBER() OVER (ORDER BY mc ASC, vec_id ASC) rn
+             |  FROM st$t) WHERE rn = 1)""".stripMargin
+        }
+        """WITH c1 AS (SELECT vec_id, embedding FROM embeddings
+          |  ORDER BY vec_id LIMIT 1),
+          |""".stripMargin +
+          (2 to 6).map(stage).mkString(",\n") + "\n" +
+          """SELECT (SELECT vec_id FROM c1) AS center_id,
+            |  CAST(1 AS BIGINT) AS sel_rank, -1.0 AS max_cos4
+            |""".stripMargin +
+          (2 to 6).map(t =>
+            s"UNION ALL SELECT vec_id, $t, ROUND(mc,4) FROM c$t")
+            .mkString("\n")
+      }),
+
     // ------------------------------------------ int8 scalar-quantized ANN
     // Per-dim symmetric scales, floor(+0.5) clamp encode, integer-dot ADC
     // ranking — every step IEEE-deterministic, so unlike IVF/PQ this

@@ -357,4 +357,52 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(dropped.subsetOf(paired))
     assert(dropped.nonEmpty)
   }
+
+  test("mmrRerank: breaks up a redundant block that pure relevance keeps") {
+    val s = spark
+    import s.implicits._
+    // candidates: three near-identical high-rel vectors (a clique), one
+    // slightly-lower-rel orthogonal vector. Top-2 by relevance = two
+    // clique members; MMR must pick one clique member then the outsider.
+    val cands = Seq(
+      (1L, 10L, 0.99, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, 11L, 0.98, Seq(0.999f, 0.01f, 0.0f)),
+      (1L, 12L, 0.97, Seq(0.998f, 0.02f, 0.0f)),
+      (1L, 20L, 0.80, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("query_id", "cand_id", "rel", "embedding")
+    val sel = VectorFunctions.mmrRerank(cands, k = 2, lambda = 0.5)
+      .orderBy("sel_rank").collect()
+    assert(sel.map(_.getAs[Long]("selected_id")).toSeq == Seq(10L, 20L),
+      s"expected diversity pick, got ${sel.toSeq}")
+    // λ=1 degenerates to pure relevance order
+    val rel = VectorFunctions.mmrRerank(cands, k = 3, lambda = 1.0)
+      .orderBy("sel_rank").collect().map(_.getAs[Long]("selected_id")).toSeq
+    assert(rel == Seq(10L, 11L, 12L))
+    // k caps at the candidate count; groups process independently
+    val two = cands.withColumn("query_id",
+      when(col("cand_id") >= 20, 2L).otherwise(col("query_id")))
+    val grouped = VectorFunctions.mmrRerank(two, k = 10, lambda = 0.5)
+    assert(grouped.count() == 4)
+    assert(grouped.filter(col("query_id") === 2).count() == 1)
+  }
+
+  test("kcenterSelect: deterministic farthest-point traversal, distinct centers") {
+    val res = VectorFunctions.kcenterSelect(emb, k = 6).collect()
+    assert(res.length == 6)
+    val ids = res.map(_.getAs[Long]("center_id"))
+    assert(ids.distinct.length == 6, "centers must be distinct")
+    assert(res.map(_.getAs[Long]("sel_rank")).toSeq == (1L to 6L))
+    // first center is the smallest id (the deterministic seed)
+    val minId = emb.agg(min("vec_id")).collect()(0).getLong(0)
+    assert(ids.head == minId)
+    // coverage monotonicity: each successive pick is no farther from the
+    // center set than its predecessor was (max_cos non-decreasing)
+    val mcs = res.sortBy(_.getAs[Long]("sel_rank")).map(_.getDouble(2)).drop(1)
+    assert(mcs.zip(mcs.tail).forall { case (a, b) => b >= a },
+      s"max_cos must be non-decreasing: ${mcs.toSeq}")
+    // rerun is bit-identical (no hidden randomness)
+    val res2 = VectorFunctions.kcenterSelect(emb, k = 6).collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      res2.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
 }
