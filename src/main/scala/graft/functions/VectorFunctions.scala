@@ -897,10 +897,12 @@ object VectorFunctions {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda outside [0,1]")
     val s = candidates.sparkSession
     import s.implicits._
-    val ds = candidates.select(
-      col(queryIdCol).cast("long"), col(idCol).cast("long"),
-      col(relCol).cast("double"),
-      transform(col(vecCol), x => x.cast("double")))
+    val ds = candidates
+      .filter(col(vecCol).isNotNull && col(relCol).isNotNull)
+      .select(
+        col(queryIdCol).cast("long"), col(idCol).cast("long"),
+        col(relCol).cast("double"),
+        transform(col(vecCol), x => x.cast("double")))
       .as[(Long, Long, Double, Seq[Double])]
     ds.groupByKey(_._1).flatMapGroups { (q, it) =>
       val cands = it.toArray.sortBy(_._2) // id-sorted: stable tiebreaks
@@ -931,10 +933,14 @@ object VectorFunctions {
           }
           i += 1
         }
-        chosen(bestIdx) = true
-        selected += bestIdx
-        out += ((q, cands(bestIdx)._2, step.toLong, bestScore))
-        step += 1
+        if (bestIdx < 0) { // all remaining scores NaN (degenerate vectors)
+          step = math.min(k, n) + 1
+        } else {
+          chosen(bestIdx) = true
+          selected += bestIdx
+          out += ((q, cands(bestIdx)._2, step.toLong, bestScore))
+          step += 1
+        }
       }
       out.iterator
     }.toDF(queryIdCol, "selected_id", "sel_rank", "mmr_score")
@@ -959,8 +965,10 @@ object VectorFunctions {
                     vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"kcenterSelect needs k >= 1, got $k")
     val s = corpus.sparkSession
-    val pts = corpus.select(col(idCol).cast("long").as("__id"),
-      transform(col(vecCol), x => x.cast("float")).as("__v"))
+    val pts = corpus
+      .filter(col(vecCol).isNotNull) // null vectors can't anchor coverage
+      .select(col(idCol).cast("long").as("__id"),
+        transform(col(vecCol), x => x.cast("float")).as("__v"))
     val first = pts.orderBy(col("__id")).limit(1)
       .collect().headOption.getOrElse(
         throw new IllegalArgumentException("kcenterSelect: empty corpus"))

@@ -63,8 +63,11 @@ object Sketches {
                       keys: Seq[String], valueCol: String,
                       k: Int = 256, out: String = "kmv"): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
+    // null values are ignored, matching COUNT(DISTINCT) semantics (and
+    // avoiding engine-specific null-ordering in the bottom-k prune)
     val incH = increment
       .select(keys.map(col) :+ hash60(col(valueCol)).as("__h"): _*)
+      .filter(col("__h").isNotNull)
       .distinct()
     val pool = prev match {
       case None => incH
@@ -124,6 +127,7 @@ object Sketches {
                    cnt: String = "cnt"): DataFrame = {
     val incState = increment
       .select(keys.map(col) :+ col(itemCol).cast("string").as("__it"): _*)
+      .filter(col("__it").isNotNull) // null items are ignored, like COUNT(col)
       .withColumn("__j", explode(array((0 until depth).map(lit): _*)))
       .withColumn("__idx", cmsIdx(col("__j"), col("__it"), width))
       .drop("__it")
@@ -200,6 +204,7 @@ object Sketches {
     val incRows = increment.select(
       keys.map(col) :+ hash60(col(idCol)).as("__h")
         :+ col(valueCol).cast("double").as("__v"): _*)
+      .filter(col("__h").isNotNull) // null row ids carry no sampling rank
     val pool = prev match {
       case None => incRows
       case Some(p) =>
