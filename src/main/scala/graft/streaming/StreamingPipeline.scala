@@ -241,6 +241,28 @@ object StreamingPipeline {
       (prev, batch) =>
         graft.operators.Relational.scd2Apply(prev, batch, keys, tsCol, attrCols))
 
+  /** Streaming deterministic-sketch maintenance
+    * ([[graft.operators.Sketches]]) on the same exactly-once harness.
+    * Because these folds are EXACTLY merge-invariant (unlike the
+    * error-bounded HLL/KLL folds), the streamed state is bit-identical to
+    * a one-pass batch build no matter where micro-batch boundaries fall —
+    * an assertable equality, which MultimodalStreamingSpec pins. */
+  def streamingKmvDistinct(spark: SparkSession, stagingDir: String,
+                           statePath: String, checkpointDir: String,
+                           keys: Seq[String], valueCol: String,
+                           k: Int = 256): DataFrame =
+    streamingFold(spark, stagingDir, statePath, checkpointDir)(
+      (prev, batch) =>
+        graft.operators.Sketches.foldKmvDistinct(prev, batch, keys, valueCol, k))
+
+  /** Streaming count-min maintenance — see [[streamingKmvDistinct]]. */
+  def streamingCountMin(spark: SparkSession, stagingDir: String,
+                        statePath: String, checkpointDir: String,
+                        keys: Seq[String], itemCol: String): DataFrame =
+    streamingFold(spark, stagingDir, statePath, checkpointDir)(
+      (prev, batch) =>
+        graft.operators.Sketches.foldCountMin(prev, batch, keys, itemCol))
+
   private def streamingFold(spark: SparkSession, stagingDir: String,
                             statePath: String, checkpointDir: String)(
       fold: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {

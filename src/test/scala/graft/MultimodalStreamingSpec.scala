@@ -403,6 +403,38 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(asMap(s3) == asMap(s2))
   }
 
+  test("streaming sketch maintenance: micro-batched state BIT-IDENTICAL to batch") {
+    val s = spark; import s.implicits._
+    import graft.operators.Sketches
+    val dir = tmpDir("sksfold")
+    def rows(lo: Long, hi: Long) = (lo to hi).map(i =>
+      (i, s"g${i % 2}", i)).toDF("id", "grp", "item") // unbounded item domain
+    rows(1, 200).write.parquet(s"$dir/staged")
+    def kmvMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val m1 = kmvMap(StreamingPipeline.streamingKmvDistinct(
+      spark, s"$dir/staged", s"$dir/kmv", s"$dir/ckpt_kmv", Seq("grp"),
+      "item", k = 16))
+    rows(201, 350).write.mode("append").parquet(s"$dir/staged")
+    val m2 = kmvMap(StreamingPipeline.streamingKmvDistinct(
+      spark, s"$dir/staged", s"$dir/kmv", s"$dir/ckpt_kmv", Seq("grp"),
+      "item", k = 16))
+    // the defining property of the DETERMINISTIC sketch family: streamed
+    // micro-batches == one-pass batch build, bit for bit
+    val direct = Sketches.foldKmvDistinct(None,
+      spark.read.parquet(s"$dir/staged"), Seq("grp"), "item", k = 16)
+    assert(m2 == kmvMap(direct))
+    assert(m1 != m2, "second drain must have folded")
+    val cms = StreamingPipeline.streamingCountMin(
+      spark, s"$dir/staged", s"$dir/cms", s"$dir/ckpt_cms", Seq("grp"), "item")
+    val cmsDirect = Sketches.foldCountMin(None,
+      spark.read.parquet(s"$dir/staged"), Seq("grp"), "item")
+    def cmsMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(cmsMap(cms) == cmsMap(cmsDirect))
+  }
+
   test("single-file staging refuses a stale non-symlink squatting on the link path") {
     // a stale REGULAR file at the link path means the source would stream
     // whatever it holds instead of the caller's input — must fail loudly,
