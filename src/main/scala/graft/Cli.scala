@@ -350,8 +350,7 @@ object Cli {
             case _ => raw
           }
         }
-        val deleted = loader.deleteKeys(spark, id, keysDf,
-          buckets = spec.mergeBuckets.getOrElse(64))
+        val deleted = loader.deleteKeys(spark, id, keysDf)
         // right-to-be-forgotten must reach DERIVED near-dup state too: the
         // forgotten doc's label row and its CONTENT-DERIVED band hashes are
         // scrubbed from each neardup_labels side-table, preserving the fold
@@ -372,8 +371,10 @@ object Cli {
                 val s2 = spark; import s2.implicits._
                 val doomed = values.toDF(keyName)
                   .select(col(keyName).cast(cur.schema(keyName).dataType))
-                graft.util.AtomicDir.replace(spark, path,
-                  cur.join(doomed, Seq(keyName), "left_anti"), "snappy",
+                // through the loader, not AtomicDir directly: the rewrite
+                // must keep the pipeline's configured sink compression
+                loader.replaceDerivedAt(spark, path,
+                  cur.join(doomed, Seq(keyName), "left_anti"),
                   if (keepState) state else None)
                 ()
               }
@@ -448,16 +449,24 @@ object Cli {
         val date = opts.getOrElse("date",
           java.time.LocalDate.now()
             .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE))
-        val dir = new java.io.File(s"${r.markersRoot(p)}/$date")
-        val files = Option(dir.listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+        // list through the Hadoop FS API, matching how the markers are
+        // WRITTEN — java.io.File would silently report "no markers" for any
+        // non-local warehouse root (s3a/hdfs) while SUCCESS markers exist
+        val dirPath = new org.apache.hadoop.fs.Path(s"${r.markersRoot(p)}/$date")
+        val mfs = dirPath.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        val files =
+          (if (mfs.exists(dirPath)) mfs.listStatus(dirPath).toSeq else Nil)
+            .filter(_.getPath.getName.endsWith(".json"))
+            .sortBy(_.getPath.getName)
         if (files.isEmpty) { println(s"no markers for $date"); 1 }
         else {
           files.foreach { f =>
-            val status = if (f.getName.contains("_SUCCESS")) "OK  " else "FAIL"
-            println(s"  $status ${f.getName}  (${f.length()} B)")
+            val status =
+              if (f.getPath.getName.contains("_SUCCESS")) "OK  " else "FAIL"
+            println(s"  $status ${f.getPath.getName}  (${f.getLen} B)")
           }
-          if (files.exists(_.getName.contains("_FAILED"))) 1 else 0
+          if (files.exists(_.getPath.getName.contains("_FAILED"))) 1 else 0
         }
 
       case "config" =>

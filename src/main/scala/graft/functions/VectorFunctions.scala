@@ -919,11 +919,16 @@ object VectorFunctions {
         while (i < n) {
           if (!chosen(i)) {
             val c = cands(i)
+            // NaN sims (zero-norm vectors) are SKIPPED, not latched: one
+            // degenerate selected vector must not poison every later
+            // score (maxSim stays at the 0.0 neutral element instead)
             var maxSim = 0.0
             var first = true
             selected.foreach { j =>
               val sim = cosineLocal(c._4, cands(j)._4)
-              if (first || sim > maxSim) { maxSim = sim; first = false }
+              if (!sim.isNaN && (first || sim > maxSim)) {
+                maxSim = sim; first = false
+              }
             }
             val score =
               if (selected.isEmpty) lambda * c._3

@@ -99,6 +99,13 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       val doTruncate = truncate || config.requiresTruncateBeforeLoad
 
       if (fresh.isEmpty && !doTruncate) {
+        // a PURE replay (everything staged is already blacklisted) still
+        // passes the tombstone gate: the pre-crash session may have
+        // installed tombstoned rows and died before its own gate ran
+        if (all.nonEmpty) {
+          val fs0 = new org.apache.hadoop.fs.Path(target).getFileSystem(conf)
+          tombstoneGate(spark, id, all, fs0)
+        }
         return LoadResult(id, 0, 0, all.size.toLong, target)
       }
 
@@ -206,31 +213,14 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
           fs.delete(committed, true)
         }
       }
-      // Tombstone gate: a CDC re-sync can legally re-deliver rows that were
-      // taken down (deleteKeys) — re-suppress when, and only when, THIS
-      // session's increment actually contains tombstoned keys. The gate
-      // costs one increment-sized semi-join; the rewrite runs only on a hit
-      // (and prunes to affected buckets on bucketed layouts).
-      if (loadedRows > 0) {
-        val tombP = new org.apache.hadoop.fs.Path(tombstonePath(id))
-        if (fs.exists(tombP)) {
-          val tombRaw = spark.read.parquet(tombstonePath(id))
-          val incRaw = spark.read.parquet(valid: _*)
-          // the increment must be compared in the TARGET's column namespace
-          val inc = if (normalizeColumns) {
-            val (_, mapping) = TypeMapper.normalizeColumnNames(incRaw.columns.toSeq)
-            ColumnMapStore.apply(incRaw, mapping)
-          } else incRaw
-          // ... and in the increment's TYPES: tombstones persisted before the
-          // table first loaded carry CLI strings, which an implicit-cast
-          // semi-join can fail to match against native numeric/temporal keys
-          val tomb = castKeysLike(tombRaw, inc.schema)
-          if (tomb.columns.forall(inc.columns.contains) &&
-              !inc.join(tomb, tomb.columns.toSeq, "left_semi").isEmpty)
-            deleteKeysLocked(spark, id, tomb, persistTombstones = false,
-              buckets = mergeBuckets.getOrElse(64))
-        }
-      }
+      // Tombstone gate — see [[tombstoneGate]]. Guarded by `valid.nonEmpty`
+      // (this session staged loadable rows), NOT by loadedRows: on a crash
+      // replay every sub-batch is already blacklisted (loadedRows == 0) but
+      // the pre-crash session may have installed tombstoned rows the crash
+      // kept the gate from scrubbing — the replay must still re-suppress
+      // (idempotent rewrite; the fresh-empty early return above runs the
+      // same gate for pure replays).
+      if (valid.nonEmpty) tombstoneGate(spark, id, valid, fs)
       val secs = (System.nanoTime() - t0) / 1e9
       // record the quarantine AFTER the sub-batch commits so the note isn't
       // overwritten by their success saves: status stays success (the valid
@@ -391,8 +381,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
             staged.schema)
           if (tomb.columns.forall(staged.columns.contains) &&
               !staged.join(tomb, tomb.columns.toSeq, "left_semi").isEmpty)
-            deleteKeysLocked(spark, id, tomb, persistTombstones = false,
-              buckets = bucketsEff.getOrElse(64))
+            deleteKeysLocked(spark, id, tomb, persistTombstones = false)
         }
       }
       val rows = ParquetFooters.totalRows(fresh, conf)
@@ -460,6 +449,35 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
                           oldPath: org.apache.hadoop.fs.Path): Unit =
     graft.util.AtomicDir.installSwap(fs, tgt, newPath, oldPath)
 
+  /** Re-suppression gate: a CDC re-sync can legally re-deliver rows that
+    * were taken down ([[deleteKeys]]) — when the staged increment contains
+    * tombstoned keys, re-run the (idempotent) deletion. Costs one
+    * increment-sized semi-join; the rewrite runs only on a hit (and prunes
+    * to affected buckets on bucketed layouts). */
+  private def tombstoneGate(spark: SparkSession, id: TableId,
+                            incrementFiles: Seq[String],
+                            fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val tombP = new org.apache.hadoop.fs.Path(tombstonePath(id))
+    if (fs.exists(tombP)) {
+      val tombRaw = spark.read.parquet(tombstonePath(id))
+      val incRaw = spark.read.parquet(incrementFiles: _*)
+      // the increment must be compared in the TARGET's column namespace
+      val inc = if (normalizeColumns) {
+        val (_, mapping) = TypeMapper.normalizeColumnNames(incRaw.columns.toSeq)
+        ColumnMapStore.apply(incRaw, mapping)
+      } else incRaw
+      // ... and in the increment's TYPES: tombstones persisted before the
+      // table first loaded carry CLI strings, which an implicit-cast
+      // semi-join can fail to match against native numeric/temporal keys
+      val tomb = castKeysLike(tombRaw, inc.schema)
+      if (tomb.columns.forall(inc.columns.contains) &&
+          !inc.join(tomb, tomb.columns.toSeq, "left_semi").isEmpty) {
+        deleteKeysLocked(spark, id, tomb, persistTombstones = false)
+        ()
+      }
+    }
+  }
+
   /** Atomically REPLACE a derived warehouse table with `df` — the sink for
     * post-load operators (YAML `post_ops`). Same write-new + double-rename
     * discipline as [[mergeInto]]: for scd2/fold state the derived copy is
@@ -469,8 +487,16 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     * [[graft.util.AtomicDir.replace]]). */
   def replaceDerived(spark: SparkSession, id: TableId, df: DataFrame,
                      stateJson: Option[String] = None): Long =
-    graft.util.AtomicDir.replace(spark, targetPath(id), df, compression,
-      stateJson)
+    replaceDerivedAt(spark, targetPath(id), df, stateJson)
+
+  /** Path-addressed form of [[replaceDerived]] for HIDDEN side-tables that
+    * live next to a derived target (band indexes, tombstones) — same swap
+    * discipline AND the loader's configured sink compression, so one-off
+    * maintenance rewrites (CLI `forget`) don't silently drift a
+    * zstd-configured table back to snappy. */
+  def replaceDerivedAt(spark: SparkSession, path: String, df: DataFrame,
+                       stateJson: Option[String] = None): Long =
+    graft.util.AtomicDir.replace(spark, path, df, compression, stateJson)
 
   /** The committed post-op state of a derived table (see [[replaceDerived]]). */
   def readDerivedState(spark: SparkSession, id: TableId): Option[String] =
@@ -800,8 +826,9 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     * swaps as merge/compact. Bucketed-merge targets rewrite ONLY the buckets
     * the keys hash to when the persisted layout marker confirms the deletion
     * keys ARE the layout keys; otherwise (no marker, or foreign key columns)
-    * every bucket is rewritten — unpruned but correct. `buckets` is a legacy
-    * fallback the marker supersedes. Flat targets pay one full rewrite. The
+    * every bucket is rewritten — unpruned but correct (the persisted marker
+    * ALONE governs pruning — no caller-supplied bucket count is trusted,
+    * or even accepted). Flat targets pay one full rewrite. The
     * watermark's cumulative row counter is decremented so the count-parity
     * gate tracks the post-deletion truth. Keys are cast to the target's
     * column types before comparison and persistence.
@@ -813,15 +840,14 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     * is an application-level write and wins; syncs re-suppress.)
     * Returns the number of rows deleted from the current table. */
   def deleteKeys(spark: SparkSession, id: TableId, keys: DataFrame,
-                 persistTombstones: Boolean = true,
-                 buckets: Int = 64): Long =
+                 persistTombstones: Boolean = true): Long =
     store.withTableLock(id.scoped) {
-      deleteKeysLocked(spark, id, keys, persistTombstones, buckets)
+      deleteKeysLocked(spark, id, keys, persistTombstones)
     }
 
   private def deleteKeysLocked(spark: SparkSession, id: TableId,
-                               keys0: DataFrame, persistTombstones: Boolean,
-                               buckets: Int): Long = {
+                               keys0: DataFrame,
+                               persistTombstones: Boolean): Long = {
     val keyCols = keys0.columns.toSeq
     require(keyCols.nonEmpty, "deleteKeys: keys frame has no columns")
     val target = targetPath(id)
@@ -927,15 +953,14 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
   /** Re-apply the persisted tombstones (if any) to the current table —
     * the idempotent form [[load]] uses after an increment re-delivered
     * deleted keys. Returns rows deleted. */
-  def applyTombstones(spark: SparkSession, id: TableId,
-                      buckets: Int = 64): Long = {
+  def applyTombstones(spark: SparkSession, id: TableId): Long = {
     val tp = tombstonePath(id)
     val fs = new org.apache.hadoop.fs.Path(tp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(tp))) 0L
     else store.withTableLock(id.scoped) {
       deleteKeysLocked(spark, id, spark.read.parquet(tp),
-        persistTombstones = false, buckets)
+        persistTombstones = false)
     }
   }
 

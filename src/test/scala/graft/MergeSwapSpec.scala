@@ -146,6 +146,40 @@ class MergeSwapSpec extends AnyFunSuite with SparkTestBase {
     assert(loader.readTarget(spark, id).get.count() == n2)
   }
 
+  test("tombstone gate fires on a crash REPLAY (all sub-batches blacklisted)") {
+    // crash window: the pre-crash session installed its sub-batches and
+    // committed their blacklists, then died BEFORE the gate's rewrite — on
+    // replay loadedRows is 0, yet the resurrected rows sit in the target.
+    // Emulate by hiding the tombstone sidecar during the install (gate
+    // sees none), then restoring it for the replay.
+    val root = tmpDir("replaygate")
+    val store = new WatermarkStore(s"$root/wm")
+    val extractor = new Extractor(store, s"$root/staging")
+    val loader = new Loader(store, s"$root/warehouse")
+    val s = spark; import s.implicits._
+    extractor.extract(spark, id, orders.filter(col("o_orderkey") <= 500), cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    // forget key 700 before it ever arrives: tombstone only, nothing deleted
+    assert(loader.deleteKeys(spark, id, Seq(700L).toDF("o_orderkey")) == 0L)
+    val tombP = new org.apache.hadoop.fs.Path(loader.targetPath(id) + ".__tombstones")
+    val hidden = new org.apache.hadoop.fs.Path(loader.targetPath(id) + ".__tomb_hidden")
+    val fs = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(tombP, hidden)) // gate disarmed: simulates the crash
+    extractor.extract(spark, id, orders.filter(col("o_orderkey") <= 800), cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    assert(loader.readTarget(spark, id).get
+      .filter(col("o_orderkey") === 700).count() == 1,
+      "setup: resurrected row must be installed while the gate is disarmed")
+    assert(fs.rename(hidden, tombP)) // crash is over; tombstone visible again
+    // the REPLAY: nothing fresh to load (all blacklisted), but the gate
+    // must still re-suppress the tombstoned key
+    val replay = loader.load(spark, id, extractor.stagingDir(id), cfg)
+    assert(replay.loadedRows == 0L, "setup: replay must load nothing")
+    assert(loader.readTarget(spark, id).get
+      .filter(col("o_orderkey") === 700).isEmpty,
+      "crash replay left a tombstoned row resurrected")
+  }
+
   test("deleteKeys on a bucketed target rewrites only the keys' buckets") {
     val root = tmpDir("bforget")
     val store = new WatermarkStore(s"$root/wm")
@@ -162,8 +196,7 @@ class MergeSwapSpec extends AnyFunSuite with SparkTestBase {
         }.toMap
     val before = bucketFiles()
     val s = spark; import s.implicits._
-    val deleted = loader.deleteKeys(spark, id, Seq(500L).toDF("o_orderkey"),
-      buckets = nBuckets)
+    val deleted = loader.deleteKeys(spark, id, Seq(500L).toDF("o_orderkey"))
     assert(deleted == 1L)
     val expectedBucket = spark.range(1)
       .select(pmod(hash(lit(500L)), lit(nBuckets))).head().getInt(0)
@@ -223,11 +256,10 @@ class MergeSwapSpec extends AnyFunSuite with SparkTestBase {
         }.toMap
     val before = bucketFiles()
     val s = spark; import s.implicits._
-    // caller passes a WRONG bucket count (the pre-marker bug: pmod(hash,64)
-    // would pick a bucket the data isn't in, deleting nothing while
-    // reporting success) — the marker must govern
-    val deleted = loader.deleteKeys(spark, id, Seq(500L).toDF("o_orderkey"),
-      buckets = 64)
+    // no caller bucket count exists to get wrong anymore (the pre-marker
+    // bug: pmod(hash,64) would pick a bucket the data isn't in, deleting
+    // nothing while reporting success) — the persisted marker governs
+    val deleted = loader.deleteKeys(spark, id, Seq(500L).toDF("o_orderkey"))
     assert(deleted == 1L, "deletion missed under a mismatched caller bucket count")
     val expectedBucket = spark.range(1)
       .select(pmod(hash(lit(500L)), lit(nBuckets))).head().getInt(0)
@@ -254,8 +286,7 @@ class MergeSwapSpec extends AnyFunSuite with SparkTestBase {
     val expectGone = orders.filter(col("o_orderkey") <= 1000)
       .filter(col("o_custkey") === victim).count()
     assert(expectGone >= 1)
-    val deleted = loader.deleteKeys(spark, id, Seq(victim).toDF("o_custkey"),
-      buckets = 8)
+    val deleted = loader.deleteKeys(spark, id, Seq(victim).toDF("o_custkey"))
     assert(deleted == expectGone,
       "non-layout-key deletion missed rows (wrongly-hashed bucket pruning)")
     val tgt = loader.readTarget(spark, id).get
