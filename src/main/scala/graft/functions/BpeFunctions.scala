@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING and ENCODING (Sennrich 2016) —
+  * the real-merge upgrade over [[TextFunctions]]' regex token counting.
+  *
+  * Distributed shape: the corpus is scanned ONCE (word counts); all
+  * training state is VOCABULARY-scale (distinct words × their current
+  * symbol encoding), the classic word-level BPE reduction. Each merge
+  * round costs one vocab-scale pair-count aggregate plus a 1-row argmax
+  * collect, and re-encodes the vocab in a typed map — the corpus is never
+  * rescanned. Encoding joins document words against the vocab's final
+  * encoding, so exchanges carry words, never document text.
+  *
+  * Determinism contract (what buys the full cross-engine oracle in
+  * `q_bpe_train` / `q_bpe_encode`): words are the repo-standard
+  * `[a-z0-9]+` tokens, so a SPACE can delimit symbols unambiguously; a
+  * word's encoding is `" s1 s2 … "` with boundary spaces; applying a merge
+  * (l, r) = replacing `" l r "` with `" lr "` TO FIXPOINT (repeat while
+  * present — each replace() pass is the same leftmost non-overlapping scan
+  * in the JVM and in DuckDB, and each hit strictly shrinks the string, so
+  * the fixpoint is engine-identical); the chosen merge each round is the
+  * max pair count with ties broken (left ASC, right ASC).
+  */
+object BpeFunctions {
+
+  /** One learned merge rule, in application order. */
+  final case class Merge(step: Int, left: String, right: String,
+                         pairCount: Long) {
+    def merged: String = left + right
+  }
+
+  /** Initial character-level encoding of a word. */
+  def initEncoding(word: String): String =
+    " " + word.map(_.toString).mkString(" ") + " "
+
+  /** Apply one merge to an encoding, to fixpoint. */
+  def applyMerge(enc: String, left: String, right: String): String = {
+    val pat = s" $left $right "
+    val rep = s" $left$right "
+    var x = enc
+    while (x.contains(pat)) x = x.replace(pat, rep)
+    x
+  }
+
+  /** Encode one word through an ordered merge list. */
+  def encodeWord(word: String, merges: Seq[(String, String)]): String =
+    merges.foldLeft(initEncoding(word)) { case (e, (l, r)) =>
+      applyMerge(e, l, r)
+    }
+
+  /** Symbol list of an encoding. */
+  def symbols(enc: String): Seq[String] =
+    enc.split(" ").toSeq.filter(_.nonEmpty)
+
+  /** Adjacent symbol pairs (with multiplicity) of the `enc` column —
+    * shared by training and the PlanSpec guard. */
+  private def pairCol(enc: org.apache.spark.sql.Column) = {
+    val syms = filter(split(enc, " "), s => length(s) > 0)
+    val n = greatest(size(syms) - 1, lit(0))
+    explode(arrays_zip(
+      slice(syms, lit(1), n).as("l"), slice(syms, lit(2), n).as("r")))
+  }
+
+  /** Train `numMerges` BPE merges over the corpus' word vocabulary.
+    * Returns the merges in application order; stops early if the
+    * vocabulary runs out of adjacent pairs. */
+  def trainBpe(docs: DataFrame, textCol: String,
+               numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, s"trainBpe needs numMerges >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[(String, Long, String)] = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w, f, initEncoding(w)) }
+      .persist()
+    vocab.count() // materialize before the round loop
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val top = vocab.toDF("w", "freq", "enc")
+        .select(col("freq"), pairCol(col("enc")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect().headOption
+      top match {
+        case None => exhausted = true
+        case Some(row) =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          out += Merge(step, l, r, c)
+          val prev = vocab
+          vocab = prev.map { case (w, f, e) => (w, f, applyMerge(e, l, r)) }
+            .persist()
+          vocab.count() // materialize the round before dropping its input
+          prev.unpersist()
+          step += 1
+      }
+    }
+    vocab.unpersist()
+    out.toSeq
+  }
+
+  /** Learned merges as a DataFrame (the `q_bpe_train` surface). */
+  def mergesDf(spark: org.apache.spark.sql.SparkSession,
+               merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.step.toLong, m.left, m.right, m.merged, m.pairCount))
+      .toDF("step", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** Per-document BPE token counts under an ordered merge list:
+    * (idCol, n_words, n_bpe_tokens). The distinct-word set is encoded once
+    * (vocab-scale typed map), then joined back to the per-doc words. */
+  def encodeBpe(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dw = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val vocabEnc = dw.select("w").distinct().as[String]
+      .map(w => (w, symbols(encodeWord(w, merges)).length.toLong))
+      .toDF("w", "n_syms")
+    dw.join(vocabEnc, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
+import graft.functions.{BpeFunctions, DedupFunctions, TextFunctions, VectorFunctions}
 
 /** Driver-contract queries for the LLM-training-data operators (dedup,
   * similarity search, text analysis) over the `documents` / `embeddings`
@@ -10,6 +10,49 @@ import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
   * rows-only driver checks plus ScalaTest invariants.
   */
 object LlmQueries {
+
+  /** DuckDB replay of [[graft.functions.BpeFunctions.trainBpe]]: character
+    * vocab `v0`, then per merge round t — pair counts `pc{t}` (cross-join
+    * position series, vocab-scale), argmax `m{t}` (count DESC, l, r),
+    * recursive fixpoint re-encode `r{t}` (every replace pass strictly
+    * shrinks the encoding, so min-length per word IS the fixpoint `v{t}`).
+    * MATERIALIZED on each non-recursive stage — without it every stage
+    * re-opens the parquet scan. */
+  private def bpeOraclePrefix(k: Int): String = {
+    def stage(t: Int): String =
+      s"""pc$t AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS c
+         |  FROM (SELECT freq, list_filter(string_split(enc, ' '),
+         |          s -> len(s) > 0) AS syms FROM v${t - 1}),
+         |       (SELECT unnest(generate_series(1, 60)) AS i)
+         |  WHERE i <= len(syms) - 1
+         |  GROUP BY 1, 2),
+         |m$t AS MATERIALIZED (SELECT l, r, l || r AS lr, c FROM pc$t
+         |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |r$t(w, freq, enc) AS (
+         |  SELECT w, freq, enc FROM v${t - 1}
+         |  UNION
+         |  SELECT w, freq, replace(enc,
+         |      (SELECT ' '||l||' '||r||' ' FROM m$t),
+         |      (SELECT ' '||lr||' ' FROM m$t))
+         |  FROM r$t
+         |  WHERE enc != replace(enc,
+         |      (SELECT ' '||l||' '||r||' ' FROM m$t),
+         |      (SELECT ' '||lr||' ' FROM m$t))),
+         |v$t AS MATERIALIZED (
+         |  SELECT w, freq, enc FROM (
+         |    SELECT w, freq, enc, ROW_NUMBER() OVER (
+         |      PARTITION BY w ORDER BY len(enc) ASC) AS rn FROM r$t)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH RECURSIVE v0 AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS freq,
+       |    ' ' || array_to_string(list_transform(generate_series(1, len(w)),
+       |        i -> w[i]), ' ') || ' ' AS enc
+       |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+       |          '[^a-z0-9]+'), x -> len(x) > 0)) AS w FROM documents)
+       |  GROUP BY w),
+       |""".stripMargin + (1 to k).map(stage).mkString(",\n")
+  }
 
   /** DuckDB equivalent of [[TextFunctions.normalizedText]]. */
   private val normSql =
@@ -76,6 +119,40 @@ object LlmQueries {
              |      '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
              |    AS bpe_tokens
              |FROM documents""".stripMargin)),
+
+    // ----------------------------- REAL BPE training + encoding (full
+    // oracle). Word-level BPE: the training state is vocabulary-scale, and
+    // every step is a pure function of the corpus — pair argmax with
+    // (count DESC, left, right) tiebreak, then ` l r ` → ` lr ` string
+    // replace TO FIXPOINT (replace() is the same leftmost non-overlapping
+    // scan in the JVM and DuckDB, and every hit shrinks the string, so the
+    // fixpoint is engine-identical). The oracle unrolls the 8 merge rounds
+    // as chained CTE stages, each with a recursive fixpoint re-encode —
+    // merges INCLUDING second-order ones (a merged symbol joining a later
+    // pair) replay exactly.
+    Q("q_bpe_train",
+      (s, dir) => BpeFunctions.mergesDf(s, BpeFunctions.trainBpe(
+        Tables.df(s, dir, "documents"), "text", numMerges = 8)),
+      Some(bpeOraclePrefix(8) + "\n" +
+        (1 to 8).map(t =>
+          s"SELECT CAST($t AS BIGINT) AS step, l AS left_sym, " +
+            s"r AS right_sym, lr AS merged, CAST(c AS BIGINT) AS pair_count " +
+            s"FROM m$t").mkString("\nUNION ALL "))),
+
+    Q("q_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val merges = BpeFunctions.trainBpe(docs, "text", numMerges = 8)
+        BpeFunctions.encodeBpe(docs, "doc_id", "text",
+          merges.map(m => (m.left, m.right)))
+      },
+      Some(bpeOraclePrefix(8) + s""",
+           |dw AS (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+           |SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |  CAST(SUM(len(list_filter(string_split(v.enc, ' '),
+           |      s -> len(s) > 0))) AS BIGINT) AS n_bpe_tokens
+           |FROM dw JOIN v8 v ON v.w = dw.w
+           |GROUP BY dw.doc_id""".stripMargin)),
 
     // --------------------------------------------- deterministic split
     // Same md5-prefix rule on both engines → identical assignment; 0.8 of
