@@ -746,4 +746,96 @@ object CorpusFunctions {
         col("__rrf_dec").cast("double").as("rrf_score"),
         col("n_rankers"), col("rank"))
   }
+
+  // --------------------------------------------------------------------------
+  // Incremental BM25 inverted-index maintenance
+  // --------------------------------------------------------------------------
+
+  /** Fold an increment of NEW documents into a persisted BM25 inverted
+    * index — the CDC answer to "keep keyword retrieval fresh per sync"
+    * next to the incremental ANN indexes (band index, IVF cells). State is
+    * ONE discriminated relation:
+    *
+    *   kind='p' → postings row (term, doc id, term frequency)
+    *   kind='d' → doc-length row (doc id, token count; term = "")
+    *
+    * Because increments are NEW doc ids (the same append-only contract the
+    * band index and `neardup_labels` rely on; a re-delivered id would
+    * double its rows — the post_ops fold cursor guarantees exactly-once),
+    * the fold is a pure APPEND of increment-derived rows: no history
+    * rescan, no state rewrite beyond the atomic swap, and the state after
+    * any chunking equals a one-pass build exactly — so scoring from the
+    * fold carries the batch oracle verbatim. df/N/avgdl are NOT stored:
+    * df derives from the query-term-pruned postings at read time, N and
+    * avgdl from one aggregate over the doc-cardinality 'd' rows — stats
+    * that must see the WHOLE corpus are exactly the ones cheap enough to
+    * derive, and storing them would make the fold non-append.
+    */
+  def foldBm25Index(prev: Option[DataFrame], increment: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val tok = increment.select(col(idCol).cast("long").as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val postings = tok.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("v"))
+      .select(lit("p").as("kind"), col("term"), col("id"), col("v"))
+    val doclens = tok.groupBy(col("id")).agg(count(lit(1)).as("v"))
+      .select(lit("d").as("kind"), lit("").as("term"), col("id"), col("v"))
+    val inc = postings.unionByName(doclens)
+    prev.fold(inc)(_ unionByName inc)
+  }
+
+  /** Score queries from a [[foldBm25Index]] state — identical formula,
+    * rounding and tie-breaks to [[bm25TopK]], so the result over a folded
+    * index equals the batch computation over the underlying corpus
+    * bit-for-bit (CorpusSpec pins it; `q_bm25_incremental` carries the
+    * batch oracle). Returns (query_id, id, score, n_terms_hit, rank).
+    *
+    * Scale: the postings side is pruned to query terms BEFORE any
+    * aggregation (broadcast semi-join), doc lengths join at candidate
+    * scale, and the N/avgdl aggregate touches only the 'd' rows. */
+  def bm25FromIndex(state: DataFrame, queries: Seq[(Long, String)], k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    val qTerms = queries
+      .flatMap { case (qid, qtext) =>
+        qtext.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+          .map(t => (qid, t))
+      }.toDF("query_id", "term")
+    val dl = state.filter(col("kind") === "d")
+      .select(col("id"), col("v").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = state.filter(col("kind") === "p")
+      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"))
+      .select(col("term"), col("id"), col("v").as("tf"))
+    val byTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(byTerm).cast("double"))
+      .join(broadcast(qTerms), Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        round(col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("contrib")).as("score_dec"),
+        count(lit(1)).as("n_terms_hit"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_dec").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"),
+        col("score_dec").cast("double").as("score"),
+        col("n_terms_hit"), col("rank"))
+  }
 }

@@ -531,9 +531,12 @@ object PipelineConfig {
         need(spec.idColumn.isDefined && spec.valueColumn.isDefined,
           "'id_column' (row-unique) and 'value_column'")
         spec.k.foreach(k => if (k < 1) bad(s"k $k < 1"))
+      case "fold_bm25" =>
+        need(spec.idColumn.isDefined && spec.valueColumn.isDefined,
+          "'id_column' and 'value_column' (the text column)")
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
         " | scd2_apply | fold_aggregate | zorder | neardup_labels" +
-        " | fold_kmv_distinct | fold_count_min | fold_sample)")
+        " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25)")
     }
     spec
   }

@@ -73,6 +73,13 @@ object PostOps {
           (prev, inc) => graft.operators.Sketches.foldSampleState(
             prev, inc, po.keys, po.idColumn.get, po.valueColumn.get,
             po.k.getOrElse(256)))
+      case "fold_bm25" =>
+        // persisted BM25 inverted index (postings + doc lengths), appended
+        // per sync — read back with CorpusFunctions.bm25FromIndex. Same
+        // new-docs-only contract as neardup_labels' band index.
+        foldIncremental(spark, id, derivedId, extractor, loader)(
+          (prev, inc) => graft.functions.CorpusFunctions.foldBm25Index(
+            prev, inc, po.idColumn.get, po.valueColumn.get))
       case "zorder" =>
         // in-place layout rewrite of the BASE table (crash-safe swap, row
         // parity verified) — idempotent, so a replayed sync just re-sorts

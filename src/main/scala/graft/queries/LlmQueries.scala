@@ -54,6 +54,50 @@ object LlmQueries {
        |""".stripMargin + (1 to k).map(stage).mkString(",\n")
   }
 
+  /** Probe queries shared by the BM25 / hybrid-retrieval queries. */
+  private val bm25Probes: Seq[(Long, String)] = Seq(
+    (0L, "spark join merge"), (1L, "vector scan filter"),
+    (2L, "window agg stream"))
+
+  /** Batch Okapi BM25 oracle over [[bm25Probes]] — shared verbatim by
+    * `q_bm25_topk` AND `q_bm25_incremental`: the folded inverted index must
+    * score exactly like rescoring the whole corpus. */
+  private lazy val bm25OracleSql: String =
+    s"""WITH q(query_id, qtext) AS (VALUES
+       |    (0, 'spark join merge'), (1, 'vector scan filter'),
+       |    (2, 'window agg stream')),
+       |qt AS (SELECT query_id, unnest(list_distinct(
+       |    list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'),
+       |                t -> len(t) > 0))) AS term FROM q),
+       |tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       |       FROM tok GROUP BY doc_id),
+       |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) /
+       |    (SELECT COUNT(*) FROM documents) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+       |       GROUP BY doc_id, term),
+       |sc AS (SELECT doc_id, term, tf,
+       |         CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+       |       FROM tf),
+       |con AS (SELECT qt.query_id, sc.doc_id,
+       |    CAST(round(
+       |      ln(1.0 + ((SELECT COUNT(*) FROM documents) - df + 0.5)
+       |               / (df + 0.5))
+       |      * (tf * (1.2 + 1.0))
+       |      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+       |      6) AS DECIMAL(18,6)) AS contrib
+       |  FROM sc JOIN qt USING (term) JOIN dl USING (doc_id), stats),
+       |agg AS (SELECT query_id, doc_id, SUM(contrib) AS score_dec,
+       |         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+       |       FROM con GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY score_dec DESC, doc_id) AS rank FROM agg)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  CAST(score_dec AS DOUBLE) AS score, n_terms_hit,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 10""".stripMargin
+
   /** DuckDB equivalent of [[TextFunctions.normalizedText]]. */
   private val normSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
@@ -899,43 +943,30 @@ object LlmQueries {
     Q("q_bm25_topk",
       (s, dir) => graft.functions.CorpusFunctions.bm25TopK(
         Tables.df(s, dir, "documents"), "doc_id", "text",
-        queries = Seq((0L, "spark join merge"), (1L, "vector scan filter"),
-          (2L, "window agg stream")),
-        k = 10),
-      Some(s"""WITH q(query_id, qtext) AS (VALUES
-             |    (0, 'spark join merge'), (1, 'vector scan filter'),
-             |    (2, 'window agg stream')),
-             |qt AS (SELECT query_id, unnest(list_distinct(
-             |    list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'),
-             |                t -> len(t) > 0))) AS term FROM q),
-             |tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
-             |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-             |       FROM tok GROUP BY doc_id),
-             |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) /
-             |    (SELECT COUNT(*) FROM documents) AS avgdl FROM dl),
-             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-             |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
-             |       GROUP BY doc_id, term),
-             |sc AS (SELECT doc_id, term, tf,
-             |         CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE) AS df
-             |       FROM tf),
-             |con AS (SELECT qt.query_id, sc.doc_id,
-             |    CAST(round(
-             |      ln(1.0 + ((SELECT COUNT(*) FROM documents) - df + 0.5)
-             |               / (df + 0.5))
-             |      * (tf * (1.2 + 1.0))
-             |      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
-             |      6) AS DECIMAL(18,6)) AS contrib
-             |  FROM sc JOIN qt USING (term) JOIN dl USING (doc_id), stats),
-             |agg AS (SELECT query_id, doc_id, SUM(contrib) AS score_dec,
-             |         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
-             |       FROM con GROUP BY 1, 2),
-             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-             |         ORDER BY score_dec DESC, doc_id) AS rank FROM agg)
-             |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-             |  CAST(score_dec AS DOUBLE) AS score, n_terms_hit,
-             |  CAST(rank AS BIGINT) AS rank
-             |FROM r WHERE rank <= 10""".stripMargin)),
+        queries = bm25Probes, k = 10),
+      Some(bm25OracleSql)),
+
+    // ------------------------- INCREMENTAL BM25 (persisted inverted index)
+    // Two increments fold into one postings+doclen state (pure append —
+    // new-docs-only contract), then scoring runs from the INDEX, never the
+    // corpus. Because the fold is exactly chunk-invariant and
+    // bm25FromIndex replays bm25TopK's arithmetic, the oracle is the BATCH
+    // BM25 SQL verbatim — the strongest possible equality for an
+    // incremental index: fold-then-score == rescore-the-world.
+    Q("q_bm25_incremental",
+      (s, dir) => {
+        import graft.functions.CorpusFunctions
+        val docs = Tables.df(s, dir, "documents")
+        val chunks = Seq(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+        val index = chunks.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+          (p, c) => Some(CorpusFunctions.foldBm25Index(p, c, "doc_id", "text"))
+        }.get
+        CorpusFunctions.bm25FromIndex(index, bm25Probes, k = 10)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(bm25OracleSql)),
 
     // ------------------------------------- hybrid retrieval (RRF fusion)
     // Keyword BM25 ranks over documents + exact cosine ranks over the

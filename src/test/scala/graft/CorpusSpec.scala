@@ -514,4 +514,26 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(CorpusFunctions.rrfFuse(Seq(a, b), "query_id", "id", "rank",
       k = 2).count() == 2L)
   }
+
+  test("foldBm25Index: fold-then-score equals batch BM25 exactly, any chunking") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val probes = Seq((0L, "spark join merge"), (1L, "window agg stream"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))).sortBy(t => (t._1, t._5)).toSeq
+    val batch = canon(CorpusFunctions.bm25TopK(
+      docs, "doc_id", "text", probes, k = 10))
+    for (m <- Seq(2, 3)) {
+      val chunks = (0 until m).map(j => docs.filter(col("doc_id") % m === j))
+      val index = chunks.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        (p, c) => Some(CorpusFunctions.foldBm25Index(p, c, "doc_id", "text"))
+      }.get
+      assert(canon(CorpusFunctions.bm25FromIndex(index, probes, k = 10)) ==
+        batch, s"$m-chunk fold diverged from batch BM25")
+    }
+    // the state is the postings + doclen discriminated union
+    val one = CorpusFunctions.foldBm25Index(None, docs, "doc_id", "text")
+    assert(one.filter(col("kind") === "d").count() == docs.count())
+    assert(one.filter(col("kind") === "p").count() > docs.count())
+  }
 }
