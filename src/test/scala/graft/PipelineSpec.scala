@@ -110,6 +110,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](PipelineConfig.fromString(missing, Map.empty))
   }
 
+  test("the shipped example pipeline parses and syncs end-to-end") {
+    // config/pipelines/example_fixtures.yml is user-facing documentation —
+    // it must stay runnable: multi-connection tables, expectations, and
+    // every showcased post_op (neardup_labels + the four fold ops)
+    val p = PipelineConfig.fromFile("config/pipelines/example_fixtures.yml")
+    assert(p.tables.exists(_.postOps.map(_.op).toSet ==
+      Set("neardup_labels", "fold_bm25", "fold_kmv_distinct",
+        "fold_count_min", "fold_sample")))
+    val runner = new PipelineRunner(spark, tmpDir("example_cfg"))
+    val r = runner.sync(p)
+    assert(r.allOk, r.tables.flatMap(_.error).mkString(";"))
+    val (_, _, loader) = runner.rigFor(p)
+    val docsId = p.tables.find(_.name == "fx.documents").get.tableId(p)
+    for (t <- Seq("doc_clusters", "doc_bm25_index", "doc_lang_distinct",
+        "doc_source_counts", "doc_len_sample"))
+      assert(loader.readTarget(spark, docsId.copy(table = t)).nonEmpty,
+        s"derived table $t missing after the example sync")
+  }
+
   test("3-table sequential sync loads every table; counts match source") {
     val p = PipelineConfig.fromString(yaml)
     val work = tmpDir("pipe")
@@ -361,9 +380,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     import s.implicits._
     val srcDir = tmpDir("sketch_src")
     def rows(lo: Long, hi: Long) = (lo to hi).map(i =>
-      (i, s"t${i % 3}", (i * 7) % 40, (i % 100) / 2.0))
+      (i, s"t${i % 3}", (i * 7) % 40, (i % 100) / 2.0,
+        s"alpha w${i % 9} beta w${i % 5}"))
     def write(lo: Long, hi: Long, mode: String): Unit =
-      rows(lo, hi).toDF("event_id", "etype", "uid", "amt")
+      rows(lo, hi).toDF("event_id", "etype", "uid", "amt", "words")
         .write.mode(mode).parquet(s"$srcDir/ev.parquet")
     write(1, 300, "errorifexists")
     val y =
@@ -391,6 +411,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
          |        id_column: event_id
          |        value_column: amt
          |        k: 32
+         |      - op: fold_bm25
+         |        target: ev_bm25
+         |        id_column: event_id
+         |        value_column: words
          |""".stripMargin
     val p = PipelineConfig.fromString(y)
     val runner = new PipelineRunner(spark, tmpDir("sketch_wh"))
@@ -400,7 +424,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val (_, _, loader) = runner.rigFor(p)
     val baseId = p.tables.head.tableId(p)
     import graft.operators.Sketches
-    val all = rows(1, 500).toDF("event_id", "etype", "uid", "amt")
+    val all = rows(1, 500).toDF("event_id", "etype", "uid", "amt", "words")
     // every sketch state after two incremental syncs must equal the state
     // of ONE direct fold over the full source — exact merge invariance on
     // the pipeline surface, not just the operator surface
@@ -423,6 +447,16 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         k = 32), Seq(0.5))
       .collect().map(r => r.getString(0) -> r.getAs[Double]("q_50")).toMap
     assert(qGot == qWant)
+    // the folded BM25 index equals a one-pass build, and scoring from it
+    // equals batch BM25 over the full source
+    import graft.functions.CorpusFunctions
+    val probes = Seq((1L, "w3 w4"))
+    def score(ix: org.apache.spark.sql.DataFrame) =
+      CorpusFunctions.bm25FromIndex(ix, probes, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(4)))
+        .sortBy(_._4).toSeq
+    assert(score(state("ev_bm25")) ==
+      score(CorpusFunctions.foldBm25Index(None, all, "event_id", "words")))
     // no new rows → exactly-once no-op
     assert(runner.sync(p).allOk)
     assert(state("ev_kmv").collect()
