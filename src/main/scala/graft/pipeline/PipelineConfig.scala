@@ -363,6 +363,23 @@ object PipelineConfig {
           "documents missing from the probe corpus)")
     }
 
+    // fold_bm25 appends postings per increment under the same append-only
+    // assumption: a restaged or UPDATED document would stack a second set
+    // of postings/doclen rows for its id, silently inflating tf/df/N.
+    // Same parse-time contract as neardup_labels (its band index has the
+    // identical failure mode).
+    tables.filter(_.postOps.exists(_.op == "fold_bm25")).foreach { t =>
+      def bad(msg: String) = throw new IllegalArgumentException(
+        s"tables.${t.name}.post_ops.fold_bm25: $msg")
+      if (t.cdc.strategy != CdcStrategyKind.IdOnly)
+        bad(s"requires cdc_strategy id_only (append-only increments); " +
+          s"'${t.cdc.strategy.name}' can restage or update already-indexed " +
+          "documents, double-counting their postings")
+      if (t.mergeKeys.nonEmpty)
+        bad("incompatible with merge_keys (an updated document cannot be " +
+          "unfolded from the postings state)")
+    }
+
     // derived-table names must be globally unique: two post_ops (or a
     // post_op and a base table) sharing a warehouse name would silently
     // overwrite each other's data on every sync

@@ -465,6 +465,17 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       PipelineConfig.fromString(y.replace("        id_column: event_id\n", ""))
     }
+    // fold_bm25 carries the append-only contract: an updating strategy
+    // (or merge_keys) would double-count restaged documents' postings
+    intercept[IllegalArgumentException] {
+      PipelineConfig.fromString(
+        y.replace("cdc_strategy: \"id_only\"", "cdc_strategy: \"full_sync\"")
+          .replace("    cdc_id_column: \"event_id\"\n", ""))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineConfig.fromString(y.replace("    post_ops:",
+        "    merge_keys: [event_id]\n    post_ops:"))
+    }
   }
 
   test("post_ops neardup_labels: label table tracks batch clustering across syncs") {
