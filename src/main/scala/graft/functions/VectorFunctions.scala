@@ -466,6 +466,23 @@ object VectorFunctions {
     (PqModel(m, subDim, books), spark.read.parquet(s"$path/codes"))
   }
 
+  /** INCREMENTAL PQ maintenance — [[appendIvf]]'s analog for the
+    * compressed index: new vectors encode under the PERSISTED codebooks
+    * (the fixed-quantizer contract) and their code rows APPEND into the
+    * codes table; existing code files are never rewritten, the corpus is
+    * never re-encoded, and a probe of the grown index equals a probe of
+    * an index encoded whole under the same model (VectorSpec;
+    * `q_ann_pq_incremental` carries the full cross-engine oracle).
+    * Codebook drift under a shifting distribution is the same
+    * re-train-when-recall-SLOs-say-so trade as IVF's fixed centroids. */
+  def appendPq(spark: org.apache.spark.sql.SparkSession, path: String,
+               incoming: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): Unit = {
+    val (model, _) = readPq(spark, path)
+    encodePq(model, incoming, idCol, vecCol)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** PQ top-k with asymmetric distance + exact rerank (the production ADC
     * pattern): per query a lookup table lut[j][c] = q̂_j · c_{j,c} is built
     * DRIVER-side (m × k doubles — the query set is driver-sized by

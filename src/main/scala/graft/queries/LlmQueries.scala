@@ -1826,6 +1826,94 @@ object LlmQueries {
              |  JOIN embeddings e ON e.vec_id = c.vec_id
              |  JOIN embeddings qe ON qe.vec_id = c.query_id)
              |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
+             |FROM rer WHERE rank <= 10""".stripMargin)),
+
+    // --------------------------------------------- INCREMENTAL PQ maintenance
+    // appendIvf's analog for the compressed index: codebooks train on the
+    // even-id BASE only, the odd-id increment encodes under the PERSISTED
+    // (reloaded) codebooks and appends its code rows, and the probe runs
+    // over the grown index. The oracle replays the same fixed-quantizer
+    // contract: its codebook sample comes from the base subset, the encode
+    // covers the whole corpus — value-identical to an index encoded whole
+    // under the same model, which is exactly the append invariant
+    // VectorSpec pins file-level (no existing code file rewritten).
+    Q("q_ann_pq_incremental",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 2 === 0)
+        val inc = emb.filter(col("vec_id") % 2 === 1)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val model = VectorFunctions.trainPqSeeded(base, m = 16, k = 16)
+        val path = Tables.scratchDir("pqinc") + "/index"
+        VectorFunctions.writePq(model, VectorFunctions.encodePq(model, base), path)
+        VectorFunctions.appendPq(s, path, inc)
+        val (loaded, codes) = VectorFunctions.readPq(s, path)
+        VectorFunctions.pqTopK(loaded, codes, emb, queries,
+          k = 10, rerankDepth = 80)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 4).as("cos4"))
+      },
+      Some("""WITH samp AS MATERIALIZED (
+             |  SELECT ROW_NUMBER() OVER (
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+             |    embedding::DOUBLE[] AS v
+             |  FROM (SELECT vec_id, embedding FROM embeddings
+             |        WHERE vec_id % 2 = 0
+             |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+             |cb AS MATERIALIZED (
+             |  SELECT j.j, s.code,
+             |    list_transform(s.u[j.j*4+1 : j.j*4+4],
+             |      x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
+             |  FROM (SELECT code,
+             |          list_transform(v,
+             |            x -> x * (1.0/sqrt(list_dot_product(v, v)))) AS u
+             |        FROM samp) s,
+             |       (SELECT unnest(generate_series(0, 15)) AS j) j),
+             |cb2 AS MATERIALIZED (
+             |  SELECT j, code, c, list_dot_product(c, c) AS c2 FROM cb),
+             |vnorm AS MATERIALIZED (
+             |  SELECT vec_id,
+             |    list_transform(v, x -> x * (1.0/sqrt(list_dot_product(v, v)))) AS u
+             |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+             |enc AS MATERIALIZED (
+             |  SELECT vec_id, j, code FROM (
+             |    SELECT v.vec_id, b.j, b.code,
+             |      2*list_dot_product(v.u[b.j*4+1 : b.j*4+4], b.c) - b.c2 AS s
+             |    FROM vnorm v CROSS JOIN cb2 b)
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j
+             |    ORDER BY s DESC, code ASC) = 1),
+             |qn AS MATERIALIZED (
+             |  SELECT vec_id AS query_id,
+             |    list_transform(embedding::DOUBLE[],
+             |      x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+             |                                     embedding::DOUBLE[]))) AS qu
+             |  FROM embeddings WHERE vec_id < 5),
+             |lut AS MATERIALIZED (
+             |  SELECT q.query_id, b.j, b.code,
+             |    list_dot_product(q.qu[b.j*4+1 : b.j*4+4], b.c) AS l
+             |  FROM qn q CROSS JOIN cb2 b),
+             |adc AS MATERIALIZED (
+             |  SELECT l.query_id, e.vec_id, SUM(l.l) AS score
+             |  FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+             |  GROUP BY 1, 2),
+             |cand AS MATERIALIZED (
+             |  SELECT query_id, vec_id FROM adc
+             |  WHERE vec_id <> query_id
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, vec_id ASC) <= 80),
+             |rer AS (
+             |  SELECT c.query_id, c.vec_id AS neighbor_id,
+             |    list_cosine_similarity(e.embedding::DOUBLE[],
+             |                           qe.embedding::DOUBLE[]) AS cos,
+             |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+             |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+             |                 qe.embedding::DOUBLE[]) DESC,
+             |               c.vec_id ASC) AS rank
+             |  FROM cand c
+             |  JOIN embeddings e ON e.vec_id = c.vec_id
+             |  JOIN embeddings qe ON qe.vec_id = c.query_id)
+             |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
              |FROM rer WHERE rank <= 10""".stripMargin))
   )
 }

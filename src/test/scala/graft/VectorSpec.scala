@@ -275,6 +275,35 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b, "incrementally-grown index probes differently")
   }
 
+  test("appendPq: appended codes probe identically to a whole-encoded index") {
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val inc = emb.filter(col("vec_id") % 2 === 1)
+    val model = VectorFunctions.trainPqSeeded(base, m = 16, k = 16)
+    val path = tmpDir("pqappend") + "/index"
+    VectorFunctions.writePq(model, VectorFunctions.encodePq(model, base), path)
+    val before = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    VectorFunctions.appendPq(spark, path, inc)
+    // append never rewrote an existing code file
+    val after = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    before.foreach { case (f, mt) =>
+      assert(after.get(f).contains(mt), s"codes/$f was rewritten") }
+    val (loaded, codes) = VectorFunctions.readPq(spark, path)
+    assert(codes.count() == emb.count())
+    // ground truth: the whole corpus encoded in one pass under the SAME model
+    val whole = VectorFunctions.encodePq(model, emb)
+    val a = VectorFunctions.pqTopK(loaded, codes, emb, queries,
+        k = 5, rerankDepth = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = VectorFunctions.pqTopK(model, whole, emb, queries,
+        k = 5, rerankDepth = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b, "incrementally-grown PQ index probes differently")
+  }
+
   test("IVF assigns every corpus vector to exactly one centroid") {
     val idx = VectorFunctions.buildIvf(emb, nlist = 8)
     val n = emb.count()
