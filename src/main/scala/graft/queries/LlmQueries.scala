@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.{BpeFunctions, DedupFunctions, TextFunctions, VectorFunctions}
+import graft.functions.{BpeFunctions, DedupFunctions, LearnFunctions, TextFunctions, VectorFunctions}
 
 /** Driver-contract queries for the LLM-training-data operators (dedup,
   * similarity search, text analysis) over the `documents` / `embeddings`
@@ -1914,6 +1914,108 @@ object LlmQueries {
              |  JOIN embeddings e ON e.vec_id = c.vec_id
              |  JOIN embeddings qe ON qe.vec_id = c.query_id)
              |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
-             |FROM rer WHERE rank <= 10""".stripMargin))
+             |FROM rer WHERE rank <= 10""".stripMargin)),
+
+    // --------------------------------------------- TRAINED linear probe
+    // Full-batch hard-sigmoid logistic GD over the embeddings, in exact
+    // fixed-point integer arithmetic (LearnFunctions scaladoc) — the
+    // oracle replays all 4 unrolled training iterations in HUGEINT and
+    // the confusion matrix matches bit-for-bit: a cross-engine value
+    // oracle for a TRAINED model, not just a scoring pass. The target is
+    // a planted sign rule over the vectors themselves (the fixture's
+    // label column is noise w.r.t. the embeddings — measured 1-NN label
+    // agreement ≈ chance), so held-out accuracy ~0.93 demonstrates real
+    // learning (LearnSpec pins it) while every number stays exact.
+    Q("q_linear_probe",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val signs = array((0 until 64).map(d =>
+          lit(if (d % 2 == 0) 1L else -1L)): _*)
+        val base = emb.select(col("vec_id"),
+            LearnFunctions.quantize(col("embedding"), preScale = 8).as("xq"))
+          .withColumn("y",
+            when(aggregate(zip_with(col("xq"), signs, (x, sn) => x * sn),
+              lit(0L), (a, t) => a + t) >= 0, 1L).otherwise(0L))
+        val train = base.filter(col("vec_id") % 2 === 0)
+        val w = LearnFunctions.trainLinearProbe(train, "xq", "y",
+          iters = 4, lrLog2 = 1)
+        LearnFunctions
+          .scoreLinearProbe(base.filter(col("vec_id") % 2 === 1),
+            "vec_id", "xq", w)
+          .join(base.select(col("vec_id"), col("y")), "vec_id")
+          .groupBy(col("y"), col("pred"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("p_num"))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              .as("sum_p"))
+          .select(col("y"), col("pred"), col("n"), col("sum_p"))
+      },
+      Some(probeOracle(iters = 4)))
   )
+
+  /** DuckDB replay of [[graft.functions.LearnFunctions.trainLinearProbe]]:
+    * per unrolled iteration t — margins `m{t}` under weights `w{t-1}`
+    * (bias is dim 65 with feature 1e6), clamped errors `e{t}`, integer
+    * gradient sums `g{t}`, and the half-away rounded weight update `w{t}`
+    * via positive-operand integer division. All HUGEINT — bit-identical
+    * to the engine's DECIMAL(38,0)/BigInt arithmetic. */
+  private def probeOracle(iters: Int): String = {
+    def iter(t: Int): String =
+      s"""m$t AS MATERIALIZED (
+         |  SELECT t.vec_id,
+         |    SUM((CASE WHEN w.d = 65 THEN 1000000
+         |              ELSE t.xq[w.d] END)::HUGEINT * w.wq) AS m
+         |  FROM tr t CROSS JOIN w${t - 1} w GROUP BY 1),
+         |e$t AS MATERIALIZED (
+         |  SELECT t.vec_id, t.xq,
+         |    GREATEST(LEAST(m.m + 2000000000000000::HUGEINT,
+         |                   4000000000000000::HUGEINT), 0::HUGEINT)
+         |      - 4000000000000000::HUGEINT * t.y AS err
+         |  FROM tr t JOIN m$t m USING (vec_id)),
+         |g$t AS MATERIALIZED (
+         |  SELECT dm.d,
+         |    SUM(e.err * (CASE WHEN dm.d = 65 THEN 1000000
+         |                      ELSE e.xq[dm.d] END)::HUGEINT) AS g
+         |  FROM e$t e CROSS JOIN dims dm GROUP BY 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT w.d,
+         |    w.wq - (CASE WHEN g.g >= 0
+         |                 THEN (g.g + bc.hb) // bc.b
+         |                 ELSE -((-g.g + bc.hb) // bc.b) END) AS wq
+         |  FROM w${t - 1} w JOIN g$t g USING (d) CROSS JOIN bc)""".stripMargin
+    s"""WITH qv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(round(x * 8000000.0) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |lab AS MATERIALIZED (
+       |  SELECT vec_id, xq,
+       |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
+       |        d -> CASE WHEN d % 2 = 1 THEN xq[d] ELSE -xq[d] END)) >= 0
+       |      THEN 1 ELSE 0 END AS y
+       |  FROM qv),
+       |tr AS MATERIALIZED (SELECT * FROM lab WHERE vec_id % 2 = 0),
+       |dims AS MATERIALIZED (SELECT unnest(generate_series(1, 65)) AS d),
+       |bc AS MATERIALIZED (
+       |  SELECT CAST(2000000000000 AS HUGEINT) * COUNT(*) AS b,
+       |    (CAST(2000000000000 AS HUGEINT) * COUNT(*)) // 2 AS hb
+       |  FROM tr),
+       |w0 AS (SELECT d, CAST(0 AS HUGEINT) AS wq FROM dims),
+       |${(1 to iters).map(iter).mkString(",\n")},
+       |sc AS (
+       |  SELECT t.vec_id, t.y,
+       |    GREATEST(LEAST(
+       |      SUM((CASE WHEN w.d = 65 THEN 1000000
+       |                ELSE t.xq[w.d] END)::HUGEINT * w.wq)
+       |        + 2000000000000000::HUGEINT,
+       |      4000000000000000::HUGEINT), 0::HUGEINT) AS p_num
+       |  FROM lab t CROSS JOIN w$iters w
+       |  WHERE t.vec_id % 2 = 1
+       |  GROUP BY t.vec_id, t.y)
+       |SELECT CAST(y AS BIGINT) AS y,
+       |  CASE WHEN p_num >= 2000000000000000 THEN 1 ELSE 0 END AS pred,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(p_num) AS DECIMAL(38,0)) AS sum_p
+       |FROM sc GROUP BY 1, 2""".stripMargin
+  }
 }
