@@ -134,4 +134,39 @@ object LearnFunctions {
         when(col("p_num") >= lit(Half), 1).otherwise(0))
       .withColumn("score", col("p_num").cast("double") / lit(PScale.toDouble))
   }
+
+  /** Precision/recall curve by threshold sweep over `p_num` scores — the
+    * operating-point picker for a trained filter. ONE corpus-scale
+    * aggregation builds a (bucket, y) histogram (≤ 2·buckets rows — the
+    * exchange carries the histogram, never scores); the whole curve then
+    * falls out of conditional sums over that tiny relation, so sweeping
+    * more thresholds costs nothing at corpus scale. Returns per threshold
+    * bucket t (score ≥ t/buckets): exact integer tp/fp/fn/tn plus
+    * prec/rec as quotients of those integers (IEEE division of identical
+    * operands — engine-identical doubles, no rounding convention needed). */
+  def prSweep(scored: DataFrame, yCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && PScale % buckets == 0,
+      s"buckets $buckets must divide the probability scale")
+    val step = PScale / buckets
+    val spark = scored.sparkSession
+    val hist = scored
+      .select(least(expr(s"CAST(p_num AS BIGINT) div $step"),
+        lit(buckets - 1L)).as("b"), col(yCol).cast("long").as("__y"))
+      .groupBy(col("b"), col("__y")).agg(count(lit(1)).as("n"))
+    val thr = broadcast(spark.range(buckets).toDF("bucket"))
+    val above = col("b") >= col("bucket")
+    val isPos = col("__y") === 1
+    thr.crossJoin(hist)
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(above && isPos, col("n")).otherwise(0L)).as("tp"),
+        sum(when(above && !isPos, col("n")).otherwise(0L)).as("fp"),
+        sum(when(!above && isPos, col("n")).otherwise(0L)).as("fn"),
+        sum(when(!above && !isPos, col("n")).otherwise(0L)).as("tn"))
+      .select(col("bucket"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))).as("rec"))
+  }
 }

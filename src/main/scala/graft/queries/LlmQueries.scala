@@ -1950,7 +1950,65 @@ object LlmQueries {
               .as("sum_p"))
           .select(col("y"), col("pred"), col("n"), col("sum_p"))
       },
-      Some(probeOracle(iters = 4)))
+      Some(probeOracle(iters = 4) +
+        """
+          |SELECT CAST(y AS BIGINT) AS y,
+          |  CASE WHEN p_num >= 2000000000000000 THEN 1 ELSE 0 END AS pred,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(p_num) AS DECIMAL(38,0)) AS sum_p
+          |FROM sc GROUP BY 1, 2""".stripMargin)),
+
+    // ------------------------------------- threshold sweep over probe scores
+    // The operating-point picker that turns a trained filter score into a
+    // deployable cutoff: ONE corpus-scale aggregation builds a
+    // (bucket, y) histogram, then the whole precision/recall curve falls
+    // out of the tiny histogram — the sweep never rescans the corpus.
+    // Counts are exact integers; precision/recall are quotients of those
+    // exact integers (IEEE division of identical operands — engine-
+    // identical doubles).
+    Q("q_probe_pr_sweep",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val signs = array((0 until 64).map(d =>
+          lit(if (d % 2 == 0) 1L else -1L)): _*)
+        val base = emb.select(col("vec_id"),
+            LearnFunctions.quantize(col("embedding"), preScale = 8).as("xq"))
+          .withColumn("y",
+            when(aggregate(zip_with(col("xq"), signs, (x, sn) => x * sn),
+              lit(0L), (a, t) => a + t) >= 0, 1L).otherwise(0L))
+        val train = base.filter(col("vec_id") % 2 === 0)
+        val w = LearnFunctions.trainLinearProbe(train, "xq", "y",
+          iters = 4, lrLog2 = 1)
+        val scored = LearnFunctions
+          .scoreLinearProbe(base.filter(col("vec_id") % 2 === 1),
+            "vec_id", "xq", w)
+          .join(base.select(col("vec_id"), col("y")), "vec_id")
+        LearnFunctions.prSweep(scored, "y", buckets = 10)
+      },
+      Some(probeOracle(iters = 4) +
+        """,
+          |hist AS MATERIALIZED (
+          |  SELECT LEAST(p_num // 400000000000000, 9) AS b, y, COUNT(*) AS n
+          |  FROM sc GROUP BY 1, 2),
+          |thr AS (SELECT unnest(generate_series(0, 9)) AS t)
+          |SELECT CAST(t.t AS BIGINT) AS bucket,
+          |  CAST(SUM(CASE WHEN h.b >= t.t AND h.y = 1 THEN h.n ELSE 0 END)
+          |    AS BIGINT) AS tp,
+          |  CAST(SUM(CASE WHEN h.b >= t.t AND h.y = 0 THEN h.n ELSE 0 END)
+          |    AS BIGINT) AS fp,
+          |  CAST(SUM(CASE WHEN h.b < t.t AND h.y = 1 THEN h.n ELSE 0 END)
+          |    AS BIGINT) AS fn,
+          |  CAST(SUM(CASE WHEN h.b < t.t AND h.y = 0 THEN h.n ELSE 0 END)
+          |    AS BIGINT) AS tn,
+          |  CASE WHEN SUM(CASE WHEN h.b >= t.t THEN h.n ELSE 0 END) > 0
+          |    THEN CAST(SUM(CASE WHEN h.b >= t.t AND h.y = 1 THEN h.n
+          |                       ELSE 0 END) AS DOUBLE)
+          |      / SUM(CASE WHEN h.b >= t.t THEN h.n ELSE 0 END) END AS prec,
+          |  CASE WHEN SUM(CASE WHEN h.y = 1 THEN h.n ELSE 0 END) > 0
+          |    THEN CAST(SUM(CASE WHEN h.b >= t.t AND h.y = 1 THEN h.n
+          |                       ELSE 0 END) AS DOUBLE)
+          |      / SUM(CASE WHEN h.y = 1 THEN h.n ELSE 0 END) END AS rec
+          |FROM thr t CROSS JOIN hist h GROUP BY t.t""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.functions.LearnFunctions.trainLinearProbe]]:
@@ -2011,11 +2069,6 @@ object LlmQueries {
        |      4000000000000000::HUGEINT), 0::HUGEINT) AS p_num
        |  FROM lab t CROSS JOIN w$iters w
        |  WHERE t.vec_id % 2 = 1
-       |  GROUP BY t.vec_id, t.y)
-       |SELECT CAST(y AS BIGINT) AS y,
-       |  CASE WHEN p_num >= 2000000000000000 THEN 1 ELSE 0 END AS pred,
-       |  CAST(COUNT(*) AS BIGINT) AS n,
-       |  CAST(SUM(p_num) AS DECIMAL(38,0)) AS sum_p
-       |FROM sc GROUP BY 1, 2""".stripMargin
+       |  GROUP BY t.vec_id, t.y)""".stripMargin
   }
 }

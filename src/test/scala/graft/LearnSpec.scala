@@ -52,6 +52,27 @@ class LearnSpec extends AnyFunSuite with SparkTestBase {
     assert(w1.exists(_ != 0))
   }
 
+  test("prSweep: exact anchored counts, recall monotone in the threshold") {
+    val w = LearnFunctions.trainLinearProbe(train, "xq", "y",
+      iters = 4, lrLog2 = 1)
+    val scored = LearnFunctions.scoreLinearProbe(heldOut, "vec_id", "xq", w)
+      .join(heldOut.select(col("vec_id"), col("y")), "vec_id")
+    val total = heldOut.count()
+    val pos = heldOut.filter(col("y") === 1).count()
+    val rows = LearnFunctions.prSweep(scored, "y").orderBy("bucket").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (tp, fp, fn, tn) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(tp + fn == pos, s"bucket ${r.getLong(0)}: tp+fn != positives")
+      assert(tp + fp + fn + tn == total)
+    }
+    // score >= 0 keeps everything: recall anchors at 1 and never increases
+    assert(rows.head.getDouble(6) == 1.0)
+    val recs = rows.map(_.getDouble(6))
+    recs.zip(recs.tail).foreach { case (a, b) => assert(a >= b) }
+  }
+
   test("degenerate labels: all-one training set pushes predictions positive") {
     val allPos = train.withColumn("y", lit(1L))
     val w = LearnFunctions.trainLinearProbe(allPos, "xq", "y",
