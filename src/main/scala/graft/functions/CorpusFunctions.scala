@@ -406,6 +406,46 @@ object CorpusFunctions {
           .as("avg_logprob"))
   }
 
+  /** CCNet-style per-LANGUAGE fluency banding: rank each document by its
+    * corpus-own bigram-LM mean log-probability WITHIN its language and cut
+    * head/middle/tail at `headFrac` / `headFrac+midFrac` of the
+    * percent-rank — the lang-stratified perplexity filter (Wenzek 2020)
+    * that a global percentile gate gets wrong (a clean low-resource-
+    * language doc scores below the English mode simply because its LM is
+    * sparser). Docs with < 2 tokens have no bigram score and are dropped,
+    * like every LM-gated pipeline does.
+    *
+    * Cross-engine exactness: per-pair log-probs are 4-decimal-rounded
+    * decimals ([[bigramLogProbScores]]), the mean is an IEEE quotient of
+    * exact operands, and percent_rank over the tie-free total order
+    * (avg DESC, id ASC) is one integer division — every band boundary
+    * replays bit-for-bit.
+    *
+    * Scale: the heavy work is the LM scoring (vocabulary-scale relations,
+    * exchanges carry (id, pair, tf) — never text); the banding window
+    * shuffles only (id, lang, score) rows partitioned by language. A
+    * heavily-skewed language mix makes one window partition large — at
+    * that point pre-aggregate per-lang score histograms and cut on them
+    * (the [[graft.functions.LearnFunctions.prSweep]] trick) instead of
+    * ranking rows. */
+  def perplexityBands(docs: DataFrame, idCol: String, textCol: String,
+                      langCol: String, headFrac: Double = 0.3,
+                      midFrac: Double = 0.3): DataFrame = {
+    require(headFrac > 0 && midFrac >= 0 && headFrac + midFrac < 1,
+      s"band fractions ($headFrac, $midFrac) must cut strictly inside (0,1)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col("avg_logprob").desc, col(idCol).asc)
+    docs.select(col(idCol), col(langCol))
+      .join(bigramLogProbScores(docs, idCol, textCol)
+        .select(col(idCol), col("n_bigrams"), col("avg_logprob")), Seq(idCol))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("band",
+        when(col("pr") < headFrac, "head")
+          .when(col("pr") < headFrac + midFrac, "middle")
+          .otherwise("tail"))
+  }
+
   def unigramLogProbScores(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -1122,6 +1122,45 @@ object LlmQueries {
              |FROM pf JOIN lp USING (w1, w2)
              |GROUP BY pf.doc_id""".stripMargin)),
 
+    // ---------------------------- CCNet-style per-language perplexity bands
+    // Lang-stratified head/middle/tail by corpus-own bigram-LM fluency —
+    // the Wenzek-2020 filter shape. percent_rank over a tie-free total
+    // order is one integer division; the band cut replays exactly.
+    Q("q_perplexity_bands",
+      (s, dir) => graft.functions.CorpusFunctions.perplexityBands(
+        Tables.df(s, dir, "documents"), "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          round(col("pr"), 6).as("pr6"), col("band")),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+             |pairs AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+             |       FROM t, unnest(range(1, len(toks))) u(i)
+             |       WHERE len(toks) >= 2),
+             |pf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS pf
+             |       FROM pairs GROUP BY 1, 2, 3),
+             |c12 AS (SELECT w1, w2, CAST(SUM(pf) AS BIGINT) AS c12
+             |        FROM pf GROUP BY 1, 2),
+             |v AS (SELECT COUNT(DISTINCT tok) AS v
+             |      FROM (SELECT unnest(toks) AS tok FROM t)),
+             |lp AS (SELECT w1, w2,
+             |         CAST(round(ln((c12 + 1) * 1.0 /
+             |           (SUM(c12) OVER (PARTITION BY w1) + v.v)), 4)
+             |           AS DECIMAL(28,4)) AS lp
+             |       FROM c12, v),
+             |score AS (SELECT pf.doc_id, CAST(SUM(pf) AS BIGINT) AS n_bigrams,
+             |    CAST(SUM(pf * lp) AS DOUBLE) /
+             |      CAST(CAST(SUM(pf) AS BIGINT) AS DOUBLE) AS avg_lp
+             |  FROM pf JOIN lp USING (w1, w2)
+             |  GROUP BY pf.doc_id),
+             |b AS (SELECT s.doc_id, d.lang, s.n_bigrams,
+             |    PERCENT_RANK() OVER (PARTITION BY d.lang
+             |      ORDER BY s.avg_lp DESC, s.doc_id ASC) AS pr
+             |  FROM score s JOIN documents d USING (doc_id))
+             |SELECT doc_id, lang, n_bigrams, round(pr, 6) AS pr6,
+             |  CASE WHEN pr < 0.3 THEN 'head'
+             |       WHEN pr < 0.6 THEN 'middle'
+             |       ELSE 'tail' END AS band
+             |FROM b""".stripMargin)),
+
     // ------------------------------------------------- sequence packing
     // Whole-document packing into 2048-token training sequences per source
     // stream; integer running sum + integer div → exact cross-engine parity.

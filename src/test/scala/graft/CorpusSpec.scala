@@ -8,6 +8,28 @@ import graft.functions.CorpusFunctions
   * token-budget selection, benchmark decontamination). */
 class CorpusSpec extends AnyFunSuite with SparkTestBase {
 
+  test("perplexityBands: per-language cuts honor fractions, short docs drop") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bands = CorpusFunctions.perplexityBands(
+      docs, "doc_id", "text", "lang").cache()
+    // every scored doc lands in exactly one band
+    assert(bands.filter(!col("band").isin("head", "middle", "tail"))
+      .count() == 0)
+    // within each language the head fraction is ~30% (percent_rank cut)
+    val fr = bands.groupBy("lang")
+      .agg((sum(when(col("band") === "head", 1).otherwise(0)) /
+        count(lit(1))).as("f")).collect()
+    fr.foreach { r =>
+      val f = r.getDouble(1)
+      assert(f > 0.2 && f < 0.4, s"lang ${r.getString(0)} head frac $f")
+    }
+    // head of a language is strictly more fluent than its tail (avg pr)
+    val m = bands.groupBy("lang").pivot("band", Seq("head", "tail"))
+      .agg(avg("pr")).collect()
+    m.foreach(r => assert(r.getDouble(1) < r.getDouble(2)))
+    bands.unpersist()
+  }
+
   test("sampleByGroup: rate 1 keeps all, rate 0 keeps none, rates nest") {
     val s = spark
     import s.implicits._
