@@ -446,6 +446,39 @@ object CorpusFunctions {
           .otherwise("tail"))
   }
 
+  /** Deterministic EPOCH-SEEDED shard layout for training-data serving:
+    * every document gets a (shard, pos) address for the epoch, so any
+    * worker can recompute ITS shard's exact read order with no coordination
+    * and a re-run of the epoch is bit-identical — the "global shuffle per
+    * epoch" training loops need, as a pure function of (epoch, id).
+    *
+    * shard = the first `nibbles` hex digits of md5(epoch:id) (16^nibbles
+    * shards, multinomially balanced); pos = rank of the md5 key within the
+    * shard. Changing `epoch` re-deals both, re-running the same epoch
+    * changes nothing.
+    *
+    * Scale: NO global order anywhere — the only exchange partitions by
+    * shard (pick `nibbles` so 16^nibbles ≳ cluster parallelism) and
+    * carries (id, 32-byte key); the per-shard rank is a windowed sort of
+    * one shard's keys. Contrast with a row_number-over-everything layout,
+    * whose single-partition window is exactly the bottleneck this shape
+    * avoids. */
+  def epochShards(docs: DataFrame, idCol: String, epoch: Int,
+                  nibbles: Int = 1): DataFrame = {
+    require(nibbles >= 1 && nibbles <= 4, s"nibbles $nibbles out of [1,4]")
+    val k = md5(concat_ws(":", lit(epoch.toString), col(idCol).cast("string")))
+    val shard = (1 to nibbles).map(i =>
+        (expr(s"instr('0123456789abcdef', substring(__k, $i, 1))") - 1) *
+          lit(math.pow(16, nibbles - i).toLong))
+      .reduce(_ + _).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+    docs.select(col(idCol), k.as("__k"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   def unigramLogProbScores(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

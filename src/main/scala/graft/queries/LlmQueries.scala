@@ -1784,6 +1784,24 @@ object LlmQueries {
              |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
              |FROM scored WHERE rank <= 10""".stripMargin)),
 
+    // ----------------------------------- epoch-seeded training shard layout
+    // (shard, pos) address per document as a pure function of (epoch, id):
+    // md5-nibble shards, per-shard md5 rank. No global order — the only
+    // exchange partitions by shard.
+    Q("q_epoch_shards",
+      (s, dir) => graft.functions.CorpusFunctions.epochShards(
+        Tables.df(s, dir, "documents"), "doc_id", epoch = 7, nibbles = 1),
+      Some("""WITH k AS (
+             |  SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS kk
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(strpos('0123456789abcdef', substr(kk, 1, 1)) - 1
+             |    AS INT) AS shard,
+             |  CAST(ROW_NUMBER() OVER (
+             |    PARTITION BY substr(kk, 1, 1)
+             |    ORDER BY kk, doc_id) AS BIGINT) AS pos
+             |FROM k""".stripMargin)),
+
     // ---------------------------------------------------------------- PQ ANN
     // Corpus-seeded deterministic codebooks (trainPqSeeded) keep the
     // production shape end-to-end — train → encode → PERSIST → ADC probe of

@@ -30,6 +30,29 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     bands.unpersist()
   }
 
+  test("epochShards: exact coverage, contiguous positions, epoch re-deal") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val e0 = CorpusFunctions.epochShards(docs, "doc_id", epoch = 0).cache()
+    assert(e0.count() == n) // every doc addressed exactly once
+    assert(e0.select("doc_id").distinct().count() == n)
+    // positions are contiguous 1..size within each shard
+    val bad = e0.groupBy("shard")
+      .agg(count(lit(1)).as("sz"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("sz") || col("mn") =!= 1).count()
+    assert(bad == 0)
+    // re-running the SAME epoch is bit-identical; a new epoch re-deals
+    val e0b = CorpusFunctions.epochShards(docs, "doc_id", epoch = 0)
+    assert(e0.exceptAll(e0b).count() == 0)
+    val e1 = CorpusFunctions.epochShards(docs, "doc_id", epoch = 1)
+    assert(e0.exceptAll(e1).count() > 0, "epoch change did not re-deal")
+    // multinomial balance sanity: no shard is empty or > 3x the mean
+    val sizes = e0.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == 16)
+    assert(sizes.min > 0 && sizes.max <= 3 * n / 16)
+    e0.unpersist()
+  }
+
   test("sampleByGroup: rate 1 keeps all, rate 0 keeps none, rates nest") {
     val s = spark
     import s.implicits._
