@@ -263,6 +263,22 @@ object StreamingPipeline {
       (prev, batch) =>
         graft.operators.Sketches.foldCountMin(prev, batch, keys, itemCol))
 
+  /** Streaming BM25 inverted-index maintenance — the retrieval analog of
+    * [[streamingKmvDistinct]]: each micro-batch of NEW documents appends
+    * its postings + doc-length rows into the persisted index state
+    * (exactly-once via the folded-batch cursor), so keyword retrieval
+    * stays fresh as the corpus streams in. Same new-docs-only contract as
+    * the batch `fold_bm25` post-op; scoring the state with
+    * [[graft.functions.CorpusFunctions.bm25FromIndex]] equals batch BM25
+    * over the union of all batches (StreamingSpec-pinned via the fold's
+    * chunk-invariance). */
+  def streamingBm25Index(spark: SparkSession, stagingDir: String,
+                         statePath: String, checkpointDir: String,
+                         idCol: String, textCol: String): DataFrame =
+    streamingFold(spark, stagingDir, statePath, checkpointDir)(
+      (prev, batch) => graft.functions.CorpusFunctions.foldBm25Index(
+        prev, batch, idCol, textCol))
+
   private def streamingFold(spark: SparkSession, stagingDir: String,
                             statePath: String, checkpointDir: String)(
       fold: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {

@@ -435,6 +435,38 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(cmsMap(cms) == cmsMap(cmsDirect))
   }
 
+  test("streaming BM25 index: drained micro-batches score identically to batch") {
+    val s = spark; import s.implicits._
+    import graft.functions.CorpusFunctions
+    val dir = tmpDir("bm25stream")
+    val c1 = Seq((1L, "spark join merge window"), (2L, "agg stream key row"),
+      (3L, "spark window filter")).toDF("doc_id", "text")
+    val c2 = Seq((4L, "merge window stream"), (5L, "join join join spark"))
+      .toDF("doc_id", "text")
+    c1.write.parquet(s"$dir/staged")
+    val probes = Seq((0L, "spark join"), (1L, "window stream"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))).sortBy(t => (t._1, t._5)).toSeq
+    val s1 = StreamingPipeline.streamingBm25Index(
+      spark, s"$dir/staged", s"$dir/bm25", s"$dir/ckpt_bm25",
+      "doc_id", "text")
+    assert(s1.filter(col("kind") === "d").count() == 3)
+    c2.write.mode("append").parquet(s"$dir/staged")
+    val s2 = StreamingPipeline.streamingBm25Index(
+      spark, s"$dir/staged", s"$dir/bm25", s"$dir/ckpt_bm25",
+      "doc_id", "text")
+    // streamed state scores EXACTLY like batch BM25 over all documents
+    val batch = canon(CorpusFunctions.bm25TopK(
+      c1.unionByName(c2), "doc_id", "text", probes, k = 10))
+    assert(canon(CorpusFunctions.bm25FromIndex(s2, probes, k = 10)) == batch)
+    // re-drain with nothing staged: state unchanged (exactly-once)
+    val s3 = StreamingPipeline.streamingBm25Index(
+      spark, s"$dir/staged", s"$dir/bm25", s"$dir/ckpt_bm25",
+      "doc_id", "text")
+    assert(canon(CorpusFunctions.bm25FromIndex(s3, probes, k = 10)) == batch)
+  }
+
   test("single-file staging refuses a stale non-symlink squatting on the link path") {
     // a stale REGULAR file at the link path means the source would stream
     // whatever it holds instead of the caller's input — must fail loudly,
