@@ -67,7 +67,9 @@ final case class PostOpSpec(
     threshold: Option[Double] = None,          // neardup_labels jaccard cut
     valueColumn: Option[String] = None,        // fold_kmv_distinct /
                                                // fold_count_min / fold_sample
-    k: Option[Int] = None)                     // sketch size (state bound)
+    k: Option[Int] = None,                     // sketch size (state bound) /
+                                               // epoch_shards nibbles
+    epoch: Option[Int] = None)                 // epoch_shards seed
 
 /** One configured table: scoped name + CDC config + optional rename
   * (YAML `tables.<schema.table>`; ref TableConfig, configuration_manager.py:23-43).
@@ -510,7 +512,8 @@ object PipelineConfig {
       textColumn = opt(n, "text_column").map(_.asText),
       threshold = opt(n, "threshold").map(_.asDouble),
       valueColumn = opt(n, "value_column").map(_.asText),
-      k = opt(n, "k").map(_.asInt))
+      k = opt(n, "k").map(_.asInt),
+      epoch = opt(n, "epoch").map(_.asInt))
     def need(cond: Boolean, what: String): Unit =
       if (!cond) bad(s"'$op' (target $target) requires $what")
     op match {
@@ -551,9 +554,14 @@ object PipelineConfig {
       case "fold_bm25" =>
         need(spec.idColumn.isDefined && spec.valueColumn.isDefined,
           "'id_column' and 'value_column' (the text column)")
+      case "epoch_shards" =>
+        need(spec.idColumn.isDefined, "'id_column'")
+        spec.k.foreach(k =>
+          if (k < 1 || k > 4) bad(s"k $k (shard nibbles) outside [1,4]"))
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
         " | scd2_apply | fold_aggregate | zorder | neardup_labels" +
-        " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25)")
+        " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
+        " | epoch_shards)")
     }
     spec
   }

@@ -80,6 +80,18 @@ object PostOps {
         foldIncremental(spark, id, derivedId, extractor, loader)(
           (prev, inc) => graft.functions.CorpusFunctions.foldBm25Index(
             prev, inc, po.idColumn.get, po.valueColumn.get))
+      case "epoch_shards" =>
+        // deterministic training-serving shard layout (VIEW shape): the
+        // derived table is each row's (id, shard, pos) address for the
+        // configured epoch — a pure function of (epoch, id), so the
+        // recompute-per-sync is idempotent and bumping `epoch` in the YAML
+        // re-deals the layout on the next sync
+        val base = requireBase(spark, loader, id, po)
+        loader.replaceDerived(spark, derivedId,
+          graft.functions.CorpusFunctions.epochShards(
+            base, po.idColumn.get, po.epoch.getOrElse(0),
+            po.k.getOrElse(1)))
+        ()
       case "zorder" =>
         // in-place layout rewrite of the BASE table (crash-safe swap, row
         // parity verified) — idempotent, so a replayed sync just re-sorts

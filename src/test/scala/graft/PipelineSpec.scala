@@ -116,7 +116,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // every showcased post_op (neardup_labels + the four fold ops)
     val p = PipelineConfig.fromFile("config/pipelines/example_fixtures.yml")
     assert(p.tables.exists(_.postOps.map(_.op).toSet ==
-      Set("neardup_labels", "fold_bm25", "fold_kmv_distinct",
+      Set("neardup_labels", "fold_bm25", "epoch_shards", "fold_kmv_distinct",
         "fold_count_min", "fold_sample")))
     val runner = new PipelineRunner(spark, tmpDir("example_cfg"))
     val r = runner.sync(p)
@@ -205,6 +205,46 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       base, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
     assert(status.collect().map(_.toSeq).toSet ==
       expectStatus.collect().map(_.toSeq).toSet)
+  }
+
+  test("post_ops epoch_shards: shard layout maintained, epoch bump re-deals") {
+    def yml(epoch: Int) =
+      s"""pipeline:
+         |  name: "postops_shards"
+         |  source: "$sfDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.documents:
+         |    cdc_strategy: "full_sync"
+         |    post_ops:
+         |      - op: epoch_shards
+         |        target: documents_shards
+         |        id_column: doc_id
+         |        epoch: $epoch
+         |""".stripMargin
+    val wh = tmpDir("postops_es")
+    val p0 = PipelineConfig.fromString(yml(0))
+    val runner = new PipelineRunner(spark, wh)
+    assert(runner.sync(p0).allOk)
+    val (_, _, loader) = runner.rigFor(p0)
+    val baseId = p0.tables.head.tableId(p0)
+    val base = loader.readTarget(spark, baseId).get
+    val nBase = base.count()
+    // materialize before the re-sync below swaps the underlying files
+    val sh0 = loader.readTarget(spark,
+      baseId.copy(table = "documents_shards")).get
+      .collect().map(_.toSeq).toSet
+    // layout equals the direct operator application on the loaded base
+    val expect = graft.functions.CorpusFunctions.epochShards(
+      base, "doc_id", epoch = 0).collect().map(_.toSeq).toSet
+    assert(sh0.size == nBase && sh0 == expect)
+    // bumping the epoch in config re-deals the layout on the next sync
+    assert(new PipelineRunner(spark, wh).sync(PipelineConfig.fromString(yml(1))).allOk)
+    val sh1 = loader.readTarget(spark,
+      baseId.copy(table = "documents_shards")).get
+      .collect().map(_.toSeq).toSet
+    assert(sh1.size == nBase)
+    assert(sh1 != sh0, "epoch bump did not re-deal")
   }
 
   test("expectations: one-pass quality gate passes, fails, and validates") {
