@@ -160,6 +160,88 @@ object VectorFunctions {
     IvfIndex(centroidsDf, assigned)
   }
 
+  /** Argmax-cosine assignment against DOUBLE centroids — the
+    * [[nearestCentroid]] fold with the precision [[lloydKmeansExact]]'s
+    * 1e-6-grid centroids need (floats would re-round them). */
+  private def nearestCentroidD(vec: Column,
+                               centroids: Seq[(Int, Seq[Double])]): Column = {
+    val centLit = typedlit(centroids)
+    aggregate(centLit,
+      struct(lit(-1).as("cid"), lit(-2.0).as("sim")),
+      (acc, c) => {
+        val s = cosine(vec, c.getField("_2"))
+        when(s > acc.getField("sim"),
+          struct(c.getField("_1").as("cid"), s.as("sim"))).otherwise(acc)
+      },
+      acc => acc.getField("cid"))
+  }
+
+  /** Result of [[lloydKmeansExact]]: per-cluster fixed-point centroids
+    * (scale 1e-6: real value = cq/1e6) and the final assignment (the one
+    * that produced those centroids). */
+  final case class LloydResult(centroidsQ: IndexedSeq[Array[Long]],
+                               assigned: DataFrame)
+
+  /** Deterministic Lloyd K-MEANS whose every round replays EXACTLY in
+    * another engine — the constructive refutation of "Lloyd centroid
+    * averages accumulate in engine-specific order": seeded init (md5-
+    * smallest k vectors, the repo's sampling convention), argmax-cosine
+    * assignment with ties toward the lower cluster id, and a centroid
+    * update that never touches order-sensitive float accumulation —
+    * member components are quantized ONCE to the 1e-6 integer grid, each
+    * per-(cluster,dim) sum is an exact integer, and the new centroid is
+    * the half-away-rounded integer division sum/|cluster| (empty clusters
+    * keep their centroid). Training is a pure function of the input SET
+    * (repartition-invariant, VectorSpec) and `q_kmeans_lloyd` replays all
+    * rounds in DuckDB bit-for-bit. The 1e-6 centroid grid costs ~1e-6
+    * relative placement error per round — noise next to Lloyd's own local
+    * optimum, and the price of exactness.
+    *
+    * Distributed shape per round (the textbook one): centroids ride the
+    * plan as a k×dim literal, assignment is rowwise (zero shuffle), the
+    * update is one groupBy(cluster, dim) partial-agg exchange of k·dim
+    * rows per partition, and the driver touches k·dim integer sums —
+    * same index-build class as IVF/PQ training. */
+  def lloydKmeansExact(corpus: DataFrame, k: Int, iters: Int = 3,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): LloydResult = {
+    require(k >= 1 && iters >= 1, s"k=$k iters=$iters must be >= 1")
+    val base = corpus.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("__v"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * lit(1e6)).cast("long")).as("__xq"))
+      .persist()
+    try {
+      val init = base.orderBy(md5(col(idCol).cast("string")), col(idCol))
+        .limit(k).select(col("__xq")).collect()
+        .map(_.getSeq[Long](0).toArray)
+      require(init.nonEmpty, "empty corpus")
+      var cents: Array[Array[Long]] = init
+      var assigned: DataFrame = null
+      for (_ <- 1 to iters) {
+        val centD: Seq[(Int, Seq[Double])] = cents.toSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq.map(_ / 1e6)) }
+        assigned = base.withColumn("cluster",
+          nearestCentroidD(col("__v"), centD))
+        val next = cents.map(_.clone())
+        assigned
+          .select(col("cluster"), posexplode(col("__xq")).as(Seq("dim", "x")))
+          .groupBy("cluster", "dim")
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+          .foreach { r =>
+            val (cl, d) = (r.getInt(0), r.getInt(1))
+            val (s, n) = (r.getLong(2), r.getLong(3))
+            val mag = (math.abs(s) + n / 2) / n // floor of positives = exact
+            next(cl)(d) = if (s >= 0) mag else -mag
+          }
+        cents = next
+      }
+      LloydResult(cents.toIndexedSeq,
+        assigned.select(col(idCol), col("cluster")))
+    } finally base.unpersist()
+  }
+
   /** Deterministic corpus-seeded coarse quantizer: the `nlist` corpus
     * vectors with the smallest `md5(cast(id as string))` ARE the centroids
     * (the repo's engine-portable sampling convention, cf. [[assignLeaders]]),
@@ -168,9 +250,11 @@ object VectorFunctions {
     * rounds means training is one TakeOrdered (k rows to the driver) and the
     * whole pipeline — selection, assignment argmax, probe — is
     * IEEE-replayable in another engine, so the driver query carries a FULL
-    * value oracle. (KMeans Lloyd rounds are not replayable: their centroid
-    * averages accumulate in engine-specific order.) Recall trade vs the
-    * KMeans quantizer is measured in VectorSpec. */
+    * value oracle. (Spark ML KMeans Lloyd rounds are not replayable — their
+    * centroid averages accumulate in engine-specific order; when replayable
+    * Lloyd is wanted, [[lloydKmeansExact]] quantizes the accumulation and
+    * IS oracle-matched.) Recall trade vs the KMeans quantizer is measured
+    * in VectorSpec. */
   def buildIvfSeeded(corpus: DataFrame, nlist: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): IvfIndex = {

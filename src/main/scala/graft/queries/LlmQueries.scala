@@ -1973,6 +1973,29 @@ object LlmQueries {
              |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
              |FROM rer WHERE rank <= 10""".stripMargin)),
 
+    // ------------------------------------------ EXACT Lloyd K-Means rounds
+    // Deterministic Lloyd whose every round replays in DuckDB: seeded
+    // init, argmax-cosine assignment, integer-grid centroid means
+    // (lloydKmeansExact scaladoc). Output = the final centroid table
+    // itself (k×dim exact integers) + cluster sizes — a trained
+    // clustering model value-matched bit-for-bit across engines.
+    Q("q_kmeans_lloyd",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.df(s, dir, "embeddings")
+        val res = VectorFunctions.lloydKmeansExact(emb, k = 8, iters = 3)
+        val cents = res.centroidsQ.zipWithIndex.flatMap { case (arr, cl) =>
+          arr.zipWithIndex.map { case (cq, d) => (cl, d, cq) } }.toSeq
+          .toDF("cluster", "dim", "cq")
+        val sizes = res.assigned.groupBy("cluster")
+          .agg(count(lit(1)).as("n"))
+        cents.join(sizes, Seq("cluster"), "left")
+          .select(col("cluster").cast("int").as("cluster"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            col("dim").cast("int").as("dim"), col("cq"))
+      },
+      Some(kmeansOracle(k = 8, iters = 3))),
+
     // --------------------------------------------- TRAINED linear probe
     // Full-batch hard-sigmoid logistic GD over the embeddings, in exact
     // fixed-point integer arithmetic (LearnFunctions scaladoc) — the
@@ -2067,6 +2090,59 @@ object LlmQueries {
           |      / SUM(CASE WHEN h.y = 1 THEN h.n ELSE 0 END) END AS rec
           |FROM thr t CROSS JOIN hist h GROUP BY t.t""".stripMargin))
   )
+
+  /** DuckDB replay of [[graft.functions.VectorFunctions.lloydKmeansExact]]:
+    * per unrolled round t — centroid lists `cl{t}` from the integer grid,
+    * argmax-cosine assignment `a{t}` (ties toward the lower cluster id),
+    * exact integer per-(cluster,dim) sums `u{t}`, and the half-away
+    * rounded mean update `c{t}` (empty clusters carry their centroid). */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def round(t: Int): String =
+      s"""cl$t AS MATERIALIZED (
+         |  SELECT cluster, list(cq / 1000000.0 ORDER BY dim) AS c
+         |  FROM c${t - 1} GROUP BY cluster),
+         |a$t AS MATERIALIZED (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT v.vec_id, cl.cluster,
+         |      list_cosine_similarity(v.vd, cl.c) AS cos
+         |    FROM v CROSS JOIN cl$t cl)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, cluster ASC) = 1),
+         |u$t AS MATERIALIZED (
+         |  SELECT a.cluster, d.dim, SUM(v.xq[d.dim]) AS s, COUNT(*) AS n
+         |  FROM a$t a JOIN v USING (vec_id) CROSS JOIN dims d
+         |  GROUP BY 1, 2),
+         |c$t AS MATERIALIZED (
+         |  SELECT p.cluster, p.dim,
+         |    COALESCE(CASE WHEN u.s >= 0 THEN (u.s + (u.n // 2)) // u.n
+         |                  ELSE -((-u.s + (u.n // 2)) // u.n) END,
+         |             p.cq) AS cq
+         |  FROM c${t - 1} p
+         |  LEFT JOIN u$t u ON u.cluster = p.cluster AND u.dim = p.dim)"""
+        .stripMargin
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vd,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(round(x * 1000000.0) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+       |c0 AS MATERIALIZED (
+       |  SELECT r.cluster, d.dim, r.xq[d.dim] AS cq
+       |  FROM (SELECT CAST(ROW_NUMBER() OVER (
+       |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+       |          AS INT) AS cluster, xq
+       |        FROM (SELECT vec_id, xq FROM v
+       |              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |              LIMIT $k)) r
+       |  CROSS JOIN dims d),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT CAST(c.cluster AS INT) AS cluster, COALESCE(n.n, 0) AS n,
+       |  CAST(c.dim - 1 AS INT) AS dim, CAST(c.cq AS BIGINT) AS cq
+       |FROM c$iters c
+       |LEFT JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
+       |           FROM a$iters GROUP BY 1) n USING (cluster)"""
+      .stripMargin
+  }
 
   /** DuckDB replay of [[graft.functions.LearnFunctions.trainLinearProbe]]:
     * per unrolled iteration t — margins `m{t}` under weights `w{t-1}`

@@ -304,6 +304,41 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b, "incrementally-grown PQ index probes differently")
   }
 
+  test("lloydKmeansExact: total assignment, repartition-invariant, improves fit") {
+    val res = VectorFunctions.lloydKmeansExact(emb, k = 8, iters = 3)
+    assert(res.centroidsQ.length == 8)
+    assert(res.assigned.count() == emb.count())
+    assert(res.assigned.select("cluster").distinct().count() <= 8)
+    // exactness contract: training is a pure function of the input SET
+    val res2 = VectorFunctions.lloydKmeansExact(emb.repartition(7),
+      k = 8, iters = 3)
+    assert(res.centroidsQ.map(_.toSeq) == res2.centroidsQ.map(_.toSeq),
+      "centroids differ under repartitioning")
+    // Lloyd improves the objective: mean member-to-centroid cosine after 3
+    // rounds beats the seeded-init assignment's
+    def meanCos(cents: Seq[(Int, Seq[Double])], assigned:
+        org.apache.spark.sql.DataFrame) = {
+      val byId = cents.toMap
+      val rows = assigned.join(emb, "vec_id")
+        .select(col("cluster"), col("embedding")).collect()
+      rows.map { r =>
+        val c = byId(r.getInt(0))
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val dot = v.zip(c).map { case (a, b) => a * b }.sum
+        dot / (math.sqrt(v.map(x => x * x).sum) *
+          math.sqrt(c.map(x => x * x).sum))
+      }.sum / rows.length
+    }
+    val init = VectorFunctions.lloydKmeansExact(emb, k = 8, iters = 1)
+    def asD(cs: IndexedSeq[Array[Long]]) = cs.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq.map(_ / 1e6)) }
+    // iters=1 assignment is the seeded-init assignment; compare fit of the
+    // round-3 centroids on their own assignment vs that baseline
+    val fit3 = meanCos(asD(res.centroidsQ), res.assigned)
+    val fit1 = meanCos(asD(init.centroidsQ), init.assigned)
+    assert(fit3 >= fit1, s"3-round fit $fit3 worse than 1-round $fit1")
+  }
+
   test("IVF assigns every corpus vector to exactly one centroid") {
     val idx = VectorFunctions.buildIvf(emb, nlist = 8)
     val n = emb.count()
