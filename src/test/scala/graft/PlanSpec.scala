@@ -448,6 +448,62 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("epochShards: one shard-keyed exchange, no global order, no text payload") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.functions.CorpusFunctions.epochShards(docs, "doc_id", 3)
+    df.count()
+    val exchanges = physical(df).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1,
+      s"shard layout should shuffle exactly once, got ${exchanges.size}")
+    val part = exchanges.head.outputPartitioning.toString
+    assert(part.contains("shard") && !part.contains("SinglePartition"),
+      s"exchange must partition by shard, got $part")
+    // the exchange carries (id, key, shard) — never document text
+    val cols = exchanges.head.child.output.map(_.name.takeWhile(_ != '#')).toSet
+    assert(!cols.contains("text"), s"text rides the shard exchange: $cols")
+  }
+
+  test("probe scoring is rowwise: zero exchanges under literal weights") {
+    import graft.functions.LearnFunctions
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        LearnFunctions.quantize(
+          org.apache.spark.sql.functions.col("embedding")).as("xq"))
+    val w = Array.fill[BigInt](65)(BigInt(1000))
+    val scored = LearnFunctions.scoreLinearProbe(base, "vec_id", "xq", w)
+    scored.count()
+    val exchanges = physical(scored).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"scoring must not shuffle, found ${exchanges.size} exchanges")
+  }
+
+  test("prSweep: histogram partial-aggregates; thresholds broadcast") {
+    import graft.functions.LearnFunctions
+    val s = spark; import s.implicits._
+    val scored = (1L to 1000L)
+      .map(i => (i, i % 2, (i * 4000000000000L) % 4000000000000001L))
+      .toDF("vec_id", "y", "p_num")
+    val df = LearnFunctions.prSweep(scored, "y")
+    df.count()
+    val plan = physical(df).toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "histogram must partial-aggregate map-side")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "threshold table should broadcast, never shuffle the histogram")
+  }
+
+  test("exact-Lloyd assignment is rowwise: zero exchanges per round scan") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val res = graft.functions.VectorFunctions.lloydKmeansExact(
+      emb, k = 4, iters = 1)
+    res.assigned.count()
+    val exchanges = physical(res.assigned).collect {
+      case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      "assignment must be a rowwise projection against centroid literals")
+  }
+
   test("Q22-shape: anti join for NOT EXISTS, scalar subqueries execute once") {
     val df = q("q22_idle_customers")
     val plan = executedString(df)
