@@ -479,6 +479,43 @@ object CorpusFunctions {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Population-stability-index (PSI) drift between two corpus snapshots
+    * over a categorical column — the standing monitoring question of a
+    * refreshed training pipeline ("did this sync shift the language /
+    * source / quality-band mix?"). Per category (union of both sides,
+    * add-1 smoothed so one-sided categories stay finite):
+    * psi_c = (p_a − p_b)·ln(p_a/p_b), with the usual reading: Σ < 0.1
+    * stable, 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * Cross-engine exactness: shares are IEEE quotients of exact integer
+    * counts; the ln is 6-decimal-rounded (the LM convention) and the
+    * contribution 9-decimal DECIMAL — so the per-category rows and any
+    * sum over them replay bit-for-bit.
+    *
+    * Scale: two partial-aggregated count passes + a category-cardinality
+    * full-outer join; the totals row broadcasts. Nothing row-scale ever
+    * shuffles. */
+  def distributionDrift(a: DataFrame, b: DataFrame,
+                        catCol: String): DataFrame = {
+    val ca = a.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_b"))
+    val joined = ca.join(cb, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = joined.agg(sum("n_a").as("ta"), sum("n_b").as("tb"),
+      count(lit(1)).as("k"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("pa",
+        (col("n_a") + 1).cast("double") / (col("ta") + col("k")).cast("double"))
+      .withColumn("pb",
+        (col("n_b") + 1).cast("double") / (col("tb") + col("k")).cast("double"))
+      .withColumn("psi_contrib",
+        round((col("pa") - col("pb")) * round(log(col("pa") / col("pb")), 6), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .select("category", "n_a", "n_b", "pa", "pb", "psi_contrib")
+  }
+
   def unigramLogProbScores(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

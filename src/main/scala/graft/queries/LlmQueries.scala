@@ -1784,6 +1784,40 @@ object LlmQueries {
              |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
              |FROM scored WHERE rank <= 10""".stripMargin)),
 
+    // -------------------------------------------- corpus distribution drift
+    // PSI over the language mix between two source halves — the per-sync
+    // monitoring gate. Shares are IEEE quotients of exact counts; ln
+    // rounded per the LM convention → contributions replay exactly.
+    Q("q_corpus_drift",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val half = expr("CAST(substring(source, 4) AS INT)")
+        graft.functions.CorpusFunctions.distributionDrift(
+          docs.filter(half < 10), docs.filter(half >= 10), "lang")
+      },
+      Some("""WITH da AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_a
+             |        FROM documents
+             |        WHERE CAST(substr(source, 4) AS INT) < 10 GROUP BY 1),
+             |db AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_b
+             |       FROM documents
+             |       WHERE CAST(substr(source, 4) AS INT) >= 10 GROUP BY 1),
+             |j AS (SELECT COALESCE(da.lang, db.lang) AS category,
+             |        COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+             |      FROM da FULL OUTER JOIN db ON da.lang = db.lang),
+             |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+             |        CAST(SUM(n_b) AS BIGINT) AS tb,
+             |        CAST(COUNT(*) AS BIGINT) AS k FROM j),
+             |p AS (SELECT j.category, j.n_a, j.n_b,
+             |        CAST(j.n_a + 1 AS DOUBLE) / CAST(t.ta + t.k AS DOUBLE)
+             |          AS pa,
+             |        CAST(j.n_b + 1 AS DOUBLE) / CAST(t.tb + t.k AS DOUBLE)
+             |          AS pb
+             |      FROM j CROSS JOIN t)
+             |SELECT category, n_a, n_b, pa, pb,
+             |  CAST(round((pa - pb) * round(ln(pa / pb), 6), 9)
+             |    AS DECIMAL(18,9)) AS psi_contrib
+             |FROM p""".stripMargin)),
+
     // ----------------------------------- epoch-seeded training shard layout
     // (shard, pos) address per document as a pure function of (epoch, id):
     // md5-nibble shards, per-shard md5 rank. No global order — the only
@@ -1994,7 +2028,38 @@ object LlmQueries {
             coalesce(col("n"), lit(0L)).as("n"),
             col("dim").cast("int").as("dim"), col("cq"))
       },
-      Some(kmeansOracle(k = 8, iters = 3))),
+      Some(kmeansOracle(k = 8, iters = 3) +
+        """
+          |SELECT CAST(c.cluster AS INT) AS cluster, COALESCE(n.n, 0) AS n,
+          |  CAST(c.dim - 1 AS INT) AS dim, CAST(c.cq AS BIGINT) AS cq
+          |FROM c3 c
+          |LEFT JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
+          |           FROM a3 GROUP BY 1) n USING (cluster)""".stripMargin)),
+
+    // -------------------------------------- cluster-balanced diversity sample
+    // The SemDeDup-era curation move: cluster the corpus, then cap each
+    // cluster at n — a diversity-preserving carve-out no single md5
+    // threshold can express (a global sample keeps dense regions dense).
+    // Exact end-to-end: Lloyd rounds replay (kmeansOracle) and the
+    // per-cluster cap is the deterministic md5 order.
+    Q("q_cluster_balanced_sample",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val res = VectorFunctions.lloydKmeansExact(emb, k = 8, iters = 3)
+        graft.functions.CorpusFunctions.capPerGroup(
+          res.assigned, "vec_id", Seq("cluster"), cap = 20)
+          .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
+            col("rn"))
+      },
+      Some(kmeansOracle(k = 8, iters = 3) +
+        """
+          |SELECT cluster, vec_id, rn FROM (
+          |  SELECT CAST(cluster AS INT) AS cluster, vec_id,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+          |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          |      AS BIGINT) AS rn
+          |  FROM a3)
+          |WHERE rn <= 20""".stripMargin)),
 
     // --------------------------------------------- TRAINED linear probe
     // Full-batch hard-sigmoid logistic GD over the embeddings, in exact
@@ -2135,13 +2200,7 @@ object LlmQueries {
        |              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
        |              LIMIT $k)) r
        |  CROSS JOIN dims d),
-       |${(1 to iters).map(round).mkString(",\n")}
-       |SELECT CAST(c.cluster AS INT) AS cluster, COALESCE(n.n, 0) AS n,
-       |  CAST(c.dim - 1 AS INT) AS dim, CAST(c.cq AS BIGINT) AS cq
-       |FROM c$iters c
-       |LEFT JOIN (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
-       |           FROM a$iters GROUP BY 1) n USING (cluster)"""
-      .stripMargin
+       |${(1 to iters).map(round).mkString(",\n")}""".stripMargin
   }
 
   /** DuckDB replay of [[graft.functions.LearnFunctions.trainLinearProbe]]:

@@ -53,6 +53,26 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     e0.unpersist()
   }
 
+  test("distributionDrift: zero on identical mixes, flags a planted shift") {
+    val s = spark
+    import s.implicits._
+    def mk(rows: (String, Int)*) = rows.flatMap { case (c, n) =>
+      Seq.fill(n)(c) }.toDF("cat")
+    val a = mk("x" -> 50, "y" -> 30, "z" -> 20)
+    val same = CorpusFunctions.distributionDrift(a, a, "cat").collect()
+    same.foreach(r => assert(r.getDecimal(5).doubleValue() == 0.0))
+    // planted shift: y collapses into x on the B side
+    val b = mk("x" -> 80, "y" -> 0, "z" -> 20)
+    val drift = CorpusFunctions.distributionDrift(a, b, "cat")
+      .agg(sum(col("psi_contrib"))).head().getDecimal(0).doubleValue()
+    assert(drift > 0.25, s"planted shift PSI $drift not flagged")
+    // one-sided category (only in B) stays finite via add-1 smoothing
+    val c = mk("x" -> 50, "w" -> 50)
+    val rows = CorpusFunctions.distributionDrift(a, c, "cat").collect()
+    assert(rows.length == 4) // union of categories
+    rows.foreach(r => assert(!r.getDecimal(5).doubleValue().isNaN))
+  }
+
   test("sampleByGroup: rate 1 keeps all, rate 0 keeps none, rates nest") {
     val s = spark
     import s.implicits._
