@@ -90,12 +90,26 @@ object LearnFunctions {
       val n = base.count()
       require(n > 0, "empty training set")
       val dim = base.select(size(col("__xq"))).head().getInt(0)
-      // B = 4e12·N / 2^lrLog2 — exact and even for lrLog2 ≤ 40
+      // the margin fold multiplies long×long: with |wq| < 1e12 guarded in
+      // marginCol, features must stay below ~9.2e6 or products silently
+      // wrap — refuse data quantized off the intended ±10-unit range loudly
+      val maxXq = base
+        .select(max(aggregate(transform(col("__xq"), x => abs(x)),
+          lit(0L), (a, t) => greatest(a, t)))).head().getLong(0)
+      require(maxXq < 9000000L,
+        s"quantized feature magnitude $maxXq >= 9e6 — margin products " +
+          "would overflow long (rescale features or lower preScale)")
+      // B = 4e12·N / 2^lrLog2 — must divide EXACTLY or the update deviates
+      // from the documented rational wq − round(lr·G/(4e12·N))
       val b4 = BigInt(4000000000000L) * n
       val bDiv =
-        if (lrLog2 >= 0) b4 >> lrLog2 else b4 << (-lrLog2)
+        if (lrLog2 >= 0) {
+          require(b4 % (BigInt(1) << lrLog2) == 0,
+            s"lr 2^$lrLog2 does not divide 4e12·N=$b4 exactly")
+          b4 >> lrLog2
+        } else b4 << (-lrLog2)
       require(bDiv > 0 && bDiv % 2 == 0,
-        s"lr 2^$lrLog2 does not divide 4e12·N exactly")
+        s"lr 2^$lrLog2 leaves an odd divisor $bDiv (half-rounding undefined)")
       val halfB = bDiv / 2
       var w = Array.fill[BigInt](dim + 1)(BigInt(0))
       for (_ <- 1 to iters) {
@@ -122,14 +136,19 @@ object LearnFunctions {
     } finally base.unpersist()
   }
 
-  /** Score rows under trained weights: (idCol, p_num, pred, score) where
-    * p_num is the exact integer probability (scale 4e15), pred the exact
-    * integer decision p ≥ 1/2, and score its double rendering for
-    * ranking. One rowwise pass, no shuffle. */
+  /** Score rows under trained weights: (idCol, keepCols..., p_num, pred,
+    * score) where p_num is the exact integer probability (scale 4e15),
+    * pred the exact integer decision p ≥ 1/2, and score its double
+    * rendering for ranking. `keepCols` pass through from the input (e.g.
+    * the label for evaluation) — carrying them here keeps the scorer ONE
+    * rowwise no-shuffle pass instead of forcing callers into a
+    * corpus-scale re-join on id. Quantized features must respect
+    * [[trainLinearProbe]]'s |xq| < 9e6 bound or margin products wrap. */
   def scoreLinearProbe(df: DataFrame, idCol: String, xqCol: String,
-                       w: Array[BigInt]): DataFrame = {
+                       w: Array[BigInt],
+                       keepCols: Seq[String] = Nil): DataFrame = {
     val p = pNumCol(marginCol(col(xqCol), w))
-    df.select(col(idCol), p.as("p_num"))
+    df.select(col(idCol) +: keepCols.map(col) :+ p.as("p_num"): _*)
       .withColumn("pred",
         when(col("p_num") >= lit(Half), 1).otherwise(0))
       .withColumn("score", col("p_num").cast("double") / lit(PScale.toDouble))
@@ -153,10 +172,13 @@ object LearnFunctions {
       .select(least(expr(s"CAST(p_num AS BIGINT) div $step"),
         lit(buckets - 1L)).as("b"), col(yCol).cast("long").as("__y"))
       .groupBy(col("b"), col("__y")).agg(count(lit(1)).as("n"))
-    val thr = broadcast(spark.range(buckets).toDF("bucket"))
+    val thr = spark.range(buckets).toDF("bucket")
     val above = col("b") >= col("bucket")
     val isPos = col("__y") === 1
-    thr.crossJoin(hist)
+    // left join (not cross): an EMPTY scored input must still yield one
+    // all-zero row per threshold, not an empty curve; the null hist side
+    // falls through every when() to 0
+    thr.join(broadcast(hist), lit(true), "left")
       .groupBy(col("bucket"))
       .agg(
         sum(when(above && isPos, col("n")).otherwise(0L)).as("tp"),

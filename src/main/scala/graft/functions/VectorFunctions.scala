@@ -85,17 +85,10 @@ object VectorFunctions {
     * expression-tree depth, each cosine computed once. (The previous
     * formulation — an O(nlist)-deep `when`-chain with every cosine computed
     * twice — blows up codegen at nlist ≥ ~1k.) */
-  private def nearestCentroid(vec: Column, centroids: Seq[(Int, Seq[Float])]): Column = {
-    val centLit = typedlit(centroids)          // one Literal: array<struct<_1,_2>>
-    aggregate(centLit,
-      struct(lit(-1).as("cid"), lit(-2.0).as("sim")),
-      (acc, c) => {
-        val s = cosine(vec, c.getField("_2"))
-        when(s > acc.getField("sim"),
-          struct(c.getField("_1").as("cid"), s.as("sim"))).otherwise(acc)
-      },
-      acc => acc.getField("cid"))
-  }
+  private def nearestCentroid(vec: Column, centroids: Seq[(Int, Seq[Float])]): Column =
+    // float→double widening is exact, so the double fold is bit-identical
+    nearestCentroidD(vec, centroids.map { case (i, v) =>
+      (i, v.map(_.toDouble)) })
 
   /** Build an IVF index: train `nlist` coarse-quantizer centroids with Spark
     * ML KMeans (cosine distance, bounded iterations — distributed Lloyd, the
@@ -216,6 +209,14 @@ object VectorFunctions {
         .limit(k).select(col("__xq")).collect()
         .map(_.getSeq[Long](0).toArray)
       require(init.nonEmpty, "empty corpus")
+      val dim = init.head.length
+      // a null or dimension-mismatched vector would assign to no centroid
+      // (cosine null → the fold's -1 sentinel) and corrupt the update —
+      // refuse loudly up front instead
+      val bad = base.filter(col("__v").isNull || size(col("__v")) =!= dim)
+        .count()
+      require(bad == 0,
+        s"$bad corpus rows have null or non-$dim-dimensional vectors")
       var cents: Array[Array[Long]] = init
       var assigned: DataFrame = null
       for (_ <- 1 to iters) {
@@ -231,6 +232,8 @@ object VectorFunctions {
           .collect()
           .foreach { r =>
             val (cl, d) = (r.getInt(0), r.getInt(1))
+            require(cl >= 0 && cl < k,
+              s"row assigned to no centroid (cluster $cl) — null cosine?")
             val (s, n) = (r.getLong(2), r.getLong(3))
             val mag = (math.abs(s) + n / 2) / n // floor of positives = exact
             next(cl)(d) = if (s >= 0) mag else -mag

@@ -2072,29 +2072,14 @@ object LlmQueries {
     // agreement ≈ chance), so held-out accuracy ~0.93 demonstrates real
     // learning (LearnSpec pins it) while every number stays exact.
     Q("q_linear_probe",
-      (s, dir) => {
-        val emb = Tables.df(s, dir, "embeddings")
-        val signs = array((0 until 64).map(d =>
-          lit(if (d % 2 == 0) 1L else -1L)): _*)
-        val base = emb.select(col("vec_id"),
-            LearnFunctions.quantize(col("embedding"), preScale = 8).as("xq"))
-          .withColumn("y",
-            when(aggregate(zip_with(col("xq"), signs, (x, sn) => x * sn),
-              lit(0L), (a, t) => a + t) >= 0, 1L).otherwise(0L))
-        val train = base.filter(col("vec_id") % 2 === 0)
-        val w = LearnFunctions.trainLinearProbe(train, "xq", "y",
-          iters = 4, lrLog2 = 1)
-        LearnFunctions
-          .scoreLinearProbe(base.filter(col("vec_id") % 2 === 1),
-            "vec_id", "xq", w)
-          .join(base.select(col("vec_id"), col("y")), "vec_id")
+      (s, dir) =>
+        probeScoredHeldOut(s, dir)
           .groupBy(col("y"), col("pred"))
           .agg(count(lit(1)).as("n"),
             sum(col("p_num"))
               .cast(org.apache.spark.sql.types.DecimalType(38, 0))
               .as("sum_p"))
-          .select(col("y"), col("pred"), col("n"), col("sum_p"))
-      },
+          .select(col("y"), col("pred"), col("n"), col("sum_p")),
       Some(probeOracle(iters = 4) +
         """
           |SELECT CAST(y AS BIGINT) AS y,
@@ -2112,24 +2097,8 @@ object LlmQueries {
     // exact integers (IEEE division of identical operands — engine-
     // identical doubles).
     Q("q_probe_pr_sweep",
-      (s, dir) => {
-        val emb = Tables.df(s, dir, "embeddings")
-        val signs = array((0 until 64).map(d =>
-          lit(if (d % 2 == 0) 1L else -1L)): _*)
-        val base = emb.select(col("vec_id"),
-            LearnFunctions.quantize(col("embedding"), preScale = 8).as("xq"))
-          .withColumn("y",
-            when(aggregate(zip_with(col("xq"), signs, (x, sn) => x * sn),
-              lit(0L), (a, t) => a + t) >= 0, 1L).otherwise(0L))
-        val train = base.filter(col("vec_id") % 2 === 0)
-        val w = LearnFunctions.trainLinearProbe(train, "xq", "y",
-          iters = 4, lrLog2 = 1)
-        val scored = LearnFunctions
-          .scoreLinearProbe(base.filter(col("vec_id") % 2 === 1),
-            "vec_id", "xq", w)
-          .join(base.select(col("vec_id"), col("y")), "vec_id")
-        LearnFunctions.prSweep(scored, "y", buckets = 10)
-      },
+      (s, dir) => LearnFunctions.prSweep(
+        probeScoredHeldOut(s, dir), "y", buckets = 10),
       Some(probeOracle(iters = 4) +
         """,
           |hist AS MATERIALIZED (
@@ -2201,6 +2170,28 @@ object LlmQueries {
        |              LIMIT $k)) r
        |  CROSS JOIN dims d),
        |${(1 to iters).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** Shared probe fixture for `q_linear_probe` / `q_probe_pr_sweep` (the
+    * Scala twin of [[probeOracle]]'s CTE prefix — one source of truth for
+    * the planted rule and hyperparameters): quantize at preScale 8, plant
+    * y = [Σ ±xq_d ≥ 0], train 4 GD iterations at lr 2 on even ids, score
+    * the odd half with the label carried through (no re-join). */
+  private def probeScoredHeldOut(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.df(s, dir, "embeddings")
+    val signs = array((0 until 64).map(d =>
+      lit(if (d % 2 == 0) 1L else -1L)): _*)
+    val base = emb.select(col("vec_id"),
+        LearnFunctions.quantize(col("embedding"), preScale = 8).as("xq"))
+      .withColumn("y",
+        when(aggregate(zip_with(col("xq"), signs, (x, sn) => x * sn),
+          lit(0L), (a, t) => a + t) >= 0, 1L).otherwise(0L))
+    val w = LearnFunctions.trainLinearProbe(
+      base.filter(col("vec_id") % 2 === 0), "xq", "y",
+      iters = 4, lrLog2 = 1)
+    LearnFunctions.scoreLinearProbe(base.filter(col("vec_id") % 2 === 1),
+      "vec_id", "xq", w, keepCols = Seq("y"))
   }
 
   /** DuckDB replay of [[graft.functions.LearnFunctions.trainLinearProbe]]:

@@ -31,8 +31,8 @@ class LearnSpec extends AnyFunSuite with SparkTestBase {
       iters = 4, lrLog2 = 1)
     assert(w.length == 65)
     assert(w.exists(_ != 0), "training left all weights zero")
-    val scored = LearnFunctions.scoreLinearProbe(heldOut, "vec_id", "xq", w)
-      .join(heldOut.select(col("vec_id"), col("y")), "vec_id")
+    val scored = LearnFunctions.scoreLinearProbe(heldOut, "vec_id", "xq", w,
+      keepCols = Seq("y"))
     val acc = scored
       .agg(avg(when(col("pred") === col("y"), 1.0).otherwise(0.0)))
       .head().getDouble(0)
@@ -55,8 +55,8 @@ class LearnSpec extends AnyFunSuite with SparkTestBase {
   test("prSweep: exact anchored counts, recall monotone in the threshold") {
     val w = LearnFunctions.trainLinearProbe(train, "xq", "y",
       iters = 4, lrLog2 = 1)
-    val scored = LearnFunctions.scoreLinearProbe(heldOut, "vec_id", "xq", w)
-      .join(heldOut.select(col("vec_id"), col("y")), "vec_id")
+    val scored = LearnFunctions.scoreLinearProbe(heldOut, "vec_id", "xq", w,
+      keepCols = Seq("y"))
     val total = heldOut.count()
     val pos = heldOut.filter(col("y") === 1).count()
     val rows = LearnFunctions.prSweep(scored, "y").orderBy("bucket").collect()
