@@ -206,6 +206,45 @@ object Multimodal {
         ImagePixels(w, h, sum)
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    final case class ImageHash(width: Int, height: Int, dhash: Long)
+
+    /** Perceptual difference-hash from REAL decoded pixels: bit k is the
+      * sign of the luminance gradient between horizontally adjacent pixels
+      * (row-major, row wraps skipped), first 64 comparisons. No resize
+      * step on purpose — interpolation kernels differ between libraries,
+      * a gradient sign on the native grid replays anywhere (the DuckDB
+      * oracle recomputes it from the fixture's closed-form pixels).
+      * Luminance = r+g+b (integer — no weighting division to disagree
+      * about). */
+    def decodeImageDHash(bytes: Array[Byte]): Option[ImageHash] =
+      try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val lum = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            lum(y * w + x) =
+              ((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var k = 0
+        y = 0
+        while (y < h && k < 64) {
+          var x = 0
+          while (x < w - 1 && k < 64) {
+            if (lum(y * w + x + 1) > lum(y * w + x)) hash |= (1L << k)
+            k += 1; x += 1
+          }
+          y += 1
+        }
+        ImageHash(w, h, hash)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** REAL sample decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
       * readers ship with the JDK). Handles the PCM_SIGNED 16-bit layout —
       * the overwhelmingly common uncompressed interchange format; anything
@@ -391,6 +430,54 @@ object Multimodal {
           (id, ip.width.toLong, ip.height.toLong, ip.lumSum))
       })
       .toDF(idCol, "width", "height", "lum_sum")
+  }
+
+  /** Perceptual-hash pass over REAL decoded images
+    * ([[MediaCodec.decodeImageDHash]]): (id, width, height, dhash).
+    * Narrow per-partition decode, no shuffle — the hash column is what
+    * ships; pixels never leave the task. */
+  def imagePerceptualHashes(spark: SparkSession, docs: DataFrame,
+                            idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        MediaCodec.decodeImageDHash(bytes).map(ih =>
+          (id, ih.width.toLong, ih.height.toLong, ih.dhash))
+      })
+      .toDF(idCol, "width", "height", "dhash")
+  }
+
+  /** Image NEAR-DUPLICATE pairs by Hamming distance on the perceptual
+    * hash — the multimodal analog of SimHash text near-dup, with the same
+    * exactness argument: 4 disjoint 16-bit bands mean any pair within
+    * Hamming distance ≤ 3 shares at least one intact band (pigeonhole),
+    * so the banded bucket-join candidate set is EXACT for maxHamming ≤ 3.
+    * Shuffles (id, band, 16-bit key) only; same-dimension gate keeps
+    * differently-shaped images from pairing on coincidental gradients. */
+  def imageNearDuplicates(hashes: DataFrame, maxHamming: Int = 2,
+                          idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming $maxHamming outside [0,3] — 4-band pigeonhole is exact" +
+        " only through 3")
+    val bands = (0 until 4).map(b =>
+      hashes.select(col(idCol).as("id"), col("width"), col("height"),
+        col("dhash"),
+        lit(b).as("band"),
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key")))
+      .reduce(_ unionByName _)
+    val a = bands.select(col("id").as("id_a"), col("width").as("w"),
+      col("height").as("h"), col("dhash").as("h_a"), col("band"), col("key"))
+    val b = bands.select(col("id").as("id_b"), col("width").as("w"),
+      col("height").as("h"), col("dhash").as("h_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key", "w", "h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** REAL audio decode pass: every payload `javax.sound.sampled` can read

@@ -435,6 +435,41 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(cmsMap(cms) == cmsMap(cmsDirect))
   }
 
+  test("image dHash: identical pixels collide, a gradient flip moves one bit") {
+    import graft.multimodal.Multimodal
+    def png(pix: Array[Array[Int]]): Array[Byte] = {
+      val h = pix.length; val w = pix(0).length
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = pix(y)(x)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val base = Array(Array(10, 20, 30, 40), Array(50, 40, 30, 20),
+      Array(5, 15, 25, 35))
+    val flip = base.map(_.clone())
+    flip(0)(1) = 45 // 10<45>30: flips exactly the (0,0) rising + (0,1) bit
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, png(base)), (2L, png(base)), (3L, png(flip)))
+      .toDF("doc_id", "payload")
+    val hs = Multimodal.imagePerceptualHashes(spark, docs)
+    val m = hs.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m(1) == m(2), "identical images must share the perceptual hash")
+    assert(m(1) != m(3))
+    assert(java.lang.Long.bitCount(m(1) ^ m(3)) <= 2)
+    // banded near-dup finds exactly the pairs within the Hamming budget
+    val pairs = Multimodal.imageNearDuplicates(hs, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val strict = Multimodal.imageNearDuplicates(hs, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 2L)))
+  }
+
   test("streaming BM25 index: drained micro-batches score identically to batch") {
     val s = spark; import s.implicits._
     import graft.functions.CorpusFunctions
