@@ -480,6 +480,42 @@ object Multimodal {
       .distinct()
   }
 
+  /** Audio perceptual fingerprint from REAL decoded PCM — the audio
+    * analog of [[imagePerceptualHashes]]: samples split into 64 windows
+    * by pure integer division (sample j → window j·64/n), bit i = sign of
+    * the energy gradient between windows i and i+1 (energies are exact
+    * integer Σs², so the whole hash replays in SQL). Narrow decode, the
+    * 63-bit hash is what ships. Pairs via [[imageNearDuplicates]]'s
+    * banding work unchanged on the (id, 0, 0, fp) shape — or just join
+    * on equality for exact perceptual matches. */
+  def audioPerceptualHashes(spark: SparkSession, docs: DataFrame,
+                            idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        MediaCodec.decodeAudio(bytes).map { pcm =>
+          val n = pcm.samples.length
+          val energy = new Array[Long](64)
+          var j = 0
+          while (j < n) {
+            val s = pcm.samples(j).toLong
+            energy(((j.toLong * 64) / n).toInt) += s * s
+            j += 1
+          }
+          var fp = 0L
+          var i = 0
+          while (i < 63) {
+            if (energy(i + 1) > energy(i)) fp |= (1L << i)
+            i += 1
+          }
+          (id, n.toLong, fp)
+        }
+      })
+      .toDF(idCol, "n_frames", "afp")
+  }
+
   /** REAL audio decode pass: every payload `javax.sound.sampled` can read
     * as 16-bit PCM yields format fields plus exact sample-sum and
     * sum-of-squares (RMS numerator); undecodable payloads drop out. */

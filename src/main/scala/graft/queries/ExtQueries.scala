@@ -169,6 +169,28 @@ object ExtQueries {
              |  CAST(SUM(s*s) AS BIGINT) AS amp_sq_sum
              |FROM sm GROUP BY d, n""".stripMargin)),
 
+    // ---------------------------------- multimodal audio perceptual hash
+    // Energy-gradient fingerprint over REAL decoded PCM; the oracle
+    // replays windowing (pure integer division) and energies from the
+    // fixture's closed-form samples.
+    Q("q_mm_audio_fingerprint",
+      (s, dir) => Multimodal.audioPerceptualHashes(s,
+        Multimodal.withFixtureMedia(s, Tables.df(s, dir, "documents"))),
+      Some("""WITH au AS (SELECT CAST(doc_id AS BIGINT) AS d,
+             |    400 + doc_id % 100 AS n
+             |  FROM documents WHERE doc_id % 2 = 1),
+             |sm AS (SELECT d, n, j, ((d*17 + j*7) % 4001) - 2000 AS s
+             |       FROM au, generate_series(0, 499) t(j) WHERE j < n),
+             |en AS (SELECT d, n, (j*64) // n AS w, SUM(s*s) AS e
+             |       FROM sm GROUP BY 1, 2, 3),
+             |bits AS (SELECT a.d, a.n, a.w AS i,
+             |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+             |  FROM en a JOIN en b ON b.d = a.d AND b.w = a.w + 1
+             |  WHERE a.w < 63)
+             |SELECT d AS doc_id, CAST(n AS BIGINT) AS n_frames,
+             |  CAST(SUM(bit * (1::BIGINT << i)) AS BIGINT) AS afp
+             |FROM bits GROUP BY d, n""".stripMargin)),
+
     // ------------------------------------------- multimodal frame sampling
     // Every 30th PCM frame from each real WAV payload, via the real JDK
     // decode — fully oracle-checked (was rows-only when decode was stubbed).

@@ -470,6 +470,40 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(strict == Set((1L, 2L)))
   }
 
+  test("audio fingerprint: identical PCM collides, re-leveled audio too") {
+    import graft.multimodal.Multimodal
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val base = Array.tabulate(400)(j => (((j * 37) % 1901) - 950).toShort)
+    // volume-halved copy: every energy gradient keeps its sign
+    val soft = base.map(s => (s / 2).toShort)
+    val other = Array.tabulate(400)(j => (((j * 53 + 7) % 1901) - 950).toShort)
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, wav(base)), (2L, wav(base)), (3L, wav(soft)),
+      (4L, wav(other))).toDF("doc_id", "payload")
+    val m = Multimodal.audioPerceptualHashes(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(1) == m(2), "identical PCM must share the fingerprint")
+    assert(java.lang.Long.bitCount(m(1) ^ m(3)) <= 4,
+      "volume change should barely move the energy-gradient fingerprint")
+    assert(java.lang.Long.bitCount(m(1) ^ m(4)) > 8,
+      "unrelated audio should diverge")
+  }
+
   test("streaming BM25 index: drained micro-batches score identically to batch") {
     val s = spark; import s.implicits._
     import graft.functions.CorpusFunctions
