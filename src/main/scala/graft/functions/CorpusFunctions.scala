@@ -496,9 +496,16 @@ object CorpusFunctions {
     * full-outer join; the totals row broadcasts. Nothing row-scale ever
     * shuffles. */
   def distributionDrift(a: DataFrame, b: DataFrame,
-                        catCol: String): DataFrame = {
-    val ca = a.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_a"))
-    val cb = b.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_b"))
+                        catCol: String): DataFrame =
+    distributionDriftFromCounts(
+      a.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_a")),
+      b.groupBy(col(catCol).as("category")).agg(count(lit(1)).as("n_b")))
+
+  /** [[distributionDrift]] over PRE-AGGREGATED counts `(category, n_a)` /
+    * `(category, n_b)` — what an incremental pipeline has at hand (the
+    * persisted mix state vs the increment's counts) without touching row
+    * data at all. */
+  def distributionDriftFromCounts(ca: DataFrame, cb: DataFrame): DataFrame = {
     val joined = ca.join(cb, Seq("category"), "full_outer")
       .select(col("category"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),

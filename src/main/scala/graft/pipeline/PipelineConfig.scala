@@ -558,10 +558,15 @@ object PipelineConfig {
         need(spec.idColumn.isDefined, "'id_column'")
         spec.k.foreach(k =>
           if (k < 1 || k > 4) bad(s"k $k (shard nibbles) outside [1,4]"))
+      case "drift_gate" =>
+        need(spec.keys.size == 1, "exactly one key (the category column)")
+        need(spec.threshold.isDefined, "'threshold' (max allowed PSI)")
+        spec.threshold.foreach(t =>
+          if (t <= 0.0) bad(s"threshold $t must be positive"))
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
         " | scd2_apply | fold_aggregate | zorder | neardup_labels" +
         " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
-        " | epoch_shards)")
+        " | epoch_shards | drift_gate)")
     }
     spec
   }

@@ -80,6 +80,35 @@ object PostOps {
         foldIncremental(spark, id, derivedId, extractor, loader)(
           (prev, inc) => graft.functions.CorpusFunctions.foldBm25Index(
             prev, inc, po.idColumn.get, po.valueColumn.get))
+      case "drift_gate" =>
+        // per-sync distribution-drift QUALITY GATE: the derived table is
+        // the persisted category-count mix of everything folded so far;
+        // each increment's mix is PSI-checked against it BEFORE folding.
+        // A breach throws → the table reports failure and the fold cursor
+        // stays put, so the offending increment is re-gated (not silently
+        // folded) on every retry until an operator intervenes. First sync
+        // has no state → no gate (it DEFINES the baseline mix).
+        val catCol = po.keys.head
+        val thr = po.threshold.get
+        foldIncremental(spark, id, derivedId, extractor, loader) { (prev, inc) =>
+          import org.apache.spark.sql.functions.{col, count, lit, sum}
+          val incCounts = inc.groupBy(col(catCol).as("category"))
+            .agg(count(lit(1)).as("n"))
+          prev.foreach { state =>
+            val psi = graft.functions.CorpusFunctions
+              .distributionDriftFromCounts(
+                state.select(col("category"), col("n").as("n_a")),
+                incCounts.select(col("category"), col("n").as("n_b")))
+              .agg(sum(col("psi_contrib"))).head().getDecimal(0)
+            val p = if (psi == null) BigDecimal(0) else BigDecimal(psi)
+            if (p > thr) throw new IllegalStateException(
+              f"drift_gate ${id.table}.$catCol: PSI $p%.4f > $thr — " +
+                "increment mix diverges from the corpus baseline")
+          }
+          prev.fold(incCounts)(p =>
+            p.select(col("category"), col("n")).unionByName(incCounts)
+              .groupBy("category").agg(sum(col("n")).as("n")))
+        }
       case "epoch_shards" =>
         // deterministic training-serving shard layout (VIEW shape): the
         // derived table is each row's (id, shard, pos) address for the

@@ -207,6 +207,54 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       expectStatus.collect().map(_.toSeq).toSet)
   }
 
+  test("post_ops drift_gate: baseline sync passes, shifted increment fails") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("drift_src")
+    def writeRows(rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("event_id", "cat")
+        .write.mode(mode).parquet(s"$srcDir/facts.parquet")
+    writeRows((1L to 50L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")), "errorifexists")
+    val y =
+      s"""pipeline:
+         |  name: "drift"
+         |  source: "$srcDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.facts:
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "event_id"
+         |    post_ops:
+         |      - op: drift_gate
+         |        target: facts_mix
+         |        keys: [cat]
+         |        threshold: 0.25
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("drift_wh"))
+    // first sync defines the baseline mix, no gate
+    assert(runner.sync(p).allOk)
+    val (_, _, loader) = runner.rigFor(p)
+    val baseId = p.tables.head.tableId(p)
+    def mix() = loader.readTarget(spark, baseId.copy(table = "facts_mix")).get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mix() == Map("a" -> 25L, "b" -> 25L))
+    // same-mix increment passes and folds into the state
+    writeRows((51L to 70L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")), "append")
+    assert(runner.sync(p).allOk)
+    assert(mix() == Map("a" -> 35L, "b" -> 35L))
+    // a shifted increment (all-new category) breaches the PSI gate: the
+    // table FAILS and the persisted mix stays put (cursor unmoved)
+    writeRows((71L to 110L).map(i => (i, "z")), "append")
+    val r3 = runner.sync(p)
+    assert(!r3.allOk, "shifted increment passed the drift gate")
+    assert(r3.tables.flatMap(_.error).exists(_.contains("drift_gate")),
+      s"error was: ${r3.tables.flatMap(_.error)}")
+    assert(mix() == Map("a" -> 35L, "b" -> 35L), "breached fold mutated state")
+  }
+
   test("post_ops epoch_shards: shard layout maintained, epoch bump re-deals") {
     def yml(epoch: Int) =
       s"""pipeline:
