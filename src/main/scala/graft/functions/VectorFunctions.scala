@@ -175,6 +175,36 @@ object VectorFunctions {
   final case class LloydResult(centroidsQ: IndexedSeq[Array[Long]],
                                assigned: DataFrame)
 
+  /** Retrieval-quality evaluation of one ranking against a reference
+    * ranking — the in-engine recall/MRR report every ANN deployment runs
+    * before trusting an index (the spec-only recall checks, promoted to a
+    * first-class operator): per query, `hits` = overlap of the system's
+    * list with the reference list, `recall` = hits/|reference|, `rr` =
+    * 1/rank of the first reference item in the system list (0 if absent).
+    * All quotients of exact integers — engine-identical doubles.
+    *
+    * Scale: operates on already-top-k candidate LISTS (query-count-scale
+    * relations); one semi-join + two aggregations, the corpora behind the
+    * rankings are never touched. */
+  def rankingEval(system: DataFrame, reference: DataFrame,
+                  queryCol: String = "query_id",
+                  idCol: String = "neighbor_id",
+                  rankCol: String = "rank"): DataFrame = {
+    val ref = reference.select(col(queryCol), col(idCol))
+    val refN = ref.groupBy(col(queryCol)).agg(count(lit(1)).as("n_ref"))
+    val hits = system.join(ref, Seq(queryCol, idCol), "left_semi")
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("hits"), min(col(rankCol)).as("__fr"))
+    refN.join(hits, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("n_ref"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_ref").cast("double")).as("recall"),
+        when(col("__fr").isNotNull,
+          lit(1.0) / col("__fr").cast("double")).otherwise(lit(0.0)).as("rr"))
+  }
+
   /** Deterministic Lloyd K-MEANS whose every round replays EXACTLY in
     * another engine — the constructive refutation of "Lloyd centroid
     * averages accumulate in engine-specific order": seeded init (md5-

@@ -1836,6 +1836,77 @@ object LlmQueries {
              |    ORDER BY kk, doc_id) AS BIGINT) AS pos
              |FROM k""".stripMargin)),
 
+    // ------------------------------------------------- ANN recall/MRR report
+    // The index-trust report as a query: seeded-IVF top-10 evaluated
+    // against exact brute-force ground truth, per query. Both rankings
+    // and the eval arithmetic replay exactly.
+    Q("q_ann_recall_report",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val idx = VectorFunctions.buildIvfSeeded(emb, nlist = 16)
+        VectorFunctions.rankingEval(
+          VectorFunctions.ivfTopK(idx, queries, k = 10, nprobe = 4),
+          VectorFunctions.bruteForceTopK(emb, queries, k = 10))
+      },
+      Some("""WITH cents AS MATERIALIZED (
+             |  SELECT ROW_NUMBER() OVER (
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             |      AS centroid_id,
+             |    embedding
+             |  FROM (SELECT vec_id, embedding FROM embeddings
+             |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+             |cells AS MATERIALIZED (
+             |  SELECT e.vec_id, c.centroid_id
+             |  FROM embeddings e CROSS JOIN cents c
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+             |               c.embedding::DOUBLE[]) DESC,
+             |             c.centroid_id ASC) = 1),
+             |q AS MATERIALIZED (
+             |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |probe AS MATERIALIZED (
+             |  SELECT query_id, centroid_id
+             |  FROM q CROSS JOIN cents c
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], qv) DESC,
+             |             c.centroid_id ASC) <= 4),
+             |sys AS MATERIALIZED (
+             |  SELECT query_id, neighbor_id, rank FROM (
+             |    SELECT q.query_id, e.vec_id AS neighbor_id,
+             |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+             |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+             |                   q.qv) DESC, e.vec_id ASC) AS rank
+             |    FROM q
+             |    JOIN probe p ON p.query_id = q.query_id
+             |    JOIN cells ce ON ce.centroid_id = p.centroid_id
+             |    JOIN embeddings e ON e.vec_id = ce.vec_id
+             |    WHERE e.vec_id <> q.query_id)
+             |  WHERE rank <= 10),
+             |ref AS MATERIALIZED (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT q.query_id, e.vec_id AS neighbor_id,
+             |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+             |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+             |                   q.qv) DESC, e.vec_id ASC) AS rank
+             |    FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+             |  WHERE rank <= 10),
+             |refn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ref
+             |         FROM ref GROUP BY 1),
+             |hits AS (SELECT s.query_id, CAST(COUNT(*) AS BIGINT) AS hits,
+             |           MIN(s.rank) AS fr
+             |         FROM sys s JOIN ref r
+             |           ON r.query_id = s.query_id
+             |          AND r.neighbor_id = s.neighbor_id
+             |         GROUP BY 1)
+             |SELECT r.query_id, COALESCE(h.hits, 0) AS hits, r.n_ref,
+             |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(r.n_ref AS DOUBLE)
+             |    AS recall,
+             |  CASE WHEN h.fr IS NOT NULL THEN 1.0 / h.fr ELSE 0.0 END AS rr
+             |FROM refn r LEFT JOIN hits h USING (query_id)""".stripMargin)),
+
     // ---------------------------------------------------------------- PQ ANN
     // Corpus-seeded deterministic codebooks (trainPqSeeded) keep the
     // production shape end-to-end — train → encode → PERSIST → ADC probe of

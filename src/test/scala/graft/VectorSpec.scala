@@ -339,6 +339,25 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(fit3 >= fit1, s"3-round fit $fit3 worse than 1-round $fit1")
   }
 
+  test("rankingEval: perfect, disjoint and partial overlaps score exactly") {
+    val s = spark; import s.implicits._
+    def rk(rows: (Long, Long, Int)*) =
+      rows.toDF("query_id", "neighbor_id", "rank")
+    val ref = rk((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 21L, 2))
+    // q1: identical list; q2: one hit at rank 2
+    val sys = rk((1L, 10L, 1), (1L, 11L, 2), (2L, 99L, 1), (2L, 20L, 2))
+    val m = VectorFunctions.rankingEval(sys, ref).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(m(1L) == ((2L, 1.0, 1.0)))
+    assert(m(2L) == ((1L, 0.5, 0.5)))
+    // a query the system never answered still reports (recall 0, rr 0)
+    val empty = VectorFunctions.rankingEval(
+      sys.filter(col("query_id") === 1), ref).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(empty(2L) == 0.0)
+  }
+
   test("IVF assigns every corpus vector to exactly one centroid") {
     val idx = VectorFunctions.buildIvf(emb, nlist = 8)
     val n = emb.count()
