@@ -1128,6 +1128,48 @@ object OlapQueries {
       Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
              |FROM orders
              |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
-             |                        (o_orderstatus), ())""".stripMargin))
+             |                        (o_orderstatus), ())""".stripMargin)),
+
+    // ------------------------------------------------ snapshot diff audit
+    // Row-level change report between two versions of a table (the "what
+    // did this sync change" audit): added/removed keys + changed rows
+    // with the differing column names. One full-outer key join; unchanged
+    // rows never reach the output.
+    Q("q_snapshot_diff",
+      (s, dir) => {
+        val orders = Tables.df(s, dir, "orders")
+        val old = orders.filter(col("o_orderkey") % 7 =!= 0)
+        val nw = orders.filter(col("o_orderkey") % 11 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")))
+        graft.operators.Relational.snapshotDiff(old, nw,
+          keys = Seq("o_orderkey"),
+          compareCols = Seq("o_totalprice", "o_orderstatus"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+             |           FROM orders WHERE o_orderkey % 7 != 0),
+             |n AS (SELECT o_orderkey,
+             |        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+             |             ELSE o_totalprice END AS o_totalprice,
+             |        o_orderstatus
+             |      FROM orders WHERE o_orderkey % 11 != 0),
+             |d AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             |        CASE WHEN o.o_orderkey IS NULL THEN 'added'
+             |             WHEN n.o_orderkey IS NULL THEN 'removed'
+             |             ELSE 'changed' END AS change_type,
+             |        CASE WHEN o.o_orderkey IS NOT NULL
+             |              AND n.o_orderkey IS NOT NULL THEN
+             |          array_to_string(list_filter([
+             |            CASE WHEN o.o_totalprice IS DISTINCT FROM
+             |              n.o_totalprice THEN 'o_totalprice' END,
+             |            CASE WHEN o.o_orderstatus IS DISTINCT FROM
+             |              n.o_orderstatus THEN 'o_orderstatus' END],
+             |            x -> x IS NOT NULL), ',')
+             |        ELSE '' END AS changed_cols
+             |      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+             |SELECT o_orderkey, change_type, changed_cols FROM d
+             |WHERE change_type != 'changed' OR changed_cols != ''"""
+        .stripMargin))
   )
 }

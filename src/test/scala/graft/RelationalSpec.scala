@@ -560,4 +560,27 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     val nulls = estimates(Seq(withNulls.unionByName(df.limit(0))))
     assert(nulls("gn").isNullAt(1) && nulls("gn").isNullAt(2))
   }
+
+  test("snapshotDiff: adds, removes, null transitions; unchanged omitted") {
+    val s = spark; import s.implicits._
+    val old = Seq((1L, Some("a"), 10), (2L, Some("b"), 20),
+      (3L, None: Option[String], 30), (4L, Some("d"), 40))
+      .toDF("k", "v", "x")
+    val nw = Seq((1L, Some("a"), 10), (2L, Some("B"), 20),
+      (3L, Some("c"), 30), (5L, Some("e"), 50))
+      .toDF("k", "v", "x")
+    val d = graft.operators.Relational.snapshotDiff(old, nw, Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(d == Map(
+      2L -> (("changed", "v")),
+      3L -> (("changed", "v")), // null → value IS a change (null-safe eq)
+      4L -> (("removed", "")),
+      5L -> (("added", ""))))   // k=1 unchanged → omitted
+    // multi-column change lists every differing column in schema order
+    val both = graft.operators.Relational.snapshotDiff(
+      Seq((9L, "a", 1)).toDF("k", "v", "x"),
+      Seq((9L, "z", 2)).toDF("k", "v", "x"), Seq("k")).head()
+    assert(both.getString(2) == "v,x")
+  }
 }
