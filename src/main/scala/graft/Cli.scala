@@ -321,6 +321,50 @@ object Cli {
           s"${res.loadedRows} staged rows merged, ${res.skippedFiles} files already processed")
         0
 
+      case "diff" =>
+        // source-vs-warehouse row-level parity audit: read BOTH sides in
+        // full, snapshotDiff on the key columns, print per-change-type
+        // counts + a bounded sample. The debugging complement of the
+        // count-parity gate: WHICH keys differ and in WHICH columns.
+        // Exit 1 when any difference exists (sensor-friendly).
+        val (r, p) = runner
+        val (_, _, loader) = r.rigFor(p)
+        val spec = requireTable(p, tableFilter, "diff")
+        val keys = opts.get("keys").map(_.split(",").toSeq)
+          .orElse(Option(spec.mergeKeys).filter(_.nonEmpty))
+          .orElse(spec.cdc.idColumn.map(Seq(_))).getOrElse {
+          System.err.println("diff requires --keys k1,k2 or a cdc_id_column")
+          throw CliExit(2)
+        }
+        val id = spec.tableId(p)
+        val target = loader.readTarget(spark, id).getOrElse {
+          System.err.println(s"diff: ${id.qualified} has never been loaded")
+          throw CliExit(2)
+        }
+        val source = r.catalogFor(p, spec.connection).table(spark, spec)
+        // compare only columns both sides carry (rename maps / evolution
+        // can leave the warehouse wider than the live source)
+        val d = graft.operators.Relational.snapshotDiff(
+          source, target, keys).cache()
+        try {
+          val counts = d.groupBy("change_type").count().collect()
+            .map(row => row.getString(0) -> row.getLong(1)).toMap
+          val added = counts.getOrElse("added", 0L)    // in warehouse only
+          val removed = counts.getOrElse("removed", 0L) // in source only
+          val changed = counts.getOrElse("changed", 0L)
+          println(s"${id.qualified} vs source on (${keys.mkString(",")}): " +
+            s"$removed source-only, $added warehouse-only, $changed changed")
+          val sample = numOpt(opts, "sample", _.toInt).getOrElse(20)
+          d.orderBy(keys.map(org.apache.spark.sql.functions.col): _*)
+            .limit(sample).collect().foreach { row =>
+            println("  " + keys.map(k => s"$k=${row.getAs[Any](k)}")
+              .mkString(",") + s" ${row.getAs[String]("change_type")}" +
+              Option(row.getAs[String]("changed_cols")).filter(_.nonEmpty)
+                .map(c => s" [$c]").getOrElse(""))
+          }
+          if (added + removed + changed == 0) 0 else 1
+        } finally { d.unpersist(); () }
+
       case "forget" =>
         // targeted deletion (right-to-be-forgotten): remove the given key
         // values from the warehouse table AND tombstone them so a later
@@ -545,6 +589,7 @@ object Cli {
       |  watermark-count get|set|status -t table [--count N]
       |  column-map list|get|clear [-t table] [--force]  persisted rename maps
       |  compact   rewrite a table's small files: -t table [--target-file-mb N (256)]
+      |  diff      source-vs-warehouse row audit: -t table [--keys k1,k2] [--sample N]
       |  forget    delete + tombstone keys: -t table --values v1,v2 [--key-column c]
       |  markers   list a date's completion markers [--date YYYYMMDD]; exit 1 on any FAILED
       |  unlock    break a stale session lock: -t table [--stale-minutes M (60)] [--force]

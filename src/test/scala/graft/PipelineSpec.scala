@@ -1035,6 +1035,39 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"warehouse not zstd: ${warehouse.take(2)}")
   }
 
+  test("CLI diff: parity exits 0, divergence is counted and exits 1") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("diff_cli_src")
+    def writeRows(rows: Seq[(Long, String, Double)], mode: String): Unit =
+      rows.toDF("event_id", "cat", "v")
+        .write.mode(mode).parquet(s"$srcDir/facts.parquet")
+    writeRows(Seq((1L, "a", 10.0), (2L, "b", 20.0)), "errorifexists")
+    val ymlPath = java.nio.file.Paths.get(tmpDir("diff_cli_cfg"), "p.yml")
+    java.nio.file.Files.writeString(ymlPath,
+      s"""pipeline:
+         |  name: "diffcli"
+         |  source: "$srcDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.facts:
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "event_id"
+         |""".stripMargin)
+    val work = tmpDir("diff_cli_wh")
+    def cli(args: String*): Int =
+      graft.Cli.run((args ++ Seq("-c", ymlPath.toString,
+        "--work-dir", work)).toArray)
+    assert(cli("sync") == 0)
+    assert(cli("diff", "-t", "fx.facts") == 0) // in parity after the sync
+    // a new source row not yet synced → source-only divergence, exit 1
+    writeRows(Seq((3L, "c", 30.0)), "append")
+    assert(cli("diff", "-t", "fx.facts") == 1)
+    // draining the increment restores parity
+    assert(cli("sync") == 0)
+    assert(cli("diff", "-t", "fx.facts") == 0)
+  }
+
   test("CLI verb battery: sync/status/backup/load/watermark/unlock/s3clean") {
     val work = tmpDir("cliverbs")
     val ymlPath = java.nio.file.Paths.get(tmpDir("clicfg"), "p.yml")
