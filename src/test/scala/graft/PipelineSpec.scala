@@ -116,8 +116,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // every showcased post_op (neardup_labels + the four fold ops)
     val p = PipelineConfig.fromFile("config/pipelines/example_fixtures.yml")
     assert(p.tables.exists(_.postOps.map(_.op).toSet ==
-      Set("neardup_labels", "fold_bm25", "epoch_shards", "fold_kmv_distinct",
-        "fold_count_min", "fold_sample")))
+      Set("neardup_labels", "fold_bm25", "epoch_shards", "drift_gate",
+        "fold_kmv_distinct", "fold_count_min", "fold_sample")))
     val runner = new PipelineRunner(spark, tmpDir("example_cfg"))
     val r = runner.sync(p)
     assert(r.allOk, r.tables.flatMap(_.error).mkString(";"))
