@@ -81,7 +81,9 @@ object LearnFunctions {
     * integer gradient sum — every step replays in any engine with int128
     * arithmetic. */
   def trainLinearProbe(vecs: DataFrame, xqCol: String, yCol: String,
-                       iters: Int = 4, lrLog2: Int = 1): Array[BigInt] = {
+                       iters: Int = 4, lrLog2: Int = 1,
+                       initWeights: Option[Array[BigInt]] = None)
+      : Array[BigInt] = {
     require(iters >= 1 && iters <= 64, s"iters $iters out of [1,64]")
     require(lrLog2 >= -8 && lrLog2 <= 20, s"lrLog2 $lrLog2 out of [-8,20]")
     val base = vecs.select(col(xqCol).as("__xq"),
@@ -111,7 +113,14 @@ object LearnFunctions {
       require(bDiv > 0 && bDiv % 2 == 0,
         s"lr 2^$lrLog2 leaves an odd divisor $bDiv (half-rounding undefined)")
       val halfB = bDiv / 2
-      var w = Array.fill[BigInt](dim + 1)(BigInt(0))
+      // warm start = ONLINE learning: continuing from persisted weights
+      // makes "train a few steps on each increment" a pure function of the
+      // (ordered) increment sequence — the fold_probe post-op's contract
+      var w = initWeights.map { iw =>
+        require(iw.length == dim + 1,
+          s"initWeights length ${iw.length} != dim+1 ${dim + 1}")
+        iw.clone()
+      }.getOrElse(Array.fill[BigInt](dim + 1)(BigInt(0)))
       for (_ <- 1 to iters) {
         val err = pNumCol(marginCol(col("__xq"), w)) -
           lit(PScale).cast(DecimalType(38, 0)) * col("__y")

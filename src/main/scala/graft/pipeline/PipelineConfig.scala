@@ -68,8 +68,10 @@ final case class PostOpSpec(
     valueColumn: Option[String] = None,        // fold_kmv_distinct /
                                                // fold_count_min / fold_sample
     k: Option[Int] = None,                     // sketch size (state bound) /
-                                               // epoch_shards nibbles
-    epoch: Option[Int] = None)                 // epoch_shards seed
+                                               // epoch_shards nibbles /
+                                               // fold_probe GD steps per sync
+    epoch: Option[Int] = None,                 // epoch_shards seed
+    vectorColumn: Option[String] = None)       // fold_probe feature vector
 
 /** One configured table: scoped name + CDC config + optional rename
   * (YAML `tables.<schema.table>`; ref TableConfig, configuration_manager.py:23-43).
@@ -513,7 +515,8 @@ object PipelineConfig {
       threshold = opt(n, "threshold").map(_.asDouble),
       valueColumn = opt(n, "value_column").map(_.asText),
       k = opt(n, "k").map(_.asInt),
-      epoch = opt(n, "epoch").map(_.asInt))
+      epoch = opt(n, "epoch").map(_.asInt),
+      vectorColumn = opt(n, "vector_column").map(_.asText))
     def need(cond: Boolean, what: String): Unit =
       if (!cond) bad(s"'$op' (target $target) requires $what")
     op match {
@@ -563,10 +566,17 @@ object PipelineConfig {
         need(spec.threshold.isDefined, "'threshold' (max allowed PSI)")
         spec.threshold.foreach(t =>
           if (t <= 0.0) bad(s"threshold $t must be positive"))
+      case "fold_probe" =>
+        need(spec.vectorColumn.isDefined && spec.valueColumn.isDefined &&
+          spec.threshold.isDefined,
+          "'vector_column', 'value_column' (label source) and 'threshold'" +
+            " (label cut: y = value >= threshold)")
+        spec.k.foreach(k =>
+          if (k < 1 || k > 64) bad(s"k $k (GD steps per sync) outside [1,64]"))
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
         " | scd2_apply | fold_aggregate | zorder | neardup_labels" +
         " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
-        " | epoch_shards | drift_gate)")
+        " | epoch_shards | drift_gate | fold_probe)")
     }
     spec
   }

@@ -109,6 +109,50 @@ object PostOps {
             p.select(col("category"), col("n")).unionByName(incCounts)
               .groupBy("category").agg(sum(col("n")).as("n")))
         }
+      case "fold_probe" =>
+        // ONLINE-LEARNED linear probe as pipeline state: each sync takes k
+        // exact-integer GD steps on ITS increment, warm-started from the
+        // persisted weights (graft.functions.LearnFunctions scaladoc). The
+        // state is the (dim, wq) weight table; the fold cursor makes the
+        // step sequence exactly-once, so the weights are a pure function
+        // of the ordered increment sequence (crash replay retrains the
+        // same increment from the same warm start — convergent). Labels
+        // derive in-engine: y = [value_column >= threshold].
+        val vecCol = po.vectorColumn.get
+        val valCol = po.valueColumn.get
+        val thr = po.threshold.get
+        val steps = po.k.getOrElse(4)
+        foldIncremental(spark, id, derivedId, extractor, loader) { (prev, inc) =>
+          import org.apache.spark.sql.functions.{col, lit, when}
+          val staged = inc.select(
+            graft.functions.LearnFunctions.quantize(col(vecCol)).as("__xq"),
+            when(col(valCol).cast("double") >= thr, 1L).otherwise(0L)
+              .as("__y"))
+          if (staged.isEmpty) {
+            // an empty staged session (idle re-sync) takes no GD steps
+            import spark.implicits._
+            prev.getOrElse(Seq.empty[(Int, java.math.BigDecimal)]
+              .toDF("dim", "wq")
+              .select(col("dim"),
+                col("wq").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+                  .as("wq")))
+          } else {
+            val w0 = prev.map(_.collect()
+              .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger))
+              .toMap).filter(_.nonEmpty)
+              .map(m => Array.tabulate(m.size)(m(_)))
+            val w1 = graft.functions.LearnFunctions.trainLinearProbe(
+              staged, "__xq", "__y", iters = steps, initWeights = w0)
+            import spark.implicits._
+            w1.zipWithIndex
+              .map { case (wq, d) =>
+                (d, new java.math.BigDecimal(wq.bigInteger)) }
+              .toSeq.toDF("dim", "wq")
+              .select(col("dim"),
+                col("wq").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+                  .as("wq"))
+          }
+        }
       case "epoch_shards" =>
         // deterministic training-serving shard layout (VIEW shape): the
         // derived table is each row's (id, shard, pos) address for the

@@ -255,6 +255,67 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(mix() == Map("a" -> 35L, "b" -> 35L), "breached fold mutated state")
   }
 
+  test("post_ops fold_probe: online weights equal sequential warm-started training") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("probe_src")
+    def rows(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => (((i * 7 + d) % 13) - 6) / 10.0f),
+        i % 10))
+    def writeRows(r: Seq[(Long, Seq[Float], Int)], mode: String): Unit =
+      r.toDF("vec_id", "embedding", "label")
+        .write.mode(mode).parquet(s"$srcDir/vecs.parquet")
+    writeRows(rows(0, 40), "errorifexists")
+    val y =
+      s"""pipeline:
+         |  name: "probefold"
+         |  source: "$srcDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.vecs:
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "vec_id"
+         |    post_ops:
+         |      - op: fold_probe
+         |        target: vecs_probe
+         |        vector_column: embedding
+         |        value_column: label
+         |        threshold: 5
+         |        k: 3
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("probe_wh"))
+    val r1 = runner.sync(p)
+    assert(r1.allOk, r1.tables.flatMap(_.error).mkString(";"))
+    val (_, _, loader) = runner.rigFor(p)
+    val baseId = p.tables.head.tableId(p)
+    def state() = loader.readTarget(spark, baseId.copy(table = "vecs_probe"))
+      .get.collect()
+      .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+    import graft.functions.LearnFunctions
+    def staged(r: Seq[(Long, Seq[Float], Int)]) =
+      r.toDF("vec_id", "embedding", "label").select(
+        LearnFunctions.quantize(col("embedding")).as("xq"),
+        when(col("label") >= 5, 1L).otherwise(0L).as("y"))
+    val w1 = LearnFunctions.trainLinearProbe(staged(rows(0, 40)), "xq", "y",
+      iters = 3)
+    val s1 = state()
+    assert(s1.size == 9 && w1.zipWithIndex.forall { case (w, d) => s1(d) == w })
+    assert(w1.exists(_ != 0), "first sync trained nothing")
+    // second increment: the pipeline warm-starts from the persisted weights
+    writeRows(rows(40, 70), "append")
+    assert(runner.sync(p).allOk)
+    val w2 = LearnFunctions.trainLinearProbe(staged(rows(40, 70)), "xq", "y",
+      iters = 3, initWeights = Some(w1))
+    val s2 = state()
+    assert(w2.zipWithIndex.forall { case (w, d) => s2(d) == w },
+      "folded weights diverge from sequential warm-started training")
+    // idle re-sync: no new sessions, weights untouched (exactly-once)
+    val r3 = runner.sync(p)
+    assert(r3.allOk, r3.tables.flatMap(_.error).mkString(";"))
+    assert(state() == s2)
+  }
+
   test("post_ops epoch_shards: shard layout maintained, epoch bump re-deals") {
     def yml(epoch: Int) =
       s"""pipeline:
