@@ -67,6 +67,68 @@ object CorpusFunctions {
     df.filter(keep)
   }
 
+  /** Rebalance the corpus to an EXPLICIT target mixture by downsampling
+    * only (the DoReMi-deployment / data-card knob: "ship 60% en, 20% es,
+    * 20% fr"). Targets are integer weights (share_g = w_g / ΣW), so every
+    * quota derives in EXACT integer arithmetic and the selection carries a
+    * full cross-engine oracle:
+    *
+    *   T      = min_g floor(n_g · ΣW / w_g)   — the largest total for which
+    *                                            every group can fill its share
+    *   keep_g = floor(w_g · T / ΣW)           — per-group quota (≤ n_g)
+    *
+    * Groups absent from `weights` are dropped (weight 0). Rows are picked
+    * per group in deterministic md5(id) order, so the selection is stable
+    * and engine-portable.
+    *
+    * Scale: the corpus full-payload rows NEVER shuffle. A narrow
+    * (id, group) projection pays the one per-group rank exchange; from it
+    * the keep_g-th smallest md5 per group becomes a PER-GROUP THRESHOLD
+    * (group-cardinality rows, broadcast), and the payload corpus is then
+    * filtered ROWWISE against the threshold — the same scan-side-filter
+    * shape as [[sampleByGroup]], but with an exact quota instead of a rate.
+    */
+  def rebalanceToMixture(docs: DataFrame, groupCol: String,
+                         weights: Seq[(String, Long)],
+                         idCol: String): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate group in weights")
+    val sumW = weights.map(_._2).sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights.toDF(groupCol, "__w")
+
+    val mkey = md5(col(idCol).cast("string"))
+    val narrow = docs.select(col(idCol), col(groupCol))
+    val counts = narrow.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // feasibility caps and the global total T (1 row, broadcast)
+    val feas = counts.join(broadcast(wdf), groupCol)
+      .withColumn("__cap", expr(s"(__n * ${sumW}L) div __w"))
+    val tRow = feas.agg(min(col("__cap")).as("__T"))
+    val quota = feas.crossJoin(broadcast(tRow))
+      .withColumn("__keep", expr(s"(__w * __T) div ${sumW}L"))
+      .select(col(groupCol), col("__keep"))
+      .filter(col("__keep") > 0)
+
+    // the keep_g-th (group, md5, id) in rank order IS the admission
+    // threshold; ties on md5 break by id, so membership is total-ordered
+    val thresholds = narrow.join(broadcast(quota), groupCol)
+      .select(col(groupCol), col("__keep"), mkey.as("__m"), col(idCol))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol)).orderBy(col("__m"), col(idCol))))
+      .filter(col("__rn") === col("__keep"))
+      .select(col(groupCol), col("__m").as("__tm"),
+        col(idCol).as("__tid"))
+
+    docs.join(broadcast(thresholds), groupCol)
+      .filter(mkey < col("__tm") ||
+        (mkey === col("__tm") && col(idCol) <= col("__tid")))
+      .drop("__tm", "__tid")
+  }
+
   /** Greedy token-budget selection: PER GROUP, admit documents in a
     * deterministic order (ascending `orderCol`) until the group's cumulative
     * token count would exceed `budget` — the "fill each source's quota"

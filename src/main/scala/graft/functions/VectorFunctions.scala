@@ -57,6 +57,85 @@ object VectorFunctions {
         col("rank"), col("cosine"))
   }
 
+  /** Johnson–Lindenstrauss random projection: reduce `vecCol` from its
+    * native dimension to `outDim` with a DETERMINISTIC Rademacher matrix
+    * (entries ±1/√outDim derived from md5, the same plane rule as
+    * [[cosineNearDuplicatesLsh]]) — the standard pre-step before clustering
+    * or ANN when the native embedding width makes per-row arithmetic the
+    * bottleneck (768-d → 64-d cuts every downstream cosine 12×, preserving
+    * pairwise distances to 1±ε by the JL lemma with database-friendly ±1
+    * entries, Achlioptas 2003).
+    *
+    * Scale: a pure rowwise projection — the matrix rides the plan as ONE
+    * literal array<array<double>>, each output component is a single fused
+    * [[graft.functions.DotProd]] pass, and the operator introduces ZERO
+    * shuffles; at 100 TB it pipelines inside whole-stage codegen over the
+    * scan. Determinism makes the projection engine-portable (full value
+    * oracle) and re-runnable: growing the corpus never changes an existing
+    * row's reduced vector, so persisted downstream indexes stay valid.
+    */
+  def randomProjection(df: DataFrame, outDim: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       outCol: String = "reduced"): DataFrame = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
+    val dim = df.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d") > 0).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    if (dim == 0) // empty input (or all-null vectors): nothing to project
+      return df.select(col(idCol),
+        typedlit(Seq.empty[Double]).as(outCol)).limit(0)
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, d: Int): Double = {
+      val hex = mdig.digest(s"${p}_${d}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((hex(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+    val planes: Seq[Seq[Double]] =
+      (0 until outDim).map(p => (0 until dim).map(d => sign(p, d)))
+    // √outDim of a positive integer is correctly-rounded IEEE in both
+    // engines, so component values replay bit-for-bit in the oracle
+    val scale = sqrt(lit(outDim.toDouble))
+    df.select(col(idCol),
+      transform(typedlit(planes), pl => dot(col(vecCol), pl) / scale)
+        .as(outCol))
+  }
+
+  /** Hard-negative mining for contrastive training: per query, the k MOST
+    * similar corpus vectors whose cosine falls in [simLo, simHi) — close
+    * enough to be informative negatives, strictly below the near-duplicate
+    * band where a "negative" would actually be a positive (the standard
+    * dense-retrieval negative-sampling rule, cf. Karpukhin 2020 / SNCSE).
+    *
+    * Scale: same map-side-only shape as [[bruteForceTopK]] — broadcast the
+    * query set, scan the corpus ONCE, but the band filter prunes rows
+    * BEFORE the per-query top-k window, so the rank exchange carries only
+    * in-band candidates (for a tight band, a tiny fraction of the corpus)
+    * rather than every (query, corpus) score. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    simLo: Double, simHi: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    queryIdCol: String = "query_id",
+                    excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(simLo < simHi, s"band must be non-empty: [$simLo, $simHi)")
+    val q = broadcast(queries.select(col(queryIdCol),
+      col(vecCol).as("__qvec")))
+    val joinCond =
+      if (excludeSelf) col(queryIdCol) =!= col(idCol) else lit(true)
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(q, joinCond)
+      .withColumn("cosine", cosine(col(vecCol), col("__qvec")))
+      .filter(col("cosine") >= simLo && col("cosine") < simHi)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
+        col("rank"), col("cosine"))
+  }
+
   // --------------------------------------------------------------------------
   // IVF — inverted-file index (the scale path)
   // --------------------------------------------------------------------------

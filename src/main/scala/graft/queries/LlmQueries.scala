@@ -254,6 +254,38 @@ object LlmQueries {
              |      < printf('%08x',
              |          CAST(round(rate * 4294967296) AS BIGINT))""".stripMargin)),
 
+    // ------------------------------- explicit-target mixture rebalance
+    // Downsample documents to a 5:2:2:1 en/es/fr/zh mixture (de has no
+    // weight → dropped). All quotas are exact integer arithmetic
+    // (T = min_g floor(n_g·ΣW/w_g), keep_g = floor(w_g·T/ΣW)) and the
+    // per-group pick order is md5(doc_id), so the oracle replays the
+    // entire selection including the admission thresholds.
+    Q("q_mixture_rebalance",
+      (s, dir) => graft.functions.CorpusFunctions.rebalanceToMixture(
+        Tables.df(s, dir, "documents"), "lang",
+        weights = Seq("en" -> 5L, "es" -> 2L, "fr" -> 2L, "zh" -> 1L),
+        idCol = "doc_id")
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""WITH wts(lang, w) AS (VALUES ('en', 5), ('es', 2),
+             |                             ('fr', 2), ('zh', 1)),
+             |counts AS (SELECT lang, COUNT(*) AS n FROM documents
+             |           GROUP BY lang),
+             |feas AS (SELECT c.lang, w.w, (c.n * 10) // w.w AS cap
+             |         FROM counts c JOIN wts w USING (lang)),
+             |quota AS (SELECT lang, (w * (SELECT MIN(cap) FROM feas)) // 10
+             |            AS keep
+             |          FROM feas),
+             |ranked AS (
+             |  SELECT d.doc_id, d.lang, q.keep,
+             |    ROW_NUMBER() OVER (PARTITION BY d.lang
+             |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+             |  FROM documents d JOIN quota q USING (lang)
+             |  WHERE q.keep > 0)
+             |SELECT d.doc_id, d.lang, d.source
+             |FROM documents d
+             |JOIN ranked r ON d.doc_id = r.doc_id
+             |WHERE r.rn <= r.keep""".stripMargin)),
+
     // ---------------------------------------------- token-budget selection
     // Greedy per-source quota fill in deterministic (doc_id) order; integer
     // running sum → exact cross-engine parity.
@@ -1428,6 +1460,59 @@ object LlmQueries {
              |  WHERE e.vec_id <> q.query_id)
              |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
              |FROM scored WHERE rank <= 10""".stripMargin)),
+
+    // --------------------------------------------- hard-negative mining
+    // Per query: top-k most-similar corpus vectors whose cosine falls in
+    // [0.05, 0.45) — informative contrastive negatives below the near-dup
+    // band. Identical arithmetic to the brute-force oracle plus the band
+    // predicate, so every score and rank replays.
+    Q("q_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        VectorFunctions.hardNegatives(emb, queries, k = 10,
+          simLo = 0.05, simHi = 0.45)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 4).as("cos4"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+             |  FROM embeddings e CROSS JOIN q
+             |  WHERE e.vec_id <> q.query_id),
+             |banded AS (
+             |  SELECT query_id, neighbor_id, cos,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+             |  FROM scored WHERE cos >= 0.05 AND cos < 0.45)
+             |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
+             |FROM banded WHERE rank <= 10""".stripMargin)),
+
+    // --------------------------- JL random projection (dim reduction)
+    // 64-d → 16-d with the deterministic md5-Rademacher matrix; each
+    // reduced component is one dot product over a ±1 plane scaled by
+    // 1/√16. The oracle re-derives the matrix and replays every
+    // component; exploded to (vec_id, j, v4) rows for value hashing.
+    Q("q_jl_project",
+      (s, dir) => VectorFunctions.randomProjection(
+        Tables.df(s, dir, "embeddings"), outDim = 16)
+        .select(col("vec_id"), posexplode(col("reduced")).as(Seq("j", "v")))
+        .select(col("vec_id"), col("j"), round(col("v"), 4).as("v4")),
+      Some("""WITH planes AS MATERIALIZED (
+             |  SELECT p, list(CASE WHEN strpos('01234567',
+             |      substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)),
+             |             1, 1)) > 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
+             |  FROM (SELECT unnest(generate_series(0, 15)) AS p),
+             |       (SELECT unnest(generate_series(0, 63)) AS d)
+             |  GROUP BY p)
+             |SELECT e.vec_id, pl.p AS j,
+             |  round(list_dot_product(e.embedding::DOUBLE[], pl.pl)
+             |        / sqrt(16.0), 4) AS v4
+             |FROM embeddings e CROSS JOIN planes pl""".stripMargin)),
 
     // ------------------------------------- MMR diversity rerank (full oracle)
     // Greedy λ·rel − (1−λ)·max-sim selection over each query's top-30

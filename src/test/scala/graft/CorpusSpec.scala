@@ -601,4 +601,53 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(one.filter(col("kind") === "d").count() == docs.count())
     assert(one.filter(col("kind") === "p").count() > docs.count())
   }
+
+  test("rebalanceToMixture: exact integer quotas, md5 pick order, " +
+      "unweighted groups dropped") {
+    val s = spark
+    import s.implicits._
+    // a:10 docs, b:6, c:4; weights a=2, b=1 (c unweighted)
+    val docs = ((0L until 10L).map(i => (i, "a")) ++
+      (10L until 16L).map(i => (i, "b")) ++
+      (16L until 20L).map(i => (i, "c"))).toDF("doc_id", "grp")
+    val res = CorpusFunctions.rebalanceToMixture(docs, "grp",
+      Seq("a" -> 2L, "b" -> 1L), idCol = "doc_id")
+    val byGrp = res.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T = min(10*3/2, 6*3/1) = 15; keep_a = 2*15/3 = 10, keep_b = 15/3 = 5
+    assert(byGrp == Map("a" -> 10L, "b" -> 5L), s"got $byGrp")
+    // the kept b-rows are exactly the 5 smallest by (md5(id), id)
+    def md5hex(v: String): String = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val wantB = (10L until 16L).sortBy(i => (md5hex(i.toString), i)).take(5)
+    val gotB = res.filter(col("grp") === "b").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotB == wantB.sorted.toSeq)
+    // rerun bit-identical
+    val again = CorpusFunctions.rebalanceToMixture(docs, "grp",
+      Seq("a" -> 2L, "b" -> 1L), idCol = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == res.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq)
+    // equal weights equalize to the smaller group's size
+    val eq = CorpusFunctions.rebalanceToMixture(docs, "grp",
+      Seq("a" -> 1L, "b" -> 1L), idCol = "doc_id")
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eq == Map("a" -> 6L, "b" -> 6L))
+    // validation
+    intercept[IllegalArgumentException] {
+      CorpusFunctions.rebalanceToMixture(docs, "grp", Seq.empty, "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusFunctions.rebalanceToMixture(docs, "grp",
+        Seq("a" -> 0L), "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      CorpusFunctions.rebalanceToMixture(docs, "grp",
+        Seq("a" -> 1L, "a" -> 2L), "doc_id")
+    }
+  }
 }

@@ -232,6 +232,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("JL random projection is a shuffle-free rowwise plan") {
+    val plan = executedString(q("q_jl_project"))
+    assert(!plan.contains("Exchange"),
+      s"randomProjection must pipeline inside the scan stage, found Exchange:\n$plan")
+  }
+
+  test("mixture rebalance: payload never shuffles, thresholds broadcast") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.functions.CorpusFunctions.rebalanceToMixture(docs, "lang",
+      Seq("en" -> 5L, "es" -> 2L, "fr" -> 2L, "zh" -> 1L), idCol = "doc_id")
+    val exchanges = physical(df).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "no exchanges — assertion would be vacuous")
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name).toSet
+      assert(!cols.contains("text"),
+        s"document payload rides an exchange: $cols")
+    }
+    assert(!executedString(df).contains("SortMergeJoin"),
+      "threshold join must broadcast, never sort-merge")
+  }
+
   test("exactly-N sample is TakeOrdered, never a global sort") {
     val plan = executedString(q("q_sample_exact_n"))
     assert(plan.contains("TakeOrderedAndProject"),

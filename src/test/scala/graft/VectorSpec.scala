@@ -488,4 +488,87 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(res.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
       res2.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
+
+  test("randomProjection: basis vectors read the matrix back exactly, " +
+      "deterministic, empty-safe") {
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    // corpus of unit basis vectors: reduced(e_d)[p] = sign(p,d)/sqrt(outDim)
+    val basis = (0 until dim).map { d =>
+      (d.toLong, Seq.tabulate(dim)(i => if (i == d) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val outDim = 4
+    val res = VectorFunctions.randomProjection(basis, outDim)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1)).toMap
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, d: Int): Double = {
+      val hex = mdig.digest(s"${p}_${d}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((hex(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+    (0 until dim).foreach { d =>
+      val got = res(d.toLong)
+      assert(got.length == outDim)
+      (0 until outDim).foreach { p =>
+        assert(got(p) == sign(p, d) / math.sqrt(outDim.toDouble),
+          s"component ($p) of basis $d")
+      }
+    }
+    // linearity on a crafted combination: proj(2·e0 + 3·e1) = 2·col0 + 3·col1
+    val combo = Seq((99L, Seq.tabulate(dim)(i =>
+      if (i == 0) 2.0f else if (i == 1) 3.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorFunctions.randomProjection(combo, outDim)
+      .collect()(0).getSeq[Double](1)
+    (0 until outDim).foreach { p =>
+      val want = (2.0 * sign(p, 0) + 3.0 * sign(p, 1)) /
+        math.sqrt(outDim.toDouble)
+      assert(math.abs(got(p) - want) < 1e-12)
+    }
+    // fixture corpus: right width, rerun bit-identical, JL roughly
+    // preserves relative norms (loose sanity bound, not the lemma)
+    val red = VectorFunctions.randomProjection(emb, 16)
+    val rows = red.collect()
+    assert(rows.forall(_.getSeq[Double](1).length == 16))
+    val rows2 = VectorFunctions.randomProjection(emb, 16).collect()
+    assert(rows.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq ==
+      rows2.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+    // empty input: zero rows, not a crash
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(VectorFunctions.randomProjection(empty, 4).count() == 0)
+  }
+
+  test("hardNegatives: band bounds respected, near-dups excluded, ranked") {
+    val s = spark
+    import s.implicits._
+    // query along e0; corpus at known cosines: 1.0 (dup), ~0.95 (near-dup),
+    // ~0.6 / ~0.3 (in band), ~0.0 (too far)
+    def at(c: Double): Seq[Float] = {
+      val sgn = math.sqrt(1.0 - c * c)
+      Seq(c.toFloat, sgn.toFloat)
+    }
+    val corpus = Seq(
+      (1L, at(1.0)), (2L, at(0.95)), (3L, at(0.6)),
+      (4L, at(0.3)), (5L, at(0.0))).toDF("vec_id", "embedding")
+    val q = Seq((100L, at(1.0))).toDF("query_id", "embedding")
+    val res = VectorFunctions.hardNegatives(corpus, q, k = 10,
+      simLo = 0.1, simHi = 0.9, excludeSelf = false)
+      .orderBy("rank").collect()
+    assert(res.map(_.getLong(1)).toSeq == Seq(3L, 4L),
+      "only the in-band vectors, most-similar first")
+    assert(res.map(_.getInt(2)).toSeq == Seq(1, 2))
+    assert(res.forall { r =>
+      val c = r.getDouble(3); c >= 0.1 && c < 0.9 })
+    // k caps the result
+    val res1 = VectorFunctions.hardNegatives(corpus, q, k = 1,
+      simLo = 0.1, simHi = 0.9, excludeSelf = false).collect()
+    assert(res1.length == 1 && res1(0).getLong(1) == 3L)
+    // degenerate band rejected
+    intercept[IllegalArgumentException] {
+      VectorFunctions.hardNegatives(corpus, q, k = 1,
+        simLo = 0.5, simHi = 0.5)
+    }
+  }
 }
