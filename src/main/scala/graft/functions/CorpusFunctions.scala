@@ -468,6 +468,60 @@ object CorpusFunctions {
           .as("avg_logprob"))
   }
 
+  /** Score `docs` under a bigram LM trained on a SEPARATE `reference`
+    * corpus — the actual CCNet shape (Wenzek 2020 scores web text under a
+    * Wikipedia-trained LM; [[bigramLogProbScores]] is the corpus-own
+    * special case). Add-1 smoothing with the standard unseen backstops:
+    * pair unseen under a seen head → P = 1/(c(w1·)+V); head unseen
+    * entirely → P = 1/V. Per-pair log-probs are 4-decimal-rounded decimals
+    * and the doc sum is a decimal sum, so scores replay bit-for-bit
+    * cross-engine.
+    *
+    * Scale: the LM relations (pair counts, head counts, vocab scalar) are
+    * vocabulary-scale and build in two partial-aggregated passes over the
+    * reference; target docs join them by pair/head key — exchanges carry
+    * (id, w1, w2, tf), never text. Nothing is corpus × corpus. */
+  def bigramLogProbScoresAgainst(reference: DataFrame, docs: DataFrame,
+                                 idCol: String,
+                                 textCol: String): DataFrame = {
+    def pairsOf(d: DataFrame, cols: Column*): DataFrame = d
+      .select(cols :+ TextFunctions.tokens(col(textCol)).as("__toks"): _*)
+      .filter(size(col("__toks")) >= 2)
+      .select(cols :+ explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("p"): _*)
+      .select(cols :+ col("p.w1") :+ col("p.w2"): _*)
+
+    val rpairs = pairsOf(reference)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
+    val heads = rpairs.groupBy(col("w1")).agg(sum(col("__c12")).as("__c1"))
+    val vocab = reference
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).as("__v"))
+
+    val pf = pairsOf(docs, col(idCol))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pf"))
+
+    val lpCol = round(log(
+      (coalesce(col("__c12"), lit(0L)) + 1).cast("double") /
+        (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double")), 4)
+      .cast(org.apache.spark.sql.types.DecimalType(28, 4))
+
+    pf.join(rpairs, Seq("w1", "w2"), "left")
+      .join(heads, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp", lpCol)
+      .groupBy(col(idCol))
+      .agg(sum(col("pf")).as("n_bigrams"),
+        sum(col("pf") * col("__lp")).as("__slp"))
+      .select(col(idCol), col("n_bigrams"),
+        col("__slp").cast("double").as("sum_logprob"),
+        (col("__slp").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_logprob"))
+  }
+
   /** CCNet-style per-LANGUAGE fluency banding: rank each document by its
     * corpus-own bigram-LM mean log-probability WITHIN its language and cut
     * head/middle/tail at `headFrac` / `headFrac+midFrac` of the

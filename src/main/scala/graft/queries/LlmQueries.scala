@@ -1154,6 +1154,47 @@ object LlmQueries {
              |FROM pf JOIN lp USING (w1, w2)
              |GROUP BY pf.doc_id""".stripMargin)),
 
+    // ----------------------- cross-corpus LM scoring (the true CCNet shape)
+    // Train the bigram LM on a REFERENCE slice (doc_id % 3 = 0, the
+    // "Wikipedia" stand-in) and score the remaining docs under it, with
+    // the standard add-1 unseen backstops (unseen pair → 1/(c1+V), unseen
+    // head → 1/V). Per-pair log-probs are 4-decimal decimals, so every
+    // score replays.
+    Q("q_lm_cross_score",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        graft.functions.CorpusFunctions.bigramLogProbScoresAgainst(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+          .select(col("doc_id"), col("n_bigrams"), col("sum_logprob"))
+      },
+      Some(s"""WITH rt AS (SELECT doc_id, $toksSql AS toks FROM documents
+             |            WHERE doc_id % 3 = 0),
+             |tt AS (SELECT doc_id, $toksSql AS toks FROM documents
+             |       WHERE doc_id % 3 <> 0),
+             |rp AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+             |       FROM rt, unnest(range(1, len(toks))) u(i)
+             |       WHERE len(toks) >= 2),
+             |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+             |        FROM rp GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+             |       FROM c12 GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT tok) AS v
+             |      FROM (SELECT unnest(toks) AS tok FROM rt)),
+             |tp AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+             |       FROM tt, unnest(range(1, len(toks))) u(i)
+             |       WHERE len(toks) >= 2),
+             |pfc AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS pf
+             |        FROM tp GROUP BY 1, 2, 3),
+             |sc AS (SELECT p.doc_id, p.pf,
+             |    CAST(round(ln((COALESCE(c12.c12, 0) + 1) * 1.0 /
+             |      (COALESCE(c1.c1, 0) + v.v)), 4) AS DECIMAL(28,4)) AS lp
+             |  FROM pfc p LEFT JOIN c12 USING (w1, w2)
+             |  LEFT JOIN c1 USING (w1), v)
+             |SELECT doc_id, CAST(SUM(pf) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(pf * lp) AS DOUBLE) AS sum_logprob
+             |FROM sc GROUP BY doc_id""".stripMargin)),
+
     // ---------------------------- CCNet-style per-language perplexity bands
     // Lang-stratified head/middle/tail by corpus-own bigram-LM fluency —
     // the Wenzek-2020 filter shape. percent_rank over a tie-free total

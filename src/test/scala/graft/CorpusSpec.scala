@@ -602,6 +602,35 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(one.filter(col("kind") === "p").count() > docs.count())
   }
 
+  test("bigramLogProbScoresAgainst: reference-trained LM, exact unseen " +
+      "backstops, fluent text outranks OOV") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the fish")).toDF("doc_id", "text")
+    // vocab V = {the,cat,sat,on,mat,ate,fish} = 7
+    val tgt = Seq(
+      (10L, "the cat"),        // seen pair: c12=2, c1(the)=4 → ln(3/11)
+      (11L, "the dog"),        // seen head, unseen pair → ln(1/11)
+      (12L, "zig zag")         // unseen head → ln(1/7)
+    ).toDF("doc_id", "text")
+    val res = CorpusFunctions.bigramLogProbScoresAgainst(
+      ref, tgt, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    def lp4(x: Double): Double = BigDecimal(math.log(x))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(res(10L) == ((1L, lp4(3.0 / 11.0))), res(10L).toString)
+    assert(res(11L) == ((1L, lp4(1.0 / 11.0))), res(11L).toString)
+    assert(res(12L) == ((1L, lp4(1.0 / 7.0))), res(12L).toString)
+    // fluency ordering: in-distribution > seen-head > fully-OOV... note
+    // 1/7 > 1/11, so the OOV *backstop* can outrank a sparse head — the
+    // meaningful assertion is the seen pair beats both backstops
+    assert(res(10L)._2 > res(11L)._2)
+    assert(res(10L)._2 > res(12L)._2)
+  }
+
   test("rebalanceToMixture: exact integer quotas, md5 pick order, " +
       "unweighted groups dropped") {
     val s = spark
