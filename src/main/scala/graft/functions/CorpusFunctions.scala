@@ -129,6 +129,43 @@ object CorpusFunctions {
       .drop("__tm", "__tid")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * per group, keep the `n` rows that win the exponential race
+    * key = −ln(u)/w — inclusion probability proportional to `weightCol`
+    * (quality-weighted corpus carve-outs: sample prefer-high-quality
+    * without hard-cutting the tail, cf. the FineWeb ablation recipe).
+    *
+    * Determinism/portability: u derives from the md5(id) 32-bit prefix as
+    * (prefix + 0.5)·2⁻³² — EXACTLY representable (power-of-two divisor) and
+    * strictly inside (0,1) in both engines; keys are rounded to 4 decimals
+    * before ordering (id tiebreak) so the ≤1-ulp `ln` disagreement between
+    * libm implementations cannot flip a rank. Rows with weight ≤ 0 or NULL
+    * are excluded (the ES race is undefined there).
+    *
+    * Scale: groupCols empty → global top-n = TakeOrdered (no sort);
+    * grouped → literal-n rank, WindowGroupLimit pre-prunes map-side. The
+    * key is computed rowwise from (id, weight); text never shuffles beyond
+    * the surviving n·groups rows. */
+  def weightedSampleByGroup(df: DataFrame, idCol: String, weightCol: String,
+                            groupCols: Seq[String], n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val uInt = conv(substring(
+      md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (uInt.cast("double") + 0.5) / 4294967296.0
+    val key = round(-log(u) / col(weightCol).cast("double"), 4)
+    val base = df.filter(col(weightCol).cast("double") > 0)
+    if (groupCols.isEmpty)
+      base.withColumn("__k", key)
+        .orderBy(col("__k"), col(idCol)).limit(n).drop("__k")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(key, col(idCol))
+      base.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n).drop("__rn")
+    }
+  }
+
   /** Greedy token-budget selection: PER GROUP, admit documents in a
     * deterministic order (ascending `orderCol`) until the group's cumulative
     * token count would exceed `budget` — the "fill each source's quota"

@@ -254,6 +254,25 @@ object LlmQueries {
              |      < printf('%08x',
              |          CAST(round(rate * 4294967296) AS BIGINT))""".stripMargin)),
 
+    // --------------------- weighted sampling without replacement (ES race)
+    // Per language, 20 docs win the exponential race −ln(u)/n_chars —
+    // inclusion odds proportional to length. u is the md5 32-bit prefix
+    // shifted into (0,1) exactly; 4-decimal key rounding + id tiebreak
+    // make the whole race replay.
+    Q("q_weighted_sample",
+      (s, dir) => graft.functions.CorpusFunctions.weightedSampleByGroup(
+        Tables.df(s, dir, "documents"), "doc_id", "n_chars",
+        groupCols = Seq("lang"), n = 20)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE n_chars > 0
+             |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+             |  ORDER BY round(-ln((CAST(('0x' ||
+             |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             |      + 0.5) / 4294967296.0)
+             |    / CAST(n_chars AS DOUBLE), 4), doc_id) <= 20"""
+        .stripMargin)),
+
     // ------------------------------- explicit-target mixture rebalance
     // Downsample documents to a 5:2:2:1 en/es/fr/zh mixture (de has no
     // weight → dropped). All quotas are exact integer arithmetic

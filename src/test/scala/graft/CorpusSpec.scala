@@ -602,6 +602,50 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(one.filter(col("kind") === "p").count() > docs.count())
   }
 
+  test("weightedSampleByGroup: weights steer the race, zero weights " +
+      "excluded, deterministic, per-group n") {
+    val s = spark
+    import s.implicits._
+    // one heavy row among 100 light ones: −ln(u)/1e6 ≈ 0 beats every
+    // −ln(u)/1 except u within e^(−1e−6·k4max) of 1 — astronomically safe
+    val df = ((1L to 100L).map(i => (i, "g", 1.0)) :+ ((101L, "g", 1e6)))
+      .toDF("id", "grp", "w")
+    val top10 = CorpusFunctions.weightedSampleByGroup(
+      df, "id", "w", Seq("grp"), n = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top10.size == 10)
+    assert(top10.contains(101L), "the 1e6-weight row must win a slot")
+    // n >= group size keeps everything with positive weight
+    val all = CorpusFunctions.weightedSampleByGroup(
+      df, "id", "w", Seq("grp"), n = 1000).count()
+    assert(all == 101)
+    // zero/negative/null weights are excluded
+    val bad = (Seq((1L, "g", 0.0), (2L, "g", -3.0)) :+
+      ((3L, "g", Double.NaN))).toDF("id", "grp", "w")
+      .withColumn("w", when(col("id") === 3L,
+        lit(null).cast("double")).otherwise(col("w")))
+    assert(CorpusFunctions.weightedSampleByGroup(
+      bad, "id", "w", Seq("grp"), n = 10).count() == 0)
+    // deterministic re-run; global (ungrouped) top-n agrees with the
+    // grouped path on a single group
+    val g1 = CorpusFunctions.weightedSampleByGroup(
+      df, "id", "w", Seq.empty, n = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(g1 == top10)
+    val again = CorpusFunctions.weightedSampleByGroup(
+      df, "id", "w", Seq("grp"), n = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == top10)
+    // two groups sample independently
+    val two = df.withColumn("grp",
+      when(col("id") % 2 === 0, "a").otherwise("b"))
+    val byG = CorpusFunctions.weightedSampleByGroup(
+      two, "id", "w", Seq("grp"), n = 5)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("a" -> 5L, "b" -> 5L))
+  }
+
   test("bigramLogProbScoresAgainst: reference-trained LM, exact unseen " +
       "backstops, fluent text outranks OOV") {
     val s = spark
