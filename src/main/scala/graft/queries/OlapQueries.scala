@@ -1170,6 +1170,57 @@ object OlapQueries {
              |      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
              |SELECT o_orderkey, change_type, changed_cols FROM d
              |WHERE change_type != 'changed' OR changed_cols != ''"""
+        .stripMargin)),
+
+    // -------------------------- recursive CTE: gap-filled exponential EMA
+    // Spark 4's WITH RECURSIVE (UnionLoop) surface, exercised on the one
+    // analytic shape windows genuinely cannot express: an exponentially-
+    // smoothed series (each row depends on the previous OUTPUT, not the
+    // previous input). Monthly revenue densifies over the [min,max] month
+    // index (missing months contribute 0) and folds
+    // ema_n = ½·x_n + ½·ema_{n−1}. Month revenue sums as DECIMAL(18,2)
+    // (exact), the ½ coefficients are exactly representable, and both
+    // engines run the SAME linear recursion — bit-identical until the
+    // final display round.
+    //
+    // Scale: recursion depth = number of MONTHS (bounded, data-independent
+    // per added row); the per-step frame is one row, and the heavy input
+    // relation `mr` is a plain pre-aggregated CTE, computed once.
+    Q("q_sql_recursive_ema",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          WITH RECURSIVE mr AS (
+            SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS x
+            FROM orders GROUP BY 1),
+          b AS (SELECT MIN(mi) AS lo, MAX(mi) AS hi FROM mr),
+          ema(mi, x, ema) AS (
+            SELECT b.lo, COALESCE(m.x, 0.0D), COALESCE(m.x, 0.0D)
+            FROM b LEFT JOIN mr m ON m.mi = b.lo
+            UNION ALL
+            SELECT e.mi + 1, COALESCE(m.x, 0.0D),
+                   0.5D * COALESCE(m.x, 0.0D) + 0.5D * e.ema
+            FROM ema e JOIN b ON e.mi < b.hi
+            LEFT JOIN mr m ON m.mi = e.mi + 1)
+          SELECT mi, round(x, 2) AS x2, round(ema, 4) AS ema4 FROM ema""")
+      },
+      Some("""WITH RECURSIVE mr AS (
+             |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+             |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |              AS DOUBLE) AS x
+             |  FROM orders GROUP BY 1),
+             |b AS (SELECT MIN(mi) AS lo, MAX(mi) AS hi FROM mr),
+             |ema(mi, x, ema) AS (
+             |  SELECT b.lo, COALESCE(m.x, 0.0), COALESCE(m.x, 0.0)
+             |  FROM b LEFT JOIN mr m ON m.mi = b.lo
+             |  UNION ALL
+             |  SELECT e.mi + 1, COALESCE(m.x, 0.0),
+             |         0.5 * COALESCE(m.x, 0.0) + 0.5 * e.ema
+             |  FROM ema e JOIN b ON e.mi < b.hi
+             |  LEFT JOIN mr m ON m.mi = e.mi + 1)
+             |SELECT mi, round(x, 2) AS x2, round(ema, 4) AS ema4 FROM ema"""
         .stripMargin))
   )
 }
