@@ -71,7 +71,8 @@ final case class PostOpSpec(
                                                // epoch_shards nibbles /
                                                // fold_probe GD steps per sync
     epoch: Option[Int] = None,                 // epoch_shards seed
-    vectorColumn: Option[String] = None)       // fold_probe feature vector
+    vectorColumn: Option[String] = None,       // fold_probe feature vector
+    weights: Seq[(String, Long)] = Nil)        // rebalance target mixture
 
 /** One configured table: scoped name + CDC config + optional rename
   * (YAML `tables.<schema.table>`; ref TableConfig, configuration_manager.py:23-43).
@@ -516,7 +517,9 @@ object PipelineConfig {
       valueColumn = opt(n, "value_column").map(_.asText),
       k = opt(n, "k").map(_.asInt),
       epoch = opt(n, "epoch").map(_.asInt),
-      vectorColumn = opt(n, "vector_column").map(_.asText))
+      vectorColumn = opt(n, "vector_column").map(_.asText),
+      weights = opt(n, "weights").map(_.fields().asScala.toSeq
+        .map(e => e.getKey -> e.getValue.asLong())).getOrElse(Nil))
     def need(cond: Boolean, what: String): Unit =
       if (!cond) bad(s"'$op' (target $target) requires $what")
     op match {
@@ -573,10 +576,18 @@ object PipelineConfig {
             " (label cut: y = value >= threshold)")
         spec.k.foreach(k =>
           if (k < 1 || k > 64) bad(s"k $k (GD steps per sync) outside [1,64]"))
+      case "rebalance" =>
+        need(spec.keys.size == 1, "exactly one key (the group column)")
+        need(spec.idColumn.isDefined, "'id_column'")
+        need(spec.weights.nonEmpty, "'weights' (group -> integer weight map)")
+        if (spec.weights.exists(_._2 <= 0))
+          bad("every rebalance weight must be positive")
+        if (spec.weights.map(_._1).distinct.size != spec.weights.size)
+          bad("duplicate group in rebalance weights")
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
         " | scd2_apply | fold_aggregate | zorder | neardup_labels" +
         " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
-        " | epoch_shards | drift_gate | fold_probe)")
+        " | epoch_shards | drift_gate | fold_probe | rebalance)")
     }
     spec
   }

@@ -153,6 +153,17 @@ object PostOps {
                   .as("wq"))
           }
         }
+      case "rebalance" =>
+        // explicit-target mixture carve-out (VIEW shape): the derived table
+        // is the corpus downsampled to the configured integer-weight
+        // mixture (CorpusFunctions.rebalanceToMixture) — recomputed from
+        // the base per sync and atomically swapped, so quotas track corpus
+        // growth while the md5 pick order keeps the selection stable
+        val base = requireBase(spark, loader, id, po)
+        loader.replaceDerived(spark, derivedId,
+          graft.functions.CorpusFunctions.rebalanceToMixture(
+            base, po.keys.head, po.weights, po.idColumn.get))
+        ()
       case "epoch_shards" =>
         // deterministic training-serving shard layout (VIEW shape): the
         // derived table is each row's (id, shard, pos) address for the

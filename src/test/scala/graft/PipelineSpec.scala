@@ -117,7 +117,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val p = PipelineConfig.fromFile("config/pipelines/example_fixtures.yml")
     assert(p.tables.exists(_.postOps.map(_.op).toSet ==
       Set("neardup_labels", "fold_bm25", "epoch_shards", "drift_gate",
-        "fold_kmv_distinct", "fold_count_min", "fold_sample")))
+        "fold_kmv_distinct", "fold_count_min", "fold_sample", "rebalance")))
     assert(p.tables.exists(_.postOps.map(_.op).toSet == Set("fold_probe")))
     val runner = new PipelineRunner(spark, tmpDir("example_cfg"))
     val r = runner.sync(p)
@@ -206,6 +206,74 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       base, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
     assert(status.collect().map(_.toSeq).toSet ==
       expectStatus.collect().map(_.toSeq).toSet)
+  }
+
+  test("post_ops rebalance: mixture view equals the direct carve-out, " +
+      "validation strict") {
+    val y =
+      s"""pipeline:
+         |  name: "postops_rebalance"
+         |  source: "$sfDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.documents:
+         |    cdc_strategy: "full_sync"
+         |    post_ops:
+         |      - op: rebalance
+         |        target: documents_mixed
+         |        keys: [lang]
+         |        id_column: doc_id
+         |        weights: {en: 3, es: 1, fr: 1}
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    assert(p.tables.head.postOps.head.weights ==
+      Seq("en" -> 3L, "es" -> 1L, "fr" -> 1L))
+    val runner = new PipelineRunner(spark, tmpDir("postops_rb"))
+    val r = runner.sync(p)
+    assert(r.allOk, r.tables.flatMap(_.error).mkString(";"))
+    val (_, _, loader) = runner.rigFor(p)
+    val baseId = p.tables.head.tableId(p)
+    val base = loader.readTarget(spark, baseId).get
+    val mixed = loader.readTarget(
+      spark, baseId.copy(table = "documents_mixed")).get
+    val expect = graft.functions.CorpusFunctions.rebalanceToMixture(
+      base, "lang", Seq("en" -> 3L, "es" -> 1L, "fr" -> 1L), "doc_id")
+    assert(mixed.count() == expect.count() && mixed.count() > 0)
+    assert(mixed.select("doc_id").exceptAll(expect.select("doc_id")).isEmpty)
+    // achieved mixture honors the exact integer quotas
+    val n = mixed.groupBy("lang").count().collect()
+      .map(rr => rr.getString(0) -> rr.getLong(1)).toMap
+    assert(n.keySet == Set("en", "es", "fr"), n.toString)
+    assert(n("es") == n("fr"), "equal weights must yield equal quotas")
+    // idempotent: a re-sync recomputes the same view (materialize the ids
+    // BEFORE the swap — the old DataFrame's files are replaced by it)
+    val ids1 = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(runner.sync(p).allOk)
+    val ids2 = loader.readTarget(
+      spark, baseId.copy(table = "documents_mixed")).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids1)
+    // parse-time strictness: weights required, positive, single group key
+    def rb(extra: String) = PipelineConfig.fromString(
+      s"""pipeline:
+         |  name: "x"
+         |  source: "s"
+         |tables:
+         |  fx.t:
+         |    cdc_strategy: "full_sync"
+         |    post_ops:
+         |      - op: rebalance
+         |        target: t_mixed
+         |$extra
+         |""".stripMargin)
+    intercept[IllegalArgumentException](rb(
+      "        keys: [lang]\n        id_column: doc_id"))
+    intercept[IllegalArgumentException](rb(
+      "        keys: [lang]\n        id_column: doc_id\n" +
+        "        weights: {en: 0}"))
+    intercept[IllegalArgumentException](rb(
+      "        keys: [lang, src]\n        id_column: doc_id\n" +
+        "        weights: {en: 1}"))
   }
 
   test("post_ops drift_gate: baseline sync passes, shifted increment fails") {
