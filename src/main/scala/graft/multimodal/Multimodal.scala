@@ -273,6 +273,36 @@ object Multimodal {
         } finally ais.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** REAL H.264 frame-pixel decode for the I_PCM subset ([[H264]]):
+      * accepts either a bare Annex-B byte stream or an ISO-BMFF container
+      * (top-level box walk to the mdat payload). Returns None for
+      * entropy-coded streams / other codecs — those remain out of scope
+      * (the JDK ships no transform-decode, and this engine refuses to
+      * guess at pixels it cannot reproduce exactly). */
+    def decodeH264Frames(bytes: Array[Byte]): Option[Seq[H264.Frame]] = {
+      def mdatPayload: Option[Array[Byte]] = {
+        def u8(i: Int) = bytes(i) & 0xff
+        def be32(i: Int) = (u8(i).toLong << 24) | (u8(i + 1) << 16) |
+          (u8(i + 2) << 8) | u8(i + 3)
+        var off = 0L
+        var found: Option[Array[Byte]] = None
+        while (found.isEmpty && off + 8 <= bytes.length) {
+          val size = be32(off.toInt)
+          val name = new String(bytes, off.toInt + 4, 4, "ISO-8859-1")
+          if (size < 8 || off + size > bytes.length) return None // hostile
+          if (name == "mdat")
+            found = Some(bytes.slice(off.toInt + 8, (off + size).toInt))
+          off += size
+        }
+        found
+      }
+      val stream =
+        if (bytes.length >= 8 &&
+          new String(bytes, 4, 4, "ISO-8859-1") == "ftyp") mdatPayload
+        else Some(bytes)
+      stream.flatMap(H264.decodeIPcm)
+    }
+
     /** STUB — deterministic fake decode for payloads [[parseHeader]] doesn't
       * recognize (containers the JDK has no codec for — e.g. MP4/H.264
       * video frames). The fake derives stable pseudo-dimensions from payload
@@ -392,6 +422,60 @@ object Multimodal {
         Array.tabulate(32)(j => pixelByte(docId, j.toLong).toByte))
       box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0x200)) ++ moov ++ mdat
     }
+
+    /** Closed-form H.264 pixel-fixture dims/frames: MB-aligned (the I_PCM
+      * subset is frame_mbs_only, uncropped), small enough that 500 docs'
+      * streams stay a few MB total. */
+    def h264Dims(docId: Long): (Int, Int) =
+      (16 * (1 + (docId % 3).toInt), 16 * (1 + (docId % 2).toInt))
+    def h264FrameCount(docId: Long): Int = 2 + (docId % 3).toInt
+    def lumaAt(docId: Long, f: Int, j: Long): Int =
+      ((docId * 31 + f * 7 + j) % 256).toInt
+    def cbAt(docId: Long, f: Int, j: Long): Int =
+      ((docId * 13 + f * 5 + j) % 256).toInt
+    def crAt(docId: Long, f: Int, j: Long): Int =
+      ((docId * 17 + f * 11 + j) % 256).toInt
+
+    /** REAL H.264 frames for a doc — every plane value a pure function of
+      * (doc, frame, position), so the DuckDB oracle re-derives what the
+      * bitstream decode must return. */
+    def h264Frames(docId: Long): Seq[H264.Frame] = {
+      val (w, h) = h264Dims(docId)
+      (0 until h264FrameCount(docId)).map { f =>
+        H264.Frame(w, h,
+          Array.tabulate(w * h)(j => lumaAt(docId, f, j.toLong).toByte),
+          Array.tabulate(w * h / 4)(j => cbAt(docId, f, j.toLong).toByte),
+          Array.tabulate(w * h / 4)(j => crAt(docId, f, j.toLong).toByte))
+      }
+    }
+
+    /** ISO-BMFF container whose mdat carries a REAL Annex-B H.264 I_PCM
+      * stream ([[H264.encodeIPcm]]) — the pixel-bearing sibling of
+      * [[mp4Payload]] (whose mdat is filler): box tree readable by the
+      * metadata walk, frames decodable by
+      * [[MediaCodec.decodeH264Frames]]. */
+    def h264Mp4Payload(docId: Long): Array[Byte] = {
+      val (w, h) = h264Dims(docId)
+      val frames = h264FrameCount(docId)
+      def be32(v: Int): Array[Byte] = Array(
+        ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def box(name: String, content: Array[Byte]): Array[Byte] =
+        be32(8 + content.length) ++ name.getBytes("ISO-8859-1") ++ content
+      val matrix = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .flatMap(be32)
+      val tkhd = box("tkhd",
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++
+          be32(frames * 25) ++ new Array[Byte](8) ++ new Array[Byte](8) ++
+          matrix ++ be32(w << 16) ++ be32(h << 16))
+      // constant sample_size (nonzero → no per-sample table); the frame
+      // COUNT is what the metadata walk reads, sizes are unused here
+      val stsz = box("stsz", be32(0) ++ be32(256) ++ be32(frames))
+      val mdia = box("mdia", box("minf", box("stbl", stsz)))
+      val moov = box("moov", box("trak", tkhd ++ mdia))
+      val mdat = box("mdat", H264.encodeIPcm(h264Frames(docId)))
+      box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0x200)) ++ moov ++ mdat
+    }
   }
 
   /** Attach deterministic fixture media payloads (real PNG/WAV bytes, see
@@ -413,6 +497,49 @@ object Multimodal {
     docs.filter(col(idCol).isNotNull).select(col(idCol).cast("long")).as[Long]
       .mapPartitions(it => it.map(d => (d, MediaFixtures.mp4Payload(d))))
       .toDF(idCol, "payload")
+  }
+
+  /** Attach H.264-pixel-bearing MP4 payloads
+    * ([[MediaFixtures.h264Mp4Payload]]) — the fixture stage feeding
+    * [[decodeVideoFrameStats]]. */
+  def withFixtureVideoPixels(spark: SparkSession, docs: DataFrame,
+                             idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull).select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(d => (d, MediaFixtures.h264Mp4Payload(d))))
+      .toDF(idCol, "payload")
+  }
+
+  /** REAL video frame-pixel decode pass: every payload
+    * [[MediaCodec.decodeH264Frames]] can parse (I_PCM H.264, bare or in an
+    * ISO-BMFF mdat) yields one row per `stride`-th frame with exact plane
+    * sums; entropy-coded streams drop out rather than guess. Narrow
+    * per-partition decode, no shuffle — pixels never leave the task, only
+    * the per-frame stats ship. */
+  def decodeVideoFrameStats(spark: SparkSession, docs: DataFrame,
+                            stride: Int,
+                            idCol: String = "doc_id"): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        MediaCodec.decodeH264Frames(bytes).iterator.flatMap { frames =>
+          Iterator.range(0, frames.length, stride).map { fi =>
+            val f = frames(fi)
+            def planeSum(p: Array[Byte]): Long = {
+              var s = 0L; var j = 0
+              while (j < p.length) { s += (p(j) & 0xff); j += 1 }
+              s
+            }
+            (id, fi.toLong, f.width.toLong, f.height.toLong,
+              planeSum(f.y), planeSum(f.cb), planeSum(f.cr))
+          }
+        }
+      })
+      .toDF(idCol, "frame_idx", "width", "height",
+        "lum_sum", "cb_sum", "cr_sum")
   }
 
   /** REAL image decode pass: every payload an installed `ImageIO` reader

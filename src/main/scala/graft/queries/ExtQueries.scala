@@ -206,6 +206,39 @@ object ExtQueries {
              |FROM au, generate_series(0, 499) t(j)
              |WHERE j < n AND j % 30 = 0""".stripMargin)),
 
+    // --------------------------- REAL H.264 frame-pixel decode (I_PCM)
+    // The former stub, closed: fixture MP4s carry a REAL Annex-B H.264
+    // stream of all-I_PCM IDR pictures (legal baseline-profile shape, no
+    // entropy coding), and the engine decodes actual NAL units — Exp-
+    // Golomb SPS/PPS/slice headers, emulation-prevention stripping, byte-
+    // aligned PCM macroblocks — back to full 4:2:0 planes. Plane values
+    // are closed-form in (doc, frame, position), so DuckDB verifies every
+    // sampled frame's exact plane sums without any codec.
+    Q("q_mm_video_pixels",
+      (s, dir) => Multimodal.decodeVideoFrameStats(s,
+        Multimodal.withFixtureVideoPixels(s, Tables.df(s, dir, "documents")),
+        stride = 2),
+      Some("""WITH dd AS (SELECT CAST(doc_id AS BIGINT) AS d,
+             |    16*(1 + doc_id % 3) AS w, 16*(1 + doc_id % 2) AS h,
+             |    2 + doc_id % 3 AS nf
+             |  FROM documents),
+             |f AS (SELECT d, w, h, fi FROM dd, generate_series(0, 3) t(fi)
+             |      WHERE fi < nf AND fi % 2 = 0),
+             |y AS (SELECT d, fi, SUM((d*31 + fi*7 + j) % 256) AS ls
+             |      FROM f, generate_series(0, 1535) v(j)
+             |      WHERE j < w*h GROUP BY 1, 2),
+             |c AS (SELECT d, fi, SUM((d*13 + fi*5 + j) % 256) AS cbs,
+             |             SUM((d*17 + fi*11 + j) % 256) AS crs
+             |      FROM f, generate_series(0, 383) v(j)
+             |      WHERE j < (w*h)//4 GROUP BY 1, 2)
+             |SELECT f.d AS doc_id, CAST(f.fi AS BIGINT) AS frame_idx,
+             |  CAST(f.w AS BIGINT) AS width, CAST(f.h AS BIGINT) AS height,
+             |  CAST(y.ls AS BIGINT) AS lum_sum,
+             |  CAST(c.cbs AS BIGINT) AS cb_sum,
+             |  CAST(c.crs AS BIGINT) AS cr_sum
+             |FROM f JOIN y ON f.d = y.d AND f.fi = y.fi
+             |JOIN c ON f.d = c.d AND f.fi = c.fi""".stripMargin)),
+
     // --------------------------------- native session_window (batch form)
     // Session end = last event + gap (the operator's semantics); the oracle
     // reproduces that from the same lag-flag construction as q_sessionize.

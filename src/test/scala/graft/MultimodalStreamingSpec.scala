@@ -627,4 +627,43 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
         (r.getLong(2), r.getDouble(3))).toMap
     assert(streamed == batch)
   }
+
+  test("H264 I_PCM: bitstream round-trip is pixel-exact, emulation bytes " +
+      "inserted and stripped, junk rejected") {
+    import graft.multimodal.{H264, Multimodal}
+    // closed-form fixture frames for ids covering all dim/frame variants
+    Seq(0L, 1L, 2L, 3L, 4L, 5L).foreach { d =>
+      val frames = Multimodal.MediaFixtures.h264Frames(d)
+      val stream = H264.encodeIPcm(frames)
+      val back = H264.decodeIPcm(stream).get
+      assert(back.length == frames.length, s"doc $d frame count")
+      frames.zip(back).foreach { case (a, b) =>
+        assert(a.width == b.width && a.height == b.height)
+        assert(java.util.Arrays.equals(a.y, b.y), s"doc $d luma")
+        assert(java.util.Arrays.equals(a.cb, b.cb), s"doc $d cb")
+        assert(java.util.Arrays.equals(a.cr, b.cr), s"doc $d cr")
+      }
+    }
+    // an all-zero plane forces 00 00 0x runs in the RBSP: the encoder MUST
+    // emit emulation-prevention 0x03 bytes and the decoder must strip them
+    val z = H264.Frame(16, 16, new Array[Byte](256),
+      new Array[Byte](64), new Array[Byte](64))
+    val zs = H264.encodeIPcm(Seq(z))
+    assert(zs.count(_ == 3.toByte) > 10,
+      "zero-run stream must carry emulation-prevention bytes")
+    val zback = H264.decodeIPcm(zs).get.head
+    assert(java.util.Arrays.equals(zback.y, z.y) &&
+      java.util.Arrays.equals(zback.cb, z.cb))
+    // container path: mdat-wrapped stream decodes; metadata walk still works
+    val d7 = Multimodal.MediaFixtures.h264Mp4Payload(7L)
+    val viaBox = Multimodal.MediaCodec.decodeH264Frames(d7).get
+    assert(viaBox.length == Multimodal.MediaFixtures.h264FrameCount(7L))
+    val meta = Multimodal.MediaCodec.parseHeader(d7).get
+    assert((meta.width, meta.height) == Multimodal.MediaFixtures.h264Dims(7L))
+    // junk, truncation and non-video bytes reject cleanly
+    assert(H264.decodeIPcm("not h264".getBytes).isEmpty)
+    assert(H264.decodeIPcm(zs.take(zs.length / 2)).isEmpty)
+    assert(Multimodal.MediaCodec.decodeH264Frames(
+      Multimodal.MediaFixtures.pngPayload(2L)).isEmpty)
+  }
 }
