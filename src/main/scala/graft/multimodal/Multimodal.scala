@@ -17,9 +17,11 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   *      PNG/JPEG/GIF/BMP; [[MediaCodec.decodeAudio]]:
   *      `javax.sound.sampled` for WAV PCM) — run per-partition, narrow,
   *      no shuffle;
-  *   3. [[MediaCodec.decodeStub]] for containers the JDK genuinely cannot
-  *      decode (MP4/H.264 video frames need ffmpeg-class codecs) — a
-  *      deterministic fake so downstream plumbing stays testable.
+  *   3. REAL H.264 frame-pixel decode for the I_PCM bitstream subset
+  *      ([[MediaCodec.decodeH264Frames]] / [[H264]]) — entropy-coded
+  *      residuals are out of scope and rejected loudly;
+  *   4. [[MediaCodec.decodeStub]] for everything else — a deterministic
+  *      fake so downstream plumbing stays testable.
   */
 object Multimodal {
 
@@ -37,8 +39,8 @@ object Multimodal {
       * BMP dimensions and WAV channel/sample-rate/sample-count. Returns
       * None for unrecognized payloads. For audio, `width` carries the
       * sample rate, `height` the channel count, and `nFrames` the PCM
-      * sample-frame count. Pixel/sample DATA decode still needs a codec —
-      * that part remains stubbed. */
+      * sample-frame count. Pixel/sample DATA decode lives in
+      * [[decodeImage]]/[[decodeAudio]]/[[decodeH264Frames]]. */
     def parseHeader(bytes: Array[Byte]): Option[Decoded] = {
       def u8(i: Int) = bytes(i) & 0xff
       def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
@@ -91,8 +93,8 @@ object Multimodal {
         // visual trak's tkhd presentation size (16.16 fixed point) and its
         // stbl/stsz sample count (= frame count). Box sizes are UNTRUSTED
         // 32-bit values (64-bit largesize handled): walk with longs, bail
-        // on nonsense — same discipline as the WAV chunk loop. Only frame
-        // PIXEL decode (H.264) remains stubbed.
+        // on nonsense — same discipline as the WAV chunk loop. Frame
+        // PIXEL decode is [[decodeH264Frames]] (I_PCM subset).
         def boxes(start: Int, end: Int): Seq[(String, Int, Int)] = {
           val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
           var i = start
@@ -396,7 +398,8 @@ object Multimodal {
       * the byte layout [[MediaCodec.parseHeader]]'s MP4 branch must read
       * back — structurally honest (sized boxes, 16.16 fixed-point tkhd
       * dimensions, constant-sample-size stsz), only the mdat payload is
-      * filler since frame PIXEL decode stays stubbed (no JDK H.264). */
+      * filler — [[h264Mp4Payload]] is the pixel-bearing sibling whose mdat
+      * carries a real decodable I_PCM stream. */
     def mp4Payload(docId: Long): Array[Byte] = {
       val (w, h) = videoDims(docId)
       val frames = videoFrames(docId)

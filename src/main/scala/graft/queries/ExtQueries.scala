@@ -61,7 +61,7 @@ object ExtQueries {
     // Hand-assembled (structurally real) ISO-BMFF boxes round-trip through
     // the pure-byte MP4 parser: tkhd 16.16 presentation size, stsz frame
     // count, and the stride-10 frame-sampling plan over the parsed count.
-    // Only frame PIXEL decode (H.264) stays stubbed — the JDK has no codec.
+    // Frame PIXEL decode is real for the I_PCM subset (q_mm_video_pixels).
     Q("q_mm_video_metadata",
       (s, dir) => {
         val meta = Multimodal.extractMetadata(s,
