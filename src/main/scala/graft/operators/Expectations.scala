@@ -10,8 +10,10 @@ import graft.pipeline.ExpectationSpec
   * the table (one job, map-side partials — no per-rule scans), so the gate's
   * cost at 100 TB is one scan regardless of how many contracts it checks.
   * `distinct_min` uses approx_count_distinct (HLL: deterministic, ~1% rsd —
-  * thresholds should carry margin); min/max/null-fraction/row-count are
-  * exact. Returns human-readable violation messages; empty = pass.
+  * thresholds should carry margin); min/max/null-fraction/row-count and
+  * row-level `expression` predicates (cross-column contracts; a NULL
+  * predicate result is a violation — NULL is not TRUE) are exact.
+  * Returns human-readable violation messages; empty = pass.
   */
 object Expectations {
 
@@ -35,9 +37,34 @@ object Expectations {
         .map(c => i -> (s"$c: min/max bound declared on non-numeric column " +
           s"(${df.schema(c).dataType.simpleString})"))
     }.toMap
+    // row-level expression contracts resolve against the schema up front:
+    // an unresolvable or non-boolean predicate is a NAMED violation, not a
+    // mid-job AnalysisException after extract+load already committed
+    val exprBad = specs.zipWithIndex.flatMap { case (e, i) =>
+      e.expression.flatMap { sql =>
+        try {
+          val dt = df.selectExpr(sql).schema.head.dataType
+          if (dt != org.apache.spark.sql.types.BooleanType)
+            Some(i -> s"expression '$sql' is ${dt.simpleString}, not boolean")
+          else None
+        } catch {
+          case ex: org.apache.spark.sql.AnalysisException =>
+            Some(i -> s"expression '$sql' does not resolve: ${
+              ex.getMessage.linesIterator.next()}")
+        }
+      }
+    }.toMap
+
     val aggs = scala.collection.mutable.ArrayBuffer[Column](
       count(lit(1)).as("__n"))
     specs.zipWithIndex.foreach { case (e, i) =>
+      e.expression.foreach { sql =>
+        // a row where the predicate is NULL is a violation: the contract
+        // says "every row satisfies P", and NULL is not TRUE
+        if (!exprBad.contains(i))
+          aggs += sum(when(coalesce(expr(sql), lit(false)), 0L)
+            .otherwise(1L)).as(s"__x_$i")
+      }
       e.column.foreach { c =>
         val num = !nonNumeric.contains(i)
         if (e.minValue.isDefined && num)
@@ -89,7 +116,17 @@ object Expectations {
       }
       val vRows = e.rowCountMin.collect {
         case m if n < m => s"row count $n < required $m" }
-      Seq(vType, vMin, vMax, vNull, vDist, vRows).flatten
+      val vExprBad = exprBad.get(i)
+      val vExpr = e.expression.filterNot(_ => exprBad.contains(i)).flatMap {
+        sql =>
+          val idx = row.fieldIndex(s"__x_$i")
+          val v = if (row.isNullAt(idx)) 0L else row.getLong(idx)
+          if (v > e.maxViolations) Some(
+            s"expression '$sql': $v rows violate" +
+              (if (e.maxViolations > 0) s" (> ${e.maxViolations} tolerated)"
+               else "")) else None
+      }
+      Seq(vType, vMin, vMax, vNull, vDist, vRows, vExprBad, vExpr).flatten
     }
   }
 }

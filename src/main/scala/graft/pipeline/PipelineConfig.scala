@@ -36,7 +36,11 @@ final case class ExpectationSpec(
     maxValue: Option[Double] = None,           // max(column) <= this
     nullFracMax: Option[Double] = None,        // null fraction <= this
     distinctMin: Option[Long] = None,          // approx distinct >= this
-    rowCountMin: Option[Long] = None)          // table-level: rows >= this
+    rowCountMin: Option[Long] = None,          // table-level: rows >= this
+    expression: Option[String] = None,         // row-level SQL predicate every
+                                               // row must satisfy (cross-column
+                                               // contracts); NULL = violation
+    maxViolations: Long = 0L)                  // tolerated expression misses
 
 /** One post-load derived-table operator (YAML `tables.<t>.post_ops`) — the
   * reference's post-load SQL stage as pipeline config: ROW_NUMBER dedup and
@@ -477,15 +481,21 @@ object PipelineConfig {
       maxValue = opt(n, "max").map(_.asDouble),
       nullFracMax = opt(n, "null_frac_max").map(_.asDouble),
       distinctMin = opt(n, "distinct_min").map(_.asLong),
-      rowCountMin = opt(n, "row_count_min").map(_.asLong))
+      rowCountMin = opt(n, "row_count_min").map(_.asLong),
+      expression = opt(n, "expression").map(_.asText.trim).filter(_.nonEmpty),
+      maxViolations = opt(n, "max_violations").map(_.asLong).getOrElse(0L))
     val hasColRule = spec.minValue.isDefined || spec.maxValue.isDefined ||
       spec.nullFracMax.isDefined || spec.distinctMin.isDefined
-    if (!hasColRule && spec.rowCountMin.isEmpty)
-      bad("entry declares no rule (min/max/null_frac_max/distinct_min/row_count_min)")
+    if (!hasColRule && spec.rowCountMin.isEmpty && spec.expression.isEmpty)
+      bad("entry declares no rule " +
+        "(min/max/null_frac_max/distinct_min/row_count_min/expression)")
     if (hasColRule && spec.column.isEmpty)
       bad("column rule (min/max/null_frac_max/distinct_min) requires 'column'")
     spec.nullFracMax.foreach(f =>
       if (f < 0.0 || f > 1.0) bad(s"null_frac_max $f outside [0,1]"))
+    if (spec.maxViolations < 0) bad(s"max_violations ${spec.maxViolations} < 0")
+    if (spec.maxViolations > 0 && spec.expression.isEmpty)
+      bad("max_violations only applies to an 'expression' rule")
     spec
   }
 

@@ -486,6 +486,40 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       Seq(graft.pipeline.ExpectationSpec(column = Some("s"),
         maxValue = Some(100.0))))
     assert(vStr.exists(_.contains("non-numeric")), vStr.mkString(";"))
+
+    // row-level expression contracts (cross-column): pass, count-tolerate,
+    // NULL-is-violation, unresolvable/non-boolean named up front
+    import org.apache.spark.sql.functions.when
+    val rows = spark.range(10).select(col("id"),
+      when(col("id") === 7, lit(null).cast("long"))
+        .otherwise(col("id") * 2).as("dbl"))
+    def xp(sql: String, tol: Long = 0) = graft.pipeline.ExpectationSpec(
+      column = None, expression = Some(sql), maxViolations = tol)
+    assert(graft.operators.Expectations.violations(rows,
+      Seq(xp("dbl = id * 2 OR id = 7"))).isEmpty)
+    // id=7's NULL predicate is a violation (NULL is not TRUE)
+    val vX = graft.operators.Expectations.violations(rows,
+      Seq(xp("dbl = id * 2")))
+    assert(vX.exists(_.contains("1 rows violate")), vX.mkString(";"))
+    // ...but tolerated under max_violations
+    assert(graft.operators.Expectations.violations(rows,
+      Seq(xp("dbl = id * 2", tol = 1))).isEmpty)
+    val vBadRef = graft.operators.Expectations.violations(rows,
+      Seq(xp("no_col > 0")))
+    assert(vBadRef.exists(_.contains("does not resolve")), vBadRef.mkString(";"))
+    val vNotBool = graft.operators.Expectations.violations(rows,
+      Seq(xp("id + 1")))
+    assert(vNotBool.exists(_.contains("not boolean")), vNotBool.mkString(";"))
+    // YAML reach + parse strictness for the expression form
+    val exprCfg = PipelineConfig.fromString(yml(
+      """      - expression: "o_totalprice >= 0 AND o_orderkey IS NOT NULL""""
+        .stripMargin))
+    assert(exprCfg.tables.head.expectations.head.expression.isDefined)
+    intercept[IllegalArgumentException] { // max_violations without expression
+      PipelineConfig.fromString(yml(
+        """      - row_count_min: 1
+          |        max_violations: 5""".stripMargin))
+    }
   }
 
   test("post_ops zorder: in-place layout rewrite, content-exact, idempotent") {

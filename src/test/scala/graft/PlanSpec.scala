@@ -232,6 +232,37 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("recursive EMA recurses over the materialized month relation") {
+    // a recursive CTE member re-evaluates per iteration; the fact-table
+    // aggregate must be folded ONCE into the checkpointed view, so the
+    // recursion's own plan contains no parquet scan at all
+    val df = q("q_sql_recursive_ema")
+    assert(scans(df).isEmpty,
+      "recursion must read the checkpoint, not re-scan the fact table")
+  }
+
+  test("hard negatives: band filter prunes below the rank window") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.functions.VectorFunctions.hardNegatives(
+      emb, emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k = 5, simLo = 0.05, simHi = 0.45)
+    val windows = physical(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "no Window operator — assertion vacuous")
+    // the band predicate fuses all the way into the broadcast join's
+    // condition (below even the partial WindowGroupLimit), so no corpus
+    // row outside [lo, hi) ever reaches the rank exchange
+    val sub = windows.head.child.toString
+    assert(sub.contains("cosine_sim") && sub.contains(">= 0.05") &&
+      sub.contains("< 0.45"),
+      s"cosine band must prune BELOW the per-query rank exchange:\n$sub")
+    assert(sub.contains("WindowGroupLimit"),
+      "literal k must pre-prune map-side (WindowGroupLimit)")
+  }
+
   test("JL random projection is a shuffle-free rowwise plan") {
     val plan = executedString(q("q_jl_project"))
     assert(!plan.contains("Exchange"),
