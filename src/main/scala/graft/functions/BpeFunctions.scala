@@ -131,4 +131,72 @@ object BpeFunctions {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_syms")).as("n_bpe_tokens"))
   }
+
+  // --------------------------------------------------------------------
+  // Incremental tokenization state (the fold_bpe_tokens post-op)
+  // --------------------------------------------------------------------
+
+  /** Fold one increment into persisted tokenization state: the FIRST fold
+    * trains `numMerges` BPE merges on its increment and freezes them;
+    * every later fold encodes its increment under the frozen merges and
+    * APPENDS per-doc token counts — the "pre-tokenize each sync" stage of
+    * a training-data pipeline, where the tokenizer must NOT drift between
+    * syncs (token counts from different vocabularies don't compare).
+    *
+    * State is one discriminated relation (the [[graft.functions.
+    * CorpusFunctions.foldBm25Index]] convention): kind='m' rows carry the
+    * ordered merge table, kind='d' rows the per-doc counts. Same new-docs
+    * append-only contract as the BM25 fold (enforced at config parse).
+    *
+    * Scale: the merge table is tokenizer-scale (collected once per fold —
+    * numMerges rows); encoding cost is the increment's vocab, never the
+    * corpus; folded doc rows are never recomputed. */
+  def foldBpeTokens(prev: Option[DataFrame], increment: DataFrame,
+                    idCol: String, textCol: String,
+                    numMerges: Int = 8): DataFrame = {
+    val spark = increment.sparkSession
+    import spark.implicits._
+    val frozen: Seq[(String, String)] = prev match {
+      case Some(st) => st.filter(col("kind") === "m")
+        .select(col("step"), col("left_sym"), col("right_sym"))
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      case None => trainBpe(increment, textCol, numMerges)
+        .map(m => (m.left, m.right))
+    }
+    def shape(df: DataFrame): DataFrame = df.select(
+      col("kind"), col("step").cast("long").as("step"),
+      col("left_sym"), col("right_sym"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("n_words").cast("long").as("n_words"),
+      col("n_bpe_tokens").cast("long").as("n_bpe_tokens"))
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val mergeRows = shape(frozen.zipWithIndex
+      .map { case ((l, r), i) => ((i + 1).toLong, l, r) }
+      .toDF("step", "left_sym", "right_sym")
+      .select(lit("m").as("kind"), col("step"), col("left_sym"),
+        col("right_sym"), nullL.as("doc_id"), nullL.as("n_words"),
+        nullL.as("n_bpe_tokens")))
+    val docRows = shape(encodeBpe(increment, idCol, textCol, frozen)
+      .select(lit("d").as("kind"), nullL.as("step"),
+        nullS.as("left_sym"), nullS.as("right_sym"),
+        col(idCol).cast("long").as("doc_id"),
+        col("n_words"), col("n_bpe_tokens")))
+    prev match {
+      case Some(st) => shape(st).unionByName(docRows)
+      case None => mergeRows.unionByName(docRows)
+    }
+  }
+
+  /** Read back the per-doc token counts from [[foldBpeTokens]] state. */
+  def bpeTokensFromState(state: DataFrame): DataFrame =
+    state.filter(col("kind") === "d")
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+
+  /** Read back the frozen ordered merge table from [[foldBpeTokens]]
+    * state. */
+  def bpeMergesFromState(state: DataFrame): DataFrame =
+    state.filter(col("kind") === "m")
+      .select(col("step"), col("left_sym"), col("right_sym"))
 }

@@ -377,16 +377,17 @@ object PipelineConfig {
     // of postings/doclen rows for its id, silently inflating tf/df/N.
     // Same parse-time contract as neardup_labels (its band index has the
     // identical failure mode).
-    tables.filter(_.postOps.exists(_.op == "fold_bm25")).foreach { t =>
+    for (op <- Seq("fold_bm25", "fold_bpe_tokens");
+         t <- tables.filter(_.postOps.exists(_.op == op))) {
       def bad(msg: String) = throw new IllegalArgumentException(
-        s"tables.${t.name}.post_ops.fold_bm25: $msg")
+        s"tables.${t.name}.post_ops.$op: $msg")
       if (t.cdc.strategy != CdcStrategyKind.IdOnly)
         bad(s"requires cdc_strategy id_only (append-only increments); " +
           s"'${t.cdc.strategy.name}' can restage or update already-indexed " +
-          "documents, double-counting their postings")
+          "documents, double-counting their rows")
       if (t.mergeKeys.nonEmpty)
         bad("incompatible with merge_keys (an updated document cannot be " +
-          "unfolded from the postings state)")
+          "unfolded from the appended state)")
     }
 
     // derived-table names must be globally unique: two post_ops (or a
@@ -570,6 +571,11 @@ object PipelineConfig {
       case "fold_bm25" =>
         need(spec.idColumn.isDefined && spec.valueColumn.isDefined,
           "'id_column' and 'value_column' (the text column)")
+      case "fold_bpe_tokens" =>
+        need(spec.idColumn.isDefined && spec.valueColumn.isDefined,
+          "'id_column' and 'value_column' (the text column)")
+        spec.k.foreach(k =>
+          if (k < 1 || k > 65536) bad(s"k $k (BPE merges) outside [1,65536]"))
       case "epoch_shards" =>
         need(spec.idColumn.isDefined, "'id_column'")
         spec.k.foreach(k =>
@@ -597,7 +603,8 @@ object PipelineConfig {
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
         " | scd2_apply | fold_aggregate | zorder | neardup_labels" +
         " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
-        " | epoch_shards | drift_gate | fold_probe | rebalance)")
+        " | fold_bpe_tokens | epoch_shards | drift_gate | fold_probe" +
+        " | rebalance)")
     }
     spec
   }

@@ -80,6 +80,16 @@ object PostOps {
         foldIncremental(spark, id, derivedId, extractor, loader)(
           (prev, inc) => graft.functions.CorpusFunctions.foldBm25Index(
             prev, inc, po.idColumn.get, po.valueColumn.get))
+      case "fold_bpe_tokens" =>
+        // incremental pre-tokenization: the FIRST sync trains the BPE
+        // merges on its increment and freezes them; later syncs encode
+        // under the frozen vocabulary and append per-doc counts — token
+        // counts stay comparable across the whole corpus lifetime. Read
+        // back with BpeFunctions.bpeTokensFromState / bpeMergesFromState.
+        foldIncremental(spark, id, derivedId, extractor, loader)(
+          (prev, inc) => graft.functions.BpeFunctions.foldBpeTokens(
+            prev, inc, po.idColumn.get, po.valueColumn.get,
+            po.k.getOrElse(8)))
       case "drift_gate" =>
         // per-sync distribution-drift QUALITY GATE: the derived table is
         // the persisted category-count mix of everything folded so far;

@@ -85,4 +85,35 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     // only "ab" exists: merge 1 = (a,b); then no adjacent pairs remain
     assert(m.map(_.merged) == Seq("ab"))
   }
+
+  test("foldBpeTokens: first fold trains and freezes, later folds append " +
+      "under the frozen merges, empty increment no-op") {
+    val c1 = Seq((1L, "low lower lowest"), (2L, "new newer"))
+      .toDF("doc_id", "text")
+    val c2 = Seq((3L, "lowest newest"), (4L, "low new"))
+      .toDF("doc_id", "text")
+    val st1 = BpeFunctions.foldBpeTokens(None, c1, "doc_id", "text",
+      numMerges = 6)
+    def merges(st: org.apache.spark.sql.DataFrame) =
+      BpeFunctions.bpeMergesFromState(st).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    val m1 = merges(st1)
+    assert(m1.nonEmpty && m1.size <= 6)
+    // the trained merges equal direct training on the same chunk
+    assert(m1 == BpeFunctions.trainBpe(c1, "text", 6).map(m => (m.left, m.right)))
+    val st2 = BpeFunctions.foldBpeTokens(Some(st1), c2, "doc_id", "text")
+    assert(merges(st2) == m1, "fold 2 must NOT retrain — merges are frozen")
+    // doc rows equal one batch encode of ALL docs under the frozen merges
+    def docRows(st: org.apache.spark.sql.DataFrame) =
+      BpeFunctions.bpeTokensFromState(st).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = BpeFunctions.encodeBpe(c1.unionByName(c2),
+      "doc_id", "text", m1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(docRows(st2) == want)
+    // an idle fold changes nothing
+    val st3 = BpeFunctions.foldBpeTokens(Some(st2), c1.limit(0),
+      "doc_id", "text")
+    assert(docRows(st3) == want && merges(st3) == m1)
+  }
 }

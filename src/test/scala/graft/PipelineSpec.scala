@@ -117,7 +117,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val p = PipelineConfig.fromFile("config/pipelines/example_fixtures.yml")
     assert(p.tables.exists(_.postOps.map(_.op).toSet ==
       Set("neardup_labels", "fold_bm25", "epoch_shards", "drift_gate",
-        "fold_kmv_distinct", "fold_count_min", "fold_sample", "rebalance")))
+        "fold_kmv_distinct", "fold_count_min", "fold_sample", "rebalance",
+        "fold_bpe_tokens")))
     assert(p.tables.exists(_.postOps.map(_.op).toSet == Set("fold_probe")))
     val runner = new PipelineRunner(spark, tmpDir("example_cfg"))
     val r = runner.sync(p)
@@ -667,6 +668,11 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
          |        target: ev_bm25
          |        id_column: event_id
          |        value_column: words
+         |      - op: fold_bpe_tokens
+         |        target: ev_bpe
+         |        id_column: event_id
+         |        value_column: words
+         |        k: 4
          |""".stripMargin
     val p = PipelineConfig.fromString(y)
     val runner = new PipelineRunner(spark, tmpDir("sketch_wh"))
@@ -709,6 +715,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         .sortBy(_._4).toSeq
     assert(score(state("ev_bm25")) ==
       score(CorpusFunctions.foldBm25Index(None, all, "event_id", "words")))
+    // the BPE fold froze its merges on sync 1 and appended sync 2's doc
+    // rows under them: state == one batch encode of ALL rows under the
+    // frozen merge table
+    import graft.functions.BpeFunctions
+    val bpeState = state("ev_bpe")
+    val frozen = BpeFunctions.bpeMergesFromState(bpeState)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(frozen == BpeFunctions.trainBpe(
+      rows(1, 300).toDF("event_id", "etype", "uid", "amt", "words"),
+      "words", 4).map(m => (m.left, m.right)),
+      "merges must come from sync 1's increment alone")
+    val bpeGot = BpeFunctions.bpeTokensFromState(bpeState).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val bpeWant = BpeFunctions.encodeBpe(all, "event_id", "words", frozen)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(bpeGot == bpeWant)
     // no new rows → exactly-once no-op
     assert(runner.sync(p).allOk)
     assert(state("ev_kmv").collect()
