@@ -156,14 +156,18 @@ object BpeFunctions {
                     numMerges: Int = 8): DataFrame = {
     val spark = increment.sparkSession
     import spark.implicits._
-    val frozen: Seq[(String, String)] = prev match {
-      case Some(st) => st.filter(col("kind") === "m")
+    // "trained" means the state carries a NON-EMPTY merge table: a first
+    // sync whose increment was empty (or single-character words only)
+    // must not freeze an empty vocabulary forever — keep retraining until
+    // an increment actually yields merges
+    val prevMerges: Option[Seq[(String, String)]] = prev.map(st =>
+      st.filter(col("kind") === "m")
         .select(col("step"), col("left_sym"), col("right_sym"))
         .orderBy(col("step")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      case None => trainBpe(increment, textCol, numMerges)
-        .map(m => (m.left, m.right))
-    }
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    val frozen: Seq[(String, String)] = prevMerges.filter(_.nonEmpty)
+      .getOrElse(trainBpe(increment, textCol, numMerges)
+        .map(m => (m.left, m.right)))
     def shape(df: DataFrame): DataFrame = df.select(
       col("kind"), col("step").cast("long").as("step"),
       col("left_sym"), col("right_sym"),
@@ -184,7 +188,10 @@ object BpeFunctions {
         col(idCol).cast("long").as("doc_id"),
         col("n_words"), col("n_bpe_tokens")))
     prev match {
-      case Some(st) => shape(st).unionByName(docRows)
+      case Some(st) if prevMerges.exists(_.nonEmpty) =>
+        shape(st).unionByName(docRows)
+      case Some(st) => // retrained this fold: install the merge rows too
+        shape(st).unionByName(mergeRows).unionByName(docRows)
       case None => mergeRows.unionByName(docRows)
     }
   }

@@ -103,6 +103,18 @@ object CorpusFunctions {
     val mkey = md5(col(idCol).cast("string"))
     val narrow = docs.select(col(idCol), col(groupCol))
     val counts = narrow.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // a WEIGHTED group with zero corpus rows makes the declared mixture
+    // unsatisfiable (the formula says T = 0): silently rebalancing over
+    // the remaining groups would ship the WRONG mixture, so fail loudly —
+    // the drift_gate convention, not the silent-drop one. The probe costs
+    // one weight-cardinality collect of the (already tiny) counts.
+    val present = counts
+      .filter(col(groupCol).isin(weights.map(_._1): _*))
+      .select(col(groupCol)).collect().map(_.getString(0)).toSet
+    val absent = weights.map(_._1).filterNot(present)
+    if (absent.nonEmpty) throw new IllegalArgumentException(
+      s"rebalanceToMixture: weighted group(s) ${absent.mkString(", ")} " +
+        "have no rows — the declared mixture is unsatisfiable (T = 0)")
     // feasibility caps and the global total T (1 row, broadcast)
     val feas = counts.join(broadcast(wdf), groupCol)
       .withColumn("__cap", expr(s"(__n * ${sumW}L) div __w"))
@@ -139,8 +151,9 @@ object CorpusFunctions {
     * (prefix + 0.5)·2⁻³² — EXACTLY representable (power-of-two divisor) and
     * strictly inside (0,1) in both engines; keys are rounded to 4 decimals
     * before ordering (id tiebreak) so the ≤1-ulp `ln` disagreement between
-    * libm implementations cannot flip a rank. Rows with weight ≤ 0 or NULL
-    * are excluded (the ES race is undefined there).
+    * libm implementations cannot flip a rank. Rows with weight ≤ 0, NULL
+    * or NaN, and rows with a NULL id, are excluded (the ES race is
+    * undefined there).
     *
     * Scale: groupCols empty → global top-n = TakeOrdered (no sort);
     * grouped → literal-n rank, WindowGroupLimit pre-prunes map-side. The
@@ -154,7 +167,12 @@ object CorpusFunctions {
       .cast("long")
     val u = (uInt.cast("double") + 0.5) / 4294967296.0
     val key = round(-log(u) / col(weightCol).cast("double"), 4)
-    val base = df.filter(col(weightCol).cast("double") > 0)
+    // NaN > 0 is TRUE under Spark's total order, so an upstream 0/0 score
+    // would slip through a bare `> 0` with key NaN; a NULL id would get a
+    // NULL race key that sorts FIRST and steals slots from real rows —
+    // both are excluded, per the docstring's contract
+    val wd = col(weightCol).cast("double")
+    val base = df.filter(wd > 0 && !isnan(wd) && col(idCol).isNotNull)
     if (groupCols.isEmpty)
       base.withColumn("__k", key)
         .orderBy(col("__k"), col(idCol)).limit(n).drop("__k")

@@ -37,7 +37,18 @@ object VectorFunctions {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      queryIdCol: String = "query_id",
-                     excludeSelf: Boolean = true): DataFrame = {
+                     excludeSelf: Boolean = true): DataFrame =
+    broadcastScanTopK(corpus, queries, k, idCol, vecCol, queryIdCol,
+      excludeSelf, band = None)
+
+  /** The ONE broadcast-query corpus scan behind [[bruteForceTopK]] and
+    * [[hardNegatives]]: scan the corpus once against the broadcast query
+    * set, optionally keep only cosines in [lo, hi), rank per query. */
+  private def broadcastScanTopK(corpus: DataFrame, queries: DataFrame,
+                                k: Int, idCol: String, vecCol: String,
+                                queryIdCol: String, excludeSelf: Boolean,
+                                band: Option[(Double, Double)]): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val q = broadcast(queries.select(col(queryIdCol),
       col(vecCol).as("__qvec")))
     // excludeSelf drops the id-equal pair — correct when the queries ARE
@@ -45,9 +56,11 @@ object VectorFunctions {
     // a DIFFERENT id space, or an unrelated corpus vector that happens to
     // share the number would silently vanish from its top-k
     val joinCond = if (excludeSelf) col(queryIdCol) =!= col(idCol) else lit(true)
-    val scored = corpus.select(col(idCol), col(vecCol))
+    val scored0 = corpus.select(col(idCol), col(vecCol))
       .join(q, joinCond)
       .withColumn("cosine", cosine(col(vecCol), col("__qvec")))
+    val scored = band.fold(scored0) { case (lo, hi) =>
+      scored0.filter(col("cosine") >= lo && col("cosine") < hi) }
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cosine").desc, col(idCol).asc)
     scored
@@ -96,9 +109,14 @@ object VectorFunctions {
     // √outDim of a positive integer is correctly-rounded IEEE in both
     // engines, so component values replay bit-for-bit in the oracle
     val scale = sqrt(lit(outDim.toDouble))
-    df.select(col(idCol),
-      transform(typedlit(planes), pl => dot(col(vecCol), pl) / scale)
-        .as(outCol))
+    // the matrix width comes from ONE probed row: rows whose vector is
+    // NULL or a DIFFERENT width (mixed upstream embedding models) would
+    // silently project to all-NULL components (DotProd's length-mismatch
+    // contract) — drop them instead, the decode-ops convention
+    df.filter(size(col(vecCol)) === dim)
+      .select(col(idCol),
+        transform(typedlit(planes), pl => dot(col(vecCol), pl) / scale)
+          .as(outCol))
   }
 
   /** Hard-negative mining for contrastive training: per query, the k MOST
@@ -117,23 +135,9 @@ object VectorFunctions {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     queryIdCol: String = "query_id",
                     excludeSelf: Boolean = true): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
     require(simLo < simHi, s"band must be non-empty: [$simLo, $simHi)")
-    val q = broadcast(queries.select(col(queryIdCol),
-      col(vecCol).as("__qvec")))
-    val joinCond =
-      if (excludeSelf) col(queryIdCol) =!= col(idCol) else lit(true)
-    val scored = corpus.select(col(idCol), col(vecCol))
-      .join(q, joinCond)
-      .withColumn("cosine", cosine(col(vecCol), col("__qvec")))
-      .filter(col("cosine") >= simLo && col("cosine") < simHi)
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
-        col("rank"), col("cosine"))
+    broadcastScanTopK(corpus, queries, k, idCol, vecCol, queryIdCol,
+      excludeSelf, band = Some((simLo, simHi)))
   }
 
   // --------------------------------------------------------------------------

@@ -217,6 +217,14 @@ object H264 {
     val frameMbsOnly = br.u(1)
     if (frameMbsOnly == 0L)
       throw new IllegalArgumentException("interlaced streams unsupported")
+    // SPS dimensions are UNTRUSTED bytes: a hostile/corrupt stream can
+    // encode 65536×16384 and the per-frame plane allocation would OOM the
+    // task (an Error, not an Exception — it would escape decodeIPcm's
+    // catch). Same bailout discipline as the MP4 box walk: cap the plane
+    // at 16M pixels (~16 MB luma) and refuse beyond it.
+    if (wMbs.toLong * hMbs * 256 > (1L << 24))
+      throw new IllegalArgumentException(
+        s"refusing ${wMbs * 16}x${hMbs * 16} frame (hostile-size bailout)")
     SpsInfo(wMbs * 16, hMbs * 16, frameNumBits, pocType)
   }
 

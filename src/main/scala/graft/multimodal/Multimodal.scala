@@ -34,6 +34,42 @@ object Multimodal {
                            nFrames: Int)
 
   object MediaCodec {
+    /** ISO-BMFF box walk over [start, end): (name, contentStart,
+      * contentEnd) per box. Box sizes are UNTRUSTED 32-bit values — 64-bit
+      * largesize (size==1) and runs-to-end (size==0) handled, anything
+      * inconsistent returns empty rather than walking garbage. Shared by
+      * [[parseHeader]]'s MP4 branch and [[decodeH264Frames]]. */
+    private def bmffBoxes(bytes: Array[Byte], start: Int,
+                          end: Int): Seq[(String, Int, Int)] = {
+      def u8(i: Int) = bytes(i) & 0xff
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) |
+        (u8(i + 2) << 8) | u8(i + 3)
+      val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end) {
+        val sz0 = be32(i).toLong & 0xffffffffL
+        val name = new String(bytes, i + 4, 4, "ISO-8859-1")
+        var hdr = 8L
+        var sz = sz0
+        if (sz0 == 1L) {
+          if (i + 16 <= end) {
+            hdr = 16L
+            sz = ((be32(i + 8).toLong & 0xffffffffL) << 32) |
+              (be32(i + 12).toLong & 0xffffffffL)
+          } else ok = false
+        } else if (sz0 == 0L) sz = (end - i).toLong // box runs to the end
+        if (ok) {
+          if (sz < hdr || i.toLong + sz > end) ok = false
+          else {
+            out += ((name, (i + hdr).toInt, (i + sz).toInt))
+            i = (i + sz).toInt
+          }
+        }
+      }
+      if (ok) out.toSeq else Seq.empty
+    }
+
     /** REAL container-header metadata decode for the formats whose headers
       * are pure byte layout (no codec library needed): PNG / JPEG / GIF /
       * BMP dimensions and WAV channel/sample-rate/sample-count. Returns
@@ -95,32 +131,8 @@ object Multimodal {
         // 32-bit values (64-bit largesize handled): walk with longs, bail
         // on nonsense — same discipline as the WAV chunk loop. Frame
         // PIXEL decode is [[decodeH264Frames]] (I_PCM subset).
-        def boxes(start: Int, end: Int): Seq[(String, Int, Int)] = {
-          val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
-          var i = start
-          var ok = true
-          while (ok && i + 8 <= end) {
-            val sz0 = be32(i).toLong & 0xffffffffL
-            val name = new String(bytes, i + 4, 4, "ISO-8859-1")
-            var hdr = 8L
-            var sz = sz0
-            if (sz0 == 1L) {
-              if (i + 16 <= end) {
-                hdr = 16L
-                sz = ((be32(i + 8).toLong & 0xffffffffL) << 32) |
-                  (be32(i + 12).toLong & 0xffffffffL)
-              } else ok = false
-            } else if (sz0 == 0L) sz = (end - i).toLong // box runs to the end
-            if (ok) {
-              if (sz < hdr || i.toLong + sz > end) ok = false
-              else {
-                out += ((name, (i + hdr).toInt, (i + sz).toInt))
-                i = (i + sz).toInt
-              }
-            }
-          }
-          if (ok) out.toSeq else Seq.empty
-        }
+        def boxes(start: Int, end: Int): Seq[(String, Int, Int)] =
+          bmffBoxes(bytes, start, end)
         def child(kids: Seq[(String, Int, Int)], name: String) =
           kids.find(_._1 == name)
         val top = boxes(0, n)
@@ -282,25 +294,16 @@ object Multimodal {
       * (the JDK ships no transform-decode, and this engine refuses to
       * guess at pixels it cannot reproduce exactly). */
     def decodeH264Frames(bytes: Array[Byte]): Option[Seq[H264.Frame]] = {
-      def mdatPayload: Option[Array[Byte]] = {
-        def u8(i: Int) = bytes(i) & 0xff
-        def be32(i: Int) = (u8(i).toLong << 24) | (u8(i + 1) << 16) |
-          (u8(i + 2) << 8) | u8(i + 3)
-        var off = 0L
-        var found: Option[Array[Byte]] = None
-        while (found.isEmpty && off + 8 <= bytes.length) {
-          val size = be32(off.toInt)
-          val name = new String(bytes, off.toInt + 4, 4, "ISO-8859-1")
-          if (size < 8 || off + size > bytes.length) return None // hostile
-          if (name == "mdat")
-            found = Some(bytes.slice(off.toInt + 8, (off + size).toInt))
-          off += size
-        }
-        found
-      }
+      // NULL payloads drop out like every other decode pass (the image/
+      // audio siblings return None; a raw dereference here would kill the
+      // whole decodeVideoFrameStats job on one scraped null row)
+      if (bytes == null || bytes.length < 8) return None
       val stream =
-        if (bytes.length >= 8 &&
-          new String(bytes, 4, 4, "ISO-8859-1") == "ftyp") mdatPayload
+        if (new String(bytes, 4, 4, "ISO-8859-1") == "ftyp")
+          // the hardened shared walk (largesize + runs-to-end boxes)
+          bmffBoxes(bytes, 0, bytes.length)
+            .find(_._1 == "mdat").map { case (_, cs, ce) =>
+              bytes.slice(cs, ce) }
         else Some(bytes)
       stream.flatMap(H264.decodeIPcm)
     }

@@ -46,11 +46,19 @@ object Expectations {
           val dt = df.selectExpr(sql).schema.head.dataType
           if (dt != org.apache.spark.sql.types.BooleanType)
             Some(i -> s"expression '$sql' is ${dt.simpleString}, not boolean")
-          else None
+          else {
+            // probe the EXACT shape the gate will run: a row-level contract
+            // containing its own aggregate/window (`count(*) > 100` — the
+            // row_count_min mistake) resolves under selectExpr but throws
+            // nested-aggregate when embedded in the gate's single agg pass
+            df.agg(sum(when(coalesce(expr(sql), lit(false)), 0L)
+              .otherwise(1L))).queryExecution.assertAnalyzed()
+            None
+          }
         } catch {
           case ex: org.apache.spark.sql.AnalysisException =>
-            Some(i -> s"expression '$sql' does not resolve: ${
-              ex.getMessage.linesIterator.next()}")
+            Some(i -> (s"expression '$sql' does not resolve as a row-level " +
+              s"predicate: ${ex.getMessage.linesIterator.next()}"))
         }
       }
     }.toMap

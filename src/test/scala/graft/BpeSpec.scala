@@ -115,5 +115,16 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     val st3 = BpeFunctions.foldBpeTokens(Some(st2), c1.limit(0),
       "doc_id", "text")
     assert(docRows(st3) == want && merges(st3) == m1)
+    // an EMPTY first fold must not freeze an empty vocabulary forever:
+    // the next non-empty fold trains (and installs) the merges
+    val stE = BpeFunctions.foldBpeTokens(None, c1.limit(0),
+      "doc_id", "text", numMerges = 6)
+    assert(merges(stE).isEmpty && docRows(stE).isEmpty)
+    val stR = BpeFunctions.foldBpeTokens(Some(stE), c1, "doc_id", "text",
+      numMerges = 6)
+    assert(merges(stR) == m1, "second fold must retrain after an empty start")
+    assert(docRows(stR) == BpeFunctions.encodeBpe(c1, "doc_id", "text", m1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap)
   }
 }

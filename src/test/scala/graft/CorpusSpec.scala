@@ -620,10 +620,12 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       df, "id", "w", Seq("grp"), n = 1000).count()
     assert(all == 101)
     // zero/negative/null weights are excluded
-    val bad = (Seq((1L, "g", 0.0), (2L, "g", -3.0)) :+
-      ((3L, "g", Double.NaN))).toDF("id", "grp", "w")
+    val bad = (Seq((1L, "g", 0.0), (2L, "g", -3.0), (4L, "g", Double.NaN)) :+
+      ((3L, "g", 1.0))).toDF("id", "grp", "w")
       .withColumn("w", when(col("id") === 3L,
         lit(null).cast("double")).otherwise(col("w")))
+    // NaN > 0 is TRUE under Spark's total order — the filter must still
+    // exclude it, along with zero, negative and NULL weights
     assert(CorpusFunctions.weightedSampleByGroup(
       bad, "id", "w", Seq("grp"), n = 10).count() == 0)
     // deterministic re-run; global (ungrouped) top-n agrees with the
@@ -710,6 +712,12 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       .groupBy("grp").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(eq == Map("a" -> 6L, "b" -> 6L))
+    // a weighted group with ZERO corpus rows fails loudly (the declared
+    // mixture is unsatisfiable) instead of silently shipping a 2-group mix
+    intercept[IllegalArgumentException] {
+      CorpusFunctions.rebalanceToMixture(docs, "grp",
+        Seq("a" -> 2L, "zz" -> 1L), "doc_id").count()
+    }
     // validation
     intercept[IllegalArgumentException] {
       CorpusFunctions.rebalanceToMixture(docs, "grp", Seq.empty, "doc_id")

@@ -660,10 +660,22 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(viaBox.length == Multimodal.MediaFixtures.h264FrameCount(7L))
     val meta = Multimodal.MediaCodec.parseHeader(d7).get
     assert((meta.width, meta.height) == Multimodal.MediaFixtures.h264Dims(7L))
-    // junk, truncation and non-video bytes reject cleanly
+    // junk, truncation, NULL and non-video bytes reject cleanly
     assert(H264.decodeIPcm("not h264".getBytes).isEmpty)
     assert(H264.decodeIPcm(zs.take(zs.length / 2)).isEmpty)
     assert(Multimodal.MediaCodec.decodeH264Frames(
       Multimodal.MediaFixtures.pngPayload(2L)).isEmpty)
+    assert(Multimodal.MediaCodec.decodeH264Frames(null).isEmpty,
+      "a NULL payload must drop out, not NPE the task")
+    // a legal runs-to-EOF mdat (size = 0, common for the last box) still
+    // decodes — the shared hardened box walk handles it
+    val container = Multimodal.MediaFixtures.h264Mp4Payload(7L)
+    val mdatName = "mdat".getBytes("ISO-8859-1")
+    val mdatAt = container.indices.find(i => i + 4 <= container.length &&
+      container.slice(i, i + 4).sameElements(mdatName)).get
+    val eofMdat = container.clone()
+    (0 until 4).foreach(j => eofMdat(mdatAt - 4 + j) = 0) // size := 0
+    assert(Multimodal.MediaCodec.decodeH264Frames(eofMdat).get.length ==
+      Multimodal.MediaFixtures.h264FrameCount(7L))
   }
 }

@@ -511,6 +511,11 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val vNotBool = graft.operators.Expectations.violations(rows,
       Seq(xp("id + 1")))
     assert(vNotBool.exists(_.contains("not boolean")), vNotBool.mkString(";"))
+    // an aggregate smuggled into a row-level contract (the row_count_min
+    // mistake) is a NAMED violation, not a nested-aggregate crash mid-gate
+    val vAgg = graft.operators.Expectations.violations(rows,
+      Seq(xp("count(*) > 100")))
+    assert(vAgg.exists(_.contains("row-level")), vAgg.mkString(";"))
     // YAML reach + parse strictness for the expression form
     val exprCfg = PipelineConfig.fromString(yml(
       """      - expression: "o_totalprice >= 0 AND o_orderkey IS NOT NULL""""

@@ -538,6 +538,14 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     // empty input: zero rows, not a crash
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(VectorFunctions.randomProjection(empty, 4).count() == 0)
+    // mixed-width and null vectors DROP (they would otherwise project to
+    // all-NULL components via DotProd's length-mismatch contract)
+    val mixed = Seq(
+      (1L, Seq.fill(8)(1.0f)), (2L, Seq.fill(4)(1.0f)),
+      (3L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    val kept = VectorFunctions.randomProjection(mixed, 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"only the probed-width row survives: $kept")
   }
 
   test("hardNegatives: band bounds respected, near-dups excluded, ranked") {
