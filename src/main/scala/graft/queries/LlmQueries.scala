@@ -637,6 +637,72 @@ object LlmQueries {
              |LEFT JOIN labels l ON d.doc_id = l.id
              |WHERE l.id IS NULL OR l.cluster = d.doc_id""".stripMargin)),
 
+    // ------------------------------------ CROSS-MODAL duplicate closure
+    // Scraped pages duplicate along EITHER axis: same text re-hosted, or
+    // the same image with rewritten boilerplate. One connected-component
+    // closure over the UNION of heterogeneous pair sources (MinHash text
+    // near-dups ∪ perceptual-hash image near-dups) labels both — the
+    // composition a per-modality dedup cannot express (a text-dup of an
+    // image-dup lands in ONE cluster). Oracle: both pair sets replay
+    // exactly (all-pairs Jaccard; closed-form pixel dhashes), then the
+    // same recursive-CTE closure as the text-only cluster oracles.
+    Q("q_crossmodal_dedup",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val textPairs = DedupFunctions.minhashNearDuplicates(
+          docs, "doc_id", "text", threshold = 0.9)
+          .select(col("id_a"), col("id_b"))
+        val imgPairs = graft.multimodal.Multimodal.imageNearDuplicates(
+          graft.multimodal.Multimodal.imagePerceptualHashes(s,
+            graft.multimodal.Multimodal.withFixtureMedia(s, docs)),
+          maxHamming = 2)
+          .select(col("id_a"), col("id_b"))
+        DedupFunctions.foldClusterLabels(None,
+          textPairs.unionByName(imgPairs))
+          .select(col("id").as("doc_id"), col("cluster"))
+      },
+      Some(s"""WITH RECURSIVE sh AS MATERIALIZED (
+             |  SELECT doc_id, $shinglesSql AS s
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+             |  WHERE len(s) > 0),
+             |tpairs AS MATERIALIZED (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.s, b.s)) /
+             |      len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+             |img AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS d,
+             |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |lum AS MATERIALIZED (SELECT d, w, h, p,
+             |    (d*31 + p*3) % 256 + (d*31 + p*3 + 1) % 256
+             |      + (d*31 + p*3 + 2) % 256 AS l
+             |  FROM img, generate_series(0, 47) t(p) WHERE p < w*h),
+             |bits AS MATERIALIZED (SELECT a.d, a.w, a.h,
+             |    ROW_NUMBER() OVER (PARTITION BY a.d ORDER BY a.p) - 1 AS k,
+             |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+             |  FROM lum a JOIN lum b ON b.d = a.d AND b.p = a.p + 1
+             |  WHERE (a.p % a.w) < a.w - 1),
+             |hs AS MATERIALIZED (SELECT d, w, h,
+             |    CAST(SUM(bit * (1::BIGINT << k)) AS BIGINT) AS dhash
+             |  FROM bits GROUP BY d, w, h),
+             |ipairs AS MATERIALIZED (
+             |  SELECT a.d AS id_a, b.d AS id_b
+             |  FROM hs a JOIN hs b
+             |    ON a.w = b.w AND a.h = b.h AND a.d < b.d
+             |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 2),
+             |allp AS MATERIALIZED (
+             |  SELECT id_a, id_b FROM tpairs
+             |  UNION SELECT id_a, id_b FROM ipairs),
+             |edges AS MATERIALIZED (
+             |  SELECT id_a AS src, id_b AS dst FROM allp
+             |  UNION SELECT id_b, id_a FROM allp),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+             |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+             |FROM reach GROUP BY src""".stripMargin)),
+
     // ------------------------------- INCREMENTAL cluster-label maintenance
     // The label side-table analog of q_dedup_minhash_incremental: batch-
     // cluster the even-id corpus, then FOLD the odd-id increment's band-

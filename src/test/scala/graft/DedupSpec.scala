@@ -434,4 +434,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         s"doc $id: covered=$covered kept=${kept(id)} total=$n")
     }
   }
+
+  test("cross-source pair union closes into ONE cluster across the bridge") {
+    // the q_crossmodal_dedup composition: a text near-dup (1,2) and an
+    // image near-dup (2,3) from DIFFERENT detectors must land all three
+    // docs in one component — per-modality clustering cannot express this
+    val s = spark
+    import s.implicits._
+    val textPairs = Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val imgPairs = Seq((2L, 3L)).toDF("id_a", "id_b")
+    val labels = graft.functions.DedupFunctions.foldClusterLabels(None,
+      textPairs.unionByName(imgPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }
