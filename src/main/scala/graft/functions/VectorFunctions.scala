@@ -140,6 +140,35 @@ object VectorFunctions {
       excludeSelf, band = Some((simLo, simHi)))
   }
 
+  /** Contrastive training triplets: per anchor, the single best POSITIVE
+    * (nearest neighbor with cosine ≥ posMin — same-content evidence) paired
+    * with its k hard NEGATIVES from the [negLo, negHi) band. The
+    * dense-retrieval training-set builder (anchor, positive, hard-negative
+    * rows ready for an InfoNCE/triplet loss); anchors with no qualifying
+    * positive drop out — a triplet without a positive teaches nothing.
+    *
+    * Scale: two band-filtered passes of the SAME broadcast-query corpus
+    * scan ([[broadcastScanTopK]]) + one join keyed on the (tiny) anchor
+    * set. Corpus text/vectors never shuffle. */
+  def contrastiveTriplets(corpus: DataFrame, anchors: DataFrame, k: Int,
+                          posMin: Double, negLo: Double, negHi: Double,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          queryIdCol: String = "query_id"): DataFrame = {
+    require(negHi <= posMin,
+      s"negative band [$negLo, $negHi) must sit below posMin $posMin " +
+        "(an overlap would let one neighbor be both positive and negative)")
+    val pos = broadcastScanTopK(corpus, anchors, k = 1, idCol, vecCol,
+      queryIdCol, excludeSelf = true, band = Some((posMin, 1.0000001)))
+      .select(col(queryIdCol), col("neighbor_id").as("pos_id"),
+        col("cosine").as("pos_cos"))
+    val neg = broadcastScanTopK(corpus, anchors, k, idCol, vecCol,
+      queryIdCol, excludeSelf = true, band = Some((negLo, negHi)))
+      .select(col(queryIdCol), col("neighbor_id").as("neg_id"),
+        col("rank").as("neg_rank"), col("cosine").as("neg_cos"))
+    pos.join(neg, Seq(queryIdCol))
+  }
+
   // --------------------------------------------------------------------------
   // IVF — inverted-file index (the scale path)
   // --------------------------------------------------------------------------

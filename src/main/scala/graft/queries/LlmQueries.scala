@@ -1618,6 +1618,47 @@ object LlmQueries {
              |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos4
              |FROM banded WHERE rank <= 10""".stripMargin)),
 
+    // -------------------------------- contrastive triplet mining
+    // Per anchor: best positive (cos >= 0.45) × top-5 hard negatives from
+    // [0.05, 0.45) — the dense-retrieval training-set builder. Anchors
+    // without a qualifying positive drop out. Same arithmetic as the
+    // brute-force oracle, so every pick replays.
+    Q("q_contrastive_triplets",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val anchors = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        VectorFunctions.contrastiveTriplets(emb, anchors, k = 5,
+          posMin = 0.45, negLo = 0.05, negHi = 0.45)
+          .select(col("query_id"), col("pos_id"),
+            round(col("pos_cos"), 4).as("pos_cos4"),
+            col("neg_id"), col("neg_rank"),
+            round(col("neg_cos"), 4).as("neg_cos4"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id AS nid,
+             |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+             |  FROM embeddings e CROSS JOIN q
+             |  WHERE e.vec_id <> q.query_id),
+             |pos AS (
+             |  SELECT query_id, nid AS pos_id, cos AS pos_cos,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, nid ASC) AS rn
+             |  FROM scored WHERE cos >= 0.45),
+             |neg AS (
+             |  SELECT query_id, nid AS neg_id, cos AS neg_cos,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, nid ASC) AS neg_rank
+             |  FROM scored WHERE cos >= 0.05 AND cos < 0.45)
+             |SELECT p.query_id, p.pos_id, round(p.pos_cos, 4) AS pos_cos4,
+             |  n.neg_id, CAST(n.neg_rank AS INT) AS neg_rank,
+             |  round(n.neg_cos, 4) AS neg_cos4
+             |FROM pos p JOIN neg n USING (query_id)
+             |WHERE p.rn = 1 AND n.neg_rank <= 5""".stripMargin)),
+
     // --------------------------- JL random projection (dim reduction)
     // 64-d → 16-d with the deterministic md5-Rademacher matrix; each
     // reduced component is one dot product over a ±1 plane scaled by

@@ -648,6 +648,27 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(byG == Map("a" -> 5L, "b" -> 5L))
   }
 
+  test("rebalanceToMixture: quota formula holds across seeded random " +
+      "corpora and weights") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42) // deterministic cases
+    (1 to 5).foreach { _ =>
+      val groups = ('a' to ('a' + 2 + rnd.nextInt(3)).toChar).map(_.toString)
+      val sizes = groups.map(g => g -> (5 + rnd.nextInt(40))).toMap
+      val weights = groups.map(g => g -> (1L + rnd.nextInt(5))).toSeq
+      val docs = groups.flatMap(g => (0 until sizes(g)).map(i =>
+        (g.hashCode.toLong * 1000 + i, g))).toDF("id", "grp")
+      val sumW = weights.map(_._2).sum
+      val t = weights.map { case (g, w) => sizes(g).toLong * sumW / w }.min
+      val want = weights.map { case (g, w) => g -> w * t / sumW }.toMap
+      val got = CorpusFunctions.rebalanceToMixture(docs, "grp", weights, "id")
+        .groupBy("grp").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want.filter(_._2 > 0), s"sizes=$sizes weights=$weights")
+    }
+  }
+
   test("bigramLogProbScoresAgainst: reference-trained LM, exact unseen " +
       "backstops, fluent text outranks OOV") {
     val s = spark

@@ -548,6 +548,35 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L), s"only the probed-width row survives: $kept")
   }
 
+  test("contrastiveTriplets: best positive x ranked negatives, " +
+      "positive-less anchors drop, overlapping bands rejected") {
+    val s = spark
+    import s.implicits._
+    def at(c: Double): Seq[Float] = {
+      val sgn = math.sqrt(1.0 - c * c)
+      Seq(c.toFloat, sgn.toFloat)
+    }
+    val corpus = Seq(
+      (1L, at(1.0)), (2L, at(0.6)), (3L, at(0.3)),
+      (4L, at(0.2)), (5L, at(0.0))).toDF("vec_id", "embedding")
+    // anchor 100 has positives {1, 2} and negatives {3, 4}; anchor 200
+    // (orthogonal) has NO positive and must drop entirely
+    val anchors = Seq((100L, at(1.0)), (200L, at(0.0)))
+      .toDF("query_id", "embedding")
+    val t = graft.functions.VectorFunctions.contrastiveTriplets(
+      corpus, anchors, k = 5, posMin = 0.5, negLo = 0.1, negHi = 0.5)
+      .collect()
+    assert(t.forall(_.getLong(0) == 100L), "positive-less anchor must drop")
+    assert(t.map(_.getLong(1)).distinct.toSeq == Seq(1L),
+      "the BEST positive (the duplicate), not every positive")
+    assert(t.sortBy(_.getInt(4)).map(_.getLong(3)).toSeq == Seq(3L, 4L),
+      "negatives ranked most-similar-first within the band")
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorFunctions.contrastiveTriplets(
+        corpus, anchors, k = 1, posMin = 0.4, negLo = 0.1, negHi = 0.5)
+    }
+  }
+
   test("hardNegatives: band bounds respected, near-dups excluded, ranked") {
     val s = spark
     import s.implicits._
