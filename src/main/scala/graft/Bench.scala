@@ -144,6 +144,7 @@ object Bench {
     // attribute the ANN queries' wall time: training/encode cost
     // (variance-prone) vs the probe plan (regression-prone)
     val ivfTrain = graft.functions.VectorFunctions.lastTrainSec
+    val clusterIdx = graft.functions.DedupFunctions.lastIndexBuildSec
     val pqTrain = graft.functions.VectorFunctions.lastPqTrainSec
     val pqEncode = graft.functions.VectorFunctions.lastPqEncodeSec
 
@@ -210,7 +211,7 @@ object Bench {
     }
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"extract_rows_per_sec":$rps,"total_steady":$totalSteady,"ivf_train_sec":$ivfTrain,"pq_train_sec":$pqTrain,"pq_encode_sec":$pqEncode,"queries":${fmtQs(_._2)},"queries_steady":${fmtQs(_._3)},"attrib":$attribJson,"queries_10x":$scaleJson,"extract_rows_per_sec_10x":$rps10x,"scale_10x":{"documents":8,"lineitem":10},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"extract_rows_per_sec":$rps,"total_steady":$totalSteady,"ivf_train_sec":$ivfTrain,"cluster_index_build_sec":$clusterIdx,"pq_train_sec":$pqTrain,"pq_encode_sec":$pqEncode,"queries":${fmtQs(_._2)},"queries_steady":${fmtQs(_._3)},"attrib":$attribJson,"queries_10x":$scaleJson,"extract_rows_per_sec_10x":$rps10x,"scale_10x":{"documents":8,"lineitem":10},"sf":"$sfDir"}"""
     println(json)
     // Also persist the artifact ourselves: a tail-capture of stdout can clip
     // the line (it did in round 4) and lose the round-over-round signal.

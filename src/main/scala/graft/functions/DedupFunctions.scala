@@ -17,6 +17,14 @@ import graft.functions.exprs._
   */
 object DedupFunctions {
 
+  /** Wall-clock seconds of the most recent index-build-class work timed by
+    * a caller (`q_dedup_cluster_incremental` stamps its base-corpus batch
+    * clustering + band-index materialization here) — bench attribution so
+    * the query's cost separates one-time index construction (amortized in
+    * production: the band index and labels PERSIST across syncs) from the
+    * per-increment probe+fold the operator actually charges per run. */
+  @volatile var lastIndexBuildSec: Double = -1.0
+
   // --------------------------------------------------------------------------
   // Exact dedup
   // --------------------------------------------------------------------------
