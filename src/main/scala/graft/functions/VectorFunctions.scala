@@ -154,16 +154,19 @@ object VectorFunctions {
                           posMin: Double, negLo: Double, negHi: Double,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
-                          queryIdCol: String = "query_id"): DataFrame = {
+                          queryIdCol: String = "query_id",
+                          excludeSelf: Boolean = true): DataFrame = {
+    require(negLo < negHi, s"negative band [$negLo, $negHi) is empty")
+    require(posMin <= 1.0, s"posMin $posMin > 1 admits no positive")
     require(negHi <= posMin,
       s"negative band [$negLo, $negHi) must sit below posMin $posMin " +
         "(an overlap would let one neighbor be both positive and negative)")
     val pos = broadcastScanTopK(corpus, anchors, k = 1, idCol, vecCol,
-      queryIdCol, excludeSelf = true, band = Some((posMin, 1.0000001)))
+      queryIdCol, excludeSelf, band = Some((posMin, 1.0000001)))
       .select(col(queryIdCol), col("neighbor_id").as("pos_id"),
         col("cosine").as("pos_cos"))
     val neg = broadcastScanTopK(corpus, anchors, k, idCol, vecCol,
-      queryIdCol, excludeSelf = true, band = Some((negLo, negHi)))
+      queryIdCol, excludeSelf, band = Some((negLo, negHi)))
       .select(col(queryIdCol), col("neighbor_id").as("neg_id"),
         col("rank").as("neg_rank"), col("cosine").as("neg_cos"))
     pos.join(neg, Seq(queryIdCol))

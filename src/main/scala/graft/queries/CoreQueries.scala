@@ -32,6 +32,30 @@ private[queries] object Align {
     * (Spark fixed-scale Decimals vs DuckDB float64 otherwise canonicalize
     * differently on trailing fractional zeros — CORRECTNESS_r02 hash flags). */
   def dsum(c: Column, scale: Int): Column = sum(dec(c, scale)).cast("double")
+
+  /** The fixture image-pixel → dHash replay (img/lum/bits/hs CTE chain),
+    * shared by every oracle that re-derives perceptual hashes from
+    * [[graft.multimodal.Multimodal.MediaFixtures]]' closed-form pixels
+    * (q_mm_image_phash, q_mm_image_neardup, q_crossmodal_dedup). ONE
+    * definition — if the fixture pixel formula changes, every oracle
+    * follows. Emitted WITHOUT a trailing comma; hosts interpolate it as
+    * the head of their WITH list. */
+  val imageDhashCtes: String =
+    """img AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS d,
+      |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |lum AS MATERIALIZED (SELECT d, w, h, p,
+      |    (d*31 + p*3) % 256 + (d*31 + p*3 + 1) % 256
+      |      + (d*31 + p*3 + 2) % 256 AS l
+      |  FROM img, generate_series(0, 47) t(p) WHERE p < w*h),
+      |bits AS MATERIALIZED (SELECT a.d, a.w, a.h,
+      |    ROW_NUMBER() OVER (PARTITION BY a.d ORDER BY a.p) - 1 AS k,
+      |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+      |  FROM lum a JOIN lum b ON b.d = a.d AND b.p = a.p + 1
+      |  WHERE (a.p % a.w) < a.w - 1),
+      |hs AS MATERIALIZED (SELECT d, w, h,
+      |    CAST(SUM(bit * (1::BIGINT << k)) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY d, w, h)""".stripMargin
 }
 
 /** Core-surface queries: every SQL-expressible operator from SURVEY §2

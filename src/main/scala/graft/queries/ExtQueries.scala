@@ -105,22 +105,10 @@ object ExtQueries {
     Q("q_mm_image_phash",
       (s, dir) => Multimodal.imagePerceptualHashes(s,
         Multimodal.withFixtureMedia(s, Tables.df(s, dir, "documents"))),
-      Some("""WITH img AS (SELECT CAST(doc_id AS BIGINT) AS d,
-             |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
-             |  FROM documents WHERE doc_id % 2 = 0),
-             |lum AS (SELECT d, w, h, p,
-             |    (d*31 + p*3) % 256 + (d*31 + p*3 + 1) % 256
-             |      + (d*31 + p*3 + 2) % 256 AS l
-             |  FROM img, generate_series(0, 47) t(p) WHERE p < w*h),
-             |bits AS (SELECT a.d, a.w, a.h,
-             |    ROW_NUMBER() OVER (PARTITION BY a.d ORDER BY a.p) - 1 AS k,
-             |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
-             |  FROM lum a JOIN lum b ON b.d = a.d AND b.p = a.p + 1
-             |  WHERE (a.p % a.w) < a.w - 1)
+      Some(s"""WITH ${Align.imageDhashCtes}
              |SELECT d AS doc_id, CAST(w AS BIGINT) AS width,
-             |  CAST(h AS BIGINT) AS height,
-             |  CAST(SUM(bit * (1::BIGINT << k)) AS BIGINT) AS dhash
-             |FROM bits GROUP BY d, w, h""".stripMargin)),
+             |  CAST(h AS BIGINT) AS height, dhash
+             |FROM hs""".stripMargin)),
 
     // ------------------------------------- multimodal image near-duplicates
     // Hamming ≤ 2 on the perceptual hash via 4-band bucket join (exact by
@@ -130,21 +118,7 @@ object ExtQueries {
         Multimodal.imagePerceptualHashes(s,
           Multimodal.withFixtureMedia(s, Tables.df(s, dir, "documents"))),
         maxHamming = 2),
-      Some("""WITH img AS (SELECT CAST(doc_id AS BIGINT) AS d,
-             |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
-             |  FROM documents WHERE doc_id % 2 = 0),
-             |lum AS (SELECT d, w, h, p,
-             |    (d*31 + p*3) % 256 + (d*31 + p*3 + 1) % 256
-             |      + (d*31 + p*3 + 2) % 256 AS l
-             |  FROM img, generate_series(0, 47) t(p) WHERE p < w*h),
-             |bits AS (SELECT a.d, a.w, a.h,
-             |    ROW_NUMBER() OVER (PARTITION BY a.d ORDER BY a.p) - 1 AS k,
-             |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
-             |  FROM lum a JOIN lum b ON b.d = a.d AND b.p = a.p + 1
-             |  WHERE (a.p % a.w) < a.w - 1),
-             |hs AS (SELECT d, w, h,
-             |    CAST(SUM(bit * (1::BIGINT << k)) AS BIGINT) AS dhash
-             |  FROM bits GROUP BY d, w, h)
+      Some(s"""WITH ${Align.imageDhashCtes}
              |SELECT a.d AS id_a, b.d AS id_b,
              |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
              |FROM hs a JOIN hs b

@@ -670,21 +670,7 @@ object LlmQueries {
              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              |  WHERE len(list_intersect(a.s, b.s)) /
              |      len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
-             |img AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS d,
-             |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
-             |  FROM documents WHERE doc_id % 2 = 0),
-             |lum AS MATERIALIZED (SELECT d, w, h, p,
-             |    (d*31 + p*3) % 256 + (d*31 + p*3 + 1) % 256
-             |      + (d*31 + p*3 + 2) % 256 AS l
-             |  FROM img, generate_series(0, 47) t(p) WHERE p < w*h),
-             |bits AS MATERIALIZED (SELECT a.d, a.w, a.h,
-             |    ROW_NUMBER() OVER (PARTITION BY a.d ORDER BY a.p) - 1 AS k,
-             |    CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
-             |  FROM lum a JOIN lum b ON b.d = a.d AND b.p = a.p + 1
-             |  WHERE (a.p % a.w) < a.w - 1),
-             |hs AS MATERIALIZED (SELECT d, w, h,
-             |    CAST(SUM(bit * (1::BIGINT << k)) AS BIGINT) AS dhash
-             |  FROM bits GROUP BY d, w, h),
+             |${Align.imageDhashCtes},
              |ipairs AS MATERIALIZED (
              |  SELECT a.d AS id_a, b.d AS id_b
              |  FROM hs a JOIN hs b

@@ -560,8 +560,12 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
       (1L, at(1.0)), (2L, at(0.6)), (3L, at(0.3)),
       (4L, at(0.2)), (5L, at(0.0))).toDF("vec_id", "embedding")
     // anchor 100 has positives {1, 2} and negatives {3, 4}; anchor 200
-    // (orthogonal) has NO positive and must drop entirely
-    val anchors = Seq((100L, at(1.0)), (200L, at(0.0)))
+    // (at 155°) has NO positive (max cos 0.42 < 0.5) but DOES have
+    // in-band negatives — it must drop for lack of a positive, not for
+    // lack of negatives
+    val a200 = Seq(math.cos(155.0.toRadians).toFloat,
+      math.sin(155.0.toRadians).toFloat)
+    val anchors = Seq((100L, at(1.0)), (200L, a200))
       .toDF("query_id", "embedding")
     val t = graft.functions.VectorFunctions.contrastiveTriplets(
       corpus, anchors, k = 5, posMin = 0.5, negLo = 0.1, negHi = 0.5)
@@ -574,6 +578,10 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       graft.functions.VectorFunctions.contrastiveTriplets(
         corpus, anchors, k = 1, posMin = 0.4, negLo = 0.1, negHi = 0.5)
+    }
+    intercept[IllegalArgumentException] { // empty negative band
+      graft.functions.VectorFunctions.contrastiveTriplets(
+        corpus, anchors, k = 1, posMin = 0.6, negLo = 0.5, negHi = 0.4)
     }
   }
 
