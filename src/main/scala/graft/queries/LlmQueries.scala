@@ -652,11 +652,14 @@ object LlmQueries {
         val textPairs = DedupFunctions.minhashNearDuplicates(
           docs, "doc_id", "text", threshold = 0.9)
           .select(col("id_a"), col("id_b"))
-        val imgPairs = graft.multimodal.Multimodal.imageNearDuplicates(
+        // component-equivalent EDGES, not the full pair relation: exact
+        // dhash classes collapse to stars so the closure cost stays linear
+        // in class size (the all-pairs form went quadratic at the 10x
+        // bench point exactly where popular images repeat)
+        val imgPairs = graft.multimodal.Multimodal.imageNearDupEdges(
           graft.multimodal.Multimodal.imagePerceptualHashes(s,
             graft.multimodal.Multimodal.withFixtureMedia(s, docs)),
           maxHamming = 2)
-          .select(col("id_a"), col("id_b"))
         DedupFunctions.foldClusterLabels(None,
           textPairs.unionByName(imgPairs))
           .select(col("id").as("doc_id"), col("cluster"))

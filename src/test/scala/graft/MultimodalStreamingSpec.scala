@@ -628,6 +628,30 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("imageNearDupEdges: star-collapsed edges close to the SAME " +
+      "components as the full pair relation, with fewer edges") {
+    import graft.multimodal.Multimodal
+    import graft.functions.DedupFunctions
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hashes = Multimodal.imagePerceptualHashes(spark,
+      Multimodal.withFixtureMedia(spark, docs)).cache()
+    val fullPairs = Multimodal.imageNearDuplicates(hashes, maxHamming = 2)
+      .select(org.apache.spark.sql.functions.col("id_a"),
+        org.apache.spark.sql.functions.col("id_b"))
+    def labels(pairs: org.apache.spark.sql.DataFrame) =
+      DedupFunctions.foldClusterLabels(None, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lf = labels(fullPairs)
+    val starEdges = Multimodal.imageNearDupEdges(hashes, maxHamming = 2)
+    assert(labels(starEdges) == lf,
+      "edge reduction must preserve connected components exactly")
+    val nFull = fullPairs.count(); val nStar = starEdges.count()
+    assert(nFull > 0, "no image near-dups in the fixture — vacuous")
+    assert(nStar <= nFull,
+      s"star form must never emit MORE edges ($nStar > $nFull)")
+    hashes.unpersist()
+  }
+
   test("H264 I_PCM: bitstream round-trip is pixel-exact, emulation bytes " +
       "inserted and stripped, junk rejected") {
     import graft.multimodal.{H264, Multimodal}
