@@ -141,6 +141,50 @@ object CorpusFunctions {
       .drop("__tm", "__tid")
   }
 
+  /** Preference-pair construction for DPO/RLHF-style training: per group
+    * (prompt, topic, source …), pair the i-th BEST-scored row with the
+    * i-th WORST as (chosen, rejected), keep pairs whose score gap is at
+    * least `gapMin`, cap at `maxPerGroup` pairs. Deterministic ordering
+    * ((score, id) tiebreaks both ends), so the pairing is reproducible
+    * and engine-portable. A row never appears on both sides of one pair
+    * (the best-vs-worst alignment crosses at the middle: pair i is only
+    * emitted while rank_i < rev_rank_i).
+    *
+    * Scale: two literal-capped ranks over ONE group exchange —
+    * WindowGroupLimit pre-prunes both ends map-side, so the exchange
+    * carries at most 2·maxPerGroup rows per group, never the group body.
+    */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+                      scoreCol: String, gapMin: Double,
+                      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
+    require(gapMin >= 0, s"gapMin must be non-negative, got $gapMin")
+    val sd = col(scoreCol).cast("double")
+    val base = df.filter(sd.isNotNull && !isnan(sd) && col(idCol).isNotNull)
+      .select(col(groupCol), col(idCol), sd.as("__s"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__s").desc, col(idCol).asc)
+    val wBot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__s").asc, col(idCol).desc)
+    val top = base.withColumn("__i", row_number().over(wTop))
+      .filter(col("__i") <= maxPerGroup)
+      .select(col(groupCol), col("__i"),
+        col(idCol).as("chosen_id"), col("__s").as("chosen_score"))
+    val bot = base.withColumn("__i", row_number().over(wBot))
+      .filter(col("__i") <= maxPerGroup)
+      .select(col(groupCol), col("__i"),
+        col(idCol).as("rejected_id"), col("__s").as("rejected_score"))
+    top.join(bot, Seq(groupCol, "__i"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("chosen_score") - col("rejected_score") >= gapMin &&
+        // stop at the crossing point: beyond it the "chosen" of pair i is
+        // ranked below its "rejected" and the pair would invert
+        col("chosen_score") > col("rejected_score"))
+      .select(col(groupCol), col("__i").as("pair_rank"),
+        col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
     * per group, keep the `n` rows that win the exponential race
     * key = −ln(u)/w — inclusion probability proportional to `weightCol`

@@ -273,6 +273,29 @@ object LlmQueries {
              |    / CAST(n_chars AS DOUBLE), 4), doc_id) <= 20"""
         .stripMargin)),
 
+    // ------------------------------ preference pairs (DPO/RLHF data prep)
+    // Per language: i-th best n_chars paired with i-th worst as
+    // (chosen, rejected), gap >= 10, 20 pairs max. Deterministic (score,
+    // id) ordering on both ends makes the pairing replay exactly.
+    Q("q_preference_pairs",
+      (s, dir) => graft.functions.CorpusFunctions.preferencePairs(
+        Tables.df(s, dir, "documents"), "lang", "doc_id", "n_chars",
+        gapMin = 10.0, maxPerGroup = 20),
+      Some("""WITH b AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS s
+             |           FROM documents WHERE n_chars IS NOT NULL),
+             |t AS (SELECT lang, doc_id AS chosen_id, s AS chosen_score,
+             |        ROW_NUMBER() OVER (PARTITION BY lang
+             |          ORDER BY s DESC, doc_id ASC) AS i FROM b),
+             |r AS (SELECT lang, doc_id AS rejected_id, s AS rejected_score,
+             |        ROW_NUMBER() OVER (PARTITION BY lang
+             |          ORDER BY s ASC, doc_id DESC) AS i FROM b)
+             |SELECT t.lang, CAST(t.i AS INT) AS pair_rank,
+             |  chosen_id, rejected_id, chosen_score, rejected_score
+             |FROM t JOIN r ON t.lang = r.lang AND t.i = r.i
+             |WHERE t.i <= 20 AND chosen_id <> rejected_id
+             |  AND chosen_score - rejected_score >= 10
+             |  AND chosen_score > rejected_score""".stripMargin)),
+
     // ------------------------------- explicit-target mixture rebalance
     // Downsample documents to a 5:2:2:1 en/es/fr/zh mixture (de has no
     // weight → dropped). All quotas are exact integer arithmetic

@@ -648,6 +648,44 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(byG == Map("a" -> 5L, "b" -> 5L))
   }
 
+  test("preferencePairs: best-vs-worst alignment, gap gate, crossing stop, " +
+      "NaN/null excluded") {
+    val s = spark
+    import s.implicits._
+    // group g: scores 100, 80, 60, 40, 20 → pairs (100,20), (80,40);
+    // (60, 60) would self-pair at the crossing and must not emit
+    val df = Seq(
+      (1L, "g", 100.0), (2L, "g", 80.0), (3L, "g", 60.0),
+      (4L, "g", 40.0), (5L, "g", 20.0)).toDF("id", "grp", "q")
+    val got = CorpusFunctions.preferencePairs(df, "grp", "id", "q",
+      gapMin = 0.0, maxPerGroup = 10)
+      .orderBy("pair_rank").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 5L), (2L, 4L)), got.toString)
+    // gap gate: gapMin 50 keeps only the (100, 20) pair
+    assert(CorpusFunctions.preferencePairs(df, "grp", "id", "q",
+      gapMin = 50.0, maxPerGroup = 10).count() == 1)
+    // maxPerGroup caps
+    assert(CorpusFunctions.preferencePairs(df, "grp", "id", "q",
+      gapMin = 0.0, maxPerGroup = 1).count() == 1)
+    // equal-score rows never pair (a tie is not a preference), and NaN /
+    // null scores drop out
+    val flat = Seq((1L, "g", 5.0), (2L, "g", 5.0),
+      (3L, "g", Double.NaN)).toDF("id", "grp", "q")
+      .withColumn("q", when(col("id") === 3L,
+        lit(null).cast("double")).otherwise(col("q")))
+    assert(CorpusFunctions.preferencePairs(flat, "grp", "id", "q",
+      gapMin = 0.0, maxPerGroup = 10).count() == 0)
+    // groups pair independently
+    val two = df.unionByName(Seq((11L, "h", 9.0), (12L, "h", 1.0))
+      .toDF("id", "grp", "q"))
+    val byG = CorpusFunctions.preferencePairs(two, "grp", "id", "q",
+      gapMin = 0.0, maxPerGroup = 10)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("g" -> 2L, "h" -> 1L))
+  }
+
   test("rebalanceToMixture: quota formula holds across seeded random " +
       "corpora and weights") {
     val s = spark
