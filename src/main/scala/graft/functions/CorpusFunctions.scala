@@ -148,11 +148,15 @@ object CorpusFunctions {
     * ((score, id) tiebreaks both ends), so the pairing is reproducible
     * and engine-portable. A row never appears on both sides of one pair
     * (the best-vs-worst alignment crosses at the middle: pair i is only
-    * emitted while rank_i < rev_rank_i).
+    * emitted while rank_i < rev_rank_i). Rows with a NULL group, NULL id,
+    * or NULL/NaN score are excluded up front (a null group would rank and
+    * then silently vanish in the non-null-safe pair join).
     *
-    * Scale: two literal-capped ranks over ONE group exchange —
-    * WindowGroupLimit pre-prunes both ends map-side, so the exchange
-    * carries at most 2·maxPerGroup rows per group, never the group body.
+    * Scale: two literal-capped ranks (one per sort direction — their
+    * exchanges cannot be shared, the partial WindowGroupLimits sort
+    * opposite ways) plus the (group, i) pair join; every one of those
+    * exchanges carries at most maxPerGroup rows per group after the
+    * map-side WindowGroupLimit, never the group body.
     */
   def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
                       scoreCol: String, gapMin: Double,
@@ -160,7 +164,8 @@ object CorpusFunctions {
     require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
     require(gapMin >= 0, s"gapMin must be non-negative, got $gapMin")
     val sd = col(scoreCol).cast("double")
-    val base = df.filter(sd.isNotNull && !isnan(sd) && col(idCol).isNotNull)
+    val base = df.filter(sd.isNotNull && !isnan(sd) &&
+        col(idCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol), col(idCol), sd.as("__s"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__s").desc, col(idCol).asc)

@@ -668,12 +668,16 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     // maxPerGroup caps
     assert(CorpusFunctions.preferencePairs(df, "grp", "id", "q",
       gapMin = 0.0, maxPerGroup = 1).count() == 1)
-    // equal-score rows never pair (a tie is not a preference), and NaN /
-    // null scores drop out
-    val flat = Seq((1L, "g", 5.0), (2L, "g", 5.0),
-      (3L, "g", Double.NaN)).toDF("id", "grp", "q")
-      .withColumn("q", when(col("id") === 3L,
-        lit(null).cast("double")).otherwise(col("q")))
+    // equal-score rows never pair (a tie is not a preference); NaN and
+    // null scores drop out (under Spark's total order an unfiltered NaN
+    // would rank FIRST and emit a (NaN, x) pair); null groups drop too
+    val flat = Seq((1L, "g", 5.0), (2L, "g", 5.0), (4L, "g", Double.NaN))
+      .toDF("id", "grp", "q")
+      .unionByName(Seq((3L, "g")).toDF("id", "grp")
+        .withColumn("q", lit(null).cast("double")))
+      .unionByName(Seq((6L, 9.0), (7L, 1.0)).toDF("id", "q")
+        .withColumn("grp", lit(null).cast("string"))
+        .select(col("id"), col("grp"), col("q")))
     assert(CorpusFunctions.preferencePairs(flat, "grp", "id", "q",
       gapMin = 0.0, maxPerGroup = 10).count() == 0)
     // groups pair independently

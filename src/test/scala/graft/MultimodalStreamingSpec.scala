@@ -629,27 +629,47 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("imageNearDupEdges: star-collapsed edges close to the SAME " +
-      "components as the full pair relation, with fewer edges") {
+      "components as the full pair relation, with STRICTLY fewer edges") {
     import graft.multimodal.Multimodal
     import graft.functions.DedupFunctions
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val hashes = Multimodal.imagePerceptualHashes(spark,
-      Multimodal.withFixtureMedia(spark, docs)).cache()
+    val s = spark
+    import s.implicits._
+    // planted classes (the fixture's id-keyed pixels never collide at this
+    // sf, so crafted hashes exercise the star branch): class A = ids 1,2,3
+    // with IDENTICAL dhash; class B = ids 10,11 at hamming 1 from A (so A
+    // and B merge through the rep pair); id 20 differs in dims (gated
+    // out); id 30 is hamming 5 away (beyond maxHamming)
+    val hashes = Seq(
+      (1L, 8L, 8L, 0xF0F0L), (2L, 8L, 8L, 0xF0F0L), (3L, 8L, 8L, 0xF0F0L),
+      (10L, 8L, 8L, 0xF0F1L), (11L, 8L, 8L, 0xF0F1L),
+      (20L, 4L, 8L, 0xF0F0L), (30L, 8L, 8L, 0xF00FL)
+    ).toDF("doc_id", "width", "height", "dhash")
     val fullPairs = Multimodal.imageNearDuplicates(hashes, maxHamming = 2)
-      .select(org.apache.spark.sql.functions.col("id_a"),
-        org.apache.spark.sql.functions.col("id_b"))
+      .select(col("id_a"), col("id_b"))
     def labels(pairs: org.apache.spark.sql.DataFrame) =
       DedupFunctions.foldClusterLabels(None, pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val lf = labels(fullPairs)
+    // classes A and B fuse into one component rooted at 1; 20/30 are out
+    assert(lf == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L))
     val starEdges = Multimodal.imageNearDupEdges(hashes, maxHamming = 2)
     assert(labels(starEdges) == lf,
       "edge reduction must preserve connected components exactly")
+    // full: C(3,2) + C(2,2-ish) within classes + 3x2 cross = 10 pairs;
+    // star: 2 + 1 intra-class + 1 rep pair = 4 edges — STRICTLY fewer
     val nFull = fullPairs.count(); val nStar = starEdges.count()
-    assert(nFull > 0, "no image near-dups in the fixture — vacuous")
-    assert(nStar <= nFull,
-      s"star form must never emit MORE edges ($nStar > $nFull)")
-    hashes.unpersist()
+    assert(nFull == 10 && nStar == 4, s"full=$nFull star=$nStar")
+    // the real fixture still agrees end-to-end (singleton classes there:
+    // the star form degenerates to the rep pairs, components unchanged)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fh = Multimodal.imagePerceptualHashes(spark,
+      Multimodal.withFixtureMedia(spark, docs)).cache()
+    val lFixture = labels(Multimodal.imageNearDuplicates(fh, maxHamming = 2)
+      .select(col("id_a"), col("id_b")))
+    assert(lFixture.nonEmpty, "no image near-dups in the fixture — vacuous")
+    assert(labels(Multimodal.imageNearDupEdges(fh, maxHamming = 2)) ==
+      lFixture)
+    fh.unpersist()
   }
 
   test("H264 I_PCM: bitstream round-trip is pixel-exact, emulation bytes " +

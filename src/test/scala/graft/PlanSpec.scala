@@ -263,6 +263,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "literal k must pre-prune map-side (WindowGroupLimit)")
   }
 
+  test("preference pairs pre-prune BOTH rank ends (WindowGroupLimit x2)") {
+    val plan = executedString(q("q_preference_pairs"))
+    // two literal-capped row_number windows (best-first and worst-first)
+    // must each carry a WindowGroupLimit pre-prune: partial+final per end
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 4,
+      s"both rank ends must pre-prune map-side:\n${plan.take(1200)}")
+  }
+
   test("JL random projection is a shuffle-free rowwise plan") {
     val plan = executedString(q("q_jl_project"))
     assert(!plan.contains("Exchange"),
