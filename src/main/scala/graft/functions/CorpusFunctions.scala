@@ -141,6 +141,42 @@ object CorpusFunctions {
       .drop("__tm", "__tid")
   }
 
+  /** Length-grouped training batches (the fairseq/HF `group_by_length`
+    * serving layout): docs land in fixed-size batches of SIMILAR token
+    * length, minimizing padding waste when a batch pads to its longest
+    * member. Docs first deal into `shards` by md5(id) — a random partition,
+    * so every shard sees the corpus' length distribution — then sort by
+    * (length desc, id) WITHIN their shard and chop into `batchSize`-row
+    * batches. Returns (id, shard, batch, pos, n_tokens). Deterministic →
+    * reproducible epochs and a full cross-engine oracle.
+    *
+    * Scale: the md5 deal avoids the global length sort (a total order
+    * would funnel everything through one rank); the one exchange carries
+    * (id, len) keyed by shard, and each shard's window sorts only its own
+    * slice — the [[epochShards]] shape with a length key. Rows with NULL
+    * id or NULL/negative length are excluded. */
+  def lengthGroupedBatches(docs: DataFrame, idCol: String,
+                           lenCol: String, shards: Int = 16,
+                           batchSize: Int = 32): DataFrame = {
+    require(shards >= 1 && shards <= 4096, s"shards $shards out of [1,4096]")
+    require(batchSize >= 1, s"batchSize $batchSize < 1")
+    val ln = col(lenCol).cast("long")
+    val k = md5(col(idCol).cast("string"))
+    // first nibble(s) of md5, same deal rule family as epochShards
+    val shard = (pmod(conv(substring(k, 1, 8), 16, 10).cast("long"),
+      lit(shards.toLong))).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__len").desc, col(idCol).asc)
+    docs.filter(col(idCol).isNotNull && ln.isNotNull && ln >= 0)
+      .select(col(idCol), ln.as("__len"))
+      .withColumn("shard", shard)
+      .withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col("shard"),
+        expr(s"(__rn - 1) div $batchSize").cast("int").as("batch"),
+        ((col("__rn") - 1) % batchSize).cast("int").as("pos"),
+        col("__len").as("n_tokens"))
+  }
+
   /** Preference-pair construction for DPO/RLHF-style training: per group
     * (prompt, topic, source …), pair the i-th BEST-scored row with the
     * i-th WORST as (chosen, rejected), keep pairs whose score gap is at

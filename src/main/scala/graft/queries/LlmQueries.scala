@@ -273,6 +273,26 @@ object LlmQueries {
              |    / CAST(n_chars AS DOUBLE), 4), doc_id) <= 20"""
         .stripMargin)),
 
+    // ---------------------- length-grouped batch layout (group_by_length)
+    // Pad-minimizing training batches: md5 deal into 8 shards, sort by
+    // (n_chars desc, id) within each, chop into 16-row batches. Every
+    // address replays in DuckDB.
+    Q("q_length_batches",
+      (s, dir) => graft.functions.CorpusFunctions.lengthGroupedBatches(
+        Tables.df(s, dir, "documents"), "doc_id", "n_chars",
+        shards = 8, batchSize = 16),
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST((CAST(('0x' ||
+             |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+             |      % 8) AS INT) AS shard,
+             |    CAST(n_chars AS BIGINT) AS n_tokens
+             |  FROM documents WHERE n_chars >= 0),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+             |        ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM b)
+             |SELECT doc_id, shard, CAST((rn - 1) // 16 AS INT) AS batch,
+             |  CAST((rn - 1) % 16 AS INT) AS pos, n_tokens
+             |FROM r""".stripMargin)),
+
     // ------------------------------ preference pairs (DPO/RLHF data prep)
     // Per language: i-th best n_chars paired with i-th worst as
     // (chosen, rejected), gap >= 10, 20 pairs max. Deterministic (score,

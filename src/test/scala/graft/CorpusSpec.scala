@@ -648,6 +648,59 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(byG == Map("a" -> 5L, "b" -> 5L))
   }
 
+  test("lengthGroupedBatches: similar lengths share a batch, addresses " +
+      "exact, invalid rows drop") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 400L).map(i => (i, (i * 37 % 101) * 10)).toDF("id", "len")
+    val out = CorpusFunctions.lengthGroupedBatches(
+      docs, "id", "len", shards = 4, batchSize = 8).cache()
+    assert(out.count() == 400)
+    // addresses are exact: within each shard, pos covers 0..size-1 via
+    // contiguous (batch, pos) and batch 0 pos 0 is the shard's LONGEST
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("batch").as("mb")).collect()
+    byShard.foreach { r =>
+      val n = r.getLong(1); val mb = r.getInt(2)
+      assert(mb == ((n - 1) / 8).toInt, s"shard ${r.getInt(0)}: $n rows, max batch $mb")
+    }
+    val heads = out.filter(col("batch") === 0 && col("pos") === 0)
+      .select("shard", "n_tokens").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxes = out.groupBy("shard").agg(max("n_tokens")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(heads == maxes, "batch 0 pos 0 must be each shard's longest")
+    // padding waste: per batch, pad-to-longest waste under length grouping
+    // must beat id-ordered batching on the same shards
+    def waste(df: org.apache.spark.sql.DataFrame): Double = {
+      val a = df.groupBy("shard", "batch")
+        .agg(max("n_tokens").as("mx"), sum("n_tokens").as("sm"),
+          count(lit(1)).as("c")).collect()
+      val padded = a.map(r => r.getLong(2) * r.getLong(4)).sum.toDouble
+      val used = a.map(_.getLong(3)).sum.toDouble
+      1.0 - used / padded
+    }
+    val naive = CorpusFunctions.lengthGroupedBatches(
+      docs.withColumn("len2", col("id")), "id", "len2",
+      shards = 4, batchSize = 8)
+      .drop("n_tokens")
+      .join(docs.select(col("id"), col("len").cast("long").as("n_tokens")),
+        "id")
+    assert(waste(out) < waste(naive),
+      s"grouped ${waste(out)} should waste less than id-ordered ${waste(naive)}")
+    // determinism + invalid rows
+    val again = CorpusFunctions.lengthGroupedBatches(
+      docs, "id", "len", shards = 4, batchSize = 8)
+    assert(out.exceptAll(again).isEmpty)
+    val bad = Seq((1L, -5L), (2L, 10L)).toDF("id", "len")
+      .unionByName(Seq(3L).toDF("id")
+        .withColumn("len", lit(null).cast("long")))
+    assert(CorpusFunctions.lengthGroupedBatches(
+      bad, "id", "len", shards = 2, batchSize = 4)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    out.unpersist()
+  }
+
   test("preferencePairs: best-vs-worst alignment, gap gate, crossing stop, " +
       "NaN/null excluded") {
     val s = spark
