@@ -548,6 +548,34 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L), s"only the probed-width row survives: $kept")
   }
 
+  test("cross-operator consistency: hardNegatives with a full-range band " +
+      "IS bruteForceTopK; triplet negatives match hardNegatives") {
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = rows(VectorFunctions.bruteForceTopK(emb, qs, k = 10))
+    val banded = rows(VectorFunctions.hardNegatives(emb, qs, k = 10,
+      simLo = -1.1, simHi = 1.1))
+    assert(banded == brute,
+      "a band covering every cosine must reduce to plain brute force")
+    // triplet negatives == hardNegatives of the same band, restricted to
+    // anchors that HAVE a positive
+    val trip = VectorFunctions.contrastiveTriplets(emb, qs, k = 10,
+      posMin = 0.45, negLo = 0.05, negHi = 0.45)
+    val anchorsWithPos = trip.select("query_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val tripNegs = trip.select("query_id", "neg_id", "neg_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hn = VectorFunctions.hardNegatives(emb, qs, k = 10,
+      simLo = 0.05, simHi = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(t => anchorsWithPos.contains(t._1)).toSet
+    assert(tripNegs == hn,
+      "triplet negatives must equal the standalone hard-negative mining")
+  }
+
   test("contrastiveTriplets: best positive x ranked negatives, " +
       "positive-less anchors drop, overlapping bands rejected") {
     val s = spark
