@@ -17,6 +17,13 @@ object CorpusFunctions {
   private def hashBelow(key: Column, fraction: Double): Column =
     graft.operators.Relational.md5Below(key, fraction)
 
+  /** The md5 32-bit-prefix integer of a key — ONE definition for every
+    * operator that derives uniform integers from ids (the ES race's u,
+    * the length-batch shard deal). DuckDB replays it as
+    * `('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::UBIGINT`. */
+  private def md5Prefix32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** Stratified deterministic sampling: keep each row with a PER-GROUP rate
     * (corpus mixing — e.g. downsample `web` to 10% while keeping `books`
     * whole). Membership depends only on (key, its group's rate): re-running
@@ -161,10 +168,9 @@ object CorpusFunctions {
     require(shards >= 1 && shards <= 4096, s"shards $shards out of [1,4096]")
     require(batchSize >= 1, s"batchSize $batchSize < 1")
     val ln = col(lenCol).cast("long")
-    val k = md5(col(idCol).cast("string"))
-    // first nibble(s) of md5, same deal rule family as epochShards
-    val shard = (pmod(conv(substring(k, 1, 8), 16, 10).cast("long"),
-      lit(shards.toLong))).cast("int")
+    // md5 32-bit prefix mod N (NOT epochShards' positional-nibble rule,
+    // which fixes shard counts at powers of 16 — this deal takes any N)
+    val shard = pmod(md5Prefix32(col(idCol)), lit(shards.toLong)).cast("int")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__len").desc, col(idCol).asc)
     docs.filter(col(idCol).isNotNull && ln.isNotNull && ln >= 0)
@@ -247,10 +253,7 @@ object CorpusFunctions {
   def weightedSampleByGroup(df: DataFrame, idCol: String, weightCol: String,
                             groupCols: Seq[String], n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    val uInt = conv(substring(
-      md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long")
-    val u = (uInt.cast("double") + 0.5) / 4294967296.0
+    val u = (md5Prefix32(col(idCol)).cast("double") + 0.5) / 4294967296.0
     val key = round(-log(u) / col(weightCol).cast("double"), 4)
     // NaN > 0 is TRUE under Spark's total order, so an upstream 0/0 score
     // would slip through a bare `> 0` with key NaN; a NULL id would get a

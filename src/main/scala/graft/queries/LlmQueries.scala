@@ -286,7 +286,8 @@ object LlmQueries {
              |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
              |      % 8) AS INT) AS shard,
              |    CAST(n_chars AS BIGINT) AS n_tokens
-             |  FROM documents WHERE n_chars >= 0),
+             |  FROM documents
+             |  WHERE n_chars >= 0 AND doc_id IS NOT NULL),
              |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
              |        ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM b)
              |SELECT doc_id, shard, CAST((rn - 1) // 16 AS INT) AS batch,

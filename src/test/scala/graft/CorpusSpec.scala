@@ -664,6 +664,11 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       val n = r.getLong(1); val mb = r.getInt(2)
       assert(mb == ((n - 1) / 8).toInt, s"shard ${r.getInt(0)}: $n rows, max batch $mb")
     }
+    // pos is contiguous 0..count-1 within every (shard, batch)
+    val badPos = out.groupBy("shard", "batch")
+      .agg(count(lit(1)).as("c"), min("pos").as("mn"), max("pos").as("mx"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("c") - 1).count()
+    assert(badPos == 0, "pos must run 0..count-1 within each batch")
     val heads = out.filter(col("batch") === 0 && col("pos") === 0)
       .select("shard", "n_tokens").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
