@@ -148,6 +148,41 @@ object CorpusFunctions {
       .drop("__tm", "__tid")
   }
 
+  /** Corpus DATA CARD: the one-stop (metric, value) report a dataset
+    * release ships — size, token mass, exact-duplicate fraction, and the
+    * group mixture — as a tall relation ready for diffing between
+    * snapshots (feed two cards to [[distributionDriftFromCounts]]-style
+    * comparisons or the snapshot-diff audit). Every value is a count or
+    * an IEEE quotient of exact counts, so the whole card replays
+    * cross-engine.
+    *
+    * Scale: two partial-aggregated passes (corpus stats; group counts) —
+    * exchanges carry (group) and 16-byte fingerprints, never text. The
+    * report itself is driver-sized by definition (a handful of rows plus
+    * one per group), so assembling it on the driver is the right cost. */
+  def dataCard(docs: DataFrame, textCol: String,
+               groupCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = docs.select(col(groupCol).as("__g"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("__nt"),
+      md5(col(textCol).cast("binary")).as("__f"))
+    val s = t.agg(count(lit(1)).as("n"), sum(col("__nt")).as("tok"),
+      countDistinct(col("__f")).as("dis")).head()
+    val n = s.getLong(0); val tok = s.getLong(1); val dis = s.getLong(2)
+    val groups = t.groupBy(col("__g")).agg(count(lit(1)).as("c"))
+      .collect().map(r => Option(r.getString(0)).getOrElse("null") ->
+        r.getLong(1)).sortBy(_._1)
+    val rows = Seq(
+      ("n_docs", n.toDouble),
+      ("n_tokens", tok.toDouble),
+      ("n_distinct_texts", dis.toDouble),
+      ("dup_doc_frac", (n - dis).toDouble / n),
+      ("mean_tokens", tok.toDouble / n)) ++
+      groups.map { case (g, c) => (s"share_$g", c.toDouble / n) }
+    rows.toDF("metric", "value")
+  }
+
   /** Length-grouped training batches (the fairseq/HF `group_by_length`
     * serving layout): docs land in fixed-size batches of SIMILAR token
     * length, minimizing padding waste when a batch pads to its longest

@@ -273,6 +273,29 @@ object LlmQueries {
              |    / CAST(n_chars AS DOUBLE), 4), doc_id) <= 20"""
         .stripMargin)),
 
+    // ----------------------------------------- corpus data card
+    // The dataset-release report as one tall (metric, value) relation:
+    // sizes, token mass, exact-dup fraction, language mixture — every
+    // value a count or an IEEE quotient of exact counts.
+    Q("q_data_card",
+      (s, dir) => graft.functions.CorpusFunctions.dataCard(
+        Tables.df(s, dir, "documents"), "text", "lang"),
+      Some(s"""WITH t AS (SELECT lang,
+             |    CAST(len($toksSql) AS BIGINT) AS nt, md5(text) AS f
+             |  FROM documents),
+             |st AS (SELECT COUNT(*) AS n, SUM(nt) AS tok,
+             |         COUNT(DISTINCT f) AS dis FROM t),
+             |l AS (SELECT lang, COUNT(*) AS c FROM t GROUP BY lang)
+             |SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM st
+             |UNION ALL SELECT 'n_tokens', CAST(tok AS DOUBLE) FROM st
+             |UNION ALL SELECT 'n_distinct_texts', CAST(dis AS DOUBLE) FROM st
+             |UNION ALL SELECT 'dup_doc_frac',
+             |  CAST(n - dis AS DOUBLE) / n FROM st
+             |UNION ALL SELECT 'mean_tokens', CAST(tok AS DOUBLE) / n FROM st
+             |UNION ALL SELECT 'share_' || COALESCE(lang, 'null'),
+             |  CAST(c AS DOUBLE) / (SELECT n FROM st) FROM l"""
+        .stripMargin)),
+
     // ---------------------- length-grouped batch layout (group_by_length)
     // Pad-minimizing training batches: md5 deal into 8 shards, sort by
     // (n_chars desc, id) within each, chop into 16-row batches. Every

@@ -648,6 +648,30 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(byG == Map("a" -> 5L, "b" -> 5L))
   }
 
+  test("dataCard: exact counts, duplicate fraction, mixture shares") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a", "hello world"), (2L, "a", "hello world"),
+      (3L, "b", "one two three")).toDF("doc_id", "lang", "text")
+    val card = CorpusFunctions.dataCard(docs, "text", "lang")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("n_docs") == 3.0)
+    assert(card("n_tokens") == 7.0)
+    assert(card("n_distinct_texts") == 2.0)
+    assert(card("dup_doc_frac") == 1.0 / 3.0)
+    assert(card("mean_tokens") == 7.0 / 3.0)
+    assert(card("share_a") == 2.0 / 3.0 && card("share_b") == 1.0 / 3.0)
+    assert(card.size == 7)
+    // a NULL group shows up as its own share row, never silently dropped
+    val withNull = docs.unionByName(Seq((4L, "x"))
+      .toDF("doc_id", "text").withColumn("lang", lit(null).cast("string"))
+      .select(col("doc_id"), col("lang"), col("text")))
+    val c2 = CorpusFunctions.dataCard(withNull, "text", "lang")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(c2("share_null") == 0.25)
+  }
+
   test("lengthGroupedBatches: similar lengths share a batch, addresses " +
       "exact, invalid rows drop") {
     val s = spark
