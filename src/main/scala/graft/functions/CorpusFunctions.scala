@@ -168,17 +168,33 @@ object CorpusFunctions {
       size(TextFunctions.tokens(col(textCol))).cast("long").as("__nt"),
       md5(col(textCol).cast("binary")).as("__f"))
     val s = t.agg(count(lit(1)).as("n"), sum(col("__nt")).as("tok"),
-      countDistinct(col("__f")).as("dis")).head()
-    val n = s.getLong(0); val tok = s.getLong(1); val dis = s.getLong(2)
-    val groups = t.groupBy(col("__g")).agg(count(lit(1)).as("c"))
-      .collect().map(r => Option(r.getString(0)).getOrElse("null") ->
-        r.getLong(1)).sortBy(_._1)
+      count(col("__f")).as("ntext"), countDistinct(col("__f")).as("dis"))
+      .head()
+    val n = s.getLong(0)
+    if (n == 0) // no corpus, no card — not a divide-by-zero NaN sheet
+      return Seq.empty[(String, Double)].toDF("metric", "value")
+    val tok = if (s.isNullAt(1)) 0L else s.getLong(1)
+    val nText = s.getLong(2) // docs with NON-NULL text
+    val dis = s.getLong(3)   // countDistinct skips NULL fingerprints
+    // shares cover NON-NULL groups; the NULL group gets its own count
+    // metric instead of a share row (a group whose literal value is
+    // "null" would otherwise collide with it)
+    val groups = t.filter(col("__g").isNotNull)
+      .groupBy(col("__g")).agg(count(lit(1)).as("c"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .sortBy(_._1)
+    val nullGroup = n - groups.map(_._2).sum
     val rows = Seq(
       ("n_docs", n.toDouble),
       ("n_tokens", tok.toDouble),
+      ("n_null_texts", (n - nText).toDouble),
       ("n_distinct_texts", dis.toDouble),
-      ("dup_doc_frac", (n - dis).toDouble / n),
-      ("mean_tokens", tok.toDouble / n)) ++
+      // duplicate fraction over docs WITH text: a NULL text is unknown
+      // content, not a duplicate of other NULL texts
+      ("dup_doc_frac",
+        if (nText == 0) 0.0 else (nText - dis).toDouble / nText),
+      ("mean_tokens", tok.toDouble / n),
+      ("n_null_group", nullGroup.toDouble)) ++
       groups.map { case (g, c) => (s"share_$g", c.toDouble / n) }
     rows.toDF("metric", "value")
   }

@@ -284,15 +284,20 @@ object LlmQueries {
              |    CAST(len($toksSql) AS BIGINT) AS nt, md5(text) AS f
              |  FROM documents),
              |st AS (SELECT COUNT(*) AS n, SUM(nt) AS tok,
-             |         COUNT(DISTINCT f) AS dis FROM t),
-             |l AS (SELECT lang, COUNT(*) AS c FROM t GROUP BY lang)
+             |         COUNT(f) AS ntext, COUNT(DISTINCT f) AS dis FROM t),
+             |l AS (SELECT lang, COUNT(*) AS c FROM t
+             |      WHERE lang IS NOT NULL GROUP BY lang)
              |SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM st
              |UNION ALL SELECT 'n_tokens', CAST(tok AS DOUBLE) FROM st
+             |UNION ALL SELECT 'n_null_texts', CAST(n - ntext AS DOUBLE) FROM st
              |UNION ALL SELECT 'n_distinct_texts', CAST(dis AS DOUBLE) FROM st
              |UNION ALL SELECT 'dup_doc_frac',
-             |  CAST(n - dis AS DOUBLE) / n FROM st
+             |  CASE WHEN ntext = 0 THEN 0.0
+             |       ELSE CAST(ntext - dis AS DOUBLE) / ntext END FROM st
              |UNION ALL SELECT 'mean_tokens', CAST(tok AS DOUBLE) / n FROM st
-             |UNION ALL SELECT 'share_' || COALESCE(lang, 'null'),
+             |UNION ALL SELECT 'n_null_group',
+             |  CAST(n - (SELECT COALESCE(SUM(c), 0) FROM l) AS DOUBLE) FROM st
+             |UNION ALL SELECT 'share_' || lang,
              |  CAST(c AS DOUBLE) / (SELECT n FROM st) FROM l"""
         .stripMargin)),
 

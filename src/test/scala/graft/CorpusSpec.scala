@@ -662,14 +662,25 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(card("dup_doc_frac") == 1.0 / 3.0)
     assert(card("mean_tokens") == 7.0 / 3.0)
     assert(card("share_a") == 2.0 / 3.0 && card("share_b") == 1.0 / 3.0)
-    assert(card.size == 7)
-    // a NULL group shows up as its own share row, never silently dropped
+    assert(card("n_null_texts") == 0.0 && card("n_null_group") == 0.0)
+    assert(card.size == 9)
+    // NULL group/text rows surface as their OWN count metrics (a group
+    // whose literal value is "null" cannot collide), and null texts are
+    // unknown content, never counted as duplicates of each other
     val withNull = docs.unionByName(Seq((4L, "x"))
       .toDF("doc_id", "text").withColumn("lang", lit(null).cast("string"))
       .select(col("doc_id"), col("lang"), col("text")))
+      .unionByName(Seq((5L, "a")).toDF("doc_id", "lang")
+        .withColumn("text", lit(null).cast("string"))
+        .select(col("doc_id"), col("lang"), col("text")))
     val c2 = CorpusFunctions.dataCard(withNull, "text", "lang")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(c2("share_null") == 0.25)
+    assert(c2("n_null_group") == 1.0 && c2("n_null_texts") == 1.0)
+    // 4 docs WITH text, 3 distinct → dup frac 1/4 (null text not a dup)
+    assert(c2("dup_doc_frac") == 1.0 / 4.0, c2.toString)
+    // empty corpus: empty card, not NaNs
+    assert(CorpusFunctions.dataCard(docs.limit(0), "text", "lang")
+      .count() == 0)
   }
 
   test("lengthGroupedBatches: similar lengths share a batch, addresses " +
