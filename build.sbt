@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through RAW instead of relaying it
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// which breaks any consumer that json-parses the Bench/Verify output
+// (the round driver's BENCH "parsed" field was null every round).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -109,19 +109,33 @@ object CorpusFunctions {
 
     val mkey = md5(col(idCol).cast("string"))
     val narrow = docs.select(col(idCol), col(groupCol))
-    val counts = narrow.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val counts = narrow.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), countDistinct(col(idCol)).as("__nd"))
     // a WEIGHTED group with zero corpus rows makes the declared mixture
     // unsatisfiable (the formula says T = 0): silently rebalancing over
     // the remaining groups would ship the WRONG mixture, so fail loudly —
     // the drift_gate convention, not the silent-drop one. The probe costs
     // one weight-cardinality collect of the (already tiny) counts.
-    val present = counts
+    val wrows = counts
       .filter(col(groupCol).isin(weights.map(_._1): _*))
-      .select(col(groupCol)).collect().map(_.getString(0)).toSet
+      .select(col(groupCol), col("__n"), col("__nd")).collect()
+    val present = wrows.map(_.getString(0)).toSet
     val absent = weights.map(_._1).filterNot(present)
     if (absent.nonEmpty) throw new IllegalArgumentException(
       s"rebalanceToMixture: weighted group(s) ${absent.mkString(", ")} " +
         "have no rows — the declared mixture is unsatisfiable (T = 0)")
+    // the threshold admission below (mkey < tm OR (mkey = tm AND id <= tid))
+    // is only an EXACT quota when ids are unique per group: duplicate ids
+    // share one md5 key, so a group could admit more than keep_g rows and
+    // silently ship the wrong mixture. The uniqueness probe rides the same
+    // counts aggregate (count vs countDistinct) — fail loudly, the
+    // operator's convention for every other unsatisfiable input.
+    val duped = wrows.filter(r => r.getLong(1) != r.getLong(2))
+      .map(_.getString(0))
+    if (duped.nonEmpty) throw new IllegalArgumentException(
+      s"rebalanceToMixture: group(s) ${duped.mkString(", ")} have " +
+        s"duplicate $idCol values — exact quota admission needs unique ids " +
+        "(dedupe upstream or supply a unique id column)")
     // feasibility caps and the global total T (1 row, broadcast)
     val feas = counts.join(broadcast(wdf), groupCol)
       .withColumn("__cap", expr(s"(__n * ${sumW}L) div __w"))
@@ -662,6 +676,143 @@ object CorpusFunctions {
           .as("avg_logprob"))
   }
 
+  /** Corpus-own bigram LM scoring under KNESER-NEY smoothing — the
+    * standard n-gram smoother (Kneser & Ney 1995; Chen & Goodman 1999)
+    * behind KenLM-style quality filters, where [[bigramLogProbScores]]'s
+    * add-1 is the classroom baseline. Absolute discount D = 0.75 (exactly
+    * representable in binary, so the arithmetic replays bit-for-bit):
+    *
+    *   P(w2|w1) = (c12 − D)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/N1+(··)
+    *
+    * with N1+(w1·) the distinct continuations of w1, N1+(·w2) the distinct
+    * histories of w2 (the "how many contexts has this word completed"
+    * continuation count that makes KN famous), and N1+(··) the distinct
+    * pair count. Scoring is corpus-own, so every scored pair is seen
+    * (c12 ≥ 1) and the discounted term stays positive. Per-pair log-probs
+    * round to 4 decimals and sum as DECIMAL — the [[unigramLogProbScores]]
+    * cross-engine exactness technique.
+    *
+    * Scale: all LM relations (pair counts + windowed distinct-neighbor
+    * counts) are bigram-vocabulary-scale, partitioned by w1 / w2 — never a
+    * global window over data rows; the pair-total is a 1-row broadcast.
+    * Exchanges carry (id, w1, w2, tf), never text. */
+  def knLogProbScores(docs: DataFrame, idCol: String,
+                      textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount $discount not in (0,1)")
+    val toked = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+    val pf = toked.filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("p"))
+      .groupBy(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("pf"))
+    val c12 = pf.groupBy(col("w1"), col("w2")).agg(sum(col("pf")).as("c12"))
+    val wHead = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val wCont = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
+    val n1tot = c12.agg(count(lit(1)).as("n1tot")) // distinct pairs, 1 row
+    val d = lit(discount)
+    val lm = c12
+      .withColumn("c1", sum(col("c12")).over(wHead))
+      .withColumn("n1h", count(lit(1)).over(wHead))
+      .withColumn("n1c", count(lit(1)).over(wCont))
+      .crossJoin(broadcast(n1tot))
+      // parenthesization is the cross-engine contract: term1 + term2·pcont,
+      // each an IEEE op over exact-integer-valued doubles — mirrored
+      // verbatim in the DuckDB oracle
+      .select(col("w1"), col("w2"),
+        round(log(
+          ((col("c12").cast("double") - d) / col("c1").cast("double")) +
+            ((d * col("n1h").cast("double")) / col("c1").cast("double")) *
+              (col("n1c").cast("double") / col("n1tot").cast("double"))), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("lp"))
+    pf.join(lm, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("pf")).as("n_bigrams"), sum(col("pf") * col("lp")).as("slp"))
+      .select(col(idCol), col("n_bigrams"),
+        col("slp").cast("double").as("sum_logprob"),
+        (col("slp").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_logprob"))
+  }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): pick the `k` corpus documents
+    * whose hashed n-gram feature distribution looks most like a small
+    * TARGET corpus. Features are md5-bucketed unigrams AND bigrams
+    * (16^nibbles buckets — the paper's hashed-n-gram generative model);
+    * each document's importance weight is its log-likelihood ratio
+    *
+    *   w(doc) = Σ_b c_b(doc) · [ln p̂_target(b) − ln p̂_corpus(b)]
+    *
+    * under add-1-smoothed bucket distributions. Selection is the
+    * deterministic top-k by (weight DESC, id ASC) — the ranking the
+    * paper's Gumbel resampling is a noisy version of — so the result
+    * carries a full cross-engine oracle: counts are exact integers, the
+    * per-bucket log-ratio rounds to 6 decimals as DECIMAL, and the doc
+    * weight is an exact decimal dot product of (count × ratio).
+    *
+    * Scale: both distributions collapse to ≤16^nibbles rows (one
+    * partial-aggregated pass each) and broadcast; the per-doc weight
+    * aggregates (id, bucket, count) rows — exchanges never carry text —
+    * and the top-k is a TakeOrdered, not a global sort. The target corpus
+    * can be tiny (it usually is: a benchmark or a trusted seed set);
+    * `corpus` is the 100-TB side and is scanned once.
+    *
+    * Docs with zero tokens have no features and are never selected. */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, k: Int, nibbles: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nibbles >= 1 && nibbles <= 4, s"nibbles $nibbles outside [1,4]")
+    val buckets = math.pow(16, nibbles).toLong
+    def bucketOf(s: Column): Column =
+      conv(substring(md5(s), 1, nibbles), 16, 10).cast("long")
+    // one (id?, bucket) stream of unigram + bigram features per corpus
+    def features(d: DataFrame, keep: Seq[Column]): DataFrame = {
+      val toked = d.select(keep :+
+        TextFunctions.tokens(col(textCol)).as("__toks"): _*)
+      val uni = toked
+        .select(keep :+ explode(col("__toks")).as("__f"): _*)
+      val bi = toked.filter(size(col("__toks")) >= 2)
+        .select(keep :+ explode(transform(
+          sequence(lit(1), size(col("__toks")) - 1),
+          i => concat_ws(" ", element_at(col("__toks"), i),
+            element_at(col("__toks"), i + 1)))).as("__f"): _*)
+      uni.unionByName(bi)
+        .select(keep :+ bucketOf(col("__f")).as("__b"): _*)
+    }
+    def dist(d: DataFrame, cnt: String): DataFrame =
+      features(d, Nil).groupBy(col("__b")).agg(count(lit(1)).as(cnt))
+    // smoothed log-ratio per bucket: ≤16^nibbles rows, full-outer so a
+    // bucket seen on either side scores; totals ride along as 1-row aggs
+    val tc = dist(target, "__tc")
+    val rc = dist(corpus, "__rc")
+    val tTot = tc.agg(sum(col("__tc")).as("__tt"))
+    val rTot = rc.agg(sum(col("__rc")).as("__rt"))
+    val ratio = tc.join(rc, Seq("__b"), "full_outer")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("__b"),
+        round(log((coalesce(col("__tc"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("__tt"), lit(0L)) + lit(buckets)).cast("double")) -
+          log((coalesce(col("__rc"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("__rt"), lit(0L)) + lit(buckets)).cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("__lr"))
+    val weights = features(corpus, Seq(col(idCol)))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cf"))
+      .join(broadcast(ratio), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cf")).as("n_features"),
+        sum(col("__cf") * col("__lr")).as("__w"))
+    val top = weights
+      .orderBy(col("__w").desc, col(idCol).asc)
+      .limit(k) // TakeOrdered — k rows, never a full sort exchange
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__w").desc, col(idCol).asc))) // over k rows only
+      .select(col(idCol), col("rank").cast("long").as("rank"),
+        col("n_features"), col("__w").cast("double").as("weight"))
+  }
+
   /** Score `docs` under a bigram LM trained on a SEPARATE `reference`
     * corpus — the actual CCNet shape (Wenzek 2020 scores web text under a
     * Wikipedia-trained LM; [[bigramLogProbScores]] is the corpus-own
@@ -827,9 +978,14 @@ object CorpusFunctions {
         (col("n_a") + 1).cast("double") / (col("ta") + col("k")).cast("double"))
       .withColumn("pb",
         (col("n_b") + 1).cast("double") / (col("tb") + col("k")).cast("double"))
+      // quantize through DECIMAL(18,9) (kills any -0.0 and pins the value
+      // set), then surface as DOUBLE: a decimal ZERO stringifies as "0E-9"
+      // while DuckDB's hands the driver "0.0" — same value, different hash
+      // (the round-7 q_corpus_drift red row). The decimal→double conversion
+      // is correctly-rounded in both engines, so the cast is value-exact.
       .withColumn("psi_contrib",
         round((col("pa") - col("pb")) * round(log(col("pa") / col("pb")), 6), 9)
-          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
       .select("category", "n_a", "n_b", "pa", "pb", "psi_contrib")
   }
 

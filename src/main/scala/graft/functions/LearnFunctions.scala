@@ -91,7 +91,20 @@ object LearnFunctions {
     try {
       val n = base.count()
       require(n > 0, "empty training set")
-      val dim = base.select(size(col("__xq"))).head().getInt(0)
+      // width of the FIRST non-null vector; an all-null input falls through
+      // to the bad-row refusal below rather than NPE-ing on the probe
+      val dim = base.select(size(col("__xq")).as("__d"))
+        .filter(col("__d") > 0).limit(1)
+        .collect().headOption.map(_.getInt(0)).getOrElse(0)
+      // a null or width-mismatched vector would count toward N (the
+      // learning-rate divisor 4e12·N) while its null margin drops out of
+      // every gradient sum — silently shrinking each step. The oracle
+      // contract ("pure function of the input SET") needs every row to
+      // participate, so mirror lloydKmeansExact and refuse loudly.
+      val bad = base.filter(col("__xq").isNull ||
+        size(col("__xq")) =!= dim).count()
+      require(bad == 0,
+        s"$bad training rows have null or non-$dim-dimensional vectors")
       // the margin fold multiplies long×long: with |wq| < 1e12 guarded in
       // marginCol, features must stay below ~9.2e6 or products silently
       // wrap — refuse data quantized off the intended ±10-unit range loudly

@@ -734,18 +734,30 @@ object Relational {
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
                    compareCols: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "snapshotDiff needs key columns")
+    val explicit = compareCols.nonEmpty
     val cols =
-      if (compareCols.nonEmpty) compareCols
+      if (explicit) compareCols.filterNot(keys.contains)
       else oldDf.columns.filter(newDf.columns.contains)
         .filterNot(keys.contains).toSeq
+    // an empty DEFAULT column set (the two schemas share only the keys —
+    // e.g. after a rename map or schema evolution) would compare NOTHING
+    // and report every common-key row "unchanged": a vacuous parity the
+    // audit exists to prevent. Refuse loudly. An EXPLICIT compareCols that
+    // reduces to the keys is the caller saying "presence-only" — honored:
+    // the diff then reports added/removed rows and no changed ones.
+    require(explicit || cols.nonEmpty,
+      "snapshotDiff: the snapshots share no non-key columns to compare — " +
+        "pass compareCols (e.g. the keys) if a presence-only diff is intended")
     val o = oldDf.select((keys ++ cols).map(col) :+ lit(1).as("__in_o"): _*)
       .withColumnsRenamed(cols.map(c => c -> s"__o_$c").toMap)
     val n = newDf.select((keys ++ cols).map(col) :+ lit(1).as("__in_n"): _*)
       .withColumnsRenamed(cols.map(c => c -> s"__n_$c").toMap)
-    val changed = array_join(filter(
-      array(cols.map(c => when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))
-        .otherwise(lit(null).cast("string"))): _*),
-      x => x.isNotNull), ",")
+    val changed =
+      if (cols.isEmpty) lit("")
+      else array_join(filter(
+        array(cols.map(c => when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))
+          .otherwise(lit(null).cast("string"))): _*),
+        x => x.isNotNull), ",")
     o.join(n, keys, "full_outer")
       .withColumn("change_type",
         when(col("__in_o").isNull, "added")

@@ -167,7 +167,14 @@ final case class Pipeline(
   * carries many monitoring/validation blocks that have no Spark analog). */
 object PipelineConfig {
 
-  private val mapper = new ObjectMapper(new YAMLFactory())
+  // STRICT_DUPLICATE_DETECTION: Jackson's tree model silently collapses
+  // duplicate mapping keys (last wins) BEFORE any semantic check can see
+  // them — a typo like `weights: {en: 3, en: 1}` would ship the wrong
+  // mixture and make every "duplicate X" validation downstream
+  // unreachable from YAML. Rejecting at parse time is the config-file
+  // strictness rule (fail at parse, not mid-sync).
+  private val mapper = new ObjectMapper(new YAMLFactory().enable(
+    com.fasterxml.jackson.core.JsonParser.Feature.STRICT_DUPLICATE_DETECTION))
 
   def fromFile(path: String, env: Map[String, String] = sys.env): Pipeline = {
     val raw = new String(java.nio.file.Files.readAllBytes(

@@ -109,8 +109,8 @@ object PostOps {
               .distributionDriftFromCounts(
                 state.select(col("category"), col("n").as("n_a")),
                 incCounts.select(col("category"), col("n").as("n_b")))
-              .agg(sum(col("psi_contrib"))).head().getDecimal(0)
-            val p = if (psi == null) BigDecimal(0) else BigDecimal(psi)
+              .agg(sum(col("psi_contrib"))).head()
+            val p = if (psi.isNullAt(0)) 0.0 else psi.getDouble(0)
             if (p > thr) throw new IllegalStateException(
               f"drift_gate ${id.table}.$catCol: PSI $p%.4f > $thr — " +
                 "increment mix diverges from the corpus baseline")

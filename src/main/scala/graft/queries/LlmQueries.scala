@@ -1303,6 +1303,101 @@ object LlmQueries {
              |FROM pf JOIN lp USING (w1, w2)
              |GROUP BY pf.doc_id""".stripMargin)),
 
+    // --------------------------------------- Kneser-Ney bigram LM fluency
+    // The production n-gram smoother (KenLM's default) with D = 0.75:
+    // discounted seen mass + continuation-count backoff. Corpus-own, so
+    // every scored pair is seen; the two-term probability is mirrored
+    // parenthesis-for-parenthesis in the oracle and the per-pair log
+    // rounds to a 4-decimal decimal before the exact doc sum.
+    Q("q_kn_logprob",
+      (s, dir) => graft.functions.CorpusFunctions.knLogProbScores(
+        Tables.df(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), col("sum_logprob")),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+             |pr AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+             |       FROM t, unnest(range(1, len(toks))) u(i)
+             |       WHERE len(toks) >= 2),
+             |pf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS pf
+             |       FROM pr GROUP BY 1, 2, 3),
+             |c12 AS (SELECT w1, w2, CAST(SUM(pf) AS BIGINT) AS c12
+             |        FROM pf GROUP BY 1, 2),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM c12),
+             |lp AS (SELECT w1, w2,
+             |    CAST(round(ln(
+             |      ((c12 - 0.75)
+             |        / CAST(SUM(c12) OVER (PARTITION BY w1) AS DOUBLE)) +
+             |      ((0.75 * CAST(COUNT(*) OVER (PARTITION BY w1) AS DOUBLE))
+             |        / CAST(SUM(c12) OVER (PARTITION BY w1) AS DOUBLE)) *
+             |      (CAST(COUNT(*) OVER (PARTITION BY w2) AS DOUBLE)
+             |        / CAST(tot.n1tot AS DOUBLE))), 4)
+             |      AS DECIMAL(28,4)) AS lp
+             |  FROM c12, tot)
+             |SELECT pf.doc_id, CAST(SUM(pf) AS BIGINT) AS n_bigrams,
+             |  CAST(SUM(pf * lp) AS DOUBLE) AS sum_logprob
+             |FROM pf JOIN lp USING (w1, w2)
+             |GROUP BY pf.doc_id""".stripMargin)),
+
+    // ------------------------------------ DSIR importance-weighted selection
+    // Hashed-n-gram importance resampling (Xie 2023): srcs 0-1 play the
+    // trusted target, the rest is the raw pool; top-100 by exact decimal
+    // log-likelihood-ratio weight. 256 md5 buckets over unigrams+bigrams;
+    // every count, smoothed ratio and rank replays in the oracle.
+    Q("q_dsir_select",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val half = expr("CAST(substring(source, 4) AS INT)")
+        graft.functions.CorpusFunctions.dsirSelect(
+          docs.filter(half >= 2), docs.filter(half < 2),
+          "doc_id", "text", k = 100)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks
+             |           FROM documents),
+             |tgt AS (SELECT * FROM t WHERE CAST(substr(source, 4) AS INT) < 2),
+             |cor AS (SELECT * FROM t
+             |        WHERE CAST(substr(source, 4) AS INT) >= 2),
+             |tfeat AS (SELECT unnest(toks) AS f FROM tgt
+             |          UNION ALL
+             |          SELECT toks[i] || ' ' || toks[i+1]
+             |          FROM tgt, unnest(range(1, len(toks))) u(i)
+             |          WHERE len(toks) >= 2),
+             |cfeat AS (SELECT doc_id, unnest(toks) AS f FROM cor
+             |          UNION ALL
+             |          SELECT doc_id, toks[i] || ' ' || toks[i+1]
+             |          FROM cor, unnest(range(1, len(toks))) u(i)
+             |          WHERE len(toks) >= 2),
+             |tc AS (SELECT (strpos('0123456789abcdef', substr(md5(f), 1, 1))
+             |          - 1) * 16
+             |        + strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1
+             |          AS b,
+             |        CAST(COUNT(*) AS BIGINT) AS tcn
+             |       FROM tfeat GROUP BY 1),
+             |cfb AS (SELECT doc_id,
+             |        (strpos('0123456789abcdef', substr(md5(f), 1, 1))
+             |          - 1) * 16
+             |        + strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1
+             |          AS b,
+             |        CAST(COUNT(*) AS BIGINT) AS cf
+             |       FROM cfeat GROUP BY 1, 2),
+             |rc AS (SELECT b, CAST(SUM(cf) AS BIGINT) AS rcn
+             |       FROM cfb GROUP BY 1),
+             |tots AS (SELECT (SELECT COALESCE(SUM(tcn), 0) FROM tc) AS tt,
+             |                (SELECT COALESCE(SUM(rcn), 0) FROM rc) AS rt),
+             |r AS (SELECT COALESCE(tc.b, rc.b) AS b,
+             |        CAST(round(
+             |          ln((COALESCE(tcn, 0) + 1) * 1.0 / (tt + 256)) -
+             |          ln((COALESCE(rcn, 0) + 1) * 1.0 / (rt + 256)), 6)
+             |          AS DECIMAL(18,6)) AS lr
+             |      FROM tc FULL OUTER JOIN rc ON tc.b = rc.b, tots),
+             |sel AS (SELECT doc_id, CAST(SUM(cf) AS BIGINT) AS n_features,
+             |          SUM(cf * lr) AS w
+             |        FROM cfb JOIN r USING (b) GROUP BY 1),
+             |rk AS (SELECT doc_id,
+             |         ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) AS rank,
+             |         n_features, CAST(w AS DOUBLE) AS weight
+             |       FROM sel)
+             |SELECT doc_id, CAST(rank AS BIGINT) AS rank, n_features, weight
+             |FROM rk WHERE rank <= 100""".stripMargin)),
+
     // ----------------------- cross-corpus LM scoring (the true CCNet shape)
     // Train the bigram LM on a REFERENCE slice (doc_id % 3 = 0, the
     // "Wikipedia" stand-in) and score the remaining docs under it, with
@@ -1742,8 +1837,12 @@ object LlmQueries {
              |  GROUP BY p)
              |SELECT e.vec_id, pl.p AS j,
              |  round(list_dot_product(e.embedding::DOUBLE[], pl.pl)
-             |        / sqrt(16.0), 4) AS v4
+             |        / sqrt(16.0), 4) + 0.0 AS v4
              |FROM embeddings e CROSS JOIN planes pl""".stripMargin)),
+    // ^ `+ 0.0`: DuckDB's double round keeps the sign of a tiny negative
+    // (-1e-9 → -0.0) where Spark's BigDecimal HALF_UP round cannot produce
+    // a signed zero; -0.0 + 0.0 = +0.0 normalizes the one straddling row
+    // (the round-7 q_jl_project red row) without touching any other value.
 
     // ------------------------------------- MMR diversity rerank (full oracle)
     // Greedy λ·rel − (1−λ)·max-sim selection over each query's top-30
@@ -2130,8 +2229,8 @@ object LlmQueries {
              |          AS pb
              |      FROM j CROSS JOIN t)
              |SELECT category, n_a, n_b, pa, pb,
-             |  CAST(round((pa - pb) * round(ln(pa / pb), 6), 9)
-             |    AS DECIMAL(18,9)) AS psi_contrib
+             |  CAST(CAST(round((pa - pb) * round(ln(pa / pb), 6), 9)
+             |    AS DECIMAL(18,9)) AS DOUBLE) AS psi_contrib
              |FROM p""".stripMargin)),
 
     // ----------------------------------- epoch-seeded training shard layout
@@ -2463,16 +2562,22 @@ object LlmQueries {
         probeScoredHeldOut(s, dir)
           .groupBy(col("y"), col("pred"))
           .agg(count(lit(1)).as("n"),
+            // sum_p rides as a decimal STRING: at 17+ digits the value
+            // exceeds double's exact range, and DuckDB's DECIMAL(38,0)
+            // reaches the driver as a lossy float while Spark's stays
+            // Decimal — same value, different hash (the round-7 red row).
+            // Both engines stringify a scale-0 decimal as plain digits, so
+            // the string form is exact and engine-identical at ANY sf.
             sum(col("p_num"))
               .cast(org.apache.spark.sql.types.DecimalType(38, 0))
-              .as("sum_p"))
+              .cast("string").as("sum_p"))
           .select(col("y"), col("pred"), col("n"), col("sum_p")),
       Some(probeOracle(iters = 4) +
         """
           |SELECT CAST(y AS BIGINT) AS y,
           |  CASE WHEN p_num >= 2000000000000000 THEN 1 ELSE 0 END AS pred,
           |  CAST(COUNT(*) AS BIGINT) AS n,
-          |  CAST(SUM(p_num) AS DECIMAL(38,0)) AS sum_p
+          |  CAST(CAST(SUM(p_num) AS DECIMAL(38,0)) AS VARCHAR) AS sum_p
           |FROM sc GROUP BY 1, 2""".stripMargin)),
 
     // ------------------------------------- threshold sweep over probe scores

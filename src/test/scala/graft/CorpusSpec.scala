@@ -60,17 +60,17 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       Seq.fill(n)(c) }.toDF("cat")
     val a = mk("x" -> 50, "y" -> 30, "z" -> 20)
     val same = CorpusFunctions.distributionDrift(a, a, "cat").collect()
-    same.foreach(r => assert(r.getDecimal(5).doubleValue() == 0.0))
+    same.foreach(r => assert(r.getDouble(5) == 0.0))
     // planted shift: y collapses into x on the B side
     val b = mk("x" -> 80, "y" -> 0, "z" -> 20)
     val drift = CorpusFunctions.distributionDrift(a, b, "cat")
-      .agg(sum(col("psi_contrib"))).head().getDecimal(0).doubleValue()
+      .agg(sum(col("psi_contrib"))).head().getDouble(0)
     assert(drift > 0.25, s"planted shift PSI $drift not flagged")
     // one-sided category (only in B) stays finite via add-1 smoothing
     val c = mk("x" -> 50, "w" -> 50)
     val rows = CorpusFunctions.distributionDrift(a, c, "cat").collect()
     assert(rows.length == 4) // union of categories
-    rows.foreach(r => assert(!r.getDecimal(5).doubleValue().isNaN))
+    rows.foreach(r => assert(!r.getDouble(5).isNaN))
   }
 
   test("sampleByGroup: rate 1 keeps all, rate 0 keeps none, rates nest") {
@@ -831,6 +831,87 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     // meaningful assertion is the seen pair beats both backstops
     assert(res(10L)._2 > res(11L)._2)
     assert(res(10L)._2 > res(12L)._2)
+  }
+
+  test("knLogProbScores: continuation counts reward versatile words " +
+    "(the property add-1 smoothing cannot express)") {
+    val s = spark
+    import s.implicits._
+    // "francisco" is frequent but follows ONLY "san"; "dog" follows many
+    // distinct heads. Under head "z" both pairs have c12=1, same c1, same
+    // head stats — add-1 scores them EQUAL; Kneser-Ney's N1+(·w2) backoff
+    // must score "z dog" strictly higher.
+    val docs = (
+      Seq.tabulate(5)(i => (i.toLong, "san francisco")) ++
+        Seq("a", "b", "c", "d", "e").zipWithIndex.map { case (h, i) =>
+          (10L + i, s"$h dog") } ++
+        Seq((20L, "z francisco"), (21L, "z dog"))
+      ).toDF("doc_id", "text")
+    val kn = CorpusFunctions.knLogProbScores(docs, "doc_id", "text")
+      .select(col("doc_id"), col("sum_logprob")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kn(21L) > kn(20L),
+      s"KN backoff did not reward the versatile continuation: " +
+        s"z-dog ${kn(21L)} <= z-francisco ${kn(20L)}")
+    val add1 = CorpusFunctions.bigramLogProbScores(docs, "doc_id", "text")
+      .select(col("doc_id"), col("sum_logprob")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(add1(21L) == add1(20L), "add-1 control should tie the two docs")
+    // probabilities stay in (0,1): every doc's log mass is negative
+    assert(kn.values.forall(_ < 0.0))
+    // exactness contract: repartition-invariant decimal sums
+    val kn2 = CorpusFunctions.knLogProbScores(
+      docs.repartition(7), "doc_id", "text")
+      .select(col("doc_id"), col("sum_logprob")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kn2 == kn)
+  }
+
+  test("dsirSelect: picks the docs that look like the target distribution") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def noise(n: Int) = Seq.fill(n)("w" + rnd.nextInt(500)).mkString(" ")
+    // target: quantum-physics-flavored seed set
+    val target = (0 until 20).map(i =>
+      (1000L + i, "quantum physics entangled qubit " + noise(4)))
+      .toDF("doc_id", "text")
+    // corpus: 10 on-topic docs buried in 90 off-topic ones
+    val corpus = ((0 until 10).map(i =>
+      (i.toLong, "quantum physics entangled qubit " + noise(4))) ++
+      (10 until 100).map(i => (i.toLong, noise(8))))
+      .toDF("doc_id", "text")
+    val sel = CorpusFunctions.dsirSelect(corpus, target, "doc_id", "text",
+      k = 10)
+    val rows = sel.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 10L))
+    val picked = rows.map(_.getLong(0)).toSet
+    val onTopic = picked.count(_ < 10L)
+    assert(onTopic >= 8, s"only $onTopic/10 on-topic docs selected: $picked")
+    // deterministic under repartitioning (decimal weights, total order)
+    val sel2 = CorpusFunctions.dsirSelect(corpus.repartition(13),
+      target.repartition(3), "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sel2 == rows.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("rebalanceToMixture: duplicate ids in a weighted group are refused") {
+    val s = spark
+    import s.implicits._
+    // ids 1..5 unique in "a"; id 7 appears twice in "b" — its shared md5
+    // key would let the threshold admit both rows and overfill the quota
+    val docs = ((1L to 5L).map(i => (i, "a")) ++ Seq((7L, "b"), (7L, "b"),
+      (8L, "b"))).toDF("id", "grp")
+    val e = intercept[IllegalArgumentException] {
+      CorpusFunctions.rebalanceToMixture(docs, "grp",
+        Seq("a" -> 1L, "b" -> 1L), "id").collect()
+    }
+    assert(e.getMessage.contains("duplicate id"), e.getMessage)
+    // an UNWEIGHTED group may carry duplicates — it is dropped anyway
+    val ok = CorpusFunctions.rebalanceToMixture(docs, "grp",
+      Seq("a" -> 1L), "id")
+    assert(ok.count() == 5)
   }
 
   test("rebalanceToMixture: exact integer quotas, md5 pick order, " +

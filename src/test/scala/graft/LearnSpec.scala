@@ -42,6 +42,25 @@ class LearnSpec extends AnyFunSuite with SparkTestBase {
     assert(bad == 0)
   }
 
+  test("train refuses null and width-mismatched vectors loudly") {
+    val s = spark
+    import s.implicits._
+    val good = Seq((Seq(1L, 2L), 1L), (Seq(-3L, 4L), 0L)).toDF("xq", "y")
+    val mixed = good.unionByName(
+      Seq((null.asInstanceOf[Seq[Long]], 1L), (Seq(1L, 2L, 3L), 0L))
+        .toDF("xq", "y"))
+    val e = intercept[IllegalArgumentException] {
+      LearnFunctions.trainLinearProbe(mixed, "xq", "y", iters = 1)
+    }
+    assert(e.getMessage.contains("2 training rows"), e.getMessage)
+    // an ALL-null input refuses too (the dim probe must not NPE)
+    val allNull = Seq.fill(3)(null.asInstanceOf[Seq[Long]])
+      .zip(Seq(1L, 0L, 1L)).toDF("xq", "y")
+    intercept[IllegalArgumentException] {
+      LearnFunctions.trainLinearProbe(allNull, "xq", "y", iters = 1)
+    }
+  }
+
   test("training is a pure function of the input set: repartition-invariant") {
     val w1 = LearnFunctions.trainLinearProbe(train.repartition(3), "xq", "y",
       iters = 3, lrLog2 = 1)

@@ -102,6 +102,39 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("duplicate YAML mapping keys are rejected at parse time") {
+    // Jackson's tree model would otherwise collapse duplicates (last
+    // wins) BEFORE any semantic validation can see them — a typo like
+    // {en: 3, en: 1} would silently ship the wrong rebalance mixture
+    val dup =
+      """pipeline:
+        |  name: "dup"
+        |  source: "s"
+        |tables:
+        |  fx.docs:
+        |    cdc_strategy: "full_sync"
+        |    post_ops:
+        |      - op: "rebalance"
+        |        target: "docs_mix"
+        |        keys: ["lang"]
+        |        id_column: "doc_id"
+        |        weights: {en: 3, en: 1}
+        |""".stripMargin
+    val e = intercept[Exception] { PipelineConfig.fromString(dup) }
+    assert(e.getMessage.toLowerCase.contains("duplicate"), e.getMessage)
+    // ...and anywhere else in the document, not just weights maps
+    val dupTable =
+      """pipeline:
+        |  name: "dup2"
+        |  source: "s"
+        |  processing:
+        |    batch_size: 1
+        |    batch_size: 2
+        |""".stripMargin
+    val e2 = intercept[Exception] { PipelineConfig.fromString(dupTable) }
+    assert(e2.getMessage.toLowerCase.contains("duplicate"), e2.getMessage)
+  }
+
   test("env interpolation substitutes values and honors defaults") {
     val y = "pipeline:\n  name: \"${GRAFT_TEST_NAME:fallback}\"\n  source: \"s\""
     assert(PipelineConfig.fromString(y, Map.empty).name == "fallback")
@@ -1426,7 +1459,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       yaml.replace("cdc_strategy: \"hybrid\"",
         "cdc_strategy: \"hybrid\"\n    table_type: \"dimensions\"")))
     intercept[IllegalArgumentException](PipelineConfig.fromString(
-      yaml.replace("batch_size: 50000", "batch_size: 50000\n    strategy: \"parallell\"")))
+      yaml.replace("strategy: \"sequential\"", "strategy: \"parallell\"")))
     // capitalized Dimension parses (case-insensitive, still strict)
     val dim = PipelineConfig.fromString(
       yaml.replace("cdc_strategy: \"hybrid\"",

@@ -582,5 +582,20 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       Seq((9L, "a", 1)).toDF("k", "v", "x"),
       Seq((9L, "z", 2)).toDF("k", "v", "x"), Seq("k")).head()
     assert(both.getString(2) == "v,x")
+    // key-only schema overlap: the default column set would compare
+    // NOTHING and report vacuous parity — refused loudly instead
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Relational.snapshotDiff(
+        Seq((1L, "a")).toDF("k", "only_old"),
+        Seq((1L, "b")).toDF("k", "only_new"), Seq("k"))
+    }
+    assert(e.getMessage.contains("no non-key columns"), e.getMessage)
+    // explicit compareCols still expresses a presence-only diff
+    val pres = graft.operators.Relational.snapshotDiff(
+      Seq((1L, "a")).toDF("k", "only_old"),
+      Seq((2L, "b")).toDF("k", "only_new"), Seq("k"),
+      compareCols = Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pres == Map(1L -> "removed", 2L -> "added"))
   }
 }
