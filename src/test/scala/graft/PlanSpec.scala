@@ -523,6 +523,42 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!cols.contains("text"), s"text rides the shard exchange: $cols")
   }
 
+  test("knLogProbScores: LM exchanges carry pair keys and counts, no text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.functions.CorpusFunctions.knLogProbScores(
+      docs, "doc_id", "text")
+    df.count()
+    val exchanges = physical(df).collect { case e: ShuffleExchangeExec => e }
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name.takeWhile(_ != '#')).toSet
+      assert(!cols.contains("text") && !cols.contains("__toks"),
+        s"document payload rides an LM exchange: $cols")
+    }
+    // the pair-total is a 1-row broadcast, not a global window over pairs
+    assert(physical(df).toString.contains("BroadcastExchange"),
+      "n1tot must broadcast")
+  }
+
+  test("dsirSelect: ratio broadcasts, top-k is TakeOrdered, no text rides") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val half = org.apache.spark.sql.functions.expr(
+      "CAST(substring(source, 4) AS INT)")
+    val df = graft.functions.CorpusFunctions.dsirSelect(
+      docs.filter(half >= 2), docs.filter(half < 2), "doc_id", "text", k = 50)
+    df.count()
+    val plan = physical(df)
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      val cols = e.child.output.map(_.name.takeWhile(_ != '#')).toSet
+      assert(!cols.contains("text") && !cols.contains("__toks"),
+        s"document payload rides a DSIR exchange: $cols")
+    }
+    val ps = plan.toString
+    assert(ps.contains("BroadcastExchange"),
+      "the bucket log-ratio table must broadcast")
+    assert(ps.contains("TakeOrderedAndProject"),
+      "top-k selection must be TakeOrdered, not a global sort")
+  }
+
   test("probe scoring is rowwise: zero exchanges under literal weights") {
     import graft.functions.LearnFunctions
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
