@@ -76,7 +76,10 @@ final case class PostOpSpec(
                                                // fold_probe GD steps per sync
     epoch: Option[Int] = None,                 // epoch_shards seed
     vectorColumn: Option[String] = None,       // fold_probe feature vector
-    weights: Seq[(String, Long)] = Nil)        // rebalance target mixture
+    weights: Seq[(String, Long)] = Nil,        // rebalance target mixture
+    reference: Option[String] = None)          // dsir_select: warehouse table
+                                               // (same schema) holding the
+                                               // trusted target corpus
 
 /** One configured table: scoped name + CDC config + optional rename
   * (YAML `tables.<schema.table>`; ref TableConfig, configuration_manager.py:23-43).
@@ -537,7 +540,8 @@ object PipelineConfig {
       epoch = opt(n, "epoch").map(_.asInt),
       vectorColumn = opt(n, "vector_column").map(_.asText),
       weights = opt(n, "weights").map(_.fields().asScala.toSeq
-        .map(e => e.getKey -> e.getValue.asLong())).getOrElse(Nil))
+        .map(e => e.getKey -> e.getValue.asLong())).getOrElse(Nil),
+      reference = opt(n, "reference").map(_.asText.trim).filter(_.nonEmpty))
     def need(cond: Boolean, what: String): Unit =
       if (!cond) bad(s"'$op' (target $target) requires $what")
     op match {
@@ -607,11 +611,17 @@ object PipelineConfig {
           bad("every rebalance weight must be positive")
         if (spec.weights.map(_._1).distinct.size != spec.weights.size)
           bad("duplicate group in rebalance weights")
+      case "dsir_select" =>
+        need(spec.idColumn.isDefined && spec.textColumn.isDefined,
+          "'id_column' and 'text_column'")
+        need(spec.reference.isDefined,
+          "'reference' (the warehouse table holding the target corpus)")
+        spec.k.foreach(k => if (k < 1) bad(s"k $k (selection size) < 1"))
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
         " | scd2_apply | fold_aggregate | zorder | neardup_labels" +
         " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
         " | fold_bpe_tokens | epoch_shards | drift_gate | fold_probe" +
-        " | rebalance)")
+        " | rebalance | dsir_select)")
     }
     spec
   }

@@ -174,6 +174,26 @@ object PostOps {
           graft.functions.CorpusFunctions.rebalanceToMixture(
             base, po.keys.head, po.weights, po.idColumn.get))
         ()
+      case "dsir_select" =>
+        // DSIR importance selection (VIEW shape): the derived table is the
+        // top-k base-table documents whose hashed-n-gram distribution
+        // looks most like the `reference` warehouse table (a trusted seed
+        // set — possibly itself a derived table of an EARLIER post_op on
+        // this table; post_ops run in YAML order, so chaining
+        // rebalance → dsir_select works). Recomputed per sync: both
+        // distributions collapse to 256-row broadcasts, so the recompute
+        // costs one corpus scan — the same bill as every other view op.
+        val base = requireBase(spark, loader, id, po)
+        val refId = id.copy(table = po.reference.get)
+        val targetCorpus = loader.readTarget(spark, refId).getOrElse(
+          throw new IllegalStateException(
+            s"post_op 'dsir_select' (target ${po.target}): reference " +
+              s"table ${refId.scoped} has never been loaded"))
+        loader.replaceDerived(spark, derivedId,
+          graft.functions.CorpusFunctions.dsirSelect(
+            base, targetCorpus, po.idColumn.get, po.textColumn.get,
+            po.k.getOrElse(100)))
+        ()
       case "epoch_shards" =>
         // deterministic training-serving shard layout (VIEW shape): the
         // derived table is each row's (id, shard, pos) address for the

@@ -151,7 +151,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(p.tables.exists(_.postOps.map(_.op).toSet ==
       Set("neardup_labels", "fold_bm25", "epoch_shards", "drift_gate",
         "fold_kmv_distinct", "fold_count_min", "fold_sample", "rebalance",
-        "fold_bpe_tokens")))
+        "fold_bpe_tokens", "dsir_select")))
     assert(p.tables.exists(_.postOps.map(_.op).toSet == Set("fold_probe")))
     val runner = new PipelineRunner(spark, tmpDir("example_cfg"))
     val r = runner.sync(p)
@@ -159,9 +159,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val (_, _, loader) = runner.rigFor(p)
     val docsId = p.tables.find(_.name == "fx.documents").get.tableId(p)
     for (t <- Seq("doc_clusters", "doc_bm25_index", "doc_lang_distinct",
-        "doc_source_counts", "doc_len_sample"))
+        "doc_source_counts", "doc_len_sample", "doc_mixture",
+        "doc_dsir_picks"))
       assert(loader.readTarget(spark, docsId.copy(table = t)).nonEmpty,
         s"derived table $t missing after the example sync")
+    // the chained dsir_select equals the direct operator over the same
+    // base + reference tables (post_ops ran in YAML order)
+    val base = loader.readTarget(spark, docsId).get
+    val mix = loader.readTarget(spark, docsId.copy(table = "doc_mixture")).get
+    val picks = loader.readTarget(
+      spark, docsId.copy(table = "doc_dsir_picks")).get
+    val expect = graft.functions.CorpusFunctions.dsirSelect(
+      base, mix, "doc_id", "text", k = 50)
+    assert(picks.count() == 50)
+    assert(picks.select("doc_id", "rank")
+      .exceptAll(expect.select("doc_id", "rank")).isEmpty,
+      "piped dsir_select deviates from the direct operator")
   }
 
   test("3-table sequential sync loads every table; counts match source") {
@@ -308,6 +321,32 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](rb(
       "        keys: [lang, src]\n        id_column: doc_id\n" +
         "        weights: {en: 1}"))
+  }
+
+  test("post_ops dsir_select: parse-time strictness") {
+    def ds(extra: String) = PipelineConfig.fromString(
+      s"""pipeline:
+         |  name: "x"
+         |  source: "s"
+         |tables:
+         |  fx.t:
+         |    cdc_strategy: "full_sync"
+         |    post_ops:
+         |      - op: dsir_select
+         |        target: t_picks
+         |$extra
+         |""".stripMargin)
+    // missing reference / missing columns / non-positive k all refuse
+    intercept[IllegalArgumentException](ds(
+      "        id_column: doc_id\n        text_column: text"))
+    intercept[IllegalArgumentException](ds(
+      "        reference: seed\n        id_column: doc_id"))
+    intercept[IllegalArgumentException](ds(
+      "        reference: seed\n        id_column: doc_id\n" +
+        "        text_column: text\n        k: 0"))
+    val ok = ds("        reference: seed\n        id_column: doc_id\n" +
+      "        text_column: text\n        k: 25")
+    assert(ok.tables.head.postOps.head.reference.contains("seed"))
   }
 
   test("post_ops drift_gate: baseline sync passes, shifted increment fails") {
