@@ -940,6 +940,54 @@ object CorpusFunctions {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** CURRICULUM shard layout: contiguous difficulty bands for ordered
+    * training (Bengio 2009; score-ordered data feeds in GPT-style
+    * "pretraining curricula"). Documents are totally ordered by
+    * (scoreCol, id) — ascending = easiest-first under a difficulty score,
+    * descending for fluency-style scores where HIGH means easy — and the
+    * ordered sequence is cut into `shards` near-equal contiguous blocks:
+    * shard s is the s-th difficulty band, `pos` the 1-based in-band rank,
+    * so a trainer consuming shard 0 → S-1 reads the exact global order.
+    *
+    * The score must be cross-engine exact for the layout to replay (the
+    * repo's LM scores — decimal sums and their IEEE quotients — qualify;
+    * an unrounded float from a different engine does not).
+    *
+    * Scale: one range exchange for the total order plus one zipWithIndex
+    * pass for EXACT global ranks (the [[graft.operators.Relational]]
+    * fuzzy-pair indexing technique) — never a single-partition
+    * row_number window. The count action is index-build class, same as
+    * zorder's quantile probe. Shard/pos then derive per-row from (rank,
+    * n) in pure integer arithmetic: shard = ⌊rank·S/n⌋, pos = rank −
+    * ⌈shard·n/S⌉ + 1. */
+  def curriculumShards(docs: DataFrame, idCol: String, scoreCol: String,
+                       shards: Int, ascending: Boolean = true): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = docs.sparkSession
+    val ord =
+      if (ascending) Seq(col(scoreCol).asc, col(idCol).asc)
+      else Seq(col(scoreCol).desc, col(idCol).asc)
+    val slim = docs.select(col(idCol), col(scoreCol)).sort(ord: _*)
+    val n = slim.count()
+    if (n == 0)
+      return docs.select(col(idCol),
+        lit(0).as("shard"), lit(0L).as("pos")).limit(0)
+    val schema = org.apache.spark.sql.types.StructType(
+      slim.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__r", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = spark.createDataFrame(
+      slim.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+    // `div` (integer division), not `/` (which Spark widens to double)
+    indexed
+      .withColumn("shard", expr(s"(__r * ${shards}L) div ${n}L").cast("int"))
+      .withColumn("pos", // rank − ceil(shard·n/S) + 1, all integer ops
+        col("__r") - expr(s"(shard * ${n}L + ${shards - 1}L) div ${shards}L")
+          + 1)
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Population-stability-index (PSI) drift between two corpus snapshots
     * over a categorical column — the standing monitoring question of a
     * refreshed training pipeline ("did this sync shift the language /

@@ -2251,6 +2251,42 @@ object LlmQueries {
              |    ORDER BY kk, doc_id) AS BIGINT) AS pos
              |FROM k""".stripMargin)),
 
+    // --------------------------------- curriculum shard layout (full oracle)
+    // Fluency-ordered contiguous difficulty bands: rank every doc by its
+    // exact unigram-LM mean log-prob (descending — fluent docs first) and
+    // cut the order into 8 near-equal shards. Exact global ranks via the
+    // distributed zipWithIndex, shard/pos in pure integer arithmetic —
+    // every address replays.
+    Q("q_curriculum_shards",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val scored = graft.functions.CorpusFunctions.unigramLogProbScores(
+          docs, "doc_id", "text").select(col("doc_id"), col("avg_logprob"))
+        graft.functions.CorpusFunctions.curriculumShards(
+          scored, "doc_id", "avg_logprob", shards = 8, ascending = false)
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |       FROM tok GROUP BY 1, 2),
+             |lm AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c
+             |       FROM tf GROUP BY term),
+             |lp AS (SELECT term,
+             |         CAST(round(ln(c * 1.0 / CAST(SUM(c) OVER () AS BIGINT)), 4)
+             |           AS DECIMAL(28,4)) AS lp
+             |       FROM lm),
+             |a AS (SELECT tf.doc_id,
+             |        CAST(SUM(tf * lp) AS DOUBLE)
+             |          / CAST(SUM(tf) AS BIGINT) AS avg
+             |      FROM tf JOIN lp USING (term) GROUP BY tf.doc_id),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a),
+             |rk AS (SELECT doc_id, ROW_NUMBER() OVER (
+             |         ORDER BY avg DESC, doc_id) - 1 AS r FROM a)
+             |SELECT doc_id, CAST((r * 8) // n.n AS INT) AS shard,
+             |  CAST(r - (((r * 8) // n.n) * n.n + 7) // 8 + 1 AS BIGINT)
+             |    AS pos
+             |FROM rk, n""".stripMargin)),
+
     // ------------------------------------------------- ANN recall/MRR report
     // The index-trust report as a query: seeded-IVF top-10 evaluated
     // against exact brute-force ground truth, per query. Both rankings

@@ -867,6 +867,39 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(kn2 == kn)
   }
 
+  test("curriculumShards: contiguous difficulty bands, exact addresses") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val scored = (1L to 103L).map(i => (i, rnd.nextDouble())).toDF("id", "sc")
+    val out = CorpusFunctions.curriculumShards(scored, "id", "sc", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 103)
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet == (0 until 8).toSet)
+    // near-equal contiguous blocks: sizes differ by at most 1
+    val sizes = byShard.view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    // pos is the contiguous 1..size in-band rank
+    byShard.foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length),
+        s"shard $sh pos not contiguous") }
+    // the bands respect the global order: every score in shard k is <=
+    // every score in shard k+1 (ascending = easiest first)
+    val score = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (k <- 0 until 7)
+      assert(byShard(k).map(t => score(t._1)).max <=
+        byShard(k + 1).map(t => score(t._1)).min)
+    // deterministic under repartitioning
+    val out2 = CorpusFunctions.curriculumShards(
+      scored.repartition(13), "id", "sc", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out2 == out.toSet)
+    // empty input yields an empty, correctly-shaped layout
+    assert(CorpusFunctions.curriculumShards(
+      scored.limit(0), "id", "sc", shards = 4).count() == 0)
+  }
+
   test("dsirSelect: picks the docs that look like the target distribution") {
     val s = spark
     import s.implicits._
