@@ -1037,6 +1037,34 @@ object CorpusFunctions {
       .select("category", "n_a", "n_b", "pa", "pb", "psi_contrib")
   }
 
+  /** The drift-GATE fold shared by the batch `drift_gate` post-op and
+    * [[graft.streaming.StreamingPipeline.streamingDriftGate]]: state is the
+    * persisted category-count mix of everything folded so far; the
+    * increment's mix is PSI-checked against it BEFORE folding, and a
+    * breach throws — under either harness the fold cursor then stays put,
+    * so the offending increment is re-gated (never silently folded) on
+    * every retry. First fold has no state → no gate (it DEFINES the
+    * baseline mix). State is category-cardinality rows; the PSI check is
+    * a category-scale join ([[distributionDriftFromCounts]]). */
+  def driftGateFold(prev: Option[DataFrame], inc: DataFrame, catCol: String,
+                    threshold: Double, what: String): DataFrame = {
+    val incCounts = inc.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"))
+    prev.foreach { state =>
+      val psi = distributionDriftFromCounts(
+        state.select(col("category"), col("n").as("n_a")),
+        incCounts.select(col("category"), col("n").as("n_b")))
+        .agg(sum(col("psi_contrib"))).head()
+      val p = if (psi.isNullAt(0)) 0.0 else psi.getDouble(0)
+      if (p > threshold) throw new IllegalStateException(
+        f"drift_gate $what: PSI $p%.4f > $threshold — " +
+          "increment mix diverges from the corpus baseline")
+    }
+    prev.fold(incCounts)(p =>
+      p.select(col("category"), col("n")).unionByName(incCounts)
+        .groupBy("category").agg(sum(col("n")).as("n")))
+  }
+
   def unigramLogProbScores(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -100,25 +100,9 @@ object PostOps {
         // has no state → no gate (it DEFINES the baseline mix).
         val catCol = po.keys.head
         val thr = po.threshold.get
-        foldIncremental(spark, id, derivedId, extractor, loader) { (prev, inc) =>
-          import org.apache.spark.sql.functions.{col, count, lit, sum}
-          val incCounts = inc.groupBy(col(catCol).as("category"))
-            .agg(count(lit(1)).as("n"))
-          prev.foreach { state =>
-            val psi = graft.functions.CorpusFunctions
-              .distributionDriftFromCounts(
-                state.select(col("category"), col("n").as("n_a")),
-                incCounts.select(col("category"), col("n").as("n_b")))
-              .agg(sum(col("psi_contrib"))).head()
-            val p = if (psi.isNullAt(0)) 0.0 else psi.getDouble(0)
-            if (p > thr) throw new IllegalStateException(
-              f"drift_gate ${id.table}.$catCol: PSI $p%.4f > $thr — " +
-                "increment mix diverges from the corpus baseline")
-          }
-          prev.fold(incCounts)(p =>
-            p.select(col("category"), col("n")).unionByName(incCounts)
-              .groupBy("category").agg(sum(col("n")).as("n")))
-        }
+        foldIncremental(spark, id, derivedId, extractor, loader)(
+          (prev, inc) => graft.functions.CorpusFunctions.driftGateFold(
+            prev, inc, catCol, thr, what = s"${id.table}.$catCol"))
       case "fold_probe" =>
         // ONLINE-LEARNED linear probe as pipeline state: each sync takes k
         // exact-integer GD steps on ITS increment, warm-started from the

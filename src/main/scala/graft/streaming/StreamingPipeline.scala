@@ -279,6 +279,21 @@ object StreamingPipeline {
       (prev, batch) => graft.functions.CorpusFunctions.foldBm25Index(
         prev, batch, idCol, textCol))
 
+  /** Streaming PSI drift gate — the quality-gate analog of
+    * [[streamingFoldAggregate]]: each micro-batch's categorical mix is
+    * PSI-checked against the persisted corpus mix BEFORE folding
+    * ([[graft.functions.CorpusFunctions.driftGateFold]]). A breach throws
+    * inside foreachBatch → the streaming query FAILS and the folded-batch
+    * cursor stays put, so a restart re-gates the same offending batch
+    * (never silently folds it) — the exact contract of the batch
+    * `drift_gate` post-op, carried onto the stream. */
+  def streamingDriftGate(spark: SparkSession, stagingDir: String,
+                         statePath: String, checkpointDir: String,
+                         catCol: String, threshold: Double): DataFrame =
+    streamingFold(spark, stagingDir, statePath, checkpointDir)(
+      (prev, batch) => graft.functions.CorpusFunctions.driftGateFold(
+        prev, batch, catCol, threshold, what = s"stream.$catCol"))
+
   private def streamingFold(spark: SparkSession, stagingDir: String,
                             statePath: String, checkpointDir: String)(
       fold: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {

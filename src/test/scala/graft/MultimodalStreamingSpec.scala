@@ -403,6 +403,47 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(asMap(s3) == asMap(s2))
   }
 
+  test("streaming drift gate: baseline folds, shifted batch fails and " +
+    "is re-gated, conforming batch passes") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir("sdrift")
+    val staging = s"$dir/staged"
+    val statePath = s"$dir/state"
+    val ckpt = s"$dir/ckpt"
+    def mix(en: Int, es: Int) =
+      (Seq.fill(en)("en") ++ Seq.fill(es)("es")).zipWithIndex
+        .map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+    // batch 1 defines the baseline mix (no gate on first fold)
+    mix(80, 20).write.parquet(staging)
+    val s1 = StreamingPipeline.streamingDriftGate(
+      spark, staging, statePath, ckpt, "lang", threshold = 0.25)
+    val m1 = s1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1 == Map("en" -> 80L, "es" -> 20L))
+    // batch 2 inverts the mix → PSI breach → the QUERY fails and the
+    // state is untouched
+    mix(5, 95).write.mode("append").parquet(staging)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingPipeline.streamingDriftGate(
+        spark, staging, statePath, ckpt, "lang", threshold = 0.25)
+    }
+    assert(e.getMessage.contains("drift_gate"), e.getMessage)
+    val after = spark.read.parquet(statePath).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == m1, "breached batch must not fold into the state")
+    // the offending batch is RE-GATED on restart (cursor unmoved), so the
+    // stream stays failed until an operator intervenes
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingPipeline.streamingDriftGate(
+        spark, staging, statePath, ckpt, "lang", threshold = 0.25)
+    }
+    // raising the threshold (operator intervention) lets the same batch
+    // fold; totals now include it
+    val s3 = StreamingPipeline.streamingDriftGate(
+      spark, staging, statePath, ckpt, "lang", threshold = 10.0)
+    val m3 = s3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m3 == Map("en" -> 85L, "es" -> 115L), m3.toString)
+  }
+
   test("streaming sketch maintenance: micro-batched state BIT-IDENTICAL to batch") {
     val s = spark; import s.implicits._
     import graft.operators.Sketches
