@@ -617,11 +617,15 @@ object PipelineConfig {
         need(spec.reference.isDefined,
           "'reference' (the warehouse table holding the target corpus)")
         spec.k.foreach(k => if (k < 1) bad(s"k $k (selection size) < 1"))
+      case "curriculum" =>
+        need(spec.idColumn.isDefined && spec.valueColumn.isDefined,
+          "'id_column' and 'value_column' (the difficulty score)")
+        spec.k.foreach(k => if (k < 1) bad(s"k $k (shard count) < 1"))
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
         " | scd2_apply | fold_aggregate | zorder | neardup_labels" +
         " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
         " | fold_bpe_tokens | epoch_shards | drift_gate | fold_probe" +
-        " | rebalance | dsir_select)")
+        " | rebalance | dsir_select | curriculum)")
     }
     spec
   }

@@ -178,6 +178,18 @@ object PostOps {
             base, targetCorpus, po.idColumn.get, po.textColumn.get,
             po.k.getOrElse(100)))
         ()
+      case "curriculum" =>
+        // score-ordered curriculum shard layout (VIEW shape): the derived
+        // table addresses every doc with (shard, pos) contiguous
+        // difficulty bands over `value_column` ascending (easiest first;
+        // store a negated score for fluency-style metrics). Recomputed
+        // per sync so the bands track corpus growth.
+        val base = requireBase(spark, loader, id, po)
+        loader.replaceDerived(spark, derivedId,
+          graft.functions.CorpusFunctions.curriculumShards(
+            base, po.idColumn.get, po.valueColumn.get,
+            po.k.getOrElse(16)))
+        ()
       case "epoch_shards" =>
         // deterministic training-serving shard layout (VIEW shape): the
         // derived table is each row's (id, shard, pos) address for the

@@ -349,6 +349,42 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(ok.tables.head.postOps.head.reference.contains("seed"))
   }
 
+  test("post_ops curriculum: shard view equals the direct layout; strict") {
+    val y =
+      s"""pipeline:
+         |  name: "postops_curriculum"
+         |  source: "$sfDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.documents:
+         |    cdc_strategy: "full_sync"
+         |    post_ops:
+         |      - op: curriculum
+         |        target: doc_curriculum
+         |        id_column: doc_id
+         |        value_column: n_chars
+         |        k: 8
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("postops_cur"))
+    assert(runner.sync(p).allOk)
+    val (_, _, loader) = runner.rigFor(p)
+    val baseId = p.tables.head.tableId(p)
+    val base = loader.readTarget(spark, baseId).get
+    val cur = loader.readTarget(
+      spark, baseId.copy(table = "doc_curriculum")).get
+    val expect = graft.functions.CorpusFunctions.curriculumShards(
+      base, "doc_id", "n_chars", shards = 8)
+    assert(cur.count() == base.count())
+    assert(cur.exceptAll(expect).isEmpty,
+      "piped curriculum deviates from the direct layout")
+    // strictness: missing score column / bad shard count refuse at parse
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      y.replace("        value_column: n_chars\n", "")))
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      y.replace("k: 8", "k: 0")))
+  }
+
   test("post_ops drift_gate: baseline sync passes, shifted increment fails") {
     val s = spark
     import s.implicits._
