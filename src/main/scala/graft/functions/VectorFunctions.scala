@@ -291,33 +291,58 @@ object VectorFunctions {
                                assigned: DataFrame)
 
   /** Retrieval-quality evaluation of one ranking against a reference
-    * ranking — the in-engine recall/MRR report every ANN deployment runs
-    * before trusting an index (the spec-only recall checks, promoted to a
-    * first-class operator): per query, `hits` = overlap of the system's
-    * list with the reference list, `recall` = hits/|reference|, `rr` =
-    * 1/rank of the first reference item in the system list (0 if absent).
-    * All quotients of exact integers — engine-identical doubles.
+    * ranking — the in-engine recall/MRR/nDCG report every ANN deployment
+    * runs before trusting an index (the spec-only recall checks, promoted
+    * to a first-class operator): per query, `hits` = overlap of the
+    * system's list with the reference list, `recall` = hits/|reference|,
+    * `rr` = 1/rank of the first reference item in the system list (0 if
+    * absent), `dcg` = Σ over hits of 1/log₂(rank+1), and `ndcg` = dcg
+    * normalized by the ideal DCG of min(|reference|, |system list|)
+    * binary-relevant items in the top positions. recall/rr are quotients
+    * of exact integers; each DCG gain rounds to a 6-decimal DECIMAL
+    * before the exact sum (the LM-score technique), so dcg and the ndcg
+    * quotient replay bit-for-bit cross-engine.
     *
     * Scale: operates on already-top-k candidate LISTS (query-count-scale
-    * relations); one semi-join + two aggregations, the corpora behind the
-    * rankings are never touched. */
+    * relations); one semi-join + three aggregations (the ideal-DCG
+    * explode is ≤ k rows per query), the corpora behind the rankings are
+    * never touched. */
   def rankingEval(system: DataFrame, reference: DataFrame,
                   queryCol: String = "query_id",
                   idCol: String = "neighbor_id",
                   rankCol: String = "rank"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    def gainOf(pos: Column): Column =
+      round(lit(1.0) / log2(pos.cast("double") + 1.0), 6).cast(dec)
     val ref = reference.select(col(queryCol), col(idCol))
     val refN = ref.groupBy(col(queryCol)).agg(count(lit(1)).as("n_ref"))
+    val sysN = system.groupBy(col(queryCol)).agg(count(lit(1)).as("n_sys"))
     val hits = system.join(ref, Seq(queryCol, idCol), "left_semi")
       .groupBy(col(queryCol))
-      .agg(count(lit(1)).as("hits"), min(col(rankCol)).as("__fr"))
+      .agg(count(lit(1)).as("hits"), min(col(rankCol)).as("__fr"),
+        sum(gainOf(col(rankCol))).as("__dcg"))
+    // ideal DCG: the first min(n_ref, n_sys) positions all relevant.
+    // sequence() REVERSES when start > stop, so guard the m = 0 case
+    // (query absent from the system) instead of exploding [1, 0].
+    val m = least(col("n_ref"), coalesce(col("n_sys"), lit(0L)))
+    val idcg = refN.join(sysN, Seq(queryCol), "left")
+      .select(col(queryCol),
+        explode(when(m >= 1, sequence(lit(1L), m))
+          .otherwise(typedlit(Seq.empty[Long]))).as("__i"))
+      .groupBy(col(queryCol)).agg(sum(gainOf(col("__i"))).as("__idcg"))
     refN.join(hits, Seq(queryCol), "left")
+      .join(idcg, Seq(queryCol), "left")
       .select(col(queryCol),
         coalesce(col("hits"), lit(0L)).as("hits"),
         col("n_ref"),
         (coalesce(col("hits"), lit(0L)).cast("double") /
           col("n_ref").cast("double")).as("recall"),
         when(col("__fr").isNotNull,
-          lit(1.0) / col("__fr").cast("double")).otherwise(lit(0.0)).as("rr"))
+          lit(1.0) / col("__fr").cast("double")).otherwise(lit(0.0)).as("rr"),
+        coalesce(col("__dcg").cast("double"), lit(0.0)).as("dcg"),
+        when(col("__idcg").isNotNull,
+          coalesce(col("__dcg"), lit(0).cast(dec)).cast("double") /
+            col("__idcg").cast("double")).otherwise(lit(0.0)).as("ndcg"))
   }
 
   /** Deterministic Lloyd K-MEANS whose every round replays EXACTLY in

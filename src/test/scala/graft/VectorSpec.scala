@@ -348,14 +348,24 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     val sys = rk((1L, 10L, 1), (1L, 11L, 2), (2L, 99L, 1), (2L, 20L, 2))
     val m = VectorFunctions.rankingEval(sys, ref).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3),
-        r.getDouble(4)))).toMap
-    assert(m(1L) == ((2L, 1.0, 1.0)))
-    assert(m(2L) == ((1L, 0.5, 0.5)))
-    // a query the system never answered still reports (recall 0, rr 0)
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // expected gains through the SAME decimal arithmetic the operator
+    // uses (round at 6, sum as decimal, cast once) — a plain double sum
+    // could sit 1 ulp off the decimal-sum path
+    def gain(rank: Int) = BigDecimal(1.0 / (math.log(rank + 1.0) / math.log(2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val both = (gain(1) + gain(2)).toDouble // dcg of ranks {1, 2}
+    // q1 perfect: dcg = idcg → ndcg exactly 1
+    assert(m(1L) == ((2L, 1.0, 1.0, both, 1.0)))
+    // q2: one hit at rank 2 → dcg = g(2), idcg = g(1) + g(2)
+    assert(m(2L) == ((1L, 0.5, 0.5, gain(2).toDouble,
+      gain(2).toDouble / both)))
+    // a query the system never answered still reports (all zeros)
     val empty = VectorFunctions.rankingEval(
       sys.filter(col("query_id") === 1), ref).collect()
-      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
-    assert(empty(2L) == 0.0)
+      .map(r => r.getLong(0) -> ((r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))).toMap
+    assert(empty(2L) == ((0.0, 0.0, 0.0)))
   }
 
   test("IVF assigns every corpus vector to exactly one centroid") {
