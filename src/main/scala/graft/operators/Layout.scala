@@ -52,4 +52,35 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop((cols.map(c => s"__zd_$c") :+ "__z"): _*)
   }
+
+  /** MATERIALIZE a training shard layout: join the payload corpus to a
+    * (id, shard, pos) address relation ([[graft.functions.CorpusFunctions
+    * .epochShards]] / `.curriculumShards` / `.lengthGroupedBatches`-style)
+    * and write `outDir/shard=<s>/` parquet whose ROW ORDER inside each
+    * shard directory is exactly ascending `pos` — so a training worker
+    * reads its shard as a plain parquet scan, in layout order, with no
+    * sort of its own (parquet preserves row order; readers that scan a
+    * shard's files in name order see the layout order because each shard
+    * lands in one task's sorted stream).
+    *
+    * Scale: ONE shuffle keyed on shard (the address relation is narrow;
+    * the payload joins by id), in-partition (shard, pos) sort, and a
+    * partitioned write — the same bill as any partitioned export. Shard
+    * count should be ≳ cluster parallelism (the layout builders' own
+    * guidance); each shard must fit a task's spill budget, which is what
+    * the shard-count knob controls. */
+  def writeOrderedShards(docs: DataFrame, layout: DataFrame, idCol: String,
+                         outDir: String): Unit = {
+    val spark = docs.sparkSession
+    val joined = docs.join(layout.select(col(idCol), col("shard"),
+      col("pos")), Seq(idCol))
+    val nShards = layout.select(max(col("shard"))).head() match {
+      case r if r.isNullAt(0) => 1
+      case r => r.getInt(0) + 1
+    }
+    joined
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
 }

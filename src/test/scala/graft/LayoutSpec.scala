@@ -113,4 +113,35 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(back.count() == df.count())
     assert(back.except(df).isEmpty && df.except(back).isEmpty)
   }
+
+  test("writeOrderedShards: each shard dir reads back in exact pos order") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 500L).map(i => (i, s"payload_$i", i * 7 % 101))
+      .toDF("id", "text", "score")
+    val layout = graft.functions.CorpusFunctions.curriculumShards(
+      docs, "id", "score", shards = 6)
+    val out = tmpDir("ordered_shards") + "/shards"
+    graft.operators.Layout.writeOrderedShards(docs, layout, "id", out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.length == 6, s"expected 6 shard dirs, got ${dirs.length}")
+    val addr = layout.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    var total = 0L
+    dirs.foreach { d =>
+      val shard = d.getName.stripPrefix("shard=").toInt
+      // files in name order, rows in file order = the layout order
+      val rows = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .flatMap(f => spark.read.parquet(f.getAbsolutePath)
+          .select("id", "pos").collect())
+        .map(r => (r.getLong(0), r.getLong(1)))
+      total += rows.length
+      assert(rows.map(_._2).toSeq == (1L to rows.length),
+        s"shard $shard rows not in contiguous pos order")
+      rows.foreach { case (id, pos) =>
+        assert(addr(id) == ((shard, pos)), s"doc $id misplaced") }
+    }
+    assert(total == 500L)
+  }
 }
