@@ -36,6 +36,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the f-interpolator formats through the DEFAULT locale: under a
+    // de_DE/fr_FR host locale every %.3f renders "0,123" and both JSON
+    // artifacts become unparseable. Pin ROOT before any formatting.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // isolation mode: SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs just those
@@ -223,13 +227,15 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
-    // Per-query seconds on the compact line are the STEADY timings (what
-    // the judge compares round-over-round; cold runs carry codegen noise),
-    // rounded to ms. Printed AFTER spark.stop() so no executor/streaming
-    // log line can interleave mid-JSON — the other way a capture ends up
-    // unparseable.
+    // The compact line's "queries" map carries the COLD timings — the
+    // same meaning the key has in target/bench.json, so a consumer
+    // comparing stdout against a committed artifact never diffs
+    // steady-vs-cold. Steady totals ride as the total_steady scalar;
+    // per-query steady stays in the full artifact. Printed AFTER
+    // spark.stop() so no executor/streaming log line can interleave
+    // mid-JSON — the other way a capture ends up unparseable.
     val compactQs = results
-      .map { case (k, _, st, _) => f""""$k":$st%.3f""" }
+      .map { case (k, cold, _, _) => f""""$k":$cold%.3f""" }
       .mkString("{", ",", "}")
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFail,"extract_rows_per_sec":$rps%.0f,"total_steady":$totalSteady%.3f,"queries":$compactQs,"queries_10x":$scaleJson,"extract_rows_per_sec_10x":$rps10x%.0f,"sf":"$sfDir"}"""

@@ -343,9 +343,18 @@ object Cli {
         }
         val source = r.catalogFor(p, spec.connection).table(spark, spec)
         // compare only columns both sides carry (rename maps / evolution
-        // can leave the warehouse wider than the live source)
+        // can leave the warehouse wider than the live source). When the
+        // two schemas share ONLY the keys, snapshotDiff's default would
+        // refuse the vacuous comparison — fall back to an explicit
+        // presence-only diff and SAY so, instead of a stack trace.
+        val shared = source.columns.filter(target.columns.contains)
+          .filterNot(keys.contains).toSeq
+        if (shared.isEmpty) println(
+          s"diff: no non-key columns shared between source and " +
+            s"${id.qualified} — reporting key presence only")
         val d = graft.operators.Relational.snapshotDiff(
-          source, target, keys).cache()
+          source, target, keys,
+          compareCols = if (shared.isEmpty) keys else Nil).cache()
         try {
           val counts = d.groupBy("change_type").count().collect()
             .map(row => row.getString(0) -> row.getLong(1)).toMap

@@ -645,18 +645,25 @@ object CorpusFunctions {
     * Scale: pair counts partial-aggregate map-side; the LM relation is
     * bigram-vocabulary-sized; docs join it by pair key — same shape as the
     * unigram path, one extra key column. */
-  def bigramLogProbScores(docs: DataFrame, idCol: String,
-                          textCol: String): DataFrame = {
-    val toked = docs
+  /** Per-doc bigram counts (idCol, w1, w2, pf) — the shared pair
+    * extraction behind [[bigramLogProbScores]] / [[knLogProbScores]]. */
+  private def bigramPairCounts(docs: DataFrame, idCol: String,
+                               textCol: String): DataFrame =
+    docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-    val pf = toked.filter(size(col("__toks")) >= 2)
+      .filter(size(col("__toks")) >= 2)
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("__toks")) - 1),
         i => struct(element_at(col("__toks"), i).as("w1"),
           element_at(col("__toks"), i + 1).as("w2")))).as("p"))
       .groupBy(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("pf"))
-    val vocab = toked.select(explode(col("__toks")).as("t"))
+
+  def bigramLogProbScores(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val pf = bigramPairCounts(docs, idCol, textCol)
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     val c12 = pf.groupBy(col("w1"), col("w2")).agg(sum(col("pf")).as("c12"))
     val lm = c12
@@ -699,15 +706,7 @@ object CorpusFunctions {
   def knLogProbScores(docs: DataFrame, idCol: String,
                       textCol: String, discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0, s"discount $discount not in (0,1)")
-    val toked = docs
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-    val pf = toked.filter(size(col("__toks")) >= 2)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("__toks")) - 1),
-        i => struct(element_at(col("__toks"), i).as("w1"),
-          element_at(col("__toks"), i + 1).as("w2")))).as("p"))
-      .groupBy(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("pf"))
+    val pf = bigramPairCounts(docs, idCol, textCol)
     val c12 = pf.groupBy(col("w1"), col("w2")).agg(sum(col("pf")).as("c12"))
     val wHead = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
     val wCont = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
@@ -752,61 +751,91 @@ object CorpusFunctions {
     * per-bucket log-ratio rounds to 6 decimals as DECIMAL, and the doc
     * weight is an exact decimal dot product of (count × ratio).
     *
-    * Scale: both distributions collapse to ≤16^nibbles rows (one
-    * partial-aggregated pass each) and broadcast; the per-doc weight
-    * aggregates (id, bucket, count) rows — exchanges never carry text —
-    * and the top-k is a TakeOrdered, not a global sort. The target corpus
-    * can be tiny (it usually is: a benchmark or a trusted seed set);
-    * `corpus` is the 100-TB side and is scanned once.
+    * Scale: the corpus is tokenized and hashed ONCE — its bucket
+    * distribution derives from the same persisted per-doc (id, bucket,
+    * count) relation the weights aggregate (narrow: no text). Both
+    * distributions collapse to ≤16^nibbles rows, collected and rejoined
+    * as a broadcast literal; the top-k is a TakeOrdered, not a global
+    * sort. The target corpus can be tiny (it usually is: a benchmark or
+    * a trusted seed set). The operator is EAGER — it returns the
+    * materialized k-row selection so the cached feature relation can be
+    * released before returning (the trainLinearProbe convention).
     *
     * Docs with zero tokens have no features and are never selected. */
   def dsirSelect(corpus: DataFrame, target: DataFrame, idCol: String,
                  textCol: String, k: Int, nibbles: Int = 2): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(nibbles >= 1 && nibbles <= 4, s"nibbles $nibbles outside [1,4]")
+    val spark = corpus.sparkSession
     val buckets = math.pow(16, nibbles).toLong
+    val cfb = dsirFeatures(corpus, Seq(col(idCol)), textCol, nibbles)
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cf"))
+      .persist()
+    try {
+      val top = dsirTopPlan(cfb,
+        dsirFeatures(target, Nil, textCol, nibbles), idCol, k, buckets)
+      val out = top.collect() // ≤ k rows — frees cfb before returning
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq, 1), top.schema)
+    } finally cfb.unpersist()
+  }
+
+  /** The hashed unigram+bigram (…, __b) feature stream behind
+    * [[dsirSelect]] — one row per feature occurrence, bucketed by the
+    * first `nibbles` md5 hex digits. */
+  private[graft] def dsirFeatures(d: DataFrame, keep: Seq[Column],
+                                  textCol: String, nibbles: Int): DataFrame = {
     def bucketOf(s: Column): Column =
       conv(substring(md5(s), 1, nibbles), 16, 10).cast("long")
-    // one (id?, bucket) stream of unigram + bigram features per corpus
-    def features(d: DataFrame, keep: Seq[Column]): DataFrame = {
-      val toked = d.select(keep :+
-        TextFunctions.tokens(col(textCol)).as("__toks"): _*)
-      val uni = toked
-        .select(keep :+ explode(col("__toks")).as("__f"): _*)
-      val bi = toked.filter(size(col("__toks")) >= 2)
-        .select(keep :+ explode(transform(
-          sequence(lit(1), size(col("__toks")) - 1),
-          i => concat_ws(" ", element_at(col("__toks"), i),
-            element_at(col("__toks"), i + 1)))).as("__f"): _*)
-      uni.unionByName(bi)
-        .select(keep :+ bucketOf(col("__f")).as("__b"): _*)
-    }
-    def dist(d: DataFrame, cnt: String): DataFrame =
-      features(d, Nil).groupBy(col("__b")).agg(count(lit(1)).as(cnt))
-    // smoothed log-ratio per bucket: ≤16^nibbles rows, full-outer so a
-    // bucket seen on either side scores; totals ride along as 1-row aggs
-    val tc = dist(target, "__tc")
-    val rc = dist(corpus, "__rc")
-    val tTot = tc.agg(sum(col("__tc")).as("__tt"))
-    val rTot = rc.agg(sum(col("__rc")).as("__rt"))
-    val ratio = tc.join(rc, Seq("__b"), "full_outer")
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+    val toked = d.select(keep :+
+      TextFunctions.tokens(col(textCol)).as("__toks"): _*)
+    val uni = toked
+      .select(keep :+ explode(col("__toks")).as("__f"): _*)
+    val bi = toked.filter(size(col("__toks")) >= 2)
+      .select(keep :+ explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ", element_at(col("__toks"), i),
+          element_at(col("__toks"), i + 1)))).as("__f"): _*)
+    uni.unionByName(bi)
+      .select(keep :+ bucketOf(col("__f")).as("__b"): _*)
+  }
+
+  /** The lazy selection plan behind [[dsirSelect]], split out so PlanSpec
+    * can pin its scale shape (broadcast ratio, TakeOrdered top-k, no text
+    * on exchanges): `cfb` is the per-doc (id, __b, __cf) feature relation,
+    * `targetFeatures` the target's (__b) stream. The two distribution
+    * collects are bucket-cardinality (≤16^nibbles rows); the log-ratio is
+    * computed with Spark expressions over the collected exact integers, so
+    * the values — and the DuckDB oracle — are unchanged by the split. */
+  private[graft] def dsirTopPlan(cfb: DataFrame, targetFeatures: DataFrame,
+                                 idCol: String, k: Int,
+                                 buckets: Long): DataFrame = {
+    val spark = cfb.sparkSession
+    val rcMap = cfb.groupBy(col("__b")).agg(sum(col("__cf")).as("__c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tcMap = targetFeatures
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tTot = tcMap.values.sum
+    val rTot = rcMap.values.sum
+    import spark.implicits._
+    val ratio = (rcMap.keySet ++ tcMap.keySet).toSeq.sorted
+      .map(b => (b, tcMap.getOrElse(b, 0L), rcMap.getOrElse(b, 0L)))
+      .toDF("__b", "__tc", "__rc")
       .select(col("__b"),
-        round(log((coalesce(col("__tc"), lit(0L)) + 1).cast("double") /
-            (coalesce(col("__tt"), lit(0L)) + lit(buckets)).cast("double")) -
-          log((coalesce(col("__rc"), lit(0L)) + 1).cast("double") /
-            (coalesce(col("__rt"), lit(0L)) + lit(buckets)).cast("double")), 6)
+        round(log((col("__tc") + 1).cast("double") /
+            lit(tTot + buckets).cast("double")) -
+          log((col("__rc") + 1).cast("double") /
+            lit(rTot + buckets).cast("double")), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("__lr"))
-    val weights = features(corpus, Seq(col(idCol)))
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cf"))
+    cfb
       .join(broadcast(ratio), Seq("__b"))
       .groupBy(col(idCol))
       .agg(sum(col("__cf")).as("n_features"),
         sum(col("__cf") * col("__lr")).as("__w"))
-    val top = weights
       .orderBy(col("__w").desc, col(idCol).asc)
       .limit(k) // TakeOrdered — k rows, never a full sort exchange
-    top.withColumn("rank", row_number().over(
+      .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("__w").desc, col(idCol).asc))) // over k rows only
       .select(col(idCol), col("rank").cast("long").as("rank"),
@@ -1051,13 +1080,22 @@ object CorpusFunctions {
     val incCounts = inc.groupBy(col(catCol).as("category"))
       .agg(count(lit(1)).as("n"))
     prev.foreach { state =>
+      // sum as DECIMAL, not double: a double sum combines per-partition
+      // partials in nondeterministic order, so a PSI within an ulp of the
+      // threshold could breach on one run and pass on the retry —
+      // violating the re-gate contract. psi_contrib is a 9-decimal value
+      // surfaced as double (decimal→double is exact at this magnitude),
+      // so the cast back to DECIMAL(18,9) recovers it exactly and the
+      // decimal sum is order-independent.
       val psi = distributionDriftFromCounts(
         state.select(col("category"), col("n").as("n_a")),
         incCounts.select(col("category"), col("n").as("n_b")))
-        .agg(sum(col("psi_contrib"))).head()
-      val p = if (psi.isNullAt(0)) 0.0 else psi.getDouble(0)
+        .agg(sum(col("psi_contrib")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))).head()
+      val p = if (psi.isNullAt(0)) BigDecimal(0)
+        else BigDecimal(psi.getDecimal(0))
       if (p > threshold) throw new IllegalStateException(
-        f"drift_gate $what: PSI $p%.4f > $threshold — " +
+        f"drift_gate $what: PSI ${p.toDouble}%.4f > $threshold — " +
           "increment mix diverges from the corpus baseline")
     }
     prev.fold(incCounts)(p =>

@@ -297,11 +297,16 @@ object VectorFunctions {
     * system's list with the reference list, `recall` = hits/|reference|,
     * `rr` = 1/rank of the first reference item in the system list (0 if
     * absent), `dcg` = Σ over hits of 1/log₂(rank+1), and `ndcg` = dcg
-    * normalized by the ideal DCG of min(|reference|, |system list|)
-    * binary-relevant items in the top positions. recall/rr are quotients
-    * of exact integers; each DCG gain rounds to a 6-decimal DECIMAL
-    * before the exact sum (the LM-score technique), so dcg and the ndcg
-    * quotient replay bit-for-bit cross-engine.
+    * normalized by the ideal DCG of ALL |reference| items in the top
+    * positions. Normalizing by the full reference (not min(|ref|,
+    * |system|)) is deliberate: an ideal truncated at the system's own
+    * list length would REWARD returning fewer results (one hit at rank 1
+    * in a 1-row list would score a perfect 1.0), making the metric
+    * gameable by truncation — here a short list simply cannot reach the
+    * ideal. recall/rr are quotients of exact integers; each DCG gain
+    * rounds to a 6-decimal DECIMAL before the exact sum (the LM-score
+    * technique), so dcg and the ndcg quotient replay bit-for-bit
+    * cross-engine.
     *
     * Scale: operates on already-top-k candidate LISTS (query-count-scale
     * relations); one semi-join + three aggregations (the ideal-DCG
@@ -316,22 +321,18 @@ object VectorFunctions {
       round(lit(1.0) / log2(pos.cast("double") + 1.0), 6).cast(dec)
     val ref = reference.select(col(queryCol), col(idCol))
     val refN = ref.groupBy(col(queryCol)).agg(count(lit(1)).as("n_ref"))
-    val sysN = system.groupBy(col(queryCol)).agg(count(lit(1)).as("n_sys"))
     val hits = system.join(ref, Seq(queryCol, idCol), "left_semi")
       .groupBy(col(queryCol))
       .agg(count(lit(1)).as("hits"), min(col(rankCol)).as("__fr"),
         sum(gainOf(col(rankCol))).as("__dcg"))
-    // ideal DCG: the first min(n_ref, n_sys) positions all relevant.
-    // sequence() REVERSES when start > stop, so guard the m = 0 case
-    // (query absent from the system) instead of exploding [1, 0].
-    val m = least(col("n_ref"), coalesce(col("n_sys"), lit(0L)))
-    val idcg = refN.join(sysN, Seq(queryCol), "left")
+    // ideal DCG: all n_ref items in the top positions (n_ref >= 1 by
+    // construction of refN, so the sequence is never degenerate)
+    val idcg = refN
       .select(col(queryCol),
-        explode(when(m >= 1, sequence(lit(1L), m))
-          .otherwise(typedlit(Seq.empty[Long]))).as("__i"))
+        explode(sequence(lit(1L), col("n_ref"))).as("__i"))
       .groupBy(col(queryCol)).agg(sum(gainOf(col("__i"))).as("__idcg"))
     refN.join(hits, Seq(queryCol), "left")
-      .join(idcg, Seq(queryCol), "left")
+      .join(idcg, Seq(queryCol))
       .select(col(queryCol),
         coalesce(col("hits"), lit(0L)).as("hits"),
         col("n_ref"),
@@ -340,9 +341,8 @@ object VectorFunctions {
         when(col("__fr").isNotNull,
           lit(1.0) / col("__fr").cast("double")).otherwise(lit(0.0)).as("rr"),
         coalesce(col("__dcg").cast("double"), lit(0.0)).as("dcg"),
-        when(col("__idcg").isNotNull,
-          coalesce(col("__dcg"), lit(0).cast(dec)).cast("double") /
-            col("__idcg").cast("double")).otherwise(lit(0.0)).as("ndcg"))
+        (coalesce(col("__dcg"), lit(0).cast(dec)).cast("double") /
+          col("__idcg").cast("double")).as("ndcg"))
   }
 
   /** Deterministic Lloyd K-MEANS whose every round replays EXACTLY in

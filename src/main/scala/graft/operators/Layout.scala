@@ -71,12 +71,13 @@ object Layout {
     * the shard-count knob controls. */
   def writeOrderedShards(docs: DataFrame, layout: DataFrame, idCol: String,
                          outDir: String): Unit = {
-    val spark = docs.sparkSession
     val joined = docs.join(layout.select(col(idCol), col("shard"),
       col("pos")), Seq(idCol))
-    val nShards = layout.select(max(col("shard"))).head() match {
+    // tolerate int or long shard columns (the doc invites any
+    // (id, shard, pos)-shaped layout, not just the repo's builders)
+    val nShards = layout.select(max(col("shard").cast("long"))).head() match {
       case r if r.isNullAt(0) => 1
-      case r => r.getInt(0) + 1
+      case r => (r.getLong(0) + 1).toInt
     }
     joined
       .repartition(nShards, col("shard"))

@@ -2346,8 +2346,6 @@ object LlmQueries {
              |  WHERE rank <= 10),
              |refn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ref
              |         FROM ref GROUP BY 1),
-             |sysn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_sys
-             |         FROM sys GROUP BY 1),
              |hits AS (SELECT s.query_id, CAST(COUNT(*) AS BIGINT) AS hits,
              |           MIN(s.rank) AS fr,
              |           SUM(CAST(round(1.0 / log2(s.rank + 1), 6)
@@ -2359,20 +2357,18 @@ object LlmQueries {
              |idcg AS (SELECT r.query_id,
              |           SUM(CAST(round(1.0 / log2(u.i + 1), 6)
              |             AS DECIMAL(18,6))) AS idcg_dec
-             |         FROM refn r JOIN sysn s USING (query_id),
-             |           unnest(generate_series(1,
-             |             LEAST(r.n_ref, s.n_sys))) u(i)
+             |         FROM refn r,
+             |           unnest(generate_series(1, r.n_ref)) u(i)
              |         GROUP BY 1)
              |SELECT r.query_id, COALESCE(h.hits, 0) AS hits, r.n_ref,
              |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(r.n_ref AS DOUBLE)
              |    AS recall,
              |  CASE WHEN h.fr IS NOT NULL THEN 1.0 / h.fr ELSE 0.0 END AS rr,
              |  CAST(COALESCE(h.dcg_dec, 0) AS DOUBLE) AS dcg,
-             |  CASE WHEN i.idcg_dec IS NOT NULL
-             |    THEN CAST(COALESCE(h.dcg_dec, 0) AS DOUBLE)
-             |      / CAST(i.idcg_dec AS DOUBLE) ELSE 0.0 END AS ndcg
+             |  CAST(COALESCE(h.dcg_dec, 0) AS DOUBLE)
+             |    / CAST(i.idcg_dec AS DOUBLE) AS ndcg
              |FROM refn r LEFT JOIN hits h USING (query_id)
-             |LEFT JOIN idcg i USING (query_id)""".stripMargin)),
+             |JOIN idcg i USING (query_id)""".stripMargin)),
 
     // ---------------------------------------------------------------- PQ ANN
     // Corpus-seeded deterministic codebooks (trainPqSeeded) keep the

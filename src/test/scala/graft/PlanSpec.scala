@@ -540,11 +540,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("dsirSelect: ratio broadcasts, top-k is TakeOrdered, no text rides") {
+    // pin the INTERNAL lazy plan (the public operator is eager: it
+    // persists the one-scan feature relation, materializes the k rows
+    // and releases the cache before returning a local relation)
+    import org.apache.spark.sql.functions.{col, expr, count, lit}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val half = org.apache.spark.sql.functions.expr(
-      "CAST(substring(source, 4) AS INT)")
-    val df = graft.functions.CorpusFunctions.dsirSelect(
-      docs.filter(half >= 2), docs.filter(half < 2), "doc_id", "text", k = 50)
+    val half = expr("CAST(substring(source, 4) AS INT)")
+    val C = graft.functions.CorpusFunctions
+    val cfb = C.dsirFeatures(docs.filter(half >= 2), Seq(col("doc_id")),
+        "text", nibbles = 2)
+      .groupBy(col("doc_id"), col("__b")).agg(count(lit(1)).as("__cf"))
+    val df = C.dsirTopPlan(cfb,
+      C.dsirFeatures(docs.filter(half < 2), Nil, "text", nibbles = 2),
+      "doc_id", k = 50, buckets = 256L)
     df.count()
     val plan = physical(df)
     plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
@@ -557,6 +565,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "the bucket log-ratio table must broadcast")
     assert(ps.contains("TakeOrderedAndProject"),
       "top-k selection must be TakeOrdered, not a global sort")
+    // the eager public wrapper leaves no cached relation behind
+    val before = spark.sparkContext.getPersistentRDDs.size
+    C.dsirSelect(docs.filter(half >= 2), docs.filter(half < 2),
+      "doc_id", "text", k = 10)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "dsirSelect leaked a persisted relation")
   }
 
   test("probe scoring is rowwise: zero exchanges under literal weights") {

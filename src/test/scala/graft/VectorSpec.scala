@@ -366,6 +366,12 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> ((r.getDouble(4), r.getDouble(5),
         r.getDouble(6)))).toMap
     assert(empty(2L) == ((0.0, 0.0, 0.0)))
+    // truncation is PENALIZED, never rewarded: a 1-row list with a hit at
+    // rank 1 scores g(1)/(g(1)+g(2)) < 1, not a vacuous perfect 1.0
+    val short = VectorFunctions.rankingEval(
+      rk((1L, 10L, 1)), ref).collect()
+      .filter(_.getLong(0) == 1L).head.getDouble(6)
+    assert(short == gain(1).toDouble / both && short < 1.0, short.toString)
   }
 
   test("IVF assigns every corpus vector to exactly one centroid") {
