@@ -163,7 +163,8 @@ object Bench {
     // its 10× steady time stays within ~linear of its sf time.
     val scaleQueries = Seq("q_dedup_span_stats", "q_dedup_cluster_drop",
       "q_split_by_cluster", "q_dedup_minhash_neardup", "q_dedup_lines_global",
-      "q_zorder_layout", "q_crossmodal_dedup", "q_mixture_rebalance")
+      "q_zorder_layout", "q_crossmodal_dedup", "q_mixture_rebalance",
+      "q_kn_logprob", "q_dsir_select", "q_curriculum_shards")
     val scaleCheck = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
     val (scaleJson, rps10x): (String, Double) = if (!scaleCheck) ("{}", -1.0)
     else try {

@@ -151,7 +151,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(p.tables.exists(_.postOps.map(_.op).toSet ==
       Set("neardup_labels", "fold_bm25", "epoch_shards", "drift_gate",
         "fold_kmv_distinct", "fold_count_min", "fold_sample", "rebalance",
-        "fold_bpe_tokens", "dsir_select")))
+        "fold_bpe_tokens", "dsir_select", "curriculum")))
     assert(p.tables.exists(_.postOps.map(_.op).toSet == Set("fold_probe")))
     val runner = new PipelineRunner(spark, tmpDir("example_cfg"))
     val r = runner.sync(p)
@@ -160,7 +160,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val docsId = p.tables.find(_.name == "fx.documents").get.tableId(p)
     for (t <- Seq("doc_clusters", "doc_bm25_index", "doc_lang_distinct",
         "doc_source_counts", "doc_len_sample", "doc_mixture",
-        "doc_dsir_picks"))
+        "doc_dsir_picks", "doc_curriculum"))
       assert(loader.readTarget(spark, docsId.copy(table = t)).nonEmpty,
         s"derived table $t missing after the example sync")
     // the chained dsir_select equals the direct operator over the same
