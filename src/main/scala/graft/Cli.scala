@@ -453,6 +453,41 @@ object Cli {
         println(s"compacted ${id.qualified}: $before -> $after files")
         0
 
+      case "export" =>
+        // materialize a training shard layout: join the base table to a
+        // DERIVED (id, shard, pos) address table (curriculum /
+        // epoch_shards post-op output) and write shard=<s>/ parquet in
+        // exact pos order — the hand-off from warehouse to trainer
+        val (r, p) = runner
+        val (_, _, loader) = r.rigFor(p)
+        val spec = requireTable(p, tableFilter, "export")
+        val id = spec.tableId(p)
+        val layoutName = opts.getOrElse("layout", {
+          System.err.println(
+            "export requires --layout <derived shard table>"); throw CliExit(2)
+        })
+        val out = opts.getOrElse("out", {
+          System.err.println("export requires --out <dir>"); throw CliExit(2)
+        })
+        val idColumn = opts.get("id-column")
+          .orElse(spec.cdc.idColumn).getOrElse {
+          System.err.println(
+            "export requires --id-column or a cdc_id_column"); throw CliExit(2)
+        }
+        val base = loader.readTarget(spark, id).getOrElse {
+          System.err.println(s"export: ${id.qualified} has never been loaded")
+          throw CliExit(2)
+        }
+        val layout = loader.readTarget(
+          spark, id.copy(table = layoutName)).getOrElse {
+          System.err.println(s"export: layout table $layoutName not found")
+          throw CliExit(2)
+        }
+        graft.operators.Layout.writeOrderedShards(base, layout, idColumn, out)
+        val nOut = spark.read.parquet(out).count()
+        println(s"exported ${id.qualified} via $layoutName: $nOut rows -> $out")
+        0
+
       case "unlock" =>
         // break a STALE per-table session lock — the manual recovery path
         // after a crashed sync left its lock behind (ref lock cleanup CLI,
@@ -601,6 +636,7 @@ object Cli {
       |  diff      source-vs-warehouse row audit: -t table [--keys k1,k2] [--sample N]
       |  forget    delete + tombstone keys: -t table --values v1,v2 [--key-column c]
       |  markers   list a date's completion markers [--date YYYYMMDD]; exit 1 on any FAILED
+      |  export    write shard=<s>/ parquet in layout order: -t table --layout <derived> --out <dir> [--id-column c]
       |  unlock    break a stale session lock: -t table [--stale-minutes M (60)] [--force]
       |  s3clean   --older-than-hours H [--keep-newest N] [--dry-run]""".stripMargin
 }

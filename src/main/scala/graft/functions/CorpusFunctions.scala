@@ -997,7 +997,15 @@ object CorpusFunctions {
       if (ascending) Seq(col(scoreCol).asc, col(idCol).asc)
       else Seq(col(scoreCol).desc, col(idCol).asc)
     val slim = docs.select(col(idCol), col(scoreCol)).sort(ord: _*)
-    val n = slim.count()
+    // one action probes size AND null scores: count(col) skips nulls. A
+    // null score has no place in a difficulty order (Spark sorts nulls
+    // first ascending, other engines last — the layout would be silently
+    // engine-dependent AND feed unscored docs as "easiest") — refuse.
+    val probe = docs.agg(count(lit(1)), count(col(scoreCol))).head()
+    val n = probe.getLong(0)
+    require(probe.getLong(1) == n,
+      s"curriculumShards: ${n - probe.getLong(1)} rows have a null " +
+        s"$scoreCol — score every doc (or filter) before laying out")
     if (n == 0)
       return docs.select(col(idCol),
         lit(0).as("shard"), lit(0L).as("pos")).limit(0)

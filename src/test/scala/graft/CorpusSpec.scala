@@ -898,6 +898,14 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     // empty input yields an empty, correctly-shaped layout
     assert(CorpusFunctions.curriculumShards(
       scored.limit(0), "id", "sc", shards = 4).count() == 0)
+    // null scores are refused loudly: Spark orders nulls first ascending,
+    // other engines last — the layout would be silently engine-dependent
+    val withNull = scored.unionByName(
+      Seq((999L, Option.empty[Double])).toDF("id", "sc"))
+    val e = intercept[IllegalArgumentException] {
+      CorpusFunctions.curriculumShards(withNull, "id", "sc", shards = 4)
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
   }
 
   test("dsirSelect: picks the docs that look like the target distribution") {

@@ -1336,6 +1336,52 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"warehouse not zstd: ${warehouse.take(2)}")
   }
 
+  test("CLI export: shard layout materializes in pos order; strict args") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("export_cli_src")
+    (1L to 200L).map(i => (i, s"text_$i", i * 13 % 97))
+      .toDF("doc_id", "text", "score")
+      .write.parquet(s"$srcDir/docs.parquet")
+    val ymlPath = java.nio.file.Paths.get(tmpDir("export_cli_cfg"), "p.yml")
+    java.nio.file.Files.writeString(ymlPath,
+      s"""pipeline:
+         |  name: "exportcli"
+         |  source: "$srcDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.docs:
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "doc_id"
+         |    post_ops:
+         |      - op: curriculum
+         |        target: docs_cur
+         |        id_column: doc_id
+         |        value_column: score
+         |        k: 4
+         |""".stripMargin)
+    val work = tmpDir("export_cli_wh")
+    def cli(args: String*): Int =
+      graft.Cli.run((args ++ Seq("-c", ymlPath.toString,
+        "--work-dir", work)).toArray)
+    assert(cli("sync") == 0)
+    val out = tmpDir("export_cli_out") + "/shards"
+    assert(cli("export", "-t", "fx.docs", "--layout", "docs_cur",
+      "--out", out) == 0)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 200)
+    // every shard dir exists and carries its band
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.length == 4, dirs.map(_.getName).mkString(","))
+    // missing args are usage errors (exit 2), not stack traces
+    assert(cli("export", "-t", "fx.docs") == 2)
+    assert(cli("export", "-t", "fx.docs", "--layout", "docs_cur") == 2)
+    // unknown layout table exits cleanly too
+    assert(cli("export", "-t", "fx.docs",
+      "--layout", "nope", "--out", out + "2") == 2)
+  }
+
   test("CLI diff: parity exits 0, divergence is counted and exits 1") {
     val s = spark
     import s.implicits._
