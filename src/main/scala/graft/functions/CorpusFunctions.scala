@@ -393,6 +393,50 @@ object CorpusFunctions {
       .withColumn("overlap", col("n_hits").cast("double") / col("n_shingles"))
   }
 
+  /** Per-BENCHMARK contamination report — [[contaminationScores]] against
+    * a whole benchmark SUITE at once: `benchmarks` carries (benchCol,
+    * textCol) rows for several eval sets, and the result is the sparse
+    * (doc, benchmark) matrix of shingle overlaps (only contaminated
+    * pairs, n_hits ≥ 1, appear — at 100 TB the matrix of zeros is the
+    * thing you must never materialize). The per-release audit question
+    * "which benchmark leaked into which documents, and how badly" as one
+    * relation; feed any row past a threshold to [[dropContaminated]] /
+    * span scrubbing per benchmark.
+    *
+    * Scale: each benchmark's distinct shingle-hash set broadcasts (eval
+    * suites are small by construction); the corpus is shingled ONCE and
+    * the hash join + (id, benchmark) aggregation carry 8-byte hashes and
+    * names, never text. */
+  def contaminationMatrix(docs: DataFrame, benchmarks: DataFrame,
+                          idCol: String, textCol: String, benchCol: String,
+                          shingleN: Int = 3,
+                          minOverlap: Double = 0.0): DataFrame = {
+    require(minOverlap >= 0.0 && minOverlap <= 1.0,
+      s"minOverlap $minOverlap outside [0,1]")
+    val benchShingles = benchmarks
+      .select(col(benchCol).as("benchmark"),
+        DedupFunctions.shingleHashes(col(textCol), shingleN).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("benchmark"), explode(col("hs")).as("h")).distinct()
+    val docH = docs
+      .select(col(idCol),
+        DedupFunctions.shingleHashes(col(textCol), shingleN).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol), size(col("hs")).as("n_shingles"),
+        explode(col("hs")).as("h"))
+    docH
+      .join(broadcast(benchShingles), Seq("h"))
+      .groupBy(col(idCol), col("benchmark"))
+      .agg(first(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_hits"))
+      .withColumn("overlap",
+        col("n_hits").cast("double") / col("n_shingles").cast("double"))
+      .filter(col("overlap") >= minOverlap)
+      .select(col(idCol), col("benchmark"),
+        col("n_shingles").cast("long").as("n_shingles"),
+        col("n_hits"), col("overlap"))
+  }
+
   /** Split every document into fixed-size token windows with a stride —
     * the context-packing step that turns variable-length documents into
     * training-window-sized chunks. `stride < chunkTokens` overlaps

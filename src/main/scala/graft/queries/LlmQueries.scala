@@ -412,6 +412,39 @@ object LlmQueries {
       },
       Some(decontOracleSql)),
 
+    // --------------------------- per-benchmark contamination matrix
+    // Three benchmark suites at once (docs ≡ 0 mod 7, split b0/b1/b2 by
+    // doc_id mod 3): the sparse (doc, benchmark, overlap) report — which
+    // eval set leaked into which documents. Only contaminated pairs
+    // (n_hits ≥ 1) materialize.
+    Q("q_contamination_matrix",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 7 === 0)
+          .select(concat(lit("b"), (col("doc_id") % 3).cast("string"))
+            .as("benchmark"), col("text"))
+        graft.functions.CorpusFunctions.contaminationMatrix(
+          docs.filter(col("doc_id") % 7 =!= 0), bench, "doc_id", "text",
+          "benchmark")
+      },
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id, $shinglesSql AS s
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+             |  WHERE len(toks) > 0),
+             |bench AS (
+             |  SELECT 'b' || CAST(doc_id % 3 AS VARCHAR) AS benchmark,
+             |    list_distinct(flatten(list(s))) AS bs
+             |  FROM sh WHERE doc_id % 7 = 0 GROUP BY 1),
+             |m AS (
+             |  SELECT sh.doc_id, b.benchmark,
+             |    CAST(len(sh.s) AS BIGINT) AS n_shingles,
+             |    CAST(len(list_intersect(sh.s, b.bs)) AS BIGINT) AS n_hits
+             |  FROM sh CROSS JOIN bench b
+             |  WHERE sh.doc_id % 7 <> 0)
+             |SELECT doc_id, benchmark, n_shingles, n_hits,
+             |  n_hits * 1.0 / n_shingles AS overlap
+             |FROM m WHERE n_hits >= 1""".stripMargin)),
+
     // ------------------------------- decontamination, Bloom-filter plan
     // Same semantics and ORACLE as q_decontaminate — only the plan differs
     // (BF prefilter + exact verify semi-join instead of a broadcast of the

@@ -833,6 +833,37 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(res(10L)._2 > res(12L)._2)
   }
 
+  test("contaminationMatrix: per-benchmark overlaps, sparse, threshold") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // fully in bench A
+      (2L, "alpha beta gamma zeta eta theta"),  // partially in A
+      (3L, "one two three four five"),          // fully in bench B
+      (4L, "totally unrelated clean document here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      ("A", "alpha beta gamma delta epsilon"),
+      ("B", "one two three four five")
+    ).toDF("benchmark", "text")
+    val m = CorpusFunctions.contaminationMatrix(
+      docs, bench, "doc_id", "text", "benchmark").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc1 x A: all 3 shingles hit; doc2 x A: 1 of 4; doc3 x B: all 3
+    assert(m((1L, "A")) == ((3L, 3L, 1.0)))
+    assert(m((2L, "A"))._2 == 1L)
+    assert(m((3L, "B")) == ((3L, 3L, 1.0)))
+    // SPARSE: the clean doc and all zero-overlap pairs are absent
+    assert(!m.keySet.exists(_._1 == 4L))
+    assert(!m.contains((1L, "B")) && !m.contains((3L, "A")))
+    // threshold drops the partial hit but keeps the verbatim ones
+    val hi = CorpusFunctions.contaminationMatrix(
+      docs, bench, "doc_id", "text", "benchmark", minOverlap = 0.9)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(hi == Set((1L, "A"), (3L, "B")))
+  }
+
   test("knLogProbScores: continuation counts reward versatile words " +
     "(the property add-1 smoothing cannot express)") {
     val s = spark
