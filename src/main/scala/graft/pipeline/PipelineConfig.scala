@@ -621,11 +621,20 @@ object PipelineConfig {
         need(spec.idColumn.isDefined && spec.valueColumn.isDefined,
           "'id_column' and 'value_column' (the difficulty score)")
         spec.k.foreach(k => if (k < 1) bad(s"k $k (shard count) < 1"))
+      case "contamination_gate" =>
+        need(spec.idColumn.isDefined && spec.textColumn.isDefined,
+          "'id_column' and 'text_column'")
+        need(spec.reference.isDefined,
+          "'reference' (the warehouse table holding the benchmark)")
+        need(spec.threshold.isDefined,
+          "'threshold' (overlap fraction that fails the sync)")
+        spec.threshold.foreach(t =>
+          if (t <= 0.0 || t > 1.0) bad(s"threshold $t outside (0,1]"))
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
         " | scd2_apply | fold_aggregate | zorder | neardup_labels" +
         " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
         " | fold_bpe_tokens | epoch_shards | drift_gate | fold_probe" +
-        " | rebalance | dsir_select | curriculum)")
+        " | rebalance | dsir_select | curriculum | contamination_gate)")
     }
     spec
   }

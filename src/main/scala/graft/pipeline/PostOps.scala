@@ -178,6 +178,36 @@ object PostOps {
             base, targetCorpus, po.idColumn.get, po.textColumn.get,
             po.k.getOrElse(100)))
         ()
+      case "contamination_gate" =>
+        // per-sync benchmark-leakage QUALITY GATE (the drift_gate pattern
+        // applied to decontamination): each increment's docs are shingle-
+        // scored against the `reference` benchmark table BEFORE folding;
+        // any doc at/above `threshold` overlap throws — the table reports
+        // failure with the fold cursor unmoved, so the offending increment
+        // is re-gated on every retry. Clean increments append their sparse
+        // contamination rows (overlap ≥ min_overlap... here: > 0) to the
+        // derived report, so the cumulative audit rides the same state.
+        val thr = po.threshold.get
+        val refId2 = id.copy(table = po.reference.get)
+        foldIncremental(spark, id, derivedId, extractor, loader) { (prev, inc) =>
+          import org.apache.spark.sql.functions.{col, max => fmax}
+          val bench = loader.readTarget(spark, refId2).getOrElse(
+            throw new IllegalStateException(
+              s"post_op 'contamination_gate' (target ${po.target}): " +
+                s"benchmark table ${refId2.scoped} has never been loaded"))
+          val m = graft.functions.CorpusFunctions.contaminationMatrix(
+            inc, bench.select(org.apache.spark.sql.functions
+              .lit(po.reference.get).as("benchmark"),
+              col(po.textColumn.get)),
+            po.idColumn.get, po.textColumn.get, "benchmark")
+          val worstRow = m.agg(fmax(col("overlap"))).head()
+          val worst = if (worstRow.isNullAt(0)) 0.0 else worstRow.getDouble(0)
+          if (worst >= thr) throw new IllegalStateException(
+            f"contamination_gate ${id.table}: increment doc overlaps " +
+              f"benchmark ${po.reference.get} at $worst%.3f >= $thr — " +
+              "decontaminate the increment before syncing")
+          prev.fold(m)(p => p.unionByName(m))
+        }
       case "curriculum" =>
         // score-ordered curriculum shard layout (VIEW shape): the derived
         // table addresses every doc with (shard, pos) contiguous

@@ -385,6 +385,73 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       y.replace("k: 8", "k: 0")))
   }
 
+  test("post_ops contamination_gate: clean syncs pass and accumulate the " +
+    "report; a leaked increment fails and is re-gated") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("cgate_src")
+    val benchText = "the quick brown fox jumps over the lazy dog"
+    Seq((1L, benchText)).toDF("bench_id", "text")
+      .write.parquet(s"$srcDir/bench.parquet")
+    def writeDocs(rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("doc_id", "text").write.mode(mode)
+        .parquet(s"$srcDir/docs.parquet")
+    writeDocs(Seq((1L, "a perfectly clean document about trains"),
+      (2L, "another clean one about boats and rivers")), "errorifexists")
+    val y =
+      s"""pipeline:
+         |  name: "cgate"
+         |  source: "$srcDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.bench:
+         |    cdc_strategy: "full_sync"
+         |    table_type: "dimension"
+         |  fx.docs:
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "doc_id"
+         |    post_ops:
+         |      - op: contamination_gate
+         |        target: docs_contamination
+         |        reference: bench
+         |        id_column: doc_id
+         |        text_column: text
+         |        threshold: 0.8
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("cgate_wh"))
+    val r1 = runner.sync(p)
+    assert(r1.allOk, r1.tables.flatMap(_.error).mkString(";"))
+    val (_, _, loader) = runner.rigFor(p)
+    val docsId = p.tables.find(_.name == "fx.docs").get.tableId(p)
+    val repId = docsId.copy(table = "docs_contamination")
+    // clean corpus → empty (or not-yet-written) report
+    assert(loader.readTarget(spark, repId).forall(_.count() == 0))
+    // a PARTIAL overlap below the threshold passes and is RECORDED
+    writeDocs(Seq((3L, "the quick brown fox sails calm seas tonight")),
+      "append")
+    val rp = runner.sync(p)
+    assert(rp.allOk, rp.tables.flatMap(_.error).mkString(";"))
+    val recorded = loader.readTarget(spark, repId).get.collect()
+    assert(recorded.length == 1 && recorded.head.getLong(0) == 3L)
+    assert(recorded.head.getAs[Double]("overlap") < 0.8)
+    // a verbatim benchmark leak arrives → the docs table FAILS the sync
+    writeDocs(Seq((4L, benchText)), "append")
+    val r2 = runner.sync(p)
+    assert(r2.tables.flatMap(_.error).exists(_.contains("contamination_gate")),
+      s"expected gate failure, got ${r2.tables.flatMap(_.error)}")
+    // the report state is untouched and the RETRY re-gates the same
+    // increment (fold cursor unmoved)
+    assert(loader.readTarget(spark, repId).get.count() == 1)
+    assert(runner.sync(p).tables.flatMap(_.error)
+      .exists(_.contains("contamination_gate")))
+    // parse strictness: reference/threshold required, threshold in (0,1]
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      y.replace("        reference: bench\n", "")))
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      y.replace("threshold: 0.8", "threshold: 1.5")))
+  }
+
   test("post_ops drift_gate: baseline sync passes, shifted increment fails") {
     val s = spark
     import s.implicits._
