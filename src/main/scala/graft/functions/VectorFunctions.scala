@@ -70,6 +70,51 @@ object VectorFunctions {
         col("rank"), col("cosine"))
   }
 
+  /** Per-DIMENSION embedding statistics — the embedding-health report run
+    * before trusting a vector corpus (collapsed dimensions → mean ≈ const
+    * with near-zero variance; scale drift across embedding-model versions
+    * → shifted min/max; a dead projection head → one dim's variance
+    * dwarfing the rest). Components are quantized ONCE to the 1e-6
+    * integer grid (the [[lloydKmeansExact]] exactness convention), so n /
+    * sums are exact integers and mean/variance/extremes are deterministic
+    * IEEE arithmetic over them — fully oracle-replayable.
+    *
+    * Scale: one posexplode + a partial-aggregated groupBy(dim) — the
+    * exchange carries dim-cardinality partial sums, never vectors; output
+    * is dim rows. Null or width-mismatched vectors are dropped (the
+    * [[randomProjection]] convention). */
+  def embeddingDimStats(df: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dim = df.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d") > 0).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    val quantized = df.filter(size(col(vecCol)) === dim)
+      .select(posexplode(transform(col(vecCol),
+        x => round(x.cast("double") * lit(1000000.0)).cast("long")))
+        .as(Seq("dim", "v")))
+    quantized
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(dec)).as("__s"),
+        sum((col("v") * col("v")).cast(dec)).as("__ss"),
+        min(col("v")).as("__mn"), max(col("v")).as("__mx"))
+      // mean = (s/1e6)/n, var = (ss/1e12)/n − mean² — parenthesization is
+      // the cross-engine contract (each op is one IEEE step over values
+      // both engines derive from the same exact integers)
+      .select(col("dim"), col("n"),
+        (col("__s").cast("double") / lit(1000000.0) /
+          col("n").cast("double")).as("mean"),
+        ((col("__ss").cast("double") / lit(1000000000000.0) /
+          col("n").cast("double")) -
+          (col("__s").cast("double") / lit(1000000.0) /
+            col("n").cast("double")) *
+          (col("__s").cast("double") / lit(1000000.0) /
+            col("n").cast("double"))).as("variance"),
+        (col("__mn").cast("double") / lit(1000000.0)).as("min_v"),
+        (col("__mx").cast("double") / lit(1000000.0)).as("max_v"))
+  }
+
   /** Johnson–Lindenstrauss random projection: reduce `vecCol` from its
     * native dimension to `outDim` with a DETERMINISTIC Rademacher matrix
     * (entries ±1/√outDim derived from md5, the same plane rule as

@@ -2320,6 +2320,31 @@ object LlmQueries {
              |    AS pos
              |FROM rk, n""".stripMargin)),
 
+    // ------------------------------------ embedding dimension health report
+    // Per-dim n/mean/variance/extremes on the 1e-6 integer grid — exact
+    // sums, deterministic IEEE derivations, every value replays.
+    Q("q_embedding_dim_stats",
+      (s, dir) => graft.functions.VectorFunctions.embeddingDimStats(
+        Tables.df(s, dir, "embeddings")),
+      Some("""WITH q AS (
+             |  SELECT list_transform(embedding::DOUBLE[],
+             |    x -> CAST(round(x * 1000000.0) AS BIGINT)) AS xq
+             |  FROM embeddings),
+             |e AS (SELECT u.d - 1 AS dim, xq[u.d] AS v
+             |      FROM q, unnest(generate_series(1, 64)) u(d)),
+             |a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             |        SUM(v::HUGEINT) AS s, SUM((v * v)::HUGEINT) AS ss,
+             |        MIN(v) AS mn, MAX(v) AS mx
+             |      FROM e GROUP BY 1)
+             |SELECT CAST(dim AS INT) AS dim, n,
+             |  CAST(s AS DOUBLE) / 1000000.0 / n AS mean,
+             |  CAST(ss AS DOUBLE) / 1000000000000.0 / n
+             |    - (CAST(s AS DOUBLE) / 1000000.0 / n)
+             |      * (CAST(s AS DOUBLE) / 1000000.0 / n) AS variance,
+             |  CAST(mn AS DOUBLE) / 1000000.0 AS min_v,
+             |  CAST(mx AS DOUBLE) / 1000000.0 AS max_v
+             |FROM a""".stripMargin)),
+
     // ------------------------------------------------- ANN recall/MRR report
     // The index-trust report as a query: seeded-IVF top-10 evaluated
     // against exact brute-force ground truth, per query. Both rankings

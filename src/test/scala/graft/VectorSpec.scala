@@ -339,6 +339,25 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(fit3 >= fit1, s"3-round fit $fit3 worse than 1-round $fit1")
   }
 
+  test("embeddingDimStats: exact per-dim moments; bad vectors dropped") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(1.0f, 4.0f)),
+      (3L, null.asInstanceOf[Seq[Float]]), // dropped
+      (4L, Seq(9.0f))                      // width mismatch: dropped
+    ).toDF("vec_id", "embedding")
+    val m = VectorFunctions.embeddingDimStats(df).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(m.keySet == Set(0, 1))
+    assert(m(0) == ((2L, 1.0, 0.0, 1.0, 1.0))) // constant dim: var 0
+    assert(m(1) == ((2L, 3.0, 1.0, 2.0, 4.0))) // mean 3, var 1, range 2..4
+    // an all-null input yields an empty report, not a probe crash
+    assert(VectorFunctions.embeddingDimStats(
+      df.filter(col("vec_id") === 3)).count() == 0)
+  }
+
   test("rankingEval: perfect, disjoint and partial overlaps score exactly") {
     val s = spark; import s.implicits._
     def rk(rows: (Long, Long, Int)*) =
