@@ -146,6 +146,73 @@ object TextFunctions {
     * [[graft.functions.rollingHash]] (custom Catalyst expression). */
   def fingerprintMd5(text: Column): Column = md5(normalizedText(text).cast("binary"))
 
+  /** Gopher rule-based quality report (Rae et al. 2021, Appendix A) — the
+    * canonical pre-LM filter battery as one per-doc relation: whitespace
+    * word count bounds, mean word length bounds, symbol-to-word ratio
+    * (# and ellipses), the fraction of words carrying at least one
+    * alphabetic character, bullet-started and ellipsis-ended line
+    * fractions, and a minimum count of distinct common stop words. Every
+    * measure is an exact integer count or an IEEE quotient of two — the
+    * whole report (and the `pass` verdict) replays cross-engine.
+    *
+    * Scale: a pure rowwise projection (split + array folds, all codegen'd
+    * — no UDF, no shuffle); thresholds ride as literals. Compose with
+    * `.filter(col("pass"))` for the filter itself. */
+  def gopherQualityReport(docs: DataFrame, idCol: String,
+                          textCol: String,
+                          minWords: Int = 50, maxWords: Int = 100000,
+                          minMeanWordLen: Double = 3.0,
+                          maxMeanWordLen: Double = 10.0,
+                          maxSymbolRatio: Double = 0.1,
+                          minAlphaFrac: Double = 0.8,
+                          maxBulletFrac: Double = 0.9,
+                          maxEllipsisFrac: Double = 0.3,
+                          minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, "\\s+"), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (a, w) => a + length(w))
+    // symbol occurrences: '#' chars + non-overlapping '...' + '…' chars
+    val nSymbols = (length(t) - length(regexp_replace(t, "#", ""))).cast("long") +
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long") +
+      (length(t) - length(regexp_replace(t, "…", ""))).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
+        ltrim(l).startsWith("•"))).cast("long")
+    val nEllipsis = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("long")
+    val toks = tokens(t)
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stops.map(s =>
+      when(array_contains(toks, s), 1L).otherwise(0L)).reduce(_ + _)
+    // empty docs: NULL ratios (matching SQL's x/NULLIF(n,0)), and `pass`
+    // still resolves FALSE through the n_words bound (3VL short-circuit)
+    def over(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double"))
+        .otherwise(lit(null).cast("double"))
+    val meanLen = over(sumLen, nWords)
+    val symRatio = over(nSymbols, nWords)
+    val alphaFrac = over(nAlpha, nWords)
+    val bulletFrac = over(nBullet, nLines)
+    val ellipsisFrac = over(nEllipsis, nLines)
+    docs.select(col(idCol), nWords.as("n_words"),
+        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
+        alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"),
+        bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"))
+      .withColumn("pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac &&
+          col("stop_hits") >= minStopHits)
+  }
+
   /** Full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -412,6 +412,69 @@ object LlmQueries {
       },
       Some(decontOracleSql)),
 
+    // ------------------------------------ Gopher rule-based quality report
+    // The Rae 2021 filter battery per doc: word-count bounds, mean word
+    // length, symbol ratio, alpha-word fraction, bullet/ellipsis line
+    // fractions, stop-word hits, and the composite pass verdict — every
+    // measure an exact count or IEEE quotient, replayed end-to-end.
+    Q("q_gopher_quality",
+      (s, dir) => graft.functions.TextFunctions.gopherQualityReport(
+        Tables.df(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH w AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(text, '\\s+'),
+             |      x -> len(x) > 0) AS words,
+             |    list_filter(string_split(text, chr(10)),
+             |      l -> len(trim(l)) > 0) AS lines,
+             |    $toksSql AS toks
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(words) AS BIGINT) AS n_words,
+             |    CAST(COALESCE(list_sum(list_transform(words,
+             |      x -> len(x))), 0) AS BIGINT) AS sum_len,
+             |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+             |      + CAST((len(text) - len(replace(text, '...', ''))) // 3
+             |          AS BIGINT)
+             |      + CAST(len(text) - len(replace(text, '…', ''))
+             |          AS BIGINT) AS n_sym,
+             |    CAST(len(list_filter(words,
+             |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             |    CAST(len(lines) AS BIGINT) AS n_lines,
+             |    CAST(len(list_filter(lines,
+             |      l -> starts_with(ltrim(l), '-') OR
+             |           starts_with(ltrim(l), '*') OR
+             |           starts_with(ltrim(l), '•'))) AS BIGINT) AS n_bullet,
+             |    CAST(len(list_filter(lines,
+             |      l -> ends_with(rtrim(l), '...') OR
+             |           ends_with(rtrim(l), '…'))) AS BIGINT) AS n_ell,
+             |    CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+             |      + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+             |      + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+             |      + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+             |      + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+             |      + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+             |      + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+             |      + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS stop_hits
+             |  FROM w)
+             |SELECT doc_id, n_words,
+             |  sum_len * 1.0 / NULLIF(n_words, 0) AS mean_word_len,
+             |  n_sym * 1.0 / NULLIF(n_words, 0) AS symbol_ratio,
+             |  n_alpha * 1.0 / NULLIF(n_words, 0) AS alpha_frac,
+             |  stop_hits,
+             |  n_bullet * 1.0 / NULLIF(n_lines, 0) AS bullet_frac,
+             |  n_ell * 1.0 / NULLIF(n_lines, 0) AS ellipsis_frac,
+             |  (n_words >= 50 AND n_words <= 100000
+             |    AND sum_len * 1.0 / NULLIF(n_words, 0) >= 3.0
+             |    AND sum_len * 1.0 / NULLIF(n_words, 0) <= 10.0
+             |    AND n_sym * 1.0 / NULLIF(n_words, 0) <= 0.1
+             |    AND n_alpha * 1.0 / NULLIF(n_words, 0) >= 0.8
+             |    AND n_bullet * 1.0 / NULLIF(n_lines, 0) <= 0.9
+             |    AND n_ell * 1.0 / NULLIF(n_lines, 0) <= 0.3
+             |    AND stop_hits >= 2) AS pass
+             |FROM m""".stripMargin)),
+
     // --------------------------- per-benchmark contamination matrix
     // Three benchmark suites at once (docs ≡ 0 mod 7, split b0/b1/b2 by
     // doc_id mod 3): the sparse (doc, benchmark, overlap) report — which

@@ -833,6 +833,41 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(res(10L)._2 > res(12L)._2)
   }
 
+  test("gopherQualityReport: each rule fires on its planted violation") {
+    val s = spark
+    import s.implicits._
+    val goodBody = ("the data and the model have to be trained with " +
+      "care and attention to every detail of the corpus ") * 3 // 60 words
+    val docs = Seq(
+      (1L, goodBody),                                   // passes every rule
+      (2L, "too short to have the and of with that"),   // word-count floor
+      (3L, Seq.fill(60)("##").mkString(" ") +
+        " the and of to be that have with"),            // symbol ratio
+      (4L, Seq.fill(60)("12345").mkString(" ") +
+        " the and of to be that have with"),            // alpha fraction
+      (5L, "the and to of be that have with data model\n" +
+        "- four letter word rows\n" * 20),              // bullet fraction
+      (6L, Seq.fill(60)("zzzz").mkString(" "))          // no stop words
+    ).toDF("doc_id", "text")
+    val m = graft.functions.TextFunctions.gopherQualityReport(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Boolean]("pass"), m(1L).toString)
+    assert(!m(2L).getAs[Boolean]("pass") && m(2L).getLong(1) < 50)
+    assert(!m(3L).getAs[Boolean]("pass") &&
+      m(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!m(4L).getAs[Boolean]("pass") &&
+      m(4L).getAs[Double]("alpha_frac") < 0.8)
+    assert(!m(5L).getAs[Boolean]("pass") &&
+      m(5L).getAs[Double]("bullet_frac") > 0.9)
+    assert(!m(6L).getAs[Boolean]("pass") &&
+      m(6L).getAs[Long]("stop_hits") == 0L)
+    // empty text: null ratios, pass resolves FALSE (not null)
+    val e = graft.functions.TextFunctions.gopherQualityReport(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(e.getLong(1) == 0L && !e.getAs[Boolean]("pass"))
+    assert(e.isNullAt(e.fieldIndex("mean_word_len")))
+  }
+
   test("contaminationMatrix: per-benchmark overlaps, sparse, threshold") {
     val s = spark
     import s.implicits._
