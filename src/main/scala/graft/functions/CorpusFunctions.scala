@@ -393,6 +393,41 @@ object CorpusFunctions {
       .withColumn("overlap", col("n_hits").cast("double") / col("n_shingles"))
   }
 
+  /** Annotation MAJORITY VOTE — the rating-aggregation step of every
+    * human-labeled dataset (RLHF preference labels, toxicity flags,
+    * quality grades): per item, the label with the most DISTINCT raters,
+    * ties broken to the lexicographically smallest label (deterministic,
+    * engine-portable), plus the agreement fraction majority_votes /
+    * n_raters that downstream filters gate on ("keep items with ≥ 2/3
+    * agreement"). A rater voting the same label twice counts once; a
+    * rater voting several labels contributes to each label's tally but
+    * once to n_raters.
+    *
+    * Scale: two partial-aggregated passes — (item, label, rater) distinct
+    * → per-label tallies → a per-item rank window over label-cardinality
+    * rows. Exchanges carry ids and labels, never payloads; all outputs
+    * are exact counts or one IEEE quotient. */
+  def majorityVote(df: DataFrame, itemCol: String, raterCol: String,
+                   labelCol: String): DataFrame = {
+    val votes = df
+      .select(col(itemCol), col(raterCol).as("__r"), col(labelCol).as("__l"))
+      .distinct()
+    val tally = votes.groupBy(col(itemCol), col("__l"))
+      .agg(countDistinct(col("__r")).as("__v"))
+    val raters = votes.groupBy(col(itemCol))
+      .agg(countDistinct(col("__r")).as("n_raters"),
+        countDistinct(col("__l")).as("n_labels"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(itemCol)).orderBy(col("__v").desc, col("__l").asc)
+    tally.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(raters, Seq(itemCol))
+      .select(col(itemCol), col("n_raters"), col("n_labels"),
+        col("__l").as("majority_label"), col("__v").as("majority_votes"),
+        (col("__v").cast("double") / col("n_raters").cast("double"))
+          .as("agreement"))
+  }
+
   /** Per-BENCHMARK contamination report — [[contaminationScores]] against
     * a whole benchmark SUITE at once: `benchmarks` carries (benchCol,
     * textCol) rows for several eval sets, and the result is the sparse

@@ -412,6 +412,36 @@ object LlmQueries {
       },
       Some(decontOracleSql)),
 
+    // -------------------------------------- annotation majority vote
+    // Events as an annotation table: item = event_id mod 499, rater =
+    // user, label = event_type. Per item: majority label with distinct-
+    // rater tallies, lexicographic tie-break, agreement fraction.
+    Q("q_rating_majority",
+      (s, dir) => graft.functions.CorpusFunctions.majorityVote(
+        Tables.df(s, dir, "events")
+          .select((col("event_id") % 499).as("item_id"), col("user_id"),
+            col("event_type")),
+        "item_id", "user_id", "event_type"),
+      Some("""WITH v AS (
+             |  SELECT DISTINCT event_id % 499 AS item_id, user_id,
+             |    event_type AS l
+             |  FROM events),
+             |t AS (SELECT item_id, l,
+             |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nv
+             |      FROM v GROUP BY 1, 2),
+             |r AS (SELECT item_id,
+             |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_raters,
+             |        CAST(COUNT(DISTINCT l) AS BIGINT) AS n_labels
+             |      FROM v GROUP BY 1),
+             |m AS (SELECT item_id, l, nv, ROW_NUMBER() OVER (
+             |        PARTITION BY item_id ORDER BY nv DESC, l ASC) AS rn
+             |      FROM t)
+             |SELECT m.item_id, r.n_raters, r.n_labels,
+             |  m.l AS majority_label, m.nv AS majority_votes,
+             |  CAST(m.nv AS DOUBLE) / CAST(r.n_raters AS DOUBLE)
+             |    AS agreement
+             |FROM m JOIN r USING (item_id) WHERE m.rn = 1""".stripMargin)),
+
     // ------------------------------------ Gopher rule-based quality report
     // The Rae 2021 filter battery per doc: word-count bounds, mean word
     // length, symbol ratio, alpha-word fraction, bullet/ellipsis line

@@ -833,6 +833,27 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(res(10L)._2 > res(12L)._2)
   }
 
+  test("majorityVote: distinct-rater tallies, deterministic ties, agreement") {
+    val s = spark
+    import s.implicits._
+    val votes = Seq(
+      // item 1: clear 2-1 majority
+      (1L, 10L, "good"), (1L, 11L, "good"), (1L, 12L, "bad"),
+      // item 2: 1-1 tie → lexicographically smallest label wins
+      (2L, 10L, "zeta"), (2L, 11L, "alpha"),
+      // item 3: rater 10 votes the same label TWICE (counts once) and a
+      // second label (counts toward that label but once toward n_raters)
+      (3L, 10L, "x"), (3L, 10L, "x"), (3L, 10L, "y"), (3L, 11L, "x")
+    ).toDF("item", "rater", "label")
+    val m = CorpusFunctions.majorityVote(votes, "item", "rater", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(m(1L) == ((3L, 2L, "good", 2L, 2.0 / 3.0)))
+    assert(m(2L) == ((2L, 2L, "alpha", 1L, 0.5)))
+    assert(m(3L) == ((2L, 2L, "x", 2L, 1.0)))
+  }
+
   test("gopherQualityReport: each rule fires on its planted violation") {
     val s = spark
     import s.implicits._
