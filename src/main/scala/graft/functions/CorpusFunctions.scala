@@ -1495,6 +1495,98 @@ object CorpusFunctions {
         col("n_terms_hit"), col("rank"))
   }
 
+  /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-style query expansion,
+    * Lavrenko & Croft 2001 / Abdul-Jaleel 2004): retrieve `fbDocs` per
+    * query with plain [[bm25TopK]], harvest the `expTerms` most frequent
+    * non-query terms from those feedback documents (ties to the
+    * lexicographically smaller term), and rescore with the expanded
+    * weighted query — original terms at weight 1, expansion terms at
+    * `expWeight` (pick a binary-exact weight like 0.5 to keep the oracle
+    * bit-for-bit). The classic recall lever when queries are short and
+    * the vocabulary gap is real.
+    *
+    * Scale: pass 1 is [[bm25TopK]]'s shape; the harvest tokenizes ONLY
+    * the feedback documents (queries × fbDocs rows, isin-pruned scan) and
+    * the candidate tally collected driver-side is feedback-vocabulary
+    * sized — the operator is EAGER through that tiny collect, and pass 2
+    * is again the broadcast-semi-join BM25 plan with the weight folded
+    * INSIDE the 6-decimal rounding. */
+  def bm25PrfTopK(docs: DataFrame, idCol: String, textCol: String,
+                  queries: Seq[(Long, String)], k: Int,
+                  fbDocs: Int = 5, expTerms: Int = 3,
+                  expWeight: Double = 0.5,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs > 0 && expTerms >= 0, "fbDocs > 0, expTerms >= 0")
+    require(expWeight > 0.0 && expWeight <= 1.0,
+      s"expWeight $expWeight outside (0,1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = docs.count()
+    val qTermSet: Map[Long, Set[String]] = queries.map { case (qid, t) =>
+      qid -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+    }.toMap
+    val fb = bm25TopK(docs, idCol, textCol, queries, fbDocs, k1, b, Some(n))
+      .select(col("query_id"), col(idCol).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fbPairs = fb.toSeq.toDF("query_id", "__fbid")
+    val fbTokens = docs
+      .filter(col(idCol).isin(fb.map(_._2).distinct.toSeq: _*))
+      .select(col(idCol).cast("long").as("__fbid"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val cand = fbTokens.join(broadcast(fbPairs), Seq("__fbid"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("__s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = cand
+      .filterNot { case (qid, t, _) => qTermSet(qid).contains(t) }
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(expTerms)
+          .map(t => (qid, t._2, expWeight))
+      }
+    val orig = queries.flatMap { case (qid, _) =>
+      qTermSet(qid).toSeq.sorted.map(term => (qid, term, 1.0)) }
+    val wTerms = (orig ++ exp).toDF("query_id", "term", "w")
+
+    // pass 2: the bm25TopK plan with per-(query, term) weights
+    val tok = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(
+      (sum(col("dl")).cast("double") / lit(n.toDouble)).as("avgdl"))
+    val tf = tok
+      .join(broadcast(wTerms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(byTerm).cast("double"))
+      .join(broadcast(wTerms), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        round(col("w") * col("idf") *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("contrib")).as("score_dec"),
+        count(lit(1)).as("n_terms_hit"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_dec").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol),
+        col("score_dec").cast("double").as("score"),
+        col("n_terms_hit"), col("rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack–Clarke–Buettcher 2009): merge per-query
     * rankings from heterogeneous retrievers (e.g. [[bm25TopK]] keyword ranks
     * and [[VectorFunctions.bruteForceTopK]] embedding ranks) into one list by

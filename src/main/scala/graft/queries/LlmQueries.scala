@@ -412,6 +412,83 @@ object LlmQueries {
       },
       Some(decontOracleSql)),
 
+    // ----------------------- BM25 + pseudo-relevance feedback (RM3-style)
+    // Pass 1 retrieves 5 feedback docs per probe query; the 3 most
+    // frequent non-query terms of those docs expand the query at weight
+    // 0.5 (binary-exact); pass 2 rescores. Every stage — feedback ranks,
+    // expansion pick, weighted contributions — replays in the oracle.
+    Q("q_bm25_prf",
+      (s, dir) => graft.functions.CorpusFunctions.bm25PrfTopK(
+        Tables.df(s, dir, "documents"), "doc_id", "text",
+        bm25Probes, k = 10),
+      Some(s"""WITH q(query_id, qtext) AS (VALUES
+             |    (0, 'spark join merge'), (1, 'vector scan filter'),
+             |    (2, 'window agg stream')),
+             |qt AS (SELECT query_id, unnest(list_distinct(
+             |    list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'),
+             |                t -> len(t) > 0))) AS term FROM q),
+             |tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+             |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+             |       FROM tok GROUP BY doc_id),
+             |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) /
+             |    (SELECT COUNT(*) FROM documents) AS avgdl FROM dl),
+             |tf1 AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |        FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+             |        GROUP BY doc_id, term),
+             |sc1 AS (SELECT doc_id, term, tf,
+             |          CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+             |        FROM tf1),
+             |con1 AS (SELECT qt.query_id, sc1.doc_id,
+             |    CAST(round(
+             |      ln(1.0 + ((SELECT COUNT(*) FROM documents) - df + 0.5)
+             |               / (df + 0.5))
+             |      * (tf * (1.2 + 1.0))
+             |      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+             |      6) AS DECIMAL(18,6)) AS contrib
+             |  FROM sc1 JOIN qt USING (term) JOIN dl USING (doc_id), stats),
+             |agg1 AS (SELECT query_id, doc_id, SUM(contrib) AS s
+             |         FROM con1 GROUP BY 1, 2),
+             |fb AS (SELECT query_id, doc_id FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY s DESC, doc_id) AS rn FROM agg1) WHERE rn <= 5),
+             |cand AS (SELECT f.query_id, t.term,
+             |           CAST(COUNT(*) AS BIGINT) AS s
+             |         FROM fb f JOIN tok t ON t.doc_id = f.doc_id
+             |         LEFT JOIN qt q2 ON q2.query_id = f.query_id
+             |           AND q2.term = t.term
+             |         WHERE q2.term IS NULL
+             |         GROUP BY 1, 2),
+             |exp AS (SELECT query_id, term FROM (
+             |    SELECT query_id, term, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY s DESC, term) AS rn
+             |    FROM cand) WHERE rn <= 3),
+             |wt AS (SELECT query_id, term, 1.0 AS w FROM qt
+             |       UNION ALL SELECT query_id, term, 0.5 AS w FROM exp),
+             |tf2 AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |        FROM tok WHERE term IN (SELECT DISTINCT term FROM wt)
+             |        GROUP BY doc_id, term),
+             |sc2 AS (SELECT doc_id, term, tf,
+             |          CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE) AS df
+             |        FROM tf2),
+             |con2 AS (SELECT wt.query_id, sc2.doc_id,
+             |    CAST(round(
+             |      wt.w
+             |      * ln(1.0 + ((SELECT COUNT(*) FROM documents) - df + 0.5)
+             |               / (df + 0.5))
+             |      * (tf * (1.2 + 1.0))
+             |      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+             |      6) AS DECIMAL(18,6)) AS contrib
+             |  FROM sc2 JOIN wt USING (term) JOIN dl USING (doc_id), stats),
+             |agg2 AS (SELECT query_id, doc_id, SUM(contrib) AS score_dec,
+             |          CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+             |        FROM con2 GROUP BY 1, 2),
+             |r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |         ORDER BY score_dec DESC, doc_id) AS rank FROM agg2)
+             |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             |  CAST(score_dec AS DOUBLE) AS score, n_terms_hit,
+             |  CAST(rank AS BIGINT) AS rank
+             |FROM r2 WHERE rank <= 10""".stripMargin)),
+
     // -------------------------------------- annotation majority vote
     // Events as an annotation table: item = event_id mod 499, rater =
     // user, label = event_type. Per item: majority label with distinct-

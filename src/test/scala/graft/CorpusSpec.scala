@@ -833,6 +833,38 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(res(10L)._2 > res(12L)._2)
   }
 
+  test("bm25PrfTopK: expansion retrieves vocabulary-gap docs plain BM25 " +
+    "cannot see") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma engine"),
+      (2L, "alpha beta gamma pipeline"),
+      (3L, "alpha beta gamma shuffle"),
+      // no 'alpha' — invisible to the literal query, dense in the
+      // feedback docs' vocabulary
+      (10L, "beta gamma beta gamma beta gamma"),
+      (20L, "totally unrelated filler words here")
+    ).toDF("doc_id", "text")
+    val q = Seq((0L, "alpha"))
+    val plain = CorpusFunctions.bm25TopK(docs, "doc_id", "text", q, k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(10L) && !plain.contains(20L))
+    val prf = CorpusFunctions.bm25PrfTopK(docs, "doc_id", "text", q, k = 10,
+      fbDocs = 3, expTerms = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(prf.contains(10L), s"expansion missed the gap doc: $prf")
+    assert(!prf.contains(20L), "off-vocabulary doc must stay invisible")
+    // original-term docs still outrank the expansion-only doc (weight 1
+    // vs 0.5 and idf of the rare original term)
+    assert(prf.filterNot(_._1 == 10L).values.forall(_ < prf(10L)))
+    // invalid weights refuse
+    intercept[IllegalArgumentException] {
+      CorpusFunctions.bm25PrfTopK(docs, "doc_id", "text", q, k = 5,
+        expWeight = 0.0)
+    }
+  }
+
   test("majorityVote: distinct-rater tallies, deterministic ties, agreement") {
     val s = spark
     import s.implicits._
