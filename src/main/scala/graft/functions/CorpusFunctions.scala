@@ -401,7 +401,12 @@ object CorpusFunctions {
     * n_raters that downstream filters gate on ("keep items with ≥ 2/3
     * agreement"). A rater voting the same label twice counts once; a
     * rater voting several labels contributes to each label's tally but
-    * once to n_raters.
+    * once to n_raters. NULL labels are abstentions: the row is dropped
+    * before tallying (a rater who only abstained does not reach n_raters)
+    * — besides matching annotation semantics, this keeps the tie-break
+    * engine-portable (Spark windows sort NULL first ascending, DuckDB
+    * sorts it last, so a surviving NULL would win ties on one engine and
+    * lose them on the other).
     *
     * Scale: two partial-aggregated passes — (item, label, rater) distinct
     * → per-label tallies → a per-item rank window over label-cardinality
@@ -411,6 +416,7 @@ object CorpusFunctions {
                    labelCol: String): DataFrame = {
     val votes = df
       .select(col(itemCol), col(raterCol).as("__r"), col(labelCol).as("__l"))
+      .filter(col("__l").isNotNull)
       .distinct()
     val tally = votes.groupBy(col(itemCol), col("__l"))
       .agg(countDistinct(col("__r")).as("__v"))
@@ -441,7 +447,9 @@ object CorpusFunctions {
     * Scale: each benchmark's distinct shingle-hash set broadcasts (eval
     * suites are small by construction); the corpus is shingled ONCE and
     * the hash join + (id, benchmark) aggregation carry 8-byte hashes and
-    * names, never text. */
+    * names, never text. Duplicate doc ids (multi-session folds) collapse
+    * to one deterministic representative first — one extra md5-keyed
+    * partial-agg, still no text on the exchange. */
   def contaminationMatrix(docs: DataFrame, benchmarks: DataFrame,
                           idCol: String, textCol: String, benchCol: String,
                           shingleN: Int = 3,
@@ -453,7 +461,14 @@ object CorpusFunctions {
         DedupFunctions.shingleHashes(col(textCol), shingleN).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("benchmark"), explode(col("hs")).as("h")).distinct()
-    val docH = docs
+    // duplicate idCol rows (a multi-session fold re-delivering a doc) would
+    // double-count n_hits against a single-row n_shingles and push overlap
+    // past 1.0 — reduce to ONE deterministic representative per id (max of
+    // textCol) before shingling so overlap stays a true fraction
+    val docsOne = docs
+      .select(col(idCol), col(textCol))
+      .groupBy(col(idCol)).agg(max(col(textCol)).as(textCol))
+    val docH = docsOne
       .select(col(idCol),
         DedupFunctions.shingleHashes(col(textCol), shingleN).as("hs"))
       .filter(size(col("hs")) > 0)
@@ -1450,9 +1465,20 @@ object CorpusFunctions {
     val qTerms = queries
       .flatMap { case (qid, qtext) =>
         qtext.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
-          .map(t => (qid, t))
-      }.toDF("query_id", "term")
+          .map(t => (qid, t, 1.0))
+      }.toDF("query_id", "term", "w")
+    bm25ScoreWeighted(docs, idCol, textCol, qTerms, k, k1, b, n)
+  }
 
+  /** The ONE BM25 scoring plan, shared by [[bm25TopK]] (w ≡ 1.0 — an
+    * exact no-op factor inside the rounding, so plain BM25 is bit-for-bit
+    * the unweighted formula) and [[bm25PrfTopK]]'s expanded pass.
+    * `wTerms` is (query_id, term, w) with (query_id, term) unique. Any
+    * change to the scoring convention (idf form, rounding, tie-break)
+    * lands here exactly once. */
+  private def bm25ScoreWeighted(docs: DataFrame, idCol: String,
+                                textCol: String, wTerms: DataFrame, k: Int,
+                                k1: Double, b: Double, n: Long): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     // doc length over ALL tokens (partial-agg, one row per doc); avgdl rides
@@ -1462,97 +1488,6 @@ object CorpusFunctions {
       (sum(col("dl")).cast("double") / lit(n.toDouble)).as("avgdl"))
     // …but tf/df only over terms some query mentions (broadcast semi-join
     // BEFORE the aggregation: the exchange never carries the full vocab)
-    val tf = tok
-      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
-    val scored = tf
-      .withColumn("df", count(lit(1)).over(byTerm).cast("double"))
-      .join(broadcast(qTerms), Seq("term"))
-      .join(dl, Seq(idCol))
-      .crossJoin(broadcast(avgdl))
-      .withColumn("idf",
-        log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))))
-      .withColumn("contrib",
-        round(col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0 - b) +
-              lit(b) * col("dl").cast("double") / col("avgdl"))), 6)
-          .cast("decimal(18,6)"))
-      .groupBy(col("query_id"), col(idCol))
-      .agg(sum(col("contrib")).as("score_dec"),
-        count(lit(1)).as("n_terms_hit"))
-    val byQuery = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score_dec").desc, col(idCol))
-    scored
-      .withColumn("rank", row_number().over(byQuery).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol),
-        col("score_dec").cast("double").as("score"),
-        col("n_terms_hit"), col("rank"))
-  }
-
-  /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-style query expansion,
-    * Lavrenko & Croft 2001 / Abdul-Jaleel 2004): retrieve `fbDocs` per
-    * query with plain [[bm25TopK]], harvest the `expTerms` most frequent
-    * non-query terms from those feedback documents (ties to the
-    * lexicographically smaller term), and rescore with the expanded
-    * weighted query — original terms at weight 1, expansion terms at
-    * `expWeight` (pick a binary-exact weight like 0.5 to keep the oracle
-    * bit-for-bit). The classic recall lever when queries are short and
-    * the vocabulary gap is real.
-    *
-    * Scale: pass 1 is [[bm25TopK]]'s shape; the harvest tokenizes ONLY
-    * the feedback documents (queries × fbDocs rows, isin-pruned scan) and
-    * the candidate tally collected driver-side is feedback-vocabulary
-    * sized — the operator is EAGER through that tiny collect, and pass 2
-    * is again the broadcast-semi-join BM25 plan with the weight folded
-    * INSIDE the 6-decimal rounding. */
-  def bm25PrfTopK(docs: DataFrame, idCol: String, textCol: String,
-                  queries: Seq[(Long, String)], k: Int,
-                  fbDocs: Int = 5, expTerms: Int = 3,
-                  expWeight: Double = 0.5,
-                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(fbDocs > 0 && expTerms >= 0, "fbDocs > 0, expTerms >= 0")
-    require(expWeight > 0.0 && expWeight <= 1.0,
-      s"expWeight $expWeight outside (0,1]")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val n = docs.count()
-    val qTermSet: Map[Long, Set[String]] = queries.map { case (qid, t) =>
-      qid -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
-    }.toMap
-    val fb = bm25TopK(docs, idCol, textCol, queries, fbDocs, k1, b, Some(n))
-      .select(col("query_id"), col(idCol).cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val fbPairs = fb.toSeq.toDF("query_id", "__fbid")
-    val fbTokens = docs
-      .filter(col(idCol).isin(fb.map(_._2).distinct.toSeq: _*))
-      .select(col(idCol).cast("long").as("__fbid"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val cand = fbTokens.join(broadcast(fbPairs), Seq("__fbid"))
-      .groupBy(col("query_id"), col("term"))
-      .agg(count(lit(1)).as("__s"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    val exp = cand
-      .filterNot { case (qid, t, _) => qTermSet(qid).contains(t) }
-      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
-        rows.sortBy(t => (-t._3, t._2)).take(expTerms)
-          .map(t => (qid, t._2, expWeight))
-      }
-    val orig = queries.flatMap { case (qid, _) =>
-      qTermSet(qid).toSeq.sorted.map(term => (qid, term, 1.0)) }
-    val wTerms = (orig ++ exp).toDF("query_id", "term", "w")
-
-    // pass 2: the bm25TopK plan with per-(query, term) weights
-    val tok = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val avgdl = dl.agg(
-      (sum(col("dl")).cast("double") / lit(n.toDouble)).as("avgdl"))
     val tf = tok
       .join(broadcast(wTerms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col(idCol), col("term"))
@@ -1585,6 +1520,67 @@ object CorpusFunctions {
       .select(col("query_id"), col(idCol),
         col("score_dec").cast("double").as("score"),
         col("n_terms_hit"), col("rank"))
+  }
+
+  /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-style query expansion,
+    * Lavrenko & Croft 2001 / Abdul-Jaleel 2004): retrieve `fbDocs` per
+    * query with plain [[bm25TopK]], harvest the `expTerms` most frequent
+    * non-query terms from those feedback documents (ties to the
+    * lexicographically smaller term), and rescore with the expanded
+    * weighted query — original terms at weight 1, expansion terms at
+    * `expWeight` (pick a binary-exact weight like 0.5 to keep the oracle
+    * bit-for-bit). The classic recall lever when queries are short and
+    * the vocabulary gap is real.
+    *
+    * Scale: pass 1 is [[bm25TopK]]'s shape; the harvest tokenizes ONLY
+    * the feedback documents (queries × fbDocs rows, isin-pruned scan) and
+    * the candidate tally collected driver-side is feedback-vocabulary
+    * sized — the operator is EAGER through that tiny collect, and pass 2
+    * is the SAME [[bm25ScoreWeighted]] plan with the weight folded INSIDE
+    * the 6-decimal rounding. Doc ids keep their native type end-to-end
+    * (string ids are first-class, exactly as in plain [[bm25TopK]]). */
+  def bm25PrfTopK(docs: DataFrame, idCol: String, textCol: String,
+                  queries: Seq[(Long, String)], k: Int,
+                  fbDocs: Int = 5, expTerms: Int = 3,
+                  expWeight: Double = 0.5,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs > 0 && expTerms >= 0, "fbDocs > 0, expTerms >= 0")
+    require(expWeight > 0.0 && expWeight <= 1.0,
+      s"expWeight $expWeight outside (0,1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = docs.count()
+    val qTermSet: Map[Long, Set[String]] = queries.map { case (qid, t) =>
+      qid -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+    }.toMap
+    // pass 1 collected ONCE (queries × fbDocs rows); the local rows are
+    // re-lifted to a DataFrame so pass 1's plan never re-executes, and the
+    // id values stay whatever type the corpus uses
+    val fbTop = bm25TopK(docs, idCol, textCol, queries, fbDocs, k1, b,
+      Some(n)).select(col("query_id"), col(idCol))
+    val fbRows = fbTop.collect()
+    val fbIds = fbRows.map(_.get(1)).distinct.toSeq
+    val fbPairs = spark.createDataFrame(
+        java.util.Arrays.asList(fbRows: _*), fbTop.schema)
+      .withColumnRenamed(idCol, "__fbid")
+    val fbTokens = docs
+      .filter(col(idCol).isin(fbIds: _*))
+      .select(col(idCol).as("__fbid"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val cand = fbTokens.join(broadcast(fbPairs), Seq("__fbid"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("__s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = cand
+      .filterNot { case (qid, t, _) => qTermSet(qid).contains(t) }
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(expTerms)
+          .map(t => (qid, t._2, expWeight))
+      }
+    val orig = queries.flatMap { case (qid, _) =>
+      qTermSet(qid).toSeq.sorted.map(term => (qid, term, 1.0)) }
+    val wTerms = (orig ++ exp).toDF("query_id", "term", "w")
+    bm25ScoreWeighted(docs, idCol, textCol, wTerms, k, k1, b, n)
   }
 
   /** Reciprocal-rank fusion (Cormack–Clarke–Buettcher 2009): merge per-query

@@ -81,15 +81,19 @@ object VectorFunctions {
     *
     * Scale: one posexplode + a partial-aggregated groupBy(dim) — the
     * exchange carries dim-cardinality partial sums, never vectors; output
-    * is dim rows. Null or width-mismatched vectors are dropped (the
-    * [[randomProjection]] convention). */
+    * is dim rows. Null, width-mismatched, or null-COMPONENT vectors are
+    * dropped whole (the [[randomProjection]] convention — a partly-null
+    * vector is exactly the corruption this report exists to flag, so it
+    * must not be silently averaged into n while the sums skip it). */
   def embeddingDimStats(df: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val dim = df.select(size(col(vecCol)).as("__d"))
       .filter(col("__d") > 0).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    val quantized = df.filter(size(col(vecCol)) === dim)
+    val quantized = df
+      .filter(size(col(vecCol)) === dim &&
+        !exists(col(vecCol), x => x.isNull))
       .select(posexplode(transform(col(vecCol),
         x => round(x.cast("double") * lit(1000000.0)).cast("long")))
         .as(Seq("dim", "v")))

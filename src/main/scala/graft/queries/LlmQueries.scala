@@ -502,7 +502,7 @@ object LlmQueries {
       Some("""WITH v AS (
              |  SELECT DISTINCT event_id % 499 AS item_id, user_id,
              |    event_type AS l
-             |  FROM events),
+             |  FROM events WHERE event_type IS NOT NULL),
              |t AS (SELECT item_id, l,
              |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nv
              |      FROM v GROUP BY 1, 2),

@@ -863,6 +863,16 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       CorpusFunctions.bm25PrfTopK(docs, "doc_id", "text", q, k = 5,
         expWeight = 0.0)
     }
+    // non-numeric doc ids are first-class (same contract as bm25TopK):
+    // the PRF path must not narrow ids to long
+    val sdocs = docs.select(
+      concat(lit("doc-"), col("doc_id").cast("string")).as("doc_id"),
+      col("text"))
+    val sprf = CorpusFunctions.bm25PrfTopK(sdocs, "doc_id", "text", q,
+      k = 10, fbDocs = 3, expTerms = 2)
+      .collect().map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(sprf.keySet == prf.keys.map("doc-" + _).toSet, s"$sprf")
+    assert(sprf("doc-10") == prf(10L), "string-id ranking diverged")
   }
 
   test("majorityVote: distinct-rater tallies, deterministic ties, agreement") {
@@ -884,6 +894,18 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(m(1L) == ((3L, 2L, "good", 2L, 2.0 / 3.0)))
     assert(m(2L) == ((2L, 2L, "alpha", 1L, 0.5)))
     assert(m(3L) == ((2L, 2L, "x", 2L, 1.0)))
+    // NULL labels are abstentions: dropped before tallying, so a null can
+    // never win a tie (Spark's nulls-first window order vs DuckDB's
+    // nulls-last would otherwise diverge) and an all-null item vanishes
+    val withNulls = Seq(
+      (5L, 10L, Some("approve")), (5L, 11L, None), // tie would go to NULL
+      (6L, 10L, None), (6L, 11L, None)             // pure abstention
+    ).toDF("item", "rater", "label")
+    val mn = CorpusFunctions.majorityVote(withNulls, "item", "rater", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(3), r.getLong(4)))).toMap
+    assert(mn(5L) == ((1L, "approve", 1L)), s"null label leaked: $mn")
+    assert(!mn.contains(6L))
   }
 
   test("gopherQualityReport: each rule fires on its planted violation") {
@@ -950,6 +972,15 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       docs, bench, "doc_id", "text", "benchmark", minOverlap = 0.9)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(hi == Set((1L, "A"), (3L, "B")))
+    // duplicate doc ids (a multi-session fold re-delivering rows) collapse
+    // to one representative: counts match the single-copy run exactly and
+    // overlap can never exceed 1.0
+    val dup = CorpusFunctions.contaminationMatrix(
+      docs.unionAll(docs), bench, "doc_id", "text", "benchmark").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(dup == m, s"duplicated input changed the matrix: $dup vs $m")
+    assert(dup.values.forall(_._3 <= 1.0))
   }
 
   test("knLogProbScores: continuation counts reward versatile words " +

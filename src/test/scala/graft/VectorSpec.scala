@@ -356,6 +356,17 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     // an all-null input yields an empty report, not a probe crash
     assert(VectorFunctions.embeddingDimStats(
       df.filter(col("vec_id") === 3)).count() == 0)
+    // a vector with a NULL component is dropped WHOLE: it must not count
+    // toward n while the sums skip its value
+    val withHole = Seq(
+      (1L, Seq[java.lang.Float](1.0f, 2.0f)),
+      (2L, Seq[java.lang.Float](1.0f, 4.0f)),
+      (5L, Seq[java.lang.Float](7.0f, null))
+    ).toDF("vec_id", "embedding")
+    val mh = VectorFunctions.embeddingDimStats(withHole).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(mh(0) == ((2L, 1.0)), s"holed vector leaked into dim 0: $mh")
+    assert(mh(1) == ((2L, 3.0)), s"holed vector skewed dim 1: $mh")
   }
 
   test("rankingEval: perfect, disjoint and partial overlaps score exactly") {
