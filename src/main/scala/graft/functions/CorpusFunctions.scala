@@ -434,6 +434,205 @@ object CorpusFunctions {
           .as("agreement"))
   }
 
+  /** KRIPPENDORFF'S ALPHA (nominal data, Krippendorff 2004) — the standard
+    * inter-rater reliability statistic reported alongside every released
+    * annotation set ("labels were collected at α = 0.81"). One value per
+    * (item, rater): the lexicographically smallest non-null label (NULLs
+    * are abstentions, the [[majorityVote]] convention; the deterministic
+    * pick makes the statistic a pure function of the input SET). Items
+    * with fewer than 2 ratings are unpairable and excluded throughout.
+    *
+    *   D_obs = (1/n) Σ_i [ Σ_c n_ic·(n_i − n_ic) ] / (n_i − 1)
+    *   D_exp = (n² − Σ_c n_c²) / (n·(n−1))
+    *   α     = 1 − D_obs / D_exp   (α = 1 when D_exp = 0: a one-category
+    *                                corpus has no disagreement to expect)
+    *
+    * Engine parity: every count is an exact integer; the per-item D_obs
+    * contribution (the only non-integer intermediate) rounds to 9 decimals
+    * and sums as DECIMAL(28,9) — order-independent — and the final
+    * quotients are single IEEE steps over values both engines share.
+    *
+    * Scale: two partial-agg passes (item×label counts, then per-item
+    * contributions) + a category-scale total; exchanges carry item ids and
+    * labels, never payloads; output is ONE row. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, raterCol: String,
+                        labelCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val vals = df
+      .select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+        col(labelCol).as("__l"))
+      .filter(col("__l").isNotNull)
+      .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__l"))
+    val pairable = vals.groupBy(col("__i"))
+      .agg(count(lit(1)).as("n_i")).filter(col("n_i") >= 2)
+    val nic = vals.join(pairable, Seq("__i"))
+      .groupBy(col("__i"), col("n_i"), col("__l"))
+      .agg(count(lit(1)).as("n_ic"))
+    val obs = nic
+      .groupBy(col("__i"), col("n_i"))
+      .agg(sum(col("n_ic") * (col("n_i") - col("n_ic"))).as("__num"))
+      .select(col("n_i"),
+        round(col("__num").cast("double") /
+          (col("n_i") - 1).cast("double"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("__c"))
+      .agg(count(lit(1)).as("n_items"), sum(col("n_i")).as("n_values"),
+        sum(col("__c")).as("__don"))
+    val cat = vals.join(pairable.select(col("__i")), Seq("__i"))
+      .groupBy(col("__l")).agg(count(lit(1)).cast(dec38).as("n_c"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("n_c") * col("n_c")).as("__sq"))
+    obs.crossJoin(cat)
+      .withColumn("d_obs",
+        col("__don").cast("double") / col("n_values").cast("double"))
+      .withColumn("d_exp",
+        (col("n_values").cast(dec38) * col("n_values").cast(dec38) -
+          col("__sq")).cast("double") /
+          (col("n_values").cast(dec38) *
+            (col("n_values").cast(dec38) - 1)).cast("double"))
+      .select(col("n_items"), col("n_values"), col("n_categories"),
+        col("d_obs"), col("d_exp"),
+        when(col("d_exp") === 0.0, lit(1.0))
+          .otherwise(lit(1.0) - col("d_obs") / col("d_exp")).as("alpha"))
+  }
+
+  /** Per-RATER consensus quality with LEAVE-ONE-OUT majorities — the rater
+    * triage step of an annotation pipeline ("which raters should we stop
+    * paying / retrain"). For each (item, rater) the consensus is recomputed
+    * WITHOUT that rater's vote (subtracting their label from the tallies),
+    * so a rater can never inflate their own score by being counted in the
+    * reference — the bias a naive compare-to-[[majorityVote]] carries.
+    * One value per (item, rater): smallest non-null label (abstentions
+    * dropped, the [[krippendorffAlpha]] convention). Items where removing
+    * the rater leaves no votes have no consensus and are excluded from
+    * that rater's denominator. LOO ties break to the lexicographically
+    * smallest label (deterministic, engine-portable).
+    *
+    * Scale: the candidate relation is Σ_items (raters_i × labels_i) rows —
+    * pair-graph scale, same class as the MinHash candidate sets; exchanges
+    * carry (item, rater, label, count), never payloads. Output is one row
+    * per rater: n_items, n_agree, agree_rate. */
+  def raterConsensusQuality(df: DataFrame, itemCol: String,
+                            raterCol: String, labelCol: String): DataFrame = {
+    val vals = df
+      .select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+        col(labelCol).as("__l"))
+      .filter(col("__l").isNotNull)
+      .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__own"))
+    // vals is unique per (item, rater), so COUNT(*) here IS distinct raters
+    val tally = vals.groupBy(col("__i"), col("__own"))
+      .agg(count(lit(1)).as("__v"))
+      .select(col("__i"), col("__own").as("__l"), col("__v"))
+    val cand = vals.join(tally, Seq("__i"))
+      .withColumn("__adj",
+        col("__v") - when(col("__l") === col("__own"), 1L).otherwise(0L))
+      .filter(col("__adj") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__i"), col("__r"))
+      .orderBy(col("__adj").desc, col("__l").asc)
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__r"), (col("__l") === col("__own")).as("__agree"))
+      .groupBy(col("__r").as(raterCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("__agree"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col(raterCol), col("n_items"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n_items").cast("double"))
+          .as("agree_rate"))
+  }
+
+  /** TEMPERATURE-SCALED mixture weights (the multilingual α-sampling rule,
+    * Conneau & Lample 2019 / mT5): resampling weights w_g ∝ share_g^α that
+    * flatten (α < 1) or sharpen (α > 1) a corpus mix — the knob every
+    * multilingual / multi-source training run turns so low-resource groups
+    * are not drowned. Emits per group: n_docs, share, the normalized
+    * target weight, and `weight_int` — the weight's exact 9-decimal
+    * fixed-point numerator, ready to feed [[rebalanceToMixture]] as its
+    * integer weights (the two operators compose into "resample the corpus
+    * to temperature α").
+    *
+    * Relation to [[temperatureSample]] (α = 1/T): that operator CARVES the
+    * sample directly with per-source md5 rates — counts hit the target
+    * only in expectation, smallest source pinned whole. This one emits the
+    * weight RELATION, so the carve can go through [[rebalanceToMixture]]'s
+    * exact integer quotas (deterministic row counts, admission
+    * thresholds) — the audit-grade path when a data card must state the
+    * mixture exactly.
+    *
+    * Engine parity: share^α rounds to 9 decimals and the normalizer is an
+    * exact DECIMAL sum, so weights are IEEE quotients of shared decimals.
+    * NULL groups are dropped ([[rebalanceToMixture]] ignores unweighted
+    * groups anyway).
+    *
+    * Scale: one partial-agg count pass; everything after operates on the
+    * group-cardinality relation with 1-row broadcast totals. */
+  def temperatureMixtureWeights(df: DataFrame, groupCol: String,
+                                alpha: Double): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("__t"))
+    val p = counts.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_docs").cast("double") / col("__t").cast("double"))
+      .withColumn("__p", round(pow(col("share"), lit(alpha)), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+    val z = p.agg(sum(col("__p")).as("__z"))
+    p.crossJoin(broadcast(z))
+      .select(col(groupCol), col("n_docs"), col("share"),
+        (col("__p").cast("double") / col("__z").cast("double"))
+          .as("weight"),
+        (col("__p") * lit(1000000000L)).cast("long").as("weight_int"))
+  }
+
+  /** ZIPF rank-frequency fit — the corpus-health diagnostic that catches
+    * template/boilerplate floods (slope far from −1, r² collapse) before
+    * they poison training: closed-form log-log OLS over the top-R term
+    * frequencies. slope ≈ −1 with high r² is natural language (Zipf 1949);
+    * machine-generated or deduplication-damaged corpora bend the curve.
+    *
+    * Engine parity: ln(rank) / ln(freq) round to 6 decimals and all five
+    * OLS sums are exact DECIMAL folds; slope/intercept/r² are then fixed
+    * parenthesized IEEE steps over shared decimals. Fewer than 2 distinct
+    * terms → NULL fit columns (no line to fit), counts still reported.
+    *
+    * Scale: one vocab-scale partial-agg count, then TakeOrdered(R) — the
+    * rank window runs over the R-row literal-bounded result, never the
+    * vocabulary; output is ONE row. */
+  def zipfFit(docs: DataFrame, idCol: String, textCol: String,
+              topR: Int = 1000): DataFrame = {
+    require(topR >= 2, s"topR must be at least 2, got $topR")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val tf = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+    val stats = tf.agg(count(lit(1)).as("n_types"),
+      sum(col("f")).as("total_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").desc, col("term").asc)
+    val pts = tf.orderBy(col("f").desc, col("term").asc).limit(topR)
+      .withColumn("r", row_number().over(w))
+      .select(round(log(col("r").cast("double")), 6).cast(dec).as("x"),
+        round(log(col("f").cast("double")), 6).cast(dec).as("y"))
+    val s = pts.agg(count(lit(1)).as("rr"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val r = col("rr").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = r * d("sxy") - d("sx") * d("sy")
+    val denX = r * d("sxx") - d("sx") * d("sx")
+    val denY = r * d("syy") - d("sy") * d("sy")
+    stats.crossJoin(s)
+      .select(col("n_types"), col("total_tokens"),
+        col("rr").as("top_r_used"),
+        when(col("rr") >= 2, num / denX).as("slope"),
+        when(col("rr") >= 2, (d("sy") - (num / denX) * d("sx")) / r)
+          .as("intercept"),
+        when(col("rr") >= 2 && denY =!= 0.0, num * num / (denX * denY))
+          .as("r2"))
+  }
+
   /** Per-BENCHMARK contamination report — [[contaminationScores]] against
     * a whole benchmark SUITE at once: `benchmarks` carries (benchCol,
     * textCol) rows for several eval sets, and the result is the sparse

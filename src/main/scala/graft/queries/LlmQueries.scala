@@ -519,6 +519,145 @@ object LlmQueries {
              |    AS agreement
              |FROM m JOIN r USING (item_id) WHERE m.rn = 1""".stripMargin)),
 
+    // --------------------------------- Krippendorff's alpha (reliability)
+    // Same annotation mapping as q_rating_majority. One value per
+    // (item, rater) = min non-null label; items with <2 ratings excluded;
+    // D_obs 9-decimal-rounded per item, exact integer D_exp.
+    Q("q_krippendorff_alpha",
+      (s, dir) => graft.functions.CorpusFunctions.krippendorffAlpha(
+        Tables.df(s, dir, "events")
+          .select((col("event_id") % 499).as("item_id"), col("user_id"),
+            col("event_type")),
+        "item_id", "user_id", "event_type"),
+      Some("""WITH vals AS (
+             |  SELECT event_id % 499 AS i, user_id AS r, MIN(event_type) AS l
+             |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+             |per AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i
+             |        FROM vals GROUP BY 1 HAVING COUNT(*) >= 2),
+             |nic AS (SELECT v.i, p.n_i, v.l, CAST(COUNT(*) AS BIGINT) AS n_ic
+             |        FROM vals v JOIN per p USING (i) GROUP BY 1, 2, 3),
+             |co AS (SELECT i, n_i,
+             |         CAST(round(CAST(SUM(n_ic * (n_i - n_ic)) AS DOUBLE) /
+             |           CAST(n_i - 1 AS DOUBLE), 9) AS DECIMAL(28,9)) AS c
+             |       FROM nic GROUP BY 1, 2),
+             |obs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             |          CAST(SUM(n_i) AS BIGINT) AS n_values,
+             |          SUM(c) AS don FROM co),
+             |cat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+             |          SUM(CAST(n_c AS HUGEINT) * n_c) AS sq
+             |        FROM (SELECT v.l, COUNT(*) AS n_c
+             |              FROM vals v JOIN per USING (i) GROUP BY 1))
+             |SELECT n_items, n_values, n_categories, d_obs, d_exp,
+             |  CASE WHEN d_exp = 0 THEN 1.0
+             |       ELSE 1.0 - d_obs / d_exp END AS alpha
+             |FROM (
+             |  SELECT n_items, n_values, n_categories,
+             |    CAST(don AS DOUBLE) / CAST(n_values AS DOUBLE) AS d_obs,
+             |    CAST(CAST(n_values AS HUGEINT) * n_values - sq AS DOUBLE) /
+             |      CAST(CAST(n_values AS HUGEINT) * (n_values - 1) AS DOUBLE)
+             |      AS d_exp
+             |  FROM obs, cat)""".stripMargin)),
+
+    // ----------------------- per-rater leave-one-out consensus quality
+    // For each (item, rater): consensus recomputed WITHOUT the rater's
+    // vote (tally minus own label); agree iff own label == LOO majority
+    // (ties to smallest label). Items left without votes drop out of the
+    // rater's denominator.
+    Q("q_rater_reliability",
+      (s, dir) => graft.functions.CorpusFunctions.raterConsensusQuality(
+        Tables.df(s, dir, "events")
+          .select((col("event_id") % 499).as("item_id"), col("user_id"),
+            col("event_type")),
+        "item_id", "user_id", "event_type"),
+      Some("""WITH vals AS (
+             |  SELECT event_id % 499 AS i, user_id AS r,
+             |    MIN(event_type) AS own
+             |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+             |tally AS (SELECT i, own AS l, CAST(COUNT(*) AS BIGINT) AS v
+             |          FROM vals GROUP BY 1, 2),
+             |cand AS (SELECT v.i, v.r, v.own, t.l,
+             |           t.v - (CASE WHEN t.l = v.own THEN 1 ELSE 0 END)
+             |             AS adj
+             |         FROM vals v JOIN tally t USING (i)),
+             |loo AS (SELECT i, r, own, l, ROW_NUMBER() OVER (
+             |          PARTITION BY i, r ORDER BY adj DESC, l ASC) AS rn
+             |        FROM cand WHERE adj > 0)
+             |SELECT r AS user_id, CAST(COUNT(*) AS BIGINT) AS n_items,
+             |  CAST(SUM(CASE WHEN l = own THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_agree,
+             |  CAST(SUM(CASE WHEN l = own THEN 1 ELSE 0 END) AS DOUBLE) /
+             |    CAST(COUNT(*) AS DOUBLE) AS agree_rate
+             |FROM loo WHERE rn = 1 GROUP BY 1""".stripMargin)),
+
+    // ------------------------- temperature-scaled mixture weights (α=0.5)
+    // The multilingual sampling rule over documents.lang: weights ∝
+    // share^0.5 flatten the mix; weight_int is the exact 9-decimal
+    // fixed-point numerator rebalanceToMixture consumes.
+    Q("q_temperature_mixture",
+      (s, dir) => graft.functions.CorpusFunctions.temperatureMixtureWeights(
+        Tables.df(s, dir, "documents"), "lang", alpha = 0.5),
+      Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |           FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tt FROM c),
+             |p AS (SELECT lang, n_docs,
+             |        CAST(n_docs AS DOUBLE) / CAST(tt AS DOUBLE) AS share,
+             |        CAST(round(pow(
+             |          CAST(n_docs AS DOUBLE) / CAST(tt AS DOUBLE), 0.5), 9)
+             |          AS DECIMAL(28,9)) AS pp
+             |      FROM c, t),
+             |z AS (SELECT SUM(pp) AS zz FROM p)
+             |SELECT lang, n_docs, share,
+             |  CAST(pp AS DOUBLE) / CAST(zz AS DOUBLE) AS weight,
+             |  CAST(pp * 1000000000 AS BIGINT) AS weight_int
+             |FROM p, z""".stripMargin)),
+
+    // ----------------------------------- Zipf rank-frequency OLS (R=500)
+    // Corpus-health fit: ln-ln least squares over the top-500 term
+    // frequencies; 6-decimal ln rounding, exact decimal OLS sums.
+    Q("q_zipf_fit",
+      (s, dir) => graft.functions.CorpusFunctions.zipfFit(
+        Tables.df(s, dir, "documents"), "doc_id", "text", topR = 500),
+      Some(s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
+             |tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f
+             |       FROM tok GROUP BY 1),
+             |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+             |            CAST(SUM(f) AS BIGINT) AS total_tokens FROM tf),
+             |top AS (SELECT f, ROW_NUMBER() OVER (
+             |          ORDER BY f DESC, term ASC) AS r
+             |        FROM tf ORDER BY f DESC, term ASC LIMIT 500),
+             |pts AS (SELECT
+             |    CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             |    CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+             |  FROM top),
+             |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS rr,
+             |        SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+             |        SUM(x*y) AS sxy, SUM(y*y) AS syy FROM pts)
+             |SELECT n_types, total_tokens, rr AS top_r_used,
+             |  CASE WHEN rr >= 2 THEN
+             |    (CAST(rr AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (CAST(rr AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope,
+             |  CASE WHEN rr >= 2 THEN
+             |    (CAST(sy AS DOUBLE) -
+             |     ((CAST(rr AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |      (CAST(rr AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+             |     CAST(sx AS DOUBLE)) / CAST(rr AS DOUBLE) END AS intercept,
+             |  CASE WHEN rr >= 2 AND
+             |      (CAST(rr AS DOUBLE) * CAST(syy AS DOUBLE) -
+             |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0 THEN
+             |    ((CAST(rr AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+             |     (CAST(rr AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+             |    ((CAST(rr AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |     (CAST(rr AS DOUBLE) * CAST(syy AS DOUBLE) -
+             |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r2
+             |FROM stats, s""".stripMargin)),
+
     // ------------------------------------ Gopher rule-based quality report
     // The Rae 2021 filter battery per doc: word-count bounds, mean word
     // length, symbol ratio, alpha-word fraction, bullet/ellipsis line

@@ -908,6 +908,103 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(!mn.contains(6L))
   }
 
+  test("krippendorffAlpha: hand-computed nominal alpha, unpairable and " +
+    "null exclusions, one-category convention") {
+    val s = spark
+    import s.implicits._
+    val ratings = Seq(
+      (1L, 10L, Some("A")), (1L, 11L, Some("A")),     // agree
+      (2L, 10L, Some("A")), (2L, 11L, Some("B")),     // disagree
+      (3L, 10L, Some("B")), (3L, 11L, Some("B")),     // agree
+      (4L, 10L, Some("A")),                           // unpairable: excluded
+      (5L, 10L, None), (5L, 11L, None)                // abstentions only
+    ).toDF("item", "rater", "label")
+    val r = CorpusFunctions.krippendorffAlpha(
+      ratings, "item", "rater", "label").head()
+    // n=6 values over 3 pairable items; Do = 2/6; De = (36-18)/30 = 0.6
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 2.0 / 6.0)
+    assert(r.getDouble(4) == 0.6)
+    assert(r.getDouble(5) == 1.0 - (2.0 / 6.0) / 0.6)
+    // one-category corpus: De = 0 → alpha = 1 by convention
+    val one = Seq((1L, 10L, "A"), (1L, 11L, "A"), (2L, 10L, "A"),
+      (2L, 11L, "A")).toDF("item", "rater", "label")
+    val r1 = CorpusFunctions.krippendorffAlpha(
+      one, "item", "rater", "label").head()
+    assert(r1.getDouble(4) == 0.0 && r1.getDouble(5) == 1.0)
+  }
+
+  test("raterConsensusQuality: leave-one-out consensus, sole-voter items " +
+    "excluded, LOO differs from naive majority") {
+    val s = spark
+    import s.implicits._
+    val ratings = Seq(
+      // item 1: A, A, B — LOO keeps r1/r2 agreeing, r3 disagreeing
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "B"),
+      // item 2: sole voter — no LOO consensus, excluded from r1's count
+      (2L, 1L, "A"),
+      // item 3: C vs D tie — naive majority "C" would credit r1, but the
+      // LOO reference for r1 is D (their own vote removed) → disagree
+      (3L, 1L, "C"), (3L, 2L, "D")
+    ).toDF("item", "rater", "label")
+    val m = CorpusFunctions.raterConsensusQuality(
+      ratings, "item", "rater", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((2L, 1L, 0.5)), s"r1: ${m(1L)}")  // item1 yes, item3 no
+    assert(m(2L) == ((2L, 1L, 0.5)), s"r2: ${m(2L)}")  // item1 yes, item3 no
+    assert(m(3L) == ((1L, 0L, 0.0)), s"r3: ${m(3L)}")
+  }
+
+  test("temperatureMixtureWeights: alpha=0.5 flattens, alpha=1 is the " +
+    "identity, exact fixed-point weights, null groups dropped") {
+    val s = spark
+    import s.implicits._
+    val docs = (Seq.fill(8)(Some("a")) ++ Seq.fill(2)(Some("b")) ++
+      Seq(Option.empty[String])).zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toDF("id", "g")
+    val w = CorpusFunctions.temperatureMixtureWeights(docs, "g", 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(w.keySet == Set("a", "b"))  // null group dropped
+    assert(w("a")._1 == 8L && w("a")._2 == 0.8)
+    assert(w("a")._4 == 894427191L && w("b")._4 == 447213595L)
+    // flattening: minority share 0.2 → weight 1/3
+    assert(math.abs(w("b")._3 - 447213595.0 / 1341640786.0) < 1e-12)
+    // alpha=1 reproduces the shares (to the 9-decimal rounding)
+    val id = CorpusFunctions.temperatureMixtureWeights(docs, "g", 1.0)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    id.foreach { case (share, weight) =>
+      assert(math.abs(share - weight) < 1e-9) }
+    intercept[IllegalArgumentException] {
+      CorpusFunctions.temperatureMixtureWeights(docs, "g", 0.0)
+    }
+  }
+
+  test("zipfFit: exact power law recovers slope -1, degenerate vocab " +
+    "yields NULL fit, tiny topR refused") {
+    val s = spark
+    import s.implicits._
+    // f = 12/r exactly at ranks 1..4: ln f = ln 12 - ln r, slope -1
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val r = CorpusFunctions.zipfFit(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", topR = 500)
+      .head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 25L && r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(3) + 1.0) < 1e-4, s"slope ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - math.log(12.0)) < 1e-3)
+    assert(r.getDouble(5) > 0.999999, s"r2 ${r.getDouble(5)}")
+    val d = CorpusFunctions.zipfFit(
+      Seq((1L, "solo solo")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(d.getLong(0) == 1L && d.getLong(2) == 1L && d.isNullAt(3) &&
+      d.isNullAt(4) && d.isNullAt(5))
+    intercept[IllegalArgumentException] {
+      CorpusFunctions.zipfFit(
+        Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text", topR = 1)
+    }
+  }
+
   test("gopherQualityReport: each rule fires on its planted violation") {
     val s = spark
     import s.implicits._

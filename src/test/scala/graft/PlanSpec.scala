@@ -196,6 +196,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "LIMIT+ORDER BY should be top-k, not full sort")
   }
 
+  test("zipfFit ranks over the TakeOrdered top-R rows, never the vocabulary") {
+    val plan = executedString(q("q_zipf_fit"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-R cut should be TakeOrdered, not a vocabulary-wide sort:\n$plan")
+    // the single-partition rank window must sit ABOVE the top-R cut: a
+    // Window before TakeOrdered would funnel the whole vocab through one
+    // partition
+    val winIdx = plan.indexOf("Window")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && takeIdx > winIdx,
+      s"rank Window should consume the TakeOrdered result (window at " +
+        s"$winIdx, takeOrdered at $takeIdx):\n${plan.take(1500)}")
+  }
+
   test("per-group quality top-k pre-prunes before the exchange (WindowGroupLimit)") {
     val plan = executedString(q("q_quality_topk"))
     assert(plan.contains("WindowGroupLimit"),
