@@ -686,6 +686,85 @@ object CorpusFunctions {
         col("n_hits"), col("overlap"))
   }
 
+  /** Corpus-relative n-gram COMMONNESS — per-doc templatedness against the
+    * whole corpus: mean ln(document frequency) of the doc's distinct
+    * shingles plus the fraction whose DF reaches `commonDf`. The
+    * cross-document complement of [[repetitionStats]] (intra-doc) and
+    * [[DedupFunctions.repeatedSpanStats]] (verbatim spans): boilerplate
+    * mills and template floods score high here while every individual doc
+    * still looks "clean" — the RefinedWeb-style duplication-aware quality
+    * signal. Docs with no shingles (empty after tokenization) are absent
+    * from the output.
+    *
+    * Engine parity: DF values are exact integers; each ln(df) rounds to 4
+    * decimals (the LM convention) into an exact DECIMAL sum; the two
+    * ratios are single IEEE quotients.
+    *
+    * Scale: one corpus shingling feeds both sides — a hash-keyed DF count
+    * and a (id, hash) re-join; exchanges carry 8-byte hashes and ids,
+    * never text. DF relation is shingle-vocabulary scale. */
+  def ngramCommonness(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, commonDf: Long = 10): DataFrame = {
+    require(commonDf >= 1, s"commonDf must be >= 1, got $commonDf")
+    val sh = docs
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol),
+        explode(DedupFunctions.shingleHashes(col(textCol), shingleN))
+          .as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(round(log(col("df").cast("double")), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("__sld"),
+        sum(when(col("df") >= commonDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col(idCol), col("n_ngrams"),
+        (col("__sld").cast("double") / col("n_ngrams").cast("double"))
+          .as("mean_log_df"),
+        col("n_common"),
+        (col("n_common").cast("double") / col("n_ngrams").cast("double"))
+          .as("common_frac"))
+  }
+
+  /** SOURCE-OVERLAP matrix — pairwise shingle-set Jaccard between GROUPS
+    * (sources / dumps / languages): the provenance audit "which sources
+    * duplicate each other" run before paying for cross-source dedup, and
+    * the evidence behind dropping a mirrored dump wholesale. Only pairs
+    * with at least one shared shingle appear (group_a < group_b
+    * lexicographically); NULL groups are dropped.
+    *
+    * Scale: the corpus is shingled ONCE into a distinct (group, hash)
+    * relation (group-vocabulary scale); the pair relation is built
+    * hash-keyed — each hash emits C(groups-containing-it, 2) rows, and
+    * group cardinality is human-scale — never by joining corpora.
+    * Exchanges carry (group, 8-byte hash). */
+  def sourceOverlapMatrix(docs: DataFrame, groupCol: String,
+                          textCol: String, shingleN: Int = 3): DataFrame = {
+    val gs = docs
+      .filter(col(groupCol).isNotNull &&
+        size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(groupCol).as("__g"),
+        explode(DedupFunctions.shingleHashes(col(textCol), shingleN))
+          .as("h"))
+      .distinct()
+    val sizes = gs.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val a = gs.select(col("__g").as("group_a"), col("h"))
+    val b = gs.select(col("__g").as("group_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("__g").as("group_a"), col("__n").as("n_a")),
+        Seq("group_a"))
+      .join(sizes.select(col("__g").as("group_b"), col("__n").as("n_b")),
+        Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Split every document into fixed-size token windows with a stride —
     * the context-packing step that turns variable-length documents into
     * training-window-sized chunks. `stride < chunkTokens` overlaps

@@ -630,11 +630,19 @@ object PipelineConfig {
           "'threshold' (overlap fraction that fails the sync)")
         spec.threshold.foreach(t =>
           if (t <= 0.0 || t > 1.0) bad(s"threshold $t outside (0,1]"))
+      case "reliability_gate" =>
+        need(spec.keys.size == 3,
+          "exactly three keys (the item, rater and label columns)")
+        need(spec.threshold.isDefined,
+          "'threshold' (minimum Krippendorff alpha)")
+        spec.threshold.foreach(t =>
+          if (t < -1.0 || t > 1.0) bad(s"threshold $t outside [-1,1]"))
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
         " | scd2_apply | fold_aggregate | zorder | neardup_labels" +
         " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
         " | fold_bpe_tokens | epoch_shards | drift_gate | fold_probe" +
-        " | rebalance | dsir_select | curriculum | contamination_gate)")
+        " | rebalance | dsir_select | curriculum | contamination_gate" +
+        " | reliability_gate)")
     }
     spec
   }

@@ -208,6 +208,29 @@ object PostOps {
               "decontaminate the increment before syncing")
           prev.fold(m)(p => p.unionByName(m))
         }
+      case "reliability_gate" =>
+        // annotation-reliability QUALITY GATE (the drift_gate pattern
+        // applied to label collection): each increment's ratings must
+        // reach `threshold` Krippendorff alpha BEFORE folding; a
+        // below-threshold batch fails the table with the fold cursor
+        // unmoved, so the same batch is re-gated on every retry. Passing
+        // increments append their one-row reliability report to the
+        // derived audit table. An increment with no pairable items has no
+        // alpha (NULL report) and passes vacuously.
+        val minAlpha = po.threshold.get
+        val Seq(itemC, raterC, labelC) = po.keys
+        foldIncremental(spark, id, derivedId, extractor, loader) { (prev, inc) =>
+          val rep = graft.functions.CorpusFunctions.krippendorffAlpha(
+            inc, itemC, raterC, labelC)
+          val row = rep.head()
+          val aIdx = row.fieldIndex("alpha")
+          if (!row.isNullAt(aIdx) && row.getDouble(aIdx) < minAlpha)
+            throw new IllegalStateException(
+              f"reliability_gate ${id.table}: increment inter-rater alpha " +
+                f"${row.getDouble(aIdx)}%.3f < $minAlpha — review the " +
+                "annotation batch before syncing")
+          prev.fold(rep)(p => p.unionByName(rep))
+        }
       case "curriculum" =>
         // score-ordered curriculum shard layout (VIEW shape): the derived
         // table addresses every doc with (shard, pos) contiguous

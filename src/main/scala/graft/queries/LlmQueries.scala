@@ -721,6 +721,53 @@ object LlmQueries {
              |    AND stop_hits >= 2) AS pass
              |FROM m""".stripMargin)),
 
+    // ---------------------------- corpus-relative n-gram commonness
+    // Per-doc templatedness: mean ln(DF) of the doc's shingles + the
+    // fraction with DF >= 5. 4-decimal ln rounding, exact decimal sums.
+    Q("q_ngram_commonness",
+      (s, dir) => graft.functions.CorpusFunctions.ngramCommonness(
+        Tables.df(s, dir, "documents"), "doc_id", "text", shingleN = 3,
+        commonDf = 5),
+      Some(s"""WITH sh AS (
+             |  SELECT doc_id, unnest(s) AS sg FROM (
+             |    SELECT doc_id, $shinglesSql AS s
+             |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+             |    WHERE len(toks) > 0)),
+             |dfq AS (SELECT sg, CAST(COUNT(*) AS BIGINT) AS df
+             |        FROM sh GROUP BY 1)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             |  CAST(SUM(CAST(round(ln(CAST(df AS DOUBLE)), 4)
+             |      AS DECIMAL(18,4))) AS DOUBLE) /
+             |    CAST(COUNT(*) AS DOUBLE) AS mean_log_df,
+             |  CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_common,
+             |  CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS DOUBLE) /
+             |    CAST(COUNT(*) AS DOUBLE) AS common_frac
+             |FROM sh JOIN dfq USING (sg) GROUP BY 1""".stripMargin)),
+
+    // ----------------------------------- source-overlap Jaccard matrix
+    // Pairwise shingle-set Jaccard between documents.source values —
+    // which provenance buckets mirror each other.
+    Q("q_source_overlap",
+      (s, dir) => graft.functions.CorpusFunctions.sourceOverlapMatrix(
+        Tables.df(s, dir, "documents"), "source", "text", shingleN = 3),
+      Some(s"""WITH gs AS (
+             |  SELECT DISTINCT g, sg FROM (
+             |    SELECT g, unnest(s) AS sg FROM (
+             |      SELECT source AS g, $shinglesSql AS s
+             |      FROM (SELECT source, $toksSql AS toks FROM documents
+             |            WHERE source IS NOT NULL)
+             |      WHERE len(toks) > 0))),
+             |sz AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM gs GROUP BY 1)
+             |SELECT a.g AS group_a, b.g AS group_b, sa.n AS n_a,
+             |  sb.n AS n_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+             |  CAST(COUNT(*) AS DOUBLE) /
+             |    CAST(sa.n + sb.n - COUNT(*) AS DOUBLE) AS jaccard
+             |FROM gs a JOIN gs b ON a.sg = b.sg AND a.g < b.g
+             |JOIN sz sa ON sa.g = a.g JOIN sz sb ON sb.g = b.g
+             |GROUP BY 1, 2, 3, 4""".stripMargin)),
+
     // --------------------------- per-benchmark contamination matrix
     // Three benchmark suites at once (docs ≡ 0 mod 7, split b0/b1/b2 by
     // doc_id mod 3): the sparse (doc, benchmark, overlap) report — which

@@ -908,6 +908,44 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(!mn.contains(6L))
   }
 
+  test("ngramCommonness: template twins score common, unique doc scores " +
+    "zero, empty doc absent") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles {a b c, b c d} — shared with doc 2
+      (2L, "a b c d"),
+      (3L, "x y z w"),   // unique shingles
+      (4L, "")           // no shingles: absent
+    ).toDF("doc_id", "text")
+    val m = CorpusFunctions.ngramCommonness(
+      docs, "doc_id", "text", shingleN = 3, commonDf = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(m.keySet == Set(1L, 2L, 3L))
+    // df=2 for both shingles of docs 1/2: mean ln(2) rounded to 4 decimals
+    assert(m(1L) == ((2L, 0.6931, 2L, 1.0)), s"${m(1L)}")
+    assert(m(2L) == m(1L))
+    assert(m(3L) == ((2L, 0.0, 0L, 0.0)), s"${m(3L)}")
+  }
+
+  test("sourceOverlapMatrix: pairwise Jaccard, ordered pairs, disjoint " +
+    "and null groups absent") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, Some("A"), "a b c d e"),  // shingles abc bcd cde (3)
+      (2L, Some("B"), "c d e f"),    // cde def (2): shares {cde} with A
+      (3L, Some("C"), "p q r s"),    // disjoint from both
+      (4L, None, "a b c d e")        // null group dropped
+    ).toDF("doc_id", "src", "text")
+    val m = CorpusFunctions.sourceOverlapMatrix(docs, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(m.keySet == Set(("A", "B")), s"unexpected pairs: ${m.keySet}")
+    assert(m(("A", "B")) == ((3L, 2L, 1L, 1.0 / 4.0)), s"${m(("A", "B"))}")
+  }
+
   test("krippendorffAlpha: hand-computed nominal alpha, unpairable and " +
     "null exclusions, one-category convention") {
     val s = spark

@@ -452,6 +452,64 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       y.replace("threshold: 0.8", "threshold: 1.5")))
   }
 
+  test("post_ops reliability_gate: agreeing batch passes and records its " +
+    "report; a noisy batch fails and is re-gated") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("rgate_src")
+    def writeRatings(rows: Seq[(Long, Long, Long, String)],
+                     mode: String): Unit =
+      rows.toDF("rating_id", "item", "rater", "label")
+        .write.mode(mode).parquet(s"$srcDir/ratings.parquet")
+    // batch 1: 4 items x 3 raters, perfect agreement, two categories
+    // across items -> alpha = 1
+    writeRatings(for {
+      item <- 1L to 4L; rater <- 1L to 3L
+    } yield (item * 10 + rater, item, rater, s"l${item % 2}"),
+      "errorifexists")
+    val y =
+      s"""pipeline:
+         |  name: "rgate"
+         |  source: "$srcDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.ratings:
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "rating_id"
+         |    post_ops:
+         |      - op: reliability_gate
+         |        target: ratings_reliability
+         |        keys: [item, rater, label]
+         |        threshold: 0.5
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("rgate_wh"))
+    val r1 = runner.sync(p)
+    assert(r1.allOk, r1.tables.flatMap(_.error).mkString(";"))
+    val (_, _, loader) = runner.rigFor(p)
+    val repId = p.tables.head.tableId(p).copy(table = "ratings_reliability")
+    val rep1 = loader.readTarget(spark, repId).get.collect()
+    assert(rep1.length == 1 && rep1.head.getAs[Double]("alpha") == 1.0)
+    // batch 2: 6 items, 2 raters each, systematic 1-1 splits -> alpha
+    // well below 0.5 -> the sync FAILS with the fold cursor unmoved
+    writeRatings((101L to 106L).flatMap(i => Seq(
+      (i * 10 + 1, i, 1L, "A"), (i * 10 + 2, i, 2L, "B"))), "append")
+    val r2 = runner.sync(p)
+    assert(r2.tables.flatMap(_.error).exists(_.contains("reliability_gate")),
+      s"expected gate failure, got ${r2.tables.flatMap(_.error)}")
+    assert(loader.readTarget(spark, repId).get.count() == 1)
+    // retry re-gates the SAME increment
+    assert(runner.sync(p).tables.flatMap(_.error)
+      .exists(_.contains("reliability_gate")))
+    // parse strictness: exactly three keys; threshold required + in range
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      y.replace("keys: [item, rater, label]", "keys: [item, rater]")))
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      y.replace("        threshold: 0.5\n", "")))
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      y.replace("threshold: 0.5", "threshold: 1.5")))
+  }
+
   test("post_ops drift_gate: baseline sync passes, shifted increment fails") {
     val s = spark
     import s.implicits._
