@@ -558,6 +558,12 @@ object CorpusFunctions {
     * thresholds) — the audit-grade path when a data card must state the
     * mixture exactly.
     *
+    * A group whose share^α rounds to zero at 9 decimals (aggressive
+    * sharpening of a vanishing group) surfaces with `weight_int = 0`;
+    * [[rebalanceToMixture]] refuses zero weights, so filter those rows
+    * first — dropping the group is exactly what a zero target weight
+    * means.
+    *
     * Engine parity: share^α rounds to 9 decimals and the normalizer is an
     * exact DECIMAL sum, so weights are IEEE quotients of shared decimals.
     * NULL groups are dropped ([[rebalanceToMixture]] ignores unweighted
@@ -598,7 +604,7 @@ object CorpusFunctions {
     * Scale: one vocab-scale partial-agg count, then TakeOrdered(R) — the
     * rank window runs over the R-row literal-bounded result, never the
     * vocabulary; output is ONE row. */
-  def zipfFit(docs: DataFrame, idCol: String, textCol: String,
+  def zipfFit(docs: DataFrame, textCol: String,
               topR: Int = 1000): DataFrame = {
     require(topR >= 2, s"topR must be at least 2, got $topR")
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)

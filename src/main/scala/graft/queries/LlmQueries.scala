@@ -616,7 +616,7 @@ object LlmQueries {
     // frequencies; 6-decimal ln rounding, exact decimal OLS sums.
     Q("q_zipf_fit",
       (s, dir) => graft.functions.CorpusFunctions.zipfFit(
-        Tables.df(s, dir, "documents"), "doc_id", "text", topR = 500),
+        Tables.df(s, dir, "documents"), "text", topR = 500),
       Some(s"""WITH tok AS (SELECT unnest($toksSql) AS term FROM documents),
              |tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f
              |       FROM tok GROUP BY 1),

@@ -1017,6 +1017,14 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       CorpusFunctions.temperatureMixtureWeights(docs, "g", 0.0)
     }
+    // aggressive sharpening of a vanishing group: share^alpha rounds to
+    // zero at 9 decimals -> weight_int = 0 surfaces (the documented
+    // "filter before rebalanceToMixture" contract), weight stays tiny
+    val skew = (Seq.fill(100000)(Some("big")) ++ Seq(Some("tiny")))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "g")
+    val sharp = CorpusFunctions.temperatureMixtureWeights(skew, "g", 3.0)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(sharp("tiny") == 0L && sharp("big") > 0L, s"$sharp")
   }
 
   test("zipfFit: exact power law recovers slope -1, degenerate vocab " +
@@ -1027,19 +1035,19 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
       Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
     val r = CorpusFunctions.zipfFit(
-      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", topR = 500)
+      Seq((1L, text)).toDF("doc_id", "text"), "text", topR = 500)
       .head()
     assert(r.getLong(0) == 4L && r.getLong(1) == 25L && r.getLong(2) == 4L)
     assert(math.abs(r.getDouble(3) + 1.0) < 1e-4, s"slope ${r.getDouble(3)}")
     assert(math.abs(r.getDouble(4) - math.log(12.0)) < 1e-3)
     assert(r.getDouble(5) > 0.999999, s"r2 ${r.getDouble(5)}")
     val d = CorpusFunctions.zipfFit(
-      Seq((1L, "solo solo")).toDF("doc_id", "text"), "doc_id", "text").head()
+      Seq((1L, "solo solo")).toDF("doc_id", "text"), "text").head()
     assert(d.getLong(0) == 1L && d.getLong(2) == 1L && d.isNullAt(3) &&
       d.isNullAt(4) && d.isNullAt(5))
     intercept[IllegalArgumentException] {
       CorpusFunctions.zipfFit(
-        Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text", topR = 1)
+        Seq((1L, "x")).toDF("doc_id", "text"), "text", topR = 1)
     }
   }
 

@@ -490,6 +490,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val repId = p.tables.head.tableId(p).copy(table = "ratings_reliability")
     val rep1 = loader.readTarget(spark, repId).get.collect()
     assert(rep1.length == 1 && rep1.head.getAs[Double]("alpha") == 1.0)
+    assert(rep1.head.getAs[Long]("batch_seq") == 1L)
     // batch 2: 6 items, 2 raters each, systematic 1-1 splits -> alpha
     // well below 0.5 -> the sync FAILS with the fold cursor unmoved
     writeRatings((101L to 106L).flatMap(i => Seq(
