@@ -495,6 +495,33 @@ object CorpusFunctions {
           .otherwise(lit(1.0) - col("d_obs") / col("d_exp")).as("alpha"))
   }
 
+  /** The SHARED reliability-gate fold — one definition for the batch
+    * `reliability_gate` post-op and
+    * [[graft.streaming.StreamingPipeline.streamingReliabilityGate]] (the
+    * [[driftGateFold]] pattern): the increment's [[krippendorffAlpha]]
+    * must reach `minAlpha` BEFORE folding — a breach throws with the fold
+    * cursor unmoved, so the same batch is re-gated on retry; a passing
+    * increment appends its one-row report (with an ordering `batch_seq`)
+    * to the cumulative audit state. No pairable items → NULL alpha →
+    * vacuous pass. */
+  def reliabilityGateFold(prev: Option[DataFrame], batch: DataFrame,
+                          itemCol: String, raterCol: String,
+                          labelCol: String, minAlpha: Double,
+                          what: String): DataFrame = {
+    val rep0 = krippendorffAlpha(batch, itemCol, raterCol, labelCol)
+    val row = rep0.head()
+    val aIdx = row.fieldIndex("alpha")
+    if (!row.isNullAt(aIdx) && row.getDouble(aIdx) < minAlpha)
+      throw new IllegalStateException(
+        f"reliability_gate $what: increment inter-rater alpha " +
+          f"${row.getDouble(aIdx)}%.3f < $minAlpha — review the " +
+          "annotation batch before syncing")
+    // batch_seq orders the audit rows; prev is report-scale, cheap count
+    val seq = prev.map(_.count()).getOrElse(0L) + 1L
+    val rep = rep0.withColumn("batch_seq", lit(seq))
+    prev.fold(rep)(p => p.unionByName(rep))
+  }
+
   /** Per-RATER consensus quality with LEAVE-ONE-OUT majorities — the rater
     * triage step of an annotation pipeline ("which raters should we stop
     * paying / retrain"). For each (item, rater) the consensus is recomputed

@@ -220,21 +220,8 @@ object PostOps {
         val minAlpha = po.threshold.get
         val Seq(itemC, raterC, labelC) = po.keys
         foldIncremental(spark, id, derivedId, extractor, loader) { (prev, inc) =>
-          val rep0 = graft.functions.CorpusFunctions.krippendorffAlpha(
-            inc, itemC, raterC, labelC)
-          val row = rep0.head()
-          val aIdx = row.fieldIndex("alpha")
-          if (!row.isNullAt(aIdx) && row.getDouble(aIdx) < minAlpha)
-            throw new IllegalStateException(
-              f"reliability_gate ${id.table}: increment inter-rater alpha " +
-                f"${row.getDouble(aIdx)}%.3f < $minAlpha — review the " +
-                "annotation batch before syncing")
-          // batch_seq orders the audit rows (which fold batch produced
-          // which alpha); prev is report-scale, so the count is cheap
-          val seq = prev.map(_.count()).getOrElse(0L) + 1L
-          val rep = rep0.withColumn("batch_seq",
-            org.apache.spark.sql.functions.lit(seq))
-          prev.fold(rep)(p => p.unionByName(rep))
+          graft.functions.CorpusFunctions.reliabilityGateFold(
+            prev, inc, itemC, raterC, labelC, minAlpha, id.table)
         }
       case "curriculum" =>
         // score-ordered curriculum shard layout (VIEW shape): the derived

@@ -294,6 +294,23 @@ object StreamingPipeline {
       (prev, batch) => graft.functions.CorpusFunctions.driftGateFold(
         prev, batch, catCol, threshold, what = s"stream.$catCol"))
 
+  /** Streaming annotation-reliability gate — [[streamingDriftGate]]'s
+    * contract for label collection: each micro-batch's ratings must reach
+    * `minAlpha` Krippendorff alpha BEFORE its report folds into the
+    * cumulative audit state
+    * ([[graft.functions.CorpusFunctions.reliabilityGateFold]]). A breach
+    * throws inside foreachBatch → the query FAILS with the folded-batch
+    * cursor unmoved, so a restart re-gates the same annotation batch. */
+  def streamingReliabilityGate(spark: SparkSession, stagingDir: String,
+                               statePath: String, checkpointDir: String,
+                               itemCol: String, raterCol: String,
+                               labelCol: String,
+                               minAlpha: Double): DataFrame =
+    streamingFold(spark, stagingDir, statePath, checkpointDir)(
+      (prev, batch) => graft.functions.CorpusFunctions.reliabilityGateFold(
+        prev, batch, itemCol, raterCol, labelCol, minAlpha,
+        what = s"stream.$itemCol"))
+
   private def streamingFold(spark: SparkSession, stagingDir: String,
                             statePath: String, checkpointDir: String)(
       fold: (Option[DataFrame], DataFrame) => DataFrame): DataFrame = {

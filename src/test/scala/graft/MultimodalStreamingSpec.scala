@@ -444,6 +444,42 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(m3 == Map("en" -> 85L, "es" -> 115L), m3.toString)
   }
 
+  test("streaming reliability gate: agreeing batch folds the audit trail, " +
+    "a noisy batch fails and is re-gated until intervention") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir("relgate")
+    val staging = s"$dir/staged"
+    val statePath = s"$dir/state"
+    val ckpt = s"$dir/ckpt"
+    def gate(minAlpha: Double) = StreamingPipeline.streamingReliabilityGate(
+      spark, staging, statePath, ckpt, "item", "rater", "label", minAlpha)
+    // batch 1: perfect agreement across two categories -> alpha = 1
+    (for { i <- 1L to 4L; r <- 1L to 3L } yield (i, r, s"l${i % 2}"))
+      .toDF("item", "rater", "label").write.parquet(staging)
+    val s1 = gate(0.5)
+    assert(s1.count() == 1 && s1.head.getAs[Double]("alpha") == 1.0)
+    // batch 2: systematic 1-1 splits -> alpha far below the floor -> the
+    // QUERY fails and the audit state is untouched
+    (11L to 16L).flatMap(i => Seq((i, 1L, "A"), (i, 2L, "B")))
+      .toDF("item", "rater", "label").write.mode("append").parquet(staging)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      gate(0.5)
+    }
+    assert(e.getMessage.contains("reliability_gate"), e.getMessage)
+    assert(spark.read.parquet(statePath).count() == 1,
+      "breached batch must not fold into the audit state")
+    // re-gated on restart (cursor unmoved)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      gate(0.5)
+    }
+    // operator intervention (floor lowered) folds the SAME batch; the
+    // audit trail stays ordered by batch_seq
+    val s3 = gate(-1.0)
+    assert(s3.count() == 2)
+    assert(s3.collect().map(_.getAs[Long]("batch_seq")).sorted.toSeq ==
+      Seq(1L, 2L))
+  }
+
   test("streaming sketch maintenance: micro-batched state BIT-IDENTICAL to batch") {
     val s = spark; import s.implicits._
     import graft.operators.Sketches
