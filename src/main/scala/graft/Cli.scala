@@ -484,7 +484,18 @@ object Cli {
           throw CliExit(2)
         }
         graft.operators.Layout.writeOrderedShards(base, layout, idColumn, out)
-        val nOut = spark.read.parquet(out).count()
+        // count from parquet footers (zero jobs) — an EMPTY export has no
+        // data files at all, so a read-back would die on schema inference
+        // instead of giving the operator a usable error
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val nOut = graft.util.FsListing.parquetFilesMeta(out, hconf)
+          .map(f => graft.util.ParquetFooters.rowCount(f._1, hconf)).sum
+        if (nOut == 0L) {
+          System.err.println(s"export: 0 rows written — no '$idColumn' " +
+            s"values in $layoutName match ${id.qualified} (wrong layout " +
+            "or --id-column?)")
+          throw CliExit(2)
+        }
         println(s"exported ${id.qualified} via $layoutName: $nOut rows -> $out")
         0
 

@@ -509,7 +509,11 @@ object CorpusFunctions {
                           labelCol: String, minAlpha: Double,
                           what: String): DataFrame = {
     val rep0 = krippendorffAlpha(batch, itemCol, raterCol, labelCol)
-    val row = rep0.head()
+    // the statistic runs ONCE: the 1-row result is collected for the gate
+    // check and re-lifted for the fold (re-using rep0 would re-execute
+    // the whole aggregation at persist time)
+    val rows = rep0.collect()
+    val row = rows.head
     val aIdx = row.fieldIndex("alpha")
     if (!row.isNullAt(aIdx) && row.getDouble(aIdx) < minAlpha)
       throw new IllegalStateException(
@@ -518,7 +522,9 @@ object CorpusFunctions {
           "annotation batch before syncing")
     // batch_seq orders the audit rows; prev is report-scale, cheap count
     val seq = prev.map(_.count()).getOrElse(0L) + 1L
-    val rep = rep0.withColumn("batch_seq", lit(seq))
+    val rep = batch.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), rep0.schema)
+      .withColumn("batch_seq", lit(seq))
     prev.fold(rep)(p => p.unionByName(rep))
   }
 
@@ -679,9 +685,10 @@ object CorpusFunctions {
     * Scale: each benchmark's distinct shingle-hash set broadcasts (eval
     * suites are small by construction); the corpus is shingled ONCE and
     * the hash join + (id, benchmark) aggregation carry 8-byte hashes and
-    * names, never text. Duplicate doc ids (multi-session folds) collapse
-    * to one deterministic representative first — one extra md5-keyed
-    * partial-agg, still no text on the exchange. */
+    * names, never text. Duplicate (id, text) deliveries collapse via one
+    * distinct pass; differing versions of an id are each scored and the
+    * worst one is reported — still no text on the post-shingle
+    * exchanges. */
   def contaminationMatrix(docs: DataFrame, benchmarks: DataFrame,
                           idCol: String, textCol: String, benchCol: String,
                           shingleN: Int = 3,
@@ -693,30 +700,35 @@ object CorpusFunctions {
         DedupFunctions.shingleHashes(col(textCol), shingleN).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("benchmark"), explode(col("hs")).as("h")).distinct()
-    // duplicate idCol rows (a multi-session fold re-delivering a doc) would
-    // double-count n_hits against a single-row n_shingles and push overlap
-    // past 1.0 — reduce to ONE deterministic representative per id (max of
-    // textCol) before shingling so overlap stays a true fraction
-    val docsOne = docs
-      .select(col(idCol), col(textCol))
-      .groupBy(col(idCol)).agg(max(col(textCol)).as(textCol))
+    // a re-delivered doc may arrive as SEVERAL text versions under one id
+    // (multi-session folds): every DISTINCT (id, text) version is scored —
+    // collapsing to one representative would let a contaminated version
+    // hide behind a clean one, the exact leak the gate exists to block —
+    // and per (id, benchmark) the WORST version's row wins (max overlap,
+    // ties to the larger shingle set), so overlap stays a true fraction
+    // of one version
+    val docsOne = docs.select(col(idCol), col(textCol)).distinct()
     val docH = docsOne
-      .select(col(idCol),
+      .select(col(idCol), md5(col(textCol)).as("__v"),
         DedupFunctions.shingleHashes(col(textCol), shingleN).as("hs"))
       .filter(size(col("hs")) > 0)
-      .select(col(idCol), size(col("hs")).as("n_shingles"),
+      .select(col(idCol), col("__v"),
+        size(col("hs")).cast("long").as("n_shingles"),
         explode(col("hs")).as("h"))
     docH
       .join(broadcast(benchShingles), Seq("h"))
-      .groupBy(col(idCol), col("benchmark"))
+      .groupBy(col(idCol), col("__v"), col("benchmark"))
       .agg(first(col("n_shingles")).as("n_shingles"),
         count(lit(1)).as("n_hits"))
       .withColumn("overlap",
         col("n_hits").cast("double") / col("n_shingles").cast("double"))
-      .filter(col("overlap") >= minOverlap)
+      .groupBy(col(idCol), col("benchmark"))
+      .agg(max(struct(col("overlap"), col("n_shingles"), col("n_hits")))
+        .as("__w"))
+      .filter(col("__w.overlap") >= minOverlap)
       .select(col(idCol), col("benchmark"),
-        col("n_shingles").cast("long").as("n_shingles"),
-        col("n_hits"), col("overlap"))
+        col("__w.n_shingles").as("n_shingles"),
+        col("__w.n_hits").as("n_hits"), col("__w.overlap").as("overlap"))
   }
 
   /** Corpus-relative n-gram COMMONNESS — per-doc templatedness against the

@@ -203,14 +203,18 @@ object TextFunctions {
         alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"),
         bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"))
       .withColumn("pass",
-        col("n_words") >= minWords && col("n_words") <= maxWords &&
-          col("mean_word_len") >= minMeanWordLen &&
-          col("mean_word_len") <= maxMeanWordLen &&
-          col("symbol_ratio") <= maxSymbolRatio &&
-          col("alpha_frac") >= minAlphaFrac &&
-          col("bullet_frac") <= maxBulletFrac &&
-          col("ellipsis_frac") <= maxEllipsisFrac &&
-          col("stop_hits") >= minStopHits)
+        // coalesce: a NULL text makes every measure NULL and the whole
+        // conjunction NULL — the verdict must still be a firm FALSE
+        // (3VL NULL vanishes from both .filter(pass) and .filter(!pass))
+        coalesce(
+          col("n_words") >= minWords && col("n_words") <= maxWords &&
+            col("mean_word_len") >= minMeanWordLen &&
+            col("mean_word_len") <= maxMeanWordLen &&
+            col("symbol_ratio") <= maxSymbolRatio &&
+            col("alpha_frac") >= minAlphaFrac &&
+            col("bullet_frac") <= maxBulletFrac &&
+            col("ellipsis_frac") <= maxEllipsisFrac &&
+            col("stop_hits") >= minStopHits, lit(false)))
   }
 
   /** Full text-analysis projection over a documents table. */

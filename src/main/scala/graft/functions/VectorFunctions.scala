@@ -85,12 +85,22 @@ object VectorFunctions {
     * dropped whole (the [[randomProjection]] convention — a partly-null
     * vector is exactly the corruption this report exists to flag, so it
     * must not be silently averaged into n while the sums skip it). */
+  /** The reference vector width of a corpus: the MAJORITY width, ties to
+    * the wider — 0 for empty/all-null input. ONE definition for every
+    * operator that probes a width before filtering to it: a first-row
+    * probe would make results depend on scan order whenever a corrupt
+    * minority width is present. */
+  private def majorityDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d") > 0)
+      .groupBy(col("__d")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__d").desc).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+
   def embeddingDimStats(df: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val dim = df.select(size(col(vecCol)).as("__d"))
-      .filter(col("__d") > 0).limit(1)
-      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    val dim = majorityDim(df, vecCol)
     val quantized = df
       .filter(size(col(vecCol)) === dim &&
         !exists(col(vecCol), x => x.isNull))
@@ -141,9 +151,7 @@ object VectorFunctions {
                        vecCol: String = "embedding",
                        outCol: String = "reduced"): DataFrame = {
     require(outDim > 0, s"outDim must be positive, got $outDim")
-    val dim = df.select(size(col(vecCol)).as("__d"))
-      .filter(col("__d") > 0).limit(1)
-      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    val dim = majorityDim(df, vecCol)
     if (dim == 0) // empty input (or all-null vectors): nothing to project
       return df.select(col(idCol),
         typedlit(Seq.empty[Double]).as(outCol)).limit(0)
@@ -976,9 +984,7 @@ object VectorFunctions {
                               maxBucketSize: Int = 10000): DataFrame = {
     // an empty increment (or an all-null embedding column) must yield an
     // empty pair set, not a driver exception on head()
-    val dim = corpus.select(size(col(vecCol)).as("__d"))
-      .filter(col("__d") > 0).limit(1)
-      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    val dim = majorityDim(corpus, vecCol)
     if (dim == 0) {
       val s = corpus.sparkSession
       import org.apache.spark.sql.types._

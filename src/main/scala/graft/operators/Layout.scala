@@ -71,6 +71,16 @@ object Layout {
     * the shard-count knob controls. */
   def writeOrderedShards(docs: DataFrame, layout: DataFrame, idCol: String,
                          outDir: String): Unit = {
+    // duplicate payload ids would each take EVERY address the layout
+    // assigned that id — duplicated pos values inside a shard, silently
+    // corrupted read order. Refuse loudly (the rebalanceToMixture
+    // convention); one aggregate pass, the same cost class as the export
+    // scan itself.
+    val dup = docs.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count()
+    require(dup == 0L,
+      s"writeOrderedShards: duplicate '$idCol' values in the corpus — " +
+        "every id must map to ONE payload row (dedup before exporting)")
     val joined = docs.join(layout.select(col(idCol), col("shard"),
       col("pos")), Seq(idCol))
     // tolerate int or long shard columns (the doc invites any

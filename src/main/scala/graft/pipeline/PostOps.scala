@@ -195,11 +195,15 @@ object PostOps {
             throw new IllegalStateException(
               s"post_op 'contamination_gate' (target ${po.target}): " +
                 s"benchmark table ${refId2.scoped} has never been loaded"))
+          // localCheckpoint materializes the sparse matrix ONCE: the
+          // worst-overlap probe and the report persist both read the
+          // checkpointed partitions instead of re-shingling the increment
           val m = graft.functions.CorpusFunctions.contaminationMatrix(
             inc, bench.select(org.apache.spark.sql.functions
               .lit(po.reference.get).as("benchmark"),
               col(po.textColumn.get)),
             po.idColumn.get, po.textColumn.get, "benchmark")
+            .localCheckpoint(true)
           val worstRow = m.agg(fmax(col("overlap"))).head()
           val worst = if (worstRow.isNullAt(0)) 0.0 else worstRow.getDouble(0)
           if (worst >= thr) throw new IllegalStateException(

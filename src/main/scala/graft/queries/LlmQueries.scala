@@ -711,14 +711,14 @@ object LlmQueries {
              |  stop_hits,
              |  n_bullet * 1.0 / NULLIF(n_lines, 0) AS bullet_frac,
              |  n_ell * 1.0 / NULLIF(n_lines, 0) AS ellipsis_frac,
-             |  (n_words >= 50 AND n_words <= 100000
+             |  COALESCE((n_words >= 50 AND n_words <= 100000
              |    AND sum_len * 1.0 / NULLIF(n_words, 0) >= 3.0
              |    AND sum_len * 1.0 / NULLIF(n_words, 0) <= 10.0
              |    AND n_sym * 1.0 / NULLIF(n_words, 0) <= 0.1
              |    AND n_alpha * 1.0 / NULLIF(n_words, 0) >= 0.8
              |    AND n_bullet * 1.0 / NULLIF(n_lines, 0) <= 0.9
              |    AND n_ell * 1.0 / NULLIF(n_lines, 0) <= 0.3
-             |    AND stop_hits >= 2) AS pass
+             |    AND stop_hits >= 2), FALSE) AS pass
              |FROM m""".stripMargin)),
 
     // ---------------------------- corpus-relative n-gram commonness

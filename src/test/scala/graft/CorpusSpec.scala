@@ -1084,6 +1084,12 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text").head()
     assert(e.getLong(1) == 0L && !e.getAs[Boolean]("pass"))
     assert(e.isNullAt(e.fieldIndex("mean_word_len")))
+    // NULL text: every measure NULL but the verdict is still a firm FALSE
+    // (a 3VL NULL would vanish from both pass and reject filters)
+    val n = graft.functions.TextFunctions.gopherQualityReport(
+      Seq((10L, Option.empty[String])).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    assert(!n.isNullAt(n.fieldIndex("pass")) && !n.getAs[Boolean]("pass"))
   }
 
   test("contaminationMatrix: per-benchmark overlaps, sparse, threshold") {
@@ -1115,15 +1121,25 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       docs, bench, "doc_id", "text", "benchmark", minOverlap = 0.9)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(hi == Set((1L, "A"), (3L, "B")))
-    // duplicate doc ids (a multi-session fold re-delivering rows) collapse
-    // to one representative: counts match the single-copy run exactly and
-    // overlap can never exceed 1.0
+    // exact duplicate deliveries (a multi-session fold re-sending rows)
+    // collapse: counts match the single-copy run and overlap stays <= 1
     val dup = CorpusFunctions.contaminationMatrix(
       docs.unionAll(docs), bench, "doc_id", "text", "benchmark").collect()
       .map(r => (r.getLong(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(dup == m, s"duplicated input changed the matrix: $dup vs $m")
     assert(dup.values.forall(_._3 <= 1.0))
+    // DIFFERING versions of one id are each scored and the WORST wins: a
+    // contaminated version must not hide behind a clean rewrite
+    val versions = docs.unionAll(Seq(
+      (9L, "zzz totally unrelated clean rewrite here"),   // lex max, clean
+      (9L, "alpha beta gamma delta epsilon")              // verbatim leak
+    ).toDF("doc_id", "text"))
+    val mv = CorpusFunctions.contaminationMatrix(
+      versions, bench, "doc_id", "text", "benchmark").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(mv((9L, "A")) == 1.0,
+      s"contaminated version hidden behind the clean one: $mv")
   }
 
   test("knLogProbScores: continuation counts reward versatile words " +

@@ -143,5 +143,13 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
         assert(addr(id) == ((shard, pos)), s"doc $id misplaced") }
     }
     assert(total == 500L)
+    // duplicate payload ids would take every address assigned to the id
+    // (duplicated pos inside a shard, corrupted read order): refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Layout.writeOrderedShards(
+        docs.unionAll(docs.limit(1)), layout, "id",
+        tmpDir("ordered_dup") + "/shards")
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
   }
 }

@@ -1469,6 +1469,11 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     (1L to 200L).map(i => (i, s"text_$i", i * 13 % 97))
       .toDF("doc_id", "text", "score")
       .write.parquet(s"$srcDir/docs.parquet")
+    // a second table whose ids are DISJOINT from the layout's (the
+    // wrong-layout misuse case)
+    (1001L to 1010L).map(i => (i, s"other_$i", i % 7))
+      .toDF("doc_id", "text", "score")
+      .write.parquet(s"$srcDir/other.parquet")
     val ymlPath = java.nio.file.Paths.get(tmpDir("export_cli_cfg"), "p.yml")
     java.nio.file.Files.writeString(ymlPath,
       s"""pipeline:
@@ -1476,6 +1481,9 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
          |  source: "$srcDir"
          |  target: "warehouse"
          |tables:
+         |  fx.other:
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "doc_id"
          |  fx.docs:
          |    cdc_strategy: "id_only"
          |    cdc_id_column: "doc_id"
@@ -1506,6 +1514,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // unknown layout table exits cleanly too
     assert(cli("export", "-t", "fx.docs",
       "--layout", "nope", "--out", out + "2") == 2)
+    // an export whose ids are disjoint from the layout writes 0 rows:
+    // a clean usage error (exit 2), not a schema-inference stack trace
+    assert(cli("export", "-t", "fx.other", "--layout", "docs_cur",
+      "--out", tmpDir("export_cli_empty") + "/shards") == 2)
   }
 
   test("CLI diff: parity exits 0, divergence is counted and exits 1") {

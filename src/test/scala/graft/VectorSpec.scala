@@ -367,6 +367,18 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(mh(0) == ((2L, 1.0)), s"holed vector leaked into dim 0: $mh")
     assert(mh(1) == ((2L, 3.0)), s"holed vector skewed dim 1: $mh")
+    // reference width = MAJORITY width regardless of row order: a corrupt
+    // minority must be the thing dropped, not the healthy majority
+    val mixed = Seq(
+      (1L, Seq(9.0f)),          // corrupt truncated vector FIRST
+      (2L, Seq(1.0f, 2.0f)),
+      (3L, Seq(1.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    Seq(mixed, mixed.repartition(7)).foreach { v =>
+      val dims = VectorFunctions.embeddingDimStats(v).collect()
+        .map(_.getInt(0)).toSet
+      assert(dims == Set(0, 1), s"majority width not chosen: $dims")
+    }
   }
 
   test("rankingEval: perfect, disjoint and partial overlaps score exactly") {
