@@ -553,6 +553,30 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "n1tot must broadcast")
   }
 
+  test("ngramCommonness: exchanges carry hashes and ids, never text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.functions.CorpusFunctions.ngramCommonness(
+      docs, "doc_id", "text")
+    df.count()
+    physical(df).collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      val cols = e.child.output.map(_.name.takeWhile(_ != '#')).toSet
+      assert(!cols.contains("text") && !cols.contains("hs"),
+        s"document payload rides a commonness exchange: $cols")
+    }
+  }
+
+  test("sourceOverlapMatrix: exchanges carry (group, hash), never text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.functions.CorpusFunctions.sourceOverlapMatrix(
+      docs, "source", "text")
+    df.count()
+    physical(df).collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      val cols = e.child.output.map(_.name.takeWhile(_ != '#')).toSet
+      assert(!cols.contains("text") && !cols.contains("hs"),
+        s"document payload rides an overlap exchange: $cols")
+    }
+  }
+
   test("dsirSelect: ratio broadcasts, top-k is TakeOrdered, no text rides") {
     // pin the INTERNAL lazy plan (the public operator is eager: it
     // persists the one-scan feature relation, materializes the k rows
