@@ -652,6 +652,18 @@ object CorpusFunctions {
       .withColumn("r", row_number().over(w))
       .select(round(log(col("r").cast("double")), 6).cast(dec).as("x"),
         round(log(col("f").cast("double")), 6).cast(dec).as("y"))
+    stats.crossJoin(logLogOlsRow(pts))
+      .select(col("n_types"), col("total_tokens"),
+        col("rr").as("top_r_used"),
+        col("slope"), col("intercept"), col("r2"))
+  }
+
+  /** Closed-form OLS over 6-decimal-rounded log-log points — ONE
+    * definition for [[zipfFit]] and [[heapsFit]]: `pts` is (x, y) as
+    * DECIMAL(18,6); returns 1 row (rr, slope, intercept, r2) with the
+    * five sums folded exactly and the fit as fixed parenthesized IEEE
+    * steps (NULL fit when fewer than 2 points / a degenerate spread). */
+  private def logLogOlsRow(pts: DataFrame): DataFrame = {
     val s = pts.agg(count(lit(1)).as("rr"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(col("x") * col("x")).as("sxx"),
@@ -662,14 +674,92 @@ object CorpusFunctions {
     val num = r * d("sxy") - d("sx") * d("sy")
     val denX = r * d("sxx") - d("sx") * d("sx")
     val denY = r * d("syy") - d("sy") * d("sy")
-    stats.crossJoin(s)
+    s.select(col("rr"),
+      when(col("rr") >= 2, num / denX).as("slope"),
+      when(col("rr") >= 2, (d("sy") - (num / denX) * d("sx")) / r)
+        .as("intercept"),
+      when(col("rr") >= 2 && denY =!= 0.0, num * num / (denX * denY))
+        .as("r2"))
+  }
+
+  /** HEAPS' LAW vocabulary-growth fit — the second corpus-health curve
+    * next to [[zipfFit]]: V(N) ≈ K·N^β over cumulative token count N,
+    * fit as ln V = β·ln N + ln K. Natural language sits near β ≈ 0.4–0.6;
+    * β drifting toward 1 means unbounded novel tokens (serial numbers,
+    * noise, encoding damage), β collapsing toward 0 means a template
+    * flood has stopped growing the vocabulary.
+    *
+    * The growth curve is sampled at `points` id-value checkpoints between
+    * min and max of the NUMERIC `idCol` (a doc's tokens enter the curve
+    * at its id — any stable corpus order works, and the fixture ids are
+    * load order). V at a checkpoint counts terms whose FIRST doc id is ≤
+    * the cut; N sums tokens of docs ≤ the cut.
+    *
+    * Engine parity: checkpoints are exact integer arithmetic from the
+    * min/max probe; V/N are exact counts; the fit is [[zipfFit]]'s shared
+    * 6-decimal-ln OLS.
+    *
+    * Scale: NO cumulative window anywhere — first-occurrence is a
+    * term-scale min-agg, per-doc sizes a partial-agg count, and all
+    * `points` cumulative cuts evaluate as conditional sums in ONE pass
+    * over each relation (2·points aggregates, one output row); the only
+    * driver actions are the 1-row min/max probe. */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+               points: Int = 64): DataFrame = {
+    require(points >= 2, s"points must be at least 2, got $points")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val emptySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_types",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_points_used",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("beta",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ln_k",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("r2",
+        org.apache.spark.sql.types.DoubleType)))
+    val bounds = docs.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).head()
+    if (bounds.isNullAt(0))
+      return docs.sparkSession.createDataFrame(
+        docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        emptySchema)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val cs: Seq[Long] =
+      (1 to points).map(k => lo + ((hi - lo) * k.toLong) / points).distinct
+    val tok = docs.select(col(idCol).cast("long").as("__id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val firstDoc = tok.groupBy(col("term")).agg(min(col("__id")).as("fd"))
+    val newPerDoc = firstDoc.groupBy(col("fd"))
+      .agg(count(lit(1)).as("nv"))
+    val tokPerDoc = tok.groupBy(col("__id")).agg(count(lit(1)).as("nt"))
+    val vRow = newPerDoc.agg(
+      sum(col("nv")).as("__tv"),
+      cs.zipWithIndex.map { case (c, i) =>
+        sum(when(col("fd") <= c, col("nv"))).as(s"__v$i") }: _*)
+    val nRow = tokPerDoc.agg(
+      sum(col("nt")).as("__tn"),
+      cs.zipWithIndex.map { case (c, i) =>
+        sum(when(col("__id") <= c, col("nt"))).as(s"__n$i") }: _*)
+    val one = vRow.crossJoin(nRow)
+    val pts = one
+      .select(explode(array(cs.indices.map(i =>
+        struct(coalesce(col(s"__v$i"), lit(0L)).as("v"),
+          coalesce(col(s"__n$i"), lit(0L)).as("n"))): _*)).as("p"))
+      .select(col("p.v").as("v"), col("p.n").as("n"))
+      .filter(col("v") > 0 && col("n") > 0)
+      .distinct()
+      .select(round(log(col("n").cast("double")), 6).cast(dec).as("x"),
+        round(log(col("v").cast("double")), 6).cast(dec).as("y"))
+    one.select(coalesce(col("__tv"), lit(0L)).as("n_types"),
+        coalesce(col("__tn"), lit(0L)).as("total_tokens"))
+      .crossJoin(logLogOlsRow(pts))
       .select(col("n_types"), col("total_tokens"),
-        col("rr").as("top_r_used"),
-        when(col("rr") >= 2, num / denX).as("slope"),
-        when(col("rr") >= 2, (d("sy") - (num / denX) * d("sx")) / r)
-          .as("intercept"),
-        when(col("rr") >= 2 && denY =!= 0.0, num * num / (denX * denY))
-          .as("r2"))
+        col("rr").as("n_points_used"),
+        col("slope").as("beta"), col("intercept").as("ln_k"), col("r2"))
   }
 
   /** Per-BENCHMARK contamination report — [[contaminationScores]] against

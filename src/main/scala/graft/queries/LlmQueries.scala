@@ -658,6 +658,67 @@ object LlmQueries {
              |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r2
              |FROM stats, s""".stripMargin)),
 
+    // ------------------------------ Heaps' law vocabulary-growth fit
+    // V(N) ~ K*N^beta sampled at 64 doc-id checkpoints; shared 6-decimal
+    // log-log OLS with q_zipf_fit.
+    Q("q_heaps_fit",
+      (s, dir) => graft.functions.CorpusFunctions.heapsFit(
+        Tables.df(s, dir, "documents"), "doc_id", "text", points = 64),
+      Some(s"""WITH tok AS (SELECT doc_id AS id, unnest($toksSql) AS term
+             |             FROM documents),
+             |b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+             |      FROM documents),
+             |cs AS (SELECT DISTINCT lo + ((hi - lo) * k) // 64 AS c
+             |       FROM b, (SELECT unnest(generate_series(1, 64)) AS k)),
+             |fd AS (SELECT term, MIN(id) AS fd FROM tok GROUP BY 1),
+             |nv AS (SELECT fd, CAST(COUNT(*) AS BIGINT) AS nv
+             |       FROM fd GROUP BY 1),
+             |nt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS nt
+             |       FROM tok GROUP BY 1),
+             |vk AS (SELECT c, CAST(COALESCE(SUM(CASE WHEN fd <= c
+             |           THEN nv END), 0) AS BIGINT) AS v
+             |       FROM cs, nv GROUP BY 1),
+             |nk AS (SELECT c, CAST(COALESCE(SUM(CASE WHEN id <= c
+             |           THEN nt END), 0) AS BIGINT) AS n
+             |       FROM cs, nt GROUP BY 1),
+             |pts AS (SELECT DISTINCT v, n FROM vk JOIN nk USING (c)
+             |        WHERE v > 0 AND n > 0),
+             |lp AS (SELECT
+             |    CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             |    CAST(round(ln(CAST(v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+             |  FROM pts),
+             |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS rr,
+             |        SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+             |        SUM(x*y) AS sxy, SUM(y*y) AS syy FROM lp),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM fd),
+             |tt AS (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT)
+             |         AS total_tokens FROM nt)
+             |SELECT n_types, total_tokens, rr AS n_points_used,
+             |  CASE WHEN rr >= 2 THEN
+             |    (CAST(rr AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (CAST(rr AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS beta,
+             |  CASE WHEN rr >= 2 THEN
+             |    (CAST(sy AS DOUBLE) -
+             |     ((CAST(rr AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |      (CAST(rr AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+             |     CAST(sx AS DOUBLE)) / CAST(rr AS DOUBLE) END AS ln_k,
+             |  CASE WHEN rr >= 2 AND
+             |      (CAST(rr AS DOUBLE) * CAST(syy AS DOUBLE) -
+             |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0 THEN
+             |    ((CAST(rr AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+             |     (CAST(rr AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+             |    ((CAST(rr AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |     (CAST(rr AS DOUBLE) * CAST(syy AS DOUBLE) -
+             |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r2
+             |FROM tot, tt, s""".stripMargin)),
+
     // ------------------------------------ Gopher rule-based quality report
     // The Rae 2021 filter battery per doc: word-count bounds, mean word
     // length, symbol ratio, alpha-word fraction, bullet/ellipsis line

@@ -1051,6 +1051,32 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("heapsFit: linear vocab growth nears beta 1, constant vocab fits " +
+    "beta 0, empty-safe, tiny points refused") {
+    val s = spark
+    import s.implicits._
+    // each doc adds exactly 2 new types and 4 tokens: V = 2+2d, N = 4d
+    val grow = (1L to 20L).map(i => (i, s"a b c$i d$i")).toDF("doc_id", "text")
+    val g = CorpusFunctions.heapsFit(grow, "doc_id", "text", points = 4)
+      .head()
+    assert(g.getLong(0) == 42L && g.getLong(1) == 80L && g.getLong(2) == 4L)
+    assert(g.getDouble(3) > 0.8 && g.getDouble(3) < 1.0,
+      s"near-linear growth beta: ${g.getDouble(3)}")
+    assert(g.getDouble(5) > 0.98, s"r2 ${g.getDouble(5)}")
+    // identical docs: V constant -> beta ~ 0 (flat fit)
+    val flat = (1L to 20L).map(i => (i, "x y z")).toDF("doc_id", "text")
+    val f = CorpusFunctions.heapsFit(flat, "doc_id", "text", points = 4)
+      .head()
+    assert(f.getLong(0) == 3L && math.abs(f.getDouble(3)) < 1e-9,
+      s"flat growth beta: ${f.getDouble(3)}")
+    // empty corpus: empty result, no probe crash
+    assert(CorpusFunctions.heapsFit(
+      grow.filter(col("doc_id") < 0), "doc_id", "text").count() == 0)
+    intercept[IllegalArgumentException] {
+      CorpusFunctions.heapsFit(grow, "doc_id", "text", points = 1)
+    }
+  }
+
   test("gopherQualityReport: each rule fires on its planted violation") {
     val s = spark
     import s.implicits._
