@@ -611,6 +611,51 @@ object LlmQueries {
              |  CAST(pp * 1000000000 AS BIGINT) AS weight_int
              |FROM p, z""".stripMargin)),
 
+    // --------------------- temperature mixture -> exact rebalance carve
+    // The composition the weights exist for: share^0.5 weights at 1e-6
+    // fixed point (scaled from weight_int so the quota arithmetic n*SumW
+    // stays in BIGINT range at any corpus size) drive rebalanceToMixture's
+    // exact integer quotas. Oracle replays weights AND carve end-to-end.
+    Q("q_temperature_rebalance",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val w = graft.functions.CorpusFunctions
+          .temperatureMixtureWeights(docs, "lang", alpha = 0.5)
+          .select(col("lang"), expr("weight_int div 1000").as("wk"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+          .filter(_._2 > 0).sortBy(_._1).toSeq
+        graft.functions.CorpusFunctions.rebalanceToMixture(
+          docs, "lang", w, "doc_id")
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+             |           FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+             |t AS (SELECT SUM(n) AS tt FROM c),
+             |wf AS (SELECT lang, w FROM (
+             |    SELECT lang,
+             |      CAST(CAST(round(pow(
+             |          CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 0.5), 9)
+             |        AS DECIMAL(28,9)) * 1000000000 AS BIGINT) // 1000 AS w
+             |    FROM c, t) WHERE w > 0),
+             |sw AS (SELECT SUM(w) AS sumw FROM wf),
+             |counts AS (SELECT lang, COUNT(*) AS n FROM documents
+             |           GROUP BY lang),
+             |feas AS (SELECT c2.lang, w.w,
+             |           (c2.n * (SELECT sumw FROM sw)) // w.w AS cap
+             |         FROM counts c2 JOIN wf w USING (lang)),
+             |quota AS (SELECT lang,
+             |            (w * (SELECT MIN(cap) FROM feas)) //
+             |              (SELECT sumw FROM sw) AS keep
+             |          FROM feas),
+             |ranked AS (
+             |  SELECT d.doc_id, d.lang, q.keep,
+             |    ROW_NUMBER() OVER (PARTITION BY d.lang
+             |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+             |  FROM documents d JOIN quota q USING (lang)
+             |  WHERE q.keep > 0)
+             |SELECT doc_id, lang FROM ranked
+             |WHERE rn <= keep""".stripMargin)),
+
     // ----------------------------------- Zipf rank-frequency OLS (R=500)
     // Corpus-health fit: ln-ln least squares over the top-500 term
     // frequencies; 6-decimal ln rounding, exact decimal OLS sums.
