@@ -623,6 +623,39 @@ object CorpusFunctions {
         (col("__p") * lit(1000000000L)).cast("long").as("weight_int"))
   }
 
+  /** Mixture DIVERSITY metrics — the two numbers a data card quotes about
+    * a corpus mix: Shannon entropy H = ln n − (Σ n_g·ln n_g)/n (nats; how
+    * evenly the mass spreads over groups) and Gini–Simpson 1 − Σ n_g²/n²
+    * (the chance two random docs differ in group). A release dominated by
+    * one source scores near 0 on both however many groups nominally
+    * exist. NULL groups are dropped.
+    *
+    * Engine parity: Gini–Simpson is pure integer arithmetic (Σ n_g² as
+    * DECIMAL(38,0)) with one IEEE quotient; each entropy term n_g·ln(n_g)
+    * rounds to 6 decimals into an exact DECIMAL sum, then two IEEE steps.
+    *
+    * Scale: one partial-agg count pass; everything after is
+    * group-cardinality with a 1-row output. */
+  def mixtureDiversity(df: DataFrame, groupCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_g")).as("n_rows"),
+        sum((col("n_g").cast(dec38) * col("n_g").cast(dec38))).as("__sq"),
+        sum(round(col("n_g").cast("double") *
+          log(col("n_g").cast("double")), 6).cast(dec)).as("__sl"))
+      .select(col("n_groups"), col("n_rows"),
+        when(col("n_rows") > 0,
+          log(col("n_rows").cast("double")) -
+            col("__sl").cast("double") / col("n_rows").cast("double"))
+          .as("entropy_nats"),
+        when(col("n_rows") > 0,
+          lit(1.0) - col("__sq").cast("double") /
+            (col("n_rows").cast(dec38) * col("n_rows").cast(dec38))
+              .cast("double")).as("gini_simpson"))
+  }
+
   /** ZIPF rank-frequency fit — the corpus-health diagnostic that catches
     * template/boilerplate floods (slope far from −1, r² collapse) before
     * they poison training: closed-form log-log OLS over the top-R term

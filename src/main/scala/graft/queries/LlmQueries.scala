@@ -589,6 +589,25 @@ object LlmQueries {
              |    CAST(COUNT(*) AS DOUBLE) AS agree_rate
              |FROM loo WHERE rn = 1 GROUP BY 1""".stripMargin)),
 
+    // ------------------------------------- mixture diversity (data card)
+    // Shannon entropy (nats) + Gini-Simpson of the documents.lang mix;
+    // integer-exact Σn_g², 6-decimal-rounded entropy terms.
+    Q("q_mixture_diversity",
+      (s, dir) => graft.functions.CorpusFunctions.mixtureDiversity(
+        Tables.df(s, dir, "documents"), "lang"),
+      Some("""WITH g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g
+             |           FROM documents WHERE lang IS NOT NULL GROUP BY 1)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |  CAST(SUM(n_g) AS BIGINT) AS n_rows,
+             |  ln(CAST(SUM(n_g) AS DOUBLE)) -
+             |    CAST(SUM(CAST(round(CAST(n_g AS DOUBLE) *
+             |        ln(CAST(n_g AS DOUBLE)), 6) AS DECIMAL(28,6)))
+             |      AS DOUBLE) / CAST(SUM(n_g) AS DOUBLE) AS entropy_nats,
+             |  1.0 - CAST(SUM(CAST(n_g AS HUGEINT) * n_g) AS DOUBLE) /
+             |    CAST(CAST(SUM(n_g) AS HUGEINT) * SUM(n_g) AS DOUBLE)
+             |    AS gini_simpson
+             |FROM g""".stripMargin)),
+
     // ------------------------- temperature-scaled mixture weights (α=0.5)
     // The multilingual sampling rule over documents.lang: weights ∝
     // share^0.5 flatten the mix; weight_int is the exact 9-decimal

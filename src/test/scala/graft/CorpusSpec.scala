@@ -1051,6 +1051,22 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mixtureDiversity: uniform mix hits ln(k) and 1-1/k, single group " +
+    "zeroes both, nulls dropped") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(Some("a"), Some("a"), Some("b"), Some("b"), None)
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "g")
+    val r = CorpusFunctions.mixtureDiversity(docs, "g").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(math.abs(r.getDouble(2) - math.log(2.0)) < 1e-5,
+      s"uniform entropy: ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.5)
+    val one = CorpusFunctions.mixtureDiversity(
+      docs.filter(col("g") === "a"), "g").head()
+    assert(math.abs(one.getDouble(2)) < 1e-5 && one.getDouble(3) == 0.0)
+  }
+
   test("heapsFit: linear vocab growth nears beta 1, constant vocab fits " +
     "beta 0, empty-safe, tiny points refused") {
     val s = spark
