@@ -573,6 +573,53 @@ object CorpusFunctions {
           .as("agree_rate"))
   }
 
+  /** Per-RATER label-BIAS report — PSI of each rater's label mix against
+    * the pooled mix (the [[distributionDrift]] arithmetic, per rater):
+    * catches the annotator who always answers "safe" / grades everything
+    * 3, which per-item agreement alone can miss when items are easy. One
+    * value per (item, rater) (min non-null label, the
+    * [[krippendorffAlpha]] convention); categories are the pooled label
+    * set, add-1 smoothed so a rater's unused labels stay finite. Reads as
+    * PSI: < 0.1 in line with the pool, > 0.25 strongly biased.
+    *
+    * Engine parity: the drift convention verbatim — IEEE share quotients
+    * of exact integers, 6-decimal-rounded ln, 9-decimal DECIMAL
+    * contributions summed exactly per rater.
+    *
+    * Scale: vote-scale partial aggs, then a (raters × labels) grid with
+    * the label relation broadcast — label cardinality is human-scale;
+    * output is one row per rater. */
+  def raterBiasReport(df: DataFrame, itemCol: String, raterCol: String,
+                      labelCol: String): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val vals = df
+      .select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+        col(labelCol).as("__l"))
+      .filter(col("__l").isNotNull)
+      .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__l"))
+    val perRater = vals.groupBy(col("__r"), col("__l"))
+      .agg(count(lit(1)).as("n_r"))
+    val pool = vals.groupBy(col("__l")).agg(count(lit(1)).as("n_p"))
+    val tot = pool.agg(count(lit(1)).as("__k"), sum(col("n_p")).as("__tp"))
+    val raterTot = vals.groupBy(col("__r")).agg(count(lit(1)).as("t_r"))
+    val grid = raterTot
+      .crossJoin(broadcast(pool))
+      .join(perRater, Seq("__r", "__l"), "left_outer")
+      .select(col("__r"), col("t_r"), col("n_p"),
+        coalesce(col("n_r"), lit(0L)).as("n_r"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pa", (col("n_r") + 1).cast("double") /
+        (col("t_r") + col("__k")).cast("double"))
+      .withColumn("pb", (col("n_p") + 1).cast("double") /
+        (col("__tp") + col("__k")).cast("double"))
+      .withColumn("__c",
+        round((col("pa") - col("pb")) *
+          round(log(col("pa") / col("pb")), 6), 9).cast(dec9))
+    grid.groupBy(col("__r").as(raterCol))
+      .agg(first(col("t_r")).as("n_votes"),
+        sum(col("__c")).cast("double").as("psi"))
+  }
+
   /** TEMPERATURE-SCALED mixture weights (the multilingual α-sampling rule,
     * Conneau & Lample 2019 / mT5): resampling weights w_g ∝ share_g^α that
     * flatten (α < 1) or sharpen (α > 1) a corpus mix — the knob every

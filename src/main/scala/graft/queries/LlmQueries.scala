@@ -589,6 +589,46 @@ object LlmQueries {
              |    CAST(COUNT(*) AS DOUBLE) AS agree_rate
              |FROM loo WHERE rn = 1 GROUP BY 1""".stripMargin)),
 
+    // ----------------------------------------- per-rater label-bias PSI
+    // Each rater's label mix vs the pooled mix, the drift arithmetic per
+    // rater (add-1 over the pooled label set, 6-decimal ln, 9-decimal
+    // decimal contributions).
+    Q("q_rater_bias",
+      (s, dir) => graft.functions.CorpusFunctions.raterBiasReport(
+        Tables.df(s, dir, "events")
+          .select((col("event_id") % 499).as("item_id"), col("user_id"),
+            col("event_type")),
+        "item_id", "user_id", "event_type"),
+      Some("""WITH vals AS (
+             |  SELECT event_id % 499 AS i, user_id AS r,
+             |    MIN(event_type) AS l
+             |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+             |pr AS (SELECT r, l, CAST(COUNT(*) AS BIGINT) AS n_r
+             |       FROM vals GROUP BY 1, 2),
+             |pool AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS n_p
+             |         FROM vals GROUP BY 1),
+             |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |         CAST(SUM(n_p) AS BIGINT) AS tp FROM pool),
+             |rt AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS t_r
+             |       FROM vals GROUP BY 1),
+             |grid AS (SELECT rt.r, rt.t_r, p.n_p,
+             |           COALESCE(pr.n_r, 0) AS n_r
+             |         FROM rt CROSS JOIN pool p
+             |         LEFT JOIN pr ON pr.r = rt.r AND pr.l = p.l),
+             |c AS (SELECT r, t_r,
+             |        CAST(round((pa - pb) * round(ln(pa / pb), 6), 9)
+             |          AS DECIMAL(18,9)) AS contrib
+             |      FROM (SELECT r, t_r,
+             |              CAST(n_r + 1 AS DOUBLE) /
+             |                CAST(t_r + (SELECT k FROM kk) AS DOUBLE) AS pa,
+             |              CAST(n_p + 1 AS DOUBLE) /
+             |                CAST((SELECT tp FROM kk) +
+             |                     (SELECT k FROM kk) AS DOUBLE) AS pb
+             |            FROM grid))
+             |SELECT r AS user_id, t_r AS n_votes,
+             |  CAST(SUM(contrib) AS DOUBLE) AS psi
+             |FROM c GROUP BY 1, 2""".stripMargin)),
+
     // ------------------------------------- mixture diversity (data card)
     // Shannon entropy (nats) + Gini-Simpson of the documents.lang mix;
     // integer-exact Σn_g², 6-decimal-rounded entropy terms.

@@ -1051,6 +1051,25 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("raterBiasReport: one-note rater scores high PSI, pool-matching " +
+    "rater stays low") {
+    val s = spark
+    import s.implicits._
+    val votes = (
+      (1L to 20L).map(i => (i, 1L, if (i <= 10) "L1" else "L2")) ++ // balanced
+      (21L to 40L).map(i => (i, 2L, if (i <= 30) "L1" else "L2")) ++ // balanced
+      (41L to 50L).map(i => (i, 3L, "L1"))                          // one-note
+    ).toDF("item", "rater", "label")
+    val m = CorpusFunctions.raterBiasReport(votes, "item", "rater", "label")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(m(1L)._1 == 20L && m(3L)._1 == 10L)
+    assert(m(3L)._2 > 0.25, s"one-note rater PSI: ${m(3L)._2}")
+    assert(m(1L)._2 < 0.1 && m(2L)._2 < 0.1,
+      s"balanced raters PSI: ${m(1L)._2} ${m(2L)._2}")
+    assert(m(3L)._2 > m(1L)._2 * 3)
+  }
+
   test("mixtureDiversity: uniform mix hits ln(k) and 1-1/k, single group " +
     "zeroes both, nulls dropped") {
     val s = spark
