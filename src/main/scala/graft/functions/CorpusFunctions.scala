@@ -670,6 +670,32 @@ object CorpusFunctions {
         (col("__p") * lit(1000000000L)).cast("long").as("weight_int"))
   }
 
+  /** DUPLICATION PROFILE — the release-audit histogram "how much exact
+    * duplication, at what multiplicity, and does it leak across sources":
+    * per multiplicity m, the number of content groups, the docs they
+    * hold, and how many of those groups span ≥ 2 `groupCol` values (a
+    * mirrored dump shows up as a spike of cross-source groups long before
+    * anyone diffs the dumps). Uses [[DedupFunctions.exactDuplicateGroups]]'
+    * fingerprint convention (md5 of normalized text); with no `groupCol`
+    * the cross-source column is 0.
+    *
+    * Scale: one fingerprint partial-agg (the exact-dedup shuffle, 16-byte
+    * keys) then a multiplicity-cardinality fold; output rows = distinct
+    * multiplicities. */
+  def duplicationProfile(docs: DataFrame, idCol: String, textCol: String,
+                         groupCol: Option[String] = None): DataFrame = {
+    val base = docs.select(col(idCol),
+      TextFunctions.fingerprintMd5(col(textCol)).as("__fp"),
+      groupCol.map(g => col(g)).getOrElse(lit(null).cast("string"))
+        .as("__g"))
+    base.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("m"), countDistinct(col("__g")).as("__ns"))
+      .groupBy(col("m").as("multiplicity"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("m")).as("n_docs"),
+        sum(when(col("__ns") >= 2, 1L).otherwise(0L))
+          .as("n_cross_source_groups"))
+  }
+
   /** Mixture DIVERSITY metrics — the two numbers a data card quotes about
     * a corpus mix: Shannon entropy H = ln n − (Σ n_g·ln n_g)/n (nats; how
     * evenly the mass spreads over groups) and Gini–Simpson 1 − Σ n_g²/n²

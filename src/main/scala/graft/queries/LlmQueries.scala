@@ -589,6 +589,22 @@ object LlmQueries {
              |    CAST(COUNT(*) AS DOUBLE) AS agree_rate
              |FROM loo WHERE rn = 1 GROUP BY 1""".stripMargin)),
 
+    // ---------------------------------- duplication profile (data card)
+    // Exact-dup multiplicity histogram + cross-source leakage per
+    // multiplicity, on the exact-dedup fingerprint convention.
+    Q("q_duplication_profile",
+      (s, dir) => graft.functions.CorpusFunctions.duplicationProfile(
+        Tables.df(s, dir, "documents"), "doc_id", "text", Some("source")),
+      Some(s"""WITH g AS (
+             |  SELECT md5($normSql) AS fp, CAST(COUNT(*) AS BIGINT) AS m,
+             |    CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+             |  FROM documents GROUP BY 1)
+             |SELECT m AS multiplicity, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |  CAST(SUM(m) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_cross_source_groups
+             |FROM g GROUP BY 1""".stripMargin)),
+
     // ----------------------------------------- per-rater label-bias PSI
     // Each rater's label mix vs the pooled mix, the drift arithmetic per
     // rater (add-1 over the pooled label set, 6-decimal ln, 9-decimal

@@ -1051,6 +1051,27 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("duplicationProfile: multiplicity histogram with cross-source " +
+    "leakage; no groupCol means zero cross counts") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "same text alpha", "s1"), (2L, "same text alpha", "s1"),
+      (3L, "same text alpha", "s2"),                  // m=3, cross-source
+      (4L, "same text beta", "s1"), (5L, "same text beta", "s1"), // m=2
+      (6L, "unique text gamma", "s2")                 // m=1
+    ).toDF("doc_id", "text", "source")
+    val m = CorpusFunctions.duplicationProfile(
+      docs, "doc_id", "text", Some("source")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(m == Map(1L -> ((1L, 1L, 0L)), 2L -> ((1L, 2L, 0L)),
+      3L -> ((1L, 3L, 1L))), s"$m")
+    val noG = CorpusFunctions.duplicationProfile(docs, "doc_id", "text")
+      .collect().map(_.getLong(3)).sum
+    assert(noG == 0L, "cross-source counts must be 0 without a groupCol")
+  }
+
   test("raterBiasReport: one-note rater scores high PSI, pool-matching " +
     "rater stays low") {
     val s = spark
