@@ -682,9 +682,9 @@ object CorpusFunctions {
     * Scale: one fingerprint partial-agg (the exact-dedup shuffle, 16-byte
     * keys) then a multiplicity-cardinality fold; output rows = distinct
     * multiplicities. */
-  def duplicationProfile(docs: DataFrame, idCol: String, textCol: String,
+  def duplicationProfile(docs: DataFrame, textCol: String,
                          groupCol: Option[String] = None): DataFrame = {
-    val base = docs.select(col(idCol),
+    val base = docs.select(
       TextFunctions.fingerprintMd5(col(textCol)).as("__fp"),
       groupCol.map(g => col(g)).getOrElse(lit(null).cast("string"))
         .as("__g"))
@@ -830,12 +830,19 @@ object CorpusFunctions {
     val bounds = docs.agg(min(col(idCol).cast("long")),
       max(col(idCol).cast("long"))).head()
     if (bounds.isNullAt(0))
+      // empty corpus: ONE row of zero counts and a NULL fit — the same
+      // degenerate-input shape zipfFit (and the SQL oracle's aggregate
+      // CTEs) produce, not an empty relation
       return docs.sparkSession.createDataFrame(
-        docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        emptySchema)
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          0L, 0L, 0L, null, null, null)), emptySchema)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // checkpoint arithmetic in BigInt: (hi - lo) * k can overflow Long for
+    // a wide id range, which would silently push every checkpoint below lo
+    // (each final value is <= hi, so the narrowing back is safe)
     val cs: Seq[Long] =
-      (1 to points).map(k => lo + ((hi - lo) * k.toLong) / points).distinct
+      (1 to points).map(k =>
+        (BigInt(lo) + (BigInt(hi) - lo) * k / points).toLong).distinct
     val tok = docs.select(col(idCol).cast("long").as("__id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val firstDoc = tok.groupBy(col("term")).agg(min(col("__id")).as("fd"))

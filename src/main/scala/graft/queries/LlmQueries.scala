@@ -594,7 +594,7 @@ object LlmQueries {
     // multiplicity, on the exact-dedup fingerprint convention.
     Q("q_duplication_profile",
       (s, dir) => graft.functions.CorpusFunctions.duplicationProfile(
-        Tables.df(s, dir, "documents"), "doc_id", "text", Some("source")),
+        Tables.df(s, dir, "documents"), "text", Some("source")),
       Some(s"""WITH g AS (
              |  SELECT md5($normSql) AS fp, CAST(COUNT(*) AS BIGINT) AS m,
              |    CAST(COUNT(DISTINCT source) AS BIGINT) AS ns

@@ -1062,12 +1062,12 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       (6L, "unique text gamma", "s2")                 // m=1
     ).toDF("doc_id", "text", "source")
     val m = CorpusFunctions.duplicationProfile(
-      docs, "doc_id", "text", Some("source")).collect()
+      docs, "text", Some("source")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3)))).toMap
     assert(m == Map(1L -> ((1L, 1L, 0L)), 2L -> ((1L, 2L, 0L)),
       3L -> ((1L, 3L, 1L))), s"$m")
-    val noG = CorpusFunctions.duplicationProfile(docs, "doc_id", "text")
+    val noG = CorpusFunctions.duplicationProfile(docs, "text")
       .collect().map(_.getLong(3)).sum
     assert(noG == 0L, "cross-source counts must be 0 without a groupCol")
   }
@@ -1125,12 +1125,22 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       .head()
     assert(f.getLong(0) == 3L && math.abs(f.getDouble(3)) < 1e-9,
       s"flat growth beta: ${f.getDouble(3)}")
-    // empty corpus: empty result, no probe crash
-    assert(CorpusFunctions.heapsFit(
-      grow.filter(col("doc_id") < 0), "doc_id", "text").count() == 0)
+    // empty corpus: ONE row of zero counts + NULL fit (the zipfFit
+    // degenerate-input convention), no probe crash
+    val e = CorpusFunctions.heapsFit(
+      grow.filter(col("doc_id") < 0), "doc_id", "text").head()
+    assert(e.getLong(0) == 0L && e.getLong(2) == 0L && e.isNullAt(3))
     intercept[IllegalArgumentException] {
       CorpusFunctions.heapsFit(grow, "doc_id", "text", points = 1)
     }
+    // wide id range: (hi - lo) * k must not overflow Long into
+    // below-range checkpoints (silent empty fit)
+    val wide = Seq((0L, "alpha beta"), (Long.MaxValue / 32, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val w = CorpusFunctions.heapsFit(wide, "doc_id", "text", points = 64)
+      .head()
+    assert(w.getLong(0) == 3L && w.getLong(2) == 2L,
+      s"overflowed checkpoints: $w")
   }
 
   test("gopherQualityReport: each rule fires on its planted violation") {
