@@ -630,6 +630,9 @@ object PipelineConfig {
           "'threshold' (overlap fraction that fails the sync)")
         spec.threshold.foreach(t =>
           if (t <= 0.0 || t > 1.0) bad(s"threshold $t outside (0,1]"))
+      case "data_card" =>
+        need(spec.keys.size == 1, "exactly one key (the group column)")
+        need(spec.textColumn.isDefined, "'text_column'")
       case "reliability_gate" =>
         need(spec.keys.size == 3,
           "exactly three keys (the item, rater and label columns)")
@@ -642,7 +645,7 @@ object PipelineConfig {
         " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
         " | fold_bpe_tokens | epoch_shards | drift_gate | fold_probe" +
         " | rebalance | dsir_select | curriculum | contamination_gate" +
-        " | reliability_gate)")
+        " | reliability_gate | data_card)")
     }
     spec
   }

@@ -49,6 +49,16 @@ object PostOps {
           base, po.keys.head, po.statusColumn.get, po.tsColumn.get,
           po.idColumn.get))
         ()
+      case "data_card" =>
+        // the dataset-release report recomputed per sync (VIEW shape):
+        // the derived table holds the corpus's tall (metric, value) data
+        // card over the current warehouse state, so the release numbers
+        // ride every sync instead of a manual audit job
+        val base = requireBase(spark, loader, id, po)
+        loader.replaceDerived(spark, derivedId,
+          graft.functions.CorpusFunctions.dataCard(
+            base, po.textColumn.get, po.keys.head))
+        ()
       case "scd2_apply" =>
         foldIncremental(spark, id, derivedId, extractor, loader)(
           (prev, inc) => Relational.scd2Apply(

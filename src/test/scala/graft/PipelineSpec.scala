@@ -255,6 +255,43 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       expectStatus.collect().map(_.toSeq).toSet)
   }
 
+  test("post_ops data_card: release report view equals the direct " +
+    "operator, validation strict") {
+    val y =
+      s"""pipeline:
+         |  name: "postops_card"
+         |  source: "$sfDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.documents:
+         |    cdc_strategy: "full_sync"
+         |    post_ops:
+         |      - op: data_card
+         |        target: documents_card
+         |        keys: [lang]
+         |        text_column: text
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("postops_card"))
+    val r = runner.sync(p)
+    assert(r.allOk, r.tables.flatMap(_.error).mkString(";"))
+    val (_, _, loader) = runner.rigFor(p)
+    val baseId = p.tables.head.tableId(p)
+    val base = loader.readTarget(spark, baseId).get
+    val card = loader.readTarget(
+      spark, baseId.copy(table = "documents_card")).get
+    val expect = graft.functions.CorpusFunctions.dataCard(
+      base, "text", "lang")
+    assert(card.collect().map(_.toSeq).toSet ==
+      expect.collect().map(_.toSeq).toSet)
+    assert(card.count() > 0)
+    // parse strictness: group key and text column required
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      y.replace("        keys: [lang]\n", "")))
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      y.replace("        text_column: text\n", "")))
+  }
+
   test("post_ops rebalance: mixture view equals the direct carve-out, " +
       "validation strict") {
     val y =
