@@ -151,7 +151,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(p.tables.exists(_.postOps.map(_.op).toSet ==
       Set("neardup_labels", "fold_bm25", "epoch_shards", "drift_gate",
         "fold_kmv_distinct", "fold_count_min", "fold_sample", "rebalance",
-        "fold_bpe_tokens", "dsir_select", "curriculum")))
+        "fold_bpe_tokens", "dsir_select", "curriculum", "data_card")))
     assert(p.tables.exists(_.postOps.map(_.op).toSet == Set("fold_probe")))
     val runner = new PipelineRunner(spark, tmpDir("example_cfg"))
     val r = runner.sync(p)
