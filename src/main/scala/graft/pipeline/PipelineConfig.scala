@@ -633,6 +633,9 @@ object PipelineConfig {
       case "data_card" =>
         need(spec.keys.size == 1, "exactly one key (the group column)")
         need(spec.textColumn.isDefined, "'text_column'")
+      case "majority_vote" =>
+        need(spec.keys.size == 3,
+          "exactly three keys (the item, rater and label columns)")
       case "reliability_gate" =>
         need(spec.keys.size == 3,
           "exactly three keys (the item, rater and label columns)")
@@ -645,7 +648,7 @@ object PipelineConfig {
         " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
         " | fold_bpe_tokens | epoch_shards | drift_gate | fold_probe" +
         " | rebalance | dsir_select | curriculum | contamination_gate" +
-        " | reliability_gate | data_card)")
+        " | reliability_gate | data_card | majority_vote)")
     }
     spec
   }

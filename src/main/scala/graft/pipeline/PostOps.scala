@@ -49,6 +49,18 @@ object PostOps {
           base, po.keys.head, po.statusColumn.get, po.tsColumn.get,
           po.idColumn.get))
         ()
+      case "majority_vote" =>
+        // aggregated annotation labels (VIEW shape): the derived table is
+        // the per-item majority label + agreement over the current
+        // warehouse state — the consumable an RLHF/label pipeline reads,
+        // refreshed by every sync (pair with reliability_gate to refuse
+        // noisy batches before they reach this view)
+        val base = requireBase(spark, loader, id, po)
+        val Seq(itemV, raterV, labelV) = po.keys
+        loader.replaceDerived(spark, derivedId,
+          graft.functions.CorpusFunctions.majorityVote(
+            base, itemV, raterV, labelV))
+        ()
       case "data_card" =>
         // the dataset-release report recomputed per sync (VIEW shape):
         // the derived table holds the corpus's tall (metric, value) data

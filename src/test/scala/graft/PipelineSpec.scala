@@ -518,6 +518,9 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
          |        target: ratings_reliability
          |        keys: [item, rater, label]
          |        threshold: 0.5
+         |      - op: majority_vote
+         |        target: ratings_majority
+         |        keys: [item, rater, label]
          |""".stripMargin
     val p = PipelineConfig.fromString(y)
     val runner = new PipelineRunner(spark, tmpDir("rgate_wh"))
@@ -528,6 +531,15 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val rep1 = loader.readTarget(spark, repId).get.collect()
     assert(rep1.length == 1 && rep1.head.getAs[Double]("alpha") == 1.0)
     assert(rep1.head.getAs[Long]("batch_seq") == 1L)
+    // the majority_vote VIEW equals the direct operator over the base
+    val mvId = p.tables.head.tableId(p).copy(table = "ratings_majority")
+    val mv = loader.readTarget(spark, mvId).get
+    val mvExpect = graft.functions.CorpusFunctions.majorityVote(
+      loader.readTarget(spark, p.tables.head.tableId(p)).get,
+      "item", "rater", "label")
+    assert(mv.collect().map(_.toSeq).toSet ==
+      mvExpect.collect().map(_.toSeq).toSet)
+    assert(mv.count() == 4)
     // batch 2: 6 items, 2 raters each, systematic 1-1 splits -> alpha
     // well below 0.5 -> the sync FAILS with the fold cursor unmoved
     writeRatings((101L to 106L).flatMap(i => Seq(
@@ -539,7 +551,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // retry re-gates the SAME increment
     assert(runner.sync(p).tables.flatMap(_.error)
       .exists(_.contains("reliability_gate")))
-    // parse strictness: exactly three keys; threshold required + in range
+    // parse strictness: exactly three keys (both 3-key ops); threshold
+    // required + in range
     intercept[IllegalArgumentException](PipelineConfig.fromString(
       y.replace("keys: [item, rater, label]", "keys: [item, rater]")))
     intercept[IllegalArgumentException](PipelineConfig.fromString(
