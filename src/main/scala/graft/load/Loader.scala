@@ -65,7 +65,9 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
   private def loadLocked(spark: SparkSession, id: TableId, stagedDir: String,
                          config: CdcConfig, truncate: Boolean): LoadResult = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val wm = store.getOrCreate(id.scoped, config.strategy.name)
+    // ensure the watermark doc exists before recovery touches the store;
+    // the authoritative snapshot (wmNow) is read AFTER recovery below
+    store.getOrCreate(id.scoped, config.strategy.name)
     try {
       // converge any crashed MERGE/COMPACT swap first: if a previous
       // directory-swap died between its two renames, the table's only copy
@@ -77,16 +79,27 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
         val fs0 = tgt0.getFileSystem(conf)
         recoverSwap(fs0, tgt0, new org.apache.hadoop.fs.Path(targetPath(id) + ".__old"))
         recoverBucketBackups(fs0, tgt0)
+        // finish any sub-batch whose data was committed but whose blacklist
+        // save was lost — and do it BEFORE the blacklist is read below: the
+        // recovery installs rows and blacklists their sources, and the
+        // truncate/replay decision must SEE both effects. With a stale
+        // snapshot, a truncate replay would judge isReplay=false and delete
+        // the just-recovered rows while their (now-blacklisted) sources are
+        // excluded from reload: permanent silent loss.
+        recoverCommittedBatches(fs0, targetPath(id), id, config, conf)
       }
+      // the watermark is re-read AFTER the recovery above so the blacklist
+      // reflects any sources the recovery just committed
+      val wmNow = store.getOrCreate(id.scoped, config.strategy.name)
       // one recursive listing carries the byte sizes too (zero extra RPCs).
       // Sessions a crashed extract never committed are INVISIBLE here — their
       // rows re-extract under the advanced-cursor-less watermark, so loading
       // the orphans too would duplicate them.
       val allMeta = listParquetFilesMeta(spark, stagedDir)
-        .filter(f => wm.isSessionLoadable(f._1))
+        .filter(f => wmNow.isSessionLoadable(f._1))
       val sizeByFile = allMeta.map(f => f._1 -> f._2).toMap
       val all = allMeta.map(_._1)
-      val blacklist = wm.processedFileSet
+      val blacklist = wmNow.processedFileSet
       // newest-first trim (O4, ref gemini_redshift_loader.py:488-492): a huge
       // backlog can't starve fresh data; older files load in later sessions.
       // The mtimes come from the listing above — zero extra RPCs.
@@ -124,10 +137,8 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       var loadedRows = 0L
       var loadedBytes = 0L
       val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(conf)
-      // EXACTLY-ONCE across crashes (SURVEY §7.4 hard-part #1): finish any
-      // sub-batch whose data was committed but whose blacklist save was lost
-      // — without this, a replay re-appends those rows (duplicates)
-      recoverCommittedBatches(fs, target, id, config, conf)
+      // (crashed committed sub-batches were already recovered at entry,
+      // BEFORE the blacklist snapshot — SURVEY §7.4 hard-part #1)
       // Truncate (snapshot replace) must clear the target EXACTLY ONCE per
       // snapshot. A crash-replay mid-snapshot (fresh files share a session
       // with already-blacklisted ones) must NOT re-truncate — that would
@@ -160,15 +171,19 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
           fs.delete(new org.apache.hadoop.fs.Path(target), true)
         // schema-evolution gate (S7): staged batches meet the existing target
         // schema under the configured policy; the reference's alert/halt path
-        // becomes SchemaDriftException. Computed once per session.
-        val targetSchema =
-          if (doTruncate) None else readTarget(spark, id).map(_.schema)
-        // recovery above may have blacklisted some of `valid`
-        val freshNow = store.getOrCreate(id.scoped, config.strategy.name)
-          .processedFileSet
-        valid.filterNot(freshNow).grouped(math.max(1, commitBatchFiles))
+        // becomes SchemaDriftException. Computed once per session, AFTER the
+        // truncate decision: a replayed snapshot keeps its rows, so the gate
+        // must stay armed against them (only an actually-emptied target
+        // reads back None and skips the check)
+        val targetSchema = readTarget(spark, id).map(_.schema)
+        valid.grouped(math.max(1, commitBatchFiles))
           .foreach { group =>
-          val raw = spark.read.parquet(group: _*)
+          // mergeSchema: a group can mix extract sessions that straddle an
+          // additive schema change — single-footer inference would hide the
+          // new column from the whole group (drift misclassified, or new
+          // values silently nulled)
+          val raw = spark.read.option("mergeSchema", "true")
+            .parquet(group: _*)
           // P5: column-name normalization with the rename map PERSISTED next
           // to the target (ref column_mapper.py:57-84)
           val renamed = if (normalizeColumns) {
@@ -349,11 +364,25 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       if (fresh.isEmpty)
         return LoadResult(id, 0, 0, all.size.toLong, target)
       val t0 = System.nanoTime()
+      // converge any crashed swap BEFORE reading the target schema: after a
+      // death between the two swap renames the only copy is `.__old`, and a
+      // schema read against the missing live dir would return None —
+      // silently disarming the drift gate for exactly this session
+      locally {
+        val tgt0 = new org.apache.hadoop.fs.Path(target)
+        val fs0 = tgt0.getFileSystem(conf)
+        recoverSwap(fs0, tgt0,
+          new org.apache.hadoop.fs.Path(target + ".__old"))
+        recoverBucketBackups(fs0, tgt0)
+      }
       // the same schema-evolution gate as the append path: destructive drift
       // refuses the session (and lands markLoadFailed below); additive drift
-      // flows through — the merge union carries new columns by name
+      // flows through — the merge union carries new columns by name.
+      // mergeSchema on the staged read: sessions straddling an additive
+      // change must surface the union schema, not one sampled footer's
       val targetSchema = readTarget(spark, id).map(_.schema)
-      val staged = SchemaEvolution(spark.read.parquet(fresh: _*),
+      val staged = SchemaEvolution(
+        spark.read.option("mergeSchema", "true").parquet(fresh: _*),
         targetSchema, evolutionPolicy)
       // countRows=false: the LoadResult's row accounting comes from the
       // staged footers below; re-counting the whole merged TABLE here would
@@ -645,7 +674,11 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     val markerOpt = if (isBucketed) readLayoutMarker(fs, tgt) else None
     if (!isBucketed || markerOpt.exists(_._2.toSet != keys.toSet)) {
       val withBucket = bucketed(buckets, keys)
-      val existingAll = spark.read.parquet(target)
+      // mergeSchema everywhere the target is read for a REWRITE: after an
+      // additive evolution the files are heterogeneous, and single-footer
+      // inference would permanently null the new column for every survivor
+      val existingAll = spark.read.option("mergeSchema", "true")
+        .parquet(target)
       val survivorsAll = existingAll.join(
         staged.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(buckets)))
@@ -682,8 +715,9 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       .collect().map(_.getInt(0)).sorted
     if (affected.isEmpty) return countIf()
 
-    // partition pruning keeps the read to the affected bucket dirs only
-    val existing = spark.read.parquet(target)
+    // partition pruning keeps the read to the affected bucket dirs only;
+    // mergeSchema for the same rewrite-survivor reason as above
+    val existing = spark.read.option("mergeSchema", "true").parquet(target)
       .filter(col(BucketCol).isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
     val survivors = existing.join(
       staged.select(keys.map(col): _*).distinct(), keys, "left_anti")
@@ -762,7 +796,8 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
           val rows0 = ParquetFooters.totalRows(bFiles.map(_._1), conf)
           val newB = new org.apache.hadoop.fs.Path(tgt, s".__cnew_$b")
           fs.delete(newB, true)
-          spark.read.parquet(bdir.toString).repartition(want)
+          spark.read.option("mergeSchema", "true").parquet(bdir.toString)
+            .repartition(want)
             .write.mode(SaveMode.Overwrite)
             .option("compression", compression).parquet(newB.toString)
           val newFiles = listParquetFilesWithSize(spark, newB.toString)
@@ -896,7 +931,9 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
           allBuckets.filter(hit)
         case _ => allBuckets
       }
-      val existing = spark.read.parquet(target)
+      // mergeSchema: the rewrite's survivors must carry every evolved
+      // column, not one sampled footer's subset
+      val existing = spark.read.option("mergeSchema", "true").parquet(target)
         .filter(col(BucketCol).isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
       val survivors = existing.join(keys.distinct(), keyCols, "left_anti")
       val newRoot = new org.apache.hadoop.fs.Path(target + ".__new")
@@ -1074,7 +1111,8 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       spark.conf.get("spark.sql.warehouse.dir"), tableName)
     warehouseDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(warehouseDir, true)
-    val staged = spark.read.parquet(listParquetFiles(spark, stagedDir): _*)
+    val staged = spark.read.option("mergeSchema", "true")
+      .parquet(listParquetFiles(spark, stagedDir): _*)
     val writer0 = staged.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, distKey)

@@ -86,8 +86,8 @@ class WatermarkStore(rootDir: String,
     var attempt = 0
     var lastErr: Throwable = null
     while (attempt < 3) {
+      val tmp = new Path(p.toString + s".tmp${System.nanoTime()}")
       try {
-        val tmp = new Path(p.toString + s".tmp${System.nanoTime()}")
         val out = f.create(tmp, true)
         try out.write(Watermark.toJson(w).getBytes(StandardCharsets.UTF_8))
         finally out.close()
@@ -96,8 +96,13 @@ class WatermarkStore(rootDir: String,
         fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         return
       } catch {
-        case e: Throwable =>
+        // NonFatal ONLY: an interrupt (session shutdown) or a VM error
+        // must abort the save, not burn retries; and each failed
+        // attempt's uniquely-named tmp must not be left to accumulate
+        case e if scala.util.control.NonFatal(e) =>
           lastErr = e; attempt += 1
+          try f.delete(tmp, false)
+          catch { case t if scala.util.control.NonFatal(t) => () }
           if (attempt < 3) Thread.sleep(50L << attempt)
       }
     }
@@ -145,17 +150,57 @@ class WatermarkStore(rootDir: String,
     * ref :408-463). Returns a token to release with, or None if already held.
     * A lock left behind by a dead owner (mtime older than `staleLockTtlMs`,
     * i.e. no heartbeat for a full TTL) is auto-broken and re-acquired. */
+  /** The held lock's heartbeat SIDE FILE. `setTimes` is a silent no-op on
+    * object stores (S3A inherits `FileSystem`'s empty default), so a live
+    * session's lock mtime never refreshes there and a long sync would get
+    * auto-broken — the exact double-run the heartbeat exists to prevent.
+    * Overwriting a small beat file is a fresh object PUT on every store,
+    * so ITS mtime is the activity signal that works everywhere. */
+  private def beatPath(p: Path): Path =
+    new Path(p.getParent, s".${p.getName}.hb")
+
+  /** ms since the lock's last observable activity: the lock's own mtime
+    * or its CURRENT owner's beat file — counted only when the beat
+    * content matches the lock's token, so a previous holder's leftover
+    * beat (or a zombie heartbeat of a dead session) can never keep a
+    * foreign lock fresh. None if the lock vanished. */
+  private def lockAgeMs(f: org.apache.hadoop.fs.FileSystem,
+                        p: Path): Option[Long] = {
+    val lockSt = try Some(f.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    lockSt.map { st =>
+      val hb = beatPath(p)
+      val beatMs = try {
+        val bs = f.getFileStatus(hb)
+        val beatTok = readSmall(f, hb)
+        val lockContent = readSmall(f, p)
+        if (beatTok.nonEmpty && lockContent.contains(beatTok))
+          bs.getModificationTime
+        else 0L
+      } catch {
+        case _: java.io.FileNotFoundException => 0L
+        case e if scala.util.control.NonFatal(e) => 0L
+      }
+      System.currentTimeMillis() - math.max(st.getModificationTime, beatMs)
+    }
+  }
+
+  private def readSmall(f: org.apache.hadoop.fs.FileSystem,
+                        p: Path): String = {
+    val in = f.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   def tryLock(tableName: String, target: String = "default"): Option[String] = {
     val p = lockPath(tableName, target)
     val f = fs(p)
     if (f.exists(p)) {
-      val age = try {
-        System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
-      } catch {
-        // vanished between exists and stat: someone else just released or
-        // broke it — treat as contended, let the caller retry
-        case _: java.io.FileNotFoundException => return None
-      }
+      // age from mtime OR the owner's beat file (object stores never
+      // refresh the lock mtime; see beatPath). Vanished between exists
+      // and stat: someone else just released or broke it — contended,
+      // let the caller retry.
+      val age = lockAgeMs(f, p).getOrElse(return None)
       if (staleLockTtlMs <= 0 || age <= staleLockTtlMs) return None
       // Abandoned (owner stopped heartbeating a full TTL ago). Breaking must
       // be SINGLE-WINNER and must never hit a lock another breaker just
@@ -168,20 +213,29 @@ class WatermarkStore(rootDir: String,
       val marker = new Path(p.getParent, s".${p.getName}.breaking")
       val markerTtl = math.max(staleLockTtlMs, 1000L)
       if (f.exists(marker)) {
-        val mAge = try {
-          System.currentTimeMillis() - f.getFileStatus(marker).getModificationTime
+        val (mAge, mMtime) = try {
+          val st = f.getFileStatus(marker)
+          (System.currentTimeMillis() - st.getModificationTime,
+            st.getModificationTime)
         } catch { case _: java.io.FileNotFoundException => return None }
-        if (mAge > markerTtl) f.delete(marker, false)
+        if (mAge > markerTtl) {
+          // delete ONLY the expired instance we observed: re-stat and
+          // match the mtime, so a FRESH marker another breaker created
+          // in the meantime is never the victim (the TTL re-verification
+          // under the marker covers the remaining microsecond window)
+          val still = try Some(f.getFileStatus(marker).getModificationTime)
+            catch { case _: java.io.FileNotFoundException => None }
+          if (still.contains(mMtime)) f.delete(marker, false)
+        }
         return None // a break is (or was) in flight — contended, retry later
       }
       if (!createExclusive(f, marker, "{}")) return None
       try {
-        val age2 = try {
-          System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
-        } catch { case _: java.io.FileNotFoundException => return None }
         // fresh again (recreated or late heartbeat) — not ours to break
+        val age2 = lockAgeMs(f, p).getOrElse(return None)
         if (age2 <= staleLockTtlMs) return None
         f.delete(p, false)
+        f.delete(beatPath(p), false) // the dead owner's beat goes with it
       } finally f.delete(marker, false)
     }
     val token = java.util.UUID.randomUUID().toString
@@ -229,8 +283,11 @@ class WatermarkStore(rootDir: String,
     val p = lockPath(tableName, target)
     val f = fs(p)
     if (!f.exists(p)) return false
-    val age = System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
-    if (age > staleAfterMs) f.delete(p, false) else false
+    val age = lockAgeMs(f, p).getOrElse(return false)
+    if (age > staleAfterMs) {
+      f.delete(beatPath(p), false)
+      f.delete(p, false)
+    } else false
   }
 
   /** Locks held by the CURRENT THREAD through [[withTableLock]] — makes the
@@ -254,7 +311,7 @@ class WatermarkStore(rootDir: String,
       val token = tryLock(tableName, target)
         .getOrElse(throw new TableLockedException(tableName))
       held += key -> token
-      val hb = startHeartbeat(lockPath(tableName, target))
+      val hb = startHeartbeat(lockPath(tableName, target), token)
       try body
       finally {
         hb.interrupt()
@@ -264,14 +321,18 @@ class WatermarkStore(rootDir: String,
     }
   }
 
-  /** Daemon thread refreshing the held lock's mtime at TTL/4 so a LIVE
+  /** Daemon thread refreshing the held lock's liveness at TTL/4 so a LIVE
     * session — however long it runs — never looks stale to [[tryLock]]'s
-    * auto-break or the CLI's `unlock --stale-minutes`. */
-  private def startHeartbeat(p: Path): Thread = {
+    * auto-break or the CLI's `unlock --stale-minutes`. Each beat touches
+    * the lock mtime (works on HDFS/local) AND overwrites the token-bearing
+    * beat file (works on object stores where `setTimes` is a no-op; see
+    * [[beatPath]]/[[lockAgeMs]]). */
+  private def startHeartbeat(p: Path, token: String): Thread = {
     val interval = if (staleLockTtlMs > 0) staleLockTtlMs / 4 else Long.MaxValue
     val t = new Thread(() => {
-      try {
-        while (!Thread.currentThread().isInterrupted) {
+      var running = true
+      while (running && !Thread.currentThread().isInterrupted) {
+        try {
           Thread.sleep(interval)
           // a transient FS error (S3A throttle, momentary NN failover) must
           // not kill the beat — a dead heartbeat makes a LIVE session's lock
@@ -281,15 +342,25 @@ class WatermarkStore(rootDir: String,
             val f = fs(p)
             if (f.exists(p)) {
               val nowMs = System.currentTimeMillis()
-              f.setTimes(p, nowMs, nowMs)
+              try f.setTimes(p, nowMs, nowMs)
+              catch { case e if scala.util.control.NonFatal(e) => () }
+              val out = f.create(beatPath(p), true)
+              try out.write(token.getBytes(StandardCharsets.UTF_8))
+              finally out.close()
             }
           } catch {
-            // NonFatal excludes InterruptedException — interrupts still
-            // terminate the thread through the outer catch
-            case scala.util.control.NonFatal(_) => ()
+            // Hadoop surfaces interrupts on blocked IO as IOExceptions —
+            // letting NonFatal swallow one would consume the interrupt and
+            // leave a ZOMBIE beat keeping future locks at this path
+            // eternally fresh. Any interrupt signal terminates the loop.
+            case _: java.io.InterruptedIOException => running = false
+            case _: java.nio.channels.ClosedByInterruptException =>
+              running = false
+            case e if scala.util.control.NonFatal(e) =>
+              if (Thread.currentThread().isInterrupted) running = false
           }
-        }
-      } catch { case _: InterruptedException => () }
+        } catch { case _: InterruptedException => running = false }
+      }
     }, s"graft-lock-heartbeat-${p.getName}")
     t.setDaemon(true)
     t.start()
@@ -300,9 +371,11 @@ class WatermarkStore(rootDir: String,
     val p = lockPath(tableName, target)
     val f = fs(p)
     if (!f.exists(p)) return false
-    val in = f.open(p)
-    val content = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-    if (content.contains(token)) f.delete(p, false) else false
+    val content = readSmall(f, p)
+    if (content.contains(token)) {
+      f.delete(beatPath(p), false) // our beat goes with our lock
+      f.delete(p, false)
+    } else false
   }
 
   def nowString(): String = now()

@@ -557,4 +557,60 @@ class EtlSpec extends AnyFunSuite with SparkTestBase {
     assert(loader.readTarget(spark, id).get.count() == 50,
       "replay re-truncated and lost the first sub-batch")
   }
+
+  test("truncate replay recovers a committed-but-unblacklisted sub-batch " +
+    "instead of wiping it") {
+    // the harder crash window than the test above: sub-batch 1 is
+    // installed and its commit dir remains, but the blacklist save was
+    // LOST. The replay's entry-time recovery blacklists it — and the
+    // truncate decision must SEE that, or it judges isReplay=false,
+    // re-truncates the just-recovered rows, and the (now-blacklisted)
+    // source file is never reloaded: permanent silent loss.
+    val root = tmpDir("trunc_eo")
+    class CrashingStore(dir: String) extends WatermarkStore(dir) {
+      @volatile var failuresLeft = 0
+      override def save(w: graft.watermark.Watermark,
+                        target: String = "default"): Unit = {
+        if (failuresLeft > 0 && w.redshift_state.status == "success") {
+          failuresLeft -= 1
+          throw new java.io.IOException("simulated watermark outage")
+        } else super.save(w, target)
+      }
+    }
+    val store = new CrashingStore(s"$root/wm")
+    val loader = new Loader(store, s"$root/warehouse", commitBatchFiles = 1)
+    val staging = s"$root/flat_staging"
+    events.limit(30).coalesce(1).write.parquet(s"$staging/p1")
+    events.filter(col("event_id") > 30).limit(20).coalesce(1)
+      .write.parquet(s"$staging/p2")
+    val full = CdcConfig(CdcStrategyKind.FullSync)
+    store.failuresLeft = 1 // sub-batch 1 installs, its blacklist save dies
+    intercept[java.io.IOException] {
+      loader.load(spark, id, staging, full, truncate = true)
+    }
+    loader.load(spark, id, staging, full, truncate = true)
+    val tgt = loader.readTarget(spark, id).get
+    assert(tgt.count() == 50, "replay wiped the recovered sub-batch")
+    assert(tgt.select("event_id").distinct().count() == 50)
+  }
+
+  test("a load group straddling an additive schema change carries the " +
+    "new column (mergeSchema, not single-footer inference)") {
+    val root = tmpDir("grp_ms")
+    val store = new WatermarkStore(s"$root/wm")
+    // commitBatchFiles = 2: BOTH files land in one spark.read group
+    val loader = new Loader(store, s"$root/warehouse", commitBatchFiles = 2)
+    val staging = s"$root/flat_staging"
+    val s = spark; import s.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("event_id", "v")
+      .coalesce(1).write.parquet(s"$staging/p1")
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("event_id", "v", "extra")
+      .coalesce(1).write.parquet(s"$staging/p2")
+    loader.load(spark, id, staging, cfg)
+    val tgt = loader.readTarget(spark, id).get
+    assert(tgt.columns.contains("extra"),
+      s"new column lost to footer sampling: ${tgt.columns.mkString(",")}")
+    assert(tgt.filter(col("extra").isNotNull).count() == 2 &&
+      tgt.count() == 4)
+  }
 }

@@ -122,6 +122,29 @@ class WatermarkSpec extends AnyFunSuite with SparkTestBase {
     assert(store.tryLock("t").isDefined, "abandoned lock not auto-broken")
   }
 
+  test("store: a token-matched beat keeps an aged lock fresh, a foreign " +
+    "beat does not (object-store setTimes-no-op path)") {
+    val dir = tmpDir("beat")
+    val store = new WatermarkStore(dir, staleLockTtlMs = 200)
+    val token = store.tryLock("t").get
+    val lockFile = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".lock")).get
+    // object-store analog: the lock mtime NEVER refreshes (S3A setTimes is
+    // a no-op) — age it out, but plant the owner's beat file exactly as
+    // the heartbeat writes it
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 10000))
+    val beat = new java.io.File(lockFile.getParentFile,
+      "." + lockFile.getName + ".hb")
+    java.nio.file.Files.writeString(beat.toPath, token)
+    assert(store.tryLock("t").isEmpty,
+      "live lock stolen despite a fresh owner beat")
+    // a beat carrying a DIFFERENT token (previous holder's leftover, or a
+    // zombie heartbeat) must not keep a dead lock alive
+    java.nio.file.Files.writeString(beat.toPath, "zombie-token")
+    assert(store.tryLock("t").isDefined,
+      "foreign beat kept an abandoned lock unbreakable")
+  }
+
   test("store: heartbeat keeps a LIVE session's lock from aging out") {
     val dir = tmpDir("hb")
     val store = new WatermarkStore(dir, staleLockTtlMs = 400)
