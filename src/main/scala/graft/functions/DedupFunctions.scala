@@ -273,13 +273,16 @@ object DedupFunctions {
       : DataFrame = {
     // the increment's band rows feed THREE consumers (the combined count,
     // the probe side, the target side) — materialize the increment-scale
-    // relation once instead of re-shingling the increment per consumer.
+    // relation once instead of re-shingling the increment per consumer
+    // (parquet scratch, not localCheckpoint: there is no safe point to
+    // unpersist a checkpoint the returned plan still reads, so each call
+    // leaked one RDD per sync — see [[graft.util.Scratch]]).
     // A caller that ALSO persists the increment's index (the neardup_labels
     // post-op) passes it in, so the most expensive projection in the path
     // (shingle+minhash over the increment) runs once per sync, not twice.
-    val inc = incomingIndex.getOrElse(
-      minhashBandIndex(incoming, idCol, textCol, shingleN, k, bands)
-        .localCheckpoint(true))
+    val inc = incomingIndex.getOrElse(graft.util.Scratch.materialize(
+      minhashBandIndex(incoming, idCol, textCol, shingleN, k, bands),
+      "inc_band_index"))
     val all = corpusIndex.select(col("doc_id"), col("band"), col("bucket"))
       .unionByName(inc)
     // hot-bucket cap across the COMBINED population (a boilerplate bucket is
@@ -381,10 +384,18 @@ object DedupFunctions {
     if (!converged) throw new IllegalStateException(
       s"duplicateClusters: not converged after $maxIters rounds " +
         "(component diameter > 2^25?)")
-    // edges fed only the loop; the returned labels keep their own checkpoint
+    // TERMINAL materialization goes to parquet scratch, not a checkpoint:
+    // returning the checkpointed relation leaked its blocks for the
+    // session's lifetime (callers consume it lazily — there is no safe
+    // unpersist point after return). With the result on scratch, BOTH loop
+    // checkpoints die here and a run leaves zero persisted RDDs behind
+    // (DedupSpec asserts it; bench leaked_rdds gates on it).
+    val out = graft.util.Scratch.materialize(labels, "cluster_labels")
+    org.apache.spark.sql.GraftShim.checkpointRdd(labels)
+      .foreach(_.unpersist(blocking = false))
     org.apache.spark.sql.GraftShim.checkpointRdd(edges)
       .foreach(_.unpersist(blocking = false))
-    labels
+    out
   }
 
   /** Incrementally MAINTAIN a persisted cluster-label table — the label

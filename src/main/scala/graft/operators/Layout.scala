@@ -81,6 +81,21 @@ object Layout {
     require(dup == 0L,
       s"writeOrderedShards: duplicate '$idCol' values in the corpus — " +
         "every id must map to ONE payload row (dedup before exporting)")
+    // the layout must be a FUNCTION too: a duplicate id there silently fans
+    // the payload row out to every address it was assigned, and a colliding
+    // (shard, pos) address makes the in-shard read order ambiguous — the
+    // exact guarantee this operator exists to provide. Both checks ride one
+    // aggregate pass over the (narrow) address relation.
+    val badLayout = layout.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count()
+    require(badLayout == 0L,
+      s"writeOrderedShards: duplicate '$idCol' values in the layout — " +
+        "every id must have ONE (shard, pos) address")
+    val dupAddr = layout.groupBy(col("shard"), col("pos"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupAddr == 0L,
+      "writeOrderedShards: colliding (shard, pos) addresses in the layout — " +
+        "in-shard read order would be ambiguous")
     val joined = docs.join(layout.select(col(idCol), col("shard"),
       col("pos")), Seq(idCol))
     // tolerate int or long shard columns (the doc invites any

@@ -217,15 +217,19 @@ object PostOps {
             throw new IllegalStateException(
               s"post_op 'contamination_gate' (target ${po.target}): " +
                 s"benchmark table ${refId2.scoped} has never been loaded"))
-          // localCheckpoint materializes the sparse matrix ONCE: the
-          // worst-overlap probe and the report persist both read the
-          // checkpointed partitions instead of re-shingling the increment
-          val m = graft.functions.CorpusFunctions.contaminationMatrix(
-            inc, bench.select(org.apache.spark.sql.functions
-              .lit(po.reference.get).as("benchmark"),
-              col(po.textColumn.get)),
-            po.idColumn.get, po.textColumn.get, "benchmark")
-            .localCheckpoint(true)
+          // scratch-materialize the sparse matrix ONCE: the worst-overlap
+          // probe and the report persist both read the files instead of
+          // re-shingling the increment. Scratch, not localCheckpoint —
+          // when the gate THROWS below, a checkpoint's blocks leaked on
+          // executors and accumulated on every retry of the failing
+          // increment; scratch files are disk-bounded and swept at exit.
+          val m = graft.util.Scratch.materialize(
+            graft.functions.CorpusFunctions.contaminationMatrix(
+              inc, bench.select(org.apache.spark.sql.functions
+                .lit(po.reference.get).as("benchmark"),
+                col(po.textColumn.get)),
+              po.idColumn.get, po.textColumn.get, "benchmark"),
+            "contamination_matrix")
           val worstRow = m.agg(fmax(col("overlap"))).head()
           val worst = if (worstRow.isNullAt(0)) 0.0 else worstRow.getDouble(0)
           if (worst >= thr) throw new IllegalStateException(
@@ -321,9 +325,13 @@ object PostOps {
               graft.functions.DedupFunctions.minhashBandIndex(
                 corpus.limit(0), idc, txt)
           // ONE shingle+minhash pass over the increment serves both the
-          // probe and the persisted-index append
-          val incIndex = graft.functions.DedupFunctions
-            .minhashBandIndex(inc, idc, txt).localCheckpoint(true)
+          // probe and the persisted-index append (scratch, not a
+          // checkpoint: the fold result still references it after this
+          // lambda returns, so a checkpoint had no unpersist point and
+          // leaked one RDD per sync)
+          val incIndex = graft.util.Scratch.materialize(
+            graft.functions.DedupFunctions.minhashBandIndex(inc, idc, txt),
+            "sync_band_index")
           val newPairs = graft.functions.DedupFunctions
             .minhashNearDuplicatesIncremental(inc, corpus, corpusIndex,
               idc, txt, threshold = thr, incomingIndex = Some(incIndex))

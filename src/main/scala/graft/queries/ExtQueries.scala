@@ -244,8 +244,14 @@ object ExtQueries {
     // session-window oracle uses.
     Q("q_session_overlap",
       (s, dir) => {
-        val sess = StreamingPipeline.sessionWindows(
-          Tables.df(s, dir, "events"), gapMinutes = 30)
+        // materialize the session relation ONCE: both self-join sides below
+        // otherwise recompute the sessionWindows window-agg lineage (the
+        // whole events scan + per-user sort) — measured ~2× the query.
+        // Parquet scratch, not localCheckpoint, so the query leaves no
+        // persisted RDD behind (the bench leak gate counts them).
+        val sess = graft.util.Scratch.materialize(
+          StreamingPipeline.sessionWindows(
+            Tables.df(s, dir, "events"), gapMinutes = 30), "sessions")
         val a = sess.select(col("user_id").as("user_a"),
           col("session_start_us").as("start_a"),
           col("session_end_us").as("end_a"))

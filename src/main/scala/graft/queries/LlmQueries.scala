@@ -1226,10 +1226,12 @@ object LlmQueries {
         val incoming = docs.filter(col("doc_id") % 2 === 1)
         DedupFunctions.minhashNearDuplicatesIncremental(
           incoming, corpus,
-          // production reads the PERSISTED side-table; materialize the
-          // in-query stand-in once so it isn't re-shingled per consumer
-          DedupFunctions.minhashBandIndex(corpus, "doc_id", "text")
-            .localCheckpoint(true),
+          // production reads the PERSISTED side-table; scratch-materialize
+          // the in-query stand-in once so it isn't re-shingled per consumer
+          // (and leaves no persisted RDD behind)
+          graft.util.Scratch.materialize(
+            DedupFunctions.minhashBandIndex(corpus, "doc_id", "text"),
+            "q_band_index"),
           "doc_id", "text", threshold = 0.9)
       },
       Some(s"""WITH sh AS (
@@ -1352,8 +1354,9 @@ object LlmQueries {
         val baseLabels = DedupFunctions.foldClusterLabels(None,
           DedupFunctions.minhashNearDuplicates(base, "doc_id", "text",
             threshold = 0.9))
-        val bandIndex = DedupFunctions.minhashBandIndex(base, "doc_id", "text")
-          .localCheckpoint(true)
+        val bandIndex = graft.util.Scratch.materialize(
+          DedupFunctions.minhashBandIndex(base, "doc_id", "text"),
+          "base_band_index")
         DedupFunctions.lastIndexBuildSec = (System.nanoTime - t0) / 1e9
         val incPairs = DedupFunctions.minhashNearDuplicatesIncremental(
           inc, base, bandIndex, "doc_id", "text", threshold = 0.9)

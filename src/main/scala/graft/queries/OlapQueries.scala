@@ -1198,12 +1198,12 @@ object OlapQueries {
         // inside the WITH re-scans the fact table every step (measured
         // 12 scans = ~9 s at sf0.1; this is the 100 TB shape too — fold
         // the heavy aggregate first, recurse over the tiny result)
-        s.sql("""
+        graft.util.Scratch.materialize(s.sql("""
           SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                       AS DOUBLE) AS x
           FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1""")
-          .coalesce(1).localCheckpoint(true)
+          .coalesce(1), "ema_months")
           .createOrReplaceTempView("__ema_months")
         s.sql("""
           WITH RECURSIVE

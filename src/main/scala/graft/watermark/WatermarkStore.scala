@@ -315,6 +315,15 @@ class WatermarkStore(rootDir: String,
       try body
       finally {
         hb.interrupt()
+        // JOIN the heartbeat before releasing: a beat write already past
+        // its interrupt check would otherwise recreate the .hb file AFTER
+        // unlock deleted it, orphaning one beat file per lock path forever
+        // (token matching keeps it correctness-safe, but it accumulates).
+        // Bounded wait — a beat blocked on a hung FS call must not turn
+        // release into a hang; unlock's beat delete still wins that race
+        // on the next acquisition (tryLock token-matches).
+        try hb.join(2000) catch { case _: InterruptedException =>
+          Thread.currentThread().interrupt() }
         held -= key
         unlock(tableName, token, target)
       }

@@ -295,6 +295,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 7L, 9L))
   }
 
+  test("cluster operators leave zero persisted RDDs behind (no leaks)") {
+    val s = spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val docs = Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L)
+      .toDF("doc_id").withColumn("text", concat(lit("doc "), col("doc_id")))
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    // batch clustering, an incremental fold, AND the incremental LSH probe
+    // (every path that materializes intermediates): each must clean up its
+    // own checkpoints once its result is materialized — the bench's
+    // leaked_rdds gate asserts the same invariant per query.
+    DedupFunctions.duplicateClusters(pairs).count()
+    val l0 = DedupFunctions.foldClusterLabels(None, pairs)
+    DedupFunctions.foldClusterLabels(Some(l0),
+      Seq((3L, 4L)).toDF("id_a", "id_b")).count()
+    DedupFunctions.minhashNearDuplicatesIncremental(
+      docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0),
+      DedupFunctions.minhashBandIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text"),
+      "doc_id", "text", threshold = 0.9).count()
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+  }
+
   test("keepBestPerCluster: max score survives, ties break to min id") {
     val s = spark
     import s.implicits._

@@ -151,5 +151,24 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
         tmpDir("ordered_dup") + "/shards")
     }
     assert(e.getMessage.contains("duplicate"), e.getMessage)
+    // a duplicate id in the LAYOUT silently fans the payload row out to
+    // every address it was assigned — refuse just as loudly
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Layout.writeOrderedShards(
+        docs, layout.unionAll(layout.limit(1)
+          .selectExpr("id", "shard", "pos + 1000 AS pos")), "id",
+        tmpDir("ordered_duplayout") + "/shards")
+    }
+    assert(e2.getMessage.contains("layout"), e2.getMessage)
+    // colliding (shard, pos) addresses make in-shard read order ambiguous
+    val e3 = intercept[IllegalArgumentException] {
+      val l1 = layout.limit(1).selectExpr("id + 10000 AS id", "shard", "pos")
+      graft.operators.Layout.writeOrderedShards(
+        docs.unionAll(docs.limit(1).selectExpr(
+          "id + 10000 AS id", "text", "score")),
+        layout.unionAll(l1), "id",
+        tmpDir("ordered_dupaddr") + "/shards")
+    }
+    assert(e3.getMessage.contains("shard, pos"), e3.getMessage)
   }
 }
