@@ -521,22 +521,36 @@ object DedupFunctions {
     docs.select(col(idCol).as("doc_id"),
       simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
 
-  /** SimHash near-dup pairs within `maxHamming` bits, via banded lookup:
-    * split 64 bits into (maxHamming+1) bands — by pigeonhole, any pair within
-    * maxHamming bits agrees exactly on ≥1 band, so same-band-value join finds
-    * all of them without an N² scan. */
-  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int = 3): DataFrame = {
+  /** Banded SimHash index rows for a document set: (doc_id, simhash, band,
+    * band_val) — 64 bits split into (maxHamming+1) bands, so by pigeonhole
+    * any pair within maxHamming bits agrees exactly on ≥1 band. Persist
+    * this next to the corpus (append each accepted increment's rows) and
+    * later increments probe it via [[simhashNearDuplicatesIncremental]]
+    * without re-tokenizing the corpus — the SimHash analog of
+    * [[minhashBandIndex]]. The signature rides along (8 bytes/row) so the
+    * probe verifies Hamming distance from the index alone: the corpus TEXT
+    * is never touched again. ONE banding definition shared by the batch
+    * and incremental paths — they cannot drift apart. */
+  def simhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     val width = 64 / bands
-    val sigs = simhashSignatures(docs, idCol, textCol)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until bands).map { b =>
-        // band b = bits [b*width, (b+1)*width); last band absorbs the remainder
-        val w = if (b == bands - 1) 64 - b * width else width
-        shiftrightunsigned(col("simhash"), b * width)
-          .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1L))
-      }: _*)).as(Seq("band", "band_val")))
+    simhashSignatures(docs, idCol, textCol)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until bands).map { b =>
+          // band b = bits [b*width, (b+1)*width); last band absorbs the remainder
+          val w = if (b == bands - 1) 64 - b * width else width
+          shiftrightunsigned(col("simhash"), b * width)
+            .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1L))
+        }: _*)).as(Seq("band", "band_val")))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits, via banded lookup —
+    * EXACT by pigeonhole (≥1 identical band per qualifying pair), so the
+    * banded join is the complete answer, not a sample. */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val banded = simhashBandIndex(docs, idCol, textCol, maxHamming)
     val a = banded.select(col("band"), col("band_val"),
       col("doc_id").as("id_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band"), col("band_val"),
@@ -545,6 +559,46 @@ object DedupFunctions {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming64(col("sim_a"), col("sim_b")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** INCREMENTAL SimHash near-dup — the 100 TB shape: pairs within
+    * `maxHamming` bits with at least one side in `incoming`, probing the
+    * corpus through its PERSISTED band index (`corpusIndex`, from
+    * [[simhashBandIndex]] — which carries the signatures, so unlike the
+    * MinHash path no corpus relation is needed at all: verification is
+    * pure signature arithmetic). Exact for the incoming×(incoming∪corpus)
+    * pair set by the same pigeonhole argument as the batch path;
+    * corpus-internal pairs are already known from past runs and excluded
+    * by construction. `maxHamming` MUST match the index's. Cost per
+    * increment: one tokenize+band pass over the increment plus a band-
+    * keyed join of (8-byte key, 8-byte signature) rows. */
+  def simhashNearDuplicatesIncremental(incoming: DataFrame,
+                                       corpusIndex: DataFrame,
+                                       idCol: String, textCol: String,
+                                       maxHamming: Int = 3,
+                                       incomingIndex: Option[DataFrame] = None)
+      : DataFrame = {
+    // increment bands feed both join sides — materialize once (scratch,
+    // not checkpoint: the returned plan reads it lazily; see Scratch)
+    val inc = incomingIndex.getOrElse(graft.util.Scratch.materialize(
+      simhashBandIndex(incoming, idCol, textCol, maxHamming),
+      "inc_simhash_index"))
+    val all = corpusIndex
+      .select(col("doc_id"), col("simhash"), col("band"), col("band_val"))
+      .unionByName(inc)
+    val probe = inc.select(col("band"), col("band_val"),
+      col("doc_id").as("id_x"), col("simhash").as("sim_x"))
+    val target = all.select(col("band"), col("band_val"),
+      col("doc_id").as("id_y"), col("simhash").as("sim_y"))
+    probe.join(target, Seq("band", "band_val"))
+      .filter(col("id_x") =!= col("id_y"))
+      // canonicalize before distinct: a pair found from both sides (both
+      // ids incoming) or in several bands collapses to one row
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        hamming64(col("sim_x"), col("sim_y")).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -977,13 +977,21 @@ object VectorFunctions {
     * and, unlike a seeded Gaussian stream, the derivation replays in any
     * engine with an md5 function — which gives this approximate operator a
     * FULL value oracle. */
-  def cosineNearDuplicatesLsh(corpus: DataFrame, threshold: Double,
-                              bands: Int = 8, rowsPerBand: Int = 4,
-                              idCol: String = "vec_id",
-                              vecCol: String = "embedding",
-                              maxBucketSize: Int = 10000): DataFrame = {
+  /** Banded random-hyperplane index rows for a vector set: (doc_id, band,
+    * bucket). Persist this next to the corpus (append each accepted
+    * increment's rows) so later increments probe it via
+    * [[cosineNearDuplicatesLshIncremental]] without re-projecting the
+    * corpus — the embedding analog of
+    * [[DedupFunctions.minhashBandIndex]]. Bucket membership is a pure
+    * function of the vector (the planes are md5-derived constants), so
+    * index rows built at different times always agree. Vectors indexed
+    * together MUST share a dimension ([[majorityDim]] picks the modal one;
+    * stragglers drop — the same contract as the batch path). */
+  def cosineLshBandIndex(corpus: DataFrame, bands: Int = 8,
+                         rowsPerBand: Int = 4, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
     // an empty increment (or an all-null embedding column) must yield an
-    // empty pair set, not a driver exception on head()
+    // empty index, not a driver exception on head()
     val dim = majorityDim(corpus, vecCol)
     if (dim == 0) {
       val s = corpus.sparkSession
@@ -991,8 +999,8 @@ object VectorFunctions {
       val idT = corpus.schema(idCol).dataType
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
-          StructField("id_a", idT), StructField("id_b", idT),
-          StructField("cosine", DoubleType))))
+          StructField("doc_id", idT), StructField("band", IntegerType),
+          StructField("bucket", LongType))))
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(p: Int, d: Int): Double = {
@@ -1011,7 +1019,7 @@ object VectorFunctions {
     val sigBits = transform(planesLit,
       plane => when(dot(col(vecCol), plane) > 0, 1L).otherwise(0L))
 
-    val banded = corpus
+    corpus
       .select(col(idCol).as("doc_id"), col(vecCol))
       .select(col("doc_id"), sigBits.as("bits"))
       .select(col("doc_id"), posexplode(
@@ -1021,6 +1029,15 @@ object VectorFunctions {
             element_at(col("bits"), bIdx * rowsPerBand + r + 1) *
               lit(1L << r)).reduce(_ + _)
         }: _*)).as(Seq("band", "bucket")))
+      .select(col("doc_id"), col("band"), col("bucket"))
+  }
+
+  def cosineNearDuplicatesLsh(corpus: DataFrame, threshold: Double,
+                              bands: Int = 8, rowsPerBand: Int = 4,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              maxBucketSize: Int = 10000): DataFrame = {
+    val banded = cosineLshBandIndex(corpus, bands, rowsPerBand, idCol, vecCol)
 
     // hot-bucket cap — the ONE shared partial-agg + broadcast-anti-join
     // helper (same rewrite as the MinHash path)
@@ -1040,6 +1057,55 @@ object VectorFunctions {
     // query at sf0.1); AQE's runtime stats broadcast the small side anyway
     // once the candidate shuffle has materialized.
     val vecs = corpus.select(col(idCol), col(vecCol))
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** INCREMENTAL embedding near-dup — the 100 TB shape: cosine pairs at/
+    * above `threshold` with at least one side in `incoming`, probing the
+    * corpus through its PERSISTED band index (`corpusIndex`, from
+    * [[cosineLshBandIndex]]). The corpus embeddings are touched only to
+    * verify candidate ids (two id-keyed lookups); its vectors are never
+    * re-projected against the planes. Candidate generation matches the
+    * batch path's exactly (same plane constants, same hot-bucket cap over
+    * the COMBINED population, counted on distinct index rows because the
+    * index is append-maintained and crash-retried appends duplicate rows) —
+    * so incremental output equals the batch pair set restricted to pairs
+    * with an incoming side. Band parameters MUST match the index's. */
+  def cosineNearDuplicatesLshIncremental(incoming: DataFrame,
+                                         corpus: DataFrame,
+                                         corpusIndex: DataFrame,
+                                         threshold: Double,
+                                         bands: Int = 8, rowsPerBand: Int = 4,
+                                         idCol: String = "vec_id",
+                                         vecCol: String = "embedding",
+                                         maxBucketSize: Int = 10000,
+                                         incomingIndex: Option[DataFrame] = None)
+      : DataFrame = {
+    // increment band rows feed three consumers (combined count, probe,
+    // target) — materialize once (scratch: zero persisted-RDD footprint)
+    val inc = incomingIndex.getOrElse(graft.util.Scratch.materialize(
+      cosineLshBandIndex(incoming, bands, rowsPerBand, idCol, vecCol),
+      "inc_cos_index"))
+    val all = corpusIndex.select(col("doc_id"), col("band"), col("bucket"))
+      .unionByName(inc)
+    val hot = DedupFunctions.hotBuckets(all.distinct(), maxBucketSize)
+    val probe = inc.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val target = all.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val candidates = probe.withColumnRenamed("doc_id", "id_x")
+      .join(target.withColumnRenamed("doc_id", "id_y"), Seq("band", "bucket"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    // exact cosine verification needs both populations' vectors (a pair
+    // can be increment-internal or increment×corpus)
+    val vecs = corpus.select(col(idCol), col(vecCol))
+      .unionByName(incoming.select(col(idCol), col(vecCol)))
     candidates
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")

@@ -1495,6 +1495,50 @@ object LlmQueries {
              |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin)),
 
+    // --------------------------------- INCREMENTAL SimHash near-dup.
+    // The persisted-index shape: even-id docs are the corpus (its band
+    // index stands in for the maintained side table), odd-id docs the
+    // increment; the probe must find EXACTLY the all-pairs result
+    // restricted to pairs with ≥1 incoming side — same pigeonhole
+    // exactness as the batch path, so the oracle is the batch oracle
+    // plus the not-both-corpus restriction. The corpus text is never
+    // re-tokenized: signatures ride in the index.
+    Q("q_dedup_simhash_incremental",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        DedupFunctions.simhashNearDuplicatesIncremental(
+          docs.filter(col("doc_id") % 2 === 1),
+          // production reads the PERSISTED side-table; scratch-materialize
+          // the in-query stand-in (no leaked RDD, built once)
+          graft.util.Scratch.materialize(
+            DedupFunctions.simhashBandIndex(
+              docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+            "q_simhash_index"),
+          "doc_id", "text", maxHamming = 3)
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(toks) AS t
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+             |votes AS (
+             |  SELECT doc_id, b,
+             |    SUM(CASE WHEN (CAST(concat('0x', substr(md5(t),1,16))
+             |                        AS UBIGINT) >> b) & 1 = 1
+             |        THEN 1 ELSE -1 END) AS v
+             |  FROM tok, (SELECT unnest(range(64)) AS b) bb
+             |  GROUP BY doc_id, b),
+             |persig AS (
+             |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN 1::UBIGINT << b
+             |                               ELSE 0::UBIGINT END) AS UBIGINT) AS sim
+             |  FROM votes GROUP BY doc_id),
+             |sig AS (
+             |  SELECT d.doc_id, CAST(COALESCE(s.sim, 0) AS UBIGINT) AS sim
+             |  FROM documents d LEFT JOIN persig s ON d.doc_id = s.doc_id)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+             |  AND NOT (a.doc_id % 2 = 0 AND b.doc_id % 2 = 0)""".stripMargin)),
+
     // ----------------------------------------------------------- text analysis
     // --------------------------------------- Unicode normalization (NFC)
     // The fixture text is pure ASCII, so the query PLANTS decomposed accent
@@ -2611,6 +2655,58 @@ object LlmQueries {
              |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              |  FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket
              |    AND a.vec_id < b.vec_id)
+             |SELECT c.id_a, c.id_b,
+             |  round(list_cosine_similarity(ea.embedding::DOUBLE[],
+             |                               eb.embedding::DOUBLE[]), 4) AS cos4
+             |FROM cand c
+             |JOIN embeddings ea ON ea.vec_id = c.id_a
+             |JOIN embeddings eb ON eb.vec_id = c.id_b
+             |WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+             |        eb.embedding::DOUBLE[]) >= 0.5""".stripMargin)),
+
+    // ----------------------- INCREMENTAL embedding near-dup (LSH probe)
+    // The persisted-index shape for the cosine path: even-vec_id vectors
+    // are the corpus (band index as the maintained side table), odd the
+    // increment. Bucket membership is a pure function of the vector, so
+    // the incremental candidate set equals the batch CTE's restricted to
+    // pairs with an incoming side — the oracle adds exactly that
+    // restriction to the batch LSH oracle.
+    Q("q_ann_cosine_lsh_incremental",
+      (s, dir) => {
+        val emb = Tables.df(s, dir, "embeddings")
+        val corpus = emb.filter(col("vec_id") % 2 === 0)
+        val incoming = emb.filter(col("vec_id") % 2 === 1)
+        VectorFunctions.cosineNearDuplicatesLshIncremental(
+          incoming, corpus,
+          graft.util.Scratch.materialize(
+            VectorFunctions.cosineLshBandIndex(corpus), "q_cos_index"),
+          threshold = 0.5)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos4"))
+      },
+      Some("""WITH planes AS MATERIALIZED (
+             |  SELECT p, list(CASE WHEN strpos('01234567',
+             |      substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)),
+             |             1, 1)) > 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
+             |  FROM (SELECT unnest(generate_series(0, 31)) AS p),
+             |       (SELECT unnest(generate_series(0, 63)) AS d)
+             |  GROUP BY p),
+             |bits AS MATERIALIZED (
+             |  SELECT e.vec_id, pl.p,
+             |    CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pl) > 0
+             |      THEN 1 ELSE 0 END AS bit
+             |  FROM embeddings e CROSS JOIN planes pl),
+             |bucketed AS MATERIALIZED (
+             |  SELECT vec_id, p // 4 AS band,
+             |    SUM(bit * (1 << (p % 4))) AS bucket
+             |  FROM bits GROUP BY 1, 2),
+             |ok AS MATERIALIZED (
+             |  SELECT band, bucket, vec_id FROM bucketed
+             |  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 10000),
+             |cand AS MATERIALIZED (
+             |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket
+             |    AND a.vec_id < b.vec_id
+             |  WHERE NOT (a.vec_id % 2 = 0 AND b.vec_id % 2 = 0))
              |SELECT c.id_a, c.id_b,
              |  round(list_cosine_similarity(ea.embedding::DOUBLE[],
              |                               eb.embedding::DOUBLE[]), 4) AS cos4

@@ -636,9 +636,17 @@ object OlapQueries {
              |  ON l_quantity, l_tax INTO NAME measure VALUE val)""".stripMargin)),
 
     // ------------------------------ incremental distinct-count (HLL fold)
-    // rows-only: the estimate comes from DataSketches HLL, which DuckDB's
-    // approx_count_distinct (a different sketch) cannot reproduce;
-    // RelationalSpec bounds the error vs exact and covers chunked folds.
+    // FULL value oracle in exact-error-bound form: the DataSketches HLL
+    // estimate itself is not engine-reproducible (DuckDB runs a different
+    // sketch), but its PUBLISHED error bound against the exact distinct
+    // count is — the query emits the exact per-group count plus the bound
+    // verdict (|est−exact| ≤ max(1, 5%·exact); lgK=12 ⇒ RSE 1.6%, 5% ≈
+    // 3σ), and DuckDB replays the exact count and the constant-TRUE
+    // verdict. A hash mismatch now means either the folded sketch broke
+    // its accuracy contract or the exact pass diverged — both real
+    // failures. The exact pass exists only for the sf-scale gate; at
+    // 100 TB the sketch REPLACES it (that's the point), and
+    // RelationalSpec separately pins chunking-invariance.
     Q("q_distinct_sketch",
       (s, dir) => {
         import graft.operators.Relational
@@ -647,19 +655,34 @@ object OlapQueries {
         val chunks = Seq(
           ev.filter(col("event_id") % 2 === 0),
           ev.filter(col("event_id") % 2 === 1))
-        Relational.readDistinctSketch(
+        val est = Relational.readDistinctSketch(
           chunks.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
             (p, c) => Some(Relational.foldDistinctSketch(
               p, c, Seq("event_type"), "user_id"))
           }.get)
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        est.join(exact, Seq("event_type"))
+          .select(col("event_type"), col("exact_distinct"),
+            (abs(col("approx_distinct") - col("exact_distinct")) <=
+              greatest(lit(1.0), col("exact_distinct") * lit(0.05)))
+              .as("within_bound"))
       },
-      None),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+             |  TRUE AS within_bound
+             |FROM events GROUP BY 1""".stripMargin)),
 
     // --------------------------- incremental quantile state (KLL fold)
-    // rows-only: KLL compaction is randomized, so estimates reproduce only
-    // within the sketch's rank-error bound — no engine-exact oracle exists
-    // by construction; RelationalSpec bounds rank error vs exact and covers
-    // chunked folds in both orders.
+    // FULL value oracle in exact-rank-bound form: KLL compaction is
+    // randomized, so the estimates themselves reproduce in no other
+    // engine — but the KLL GUARANTEE (the returned element's normalized
+    // rank lies within ε of the target φ; ε ≈ 1.65% at k=200, checked at
+    // 3% for slack) is exactly replayable. The query ranks each folded
+    // estimate against its own group with one broadcast-join aggregation
+    // pass ([#{v < est}, #{v ≤ est}] must bracket φ·n within ε·n) and
+    // emits the exact group size plus per-φ verdicts; DuckDB replays the
+    // size and the constant-TRUE verdicts. The exact pass is the sf-scale
+    // gate only — at 100 TB the mergeable sketch state replaces it.
     Q("q_quantile_sketch",
       (s, dir) => {
         import graft.operators.Relational
@@ -668,13 +691,25 @@ object OlapQueries {
         val chunks = Seq(
           ev.filter(col("event_id") % 2 === 0),
           ev.filter(col("event_id") % 2 === 1))
-        Relational.readQuantileSketch(
+        val est = Relational.readQuantileSketch(
           chunks.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
             (p, c) => Some(Relational.foldQuantileSketch(
               p, c, Seq("event_type"), "value"))
           }.get, Seq(0.5, 0.9, 0.99))
+        val eps = 0.03
+        def within(q: String, phi: Double) =
+          ((sum(when(col("value") < col(q), 1L).otherwise(0L)) <=
+            (lit(phi) + eps) * count(lit(1))) &&
+            (sum(when(col("value") <= col(q), 1L).otherwise(0L)) >=
+              (lit(phi) - eps) * count(lit(1)))).as(s"within_$q")
+        ev.join(broadcast(est), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"), within("q_50", 0.5),
+            within("q_90", 0.9), within("q_99", 0.99))
       },
-      None),
+      Some("""SELECT event_type, COUNT(*) AS n_rows,
+             |  TRUE AS within_q_50, TRUE AS within_q_90, TRUE AS within_q_99
+             |FROM events GROUP BY 1""".stripMargin)),
 
     // --------------- deterministic KMV distinct fold (FULL value oracle)
     // The exactly-replayable sibling of q_distinct_sketch: bottom-k-by-md5

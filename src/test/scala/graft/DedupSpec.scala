@@ -93,6 +93,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     near.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 3) }
   }
 
+  test("incremental simhash probe == batch pairs restricted to incoming side") {
+    // split the fixture corpus; the persisted-index probe must find
+    // EXACTLY the batch pair set minus corpus-internal pairs (pigeonhole
+    // exactness carries over: the probe side is the increment's bands)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val idx = DedupFunctions.simhashBandIndex(corpus, "doc_id", "text")
+    val got = DedupFunctions.simhashNearDuplicatesIncremental(
+      incoming, idx, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue())).toSet
+    val want = DedupFunctions.simhashNearDuplicates(docs, "doc_id", "text",
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue()))
+      .filter { case (a, b, _) => a % 2 == 1 || b % 2 == 1 }.toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must exercise at least one incoming pair")
+    // idempotent wrt duplicated index rows (append-maintained side table
+    // replayed after a crash): duplicates change nothing
+    val got2 = DedupFunctions.simhashNearDuplicatesIncremental(
+      incoming, idx.unionAll(idx.limit(2)), "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue())).toSet
+    assert(got2 == want)
+  }
+
   test("threshold monotonicity: higher threshold yields a subset") {
     val lo = DedupFunctions.minhashNearDuplicates(docs, "doc_id", "text", 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

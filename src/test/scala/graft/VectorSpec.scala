@@ -217,6 +217,43 @@ class VectorSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.95, s"LSH near-dup recall = $recall")
   }
 
+  test("incremental cosine-LSH probe == batch pairs restricted to incoming side") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 30).flatMap { base =>
+      val v = Array.fill(32)(rng.nextGaussian().toFloat)
+      (0 until 3).map { c =>
+        val noisy = v.map(x => x + 0.05f * rng.nextGaussian().toFloat)
+        (base * 3L + c, noisy.toSeq)
+      }
+    }
+    val all = rows.toDF("vec_id", "embedding")
+    val corpus = all.filter($"vec_id" % 2 === 0)
+    val incoming = all.filter($"vec_id" % 2 === 1)
+    val idx = VectorFunctions.cosineLshBandIndex(corpus)
+    val got = VectorFunctions.cosineNearDuplicatesLshIncremental(
+      incoming, corpus, idx, threshold = 0.95)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucket membership is a pure function of the vector, so the probe
+    // finds exactly the batch pair set minus corpus-internal pairs
+    val want = VectorFunctions.cosineNearDuplicatesLsh(all, threshold = 0.95)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 2 == 1 || b % 2 == 1 }.toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must exercise at least one incoming pair")
+    // duplicated index rows (crash-replayed append) change nothing
+    val got2 = VectorFunctions.cosineNearDuplicatesLshIncremental(
+      incoming, corpus, idx.unionAll(idx.limit(3)), threshold = 0.95)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == want)
+    // empty increment → empty pair set, no driver exception
+    assert(VectorFunctions.cosineNearDuplicatesLshIncremental(
+      incoming.limit(0), corpus, idx, threshold = 0.95).count() == 0)
+  }
+
   test("persisted IVF: cell filter prunes partitions; top-k matches in-memory") {
     val idx = VectorFunctions.buildIvf(emb, nlist = 8)
     val path = tmpDir("ivf") + "/index"
