@@ -676,9 +676,14 @@ object DedupFunctions {
   /** Engage the span-dedup frequency prefilter above this much input (plan
     * statistics, no job): below it the direct distinct-doc count finishes
     * before the prefilter's extra corpus pass pays for itself (measured 4×
-    * at sf0.1); above it the corpus-wide (md5, doc) string exchange IS the
-    * bill, and trading it for a 16-byte numeric count pass wins. */
-  private val SpanPrefilterMinInputBytes = BigInt(1L << 30)
+    * at sf0.1's 0.6 MB); above it the corpus-wide (md5, doc, pos) STRING
+    * exchange IS the bill, and trading it for a 16-byte numeric count pass
+    * wins. 32 MB, not the former 1 GB: the round-9 100× scale point caught
+    * the direct plan going super-linear at ~47 MB of input (17× wall for
+    * 10× data, 2.4 GB of spill through the string exchange) while the
+    * prefiltered plan stays linear — the window count grows ~80× but the
+    * Bloom-gated exchange carries only true repeats. */
+  private val SpanPrefilterMinInputBytes = BigInt(1L << 25)
 
   /** The (id, pos, whash) windows that belong to a hash occurring in ≥2
     * DISTINCT documents — exactly.
