@@ -406,11 +406,14 @@ object Cli {
         val deleted = loader.deleteKeys(spark, id, keysDf)
         // right-to-be-forgotten must reach DERIVED near-dup state too: the
         // forgotten doc's label row and its CONTENT-DERIVED band hashes are
-        // scrubbed from each neardup_labels side-table, preserving the fold
+        // scrubbed from each label-maintaining side-table (neardup_labels /
+        // simhash_labels / embedding_neardup), preserving the fold
         // cursor (or the next sync would refold history and resurrect the
         // pairs). Other docs' cluster labels may retain the forgotten doc's
         // NUMERIC id as their group label — an opaque group id, not content.
-        spec.postOps.filter(_.op == "neardup_labels")
+        val bandSuffix = Map("neardup_labels" -> ".__bands",
+          "simhash_labels" -> ".__simbands", "embedding_neardup" -> ".__cosbands")
+        spec.postOps.filter(po => bandSuffix.contains(po.op))
           .filter(_.idColumn.contains(keyCol)).foreach { po =>
             val dId = id.copy(table = po.target)
             val state = loader.readDerivedState(spark, dId)
@@ -433,7 +436,8 @@ object Cli {
               }
             }
             scrub(loader.targetPath(dId), "id", keepState = true)
-            scrub(loader.targetPath(dId) + ".__bands", "doc_id",
+            // every band-index builder emits its id as doc_id
+            scrub(loader.targetPath(dId) + bandSuffix(po.op), "doc_id",
               keepState = false)
             println(s"scrubbed ${po.target} labels + band index")
           }

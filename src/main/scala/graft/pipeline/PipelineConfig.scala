@@ -366,9 +366,10 @@ object PipelineConfig {
     // probe corpus would be missing folded docs' text and pairs would drop
     // silently. Reject the combinations at parse, per the strict-config
     // convention.
-    tables.filter(_.postOps.exists(_.op == "neardup_labels")).foreach { t =>
+    for (op <- Seq("neardup_labels", "simhash_labels", "embedding_neardup");
+         t <- tables.filter(_.postOps.exists(_.op == op))) {
       def bad(msg: String) = throw new IllegalArgumentException(
-        s"tables.${t.name}.post_ops.neardup_labels: $msg")
+        s"tables.${t.name}.post_ops.$op: $msg")
       if (t.cdc.strategy != CdcStrategyKind.IdOnly)
         bad(s"requires cdc_strategy id_only (append-only increments); " +
           s"'${t.cdc.strategy.name}' can restage or update already-folded " +
@@ -567,6 +568,17 @@ object PipelineConfig {
           "'id_column' and 'text_column'")
         spec.threshold.foreach(t =>
           if (t <= 0.0 || t > 1.0) bad(s"threshold $t outside (0,1]"))
+      case "simhash_labels" =>
+        need(spec.idColumn.isDefined && spec.textColumn.isDefined,
+          "'id_column' and 'text_column'")
+        spec.k.foreach(k =>
+          if (k < 0 || k > 16) bad(s"k $k (max Hamming bits) outside [0,16]"))
+      case "embedding_neardup" =>
+        need(spec.idColumn.isDefined && spec.vectorColumn.isDefined,
+          "'id_column' and 'vector_column'")
+        need(spec.threshold.isDefined, "'threshold' (minimum cosine)")
+        spec.threshold.foreach(t =>
+          if (t <= -1.0 || t > 1.0) bad(s"threshold $t outside (-1,1]"))
       case "fold_kmv_distinct" =>
         need(spec.keys.nonEmpty, "'keys'")
         need(spec.valueColumn.isDefined, "'value_column'")
@@ -645,6 +657,7 @@ object PipelineConfig {
           if (t < -1.0 || t > 1.0) bad(s"threshold $t outside [-1,1]"))
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
         " | scd2_apply | fold_aggregate | zorder | neardup_labels" +
+        " | simhash_labels | embedding_neardup" +
         " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
         " | fold_bpe_tokens | epoch_shards | drift_gate | fold_probe" +
         " | rebalance | dsir_select | curriculum | contamination_gate" +

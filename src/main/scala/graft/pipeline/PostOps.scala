@@ -341,6 +341,82 @@ object PostOps {
           incIndex.write.mode("append").parquet(bandsPath)
           graft.functions.DedupFunctions.foldClusterLabels(prev, newPairs)
         }
+      case "simhash_labels" =>
+        // the SimHash twin of neardup_labels: incremental whole-page
+        // near-dup cluster maintenance under a persisted SIGNATURE band
+        // index. Cheaper per sync than MinHash (no shingle sets, no exact-
+        // Jaccard verify joins — Hamming distance is pure signature
+        // arithmetic from index rows), at SimHash's coarser granularity.
+        // Exact by pigeonhole, so chained folds equal batch clustering of
+        // everything loaded (the same argument as neardup_labels, WITHOUT
+        // its hot-bucket caveat — this path has no cap). Same append-only
+        // contract, enforced at parse.
+        val idc = po.idColumn.get
+        val txt = po.textColumn.get
+        val maxH = po.k.getOrElse(3)
+        val bandsPath = loader.targetPath(derivedId) + ".__simbands"
+        foldIncremental(spark, id, derivedId, extractor, loader) { (prev, inc0) =>
+          import org.apache.spark.sql.functions.col
+          val inc = inc0.select(col(idc), col(txt))
+          val fs = new org.apache.hadoop.fs.Path(bandsPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val corpusIndex =
+            if (fs.exists(new org.apache.hadoop.fs.Path(bandsPath)))
+              spark.read.parquet(bandsPath)
+            else // first sync: empty index with the right schema
+              graft.functions.DedupFunctions.simhashBandIndex(
+                inc.limit(0), idc, txt, maxH)
+          // ONE tokenize+band pass over the increment serves both the
+          // probe and the persisted-index append
+          val incIndex = graft.util.Scratch.materialize(
+            graft.functions.DedupFunctions.simhashBandIndex(
+              inc, idc, txt, maxH), "sync_simhash_index")
+          val newPairs = graft.functions.DedupFunctions
+            .simhashNearDuplicatesIncremental(inc, corpusIndex, idc, txt,
+              maxH, incomingIndex = Some(incIndex))
+            .select(col("id_a"), col("id_b"))
+          // index append FIRST (crash-replay duplicates band rows, which
+          // the probe tolerates; the reverse order loses documents)
+          incIndex.write.mode("append").parquet(bandsPath)
+          graft.functions.DedupFunctions.foldClusterLabels(prev, newPairs)
+        }
+      case "embedding_neardup" =>
+        // the EMBEDDING twin: incremental semantic near-dup cluster
+        // maintenance under a persisted random-hyperplane band index.
+        // Bucket membership is a pure function of the vector (md5-derived
+        // plane constants), so each sync's probe equals the batch candidate
+        // set restricted to incoming-side pairs; exact cosine verifies
+        // against the loaded corpus vectors. Same append-only contract and
+        // hot-bucket caveat as neardup_labels.
+        val idc = po.idColumn.get
+        val vecc = po.vectorColumn.get
+        val thr = po.threshold.get
+        val bandsPath = loader.targetPath(derivedId) + ".__cosbands"
+        foldIncremental(spark, id, derivedId, extractor, loader) { (prev, inc0) =>
+          import org.apache.spark.sql.functions.col
+          val inc = inc0.select(col(idc), col(vecc))
+          val corpus = requireBase(spark, loader, id, po)
+            .select(col(idc), col(vecc))
+            .join(inc.select(col(idc)), Seq(idc), "left_anti")
+          val fs = new org.apache.hadoop.fs.Path(bandsPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val corpusIndex =
+            if (fs.exists(new org.apache.hadoop.fs.Path(bandsPath)))
+              spark.read.parquet(bandsPath)
+            else
+              graft.functions.VectorFunctions.cosineLshBandIndex(
+                inc.limit(0), idCol = idc, vecCol = vecc)
+          val incIndex = graft.util.Scratch.materialize(
+            graft.functions.VectorFunctions.cosineLshBandIndex(
+              inc, idCol = idc, vecCol = vecc), "sync_cos_index")
+          val newPairs = graft.functions.VectorFunctions
+            .cosineNearDuplicatesLshIncremental(inc, corpus, corpusIndex,
+              threshold = thr, idCol = idc, vecCol = vecc,
+              incomingIndex = Some(incIndex))
+            .select(col("id_a"), col("id_b"))
+          incIndex.write.mode("append").parquet(bandsPath)
+          graft.functions.DedupFunctions.foldClusterLabels(prev, newPairs)
+        }
       case other => // unreachable: PipelineConfig validates at parse time
         throw new IllegalArgumentException(s"unknown post_op '$other'")
     }

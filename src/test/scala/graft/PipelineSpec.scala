@@ -1113,6 +1113,134 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "idle re-sync resurrected the forgotten doc's label")
   }
 
+  test("post_ops simhash_labels: chained folds equal batch simhash clustering") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val srcDir = tmpDir("shsrc")
+    docs.filter(col("doc_id") < 250).write.mode("overwrite")
+      .parquet(s"$srcDir/documents.parquet")
+    val y = s"""pipeline:
+       |  name: "shlabels"
+       |  source: "$srcDir"
+       |  target: "warehouse"
+       |tables:
+       |  fx.documents:
+       |    cdc_strategy: "id_only"
+       |    cdc_id_column: "doc_id"
+       |    post_ops:
+       |      - op: simhash_labels
+       |        target: doc_shclusters
+       |        id_column: doc_id
+       |        text_column: text
+       |        k: 3
+       |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("shwork"))
+    val (_, _, loader) = runner.rigFor(p)
+    val labelsId = p.tables.head.tableId(p).copy(table = "doc_shclusters")
+    def labelSet() = loader.readTarget(spark, labelsId).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def batchSet(upTo: Long) = graft.functions.DedupFunctions
+      .duplicateClusters(graft.functions.DedupFunctions.simhashNearDuplicates(
+        docs.filter(col("doc_id") < upTo), "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(runner.sync(p).allOk)
+    assert(labelSet() == batchSet(250L))
+    docs.write.mode("overwrite").parquet(s"$srcDir/documents.parquet")
+    assert(runner.sync(p).allOk)
+    assert(labelSet() == batchSet(100000L),
+      "chained simhash label folds diverged from batch clustering")
+    // idle re-sync: fold cursor no-op
+    val before = labelSet()
+    assert(runner.sync(p).allOk)
+    assert(labelSet() == before)
+  }
+
+  test("post_ops embedding_neardup: chained folds equal batch cosine clustering") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val srcDir = tmpDir("ensrc")
+    emb.filter(col("vec_id") < 40).write.mode("overwrite")
+      .parquet(s"$srcDir/embeddings.parquet")
+    val y = s"""pipeline:
+       |  name: "enlabels"
+       |  source: "$srcDir"
+       |  target: "warehouse"
+       |tables:
+       |  fx.embeddings:
+       |    cdc_strategy: "id_only"
+       |    cdc_id_column: "vec_id"
+       |    post_ops:
+       |      - op: embedding_neardup
+       |        target: vec_clusters
+       |        id_column: vec_id
+       |        vector_column: embedding
+       |        threshold: 0.5
+       |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("enwork"))
+    val (_, _, loader) = runner.rigFor(p)
+    val labelsId = p.tables.head.tableId(p).copy(table = "vec_clusters")
+    def labelSet() = loader.readTarget(spark, labelsId).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def batchSet(upTo: Long) = graft.functions.DedupFunctions
+      .duplicateClusters(graft.functions.VectorFunctions
+        .cosineNearDuplicatesLsh(emb.filter(col("vec_id") < upTo),
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(runner.sync(p).allOk)
+    assert(labelSet() == batchSet(40L))
+    emb.write.mode("overwrite").parquet(s"$srcDir/embeddings.parquet")
+    assert(runner.sync(p).allOk)
+    assert(labelSet() == batchSet(100000L),
+      "chained embedding label folds diverged from batch clustering")
+  }
+
+  test("simhash_labels / embedding_neardup parse strictness") {
+    def yml(op: String, extra: String, strategy: String = "id_only") =
+      s"""pipeline:
+         |  name: "strict"
+         |  source: "/tmp/x"
+         |  target: "warehouse"
+         |tables:
+         |  fx.t:
+         |    cdc_strategy: "$strategy"
+         |    cdc_id_column: "id"
+         |    post_ops:
+         |      - op: $op
+         |        target: d
+         |$extra""".stripMargin
+    // missing required fields
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      yml("simhash_labels", "        id_column: id\n")))
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      yml("embedding_neardup",
+        "        id_column: id\n        vector_column: v\n"))) // no threshold
+    // bound violations
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      yml("simhash_labels",
+        "        id_column: id\n        text_column: t\n        k: 99\n")))
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      yml("embedding_neardup",
+        "        id_column: id\n        vector_column: v\n" +
+          "        threshold: 1.5\n")))
+    // append-only contract: non-id_only strategies refused at parse
+    val e = intercept[IllegalArgumentException](PipelineConfig.fromString(
+      yml("simhash_labels",
+        "        id_column: id\n        text_column: t\n",
+        strategy = "full_sync")))
+    assert(e.getMessage.contains("id_only"), e.getMessage)
+    // valid configs parse
+    PipelineConfig.fromString(yml("simhash_labels",
+      "        id_column: id\n        text_column: t\n"))
+    PipelineConfig.fromString(yml("embedding_neardup",
+      "        id_column: id\n        vector_column: v\n" +
+        "        threshold: 0.8\n"))
+    ()
+  }
+
   test("expectations gate holds back post_ops on a violating sync") {
     // a violating increment must not advance derived state whose fold
     // cursors make the advance irreversible — the quality gate actually

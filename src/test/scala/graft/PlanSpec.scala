@@ -340,6 +340,54 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("incremental simhash probe: exchanges carry longs only, never text") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = graft.functions.DedupFunctions.simhashBandIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val df = graft.functions.DedupFunctions.simhashNearDuplicatesIncremental(
+      docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text",
+      incomingIndex = Some(idx.limit(0).unionByName(
+        graft.functions.DedupFunctions.simhashBandIndex(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))))
+    val exchanges = physical(df).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "no exchanges — assertion would be vacuous")
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name).toSet
+      assert(!cols.contains("text") && !cols.contains("__toks"),
+        s"text payload rides an exchange: $cols")
+    }
+  }
+
+  test("incremental cosine-LSH probe: no embedding arrays on candidate exchanges") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val idx = graft.functions.VectorFunctions.cosineLshBandIndex(corpus)
+    val df = graft.functions.VectorFunctions.cosineNearDuplicatesLshIncremental(
+      emb.filter(col("vec_id") % 2 === 1), corpus, idx, threshold = 0.5,
+      incomingIndex = Some(graft.functions.VectorFunctions.cosineLshBandIndex(
+        emb.filter(col("vec_id") % 2 === 1))))
+    val plan = physical(df)
+    // the hot-bucket cap must anti-join by BROADCAST (bucket-cardinality
+    // relation), and candidate generation must exchange only (band, bucket,
+    // id) longs — embeddings appear solely in the final id-keyed verify
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "no exchanges — assertion would be vacuous")
+    val candidateExchanges = exchanges.filter(
+      _.child.output.exists(a => a.name == "band" || a.name == "bucket"))
+    assert(candidateExchanges.nonEmpty)
+    candidateExchanges.foreach { e =>
+      val names = e.child.output.map(_.name).toSet
+      assert(!names.contains("embedding") && !names.exists(_.startsWith("__v")),
+        s"embedding payload rides a candidate exchange: $names")
+    }
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if b.joinType.toString.contains("Anti") => b
+    }.nonEmpty, "hot-bucket cap is not a broadcast anti-join")
+  }
+
   test("span decontamination shuffles hashes and positions, never token payloads") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
