@@ -594,9 +594,31 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming $maxHamming outside [0,3] — 4-band pigeonhole is exact" +
         " only through 3")
+    // Identical-(w,h,dhash) classes collapse to their min-id REP before the
+    // banded join: a member pairs with an outside image iff its rep does
+    // (bit-identical hashes), so only reps ride the band exchange and the
+    // quadratic class-internal pairs are GENERATED (keyed self-join, each
+    // pair arising once) instead of discovered ×4 bands and deduped — the
+    // former plan shuffled the quadratic pair set through four band
+    // exchanges and a distinct (the 10× bench point measured 6 GB of spill
+    // on popular-image classes). The pair OUTPUT stays quadratic in class
+    // size — that is the operator's contract ([[imageNearDupEdges]] is the
+    // component-equivalent linear form) — but it now streams to the
+    // consumer without a quadratic exchange anywhere.
+    val cls = Seq("width", "height", "dhash")
+    val rep = hashes.groupBy(cls.map(col): _*).agg(min(col(idCol)).as("__rep"))
+    val members = hashes.join(rep, cls)
+      .select(col("__rep"), col(idCol).as("__m"))
+    val within = members.withColumnRenamed("__m", "id_a")
+      .join(members.withColumnRenamed("__m", "id_b"), Seq("__rep"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+    // banded Hamming join over class reps only (distinct (w,h,dhash) rows:
+    // every rep pair has hamming ≥ 1, so within/cross never overlap)
+    val reps = rep.select(col("__rep").as("id"), col("width"),
+      col("height"), col("dhash"))
     val bands = (0 until 4).map(b =>
-      hashes.select(col(idCol).as("id"), col("width"), col("height"),
-        col("dhash"),
+      reps.select(col("id"), col("width"), col("height"), col("dhash"),
         lit(b).as("band"),
         shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key")))
       .reduce(_ unionByName _)
@@ -604,13 +626,23 @@ object Multimodal {
       col("height").as("h"), col("dhash").as("h_a"), col("band"), col("key"))
     val b = bands.select(col("id").as("id_b"), col("width").as("w"),
       col("height").as("h"), col("dhash").as("h_b"), col("band"), col("key"))
-    a.join(b, Seq("band", "key", "w", "h"))
+    val repPairs = a.join(b, Seq("band", "key", "w", "h"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int")
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    // expand each rep pair to its classes' members (hamming carries over:
+    // members share their rep's dhash bit-for-bit)
+    val cross = repPairs
+      .join(members.select(col("__rep").as("id_a"), col("__m").as("__ma")),
+        Seq("id_a"))
+      .join(members.select(col("__rep").as("id_b"), col("__m").as("__mb")),
+        Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
+    within.unionByName(cross)
   }
 
   /** Component-equivalent image near-dup EDGES for cluster closure: the
