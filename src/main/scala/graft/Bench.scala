@@ -5,8 +5,8 @@ object Bench {
 
   /** Per-run stage-metric attribution (executor run/cpu/GC time, spill,
     * tasks) — the signal that separates "the plan got slower" from "the
-    * session got noisier" (GC/codegen pressure from 193 queries × 2 runs in
-    * one JVM) and "the machine got noisier" (run time ≫ cpu time = tasks
+    * session got noisier" (GC/codegen pressure from ~200 queries × 2 runs
+    * in one JVM) and "the machine got noisier" (run time ≫ cpu time = tasks
     * descheduled by outside load). Counters are cumulative; callers snapshot
     * around a run after draining the listener bus. */
   private final class StageAcc extends org.apache.spark.scheduler.SparkListener {
