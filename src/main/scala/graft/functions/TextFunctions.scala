@@ -217,6 +217,46 @@ object TextFunctions {
             col("stop_hits") >= minStopHits, lit(false)))
   }
 
+  /** C4-style line-level cleanup (Raffel et al. 2020, §2.2) — the other
+    * canonical pre-LM filter next to [[gopherQualityReport]]'s doc-level
+    * battery, operating a level DOWN: each line of a page is retained only
+    * if it ends in terminal punctuation (. ! ? "), carries at least
+    * `minWordsPerLine` whitespace words, and does not mention "javascript";
+    * the PAGE is then kept only if at least `minKeptLines` lines survived
+    * (retained lines end in terminal punctuation, so the count is C4's
+    * "at least three sentences" gate on the retained text) and the raw
+    * text contains neither "lorem ipsum" nor a '{' (code leakage). Emits
+    * per-doc counts, the verdict, and the cleaned text (NULL for dropped
+    * pages) — compose with `.filter(col("kept_doc"))` for the filter.
+    *
+    * Scale: pure rowwise projection — split + array-HOF folds, thresholds
+    * as literals, no UDF, no shuffle; embarrassingly parallel at 100 TB.
+    * The line predicate is deliberately lookaround-free so the whole pass
+    * (including the regex) replays in RE2-based engines. */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text",
+              minWordsPerLine: Int = 5,
+              minKeptLines: Int = 3): DataFrame = {
+    require(minWordsPerLine >= 1, s"minWordsPerLine $minWordsPerLine < 1")
+    require(minKeptLines >= 1, s"minKeptLines $minKeptLines < 1")
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), "\\s+"), w => length(w) > 0))
+          >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    val keptDoc = coalesce(
+      size(kept) >= minKeptLines &&
+        !lower(t).contains("lorem ipsum") &&
+        !t.contains("{"), lit(false))
+    docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      keptDoc.as("kept_doc"),
+      when(keptDoc, array_join(kept, "\n")).as("text_clean"))
+  }
+
   /** Full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

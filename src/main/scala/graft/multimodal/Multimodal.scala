@@ -391,6 +391,44 @@ object Multimodal {
     def payload(docId: Long): Array[Byte] =
       if (docId % 2 == 0) pngPayload(docId) else wavPayload(docId)
 
+    /** Near-dup audio fixture: docs sharing a SEED (id mod 50) carry the
+      * same PCM stream except that docs with id%3 ≠ 0 have their LAST
+      * energy window (window 63 of 64; n ≥ 400 ≫ 64) silenced to zero.
+      * Zero energy can never exceed window 62's (seed windows are nonzero),
+      * so a silenced doc's bit 62 is firmly 0, while an unsilenced doc's is
+      * the seed's natural gradient sign — same-seed pairs therefore sit at
+      * Hamming 0 (same group, or a naturally-descending seed) or exactly 1
+      * (across groups of a naturally-ascending seed), decided by exact
+      * integer energies the SQL oracle replays. Bits 0–61 ride untouched
+      * windows and always agree. Different seeds differ in frame COUNT, so
+      * the same-length gate keeps them from ever pairing. */
+    def audioDupSeed(docId: Long): Long = docId % 50
+    def audioDupFrames(docId: Long): Int = 400 + audioDupSeed(docId).toInt
+    def audioDupSample(docId: Long, j: Long): Int = {
+      val seed = audioDupSeed(docId)
+      val n = audioDupFrames(docId)
+      if (docId % 3 != 0 && (j * 64) / n == 63) 0
+      else ((seed * 17 + j * 7) % 4001).toInt - 2000
+    }
+
+    def wavDupPayload(docId: Long): Array[Byte] = {
+      import javax.sound.sampled._
+      val n = audioDupFrames(docId)
+      val data = new Array[Byte](n * 2)
+      var j = 0
+      while (j < n) {
+        val s = audioDupSample(docId, j)
+        data(2 * j) = (s & 0xff).toByte
+        data(2 * j + 1) = ((s >> 8) & 0xff).toByte
+        j += 1
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+      val baos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
     /** Video presentation size / frame count formulas for [[mp4Payload]]. */
     def videoDims(docId: Long): (Int, Int) =
       (160 + (docId % 8).toInt * 16, 96 + (docId % 5).toInt * 24)
@@ -492,6 +530,18 @@ object Multimodal {
     import spark.implicits._
     docs.filter(col(idCol).isNotNull).select(col(idCol).cast("long")).as[Long]
       .mapPartitions(it => it.map(d => (d, MediaFixtures.payload(d))))
+      .toDF(idCol, "payload")
+  }
+
+  /** Attach near-dup WAV payloads ([[MediaFixtures.wavDupPayload]]) to
+    * EVERY doc — the fixture stage feeding [[audioNearDuplicates]] (the
+    * base [[withFixtureMedia]] fixture gives every doc a distinct stream,
+    * so a near-dup pass over it would be vacuously empty). */
+  def withFixtureAudioDups(spark: SparkSession, docs: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull).select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(d => (d, MediaFixtures.wavDupPayload(d))))
       .toDF(idCol, "payload")
   }
 
@@ -707,6 +757,23 @@ object Multimodal {
       })
       .toDF(idCol, "n_frames", "afp")
   }
+
+  /** Audio NEAR-DUPLICATE pairs by Hamming distance on the perceptual
+    * fingerprint — [[imageNearDuplicates]]'s banded machinery verbatim on
+    * the (id, n_frames, afp) shape (the fingerprint rides where the dhash
+    * does, the sample COUNT where the dimension gate does): identical-
+    * fingerprint classes collapse to reps, 4 disjoint 16-bit bands make the
+    * candidate set EXACT for Hamming ≤ 3 by pigeonhole, and the same-length
+    * gate keeps different-duration clips from pairing on coincidental
+    * energy gradients. Same re-encode-robustness argument as the image
+    * path: the fingerprint is volume-robust (scaling preserves energy-
+    * gradient signs), so a loudness-normalized re-upload still collides. */
+  def audioNearDuplicates(hashes: DataFrame, maxHamming: Int = 1,
+                          idCol: String = "doc_id"): DataFrame =
+    imageNearDuplicates(
+      hashes.select(col(idCol), col("n_frames").as("width"),
+        lit(0L).as("height"), col("afp").as("dhash")),
+      maxHamming, idCol)
 
   /** REAL audio decode pass: every payload `javax.sound.sampled` can read
     * as 16-bit PCM yields format fields plus exact sample-sum and

@@ -902,6 +902,71 @@ object LlmQueries {
              |    AND stop_hits >= 2), FALSE) AS pass
              |FROM m""".stripMargin)),
 
+    // ------------------------------------- C4 line-level cleanup (Raffel 2020)
+    // Line filter (terminal punctuation + >=5 words + no "javascript") then
+    // page gates (>=3 retained lines, no "lorem ipsum", no '{'). The corpus
+    // text has no newlines or punctuation, so the fixture builds a multi-line
+    // page per doc with planted violations: doc%5==0 loses its javascript
+    // line (failing the 3-line gate), doc%11==0 plants lorem ipsum,
+    // doc%13==0 plants a brace — each gate exercised on both engines.
+    Q("q_c4_line_filter",
+      (s, dir) => {
+        val d = Tables.df(s, dir, "documents")
+        val id = col("doc_id")
+        val page = concat_ws("\n",
+          concat(lit("Data pipeline sentence number "), id.cast("string"),
+            lit(" describes the corpus well.")),
+          substring(col("text"), 1, 60),
+          lit("Too short."),
+          when(id % 5 === 0,
+            lit("Please enable javascript to view this content properly."))
+            .otherwise(
+              lit("A second proper sentence closes with a question mark, right?")),
+          when(id % 11 === 0,
+            lit("lorem ipsum dolor sit amet fills this entire line.")),
+          when(id % 13 === 0,
+            lit("this config has a { brace in it and gets killed.")),
+          concat(lit("The third full sentence arrives here with id "),
+            (id % 7).cast("string"), lit(" attached!")))
+        graft.functions.TextFunctions.c4Clean(
+          d.select(id, page.as("text")))
+      },
+      Some(s"""WITH built AS (SELECT doc_id,
+             |    concat_ws(chr(10),
+             |      'Data pipeline sentence number ' || CAST(doc_id AS VARCHAR)
+             |        || ' describes the corpus well.',
+             |      substring(text, 1, 60),
+             |      'Too short.',
+             |      CASE WHEN doc_id % 5 = 0
+             |        THEN 'Please enable javascript to view this content properly.'
+             |        ELSE 'A second proper sentence closes with a question mark, right?'
+             |        END,
+             |      CASE WHEN doc_id % 11 = 0
+             |        THEN 'lorem ipsum dolor sit amet fills this entire line.' END,
+             |      CASE WHEN doc_id % 13 = 0
+             |        THEN 'this config has a ' || chr(123) ||
+             |          ' brace in it and gets killed.' END,
+             |      'The third full sentence arrives here with id ' ||
+             |        CAST(doc_id % 7 AS VARCHAR) || ' attached!') AS t
+             |  FROM documents),
+             |f AS (SELECT doc_id, t,
+             |    len(string_split(t, chr(10))) AS n_lines,
+             |    list_filter(string_split(t, chr(10)), l ->
+             |      regexp_matches(rtrim(l), '[.!?"]$$')
+             |      AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+             |        w -> len(w) > 0)) >= 5
+             |      AND NOT contains(lower(l), 'javascript')) AS kept
+             |  FROM built),
+             |v AS (SELECT doc_id, t, n_lines, kept,
+             |    (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+             |      AND NOT contains(t, chr(123))) AS kept_doc
+             |  FROM f)
+             |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+             |  CAST(len(kept) AS BIGINT) AS n_kept, kept_doc,
+             |  CASE WHEN kept_doc THEN array_to_string(kept, chr(10))
+             |    END AS text_clean
+             |FROM v""".stripMargin)),
+
     // ---------------------------- corpus-relative n-gram commonness
     // Per-doc templatedness: mean ln(DF) of the doc's shingles + the
     // fraction with DF >= 5. 4-decimal ln rounding, exact decimal sums.

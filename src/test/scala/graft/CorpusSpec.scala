@@ -1184,6 +1184,47 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(!n.isNullAt(n.fieldIndex("pass")) && !n.getAs[Boolean]("pass"))
   }
 
+  test("c4Clean: line rules and page gates each fire on their planted case") {
+    val s = spark
+    import s.implicits._
+    val s1 = "This first sentence carries enough words to be retained."
+    val s2 = "Does the second sentence also survive the line filter, yes?"
+    val s3 = "A third full sentence closes the page with a bang!"
+    val docs = Seq(
+      (1L, s"$s1\nno terminal punctuation on this line\n$s2\nShort line.\n$s3"),
+      (2L, s"$s1\n$s2"),                                // only 2 kept lines
+      (3L, s"$s1\n$s2\nPlease enable JavaScript to read the article."),
+      (4L, s"$s1\n$s2\n$s3\nlorem ipsum dolor sit amet."),  // page gate
+      (5L, s"$s1\n$s2\n$s3\nif (x) { return; }"),       // brace page gate
+      (6L, null.asInstanceOf[String])                   // null text
+    ).toDF("doc_id", "text")
+    val m = graft.functions.TextFunctions.c4Clean(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: junk lines dropped, the 3 sentences survive IN ORDER
+    assert(m(1L).getAs[Boolean]("kept_doc"))
+    assert(m(1L).getAs[Long]("n_lines") == 5L)
+    assert(m(1L).getAs[Long]("n_kept") == 3L)
+    assert(m(1L).getAs[String]("text_clean") == s"$s1\n$s2\n$s3")
+    // doc 2: two retained lines < 3 → page dropped, text_clean NULL
+    assert(!m(2L).getAs[Boolean]("kept_doc") &&
+      m(2L).isNullAt(m(2L).fieldIndex("text_clean")))
+    // doc 3: the javascript line is dropped (case-insensitive) → 2 kept
+    assert(m(3L).getAs[Long]("n_kept") == 2L &&
+      !m(3L).getAs[Boolean]("kept_doc"))
+    // doc 4: 4 retained lines but lorem ipsum kills the page
+    assert(m(4L).getAs[Long]("n_kept") == 4L &&
+      !m(4L).getAs[Boolean]("kept_doc"))
+    // doc 5: brace kills the page even though 3 lines were retained
+    assert(!m(5L).getAs[Boolean]("kept_doc"))
+    // doc 6: NULL text → firm FALSE verdict (3VL must not leak)
+    assert(!m(6L).isNullAt(m(6L).fieldIndex("kept_doc")) &&
+      !m(6L).getAs[Boolean]("kept_doc"))
+    // degenerate thresholds refused loudly
+    intercept[IllegalArgumentException] {
+      graft.functions.TextFunctions.c4Clean(docs, minWordsPerLine = 0)
+    }
+  }
+
   test("contaminationMatrix: per-benchmark overlaps, sparse, threshold") {
     val s = spark
     import s.implicits._

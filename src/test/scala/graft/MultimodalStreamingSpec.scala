@@ -581,6 +581,58 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
       "unrelated audio should diverge")
   }
 
+  test("audio near-dup: banded pairs == brute force, length gate fences") {
+    import graft.multimodal.Multimodal
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    // base clip rises into its last window (samples 394..399 form window 63
+    // of n=400): e63 = 6·1000² ≫ e62 = 6·100², so bit 62 is firmly 1 —
+    // silencing the tail flips it to exactly Hamming 1
+    val base = Array.tabulate(400) { j =>
+      (if (j >= 394) 1000 else if (j >= 388) 100
+       else ((j * 37) % 1901) - 950).toShort
+    }
+    val silenced = base.clone()
+    for (j <- 394 until 400) silenced(j) = 0
+    val other = Array.tabulate(400)(j => (((j * 53 + 7) % 1901) - 950).toShort)
+    val longer = Array.tabulate(432)(j => base(j % 400))
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, wav(base)), (2L, wav(base)), (3L, wav(silenced)),
+      (4L, wav(other)), (5L, wav(longer))).toDF("doc_id", "payload")
+    val hs = Multimodal.audioPerceptualHashes(spark, docs)
+    val got = Multimodal.audioNearDuplicates(hs, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the collected fingerprints: same length, Hamming ≤ 1
+    val rows = hs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ia, na, fa) <- rows; (ib, nb, fb) <- rows
+      if ia < ib && na == nb &&
+        java.lang.Long.bitCount(fa ^ fb) <= 1
+    } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb))).toSet
+    assert(got == brute, s"banded $got != brute $brute")
+    // the planted relations: identical clips at 0, silenced tail at exactly 1
+    assert(got.contains((1L, 2L, 0)))
+    assert(got.contains((1L, 3L, 1)) && got.contains((2L, 3L, 1)))
+    // the different-length clip never pairs, whatever its fingerprint
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+    // unrelated same-length audio stays out
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("streaming BM25 index: drained micro-batches score identically to batch") {
     val s = spark; import s.implicits._
     import graft.functions.CorpusFunctions
