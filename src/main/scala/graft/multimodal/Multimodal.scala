@@ -493,6 +493,37 @@ object Multimodal {
       }
     }
 
+    /** Near-dup video fixture: docs sharing a SEED (id mod 40) carry two
+      * identical frames (plane values pure functions of the seed) plus one
+      * doc-unique third frame — so same-seed pairs share exactly the two
+      * seed frames, everything replayable closed-form in SQL. Dims derive
+      * from the seed (near-dup candidates must agree on shape, mirroring
+      * the image path's dimension gate). */
+    def videoDupSeed(docId: Long): Long = docId % 40
+    def videoDupDims(docId: Long): (Int, Int) = {
+      val seed = videoDupSeed(docId)
+      (16 * (1 + (seed % 3).toInt), 16 * (1 + (seed % 2).toInt))
+    }
+    def videoDupLuma(docId: Long, f: Int, j: Long): Int =
+      if (f < 2) ((videoDupSeed(docId) * 31 + f * 7 + j) % 256).toInt
+      else ((docId * 31 + 99 + j) % 256).toInt
+    def videoDupCb(docId: Long, f: Int, j: Long): Int =
+      if (f < 2) ((videoDupSeed(docId) * 13 + f * 5 + j) % 256).toInt
+      else ((docId * 13 + 97 + j) % 256).toInt
+    def videoDupCr(docId: Long, f: Int, j: Long): Int =
+      if (f < 2) ((videoDupSeed(docId) * 17 + f * 11 + j) % 256).toInt
+      else ((docId * 17 + 95 + j) % 256).toInt
+
+    def h264DupPayload(docId: Long): Array[Byte] = {
+      val (w, h) = videoDupDims(docId)
+      H264.encodeIPcm((0 until 3).map { f =>
+        H264.Frame(w, h,
+          Array.tabulate(w * h)(j => videoDupLuma(docId, f, j.toLong).toByte),
+          Array.tabulate(w * h / 4)(j => videoDupCb(docId, f, j.toLong).toByte),
+          Array.tabulate(w * h / 4)(j => videoDupCr(docId, f, j.toLong).toByte))
+      })
+    }
+
     /** ISO-BMFF container whose mdat carries a REAL Annex-B H.264 I_PCM
       * stream ([[H264.encodeIPcm]]) — the pixel-bearing sibling of
       * [[mp4Payload]] (whose mdat is filler): box tree readable by the
@@ -596,6 +627,73 @@ object Multimodal {
       })
       .toDF(idCol, "frame_idx", "width", "height",
         "lum_sum", "cb_sum", "cr_sum")
+  }
+
+  /** Attach near-dup H.264 payloads ([[MediaFixtures.h264DupPayload]]) to
+    * every doc — the fixture stage feeding [[videoNearDuplicates]] (the
+    * base [[withFixtureVideoPixels]] fixture gives every doc distinct
+    * frames, so a shared-frame pass over it would be vacuously empty). */
+  def withFixtureVideoDups(spark: SparkSession, docs: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull).select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(d => (d, MediaFixtures.h264DupPayload(d))))
+      .toDF(idCol, "payload")
+  }
+
+  /** Per-frame content signatures from REAL decoded video frames: each
+    * plane collapses to the position-weighted byte sum Σ (j+1)·v_j — an
+    * exact integer that (unlike the plain plane sum) distinguishes
+    * shifted/rotated content, is order-sensitive, and replays in SQL.
+    * Narrow per-partition decode; pixels never leave the task, only
+    * (id, frame_idx, dims, 3 signatures) ship. */
+  def videoFrameSignatures(spark: SparkSession, docs: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        MediaCodec.decodeH264Frames(bytes).iterator.flatMap { frames =>
+          frames.iterator.zipWithIndex.map { case (f, fi) =>
+            def wsum(p: Array[Byte]): Long = {
+              var s = 0L; var j = 0
+              while (j < p.length) { s += (j + 1).toLong * (p(j) & 0xff); j += 1 }
+              s
+            }
+            (id, fi.toLong, f.width.toLong, f.height.toLong,
+              wsum(f.y), wsum(f.cb), wsum(f.cr))
+          }
+        }
+      })
+      .toDF(idCol, "frame_idx", "width", "height", "y_sig", "cb_sig", "cr_sig")
+  }
+
+  /** Video NEAR-DUPLICATE pairs by SHARED FRAMES: two videos pair when
+    * they have at least `minShared` distinct frame signatures in common
+    * (same dims + all three plane signatures) — the shot-level dedup that
+    * catches re-uploads, trims, and re-containered copies sharing footage.
+    * Within-video repeats collapse first (a still shot repeated 100×
+    * counts once), then the signature-keyed equi-join pairs videos and a
+    * pair-count aggregate applies the threshold.
+    *
+    * Scale: exchanges carry (id, dims, 3 longs) — frames and pixels never
+    * shuffle. The join is linear per signature class; a frame shared by m
+    * videos (a network's title card) contributes C(m,2) candidate pairs —
+    * quadratic exactly where the OUTPUT pair relation is, same contract as
+    * [[imageNearDuplicates]]. */
+  def videoNearDuplicates(sigs: DataFrame, minShared: Int = 2,
+                          idCol: String = "doc_id"): DataFrame = {
+    require(minShared >= 1, s"minShared $minShared < 1")
+    val key = Seq("width", "height", "y_sig", "cb_sig", "cr_sig")
+    val dist = sigs.select(col(idCol) +: key.map(col): _*).distinct()
+    val a = dist.withColumnRenamed(idCol, "id_a")
+    val b = dist.withColumnRenamed(idCol, "id_b")
+    a.join(b, key)
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** REAL image decode pass: every payload an installed `ImageIO` reader

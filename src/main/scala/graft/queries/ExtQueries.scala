@@ -247,6 +247,43 @@ object ExtQueries {
              |FROM f JOIN y ON f.d = y.d AND f.fi = y.fi
              |JOIN c ON f.d = c.d AND f.fi = c.fi""".stripMargin)),
 
+    // ------------------------------------- multimodal video near-duplicates
+    // Shot-level dedup: videos pairing on >= 2 shared distinct frame
+    // signatures (position-weighted plane sums of REAL H.264-decoded
+    // frames). Fixture: docs sharing id%40 carry two identical seed frames
+    // plus one doc-unique frame, all plane values closed-form — the oracle
+    // replays signatures, the distinct collapse, and the pair counting.
+    Q("q_mm_video_neardup",
+      (s, dir) => Multimodal.videoNearDuplicates(
+        Multimodal.videoFrameSignatures(s,
+          Multimodal.withFixtureVideoDups(s, Tables.df(s, dir, "documents"))),
+        minShared = 2),
+      Some("""WITH dd AS (SELECT CAST(doc_id AS BIGINT) AS d,
+             |    doc_id % 40 AS seed,
+             |    16*(1 + (doc_id % 40) % 3) AS w, 16*(1 + (doc_id % 40) % 2) AS h
+             |  FROM documents),
+             |fr AS (SELECT d, seed, w, h, fi
+             |       FROM dd, generate_series(0, 2) t(fi)),
+             |y AS (SELECT d, w, h, fi, SUM((j+1) *
+             |      (CASE WHEN fi < 2 THEN (seed*31 + fi*7 + j) % 256
+             |            ELSE (d*31 + 99 + j) % 256 END)) AS ys
+             |      FROM fr, generate_series(0, 1535) v(j)
+             |      WHERE j < w*h GROUP BY 1, 2, 3, 4),
+             |c AS (SELECT d, fi,
+             |      SUM((j+1) * (CASE WHEN fi < 2 THEN (seed*13 + fi*5 + j) % 256
+             |            ELSE (d*13 + 97 + j) % 256 END)) AS cbs,
+             |      SUM((j+1) * (CASE WHEN fi < 2 THEN (seed*17 + fi*11 + j) % 256
+             |            ELSE (d*17 + 95 + j) % 256 END)) AS crs
+             |      FROM fr, generate_series(0, 383) v(j)
+             |      WHERE j < (w*h)//4 GROUP BY 1, 2),
+             |sg AS (SELECT DISTINCT y.d, y.w, y.h, y.ys, c.cbs, c.crs
+             |       FROM y JOIN c ON y.d = c.d AND y.fi = c.fi)
+             |SELECT a.d AS id_a, b.d AS id_b, COUNT(*) AS n_shared
+             |FROM sg a JOIN sg b
+             |  ON a.w = b.w AND a.h = b.h AND a.ys = b.ys
+             |  AND a.cbs = b.cbs AND a.crs = b.crs AND a.d < b.d
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)),
+
     // --------------------------------- native session_window (batch form)
     // Session end = last event + gap (the operator's semantics); the oracle
     // reproduces that from the same lag-flag construction as q_sessionize.

@@ -633,6 +633,48 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("video near-dup: shared distinct frames, repeat collapse, dims gate") {
+    import graft.multimodal.{H264, Multimodal}
+    def frame(w: Int, h: Int, k: Int): H264.Frame = H264.Frame(w, h,
+      Array.tabulate(w * h)(j => ((k * 31 + j) % 256).toByte),
+      Array.tabulate(w * h / 4)(j => ((k * 13 + j) % 256).toByte),
+      Array.tabulate(w * h / 4)(j => ((k * 17 + j) % 256).toByte))
+    val s = spark; import s.implicits._
+    // v1: frames A,B,C; v2: A,B,D (shares 2 with v1); v3: A,E,F (shares 1
+    // with each); v4: A,A,A,B (STILL-SHOT REPEATS — must count A once, so
+    // v4~v1 and v4~v2 share {A,B} = 2); v5: same content as A but 32x16 —
+    // the dims gate must fence it
+    val docs = Seq(
+      (1L, H264.encodeIPcm(Seq(frame(16, 16, 1), frame(16, 16, 2), frame(16, 16, 3)))),
+      (2L, H264.encodeIPcm(Seq(frame(16, 16, 1), frame(16, 16, 2), frame(16, 16, 4)))),
+      (3L, H264.encodeIPcm(Seq(frame(16, 16, 1), frame(16, 16, 5), frame(16, 16, 6)))),
+      (4L, H264.encodeIPcm(Seq(frame(16, 16, 1), frame(16, 16, 1),
+        frame(16, 16, 1), frame(16, 16, 2)))),
+      (5L, H264.encodeIPcm(Seq(frame(32, 16, 1), frame(32, 16, 2))))
+    ).toDF("doc_id", "payload")
+    val sigs = Multimodal.videoFrameSignatures(spark, docs)
+    // per-frame signatures are exact: v1 and v2 agree on frames A and B
+    val s1 = sigs.filter(col("doc_id") === 1L && col("frame_idx") < 2)
+      .select("y_sig", "cb_sig", "cr_sig").collect().toSet
+    val s2 = sigs.filter(col("doc_id") === 2L && col("frame_idx") < 2)
+      .select("y_sig", "cb_sig", "cr_sig").collect().toSet
+    assert(s1 == s2)
+    val got = Multimodal.videoNearDuplicates(sigs, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 2L), (1L, 4L, 2L), (2L, 4L, 2L)),
+      s"got $got")
+    // threshold 1 admits the single-shared-frame pairs (incl. v3), but the
+    // differently-shaped v5 never pairs however its planes read
+    val loose = Multimodal.videoNearDuplicates(sigs, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((1L, 3L)) && loose.contains((2L, 3L)) &&
+      loose.contains((3L, 4L)))
+    assert(!loose.exists(p => p._1 == 5L || p._2 == 5L))
+    intercept[IllegalArgumentException] {
+      Multimodal.videoNearDuplicates(sigs, minShared = 0)
+    }
+  }
+
   test("streaming BM25 index: drained micro-batches score identically to batch") {
     val s = spark; import s.implicits._
     import graft.functions.CorpusFunctions
