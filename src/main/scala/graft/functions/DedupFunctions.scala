@@ -603,6 +603,50 @@ object DedupFunctions {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** One-relation SimHash dedup STATE fold for the streaming twin of the
+    * `simhash_labels` post-op: the persisted state carries both the band
+    * index (kind 'b': doc_id, simhash, band, band_val) and the incremental
+    * cluster labels (kind 'l': doc_id, cluster) as a discriminated union —
+    * the same shape trick as the BM25 index fold, so one atomic state swap
+    * covers index + labels together (no torn crash window between them;
+    * the YAML post-op orders two separate writes instead and tolerates the
+    * replay). Each fold probes the batch against the prior bands
+    * ([[simhashNearDuplicatesIncremental]] — pigeonhole-exact), folds the
+    * new pairs into the labels, and appends the batch's band rows; chained
+    * folds therefore label exactly like batch clustering of everything
+    * folded, the `simhash_labels` argument verbatim.
+    *
+    * Scale: state is index-scale (bands+1 rows of 8-byte values per doc +
+    * one label row per clustered doc); the batch tokenizes once; exchanges
+    * carry longs only. */
+  def foldSimhashState(prev: Option[DataFrame], batch: DataFrame,
+                       idCol: String, textCol: String,
+                       maxHamming: Int = 3): DataFrame = {
+    val inc = batch.select(col(idCol), col(textCol))
+    val incIndex = graft.util.Scratch.materialize(
+      simhashBandIndex(inc, idCol, textCol, maxHamming), "fold_simhash_index")
+    val idType = incIndex.schema("doc_id").dataType
+    val (prevBands, prevLabels) = prev match {
+      case Some(st) => (
+        st.filter(col("kind") === "b")
+          .select(col("doc_id"), col("simhash"), col("band"), col("band_val")),
+        Some(st.filter(col("kind") === "l")
+          .select(col("doc_id").as("id"), col("cluster"))))
+      case None => (incIndex.limit(0), None)
+    }
+    val newPairs = simhashNearDuplicatesIncremental(inc, prevBands, idCol,
+      textCol, maxHamming, incomingIndex = Some(incIndex))
+      .select(col("id_a"), col("id_b"))
+    val labels = foldClusterLabels(prevLabels, newPairs)
+    prevBands.unionByName(incIndex)
+      .select(lit("b").as("kind"), col("doc_id"), col("simhash"),
+        col("band"), col("band_val"), lit(null).cast(idType).as("cluster"))
+      .unionByName(labels.select(lit("l").as("kind"),
+        col("id").as("doc_id"), lit(null).cast("long").as("simhash"),
+        lit(null).cast("int").as("band"), lit(null).cast("long").as("band_val"),
+        col("cluster")))
+  }
+
   // --------------------------------------------------------------------------
   // n-gram Jaccard (exact, for candidate verification or small relations)
   // --------------------------------------------------------------------------

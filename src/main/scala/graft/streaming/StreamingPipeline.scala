@@ -279,6 +279,23 @@ object StreamingPipeline {
       (prev, batch) => graft.functions.CorpusFunctions.foldBm25Index(
         prev, batch, idCol, textCol))
 
+  /** Streaming SimHash near-dup label maintenance — the streaming twin of
+    * the `simhash_labels` post-op: each micro-batch of NEW documents is
+    * probed against the persisted band index
+    * ([[graft.functions.DedupFunctions.foldSimhashState]]), its pairs fold
+    * into the incremental cluster labels, and its band rows append — index
+    * and labels swap atomically as ONE discriminated state relation, so a
+    * crash can never tear them apart (exactly-once via the folded-batch
+    * cursor). Chained micro-batches label exactly like batch SimHash
+    * clustering of everything streamed (pigeonhole exactness; spec-pinned). */
+  def streamingSimhashLabels(spark: SparkSession, stagingDir: String,
+                             statePath: String, checkpointDir: String,
+                             idCol: String, textCol: String,
+                             maxHamming: Int = 3): DataFrame =
+    streamingFold(spark, stagingDir, statePath, checkpointDir)(
+      (prev, batch) => graft.functions.DedupFunctions.foldSimhashState(
+        prev, batch, idCol, textCol, maxHamming))
+
   /** Streaming PSI drift gate — the quality-gate analog of
     * [[streamingFoldAggregate]]: each micro-batch's categorical mix is
     * PSI-checked against the persisted corpus mix BEFORE folding

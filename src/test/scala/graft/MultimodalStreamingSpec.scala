@@ -707,6 +707,60 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(canon(CorpusFunctions.bm25FromIndex(s3, probes, k = 10)) == batch)
   }
 
+  test("streaming SimHash labels: drained micro-batches cluster like batch") {
+    val s = spark; import s.implicits._
+    import graft.functions.DedupFunctions
+    val dir = tmpDir("simhashstream")
+    val c1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "completely different content about spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val c2 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (5L, "totally unrelated corpus text with its own vocabulary entirely"))
+      .toDF("doc_id", "text")
+    c1.write.parquet(s"$dir/staged")
+    def labels(st: org.apache.spark.sql.DataFrame) = st
+      .filter(col("kind") === "l").select("doc_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s1 = StreamingPipeline.streamingSimhashLabels(
+      spark, s"$dir/staged", s"$dir/simhash", s"$dir/ckpt_simhash",
+      "doc_id", "text")
+    // batch 1: docs 1 and 2 are identical → one cluster; band rows cover
+    // every doc at (maxHamming+1) bands each
+    assert(labels(s1) == Set((1L, 1L), (2L, 1L)))
+    assert(s1.filter(col("kind") === "b").count() == 3 * 4)
+    c2.write.mode("append").parquet(s"$dir/staged")
+    val s2 = StreamingPipeline.streamingSimhashLabels(
+      spark, s"$dir/staged", s"$dir/simhash", s"$dir/ckpt_simhash",
+      "doc_id", "text")
+    // streamed folds label EXACTLY like batch clustering of everything
+    val batchLabels = DedupFunctions.duplicateClusters(
+      DedupFunctions.simhashNearDuplicates(c1.unionByName(c2),
+        "doc_id", "text", maxHamming = 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels(s2) == batchLabels)
+    // cross-batch pairing happened (the labels aren't just batch-1's): an
+    // exact dup of doc 1 streamed later must join its existing cluster
+    val c3 = Seq((6L,
+      "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    c3.write.mode("append").parquet(s"$dir/staged")
+    val s2b = StreamingPipeline.streamingSimhashLabels(
+      spark, s"$dir/staged", s"$dir/simhash", s"$dir/ckpt_simhash",
+      "doc_id", "text")
+    assert(labels(s2b).contains((6L, 1L)),
+      s"cross-batch dup must join doc 1's cluster: ${labels(s2b)}")
+    assert(s2b.filter(col("kind") === "b").count() == 6 * 4)
+    // re-drain with nothing staged: state unchanged (exactly-once)
+    val s3 = StreamingPipeline.streamingSimhashLabels(
+      spark, s"$dir/staged", s"$dir/simhash", s"$dir/ckpt_simhash",
+      "doc_id", "text")
+    assert(labels(s3) == labels(s2b) &&
+      s3.filter(col("kind") === "b").count() == 6 * 4)
+  }
+
   test("single-file staging refuses a stale non-symlink squatting on the link path") {
     // a stale REGULAR file at the link path means the source would stream
     // whatever it holds instead of the caller's input — must fail loudly,
