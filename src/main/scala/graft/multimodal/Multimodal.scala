@@ -793,6 +793,44 @@ object Multimodal {
     within.unionByName(cross)
   }
 
+  /** INCREMENTAL image near-dup — the 100 TB shape: pairs within
+    * `maxHamming` with at least one side in `incoming`, probing the corpus
+    * through its PERSISTED hash table (from [[imagePerceptualHashes]],
+    * appended per accepted increment — 4 smalls per row, so the "index" IS
+    * the hash relation and bands derive rowwise at probe time). The corpus
+    * images are never re-decoded: Hamming verification is pure signature
+    * arithmetic from hash rows, exactly the SimHash-index argument
+    * ([[graft.functions.DedupFunctions.simhashNearDuplicatesIncremental]]).
+    * Exact for the incoming×(incoming∪corpus) pair set by the 4-band
+    * pigeonhole; corpus-internal pairs are known from past runs and
+    * excluded by construction. */
+  def imageNearDuplicatesIncremental(incomingHashes: DataFrame,
+                                     corpusHashes: DataFrame,
+                                     maxHamming: Int = 2,
+                                     idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming $maxHamming outside [0,3] — 4-band pigeonhole is exact" +
+        " only through 3")
+    val cols = Seq(idCol, "width", "height", "dhash")
+    val inc = incomingHashes.select(cols.map(col): _*)
+    val all = corpusHashes.select(cols.map(col): _*).unionByName(inc)
+    def banded(df: DataFrame, side: String) = (0 until 4).map(b =>
+      df.select(col(idCol).as(s"id_$side"), col("width").as("w"),
+        col("height").as("h"), col("dhash").as(s"h_$side"),
+        lit(b).as("band"),
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key")))
+      .reduce(_ unionByName _)
+    banded(inc, "x").join(banded(all, "y"), Seq("band", "key", "w", "h"))
+      .filter(col("id_x") =!= col("id_y"))
+      // canonicalize before distinct: a pair found from both sides (both
+      // incoming) or in several bands collapses to one row
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        bit_count(col("h_x").bitwiseXOR(col("h_y"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Component-equivalent image near-dup EDGES for cluster closure: the
     * scale path behind the cross-modal dedup. [[imageNearDuplicates]]
     * emits the FULL pair relation — C(m,2) pairs inside an m-member

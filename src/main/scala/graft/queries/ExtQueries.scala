@@ -125,6 +125,27 @@ object ExtQueries {
              |  ON a.w = b.w AND a.h = b.h AND a.d < b.d
              |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2""".stripMargin)),
 
+    // -------------------------- multimodal image near-duplicates, INCREMENTAL
+    // New images probe the corpus through its persisted HASH table — the
+    // corpus is never re-decoded (the simhash-index argument on the image
+    // path). Corpus = images of doc%4==0, increment = doc%4==2; oracle =
+    // batch all-pairs restricted to pairs touching the increment.
+    Q("q_mm_image_neardup_incremental",
+      (s, dir) => {
+        val hashes = Multimodal.imagePerceptualHashes(s,
+          Multimodal.withFixtureMedia(s, Tables.df(s, dir, "documents")))
+        Multimodal.imageNearDuplicatesIncremental(
+          hashes.filter(col("doc_id") % 4 === 2),
+          hashes.filter(col("doc_id") % 4 === 0), maxHamming = 2)
+      },
+      Some(s"""WITH ${Align.imageDhashCtes}
+             |SELECT a.d AS id_a, b.d AS id_b,
+             |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+             |FROM hs a JOIN hs b
+             |  ON a.w = b.w AND a.h = b.h AND a.d < b.d
+             |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+             |  AND (a.d % 4 = 2 OR b.d % 4 = 2)""".stripMargin)),
+
     // -------------------------------------- multimodal REAL sample decode
     // Real PCM16 WAV bytes (AudioSystem.write) decoded back with
     // javax.sound.sampled; exact sum / sum-of-squares so the oracle needs

@@ -581,6 +581,32 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
       "unrelated audio should diverge")
   }
 
+  test("incremental image near-dup == batch pairs restricted to incoming side") {
+    import graft.multimodal.Multimodal
+    val s = spark; import s.implicits._
+    val docs = spark.range(0, 80).select(col("id").as("doc_id"))
+    val hashes = Multimodal.imagePerceptualHashes(spark,
+      Multimodal.withFixtureMedia(spark, docs))
+    val corpus = hashes.filter(col("doc_id") % 4 === 0)
+    val incoming = hashes.filter(col("doc_id") % 4 === 2)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = canon(Multimodal.imageNearDuplicatesIncremental(
+      incoming, corpus, maxHamming = 2))
+    val want = canon(Multimodal.imageNearDuplicates(hashes, maxHamming = 2))
+      .filter { case (a, b, _) => a % 4 == 2 || b % 4 == 2 }
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must exercise at least one incoming pair")
+    // idempotent wrt duplicated hash rows (append-maintained table replayed
+    // after a crash): duplicates change nothing
+    val got2 = canon(Multimodal.imageNearDuplicatesIncremental(
+      incoming, corpus.unionAll(corpus.limit(3)), maxHamming = 2))
+    assert(got2 == want)
+    // empty increment → empty pair set (idle sync)
+    assert(Multimodal.imageNearDuplicatesIncremental(
+      incoming.limit(0), corpus, maxHamming = 2).count() == 0)
+  }
+
   test("audio near-dup: banded pairs == brute force, length gate fences") {
     import graft.multimodal.Multimodal
     def wav(samples: Array[Short]): Array[Byte] = {
