@@ -570,6 +570,51 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("media near-dup family: no payload bytes ride any exchange") {
+    // the audio/video near-dup joins and the incremental image probe must
+    // shuffle ids + hashes/signatures only — decoded media stays in the
+    // decode task, and the binary `payload` column must be pruned before
+    // the first exchange (a payload-bearing shuffle at 100 TB IS the query)
+    import graft.multimodal.Multimodal
+    val docs = spark.range(0, 60).select(
+      org.apache.spark.sql.functions.col("id").as("doc_id"))
+    def assertNoPayload(df: DataFrame, what: String): Unit = {
+      df.count()
+      val exchanges = physical(df).collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, s"$what: no exchanges — vacuous assertion")
+      exchanges.foreach { e =>
+        val cols = e.child.output.map(_.name.takeWhile(_ != '#')).toSet
+        assert(!cols.contains("payload") && !cols.contains("text"),
+          s"$what: payload rides an exchange: $cols")
+      }
+    }
+    assertNoPayload(Multimodal.audioNearDuplicates(
+      Multimodal.audioPerceptualHashes(spark,
+        Multimodal.withFixtureAudioDups(spark, docs)), maxHamming = 1),
+      "audioNearDuplicates")
+    assertNoPayload(Multimodal.videoNearDuplicates(
+      Multimodal.videoFrameSignatures(spark,
+        Multimodal.withFixtureVideoDups(spark, docs)), minShared = 2),
+      "videoNearDuplicates")
+    val hashes = Multimodal.imagePerceptualHashes(spark,
+      Multimodal.withFixtureMedia(spark, docs))
+    assertNoPayload(Multimodal.imageNearDuplicatesIncremental(
+      hashes.filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 2),
+      hashes.filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0),
+      maxHamming = 2), "imageNearDuplicatesIncremental")
+  }
+
+  test("c4Clean is a pure rowwise projection: zero exchanges") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.functions.TextFunctions.c4Clean(docs)
+    df.count()
+    val exchanges = physical(df).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty,
+      s"line filtering must pipeline in the scan stage: ${exchanges.size}")
+  }
+
   test("epochShards: one shard-keyed exchange, no global order, no text payload") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = graft.functions.CorpusFunctions.epochShards(docs, "doc_id", 3)
