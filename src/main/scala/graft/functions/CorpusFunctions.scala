@@ -729,6 +729,97 @@ object CorpusFunctions {
               .cast("double")).as("gini_simpson"))
   }
 
+  /** TOKENIZER FERTILITY report — the multilingual data-card metric (Rust
+    * et al. 2021): per group (usually language), exact token / word / byte
+    * totals and their ratios. fertility = tokens per whitespace word (a
+    * tokenizer serving one language at ~1.3 while another pays 4+ is
+    * silently under-training the latter); bytes_per_token is the
+    * compression-rate twin. Token counts use the codegen'd BPE-ish
+    * pretokenizer family ([[TextFunctions.bpeishTokenCount]]) so the
+    * report replays cross-engine; swap in real frozen-BPE counts via
+    * [[BpeFunctions]] when the merges table exists. NULL groups drop.
+    *
+    * Engine parity: all totals are exact integer sums; the two ratios are
+    * IEEE quotients of those integers (NULL on zero denominators).
+    *
+    * Scale: one rowwise projection + one group-cardinality partial agg. */
+  def tokenizerFertility(docs: DataFrame, groupCol: String,
+                         textCol: String = "text"): DataFrame =
+    docs.filter(col(groupCol).isNotNull)
+      .select(col(groupCol),
+        TextFunctions.wordCount(col(textCol)).cast("long").as("__w"),
+        TextFunctions.bpeishTokenCount(col(textCol)).cast("long").as("__t"),
+        octet_length(col(textCol)).cast("long").as("__b"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__t")).as("n_tokens"), sum(col("__b")).as("n_bytes"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_bytes"),
+        when(col("n_words") > 0, col("n_tokens").cast("double") /
+          col("n_words").cast("double")).as("fertility"),
+        when(col("n_tokens") > 0, col("n_bytes").cast("double") /
+          col("n_tokens").cast("double")).as("bytes_per_token"))
+
+  /** TOKEN-BUDGET ALLOCATION plan — "how many epochs of each source fit my
+    * B-token run": given per-group target weights and an epoch cap
+    * (repeating data beyond ~4 epochs stops helping — Muennighoff 2023's
+    * data-constrained scaling result), emit per group the available tokens
+    * A_g (exact sum of `tokenCol`), the weight-proportional target
+    * T_g = ⌊B·w_g/ΣW⌋, the cap-respecting allocation
+    * min(T_g, maxEpochs·A_g), the implied epoch count, and the SHORTFALL
+    * the cap leaves unfilled — the decision surface for re-weighting or
+    * sourcing more data, computed rather than eyeballed. Weighted groups
+    * missing from the corpus surface with zero availability (their whole
+    * target is shortfall); unweighted corpus groups drop (a zero weight
+    * means drop, the [[rebalanceToMixture]] convention).
+    *
+    * Engine parity: targets/allocations are exact 64-bit integer
+    * arithmetic — budget·w_g must fit in a long (guarded loudly; a 900
+    * trillion-token budget still fits at ΣW = 10⁴), and long division of
+    * positives is the same floor both engines compute. `epochs` is one
+    * IEEE quotient of exact integers.
+    *
+    * Scale: one partial-agg sum pass; everything after joins the
+    * group-cardinality relation against a broadcast weights literal. */
+  def tokenBudgetPlan(docs: DataFrame, groupCol: String, tokenCol: String,
+                      weights: Seq[(String, Long)], budgetTokens: Long,
+                      maxEpochs: Int = 4): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs must be at least 1: $maxEpochs")
+    require(weights.nonEmpty, "no weights given")
+    require(weights.forall(_._2 > 0),
+      s"weights must be positive (drop a group by omitting it): $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate group in weights: $weights")
+    val maxW = weights.map(_._2).max
+    require(maxW <= Long.MaxValue / budgetTokens,
+      s"budget $budgetTokens × weight $maxW overflows 64-bit — rescale the weights")
+    val sumW = weights.map(_._2).sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(groupCol, "__w")
+    val avail = docs.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(coalesce(sum(col(tokenCol)), lit(0L)).as("available_tokens"))
+    // the aggregated availability relation is group-cardinality — IT is the
+    // broadcastable build side of the weights left join (the preserved
+    // weights side of a left-outer can never build)
+    w.join(broadcast(avail), Seq(groupCol), "left")
+      .withColumn("available_tokens", coalesce(col("available_tokens"), lit(0L)))
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * __w) div ${sumW}L"))
+      .withColumn("allocated_tokens",
+        least(col("target_tokens"),
+          col("available_tokens") * lit(maxEpochs.toLong)))
+      .select(col(groupCol), col("available_tokens"), col("target_tokens"),
+        col("allocated_tokens"),
+        when(col("available_tokens") > 0,
+          col("allocated_tokens").cast("double") /
+            col("available_tokens").cast("double")).as("epochs"),
+        (col("allocated_tokens") < col("target_tokens")).as("capped"),
+        (col("target_tokens") - col("allocated_tokens")).as("shortfall_tokens"))
+  }
+
   /** ZIPF rank-frequency fit — the corpus-health diagnostic that catches
     * template/boilerplate floods (slope far from −1, r² collapse) before
     * they poison training: closed-form log-log OLS over the top-R term

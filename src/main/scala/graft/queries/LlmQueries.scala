@@ -664,6 +664,69 @@ object LlmQueries {
              |    AS gini_simpson
              |FROM g""".stripMargin)),
 
+    // -------------------------------- tokenizer fertility report (data card)
+    // Per-language exact token/word/byte totals + fertility (tokens per
+    // word) and bytes-per-token — the multilingual tokenizer-health metric
+    // (Rust 2021), with the codegen'd BPE-ish pretokenizer counts.
+    Q("q_tokenizer_fertility",
+      (s, dir) => graft.functions.CorpusFunctions.tokenizerFertility(
+        Tables.df(s, dir, "documents"), "lang"),
+      Some(s"""WITH m AS (SELECT lang,
+             |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+             |      t -> len(t) > 0)) AS BIGINT) AS w,
+             |    CAST(len(regexp_extract_all(text,
+             |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS t,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS b
+             |  FROM documents WHERE lang IS NOT NULL)
+             |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(w) AS BIGINT) AS n_words,
+             |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(b) AS BIGINT) AS n_bytes,
+             |  CASE WHEN SUM(w) > 0
+             |    THEN CAST(SUM(t) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+             |    END AS fertility,
+             |  CASE WHEN SUM(t) > 0
+             |    THEN CAST(SUM(b) AS DOUBLE) / CAST(SUM(t) AS DOUBLE)
+             |    END AS bytes_per_token
+             |FROM m GROUP BY lang""".stripMargin)),
+
+    // ----------------------------- token-budget epoch allocation (planning)
+    // "How many epochs of each source fit a 40k-token run at these weights,
+    // capped at 4 epochs" (Muennighoff 2023): exact long arithmetic for
+    // targets/allocations/shortfalls, one IEEE epochs quotient. src0/src1
+    // hit the epoch cap, src2's target fits uncapped, and the weighted but
+    // absent srcX surfaces with zero availability (all-shortfall).
+    Q("q_token_budget_plan",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+          .withColumn("toks", graft.functions.TextFunctions
+            .bpeishTokenCount(col("text")).cast("long"))
+        graft.functions.CorpusFunctions.tokenBudgetPlan(docs, "source",
+          "toks", Seq(("src0", 5L), ("src1", 3L), ("src2", 1L), ("srcX", 1L)),
+          budgetTokens = 40000L, maxEpochs = 4)
+      },
+      Some(s"""WITH w(source, wt) AS (VALUES ('src0', 5), ('src1', 3),
+             |    ('src2', 1), ('srcX', 1)),
+             |a AS (SELECT source, CAST(SUM(len(regexp_extract_all(text,
+             |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS avail
+             |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+             |p AS (SELECT w.source,
+             |    COALESCE(a.avail, 0) AS available_tokens,
+             |    (40000 * w.wt) // 10 AS target_tokens
+             |  FROM w LEFT JOIN a ON w.source = a.source)
+             |SELECT source, available_tokens,
+             |  CAST(target_tokens AS BIGINT) AS target_tokens,
+             |  CAST(least(target_tokens, available_tokens * 4) AS BIGINT)
+             |    AS allocated_tokens,
+             |  CASE WHEN available_tokens > 0 THEN
+             |    CAST(least(target_tokens, available_tokens * 4) AS DOUBLE) /
+             |      CAST(available_tokens AS DOUBLE) END AS epochs,
+             |  least(target_tokens, available_tokens * 4) < target_tokens
+             |    AS capped,
+             |  CAST(target_tokens - least(target_tokens, available_tokens * 4)
+             |    AS BIGINT) AS shortfall_tokens
+             |FROM p""".stripMargin)),
+
     // ------------------------- temperature-scaled mixture weights (α=0.5)
     // The multilingual sampling rule over documents.lang: weights ∝
     // share^0.5 flatten the mix; weight_int is the exact 9-decimal

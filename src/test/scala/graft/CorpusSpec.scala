@@ -1184,6 +1184,84 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(!n.isNullAt(n.fieldIndex("pass")) && !n.getAs[Boolean]("pass"))
   }
 
+  test("tokenizerFertility: exact totals, ratios, null-group drop") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // en doc 1: 3 whitespace words; 6 bpe-ish tokens (don / ' / t /
+      // split / words / .); bytes = length (all ASCII)
+      (1L, "en", "don't split words."),
+      (2L, "en", "two words"),          // 2 words, 2 tokens
+      (3L, "zh", "好"),                 // 1 word, 1 token, 3 utf-8 bytes
+      (4L, null.asInstanceOf[String], "dropped row"),
+      (5L, "empty", "")                 // 0 words → NULL fertility
+    ).toDF("doc_id", "lang", "text")
+    val m = graft.functions.CorpusFunctions.tokenizerFertility(docs, "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m.keySet == Set("en", "zh", "empty"))
+    val en = m("en")
+    assert(en.getAs[Long]("n_docs") == 2L)
+    assert(en.getAs[Long]("n_words") == 5L)
+    assert(en.getAs[Long]("n_tokens") == 8L)
+    assert(en.getAs[Long]("n_bytes") == ("don't split words." + "two words").length)
+    assert(math.abs(en.getAs[Double]("fertility") - 8.0 / 5.0) < 1e-12)
+    val zh = m("zh")
+    assert(zh.getAs[Long]("n_words") == 1L && zh.getAs[Long]("n_tokens") == 1L)
+    assert(zh.getAs[Long]("n_bytes") == 3L, "UTF-8 bytes, not chars")
+    val e = m("empty")
+    assert(e.getAs[Long]("n_words") == 0L &&
+      e.isNullAt(e.fieldIndex("fertility")))
+  }
+
+  test("tokenBudgetPlan: exact targets, epoch cap, absent group, validation") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("web", 100L), ("web", 200L),   // 300 available
+      ("books", 1000L),               // 1000 available
+      ("unweighted", 5000L),          // no weight → dropped
+      (null.asInstanceOf[String], 9L)
+    ).toDF("source", "toks")
+    val plan = graft.functions.CorpusFunctions.tokenBudgetPlan(
+      docs, "source", "toks",
+      Seq(("web", 2L), ("books", 1L), ("absent", 1L)),
+      budgetTokens = 10000L, maxEpochs = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(plan.keySet == Set("web", "books", "absent"))
+    // web: target 10000*2/4 = 5000, cap 4*300 = 1200 → capped, epochs 4.0
+    val web = plan("web")
+    assert(web.getAs[Long]("target_tokens") == 5000L)
+    assert(web.getAs[Long]("allocated_tokens") == 1200L)
+    assert(web.getAs[Boolean]("capped"))
+    assert(web.getAs[Double]("epochs") == 4.0)
+    assert(web.getAs[Long]("shortfall_tokens") == 3800L)
+    // books: target 2500 ≤ cap 4000 → uncapped, epochs 2.5
+    val books = plan("books")
+    assert(books.getAs[Long]("allocated_tokens") == 2500L)
+    assert(!books.getAs[Boolean]("capped"))
+    assert(books.getAs[Double]("epochs") == 2.5)
+    assert(books.getAs[Long]("shortfall_tokens") == 0L)
+    // absent: weighted but no corpus rows → zero availability, all shortfall
+    val ab = plan("absent")
+    assert(ab.getAs[Long]("available_tokens") == 0L &&
+      ab.getAs[Long]("allocated_tokens") == 0L &&
+      ab.getAs[Long]("shortfall_tokens") == 2500L &&
+      ab.isNullAt(ab.fieldIndex("epochs")))
+    // loud validation
+    intercept[IllegalArgumentException] {
+      graft.functions.CorpusFunctions.tokenBudgetPlan(docs, "source", "toks",
+        Seq(("web", 0L)), 100L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.CorpusFunctions.tokenBudgetPlan(docs, "source", "toks",
+        Seq(("web", 1L), ("web", 2L)), 100L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.CorpusFunctions.tokenBudgetPlan(docs, "source", "toks",
+        Seq(("web", 1000000L)), Long.MaxValue / 2)
+    }
+  }
+
   test("c4Clean: line rules and page gates each fire on their planted case") {
     val s = spark
     import s.implicits._
