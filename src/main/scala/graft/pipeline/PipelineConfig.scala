@@ -645,6 +645,10 @@ object PipelineConfig {
       case "data_card" =>
         need(spec.keys.size == 1, "exactly one key (the group column)")
         need(spec.textColumn.isDefined, "'text_column'")
+      case "c4_clean" =>
+        need(spec.idColumn.isDefined && spec.textColumn.isDefined,
+          "'id_column' and 'text_column'")
+        spec.k.foreach(k => if (k < 1) bad(s"k $k (min retained lines) < 1"))
       case "majority_vote" =>
         need(spec.keys.size == 3,
           "exactly three keys (the item, rater and label columns)")
@@ -661,7 +665,7 @@ object PipelineConfig {
         " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
         " | fold_bpe_tokens | epoch_shards | drift_gate | fold_probe" +
         " | rebalance | dsir_select | curriculum | contamination_gate" +
-        " | reliability_gate | data_card | majority_vote)")
+        " | reliability_gate | data_card | majority_vote | c4_clean)")
     }
     spec
   }

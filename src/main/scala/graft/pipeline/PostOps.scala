@@ -71,6 +71,16 @@ object PostOps {
           graft.functions.CorpusFunctions.dataCard(
             base, po.textColumn.get, po.keys.head))
         ()
+      case "c4_clean" =>
+        // C4 page cleanup (VIEW shape): the derived table holds each doc's
+        // line-filter counts, the page verdict, and the cleaned text over
+        // the current warehouse state — downstream stages read
+        // `WHERE kept_doc` instead of re-running the filter
+        val base = requireBase(spark, loader, id, po)
+        loader.replaceDerived(spark, derivedId,
+          graft.functions.TextFunctions.c4Clean(base, po.idColumn.get,
+            po.textColumn.get, minKeptLines = po.k.getOrElse(3)))
+        ()
       case "scd2_apply" =>
         foldIncremental(spark, id, derivedId, extractor, loader)(
           (prev, inc) => Relational.scd2Apply(

@@ -561,6 +561,54 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       y.replace("threshold: 0.5", "threshold: 1.5")))
   }
 
+  test("post_ops c4_clean: view equals the direct operator, parse strictness") {
+    val s = spark
+    import s.implicits._
+    val srcDir = tmpDir("c4_src")
+    val good = "This sentence carries enough words to be retained today.\n" +
+      "Another proper sentence closes with a question mark here, right?\n" +
+      "A third full sentence ends the page with a bang!"
+    Seq((1L, good), (2L, good + "\nif (x) { return; }"),
+      (3L, "short\nlines\nonly"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$srcDir/pages.parquet")
+    val y =
+      s"""pipeline:
+         |  name: "c4"
+         |  source: "$srcDir"
+         |  target: "warehouse"
+         |tables:
+         |  fx.pages:
+         |    cdc_strategy: "id_only"
+         |    cdc_id_column: "doc_id"
+         |    post_ops:
+         |      - op: c4_clean
+         |        target: pages_clean
+         |        id_column: doc_id
+         |        text_column: text
+         |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("c4_wh"))
+    val r1 = runner.sync(p)
+    assert(r1.allOk, r1.tables.flatMap(_.error).mkString(";"))
+    val (_, _, loader) = runner.rigFor(p)
+    val cleanId = p.tables.head.tableId(p).copy(table = "pages_clean")
+    val view = loader.readTarget(spark, cleanId).get
+    val expect = graft.functions.TextFunctions.c4Clean(
+      loader.readTarget(spark, p.tables.head.tableId(p)).get)
+    assert(view.collect().map(_.toSeq).toSet ==
+      expect.collect().map(_.toSeq).toSet)
+    // the verdicts themselves: doc 1 kept, 2 killed by the brace, 3 by lines
+    val kept = view.collect().map(r => r.getLong(0) ->
+      r.getAs[Boolean]("kept_doc")).toMap
+    assert(kept == Map(1L -> true, 2L -> false, 3L -> false))
+    // parse strictness: id/text columns required, k >= 1
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      y.replace("        text_column: text\n", "")))
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      y.replace("text_column: text", "text_column: text\n        k: 0")))
+  }
+
   test("post_ops drift_gate: baseline sync passes, shifted increment fails") {
     val s = spark
     import s.implicits._
