@@ -222,6 +222,33 @@ object Multimodal {
 
     final case class ImageHash(width: Int, height: Int, dhash: Long)
 
+    /** Nearest-neighbor RESIZE of a REAL decoded image to (outW, outH):
+      * out(x, y) = in(⌊x·w/outW⌋, ⌊y·h/outH⌋) — pure integer index math
+      * with no interpolation kernel to disagree about (the same reason the
+      * dHash stays on the native grid), so every resized byte replays
+      * exactly in SQL. Returns (srcW, srcH, row-major interleaved RGB). */
+    def resizeImageNearest(bytes: Array[Byte], outW: Int,
+                           outH: Int): Option[(Int, Int, Array[Byte])] =
+      try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Byte](outW * outH * 3)
+        var y = 0; var p = 0
+        while (y < outH) {
+          val yi = (y.toLong * h / outH).toInt
+          var x = 0
+          while (x < outW) {
+            val xi = (x.toLong * w / outW).toInt
+            val rgb = img.getRGB(xi, yi)
+            out(p) = ((rgb >>> 16) & 0xff).toByte
+            out(p + 1) = ((rgb >>> 8) & 0xff).toByte
+            out(p + 2) = (rgb & 0xff).toByte
+            p += 3; x += 1
+          }
+          y += 1
+        }
+        (w, h, out)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** Perceptual difference-hash from REAL decoded pixels: bit k is the
       * sign of the luminance gradient between horizontally adjacent pixels
       * (row-major, row wraps skipped), first 64 comparisons. No resize
@@ -711,6 +738,37 @@ object Multimodal {
           (id, ip.width.toLong, ip.height.toLong, ip.lumSum))
       })
       .toDF(idCol, "width", "height", "lum_sum")
+  }
+
+  /** RESIZE pass over REAL decoded images: every decodable payload yields
+    * its fixed-size nearest-neighbor thumbnail
+    * ([[MediaCodec.resizeImageNearest]]) as row-major RGB bytes — the
+    * vision-pipeline preprocessing stage (a model's fixed input grid) —
+    * plus exact integrity sums (Σ byte and Σ (j+1)·byte) so the resized
+    * CONTENT is oracle-checkable without shipping pixels to the compare.
+    * Narrow per-partition decode; the thumbnail (outW·outH·3 bytes/row)
+    * is the product, the source image never leaves the task. */
+  def resizeImages(spark: SparkSession, docs: DataFrame, outW: Int, outH: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(outW > 0 && outH > 0, s"bad thumbnail dims ${outW}x$outH")
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        MediaCodec.resizeImageNearest(bytes, outW, outH).map {
+          case (srcW, srcH, rgb) =>
+            var s = 0L; var ws = 0L; var j = 0
+            while (j < rgb.length) {
+              val v = rgb(j) & 0xff
+              s += v; ws += (j + 1).toLong * v; j += 1
+            }
+            (id, srcW.toLong, srcH.toLong, outW.toLong, outH.toLong,
+              rgb, s, ws)
+        }
+      })
+      .toDF(idCol, "src_width", "src_height", "width", "height",
+        "thumb_rgb", "pix_sum", "pix_wsum")
   }
 
   /** Perceptual-hash pass over REAL decoded images

@@ -98,6 +98,34 @@ object ExtQueries {
              |  CAST(SUM((d*31 + j) % 256) AS BIGINT) AS lum_sum
              |FROM px GROUP BY d, w, h""".stripMargin)),
 
+    // ------------------------------------------- multimodal image RESIZE
+    // Nearest-neighbor thumbnails (3x2) from REAL decoded pixels — pure
+    // integer index math (no interpolation kernel), so the oracle replays
+    // every resized byte from the fixture's closed-form pixels; the query
+    // ships the exact content sums (the binary thumbnail itself is the
+    // operator's product and is spec-checked byte-for-byte).
+    Q("q_mm_resize",
+      (s, dir) => Multimodal.resizeImages(s,
+        Multimodal.withFixtureMedia(s, Tables.df(s, dir, "documents")),
+        outW = 3, outH = 2)
+        .drop("thumb_rgb"),
+      Some("""WITH img AS (SELECT CAST(doc_id AS BIGINT) AS d,
+             |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |px AS (SELECT d, w, h, y, x, c,
+             |    ((y*h) // 2) * w + ((x*w) // 3) AS p,
+             |    (y*3 + x)*3 + c AS j
+             |  FROM img, generate_series(0, 1) t(y),
+             |       generate_series(0, 2) u(x), generate_series(0, 2) v(c)),
+             |vals AS (SELECT d, w, h, j, (d*31 + p*3 + c) % 256 AS b
+             |         FROM px)
+             |SELECT d AS doc_id, CAST(w AS BIGINT) AS src_width,
+             |  CAST(h AS BIGINT) AS src_height,
+             |  CAST(3 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+             |  CAST(SUM(b) AS BIGINT) AS pix_sum,
+             |  CAST(SUM((j+1) * b) AS BIGINT) AS pix_wsum
+             |FROM vals GROUP BY d, w, h""".stripMargin)),
+
     // ------------------------------------ multimodal perceptual image hash
     // dHash from REAL decoded pixels (gradient signs on the native grid —
     // no interpolation to disagree about); the oracle recomputes it from

@@ -581,6 +581,45 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
       "unrelated audio should diverge")
   }
 
+  test("image resize: exact nearest-neighbor bytes, identity round-trip") {
+    import graft.multimodal.Multimodal
+    def png(px: Array[Array[Int]]): Array[Byte] = { // px(y)(x) = gray value
+      val h = px.length; val w = px(0).length
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (px(y)(x) << 16) | (px(y)(x) << 8) | px(y)(x))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val s = spark; import s.implicits._
+    // 4x2 gradient image; nearest-neighbor to 2x2 picks columns 0 and 2
+    // (x*4/2 = 0, 2) on both rows (y*2/2 = 0, 1)
+    val src = Array(Array(10, 20, 30, 40), Array(50, 60, 70, 80))
+    val docs = Seq((1L, png(src))).toDF("doc_id", "payload")
+    val r = Multimodal.resizeImages(spark, docs, outW = 2, outH = 2).head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L) // src dims
+    val rgb = r.getAs[Array[Byte]]("thumb_rgb").map(_ & 0xff)
+    assert(rgb.toSeq == Seq(10, 10, 10, 30, 30, 30, 50, 50, 50, 70, 70, 70),
+      s"nearest-neighbor picks wrong: ${rgb.toSeq}")
+    // identity resize returns the original pixels byte-for-byte
+    val id4x2 = Multimodal.resizeImages(spark, docs, outW = 4, outH = 2).head()
+      .getAs[Array[Byte]]("thumb_rgb").map(_ & 0xff)
+    assert(id4x2.toSeq == src.flatten.toSeq.flatMap(v => Seq(v, v, v)))
+    // upscale repeats source pixels (2x width: each column doubled)
+    val up = Multimodal.resizeImages(spark, docs, outW = 8, outH = 2).head()
+      .getAs[Array[Byte]]("thumb_rgb").map(_ & 0xff)
+    assert(up.length == 8 * 2 * 3 && up.take(6).toSeq == Seq(10, 10, 10, 10, 10, 10))
+    // undecodable payloads drop out; bad dims refused
+    val mixed = Seq((1L, png(src)), (2L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.resizeImages(spark, mixed, 2, 2).count() == 1)
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImages(spark, docs, 0, 2)
+    }
+  }
+
   test("incremental image near-dup == batch pairs restricted to incoming side") {
     import graft.multimodal.Multimodal
     val s = spark; import s.implicits._
