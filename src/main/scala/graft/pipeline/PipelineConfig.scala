@@ -366,7 +366,8 @@ object PipelineConfig {
     // probe corpus would be missing folded docs' text and pairs would drop
     // silently. Reject the combinations at parse, per the strict-config
     // convention.
-    for (op <- Seq("neardup_labels", "simhash_labels", "embedding_neardup");
+    for (op <- Seq("neardup_labels", "simhash_labels", "embedding_neardup",
+           "image_neardup_labels");
          t <- tables.filter(_.postOps.exists(_.op == op))) {
       def bad(msg: String) = throw new IllegalArgumentException(
         s"tables.${t.name}.post_ops.$op: $msg")
@@ -579,6 +580,12 @@ object PipelineConfig {
         need(spec.threshold.isDefined, "'threshold' (minimum cosine)")
         spec.threshold.foreach(t =>
           if (t <= -1.0 || t > 1.0) bad(s"threshold $t outside (-1,1]"))
+      case "image_neardup_labels" =>
+        need(spec.idColumn.isDefined && spec.valueColumn.isDefined,
+          "'id_column' and 'value_column' (the binary payload column)")
+        spec.k.foreach(k =>
+          if (k < 0 || k > 3) bad(s"k $k (max Hamming bits) outside [0,3]" +
+            " — the 4-band pigeonhole is exact only through 3"))
       case "fold_kmv_distinct" =>
         need(spec.keys.nonEmpty, "'keys'")
         need(spec.valueColumn.isDefined, "'value_column'")
@@ -665,7 +672,8 @@ object PipelineConfig {
         " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
         " | fold_bpe_tokens | epoch_shards | drift_gate | fold_probe" +
         " | rebalance | dsir_select | curriculum | contamination_gate" +
-        " | reliability_gate | data_card | majority_vote | c4_clean)")
+        " | reliability_gate | data_card | majority_vote | c4_clean" +
+        " | image_neardup_labels)")
     }
     spec
   }

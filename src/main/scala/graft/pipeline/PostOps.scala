@@ -390,6 +390,43 @@ object PostOps {
           incIndex.write.mode("append").parquet(bandsPath)
           graft.functions.DedupFunctions.foldClusterLabels(prev, newPairs)
         }
+      case "image_neardup_labels" =>
+        // the IMAGE twin of simhash_labels: incremental perceptual near-dup
+        // cluster maintenance under a persisted (id, dims, dhash) hash
+        // table. Each sync decodes ONLY its increment's images (the corpus
+        // is never re-decoded — the hash table carries everything the
+        // banded Hamming probe needs), probes by pigeonhole-exact banding,
+        // folds new pairs into the labels, and appends the increment's
+        // hash rows. Same append-only contract, enforced at parse.
+        val idc = po.idColumn.get
+        val payc = po.valueColumn.get
+        val maxH = po.k.getOrElse(2)
+        val hashesPath = loader.targetPath(derivedId) + ".__imghashes"
+        foldIncremental(spark, id, derivedId, extractor, loader) { (prev, inc0) =>
+          import org.apache.spark.sql.functions.col
+          val inc = inc0.select(col(idc), col(payc).as("payload"))
+          val fs = new org.apache.hadoop.fs.Path(hashesPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val corpusHashes =
+            if (fs.exists(new org.apache.hadoop.fs.Path(hashesPath)))
+              spark.read.parquet(hashesPath)
+            else // first sync: empty hash table with the right schema
+              graft.multimodal.Multimodal.imagePerceptualHashes(
+                spark, inc.limit(0), idc)
+          // ONE decode pass over the increment serves both the probe and
+          // the persisted-table append
+          val incHashes = graft.util.Scratch.materialize(
+            graft.multimodal.Multimodal.imagePerceptualHashes(
+              spark, inc, idc), "sync_img_hashes")
+          val newPairs = graft.multimodal.Multimodal
+            .imageNearDuplicatesIncremental(incHashes, corpusHashes,
+              maxH, idc)
+            .select(col("id_a"), col("id_b"))
+          // hash append FIRST (crash-replay duplicates hash rows, which
+          // the probe tolerates; the reverse order loses images)
+          incHashes.write.mode("append").parquet(hashesPath)
+          graft.functions.DedupFunctions.foldClusterLabels(prev, newPairs)
+        }
       case "embedding_neardup" =>
         // the EMBEDDING twin: incremental semantic near-dup cluster
         // maintenance under a persisted random-hyperplane band index.

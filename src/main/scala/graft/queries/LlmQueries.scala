@@ -1428,9 +1428,15 @@ object LlmQueries {
         // dhash classes collapse to stars so the closure cost stays linear
         // in class size (the all-pairs form went quadratic at the 10x
         // bench point exactly where popular images repeat)
+        // scratch: the edge builder references the hash relation from the
+        // star collapse, member expansion and rep banding — unmaterialized,
+        // each reference re-runs the ImageIO decode over the whole corpus
+        // (the dominant cost of this query at the 10x/100x scale points)
         val imgPairs = graft.multimodal.Multimodal.imageNearDupEdges(
-          graft.multimodal.Multimodal.imagePerceptualHashes(s,
-            graft.multimodal.Multimodal.withFixtureMedia(s, docs)),
+          graft.util.Scratch.materialize(
+            graft.multimodal.Multimodal.imagePerceptualHashes(s,
+              graft.multimodal.Multimodal.withFixtureMedia(s, docs)),
+            "xm_img_hashes"),
           maxHamming = 2)
         DedupFunctions.foldClusterLabels(None,
           textPairs.unionByName(imgPairs))
