@@ -1246,6 +1246,86 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "chained embedding label folds diverged from batch clustering")
   }
 
+  test("post_ops image_neardup_labels: chained folds equal batch clustering") {
+    val s = spark; import s.implicits._
+    def png(px: Array[Array[Int]]): Array[Byte] = {
+      val h = px.length; val w = px(0).length
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (px(y)(x) << 16) | (px(y)(x) << 8) | px(y)(x))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val base = Array(Array(10, 20, 30, 40), Array(50, 60, 70, 80),
+      Array(90, 100, 110, 120))
+    val flip = base.map(_.clone()); flip(0)(1) = 5 // one gradient sign flips
+    val otherDims = Array(Array(10, 20, 30, 40, 50), Array(50, 60, 70, 80, 90),
+      Array(90, 100, 110, 120, 130))
+    val srcDir = tmpDir("imgsrc")
+    def writeImgs(rows: Seq[(Long, Array[Byte])], mode: String): Unit =
+      rows.toDF("img_id", "payload")
+        .write.mode(mode).parquet(s"$srcDir/images.parquet")
+    // batch 1: two identical images + one with different dims
+    writeImgs(Seq((1L, png(base)), (2L, png(base)), (3L, png(otherDims))),
+      "errorifexists")
+    val y = s"""pipeline:
+       |  name: "imglabels"
+       |  source: "$srcDir"
+       |  target: "warehouse"
+       |tables:
+       |  fx.images:
+       |    cdc_strategy: "id_only"
+       |    cdc_id_column: "img_id"
+       |    post_ops:
+       |      - op: image_neardup_labels
+       |        target: img_clusters
+       |        id_column: img_id
+       |        value_column: payload
+       |        k: 2
+       |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("imgwork"))
+    val (_, _, loader) = runner.rigFor(p)
+    val labelsId = p.tables.head.tableId(p).copy(table = "img_clusters")
+    def labelSet() = loader.readTarget(spark, labelsId).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def batchSet() = {
+      val all = loader.readTarget(spark, p.tables.head.tableId(p)).get
+        .select(col("img_id"), col("payload"))
+      graft.functions.DedupFunctions.duplicateClusters(
+        graft.multimodal.Multimodal.imageNearDuplicates(
+          graft.multimodal.Multimodal.imagePerceptualHashes(
+            spark, all, "img_id"), maxHamming = 2, "img_id")
+          .select(col("id_a"), col("id_b")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(runner.sync(p).allOk)
+    assert(labelSet() == Set((1L, 1L), (2L, 1L)), s"got ${labelSet()}")
+    assert(labelSet() == batchSet())
+    // batch 2: a 1-bit near-dup of the cluster + another unrelated shape —
+    // only NEW images are decoded, probed via the persisted hash table
+    writeImgs(Seq((4L, png(flip)), (5L, png(otherDims.map(_.map(255 - _))))),
+      "append")
+    assert(runner.sync(p).allOk)
+    assert(labelSet() == batchSet(),
+      "chained image label folds diverged from batch clustering")
+    assert(labelSet().contains((4L, 1L)),
+      s"the near-dup must join the existing cluster: ${labelSet()}")
+    // idle re-sync: fold cursor no-op
+    val before = labelSet()
+    assert(runner.sync(p).allOk)
+    assert(labelSet() == before)
+    // parse strictness: value_column required, k bounded, append-only only
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      y.replace("        value_column: payload\n", "")))
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      y.replace("k: 2", "k: 9")))
+    intercept[IllegalArgumentException](PipelineConfig.fromString(
+      y.replace("cdc_strategy: \"id_only\"", "cdc_strategy: \"full_sync\"")))
+  }
+
   test("simhash_labels / embedding_neardup parse strictness") {
     def yml(op: String, extra: String, strategy: String = "id_only") =
       s"""pipeline:
