@@ -969,6 +969,22 @@ object Multimodal {
         lit(0L).as("height"), col("afp").as("dhash")),
       maxHamming, idCol)
 
+  /** INCREMENTAL audio near-dup — [[imageNearDuplicatesIncremental]]'s
+    * persisted-hash-table probe on the audio fingerprint shape: new clips
+    * pair against the corpus through its appended (id, n_frames, afp)
+    * relation, the corpus audio never re-decoded. Exact for the
+    * incoming×(incoming∪corpus) pair set through Hamming 3. */
+  def audioNearDuplicatesIncremental(incomingHashes: DataFrame,
+                                     corpusHashes: DataFrame,
+                                     maxHamming: Int = 1,
+                                     idCol: String = "doc_id"): DataFrame = {
+    def shaped(df: DataFrame) = df.select(col(idCol),
+      col("n_frames").as("width"), lit(0L).as("height"),
+      col("afp").as("dhash"))
+    imageNearDuplicatesIncremental(shaped(incomingHashes),
+      shaped(corpusHashes), maxHamming, idCol)
+  }
+
   /** REAL audio decode pass: every payload `javax.sound.sampled` can read
     * as 16-bit PCM yields format fields plus exact sample-sum and
     * sum-of-squares (RMS numerator); undecodable payloads drop out. */

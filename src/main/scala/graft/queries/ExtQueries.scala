@@ -262,6 +262,42 @@ object ExtQueries {
              |FROM fp a JOIN fp b ON a.n = b.n AND a.d < b.d
              |WHERE bit_count(xor(a.afp, b.afp)) <= 1""".stripMargin)),
 
+    // -------------------------- multimodal audio near-duplicates, INCREMENTAL
+    // New clips probe the corpus through its persisted fingerprint table —
+    // corpus audio never re-decoded. Corpus = even docs of the dup fixture,
+    // increment = odd docs; oracle = batch all-pairs restricted to pairs
+    // touching the increment.
+    Q("q_mm_audio_neardup_incremental",
+      (s, dir) => {
+        val hashes = graft.util.Scratch.materialize(
+          Multimodal.audioPerceptualHashes(s,
+            Multimodal.withFixtureAudioDups(s, Tables.df(s, dir, "documents"))),
+          "audio_inc_hashes")
+        Multimodal.audioNearDuplicatesIncremental(
+          hashes.filter(col("doc_id") % 2 === 1),
+          hashes.filter(col("doc_id") % 2 === 0), maxHamming = 1)
+      },
+      Some("""WITH au AS (SELECT CAST(doc_id AS BIGINT) AS d,
+             |    doc_id % 50 AS seed, 400 + doc_id % 50 AS n
+             |  FROM documents),
+             |sm AS (SELECT d, n, j,
+             |    CASE WHEN d % 3 <> 0 AND (j*64) // n = 63 THEN 0
+             |      ELSE ((seed*17 + j*7) % 4001) - 2000 END AS s
+             |  FROM au, generate_series(0, 449) t(j) WHERE j < n),
+             |en AS (SELECT d, n, (j*64) // n AS w, SUM(s*s) AS e
+             |       FROM sm GROUP BY 1, 2, 3),
+             |bits AS (SELECT a.d, a.n, a.w AS i,
+             |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+             |  FROM en a JOIN en b ON b.d = a.d AND b.w = a.w + 1
+             |  WHERE a.w < 63),
+             |fp AS (SELECT d, n, SUM(bit * (1::BIGINT << i)) AS afp
+             |       FROM bits GROUP BY d, n)
+             |SELECT a.d AS id_a, b.d AS id_b,
+             |  CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+             |FROM fp a JOIN fp b ON a.n = b.n AND a.d < b.d
+             |WHERE bit_count(xor(a.afp, b.afp)) <= 1
+             |  AND (a.d % 2 = 1 OR b.d % 2 = 1)""".stripMargin)),
+
     // ------------------------------------------- multimodal frame sampling
     // Every 30th PCM frame from each real WAV payload, via the real JDK
     // decode — fully oracle-checked (was rows-only when decode was stubbed).

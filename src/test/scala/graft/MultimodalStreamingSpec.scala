@@ -696,6 +696,20 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
     // unrelated same-length audio stays out
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+    // incremental probe (persisted fingerprint table) == batch restricted
+    // to pairs touching the increment; duplicated table rows change nothing
+    val inc = hs.filter(col("doc_id") isin (2L, 3L))
+    val corpus = hs.filter(col("doc_id") isin (1L, 4L, 5L))
+    val gotInc = Multimodal.audioNearDuplicatesIncremental(inc, corpus,
+      maxHamming = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wantInc = got.filter { case (a, b, _) =>
+      Set(2L, 3L).contains(a) || Set(2L, 3L).contains(b) }
+    assert(gotInc == wantInc, s"incremental $gotInc != restricted $wantInc")
+    val gotInc2 = Multimodal.audioNearDuplicatesIncremental(inc,
+      corpus.unionAll(corpus.limit(1)), maxHamming = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotInc2 == wantInc)
   }
 
   test("video near-dup: shared distinct frames, repeat collapse, dims gate") {
