@@ -184,9 +184,13 @@ object DedupFunctions {
     // deduped, so the ×bands explode + distinct never carry text payloads.
     // The banded construction is EXACTLY the persisted index's
     // ([[minhashBandIndex]]) — one definition, so batch and incremental
-    // LSH can never drift apart.
-    val bucketed = minhashBandIndex(docs, idCol, textCol, shingleN, k, bands)
-    val counted = dropHotBuckets(bucketed, maxBucketSize)
+    // LSH can never drift apart. Scratch-materialized: the index feeds BOTH
+    // the hot-bucket census and the self-join probe; unmaterialized, the
+    // shingle+minhash projection (the expensive pass) ran once per consumer.
+    val bucketed = graft.util.Scratch.materialize(
+      minhashBandIndex(docs, idCol, textCol, shingleN, k, bands),
+      "band_index")
+    val counted = dropHotBucketsSurfaced(bucketed, maxBucketSize)
       .select(col("band"), col("bucket"), col("doc_id"))
 
     val a = counted.withColumnRenamed("doc_id", "id_a")
@@ -205,6 +209,61 @@ object DedupFunctions {
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double = 0.8): DataFrame =
     minhashCandidatePairs(docs, idCol, textCol).filter(col("jaccard") >= threshold)
+
+  /** Component-equivalent near-dup EDGES for cluster closure — the scale
+    * path behind every pairs→components consumer ([[duplicateClusters]],
+    * [[dropNearDuplicateClusters]], [[splitByCluster]],
+    * [[keepBestPerCluster]], the cross-modal closure).
+    *
+    * [[minhashNearDuplicates]] emits the FULL pair relation: m identical
+    * copies of one boilerplate page produce C(m,2) candidate AND output
+    * pairs — quadratic exactly where a 100 TB web corpus repeats hardest
+    * (one template with 10⁶ near-identical copies is the normal case, not
+    * the degenerate one; the 10× bench point measured ~73× executor work
+    * on ~10× input through the cross-modal closure). Keep the full form
+    * for pair-level analytics; feed closures from THIS.
+    *
+    * Construction (the text analog of
+    * [[graft.multimodal.Multimodal.imageNearDupEdges]]): every
+    * identical-content class — exact-dedup fingerprint, i.e. identical
+    * normalized text, hence identical token stream, shingle set and
+    * Jaccard-1 to each other — collapses to a STAR around its min-id
+    * representative, and only class REPRESENTATIVES enter the banded LSH
+    * join + exact-Jaccard verification. Since every member shares its
+    * rep's shingle set bit-for-bit, a member pairs with an outside vertex
+    * iff its rep does: the edge set differs from the full pair relation,
+    * but its transitive closure — the connected components — is
+    * IDENTICAL, at (m−1) + candidate-scale edges instead of C(m,2).
+    *
+    * The shingle-emptiness gate (same predicate the band index applies)
+    * runs BEFORE the collapse so degenerate docs that never enter banding
+    * get no star edges either — the gate is a pure function of the
+    * fingerprinted content, so it is class-uniform and cannot split a
+    * class. Scale: one rowwise fingerprint pass, one (fingerprint, id)
+    * window shuffle — the text column never rides an exchange — then the
+    * whole LSH machinery at DISTINCT-CONTENT scale. Returns (id_a, id_b),
+    * id_a < id_b. */
+  def minhashNearDupEdges(docs: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.8, shingleN: Int = 3,
+                          k: Int = 64, bands: Int = 16,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__fp"))
+    val classed = docs
+      .filter(size(shingleHashes(col(textCol), shingleN)) > 0)
+      .select(col(idCol), TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
+      .withColumn("__rep", min(col(idCol)).over(w))
+    val star = classed.filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+    val repIds = classed.filter(col(idCol) === col("__rep"))
+      .select(col(idCol))
+    val repPairs = minhashCandidatePairs(
+      docs.join(repIds, Seq(idCol), "left_semi"),
+      idCol, textCol, shingleN, k, bands, maxBucketSize)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    star.unionByName(repPairs)
+  }
 
   /** Banded-signature LSH index rows for a document set: (doc_id, band,
     * bucket). Persist this next to the corpus (append each accepted
@@ -231,27 +290,60 @@ object DedupFunctions {
         posexplode(bandKeys(col("sig"), bands, k / bands))
           .as(Seq("band", "bucket")))
 
-  /** Remove degenerate LSH buckets (empty/boilerplate docs all colliding):
+  /** What the most recent hot-bucket cap actually discarded: over-cap
+    * (band,bucket) keys and the index rows inside them. Silent recall loss
+    * in a dedup is the one failure a user cannot see from the output, so
+    * the cap is no longer allowed to be invisible: every capped run
+    * overwrites this holder (bench/pipeline code reads it after the run;
+    * DedupSpec pins it). Zero after a run = nothing was dropped. */
+  final case class HotBucketDrops(buckets: Long, indexRows: Long)
+  @volatile var lastHotBucketDrops: HotBucketDrops = HotBucketDrops(0L, 0L)
+
+  /** Remove degenerate LSH buckets (boilerplate content all colliding):
     * without the cap, one hot bucket at 100 TB produces an O(m²) pair
-    * explosion. Hot buckets are found with a PARTIAL-AGG count (map-side
-    * combine — only distinct (band,bucket) rows reach the exchange) and
-    * removed with a broadcast anti-join; a window-count formulation would
-    * full-sort every banded row just to read its bucket size. ONE definition
-    * shared by the batch, incremental, and cosine-LSH paths. */
-  private[functions] def hotBuckets(bucketed: DataFrame, maxBucketSize: Int,
-                                    keyCols: Seq[String] = Seq("band", "bucket"))
-      : DataFrame =
-    bucketed.groupBy(keyCols.map(col): _*)
+    * explosion. After the identical-content star collapse
+    * ([[minhashNearDupEdges]]) exact-duplicate classes are 1-row reps, so
+    * a bucket that STILL trips the cap is a genuinely diverse collision
+    * cloud — it is removed (the S-curve guarantee is per-pair, so losing
+    * one band's bucket only matters for pairs colliding in no other band),
+    * but never silently: the census is COLLECTED (bounded — at most
+    * |index| / maxBucketSize keys), recorded in [[lastHotBucketDrops]],
+    * and the anti-join runs against the collected keys as a local
+    * relation, which also means the (expensive) index subtree is evaluated
+    * once for the census instead of once per plan side. The census count
+    * is a PARTIAL AGG (map-side combine), not a window count that would
+    * full-sort every banded row just to read its bucket size. ONE
+    * definition shared by the batch, incremental, and cosine-LSH paths. */
+  private[functions] def hotBucketKeysLocal(
+      bucketed: DataFrame, maxBucketSize: Int,
+      keyCols: Seq[String] = Seq("band", "bucket")): Option[DataFrame] = {
+    val hotRows = bucketed.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > maxBucketSize)
-      .select(keyCols.map(col): _*)
+      .collect()
+    lastHotBucketDrops = HotBucketDrops(hotRows.length.toLong,
+      hotRows.map(_.getLong(keyCols.length)).sum)
+    if (hotRows.isEmpty) None
+    else {
+      val spark = bucketed.sparkSession
+      val keySchema = org.apache.spark.sql.types.StructType(
+        keyCols.map(n => bucketed.schema(n)))
+      val keyRows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(hotRows.map(r =>
+          org.apache.spark.sql.Row.fromSeq(keyCols.indices.map(r.get))): _*)
+      // LocalRelation build side: no RDD, no persisted blocks (leak gate)
+      Some(spark.createDataFrame(keyRows, keySchema))
+    }
+  }
 
-  private[functions] def dropHotBuckets(bucketed: DataFrame,
-                                        maxBucketSize: Int,
-                                        keyCols: Seq[String] = Seq("band", "bucket"))
-      : DataFrame =
-    bucketed.join(broadcast(hotBuckets(bucketed, maxBucketSize, keyCols)),
-      keyCols, "left_anti")
+  private[functions] def dropHotBucketsSurfaced(
+      bucketed: DataFrame, maxBucketSize: Int,
+      keyCols: Seq[String] = Seq("band", "bucket")): DataFrame =
+    hotBucketKeysLocal(bucketed, maxBucketSize, keyCols) match {
+      case None => bucketed
+      case Some(hotDf) =>
+        bucketed.join(broadcast(hotDf), keyCols, "left_anti")
+    }
 
   /** INCREMENTAL MinHash-LSH near-dup — the 100 TB shape: find near-dup
     * pairs with at least one side in the `incoming` increment, probing the
@@ -294,9 +386,13 @@ object DedupFunctions {
     // join sides below stay RAW — duplicate rows there only produce
     // duplicate candidate pairs, which the final distinct() removes — so
     // the dedup shuffle is paid once, on the count path only.
-    val hot = hotBuckets(all.distinct(), maxBucketSize)
-    val probe = inc.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    val target = all.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val hot = hotBucketKeysLocal(all.distinct(), maxBucketSize)
+    def dropHot(df: DataFrame): DataFrame = hot match {
+      case None => df
+      case Some(h) => df.join(broadcast(h), Seq("band", "bucket"), "left_anti")
+    }
+    val probe = dropHot(inc)
+    val target = dropHot(all)
     val candidates = probe.withColumnRenamed("doc_id", "id_x")
       .join(target.withColumnRenamed("doc_id", "id_y"), Seq("band", "bucket"))
       .filter(col("id_x") =!= col("id_y"))

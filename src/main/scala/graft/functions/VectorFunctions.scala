@@ -1037,11 +1037,15 @@ object VectorFunctions {
                               idCol: String = "vec_id",
                               vecCol: String = "embedding",
                               maxBucketSize: Int = 10000): DataFrame = {
-    val banded = cosineLshBandIndex(corpus, bands, rowsPerBand, idCol, vecCol)
+    // scratch: the index feeds the hot-bucket census and the self-join —
+    // unmaterialized, the plane projection ran once per consumer
+    val banded = graft.util.Scratch.materialize(
+      cosineLshBandIndex(corpus, bands, rowsPerBand, idCol, vecCol),
+      "cos_band_index")
 
-    // hot-bucket cap — the ONE shared partial-agg + broadcast-anti-join
-    // helper (same rewrite as the MinHash path)
-    val counted = DedupFunctions.dropHotBuckets(banded, maxBucketSize)
+    // hot-bucket cap — the ONE shared surfaced-census + anti-join helper
+    // (same rewrite as the MinHash path; drops recorded, never silent)
+    val counted = DedupFunctions.dropHotBucketsSurfaced(banded, maxBucketSize)
       .select(col("band"), col("bucket"), col("doc_id"))
 
     val a2 = counted.withColumnRenamed("doc_id", "id_a")
@@ -1093,9 +1097,13 @@ object VectorFunctions {
       "inc_cos_index"))
     val all = corpusIndex.select(col("doc_id"), col("band"), col("bucket"))
       .unionByName(inc)
-    val hot = DedupFunctions.hotBuckets(all.distinct(), maxBucketSize)
-    val probe = inc.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    val target = all.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val hot = DedupFunctions.hotBucketKeysLocal(all.distinct(), maxBucketSize)
+    def dropHot(df: DataFrame): DataFrame = hot match {
+      case None => df
+      case Some(h) => df.join(broadcast(h), Seq("band", "bucket"), "left_anti")
+    }
+    val probe = dropHot(inc)
+    val target = dropHot(all)
     val candidates = probe.withColumnRenamed("doc_id", "id_x")
       .join(target.withColumnRenamed("doc_id", "id_y"), Seq("band", "bucket"))
       .filter(col("id_x") =!= col("id_y"))

@@ -136,6 +136,66 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val capped = DedupFunctions.minhashCandidatePairs(degenerate, "doc_id", "text",
       maxBucketSize = 10)
     assert(capped.count() == 0) // every bucket over cap → dropped
+    // ...but never SILENTLY: the census records what the cap discarded
+    // (30 identical docs × 16 bands = 16 over-cap buckets of 30 rows)
+    val drops = DedupFunctions.lastHotBucketDrops
+    assert(drops.buckets == 16L, s"expected 16 dropped buckets, got $drops")
+    assert(drops.indexRows == 16L * 30, s"expected 480 dropped rows, got $drops")
+    // an uncapped run resets the census to zero
+    DedupFunctions.minhashCandidatePairs(docs, "doc_id", "text").count()
+    assert(DedupFunctions.lastHotBucketDrops ==
+      DedupFunctions.HotBucketDrops(0L, 0L))
+  }
+
+  test("near-dup edges: star collapse is component-equivalent to full pairs") {
+    val s = spark
+    import s.implicits._
+    // 6 copies of page A (ids 1-6), 2 copies of a NEAR-dup of A (7-8: one
+    // changed word), 3 copies of unrelated page B (11-13), a singleton (20)
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val a2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val b = "completely different content about spark catalyst optimizer rules " +
+      "and adaptive execution at scale"
+    val corpus = ((1L to 6L).map(i => (i, a)) ++ Seq((7L, a2), (8L, a2)) ++
+      (11L to 13L).map(i => (i, b)) :+ (20L, "a standalone page about nothing else"))
+      .toDF("doc_id", "text")
+    val thr = 0.5
+    val full = DedupFunctions.minhashNearDuplicates(corpus, "doc_id", "text", thr)
+    val edges = DedupFunctions.minhashNearDupEdges(corpus, "doc_id", "text", thr)
+    val edgeSet = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // linear in class size: class {1..6} contributes 5 star edges (not 15),
+    // class {7,8} one, class {11..13} two, plus rep pairs — here (1,7)
+    edgeSet.foreach { case (x, y) => assert(x < y) }
+    assert(edgeSet.count(_._1 == 1L) >= 5)
+    assert(edges.count() < full.count(),
+      "edge relation must be smaller than the C(m,2) pair relation")
+    // the closures agree EXACTLY
+    val byFull = DedupFunctions.duplicateClusters(full)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byEdges = DedupFunctions.duplicateClusters(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byFull == byEdges)
+    assert(byEdges.view.filterKeys(Set(1L, 5L, 7L)).values.toSet == Set(1L),
+      "near-dup chain A-copies ↔ A' must close into one component")
+    assert(byEdges(12L) == 11L && !byEdges.contains(20L))
+  }
+
+  test("near-dup edges: empty-content class matches the full relation") {
+    val s = spark
+    import s.implicits._
+    // empty docs carry the single empty-stream shingle by design (mirrors
+    // the oracle's [''] set), so they are J=1 dups of each other in the
+    // FULL relation — the edge form must agree, via a star edge, not drop
+    // the class (component equivalence includes the degenerate class)
+    val corpus = Seq((1L, ""), (2L, ""), (3L, "real content page one here"),
+      (4L, "real content page one here")).toDF("doc_id", "text")
+    val edgeSet = DedupFunctions.minhashNearDupEdges(corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullSet = DedupFunctions.minhashNearDuplicates(corpus, "doc_id", "text", 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet == Set((1L, 2L), (3L, 4L)))
+    assert(fullSet == edgeSet) // singleton-free fixture: forms coincide
   }
 
   test("incremental minhash: increment probes the corpus index, corpus pairs excluded") {
