@@ -76,7 +76,7 @@ object Bench {
     // untimed warmup: pay parquet-driver + codegen init before the clock
     // starts so the alphabetically-first query isn't charged for it
     try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
 
     // Inter-query hygiene: unpersist everything between runs — each run
     // rebuilds its own plan, so only garbage goes — and REPORT what leaked
@@ -213,34 +213,48 @@ object Bench {
     }
 
     def runScale(names: Seq[String], dir: String)
-        : Seq[(String, Double, Attrib)] = {
+        : Seq[(String, Double, Attrib, Seq[Double])] = {
       val qmap = SparkEntry.queries
       names.flatMap(n => qmap.get(n).map { fn =>
         // JIT warmup at 1× FIRST: a cold JVM's first executions pay
         // interpreted Catalyst + tiered-compilation queueing behind 32
-        // busy worker threads — measured THIS round at 10-40× and
+        // busy worker threads — measured in round 9 at 10-40× and
         // nondeterministic (q_dsir_select 10×: 3s, 14s and 208s across
         // three runs of identical code and data; cold-1× 19.3s vs
         // hot-1× 0.5s). Three cheap small-data passes compile the
-        // plan's hot paths before any scale data is timed.
-        (1 to 3).foreach(_ =>
+        // plan's hot paths before any scale data is timed. NonFatal only:
+        // an OOM/interrupt must surface, and a query failing every warmup
+        // pass is WARNED (its first timed run would otherwise be
+        // silently cold).
+        (1 to 3).foreach(i =>
           try { fn(spark, sfDir).count(); () }
-          catch { case _: Throwable => () })
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[bench] $n warmup pass $i failed: ${e.getMessage}")
+          })
         sweepLeaked()
         timeOne(n, fn, dir) // warm on the scale dir itself (untimed)
         // min of TWO timed runs: residual C2 recompile / GC-epoch noise
         // lands on one run or the other, and the minimum is the
-        // reproducible number a clean-room rerun can match
+        // reproducible number a clean-room rerun can match. BOTH raw run
+        // times ride the artifact ("runs") so the methodology is
+        // self-describing and cross-round comparison stays honest.
         val (s1, a1) = timeOne(n, fn, dir)
         val (s2, a2) = timeOne(n, fn, dir)
-        if (s1 >= 0 && (s2 < 0 || s1 <= s2)) (n, s1, a1) else (n, s2, a2)
+        val runs = Seq(s1, s2)
+        if (s1 >= 0 && (s2 < 0 || s1 <= s2)) (n, s1, a1, runs)
+        else (n, s2, a2, runs)
       })
     }
-    def scaleJson(res: Seq[(String, Double, Attrib)]): (String, String) = (
-      res.map { case (k, v, _) => "\"" + k + "\":" + v }
+    def scaleJson(res: Seq[(String, Double, Attrib, Seq[Double])])
+        : (String, String) = (
+      res.map { case (k, v, _, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}"),
-      res.map { case (k, v, a) => "\"" + k + "\":" + a.jsonWith(v) }
-        .mkString("{", ",", "}"))
+      res.map { case (k, v, a, runs) =>
+        val withRuns = a.jsonWith(v).dropRight(1) +
+          runs.map(r => f"$r%.3f").mkString(",\"runs\":[", ",", "]}")
+        "\"" + k + "\":" + withRuns
+      }.mkString("{", ",", "}"))
 
     val (scale10Json, attrib10Json, rps10x): (String, String, Double) =
       if (!scaleCheck || scaleQueries.isEmpty) ("{}", "{}", -1.0)
@@ -255,14 +269,41 @@ object Bench {
         ("{}", "{}", -1.0)
       }
 
+    // intermediate MEDIA scale point: ~30× documents — and since fixture
+    // media payloads derive per doc_id, ~30× images/audio/video — for the
+    // perceptual near-dup family, whose dominant input is the media axis.
+    // Gives each mm near-dup operator a second scale point (round-9 ask:
+    // their linearity claim rested on one measurement); audio/video get
+    // their own 1× warmups here since the 10× section does not run them.
+    val scale30Queries = Seq("q_mm_image_neardup", "q_mm_audio_neardup",
+      "q_mm_video_neardup", "q_crossmodal_dedup")
+      .filter(n => only.forall(_.contains(n)))
+    val scale30 = scaleCheck &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE30", "1") != "0"
+    val (scale30Json, attrib30Json): (String, String) =
+      if (!scale30 || scale30Queries.isEmpty) ("{}", "{}")
+      else try {
+        val dir30 = synthDir("30x", docCopies = 30, alphaAffine,
+          rowCopies = 1)
+        scaleJson(runScale(scale30Queries, dir30))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] 30x scale point FAILED: ${e.getMessage}")
+        ("{}", "{}")
+      }
+
     // third scale point: ~100× documents (80 affine-substituted copies) for
     // the dedup family alone — the linearity claim between 10× and 100× is
     // the one that matters for 100 TB. Copy count env-tunable
     // (SPARK_GRAFT_BENCH_SCALE100_COPIES) so a memory-bound host can run 30.
+    // q_kn_logprob / q_dsir_select ride along (round-9 ask: their 10×
+    // points were cpu-dense and super-linear-looking; a third point
+    // settles whether the LM relations stay vocab-scale as affine copies
+    // multiply word forms).
     val scale100Copies =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE100_COPIES", "80").toInt
     val scale100Queries = Seq("q_dedup_span_stats", "q_dedup_minhash_neardup",
-      "q_dedup_cluster_incremental", "q_crossmodal_dedup")
+      "q_dedup_cluster_incremental", "q_crossmodal_dedup",
+      "q_kn_logprob", "q_dsir_select")
       .filter(n => only.forall(_.contains(n)))
     val scale100 = scaleCheck && scale100Copies > 0 &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE100", "1") != "0"
@@ -276,7 +317,7 @@ object Bench {
         val qmap = SparkEntry.queries
         val res = scale100Queries.flatMap(n => qmap.get(n).map { fn =>
           val (sec, attrib) = timeOne(n, fn, dir100)
-          (n, sec, attrib)
+          (n, sec, attrib, Seq(sec))
         })
         scaleJson(res)
       } catch { case e: Throwable =>
@@ -331,8 +372,12 @@ object Bench {
 
     val filterJson = only.map(f => "\"" + f.toSeq.sorted.mkString(",") + "\"")
       .getOrElse("null")
+    // bench_schema 2: scale sections report min-of-two timed runs (raw run
+    // times in attrib "runs"); schema 1 (rounds ≤8) was one timed run —
+    // the field makes cross-round artifacts self-describing instead of
+    // silently apples-to-oranges.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFail,"filter":$filterJson,"extract_rows_per_sec":$rps,"total_steady":$totalSteady,"leak_gate":$leakGate,"ivf_train_sec":$ivfTrain,"cluster_index_build_sec":$clusterIdx,"pq_train_sec":$pqTrain,"pq_encode_sec":$pqEncode,"queries":${fmtQs(_._2)},"queries_steady":${fmtQs(_._3)},"attrib":$attribJson,"queries_10x":$scale10Json,"attrib_10x":$attrib10Json,"extract_rows_per_sec_10x":$rps10x,"scale_10x":{"documents":8,"lineitem":10,"events":10},"queries_100x":$scale100Json,"attrib_100x":$attrib100Json,"scale_100x":{"documents":$scale100Copies},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"timing":"scale=min_of_2_timed_runs_after_warmup(100x=1_run);steady=cold_then_steady","failed":$nFail,"filter":$filterJson,"extract_rows_per_sec":$rps,"total_steady":$totalSteady,"leak_gate":$leakGate,"ivf_train_sec":$ivfTrain,"cluster_index_build_sec":$clusterIdx,"pq_train_sec":$pqTrain,"pq_encode_sec":$pqEncode,"queries":${fmtQs(_._2)},"queries_steady":${fmtQs(_._3)},"attrib":$attribJson,"queries_10x":$scale10Json,"attrib_10x":$attrib10Json,"extract_rows_per_sec_10x":$rps10x,"scale_10x":{"documents":8,"lineitem":10,"events":10},"queries_30x":$scale30Json,"attrib_30x":$attrib30Json,"scale_30x":{"documents":30,"media":"payloads derive per doc_id, so media scales with documents"},"queries_100x":$scale100Json,"attrib_100x":$attrib100Json,"scale_100x":{"documents":$scale100Copies},"sf":"$sfDir"}"""
     // The FULL artifact (cold+steady+attrib maps, ~40 KB at 195 queries)
     // goes to target/bench.json only: printed, it exceeds the driver's
     // stdout tail-capture and the round's "parsed" field comes back null
@@ -360,7 +405,7 @@ object Bench {
       .map { case (k, cold, _, _) => f""""$k":$cold%.3f""" }
       .mkString("{", ",", "}")
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFail,"extract_rows_per_sec":$rps%.0f,"total_steady":$totalSteady%.3f,"leak_gate":$leakGate,"queries":$compactQs,"queries_10x":$scale10Json,"extract_rows_per_sec_10x":$rps10x%.0f,"queries_100x":$scale100Json,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","bench_schema":2,"failed":$nFail,"extract_rows_per_sec":$rps%.0f,"total_steady":$totalSteady%.3f,"leak_gate":$leakGate,"queries":$compactQs,"queries_10x":$scale10Json,"extract_rows_per_sec_10x":$rps10x%.0f,"queries_30x":$scale30Json,"queries_100x":$scale100Json,"sf":"$sfDir"}"""
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")

@@ -775,9 +775,12 @@ object CorpusFunctions {
     *
     * Engine parity: targets/allocations are exact 64-bit integer
     * arithmetic — budget·w_g must fit in a long (guarded loudly; a 900
-    * trillion-token budget still fits at ΣW = 10⁴), and long division of
-    * positives is the same floor both engines compute. `epochs` is one
-    * IEEE quotient of exact integers.
+    * trillion-token budget still fits at ΣW = 10⁴), the epoch cap
+    * available·maxEpochs is computed in DECIMAL(38,0) so it cannot wrap
+    * for near-Long.Max corpora (the least() against target keeps the
+    * result long-ranged), and long division of positives is the same
+    * floor both engines compute. `epochs` is one IEEE quotient of exact
+    * integers.
     *
     * Scale: one partial-agg sum pass; everything after joins the
     * group-cardinality relation against a broadcast weights literal. */
@@ -808,9 +811,15 @@ object CorpusFunctions {
       .withColumn("available_tokens", coalesce(col("available_tokens"), lit(0L)))
       .withColumn("target_tokens",
         expr(s"(${budgetTokens}L * __w) div ${sumW}L"))
+      // the epoch cap is computed in DECIMAL(38,0): available·maxEpochs can
+      // exceed Long range for near-Long.Max corpora, where a 64-bit product
+      // would silently wrap NEGATIVE and zero the allocation; in decimal the
+      // oversized product just loses the least() to target (≤ budget, which
+      // the weight guard above proved fits), so the cast back is exact
       .withColumn("allocated_tokens",
-        least(col("target_tokens"),
-          col("available_tokens") * lit(maxEpochs.toLong)))
+        least(col("target_tokens").cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+          col("available_tokens").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            lit(maxEpochs.toLong)).cast("long"))
       .select(col(groupCol), col("available_tokens"), col("target_tokens"),
         col("allocated_tokens"),
         when(col("available_tokens") > 0,

@@ -797,16 +797,17 @@ object DedupFunctions {
       .select(col(idCol), col("pos").cast("long").as("pos"), col("whash"))
 
   /** Cheap 64-bit window hashes, values only — the frequency-prefilter pass
-    * input (no md5 string, no id/pos: the exchange rows are 16 bytes). */
+    * input (no md5 string, no id/pos: the exchange rows are 16 bytes).
+    * [[graft.functions.TokenWindowHashes]] rolls them numerically — the
+    * former string form (`xxhash64(concat_ws(slice(...)))` per window)
+    * allocated ~window× the corpus text per pass and put GC at 9% of
+    * executor time at the 100× bench point. */
   private def slidingWindowHash64s(docs: DataFrame, textCol: String,
                                    window: Int): DataFrame =
     docs
       .select(TextFunctions.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= window)
-      .select(explode(transform(
-        sequence(lit(0), size(col("__toks")) - window),
-        p => xxhash64(concat_ws(" ", slice(col("__toks"), p + 1, lit(window))))))
-        .as("h64"))
+      .select(explode(token_window_hashes(col("__toks"), window)).as("h64"))
 
   /** Above this many repeated hashes the driver-side Bloom filter stops
     * paying for itself (it would broadcast tens of MB to save an exchange
@@ -888,19 +889,21 @@ object DedupFunctions {
               org.apache.spark.sql.catalyst.expressions.Literal(
                 bos.toByteArray, org.apache.spark.sql.types.BinaryType),
               org.apache.spark.sql.GraftShim.expression(h64)))
-        // gate on the RAW window string's 64-bit hash — the same value the
-        // filter was built from — before md5ing, so the md5 itself is only
-        // paid for Bloom survivors
+        // gate on the NUMERIC rolling window hash — the same expression the
+        // filter was built from — so neither the window STRING nor its md5
+        // is materialized for anything but Bloom survivors (in a healthy
+        // corpus that is almost every window skipped: the former
+        // build-string-then-gate form was the dominant allocation source)
         docs
           .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
           .filter(size(col("__toks")) >= window)
-          .select(col(idCol), posexplode(transform(
-            sequence(lit(0), size(col("__toks")) - window),
-            p => concat_ws(" ", slice(col("__toks"), p + 1, lit(window)))))
-            .as(Seq("pos", "__win")))
-          .filter(mightContain(xxhash64(col("__win"))))
+          .select(col(idCol), col("__toks"),
+            posexplode(token_window_hashes(col("__toks"), window))
+              .as(Seq("pos", "h64")))
+          .filter(mightContain(col("h64")))
           .select(col(idCol), col("pos").cast("long").as("pos"),
-            md5(col("__win")).as("whash"))
+            md5(concat_ws(" ",
+              slice(col("__toks"), col("pos") + 1, lit(window)))).as("whash"))
       }
     } finally repeated64.unpersist(blocking = false)
     // exact distinct-doc count over the candidate set only

@@ -222,10 +222,12 @@ object TextFunctions {
     * battery, operating a level DOWN: each line of a page is retained only
     * if it ends in terminal punctuation (. ! ? "), carries at least
     * `minWordsPerLine` whitespace words, and does not mention "javascript";
-    * the PAGE is then kept only if at least `minKeptLines` lines survived
-    * (retained lines end in terminal punctuation, so the count is C4's
-    * "at least three sentences" gate on the retained text) and the raw
-    * text contains neither "lorem ipsum" nor a '{' (code leakage). Emits
+    * the PAGE is then kept only if the RETAINED text carries at least
+    * `minSentences` sentence-terminal marks (. ! ?) — C4's "at least three
+    * sentences" gate counted on the retained text itself, so a retained
+    * line holding several sentences contributes all of them, not one —
+    * and the raw text contains neither "lorem ipsum" nor a '{' (code
+    * leakage). Emits
     * per-doc counts, the verdict, and the cleaned text (NULL for dropped
     * pages) — compose with `.filter(col("kept_doc"))` for the filter.
     *
@@ -236,9 +238,9 @@ object TextFunctions {
   def c4Clean(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text",
               minWordsPerLine: Int = 5,
-              minKeptLines: Int = 3): DataFrame = {
+              minSentences: Int = 3): DataFrame = {
     require(minWordsPerLine >= 1, s"minWordsPerLine $minWordsPerLine < 1")
-    require(minKeptLines >= 1, s"minKeptLines $minKeptLines < 1")
+    require(minSentences >= 1, s"minSentences $minSentences < 1")
     val t = col(textCol)
     val lines = split(t, "\n")
     val kept = filter(lines, l =>
@@ -247,7 +249,7 @@ object TextFunctions {
           >= minWordsPerLine &&
         !lower(l).contains("javascript"))
     val keptDoc = coalesce(
-      size(kept) >= minKeptLines &&
+      regexp_count(array_join(kept, "\n"), lit("[.!?]")) >= minSentences &&
         !lower(t).contains("lorem ipsum") &&
         !t.contains("{"), lit(false))
     docs.select(col(idCol),

@@ -79,7 +79,7 @@ object PostOps {
         val base = requireBase(spark, loader, id, po)
         loader.replaceDerived(spark, derivedId,
           graft.functions.TextFunctions.c4Clean(base, po.idColumn.get,
-            po.textColumn.get, minKeptLines = po.k.getOrElse(3)))
+            po.textColumn.get, minSentences = po.k.getOrElse(3)))
         ()
       case "scd2_apply" =>
         foldIncremental(spark, id, derivedId, extractor, loader)(

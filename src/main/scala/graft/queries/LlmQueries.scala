@@ -1021,7 +1021,9 @@ object LlmQueries {
              |      AND NOT contains(lower(l), 'javascript')) AS kept
              |  FROM built),
              |v AS (SELECT doc_id, t, n_lines, kept,
-             |    (len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+             |    (len(regexp_extract_all(array_to_string(kept, chr(10)),
+             |        '[.!?]')) >= 3
+             |      AND NOT contains(lower(t), 'lorem ipsum')
              |      AND NOT contains(t, chr(123))) AS kept_doc
              |  FROM f)
              |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,

@@ -1260,6 +1260,16 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       graft.functions.CorpusFunctions.tokenBudgetPlan(docs, "source", "toks",
         Seq(("web", 1000000L)), Long.MaxValue / 2)
     }
+    // the epoch cap available·maxEpochs must not wrap for near-Long.Max
+    // corpora: 4 × (Long.Max/2) overflows a long but the decimal cap
+    // correctly loses the least() to the (fitting) target
+    val huge = Seq(("web", Long.MaxValue / 2)).toDF("source", "toks")
+    val hp = graft.functions.CorpusFunctions.tokenBudgetPlan(
+      huge, "source", "toks", Seq(("web", 1L)),
+      budgetTokens = 1000000L, maxEpochs = 4)
+      .collect().head
+    assert(hp.getAs[Long]("allocated_tokens") == 1000000L)
+    assert(!hp.getAs[Boolean]("capped"))
   }
 
   test("c4Clean: line rules and page gates each fire on their planted case") {
@@ -1274,7 +1284,10 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       (3L, s"$s1\n$s2\nPlease enable JavaScript to read the article."),
       (4L, s"$s1\n$s2\n$s3\nlorem ipsum dolor sit amet."),  // page gate
       (5L, s"$s1\n$s2\n$s3\nif (x) { return; }"),       // brace page gate
-      (6L, null.asInstanceOf[String])                   // null text
+      (6L, null.asInstanceOf[String]),                  // null text
+      // two retained LINES but three SENTENCES — the C4 gate counts
+      // sentence-terminal marks in the retained text, not lines
+      (7L, s"$s1\nTwo sentences share this line. They both count, right?")
     ).toDF("doc_id", "text")
     val m = graft.functions.TextFunctions.c4Clean(docs)
       .collect().map(r => r.getLong(0) -> r).toMap
@@ -1297,6 +1310,10 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     // doc 6: NULL text → firm FALSE verdict (3VL must not leak)
     assert(!m(6L).isNullAt(m(6L).fieldIndex("kept_doc")) &&
       !m(6L).getAs[Boolean]("kept_doc"))
+    // doc 7: 2 retained lines but 3 sentence marks → page KEPT (a
+    // line-count gate would wrongly drop it)
+    assert(m(7L).getAs[Long]("n_kept") == 2L &&
+      m(7L).getAs[Boolean]("kept_doc"))
     // degenerate thresholds refused loudly
     intercept[IllegalArgumentException] {
       graft.functions.TextFunctions.c4Clean(docs, minWordsPerLine = 0)

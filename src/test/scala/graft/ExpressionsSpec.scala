@@ -146,6 +146,42 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(empty(0) == empty(1)) // both token-less → identical gram
   }
 
+  test("token_window_hashes: codegen == interpreted; rolling == positional") {
+    val s0 = spark; import s0.implicits._
+    val df = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three"),           // exactly window tokens
+      (3L, "one two"),                 // under window → empty
+      (4L, ""),                        // no tokens → empty
+      (5L, "two three four one two three") // shares windows with 1 and 2
+    ).toDF("id", "text")
+    def run(codegen: Boolean) = withCodegen(codegen) {
+      df.select(col("id"),
+        token_window_hashes(
+          graft.functions.TextFunctions.tokens(col("text")), 3).as("ws"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    }
+    val cg = run(true)
+    assert(cg == run(false))
+    assert(cg(1L).size == 4 && cg(2L).size == 1)
+    assert(cg(3L).isEmpty && cg(4L).isEmpty)
+    // identical windows hash identically regardless of position (the
+    // cross-doc property the frequency prefilter counts on): doc 5's
+    // tail window "one two three" == doc 2's only window, and its head
+    // "two three four" == doc 1's second window
+    assert(cg(5L)(3) == cg(2L)(0))
+    assert(cg(5L)(0) == cg(1L)(1))
+    // rolling recurrence equals the direct positional polynomial
+    import graft.functions.{MinHashSig, RollingHash, TokenWindowHashes}
+    val toks = Array("one", "two", "three", "four", "five", "six")
+    val th = toks.map(t => MinHashSig.mix(RollingHash.hashBytes(t.getBytes)))
+    val b = 0x100000001b3L
+    val direct = (0 to 3).map(p =>
+      (0 until 3).foldLeft(0L)((acc, j) => acc * b + th(p + j)))
+    assert(cg(1L) == direct)
+    val _ = TokenWindowHashes // anchor the import
+  }
+
   test("near-identical token sets differ in few simhash bits") {
     val s = spark; import s.implicits._
     val base = (1 to 60).map(i => s"token$i")
