@@ -236,6 +236,21 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     * one table (CLI `-t`). */
   def sync(p: Pipeline, tableFilter: Option[String] = None,
            catalog: Option[SourceCatalog] = None): PipelineReport = {
+    // scratch scope: every relation an operator scratch-materializes during
+    // this run is drained into sinks by the time sync returns, so the LAST
+    // concurrent sync to finish sweeps the scratch tier — a per-sync daemon
+    // no longer grows scratch until JVM exit (round-9 ask #7)
+    graft.util.Scratch.retain()
+    try syncInner(p, tableFilter, catalog)
+    finally {
+      val reclaimed = graft.util.Scratch.release()
+      if (reclaimed > 0)
+        System.err.println(f"[graft] scratch swept: $reclaimed%d bytes")
+    }
+  }
+
+  private def syncInner(p: Pipeline, tableFilter: Option[String],
+                        catalog: Option[SourceCatalog]): PipelineReport = {
     val cat = catalogResolver(p, catalog)
     val (store, extractor, loader) = rigFor(p)
     val specs = p.tables.filter(t => tableFilter.forall(f =>

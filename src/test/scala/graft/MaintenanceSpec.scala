@@ -52,4 +52,37 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestBase {
     assert(Maintenance.newestFirst(listed, 2) == Seq("b", "c"))
     assert(Maintenance.newestFirst(listed, 5) == Seq("a", "b", "c"))
   }
+
+  test("scratch scope: dirs written inside a run scope are swept at release") {
+    val s = spark
+    import s.implicits._
+    import graft.util.Scratch
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // scope tier: written between retain and release → reclaimed, with
+    // bytes accounted — the per-sync lifecycle (a long-lived pipeline
+    // session must not grow scratch until JVM exit)
+    Scratch.retain()
+    val scoped = Scratch.materialize(df, "scope_test")
+    assert(scoped.count() == 2)
+    val beforeBytes = Scratch.registeredBytes
+    assert(beforeBytes > 0L, "written parquet must be size-accounted")
+    val file = scoped.inputFiles.head.stripPrefix("file:")
+    assert(new java.io.File(file).exists())
+    // nested scope (concurrent sync): the inner release must NOT sweep
+    Scratch.retain()
+    assert(Scratch.release() == 0L)
+    assert(new java.io.File(file).exists(), "swept while a scope was active")
+    val reclaimed = Scratch.release()
+    assert(reclaimed > 0L)
+    assert(!new java.io.File(file).exists(), "scope scratch must be deleted")
+    // global tier: written OUTSIDE any scope → survives scope sweeps
+    // (ad-hoc callers may hold the relation indefinitely)
+    val global = Scratch.materialize(df, "global_test")
+    val gfile = global.inputFiles.head.stripPrefix("file:")
+    Scratch.retain()
+    Scratch.release()
+    assert(new java.io.File(gfile).exists(),
+      "out-of-scope scratch must keep the JVM-exit lifecycle")
+    assert(global.count() == 2)
+  }
 }
