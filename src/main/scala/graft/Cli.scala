@@ -411,8 +411,14 @@ object Cli {
         // cursor (or the next sync would refold history and resurrect the
         // pairs). Other docs' cluster labels may retain the forgotten doc's
         // NUMERIC id as their group label — an opaque group id, not content.
-        val bandSuffix = Map("neardup_labels" -> ".__bands",
-          "simhash_labels" -> ".__simbands", "embedding_neardup" -> ".__cosbands")
+        val bandSuffix: Map[String, Seq[(String, String)]] = Map(
+          "neardup_labels" -> Seq(".__bands" -> "doc_id"),
+          "simhash_labels" -> Seq(".__simbands" -> "doc_id"),
+          "embedding_neardup" -> Seq(".__cosbands" -> "doc_id"),
+          // edge form: band rows by doc_id AND the content-class rep rows
+          // (md5 fingerprints are content-derived — they must go too)
+          "neardup_labels_edges" -> Seq(".__repbands" -> "doc_id",
+            ".__repfps" -> "rep_id"))
         spec.postOps.filter(po => bandSuffix.contains(po.op))
           .filter(_.idColumn.contains(keyCol)).foreach { po =>
             val dId = id.copy(table = po.target)
@@ -436,9 +442,10 @@ object Cli {
               }
             }
             scrub(loader.targetPath(dId), "id", keepState = true)
-            // every band-index builder emits its id as doc_id
-            scrub(loader.targetPath(dId) + bandSuffix(po.op), "doc_id",
-              keepState = false)
+            bandSuffix(po.op).foreach { case (suffix, keyName) =>
+              scrub(loader.targetPath(dId) + suffix, keyName,
+                keepState = false)
+            }
             println(s"scrubbed ${po.target} labels + band index")
           }
         println(s"forgot ${values.size} key(s) from ${id.qualified}: " +

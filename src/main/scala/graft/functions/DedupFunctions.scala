@@ -265,6 +265,117 @@ object DedupFunctions {
     star.unionByName(repPairs)
   }
 
+  /** Content-class representatives of a corpus: (fingerprint, rep_id) with
+    * rep_id = min id per identical-normalized-content class, restricted to
+    * banding-eligible docs — the persisted side table the EDGE-form
+    * incremental near-dup ([[minhashNearDupEdgesIncremental]]) probes.
+    * 16 bytes + a long per DISTINCT content. Maintain by appending the
+    * genuinely-new classes of each accepted increment. */
+  def repFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3): DataFrame =
+    docs.filter(size(shingleHashes(col(textCol), shingleN)) > 0)
+      .select(col(idCol), TextFunctions.fingerprintMd5(col(textCol))
+        .as("fingerprint"))
+      .groupBy(col("fingerprint")).agg(min(col(idCol)).as("rep_id"))
+
+  /** Band index over a corpus's content-class REPRESENTATIVES only — the
+    * index the edge-form incremental probes. A full-population index keeps
+    * every copy of a boilerplate page in its buckets, so one matching
+    * probe pairs with all m copies (the quadratic the star collapse
+    * removes); the rep index holds one row-set per DISTINCT content. */
+  def minhashRepBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, k: Int = 64,
+                          bands: Int = 16): DataFrame = {
+    val reps = repFingerprints(docs, idCol, textCol, shingleN)
+      .select(col("rep_id").as(idCol))
+    minhashBandIndex(docs.join(reps, Seq(idCol), "left_semi"),
+      idCol, textCol, shingleN, k, bands)
+  }
+
+  /** INCREMENTAL component-equivalent near-dup EDGES — the edge-form
+    * ([[minhashNearDupEdges]]) analog of
+    * [[minhashNearDuplicatesIncremental]], and the shape a per-sync 100 TB
+    * dedup actually wants: every relation in the hot path is DISTINCT-
+    * CONTENT scale, even when the increment or the corpus is mostly copies.
+    *
+    * The full-pair incremental is quadratic from both directions: m
+    * identical docs in the increment each probe the same buckets, and a
+    * full-population corpus index pairs one probe with every copy of a
+    * boilerplate page. Here the increment first collapses by exact-dedup
+    * fingerprint; classes whose content the corpus already KNOWS (a
+    * fingerprint-side-table hit — content equality, so Jaccard 1 by
+    * construction) emit one star edge per member to the CORPUS rep and
+    * never touch the LSH machinery at all; genuinely-new classes star
+    * around their increment rep, and only those new-content reps probe the
+    * REP-COLLAPSED corpus index ([[minhashRepBandIndex]]). Connected
+    * components over (persisted labels + these edges) equal batch
+    * clustering of corpus ∪ increment (DedupSpec chains the fold;
+    * `q_dedup_edges_incremental` replays the exact edge set in DuckDB).
+    *
+    * Per-sync cost: one rowwise fingerprint pass over the increment, one
+    * fingerprint join against the side table, banding + verification for
+    * NEW content only. The corpus text is touched only to verify candidate
+    * rep pairs. Maintenance on accept: append the new classes'
+    * (fingerprint, rep_id) rows and the new reps' band-index rows —
+    * append-idempotent like every other side table here.
+    *
+    * `corpusRepFps` = (fingerprint, rep_id) from [[repFingerprints]];
+    * `corpusRepIndex` = [[minhashRepBandIndex]] rows. Signature/band
+    * parameters MUST match the ones the index was built with. Returns
+    * (id_a, id_b), id_a < id_b. */
+  def minhashNearDupEdgesIncremental(incoming: DataFrame, corpus: DataFrame,
+                                     corpusRepFps: DataFrame,
+                                     corpusRepIndex: DataFrame,
+                                     idCol: String, textCol: String,
+                                     threshold: Double = 0.8,
+                                     shingleN: Int = 3, k: Int = 64,
+                                     bands: Int = 16,
+                                     maxBucketSize: Int = 1000,
+                                     incomingRepIndex: Option[DataFrame] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__fp"))
+    val classed = incoming
+      .filter(size(shingleHashes(col(textCol), shingleN)) > 0)
+      .select(col(idCol), TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
+      .withColumn("__irep", min(col(idCol)).over(w))
+    // one scratch materialization: the classed relation feeds three
+    // consumers (cross stars, new-class stars, new-rep ids) and its
+    // upstream is the increment's fingerprint pass + side-table join
+    val tagged = graft.util.Scratch.materialize(
+      classed.join(
+        corpusRepFps.select(col("fingerprint").as("__fp"),
+          col("rep_id").as("__crep")).distinct(),
+        Seq("__fp"), "left"),
+      "inc_edge_classes")
+    // content the corpus knows: every member (including the increment's
+    // would-be rep) attaches straight to the corpus rep — no banding
+    val crossStar = tagged.filter(col("__crep").isNotNull)
+      .filter(col(idCol) =!= col("__crep"))
+      .select(least(col("__crep"), col(idCol)).as("id_a"),
+        greatest(col("__crep"), col(idCol)).as("id_b"))
+    val newClasses = tagged.filter(col("__crep").isNull)
+    val incStar = newClasses.filter(col(idCol) =!= col("__irep"))
+      .select(col("__irep").as("id_a"), col(idCol).as("id_b"))
+    val newRepIds = newClasses.filter(col(idCol) === col("__irep"))
+      .select(col(idCol))
+    val newRepDocs = incoming.join(newRepIds, Seq(idCol), "left_semi")
+    // new-content reps probe (corpus reps ∪ new reps); verification text
+    // comes from the full populations, candidate ids are rep-scale. A
+    // caller that ALSO persists the new reps' band rows (the
+    // neardup_labels_edges post-op) passes them in, so the most expensive
+    // projection (shingle+minhash over new content) runs once per sync —
+    // the index MUST be exactly [[minhashBandIndex]] over this increment's
+    // new-content reps.
+    val repPairs = minhashNearDuplicatesIncremental(newRepDocs, corpus,
+      corpusRepIndex, idCol, textCol, threshold, shingleN, k, bands,
+      maxBucketSize, incomingIndex = incomingRepIndex)
+      .select(col("id_a"), col("id_b"))
+    // the three sets are disjoint by construction (members never appear in
+    // repPairs; star targets are non-reps) — plain union, no dedup shuffle
+    crossStar.unionByName(incStar).unionByName(repPairs)
+  }
+
   /** Banded-signature LSH index rows for a document set: (doc_id, band,
     * bucket). Persist this next to the corpus (append each accepted
     * increment's rows) so later increments probe it via
@@ -335,6 +446,18 @@ object DedupFunctions {
       Some(spark.createDataFrame(keyRows, keySchema))
     }
   }
+
+  /** Monitoring relation for the cap: every over-cap (band, bucket) with
+    * its size — the report row a curation pipeline persists next to its
+    * dedup output so capped recall loss is reviewable, not archaeological.
+    * Empty = the run dropped nothing. */
+  def minhashHotBucketReport(docs: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                             maxBucketSize: Int = 1000): DataFrame =
+    minhashBandIndex(docs, idCol, textCol, shingleN, k, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
 
   private[functions] def dropHotBucketsSurfaced(
       bucketed: DataFrame, maxBucketSize: Int,

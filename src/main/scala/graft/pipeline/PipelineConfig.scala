@@ -366,8 +366,8 @@ object PipelineConfig {
     // probe corpus would be missing folded docs' text and pairs would drop
     // silently. Reject the combinations at parse, per the strict-config
     // convention.
-    for (op <- Seq("neardup_labels", "simhash_labels", "embedding_neardup",
-           "image_neardup_labels");
+    for (op <- Seq("neardup_labels", "neardup_labels_edges", "simhash_labels",
+           "embedding_neardup", "image_neardup_labels");
          t <- tables.filter(_.postOps.exists(_.op == op))) {
       def bad(msg: String) = throw new IllegalArgumentException(
         s"tables.${t.name}.post_ops.$op: $msg")
@@ -564,7 +564,7 @@ object PipelineConfig {
         need(spec.sums.nonEmpty, "'sums'")
       case "zorder" =>
         need(spec.keys.nonEmpty, "'keys' (the clustering columns)")
-      case "neardup_labels" =>
+      case "neardup_labels" | "neardup_labels_edges" =>
         need(spec.idColumn.isDefined && spec.textColumn.isDefined,
           "'id_column' and 'text_column'")
         spec.threshold.foreach(t =>
@@ -668,7 +668,7 @@ object PipelineConfig {
           if (t < -1.0 || t > 1.0) bad(s"threshold $t outside [-1,1]"))
       case other => bad(s"unknown op '$other' (dedup_latest | latest_status" +
         " | scd2_apply | fold_aggregate | zorder | neardup_labels" +
-        " | simhash_labels | embedding_neardup" +
+        " | neardup_labels_edges | simhash_labels | embedding_neardup" +
         " | fold_kmv_distinct | fold_count_min | fold_sample | fold_bm25" +
         " | fold_bpe_tokens | epoch_shards | drift_gate | fold_probe" +
         " | rebalance | dsir_select | curriculum | contamination_gate" +

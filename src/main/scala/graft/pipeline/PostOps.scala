@@ -351,6 +351,63 @@ object PostOps {
           incIndex.write.mode("append").parquet(bandsPath)
           graft.functions.DedupFunctions.foldClusterLabels(prev, newPairs)
         }
+      case "neardup_labels_edges" =>
+        // the EDGE-FORM twin of neardup_labels — per-sync cost at
+        // DISTINCT-CONTENT scale: the increment collapses by exact
+        // fingerprint against a persisted (fingerprint, rep_id) side
+        // table, content the corpus already knows star-joins its corpus
+        // rep with NO banding, and only genuinely-new content probes a
+        // REP-COLLAPSED band index. Same crash/append-only/hot-bucket
+        // contracts as neardup_labels; the label relation folds to the
+        // same clusters (stars are component-equivalent to the full pair
+        // relation — DedupSpec chains the fold against batch).
+        val idc = po.idColumn.get
+        val txt = po.textColumn.get
+        val thr = po.threshold.getOrElse(0.9)
+        val fpsPath = loader.targetPath(derivedId) + ".__repfps"
+        val bandsPath = loader.targetPath(derivedId) + ".__repbands"
+        foldIncremental(spark, id, derivedId, extractor, loader) { (prev, inc0) =>
+          import org.apache.spark.sql.functions.col
+          val inc = inc0.select(col(idc), col(txt))
+          val corpus = requireBase(spark, loader, id, po)
+            .select(col(idc), col(txt))
+            .join(inc.select(col(idc)), Seq(idc), "left_anti")
+          val fs = new org.apache.hadoop.fs.Path(fpsPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          def orEmpty(path: String, empty: => org.apache.spark.sql.DataFrame) =
+            if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+              spark.read.parquet(path)
+            else empty
+          val D = graft.functions.DedupFunctions
+          val corpusRepFps = orEmpty(fpsPath,
+            D.repFingerprints(corpus.limit(0), idc, txt))
+          val corpusRepIndex = orEmpty(bandsPath,
+            D.minhashBandIndex(corpus.limit(0), idc, txt))
+          // the increment's NEW-content classes and their reps' band rows
+          // feed both the probe and the side-table appends — computed once
+          // (scratch; the returned fold still reads lazily)
+          val newFps = graft.util.Scratch.materialize(
+            D.repFingerprints(inc, idc, txt)
+              .join(corpusRepFps.select(col("fingerprint")),
+                Seq("fingerprint"), "left_anti"),
+            "sync_new_fps")
+          val newRepIndex = graft.util.Scratch.materialize(
+            D.minhashBandIndex(
+              inc.join(newFps.select(col("rep_id").as(idc)),
+                Seq(idc), "left_semi"),
+              idc, txt),
+            "sync_rep_band")
+          val edges = D.minhashNearDupEdgesIncremental(inc, corpus,
+            corpusRepFps, corpusRepIndex, idc, txt, threshold = thr,
+            incomingRepIndex = Some(newRepIndex))
+          // side tables FIRST (the neardup_labels crash ordering): a crash
+          // between appends and the label swap replays with duplicate
+          // rows (tolerated — readers distinct) rather than an index
+          // missing this session's content
+          newFps.write.mode("append").parquet(fpsPath)
+          newRepIndex.write.mode("append").parquet(bandsPath)
+          D.foldClusterLabels(prev, edges)
+        }
       case "simhash_labels" =>
         // the SimHash twin of neardup_labels: incremental whole-page
         // near-dup cluster maintenance under a persisted SIGNATURE band

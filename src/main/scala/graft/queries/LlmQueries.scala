@@ -1409,6 +1409,62 @@ object LlmQueries {
              |  AND len(list_intersect(a.s, b.s)) /
              |    len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin)),
 
+    // --------------------------- INCREMENTAL near-dup EDGES (rep-scale)
+    // The edge-form incremental: the odd-id increment collapses by exact
+    // fingerprint, known content star-joins the even-id corpus reps with
+    // NO banding, and only genuinely-new content probes the rep-collapsed
+    // index. Oracle replays the exact construction: corpus rep classes,
+    // cross/inc stars, then all-pairs Jaccard restricted to reps with a
+    // new-content side.
+    Q("q_dedup_edges_incremental",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val incoming = docs.filter(col("doc_id") % 2 === 1)
+        DedupFunctions.minhashNearDupEdgesIncremental(
+          incoming, corpus,
+          graft.util.Scratch.materialize(
+            DedupFunctions.repFingerprints(corpus, "doc_id", "text"),
+            "q_rep_fps"),
+          graft.util.Scratch.materialize(
+            DedupFunctions.minhashRepBandIndex(corpus, "doc_id", "text"),
+            "q_rep_index"),
+          "doc_id", "text", threshold = 0.9)
+      },
+      Some(s"""WITH sh AS MATERIALIZED (
+             |  SELECT doc_id, $shinglesSql AS s
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+             |  WHERE len(s) > 0),
+             |fp AS MATERIALIZED (
+             |  SELECT doc_id, md5($normSql) AS f FROM documents
+             |  WHERE doc_id IN (SELECT doc_id FROM sh)),
+             |crep AS (SELECT f, MIN(doc_id) AS r FROM fp
+             |         WHERE doc_id % 2 = 0 GROUP BY f),
+             |inc AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 1),
+             |cross_star AS (
+             |  SELECT LEAST(c.r, i.doc_id) AS id_a,
+             |    GREATEST(c.r, i.doc_id) AS id_b
+             |  FROM inc i JOIN crep c ON i.f = c.f WHERE i.doc_id <> c.r),
+             |newc AS (SELECT doc_id, f FROM inc
+             |         WHERE f NOT IN (SELECT f FROM crep)),
+             |irep AS (SELECT f, MIN(doc_id) AS r FROM newc GROUP BY f),
+             |inc_star AS (
+             |  SELECT ir.r AS id_a, n.doc_id AS id_b
+             |  FROM newc n JOIN irep ir ON n.f = ir.f WHERE n.doc_id <> ir.r),
+             |reps AS (SELECT r FROM crep UNION SELECT r FROM irep),
+             |rep_pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE a.doc_id IN (SELECT r FROM reps)
+             |    AND b.doc_id IN (SELECT r FROM reps)
+             |    AND (a.doc_id IN (SELECT r FROM irep)
+             |      OR b.doc_id IN (SELECT r FROM irep))
+             |    AND len(list_intersect(a.s, b.s)) /
+             |      len(list_distinct(list_concat(a.s, b.s))) >= 0.9)
+             |SELECT id_a, id_b FROM cross_star
+             |UNION ALL SELECT id_a, id_b FROM inc_star
+             |UNION ALL SELECT id_a, id_b FROM rep_pairs""".stripMargin)),
+
     // --------------------------------------- near-dup CLUSTER dedup
     // Pairs → connected components → keep min-id per component. The oracle
     // computes the same exact-Jaccard pairs, closes them transitively with a

@@ -180,6 +180,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(byEdges(12L) == 11L && !byEdges.contains(20L))
   }
 
+  test("incremental near-dup edges: fold over side tables equals batch clustering") {
+    val s = spark
+    import s.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val a2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val b = "completely different content about spark catalyst optimizer rules " +
+      "and adaptive execution at scale"
+    val c = "a third topic on watermark stores and exactly once loading spark"
+    // corpus: A-copies (2,4), A' (6), B (8); increment: A-copy (1: known
+    // content, smaller id than the corpus rep), A' copy (3), B copy (5),
+    // new content C (7, 9 = two copies), singleton near-dup of C? none
+    val corpus = Seq((2L, a), (4L, a), (6L, a2), (8L, b)).toDF("doc_id", "text")
+    val inc = Seq((1L, a), (3L, a2), (5L, b), (7L, c), (9L, c))
+      .toDF("doc_id", "text")
+    val thr = 0.5
+    val repFps = DedupFunctions.repFingerprints(corpus, "doc_id", "text")
+    val repIdx = DedupFunctions.minhashRepBandIndex(corpus, "doc_id", "text")
+    val edges = DedupFunctions.minhashNearDupEdgesIncremental(
+      inc, corpus, repFps, repIdx, "doc_id", "text", thr)
+    val edgeSet = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // known content goes straight to the CORPUS rep (no banding): 1→2,
+    // 3→6, 5→8; new class C stars 9 around 7; no rep pair for C (unrelated)
+    assert(edgeSet.contains((1L, 2L)) && edgeSet.contains((3L, 6L)) &&
+      edgeSet.contains((5L, 8L)) && edgeSet.contains((7L, 9L)))
+    assert(!edgeSet.exists { case (x, y) => Set(x, y) == Set(7L, 8L) })
+    // fold into the persisted corpus labels == batch clustering of the
+    // union (the contract every closure consumer relies on)
+    val baseLabels = DedupFunctions.foldClusterLabels(None,
+      DedupFunctions.minhashNearDupEdges(corpus, "doc_id", "text", thr))
+    val folded = DedupFunctions.foldClusterLabels(Some(baseLabels), edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = DedupFunctions.duplicateClusters(
+      DedupFunctions.minhashNearDuplicates(corpus.unionByName(inc),
+        "doc_id", "text", thr))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == batch)
+    // the A ∪ A' chain must label by the INCREMENT's smaller id after fold
+    assert(batch(4L) == 1L && batch(6L) == 1L && batch(9L) == 7L)
+  }
+
   test("near-dup edges: empty-content class matches the full relation") {
     val s = spark
     import s.implicits._

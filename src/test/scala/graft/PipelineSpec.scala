@@ -1161,6 +1161,81 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "idle re-sync resurrected the forgotten doc's label")
   }
 
+  test("post_ops neardup_labels_edges: rep-scale folds track batch clustering") {
+    // the edge-form twin: same pipeline surface and batch-equality
+    // contract as neardup_labels, but per-sync work is distinct-content
+    // scale (fingerprint side table + rep-collapsed band index)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val srcDir = tmpDir("ndesrc")
+    docs.filter(col("doc_id") < 250).write.mode("overwrite")
+      .parquet(s"$srcDir/documents.parquet")
+    val y = s"""pipeline:
+       |  name: "ndelabels"
+       |  source: "$srcDir"
+       |  target: "warehouse"
+       |tables:
+       |  fx.documents:
+       |    cdc_strategy: "id_only"
+       |    cdc_id_column: "doc_id"
+       |    post_ops:
+       |      - op: neardup_labels_edges
+       |        target: doc_eclusters
+       |        id_column: doc_id
+       |        text_column: text
+       |        threshold: 0.9
+       |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val work = tmpDir("ndework")
+    val runner = new PipelineRunner(spark, work)
+    val (_, _, loader) = runner.rigFor(p)
+    val labelsId = p.tables.head.tableId(p).copy(table = "doc_eclusters")
+    def labelSet() = loader.readTarget(spark, labelsId).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def batchSet(upTo: Long) = graft.functions.DedupFunctions
+      .duplicateClusters(graft.functions.DedupFunctions.minhashNearDuplicates(
+        docs.filter(col("doc_id") < upTo), "doc_id", "text", threshold = 0.9))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val r1 = runner.sync(p)
+    assert(r1.allOk, r1.tables.flatMap(_.error).mkString(";"))
+    assert(labelSet() == batchSet(250L))
+    // side tables exist and are REP-scale: distinct fingerprints, and the
+    // band index holds rows for reps only (strictly fewer docs than rows
+    // loaded whenever any content repeats)
+    val fps = spark.read.parquet(loader.targetPath(labelsId) + ".__repfps")
+    val repBands = spark.read.parquet(loader.targetPath(labelsId) + ".__repbands")
+    assert(fps.select("fingerprint").distinct().count() == fps.count())
+    assert(repBands.select("doc_id").distinct().count() <=
+      fps.count())
+    docs.write.mode("overwrite").parquet(s"$srcDir/documents.parquet")
+    val r2 = runner.sync(p)
+    assert(r2.allOk && r2.totalRows == docs.filter(col("doc_id") >= 250).count())
+    assert(labelSet() == batchSet(100000L),
+      "chained edge folds diverged from batch clustering")
+    // idle re-sync: fold cursor no-op
+    val before = labelSet()
+    assert(runner.sync(p).allOk)
+    assert(labelSet() == before)
+
+    // forget reaches BOTH side tables (band rows by doc_id, content-class
+    // rep rows by rep_id) and the label row, preserving the cursor
+    val victim = before.head._1
+    val ymlPath = java.nio.file.Paths.get(tmpDir("ndecfg"), "nde.yml")
+    java.nio.file.Files.writeString(ymlPath, y)
+    assert(graft.Cli.run(Array("forget", "-t", "fx.documents",
+      "--values", victim.toString, "--key-column", "doc_id",
+      "-c", ymlPath.toString, "--work-dir", work)) == 0)
+    assert(!labelSet().exists(_._1 == victim), "label row survived forget")
+    assert(spark.read.parquet(loader.targetPath(labelsId) + ".__repbands")
+      .filter(col("doc_id") === victim).isEmpty, "band rows survived forget")
+    assert(spark.read.parquet(loader.targetPath(labelsId) + ".__repfps")
+      .filter(col("rep_id") === victim).isEmpty, "rep fps survived forget")
+    assert(runner.sync(p).allOk)
+    assert(!labelSet().exists(_._1 == victim),
+      "idle re-sync resurrected the forgotten doc's label")
+  }
+
   test("post_ops simhash_labels: chained folds equal batch simhash clustering") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
