@@ -751,25 +751,26 @@ object DedupFunctions {
     * is never touched again. ONE banding definition shared by the batch
     * and incremental paths — they cannot drift apart. */
   def simhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
-                       maxHamming: Int = 3): DataFrame = {
+                       maxHamming: Int = 3): DataFrame =
+    simhashBandRows(simhashSignatures(docs, idCol, textCol), maxHamming)
+
+  /** Band rows from an EXISTING (doc_id, simhash) relation — one banding
+    * definition shared by [[simhashBandIndex]] and the edge form's
+    * rep-only banding ([[simhashNearDupEdges]]). */
+  private def simhashBandRows(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     val width = 64 / bands
-    simhashSignatures(docs, idCol, textCol)
-      .select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until bands).map { b =>
-          // band b = bits [b*width, (b+1)*width); last band absorbs the remainder
-          val w = if (b == bands - 1) 64 - b * width else width
-          shiftrightunsigned(col("simhash"), b * width)
-            .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1L))
-        }: _*)).as(Seq("band", "band_val")))
+    sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map { b =>
+        // band b = bits [b*width, (b+1)*width); last band absorbs the remainder
+        val w = if (b == bands - 1) 64 - b * width else width
+        shiftrightunsigned(col("simhash"), b * width)
+          .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1L))
+      }: _*)).as(Seq("band", "band_val")))
   }
 
-  /** SimHash near-dup pairs within `maxHamming` bits, via banded lookup —
-    * EXACT by pigeonhole (≥1 identical band per qualifying pair), so the
-    * banded join is the complete answer, not a sample. */
-  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int = 3): DataFrame = {
-    val banded = simhashBandIndex(docs, idCol, textCol, maxHamming)
+  private def simhashPairsFromBands(banded: DataFrame,
+                                    maxHamming: Int): DataFrame = {
     val a = banded.select(col("band"), col("band_val"),
       col("doc_id").as("id_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band"), col("band_val"),
@@ -780,6 +781,42 @@ object DedupFunctions {
         hamming64(col("sim_a"), col("sim_b")).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits, via banded lookup —
+    * EXACT by pigeonhole (≥1 identical band per qualifying pair), so the
+    * banded join is the complete answer, not a sample. */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3): DataFrame =
+    simhashPairsFromBands(simhashBandIndex(docs, idCol, textCol, maxHamming),
+      maxHamming)
+
+  /** Component-equivalent SimHash near-dup EDGES — the [[minhashNearDupEdges]]
+    * pattern on the signature axis, and EXACTLY component-equal rather than
+    * merely closure-equal: the pair predicate (Hamming ≤ maxHamming) is a
+    * pure function of the two signatures, so an identical-signature class
+    * collapses losslessly — every member relates to an outside vertex iff
+    * its rep does, bit for bit. m copies of a page (identical signature by
+    * construction) emit m−1 star edges at Hamming 0 instead of C(m,2)
+    * pairs, and only DISTINCT signatures enter the banded join — the join's
+    * quadratic term shrinks from copy-cardinality to signature-cardinality.
+    * Returns (id_a, id_b, hamming); star edges carry hamming 0. */
+  def simhashNearDupEdges(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one tokenize+simhash pass (scratch): the signature relation feeds the
+    // class window twice and the rep banding once
+    val sigs = graft.util.Scratch.materialize(
+      simhashSignatures(docs, idCol, textCol), "simhash_sigs")
+    val w = Window.partitionBy(col("simhash"))
+    val withRep = sigs.withColumn("__rep", min(col("doc_id")).over(w))
+    val star = withRep.filter(col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("doc_id").as("id_b"),
+        lit(0L).as("hamming"))
+    val reps = withRep.filter(col("doc_id") === col("__rep"))
+      .select(col("doc_id"), col("simhash"))
+    star.unionByName(simhashPairsFromBands(
+      simhashBandRows(reps, maxHamming), maxHamming))
   }
 
   /** INCREMENTAL SimHash near-dup — the 100 TB shape: pairs within

@@ -1727,6 +1727,46 @@ object LlmQueries {
              |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin)),
 
+    // ------------------------- SimHash near-dup EDGES (signature classes)
+    // Identical-signature classes collapse to Hamming-0 stars; only
+    // DISTINCT signatures enter the banded join. Unlike the MinHash edge
+    // form this is EXACTLY component-equal (the pair predicate is a pure
+    // function of signatures), and the oracle replays the whole
+    // construction: signature classes, stars, rep pairs.
+    Q("q_dedup_simhash_edges",
+      (s, dir) => DedupFunctions.simhashNearDupEdges(
+        Tables.df(s, dir, "documents"), "doc_id", "text", maxHamming = 3),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, unnest(toks) AS t
+             |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+             |votes AS (
+             |  SELECT doc_id, b,
+             |    SUM(CASE WHEN (CAST(concat('0x', substr(md5(t),1,16))
+             |                        AS UBIGINT) >> b) & 1 = 1
+             |        THEN 1 ELSE -1 END) AS v
+             |  FROM tok, (SELECT unnest(range(64)) AS b) bb
+             |  GROUP BY doc_id, b),
+             |persig AS (
+             |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN 1::UBIGINT << b
+             |                               ELSE 0::UBIGINT END) AS UBIGINT) AS sim
+             |  FROM votes GROUP BY doc_id),
+             |sig AS (
+             |  SELECT d.doc_id, CAST(COALESCE(s.sim, 0) AS UBIGINT) AS sim
+             |  FROM documents d LEFT JOIN persig s ON d.doc_id = s.doc_id),
+             |rep AS (SELECT sim, MIN(doc_id) AS r FROM sig GROUP BY sim),
+             |star AS (
+             |  SELECT rep.r AS id_a, s.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+             |  FROM sig s JOIN rep ON s.sim = rep.sim WHERE s.doc_id <> rep.r),
+             |reppairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+             |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |  WHERE a.doc_id IN (SELECT r FROM rep)
+             |    AND b.doc_id IN (SELECT r FROM rep)
+             |    AND bit_count(xor(a.sim, b.sim)) <= 3)
+             |SELECT id_a, id_b, hamming FROM star
+             |UNION ALL SELECT id_a, id_b, hamming FROM reppairs""".stripMargin)),
+
     // --------------------------------- INCREMENTAL SimHash near-dup.
     // The persisted-index shape: even-id docs are the corpus (its band
     // index stands in for the maintained side table), odd-id docs the

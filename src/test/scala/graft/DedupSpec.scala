@@ -180,6 +180,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(byEdges(12L) == 11L && !byEdges.contains(20L))
   }
 
+  test("simhash near-dup edges: signature classes collapse, components equal") {
+    val s = spark
+    import s.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val a2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val b = "completely different content about spark catalyst optimizer rules"
+    val corpus = ((1L to 5L).map(i => (i, a)) ++ Seq((6L, a2)) ++
+      (11L to 12L).map(i => (i, b))).toDF("doc_id", "text")
+    val full = DedupFunctions.simhashNearDuplicates(corpus, "doc_id", "text", 3)
+    val edges = DedupFunctions.simhashNearDupEdges(corpus, "doc_id", "text", 3)
+    val es = edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the 5-copy class of A emits 4 star edges at hamming 0, not C(5,2)
+    assert(es.count { case (x, _, h) => x == 1L && h == 0L } >= 4)
+    assert(edges.count() < full.count())
+    val byFull = DedupFunctions.duplicateClusters(full.select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byEdges = DedupFunctions.duplicateClusters(edges.select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byFull == byEdges)
+  }
+
   test("incremental near-dup edges: fold over side tables equals batch clustering") {
     val s = spark
     import s.implicits._
