@@ -275,8 +275,12 @@ object Bench {
     // Gives each mm near-dup operator a second scale point (round-9 ask:
     // their linearity claim rested on one measurement); audio/video get
     // their own 1× warmups here since the 10× section does not run them.
+    // q_mm_video_neardup (full pairs) and q_mm_video_neardup_edges (star
+    // collapse) both run: their contrast IS the scale argument — the full
+    // form's output pair relation is quadratic where re-upload classes
+    // repeat, the edge form stays linear on the same media
     val scale30Queries = Seq("q_mm_image_neardup", "q_mm_audio_neardup",
-      "q_mm_video_neardup", "q_crossmodal_dedup")
+      "q_mm_video_neardup", "q_mm_video_neardup_edges", "q_crossmodal_dedup")
       .filter(n => only.forall(_.contains(n)))
     val scale30 = scaleCheck &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE30", "1") != "0"

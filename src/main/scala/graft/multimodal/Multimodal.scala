@@ -723,6 +723,63 @@ object Multimodal {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Content fingerprint of a video's DECODED distinct-frame set:
+    * (doc_id, n_frames_distinct, vfp) with vfp = md5 of the sorted frame
+    * signatures — identical vfp ⟺ identical decoded frame sets, which
+    * catches re-encoded / re-containered / frame-order-shuffled /
+    * still-repeated re-uploads that byte-level exact dedup misses. One
+    * video-keyed exchange of (id, dims, 3 longs) rows; frames never
+    * shuffle. */
+  def videoContentFingerprints(sigs: DataFrame,
+                               idCol: String = "doc_id"): DataFrame = {
+    val key = Seq("width", "height", "y_sig", "cb_sig", "cr_sig")
+    sigs.select(col(idCol) +: key.map(col): _*).distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames_distinct"),
+        md5(to_json(sort_array(collect_list(struct(key.map(col): _*)))))
+          .as("vfp"))
+  }
+
+  /** Component-equivalent video near-dup EDGES — the star-collapse family
+    * pattern ([[imageNearDupEdges]]) on the shared-frame predicate:
+    * identical-frame-SET classes ([[videoContentFingerprints]]) collapse
+    * around their min-id rep, and only class representatives enter the
+    * shared-frame join. Set equality means a member shares EXACTLY as many
+    * frames with any outside video as its rep does, so the edge set's
+    * connected components equal the full pair relation's — at (m−1) +
+    * rep-scale edges instead of C(m,2) per re-upload class (the 30×
+    * bench point measured the full form at 2843 exec-seconds / 109 GB
+    * spill where copies repeat; the output pair relation itself is
+    * quadratic there, so no algorithm returning PAIRS can do better —
+    * closure consumers should take THIS). Star edges only for classes
+    * whose n_frames_distinct ≥ minShared (smaller classes pair with
+    * nothing, including each other); reps below the floor prune out of
+    * the join for the same reason. Returns (id_a, id_b). */
+  def videoNearDupEdges(sigs: DataFrame, minShared: Int = 2,
+                        idCol: String = "doc_id"): DataFrame = {
+    require(minShared >= 1, s"minShared $minShared < 1")
+    import org.apache.spark.sql.expressions.Window
+    val key = Seq("width", "height", "y_sig", "cb_sig", "cr_sig")
+    // distinct frame rows feed the fingerprint agg AND the rep join
+    val dist = graft.util.Scratch.materialize(
+      sigs.select(col(idCol) +: key.map(col): _*).distinct(), "video_frames")
+    val w = Window.partitionBy(col("vfp"))
+    val withRep = videoContentFingerprints(dist, idCol)
+      .withColumn("__rep", min(col(idCol)).over(w))
+    val star = withRep
+      .filter(col(idCol) =!= col("__rep") &&
+        col("n_frames_distinct") >= minShared)
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+    val repIds = withRep
+      .filter(col(idCol) === col("__rep") &&
+        col("n_frames_distinct") >= minShared)
+      .select(col(idCol))
+    val repPairs = videoNearDuplicates(
+      dist.join(repIds, Seq(idCol), "left_semi"), minShared, idCol)
+      .select(col("id_a"), col("id_b"))
+    star.unionByName(repPairs)
+  }
+
   /** REAL image decode pass: every payload an installed `ImageIO` reader
     * recognizes (PNG/JPEG/GIF/BMP) yields its dimensions and the exact sum
     * of RGB channel bytes; undecodable payloads drop out. Per-partition

@@ -385,6 +385,68 @@ object ExtQueries {
              |  AND a.cbs = b.cbs AND a.crs = b.crs AND a.d < b.d
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)),
 
+    // ---------------------------- video near-dup EDGES (re-upload classes)
+    // The star-collapse family pattern on the shared-frame predicate:
+    // payloads keyed by doc_id % 100 make ~N/100 docs carry byte-identical
+    // streams (the re-upload class — re-encoded/re-containered copies
+    // decode to IDENTICAL frame sets), which collapse to min-id stars;
+    // only distinct-content reps enter the shared-frame join. The oracle
+    // replays signatures, groups by the actual sorted frame-SET (not the
+    // seed), and emits stars + rep pairs.
+    Q("q_mm_video_neardup_edges",
+      (s, dir) => {
+        val docs = Tables.df(s, dir, "documents").select(col("doc_id"))
+        val payloads = Multimodal.withFixtureVideoDups(s,
+          docs.select((col("doc_id") % 100).as("doc_id")).distinct())
+          .withColumnRenamed("doc_id", "vid_seed")
+        val withPayload = docs.withColumn("vid_seed", col("doc_id") % 100)
+          .join(payloads, Seq("vid_seed"))
+          .select(col("doc_id"), col("payload"))
+        Multimodal.videoNearDupEdges(
+          graft.util.Scratch.materialize(
+            Multimodal.videoFrameSignatures(s, withPayload),
+            "video_nde_sigs"),
+          minShared = 2)
+      },
+      Some("""WITH dd AS (SELECT CAST(doc_id AS BIGINT) AS d,
+             |    doc_id % 100 AS v FROM documents),
+             |sd AS (SELECT DISTINCT v, v % 40 AS s40,
+             |    16*(1 + (v % 40) % 3) AS w, 16*(1 + (v % 40) % 2) AS h
+             |  FROM dd),
+             |fr AS (SELECT v, s40, w, h, fi FROM sd, generate_series(0, 2) t(fi)),
+             |y AS (SELECT v, w, h, fi, SUM((j+1) *
+             |      (CASE WHEN fi < 2 THEN (s40*31 + fi*7 + j) % 256
+             |            ELSE (v*31 + 99 + j) % 256 END)) AS ys
+             |      FROM fr, generate_series(0, 1535) q(j)
+             |      WHERE j < w*h GROUP BY 1, 2, 3, 4),
+             |c AS (SELECT v, fi,
+             |      SUM((j+1) * (CASE WHEN fi < 2 THEN (s40*13 + fi*5 + j) % 256
+             |            ELSE (v*13 + 97 + j) % 256 END)) AS cbs,
+             |      SUM((j+1) * (CASE WHEN fi < 2 THEN (s40*17 + fi*11 + j) % 256
+             |            ELSE (v*17 + 95 + j) % 256 END)) AS crs
+             |      FROM fr, generate_series(0, 383) q(j)
+             |      WHERE j < (w*h)//4 GROUP BY 1, 2),
+             |sg AS (SELECT DISTINCT y.v, y.w, y.h, y.ys, c.cbs, c.crs
+             |       FROM y JOIN c ON y.v = c.v AND y.fi = c.fi),
+             |fset AS (SELECT v, list_sort(list([w, h, ys, cbs, crs])) AS fs,
+             |         COUNT(*) AS nf FROM sg GROUP BY v),
+             |cls AS (SELECT d.d, f.fs, f.nf FROM dd d JOIN fset f ON d.v = f.v),
+             |rep AS (SELECT fs, MIN(d) AS r, ANY_VALUE(nf) AS nf
+             |        FROM cls GROUP BY fs),
+             |star AS (SELECT rep.r AS id_a, cls.d AS id_b
+             |         FROM cls JOIN rep ON cls.fs = rep.fs
+             |         WHERE cls.d <> rep.r AND rep.nf >= 2),
+             |rfr AS (SELECT rep.r AS d, sg.w, sg.h, sg.ys, sg.cbs, sg.crs
+             |        FROM rep JOIN dd ON dd.d = rep.r JOIN sg ON sg.v = dd.v
+             |        WHERE rep.nf >= 2),
+             |reppairs AS (SELECT a.d AS id_a, b.d AS id_b
+             |  FROM rfr a JOIN rfr b
+             |    ON a.w = b.w AND a.h = b.h AND a.ys = b.ys
+             |    AND a.cbs = b.cbs AND a.crs = b.crs AND a.d < b.d
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+             |SELECT id_a, id_b FROM star
+             |UNION ALL SELECT id_a, id_b FROM reppairs""".stripMargin)),
+
     // --------------------------------- native session_window (batch form)
     // Session end = last event + gap (the operator's semantics); the oracle
     // reproduces that from the same lag-flag construction as q_sessionize.

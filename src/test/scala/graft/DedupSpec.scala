@@ -202,6 +202,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(byFull == byEdges)
   }
 
+  test("video near-dup edges: identical-frame-set classes collapse, components equal") {
+    val s = spark
+    import s.implicits._
+    // videos as frame-signature relations: A-class {1,2,3} identical sets
+    // (a re-upload class), B {10} shares 2 of A's frames (trimmed copy),
+    // C {20,21} identical sets sharing nothing with A/B, D {30} a
+    // single-frame video (below minShared: pairs with nothing)
+    def f(i: Long) = (16L, 16L, 100L + i, 200L + i, 300L + i)
+    val rows =
+      (for (d <- Seq(1L, 2L, 3L); i <- Seq(0L, 1L, 2L)) yield (d, f(i))) ++
+      (for (i <- Seq(0L, 1L, 9L)) yield (10L, f(i))) ++
+      (for (d <- Seq(20L, 21L); i <- Seq(5L, 6L)) yield (d, f(i))) :+
+      ((30L, f(0L)))
+    val sigs = rows.map { case (d, (w, h, y, cb, cr)) => (d, 0L, w, h, y, cb, cr) }
+      .toDF("doc_id", "frame_idx", "width", "height", "y_sig", "cb_sig", "cr_sig")
+    val full = graft.multimodal.Multimodal.videoNearDuplicates(sigs, 2)
+    val edges = graft.multimodal.Multimodal.videoNearDupEdges(sigs, 2)
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // A collapses to 2 star edges (not C(3,2)=3 pairs) + the rep pair to B
+    assert(es == Set((1L, 2L), (1L, 3L), (1L, 10L), (20L, 21L)))
+    val byFull = graft.functions.DedupFunctions.duplicateClusters(
+      full.select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byEdges = graft.functions.DedupFunctions.duplicateClusters(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byFull == byEdges)
+    assert(!byEdges.contains(30L), "single-frame video must pair with nothing")
+    // content fingerprints: equal sets collide, different sets do not
+    val fps = graft.multimodal.Multimodal.videoContentFingerprints(sigs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(fps(1L) == fps(2L) && fps(20L) == fps(21L) && fps(1L) != fps(10L))
+  }
+
   test("incremental near-dup edges: fold over side tables equals batch clustering") {
     val s = spark
     import s.implicits._
