@@ -1026,6 +1026,20 @@ object Multimodal {
         lit(0L).as("height"), col("afp").as("dhash")),
       maxHamming, idCol)
 
+  /** Component-equivalent audio near-dup EDGES — [[imageNearDupEdges]]'s
+    * star collapse on the audio fingerprint shape: identical
+    * (n_frames, fingerprint) classes — re-uploaded / loudness-normalized
+    * copies, which hash identically by the energy-gradient-sign argument —
+    * collapse around a min-id rep, and only distinct fingerprints enter
+    * the banded Hamming join. Closure consumers take this; the full pair
+    * relation ([[audioNearDuplicates]]) stays for pair-level analytics. */
+  def audioNearDupEdges(hashes: DataFrame, maxHamming: Int = 1,
+                        idCol: String = "doc_id"): DataFrame =
+    imageNearDupEdges(
+      hashes.select(col(idCol), col("n_frames").as("width"),
+        lit(0L).as("height"), col("afp").as("dhash")),
+      maxHamming, idCol)
+
   /** INCREMENTAL audio near-dup — [[imageNearDuplicatesIncremental]]'s
     * persisted-hash-table probe on the audio fingerprint shape: new clips
     * pair against the corpus through its appended (id, n_frames, afp)

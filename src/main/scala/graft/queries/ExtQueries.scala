@@ -262,6 +262,42 @@ object ExtQueries {
              |FROM fp a JOIN fp b ON a.n = b.n AND a.d < b.d
              |WHERE bit_count(xor(a.afp, b.afp)) <= 1""".stripMargin)),
 
+    // ---------------------------- audio near-dup EDGES (fingerprint classes)
+    // Identical (n_frames, fingerprint) classes — re-uploads and
+    // loudness-normalized copies — collapse to min-id stars; only distinct
+    // fingerprints enter the banded Hamming join. Oracle replays the
+    // fingerprints, the class grouping, stars, and rep pairs.
+    Q("q_mm_audio_neardup_edges",
+      (s, dir) => Multimodal.audioNearDupEdges(
+        graft.util.Scratch.materialize(Multimodal.audioPerceptualHashes(s,
+          Multimodal.withFixtureAudioDups(s, Tables.df(s, dir, "documents"))),
+          "audio_nde_hashes"),
+        maxHamming = 1),
+      Some("""WITH au AS (SELECT CAST(doc_id AS BIGINT) AS d,
+             |    doc_id % 50 AS seed, 400 + doc_id % 50 AS n
+             |  FROM documents),
+             |sm AS (SELECT d, n, j,
+             |    CASE WHEN d % 3 <> 0 AND (j*64) // n = 63 THEN 0
+             |      ELSE ((seed*17 + j*7) % 4001) - 2000 END AS s
+             |  FROM au, generate_series(0, 449) t(j) WHERE j < n),
+             |en AS (SELECT d, n, (j*64) // n AS w, SUM(s*s) AS e
+             |       FROM sm GROUP BY 1, 2, 3),
+             |bits AS (SELECT a.d, a.n, a.w AS i,
+             |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+             |  FROM en a JOIN en b ON b.d = a.d AND b.w = a.w + 1
+             |  WHERE a.w < 63),
+             |fp AS (SELECT d, n, SUM(bit * (1::BIGINT << i)) AS afp
+             |       FROM bits GROUP BY d, n),
+             |rep AS (SELECT n, afp, MIN(d) AS r FROM fp GROUP BY n, afp),
+             |star AS (SELECT rep.r AS id_a, fp.d AS id_b
+             |         FROM fp JOIN rep ON fp.n = rep.n AND fp.afp = rep.afp
+             |         WHERE fp.d <> rep.r),
+             |reppairs AS (SELECT a.r AS id_a, b.r AS id_b
+             |  FROM rep a JOIN rep b ON a.n = b.n AND a.r < b.r
+             |  WHERE bit_count(xor(a.afp, b.afp)) <= 1)
+             |SELECT id_a, id_b FROM star
+             |UNION ALL SELECT id_a, id_b FROM reppairs""".stripMargin)),
+
     // -------------------------- multimodal audio near-duplicates, INCREMENTAL
     // New clips probe the corpus through its persisted fingerprint table —
     // corpus audio never re-decoded. Corpus = even docs of the dup fixture,

@@ -235,6 +235,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(fps(1L) == fps(2L) && fps(20L) == fps(21L) && fps(1L) != fps(10L))
   }
 
+  test("audio near-dup edges: identical-fingerprint classes collapse, components equal") {
+    val s = spark
+    import s.implicits._
+    // (id, n_frames, afp): {1,2,3} identical clips, {4} 1 bit away from
+    // them (re-encode wobble), {10,11} identical unrelated clips, {20} a
+    // different-length clip whose fingerprint coincides with 1's (the
+    // length gate must keep it unpaired)
+    val hashes = Seq(
+      (1L, 400L, 0x0f0fL), (2L, 400L, 0x0f0fL), (3L, 400L, 0x0f0fL),
+      (4L, 400L, 0x0f0eL),
+      (10L, 500L, 0x1234L), (11L, 500L, 0x1234L),
+      (20L, 480L, 0x0f0fL)
+    ).toDF("doc_id", "n_frames", "afp")
+    val full = graft.multimodal.Multimodal.audioNearDuplicates(hashes, 1)
+    val edges = graft.multimodal.Multimodal.audioNearDupEdges(hashes, 1)
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(es == Set((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L)))
+    val byFull = graft.functions.DedupFunctions.duplicateClusters(
+      full.select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byEdges = graft.functions.DedupFunctions.duplicateClusters(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byFull == byEdges)
+    assert(!byEdges.contains(20L), "length gate must keep 20 unpaired")
+  }
+
   test("incremental near-dup edges: fold over side tables equals batch clustering") {
     val s = spark
     import s.implicits._
