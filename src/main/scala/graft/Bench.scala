@@ -150,7 +150,8 @@ object Bench {
     // family AND the top-steady plans (cluster-incremental fold, session
     // self-join, BPE encode, image near-dup).
     val scaleQueries = Seq("q_dedup_span_stats", "q_dedup_cluster_drop",
-      "q_split_by_cluster", "q_dedup_minhash_neardup", "q_dedup_lines_global",
+      "q_split_by_cluster", "q_dedup_minhash_neardup", "q_dedup_minhash_edges",
+      "q_dedup_lines_global",
       "q_zorder_layout", "q_crossmodal_dedup", "q_mixture_rebalance",
       "q_kn_logprob", "q_dsir_select", "q_curriculum_shards",
       "q_dedup_cluster_incremental", "q_session_overlap", "q_bpe_encode",
@@ -305,7 +306,12 @@ object Bench {
     // multiply word forms).
     val scale100Copies =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE100_COPIES", "80").toInt
+    // the full-pair/edge-form text contrast runs at BOTH document scale
+    // points (the video contrast's analog on the text axis): the full form
+    // is quadratic by OUTPUT contract where copies repeat, the edge form
+    // star-collapses them
     val scale100Queries = Seq("q_dedup_span_stats", "q_dedup_minhash_neardup",
+      "q_dedup_minhash_edges",
       "q_dedup_cluster_incremental", "q_crossmodal_dedup",
       "q_kn_logprob", "q_dsir_select")
       .filter(n => only.forall(_.contains(n)))

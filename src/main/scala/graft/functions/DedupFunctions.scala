@@ -178,18 +178,29 @@ object DedupFunctions {
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-                            maxBucketSize: Int = 1000): DataFrame = {
-    // Only (doc_id, band, bucket) rides the wide exchange — the shingle sets
-    // (roughly document-sized) are joined back AFTER the candidate-id set is
-    // deduped, so the ×bands explode + distinct never carry text payloads.
+                            maxBucketSize: Int = 1000): DataFrame =
     // The banded construction is EXACTLY the persisted index's
     // ([[minhashBandIndex]]) — one definition, so batch and incremental
-    // LSH can never drift apart. Scratch-materialized: the index feeds BOTH
-    // the hot-bucket census and the self-join probe; unmaterialized, the
-    // shingle+minhash projection (the expensive pass) ran once per consumer.
-    val bucketed = graft.util.Scratch.materialize(
+    // LSH can never drift apart.
+    candidatePairsFromIndex(
       minhashBandIndex(docs, idCol, textCol, shingleN, k, bands),
-      "band_index")
+      docs, idCol, textCol, shingleN, maxBucketSize)
+
+  /** LSH candidate generation + exact verification from prebuilt band-index
+    * rows — shared by [[minhashCandidatePairs]] (index over the whole
+    * corpus) and [[minhashNearDupEdges]] (index restricted to content-class
+    * reps). Only (doc_id, band, bucket) rides the wide exchange — the
+    * shingle sets (roughly document-sized) are joined back AFTER the
+    * candidate-id set is deduped, so the ×bands explode + distinct never
+    * carry text payloads. Scratch-materialized: the index feeds BOTH the
+    * hot-bucket census and the self-join probe; unmaterialized, the
+    * shingle+minhash projection (the expensive pass) ran once per
+    * consumer. */
+  private def candidatePairsFromIndex(index: DataFrame, docs: DataFrame,
+                                      idCol: String, textCol: String,
+                                      shingleN: Int,
+                                      maxBucketSize: Int): DataFrame = {
+    val bucketed = graft.util.Scratch.materialize(index, "band_index")
     val counted = dropHotBucketsSurfaced(bucketed, maxBucketSize)
       .select(col("band"), col("bucket"), col("doc_id"))
 
@@ -240,26 +251,44 @@ object DedupFunctions {
     * get no star edges either — the gate is a pure function of the
     * fingerprinted content, so it is class-uniform and cannot split a
     * class. Scale: one rowwise fingerprint pass, one (fingerprint, id)
-    * window shuffle — the text column never rides an exchange — then the
-    * whole LSH machinery at DISTINCT-CONTENT scale. Returns (id_a, id_b),
-    * id_a < id_b. */
+    * window shuffle, then the LSH exchanges at DISTINCT-CONTENT scale —
+    * and the TEXT COLUMN NEVER RIDES ANY EXCHANGE: the rep restriction is
+    * applied to the BAND-INDEX rows (3 longs each, id-keyed semi-join),
+    * not to the docs relation, because a docs⋉repIds semi-join broadcasts
+    * at test scale but silently degrades to a text-shuffling sort-merge
+    * join once the rep set outgrows the broadcast threshold (measured 4×
+    * the full-pair form at the 100× bench point before this rewrite).
+    * Members pay the rowwise shingle+minhash projection their band rows
+    * then discard — linear, exchange-free, and strictly cheaper at scale
+    * than moving their text. Returns (id_a, id_b), id_a < id_b. */
   def minhashNearDupEdges(docs: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.8, shingleN: Int = 3,
                           k: Int = 64, bands: Int = 16,
                           maxBucketSize: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("__fp"))
-    val classed = docs
-      .filter(size(shingleHashes(col(textCol), shingleN)) > 0)
-      .select(col(idCol), TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
-      .withColumn("__rep", min(col(idCol)).over(w))
+    // banding-eligibility gate: ShingleHashes emits the empty-stream gram
+    // for ANY non-null text (≥1 element always), so the band index's
+    // size(hs)>0 filter excludes exactly the null-text rows — test that
+    // directly instead of computing a full shingle scan per row just to
+    // measure its emptiness (was ~30% of the 100× point's cpu). Scratch:
+    // the classed relation feeds TWO consumers (stars, rep ids); without
+    // it each re-ran the fingerprint regex chain + the class window.
+    val classed = graft.util.Scratch.materialize(
+      docs
+        .filter(col(textCol).isNotNull)
+        .select(col(idCol),
+          TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
+        .withColumn("__rep", min(col(idCol)).over(w)),
+      "edge_classes")
     val star = classed.filter(col(idCol) =!= col("__rep"))
       .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
     val repIds = classed.filter(col(idCol) === col("__rep"))
-      .select(col(idCol))
-    val repPairs = minhashCandidatePairs(
-      docs.join(repIds, Seq(idCol), "left_semi"),
-      idCol, textCol, shingleN, k, bands, maxBucketSize)
+      .select(col(idCol).as("doc_id"))
+    val repIndex = minhashBandIndex(docs, idCol, textCol, shingleN, k, bands)
+      .join(repIds, Seq("doc_id"), "left_semi")
+    val repPairs = candidatePairsFromIndex(repIndex, docs, idCol, textCol,
+      shingleN, maxBucketSize)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
     star.unionByName(repPairs)
@@ -273,7 +302,9 @@ object DedupFunctions {
     * genuinely-new classes of each accepted increment. */
   def repFingerprints(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3): DataFrame =
-    docs.filter(size(shingleHashes(col(textCol), shingleN)) > 0)
+    // banding eligibility ≡ non-null text (ShingleHashes emits ≥1 element
+    // for any non-null input — see [[minhashNearDupEdges]])
+    docs.filter(col(textCol).isNotNull)
       .select(col(idCol), TextFunctions.fingerprintMd5(col(textCol))
         .as("fingerprint"))
       .groupBy(col("fingerprint")).agg(min(col(idCol)).as("rep_id"))
@@ -285,12 +316,14 @@ object DedupFunctions {
     * removes); the rep index holds one row-set per DISTINCT content. */
   def minhashRepBandIndex(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, k: Int = 64,
-                          bands: Int = 16): DataFrame = {
-    val reps = repFingerprints(docs, idCol, textCol, shingleN)
-      .select(col("rep_id").as(idCol))
-    minhashBandIndex(docs.join(reps, Seq(idCol), "left_semi"),
-      idCol, textCol, shingleN, k, bands)
-  }
+                          bands: Int = 16): DataFrame =
+    // rep restriction on the BAND rows (longs), not the docs relation — a
+    // docs semi-join would shuffle text once reps outgrow the broadcast
+    // threshold (see [[minhashNearDupEdges]])
+    minhashBandIndex(docs, idCol, textCol, shingleN, k, bands)
+      .join(repFingerprints(docs, idCol, textCol, shingleN)
+        .select(col("rep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
 
   /** INCREMENTAL component-equivalent near-dup EDGES — the edge-form
     * ([[minhashNearDupEdges]]) analog of
@@ -336,7 +369,7 @@ object DedupFunctions {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("__fp"))
     val classed = incoming
-      .filter(size(shingleHashes(col(textCol), shingleN)) > 0)
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
       .withColumn("__irep", min(col(idCol)).over(w))
     // one scratch materialization: the classed relation feeds three
@@ -358,18 +391,26 @@ object DedupFunctions {
     val incStar = newClasses.filter(col(idCol) =!= col("__irep"))
       .select(col("__irep").as("id_a"), col(idCol).as("id_b"))
     val newRepIds = newClasses.filter(col(idCol) === col("__irep"))
-      .select(col(idCol))
-    val newRepDocs = incoming.join(newRepIds, Seq(idCol), "left_semi")
-    // new-content reps probe (corpus reps ∪ new reps); verification text
-    // comes from the full populations, candidate ids are rep-scale. A
-    // caller that ALSO persists the new reps' band rows (the
-    // neardup_labels_edges post-op) passes them in, so the most expensive
-    // projection (shingle+minhash over new content) runs once per sync —
-    // the index MUST be exactly [[minhashBandIndex]] over this increment's
+      .select(col(idCol).as("doc_id"))
+    // new-content reps probe (corpus reps ∪ new reps). The rep restriction
+    // applies to BAND-INDEX rows (longs, id-keyed semi-join), never to the
+    // incoming docs relation — a docs semi-join would shuffle the text
+    // column once the rep set outgrows the broadcast threshold (see
+    // [[minhashNearDupEdges]]). Verification text comes from the full
+    // populations (candidate ids broadcast inside ngramJaccard). A caller
+    // that ALSO persists the new reps' band rows (the neardup_labels_edges
+    // post-op) passes them in, so the most expensive projection
+    // (shingle+minhash over the increment) runs once per sync — the index
+    // MUST be exactly [[minhashBandIndex]] over this increment's
     // new-content reps.
-    val repPairs = minhashNearDuplicatesIncremental(newRepDocs, corpus,
+    val probeIndex = incomingRepIndex.getOrElse(
+      graft.util.Scratch.materialize(
+        minhashBandIndex(incoming, idCol, textCol, shingleN, k, bands)
+          .join(newRepIds, Seq("doc_id"), "left_semi"),
+        "inc_rep_index"))
+    val repPairs = minhashNearDuplicatesIncremental(incoming, corpus,
       corpusRepIndex, idCol, textCol, threshold, shingleN, k, bands,
-      maxBucketSize, incomingIndex = incomingRepIndex)
+      maxBucketSize, incomingIndex = Some(probeIndex))
       .select(col("id_a"), col("id_b"))
     // the three sets are disjoint by construction (members never appear in
     // repPairs; star targets are non-reps) — plain union, no dedup shuffle

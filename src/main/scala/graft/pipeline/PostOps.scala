@@ -391,11 +391,12 @@ object PostOps {
               .join(corpusRepFps.select(col("fingerprint")),
                 Seq("fingerprint"), "left_anti"),
             "sync_new_fps")
+          // rep restriction on the BAND rows (longs), never a docs
+          // semi-join that would shuffle the increment's text at scale
           val newRepIndex = graft.util.Scratch.materialize(
-            D.minhashBandIndex(
-              inc.join(newFps.select(col("rep_id").as(idc)),
-                Seq(idc), "left_semi"),
-              idc, txt),
+            D.minhashBandIndex(inc, idc, txt)
+              .join(newFps.select(col("rep_id").as("doc_id")),
+                Seq("doc_id"), "left_semi"),
             "sync_rep_band")
           val edges = D.minhashNearDupEdgesIncremental(inc, corpus,
             corpusRepFps, corpusRepIndex, idc, txt, threshold = thr,
