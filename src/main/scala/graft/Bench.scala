@@ -37,10 +37,8 @@ object Bench {
       * on for a previously-clean query = machine-load contamination (the
       * round-8 dispute — 73.9s driver wall vs 4.4s judge clean-room on the
       * same commit — would have carried this flag in the artifact itself);
-      * a flag that is STABLE across rounds = operator-internal blocking
-      * (q_mm_image_neardup carries it by construction: ImageIO's global
-      * decoder-registry locks serialize concurrent decode tasks). Tiny
-      * runs are never flagged (wall ≥ 2s gate applied by callers). */
+      * a flag that is STABLE across rounds = operator-internal blocking.
+      * Tiny runs are never flagged (wall ≥ 2s gate applied by callers). */
     def loadSuspect: Boolean =
       cpuSec > 0 && (execSec - gcSec) > 2.5 * cpuSec
     def json: String =
@@ -65,6 +63,35 @@ object Bench {
     // sections too (so a single scale point can be isolation-rerun).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // ---- WALL-CLOCK BUDGET — the round-10 failure mode was a bench the
+    // driver killed mid-30×-section (rc=124, parsed:null): nothing inside
+    // the run bounded its own wall time, sections ran scale-first, and the
+    // kill landed before the steady section (which runs last) or any
+    // artifact write. Three defenses, all self-describing in the artifact:
+    //  1. a total budget (SPARK_GRAFT_BENCH_BUDGET_S, default 1800 s —
+    //     safely under the driver cap that killed r10 somewhere past
+    //     2312 s): scale sections stop starting work once the budget minus
+    //     a steady-section reserve is spent, each skip recorded in
+    //     sections_skipped;
+    //  2. target/bench.json is rewritten AFTER EVERY SECTION, so even a
+    //     kill leaves a parseable artifact with everything that finished;
+    //  3. any scale query whose first timed run exceeds
+    //     SPARK_GRAFT_BENCH_SLOW_S (60 s) gets ONE timed run — JIT noise is
+    //     irrelevant at that magnitude, and the second run of a 200 s query
+    //     was exactly what starved round 10.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1800").toDouble
+    // reserve for the steady section + extract (r10 committed artifact:
+    // 166 s steady + 213 s cold + extract ≈ 450 s; reserve adds headroom)
+    val steadyReserveS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STEADY_RESERVE_S", "700").toDouble
+    val slowSingleRunS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_S", "60").toDouble
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
+    def scaleBudgetLeft: Double = (budgetS - steadyReserveS) - elapsedS
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -134,9 +161,11 @@ object Bench {
     // ---- SCALE SECTIONS RUN FIRST — before 193×2 steady executions heat
     // the JVM (fragmented heap, codegen cache pressure, accumulated driver
     // state made round-7/8 scale numbers disagree across runs). Each scale
-    // query still gets one untimed warm run for codegen, then ONE timed run
-    // WITH full attribution: a wall/cpu divergence now flags itself in the
+    // query still gets one untimed warm run for codegen, then timed runs
+    // WITH full attribution: a wall/cpu divergence flags itself in the
     // artifact (load_suspect) instead of needing a judge clean-room rerun.
+    // The budget + per-section artifact writes (above) keep a slow section
+    // from starving the steady section the way round 10's did.
 
     // second scale point: ~10× locally. documents ×8 with a per-copy Caesar
     // SUBSTITUTION on the text: each copy keeps the original's internal
@@ -174,11 +203,28 @@ object Bench {
       (alpha, (0 until 26).map(j => alpha((a * j + b) % 26)).mkString)
     }
 
-    def synthDir(tag: String, docCopies: Int, perm: Int => (String, String),
-                 rowCopies: Int): String = {
+    /** Synthesized scale fixtures are CACHED by their parameters (and the
+      * source sf dir) under the system temp dir: regenerating the ~100×
+      * documents union on every bench invocation cost minutes of the
+      * round-10 budget for bytes that are a pure function of the inputs. A
+      * marker file commits a completed build; a partial dir (kill mid-
+      * synthesis) has no marker and is rebuilt from scratch. */
+    def synthDir(tag: String, docCopies: Int, permName: String,
+                 perm: Int => (String, String), rowCopies: Int): String = {
+      val key = s"${tag}_d${docCopies}_${permName}_r${rowCopies}_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bench_fixtures", key)
+      val marker = base.resolve("_GRAFT_FIXTURE_OK")
+      if (java.nio.file.Files.exists(marker)) return base.toString
+      def deleteRec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete(); ()
+      }
+      deleteRec(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      val dir = base.toString
       import org.apache.spark.sql.functions._
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_bench_$tag")
-        .toString
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       (0 until docCopies).map { i =>
         val d = docs.withColumn("doc_id",
@@ -210,42 +256,57 @@ object Bench {
         java.nio.file.Files.createSymbolicLink(
           java.nio.file.Paths.get(dir, s"$t.parquet"),
           java.nio.file.Paths.get(sfDir, s"$t.parquet"))
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
       dir
     }
 
-    def runScale(names: Seq[String], dir: String)
-        : Seq[(String, Double, Attrib, Seq[Double])] = {
+    def runScale(section: String, names: Seq[String], dir: String,
+                 timedRuns: Int): Seq[(String, Double, Attrib, Seq[Double])] = {
       val qmap = SparkEntry.queries
-      names.flatMap(n => qmap.get(n).map { fn =>
-        // JIT warmup at 1× FIRST: a cold JVM's first executions pay
-        // interpreted Catalyst + tiered-compilation queueing behind 32
-        // busy worker threads — measured in round 9 at 10-40× and
-        // nondeterministic (q_dsir_select 10×: 3s, 14s and 208s across
-        // three runs of identical code and data; cold-1× 19.3s vs
-        // hot-1× 0.5s). Three cheap small-data passes compile the
-        // plan's hot paths before any scale data is timed. NonFatal only:
-        // an OOM/interrupt must surface, and a query failing every warmup
-        // pass is WARNED (its first timed run would otherwise be
-        // silently cold).
-        (1 to 3).foreach(i =>
-          try { fn(spark, sfDir).count(); () }
-          catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(
-              s"[bench] $n warmup pass $i failed: ${e.getMessage}")
-          })
-        sweepLeaked()
-        timeOne(n, fn, dir) // warm on the scale dir itself (untimed)
-        // min of TWO timed runs: residual C2 recompile / GC-epoch noise
-        // lands on one run or the other, and the minimum is the
-        // reproducible number a clean-room rerun can match. BOTH raw run
-        // times ride the artifact ("runs") so the methodology is
-        // self-describing and cross-round comparison stays honest.
-        val (s1, a1) = timeOne(n, fn, dir)
-        val (s2, a2) = timeOne(n, fn, dir)
-        val runs = Seq(s1, s2)
-        if (s1 >= 0 && (s2 < 0 || s1 <= s2)) (n, s1, a1, runs)
-        else (n, s2, a2, runs)
-      })
+      names.flatMap { n =>
+        if (scaleBudgetLeft <= 0) {
+          skipped += s"$section:$n"
+          System.err.println(s"[bench] budget: skipping $section $n " +
+            f"(elapsed ${elapsedS}%.0f s)")
+          None
+        } else qmap.get(n).map { fn =>
+          // JIT warmup at 1× FIRST: a cold JVM's first executions pay
+          // interpreted Catalyst + tiered-compilation queueing behind 32
+          // busy worker threads — measured in round 9 at 10-40× and
+          // nondeterministic (q_dsir_select 10×: 3s, 14s and 208s across
+          // three runs of identical code and data; cold-1× 19.3s vs
+          // hot-1× 0.5s). Three cheap small-data passes compile the
+          // plan's hot paths before any scale data is timed. NonFatal only:
+          // an OOM/interrupt must surface, and a query failing every warmup
+          // pass is WARNED (its first timed run would otherwise be
+          // silently cold).
+          (1 to 3).foreach(i =>
+            try { fn(spark, sfDir).count(); () }
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[bench] $n warmup pass $i failed: ${e.getMessage}")
+            })
+          sweepLeaked()
+          timeOne(n, fn, dir) // warm on the scale dir itself (untimed)
+          // min of up to TWO timed runs: residual C2 recompile / GC-epoch
+          // noise lands on one run or the other, and the minimum is the
+          // reproducible number a clean-room rerun can match. BOTH raw run
+          // times ride the artifact ("runs") so the methodology is
+          // self-describing. A first run past the slow threshold (or past
+          // the remaining budget) gets NO second run — JIT noise is
+          // irrelevant at that magnitude and the repeat is what starved
+          // round 10's driver cap.
+          val (s1, a1) = timeOne(n, fn, dir)
+          if (timedRuns <= 1 || math.abs(s1) >= slowSingleRunS ||
+              scaleBudgetLeft <= 0) (n, s1, a1, Seq(s1))
+          else {
+            val (s2, a2) = timeOne(n, fn, dir)
+            val runs = Seq(s1, s2)
+            if (s1 >= 0 && (s2 < 0 || s1 <= s2)) (n, s1, a1, runs)
+            else (n, s2, a2, runs)
+          }
+        }
+      }
     }
     def scaleJson(res: Seq[(String, Double, Attrib, Seq[Double])])
         : (String, String) = (
@@ -257,18 +318,82 @@ object Bench {
         "\"" + k + "\":" + withRuns
       }.mkString("{", ",", "}"))
 
-    val (scale10Json, attrib10Json, rps10x): (String, String, Double) =
-      if (!scaleCheck || scaleQueries.isEmpty) ("{}", "{}", -1.0)
-      else try {
-        val dir10 = synthDir("10x", docCopies = 8, alphaShifted, rowCopies = 10)
-        val res = runScale(scaleQueries, dir10)
-        val r10 = extractRps(dir10, "e2e10", runs = 1)
-        val (qj, aj) = scaleJson(res)
-        (qj, aj, r10)
+    // ---- incremental artifact state: every section records its json here
+    // and writeArtifact() rewrites target/bench.json, so a kill at ANY
+    // point leaves the completed sections parseable on disk.
+    var scale10Json = "{}"; var attrib10Json = "{}"; var rps10x = -1.0
+    var scale30Json = "{}"; var attrib30Json = "{}"
+    var scale100Json = "{}"; var attrib100Json = "{}"
+    var steadyJson = "{}"; var steadyColdJson = "{}"; var steadyAttribJson = "{}"
+    var totalCold = 0.0; var totalSteady = 0.0; var nFail = 0
+    var leakGate = "\"pass\""
+    var rps = -1.0
+    val scale100Copies =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE100_COPIES", "80").toInt
+    val filterJson = only.map(f => "\"" + f.toSeq.sorted.mkString(",") + "\"")
+      .getOrElse("null")
+
+    def artifactJson(complete: Boolean): String = {
+      val ivfTrain = graft.functions.VectorFunctions.lastTrainSec
+      val clusterIdx = graft.functions.DedupFunctions.lastIndexBuildSec
+      val pqTrain = graft.functions.VectorFunctions.lastPqTrainSec
+      val pqEncode = graft.functions.VectorFunctions.lastPqEncodeSec
+      val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // bench_schema 3: adds budget_s / sections_skipped / complete and
+      // caps scale queries at one timed run past the slow threshold
+      // (schema 2 = min-of-2 always; schema 1 = one run) — the fields make
+      // cross-round artifacts self-describing instead of silently
+      // apples-to-oranges.
+      s"""{"metric":"total","value":$totalCold,"unit":"sec","bench_schema":3,""" +
+        s""""timing":"scale=min_of_2_timed_runs_after_warmup(1_run_if_first>${slowSingleRunS.toInt}s;100x=1_run);steady=cold_then_steady",""" +
+        s""""failed":$nFail,"filter":$filterJson,"budget_s":$budgetS,""" +
+        s""""sections_skipped":$skippedJson,"complete":$complete,""" +
+        s""""extract_rows_per_sec":$rps,"total_steady":$totalSteady,""" +
+        s""""leak_gate":$leakGate,"ivf_train_sec":$ivfTrain,""" +
+        s""""cluster_index_build_sec":$clusterIdx,"pq_train_sec":$pqTrain,""" +
+        s""""pq_encode_sec":$pqEncode,"queries":$steadyColdJson,""" +
+        s""""queries_steady":$steadyJson,"attrib":$steadyAttribJson,""" +
+        s""""queries_10x":$scale10Json,"attrib_10x":$attrib10Json,""" +
+        s""""extract_rows_per_sec_10x":$rps10x,""" +
+        s""""scale_10x":{"documents":8,"lineitem":10,"events":10},""" +
+        s""""queries_30x":$scale30Json,"attrib_30x":$attrib30Json,""" +
+        s""""scale_30x":{"documents":30,"media":"payloads derive per doc_id, so media scales with documents"},""" +
+        s""""queries_100x":$scale100Json,"attrib_100x":$attrib100Json,""" +
+        s""""scale_100x":{"documents":$scale100Copies},"sf":"$sfDir"}"""
+    }
+    // The FULL artifact (cold+steady+attrib maps, ~40 KB at 200 queries)
+    // goes to target/bench.json only: printed, it exceeds the driver's
+    // stdout tail-capture and the round's "parsed" field comes back null
+    // (it did in rounds 6 and 7). Stdout carries ONE compact line instead.
+    // FILTERED runs (SPARK_GRAFT_BENCH_ONLY) write to a SEPARATE path — an
+    // isolation rerun must never clobber the round's full artifact with a
+    // partial one (the round-8 pitfall).
+    def writeArtifact(complete: Boolean): Unit =
+      try {
+        val out = java.nio.file.Paths.get("target",
+          if (only.isDefined) "bench_filtered.json" else "bench.json")
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out, artifactJson(complete).getBytes("UTF-8"))
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] 10x scale point FAILED: ${e.getMessage}")
-        ("{}", "{}", -1.0)
+        System.err.println(s"[bench] could not write bench artifact: ${e.getMessage}")
       }
+    writeArtifact(complete = false) // parseable artifact from second zero
+
+    if (!scaleCheck || scaleQueries.isEmpty) ()
+    else if (scaleBudgetLeft <= 0) skipped += "10x:section"
+    else try {
+      val dir10 = synthDir("10x", docCopies = 8, "shift", alphaShifted,
+        rowCopies = 10)
+      val res = runScale("10x", scaleQueries, dir10, timedRuns = 2)
+      rps10x =
+        if (scaleBudgetLeft <= 0) { skipped += "10x:extract"; -1.0 }
+        else extractRps(dir10, "e2e10", runs = 1)
+      val (qj, aj) = scaleJson(res)
+      scale10Json = qj; attrib10Json = aj
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] 10x scale point FAILED: ${e.getMessage}")
+    }
+    writeArtifact(complete = false)
 
     // intermediate MEDIA scale point: ~30× documents — and since fixture
     // media payloads derive per doc_id, ~30× images/audio/video — for the
@@ -285,16 +410,18 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val scale30 = scaleCheck &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE30", "1") != "0"
-    val (scale30Json, attrib30Json): (String, String) =
-      if (!scale30 || scale30Queries.isEmpty) ("{}", "{}")
-      else try {
-        val dir30 = synthDir("30x", docCopies = 30, alphaAffine,
-          rowCopies = 1)
-        scaleJson(runScale(scale30Queries, dir30))
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] 30x scale point FAILED: ${e.getMessage}")
-        ("{}", "{}")
-      }
+    if (!scale30 || scale30Queries.isEmpty) ()
+    else if (scaleBudgetLeft <= 0) skipped += "30x:section"
+    else try {
+      val dir30 = synthDir("30x", docCopies = 30, "affine", alphaAffine,
+        rowCopies = 1)
+      val (qj, aj) = scaleJson(
+        runScale("30x", scale30Queries, dir30, timedRuns = 2))
+      scale30Json = qj; attrib30Json = aj
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] 30x scale point FAILED: ${e.getMessage}")
+    }
+    writeArtifact(complete = false)
 
     // third scale point: ~100× documents (80 affine-substituted copies) for
     // the dedup family alone — the linearity claim between 10× and 100× is
@@ -304,8 +431,6 @@ object Bench {
     // points were cpu-dense and super-linear-looking; a third point
     // settles whether the LM relations stay vocab-scale as affine copies
     // multiply word forms).
-    val scale100Copies =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE100_COPIES", "80").toInt
     // the full-pair/edge-form text contrast runs at BOTH document scale
     // points (the video contrast's analog on the text axis): the full form
     // is quadratic by OUTPUT contract where copies repeat, the edge form
@@ -317,92 +442,81 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val scale100 = scaleCheck && scale100Copies > 0 &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE100", "1") != "0"
-    val (scale100Json, attrib100Json): (String, String) =
-      if (!scale100 || scale100Queries.isEmpty) ("{}", "{}")
-      else try {
-        val dir100 = synthDir("100x", docCopies = scale100Copies, alphaAffine,
-          rowCopies = 1)
-        // codegen is already warm from the 10× section (same queries) —
-        // one timed run each, attribution carried
-        val qmap = SparkEntry.queries
-        val res = scale100Queries.flatMap(n => qmap.get(n).map { fn =>
+    if (!scale100 || scale100Queries.isEmpty) ()
+    else if (scaleBudgetLeft <= 0) skipped += "100x:section"
+    else try {
+      val dir100 = synthDir("100x", docCopies = scale100Copies, "affine",
+        alphaAffine, rowCopies = 1)
+      // codegen is already warm from the 10× section (same queries) —
+      // one timed run each, attribution carried
+      val qmap = SparkEntry.queries
+      val res = scale100Queries.flatMap { n =>
+        if (scaleBudgetLeft <= 0) {
+          skipped += s"100x:$n"
+          System.err.println(s"[bench] budget: skipping 100x $n")
+          None
+        } else qmap.get(n).map { fn =>
           val (sec, attrib) = timeOne(n, fn, dir100)
           (n, sec, attrib, Seq(sec))
-        })
-        scaleJson(res)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] 100x scale point FAILED: ${e.getMessage}")
-        ("{}", "{}")
+        }
       }
+      val (qj, aj) = scaleJson(res)
+      scale100Json = qj; attrib100Json = aj
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] 100x scale point FAILED: ${e.getMessage}")
+    }
+    writeArtifact(complete = false)
 
     // ---- steady section: each query runs twice — the first timing carries
     // one-off codegen / first-touch costs, the second is the steady state a
     // long session sees — report both so round-over-round comparison isn't
-    // polluted by compile-time noise.
+    // polluted by compile-time noise. The steady section ignores the scale
+    // budget (its reserve exists precisely so it always runs) but still
+    // respects the TOTAL budget: past it, remaining queries are skipped and
+    // recorded rather than racing the driver's kill.
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = queries.map { case (name, fn) =>
-      val (cold, _) = timeOne(name, fn)
-      val (steady, attrib) =
-        if (cold < 0) (cold, Attrib(0, 0, 0, 0, 0, 0)) else timeOne(name, fn)
-      (name, cold, steady, attrib)
+    val results = queries.flatMap { case (name, fn) =>
+      if (elapsedS > budgetS) {
+        skipped += s"steady:$name"
+        None
+      } else {
+        val (cold, _) = timeOne(name, fn)
+        val (steady, attrib) =
+          if (cold < 0) (cold, Attrib(0, 0, 0, 0, 0, 0)) else timeOne(name, fn)
+        Some((name, cold, steady, attrib))
+      }
     }
     def fmtQs(sel: ((String, Double, Double, Attrib)) => Double) = results
       .map { case r @ (k, _, _, _) => "\"" + k + "\":" + sel(r) }
       .mkString("{", ",", "}")
-    val attribJson = results
+    steadyColdJson = fmtQs(_._2)
+    steadyJson = fmtQs(_._3)
+    steadyAttribJson = results
       .map { case (k, _, _, a) => "\"" + k + "\":" + a.json }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ > 0).sum
-    val totalSteady = results.map(_._3).filter(_ > 0).sum
+    totalCold = results.map(_._2).filter(_ > 0).sum
+    totalSteady = results.map(_._3).filter(_ > 0).sum
     // a cold-pass/steady-fail query (state-dependent breakage) must count
     // as failed too, or its silent absence from total_steady reads as a
     // round-over-round improvement
-    val nFail = results.count(r => r._2 < 0 || r._3 < 0)
+    nFail = results.count(r => r._2 < 0 || r._3 < 0)
     // the leak GATE: post-round-9 no query may leave a persisted RDD
     // behind; name the offenders right in the artifact
     val leakers = results.filter(_._4.leakedRdds > 0).map(_._1)
-    val leakGate =
+    leakGate =
       if (leakers.isEmpty) "\"pass\""
       else "\"fail:" + leakers.mkString(";") + "\""
+    writeArtifact(complete = false)
 
     // end-to-end extract→parquet throughput (BASELINE.md bar: >=115k rows/s).
     // Measured over LINEITEM (the largest fixture, 600k rows at sf0.1) so the
     // fixed per-session overhead (watermark saves, listing, footer reads)
     // amortizes the way it does in a real long session. Two runs into fresh
     // scratch dirs, best-of-2: the first pays writer codegen/committer init.
-    val rps: Double = extractRps(sfDir, "e2e", runs = 2)
+    rps = extractRps(sfDir, "e2e", runs = 2)
+    writeArtifact(complete = true)
 
-    // attribute the ANN queries' wall time: training/encode cost
-    // (variance-prone) vs the probe plan (regression-prone)
-    val ivfTrain = graft.functions.VectorFunctions.lastTrainSec
-    val clusterIdx = graft.functions.DedupFunctions.lastIndexBuildSec
-    val pqTrain = graft.functions.VectorFunctions.lastPqTrainSec
-    val pqEncode = graft.functions.VectorFunctions.lastPqEncodeSec
-
-    val filterJson = only.map(f => "\"" + f.toSeq.sorted.mkString(",") + "\"")
-      .getOrElse("null")
-    // bench_schema 2: scale sections report min-of-two timed runs (raw run
-    // times in attrib "runs"); schema 1 (rounds ≤8) was one timed run —
-    // the field makes cross-round artifacts self-describing instead of
-    // silently apples-to-oranges.
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","bench_schema":2,"timing":"scale=min_of_2_timed_runs_after_warmup(100x=1_run);steady=cold_then_steady","failed":$nFail,"filter":$filterJson,"extract_rows_per_sec":$rps,"total_steady":$totalSteady,"leak_gate":$leakGate,"ivf_train_sec":$ivfTrain,"cluster_index_build_sec":$clusterIdx,"pq_train_sec":$pqTrain,"pq_encode_sec":$pqEncode,"queries":${fmtQs(_._2)},"queries_steady":${fmtQs(_._3)},"attrib":$attribJson,"queries_10x":$scale10Json,"attrib_10x":$attrib10Json,"extract_rows_per_sec_10x":$rps10x,"scale_10x":{"documents":8,"lineitem":10,"events":10},"queries_30x":$scale30Json,"attrib_30x":$attrib30Json,"scale_30x":{"documents":30,"media":"payloads derive per doc_id, so media scales with documents"},"queries_100x":$scale100Json,"attrib_100x":$attrib100Json,"scale_100x":{"documents":$scale100Copies},"sf":"$sfDir"}"""
-    // The FULL artifact (cold+steady+attrib maps, ~40 KB at 195 queries)
-    // goes to target/bench.json only: printed, it exceeds the driver's
-    // stdout tail-capture and the round's "parsed" field comes back null
-    // (it did in rounds 6 and 7). Stdout carries ONE compact line instead.
-    // FILTERED runs (SPARK_GRAFT_BENCH_ONLY) write to a SEPARATE path — an
-    // isolation rerun must never clobber the round's full artifact with a
-    // partial one (the round-8 pitfall).
-    try {
-      val out = java.nio.file.Paths.get("target",
-        if (only.isDefined) "bench_filtered.json" else "bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench artifact: ${e.getMessage}")
-    }
     // The compact line's "queries" map carries the COLD timings — the
     // same meaning the key has in target/bench.json, so a consumer
     // comparing stdout against a committed artifact never diffs
@@ -414,8 +528,9 @@ object Bench {
     val compactQs = results
       .map { case (k, cold, _, _) => f""""$k":$cold%.3f""" }
       .mkString("{", ",", "}")
+    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","bench_schema":2,"failed":$nFail,"extract_rows_per_sec":$rps%.0f,"total_steady":$totalSteady%.3f,"leak_gate":$leakGate,"queries":$compactQs,"queries_10x":$scale10Json,"extract_rows_per_sec_10x":$rps10x%.0f,"queries_30x":$scale30Json,"queries_100x":$scale100Json,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$totalCold%.3f,"unit":"sec","bench_schema":3,"failed":$nFail,"sections_skipped":$skippedJson,"extract_rows_per_sec":$rps%.0f,"total_steady":$totalSteady%.3f,"leak_gate":$leakGate,"queries":$compactQs,"queries_10x":$scale10Json,"extract_rows_per_sec_10x":$rps10x%.0f,"queries_30x":$scale30Json,"queries_100x":$scale100Json,"sf":"$sfDir"}"""
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
