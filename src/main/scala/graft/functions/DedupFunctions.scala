@@ -216,10 +216,96 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Near-duplicate pairs above a Jaccard threshold via MinHash-LSH. */
+  /** Largest identical-content class size in a corpus — ONE cheap
+    * fingerprint aggregation (map-side combined to distinct-content scale,
+    * a single max row to the driver). The star-collapse machinery below is
+    * pure overhead when this is 1 (a duplicate-free corpus), so the edge
+    * and full-pair forms consult it EAGERLY at plan-construction time (a
+    * bounded Spark job — the hot-bucket-census pattern) and skip the
+    * collapse when it buys nothing. */
+  private def maxClassSize(docs: DataFrame, idCol: String,
+                           textCol: String): Long = {
+    val row = docs.filter(col(textCol).isNotNull)
+      .select(TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
+      .groupBy(col("__fp")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** Identical-content classes with sizes: (__fp, __rep = min id, __n) —
+    * distinct-content scale, scratch-materialized (feeds the star join and
+    * the rep index restriction). */
+  private def contentClasses(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    graft.util.Scratch.materialize(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol),
+          TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
+        .groupBy(col("__fp"))
+        .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n")),
+      "content_classes")
+
+  /** Near-duplicate pairs above a Jaccard threshold via MinHash-LSH.
+    *
+    * The OUTPUT pair relation is quadratic where content repeats — m
+    * identical copies of a boilerplate page owe C(m,2) pairs at Jaccard 1
+    * — and that is the operator's contract ([[minhashNearDupEdges]] is the
+    * component-equivalent linear form for closure consumers). But no
+    * EXCHANGE is quadratic: identical-content classes collapse around
+    * their min-id rep, only class representatives ride the LSH banding +
+    * exact-Jaccard verification, and the full relation is GENERATED at
+    * output time — within-class pairs from a class-keyed self-join (their
+    * Jaccard is exactly 1: identical normalized text ⇒ identical shingle
+    * sets), cross-class pairs by expanding each rep pair through both
+    * classes' members (members share their reps' shingle sets
+    * bit-for-bit, so the verified Jaccard carries over). The former plan
+    * pushed every copy through the banded join — C(m,2) candidate rows
+    * through the ×bands exchange and the pair distinct — and silently
+    * LOST all pairs of over-`maxBucketSize` identical classes to the
+    * hot-bucket cap; collapsed classes can no longer flood a bucket.
+    * Duplicate-free corpora (class-size probe == 1, one cheap eager agg)
+    * take the direct banding path with zero collapse overhead.
+    *
+    * NOTE plan construction runs bounded Spark jobs (the class-size probe,
+    * the scratch materializations) — the returned plan is lazy but not
+    * free to build, like every LSH operator here. */
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                            threshold: Double = 0.8): DataFrame =
-    minhashCandidatePairs(docs, idCol, textCol).filter(col("jaccard") >= threshold)
+                            threshold: Double = 0.8): DataFrame = {
+    if (maxClassSize(docs, idCol, textCol) <= 1L)
+      return minhashCandidatePairs(docs, idCol, textCol)
+        .filter(col("jaccard") >= threshold)
+    val classes = contentClasses(docs, idCol, textCol)
+    val members = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
+      .join(classes, Seq("__fp"))
+    // within-class pairs (Jaccard exactly 1), generated — dup classes only
+    // (singletons self-join to nothing); the lit(1.0) threshold guard
+    // constant-folds away for every sane threshold ≤ 1
+    val dupMembers = members.filter(col("__n") > 1)
+    val within = dupMembers.select(col("__fp"), col(idCol).as("id_a"))
+      .join(dupMembers.select(col("__fp"), col(idCol).as("id_b")), Seq("__fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= lit(threshold))
+    // rep-only LSH + verification; restriction on BAND rows (longs), not
+    // the docs relation (see minhashNearDupEdges)
+    val repIndex = minhashBandIndex(docs, idCol, textCol)
+      .join(classes.select(col("__rep").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+    val repPairs = candidatePairsFromIndex(repIndex, docs, idCol, textCol,
+      shingleN = 3, maxBucketSize = 1000)
+      .filter(col("jaccard") >= threshold)
+    val memb = members.select(col("__rep"), col(idCol).as("__m"))
+    val cross = repPairs
+      .join(memb.select(col("__rep").as("id_a"), col("__m").as("__ma")),
+        Seq("id_a"))
+      .join(memb.select(col("__rep").as("id_b"), col("__m").as("__mb")),
+        Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    within.unionByName(cross)
+  }
 
   /** Component-equivalent near-dup EDGES for cluster closure — the scale
     * path behind every pairs→components consumer ([[duplicateClusters]],
@@ -265,28 +351,36 @@ object DedupFunctions {
                           threshold: Double = 0.8, shingleN: Int = 3,
                           k: Int = 64, bands: Int = 16,
                           maxBucketSize: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("__fp"))
+    // ADAPTIVE collapse: on a duplicate-free corpus (class-size probe == 1,
+    // one cheap eager agg — see [[maxClassSize]]) the star machinery buys
+    // nothing: there are no stars and every doc is its own rep, so the
+    // edge set IS the unrestricted banded pair set. Skipping the class
+    // scratch + star join + index semi-join there removed a measured >2×
+    // steady overhead on dup-free fixtures; duplicate-heavy behavior is
+    // unchanged (DedupSpec pins edge-component equality).
+    if (maxClassSize(docs, idCol, textCol) <= 1L)
+      return candidatePairsFromIndex(
+        minhashBandIndex(docs, idCol, textCol, shingleN, k, bands),
+        docs, idCol, textCol, shingleN, maxBucketSize)
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"))
     // banding-eligibility gate: ShingleHashes emits the empty-stream gram
     // for ANY non-null text (≥1 element always), so the band index's
     // size(hs)>0 filter excludes exactly the null-text rows — test that
     // directly instead of computing a full shingle scan per row just to
-    // measure its emptiness (was ~30% of the 100× point's cpu). Scratch:
-    // the classed relation feeds TWO consumers (stars, rep ids); without
-    // it each re-ran the fingerprint regex chain + the class window.
-    val classed = graft.util.Scratch.materialize(
-      docs
-        .filter(col(textCol).isNotNull)
-        .select(col(idCol),
-          TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
-        .withColumn("__rep", min(col(idCol)).over(w)),
-      "edge_classes")
-    val star = classed.filter(col(idCol) =!= col("__rep"))
+    // measure its emptiness (was ~30% of the 100× point's cpu). The class
+    // relation ([[contentClasses]], scratch) is distinct-content scale and
+    // feeds both the star join and the rep index restriction.
+    val classes = contentClasses(docs, idCol, textCol)
+    val star = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
+      .join(classes.filter(col("__n") > 1), Seq("__fp"))
+      .filter(col(idCol) =!= col("__rep"))
       .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
-    val repIds = classed.filter(col(idCol) === col("__rep"))
-      .select(col(idCol).as("doc_id"))
     val repIndex = minhashBandIndex(docs, idCol, textCol, shingleN, k, bands)
-      .join(repIds, Seq("doc_id"), "left_semi")
+      .join(classes.select(col("__rep").as("doc_id")), Seq("doc_id"),
+        "left_semi")
     val repPairs = candidatePairsFromIndex(repIndex, docs, idCol, textCol,
       shingleN, maxBucketSize)
       .filter(col("jaccard") >= threshold)
@@ -372,12 +466,27 @@ object DedupFunctions {
       .filter(col(textCol).isNotNull)
       .select(col(idCol), TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
       .withColumn("__irep", min(col(idCol)).over(w))
+    // CRASH-REPLAY HYGIENE: the neardup_labels_edges post-op appends
+    // (fingerprint, rep_id) side-table rows BEFORE the label swap commits.
+    // A crash between the two replays the same increment against a side
+    // table that already contains ITS OWN fingerprints — keyed by increment
+    // ids — which would tag genuinely-new content as 'known', skip the LSH
+    // probe entirely, and silently lose that content's near-dup links to
+    // the corpus forever (labels would diverge from batch). Restrict the
+    // side table to rows whose rep_id exists in the COMMITTED corpus (an
+    // id-only semi-join; the corpus text column is pruned out of the
+    // exchange): replayed rows point at increment ids and drop out, so the
+    // probe re-runs idempotently — duplicate side-table appends are already
+    // tolerated by every reader. DedupSpec replays the crash window and
+    // pins edge-set equality.
+    val committedRepFps = corpusRepFps
+      .join(corpus.select(col(idCol).as("rep_id")), Seq("rep_id"), "left_semi")
     // one scratch materialization: the classed relation feeds three
     // consumers (cross stars, new-class stars, new-rep ids) and its
     // upstream is the increment's fingerprint pass + side-table join
     val tagged = graft.util.Scratch.materialize(
       classed.join(
-        corpusRepFps.select(col("fingerprint").as("__fp"),
+        committedRepFps.select(col("fingerprint").as("__fp"),
           col("rep_id").as("__crep")).distinct(),
         Seq("__fp"), "left"),
       "inc_edge_classes")

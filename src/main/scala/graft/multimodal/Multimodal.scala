@@ -200,11 +200,73 @@ object Multimodal {
       def nFrames: Int = if (channels == 0) 0 else samples.length / channels
     }
 
-    /** REAL pixel decode via the JDK's `javax.imageio.ImageIO`
-      * (PNG/JPEG/GIF/BMP readers ship with the JDK — no external codec).
-      * Returns None for payloads no installed reader recognizes. */
+    // `ImageIO.read` is the WRONG entry point on a 32-thread executor: every
+    // call walks the global plugin registry (synchronized category lists)
+    // and wraps the stream in a FileCacheImageInputStream that spools the
+    // whole payload to a temp FILE when the use-cache default is on —
+    // measured at the 30× bench point as 745 exec-s against 294 cpu-s on
+    // image near-dup (60% of executor time blocked, the load_suspect flag).
+    // Decode instead through a PER-THREAD ImageReader for the sniffed
+    // format (registry consulted once per thread × format, then never
+    // again) over an in-memory stream, with the global use-cache flag off
+    // for the residual fallback path.
+    javax.imageio.ImageIO.setUseCache(false)
+    private val threadReaders =
+      new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+        override def initialValue():
+            java.util.HashMap[String, javax.imageio.ImageReader] =
+          new java.util.HashMap()
+      }
+    /** Magic-byte format sniff for the JDK's four shipped readers; null for
+      * anything else (those fall back to the registry walk). */
+    private def sniffImageFormat(bytes: Array[Byte]): String = {
+      def u8(i: Int) = bytes(i) & 0xff
+      if (bytes.length < 14) null
+      else if (u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4e && u8(3) == 0x47)
+        "png"
+      else if (u8(0) == 0xff && u8(1) == 0xd8) "jpeg"
+      else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8')
+        "gif"
+      else if (u8(0) == 'B' && u8(1) == 'M') "bmp"
+      else null
+    }
+    private def readImage(bytes: Array[Byte])
+        : Option[java.awt.image.BufferedImage] = {
+      val fmt = sniffImageFormat(bytes)
+      if (fmt == null)
+        // unsniffed formats (TIFF/WBMP/...) keep the registry path — they
+        // are never the fixture hot path
+        return Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
+      val cache = threadReaders.get()
+      var reader = cache.get(fmt)
+      if (reader == null) {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        if (!it.hasNext)
+          return Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
+        reader = it.next()
+        cache.put(fmt, reader)
+      }
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, true, true)
+        Option(reader.read(0))
+      } finally {
+        // detach before closing so the pooled reader never holds a dead
+        // stream reference between tasks
+        try reader.setInput(null) catch {
+          case scala.util.control.NonFatal(_) => ()
+        }
+        iis.close()
+      }
+    }
+
+    /** REAL pixel decode via the JDK's built-in image readers
+      * (PNG/JPEG/GIF/BMP ship with the JDK — no external codec), through
+      * the per-thread reader pool above. Returns None for payloads no
+      * installed reader recognizes. */
     def decodeImage(bytes: Array[Byte]): Option[ImagePixels] =
-      try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      try readImage(bytes).map { img =>
         val w = img.getWidth; val h = img.getHeight
         var sum = 0L
         var y = 0
@@ -229,7 +291,7 @@ object Multimodal {
       * exactly in SQL. Returns (srcW, srcH, row-major interleaved RGB). */
     def resizeImageNearest(bytes: Array[Byte], outW: Int,
                            outH: Int): Option[(Int, Int, Array[Byte])] =
-      try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      try readImage(bytes).map { img =>
         val w = img.getWidth; val h = img.getHeight
         val out = new Array[Byte](outW * outH * 3)
         var y = 0; var p = 0
@@ -258,7 +320,7 @@ object Multimodal {
       * Luminance = r+g+b (integer — no weighting division to disagree
       * about). */
     def decodeImageDHash(bytes: Array[Byte]): Option[ImageHash] =
-      try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      try readImage(bytes).map { img =>
         val w = img.getWidth; val h = img.getHeight
         val lum = new Array[Int](w * h)
         var y = 0
@@ -286,11 +348,142 @@ object Multimodal {
         ImageHash(w, h, hash)
       } catch { case scala.util.control.NonFatal(_) => None }
 
-    /** REAL sample decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
-      * readers ship with the JDK). Handles the PCM_SIGNED 16-bit layout —
-      * the overwhelmingly common uncompressed interchange format; anything
-      * else returns None rather than guessing. */
+    /** REAL sample decode of the PCM_SIGNED 16-bit layout — the
+      * overwhelmingly common uncompressed interchange format — for the
+      * three containers whose layout is pure bytes: WAV (RIFF, little-
+      * endian samples), AIFF (FORM/COMM/SSND, big-endian) and AU (.snd,
+      * big-endian). Parsed DIRECTLY from the payload: the former
+      * `AudioSystem.getAudioInputStream` route ran every decode through the
+      * JDK's global audio-provider registry, whose synchronized lookup
+      * serialized a 32-thread executor to ~1 effective core (the 30× bench
+      * point measured 725 exec-s against 40 cpu-s — 94% lock-wait — on
+      * audio near-dup). Sample values are bit-identical to what the JDK
+      * codec returned: both read the same PCM16 words, this one just skips
+      * the registry. Payloads none of the three branches recognize fall
+      * back to the registry path (exotic-but-JDK-readable containers stay
+      * readable; they are never the fixture hot path); anything else
+      * returns None rather than guessing. */
     def decodeAudio(bytes: Array[Byte]): Option[AudioPcm] =
+      try {
+        if (bytes == null || bytes.length < 24) None
+        else decodeWavPcm16(bytes)
+          .orElse(decodeAiffPcm16(bytes))
+          .orElse(decodeAuPcm16(bytes))
+          .orElse(decodeAudioViaRegistry(bytes))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def pcm16Samples(bytes: Array[Byte], start: Int, byteLen: Int,
+                             bigEndian: Boolean): Array[Int] = {
+      // clamp to the payload (truncated files decode what is present, the
+      // same as the stream reader did)
+      val avail = math.max(0, math.min(byteLen, bytes.length - start))
+      val n = avail / 2
+      val out = new Array[Int](n)
+      var j = 0
+      while (j < n) {
+        val b0 = bytes(start + 2 * j) & 0xff
+        val b1 = bytes(start + 2 * j + 1) & 0xff
+        out(j) = (if (bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0)
+          .toShort.toInt
+        j += 1
+      }
+      out
+    }
+
+    private def decodeWavPcm16(bytes: Array[Byte]): Option[AudioPcm] = {
+      def u8(i: Int) = bytes(i) & 0xff
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def ascii(i: Int, s: String) =
+        bytes.length >= i + s.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
+      if (!(bytes.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")))
+        return None
+      // RIFF chunk walk — same untrusted-size discipline as parseHeader
+      var i = 12
+      var fmtCode = -1; var ch = 0; var rate = 0; var bits = 0
+      var dataStart = -1; var dataLen = 0
+      var bad = false
+      val n = bytes.length
+      while (!bad && i + 8 <= n && (fmtCode < 0 || dataStart < 0)) {
+        val sz = le32(i + 4).toLong & 0xffffffffL
+        if (ascii(i, "fmt ") && i + 24 <= n) {
+          fmtCode = le16(i + 8); ch = le16(i + 10); rate = le32(i + 12)
+          bits = le16(i + 22)
+        } else if (ascii(i, "data")) { dataStart = i + 8; dataLen = le32(i + 4) }
+        val next = i.toLong + 8L + sz + (sz & 1L)
+        if (next <= i || next > Int.MaxValue) bad = true else i = next.toInt
+      }
+      // format 1 = WAVE_FORMAT_PCM; EXTENSIBLE and friends go to the
+      // registry fallback via the caller's orElse chain
+      if (bad || fmtCode != 1 || bits != 16 || ch <= 0 || rate <= 0 ||
+          dataStart < 0 || dataLen < 0) None
+      else Some(AudioPcm(rate, ch,
+        pcm16Samples(bytes, dataStart, dataLen, bigEndian = false)))
+    }
+
+    private def decodeAiffPcm16(bytes: Array[Byte]): Option[AudioPcm] = {
+      def u8(i: Int) = bytes(i) & 0xff
+      def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def ascii(i: Int, s: String) =
+        bytes.length >= i + s.length && s.indices.forall(j => u8(i + j) == s.charAt(j))
+      if (!(bytes.length >= 24 && ascii(0, "FORM") && ascii(8, "AIFF")))
+        return None
+      var i = 12
+      var ch = 0; var bits = 0; var rate = 0
+      var dataStart = -1; var dataLen = 0
+      var bad = false
+      val n = bytes.length
+      while (!bad && i + 8 <= n && (rate == 0 || dataStart < 0)) {
+        val sz = be32(i + 4).toLong & 0xffffffffL
+        if (ascii(i, "COMM") && i + 26 <= n) {
+          ch = be16(i + 8); bits = be16(i + 14)
+          // sampleRate is an 80-bit IEEE-754 extended float at +16:
+          // sign+exponent (be16), 64-bit mantissa with explicit integer
+          // bit — value = mantissa >> (16446 - exponent) for the sane
+          // audio range (no subnormals/inf at 8 kHz..192 kHz)
+          val exp = be16(i + 16) & 0x7fff
+          val mantHi = be32(i + 18).toLong & 0xffffffffL
+          val shift = 16414 - exp // 16446 - exp - 32 (low mantissa word ignored)
+          rate =
+            if (shift < 0 || shift > 63) 0
+            else (mantHi >>> shift).toInt
+        } else if (ascii(i, "SSND") && i + 16 <= n) {
+          val off = be32(i + 8)
+          if (off < 0) bad = true
+          else { dataStart = i + 16 + off; dataLen = (sz - 8 - off).toInt }
+        }
+        val next = i.toLong + 8L + sz + (sz & 1L)
+        if (next <= i || next > Int.MaxValue) bad = true else i = next.toInt
+      }
+      if (bad || bits != 16 || ch <= 0 || rate <= 0 || dataStart < 0 ||
+          dataLen < 0) None
+      else Some(AudioPcm(rate, ch,
+        pcm16Samples(bytes, dataStart, dataLen, bigEndian = true)))
+    }
+
+    private def decodeAuPcm16(bytes: Array[Byte]): Option[AudioPcm] = {
+      def u8(i: Int) = bytes(i) & 0xff
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      if (!(bytes.length >= 24 && u8(0) == '.' && u8(1) == 's' &&
+          u8(2) == 'n' && u8(3) == 'd')) return None
+      val off = be32(4); val dataLen = be32(8)
+      val enc = be32(12); val rate = be32(16); val ch = be32(20)
+      // encoding 3 = 16-bit linear PCM, big-endian; 0xffffffff dataLen =
+      // "unknown, runs to EOF" per the .snd spec
+      if (enc != 3 || rate <= 0 || ch <= 0 || off < 24) None
+      else {
+        val len = if (dataLen == -1) bytes.length - off else dataLen
+        if (len < 0) None
+        else Some(AudioPcm(rate, ch,
+          pcm16Samples(bytes, off, len, bigEndian = true)))
+      }
+    }
+
+    /** The former registry route, kept as the fallback for containers the
+      * pure-byte branches don't recognize. NOT the hot path: every call
+      * pays the synchronized provider lookup. */
+    private def decodeAudioViaRegistry(bytes: Array[Byte]): Option[AudioPcm] =
       try {
         val ais = javax.sound.sampled.AudioSystem
           .getAudioInputStream(new ByteArrayInputStream(bytes))
@@ -361,6 +554,63 @@ object Multimodal {
     * engine with no codecs (the DuckDB oracle) can still verify what the
     * real JDK decode must return. Even ids carry an image, odd ids audio. */
   object MediaFixtures {
+    // The fixture GENERATION side must dodge the JDK's global codec
+    // registries exactly like the decode side ([[MediaCodec.readImage]]):
+    // `ImageIO.write` / `AudioSystem.write` walk synchronized provider
+    // lists per call, which serialized payload synthesis on a 32-thread
+    // executor (the 30× media bench still flagged load_suspect after the
+    // decode fix — exec 426 s vs cpu 28 s was the WRITE side). PNG goes
+    // through a per-thread ImageWriter (same plugin ImageIO.write resolves
+    // to, so bytes are identical); WAV is written as the canonical 44-byte
+    // RIFF header + PCM16 data — byte-identical to the JDK WaveFileWriter's
+    // output for this mono/16-bit shape (MultimodalStreamingSpec pins it).
+    private val pngWriters = new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter = {
+        val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+        if (it.hasNext) it.next() else null
+      }
+    }
+    private def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new ByteArrayOutputStream()
+      val w = pngWriters.get()
+      if (w == null) { // no PNG plugin (never on a stock JDK): registry path
+        javax.imageio.ImageIO.write(img, "png", baos)
+        return baos.toByteArray
+      }
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try {
+        w.setOutput(ios)
+        w.write(img)
+      } finally {
+        try w.setOutput(null)
+        catch { case scala.util.control.NonFatal(_) => () }
+        ios.close() // flushes the memory-cache stream into baos
+      }
+      baos.toByteArray
+    }
+    /** Canonical RIFF/WAVE container for mono little-endian PCM16. */
+    private[multimodal] def wavBytes(data: Array[Byte],
+                                     rate: Int): Array[Byte] = {
+      val n = data.length
+      val out = new Array[Byte](44 + n)
+      def le32(i: Int, v: Int): Unit = {
+        out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+        out(i + 2) = ((v >> 16) & 0xff).toByte
+        out(i + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def le16(i: Int, v: Int): Unit = {
+        out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def ascii(i: Int, s: String): Unit =
+        s.indices.foreach(j => out(i + j) = s.charAt(j).toByte)
+      ascii(0, "RIFF"); le32(4, 36 + n); ascii(8, "WAVE")
+      ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+      le32(24, rate); le32(28, rate * 2); le16(32, 2); le16(34, 16)
+      ascii(36, "data"); le32(40, n)
+      System.arraycopy(data, 0, out, 44, n)
+      out
+    }
+
     /** Image dims for even ids: w in 4..8, h in 3..6. */
     def imageDims(docId: Long): (Int, Int) =
       (4 + (docId % 5).toInt, 3 + (docId % 4).toInt)
@@ -392,13 +642,10 @@ object Multimodal {
         }
         y += 1
       }
-      val baos = new ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", baos)
-      baos.toByteArray
+      writePng(img)
     }
 
     def wavPayload(docId: Long): Array[Byte] = {
-      import javax.sound.sampled._
       val n = audioFrames(docId)
       val data = new Array[Byte](n * 2)
       var j = 0
@@ -408,11 +655,7 @@ object Multimodal {
         data(2 * j + 1) = ((s >> 8) & 0xff).toByte
         j += 1
       }
-      val fmt = new AudioFormat(8000f, 16, 1, true, false)
-      val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
-      val baos = new ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
-      baos.toByteArray
+      wavBytes(data, 8000)
     }
 
     def payload(docId: Long): Array[Byte] =
@@ -439,7 +682,6 @@ object Multimodal {
     }
 
     def wavDupPayload(docId: Long): Array[Byte] = {
-      import javax.sound.sampled._
       val n = audioDupFrames(docId)
       val data = new Array[Byte](n * 2)
       var j = 0
@@ -449,11 +691,7 @@ object Multimodal {
         data(2 * j + 1) = ((s >> 8) & 0xff).toByte
         j += 1
       }
-      val fmt = new AudioFormat(8000f, 16, 1, true, false)
-      val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
-      val baos = new ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
-      baos.toByteArray
+      wavBytes(data, 8000)
     }
 
     /** Video presentation size / frame count formulas for [[mp4Payload]]. */
@@ -696,31 +934,138 @@ object Multimodal {
       .toDF(idCol, "frame_idx", "width", "height", "y_sig", "cb_sig", "cr_sig")
   }
 
+  /** Per-video distinct-frame PROFILES: (id, __prof = sorted array of the
+    * video's distinct frame-signature structs, __nf = its size, __vfp =
+    * md5 of the sorted array — the content-class fingerprint, same
+    * definition as [[videoContentFingerprints]]). Videos with fewer than
+    * `minShared` distinct frames can never reach the pair threshold and
+    * are pruned here. Scratch-materialized: the profile relation feeds the
+    * class collapse, the member expansions, and the rep pair plan. */
+  private def videoProfiles(dist: DataFrame, minShared: Int,
+                            idCol: String): DataFrame = {
+    val key = Seq("width", "height", "y_sig", "cb_sig", "cr_sig")
+    graft.util.Scratch.materialize(
+      dist.groupBy(col(idCol))
+        .agg(sort_array(collect_list(struct(key.map(col): _*))).as("__prof"))
+        .withColumn("__nf", size(col("__prof")))
+        .filter(col("__nf") >= minShared)
+        .withColumn("__vfp", md5(to_json(col("__prof")))),
+      "video_profiles")
+  }
+
+  /** Above this many profile CELLS (Σ over reps of nf², the volume the
+    * inline profile-join would duplicate through its explode) the
+    * duplicated profile structs outweigh the pair-aggregation shuffle they
+    * replace — switch to the rep-level aggregation plan. ~50M cells ×
+    * ~40 B/struct ≈ 2 GB of exchange, well inside one local host. */
+  private val ProfileJoinMaxCells = 50L * 1000 * 1000
+
+  /** Shared-frame counts between content-class REPRESENTATIVES:
+    * (id_a, id_b, n_shared ≥ minShared), both ids reps. Two exact plans,
+    * chosen eagerly from one profile-scale aggregate (the hot-bucket-census
+    * pattern — plan construction runs a bounded Spark job):
+    *
+    *  - INLINE PROFILE JOIN (small profiles — the re-upload regime, where
+    *    classes are fat and per-video distinct-frame sets are short):
+    *    rep profiles explode to one row per frame, the signature-keyed
+    *    equi-join discovers candidate pairs, and each joined row carries
+    *    BOTH profiles so `n_shared = |prof_a ∩ prof_b|` and the
+    *    emit-once gate (current signature == min of the intersection, so
+    *    exactly one of a pair's shared-frame rows survives) are computed
+    *    INLINE — the quadratic pair relation STREAMS to the consumer with
+    *    no pair-keyed aggregation, no distinct, and no spill (the round-10
+    *    30× point spilled 109 GB through the pair-count exchange);
+    *  - REP AGGREGATION (frame-heavy profiles, where duplicating a long
+    *    profile per frame would dwarf the pair stream): the classic
+    *    signature-join + pair-count aggregate, over reps only.
+    */
+  private def videoRepSharedCounts(dist: DataFrame, prof: DataFrame,
+                                   repTbl: DataFrame, minShared: Int,
+                                   idCol: String): DataFrame = {
+    val key = Seq("width", "height", "y_sig", "cb_sig", "cr_sig")
+    val reps = prof.join(
+      repTbl.select(col("__vfp"), col("__r").as(idCol)),
+      Seq("__vfp", idCol), "left_semi")
+    val cells = Option(
+      reps.agg(sum(col("__nf").cast("long") * col("__nf"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (cells <= ProfileJoinMaxCells) {
+      val exploded = reps
+        .select(col(idCol), col("__prof"), explode(col("__prof")).as("__f"))
+        .select(col(idCol) +: col("__prof") +:
+          key.map(k => col(s"__f.$k").as(k)): _*)
+      val a = exploded.select(
+        key.map(col) :+ col(idCol).as("id_a") :+ col("__prof").as("__pa"): _*)
+      val b = exploded.select(
+        key.map(col) :+ col(idCol).as("id_b") :+ col("__prof").as("__pb"): _*)
+      a.join(b, key)
+        .filter(col("id_a") < col("id_b"))
+        // staged select so the intersection computes once per row
+        .select(col("id_a"), col("id_b"), struct(key.map(col): _*).as("__cur"),
+          array_intersect(col("__pa"), col("__pb")).as("__shared"))
+        .filter(size(col("__shared")) >= minShared)
+        // emit-once: of the |shared| joined rows a qualifying pair
+        // produces, keep the one at the intersection's minimum signature
+        .filter(col("__cur") === array_min(col("__shared")))
+        .select(col("id_a"), col("id_b"),
+          size(col("__shared")).cast("long").as("n_shared"))
+    } else {
+      val repFrames = dist.join(
+        repTbl.select(col("__r").as(idCol)), Seq(idCol), "left_semi")
+      val a = repFrames.withColumnRenamed(idCol, "id_a")
+      val b = repFrames.withColumnRenamed(idCol, "id_b")
+      a.join(b, key)
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+    }
+  }
+
   /** Video NEAR-DUPLICATE pairs by SHARED FRAMES: two videos pair when
     * they have at least `minShared` distinct frame signatures in common
     * (same dims + all three plane signatures) — the shot-level dedup that
     * catches re-uploads, trims, and re-containered copies sharing footage.
     * Within-video repeats collapse first (a still shot repeated 100×
-    * counts once), then the signature-keyed equi-join pairs videos and a
-    * pair-count aggregate applies the threshold.
+    * counts once).
     *
-    * Scale: exchanges carry (id, dims, 3 longs) — frames and pixels never
-    * shuffle. The join is linear per signature class; a frame shared by m
-    * videos (a network's title card) contributes C(m,2) candidate pairs —
-    * quadratic exactly where the OUTPUT pair relation is, same contract as
-    * [[imageNearDuplicates]]. */
+    * Scale: the OUTPUT pair relation is quadratic where footage repeats —
+    * that is the operator's contract ([[videoNearDupEdges]] is the
+    * component-equivalent linear form) — but no exchange is: identical
+    * frame-SET classes ([[videoContentFingerprints]]'s vfp) collapse to
+    * their min-id rep; within-class pairs share the WHOLE frame set and
+    * are GENERATED by a class-keyed self-join (n_shared = the class's
+    * distinct-frame count); cross-class pairs inherit their reps' shared
+    * count, computed at rep scale by [[videoRepSharedCounts]] and expanded
+    * through the members at output time. The round-10 plan shuffled the
+    * C(m,2) candidate stream through a pair-count aggregate — 214 s /
+    * 109 GB of spill at the 30× media point; every exchange here is
+    * linear in videos × distinct frames. Frames and pixels never shuffle
+    * ((id, dims, 3 longs) rows only). */
   def videoNearDuplicates(sigs: DataFrame, minShared: Int = 2,
                           idCol: String = "doc_id"): DataFrame = {
     require(minShared >= 1, s"minShared $minShared < 1")
     val key = Seq("width", "height", "y_sig", "cb_sig", "cr_sig")
-    val dist = sigs.select(col(idCol) +: key.map(col): _*).distinct()
-    val a = dist.withColumnRenamed(idCol, "id_a")
-    val b = dist.withColumnRenamed(idCol, "id_b")
-    a.join(b, key)
+    val dist = graft.util.Scratch.materialize(
+      sigs.select(col(idCol) +: key.map(col): _*).distinct(), "video_frames")
+    val prof = videoProfiles(dist, minShared, idCol)
+    val repTbl = prof.groupBy(col("__vfp")).agg(min(col(idCol)).as("__r"))
+    val members = prof.select(col("__vfp"), col(idCol).as("__m"), col("__nf"))
+      .join(repTbl, Seq("__vfp"))
+    val within = members.select(col("__vfp"), col("__m").as("id_a"), col("__nf"))
+      .join(members.select(col("__vfp"), col("__m").as("id_b")), Seq("__vfp"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"),
+        col("__nf").cast("long").as("n_shared"))
+    val repPairs = videoRepSharedCounts(dist, prof, repTbl, minShared, idCol)
+    val cross = repPairs
+      .join(members.select(col("__r").as("id_a"), col("__m").as("__ma")),
+        Seq("id_a"))
+      .join(members.select(col("__r").as("id_b"), col("__m").as("__mb")),
+        Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("n_shared"))
+    within.unionByName(cross)
   }
 
   /** Content fingerprint of a video's DECODED distinct-frame set:
@@ -758,24 +1103,19 @@ object Multimodal {
   def videoNearDupEdges(sigs: DataFrame, minShared: Int = 2,
                         idCol: String = "doc_id"): DataFrame = {
     require(minShared >= 1, s"minShared $minShared < 1")
-    import org.apache.spark.sql.expressions.Window
     val key = Seq("width", "height", "y_sig", "cb_sig", "cr_sig")
-    // distinct frame rows feed the fingerprint agg AND the rep join
     val dist = graft.util.Scratch.materialize(
       sigs.select(col(idCol) +: key.map(col): _*).distinct(), "video_frames")
-    val w = Window.partitionBy(col("vfp"))
-    val withRep = videoContentFingerprints(dist, idCol)
-      .withColumn("__rep", min(col(idCol)).over(w))
-    val star = withRep
-      .filter(col(idCol) =!= col("__rep") &&
-        col("n_frames_distinct") >= minShared)
-      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
-    val repIds = withRep
-      .filter(col(idCol) === col("__rep") &&
-        col("n_frames_distinct") >= minShared)
-      .select(col(idCol))
-    val repPairs = videoNearDuplicates(
-      dist.join(repIds, Seq(idCol), "left_semi"), minShared, idCol)
+    // same profile/class core as the full-pair form ([[videoProfiles]]):
+    // classes below the minShared frame floor pair with nothing — no star
+    // edges, no rep join rows
+    val prof = videoProfiles(dist, minShared, idCol)
+    val repTbl = prof.groupBy(col("__vfp")).agg(min(col(idCol)).as("__r"))
+    val star = prof.select(col("__vfp"), col(idCol))
+      .join(repTbl, Seq("__vfp"))
+      .filter(col(idCol) =!= col("__r"))
+      .select(col("__r").as("id_a"), col(idCol).as("id_b"))
+    val repPairs = videoRepSharedCounts(dist, prof, repTbl, minShared, idCol)
       .select(col("id_a"), col("id_b"))
     star.unionByName(repPairs)
   }

@@ -301,6 +301,51 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(batch(4L) == 1L && batch(6L) == 1L && batch(9L) == 7L)
   }
 
+  test("incremental near-dup edges: crash-replay with appended side tables converges") {
+    val s = spark
+    import s.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val a2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val b = "completely different content about spark catalyst optimizer rules " +
+      "and adaptive execution at scale"
+    val c = "a third topic on watermark stores and exactly once loading spark"
+    val c2 = "a third topic on watermark stores and exactly once loading data"
+    // corpus carries a near-dup (NOT identical) neighbor of the increment's
+    // new content C — the link a replay must NOT lose: it is only found by
+    // the LSH probe, never by a fingerprint hit
+    val corpus = Seq((2L, a), (4L, a), (6L, a2), (8L, b), (10L, c2))
+      .toDF("doc_id", "text")
+    val inc = Seq((1L, a), (3L, a2), (5L, b), (7L, c), (9L, c))
+      .toDF("doc_id", "text")
+    val thr = 0.5
+    val repFps = DedupFunctions.repFingerprints(corpus, "doc_id", "text")
+    val repIdx = DedupFunctions.minhashRepBandIndex(corpus, "doc_id", "text")
+    def edgeSet(fps: org.apache.spark.sql.DataFrame,
+                idx: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      DedupFunctions.minhashNearDupEdgesIncremental(
+        inc, corpus, fps, idx, "doc_id", "text", thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clean = edgeSet(repFps, repIdx)
+    assert(clean.contains((7L, 10L)) || clean.contains((7L, 9L))) // sanity
+    // the neardup_labels_edges crash window: the post-op appended the
+    // increment's new-content classes and their reps' band rows, then died
+    // BEFORE the label swap — the replay sees a side table that already
+    // contains the increment's own fingerprints, keyed by increment ids.
+    // Without the committed-corpus restriction the new class C would come
+    // back tagged 'known' (its corpus rep = its own increment id), the LSH
+    // probe would be skipped, and the genuine near-dup link 7–10 silently
+    // lost forever.
+    val incFps = DedupFunctions.repFingerprints(inc, "doc_id", "text")
+      .join(repFps.select($"fingerprint"), Seq("fingerprint"), "left_anti")
+    val staleFps = repFps.unionByName(incFps)
+    val incRepIdx = DedupFunctions.minhashBandIndex(inc, "doc_id", "text")
+      .join(incFps.select($"rep_id".as("doc_id")), Seq("doc_id"), "left_semi")
+    val staleIdx = repIdx.unionByName(incRepIdx)
+    val replay = edgeSet(staleFps, staleIdx)
+    assert(replay == clean)
+    assert(replay.exists { case (x, y) => Set(x, y) == Set(7L, 10L) })
+  }
+
   test("near-dup edges: empty-content class matches the full relation") {
     val s = spark
     import s.implicits._

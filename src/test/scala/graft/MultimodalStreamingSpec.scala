@@ -234,6 +234,67 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.sampleRate == 16000 && got.samples.toSeq == samples.toSeq)
   }
 
+  test("fixture writers: registry-free WAV/PNG bytes identical to the JDK writers") {
+    import javax.sound.sampled._
+    // WAV: the pure 44-byte-header writer must be byte-for-byte what
+    // AudioSystem.write(WAVE) produced before the registry bypass — the
+    // fixture payloads are hashed/classed downstream, so container DRIFT,
+    // not just sample drift, would change results
+    for (d <- Seq(2L, 7L, 49L)) {
+      val pure = Multimodal.MediaFixtures.wavPayload(d)
+      val n = Multimodal.MediaFixtures.audioFrames(d)
+      val data = new Array[Byte](n * 2)
+      (0 until n).foreach { j =>
+        val s = Multimodal.MediaFixtures.sampleValue(d, j.toLong)
+        data(2 * j) = (s & 0xff).toByte
+        data(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      assert(pure.toSeq == baos.toByteArray.toSeq)
+    }
+    // PNG: the per-thread ImageWriter is the same plugin ImageIO.write
+    // resolves to, so its output must match byte-for-byte
+    for (d <- Seq(0L, 4L, 88L)) {
+      val pure = Multimodal.MediaFixtures.pngPayload(d)
+      val (w, h) = Multimodal.MediaFixtures.imageDims(d)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = Multimodal.MediaFixtures.pixelByte(d, p * 3L)
+        val g = Multimodal.MediaFixtures.pixelByte(d, p * 3L + 1)
+        val b = Multimodal.MediaFixtures.pixelByte(d, p * 3L + 2)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        p += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      assert(pure.toSeq == baos.toByteArray.toSeq)
+    }
+  }
+
+  test("decodeAudio: AU (.snd) container decodes through the pure-byte branch") {
+    import javax.sound.sampled._
+    val samples = (0 until 300).map(j => ((j * 13) % 4001) - 2000).toArray
+    val data = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { j =>                 // AU is big-endian PCM16
+      data(2 * j) = ((samples(j) >> 8) & 0xff).toByte
+      data(2 * j + 1) = (samples(j) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(11025f, 16, 1, true, true)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AU, baos)
+    val got = Multimodal.MediaCodec.decodeAudio(baos.toByteArray).get
+    assert(got.sampleRate == 11025 && got.channels == 1)
+    assert(got.samples.toSeq == samples.toSeq)
+  }
+
   test("decodeImage/decodeAudio reject the other modality and junk") {
     import Multimodal.{MediaCodec, MediaFixtures}
     assert(MediaCodec.decodeImage(MediaFixtures.wavPayload(1L)).isEmpty)
