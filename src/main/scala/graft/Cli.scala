@@ -446,6 +446,72 @@ object Cli {
               scrub(loader.targetPath(dId) + suffix, keyName,
                 keepState = false)
             }
+            // EDGE-FORM REP RE-ELECTION: the rep-collapsed side tables key
+            // whole content classes through one representative — scrubbing
+            // a rep whose class has SURVIVING members would orphan them
+            // (their band rows were never in the rep index, so future
+            // identical or near-dup content could never link to them
+            // again: silent recall loss the full-form tables don't have,
+            // since there every member keeps its own rows). Re-elect the
+            // min surviving id per orphaned fingerprint from the already-
+            // scrubbed base table, restore its (fingerprint, rep_id) row,
+            // and add the new rep's band-index rows. Runs BEFORE the
+            // generic scrub would be wrong (the doomed rows must go and
+            // the base must already be deleted) — so it recomputes from
+            // the PRE-scrub fps relation read here, after deleteKeys.
+            if (po.op == "neardup_labels_edges") {
+              val fpsPath = loader.targetPath(dId) + ".__repfps"
+              val bandsPath = loader.targetPath(dId) + ".__repbands"
+              val fpsP = new org.apache.hadoop.fs.Path(fpsPath)
+              val fs2 = fpsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (fs2.exists(fpsP)) {
+                import org.apache.spark.sql.functions.{col, min => fmin,
+                  broadcast}
+                val curFps = spark.read.parquet(fpsPath)
+                // the generic scrub above already removed doomed rows —
+                // orphaned FINGERPRINTS are therefore exactly the class
+                // fingerprints still present in the (already-deleted) BASE
+                // but absent from the fps table: classes that lost their
+                // rep. Same banding-eligibility gate as repFingerprints
+                // (null text never enters a class).
+                val txt = po.textColumn.get
+                val base = loader.readTarget(spark, id).getOrElse(
+                  throw new IllegalStateException(
+                    s"forget: ${id.qualified} vanished mid-scrub"))
+                val baseFps = graft.util.Scratch.materialize(
+                  base.filter(col(txt).isNotNull)
+                    .select(col(keyCol),
+                      graft.functions.TextFunctions.fingerprintMd5(col(txt))
+                        .as("fingerprint")),
+                  "forget_base_fps")
+                val orphaned = baseFps.select(col("fingerprint")).distinct()
+                  .join(curFps.select(col("fingerprint")),
+                    Seq("fingerprint"), "left_anti")
+                val newReps = graft.util.Scratch.materialize(
+                  baseFps.join(broadcast(orphaned), Seq("fingerprint"))
+                    .groupBy(col("fingerprint"))
+                    .agg(fmin(col(keyCol)).as("rep_id")),
+                  "forget_newreps")
+                if (newReps.limit(1).count() > 0) {
+                  loader.replaceDerivedAt(spark, fpsPath,
+                    spark.read.parquet(fpsPath).unionByName(newReps), None)
+                  val bandsP = new org.apache.hadoop.fs.Path(bandsPath)
+                  val newRepBands = graft.functions.DedupFunctions
+                    .minhashBandIndex(
+                      base.join(newReps.select(col("rep_id").as(keyCol)),
+                        Seq(keyCol), "left_semi"),
+                      keyCol, txt)
+                  if (fs2.exists(bandsP))
+                    loader.replaceDerivedAt(spark, bandsPath,
+                      spark.read.parquet(bandsPath)
+                        .unionByName(newRepBands), None)
+                  else
+                    newRepBands.write.mode("overwrite").parquet(bandsPath)
+                  println(s"re-elected ${po.target} class reps for " +
+                    "orphaned content classes")
+                }
+              }
+            }
             println(s"scrubbed ${po.target} labels + band index")
           }
         println(s"forgot ${values.size} key(s) from ${id.qualified}: " +

@@ -216,25 +216,14 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Largest identical-content class size in a corpus — ONE cheap
-    * fingerprint aggregation (map-side combined to distinct-content scale,
-    * a single max row to the driver). The star-collapse machinery below is
-    * pure overhead when this is 1 (a duplicate-free corpus), so the edge
-    * and full-pair forms consult it EAGERLY at plan-construction time (a
-    * bounded Spark job — the hot-bucket-census pattern) and skip the
-    * collapse when it buys nothing. */
-  private def maxClassSize(docs: DataFrame, idCol: String,
-                           textCol: String): Long = {
-    val row = docs.filter(col(textCol).isNotNull)
-      .select(TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
-      .groupBy(col("__fp")).agg(count(lit(1)).as("__n"))
-      .agg(max(col("__n"))).head()
-    if (row.isNullAt(0)) 0L else row.getLong(0)
-  }
-
   /** Identical-content classes with sizes: (__fp, __rep = min id, __n) —
-    * distinct-content scale, scratch-materialized (feeds the star join and
-    * the rep index restriction). */
+    * distinct-content scale, scratch-materialized. ONE fingerprint pass
+    * serves everything downstream: the duplicate-free probe (max __n over
+    * the scratch files is free), the star join and the rep index
+    * restriction. The single-scan [[graft.functions.FingerprintNorm]]
+    * keeps the pass cheap (the former two-regex chain made three of these
+    * passes the dominant cost of the whole operator at the 100× bench
+    * point). */
   private def contentClasses(docs: DataFrame, idCol: String,
                              textCol: String): DataFrame =
     graft.util.Scratch.materialize(
@@ -244,6 +233,17 @@ object DedupFunctions {
         .groupBy(col("__fp"))
         .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n")),
       "content_classes")
+
+  /** Largest class size from a materialized [[contentClasses]] relation —
+    * reads the scratch files, no recompute. The star-collapse machinery is
+    * pure overhead when this is 1 (a duplicate-free corpus), so the edge
+    * and full-pair forms consult it EAGERLY at plan-construction time (a
+    * bounded Spark job — the hot-bucket-census pattern) and skip the
+    * collapse when it buys nothing. */
+  private def maxClassSize(classes: DataFrame): Long = {
+    val row = classes.agg(max(col("__n"))).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
 
   /** Near-duplicate pairs above a Jaccard threshold via MinHash-LSH.
     *
@@ -271,20 +271,27 @@ object DedupFunctions {
     * free to build, like every LSH operator here. */
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double = 0.8): DataFrame = {
-    if (maxClassSize(docs, idCol, textCol) <= 1L)
+    val classes = contentClasses(docs, idCol, textCol)
+    if (maxClassSize(classes) <= 1L)
       return minhashCandidatePairs(docs, idCol, textCol)
         .filter(col("jaccard") >= threshold)
-    val classes = contentClasses(docs, idCol, textCol)
-    val members = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
-      .join(classes, Seq("__fp"))
-    // within-class pairs (Jaccard exactly 1), generated — dup classes only
-    // (singletons self-join to nothing); the lit(1.0) threshold guard
-    // constant-folds away for every sane threshold ≤ 1
-    val dupMembers = members.filter(col("__n") > 1)
-    val within = dupMembers.select(col("__fp"), col(idCol).as("id_a"))
-      .join(dupMembers.select(col("__fp"), col(idCol).as("id_b")), Seq("__fp"))
+    // members of DUPLICATED classes only — dup-mass scale, not corpus
+    // scale (a mostly-distinct corpus keeps this tiny and its joins
+    // broadcast under AQE; a boilerplate-heavy one is exactly where the
+    // collapse pays). Scratch: feeds the within self-join (2 refs) and the
+    // cross expansion (2 refs) — unmaterialized, each ref re-ran the
+    // fingerprint pass.
+    val dupMemb = graft.util.Scratch.materialize(
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol),
+          TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
+        .join(classes.filter(col("__n") > 1)
+          .select(col("__fp"), col("__rep")), Seq("__fp")),
+      "dup_members")
+    // within-class pairs (Jaccard exactly 1), generated; the lit(1.0)
+    // threshold guard constant-folds away for every sane threshold ≤ 1
+    val within = dupMemb.select(col("__fp"), col(idCol).as("id_a"))
+      .join(dupMemb.select(col("__fp"), col(idCol).as("id_b")), Seq("__fp"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
       .filter(lit(1.0) >= lit(threshold))
@@ -296,14 +303,17 @@ object DedupFunctions {
     val repPairs = candidatePairsFromIndex(repIndex, docs, idCol, textCol,
       shingleN = 3, maxBucketSize = 1000)
       .filter(col("jaccard") >= threshold)
-    val memb = members.select(col("__rep"), col(idCol).as("__m"))
+    // cross-class expansion: a rep not in any dup class expands to itself
+    // (LEFT join + coalesce), so only dup-class members ride the join
     val cross = repPairs
-      .join(memb.select(col("__rep").as("id_a"), col("__m").as("__ma")),
-        Seq("id_a"))
-      .join(memb.select(col("__rep").as("id_b"), col("__m").as("__mb")),
-        Seq("id_b"))
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+      .join(dupMemb.select(col("__rep").as("id_a"), col(idCol).as("__ma")),
+        Seq("id_a"), "left")
+      .join(dupMemb.select(col("__rep").as("id_b"), col(idCol).as("__mb")),
+        Seq("id_b"), "left")
+      .select(least(coalesce(col("__ma"), col("id_a")),
+          coalesce(col("__mb"), col("id_b"))).as("id_a"),
+        greatest(coalesce(col("__ma"), col("id_a")),
+          coalesce(col("__mb"), col("id_b"))).as("id_b"), col("jaccard"))
     within.unionByName(cross)
   }
 
@@ -352,13 +362,14 @@ object DedupFunctions {
                           k: Int = 64, bands: Int = 16,
                           maxBucketSize: Int = 1000): DataFrame = {
     // ADAPTIVE collapse: on a duplicate-free corpus (class-size probe == 1,
-    // one cheap eager agg — see [[maxClassSize]]) the star machinery buys
-    // nothing: there are no stars and every doc is its own rep, so the
-    // edge set IS the unrestricted banded pair set. Skipping the class
-    // scratch + star join + index semi-join there removed a measured >2×
-    // steady overhead on dup-free fixtures; duplicate-heavy behavior is
-    // unchanged (DedupSpec pins edge-component equality).
-    if (maxClassSize(docs, idCol, textCol) <= 1L)
+    // read free off the classes scratch — see [[maxClassSize]]) the star
+    // machinery buys nothing: there are no stars and every doc is its own
+    // rep, so the edge set IS the unrestricted banded pair set. Skipping
+    // the star join + index semi-join there removed a measured >2× steady
+    // overhead on dup-free fixtures; duplicate-heavy behavior is unchanged
+    // (DedupSpec pins edge-component equality).
+    val classes = contentClasses(docs, idCol, textCol)
+    if (maxClassSize(classes) <= 1L)
       return candidatePairsFromIndex(
         minhashBandIndex(docs, idCol, textCol, shingleN, k, bands),
         docs, idCol, textCol, shingleN, maxBucketSize)
@@ -370,8 +381,8 @@ object DedupFunctions {
     // directly instead of computing a full shingle scan per row just to
     // measure its emptiness (was ~30% of the 100× point's cpu). The class
     // relation ([[contentClasses]], scratch) is distinct-content scale and
-    // feeds both the star join and the rep index restriction.
-    val classes = contentClasses(docs, idCol, textCol)
+    // feeds both the star join and the rep index restriction; the star
+    // join's build side is the DUPLICATED classes only.
     val star = docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
@@ -551,14 +562,41 @@ object DedupFunctions {
         posexplode(bandKeys(col("sig"), bands, k / bands))
           .as(Seq("band", "bucket")))
 
-  /** What the most recent hot-bucket cap actually discarded: over-cap
-    * (band,bucket) keys and the index rows inside them. Silent recall loss
-    * in a dedup is the one failure a user cannot see from the output, so
-    * the cap is no longer allowed to be invisible: every capped run
-    * overwrites this holder (bench/pipeline code reads it after the run;
-    * DedupSpec pins it). Zero after a run = nothing was dropped. */
+  /** What a hot-bucket cap evaluation discarded: over-cap (band,bucket)
+    * keys and the index rows inside them. Silent recall loss in a dedup is
+    * the one failure a user cannot see from the output, so the cap is not
+    * allowed to be invisible.
+    *
+    * Ownership model: every census APPENDS to a PER-THREAD log that the
+    * caller drains with [[drainHotBucketDrops]] — correct because the LSH
+    * operators evaluate their census EAGERLY at plan-construction time on
+    * the calling thread (these public pair/edge APIs run bounded Spark
+    * jobs while BUILDING the plan — the returned DataFrame is lazy, the
+    * construction is not), so a composite operator that runs several
+    * censuses (the edge-form incremental runs one per probe) yields one
+    * record each instead of clobbering a shared slot, and concurrent runs
+    * on one SparkSession can't interleave each other's records.
+    * [[lastHotBucketDrops]] stays as the latest-census convenience view
+    * (single-threaded monitoring only — under concurrency, drain the
+    * thread log). Zero after a run = nothing dropped. */
   final case class HotBucketDrops(buckets: Long, indexRows: Long)
   @volatile var lastHotBucketDrops: HotBucketDrops = HotBucketDrops(0L, 0L)
+  private val hotBucketLog =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[HotBucketDrops]] {
+      override def initialValue()
+          : scala.collection.mutable.ArrayBuffer[HotBucketDrops] =
+        scala.collection.mutable.ArrayBuffer.empty
+    }
+
+  /** Drain THIS thread's accumulated census records (one per hot-bucket
+    * evaluation since the last drain, oldest first) — the owned handle a
+    * pipeline reads after building/running its dedup plan. */
+  def drainHotBucketDrops(): Seq[HotBucketDrops] = {
+    val b = hotBucketLog.get()
+    val out = b.toSeq
+    b.clear()
+    out
+  }
 
   /** Remove degenerate LSH buckets (boilerplate content all colliding):
     * without the cap, one hot bucket at 100 TB produces an O(m²) pair
@@ -582,8 +620,10 @@ object DedupFunctions {
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > maxBucketSize)
       .collect()
-    lastHotBucketDrops = HotBucketDrops(hotRows.length.toLong,
+    val drops = HotBucketDrops(hotRows.length.toLong,
       hotRows.map(_.getLong(keyCols.length)).sum)
+    lastHotBucketDrops = drops
+    hotBucketLog.get() += drops
     if (hotRows.isEmpty) None
     else {
       val spark = bucketed.sparkSession

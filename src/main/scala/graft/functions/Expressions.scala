@@ -193,6 +193,10 @@ object exprs {
   def unicode_normalize(c: Column, form: String = "NFC",
                         stripAccents: Boolean = false): Column =
     GraftShim.column(NormalizeText(GraftShim.expression(c), form, stripAccents))
+  /** Single-scan fingerprint normalization (lowercase, keep [a-z0-9],
+    * collapse separators) — value-identical to the two-regex chain. */
+  def fingerprint_norm(c: Column): Column =
+    GraftShim.column(FingerprintNorm(GraftShim.expression(c)))
   /** Equi-depth bucket id of a double column against sorted boundaries
     * (binary search; null → 0, NaN → top). */
   def range_bucket(c: Column, boundaries: Array[Double]): Column =
@@ -387,6 +391,69 @@ object NormalizeText {
     if (form == "NFC" || form == "NFKC")
       Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
     else sb.toString
+  }
+}
+
+/** Fingerprint normalization in ONE scan — the exact value of
+  * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9\\s]", " "),
+  * "\\s+", " "))` without the two Java-regex passes, which measured ~0.9 ms
+  * of cpu per document and made the fingerprint pass the dominant cost of
+  * every exact-dedup/star-collapse consumer at the 100× bench point
+  * (fingerprint agg over 400 k docs: 11 s wall / ~350 exec-s).
+  *
+  * Equivalence argument: lowercase goes through `UTF8String.toLowerCase` —
+  * the same full-string unicode mapping Spark's `lower()` uses (a per-char
+  * `Character.toLowerCase` would diverge on one-to-many mappings like İ).
+  * In the regex chain every character of the lowered string that is not
+  * [a-z0-9] ends up a space — either replaced by the first regex or
+  * already whitespace — and `\s+`→' ' collapses each separator RUN to one
+  * space, with trim dropping the ends; so a single scan that keeps
+  * [a-z0-9] and emits one ' ' between kept runs is value-identical
+  * (surrogate pairs: both halves are non-[a-z0-9] separators, same
+  * collapse). The DuckDB oracle keeps replaying the regex SQL — values
+  * match by this argument. */
+case class FingerprintNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"fingerprint_norm expects STRING, got ${child.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      FingerprintNorm.normalize(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = FingerprintNorm.getClass.getName.stripSuffix("$") + "$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  $cls.MODULE$$.normalize($c));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FingerprintNorm =
+    copy(child = newChild)
+  override def prettyName: String = "fingerprint_norm"
+}
+
+object FingerprintNorm {
+  def normalize(s: UTF8String): String = {
+    val lower = s.toLowerCase.toString
+    val sb = new java.lang.StringBuilder(lower.length)
+    var pendingSep = false
+    var i = 0
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSep && sb.length > 0) sb.append(' ')
+        sb.append(c)
+        pendingSep = false
+      } else pendingSep = true
+      i += 1
+    }
+    sb.toString
   }
 }
 

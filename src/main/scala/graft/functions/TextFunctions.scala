@@ -136,10 +136,15 @@ object TextFunctions {
   }
 
   /** Normalized text for fingerprinting: lowercase, collapse whitespace,
-    * strip punctuation — so near-identical docs collide. */
+    * strip punctuation — so near-identical docs collide. Computed by the
+    * single-scan codegen expression [[graft.functions.FingerprintNorm]]
+    * (value-identical to the former
+    * `trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9\\s]", " "),
+    * "\\s+", " "))` chain, which cost two Java-regex passes per document —
+    * the dominant cpu of every fingerprint consumer at the 100× bench
+    * point; the DuckDB oracles keep replaying the regex SQL). */
   def normalizedText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
-      "\\s+", " "))
+    graft.functions.exprs.fingerprint_norm(text.cast("string"))
 
   /** Content fingerprint: md5 of normalized text (exact-dup key; DuckDB-
     * reproducible). For the 64-bit rolling-hash variant see

@@ -12,11 +12,13 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   *   1. container-HEADER metadata ([[MediaCodec.parseHeader]]: PNG/JPEG/GIF/
   *      BMP dimensions, WAV rate/channels/frames — pure byte layout, no
   *      codec, the right cost for a 100 TB metadata sweep);
-  *   2. REAL pixel/sample decode via the JDK's built-in codecs
-  *      ([[MediaCodec.decodeImage]]: `javax.imageio.ImageIO` for
-  *      PNG/JPEG/GIF/BMP; [[MediaCodec.decodeAudio]]:
-  *      `javax.sound.sampled` for WAV PCM) — run per-partition, narrow,
-  *      no shuffle;
+  *   2. REAL pixel/sample decode — [[MediaCodec.decodeImage]] drives the
+  *      JDK's PNG/JPEG/GIF/BMP reader plugins through per-thread
+  *      `ImageReader`s over in-memory streams (never `ImageIO.read`,
+  *      whose registry walk + temp-file cache serialize a 32-thread
+  *      executor); [[MediaCodec.decodeAudio]] parses WAV/AIFF/AU PCM16
+  *      straight from the container bytes (registry fallback only for
+  *      exotic containers). Run per-partition, narrow, no shuffle;
   *   3. REAL H.264 frame-pixel decode for the I_PCM bitstream subset
   *      ([[MediaCodec.decodeH264Frames]] / [[H264]]) — entropy-coded
   *      residuals are out of scope and rejected loudly;

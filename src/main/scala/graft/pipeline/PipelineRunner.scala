@@ -237,9 +237,11 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
   def sync(p: Pipeline, tableFilter: Option[String] = None,
            catalog: Option[SourceCatalog] = None): PipelineReport = {
     // scratch scope: every relation an operator scratch-materializes during
-    // this run is drained into sinks by the time sync returns, so the LAST
-    // concurrent sync to finish sweeps the scratch tier — a per-sync daemon
-    // no longer grows scratch until JVM exit (round-9 ask #7)
+    // this run is drained into sinks by the time sync returns, so the sync
+    // sweeps ITS OWN scope at release — a per-sync daemon no longer grows
+    // scratch until JVM exit (round-9 ask #7), and concurrent syncs or
+    // ad-hoc callers on other threads are untouched (scope membership is
+    // per-thread + explicit worker tagging, not a process-global counter)
     graft.util.Scratch.retain()
     try syncInner(p, tableFilter, catalog)
     finally {
@@ -424,14 +426,23 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
                           extractor: Extractor, loader: Loader,
                           poolSize: Int): Seq[TableReport] = {
     val pool = Executors.newFixedThreadPool(poolSize)
+    // carry the sync's scratch scope onto the worker threads: scope
+    // membership is per-thread (so concurrent ad-hoc callers can't be
+    // swept), which means fan-out workers must tag themselves in or their
+    // per-table scratch would silently fall to the JVM-exit tier
+    val scratchScope = graft.util.Scratch.currentScope
     try {
       val futures = specs.map { spec =>
         pool.submit(new java.util.concurrent.Callable[TableReport] {
           def call(): TableReport = {
             spark.sparkContext.setLocalProperty("spark.scheduler.pool",
               s"graft-${spec.name}")
+            scratchScope.foreach(_.enter())
             try runTable(p, spec, cat, extractor, loader)
-            finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+            finally {
+              scratchScope.foreach(_.exit())
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+            }
           }
         })
       }

@@ -20,12 +20,18 @@ import org.apache.spark.sql.DataFrame
   * for a long-lived per-sync pipeline session (a daemon that scratch-
   * materializes media hashes every sync would grow disk without bound):
   *
-  *  - dirs written INSIDE a pipeline-run scope ([[retain]]/[[release]],
-  *    wrapped around `PipelineRunner.sync`) are swept when the LAST active
-  *    scope releases — by then every run's relations have been drained
-  *    into sinks, so no consumer remains (concurrent syncs defer the sweep
-  *    until all finish, since one run's operators must not lose another's
-  *    scratch mid-flight);
+  *  - dirs written under an EXPLICIT run scope ([[retain]] returns a
+  *    [[Scope]] token; [[release]] pops and sweeps it) are reclaimed when
+  *    THAT scope releases — by then the run's relations have been drained
+  *    into sinks, so no consumer remains. Scope membership is carried on
+  *    the writing THREAD (a per-thread scope stack), and a run that fans
+  *    out to worker threads tags them in with [[Scope.enter]]/[[Scope.exit]]
+  *    — so a concurrent AD-HOC caller on some other thread can never have
+  *    its scratch tagged into a sync's scope and deleted under it (the
+  *    former process-global counter did exactly that), and two concurrent
+  *    syncs sweep their own dirs without racing each other's (each scope
+  *    owns its queue; the former shared queue let an in-flight sweep drain
+  *    a newer scope's freshly-added dirs);
   *  - dirs written OUTSIDE any scope (ad-hoc operator calls whose returned
   *    DataFrames the caller may hold indefinitely) keep the conservative
   *    JVM-exit lifecycle, with [[registeredBytes]]/[[registeredCount]]
@@ -40,9 +46,26 @@ object Scratch {
 
   private final case class Entry(dir: String, bytes: Long)
 
-  private val scopedDirs = new java.util.concurrent.ConcurrentLinkedQueue[Entry]
+  /** A pipeline-run scratch scope: every [[materialize]] on a thread whose
+    * scope stack has this on top tags its dir here; [[release]] sweeps it.
+    * Worker threads of the same run tag themselves in with [[enter]] and
+    * out with [[exit]] (no sweep — only the owning [[release]] sweeps). */
+  final class Scope private[Scratch] () {
+    private[Scratch] val dirs = new java.util.concurrent.ConcurrentLinkedQueue[Entry]
+    def enter(): Unit = { stack.get().push(Scope.this); () }
+    def exit(): Unit = {
+      val st = stack.get()
+      if (!st.isEmpty && (st.peek() eq Scope.this)) { st.pop(); () }
+    }
+  }
+
+  private val stack = new ThreadLocal[java.util.ArrayDeque[Scope]] {
+    override def initialValue(): java.util.ArrayDeque[Scope] =
+      new java.util.ArrayDeque[Scope]()
+  }
+  private val liveScopes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Scope]()
   private val globalDirs = new java.util.concurrent.ConcurrentLinkedQueue[Entry]
-  private val activeScopes = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var hooked = false
 
   private def ensureHook(): Unit =
@@ -53,25 +76,49 @@ object Scratch {
       }
     }
 
-  /** Enter a pipeline-run scope: scratch written until the matching
-    * [[release]] is reclaimed when the last scope ends. */
-  def retain(): Unit = { ensureHook(); activeScopes.incrementAndGet(); () }
-
-  /** Leave a pipeline-run scope; when no scope remains active, sweep every
-    * scope-tagged scratch dir. Returns bytes reclaimed (0 while other
-    * scopes are still running — their operators may still be writing). */
-  def release(): Long =
-    if (activeScopes.decrementAndGet() <= 0) sweep(scopedDirs) else 0L
-
-  /** Total bytes currently held across BOTH tiers (size accounting for
-    * long sessions; sizes are as measured at write time). */
-  def registeredBytes: Long = {
-    val it = (scopedDirs.iterator().asScala ++ globalDirs.iterator().asScala)
-    it.map(_.bytes).sum
+  /** Enter a pipeline-run scope on THIS thread: scratch written until the
+    * matching [[release]] (on this thread, or on worker threads tagged in
+    * via [[Scope.enter]]) is reclaimed when the scope releases. Scopes
+    * nest per thread — a nested retain/release pair sweeps only its own
+    * dirs. */
+  def retain(): Scope = {
+    ensureHook()
+    val sc = new Scope
+    liveScopes.add(sc)
+    stack.get().push(sc)
+    sc
   }
 
-  /** Number of live scratch dirs across both tiers. */
-  def registeredCount: Int = scopedDirs.size + globalDirs.size
+  /** Leave this thread's innermost scope and sweep ITS dirs (other scopes
+    * — concurrent syncs — are untouched). Returns bytes reclaimed; 0 when
+    * no scope is active on this thread. */
+  def release(): Long = {
+    val st = stack.get()
+    if (st.isEmpty) 0L
+    else {
+      val sc = st.pop()
+      liveScopes.remove(sc)
+      sweep(sc.dirs)
+    }
+  }
+
+  /** The scope the CURRENT thread would tag writes into, if any — a
+    * fan-out runner captures this before submitting worker tasks and
+    * brackets each task with [[Scope.enter]]/[[Scope.exit]]. */
+  def currentScope: Option[Scope] = Option(stack.get().peek())
+
+  /** Total bytes currently held across live scopes and the global tier
+    * (size accounting for long sessions; sizes as measured at write
+    * time). */
+  def registeredBytes: Long = {
+    val scoped = liveScopes.iterator().asScala
+      .flatMap(_.dirs.iterator().asScala).map(_.bytes).sum
+    scoped + globalDirs.iterator().asScala.map(_.bytes).sum
+  }
+
+  /** Number of live scratch dirs across all tiers. */
+  def registeredCount: Int =
+    liveScopes.iterator().asScala.map(_.dirs.size).sum + globalDirs.size
 
   private implicit class QIt[A](private val it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
@@ -80,9 +127,13 @@ object Scratch {
     }
   }
 
-  /** Delete every scratch dir written so far, both tiers (also runs at JVM
+  /** Delete every scratch dir written so far, all tiers (also runs at JVM
     * shutdown). Callers assert no scan of them is still live. */
-  def cleanupAll(): Unit = { sweep(scopedDirs); sweep(globalDirs); () }
+  def cleanupAll(): Unit = {
+    liveScopes.iterator().asScala.foreach(sc => sweep(sc.dirs))
+    sweep(globalDirs)
+    ()
+  }
 
   private def sweep(
       q: java.util.concurrent.ConcurrentLinkedQueue[Entry]): Long = {
@@ -126,7 +177,10 @@ object Scratch {
       case _: Throwable => 0L
     }
     val entry = Entry(dir, bytes)
-    if (activeScopes.get() > 0) scopedDirs.add(entry) else globalDirs.add(entry)
+    currentScope match {
+      case Some(sc) => sc.dirs.add(entry)
+      case None => globalDirs.add(entry)
+    }
     spark.read.parquet(dir)
   }
 }

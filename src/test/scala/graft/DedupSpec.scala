@@ -145,6 +145,13 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     DedupFunctions.minhashCandidatePairs(docs, "doc_id", "text").count()
     assert(DedupFunctions.lastHotBucketDrops ==
       DedupFunctions.HotBucketDrops(0L, 0L))
+    // the per-thread log is the OWNED handle: both censuses above
+    // accumulated (capped then clean), a drain empties it
+    val log = DedupFunctions.drainHotBucketDrops()
+    assert(log.size >= 2 &&
+      log.contains(DedupFunctions.HotBucketDrops(16L, 480L)) &&
+      log.last == DedupFunctions.HotBucketDrops(0L, 0L))
+    assert(DedupFunctions.drainHotBucketDrops().isEmpty)
   }
 
   test("near-dup edges: star collapse is component-equivalent to full pairs") {

@@ -222,6 +222,37 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("fingerprint_norm: codegen == interpreted == the regex chain") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{lower, regexp_replace, trim}
+    // the tricky inputs: unicode one-to-many lowercase (İ), surrogate
+    // pairs, non-ASCII whitespace, all-separator, empty, tabs/newlines,
+    // digits, leading/trailing runs, null
+    val df = Seq(
+      (1L, "Hello,  World!!  42"), (2L, "  \t\n mixed WS\r\n"),
+      (3L, "!!!???"), (4L, ""), (5L, "İstanbul Σigma"),
+      (6L, "emoji 😀 pair"), (7L, "a"), (8L, "7 8\t9"),
+      (9L, null.asInstanceOf[String]),
+      (10L, "ALL CAPS with-hyphen_under.dot"))
+      .toDF("id", "t")
+    val regexForm = trim(regexp_replace(
+      regexp_replace(lower(col("t")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    def run(codegen: Boolean) = withCodegen(codegen) {
+      df.select(col("id"), fingerprint_norm(col("t")).as("n"),
+        regexForm.as("r"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    }
+    val cg = run(true)
+    assert(cg == run(false))
+    val viaRegex = df.select(col("id"), regexForm.as("r")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(cg == viaRegex, s"single-scan form diverged from the regex chain")
+    assert(cg(1L) == "hello world 42" && cg(3L) == "" && cg(9L) == null)
+  }
+
   test("SQL surface: registered functions equal the Column API") {
     val s = spark
     import s.implicits._

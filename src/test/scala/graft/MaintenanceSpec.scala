@@ -85,4 +85,42 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestBase {
       "out-of-scope scratch must keep the JVM-exit lifecycle")
     assert(global.count() == 2)
   }
+
+  test("scratch scope: ad-hoc writes on OTHER threads never join a sync's scope") {
+    val s = spark
+    import s.implicits._
+    import graft.util.Scratch
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // the daemon scenario: a sync holds a scope on THIS thread while an
+    // ad-hoc caller materializes from a different thread — the ad-hoc dir
+    // must land in the JVM-exit tier, not be deleted at the sync's release
+    // (the former process-global counter tagged it into the scope)
+    Scratch.retain()
+    val swept = Scratch.materialize(df, "sync_side")
+    val sweptFile = swept.inputFiles.head.stripPrefix("file:")
+    var adhocFile: String = null
+    val t = new Thread(() => {
+      val adhoc = Scratch.materialize(df, "adhoc_side")
+      adhocFile = adhoc.inputFiles.head.stripPrefix("file:")
+    })
+    t.start(); t.join()
+    assert(Scratch.release() > 0L)
+    assert(!new java.io.File(sweptFile).exists(), "sync scratch must sweep")
+    assert(new java.io.File(adhocFile).exists(),
+      "ad-hoc scratch from another thread must survive the sync's release")
+    // worker threads tagged in via the scope TOKEN do join the sweep
+    val scope = Scratch.retain()
+    var workerFile: String = null
+    val w = new Thread(() => {
+      scope.enter()
+      try {
+        val wd = Scratch.materialize(df, "worker_side")
+        workerFile = wd.inputFiles.head.stripPrefix("file:")
+      } finally scope.exit()
+    })
+    w.start(); w.join()
+    assert(Scratch.release() > 0L)
+    assert(!new java.io.File(workerFile).exists(),
+      "scope-tagged worker scratch must sweep with the scope")
+  }
 }
