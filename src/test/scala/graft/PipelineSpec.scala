@@ -1236,6 +1236,64 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "idle re-sync resurrected the forgotten doc's label")
   }
 
+  test("forget: scrubbing an edge-form class REP re-elects the min surviving member") {
+    val s = spark
+    import s.implicits._
+    // 3 identical docs (1,2,3) + a distinct one (9): doc 1 is the content
+    // class rep carried by the __repfps/__repbands side tables
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "completely different content about catalyst optimizer rules here"
+    val srcDir = tmpDir("fresrc")
+    Seq((1L, a), (2L, a), (3L, a), (9L, b)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$srcDir/documents.parquet")
+    val y = s"""pipeline:
+       |  name: "frelabels"
+       |  source: "$srcDir"
+       |  target: "warehouse"
+       |tables:
+       |  fx.documents:
+       |    cdc_strategy: "id_only"
+       |    cdc_id_column: "doc_id"
+       |    post_ops:
+       |      - op: neardup_labels_edges
+       |        target: doc_fclusters
+       |        id_column: doc_id
+       |        text_column: text
+       |        threshold: 0.9
+       |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val work = tmpDir("frework")
+    val runner = new PipelineRunner(spark, work)
+    val (_, _, loader) = runner.rigFor(p)
+    val labelsId = p.tables.head.tableId(p).copy(table = "doc_fclusters")
+    assert(runner.sync(p).allOk)
+    // forget the REP: without re-election the whole class is orphaned —
+    // survivors' band rows were never in the rep-collapsed index, so
+    // future identical content could never link to them again
+    val ymlPath = java.nio.file.Paths.get(tmpDir("frecfg"), "fre.yml")
+    java.nio.file.Files.writeString(ymlPath, y)
+    assert(graft.Cli.run(Array("forget", "-t", "fx.documents",
+      "--values", "1", "--key-column", "doc_id",
+      "-c", ymlPath.toString, "--work-dir", work)) == 0)
+    val fps = spark.read.parquet(loader.targetPath(labelsId) + ".__repfps")
+    assert(fps.filter(col("rep_id") === 1L).isEmpty, "doomed rep row survived")
+    assert(fps.filter(col("rep_id") === 2L).count() == 1L,
+      "min surviving member was not re-elected as class rep")
+    assert(spark.read.parquet(loader.targetPath(labelsId) + ".__repbands")
+      .filter(col("doc_id") === 2L).count() > 0L,
+      "re-elected rep has no band-index rows")
+    // the recall contract end-to-end: a NEW identical doc arriving after
+    // the forget must still link to the surviving class members
+    Seq((1L, a), (2L, a), (3L, a), (9L, b), (11L, a)).toDF("doc_id", "text")
+      .filter(col("doc_id") =!= 1L) // 1 is tombstoned; ship the increment
+      .write.mode("overwrite").parquet(s"$srcDir/documents.parquet")
+    assert(runner.sync(p).allOk)
+    val labels = loader.readTarget(spark, labelsId).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.contains(11L) && labels(11L) == labels(2L),
+      s"new identical content failed to rejoin the surviving class: $labels")
+  }
+
   test("post_ops simhash_labels: chained folds equal batch simhash clustering") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
