@@ -735,12 +735,82 @@ object DedupFunctions {
     * so lineage stays bounded. Throws rather than returning unconverged
     * (silently wrong) labels if `maxIters` is exhausted — unreachable below
     * diameter 2^25. Returns (id, cluster). */
+  /** Pair count at or below which components close on the DRIVER with a
+    * plain union-find over the (already-checkpointed) pair rows instead of
+    * distributed label propagation. Each propagation round costs 3 joins +
+    * a count job, and the typical closure input — an increment's contracted
+    * pair graph, a steady corpus's near-dup pairs — is thousands of rows,
+    * where ~15 fixed-overhead Spark jobs dwarf the actual work (the fold
+    * path showed up as the top steady cost for exactly this reason). 200k
+    * pairs ≈ 3 MB on the driver; the result returns as a LocalRelation
+    * (labels are node-scale), which downstream corpus joins then BROADCAST
+    * — strictly better than a shuffled label join at every scale where the
+    * driver path is taken. Var so tests can force the distributed path. */
+  private[graft] var driverUnionFindMaxPairs: Long = 200L * 1000
+
+  /** Driver-side min-label union-find over collected (long, long) pairs. */
+  private def unionFindLabels(rows: Array[org.apache.spark.sql.Row])
+      : Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    // second pass: with unions keyed max→min, every root IS its
+    // component's min id — label each node by its root
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val seen = new java.util.HashSet[Long]()
+    rows.foreach { r =>
+      Seq(r.getLong(0), r.getLong(1)).foreach { n =>
+        if (seen.add(n)) out += ((n, find(n)))
+      }
+    }
+    out.toSeq
+  }
+
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     // materialize the pair relation ONCE before the symmetrize union: both
     // union branches read the (pair-scale) checkpoint instead of each
     // re-running the whole upstream candidate pipeline (LSH banding +
     // jaccard verification — measured ~2× the family's pair-gen cost)
     val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // ADAPTIVE: bounded pair sets close on the driver (see
+    // [[driverUnionFindMaxPairs]]); the count is a cheap job over the
+    // checkpoint's local blocks. Long ids only — other id types keep the
+    // distributed path (correct at any type).
+    val idType = p0.schema("id_a").dataType
+    if (idType == org.apache.spark.sql.types.LongType &&
+        p0.schema("id_b").dataType == idType) {
+      val nPairs = p0.count()
+      if (nPairs <= driverUnionFindMaxPairs) {
+        val labels = unionFindLabels(
+          p0.collect().filter(r => !r.isNullAt(0) && !r.isNullAt(1)))
+        org.apache.spark.sql.GraftShim.checkpointRdd(p0)
+          .foreach(_.unpersist(blocking = false))
+        val spark = pairs.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("cluster", idType)))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(labels.map(l =>
+            org.apache.spark.sql.Row(l._1, l._2)): _*)
+        // LocalRelation: no RDD, no persisted blocks (leak gate), and the
+        // node-scale label relation BROADCASTS into downstream corpus joins
+        return spark.createDataFrame(rows, schema)
+      }
+    }
     val edges = p0
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p0.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -959,8 +959,9 @@ object Multimodal {
     * inline profile-join would duplicate through its explode) the
     * duplicated profile structs outweigh the pair-aggregation shuffle they
     * replace — switch to the rep-level aggregation plan. ~50M cells ×
-    * ~40 B/struct ≈ 2 GB of exchange, well inside one local host. */
-  private val ProfileJoinMaxCells = 50L * 1000 * 1000
+    * ~40 B/struct ≈ 2 GB of exchange, well inside one local host. Var so
+    * tests can force the aggregation plan and pin both plans equal. */
+  private[graft] var ProfileJoinMaxCells = 50L * 1000 * 1000
 
   /** Shared-frame counts between content-class REPRESENTATIVES:
     * (id_a, id_b, n_shared ≥ minShared), both ids reps. Two exact plans,
@@ -1012,7 +1013,11 @@ object Multimodal {
         .select(col("id_a"), col("id_b"),
           size(col("__shared")).cast("long").as("n_shared"))
     } else {
-      val repFrames = dist.join(
+      // only THIS branch reads the distinct-frame relation a second time —
+      // materialize it here rather than taxing the (common) profile branch
+      // with a scratch write it reads once
+      val distM = graft.util.Scratch.materialize(dist, "video_frames")
+      val repFrames = distM.join(
         repTbl.select(col("__r").as(idCol)), Seq(idCol), "left_semi")
       val a = repFrames.withColumnRenamed(idCol, "id_a")
       val b = repFrames.withColumnRenamed(idCol, "id_b")
@@ -1048,8 +1053,10 @@ object Multimodal {
                           idCol: String = "doc_id"): DataFrame = {
     require(minShared >= 1, s"minShared $minShared < 1")
     val key = Seq("width", "height", "y_sig", "cb_sig", "cr_sig")
-    val dist = graft.util.Scratch.materialize(
-      sigs.select(col(idCol) +: key.map(col): _*).distinct(), "video_frames")
+    // dist stays a plain plan: the profile branch reads it exactly once
+    // (the scratch-materialized profile relation is what fans out); only
+    // the rep-aggregation fallback re-reads it, and materializes it there
+    val dist = sigs.select(col(idCol) +: key.map(col): _*).distinct()
     val prof = videoProfiles(dist, minShared, idCol)
     val repTbl = prof.groupBy(col("__vfp")).agg(min(col(idCol)).as("__r"))
     val members = prof.select(col("__vfp"), col(idCol).as("__m"), col("__nf"))
@@ -1106,8 +1113,7 @@ object Multimodal {
                         idCol: String = "doc_id"): DataFrame = {
     require(minShared >= 1, s"minShared $minShared < 1")
     val key = Seq("width", "height", "y_sig", "cb_sig", "cr_sig")
-    val dist = graft.util.Scratch.materialize(
-      sigs.select(col(idCol) +: key.map(col): _*).distinct(), "video_frames")
+    val dist = sigs.select(col(idCol) +: key.map(col): _*).distinct()
     // same profile/class core as the full-pair form ([[videoProfiles]]):
     // classes below the minShared frame floor pair with nothing — no star
     // edges, no rep join rows

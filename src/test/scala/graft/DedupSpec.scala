@@ -240,6 +240,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val fps = graft.multimodal.Multimodal.videoContentFingerprints(sigs)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(fps(1L) == fps(2L) && fps(20L) == fps(21L) && fps(1L) != fps(10L))
+    // BOTH rep-pair plans are exact: the inline profile join (default) and
+    // the rep-level pair aggregation (forced by a zero cell threshold) must
+    // produce the identical full pair relation, n_shared included
+    val byProfile = full.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val savedCells = graft.multimodal.Multimodal.ProfileJoinMaxCells
+    try {
+      graft.multimodal.Multimodal.ProfileJoinMaxCells = 0L
+      val byAgg = graft.multimodal.Multimodal.videoNearDuplicates(sigs, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(byProfile == byAgg,
+        s"profile-join and rep-aggregation plans diverged: $byProfile vs $byAgg")
+      val edgesAgg = graft.multimodal.Multimodal.videoNearDupEdges(sigs, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(edgesAgg == es)
+    } finally graft.multimodal.Multimodal.ProfileJoinMaxCells = savedCells
   }
 
   test("audio near-dup edges: identical-fingerprint classes collapse, components equal") {
@@ -525,14 +541,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       } yield (math.min(a, b), math.max(a, b)))
     } yield pairs.distinct
 
-    for (seed <- 1 to 5) {
-      val pairs = gen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
-      val expected = unionFind(0, pairs)
-      val got = DedupFunctions.duplicateClusters(
-        pairs.toDF("id_a", "id_b"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      assert(got == expected, s"seed=$seed pairs=$pairs")
-    }
+    // BOTH physical paths must match the reference: the adaptive driver
+    // union-find (default threshold) and the distributed pointer-jumping
+    // propagation (threshold forced to 0)
+    val saved = DedupFunctions.driverUnionFindMaxPairs
+    try {
+      for (threshold <- Seq(saved, 0L)) {
+        DedupFunctions.driverUnionFindMaxPairs = threshold
+        for (seed <- 1 to 5) {
+          val pairs = gen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+          val expected = unionFind(0, pairs)
+          val got = DedupFunctions.duplicateClusters(
+            pairs.toDF("id_a", "id_b"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          assert(got == expected, s"threshold=$threshold seed=$seed pairs=$pairs")
+        }
+      }
+    } finally DedupFunctions.driverUnionFindMaxPairs = saved
   }
 
   test("duplicateClusters closes pair chains transitively (min-id labels)") {
