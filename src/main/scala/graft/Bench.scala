@@ -208,10 +208,15 @@ object Bench {
       * documents union on every bench invocation cost minutes of the
       * round-10 budget for bytes that are a pure function of the inputs. A
       * marker file commits a completed build; a partial dir (kill mid-
-      * synthesis) has no marker and is rebuilt from scratch. */
+      * synthesis) has no marker and is rebuilt from scratch. The key
+      * carries a synthesis-code VERSION: bump it whenever the synthesis
+      * below changes shape, or a cached dir from an older binary would
+      * silently serve the old bytes to the new bench. */
+    val fixtureSynthVersion = 1
     def synthDir(tag: String, docCopies: Int, permName: String,
                  perm: Int => (String, String), rowCopies: Int): String = {
       val key = s"${tag}_d${docCopies}_${permName}_r${rowCopies}_" +
+        s"v${fixtureSynthVersion}_" +
         java.lang.Integer.toHexString(sfDir.hashCode)
       val base = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_bench_fixtures", key)

@@ -69,6 +69,9 @@ final case class PostOpSpec(
     sums: Seq[graft.operators.Relational.SumSpec] = Nil,
     textColumn: Option[String] = None,         // neardup_labels
     threshold: Option[Double] = None,          // neardup_labels jaccard cut
+    maxBucketSize: Option[Int] = None,         // neardup_labels* hot-bucket
+                                               // cap (default 1000); drops
+                                               // surface on TableReport
     valueColumn: Option[String] = None,        // fold_kmv_distinct /
                                                // fold_count_min / fold_sample
     k: Option[Int] = None,                     // sketch size (state bound) /
@@ -537,6 +540,7 @@ object PipelineConfig {
       }).getOrElse(Nil),
       textColumn = opt(n, "text_column").map(_.asText),
       threshold = opt(n, "threshold").map(_.asDouble),
+      maxBucketSize = opt(n, "max_bucket_size").map(_.asInt),
       valueColumn = opt(n, "value_column").map(_.asText),
       k = opt(n, "k").map(_.asInt),
       epoch = opt(n, "epoch").map(_.asInt),
@@ -569,6 +573,8 @@ object PipelineConfig {
           "'id_column' and 'text_column'")
         spec.threshold.foreach(t =>
           if (t <= 0.0 || t > 1.0) bad(s"threshold $t outside (0,1]"))
+        spec.maxBucketSize.foreach(m =>
+          if (m <= 0) bad(s"max_bucket_size $m must be positive"))
       case "simhash_labels" =>
         need(spec.idColumn.isDefined && spec.textColumn.isDefined,
           "'id_column' and 'text_column'")

@@ -16,7 +16,15 @@ final case class TableReport(table: TableId, ok: Boolean,
                              load: Option[LoadResult],
                              error: Option[String],
                              seconds: Double,
-                             parityOk: Option[Boolean] = None) {
+                             parityOk: Option[Boolean] = None,
+                             // summed hot-bucket census of this table's
+                             // post-ops (LSH dedup maintenance): what the
+                             // bucket cap silently DISCARDED this sync —
+                             // recall loss a user can't see in the output,
+                             // so the sync report carries it. None = no
+                             // LSH post-op ran.
+                             hotBucketDrops:
+                               Option[graft.functions.DedupFunctions.HotBucketDrops] = None) {
   def rows: Long = load.map(_.loadedRows).orElse(extract.map(_.rows)).getOrElse(0L)
 }
 
@@ -398,19 +406,34 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
         // exactly-once cursors make the fold irreversible (neardup_labels
         // bands, scd2 history). Held-back sessions refold on the next
         // PASSING sync — the fold cursor never advanced.
-        if (expViolations.isEmpty)
-          PostOps.run(spark, spec, id, extractor, loader)
-        (ext, load, parity, expViolations)
+        val hotDrops =
+          if (expViolations.isEmpty) {
+            // the LSH post-ops evaluate their hot-bucket census eagerly on
+            // THIS thread (plan-construction jobs) and append to the
+            // per-thread log — drain stale records first so the report
+            // carries only THIS table's censuses
+            graft.functions.DedupFunctions.drainHotBucketDrops()
+            PostOps.run(spark, spec, id, extractor, loader)
+            val d = graft.functions.DedupFunctions.drainHotBucketDrops()
+            if (d.isEmpty) None
+            else Some(graft.functions.DedupFunctions.HotBucketDrops(
+              d.map(_.buckets).sum, d.map(_.indexRows).sum))
+          } else None
+        (ext, load, parity, expViolations, hotDrops)
       }
     } match {
-      case Success((ext, load, parity, expViolations)) =>
+      case Success((ext, load, parity, expViolations, hotDrops)) =>
         val errs =
           (if (parity.contains(false)) Seq("count parity check failed")
            else Nil) ++ expViolations
+        hotDrops.filter(_.indexRows > 0).foreach(d =>
+          System.err.println(s"[graft] ${id.qualified}: LSH hot-bucket cap " +
+            s"dropped ${d.indexRows} index rows in ${d.buckets} buckets " +
+            "this sync (recall loss - raise max_bucket_size to keep them)"))
         TableReport(id, ok = parity.forall(identity) && expViolations.isEmpty,
           Some(ext), Some(load),
           if (errs.nonEmpty) Some(errs.mkString("; ")) else None,
-          (System.nanoTime() - t0) / 1e9, parity)
+          (System.nanoTime() - t0) / 1e9, parity, hotBucketDrops = hotDrops)
       case Failure(e) =>
         TableReport(id, ok = false, None, None,
           Some(rootMessage(e)),

@@ -344,7 +344,9 @@ object PostOps {
             "sync_band_index")
           val newPairs = graft.functions.DedupFunctions
             .minhashNearDuplicatesIncremental(inc, corpus, corpusIndex,
-              idc, txt, threshold = thr, incomingIndex = Some(incIndex))
+              idc, txt, threshold = thr,
+              maxBucketSize = po.maxBucketSize.getOrElse(1000),
+              incomingIndex = Some(incIndex))
           // maintain the index FIRST: a crash between the append and the
           // label swap replays with duplicate band rows (harmless) rather
           // than with an index missing this session's documents
@@ -400,6 +402,7 @@ object PostOps {
             "sync_rep_band")
           val edges = D.minhashNearDupEdgesIncremental(inc, corpus,
             corpusRepFps, corpusRepIndex, idc, txt, threshold = thr,
+            maxBucketSize = po.maxBucketSize.getOrElse(1000),
             incomingRepIndex = Some(newRepIndex))
           // side tables FIRST (the neardup_labels crash ordering): a crash
           // between appends and the label swap replays with duplicate

@@ -1161,6 +1161,52 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "idle re-sync resurrected the forgotten doc's label")
   }
 
+  test("neardup_labels hot-bucket drops surface on the TableReport") {
+    // silent recall loss made visible end-to-end: a cap of 1 drops every
+    // shared (band,bucket), and the sync REPORT — not a global mutable —
+    // carries what was discarded (the max_bucket_size knob + the drained
+    // per-thread census). The default cap on the same data drops nothing.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def yaml(srcDir: String, cap: String) = s"""pipeline:
+       |  name: "ndcap"
+       |  source: "$srcDir"
+       |  target: "warehouse"
+       |tables:
+       |  fx.documents:
+       |    cdc_strategy: "id_only"
+       |    cdc_id_column: "doc_id"
+       |    post_ops:
+       |      - op: neardup_labels
+       |        target: doc_clusters
+       |        id_column: doc_id
+       |        text_column: text
+       |        threshold: 0.9
+       |$cap
+       |""".stripMargin
+    val srcDir = tmpDir("ndcapsrc")
+    docs.filter(col("doc_id") < 250).write.mode("overwrite")
+      .parquet(s"$srcDir/documents.parquet")
+    val r1 = new PipelineRunner(spark, tmpDir("ndcapwork1"))
+      .sync(PipelineConfig.fromString(
+        yaml(srcDir, "        max_bucket_size: 1")))
+    assert(r1.allOk, r1.tables.flatMap(_.error).mkString(";"))
+    val drops1 = r1.tables.head.hotBucketDrops
+    assert(drops1.exists(_.indexRows > 0),
+      s"cap=1 on 250 banded docs must report dropped index rows, got $drops1")
+    // default cap: census still ran (report is Some), nothing dropped
+    val r2 = new PipelineRunner(spark, tmpDir("ndcapwork2"))
+      .sync(PipelineConfig.fromString(yaml(srcDir, "")))
+    assert(r2.allOk, r2.tables.flatMap(_.error).mkString(";"))
+    val drops2 = r2.tables.head.hotBucketDrops
+    assert(drops2.isDefined && drops2.forall(_.indexRows == 0L),
+      s"default cap should census zero drops, got $drops2")
+    // knob validation: a non-positive cap is a config error
+    val bad = intercept[IllegalArgumentException](PipelineConfig.fromString(
+      yaml(srcDir, "        max_bucket_size: 0")))
+    assert(bad.getMessage.contains("max_bucket_size"))
+  }
+
   test("post_ops neardup_labels_edges: rep-scale folds track batch clustering") {
     // the edge-form twin: same pipeline surface and batch-equality
     // contract as neardup_labels, but per-sync work is distinct-content
