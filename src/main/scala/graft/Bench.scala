@@ -212,7 +212,7 @@ object Bench {
       * carries a synthesis-code VERSION: bump it whenever the synthesis
       * below changes shape, or a cached dir from an older binary would
       * silently serve the old bytes to the new bench. */
-    val fixtureSynthVersion = 1
+    val fixtureSynthVersion = 2 // v2: repartition(2*cpus) fixture layout
     def synthDir(tag: String, docCopies: Int, permName: String,
                  perm: Int => (String, String), rowCopies: Int): String = {
       val key = s"${tag}_d${docCopies}_${permName}_r${rowCopies}_" +
@@ -240,18 +240,25 @@ object Bench {
           d.withColumn("text", translate(col("text"), from, to))
         }
       }.reduce(_.unionByName(_))
+        // 2 files per core: with the 1 MB split cap above every file is
+        // its own scan partition, so the fixture layout — not the source
+        // table's row-group count, which a re-provisioned testdata can
+        // change under us — decides scale-section parallelism
+        .repartition(2 * cpus.toInt)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       if (rowCopies > 1) {
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         (0 until rowCopies).map(i => li.withColumn("l_orderkey",
             col("l_orderkey") + lit(i.toLong * 100000000L)))
           .reduce(_.unionByName(_))
+          .repartition(2 * cpus.toInt)
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
         val ev = spark.read.parquet(s"$sfDir/events.parquet")
         (0 until rowCopies).map(i => ev
             .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
             .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L)))
           .reduce(_.unionByName(_))
+          .repartition(2 * cpus.toInt)
           .write.mode("overwrite").parquet(s"$dir/events.parquet")
       }
       val scaled = Set("documents") ++

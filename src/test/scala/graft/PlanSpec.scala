@@ -102,6 +102,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("full-pair near-dup class expansion shuffles no text on dup-heavy input") {
+    // the rep-expanded full form: duplicate-heavy input forces the collapse
+    // path (class probe > 1), whose within-class self-join and cross-class
+    // member expansion must exchange ids + fingerprints only — the C(m,2)
+    // OUTPUT is the contract, but no exchange may carry text/shingles
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = spark.range(0, 120).select(col("id").as("doc_id"),
+      concat(lit("repeated boilerplate page body number "),
+        (col("id") % 10).cast("string")).as("text"))
+    val df = graft.functions.DedupFunctions.minhashNearDuplicates(
+      docs, "doc_id", "text", 0.9)
+    df.count() // the expansion path must actually execute
+    val exchanges = physical(df).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "no exchanges found — assertion would be vacuous")
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name.takeWhile(_ != '#')).toSet
+      assert(!cols.contains("text") && !cols.contains("sh") && !cols.contains("hs"),
+        s"payload column rides an exchange: $cols")
+    }
+  }
+
   test("incremental near-dup edges: exchanges carry ids/fingerprints, no text") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
