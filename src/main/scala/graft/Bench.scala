@@ -218,17 +218,25 @@ object Bench {
       val key = s"${tag}_d${docCopies}_${permName}_r${rowCopies}_" +
         s"v${fixtureSynthVersion}_" +
         java.lang.Integer.toHexString(sfDir.hashCode)
-      val base = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_bench_fixtures", key)
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bench_fixtures")
+      val base = root.resolve(key)
       val marker = base.resolve("_GRAFT_FIXTURE_OK")
       if (java.nio.file.Files.exists(marker)) return base.toString
       def deleteRec(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
         f.delete(); ()
       }
-      deleteRec(base.toFile)
-      java.nio.file.Files.createDirectories(base)
-      val dir = base.toString
+      // Build into a PROCESS-PRIVATE sibling and rename into place: two
+      // bench processes racing the same key (an isolation rerun next to a
+      // full run) must never write one dir — a measured incident had the
+      // loser reading the winner's half-built files and failing a query.
+      // The rename publishes the finished build atomically; the loser of
+      // the rename adopts the winner's dir and discards its own.
+      val tmp = root.resolve(s"$key.build_${ProcessHandle.current().pid()}")
+      deleteRec(tmp.toFile)
+      java.nio.file.Files.createDirectories(tmp)
+      val dir = tmp.toString
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       (0 until docCopies).map { i =>
@@ -240,10 +248,9 @@ object Bench {
           d.withColumn("text", translate(col("text"), from, to))
         }
       }.reduce(_.unionByName(_))
-        // 2 files per core: with the 1 MB split cap above every file is
-        // its own scan partition, so the fixture layout — not the source
-        // table's row-group count, which a re-provisioned testdata can
-        // change under us — decides scale-section parallelism
+        // evenly-sized 2-files-per-core layout: the fixture — not the
+        // source table's row-group count, which a re-provisioned testdata
+        // can change under us — decides scale-section scan granularity
         .repartition(2 * cpus.toInt)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       if (rowCopies > 1) {
@@ -268,8 +275,21 @@ object Bench {
         java.nio.file.Files.createSymbolicLink(
           java.nio.file.Paths.get(dir, s"$t.parquet"),
           java.nio.file.Paths.get(sfDir, s"$t.parquet"))
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
-      dir
+      java.nio.file.Files.write(
+        tmp.resolve("_GRAFT_FIXTURE_OK"), Array.emptyByteArray)
+      // publish: clear any crashed (marker-less) build at base, then one
+      // atomic rename; if another process published first, adopt its dir
+      if (!java.nio.file.Files.exists(marker)) deleteRec(base.toFile)
+      try java.nio.file.Files.move(tmp, base,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.io.IOException =>
+          if (!java.nio.file.Files.exists(marker))
+            throw new IllegalStateException(
+              s"fixture publish failed and no committed build exists at $base")
+          deleteRec(tmp.toFile)
+      }
+      base.toString
     }
 
     def runScale(section: String, names: Seq[String], dir: String,
