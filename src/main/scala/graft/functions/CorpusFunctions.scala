@@ -1502,23 +1502,18 @@ object CorpusFunctions {
 
   /** The hashed unigram+bigram (…, __b) feature stream behind
     * [[dsirSelect]] — one row per feature occurrence, bucketed by the
-    * first `nibbles` md5 hex digits. */
+    * first `nibbles` md5 hex digits. Computed by the single-scan
+    * [[graft.functions.DsirBuckets]] expression: the former plan UNIONED
+    * two explodes (tokenizing every document twice) and paid a 32-char
+    * md5 hex string + a base-16 `conv` parse per feature — the dominant
+    * cpu of the 100× bench point. Values are bit-identical (same md5
+    * bytes, hex round-trip skipped); the DuckDB oracle keeps replaying
+    * the explode+conv SQL. */
   private[graft] def dsirFeatures(d: DataFrame, keep: Seq[Column],
-                                  textCol: String, nibbles: Int): DataFrame = {
-    def bucketOf(s: Column): Column =
-      conv(substring(md5(s), 1, nibbles), 16, 10).cast("long")
-    val toked = d.select(keep :+
-      TextFunctions.tokens(col(textCol)).as("__toks"): _*)
-    val uni = toked
-      .select(keep :+ explode(col("__toks")).as("__f"): _*)
-    val bi = toked.filter(size(col("__toks")) >= 2)
-      .select(keep :+ explode(transform(
-        sequence(lit(1), size(col("__toks")) - 1),
-        i => concat_ws(" ", element_at(col("__toks"), i),
-          element_at(col("__toks"), i + 1)))).as("__f"): _*)
-    uni.unionByName(bi)
-      .select(keep :+ bucketOf(col("__f")).as("__b"): _*)
-  }
+                                  textCol: String, nibbles: Int): DataFrame =
+    d.select(keep :+ graft.functions.exprs.dsir_buckets(
+        TextFunctions.tokens(col(textCol)), nibbles).as("__bs"): _*)
+      .select(keep :+ explode(col("__bs")).as("__b"): _*)
 
   /** The lazy selection plan behind [[dsirSelect]], split out so PlanSpec
     * can pin its scale shape (broadcast ratio, TakeOrdered top-k, no text

@@ -188,6 +188,12 @@ object exprs {
     * column (rolling combine — no window string materialization). */
   def token_window_hashes(c: Column, window: Int): Column =
     GraftShim.column(TokenWindowHashes(GraftShim.expression(c), window))
+  /** DSIR hashed-n-gram feature buckets of an array<string> token column:
+    * one md5 top-`nibbles` bucket per unigram AND per adjacent bigram, in
+    * one scan — value-identical to exploding the token/bigram strings
+    * through `conv(substring(md5(f),1,nibbles),16,10)`. */
+  def dsir_buckets(c: Column, nibbles: Int): Column =
+    GraftShim.column(DsirBuckets(GraftShim.expression(c), nibbles))
   /** Unicode-normalize a string column (NFC/NFKC/NFD/NFKD), optionally
     * stripping combining marks after NFD (accent folding). */
   def unicode_normalize(c: Column, form: String = "NFC",
@@ -898,6 +904,99 @@ object TokenWindowHashes {
       h = (h - th(q - 1) * topPow) * B + th(q + window - 1)
       out(q) = h
       q += 1
+    }
+    out
+  }
+}
+
+/** DSIR hashed-n-gram feature buckets in ONE scan over the token array:
+  * for each unigram and each adjacent bigram ("t1 t2"), the top `nibbles`
+  * hex digits of its md5 as a base-16 number — bit-identical to the former
+  * `conv(substring(md5(f), 1, nibbles), 16, 10)` over a UNION of two
+  * explodes, which tokenized every document twice and paid a 32-char hex
+  * string + a base-16 string parse per feature (~200 feature strings per
+  * document at the 100× bench point). The digest is the same md5 over the
+  * same UTF-8 bytes (bigrams feed the digest as t1, ' ', t2 — no concat
+  * allocation); only the hex round-trip is gone, so the DuckDB oracle
+  * keeps replaying the SQL chain and values match exactly.
+  * Ref bucketing: Xie et al. 2023 (DSIR), hashed n-gram features. */
+case class DsirBuckets(child: Expression, nibbles: Int)
+    extends UnaryExpression {
+  require(nibbles >= 1 && nibbles <= 4, s"nibbles $nibbles outside [1,4]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dsir_buckets expects ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      DsirBuckets.compute(input.asInstanceOf[ArrayData], nibbles))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = DsirBuckets.getClass.getName.stripSuffix("$") + "$"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $cls.MODULE$$.compute($c, $nibbles));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DsirBuckets = copy(child = newChild)
+  override def prettyName: String = "dsir_buckets"
+}
+
+object DsirBuckets {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private final val Space = Array(' '.toByte)
+
+  /** Top `nibbles` hex digits of the digest as a base-16 number — exactly
+    * `conv(substring(hex, 1, nibbles), 16, 10)`. */
+  private def topNibbles(digest: Array[Byte], nibbles: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < nibbles) {
+      val nib = (digest(i >> 1) >>> (4 * (1 - (i & 1)))) & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
+  /** Unigram buckets (one per token) then bigram buckets (len-1 of them
+    * when len ≥ 2); null tokens digest as empty strings (tokenizers here
+    * never emit them — defensive only). */
+  def compute(arr: ArrayData, nibbles: Int): Array[Long] = {
+    val n = arr.numElements()
+    if (n == 0) return Array.emptyLongArray
+    val md = md5.get()
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      bytes(i) =
+        if (arr.isNullAt(i)) Array.emptyByteArray
+        else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Long](if (n >= 2) 2 * n - 1 else n)
+    i = 0
+    while (i < n) {
+      md.reset()
+      out(i) = topNibbles(md.digest(bytes(i)), nibbles)
+      i += 1
+    }
+    var j = 0
+    while (j < n - 1) {
+      md.reset()
+      md.update(bytes(j)); md.update(Space); md.update(bytes(j + 1))
+      out(n + j) = topNibbles(md.digest(), nibbles)
+      j += 1
     }
     out
   }

@@ -182,6 +182,45 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestBase {
     val _ = TokenWindowHashes // anchor the import
   }
 
+  test("dsir_buckets: codegen == interpreted == explode+md5+conv chain") {
+    val s0 = spark; import s0.implicits._
+    import org.apache.spark.sql.functions.{conv, concat_ws, element_at,
+      explode, md5, sequence, size, substring, transform}
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "single"),
+      (3L, ""),                          // no tokens → no features
+      (4L, "naïve café déjà vu"),        // multi-byte UTF-8 digests
+      (5L, "a b a b a")                  // repeated features keep multiplicity
+    ).toDF("id", "text")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    def sorted(m: Map[Long, Seq[Long]]) = m.map { case (k, v) => k -> v.sorted }
+    def run(codegen: Boolean) = withCodegen(codegen) {
+      df.select(col("id"), explode(dsir_buckets(toks, 2)).as("b"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSeq }
+    }
+    val cg = sorted(run(true))
+    assert(cg == sorted(run(false)))
+    // the replaced SQL chain: union of unigram and bigram explodes, each
+    // bucketed via conv(substring(md5(f),1,2),16,10) — the oracle's form
+    val toked = df.select(col("id"), toks.as("__toks"))
+    val uni = toked.select(col("id"), explode(col("__toks")).as("f"))
+    val bi = toked.filter(size(col("__toks")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(org.apache.spark.sql.functions.lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ", element_at(col("__toks"), i),
+          element_at(col("__toks"), i + 1)))).as("f"))
+    val chain = uni.unionByName(bi)
+      .select(col("id"), conv(substring(md5(col("f")), 1, 2), 16, 10)
+        .cast("long").as("b"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSeq }
+    assert(cg == sorted(chain))
+    assert(!cg.contains(3L) && cg(2L).size == 1 && cg(1L).size == 7)
+    assert(cg(5L).size == 9) // 5 unigrams + 4 bigrams, multiplicity kept
+  }
+
   test("near-identical token sets differ in few simhash bits") {
     val s = spark; import s.implicits._
     val base = (1 to 60).map(i => s"token$i")
