@@ -215,8 +215,20 @@ object Bench {
     val fixtureSynthVersion = 2 // v2: repartition(2*cpus) fixture layout
     def synthDir(tag: String, docCopies: Int, permName: String,
                  perm: Int => (String, String), rowCopies: Int): String = {
+      // the key carries a SOURCE-DATA stamp (size + mtime of every scaled
+      // source file), not just the sfDir path: a testdata reprovisioned
+      // in place at the same path must invalidate the cache, or the scale
+      // sections silently bench fixtures synthesized from the OLD data
+      // while the steady section reads the new (exactly the mid-round-11
+      // reprovision event).
+      val stampSrc = Seq("documents") ++
+        (if (rowCopies > 1) Seq("lineitem", "events") else Nil)
+      val stamp = java.lang.Long.toHexString(stampSrc.map { t =>
+        val f = new java.io.File(s"$sfDir/$t.parquet")
+        f.length * 31L + f.lastModified
+      }.foldLeft(17L)((acc, h) => acc * 0x100000001b3L + h))
       val key = s"${tag}_d${docCopies}_${permName}_r${rowCopies}_" +
-        s"v${fixtureSynthVersion}_" +
+        s"v${fixtureSynthVersion}_${stamp}_" +
         java.lang.Integer.toHexString(sfDir.hashCode)
       val root = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_bench_fixtures")
@@ -277,18 +289,25 @@ object Bench {
           java.nio.file.Paths.get(sfDir, s"$t.parquet"))
       java.nio.file.Files.write(
         tmp.resolve("_GRAFT_FIXTURE_OK"), Array.emptyByteArray)
-      // publish: clear any crashed (marker-less) build at base, then one
-      // atomic rename; if another process published first, adopt its dir
-      if (!java.nio.file.Files.exists(marker)) deleteRec(base.toFile)
-      try java.nio.file.Files.move(tmp, base,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.io.IOException =>
-          if (!java.nio.file.Files.exists(marker))
-            throw new IllegalStateException(
-              s"fixture publish failed and no committed build exists at $base")
-          deleteRec(tmp.toFile)
-      }
+      // publish under a cross-process FILE LOCK: the check-then-delete of
+      // a crashed (marker-less) dir at base must not race another process
+      // publishing the same key — an unguarded gap lets the loser delete a
+      // freshly-published fixture out from under the winner's in-flight
+      // scan. Marker-bearing dirs are never deleted, so a reader holding
+      // base.toString can never lose its files.
+      val lockCh = java.nio.channels.FileChannel.open(
+        root.resolve(s"$key.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        if (java.nio.file.Files.exists(marker)) deleteRec(tmp.toFile)
+        else {
+          deleteRec(base.toFile)
+          java.nio.file.Files.move(tmp, base,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      } finally { lock.release(); lockCh.close() }
       base.toString
     }
 

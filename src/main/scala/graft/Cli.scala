@@ -465,32 +465,25 @@ object Cli {
               val fpsP = new org.apache.hadoop.fs.Path(fpsPath)
               val fs2 = fpsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
               if (fs2.exists(fpsP)) {
-                import org.apache.spark.sql.functions.{col, min => fmin,
-                  broadcast}
+                import org.apache.spark.sql.functions.col
                 val curFps = spark.read.parquet(fpsPath)
                 // the generic scrub above already removed doomed rows —
                 // orphaned FINGERPRINTS are therefore exactly the class
                 // fingerprints still present in the (already-deleted) BASE
                 // but absent from the fps table: classes that lost their
-                // rep. Same banding-eligibility gate as repFingerprints
-                // (null text never enters a class).
+                // rep. repFingerprints is THE class definition (same
+                // normalization, same eligibility gate) — the re-elected
+                // rep is its min surviving id, so any future change to the
+                // fingerprint rule reaches this path automatically.
                 val txt = po.textColumn.get
                 val base = loader.readTarget(spark, id).getOrElse(
                   throw new IllegalStateException(
                     s"forget: ${id.qualified} vanished mid-scrub"))
-                val baseFps = graft.util.Scratch.materialize(
-                  base.filter(col(txt).isNotNull)
-                    .select(col(keyCol),
-                      graft.functions.TextFunctions.fingerprintMd5(col(txt))
-                        .as("fingerprint")),
-                  "forget_base_fps")
-                val orphaned = baseFps.select(col("fingerprint")).distinct()
-                  .join(curFps.select(col("fingerprint")),
-                    Seq("fingerprint"), "left_anti")
                 val newReps = graft.util.Scratch.materialize(
-                  baseFps.join(broadcast(orphaned), Seq("fingerprint"))
-                    .groupBy(col("fingerprint"))
-                    .agg(fmin(col(keyCol)).as("rep_id")),
+                  graft.functions.DedupFunctions
+                    .repFingerprints(base, keyCol, txt)
+                    .join(curFps.select(col("fingerprint")),
+                      Seq("fingerprint"), "left_anti"),
                   "forget_newreps")
                 if (newReps.limit(1).count() > 0) {
                   loader.replaceDerivedAt(spark, fpsPath,

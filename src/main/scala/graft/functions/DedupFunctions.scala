@@ -784,8 +784,16 @@ object DedupFunctions {
     // materialize the pair relation ONCE before the symmetrize union: both
     // union branches read the (pair-scale) checkpoint instead of each
     // re-running the whole upstream candidate pipeline (LSH banding +
-    // jaccard verification — measured ~2× the family's pair-gen cost)
-    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // jaccard verification — measured ~2× the family's pair-gen cost).
+    // Null-id pairs are dropped HERE so both physical paths below agree:
+    // the driver union-find has no null node, and letting the distributed
+    // label propagation see them would produce labels the driver path
+    // doesn't — output must be a function of the input, not of which side
+    // of the pair-count threshold it landed on. (No in-repo pair producer
+    // emits null ids; this pins the contract for external callers.)
+    val p0 = pairs.select(col("id_a"), col("id_b"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .localCheckpoint(true)
     // ADAPTIVE: bounded pair sets close on the driver (see
     // [[driverUnionFindMaxPairs]]); the count is a cheap job over the
     // checkpoint's local blocks. Long ids only — other id types keep the

@@ -381,8 +381,22 @@ object PostOps {
               spark.read.parquet(path)
             else empty
           val D = graft.functions.DedupFunctions
+          // CRASH-REPLAY: restrict the side table to reps the COMMITTED
+          // corpus actually contains BEFORE deriving novelty. A crash
+          // between the side-table appends below and the label swap
+          // replays against a table already holding THIS increment's
+          // fingerprints (keyed by increment ids) — deriving newFps from
+          // the raw table would come back empty, the probe index passed
+          // to the incremental would be empty, and the increment's
+          // genuine near-dup links to the corpus would be silently lost
+          // (the same restriction minhashNearDupEdgesIncremental applies
+          // internally — it must ALSO gate the caller-supplied probe
+          // index, or the internal fix is bypassed). PipelineSpec replays
+          // the crash window end-to-end through this post-op.
           val corpusRepFps = orEmpty(fpsPath,
             D.repFingerprints(corpus.limit(0), idc, txt))
+            .join(corpus.select(col(idc).as("rep_id")), Seq("rep_id"),
+              "left_semi")
           val corpusRepIndex = orEmpty(bandsPath,
             D.minhashBandIndex(corpus.limit(0), idc, txt))
           // the increment's NEW-content classes and their reps' band rows

@@ -1282,6 +1282,82 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "idle re-sync resurrected the forgotten doc's label")
   }
 
+  test("neardup_labels_edges: crash between side-table appends and label swap replays convergently") {
+    // the crash window END-TO-END through the post-op: a sync appends its
+    // new-content (fingerprint, rep_id) rows and rep band rows, then dies
+    // before the label swap. The replay derives novelty from a side table
+    // that already contains ITS OWN fingerprints — unless novelty is gated
+    // on reps the COMMITTED corpus contains, the replayed increment's
+    // genuinely-new content is tagged 'known', the probe index comes back
+    // empty, and its near-dup (non-identical) links to the corpus are
+    // silently lost forever. Doc 14/15 (content c) vs doc 5 (c2) is
+    // exactly such a link: LSH-only, never a fingerprint hit.
+    val s = spark
+    import s.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val a2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val b = "completely different content about spark catalyst optimizer " +
+      "rules and adaptive execution at scale"
+    val c = "a third topic on watermark stores and exactly once loading spark"
+    val c2 = "a third topic on watermark stores and exactly once loading data"
+    val corpusRows = Seq((1L, a), (2L, a), (3L, a2), (4L, b), (5L, c2))
+    val incRows = Seq((11L, a), (12L, a2), (13L, b), (14L, c), (15L, c))
+    val all = (corpusRows ++ incRows).toDF("doc_id", "text")
+    val srcDir = tmpDir("ndcrashsrc")
+    corpusRows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$srcDir/documents.parquet")
+    val y = s"""pipeline:
+       |  name: "ndcrash"
+       |  source: "$srcDir"
+       |  target: "warehouse"
+       |tables:
+       |  fx.documents:
+       |    cdc_strategy: "id_only"
+       |    cdc_id_column: "doc_id"
+       |    post_ops:
+       |      - op: neardup_labels_edges
+       |        target: doc_crclusters
+       |        id_column: doc_id
+       |        text_column: text
+       |        threshold: 0.5
+       |""".stripMargin
+    val p = PipelineConfig.fromString(y)
+    val runner = new PipelineRunner(spark, tmpDir("ndcrashwork"))
+    val (_, _, loader) = runner.rigFor(p)
+    val labelsId = p.tables.head.tableId(p).copy(table = "doc_crclusters")
+    assert(runner.sync(p).allOk)
+    // plant the crash residue: exactly the rows the doomed sync appended
+    // before dying — its new-content class (c, rep 14) and 14's band rows,
+    // derived against the PRE-crash side table like the post-op did
+    val D = graft.functions.DedupFunctions
+    val incDf = incRows.toDF("doc_id", "text")
+    val fpsPath = loader.targetPath(labelsId) + ".__repfps"
+    val bandsPath = loader.targetPath(labelsId) + ".__repbands"
+    val staleNewFps = D.repFingerprints(incDf, "doc_id", "text")
+      .join(spark.read.parquet(fpsPath).select(col("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+      .localCheckpoint(true)
+    assert(staleNewFps.count() == 1) // the c class, keyed by increment id 14
+    staleNewFps.write.mode("append").parquet(fpsPath)
+    D.minhashBandIndex(incDf, "doc_id", "text")
+      .join(staleNewFps.select(col("rep_id").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .write.mode("append").parquet(bandsPath)
+    // replay: the source now carries the increment; the fold cursor never
+    // advanced, so the sync re-extracts and refolds ids 11-15
+    all.write.mode("overwrite").parquet(s"$srcDir/documents.parquet")
+    assert(runner.sync(p).allOk)
+    val labels = loader.readTarget(spark, labelsId).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = D.duplicateClusters(D.minhashNearDuplicates(
+        all, "doc_id", "text", threshold = 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == batch,
+      s"replayed fold diverged from batch: $labels vs $batch")
+    assert(labels.get(14L).exists(cl => labels.get(5L).contains(cl)),
+      "the replayed increment's LSH-only corpus link (14~5) was lost")
+  }
+
   test("forget: scrubbing an edge-form class REP re-elects the min surviving member") {
     val s = spark
     import s.implicits._
