@@ -422,6 +422,9 @@ object Cli {
         spec.postOps.filter(po => bandSuffix.contains(po.op))
           .filter(_.idColumn.contains(keyCol)).foreach { po =>
             val dId = id.copy(table = po.target)
+            // locked context: converge any crashed swap before reading the
+            // label table or its state (readState itself is read-only)
+            loader.recoverDerived(spark, dId)
             val state = loader.readDerivedState(spark, dId)
             def scrub(path: String, keyName: String,
                       keepState: Boolean): Unit = {

@@ -93,14 +93,17 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
       // this session commits a higher tag, or they would become loadable and
       // duplicate the rows this session is about to re-extract. The loader's
       // own isSessionLoadable filter covers the window until we get here.
-      wm.metadata.last_session.foreach { committed =>
+      // toLongOption on the committed tag too: a non-numeric (corrupted)
+      // tag must not throw out of every extract — and must not delete
+      // anything (conservative: an unparseable high-water sweeps nothing)
+      wm.metadata.last_session.flatMap(_.toLongOption).foreach { committed =>
         val outPath = new org.apache.hadoop.fs.Path(outDir)
         val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(outPath)) {
           fs.listStatus(outPath).foreach { st =>
             val n = st.getPath.getName
             if (n.startsWith("session=") &&
-                n.stripPrefix("session=").toLongOption.exists(_ > committed.toLong))
+                n.stripPrefix("session=").toLongOption.exists(_ > committed))
               fs.delete(st.getPath, true)
           }
         }

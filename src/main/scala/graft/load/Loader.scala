@@ -103,35 +103,48 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       // newest-first trim (O4, ref gemini_redshift_loader.py:488-492): a huge
       // backlog can't starve fresh data; older files load in later sessions.
       // The mtimes come from the listing above — zero extra RPCs.
-      val fresh = maxFilesPerLoad match {
-        case Some(cap) => Maintenance.newestFirst(
-          allMeta.filterNot(f => blacklist(f._1)).map(f => (f._1, f._3)), cap)
-        case None => all.filterNot(blacklist)
+      // Footer validation runs DURING the cap selection: corrupt files must
+      // not occupy maxFilesPerLoad slots session after session (a corrupt
+      // newest set would otherwise wedge the valid backlog behind it
+      // forever, with every session reporting success). The footer open
+      // doubles as the row count for sub-batch accounting. NonFatal only:
+      // an interrupt or OOM must ABORT the session, not quarantine
+      // perfectly valid files under a success status.
+      val unprocessed = allMeta.filterNot(f => blacklist(f._1))
+      val orderedFresh = maxFilesPerLoad match {
+        case Some(_) => Maintenance.newestFirst(
+          unprocessed.map(f => (f._1, f._3)), unprocessed.size)
+        case None => unprocessed.map(_._1)
       }
+      val capN = maxFilesPerLoad.getOrElse(Int.MaxValue)
+      val rowsAcc = scala.collection.mutable.LinkedHashMap[String, Long]()
+      val quarAcc = scala.collection.mutable.ArrayBuffer[String]()
+      val itFresh = orderedFresh.iterator
+      while (rowsAcc.size < capN && itFresh.hasNext) {
+        val f = itFresh.next()
+        try rowsAcc(f) = ParquetFooters.rowCount(f, conf)
+        catch { case scala.util.control.NonFatal(_) => quarAcc += f }
+      }
+      val valid = rowsAcc.keys.toSeq
+      val quarantined = quarAcc.toSeq
+      val fresh = valid ++ quarantined
+      val rowsByFile: Map[String, Long] = rowsAcc.toMap
       val target = targetPath(id)
       val doTruncate = truncate || config.requiresTruncateBeforeLoad
 
       if (fresh.isEmpty && !doTruncate) {
         // a PURE replay (everything staged is already blacklisted) still
         // passes the tombstone gate: the pre-crash session may have
-        // installed tombstoned rows and died before its own gate ran
+        // installed tombstoned rows and died before its own gate ran.
+        // Cached behind the (last_session, tombstone_gen) marker — an
+        // IDLE table with a retained backlog must not re-read every
+        // staged file on every sync when nothing moved.
         if (all.nonEmpty) {
           val fs0 = new org.apache.hadoop.fs.Path(target).getFileSystem(conf)
-          tombstoneGate(spark, id, all, fs0)
+          tombstoneGateCached(spark, id, all, fs0)
         }
         return LoadResult(id, 0, 0, all.size.toLong, target)
       }
-
-      // per-file validation gate: corrupt footers → quarantine, not failure.
-      // The SAME footer open yields the row count, reused for sub-batch
-      // accounting below — each footer is read exactly once per session.
-      // NonFatal only: an interrupt or OOM must ABORT the session, not
-      // quarantine perfectly valid files under a success status
-      val rowsByFile: Map[String, Long] = fresh.flatMap { f =>
-        try Some(f -> ParquetFooters.rowCount(f, conf))
-        catch { case scala.util.control.NonFatal(_) => None }
-      }.toMap
-      val (valid, quarantined) = fresh.partition(rowsByFile.contains)
 
       val t0 = System.nanoTime()
       var loadedRows = 0L
@@ -234,8 +247,13 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       // the pre-crash session may have installed tombstoned rows the crash
       // kept the gate from scrubbing — the replay must still re-suppress
       // (idempotent rewrite; the fresh-empty early return above runs the
-      // same gate for pure replays).
+      // same gate for pure replays WITHOUT truncate). A truncate-mode pure
+      // replay (fresh empty, table kept as loaded) lands here with valid
+      // empty — it must gate over the whole staged set, or the crash
+      // window before the pre-crash session's own gate resurrects
+      // tombstoned rows permanently.
       if (valid.nonEmpty) tombstoneGate(spark, id, valid, fs)
+      else if (all.nonEmpty) tombstoneGateCached(spark, id, all, fs)
       val secs = (System.nanoTime() - t0) / 1e9
       // record the quarantine AFTER the sub-batch commits so the note isn't
       // overwritten by their success saves: status stays success (the valid
@@ -359,10 +377,27 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     try {
       val all = listParquetFiles(spark, stagedDir)
         .filter(wm.isSessionLoadable)
-      val fresh = all.filterNot(wm.processedFileSet)
+      val freshRaw = all.filterNot(wm.processedFileSet)
       val target = targetPath(id)
-      if (fresh.isEmpty)
+      if (freshRaw.isEmpty)
         return LoadResult(id, 0, 0, all.size.toLong, target)
+      // the same per-file footer-validation gate as the append path: one
+      // corrupt staged file must quarantine, not permanently fail every
+      // merge session of the table (the read below throws on any bad
+      // footer, markLoadFailed is saved, and Retry burns its attempts on
+      // the identical failure forever). NonFatal only — interrupts/OOM
+      // abort the session rather than quarantining valid files.
+      val (fresh, quarantined) = freshRaw.partition { f =>
+        try { ParquetFooters.rowCount(f, conf); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+      if (fresh.isEmpty) {
+        val wmQ = store.getOrCreate(id.scoped, config.strategy.name)
+        store.save(wmQ.copy(redshift_state = wmQ.redshift_state.copy(
+          error = Some(s"quarantined ${quarantined.size} corrupt files: " +
+            quarantined.take(3).mkString(",")))))
+        return LoadResult(id, 0, 0, all.size.toLong, target, quarantined)
+      }
       val t0 = System.nanoTime()
       // converge any crashed swap BEFORE reading the target schema: after a
       // death between the two swap renames the only copy is `.__old`, and a
@@ -418,8 +453,16 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       store.save(store.getOrCreate(id.scoped, config.strategy.name)
         .afterLoadSession(fresh, rows, store.nowString()))
       val secs = (System.nanoTime() - t0) / 1e9
+      // quarantine note AFTER the session save so it isn't overwritten —
+      // status stays success (the valid set merged), same as the append path
+      if (quarantined.nonEmpty) {
+        val wmQ = store.getOrCreate(id.scoped, config.strategy.name)
+        store.save(wmQ.copy(redshift_state = wmQ.redshift_state.copy(
+          error = Some(s"quarantined ${quarantined.size} corrupt files: " +
+            quarantined.take(3).mkString(",")))))
+      }
       LoadResult(id, fresh.size.toLong, rows, (all.size - fresh.size).toLong,
-        target, Nil, SessionMetrics(rows, fresh.size.toLong, bytes, secs))
+        target, quarantined, SessionMetrics(rows, fresh.size.toLong, bytes, secs))
     } catch {
       case e: Throwable =>
         store.save(store.getOrCreate(id.scoped, config.strategy.name)
@@ -483,6 +526,38 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     * tombstoned keys, re-run the (idempotent) deletion. Costs one
     * increment-sized semi-join; the rewrite runs only on a hit (and prunes
     * to affected buckets on bucketed layouts). */
+  /** Pure-replay form of [[tombstoneGate]] cached behind a marker file:
+    * an idle re-sync of a table with a retained staged backlog must not
+    * re-read every staged file on every cycle when neither the committed
+    * session high-water nor the tombstone GENERATION (bumped by each
+    * [[deleteKeys]]) moved since the last gate run. The marker writes
+    * AFTER the gate, so a crash in between simply re-gates (idempotent).
+    * Tombstone dirs persisted before the generation token exist gate once
+    * per session high-water (empty-gen token) — strictly no worse than
+    * the ungated form. */
+  private def tombstoneGateCached(spark: SparkSession, id: TableId,
+                                  incrementFiles: Seq[String],
+                                  fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val tombP = new org.apache.hadoop.fs.Path(tombstonePath(id))
+    if (!fs.exists(tombP)) return
+    val token = store.get(id.scoped).flatMap(_.metadata.last_session)
+      .getOrElse("") + "|" +
+      graft.util.AtomicDir.readState(spark, tombstonePath(id)).getOrElse("")
+    val markerP = new org.apache.hadoop.fs.Path(tombstonePath(id) + ".__gated")
+    val prev =
+      if (!fs.exists(markerP)) None
+      else {
+        val in = fs.open(markerP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (prev.contains(token)) return
+    tombstoneGate(spark, id, incrementFiles, fs)
+    val out = fs.create(markerP, true)
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   private def tombstoneGate(spark: SparkSession, id: TableId,
                             incrementFiles: Seq[String],
                             fs: org.apache.hadoop.fs.FileSystem): Unit = {
@@ -527,9 +602,23 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
                        stateJson: Option[String] = None): Long =
     graft.util.AtomicDir.replace(spark, path, df, compression, stateJson)
 
-  /** The committed post-op state of a derived table (see [[replaceDerived]]). */
+  /** The committed post-op state of a derived table (see [[replaceDerived]]).
+    * READ-ONLY — pair with [[recoverDerived]] at locked entry points that
+    * will also read the derived DATA, or a mid-swap crash leaves the cursor
+    * readable (from the backup) while the live dir is absent. */
   def readDerivedState(spark: SparkSession, id: TableId): Option[String] =
     graft.util.AtomicDir.readState(spark, targetPath(id))
+
+  /** Converge a crashed [[replaceDerived]] swap — the mutating recovery a
+    * LOCK-HOLDING reader runs before touching the derived table; unlocked
+    * status readers must not (an unlocked rename can race a writer
+    * mid-install — see [[graft.util.AtomicDir.readState]]). */
+  def recoverDerived(spark: SparkSession, id: TableId): Unit = {
+    val tgt = new org.apache.hadoop.fs.Path(targetPath(id))
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.AtomicDir.recoverSwap(fs, tgt,
+      new org.apache.hadoop.fs.Path(targetPath(id) + ".__old"))
+  }
 
   /** Per-bucket form of [[recoverSwap]]: restore or clear any `.__old_<b>`
     * backups a crashed bucket swap left inside the target. */
@@ -609,11 +698,18 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     * string keys against DECIMAL or TIMESTAMP columns need not be). */
   private def castKeysLike(keys: DataFrame,
                            schema: org.apache.spark.sql.types.StructType): DataFrame =
+    // resolve names CASE-INSENSITIVELY, like Spark's analyzer: a tombstone
+    // persisted with key column "ID" must cast (and later gate) against a
+    // table column "id" — a case-sensitive miss here silently skipped both
+    // the cast and, downstream, the whole re-suppression gate. The output
+    // column RENAMES to the schema's spelling so the gate's subset check
+    // and join resolve identically.
     keys.select(keys.columns.toIndexedSeq.map { c =>
-      schema.fields.find(_.name == c) match {
+      schema.fields.find(_.name.equalsIgnoreCase(c)) match {
         case Some(f) if f.dataType != keys.schema(c).dataType =>
-          col(c).cast(f.dataType).as(c)
-        case _ => col(c)
+          col(c).cast(f.dataType).as(f.name)
+        case Some(f) => col(c).as(f.name)
+        case None => col(c)
       }
     }: _*)
 
@@ -906,7 +1002,12 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
         else None
       val merged = prev.fold(keys.distinct())(p =>
         p.unionByName(keys).distinct())
-      graft.util.AtomicDir.replace(spark, tp, merged, compression)
+      // the committed state carries a GENERATION token: the idle-sync
+      // tombstone gate caches on (last_session, generation) and skips the
+      // full staged-backlog scan when neither moved — every deleteKeys
+      // bumps the generation so the next sync of every table re-gates once
+      graft.util.AtomicDir.replace(spark, tp, merged, compression,
+        stateJson = Some(s"""{"tombstone_gen":"${System.nanoTime()}"}"""))
     }
     if (!fs.exists(tgt)) return 0L
 

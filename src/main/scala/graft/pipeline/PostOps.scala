@@ -564,6 +564,11 @@ object PostOps {
       .flatMap(_.metadata.last_session).flatMap(_.toLongOption)
     if (committedOpt.isEmpty) return // never extracted: nothing to fold
     val committed = committedOpt.get
+    // converge a crashed swap FIRST (we hold the table lock): the cursor
+    // alone survives in the backup, but the fold also reads the derived
+    // DATA — without recovery a mid-swap crash reads prev=None against an
+    // advanced cursor and silently rebuilds from nothing
+    loader.recoverDerived(spark, derivedId)
     val foldedThrough = loader.readDerivedState(spark, derivedId)
       .flatMap(parseFoldedThrough).getOrElse(-1L)
     if (committed <= foldedThrough) return // no new sessions: no-op re-run

@@ -339,6 +339,16 @@ object StreamingPipeline {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
+        // single-writer context (foreachBatch worker): converge a crashed
+        // swap before reading — readState is read-only, and the data read
+        // below must see the restored live dir, not prev=None against an
+        // advanced cursor
+        locally {
+          val sp = new org.apache.hadoop.fs.Path(statePath)
+          AtomicDir.recoverSwap(
+            sp.getFileSystem(spark.sparkContext.hadoopConfiguration),
+            sp, new org.apache.hadoop.fs.Path(statePath + ".__old"))
+        }
         val folded = AtomicDir.readState(spark, statePath)
           .flatMap("\"folded_batch\"\\s*:\\s*\"(-?\\d+)\"".r.findFirstMatchIn(_))
           .flatMap(_.group(1).toLongOption).getOrElse(-1L)

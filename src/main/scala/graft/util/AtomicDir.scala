@@ -83,14 +83,21 @@ object AtomicDir {
     rows
   }
 
-  /** The committed state of a directory written by [[replace]] — recovered
-    * FIRST, so a crash between the swap renames can't hide the state that
-    * survives in the backup. */
+  /** The committed state of a directory written by [[replace]] — read from
+    * the live dir, falling back to the `.__old` backup when only it exists
+    * (a crash between the swap renames). READ-ONLY on purpose: an earlier
+    * version ran [[recoverSwap]] here, but a mutating rename from an
+    * UNLOCKED reader (a status/CLI call) racing a writer mid-[[installSwap]]
+    * could restore the backup between the writer's two renames and make the
+    * writer's commit fail — recovery belongs to the lock-holding entry
+    * points ([[replace]] recovers at entry; so do the loader sessions). */
   def readState(spark: SparkSession, path: String): Option[String] = {
     val tgt = new Path(path)
     val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverSwap(fs, tgt, new Path(path + ".__old"))
-    val p = new Path(tgt, StateFile)
+    val dir =
+      if (fs.exists(tgt)) tgt
+      else new Path(path + ".__old") // mid-swap crash: the backup is the data
+    val p = new Path(dir, StateFile)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)

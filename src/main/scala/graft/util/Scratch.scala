@@ -52,6 +52,11 @@ object Scratch {
     * out with [[exit]] (no sweep — only the owning [[release]] sweeps). */
   final class Scope private[Scratch] () {
     private[Scratch] val dirs = new java.util.concurrent.ConcurrentLinkedQueue[Entry]
+    // set by release() BEFORE its sweep: a straggler worker (cancelled but
+    // still running after sync returned) that materializes afterwards must
+    // not tag into a dead scope's queue that no sweep will ever visit —
+    // closed scopes route new writes to the JVM-exit tier instead
+    @volatile private[Scratch] var closed = false
     def enter(): Unit = { stack.get().push(Scope.this); () }
     def exit(): Unit = {
       val st = stack.get()
@@ -64,6 +69,10 @@ object Scratch {
       new java.util.ArrayDeque[Scope]()
   }
   private val liveScopes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Scope]()
+  // released scopes whose queue may still receive racing straggler writes —
+  // swept by cleanupAll/the shutdown hook, dropped once verifiably empty
+  private val deadScopes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Scope]()
   private val globalDirs = new java.util.concurrent.ConcurrentLinkedQueue[Entry]
   @volatile private var hooked = false
@@ -97,8 +106,15 @@ object Scratch {
     if (st.isEmpty) 0L
     else {
       val sc = st.pop()
+      sc.closed = true // before the sweep: late writers re-route to global
       liveScopes.remove(sc)
-      sweep(sc.dirs)
+      // move the scope to the graveyard BEFORE sweeping: an entry that
+      // races past the closed-check into the dying queue is then still
+      // found by cleanupAll/shutdown — bounded residue, never a leak
+      deadScopes.add(sc)
+      val n = sweep(sc.dirs)
+      if (sc.dirs.isEmpty) deadScopes.remove(sc)
+      n
     }
   }
 
@@ -131,6 +147,10 @@ object Scratch {
     * shutdown). Callers assert no scan of them is still live. */
   def cleanupAll(): Unit = {
     liveScopes.iterator().asScala.foreach(sc => sweep(sc.dirs))
+    deadScopes.iterator().asScala.foreach { sc =>
+      sweep(sc.dirs)
+      if (sc.dirs.isEmpty) deadScopes.remove(sc)
+    }
     sweep(globalDirs)
     ()
   }
@@ -178,8 +198,12 @@ object Scratch {
     }
     val entry = Entry(dir, bytes)
     currentScope match {
-      case Some(sc) => sc.dirs.add(entry)
-      case None => globalDirs.add(entry)
+      // a straggler worker whose scope already released (cancel that
+      // failed to stop the task promptly) must not write into a dead
+      // queue — route to the JVM-exit tier; the residue of the unavoidable
+      // check-then-add race stays findable via the deadScopes graveyard
+      case Some(sc) if !sc.closed => sc.dirs.add(entry)
+      case _ => globalDirs.add(entry)
     }
     spark.read.parquet(dir)
   }

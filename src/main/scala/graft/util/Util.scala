@@ -19,7 +19,15 @@ object Retry {
       attempt += 1
       try return f
       catch {
-        case e: Throwable =>
+        // NonFatal ONLY: a retry loop that swallows InterruptedException
+        // defeats cancellation — runParallel's fut.cancel(true) interrupt
+        // would be eaten here and the cancelled worker would re-run the
+        // whole attempt (mutating watermarks after sync already returned).
+        // Restore the interrupt flag and surface it; fatal VM errors
+        // propagate untouched.
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(e) =>
           if (attempt >= maxAttempts) throw RetryExhausted(attempt, e)
           onRetry(attempt, e)
           Thread.sleep(delay)

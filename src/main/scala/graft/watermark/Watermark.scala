@@ -79,7 +79,14 @@ final case class Watermark(
       case None => true
       case Some(committed) =>
         "session=(\\d+)".r.findFirstMatchIn(path) match {
-          case Some(m) => m.group(1).toLong <= committed.toLong
+          // a non-numeric committed tag (hand-edited / foreign writer)
+          // must not throw out of every listing filter — and must fail
+          // CLOSED: with the high-water unreadable, a session dir cannot
+          // be proven committed, and loading it risks duplicates (the
+          // exactly-once contract outranks availability here; the skip
+          // surfaces as rows_behind in parity, not silence)
+          case Some(m) =>
+            committed.toLongOption.exists(m.group(1).toLong <= _)
           case None => true
         }
     }

@@ -202,41 +202,10 @@ class WatermarkStore(rootDir: String,
       // let the caller retry.
       val age = lockAgeMs(f, p).getOrElse(return None)
       if (staleLockTtlMs <= 0 || age <= staleLockTtlMs) return None
-      // Abandoned (owner stopped heartbeating a full TTL ago). Breaking must
-      // be SINGLE-WINNER and must never hit a lock another breaker just
-      // recreated: a plain stat-then-delete (or rename) lets breaker B stat
-      // the stale file, sleep through A's break+reacquire, and then destroy
-      // A's FRESH lock. So the break runs under an exclusive breaker MARKER:
-      // only the marker owner may delete, and only after re-verifying
-      // staleness under the marker. A marker left by a crashed breaker
-      // expires after max(TTL, 1s) and is cleared by the next caller.
-      val marker = new Path(p.getParent, s".${p.getName}.breaking")
-      val markerTtl = math.max(staleLockTtlMs, 1000L)
-      if (f.exists(marker)) {
-        val (mAge, mMtime) = try {
-          val st = f.getFileStatus(marker)
-          (System.currentTimeMillis() - st.getModificationTime,
-            st.getModificationTime)
-        } catch { case _: java.io.FileNotFoundException => return None }
-        if (mAge > markerTtl) {
-          // delete ONLY the expired instance we observed: re-stat and
-          // match the mtime, so a FRESH marker another breaker created
-          // in the meantime is never the victim (the TTL re-verification
-          // under the marker covers the remaining microsecond window)
-          val still = try Some(f.getFileStatus(marker).getModificationTime)
-            catch { case _: java.io.FileNotFoundException => None }
-          if (still.contains(mMtime)) f.delete(marker, false)
-        }
-        return None // a break is (or was) in flight — contended, retry later
-      }
-      if (!createExclusive(f, marker, "{}")) return None
-      try {
-        // fresh again (recreated or late heartbeat) — not ours to break
-        val age2 = lockAgeMs(f, p).getOrElse(return None)
-        if (age2 <= staleLockTtlMs) return None
-        f.delete(p, false)
-        f.delete(beatPath(p), false) // the dead owner's beat goes with it
-      } finally f.delete(marker, false)
+      // Abandoned (owner stopped heartbeating a full TTL ago) — break it
+      // under the single-winner breaker-marker protocol (shared with the
+      // CLI unlock verb; see [[breakUnderMarker]]).
+      if (!breakUnderMarker(f, p, staleLockTtlMs)) return None
     }
     val token = java.util.UUID.randomUUID().toString
     val owner =
@@ -274,20 +243,60 @@ class WatermarkStore(rootDir: String,
     } catch { case _: java.io.IOException => false }
   }
 
+  /** Breaking a stale lock must be SINGLE-WINNER and must never hit a lock
+    * another breaker just recreated: a plain stat-then-delete lets breaker
+    * B stat the stale file, sleep through A's break+reacquire, and then
+    * destroy A's FRESH lock. So every break — tryLock's auto-break AND the
+    * CLI unlock verb — runs under an exclusive breaker MARKER: only the
+    * marker owner may delete, and only after re-verifying staleness under
+    * the marker. A marker left by a crashed breaker expires after
+    * max(ttl, 1s) and is cleared by the next caller. Returns true iff THIS
+    * caller deleted the lock. */
+  private def breakUnderMarker(f: org.apache.hadoop.fs.FileSystem, p: Path,
+                               ttlMs: Long): Boolean = {
+    val marker = new Path(p.getParent, s".${p.getName}.breaking")
+    val markerTtl = math.max(ttlMs, 1000L)
+    if (f.exists(marker)) {
+      val (mAge, mMtime) = try {
+        val st = f.getFileStatus(marker)
+        (System.currentTimeMillis() - st.getModificationTime,
+          st.getModificationTime)
+      } catch { case _: java.io.FileNotFoundException => return false }
+      if (mAge > markerTtl) {
+        // delete ONLY the expired instance we observed: re-stat and
+        // match the mtime, so a FRESH marker another breaker created
+        // in the meantime is never the victim (the TTL re-verification
+        // under the marker covers the remaining microsecond window)
+        val still = try Some(f.getFileStatus(marker).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+        if (still.contains(mMtime)) f.delete(marker, false)
+      }
+      return false // a break is (or was) in flight — contended, retry later
+    }
+    if (!createExclusive(f, marker, "{}")) return false
+    try {
+      // fresh again (recreated or late heartbeat) — not ours to break
+      val age2 = lockAgeMs(f, p).getOrElse(return false)
+      if (age2 <= ttlMs) return false
+      f.delete(p, false)
+      f.delete(beatPath(p), false) // the dead owner's beat goes with it
+      true
+    } finally f.delete(marker, false)
+  }
+
   /** Break a lock whose holder is gone: deletes the lock object if it is
     * older than `staleAfterMs` (ref: manual lock cleanup via CLI; the owner
-    * identity in the lock JSON makes the decision auditable). Returns true
-    * if a lock was broken. */
+    * identity in the lock JSON makes the decision auditable). Runs the same
+    * breaker-marker protocol as tryLock's auto-break, so an ops unlock can
+    * never race a concurrent auto-break into deleting a freshly recreated
+    * lock. Returns true if a lock was broken. */
   def breakStaleLock(tableName: String, staleAfterMs: Long,
                      target: String = "default"): Boolean = {
     val p = lockPath(tableName, target)
     val f = fs(p)
     if (!f.exists(p)) return false
     val age = lockAgeMs(f, p).getOrElse(return false)
-    if (age > staleAfterMs) {
-      f.delete(beatPath(p), false)
-      f.delete(p, false)
-    } else false
+    if (age > staleAfterMs) breakUnderMarker(f, p, staleAfterMs) else false
   }
 
   /** Locks held by the CURRENT THREAD through [[withTableLock]] — makes the

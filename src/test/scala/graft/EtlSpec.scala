@@ -64,6 +64,94 @@ class EtlSpec extends AnyFunSuite with SparkTestBase {
     assert(wm.redshift_state.error.exists(_.contains("quarantined 1")))
   }
 
+  test("corrupt files do not occupy maxFilesPerLoad slots") {
+    // the cap must select VALID files: a corrupt newest set would
+    // otherwise wedge the whole valid backlog behind it forever, with
+    // every session reporting success-with-warning and loading nothing
+    val root = tmpDir("etlcap")
+    val store = new WatermarkStore(s"$root/wm")
+    val extractor = new Extractor(store, s"$root/staging")
+    val loader = new Loader(store, s"$root/warehouse",
+      maxFilesPerLoad = Some(2))
+    extractor.extract(spark, id, events, cfg)
+    // plant two corrupt files with the NEWEST mtimes — under the old
+    // selection they consume both cap slots every session
+    val dir = new java.io.File(extractor.stagingDir(id))
+    Seq("bad1", "bad2").foreach { n =>
+      val f = new java.io.File(dir, s"$n.parquet")
+      java.nio.file.Files.writeString(f.toPath, "not parquet")
+      assert(f.setLastModified(System.currentTimeMillis() + 3600000L))
+    }
+    val load = loader.load(spark, id, extractor.stagingDir(id), cfg)
+    assert(load.quarantinedFiles.size == 2)
+    assert(load.loadedRows > 0,
+      "corrupt newest files starved the cap window: nothing valid loaded")
+  }
+
+  test("truncate-mode pure replay still runs the tombstone gate") {
+    // full_sync replace: the pre-crash session installs everything (all
+    // files blacklisted) and dies before its own gate — the replay keeps
+    // the table but must still re-suppress tombstoned rows
+    val root = tmpDir("etltruncgate")
+    val store = new WatermarkStore(s"$root/wm")
+    val extractor = new Extractor(store, s"$root/staging")
+    val loader = new Loader(store, s"$root/warehouse")
+    val fullCfg = CdcConfig(CdcStrategyKind.FullSync)
+    val s = spark; import s.implicits._
+    extractor.extract(spark, id, events.filter(col("event_id") <= 500), fullCfg)
+    loader.load(spark, id, extractor.stagingDir(id), fullCfg)
+    val victim = 42L
+    assert(loader.readTarget(spark, id).get
+      .filter(col("event_id") === victim).count() == 1)
+    // forget the key, then simulate the pre-crash session's install by
+    // hiding the tombstones, re-syncing (row resurrects), restoring them
+    loader.deleteKeys(spark, id, Seq(victim).toDF("event_id"))
+    val tombP = new org.apache.hadoop.fs.Path(
+      loader.targetPath(id) + ".__tombstones")
+    val hidden = new org.apache.hadoop.fs.Path(
+      loader.targetPath(id) + ".__tomb_hidden")
+    val fs = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(tombP, hidden))
+    extractor.extract(spark, id, events.filter(col("event_id") <= 500), fullCfg)
+    loader.load(spark, id, extractor.stagingDir(id), fullCfg)
+    assert(loader.readTarget(spark, id).get
+      .filter(col("event_id") === victim).count() == 1,
+      "setup: the row must resurrect while the gate is disarmed")
+    assert(fs.rename(hidden, tombP))
+    // PURE replay in truncate mode: fresh empty, table kept — the gate
+    // must still fire (previously skipped: valid.isEmpty bypassed it)
+    val replay = loader.load(spark, id, extractor.stagingDir(id), fullCfg)
+    assert(replay.loadedRows == 0L)
+    assert(loader.readTarget(spark, id).get
+      .filter(col("event_id") === victim).isEmpty,
+      "truncate-mode pure replay left a tombstoned row resurrected")
+  }
+
+  test("tombstone re-suppression survives key-column case drift") {
+    // forget with an upper-cased key column: the delete resolves (Spark is
+    // case-insensitive) and the persisted tombstone must STILL gate future
+    // re-deliveries — a case-sensitive column-subset check silently
+    // disabled the gate for exactly this input
+    val root = tmpDir("etlcase")
+    val store = new WatermarkStore(s"$root/wm")
+    val extractor = new Extractor(store, s"$root/staging")
+    val loader = new Loader(store, s"$root/warehouse")
+    val s = spark; import s.implicits._
+    extractor.extract(spark, id, events.filter(col("event_id") <= 500), cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    val victim = 123L
+    assert(loader.deleteKeys(spark, id,
+      Seq(victim).toDF("EVENT_ID")) == 1L)
+    assert(loader.readTarget(spark, id).get
+      .filter(col("event_id") === victim).isEmpty)
+    // a later sync re-delivers the forgotten key
+    extractor.extract(spark, id, events.filter(col("event_id") <= 800), cfg)
+    loader.load(spark, id, extractor.stagingDir(id), cfg)
+    assert(loader.readTarget(spark, id).get
+      .filter(col("event_id") === victim).isEmpty,
+      "case-drifted tombstone failed to re-suppress the re-delivered key")
+  }
+
   test("a second concurrent session of the same table is REFUSED by the lock") {
     val (_, store, extractor, loader) = rig()
     // another process's in-flight session holds the lock
