@@ -380,7 +380,7 @@ object Cli {
         // re-sync cannot resurrect the rows. --key-column defaults to the
         // table's CDC id column; --values is a comma list of key values.
         val (r, p) = runner
-        val (_, _, loader) = r.rigFor(p)
+        val (cliStore, _, loader) = r.rigFor(p)
         val spec = requireTable(p, tableFilter, "forget")
         val keyCol = opts.get("key-column").orElse(spec.cdc.idColumn).getOrElse {
           System.err.println("forget requires --key-column (no cdc_id_column)")
@@ -419,97 +419,104 @@ object Cli {
           // (md5 fingerprints are content-derived — they must go too)
           "neardup_labels_edges" -> Seq(".__repbands" -> "doc_id",
             ".__repfps" -> "rep_id"))
-        spec.postOps.filter(po => bandSuffix.contains(po.op))
-          .filter(_.idColumn.contains(keyCol)).foreach { po =>
-            val dId = id.copy(table = po.target)
-            // locked context: converge any crashed swap before reading the
-            // label table or its state (readState itself is read-only)
-            loader.recoverDerived(spark, dId)
-            val state = loader.readDerivedState(spark, dId)
-            def scrub(path: String, keyName: String,
-                      keepState: Boolean): Unit = {
-              val fsP = new org.apache.hadoop.fs.Path(path)
-              val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              if (fs.exists(fsP)) {
-                import org.apache.spark.sql.functions.col
-                val cur = spark.read.parquet(path)
-                val s2 = spark; import s2.implicits._
-                val doomed = values.toDF(keyName)
-                  .select(col(keyName).cast(cur.schema(keyName).dataType))
-                // through the loader, not AtomicDir directly: the rewrite
-                // must keep the pipeline's configured sink compression
-                loader.replaceDerivedAt(spark, path,
-                  cur.join(doomed, Seq(keyName), "left_anti"),
-                  if (keepState) state else None)
-                ()
-              }
-            }
-            scrub(loader.targetPath(dId), "id", keepState = true)
-            bandSuffix(po.op).foreach { case (suffix, keyName) =>
-              scrub(loader.targetPath(dId) + suffix, keyName,
-                keepState = false)
-            }
-            // EDGE-FORM REP RE-ELECTION: the rep-collapsed side tables key
-            // whole content classes through one representative — scrubbing
-            // a rep whose class has SURVIVING members would orphan them
-            // (their band rows were never in the rep index, so future
-            // identical or near-dup content could never link to them
-            // again: silent recall loss the full-form tables don't have,
-            // since there every member keeps its own rows). Re-elect the
-            // min surviving id per orphaned fingerprint from the already-
-            // scrubbed base table, restore its (fingerprint, rep_id) row,
-            // and add the new rep's band-index rows. Runs BEFORE the
-            // generic scrub would be wrong (the doomed rows must go and
-            // the base must already be deleted) — so it recomputes from
-            // the PRE-scrub fps relation read here, after deleteKeys.
-            if (po.op == "neardup_labels_edges") {
-              val fpsPath = loader.targetPath(dId) + ".__repfps"
-              val bandsPath = loader.targetPath(dId) + ".__repbands"
-              val fpsP = new org.apache.hadoop.fs.Path(fpsPath)
-              val fs2 = fpsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              if (fs2.exists(fpsP)) {
-                import org.apache.spark.sql.functions.col
-                val curFps = spark.read.parquet(fpsPath)
-                // the generic scrub above already removed doomed rows —
-                // orphaned FINGERPRINTS are therefore exactly the class
-                // fingerprints still present in the (already-deleted) BASE
-                // but absent from the fps table: classes that lost their
-                // rep. repFingerprints is THE class definition (same
-                // normalization, same eligibility gate) — the re-elected
-                // rep is its min surviving id, so any future change to the
-                // fingerprint rule reaches this path automatically.
-                val txt = po.textColumn.get
-                val base = loader.readTarget(spark, id).getOrElse(
-                  throw new IllegalStateException(
-                    s"forget: ${id.qualified} vanished mid-scrub"))
-                val newReps = graft.util.Scratch.materialize(
-                  graft.functions.DedupFunctions
-                    .repFingerprints(base, keyCol, txt)
-                    .join(curFps.select(col("fingerprint")),
-                      Seq("fingerprint"), "left_anti"),
-                  "forget_newreps")
-                if (newReps.limit(1).count() > 0) {
-                  loader.replaceDerivedAt(spark, fpsPath,
-                    spark.read.parquet(fpsPath).unionByName(newReps), None)
-                  val bandsP = new org.apache.hadoop.fs.Path(bandsPath)
-                  val newRepBands = graft.functions.DedupFunctions
-                    .minhashBandIndex(
-                      base.join(newReps.select(col("rep_id").as(keyCol)),
-                        Seq(keyCol), "left_semi"),
-                      keyCol, txt)
-                  if (fs2.exists(bandsP))
-                    loader.replaceDerivedAt(spark, bandsPath,
-                      spark.read.parquet(bandsPath)
-                        .unionByName(newRepBands), None)
-                  else
-                    newRepBands.write.mode("overwrite").parquet(bandsPath)
-                  println(s"re-elected ${po.target} class reps for " +
-                    "orphaned content classes")
+        // the scrub rewrites derived side tables and runs swap recovery —
+        // MUTATING operations that must hold the table lock (a concurrent
+        // sync's fold mid-installSwap could otherwise have its commit
+        // broken by our recovery rename). deleteKeys above takes the same
+        // lock internally; two windows, each internally consistent.
+        cliStore.withTableLock(id.scoped) {
+          spec.postOps.filter(po => bandSuffix.contains(po.op))
+            .filter(_.idColumn.contains(keyCol)).foreach { po =>
+              val dId = id.copy(table = po.target)
+              // locked context: converge any crashed swap before reading the
+              // label table or its state (readState itself is read-only)
+              loader.recoverDerived(spark, dId)
+              val state = loader.readDerivedState(spark, dId)
+              def scrub(path: String, keyName: String,
+                        keepState: Boolean): Unit = {
+                val fsP = new org.apache.hadoop.fs.Path(path)
+                val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                if (fs.exists(fsP)) {
+                  import org.apache.spark.sql.functions.col
+                  val cur = spark.read.parquet(path)
+                  val s2 = spark; import s2.implicits._
+                  val doomed = values.toDF(keyName)
+                    .select(col(keyName).cast(cur.schema(keyName).dataType))
+                  // through the loader, not AtomicDir directly: the rewrite
+                  // must keep the pipeline's configured sink compression
+                  loader.replaceDerivedAt(spark, path,
+                    cur.join(doomed, Seq(keyName), "left_anti"),
+                    if (keepState) state else None)
+                  ()
                 }
               }
+              scrub(loader.targetPath(dId), "id", keepState = true)
+              bandSuffix(po.op).foreach { case (suffix, keyName) =>
+                scrub(loader.targetPath(dId) + suffix, keyName,
+                  keepState = false)
+              }
+              // EDGE-FORM REP RE-ELECTION: the rep-collapsed side tables key
+              // whole content classes through one representative — scrubbing
+              // a rep whose class has SURVIVING members would orphan them
+              // (their band rows were never in the rep index, so future
+              // identical or near-dup content could never link to them
+              // again: silent recall loss the full-form tables don't have,
+              // since there every member keeps its own rows). Re-elect the
+              // min surviving id per orphaned fingerprint from the already-
+              // scrubbed base table, restore its (fingerprint, rep_id) row,
+              // and add the new rep's band-index rows. Runs BEFORE the
+              // generic scrub would be wrong (the doomed rows must go and
+              // the base must already be deleted) — so it recomputes from
+              // the PRE-scrub fps relation read here, after deleteKeys.
+              if (po.op == "neardup_labels_edges") {
+                val fpsPath = loader.targetPath(dId) + ".__repfps"
+                val bandsPath = loader.targetPath(dId) + ".__repbands"
+                val fpsP = new org.apache.hadoop.fs.Path(fpsPath)
+                val fs2 = fpsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                if (fs2.exists(fpsP)) {
+                  import org.apache.spark.sql.functions.col
+                  val curFps = spark.read.parquet(fpsPath)
+                  // the generic scrub above already removed doomed rows —
+                  // orphaned FINGERPRINTS are therefore exactly the class
+                  // fingerprints still present in the (already-deleted) BASE
+                  // but absent from the fps table: classes that lost their
+                  // rep. repFingerprints is THE class definition (same
+                  // normalization, same eligibility gate) — the re-elected
+                  // rep is its min surviving id, so any future change to the
+                  // fingerprint rule reaches this path automatically.
+                  val txt = po.textColumn.get
+                  val base = loader.readTarget(spark, id).getOrElse(
+                    throw new IllegalStateException(
+                      s"forget: ${id.qualified} vanished mid-scrub"))
+                  val newReps = graft.util.Scratch.materialize(
+                    graft.functions.DedupFunctions
+                      .repFingerprints(base, keyCol, txt)
+                      .join(curFps.select(col("fingerprint")),
+                        Seq("fingerprint"), "left_anti"),
+                    "forget_newreps")
+                  if (newReps.limit(1).count() > 0) {
+                    loader.replaceDerivedAt(spark, fpsPath,
+                      spark.read.parquet(fpsPath).unionByName(newReps), None)
+                    val bandsP = new org.apache.hadoop.fs.Path(bandsPath)
+                    val newRepBands = graft.functions.DedupFunctions
+                      .minhashBandIndex(
+                        base.join(newReps.select(col("rep_id").as(keyCol)),
+                          Seq(keyCol), "left_semi"),
+                        keyCol, txt)
+                    if (fs2.exists(bandsP))
+                      loader.replaceDerivedAt(spark, bandsPath,
+                        spark.read.parquet(bandsPath)
+                          .unionByName(newRepBands), None)
+                    else
+                      newRepBands.write.mode("overwrite").parquet(bandsPath)
+                    println(s"re-elected ${po.target} class reps for " +
+                      "orphaned content classes")
+                  }
+                }
+              }
+              println(s"scrubbed ${po.target} labels + band index")
             }
-            println(s"scrubbed ${po.target} labels + band index")
-          }
+        }
         println(s"forgot ${values.size} key(s) from ${id.qualified}: " +
           s"$deleted row(s) deleted, tombstones persisted")
         0

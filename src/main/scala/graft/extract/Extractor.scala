@@ -93,17 +93,24 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
       // this session commits a higher tag, or they would become loadable and
       // duplicate the rows this session is about to re-extract. The loader's
       // own isSessionLoadable filter covers the window until we get here.
-      // toLongOption on the committed tag too: a non-numeric (corrupted)
-      // tag must not throw out of every extract — and must not delete
-      // anything (conservative: an unparseable high-water sweeps nothing)
-      wm.metadata.last_session.flatMap(_.toLongOption).foreach { committed =>
+      // a non-numeric committed tag (corrupted watermark) REFUSES the
+      // extract loudly: skipping the sweep would let orphan dirs survive
+      // until this session commits a numeric tag above them — at which
+      // point they turn loadable next to the re-extracted copies of their
+      // own rows (silent duplicates). Same fail-closed polarity as the
+      // loader's isSessionLoadable.
+      wm.metadata.last_session.foreach { committed =>
+        val c = committed.toLongOption.getOrElse(throw new IllegalStateException(
+          s"${id.qualified}: committed last_session '$committed' is not " +
+            "numeric — refusing to extract (the orphan-session sweep " +
+            "cannot run safely); repair the watermark first"))
         val outPath = new org.apache.hadoop.fs.Path(outDir)
         val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(outPath)) {
           fs.listStatus(outPath).foreach { st =>
             val n = st.getPath.getName
             if (n.startsWith("session=") &&
-                n.stripPrefix("session=").toLongOption.exists(_ > committed))
+                n.stripPrefix("session=").toLongOption.exists(_ > c))
               fs.delete(st.getPath, true)
           }
         }

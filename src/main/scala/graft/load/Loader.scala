@@ -112,8 +112,11 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       // perfectly valid files under a success status.
       val unprocessed = allMeta.filterNot(f => blacklist(f._1))
       val orderedFresh = maxFilesPerLoad match {
-        case Some(_) => Maintenance.newestFirst(
-          unprocessed.map(f => (f._1, f._3)), unprocessed.size)
+        // sort the WHOLE candidate set newest-first (newestFirst's
+        // early-return skips the sort when nothing would be trimmed — the
+        // cap is applied by the validation loop below, so the order here
+        // must be explicit or the O4 guarantee silently inverts)
+        case Some(_) => unprocessed.sortBy(f => -f._3).map(_._1)
         case None => unprocessed.map(_._1)
       }
       val capN = maxFilesPerLoad.getOrElse(Int.MaxValue)
@@ -253,7 +256,12 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       // window before the pre-crash session's own gate resurrects
       // tombstoned rows permanently.
       if (valid.nonEmpty) tombstoneGate(spark, id, valid, fs)
-      else if (all.nonEmpty) tombstoneGateCached(spark, id, all, fs)
+      // quarantined files must not enter the gate's read — one corrupt
+      // footer would turn the gate into a permanent load failure
+      else {
+        val readable = all.filterNot(quarantined.toSet)
+        if (readable.nonEmpty) tombstoneGateCached(spark, id, readable, fs)
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       // record the quarantine AFTER the sub-batch commits so the note isn't
       // overwritten by their success saves: status stays success (the valid
@@ -387,8 +395,9 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       // footer, markLoadFailed is saved, and Retry burns its attempts on
       // the identical failure forever). NonFatal only — interrupts/OOM
       // abort the session rather than quarantining valid files.
+      val mergeRows = scala.collection.mutable.LinkedHashMap[String, Long]()
       val (fresh, quarantined) = freshRaw.partition { f =>
-        try { ParquetFooters.rowCount(f, conf); true }
+        try { mergeRows(f) = ParquetFooters.rowCount(f, conf); true }
         catch { case scala.util.control.NonFatal(_) => false }
       }
       if (fresh.isEmpty) {
@@ -448,7 +457,9 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
             deleteKeysLocked(spark, id, tomb, persistTombstones = false)
         }
       }
-      val rows = ParquetFooters.totalRows(fresh, conf)
+      // row counts reuse the validation gate's footer reads — each staged
+      // footer is opened exactly once per session, like the append path
+      val rows = fresh.map(mergeRows).sum
       val bytes = ParquetFooters.totalBytes(fresh, conf)
       store.save(store.getOrCreate(id.scoped, config.strategy.name)
         .afterLoadSession(fresh, rows, store.nowString()))
@@ -539,9 +550,21 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
                                   incrementFiles: Seq[String],
                                   fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val tombP = new org.apache.hadoop.fs.Path(tombstonePath(id))
+    // converge a crashed deleteKeys swap first (we hold the table lock):
+    // with only `.__tombstones.__old` on disk the exists check below would
+    // silently disarm the gate until some future deleteKeys recovered it
+    graft.util.AtomicDir.recoverSwap(fs, tombP,
+      new org.apache.hadoop.fs.Path(tombstonePath(id) + ".__old"))
     if (!fs.exists(tombP)) return
-    val token = store.get(id.scoped).flatMap(_.metadata.last_session)
-      .getOrElse("") + "|" +
+    // the token must capture LOADER progress too, not just the extract
+    // high-water: manually staged files (no session= tag) load without
+    // moving last_session, and a crash between their install and the gate
+    // would otherwise replay into a cache hit — the processed-file count
+    // advances with every committed sub-batch, so any loaded file
+    // invalidates the cache
+    val wmTok = store.get(id.scoped)
+    val token = wmTok.flatMap(_.metadata.last_session).getOrElse("") + "|" +
+      wmTok.map(_.processedFileSet.size).getOrElse(0) + "|" +
       graft.util.AtomicDir.readState(spark, tombstonePath(id)).getOrElse("")
     val markerP = new org.apache.hadoop.fs.Path(tombstonePath(id) + ".__gated")
     val prev =
@@ -562,6 +585,10 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
                             incrementFiles: Seq[String],
                             fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val tombP = new org.apache.hadoop.fs.Path(tombstonePath(id))
+    // lock-holding context: converge a crashed deleteKeys swap before the
+    // exists check (see tombstoneGateCached)
+    graft.util.AtomicDir.recoverSwap(fs, tombP,
+      new org.apache.hadoop.fs.Path(tombstonePath(id) + ".__old"))
     if (fs.exists(tombP)) {
       val tombRaw = spark.read.parquet(tombstonePath(id))
       val incRaw = spark.read.parquet(incrementFiles: _*)

@@ -108,13 +108,13 @@ object Scratch {
       val sc = st.pop()
       sc.closed = true // before the sweep: late writers re-route to global
       liveScopes.remove(sc)
-      // move the scope to the graveyard BEFORE sweeping: an entry that
-      // races past the closed-check into the dying queue is then still
-      // found by cleanupAll/shutdown — bounded residue, never a leak
+      // the scope stays in the graveyard PERMANENTLY (a Scope is a few
+      // dozen bytes, bounded by syncs-per-JVM): removing it when its queue
+      // looks empty races the straggler's closed-check-then-add, and a
+      // late entry in an unregistered queue would never be swept — the
+      // shutdown hook's cleanupAll drains whatever raced in
       deadScopes.add(sc)
-      val n = sweep(sc.dirs)
-      if (sc.dirs.isEmpty) deadScopes.remove(sc)
-      n
+      sweep(sc.dirs)
     }
   }
 
@@ -147,10 +147,7 @@ object Scratch {
     * shutdown). Callers assert no scan of them is still live. */
   def cleanupAll(): Unit = {
     liveScopes.iterator().asScala.foreach(sc => sweep(sc.dirs))
-    deadScopes.iterator().asScala.foreach { sc =>
-      sweep(sc.dirs)
-      if (sc.dirs.isEmpty) deadScopes.remove(sc)
-    }
+    deadScopes.iterator().asScala.foreach(sc => sweep(sc.dirs))
     sweep(globalDirs)
     ()
   }
