@@ -116,7 +116,11 @@ object BpeFunctions {
 
   /** Per-document BPE token counts under an ordered merge list:
     * (idCol, n_words, n_bpe_tokens). The distinct-word set is encoded once
-    * (vocab-scale typed map), then joined back to the per-doc words. */
+    * (vocab-scale typed map), then joined back to the per-doc words.
+    * CONTRACT: documents with zero tokens (empty/punctuation-only text)
+    * emit NO row — not (0, 0) — mirrored by the DuckDB oracle's inner
+    * join; [[foldBpeTokens]] state inherits the same absence. Join
+    * through a left join from your doc set if you need explicit zeros. */
   def encodeBpe(docs: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession

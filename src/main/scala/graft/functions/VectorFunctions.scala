@@ -90,6 +90,18 @@ object VectorFunctions {
     * operator that probes a width before filtering to it: a first-row
     * probe would make results depend on scan order whenever a corrupt
     * minority width is present. */
+  /** Deterministic Rademacher plane sign: +1 when the first hex digit of
+    * md5("p_d") is below 8, else −1 — mirrored literally by the DuckDB
+    * oracles as substr(md5(p || '_' || d), 1, 1) against '01234567'. ONE
+    * definition shared by the JL projection and the cosine-LSH banding so
+    * the oracle SQL can never desynchronize from half of it. */
+  private def rademacherSign(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_${d}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((hex(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+  }
+
   private def majorityDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol)).as("__d"))
       .filter(col("__d") > 0)
@@ -155,22 +167,18 @@ object VectorFunctions {
     if (dim == 0) // empty input (or all-null vectors): nothing to project
       return df.select(col(idCol),
         typedlit(Seq.empty[Double]).as(outCol)).limit(0)
-    val mdig = java.security.MessageDigest.getInstance("MD5")
-    def sign(p: Int, d: Int): Double = {
-      val hex = mdig.digest(s"${p}_${d}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if (((hex(0) >> 4) & 0xf) < 8) 1.0 else -1.0
-    }
     val planes: Seq[Seq[Double]] =
-      (0 until outDim).map(p => (0 until dim).map(d => sign(p, d)))
+      (0 until outDim).map(p => (0 until dim).map(d => rademacherSign(p, d)))
     // √outDim of a positive integer is correctly-rounded IEEE in both
     // engines, so component values replay bit-for-bit in the oracle
     val scale = sqrt(lit(outDim.toDouble))
-    // the matrix width comes from ONE probed row: rows whose vector is
-    // NULL or a DIFFERENT width (mixed upstream embedding models) would
-    // silently project to all-NULL components (DotProd's length-mismatch
-    // contract) — drop them instead, the decode-ops convention
-    df.filter(size(col(vecCol)) === dim)
+    // rows whose vector is NULL, a DIFFERENT width (mixed upstream
+    // embedding models), or carries NULL components would silently
+    // project to all-NULL components (DotProd's null contract) — drop
+    // them instead, the decode-ops convention (same predicate as
+    // embeddingDimStats)
+    df.filter(size(col(vecCol)) === dim &&
+        !exists(col(vecCol), x => x.isNull))
       .select(col(idCol),
         transform(typedlit(planes), pl => dot(col(vecCol), pl) / scale)
           .as(outCol))
@@ -612,15 +620,23 @@ object VectorFunctions {
               maxTrainPoints: Int = 65536): PqModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val dim = corpus.select(size(col(vecCol))).limit(1).collect()
-      .headOption.map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException("empty corpus"))
+    // MAJORITY width, not a first-row probe: a leading null embedding
+    // would NPE, and on mixed-width corpora the chosen dim (hence every
+    // subspace slice) would depend on scan order — the exact hazard
+    // majorityDim exists for
+    val dim = majorityDim(corpus, vecCol)
+    if (dim == 0) throw new IllegalArgumentException("empty corpus")
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val subDim = dim / m
     val tTrain0 = System.nanoTime()
-    val total = corpus.count()
+    // train on majority-width, component-complete vectors only (the same
+    // eligibility the encode side enforces; stragglers would NPE the
+    // KMeans assembler or skew a subspace with nulls)
+    val eligible = corpus.filter(size(col(vecCol)) === dim &&
+      !exists(col(vecCol), x => x.isNull))
+    val total = eligible.count()
     val frac = if (total > maxTrainPoints) maxTrainPoints.toDouble / total else 1.0
-    val base = corpus.select(unitNorm(col(vecCol)).as("__u"))
+    val base = eligible.select(unitNorm(col(vecCol)).as("__u"))
     val sampled = (if (frac < 1.0)
       base.sample(withReplacement = false, frac, seed = 42L) else base)
       .coalesce(math.max(1, (total * frac / 16384L).toInt)).cache()
@@ -714,7 +730,14 @@ object VectorFunctions {
     val cc: Array[Array[Double]] = model.codebooks.map(
       _.sortBy(_._1).map(_._3).toArray).toArray
     val (m, subDim) = (model.m, model.subDim)
-    corpus.select(col(idCol).cast("long"),
+    // eligibility before the typed map: a null id breaks the non-nullable
+    // tuple encoder and a null/short vector NPEs the per-partition loop —
+    // stragglers drop (the randomProjection convention), they don't kill
+    // the whole encode job
+    corpus.filter(col(idCol).isNotNull &&
+        size(col(vecCol)) === m * subDim &&
+        !exists(col(vecCol), x => x.isNull))
+      .select(col(idCol).cast("long"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
       .as[(Long, Array[Double])]
       .mapPartitions(it => it.map { case (id, v) =>
@@ -816,7 +839,10 @@ object VectorFunctions {
              idCol: String = "vec_id", vecCol: String = "embedding",
              queryIdCol: String = "query_id",
              excludeSelf: Boolean = true): DataFrame = {
-    val qRows = queries.select(col(queryIdCol), unitNorm(col(vecCol)))
+    // cast the id like every sibling op (bruteForce/ivf/sq take any
+    // integral id type; an uncast getLong ClassCastExceptions on int ids)
+    val qRows = queries
+      .select(col(queryIdCol).cast("long"), unitNorm(col(vecCol)))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
     // lut(qi)(j)(c) = q̂_j · centroid_{j,c} — primitive arrays end to end
@@ -947,8 +973,11 @@ object VectorFunctions {
       .select(col(idCol) +: blockCol.map(col).toSeq :+
         transform(col(vecCol), x => x.cast("double")).as("__v"): _*)
       .withColumn("__n", norm(col("__v")))
-      .withColumn("__u", zip_with(col("__v"),
-        array_repeat(col("__n"), size(col("__v"))), (x, n) => x / n))
+      // one transform, not zip_with over an array_repeat of the norm (that
+      // materialized an n-element array per row just to divide); division
+      // values — including the zero-norm NaN the oracle mirrors — are
+      // identical
+      .withColumn("__u", transform(col("__v"), x => x / col("__n")))
       .drop("__v", "__n")
     val a = normed.select(col(idCol).as("id_a") +:
       blockCol.map(c => col(c).as("__blk")).toSeq :+ col("__u").as("__ua"): _*)
@@ -1002,16 +1031,9 @@ object VectorFunctions {
           StructField("doc_id", idT), StructField("band", IntegerType),
           StructField("bucket", LongType))))
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def sign(p: Int, d: Int): Double = {
-      val hex = md.digest(s"${p}_${d}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first hex digit < 8 → +1 (top nibble of byte 0), else −1; DuckDB
-      // replays as substr(md5(p || '_' || d), 1, 1) against '01234567'
-      if (((hex(0) >> 4) & 0xf) < 8) 1.0 else -1.0
-    }
     val planes: Seq[Seq[Double]] =
-      (0 until bands * rowsPerBand).map(p => (0 until dim).map(d => sign(p, d)))
+      (0 until bands * rowsPerBand).map(p =>
+        (0 until dim).map(d => rademacherSign(p, d)))
 
     // one literal array<array<double>> of planes; per-row sig = sign bit per
     // plane (single transform over the literal — one dot per plane per row)
@@ -1020,6 +1042,14 @@ object VectorFunctions {
       plane => when(dot(col(vecCol), plane) > 0, 1L).otherwise(0L))
 
     corpus
+      // stragglers (null vectors, mismatched widths, null components)
+      // DROP, per the documented contract — otherwise dot() nulls them
+      // into an all-zero signature and they pile into (band, 0): above
+      // the cap that bucket is discarded (taking legitimate all-zero
+      // signatures' pairs with it), below it they generate O(n²) garbage
+      // candidates per band
+      .filter(size(col(vecCol)) === dim &&
+        !exists(col(vecCol), x => x.isNull))
       .select(col(idCol).as("doc_id"), col(vecCol))
       .select(col("doc_id"), sigBits.as("bits"))
       .select(col("doc_id"), posexplode(

@@ -1496,12 +1496,13 @@ object Multimodal {
     * placement is size-oblivious, so partitions converge to the target in
     * expectation; a single payload larger than the target is irreducible
     * either way (a row cannot split). */
-  def repartitionBySize(docs: DataFrame, targetBytesPerPartition: Long): DataFrame = {
+  def repartitionBySize(docs: DataFrame, targetBytesPerPartition: Long,
+                        idCol: String = "doc_id"): DataFrame = {
     val sized = withPayload(docs).withColumn("__bytes", octet_length(col("payload")))
     // empty increment → no-op single partition, not an NPE on a null SUM
     val total = Option(sized.agg(sum(col("__bytes"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val parts = math.max(1, (total / math.max(1L, targetBytesPerPartition)).toInt)
-    sized.repartition(parts, col("doc_id")).drop("__bytes")
+    sized.repartition(parts, col(idCol)).drop("__bytes")
   }
 }

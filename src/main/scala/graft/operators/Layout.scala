@@ -99,11 +99,14 @@ object Layout {
     val joined = docs.join(layout.select(col(idCol), col("shard"),
       col("pos")), Seq(idCol))
     // tolerate int or long shard columns (the doc invites any
-    // (id, shard, pos)-shaped layout, not just the repo's builders)
-    val nShards = layout.select(max(col("shard").cast("long"))).head() match {
-      case r if r.isNullAt(0) => 1
-      case r => (r.getLong(0) + 1).toInt
-    }
+    // (id, shard, pos)-shaped layout, not just the repo's builders).
+    // Partition count = DISTINCT shards, not max+1: order correctness
+    // only needs the count to cover the shards, and sparse/large/negative
+    // shard ids (foreign layouts) must not allocate millions of empty
+    // partitions or make repartition throw on a non-positive count.
+    val nShards = math.max(1L, math.min(
+      layout.select(countDistinct(col("shard"))).head().getLong(0),
+      65536L)).toInt
     joined
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
