@@ -880,12 +880,16 @@ object CorpusFunctions {
     val num = r * d("sxy") - d("sx") * d("sy")
     val denX = r * d("sxx") - d("sx") * d("sx")
     val denY = r * d("syy") - d("sy") * d("sy")
+    // guard BOTH denominators: a degenerate x-spread (distinct points
+    // whose ln-values round to the same 6-decimal x) made slope/intercept
+    // NaN/±Infinity while the docstring promises a NULL fit — only denY
+    // was guarded
     s.select(col("rr"),
-      when(col("rr") >= 2, num / denX).as("slope"),
-      when(col("rr") >= 2, (d("sy") - (num / denX) * d("sx")) / r)
-        .as("intercept"),
-      when(col("rr") >= 2 && denY =!= 0.0, num * num / (denX * denY))
-        .as("r2"))
+      when(col("rr") >= 2 && denX =!= 0.0, num / denX).as("slope"),
+      when(col("rr") >= 2 && denX =!= 0.0,
+        (d("sy") - (num / denX) * d("sx")) / r).as("intercept"),
+      when(col("rr") >= 2 && denX =!= 0.0 && denY =!= 0.0,
+        num * num / (denX * denY)).as("r2"))
   }
 
   /** HEAPS' LAW vocabulary-growth fit — the second corpus-health curve
@@ -1767,8 +1771,15 @@ object CorpusFunctions {
     * persisted mix state vs the increment's counts) without touching row
     * data at all. */
   def distributionDriftFromCounts(ca: DataFrame, cb: DataFrame): DataFrame = {
-    val joined = ca.join(cb, Seq("category"), "full_outer")
-      .select(col("category"),
+    // null-safe equality on the category key: an equi-join never matches
+    // NULL categories, so a NULL category present on BOTH sides (unlabeled
+    // rows in identical proportion) would split into two one-sided phantom
+    // rows whose add-1 smoothing reports PSI > 0 on zero actual drift —
+    // and the gate fold could then block a sync for nothing
+    val cbR = cb.withColumnRenamed("category", "__cat_b")
+    val joined = ca.join(cbR, col("category") <=> col("__cat_b"),
+        "full_outer")
+      .select(coalesce(col("category"), col("__cat_b")).as("category"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
     val tot = joined.agg(sum("n_a").as("ta"), sum("n_b").as("tb"),
@@ -1828,14 +1839,16 @@ object CorpusFunctions {
 
   def unigramLogProbScores(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val tf = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
-      .withColumn("total", sum(col("c")).over(w)) // vocab-sized relation
+    val termCounts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    // global total via agg + broadcast, NOT an unpartitioned window: the
+    // window shape funnels the whole vocabulary relation through a single
+    // task (the bigramLogProbScores totals already use this form)
+    val totalRow = termCounts.agg(sum(col("c")).as("total"))
+    val lm = termCounts.crossJoin(broadcast(totalRow))
       .select(col("term"),
         round(log(col("c").cast("double") / col("total").cast("double")), 4)
           .cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("lp"))
@@ -2076,17 +2089,33 @@ object CorpusFunctions {
     * partial-agg; the final per-query rank is a WindowGroupLimit (map-side
     * top-k pre-prune). N must be passed or is computed with one count().
     */
+  /** Driver-side query tokenizer matching [[TextFunctions.tokens]] — ONE
+    * definition for every BM25 entry point, so a scoring-convention change
+    * cannot silently desynchronize query terms from corpus tokens. */
+  private def queryTerms(qtext: String): Seq[String] =
+    qtext.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  /** Duplicate query ids would violate bm25ScoreWeighted's (query_id, term)
+    * uniqueness and silently double-count every shared term's contribution
+    * — refuse loudly at the entry points. */
+  private def requireDistinctQueryIds(queries: Seq[(Long, String)]): Unit = {
+    val dup = queries.groupBy(_._1).collect { case (q, vs) if vs.size > 1 => q }
+    require(dup.isEmpty,
+      s"duplicate query ids ${dup.mkString(",")} — merge each id's text " +
+        "into one query (scores would silently double-count)")
+  }
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: Seq[(Long, String)], k: Int,
                k1: Double = 1.2, b: Double = 0.75,
                nDocs: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    requireDistinctQueryIds(queries)
     val n = nDocs.getOrElse(docs.count())
     val qTerms = queries
       .flatMap { case (qid, qtext) =>
-        qtext.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
-          .map(t => (qid, t, 1.0))
+        queryTerms(qtext).distinct.map(t => (qid, t, 1.0))
       }.toDF("query_id", "term", "w")
     bm25ScoreWeighted(docs, idCol, textCol, qTerms, k, k1, b, n)
   }
@@ -2168,11 +2197,12 @@ object CorpusFunctions {
     require(fbDocs > 0 && expTerms >= 0, "fbDocs > 0, expTerms >= 0")
     require(expWeight > 0.0 && expWeight <= 1.0,
       s"expWeight $expWeight outside (0,1]")
+    requireDistinctQueryIds(queries)
     val spark = docs.sparkSession
     import spark.implicits._
     val n = docs.count()
     val qTermSet: Map[Long, Set[String]] = queries.map { case (qid, t) =>
-      qid -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+      qid -> queryTerms(t).toSet
     }.toMap
     // pass 1 collected ONCE (queries × fbDocs rows); the local rows are
     // re-lifted to a DataFrame so pass 1's plan never re-executes, and the
@@ -2266,13 +2296,32 @@ object CorpusFunctions {
     */
   def foldBm25Index(prev: Option[DataFrame], increment: DataFrame,
                     idCol: String, textCol: String): DataFrame = {
+    // the state schema stores ids as LONG; a silent cast of a string-id
+    // corpus would null every id and merge the whole increment into one
+    // pseudo-document — refuse loudly instead (the rebalanceToMixture
+    // convention). String-id corpora use the batch bm25TopK, where ids
+    // are first-class.
+    require(Seq("long", "int", "bigint", "integer", "smallint", "tinyint")
+        .contains(increment.schema(idCol).dataType.typeName),
+      s"foldBm25Index stores ids as LONG; id column '$idCol' is " +
+        s"${increment.schema(idCol).dataType.catalogString} — cast it " +
+        "explicitly or use the batch bm25TopK for string ids")
     val tok = increment.select(col(idCol).cast("long").as("id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val postings = tok.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("v"))
       .select(lit("p").as("kind"), col("term"), col("id"), col("v"))
-    val doclens = tok.groupBy(col("id")).agg(count(lit(1)).as("v"))
-      .select(lit("d").as("kind"), lit("").as("term"), col("id"), col("v"))
+    // EVERY increment doc gets a 'd' row — tokenless docs (empty or null
+    // text) carry dl=0. N and avgdl derive from the 'd' rows at read
+    // time, so dropping tokenless docs here would diverge bm25FromIndex
+    // from bm25TopK's N = docs.count() on any corpus that has them,
+    // breaking the documented bit-for-bit batch equality.
+    val doclens = increment.select(col(idCol).cast("long").as("id"))
+      .distinct()
+      .join(tok.groupBy(col("id")).agg(count(lit(1)).as("__n")), Seq("id"),
+        "left")
+      .select(lit("d").as("kind"), lit("").as("term"), col("id"),
+        coalesce(col("__n"), lit(0L)).as("v"))
     val inc = postings.unionByName(doclens)
     prev.fold(inc)(_ unionByName inc)
   }
@@ -2290,10 +2339,10 @@ object CorpusFunctions {
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = state.sparkSession
     import spark.implicits._
+    requireDistinctQueryIds(queries)
     val qTerms = queries
       .flatMap { case (qid, qtext) =>
-        qtext.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
-          .map(t => (qid, t))
+        queryTerms(qtext).distinct.map(t => (qid, t))
       }.toDF("query_id", "term")
     val dl = state.filter(col("kind") === "d")
       .select(col("id"), col("v").as("dl"))
