@@ -2301,8 +2301,13 @@ object CorpusFunctions {
     // pseudo-document — refuse loudly instead (the rebalanceToMixture
     // convention). String-id corpora use the batch bm25TopK, where ids
     // are first-class.
-    require(Seq("long", "int", "bigint", "integer", "smallint", "tinyint")
-        .contains(increment.schema(idCol).dataType.typeName),
+    require({
+        import org.apache.spark.sql.types._
+        increment.schema(idCol).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+      },
       s"foldBm25Index stores ids as LONG; id column '$idCol' is " +
         s"${increment.schema(idCol).dataType.catalogString} — cast it " +
         "explicitly or use the batch bm25TopK for string ids")

@@ -120,11 +120,23 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
         case None => unprocessed.map(_._1)
       }
       val capN = maxFilesPerLoad.getOrElse(Int.MaxValue)
+      // with the cap set, a mostly-corrupt backlog must not turn the cap
+      // selection into an unbounded footer scan (it keeps probing past the
+      // cap until it finds capN VALID files): bound total probes to a
+      // multiple of the cap. Files past the probe budget stay unprobed and
+      // unloaded this session — they are not blacklisted, so a later
+      // session (or a repaired file) picks them up; the recurring per-sync
+      // cost is the bounded probe budget, not the whole backlog.
+      val probeBudget =
+        if (maxFilesPerLoad.isDefined) math.max(4L * capN, 64L)
+        else Long.MaxValue
+      var probes = 0L
       val rowsAcc = scala.collection.mutable.LinkedHashMap[String, Long]()
       val quarAcc = scala.collection.mutable.ArrayBuffer[String]()
       val itFresh = orderedFresh.iterator
-      while (rowsAcc.size < capN && itFresh.hasNext) {
+      while (rowsAcc.size < capN && probes < probeBudget && itFresh.hasNext) {
         val f = itFresh.next()
+        probes += 1
         try rowsAcc(f) = ParquetFooters.rowCount(f, conf)
         catch { case scala.util.control.NonFatal(_) => quarAcc += f }
       }

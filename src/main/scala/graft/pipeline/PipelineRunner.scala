@@ -525,7 +525,14 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
     val reports = specs.map { spec =>
       val id = spec.tableId(p)
       val s0 = System.nanoTime()
-      Try(Retry.withBackoff(maxAttempts) {
+      // same session lock as the sync path (runTable above): PostOps.run may
+      // call loader.recoverDerived — a MUTATING swap recovery whose contract
+      // is "we hold the table lock" — and an unlocked recovery racing a
+      // concurrent sync's fold mid-installSwap can rename .__old back over
+      // the live dir between the writer's two renames. Lock outside Retry,
+      // like sync: a concurrently-locked table must refuse, not retry.
+      Try(extractor.store.withTableLock(id.scoped)(
+        Retry.withBackoff(maxAttempts) {
         val l = loader.load(spark, id, extractor.stagingDir(id), spec.cdc)
         // the same expectations gate as sync: load-only drains staged
         // sessions into the target, so the quality contracts apply — and
@@ -541,7 +548,7 @@ final class PipelineRunner(spark: SparkSession, workRoot: String,
         // depend on them must refresh here too
         if (viol.isEmpty) PostOps.run(spark, spec, id, extractor, loader)
         (l, viol)
-      }) match {
+      })) match {
         case Success((l, viol)) => TableReport(id, ok = viol.isEmpty, None,
           Some(l), if (viol.isEmpty) None else Some(viol.mkString("; ")),
           (System.nanoTime() - s0) / 1e9)

@@ -283,6 +283,36 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(runner.loadOnly(p).totalRows == 0)
   }
 
+  test("loadOnly refuses a concurrently-locked table (PostOps under lock)") {
+    // loadOnly runs PostOps.run, whose foldIncremental path calls the
+    // MUTATING loader.recoverDerived ("we hold the table lock" contract) —
+    // so the per-table body must hold the same session lock as sync. A
+    // foreign holder means refusal, not an unlocked racing recovery.
+    val yaml =
+      s"""pipeline:
+         |  name: "locked_load"
+         |  source: "$sfDir"
+         |  s3:
+         |    isolation_prefix: "ll/"
+         |tables:
+         |  fx.region:
+         |    cdc_strategy: "full_sync"
+         |""".stripMargin
+    val p = PipelineConfig.fromString(yaml)
+    val base = tmpDir("lockedload")
+    val runner = new PipelineRunner(spark, base)
+    assert(runner.backup(p).allOk)
+    val id = p.tables.head.tableId(p.source.replaceAll("[^A-Za-z0-9_]", "_"))
+    // a second store instance (≅ another process) holds the table lock —
+    // same watermarks dir rigFor derives (workRoot + isolation prefix)
+    val foreign = new graft.watermark.WatermarkStore(s"$base/ll/watermarks")
+    val report = foreign.withTableLock(id.scoped) { runner.loadOnly(p) }
+    assert(!report.allOk)
+    assert(report.tables.head.error.exists(_.toLowerCase.contains("lock")))
+    // with the lock free, the same loadOnly drains normally
+    assert(runner.loadOnly(p).allOk)
+  }
+
   test("foldAggregate: any chunking folds to the direct aggregate, schema stable") {
     val s = spark
     import s.implicits._
