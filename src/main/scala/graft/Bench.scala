@@ -36,7 +36,7 @@ object Bench {
     * that produced them. Stage jvmGCTime only counts GC attributed to task
     * threads; these beans see EVERY collection and every JIT compile, so an
     * interpreted-fallback or GC-thrash run now names itself in the artifact. */
-  private def procCounters: (Long, Long, Long) = {
+  private[graft] def procCounters: (Long, Long, Long) = {
     import scala.jdk.CollectionConverters._
     val gcs = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala
@@ -54,7 +54,7 @@ object Bench {
     * inflated 6-24× by co-located load thrashing caches and starving GC
     * threads) becomes a number in the artifact instead of a forensic
     * dispute. Jiffies are USER_HZ = 100 on every mainstream Linux. */
-  private def hostBusyJiffies: Long =
+  private[graft] def hostBusyJiffies: Long =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try src.getLines().collectFirst {
@@ -67,13 +67,34 @@ object Bench {
       finally src.close()
     } catch { case scala.util.control.NonFatal(_) => -1L }
 
-  private def procCpuNs: Long =
+  private[graft] def procCpuNs: Long =
     try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
       case _ => -1L
     } catch { case scala.util.control.NonFatal(_) => -1L }
 
-  private def memAvailableMb: Long =
+  /** Bounded wait for the JIT compile queue to settle. Under co-located
+    * host load the warmup passes enqueue compilations faster than starved
+    * compiler threads drain them, and a timed run that starts with a deep
+    * queue executes its hottest codegen'd loops INTERPRETED — measured on
+    * q_dedup_span_stats 10×: jit_sec 335 (loaded) vs 3.8 (quiet) across
+    * the same timed window, wall 72 s vs 2.2. Quiesced = compilation time
+    * advanced < 50 ms over a 500 ms window; give up after maxWaitMs (a
+    * loaded host may never settle — the artifact's jit_sec still tells). */
+  private def awaitJitQuiesce(maxWaitMs: Long = 5000): Unit = {
+    val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (jit == null || !jit.isCompilationTimeMonitoringSupported) return
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var prev = jit.getTotalCompilationTime
+    while (System.nanoTime() < deadline) {
+      Thread.sleep(500)
+      val now = jit.getTotalCompilationTime
+      if (now - prev < 50) return
+      prev = now
+    }
+  }
+
+  private[graft] def memAvailableMb: Long =
     try {
       val src = scala.io.Source.fromFile("/proc/meminfo")
       try src.getLines()
@@ -82,7 +103,7 @@ object Bench {
       finally src.close()
     } catch { case scala.util.control.NonFatal(_) => -1L }
 
-  private def codeCacheUsedMb: Long =
+  private[graft] def codeCacheUsedMb: Long =
     try {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
@@ -506,7 +527,12 @@ object Bench {
         val f = new java.io.File(s"$sfDir/$t.parquet")
         f.length * 31L + f.lastModified
       }.foldLeft(17L)((acc, h) => acc * 0x100000001b3L + h))
-      val key = s"steady_c${cpus}_v1_${stamp}_" +
+      // v2: bytes-proportional file counts. documents keeps 2 files/core
+      // (the CPU-dense table: tokenize/shingle parallelism IS its scan
+      // parallelism); everything else gets ~256 KB/file capped at 2/core —
+      // a 594 KB dim table in 64 files just taxes every consumer with 63
+      // extra opens (v1 regressed the incremental-fold family ~2×).
+      val key = s"steady_c${cpus}_v2_${stamp}_" +
         java.lang.Integer.toHexString(sfDir.hashCode)
       val root = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_bench_fixtures")
@@ -520,10 +546,20 @@ object Bench {
       val tmp = root.resolve(s"$key.build_${ProcessHandle.current().pid()}")
       deleteRec(tmp.toFile)
       java.nio.file.Files.createDirectories(tmp)
-      for (t <- tables)
+      for (t <- tables) {
+        val src = new java.io.File(s"$sfDir/$t.parquet")
+        val bytes =
+          if (src.isDirectory)
+            Option(src.listFiles()).map(_.map(_.length).sum).getOrElse(0L)
+          else src.length
+        val files =
+          if (t == "documents") 2 * cpus.toInt
+          else math.max(1L, math.min(2L * cpus.toInt, bytes / (256L << 10)))
+            .toInt
         spark.read.parquet(s"$sfDir/$t.parquet")
-          .repartition(2 * cpus.toInt)
+          .repartition(files)
           .write.mode("overwrite").parquet(s"${tmp.toString}/$t.parquet")
+      }
       java.nio.file.Files.write(
         tmp.resolve("_GRAFT_FIXTURE_OK"), Array.emptyByteArray)
       val lockCh = java.nio.channels.FileChannel.open(
@@ -570,6 +606,7 @@ object Bench {
             })
           sweepLeaked()
           timeOne(n, fn, dir) // warm on the scale dir itself (untimed)
+          awaitJitQuiesce()   // drain the C2 queue before the clock starts
           // min of up to TWO timed runs: residual C2 recompile / GC-epoch
           // noise lands on one run or the other, and the minimum is the
           // reproducible number a clean-room rerun can match. BOTH raw run
@@ -622,17 +659,14 @@ object Bench {
       val pqTrain = graft.functions.VectorFunctions.lastPqTrainSec
       val pqEncode = graft.functions.VectorFunctions.lastPqEncodeSec
       val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-      // bench_schema 3: adds budget_s / sections_skipped / complete and
-      // caps scale queries at one timed run past the slow threshold
-      // (schema 2 = min-of-2 always; schema 1 = one run) — the fields make
-      // cross-round artifacts self-describing instead of silently
-      // apples-to-oranges.
       val sectionEnvJson = sectionEnv
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      // bench_schema 4: adds env / sections_env / steady_inputs provenance
-      // and per-scale-query proc_gc_sec / proc_gc_count / jit_sec (process-
-      // level GC + JIT deltas) — the fields the r11 driver-vs-builder
-      // divergence needed to be adjudicable.
+      // bench_schema 4: adds env / sections_env / steady_inputs / steady_
+      // layout provenance and per-scale-query proc_gc_sec / proc_gc_count /
+      // jit_sec / host_busy_sec / proc_cpu_sec / foreign_cpu_sec — the
+      // fields the r11 driver-vs-builder divergence needed to be
+      // adjudicable. (Schema 3 added budget_s / sections_skipped /
+      // complete; 2 = min-of-2 timed runs; 1 = one run.)
       s"""{"metric":"total","value":$totalCold,"unit":"sec","bench_schema":4,""" +
         s""""timing":"scale=min_of_2_timed_runs_after_warmup(1_run_if_first>${slowSingleRunS.toInt}s;100x=1_run);steady=cold_then_steady",""" +
         s""""failed":$nFail,"filter":$filterJson,"budget_s":$budgetS,""" +

@@ -126,10 +126,32 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
         wm.metadata.last_session.flatMap(_.toLongOption).getOrElse(0L) + 1L)
       val sessionDir = s"$outDir/session=$sessionTag"
 
+      // SIZE-AWARE staging file count: maxRecordsPerFile bounds files from
+      // ABOVE but a many-partition small batch (a 64-file source table, a
+      // wide JDBC bound scan that matched few rows) still writes one tiny
+      // file per partition — per-file footer opens on every later load and
+      // object-store request amplification at scale. When plan statistics
+      // say the batch is small, shuffle it down to ~32 MB/file before
+      // staging; unknown or large stats keep the source partitioning (at
+      // real scale many staged files per session IS the desired layout).
+      // ~4 MB/file target keeps parquet encode PARALLEL for mid-size
+      // batches (a 32 MB/file target would funnel a 100 MB batch into 3
+      // write tasks) while still collapsing the tiny-batch file spray;
+      // capped at the session's parallelism — more write tasks than cores
+      // buys nothing.
+      def sized(d: org.apache.spark.sql.DataFrame) = {
+        val stats = d.queryExecution.optimizedPlan.stats.sizeInBytes
+        val unknown = stats >=
+          org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes
+        if (!unknown && stats <= (128L << 20))
+          d.repartition(((stats / (4L << 20)) + 1)
+            .min(BigInt(spark.sparkContext.defaultParallelism)).toInt)
+        else d
+      }
       val writer = partitionCols match {
         case Some((withParts, cols)) =>
-          withParts.write.partitionBy(cols: _*)
-        case None => batch.write
+          sized(withParts).write.partitionBy(cols: _*)
+        case None => sized(batch).write
       }
       val (_, secs) = SessionMetrics.timed {
         writer

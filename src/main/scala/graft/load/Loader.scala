@@ -779,6 +779,14 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     val fs = tgt.getFileSystem(conf)
     def bucketed(n: Int, ks: Seq[String]): DataFrame =
       staged.withColumn(BucketCol, pmod(hash(ks.map(col): _*), lit(n)))
+    // every partitionBy(BucketCol) write below first CO-LOCATES each bucket
+    // into one task: an unaligned write emits one file per (input partition
+    // × bucket present in it) — a 64-partition staged increment against 64
+    // buckets sprays up to 4096 KB-files per session, and each writer task
+    // holds an open parquet writer PER BUCKET it sees (executor memory at
+    // real scale). Aligned, the slice writes ~one file per bucket and the
+    // shuffle it costs is exactly the hash the layout is defined by.
+    def alignBuckets(d: DataFrame): DataFrame = d.repartition(col(BucketCol))
 
     // crash recovery first: a migration/bootstrap crash between the root
     // renames leaves the whole table only in `<target>.__old` — restore it
@@ -792,7 +800,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     if (!fs.exists(tgt)) {
       // bootstrap: lay the table out bucketed from the first load, and
       // persist the layout contract alongside it
-      bucketed(buckets, keys).write.mode(SaveMode.Overwrite)
+      alignBuckets(bucketed(buckets, keys)).write.mode(SaveMode.Overwrite)
         .option("compression", compression)
         .partitionBy(BucketCol).parquet(target)
       writeLayoutMarker(fs, tgt, buckets, keys)
@@ -822,7 +830,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       val newRoot0 = new org.apache.hadoop.fs.Path(target + ".__new")
       val oldRoot0 = new org.apache.hadoop.fs.Path(target + ".__old")
       fs.delete(newRoot0, true); fs.delete(oldRoot0, true)
-      mergedAll.write.mode(SaveMode.Overwrite)
+      alignBuckets(mergedAll).write.mode(SaveMode.Overwrite)
         .option("compression", compression)
         .partitionBy(BucketCol).parquet(newRoot0.toString)
       if (!fs.rename(tgt, oldRoot0))
@@ -861,7 +869,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
 
     val newRoot = new org.apache.hadoop.fs.Path(target + ".__new")
     fs.delete(newRoot, true)
-    mergedSlice.write.mode(SaveMode.Overwrite)
+    alignBuckets(mergedSlice).write.mode(SaveMode.Overwrite)
       .option("compression", compression)
       .partitionBy(BucketCol).parquet(newRoot.toString)
 

@@ -184,7 +184,30 @@ object Scratch {
     val root = spark.conf.getOption("spark.graft.scratchDir")
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val dir = s"$root/graft_scratch_${tag}_${java.util.UUID.randomUUID()}"
-    df.write.mode("overwrite").parquet(dir)
+    // SIZE-AWARE file count: a plain write emits one file per input
+    // partition regardless of bytes, so a small relation computed from a
+    // many-partition source (a 64-file table at bench sf, a wide scan on a
+    // real cluster) scatters into dozens of KB-sized files — the classic
+    // small-files anti-pattern (per-file open/footer cost on every later
+    // consumer; object-store request amplification at scale). When plan
+    // statistics say the OUTPUT is small, shuffle it down to ~32 MB/file
+    // (stats are routinely 2-5× the parquet bytes, so the real files land
+    // near row-group size); unknown or large stats keep the producer's
+    // partitioning — at 100 TB the many-file write IS the right behavior.
+    val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val unknown = stats >=
+      org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes
+    // engage only when the whole output is small — the extra shuffle is
+    // noise at that size, and probing the producer's partition count would
+    // force a second round of physical planning. ~4 MB/file (capped at the
+    // session's parallelism) keeps the write parallel for mid-size outputs
+    // while collapsing the KB-file spray.
+    val out =
+      if (!unknown && stats <= (128L << 20))
+        df.repartition(((stats / (4L << 20)) + 1)
+          .min(BigInt(spark.sparkContext.defaultParallelism)).toInt)
+      else df
+    out.write.mode("overwrite").parquet(dir)
     ensureHook()
     // size accounting is best-effort java.io measurement: a non-local
     // scratchDir (shared FS on a real cluster) records 0 bytes, and its
