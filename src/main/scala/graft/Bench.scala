@@ -134,7 +134,9 @@ object Bench {
       cpuSec > 0 && (execSec - gcSec) > 2.5 * cpuSec
     def json: String =
       f"""{"exec_sec":$execSec%.3f,"cpu_sec":$cpuSec%.3f,"gc_sec":$gcSec%.3f,""" +
-        f""""spill_mb":$spillMb%.1f,"tasks":$tasks,"leaked_rdds":$leakedRdds}"""
+        f""""spill_mb":$spillMb%.1f,"tasks":$tasks,"leaked_rdds":$leakedRdds,""" +
+        f""""proc_gc_sec":$procGcSec%.3f,"jit_sec":$jitSec%.3f,""" +
+        f""""foreign_cpu_sec":$foreignCpuSec%.3f}"""
     def jsonWith(wallSec: Double): String =
       f"""{"sec":$wallSec%.3f,"exec_sec":$execSec%.3f,"cpu_sec":$cpuSec%.3f,""" +
         f""""gc_sec":$gcSec%.3f,"spill_mb":$spillMb%.1f,"tasks":$tasks,""" +

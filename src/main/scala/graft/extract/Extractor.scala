@@ -143,10 +143,18 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
         val stats = d.queryExecution.optimizedPlan.stats.sizeInBytes
         val unknown = stats >=
           org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes
-        if (!unknown && stats <= (128L << 20))
-          d.repartition(((stats / (4L << 20)) + 1)
-            .min(BigInt(spark.sparkContext.defaultParallelism)).toInt)
-        else d
+        if (unknown || stats > (128L << 20)) d
+        else {
+          val target = ((stats / (4L << 20)) + 1)
+            .min(BigInt(spark.sparkContext.defaultParallelism)).toInt
+          // only engage when it REDUCES the file count — a batch already at
+          // or below the target must not pay an extra exchange (a 1-file
+          // source staged through repartition(3) measurably halved extract
+          // throughput at bench sf). coalesce, not repartition: the staging
+          // write is encode-bound map work, so folding it into fewer tasks
+          // costs nothing upstream and skips the shuffle entirely.
+          if (d.rdd.getNumPartitions > target) d.coalesce(target) else d
+        }
       }
       val writer = partitionCols match {
         case Some((withParts, cols)) =>

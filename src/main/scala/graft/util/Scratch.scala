@@ -202,10 +202,25 @@ object Scratch {
     // force a second round of physical planning. ~4 MB/file (capped at the
     // session's parallelism) keeps the write parallel for mid-size outputs
     // while collapsing the KB-file spray.
+    // repartition, not coalesce: the producer is often the CPU-dense part
+    // (an index build, a profile aggregation) and coalesce would cap its
+    // compute parallelism; the shuffle moves only the small output. Engaged
+    // only when it REDUCES the file count — an already-narrow producer
+    // must not pay a pointless exchange. FLOORED at the session's
+    // parallelism, never collapsed toward 1: scratch relations feed MORE
+    // computation, and for small files Spark's split sizing hands out ~one
+    // task per file (maxSplitBytes = max(openCost, totalBytes/cores)), so
+    // the scratch FILE COUNT is the downstream consumer's map/build-probe
+    // parallelism — a 1-file scratch pinned a 17-exec-s pairwise-verify
+    // stage to 2 tasks (12.8 s wall of a 14 s query). The floor still caps
+    // a wide producer's KB-file spray (200 post-shuffle files → cores).
+    val targetFiles =
+      if (unknown || stats > (128L << 20)) Int.MaxValue
+      else ((stats / (4L << 20)) + 1)
+        .max(BigInt(spark.sparkContext.defaultParallelism)).toInt
     val out =
-      if (!unknown && stats <= (128L << 20))
-        df.repartition(((stats / (4L << 20)) + 1)
-          .min(BigInt(spark.sparkContext.defaultParallelism)).toInt)
+      if (targetFiles != Int.MaxValue && df.rdd.getNumPartitions > targetFiles)
+        df.repartition(targetFiles)
       else df
     out.write.mode("overwrite").parquet(dir)
     ensureHook()
