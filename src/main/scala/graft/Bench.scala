@@ -53,7 +53,13 @@ object Bench {
     * the r11 driver-vs-builder divergence signature (cpu_sec and gc_sec
     * inflated 6-24× by co-located load thrashing caches and starving GC
     * threads) becomes a number in the artifact instead of a forensic
-    * dispute. Jiffies are USER_HZ = 100 on every mainstream Linux. */
+    * dispute. Jiffies are USER_HZ = 100 on every mainstream Linux.
+    * Interpretation caveat: kernel threads (writeback/flush kworkers
+    * draining THIS process's dirty pages, e.g. streaming-checkpoint fsync
+    * storms) are not attributable to a pid and land in foreign_cpu_sec —
+    * a write-heavy query showing moderate foreign CPU may be paying its
+    * own I/O; sustained foreign CPU across READ-only queries is the real
+    * co-located-load signature. */
   private[graft] def hostBusyJiffies: Long =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")

@@ -147,13 +147,13 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
         else {
           val target = ((stats / (4L << 20)) + 1)
             .min(BigInt(spark.sparkContext.defaultParallelism)).toInt
-          // only engage when it REDUCES the file count — a batch already at
-          // or below the target must not pay an extra exchange (a 1-file
-          // source staged through repartition(3) measurably halved extract
-          // throughput at bench sf). coalesce, not repartition: the staging
-          // write is encode-bound map work, so folding it into fewer tasks
-          // costs nothing upstream and skips the shuffle entirely.
-          if (d.rdd.getNumPartitions > target) d.coalesce(target) else d
+          // coalesce, not repartition: the staging write is encode-bound
+          // map work, so folding it into fewer tasks costs nothing
+          // upstream, skips a shuffle (an added exchange on a 1-partition
+          // source measurably halved extract throughput at bench sf), and
+          // is a NO-OP when the batch is already at or below the target —
+          // no current-partition probe needed.
+          d.coalesce(target)
         }
       }
       val writer = partitionCols match {

@@ -823,32 +823,10 @@ object Multimodal {
   /** Attach deterministic fixture media payloads (real PNG/WAV bytes, see
     * [[MediaFixtures]]) — the fixture-generation stage feeding the real
     * decode operators below. Narrow mapPartitions; no shuffle. */
-  /** Id relation feeding a fetch/generate-EXPAND stage: payload derivation
-    * multiplies bytes by orders of magnitude (8-byte id → KB-MB media), so
-    * the id scan's partitioning — file splits sized for the id bytes, often
-    * 2-3 tasks after small-file packing — must never cap the expand
-    * parallelism (measured: 15k image decodes pinned to ~2.5 cores, 14.3 s
-    * for a 36 exec-s stage). Repartition ids up to 2× the session's cores
-    * when the scan gave fewer; the shuffled rows are bare longs, so the
-    * cost is noise at any scale, and an already-wide id relation (a real
-    * cluster scan) keeps its width. The same shape applies to any
-    * fetch-by-id stage (object-store GETs, URL downloads). */
-  private def expandIds(spark: SparkSession, docs: DataFrame,
-                        idCol: String): org.apache.spark.sql.Dataset[Long] = {
-    import spark.implicits._
-    val ids = docs.filter(col(idCol).isNotNull).select(col(idCol).cast("long"))
-    val target = 2 * spark.sparkContext.defaultParallelism
-    val widened =
-      if (!docs.isStreaming && ids.rdd.getNumPartitions < target)
-        ids.repartition(target)
-      else ids
-    widened.as[Long]
-  }
-
   def withFixtureMedia(spark: SparkSession, docs: DataFrame,
                        idCol: String = "doc_id"): DataFrame = {
     import spark.implicits._
-    expandIds(spark, docs, idCol)
+    docs.filter(col(idCol).isNotNull).select(col(idCol).cast("long")).as[Long]
       .mapPartitions(it => it.map(d => (d, MediaFixtures.payload(d))))
       .toDF(idCol, "payload")
   }
@@ -860,7 +838,7 @@ object Multimodal {
   def withFixtureAudioDups(spark: SparkSession, docs: DataFrame,
                            idCol: String = "doc_id"): DataFrame = {
     import spark.implicits._
-    expandIds(spark, docs, idCol)
+    docs.filter(col(idCol).isNotNull).select(col(idCol).cast("long")).as[Long]
       .mapPartitions(it => it.map(d => (d, MediaFixtures.wavDupPayload(d))))
       .toDF(idCol, "payload")
   }
@@ -870,7 +848,7 @@ object Multimodal {
   def withFixtureVideo(spark: SparkSession, docs: DataFrame,
                        idCol: String = "doc_id"): DataFrame = {
     import spark.implicits._
-    expandIds(spark, docs, idCol)
+    docs.filter(col(idCol).isNotNull).select(col(idCol).cast("long")).as[Long]
       .mapPartitions(it => it.map(d => (d, MediaFixtures.mp4Payload(d))))
       .toDF(idCol, "payload")
   }
@@ -881,7 +859,7 @@ object Multimodal {
   def withFixtureVideoPixels(spark: SparkSession, docs: DataFrame,
                              idCol: String = "doc_id"): DataFrame = {
     import spark.implicits._
-    expandIds(spark, docs, idCol)
+    docs.filter(col(idCol).isNotNull).select(col(idCol).cast("long")).as[Long]
       .mapPartitions(it => it.map(d => (d, MediaFixtures.h264Mp4Payload(d))))
       .toDF(idCol, "payload")
   }

@@ -204,24 +204,25 @@ object Scratch {
     // while collapsing the KB-file spray.
     // repartition, not coalesce: the producer is often the CPU-dense part
     // (an index build, a profile aggregation) and coalesce would cap its
-    // compute parallelism; the shuffle moves only the small output. Engaged
-    // only when it REDUCES the file count — an already-narrow producer
-    // must not pay a pointless exchange. FLOORED at the session's
-    // parallelism, never collapsed toward 1: scratch relations feed MORE
-    // computation, and for small files Spark's split sizing hands out ~one
-    // task per file (maxSplitBytes = max(openCost, totalBytes/cores)), so
-    // the scratch FILE COUNT is the downstream consumer's map/build-probe
-    // parallelism — a 1-file scratch pinned a 17-exec-s pairwise-verify
-    // stage to 2 tasks (12.8 s wall of a 14 s query). The floor still caps
-    // a wide producer's KB-file spray (200 post-shuffle files → cores).
-    val targetFiles =
-      if (unknown || stats > (128L << 20)) Int.MaxValue
-      else ((stats / (4L << 20)) + 1)
-        .max(BigInt(spark.sparkContext.defaultParallelism)).toInt
+    // compute parallelism; the shuffle moves only the small output. The
+    // file count matters BOTH ways: for small files Spark's split sizing
+    // hands out ~one task per file (maxSplitBytes = max(openCost,
+    // totalBytes/cores)), so scratch files ARE the consumers' map/build-
+    // probe parallelism — a 1-file scratch pinned a 17-exec-s pairwise-
+    // verify stage to 2 tasks (12.8 s wall of a 14 s query) — while band
+    // pipelines reference a scratch relation ~bands× per plan, so a
+    // few-hundred-row relation in cores-many files pays cores×refs scan
+    // tasks of pure overhead (measured: 0.9 → 3.6 s on the steady audio
+    // near-dup family). Bytes pick the side: tiny (<256 KB) relations cap
+    // at 4 files; bigger small relations floor at the session's cores.
+    // Unconditional when stats are known (no current-partition probe: a
+    // .rdd call here cost a full extra analysis/optimization pass per
+    // materialize, and the fold/band operators materialize repeatedly).
     val out =
-      if (targetFiles != Int.MaxValue && df.rdd.getNumPartitions > targetFiles)
-        df.repartition(targetFiles)
-      else df
+      if (unknown || stats > (128L << 20)) df
+      else if (stats < (256L << 10)) df.repartition(4)
+      else df.repartition(((stats / (4L << 20)) + 1)
+        .max(BigInt(spark.sparkContext.defaultParallelism)).toInt)
     out.write.mode("overwrite").parquet(dir)
     ensureHook()
     // size accounting is best-effort java.io measurement: a non-local
