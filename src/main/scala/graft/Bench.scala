@@ -66,9 +66,14 @@ object Bench {
       try src.getLines().collectFirst {
         case l if l.startsWith("cpu ") =>
           val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-          // user nice system idle iowait irq softirq steal → busy = all
-          // except idle(3) and iowait(4)
-          f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+          // user nice system idle iowait irq softirq steal guest gnice →
+          // busy = all except idle(3), iowait(4), and guest(8)/gnice(9) —
+          // the kernel already folds guest time into user/nice, so
+          // counting those fields would double-book any VM's CPU and flag
+          // a clean run as load-contaminated
+          f.zipWithIndex.collect {
+            case (v, i) if i != 3 && i != 4 && i < 8 => v
+          }.sum
       }.getOrElse(-1L)
       finally src.close()
     } catch { case scala.util.control.NonFatal(_) => -1L }
@@ -399,41 +404,18 @@ object Bench {
       * below changes shape, or a cached dir from an older binary would
       * silently serve the old bytes to the new bench. */
     val fixtureSynthVersion = 2 // v2: repartition(2*cpus) fixture layout
-    /** Returns (fixture dir, cache hit?) — the hit/miss rides the artifact's
-      * sections_env so a run that synthesized fixtures in-JVM right before
-      * timing (heap/page-cache state the warm-cache run never sees) is
-      * distinguishable from one that reused them. */
-    def synthDir(tag: String, docCopies: Int, permName: String,
-                 perm: Int => (String, String), rowCopies: Int)
-        : (String, Boolean) = {
-      // the key carries a SOURCE-DATA stamp (size + mtime of every scaled
-      // source file), not just the sfDir path: a testdata reprovisioned
-      // in place at the same path must invalidate the cache, or the scale
-      // sections silently bench fixtures synthesized from the OLD data
-      // while the steady section reads the new (exactly the mid-round-11
-      // reprovision event).
-      val stampSrc = Seq("documents") ++
-        (if (rowCopies > 1) Seq("lineitem", "events") else Nil)
-      val stamp = java.lang.Long.toHexString(stampSrc.map { t =>
-        val f = new java.io.File(s"$sfDir/$t.parquet")
-        f.length * 31L + f.lastModified
-      }.foldLeft(17L)((acc, h) => acc * 0x100000001b3L + h))
-      val key = s"${tag}_d${docCopies}_${permName}_r${rowCopies}_" +
-        s"v${fixtureSynthVersion}_${stamp}_" +
-        java.lang.Integer.toHexString(sfDir.hashCode)
-      val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_bench_fixtures")
-      val base = root.resolve(key)
-      val marker = base.resolve("_GRAFT_FIXTURE_OK")
-      if (java.nio.file.Files.exists(marker)) return (base.toString, true)
-      def deleteRec(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-        f.delete(); ()
-      }
-      // sweep crashed builds: a kill before the locked publish leaves a
-      // '<key>.build_<pid>' dir behind forever (each run only deletes its
-      // OWN pid's tmp), so crashed builds accumulate multi-GB residue.
-      // Reclaim any sibling whose pid is no longer alive.
+
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
+    // sweep crashed builds: a kill before the locked publish leaves a
+    // '<key>.build_<pid>' dir behind forever (each run only deletes its
+    // OWN pid's tmp), so crashed builds accumulate multi-GB residue.
+    // Reclaim any sibling whose pid is no longer alive. Shared by the
+    // scale-fixture and steady-amortization builders — a steady-only or
+    // filtered invocation must sweep too.
+    def sweepDeadBuilds(root: java.nio.file.Path): Unit =
       try Option(root.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
         val n = f.getName
         val i = n.lastIndexOf(".build_")
@@ -446,6 +428,39 @@ object Bench {
           if (!alive) deleteRec(f)
         }
       } catch { case scala.util.control.NonFatal(_) => () }
+    // SOURCE-DATA stamp (size + mtime), not just the sfDir path: a
+    // testdata reprovisioned in place at the same path must invalidate
+    // every fixture cache. Directory-shaped tables stamp PER PART FILE —
+    // a dir whose part files are overwritten in place keeps its own
+    // length/mtime, so stamping the top-level path would silently serve
+    // fixtures built from the OLD bytes.
+    def sourceStamp(tables: Seq[String]): String =
+      java.lang.Long.toHexString(tables.flatMap { t =>
+        val f = new java.io.File(s"$sfDir/$t.parquet")
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+            .map(p => p.length * 31L + p.lastModified).toSeq
+        else Seq(f.length * 31L + f.lastModified)
+      }.foldLeft(17L)((acc, h) => acc * 0x100000001b3L + h))
+    /** Returns (fixture dir, cache hit?) — the hit/miss rides the artifact's
+      * sections_env so a run that synthesized fixtures in-JVM right before
+      * timing (heap/page-cache state the warm-cache run never sees) is
+      * distinguishable from one that reused them. */
+    def synthDir(tag: String, docCopies: Int, permName: String,
+                 perm: Int => (String, String), rowCopies: Int)
+        : (String, Boolean) = {
+      val stampSrc = Seq("documents") ++
+        (if (rowCopies > 1) Seq("lineitem", "events") else Nil)
+      val stamp = sourceStamp(stampSrc)
+      val key = s"${tag}_d${docCopies}_${permName}_r${rowCopies}_" +
+        s"v${fixtureSynthVersion}_${stamp}_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_bench_fixtures")
+      val base = root.resolve(key)
+      val marker = base.resolve("_GRAFT_FIXTURE_OK")
+      if (java.nio.file.Files.exists(marker)) return (base.toString, true)
+      sweepDeadBuilds(root)
       // Build into a PROCESS-PRIVATE sibling and rename into place: two
       // bench processes racing the same key (an isolation rerun next to a
       // full run) must never write one dir — a measured incident had the
@@ -524,33 +539,26 @@ object Bench {
       * scan serialized (1.13 → 3.06 s) and every map-dense documents query
       * inherited 1-task tokenize parallelism. The bench is supposed to
       * measure the ENGINE, not the provisioner's layout, so steady inputs
-      * are re-laid-out once (cached, stamped) to the same 2-files-per-core
-      * constant the scale fixtures use. The RAW layout still rides the
+      * are re-laid-out once (cached, stamped): documents at 2 files/core,
+      * everything else bytes-proportional. The RAW layout still rides the
       * artifact (steady_inputs) so the sensitivity stays documented;
       * SPARK_GRAFT_BENCH_AMORTIZE_STEADY=0 restores raw reads. */
     def amortizedSteadyDir(): (String, Boolean) = {
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
-      val stamp = java.lang.Long.toHexString(tables.map { t =>
-        val f = new java.io.File(s"$sfDir/$t.parquet")
-        f.length * 31L + f.lastModified
-      }.foldLeft(17L)((acc, h) => acc * 0x100000001b3L + h))
       // v2: bytes-proportional file counts. documents keeps 2 files/core
       // (the CPU-dense table: tokenize/shingle parallelism IS its scan
       // parallelism); everything else gets ~256 KB/file capped at 2/core —
       // a 594 KB dim table in 64 files just taxes every consumer with 63
       // extra opens (v1 regressed the incremental-fold family ~2×).
-      val key = s"steady_c${cpus}_v2_${stamp}_" +
+      val key = s"steady_c${cpus}_v2_${sourceStamp(tables)}_" +
         java.lang.Integer.toHexString(sfDir.hashCode)
       val root = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_bench_fixtures")
       val base = root.resolve(key)
       val marker = base.resolve("_GRAFT_FIXTURE_OK")
       if (java.nio.file.Files.exists(marker)) return (base.toString, true)
-      def deleteRec(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-        f.delete(); ()
-      }
+      sweepDeadBuilds(root)
       val tmp = root.resolve(s"$key.build_${ProcessHandle.current().pid()}")
       deleteRec(tmp.toFile)
       java.nio.file.Files.createDirectories(tmp)
@@ -680,8 +688,9 @@ object Bench {
         s""""failed":$nFail,"filter":$filterJson,"budget_s":$budgetS,""" +
         s""""env":$envJson,"sections_env":$sectionEnvJson,""" +
         s""""steady_inputs":$steadyInputsJson,""" +
-        s""""steady_layout":"${if (steadyAmortized) "amortized(2_files_per_core)"
-          else "raw"}",""" +
+        s""""steady_layout":"${if (steadyAmortized)
+          "amortized(v2:bytes_proportional_256KB_per_file_cap_2_per_core;documents=2_per_core)"
+        else "raw"}",""" +
         s""""sections_skipped":$skippedJson,"complete":$complete,""" +
         s""""extract_rows_per_sec":$rps,"total_steady":$totalSteady,""" +
         s""""leak_gate":$leakGate,"ivf_train_sec":$ivfTrain,""" +
@@ -816,7 +825,14 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_AMORTIZE_STEADY", "1") != "0"
     val steadyDir =
       if (!amortizeSteady) sfDir
-      else try {
+      else if (elapsedS > budgetS) {
+        // the rebuild itself is un-skippable work (a 10-table
+        // read-repartition-write, minutes at a real sf on a cache miss) —
+        // past the total budget it must not race the driver's kill any
+        // more than a query may; raw reads are the honest degraded mode
+        skipped += "steady:amortize"
+        sfDir
+      } else try {
         val (d, hit) = amortizedSteadyDir()
         recordSectionEnv("steady", d, hit)
         steadyAmortized = true

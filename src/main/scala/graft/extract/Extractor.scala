@@ -140,10 +140,19 @@ final class Extractor(val store: WatermarkStore, stagingRoot: String,
       // capped at the session's parallelism — more write tasks than cores
       // buys nothing.
       def sized(d: org.apache.spark.sql.DataFrame) = {
-        val stats = d.queryExecution.optimizedPlan.stats.sizeInBytes
-        val unknown = stats >=
+        val plan = d.queryExecution.optimizedPlan
+        val sentinel =
           org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes
-        if (unknown || stats > (128L << 20)) d
+        val stats = plan.stats.sizeInBytes
+        // INPUT bytes too, summed over the leaves: coalesce caps the whole
+        // shuffle-free stage — scan and filter included — so a CBO-style
+        // estimate that shrinks a selective filter's OUTPUT below the
+        // threshold while the scan still reads a multi-GB source must not
+        // funnel that scan into 1-2 tasks. Engage only when the leaves say
+        // the read side is small too.
+        val leafBytes = plan.collectLeaves().map(_.stats.sizeInBytes).sum
+        val unknown = stats >= sentinel || leafBytes >= sentinel
+        if (unknown || stats > (128L << 20) || leafBytes > (512L << 20)) d
         else {
           val target = ((stats / (4L << 20)) + 1)
             .min(BigInt(spark.sparkContext.defaultParallelism)).toInt

@@ -779,14 +779,25 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     val fs = tgt.getFileSystem(conf)
     def bucketed(n: Int, ks: Seq[String]): DataFrame =
       staged.withColumn(BucketCol, pmod(hash(ks.map(col): _*), lit(n)))
-    // every partitionBy(BucketCol) write below first CO-LOCATES each bucket
-    // into one task: an unaligned write emits one file per (input partition
-    // × bucket present in it) — a 64-partition staged increment against 64
-    // buckets sprays up to 4096 KB-files per session, and each writer task
-    // holds an open parquet writer PER BUCKET it sees (executor memory at
-    // real scale). Aligned, the slice writes ~one file per bucket and the
+    // every partitionBy(BucketCol) write below first CO-LOCATES buckets:
+    // an unaligned write emits one file per (input partition × bucket
+    // present in it) — a 64-partition staged increment against 64 buckets
+    // sprays up to 4096 KB-files per session, and each writer task holds
+    // an open parquet writer PER BUCKET it sees (executor memory at real
+    // scale). Aligned, the slice writes ~splits files per bucket and the
     // shuffle it costs is exactly the hash the layout is defined by.
-    def alignBuckets(d: DataFrame): DataFrame = d.repartition(col(BucketCol))
+    // When the session has more cores than the table has buckets, each
+    // bucket SALTS into ceil(cores/buckets) sub-splits (a second key hash,
+    // decorrelated from the bucket hash by an extra literal) — a pure
+    // bucket-column repartition would cap every full-table rewrite at
+    // `buckets` write tasks and funnel a hot bucket into ONE task.
+    def alignBuckets(d: DataFrame, n: Int, ks: Seq[String]): DataFrame = {
+      val splits =
+        math.max(1, spark.sparkContext.defaultParallelism / math.max(1, n))
+      if (splits <= 1) d.repartition(col(BucketCol))
+      else d.repartition(n * splits, col(BucketCol),
+        pmod(hash((ks.map(col) :+ lit(1)): _*), lit(splits)))
+    }
 
     // crash recovery first: a migration/bootstrap crash between the root
     // renames leaves the whole table only in `<target>.__old` — restore it
@@ -800,7 +811,8 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
     if (!fs.exists(tgt)) {
       // bootstrap: lay the table out bucketed from the first load, and
       // persist the layout contract alongside it
-      alignBuckets(bucketed(buckets, keys)).write.mode(SaveMode.Overwrite)
+      alignBuckets(bucketed(buckets, keys), buckets, keys)
+        .write.mode(SaveMode.Overwrite)
         .option("compression", compression)
         .partitionBy(BucketCol).parquet(target)
       writeLayoutMarker(fs, tgt, buckets, keys)
@@ -830,7 +842,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
       val newRoot0 = new org.apache.hadoop.fs.Path(target + ".__new")
       val oldRoot0 = new org.apache.hadoop.fs.Path(target + ".__old")
       fs.delete(newRoot0, true); fs.delete(oldRoot0, true)
-      alignBuckets(mergedAll).write.mode(SaveMode.Overwrite)
+      alignBuckets(mergedAll, buckets, keys).write.mode(SaveMode.Overwrite)
         .option("compression", compression)
         .partitionBy(BucketCol).parquet(newRoot0.toString)
       if (!fs.rename(tgt, oldRoot0))
@@ -869,7 +881,7 @@ final class Loader(store: WatermarkStore, warehouseRoot: String,
 
     val newRoot = new org.apache.hadoop.fs.Path(target + ".__new")
     fs.delete(newRoot, true)
-    alignBuckets(mergedSlice).write.mode(SaveMode.Overwrite)
+    alignBuckets(mergedSlice, nEff, layoutKeys).write.mode(SaveMode.Overwrite)
       .option("compression", compression)
       .partitionBy(BucketCol).parquet(newRoot.toString)
 
