@@ -84,6 +84,173 @@ object Bench {
       case _ => -1L
     } catch { case scala.util.control.NonFatal(_) => -1L }
 
+  /** Steal jiffies alone (/proc/stat aggregate field 8): CPU the hypervisor
+    * withheld from this guest. Already counted inside hostBusyJiffies'
+    * busy sum; stamped separately because steal is the one /proc-visible
+    * signature of a CO-TENANT VM — the r12 contention window ran with
+    * foreign_cpu ≈ 0 (the thief was outside this kernel's view), and steal
+    * is the only aggregate-line field that CAN see cross-VM displacement
+    * when the hypervisor reports it. -1 = unreadable. */
+  private[graft] def stealJiffies: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("cpu ") =>
+          val f = l.trim.split("\\s+").drop(1)
+          if (f.length > 7) f(7).toLong else -1L
+      }.getOrElse(-1L)
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  /** Cgroup CPU-throttle time in usec (v2 `cpu.stat` throttled_usec, v1
+    * `cpu/cpu.stat` throttled_time in ns): a container whose quota
+    * (cpu.max) is being enforced stalls HERE, invisibly to /proc/stat.
+    * -1 = no cgroup view / unreadable. */
+  private[graft] def cgroupThrottledUsec: Long = {
+    def grab(path: String, key: String, div: Long): Option[Long] =
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try src.getLines().collectFirst {
+          case l if l.startsWith(key + " ") => l.split("\\s+")(1).toLong / div
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    grab("/sys/fs/cgroup/cpu.stat", "throttled_usec", 1L)
+      .orElse(grab("/sys/fs/cgroup/cpu/cpu.stat", "throttled_time", 1000L))
+      .getOrElse(-1L)
+  }
+
+  /** The cgroup v2 CPU quota line, verbatim ("max 100000" = unthrottled),
+    * for the env stamp. */
+  private[graft] def cgroupCpuMax: String =
+    try {
+      val src = scala.io.Source.fromFile("/sys/fs/cgroup/cpu.max")
+      try src.getLines().nextOption().getOrElse("unreadable")
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => "absent" }
+
+  /** Minimal JSON string escaper for values interpolated into the bench
+    * artifact (conf values, env vars, java.version, dir paths): a stray
+    * quote or backslash in any of them must not make target/bench.json —
+    * the machine-adjudicable artifact — unparseable. */
+  private[graft] def jstr(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** In-band calibration microprobe (round-13 gate): the r12 driver ran a
+    * 40-query contiguous window at 2.3-9.2× with task cpu_sec ITSELF
+    * inflated while foreign_cpu_sec ≈ 0 and load_suspect false everywhere —
+    * the contention source (co-tenant VM / bandwidth thief) was invisible
+    * to this kernel's /proc/stat, so no jiffy accounting can ever certify a
+    * row. This probe doesn't try to SEE the thief; it measures what the
+    * thief TAKES: a fixed, deterministic unit of work timed immediately
+    * before every timed query. Two axes, because the r12 signature was
+    * memory-bandwidth/LLC shaped:
+    *  - single-thread rolling hash over a fixed 64 MB buffer (streams
+    *    memory through one core: sensitive to LLC/bandwidth theft AND to
+    *    core displacement) → calib_st_mops (million elements/sec);
+    *  - all-cores parallel sum over the same buffer in disjoint slices
+    *    (aggregate DRAM bandwidth: the axis task-CPU inflation lives on)
+    *    → calib_mt_gbps.
+    * Fixed WORK, not fixed time, so values are comparable across rows; a
+    * row whose probe drops >1.5× below the run's median carries
+    * calib_suspect=true in the artifact no matter where the contention
+    * lives. ~100 ms/probe total, paid OUTSIDE the timed window. */
+  private[graft] object Calib {
+    final case class Sample(stMops: Double, mtGbps: Double) {
+      def json: String =
+        f"""{"st_mops":$stMops%.1f,"mt_gbps":$mtGbps%.2f}"""
+    }
+    private val N = 8 << 20 // 8M longs = 64 MB, larger than any LLC here
+    private lazy val buf: Array[Long] = {
+      val a = new Array[Long](N)
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < N) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        a(i) = x; i += 1
+      }
+      a
+    }
+    // sink defeats dead-code elimination of the probe loops
+    @volatile private var sink = 0L
+
+    private def stPass(passes: Int): Double = {
+      val b = buf
+      var h = 0xcbf29ce484222325L
+      val t0 = System.nanoTime()
+      var p = 0
+      while (p < passes) {
+        var i = 0
+        while (i < N) { h = (h ^ b(i)) * 0x100000001b3L; i += 1 }
+        p += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      sink = h
+      (N.toDouble * passes) / sec / 1e6
+    }
+
+    private def mtPass(passes: Int): Double = {
+      val b = buf
+      val n = math.max(1, Runtime.getRuntime.availableProcessors)
+      val chunk = N / n
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { k =>
+        val th = new Thread(() => {
+          var s = 0L
+          var p = 0
+          val end = if (k == n - 1) N else (k + 1) * chunk
+          while (p < passes) {
+            var i = k * chunk
+            while (i < end) { s += b(i); i += 1 }
+            p += 1
+          }
+          acc.addAndGet(s); ()
+        })
+        th.setDaemon(true); th.start(); th
+      }
+      threads.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      sink = acc.get
+      (N.toLong * 8L * passes) / sec / 1e9
+    }
+
+    /** One calibration sample: ~60 ms ST + ~40 ms MT on a quiet host.
+      * First call pays the lazy 64 MB buffer fill (and JIT of the probe
+      * loops) — callers run [[warm]] once before any timed section. */
+    def sample(): Sample =
+      try Sample(stPass(4), mtPass(8))
+      catch { case scala.util.control.NonFatal(_) => Sample(-1.0, -1.0) }
+
+    def warm(): Unit = { sample(); sample(); () }
+
+    /** Median of the run's samples per axis (NaN-free; -1 failures
+      * excluded). Robust to a contaminated minority: the r12 window was
+      * 40 of 208 rows. */
+    def medians(all: Seq[Sample]): (Double, Double) = {
+      def med(v: Seq[Double]): Double =
+        if (v.isEmpty) -1.0
+        else { val s = v.sorted; s(s.size / 2) }
+      (med(all.map(_.stMops).filter(_ > 0)),
+        med(all.map(_.mtGbps).filter(_ > 0)))
+    }
+
+    /** >1.5× probe DROP vs the run's median on either axis = the host was
+      * not delivering this process its baseline compute/bandwidth during
+      * the window this sample fronted. Unavailable probe/median → not
+      * flaggable (false), the -1 fields say why. */
+    def suspect(s: Sample, medSt: Double, medMt: Double): Boolean =
+      (s.stMops > 0 && medSt > 0 && s.stMops < medSt / 1.5) ||
+        (s.mtGbps > 0 && medMt > 0 && s.mtGbps < medMt / 1.5)
+  }
+
   /** Bounded wait for the JIT compile queue to settle. Under co-located
     * host load the warmup passes enqueue compilations faster than starved
     * compiler threads drain them, and a timed run that starts with a deep
@@ -126,7 +293,8 @@ object Bench {
                           spillMb: Double, tasks: Long, leakedRdds: Int,
                           procGcSec: Double = 0.0, procGcCount: Long = 0,
                           jitSec: Double = 0.0, hostBusySec: Double = -1.0,
-                          procCpuSec: Double = -1.0) {
+                          procCpuSec: Double = -1.0, stealSec: Double = -1.0,
+                          cgThrottledSec: Double = -1.0) {
     /** CPU burned by OTHER processes during this run (negative = counters
       * unavailable). A value rivaling proc_cpu_sec marks the run as
       * load-contaminated no matter what the wall clock says. */
@@ -147,6 +315,7 @@ object Bench {
       f"""{"exec_sec":$execSec%.3f,"cpu_sec":$cpuSec%.3f,"gc_sec":$gcSec%.3f,""" +
         f""""spill_mb":$spillMb%.1f,"tasks":$tasks,"leaked_rdds":$leakedRdds,""" +
         f""""proc_gc_sec":$procGcSec%.3f,"jit_sec":$jitSec%.3f,""" +
+        f""""steal_sec":$stealSec%.3f,"cg_throttled_sec":$cgThrottledSec%.3f,""" +
         f""""foreign_cpu_sec":$foreignCpuSec%.3f}"""
     def jsonWith(wallSec: Double): String =
       f"""{"sec":$wallSec%.3f,"exec_sec":$execSec%.3f,"cpu_sec":$cpuSec%.3f,""" +
@@ -154,6 +323,7 @@ object Bench {
         f""""leaked_rdds":$leakedRdds,"proc_gc_sec":$procGcSec%.3f,""" +
         f""""proc_gc_count":$procGcCount,"jit_sec":$jitSec%.3f,""" +
         f""""host_busy_sec":$hostBusySec%.3f,"proc_cpu_sec":$procCpuSec%.3f,""" +
+        f""""steal_sec":$stealSec%.3f,"cg_throttled_sec":$cgThrottledSec%.3f,""" +
         f""""foreign_cpu_sec":$foreignCpuSec%.3f,""" +
         f""""load_suspect":${wallSec >= 2.0 && loadSuspect}}"""
   }
@@ -228,13 +398,16 @@ object Bench {
         "spark.sql.files.maxPartitionBytes", "spark.sql.adaptive.enabled",
         "spark.sql.codegen.wholeStage", "spark.memory.fraction",
         "spark.sql.parquet.compression.codec")
-      val confJson = confKeys.map(k => s""""$k":"${c(k)}"""")
+      // every interpolated string routes through jstr: a conf value or env
+      // var carrying a quote/backslash must not break the artifact's parse
+      val confJson = confKeys.map(k => s""""${jstr(k)}":"${jstr(c(k))}"""")
         .mkString("{", ",", "}")
       s"""{"jvm_max_heap_mb":${rt.maxMemory / (1024 * 1024)},""" +
-        s""""spark_driver_mem_env":"${sys.env.getOrElse("SPARK_DRIVER_MEM",
-          "unset(build.sbt default 8g)")}",""" +
+        s""""spark_driver_mem_env":"${jstr(sys.env.getOrElse(
+          "SPARK_DRIVER_MEM", "unset(build.sbt default 8g)"))}",""" +
         s""""host_cores":${rt.availableProcessors},"local_threads":$cpus,""" +
-        s""""java_version":"${sys.props.getOrElse("java.version", "?")}",""" +
+        s""""java_version":"${jstr(sys.props.getOrElse("java.version", "?"))}",""" +
+        s""""cgroup_cpu_max":"${jstr(cgroupCpuMax)}",""" +
         s""""mem_available_mb_start":$memAvailStart,"confs":$confJson}"""
     }
     // steady-input parquet layout: files / row groups / bytes per table,
@@ -282,9 +455,16 @@ object Bench {
           s""""code_cache_used_mb":$codeCacheUsedMb}"""
     }
     // untimed warmup: pay parquet-driver + codegen init before the clock
-    // starts so the alphabetically-first query isn't charged for it
+    // starts so the run-order-first query isn't charged for it
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case scala.util.control.NonFatal(_) => () }
+    // pay the calibration buffer fill + probe-loop JIT before any probe
+    // whose value rides the artifact
+    Calib.warm()
+    // every probe taken this run, for the median the suspect flag compares
+    // against (computed at artifact-write time, so early writes use the
+    // median-so-far and the final write uses the full run's)
+    val calibSamples = scala.collection.mutable.ArrayBuffer[Calib.Sample]()
 
     // Inter-query hygiene: unpersist everything between runs — each run
     // rebuilds its own plan, so only garbage goes — and REPORT what leaked
@@ -300,15 +480,22 @@ object Bench {
 
     // Failed queries report NEGATIVE elapsed time so they are visible in
     // BENCH json (a swallowed failure must not look like a fast pass).
+    // Every timed run is FRONTED by a calibration probe (outside the timed
+    // window, before any counter snapshot so its own CPU never pollutes
+    // the host/proc deltas) — the per-row contamination evidence.
     def timeOne(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String = sfDir)
-        : (Double, Attrib) = {
+        : (Double, Attrib, Calib.Sample) = {
+      val calib = Calib.sample()
+      calibSamples += calib
       org.apache.spark.sql.GraftShim.waitListenerBus(spark)
       val (r0, c0, g0, s0, t0n) = acc.snapshot
       val (pgc0, pgt0, pjt0) = procCounters
       val hb0 = hostBusyJiffies
       val pc0 = procCpuNs
+      val st0 = stealJiffies
+      val cg0 = cgroupThrottledUsec
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, dir).count(); true }
@@ -321,14 +508,19 @@ object Bench {
       val (pgc1, pgt1, pjt1) = procCounters
       val hb1 = hostBusyJiffies
       val pc1 = procCpuNs
+      val st1 = stealJiffies
+      val cg1 = cgroupThrottledUsec
       val leaked = sweepLeaked()
       val attrib = Attrib((r1 - r0) / 1e3, (c1 - c0) / 1e9, (g1 - g0) / 1e3,
         (s1 - s0) / 1e6, t1n - t0n, leaked,
         procGcSec = (pgt1 - pgt0) / 1e3, procGcCount = pgc1 - pgc0,
         jitSec = if (pjt0 < 0) -1.0 else (pjt1 - pjt0) / 1e3,
         hostBusySec = if (hb0 < 0 || hb1 < 0) -1.0 else (hb1 - hb0) / 100.0,
-        procCpuSec = if (pc0 < 0 || pc1 < 0) -1.0 else (pc1 - pc0) / 1e9)
-      (if (ok) sec else -sec, attrib)
+        procCpuSec = if (pc0 < 0 || pc1 < 0) -1.0 else (pc1 - pc0) / 1e9,
+        stealSec = if (st0 < 0 || st1 < 0) -1.0 else (st1 - st0) / 100.0,
+        cgThrottledSec =
+          if (cg0 < 0 || cg1 < 0) -1.0 else (cg1 - cg0) / 1e6)
+      (if (ok) sec else -sec, attrib, calib)
     }
 
     def extractRps(dir: String, tag: String, runs: Int): Double =
@@ -522,15 +714,22 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       val lock = lockCh.lock()
-      try {
-        if (java.nio.file.Files.exists(marker)) deleteRec(tmp.toFile)
-        else {
-          deleteRec(base.toFile)
-          java.nio.file.Files.move(tmp, base,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        }
-      } finally { lock.release(); lockCh.close() }
-      (base.toString, false)
+      // losing the publish race = adopting the winner's FINISHED dir — for
+      // the artifact's provenance that is a cache HIT (this JVM did not
+      // write the bytes it is about to time against), even though it paid
+      // a redundant build
+      val lostRace =
+        try {
+          if (java.nio.file.Files.exists(marker)) {
+            deleteRec(tmp.toFile); true
+          } else {
+            deleteRec(base.toFile)
+            java.nio.file.Files.move(tmp, base,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            false
+          }
+        } finally { lock.release(); lockCh.close() }
+      (base.toString, lostRace)
     }
 
     /** Steady-input split amortization (round-12 ask 3): the reprovisioned
@@ -583,19 +782,41 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       val lock = lockCh.lock()
-      try {
-        if (java.nio.file.Files.exists(marker)) deleteRec(tmp.toFile)
-        else {
-          deleteRec(base.toFile)
-          java.nio.file.Files.move(tmp, base,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        }
-      } finally { lock.release(); lockCh.close() }
-      (base.toString, false)
+      // losing the publish race = adopting the winner's FINISHED dir — for
+      // the artifact's provenance that is a cache HIT (this JVM did not
+      // write the bytes it is about to time against), even though it paid
+      // a redundant build
+      val lostRace =
+        try {
+          if (java.nio.file.Files.exists(marker)) {
+            deleteRec(tmp.toFile); true
+          } else {
+            deleteRec(base.toFile)
+            java.nio.file.Files.move(tmp, base,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            false
+          }
+        } finally { lock.release(); lockCh.close() }
+      (base.toString, lostRace)
+    }
+
+    // (name, headline sec, its attrib, its calib, all timed runs with
+    // their probes) — raw results are kept so the artifact builder can
+    // compute calib_suspect against the FULL run's probe median
+    type ScaleRes = (String, Double, Attrib, Calib.Sample,
+      Seq[(Double, Calib.Sample)])
+
+    // median-so-far for the retry-once decision (the artifact's flags use
+    // the final median; this one only gates spending retry budget)
+    def suspectNow(c: Calib.Sample): Boolean = {
+      val (mSt, mMt) = Calib.medians(calibSamples.toSeq)
+      // too few samples to trust a median → treat as deviant (retry is
+      // cheap insurance early in the run)
+      calibSamples.size < 5 || Calib.suspect(c, mSt, mMt)
     }
 
     def runScale(section: String, names: Seq[String], dir: String,
-                 timedRuns: Int): Seq[(String, Double, Attrib, Seq[Double])] = {
+                 timedRuns: Int): Seq[ScaleRes] = {
       val qmap = SparkEntry.queries
       names.flatMap { n =>
         if (scaleBudgetLeft <= 0) {
@@ -626,70 +847,137 @@ object Bench {
           // min of up to TWO timed runs: residual C2 recompile / GC-epoch
           // noise lands on one run or the other, and the minimum is the
           // reproducible number a clean-room rerun can match. BOTH raw run
-          // times ride the artifact ("runs") so the methodology is
-          // self-describing. A first run past the slow threshold (or past
-          // the remaining budget) gets NO second run — JIT noise is
-          // irrelevant at that magnitude and the repeat is what starved
-          // round 10's driver cap.
-          val (s1, a1) = timeOne(n, fn, dir)
+          // times ride the artifact ("runs", with each run's probe in
+          // "runs_calib") so the methodology is self-describing. A first
+          // run past the slow threshold (or past the remaining budget)
+          // normally gets NO second run — JIT noise is irrelevant at that
+          // magnitude and the repeat is what starved round 10's driver
+          // cap — EXCEPT when its probe deviated (round-13 retry-once
+          // rule): one contaminated 155 s sample must not become the
+          // round's number when a single retry can produce a calibrated
+          // one. The better-calibrated run (higher ST probe) is the
+          // headline; both runs + both probes ride the artifact.
+          val (s1, a1, c1) = timeOne(n, fn, dir)
           if (timedRuns <= 1 || math.abs(s1) >= slowSingleRunS ||
-              scaleBudgetLeft <= 0) (n, s1, a1, Seq(s1))
-          else {
-            val (s2, a2) = timeOne(n, fn, dir)
-            val runs = Seq(s1, s2)
-            if (s1 >= 0 && (s2 < 0 || s1 <= s2)) (n, s1, a1, runs)
-            else (n, s2, a2, runs)
+              scaleBudgetLeft <= 0) {
+            if (math.abs(s1) >= slowSingleRunS && timedRuns > 1 &&
+                scaleBudgetLeft > 0 && suspectNow(c1)) {
+              System.err.println(f"[bench] $n: slow first run (${s1}%.1f s) " +
+                f"under probe deviation (st ${c1.stMops}%.0f Mops) — retrying once")
+              val (s2, a2, c2) = timeOne(n, fn, dir)
+              val runs = Seq((s1, c1), (s2, c2))
+              if (s1 >= 0 && (s2 < 0 || c1.stMops >= c2.stMops))
+                (n, s1, a1, c1, runs)
+              else (n, s2, a2, c2, runs)
+            } else (n, s1, a1, c1, Seq((s1, c1)))
+          } else {
+            val (s2, a2, c2) = timeOne(n, fn, dir)
+            val runs = Seq((s1, c1), (s2, c2))
+            if (s1 >= 0 && (s2 < 0 || s1 <= s2)) (n, s1, a1, c1, runs)
+            else (n, s2, a2, c2, runs)
           }
         }
       }
     }
-    def scaleJson(res: Seq[(String, Double, Attrib, Seq[Double])])
+    def scaleJson(res: Seq[ScaleRes], medSt: Double, medMt: Double)
         : (String, String) = (
-      res.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+      res.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}"),
-      res.map { case (k, v, a, runs) =>
+      res.map { case (k, v, a, c, runs) =>
         val withRuns = a.jsonWith(v).dropRight(1) +
-          runs.map(r => f"$r%.3f").mkString(",\"runs\":[", ",", "]}")
+          s""","calib":${c.json},""" +
+          s""""calib_suspect":${Calib.suspect(c, medSt, medMt)}""" +
+          runs.map(r => f"${r._1}%.3f").mkString(",\"runs\":[", ",", "]") +
+          runs.map(_._2.json).mkString(",\"runs_calib\":[", ",", "]}")
         "\"" + k + "\":" + withRuns
       }.mkString("{", ",", "}"))
 
-    // ---- incremental artifact state: every section records its json here
-    // and writeArtifact() rewrites target/bench.json, so a kill at ANY
-    // point leaves the completed sections parseable on disk.
-    var scale10Json = "{}"; var attrib10Json = "{}"; var rps10x = -1.0
-    var scale30Json = "{}"; var attrib30Json = "{}"
-    var scale100Json = "{}"; var attrib100Json = "{}"
-    var steadyJson = "{}"; var steadyColdJson = "{}"; var steadyAttribJson = "{}"
+    // ---- incremental artifact state: every section records its RAW
+    // results here and writeArtifact() rebuilds target/bench.json from
+    // them (so calib_suspect always reflects the newest probe median), so
+    // a kill at ANY point leaves the completed sections parseable on disk.
+    var scale10Res: Seq[ScaleRes] = Nil; var rps10x = -1.0
+    var scale30Res: Seq[ScaleRes] = Nil
+    var scale100Res: Seq[ScaleRes] = Nil
+    // steady: (name, cold sec, cold calib, steady sec, steady attrib,
+    // steady calib)
+    var steadyRes: Seq[(String, Double, Calib.Sample, Double, Attrib,
+      Calib.Sample)] = Nil
     var totalCold = 0.0; var totalSteady = 0.0; var nFail = 0
     var steadyAmortized = false
     var leakGate = "\"pass\""
     var rps = -1.0
     val scale100Copies =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE100_COPIES", "80").toInt
-    val filterJson = only.map(f => "\"" + f.toSeq.sorted.mkString(",") + "\"")
+    val filterJson = only.map(f => "\"" + jstr(f.toSeq.sorted.mkString(",")) + "\"")
       .getOrElse("null")
+    // steady run order is SHUFFLED with a stamped seed (round-13 ask 3):
+    // the r12 contention window was only diagnosable because it happened
+    // to cut across unrelated alphabetical neighbors — a seeded shuffle
+    // makes that structural (an episode can never masquerade as a family
+    // regression: the family's rows are scattered through run order).
+    // Per-query maps stay keyed by name, so round-over-round comparison is
+    // unaffected; maps EMIT in run order so a contiguous episode is
+    // visible as a contiguous block of rows.
+    val steadySeed = sys.env.get("SPARK_GRAFT_BENCH_STEADY_SEED")
+      .map(_.toLong).getOrElse(System.nanoTime() & 0x7fffffffL)
+
+    // latest JSON renderings of each section, refreshed by artifactJson()
+    // from the raw results (the compact stdout line reuses the final ones)
+    var scale10Json = "{}"; var scale30Json = "{}"; var scale100Json = "{}"
 
     def artifactJson(complete: Boolean): String = {
       val ivfTrain = graft.functions.VectorFunctions.lastTrainSec
       val clusterIdx = graft.functions.DedupFunctions.lastIndexBuildSec
       val pqTrain = graft.functions.VectorFunctions.lastPqTrainSec
       val pqEncode = graft.functions.VectorFunctions.lastPqEncodeSec
-      val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val skippedJson = skipped.map("\"" + jstr(_) + "\"")
+        .mkString("[", ",", "]")
       val sectionEnvJson = sectionEnv
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      // bench_schema 4: adds env / sections_env / steady_inputs / steady_
-      // layout provenance and per-scale-query proc_gc_sec / proc_gc_count /
-      // jit_sec / host_busy_sec / proc_cpu_sec / foreign_cpu_sec — the
-      // fields the r11 driver-vs-builder divergence needed to be
-      // adjudicable. (Schema 3 added budget_s / sections_skipped /
-      // complete; 2 = min-of-2 timed runs; 1 = one run.)
-      s"""{"metric":"total","value":$totalCold,"unit":"sec","bench_schema":4,""" +
-        s""""timing":"scale=min_of_2_timed_runs_after_warmup(1_run_if_first>${slowSingleRunS.toInt}s;100x=1_run);steady=cold_then_steady",""" +
+      val (medSt, medMt) = Calib.medians(calibSamples.toSeq)
+      val (s10q, s10a) = scaleJson(scale10Res, medSt, medMt)
+      val (s30q, s30a) = scaleJson(scale30Res, medSt, medMt)
+      val (s100q, s100a) = scaleJson(scale100Res, medSt, medMt)
+      scale10Json = s10q; scale30Json = s30q; scale100Json = s100q
+      val steadyColdJson = steadyRes
+        .map { case (k, cold, _, _, _, _) => "\"" + k + "\":" + cold }
+        .mkString("{", ",", "}")
+      val steadyJson = steadyRes
+        .map { case (k, _, _, st, _, _) => "\"" + k + "\":" + st }
+        .mkString("{", ",", "}")
+      val steadyAttribJson = steadyRes.map {
+        case (k, _, cc, _, a, sc) =>
+          val entry = a.json.dropRight(1) +
+            s""","calib":${sc.json},""" +
+            s""""calib_suspect":${Calib.suspect(sc, medSt, medMt)},""" +
+            s""""calib_cold":${cc.json},""" +
+            s""""calib_cold_suspect":${Calib.suspect(cc, medSt, medMt)}}"""
+          "\"" + k + "\":" + entry
+      }.mkString("{", ",", "}")
+      val suspectRows = steadyRes.count(r =>
+        Calib.suspect(r._6, medSt, medMt) || Calib.suspect(r._3, medSt, medMt)) +
+        (scale10Res ++ scale30Res ++ scale100Res)
+          .count(r => Calib.suspect(r._4, medSt, medMt))
+      // bench_schema 5 (round 13): per-row in-band calibration (calib /
+      // calib_suspect / runs_calib vs the run-median calib_summary),
+      // steal_sec + cg_throttled_sec per run, seeded steady shuffle
+      // (steady_order_seed; maps emit in run order), retry-once for slow
+      // scale runs under probe deviation, JSON-escaped env strings —
+      // contamination the r12 /proc/stat detector could not see (task-CPU
+      // inflation with foreign_cpu ≈ 0) now names itself per row. (Schema
+      // 4 added env/provenance + foreign-CPU fields; 3 budget/skips; 2
+      // min-of-2 runs; 1 one run.)
+      s"""{"metric":"total","value":$totalCold,"unit":"sec","bench_schema":5,""" +
+        s""""timing":"scale=min_of_2_timed_runs_after_warmup(1_run_if_first>${slowSingleRunS.toInt}s_unless_calib_suspect_then_retry_once;100x=1_run_same_retry_rule);steady=cold_then_steady_shuffled",""" +
         s""""failed":$nFail,"filter":$filterJson,"budget_s":$budgetS,""" +
+        s""""steady_order_seed":$steadySeed,""" +
+        s""""calib_summary":{"median_st_mops":$medSt,"median_mt_gbps":$medMt,""" +
+        s""""samples":${calibSamples.size},"suspect_rows":$suspectRows},""" +
         s""""env":$envJson,"sections_env":$sectionEnvJson,""" +
         s""""steady_inputs":$steadyInputsJson,""" +
         s""""steady_layout":"${if (steadyAmortized)
-          "amortized(v2:bytes_proportional_256KB_per_file_cap_2_per_core;documents=2_per_core)"
+          "amortized(v2:documents=2_per_core;others_bytes_proportional_256KB_per_file_cap_2_per_core)"
         else "raw"}",""" +
         s""""sections_skipped":$skippedJson,"complete":$complete,""" +
         s""""extract_rows_per_sec":$rps,"total_steady":$totalSteady,""" +
@@ -697,13 +985,13 @@ object Bench {
         s""""cluster_index_build_sec":$clusterIdx,"pq_train_sec":$pqTrain,""" +
         s""""pq_encode_sec":$pqEncode,"queries":$steadyColdJson,""" +
         s""""queries_steady":$steadyJson,"attrib":$steadyAttribJson,""" +
-        s""""queries_10x":$scale10Json,"attrib_10x":$attrib10Json,""" +
+        s""""queries_10x":$s10q,"attrib_10x":$s10a,""" +
         s""""extract_rows_per_sec_10x":$rps10x,""" +
         s""""scale_10x":{"documents":8,"lineitem":10,"events":10},""" +
-        s""""queries_30x":$scale30Json,"attrib_30x":$attrib30Json,""" +
+        s""""queries_30x":$s30q,"attrib_30x":$s30a,""" +
         s""""scale_30x":{"documents":30,"media":"payloads derive per doc_id, so media scales with documents"},""" +
-        s""""queries_100x":$scale100Json,"attrib_100x":$attrib100Json,""" +
-        s""""scale_100x":{"documents":$scale100Copies},"sf":"$sfDir"}"""
+        s""""queries_100x":$s100q,"attrib_100x":$s100a,""" +
+        s""""scale_100x":{"documents":$scale100Copies},"sf":"${jstr(sfDir)}"}"""
     }
     // The FULL artifact (cold+steady+attrib maps, ~40 KB at 200 queries)
     // goes to target/bench.json only: printed, it exceeds the driver's
@@ -729,12 +1017,10 @@ object Bench {
       val (dir10, hit10) = synthDir("10x", docCopies = 8, "shift", alphaShifted,
         rowCopies = 10)
       recordSectionEnv("10x", dir10, hit10)
-      val res = runScale("10x", scaleQueries, dir10, timedRuns = 2)
+      scale10Res = runScale("10x", scaleQueries, dir10, timedRuns = 2)
       rps10x =
         if (scaleBudgetLeft <= 0) { skipped += "10x:extract"; -1.0 }
         else extractRps(dir10, "e2e10", runs = 1)
-      val (qj, aj) = scaleJson(res)
-      scale10Json = qj; attrib10Json = aj
     } catch { case e: Throwable =>
       System.err.println(s"[bench] 10x scale point FAILED: ${e.getMessage}")
     }
@@ -761,9 +1047,7 @@ object Bench {
       val (dir30, hit30) = synthDir("30x", docCopies = 30, "affine",
         alphaAffine, rowCopies = 1)
       recordSectionEnv("30x", dir30, hit30)
-      val (qj, aj) = scaleJson(
-        runScale("30x", scale30Queries, dir30, timedRuns = 2))
-      scale30Json = qj; attrib30Json = aj
+      scale30Res = runScale("30x", scale30Queries, dir30, timedRuns = 2)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] 30x scale point FAILED: ${e.getMessage}")
     }
@@ -795,20 +1079,28 @@ object Bench {
         "affine", alphaAffine, rowCopies = 1)
       recordSectionEnv("100x", dir100, hit100)
       // codegen is already warm from the 10× section (same queries) —
-      // one timed run each, attribution carried
+      // one timed run each, attribution carried; a slow run whose probe
+      // deviated gets the same retry-once treatment as the 2-run sections
       val qmap = SparkEntry.queries
-      val res = scale100Queries.flatMap { n =>
+      scale100Res = scale100Queries.flatMap { n =>
         if (scaleBudgetLeft <= 0) {
           skipped += s"100x:$n"
           System.err.println(s"[bench] budget: skipping 100x $n")
           None
         } else qmap.get(n).map { fn =>
-          val (sec, attrib) = timeOne(n, fn, dir100)
-          (n, sec, attrib, Seq(sec))
+          val (sec, attrib, c) = timeOne(n, fn, dir100)
+          if (math.abs(sec) >= slowSingleRunS && scaleBudgetLeft > 0 &&
+              suspectNow(c)) {
+            System.err.println(f"[bench] 100x $n: slow run ($sec%.1f s) " +
+              "under probe deviation — retrying once")
+            val (s2, a2, c2) = timeOne(n, fn, dir100)
+            val runs = Seq((sec, c), (s2, c2))
+            if (sec >= 0 && (s2 < 0 || c.stMops >= c2.stMops))
+              (n, sec, attrib, c, runs)
+            else (n, s2, a2, c2, runs)
+          } else (n, sec, attrib, c, Seq((sec, c)))
         }
       }
-      val (qj, aj) = scaleJson(res)
-      scale100Json = qj; attrib100Json = aj
     } catch { case e: Throwable =>
       System.err.println(s"[bench] 100x scale point FAILED: ${e.getMessage}")
     }
@@ -842,37 +1134,32 @@ object Bench {
           s"[bench] steady amortization FAILED (reading raw): ${e.getMessage}")
         sfDir
       }
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // deterministic base order (sorted) THEN the seeded shuffle — the same
+    // seed must reproduce the same run order across JVMs
+    val queries = new scala.util.Random(steadySeed)
+      .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = queries.flatMap { case (name, fn) =>
+    steadyRes = queries.flatMap { case (name, fn) =>
       if (elapsedS > budgetS) {
         skipped += s"steady:$name"
         None
       } else {
-        val (cold, _) = timeOne(name, fn, steadyDir)
-        val (steady, attrib) =
-          if (cold < 0) (cold, Attrib(0, 0, 0, 0, 0, 0))
+        val (cold, _, coldCalib) = timeOne(name, fn, steadyDir)
+        val (steady, attrib, steadyCalib) =
+          if (cold < 0) (cold, Attrib(0, 0, 0, 0, 0, 0), Calib.Sample(-1, -1))
           else timeOne(name, fn, steadyDir)
-        Some((name, cold, steady, attrib))
+        Some((name, cold, coldCalib, steady, attrib, steadyCalib))
       }
     }
-    def fmtQs(sel: ((String, Double, Double, Attrib)) => Double) = results
-      .map { case r @ (k, _, _, _) => "\"" + k + "\":" + sel(r) }
-      .mkString("{", ",", "}")
-    steadyColdJson = fmtQs(_._2)
-    steadyJson = fmtQs(_._3)
-    steadyAttribJson = results
-      .map { case (k, _, _, a) => "\"" + k + "\":" + a.json }
-      .mkString("{", ",", "}")
-    totalCold = results.map(_._2).filter(_ > 0).sum
-    totalSteady = results.map(_._3).filter(_ > 0).sum
+    totalCold = steadyRes.map(_._2).filter(_ > 0).sum
+    totalSteady = steadyRes.map(_._4).filter(_ > 0).sum
     // a cold-pass/steady-fail query (state-dependent breakage) must count
     // as failed too, or its silent absence from total_steady reads as a
     // round-over-round improvement
-    nFail = results.count(r => r._2 < 0 || r._3 < 0)
+    nFail = steadyRes.count(r => r._2 < 0 || r._4 < 0)
     // the leak GATE: post-round-9 no query may leave a persisted RDD
     // behind; name the offenders right in the artifact
-    val leakers = results.filter(_._4.leakedRdds > 0).map(_._1)
+    val leakers = steadyRes.filter(_._5.leakedRdds > 0).map(_._1)
     leakGate =
       if (leakers.isEmpty) "\"pass\""
       else "\"fail:" + leakers.mkString(";") + "\""
@@ -894,14 +1181,15 @@ object Bench {
     // spark.stop() so no executor/streaming log line can interleave
     // mid-JSON — but stop() is guarded: a hang or throw there must not
     // lose the machine-readable line entirely.
-    val compactQs = results
-      .map { case (k, cold, _, _) => f""""$k":$cold%.3f""" }
+    val compactQs = steadyRes
+      .map { case (k, cold, _, _, _, _) => f""""$k":$cold%.3f""" }
       .mkString("{", ",", "}")
-    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skippedJson = skipped.map("\"" + jstr(_) + "\"").mkString("[", ",", "]")
     val sectionEnvCompact = sectionEnv
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val (medStF, medMtF) = Calib.medians(calibSamples.toSeq)
     val compact =
-      f"""{"metric":"total","value":$totalCold%.3f,"unit":"sec","bench_schema":4,"failed":$nFail,"env":$envJson,"sections_env":$sectionEnvCompact,"sections_skipped":$skippedJson,"extract_rows_per_sec":$rps%.0f,"total_steady":$totalSteady%.3f,"leak_gate":$leakGate,"queries":$compactQs,"queries_10x":$scale10Json,"extract_rows_per_sec_10x":$rps10x%.0f,"queries_30x":$scale30Json,"queries_100x":$scale100Json,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$totalCold%.3f,"unit":"sec","bench_schema":5,"failed":$nFail,"steady_order_seed":$steadySeed,"calib_summary":{"median_st_mops":$medStF%.1f,"median_mt_gbps":$medMtF%.2f,"samples":${calibSamples.size}},"env":$envJson,"sections_env":$sectionEnvCompact,"sections_skipped":$skippedJson,"extract_rows_per_sec":$rps%.0f,"total_steady":$totalSteady%.3f,"leak_gate":$leakGate,"queries":$compactQs,"queries_10x":$scale10Json,"extract_rows_per_sec_10x":$rps10x%.0f,"queries_30x":$scale30Json,"queries_100x":$scale100Json,"sf":"${jstr(sfDir)}"}"""
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")

@@ -175,6 +175,31 @@ object Scratch {
       Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
     else f.length()
 
+  /** Size-aware scratch file count. None = keep the producer's
+    * partitioning (stats unknown or large — at 100 TB the many-file write
+    * IS the right behavior). Otherwise a single smooth ramp:
+    * `clamp(stats/256KB, 4, max(cores, stats/4MB+1))` — 4 files up to
+    * ~1 MB, then one file per ~256 KB until the session's cores, then flat
+    * at cores until ~4 MB/file growth resumes near the 128 MB cutoff. The
+    * former two-tier rule (<256 KB → 4 files, else floor at cores) had a
+    * CLIFF at 256 KB: a 255 KB relation wrote 4 files but a 257 KB one
+    * wrote cores-many ~8 KB files, re-introducing for just-over-tiny
+    * relations exactly the cores×refs band-pipeline scan overhead the
+    * 4-file tier exists to avoid (measured 0.9 → 3.6 s on the steady audio
+    * near-dup family for that shape). The ramp agrees with both old
+    * regimes at their interiors (1 MB → 4; ≥8 MB at 32 cores → cores) and
+    * is monotone in between. */
+  private[graft] def fileCount(statsBytes: BigInt, cores: Int): Option[Int] = {
+    val unknown = statsBytes >=
+      org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes
+    if (unknown || statsBytes > (128L << 20)) None
+    else {
+      val ramp = statsBytes / (256L << 10)
+      val ceil = BigInt(cores).max(statsBytes / (4L << 20) + 1)
+      Some(ramp.min(ceil).max(4).toInt)
+    }
+  }
+
   /** Write `df` to a fresh scratch parquet dir and return a plain scan of
     * it. One write job now; every later consumer reads the files (no
     * lineage re-execution, no persisted RDD). `tag` names the dir for
@@ -195,13 +220,10 @@ object Scratch {
     // near row-group size); unknown or large stats keep the producer's
     // partitioning — at 100 TB the many-file write IS the right behavior.
     val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val unknown = stats >=
-      org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes
     // engage only when the whole output is small — the extra shuffle is
     // noise at that size, and probing the producer's partition count would
-    // force a second round of physical planning. ~4 MB/file (capped at the
-    // session's parallelism) keeps the write parallel for mid-size outputs
-    // while collapsing the KB-file spray.
+    // force a second round of physical planning ([[fileCount]] picks the
+    // target; None keeps the producer's layout).
     // repartition, not coalesce: the producer is often the CPU-dense part
     // (an index build, a profile aggregation) and coalesce would cap its
     // compute parallelism; the shuffle moves only the small output. The
@@ -213,16 +235,13 @@ object Scratch {
     // pipelines reference a scratch relation ~bands× per plan, so a
     // few-hundred-row relation in cores-many files pays cores×refs scan
     // tasks of pure overhead (measured: 0.9 → 3.6 s on the steady audio
-    // near-dup family). Bytes pick the side: tiny (<256 KB) relations cap
-    // at 4 files; bigger small relations floor at the session's cores.
+    // near-dup family). Bytes pick the file count on a smooth ramp
+    // (see [[fileCount]]).
     // Unconditional when stats are known (no current-partition probe: a
     // .rdd call here cost a full extra analysis/optimization pass per
     // materialize, and the fold/band operators materialize repeatedly).
-    val out =
-      if (unknown || stats > (128L << 20)) df
-      else if (stats < (256L << 10)) df.repartition(4)
-      else df.repartition(((stats / (4L << 20)) + 1)
-        .max(BigInt(spark.sparkContext.defaultParallelism)).toInt)
+    val out = fileCount(stats, spark.sparkContext.defaultParallelism)
+      .fold(df)(df.repartition(_))
     out.write.mode("overwrite").parquet(dir)
     ensureHook()
     // size accounting is best-effort java.io measurement: a non-local

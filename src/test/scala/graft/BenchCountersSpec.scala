@@ -2,17 +2,24 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The bench artifact's round-12 reproducibility counters. These are the
-  * fields that adjudicate a cross-run divergence (the r11 driver-vs-builder
-  * dispute: 6-24× CPU on identical code/data with nothing in the artifact
-  * to explain it), so their parsers must return sane values on the
-  * platforms the bench runs on — and degrade to the documented -1 sentinel,
-  * never throw, anywhere else. */
+/** The bench artifact's reproducibility counters (round 12) and in-band
+  * calibration probe (round 13). These are the fields that adjudicate a
+  * cross-run divergence (the r11/r12 driver-vs-builder disputes: 2.3-9.2×
+  * inflation on identical code/data with nothing in the artifact to explain
+  * it), so their parsers must return sane values on the platforms the bench
+  * runs on — and degrade to the documented -1 sentinel, never throw,
+  * anywhere else. /proc- and cgroup-dependent assertions are gated on
+  * Linux (production code degrades to -1 elsewhere by design). */
 class BenchCountersSpec extends AnyFunSuite {
 
+  private def onLinux: Boolean =
+    sys.props.getOrElse("os.name", "").toLowerCase.contains("linux")
+
   test("host/process counters return sane Linux values and advance") {
+    // never-throws contract holds everywhere
     val busy0 = Bench.hostBusyJiffies
     val cpu0 = Bench.procCpuNs
+    assume(onLinux, "/proc semantics are Linux-only; -1 sentinel elsewhere")
     assert(busy0 > 0, "/proc/stat aggregate busy jiffies")
     assert(cpu0 > 0, "process CPU ns")
     // burn a little CPU; both counters must be monotone non-decreasing
@@ -24,11 +31,26 @@ class BenchCountersSpec extends AnyFunSuite {
   }
 
   test("meminfo / code-cache / GC+JIT beans are readable") {
-    assert(Bench.memAvailableMb > 0)
+    val mem = Bench.memAvailableMb // must not throw anywhere
     assert(Bench.codeCacheUsedMb >= 0)
     val (gcCount, gcMs, jitMs) = Bench.procCounters
     assert(gcCount >= 0 && gcMs >= 0)
     assert(jitMs >= -1) // -1 = monitoring unsupported, documented sentinel
+    assume(onLinux, "/proc/meminfo is Linux-only; -1 sentinel elsewhere")
+    assert(mem > 0)
+  }
+
+  test("steal jiffies and cgroup throttle never throw; sane on Linux") {
+    val steal = Bench.stealJiffies
+    val throttled = Bench.cgroupThrottledUsec
+    val cpuMax = Bench.cgroupCpuMax
+    assert(cpuMax != null && cpuMax.nonEmpty)
+    assume(onLinux)
+    // steal can legitimately be 0 (bare metal) but the aggregate line must
+    // have parsed; -1 only when /proc/stat is unreadable or truncated
+    assert(steal >= 0 || steal == -1)
+    // cgroup view may be absent (chroot without /sys): -1 sentinel
+    assert(throttled >= -1)
   }
 
   test("Attrib.foreignCpuSec: delta, floor at zero, -1 when unavailable") {
@@ -42,10 +64,63 @@ class BenchCountersSpec extends AnyFunSuite {
 
   test("attrib json carries the diagnostic fields") {
     val j = Bench.Attrib(1, 2, 3, 4, 5, 0, procGcSec = 0.5, procGcCount = 7,
-      jitSec = 0.25, hostBusySec = 9.0, procCpuSec = 8.0).jsonWith(2.5)
+      jitSec = 0.25, hostBusySec = 9.0, procCpuSec = 8.0, stealSec = 0.1,
+      cgThrottledSec = 0.2).jsonWith(2.5)
     for (k <- Seq("proc_gc_sec", "proc_gc_count", "jit_sec", "host_busy_sec",
-      "proc_cpu_sec", "foreign_cpu_sec", "load_suspect"))
+      "proc_cpu_sec", "steal_sec", "cg_throttled_sec", "foreign_cpu_sec",
+      "load_suspect"))
       assert(j.contains("\"" + k + "\""), k)
     assert(j.contains("\"foreign_cpu_sec\":1.000"))
+    assert(j.contains("\"steal_sec\":0.100"))
+    assert(j.contains("\"cg_throttled_sec\":0.200"))
+  }
+
+  test("calibration probe: positive fixed-work rates, stable across samples") {
+    Bench.Calib.warm()
+    val a = Bench.Calib.sample()
+    val b = Bench.Calib.sample()
+    // both axes must measure real positive rates on any JVM
+    assert(a.stMops > 0 && a.mtGbps > 0, a)
+    assert(b.stMops > 0 && b.mtGbps > 0, b)
+    // back-to-back samples on the same (test) host should agree within the
+    // suspect threshold itself — a probe noisier than the flag it powers
+    // would flag clean rows. Generous 3× bound: CI hosts wobble.
+    assert(a.stMops / b.stMops < 3.0 && b.stMops / a.stMops < 3.0, (a, b))
+    assert(a.json.contains("\"st_mops\"") && a.json.contains("\"mt_gbps\""))
+  }
+
+  test("calib medians and the 1.5x suspect rule") {
+    import Bench.Calib
+    val clean = Seq(Calib.Sample(100, 10), Calib.Sample(110, 11),
+      Calib.Sample(105, 10.5), Calib.Sample(95, 9.5), Calib.Sample(108, 10.2))
+    val (mSt, mMt) = Calib.medians(clean)
+    assert(mSt >= 100 && mSt <= 110 && mMt >= 10 && mMt <= 11)
+    // clean row: not suspect
+    assert(!Calib.suspect(Calib.Sample(100, 10), mSt, mMt))
+    // 4x ST drop (the r12 episode shape): suspect
+    assert(Calib.suspect(Calib.Sample(mSt / 4, mMt), mSt, mMt))
+    // bandwidth-only theft (task-CPU inflation axis): suspect
+    assert(Calib.suspect(Calib.Sample(mSt, mMt / 2), mSt, mMt))
+    // just inside the threshold: clean
+    assert(!Calib.suspect(Calib.Sample(mSt / 1.4, mMt / 1.4), mSt, mMt))
+    // unavailable probe or median: never flaggable, sentinel says why
+    assert(!Calib.suspect(Calib.Sample(-1, -1), mSt, mMt))
+    assert(!Calib.suspect(Calib.Sample(100, 10), -1, -1))
+    // -1 failures are excluded from the median
+    val withFail = clean :+ Calib.Sample(-1, -1)
+    assert(Calib.medians(withFail) == Calib.medians(clean))
+    assert(Calib.medians(Nil) == ((-1.0, -1.0)))
+  }
+
+  test("jstr escapes quotes, backslashes and control chars") {
+    assert(Bench.jstr("""plain""") == "plain")
+    assert(Bench.jstr("""a"b""") == """a\"b""")
+    assert(Bench.jstr("""a\b""") == """a\\b""")
+    assert(Bench.jstr("a\nb\tc") == "a\\u000ab\\u0009c")
+    // a conf value with both must round-trip through a JSON parser shape
+    val hostile = "x\"y\\z\n"
+    val escaped = Bench.jstr(hostile)
+    assert(!escaped.exists(_ < ' '))
+    assert(escaped == "x\\\"y\\\\z\\u000a")
   }
 }

@@ -171,4 +171,34 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e3.getMessage.contains("shard, pos"), e3.getMessage)
   }
+
+  test("Scratch.fileCount: smooth ramp, no cliff at 256 KB") {
+    // SQLConf.get needs an active session for defaultSizeInBytes
+    val s = spark; assert(s != null)
+    import graft.util.Scratch.fileCount
+    val cores = 32
+    def f(bytes: Long): Int = fileCount(BigInt(bytes), cores).get
+    // tiny tier: 4 files
+    assert(f(10L << 10) == 4)
+    assert(f(255L << 10) == 4)
+    // the former cliff: just-over-256 KB must STAY at the 4-file floor,
+    // not jump to cores-many ~8 KB files (the measured 0.9 → 3.6 s
+    // band-pipeline regression shape)
+    assert(f(257L << 10) == 4)
+    assert(f(300L << 10) == 4)
+    assert(f(1L << 20) == 4)
+    // ramp: ~256 KB/file up to the session's cores
+    assert(f(2L << 20) == 8)
+    assert(f(4L << 20) == 16)
+    assert(f(8L << 20) == 32)
+    // flat at cores through the mid band; growth resumes near the cutoff
+    assert(f(64L << 20) == 32)
+    assert(f(128L << 20) == 33)
+    // monotone across the whole engaged range
+    val samples = (1 to 512).map(i => f(i.toLong << 18))
+    assert(samples.zip(samples.tail).forall { case (a, b) => a <= b })
+    // large / unknown stats: keep the producer's partitioning
+    assert(fileCount(BigInt(129L << 20), cores).isEmpty)
+    assert(fileCount(BigInt(Long.MaxValue), cores).isEmpty)
+  }
 }
