@@ -86,6 +86,19 @@ class MaintenanceSpec extends AnyFunSuite with SparkTestBase {
     assert(global.count() == 2)
   }
 
+  test("scratch materialize: tiny output from a wide producer collapses to the 4-file floor") {
+    // the wiring check behind LayoutSpec's fileCount formula test: a tiny
+    // relation computed by a 64-partition producer must NOT write 64
+    // KB-files (the small-files spray) — it lands on the ramp's floor
+    val s = spark
+    import graft.util.Scratch
+    val wide = s.range(0, 1000, 1, 64).toDF("id")
+    val m = Scratch.materialize(wide, "ramp_wiring")
+    val files = m.inputFiles.length
+    assert(files == 4, s"expected the 4-file floor, got $files")
+    assert(m.count() == 1000)
+  }
+
   test("scratch scope: ad-hoc writes on OTHER threads never join a sync's scope") {
     val s = spark
     import s.implicits._
