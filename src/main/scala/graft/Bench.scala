@@ -938,6 +938,20 @@ object Bench {
     var steadyAmortized = false
     var leakGate = "\"pass\""
     var rps = -1.0
+    // calibration brackets for the two extract-throughput headlines (the
+    // BASELINE.md comparison must be certifiable like any query row)
+    var extractCalib = Calib.Sample(-1, -1)
+    var extractCalib10x = Calib.Sample(-1, -1)
+    def bracketCalib[A](body: => A): (A, Calib.Sample) = {
+      val pre = Calib.sample(); calibSamples += pre
+      val a = body
+      val post = Calib.sample(); calibSamples += post
+      (a, Calib.Sample(
+        if (pre.stMops < 0 || post.stMops < 0) -1.0
+        else math.min(pre.stMops, post.stMops),
+        if (pre.mtGbps < 0 || post.mtGbps < 0) -1.0
+        else math.min(pre.mtGbps, post.mtGbps)))
+    }
     val scale100Copies =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE100_COPIES", "80").toInt
     val filterJson = only.map(f => "\"" + jstr(f.toSeq.sorted.mkString(",")) + "\"")
@@ -1012,13 +1026,18 @@ object Bench {
           "amortized(v2:documents=2_per_core;others_bytes_proportional_256KB_per_file_cap_2_per_core)"
         else "raw"}",""" +
         s""""sections_skipped":$skippedJson,"complete":$complete,""" +
-        s""""extract_rows_per_sec":$rps,"total_steady":$totalSteady,""" +
+        s""""extract_rows_per_sec":$rps,""" +
+        s""""extract_calib":${extractCalib.json},""" +
+        s""""extract_calib_suspect":${Calib.suspect(extractCalib, medSt, medMt)},""" +
+        s""""total_steady":$totalSteady,""" +
         s""""leak_gate":$leakGate,"ivf_train_sec":$ivfTrain,""" +
         s""""cluster_index_build_sec":$clusterIdx,"pq_train_sec":$pqTrain,""" +
         s""""pq_encode_sec":$pqEncode,"queries":$steadyColdJson,""" +
         s""""queries_steady":$steadyJson,"attrib":$steadyAttribJson,""" +
         s""""queries_10x":$s10q,"attrib_10x":$s10a,""" +
         s""""extract_rows_per_sec_10x":$rps10x,""" +
+        s""""extract_calib_10x":${extractCalib10x.json},""" +
+        s""""extract_calib_10x_suspect":${Calib.suspect(extractCalib10x, medSt, medMt)},""" +
         s""""scale_10x":{"documents":8,"lineitem":10,"events":10},""" +
         s""""queries_30x":$s30q,"attrib_30x":$s30a,""" +
         s""""scale_30x":{"documents":30,"media":"payloads derive per doc_id, so media scales with documents"},""" +
@@ -1052,7 +1071,10 @@ object Bench {
       scale10Res = runScale("10x", scaleQueries, dir10, timedRuns = 2)
       rps10x =
         if (scaleBudgetLeft <= 0) { skipped += "10x:extract"; -1.0 }
-        else extractRps(dir10, "e2e10", runs = 1)
+        else {
+          val (r, c) = bracketCalib(extractRps(dir10, "e2e10", runs = 1))
+          extractCalib10x = c; r
+        }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] 10x scale point FAILED: ${e.getMessage}")
     }
@@ -1202,7 +1224,10 @@ object Bench {
     // fixed per-session overhead (watermark saves, listing, footer reads)
     // amortizes the way it does in a real long session. Two runs into fresh
     // scratch dirs, best-of-2: the first pays writer codegen/committer init.
-    rps = extractRps(sfDir, "e2e", runs = 2)
+    locally {
+      val (r, c) = bracketCalib(extractRps(sfDir, "e2e", runs = 2))
+      rps = r; extractCalib = c
+    }
     writeArtifact(complete = true)
 
     // The compact line's "queries" map carries the COLD timings — the
