@@ -60,7 +60,24 @@ object Bench {
     * a write-heavy query showing moderate foreign CPU may be paying its
     * own I/O; sustained foreign CPU across READ-only queries is the real
     * co-located-load signature. */
-  private[graft] def hostBusyJiffies: Long =
+  private[graft] def hostBusyJiffies: Long = hostStatJiffies._1
+
+  private[graft] def procCpuNs: Long =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  /** Busy and steal jiffies from ONE /proc/stat parse (the two deltas must
+    * come from the same read or they can disagree by a jiffy; and timeOne
+    * snapshots both at t0 and t1 — one parse, not two). Steal (aggregate
+    * field 8) is already counted inside the busy sum; it is stamped
+    * separately because steal is the one /proc-visible signature of a
+    * CO-TENANT VM — the r12 contention window ran with foreign_cpu ≈ 0
+    * (the thief was outside this kernel's view), and steal is the only
+    * aggregate-line field that CAN see cross-VM displacement when the
+    * hypervisor reports it. (-1, -1) = unreadable. */
+  private[graft] def hostStatJiffies: (Long, Long) =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try src.getLines().collectFirst {
@@ -71,62 +88,79 @@ object Bench {
           // the kernel already folds guest time into user/nice, so
           // counting those fields would double-book any VM's CPU and flag
           // a clean run as load-contaminated
-          f.zipWithIndex.collect {
+          val busy = f.zipWithIndex.collect {
             case (v, i) if i != 3 && i != 4 && i < 8 => v
           }.sum
-      }.getOrElse(-1L)
+          (busy, if (f.length > 7) f(7) else -1L)
+      }.getOrElse((-1L, -1L))
       finally src.close()
-    } catch { case scala.util.control.NonFatal(_) => -1L }
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
 
-  private[graft] def procCpuNs: Long =
-    try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
-      case _ => -1L
-    } catch { case scala.util.control.NonFatal(_) => -1L }
+  private[graft] def stealJiffies: Long = hostStatJiffies._2
 
-  /** Steal jiffies alone (/proc/stat aggregate field 8): CPU the hypervisor
-    * withheld from this guest. Already counted inside hostBusyJiffies'
-    * busy sum; stamped separately because steal is the one /proc-visible
-    * signature of a CO-TENANT VM — the r12 contention window ran with
-    * foreign_cpu ≈ 0 (the thief was outside this kernel's view), and steal
-    * is the only aggregate-line field that CAN see cross-VM displacement
-    * when the hypervisor reports it. -1 = unreadable. */
-  private[graft] def stealJiffies: Long =
+  /** This process's own cgroup path: v2 `0::<path>` preferred, else the
+    * v1 line whose controller list includes `cpu`. The throttle/quota
+    * readers below must resolve THIS path — a fixed root-level read is
+    * silently blind on hosts without a private cgroup namespace (systemd
+    * slices, K8s pods sharing the host ns), where the root cpu.stat has
+    * no throttled_usec line while the pod's own cgroup accumulates it. */
+  private[graft] def cgroupSelfPath: Option[(Boolean, String)] =
     try {
-      val src = scala.io.Source.fromFile("/proc/stat")
+      val src = scala.io.Source.fromFile("/proc/self/cgroup")
+      try {
+        val lines = src.getLines().toList
+        lines.collectFirst { case l if l.startsWith("0::") =>
+          (true, l.stripPrefix("0::"))
+        }.orElse(lines.collectFirst {
+          case l if l.count(_ == ':') >= 2 &&
+            l.split(":")(1).split(",").contains("cpu") =>
+            (false, l.split(":", 3)(2))
+        })
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def cgroupGrab(path: String, key: String,
+                         div: Long): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile(path)
       try src.getLines().collectFirst {
-        case l if l.startsWith("cpu ") =>
-          val f = l.trim.split("\\s+").drop(1)
-          if (f.length > 7) f(7).toLong else -1L
-      }.getOrElse(-1L)
-      finally src.close()
-    } catch { case scala.util.control.NonFatal(_) => -1L }
+        case l if l.startsWith(key + " ") => l.split("\\s+")(1).toLong / div
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Cgroup CPU-throttle time in usec (v2 `cpu.stat` throttled_usec, v1
-    * `cpu/cpu.stat` throttled_time in ns): a container whose quota
-    * (cpu.max) is being enforced stalls HERE, invisibly to /proc/stat.
+    * `cpu.stat` throttled_time ns), read from THIS process's cgroup with
+    * the root as fallback (a private cgroup namespace reports self as
+    * `/`, which lands on the root path — the two cases converge).
     * -1 = no cgroup view / unreadable. */
   private[graft] def cgroupThrottledUsec: Long = {
-    def grab(path: String, key: String, div: Long): Option[Long] =
-      try {
-        val src = scala.io.Source.fromFile(path)
-        try src.getLines().collectFirst {
-          case l if l.startsWith(key + " ") => l.split("\\s+")(1).toLong / div
-        } finally src.close()
-      } catch { case scala.util.control.NonFatal(_) => None }
-    grab("/sys/fs/cgroup/cpu.stat", "throttled_usec", 1L)
-      .orElse(grab("/sys/fs/cgroup/cpu/cpu.stat", "throttled_time", 1000L))
+    val self = cgroupSelfPath
+    val v2Self = self.collect { case (true, p) =>
+      s"/sys/fs/cgroup${if (p == "/") "" else p}/cpu.stat" }
+    val v1Self = self.collect { case (false, p) =>
+      s"/sys/fs/cgroup/cpu${if (p == "/") "" else p}/cpu.stat" }
+    v2Self.flatMap(cgroupGrab(_, "throttled_usec", 1L))
+      .orElse(v1Self.flatMap(cgroupGrab(_, "throttled_time", 1000L)))
+      .orElse(cgroupGrab("/sys/fs/cgroup/cpu.stat", "throttled_usec", 1L))
+      .orElse(cgroupGrab("/sys/fs/cgroup/cpu/cpu.stat", "throttled_time", 1000L))
       .getOrElse(-1L)
   }
 
-  /** The cgroup v2 CPU quota line, verbatim ("max 100000" = unthrottled),
-    * for the env stamp. */
-  private[graft] def cgroupCpuMax: String =
-    try {
-      val src = scala.io.Source.fromFile("/sys/fs/cgroup/cpu.max")
-      try src.getLines().nextOption().getOrElse("unreadable")
-      finally src.close()
-    } catch { case scala.util.control.NonFatal(_) => "absent" }
+  /** The cgroup v2 CPU quota line for THIS process's cgroup, verbatim
+    * ("max 100000" = unthrottled), root fallback, for the env stamp. */
+  private[graft] def cgroupCpuMax: String = {
+    def read(path: String): Option[String] =
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try src.getLines().nextOption()
+        finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    cgroupSelfPath.collect { case (true, p) =>
+      s"/sys/fs/cgroup${if (p == "/") "" else p}/cpu.max" }
+      .flatMap(read)
+      .orElse(read("/sys/fs/cgroup/cpu.max"))
+      .getOrElse("absent")
+  }
 
   /** Minimal JSON string escaper for values interpolated into the bench
     * artifact (conf values, env vars, java.version, dir paths): a stray
@@ -269,6 +303,30 @@ object Bench {
     def suspect(s: Sample, medSt: Double, medMt: Double): Boolean =
       (s.stMops > 0 && medSt > 0 && s.stMops < medSt / 1.5) ||
         (s.mtGbps > 0 && medMt > 0 && s.mtGbps < medMt / 1.5)
+
+    /** Axis-wise WORSE of the two probes bracketing a timed run; either
+      * side unavailable poisons the axis to the -1 sentinel. One
+      * definition — the per-query rows and the extract headline must
+      * never compute their brackets under different rules. */
+    def combine(pre: Sample, post: Sample): Sample = Sample(
+      if (pre.stMops < 0 || post.stMops < 0) -1.0
+      else math.min(pre.stMops, post.stMops),
+      if (pre.mtGbps < 0 || post.mtGbps < 0) -1.0
+      else math.min(pre.mtGbps, post.mtGbps))
+
+    /** How contaminated was this run's window, conservatively: the LOWER
+      * of the two axes relative to the run's median (a bandwidth-only
+      * thief — the r12 signature — craters MT while leaving ST intact, so
+      * a single-axis comparison would keep the contaminated run). Axes
+      * with no probe or no median don't vote; no usable axis → +∞ (not
+      * comparable — callers tie-break on wall time). */
+    def score(s: Sample, medSt: Double, medMt: Double): Double = {
+      val st = if (s.stMops > 0 && medSt > 0) s.stMops / medSt
+               else Double.PositiveInfinity
+      val mt = if (s.mtGbps > 0 && medMt > 0) s.mtGbps / medMt
+               else Double.PositiveInfinity
+      math.min(st, mt)
+    }
   }
 
   /** Bounded wait for the JIT compile queue to settle. Under co-located
@@ -457,7 +515,7 @@ object Bench {
     // per-scale-section provenance, filled as sections run: fixture cache
     // hit/miss + size, host MemAvailable and code-cache use at section start
     val sectionEnv = scala.collection.mutable.LinkedHashMap[String, String]()
-    def recordSectionEnv(section: String, dir: String, hit: Boolean): Unit = {
+    def recordSectionEnv(section: String, dir: String, prov: String): Unit = {
       val (files, bytes) =
         try {
           val fs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
@@ -470,7 +528,7 @@ object Bench {
           } finally fs.close()
         } catch { case scala.util.control.NonFatal(_) => (-1, -1L) }
       sectionEnv(section) =
-        s"""{"fixture":"${if (hit) "hit" else "miss"}","fixture_files":$files,""" +
+        s"""{"fixture":"$prov","fixture_files":$files,""" +
           s""""fixture_bytes":$bytes,"mem_available_mb":$memAvailableMb,""" +
           s""""code_cache_used_mb":$codeCacheUsedMb}"""
     }
@@ -537,11 +595,7 @@ object Bench {
       val leaked = sweepLeaked()
       val post = Calib.sample()
       calibSamples += post
-      val calib = Calib.Sample(
-        if (pre.stMops < 0 || post.stMops < 0) -1.0
-        else math.min(pre.stMops, post.stMops),
-        if (pre.mtGbps < 0 || post.mtGbps < 0) -1.0
-        else math.min(pre.mtGbps, post.mtGbps))
+      val calib = Calib.combine(pre, post)
       val attrib = Attrib((r1 - r0) / 1e3, (c1 - c0) / 1e9, (g1 - g0) / 1e3,
         (s1 - s0) / 1e6, t1n - t0n, leaked,
         procGcSec = (pgt1 - pgt0) / 1e3, procGcCount = pgc1 - pgc0,
@@ -665,13 +719,16 @@ object Bench {
             .map(p => p.length * 31L + p.lastModified).toSeq
         else Seq(f.length * 31L + f.lastModified)
       }.foldLeft(17L)((acc, h) => acc * 0x100000001b3L + h))
-    /** Returns (fixture dir, cache hit?) — the hit/miss rides the artifact's
-      * sections_env so a run that synthesized fixtures in-JVM right before
-      * timing (heap/page-cache state the warm-cache run never sees) is
-      * distinguishable from one that reused them. */
+    /** Returns (fixture dir, provenance "hit"/"miss"/"lost_race") — rides
+      * the artifact's sections_env so a run that synthesized fixtures
+      * in-JVM right before timing (heap/page-cache state the warm-cache
+      * run never sees) is distinguishable from one that reused them.
+      * "lost_race" keeps BOTH facts: this JVM paid a full in-JVM build
+      * (the contamination the flag exists to expose) AND timed against
+      * the winner's finished bytes. */
     def synthDir(tag: String, docCopies: Int, permName: String,
                  perm: Int => (String, String), rowCopies: Int)
-        : (String, Boolean) = {
+        : (String, String) = {
       val stampSrc = Seq("documents") ++
         (if (rowCopies > 1) Seq("lineitem", "events") else Nil)
       val stamp = sourceStamp(stampSrc)
@@ -682,7 +739,7 @@ object Bench {
         System.getProperty("java.io.tmpdir"), "graft_bench_fixtures")
       val base = root.resolve(key)
       val marker = base.resolve("_GRAFT_FIXTURE_OK")
-      if (java.nio.file.Files.exists(marker)) return (base.toString, true)
+      if (java.nio.file.Files.exists(marker)) return (base.toString, "hit")
       sweepDeadBuilds(root)
       // Build into a PROCESS-PRIVATE sibling and rename into place: two
       // bench processes racing the same key (an isolation rerun next to a
@@ -745,10 +802,9 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       val lock = lockCh.lock()
-      // losing the publish race = adopting the winner's FINISHED dir — for
-      // the artifact's provenance that is a cache HIT (this JVM did not
-      // write the bytes it is about to time against), even though it paid
-      // a redundant build
+      // losing the publish race = adopting the winner's FINISHED dir,
+      // recorded as its own state: the timed bytes are the winner's, but
+      // this JVM still paid a full in-JVM build first
       val lostRace =
         try {
           if (java.nio.file.Files.exists(marker)) {
@@ -760,7 +816,7 @@ object Bench {
             false
           }
         } finally { lock.release(); lockCh.close() }
-      (base.toString, lostRace)
+      (base.toString, if (lostRace) "lost_race" else "miss")
     }
 
     /** Steady-input split amortization (round-12 ask 3): the reprovisioned
@@ -773,7 +829,7 @@ object Bench {
       * everything else bytes-proportional. The RAW layout still rides the
       * artifact (steady_inputs) so the sensitivity stays documented;
       * SPARK_GRAFT_BENCH_AMORTIZE_STEADY=0 restores raw reads. */
-    def amortizedSteadyDir(): (String, Boolean) = {
+    def amortizedSteadyDir(): (String, String) = {
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
       // v2: bytes-proportional file counts. documents keeps 2 files/core
@@ -787,7 +843,7 @@ object Bench {
         System.getProperty("java.io.tmpdir"), "graft_bench_fixtures")
       val base = root.resolve(key)
       val marker = base.resolve("_GRAFT_FIXTURE_OK")
-      if (java.nio.file.Files.exists(marker)) return (base.toString, true)
+      if (java.nio.file.Files.exists(marker)) return (base.toString, "hit")
       sweepDeadBuilds(root)
       val tmp = root.resolve(s"$key.build_${ProcessHandle.current().pid()}")
       deleteRec(tmp.toFile)
@@ -813,10 +869,9 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       val lock = lockCh.lock()
-      // losing the publish race = adopting the winner's FINISHED dir — for
-      // the artifact's provenance that is a cache HIT (this JVM did not
-      // write the bytes it is about to time against), even though it paid
-      // a redundant build
+      // losing the publish race = adopting the winner's FINISHED dir,
+      // recorded as its own state: the timed bytes are the winner's, but
+      // this JVM still paid a full in-JVM build first
       val lostRace =
         try {
           if (java.nio.file.Files.exists(marker)) {
@@ -828,7 +883,7 @@ object Bench {
             false
           }
         } finally { lock.release(); lockCh.close() }
-      (base.toString, lostRace)
+      (base.toString, if (lostRace) "lost_race" else "miss")
     }
 
     // (name, headline sec, its attrib, its calib, all timed runs with
@@ -844,6 +899,17 @@ object Bench {
       // too few samples to trust a median → treat as deviant (retry is
       // cheap insurance early in the run)
       calibSamples.size < 5 || Calib.suspect(c, mSt, mMt)
+    }
+    // after a retry, keep the run whose probe was closer to the run's
+    // baseline on its WORSE axis (an MT-only thief — the r12 signature —
+    // craters bandwidth while leaving the ST axis intact, so a
+    // single-axis comparison would keep the contaminated run); equal
+    // scores (e.g. probes unavailable) fall back to the faster run
+    def firstBetterCalibrated(s1: Double, c1: Calib.Sample,
+                              s2: Double, c2: Calib.Sample): Boolean = {
+      val (mSt, mMt) = Calib.medians(calibSamples.toSeq)
+      val (k1, k2) = (Calib.score(c1, mSt, mMt), Calib.score(c2, mSt, mMt))
+      s1 >= 0 && (s2 < 0 || (if (k1 == k2) s1 <= s2 else k1 > k2))
     }
 
     def runScale(section: String, names: Seq[String], dir: String,
@@ -897,7 +963,7 @@ object Bench {
                 f"under probe deviation (st ${c1.stMops}%.0f Mops) — retrying once")
               val (s2, a2, c2) = timeOne(n, fn, dir)
               val runs = Seq((s1, c1), (s2, c2))
-              if (s1 >= 0 && (s2 < 0 || c1.stMops >= c2.stMops))
+              if (firstBetterCalibrated(s1, c1, s2, c2))
                 (n, s1, a1, c1, runs)
               else (n, s2, a2, c2, runs)
             } else (n, s1, a1, c1, Seq((s1, c1)))
@@ -946,11 +1012,7 @@ object Bench {
       val pre = Calib.sample(); calibSamples += pre
       val a = body
       val post = Calib.sample(); calibSamples += post
-      (a, Calib.Sample(
-        if (pre.stMops < 0 || post.stMops < 0) -1.0
-        else math.min(pre.stMops, post.stMops),
-        if (pre.mtGbps < 0 || post.mtGbps < 0) -1.0
-        else math.min(pre.mtGbps, post.mtGbps)))
+      (a, Calib.combine(pre, post))
     }
     val scale100Copies =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE100_COPIES", "80").toInt
@@ -1149,7 +1211,7 @@ object Bench {
               "under probe deviation — retrying once")
             val (s2, a2, c2) = timeOne(n, fn, dir100)
             val runs = Seq((sec, c), (s2, c2))
-            if (sec >= 0 && (s2 < 0 || c.stMops >= c2.stMops))
+            if (firstBetterCalibrated(sec, c, s2, c2))
               (n, sec, attrib, c, runs)
             else (n, s2, a2, c2, runs)
           } else (n, sec, attrib, c, Seq((sec, c)))

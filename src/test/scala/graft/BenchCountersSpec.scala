@@ -44,6 +44,7 @@ class BenchCountersSpec extends AnyFunSuite {
     val steal = Bench.stealJiffies
     val throttled = Bench.cgroupThrottledUsec
     val cpuMax = Bench.cgroupCpuMax
+    val self = Bench.cgroupSelfPath // never throws anywhere
     assert(cpuMax != null && cpuMax.nonEmpty)
     assume(onLinux)
     // steal can legitimately be 0 (bare metal) but the aggregate line must
@@ -51,6 +52,40 @@ class BenchCountersSpec extends AnyFunSuite {
     assert(steal >= 0 || steal == -1)
     // cgroup view may be absent (chroot without /sys): -1 sentinel
     assert(throttled >= -1)
+    // busy and steal come from ONE parse and must be mutually consistent:
+    // steal is a component of busy
+    val (busy, st2) = Bench.hostStatJiffies
+    if (busy > 0 && st2 > 0) assert(st2 <= busy)
+    // a parsed self path is rooted
+    self.foreach { case (_, p) => assert(p.startsWith("/"), p) }
+  }
+
+  test("Calib.combine: axis-wise min, -1 poisons the axis") {
+    import Bench.Calib
+    val c = Calib.combine(Calib.Sample(100, 20), Calib.Sample(90, 25))
+    assert(c == Calib.Sample(90, 20))
+    assert(Calib.combine(Calib.Sample(-1, 20), Calib.Sample(90, 25))
+      == Calib.Sample(-1.0, 20))
+    assert(Calib.combine(Calib.Sample(100, 20), Calib.Sample(90, -1))
+      == Calib.Sample(90, -1.0))
+  }
+
+  test("Calib.score: the worse axis decides (MT-only theft must lose)") {
+    import Bench.Calib
+    val (mSt, mMt) = (500.0, 100.0)
+    // the r12 signature: ST intact, MT cratered — score must reflect MT
+    val mtThief = Calib.score(Calib.Sample(500, 10), mSt, mMt)
+    val clean = Calib.score(Calib.Sample(490, 95), mSt, mMt)
+    assert(mtThief < clean)
+    // a retry choosing by score keeps the clean run even when the
+    // contaminated one has the higher ST probe
+    assert(Calib.score(Calib.Sample(510, 10), mSt, mMt) <
+      Calib.score(Calib.Sample(480, 90), mSt, mMt))
+    // no usable axis → +inf (callers tie-break on wall time)
+    assert(Calib.score(Calib.Sample(-1, -1), mSt, mMt).isPosInfinity)
+    assert(Calib.score(Calib.Sample(500, 100), -1, -1).isPosInfinity)
+    // one usable axis still votes
+    assert(Calib.score(Calib.Sample(-1, 50), mSt, mMt) == 0.5)
   }
 
   test("Attrib.foreignCpuSec: delta, floor at zero, -1 when unavailable") {
