@@ -1207,51 +1207,63 @@ object OlapQueries {
              |WHERE change_type != 'changed' OR changed_cols != ''"""
         .stripMargin)),
 
-    // -------------------------- recursive CTE: gap-filled exponential EMA
-    // Spark 4's WITH RECURSIVE (UnionLoop) surface, exercised on the one
-    // analytic shape windows genuinely cannot express: an exponentially-
-    // smoothed series (each row depends on the previous OUTPUT, not the
-    // previous input). Monthly revenue densifies over the [min,max] month
-    // index (missing months contribute 0) and folds
+    // -------------------------- recursive CTE shape: gap-filled exp. EMA
+    // The one analytic shape windows genuinely cannot express: an
+    // exponentially-smoothed series (each row depends on the previous
+    // OUTPUT, not the previous input). Monthly revenue densifies over the
+    // [min,max] month index (missing months contribute 0) and folds
     // ema_n = ½·x_n + ½·ema_{n−1}. Month revenue sums as DECIMAL(18,2)
     // (exact), the ½ coefficients are exactly representable, and both
     // engines run the SAME linear recursion — bit-identical until the
     // final display round.
     //
-    // Scale: recursion depth = number of MONTHS in the window (bounded,
-    // data-independent per added row); the per-step frame is one row, and
-    // the heavy input relation `mr` is a plain pre-aggregated CTE,
-    // computed once. Spark's UnionLoop pays a per-iteration job, so the
-    // window is deliberately one YEAR (12 steps) — the depth knob governs
-    // bench cost, not data volume; 100 TB of orders changes `mr`'s
-    // aggregation cost, never the recursion depth.
+    // The oracle keeps DuckDB's WITH RECURSIVE; the Spark side is a
+    // SINGLE-PASS plan (round-14 ask #4). Spark's UnionLoop pays a full
+    // plan round-trip + job per iteration — measured 2.9 s wall for
+    // 1.8 exec-s on a 12-row output, pure driver latency. The recursion's
+    // input is TIME-DIMENSION-BOUNDED (months in the window — data volume
+    // changes the aggregation's cost, never the series length), so the
+    // whole spine fits one row: collect the month map + bounds in a global
+    // aggregate, densify with transform(sequence(lo,hi)), and run the
+    // recurrence as an `aggregate` higher-order fold. The fold applies the
+    // identical left-to-right 0.5·x + 0.5·prev IEEE-double steps as the
+    // UnionLoop/DuckDB recursion, so bit-identity is preserved; the heavy
+    // orders aggregation stays fully distributed, and the plan is one job
+    // with no per-iteration round-trips.
     Q("q_sql_recursive_ema",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        // materialize the month relation ONCE: a recursive CTE member is
-        // re-evaluated per iteration, so leaving the orders aggregation
-        // inside the WITH re-scans the fact table every step (measured
-        // 12 scans = ~9 s at sf0.1; this is the 100 TB shape too — fold
-        // the heavy aggregate first, recurse over the tiny result)
-        graft.util.Scratch.materialize(s.sql("""
-          SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                      AS DOUBLE) AS x
-          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1""")
-          .coalesce(1), "ema_months")
-          .createOrReplaceTempView("__ema_months")
         s.sql("""
-          WITH RECURSIVE
-          b AS (SELECT MIN(mi) AS lo, MAX(mi) AS hi FROM __ema_months),
-          ema(mi, x, ema) AS (
-            SELECT b.lo, COALESCE(m.x, 0.0D), COALESCE(m.x, 0.0D)
-            FROM b LEFT JOIN __ema_months m ON m.mi = b.lo
-            UNION ALL
-            SELECT e.mi + 1, COALESCE(m.x, 0.0D),
-                   0.5D * COALESCE(m.x, 0.0D) + 0.5D * e.ema
-            FROM ema e JOIN b ON e.mi < b.hi
-            LEFT JOIN __ema_months m ON m.mi = e.mi + 1)
-          SELECT mi, round(x, 2) AS x2, round(ema, 4) AS ema4 FROM ema""")
+          WITH mr AS (
+            SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS x
+            FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+          one AS (
+            SELECT MIN(mi) AS lo, MAX(mi) AS hi,
+                   map_from_entries(collect_list(struct(mi, x))) AS m
+            FROM mr),
+          arr AS (
+            SELECT lo,
+                   transform(sequence(lo, hi), i -> coalesce(m[i], 0.0D))
+                     AS xs
+            FROM one WHERE lo IS NOT NULL),
+          f AS (
+            SELECT lo, xs,
+                   aggregate(xs,
+                     named_struct('emas', cast(array() AS array<double>),
+                                  'prev', 0.0D),
+                     (acc, x) -> named_struct(
+                       'emas', concat(acc.emas, array(
+                         if(size(acc.emas) = 0, x,
+                            0.5D * x + 0.5D * acc.prev))),
+                       'prev', if(size(acc.emas) = 0, x,
+                                  0.5D * x + 0.5D * acc.prev)),
+                     acc -> acc.emas) AS emas
+            FROM arr)
+          SELECT lo + pos AS mi, round(xs[pos], 2) AS x2,
+                 round(ema, 4) AS ema4
+          FROM f LATERAL VIEW posexplode(emas) t AS pos, ema""")
       },
       Some("""WITH RECURSIVE mr AS (
              |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
