@@ -197,9 +197,20 @@ object Bench {
     * calib_suspect=true in the artifact no matter where the contention
     * lives. ~100 ms/probe total, paid OUTSIDE the timed window. */
   private[graft] object Calib {
-    final case class Sample(stMops: Double, mtGbps: Double) {
+    /** stMops/mtGbps are the MAX over the sample's sub-windows (the
+      * "was baseline capacity available in this moment" question the
+      * suspect flag asks); stMin/mtMin stamp the MIN of the same
+      * sub-windows (round-14 ask 1b) so sustained theft (every window
+      * depressed: min ≈ max, both low) is distinguishable post-hoc from
+      * intermittent theft (max clean, min cratered) — the r13
+      * span_stats-10× escape was an episode flavor the max alone could
+      * not see. The flag still fires on the max axes only; the mins are
+      * evidence, not a gate. -1 = unavailable. */
+    final case class Sample(stMops: Double, mtGbps: Double,
+                            stMin: Double = -1.0, mtMin: Double = -1.0) {
       def json: String =
-        f"""{"st_mops":$stMops%.1f,"mt_gbps":$mtGbps%.2f}"""
+        f"""{"st_mops":$stMops%.1f,"mt_gbps":$mtGbps%.2f,""" +
+          f""""st_min":$stMin%.1f,"mt_min":$mtMin%.2f}"""
     }
     private val N = 8 << 20 // 8M longs = 64 MB, larger than any LLC here
     private lazy val buf: Array[Long] = {
@@ -279,8 +290,11 @@ object Bench {
       * JIT of the probe loops) — callers run [[warm]] once before any
       * timed section. */
     def sample(): Sample =
-      try Sample((1 to 2).map(_ => stPass(2)).max,
-        (1 to 6).map(_ => mtPass(16)).max)
+      try {
+        val st = (1 to 2).map(_ => stPass(2))
+        val mt = (1 to 6).map(_ => mtPass(16))
+        Sample(st.max, mt.max, st.min, mt.min)
+      }
       catch { case scala.util.control.NonFatal(_) => Sample(-1.0, -1.0) }
 
     def warm(): Unit = { sample(); sample(); () }
@@ -307,12 +321,18 @@ object Bench {
     /** Axis-wise WORSE of the two probes bracketing a timed run; either
       * side unavailable poisons the axis to the -1 sentinel. One
       * definition — the per-query rows and the extract headline must
-      * never compute their brackets under different rules. */
+      * never compute their brackets under different rules. The min
+      * stamps combine the same way (worst sub-window seen on either
+      * side of the bracket). */
     def combine(pre: Sample, post: Sample): Sample = Sample(
       if (pre.stMops < 0 || post.stMops < 0) -1.0
       else math.min(pre.stMops, post.stMops),
       if (pre.mtGbps < 0 || post.mtGbps < 0) -1.0
-      else math.min(pre.mtGbps, post.mtGbps))
+      else math.min(pre.mtGbps, post.mtGbps),
+      if (pre.stMin < 0 || post.stMin < 0) -1.0
+      else math.min(pre.stMin, post.stMin),
+      if (pre.mtMin < 0 || post.mtMin < 0) -1.0
+      else math.min(pre.mtMin, post.mtMin))
 
     /** How contaminated was this run's window, conservatively: the LOWER
       * of the two axes relative to the run's median (a bandwidth-only
@@ -328,6 +348,71 @@ object Bench {
       math.min(st, mt)
     }
   }
+
+  /** Self-relative CPU deviation signal (round-14 gate). The one r13
+    * certification escape — q_dedup_span_stats 10× at 16.9 s vs the
+    * committed 1.8 s, task-CPU inflated 12× on IDENTICAL 163 tasks —
+    * carried calibration-CLEAN probes (0.83-0.86× median): the episode's
+    * flavor hit Spark's task threads without depressing a 60 ms probe
+    * bracket, so no host-level signal could flag it. This signal needs no
+    * host view at all: the untimed warmup run executes the IDENTICAL plan
+    * on the identical data seconds before the timed run, so its task
+    * cpu_sec is a contention-free in-session reference. A timed run whose
+    * task CPU exceeds the warmup's by >1.5× at EQUAL task count burned
+    * cycles the plan does not require — cache/bandwidth theft made every
+    * task's work more expensive. Equal task count is required (a
+    * different task layout means a different plan and the comparison is
+    * meaningless — AQE re-plans invalidate it, and the stamped warmup
+    * values let a judge adjudicate those rows by hand); a 0.5 cpu-s floor
+    * keeps scheduler jitter on tiny runs from flagging. */
+  private[graft] def cpuSuspect(warmCpuSec: Double, warmTasks: Long,
+                                a: Attrib): Boolean =
+    warmTasks > 0 && a.tasks == warmTasks && warmCpuSec >= 0.5 &&
+      a.cpuSec > 1.5 * warmCpuSec
+
+  /** After a retry, keep the run whose probe was closer to the run's
+    * baseline on its WORSE axis (an MT-only thief — the r12 signature —
+    * craters bandwidth while leaving the ST axis intact, so a single-axis
+    * comparison would keep the contaminated run). An INFINITE score on
+    * either side means that run's calibration is not comparable (probe
+    * failed or no median yet) — fall back to the wall-time rule rather
+    * than letting +∞ "win" the score comparison and enshrine an
+    * unmeasured run over a well-calibrated one. */
+  private[graft] def firstBetterCalibrated(
+      s1: Double, c1: Calib.Sample, s2: Double, c2: Calib.Sample,
+      medSt: Double, medMt: Double): Boolean = {
+    val (k1, k2) = (Calib.score(c1, medSt, medMt), Calib.score(c2, medSt, medMt))
+    s1 >= 0 && (s2 < 0 ||
+      (if (k1.isInfinite || k2.isInfinite || k1 == k2) s1 <= s2 else k1 > k2))
+  }
+
+  /** Cheap arithmetic impossibility guard at artifact-write time (round-14
+    * ask 1c): the scale fixtures are supersets along the document-copy
+    * axis (8 → 30 → 80 copies of the same base corpus), so a query's
+    * headline at a LOWER copy count running LONGER than its own headline
+    * at a HIGHER one in the same session is physically impossible for the
+    * engine — it is proof of an environmental episode even when every
+    * probe read clean (the r13 span_stats case: 10× at 16.9 s vs 100× at
+    * 6.9 s, derived by hand then; stamped in-band now). Takes
+    * (sectionTag, docCopies, rows as name→headline-sec) per section;
+    * returns the (sectionTag, query) pairs whose LOWER-scale row exceeds
+    * any higher-scale row of the same query by >10% — the margin keeps a
+    * constant-overhead-dominated pair that lands within run noise (two
+    * ~2.8 s rows at a tiny sf flipping by 1-2%) from stamping a coin
+    * flip as an impossibility, while real episodes (2.4-9× in r12/r13)
+    * clear it by an order of magnitude. Failed rows (sec < 0) never
+    * vote. */
+  private[graft] def scaleInconsistent(
+      sections: Seq[(String, Int, Seq[(String, Double)])])
+      : Set[(String, String)] =
+    (for {
+      (loTag, loCopies, loRows) <- sections
+      (hiTag, hiCopies, hiRows) <- sections
+      if loCopies < hiCopies && hiTag != loTag
+      hiMap = hiRows.filter(_._2 > 0).toMap
+      (name, loSec) <- loRows
+      if loSec > 0 && hiMap.get(name).exists(loSec > 1.1 * _)
+    } yield (loTag, name)).toSet
 
   /** Bounded wait for the JIT compile queue to settle. Under co-located
     * host load the warmup passes enqueue compilations faster than starved
@@ -574,9 +659,10 @@ object Bench {
       org.apache.spark.sql.GraftShim.waitListenerBus(spark)
       val (r0, c0, g0, s0, t0n) = acc.snapshot
       val (pgc0, pgt0, pjt0) = procCounters
-      val hb0 = hostBusyJiffies
+      // busy+steal from ONE /proc/stat parse per snapshot (the deltas
+      // must be mutually consistent, and the second read is pure waste)
+      val (hb0, st0) = hostStatJiffies
       val pc0 = procCpuNs
-      val st0 = stealJiffies
       val cg0 = cgroupThrottledUsec
       val t0 = System.nanoTime()
       val ok =
@@ -588,9 +674,8 @@ object Bench {
       org.apache.spark.sql.GraftShim.waitListenerBus(spark)
       val (r1, c1, g1, s1, t1n) = acc.snapshot
       val (pgc1, pgt1, pjt1) = procCounters
-      val hb1 = hostBusyJiffies
+      val (hb1, st1) = hostStatJiffies
       val pc1 = procCpuNs
-      val st1 = stealJiffies
       val cg1 = cgroupThrottledUsec
       val leaked = sweepLeaked()
       val post = Calib.sample()
@@ -886,11 +971,15 @@ object Bench {
       (base.toString, if (lostRace) "lost_race" else "miss")
     }
 
-    // (name, headline sec, its attrib, its calib, all timed runs with
-    // their probes) — raw results are kept so the artifact builder can
-    // compute calib_suspect against the FULL run's probe median
-    type ScaleRes = (String, Double, Attrib, Calib.Sample,
-      Seq[(Double, Calib.Sample)])
+    // one timed run with everything stamped about it
+    final case class ScaleRun(sec: Double, attrib: Attrib,
+                              calib: Calib.Sample)
+    // a scale row: the headline run, every timed run taken, and the
+    // untimed warmup reference (identical plan on the identical scale
+    // data) the round-14 cpu signal compares against
+    final case class ScaleRow(name: String, run: ScaleRun,
+                              runs: Seq[ScaleRun], warmSec: Double,
+                              warmCpuSec: Double, warmTasks: Long)
 
     // median-so-far for the retry-once decision (the artifact's flags use
     // the final median; this one only gates spending retry budget)
@@ -900,20 +989,34 @@ object Bench {
       // cheap insurance early in the run)
       calibSamples.size < 5 || Calib.suspect(c, mSt, mMt)
     }
-    // after a retry, keep the run whose probe was closer to the run's
-    // baseline on its WORSE axis (an MT-only thief — the r12 signature —
-    // craters bandwidth while leaving the ST axis intact, so a
-    // single-axis comparison would keep the contaminated run); equal
-    // scores (e.g. probes unavailable) fall back to the faster run
-    def firstBetterCalibrated(s1: Double, c1: Calib.Sample,
-                              s2: Double, c2: Calib.Sample): Boolean = {
-      val (mSt, mMt) = Calib.medians(calibSamples.toSeq)
-      val (k1, k2) = (Calib.score(c1, mSt, mMt), Calib.score(c2, mSt, mMt))
-      s1 >= 0 && (s2 < 0 || (if (k1 == k2) s1 <= s2 else k1 > k2))
+    // probe OR cpu deviation — either signal means this run's number is
+    // not yet credible (round 14: the span_stats-10× escape was
+    // calibration-clean but 12× task-CPU inflated; the kn_logprob row
+    // was cpu-clean but probe-flagged — each signal sees episodes the
+    // other is blind to)
+    def deviantNow(r: ScaleRun, warmCpu: Double, warmTasks: Long): Boolean =
+      suspectNow(r.calib) || cpuSuspect(warmCpu, warmTasks, r.attrib)
+    // headline pick between two runs: a clean run always beats a deviant
+    // one regardless of wall time; two clean runs take the reproducible
+    // minimum; two deviant runs fall to the better worse-axis calibration
+    // score with wall time as the not-comparable tie-break
+    def betterOf(r1: ScaleRun, r2: ScaleRun, warmCpu: Double,
+                 warmTasks: Long): ScaleRun = {
+      if (r1.sec < 0) return (if (r2.sec >= 0) r2 else r1)
+      if (r2.sec < 0) return r1
+      val d1 = deviantNow(r1, warmCpu, warmTasks)
+      val d2 = deviantNow(r2, warmCpu, warmTasks)
+      if (d1 != d2) { if (d1) r2 else r1 }
+      else if (!d1) { if (r1.sec <= r2.sec) r1 else r2 }
+      else {
+        val (mSt, mMt) = Calib.medians(calibSamples.toSeq)
+        if (firstBetterCalibrated(r1.sec, r1.calib, r2.sec, r2.calib,
+          mSt, mMt)) r1 else r2
+      }
     }
 
     def runScale(section: String, names: Seq[String], dir: String,
-                 timedRuns: Int): Seq[ScaleRes] = {
+                 timedRuns: Int): Seq[ScaleRow] = {
       val qmap = SparkEntry.queries
       names.flatMap { n =>
         if (scaleBudgetLeft <= 0) {
@@ -939,67 +1042,89 @@ object Bench {
                 s"[bench] $n warmup pass $i failed: ${e.getMessage}")
             })
           sweepLeaked()
-          timeOne(n, fn, dir) // warm on the scale dir itself (untimed)
+          // untimed warm run ON the scale dir: pays page-cache + residual
+          // codegen, AND its task cpu_sec/tasks are stamped as the
+          // contention-free in-session reference the cpu_suspect signal
+          // compares every timed run against (round-14 ask 1a)
+          val (wSec, wAttrib, _) = timeOne(n, fn, dir)
           awaitJitQuiesce()   // drain the C2 queue before the clock starts
+          def timed(): ScaleRun = {
+            val (s, a, c) = timeOne(n, fn, dir); ScaleRun(s, a, c)
+          }
           // min of up to TWO timed runs: residual C2 recompile / GC-epoch
           // noise lands on one run or the other, and the minimum is the
-          // reproducible number a clean-room rerun can match. BOTH raw run
-          // times ride the artifact ("runs", with each run's probe in
-          // "runs_calib") so the methodology is self-describing. A first
-          // run past the slow threshold (or past the remaining budget)
-          // normally gets NO second run — JIT noise is irrelevant at that
-          // magnitude and the repeat is what starved round 10's driver
-          // cap — EXCEPT when its probe deviated (round-13 retry-once
-          // rule): one contaminated 155 s sample must not become the
-          // round's number when a single retry can produce a calibrated
-          // one. The better-calibrated run (higher ST probe) is the
-          // headline; both runs + both probes ride the artifact.
-          val (s1, a1, c1) = timeOne(n, fn, dir)
-          if (timedRuns <= 1 || math.abs(s1) >= slowSingleRunS ||
-              scaleBudgetLeft <= 0) {
-            if (math.abs(s1) >= slowSingleRunS && timedRuns > 1 &&
-                scaleBudgetLeft > 0 && suspectNow(c1)) {
-              System.err.println(f"[bench] $n: slow first run (${s1}%.1f s) " +
-                f"under probe deviation (st ${c1.stMops}%.0f Mops) — retrying once")
-              val (s2, a2, c2) = timeOne(n, fn, dir)
-              val runs = Seq((s1, c1), (s2, c2))
-              if (firstBetterCalibrated(s1, c1, s2, c2))
-                (n, s1, a1, c1, runs)
-              else (n, s2, a2, c2, runs)
-            } else (n, s1, a1, c1, Seq((s1, c1)))
-          } else {
-            val (s2, a2, c2) = timeOne(n, fn, dir)
-            val runs = Seq((s1, c1), (s2, c2))
-            if (s1 >= 0 && (s2 < 0 || s1 <= s2)) (n, s1, a1, c1, runs)
-            else (n, s2, a2, c2, runs)
-          }
+          // reproducible number a clean-room rerun can match. All raw run
+          // times ride the artifact ("runs", with per-run probes/cpu in
+          // "runs_calib"/"runs_cpu_sec") so the methodology is
+          // self-describing. A first run past the slow threshold normally
+          // gets NO second run — JIT noise is irrelevant at that magnitude
+          // and the repeat is what starved round 10's driver cap. The
+          // round-14 retry rule is UNGATED from that threshold: a first
+          // run whose probe OR cpu signal deviated gets one budget-gated
+          // retry no matter how fast it ran, single-run sections included —
+          // a deviant single sample must never be the headline without
+          // either a clean retry replacing it or both contaminated runs
+          // riding the artifact (r13: q_kn_logprob 100× at 22.9 s was fast
+          // enough to dodge the old slow-gated retry and rode as a flagged
+          // single sample). The headline is the clean run if exactly one
+          // is clean, the min of two clean runs, or the better
+          // worse-axis-calibrated of two deviant ones.
+          val r1 = timed()
+          val firstSlow = math.abs(r1.sec) >= slowSingleRunS
+          val wantSecond =
+            if (timedRuns > 1 && !firstSlow) true
+            else deviantNow(r1, wAttrib.cpuSec, wAttrib.tasks)
+          if (wantSecond && scaleBudgetLeft > 0) {
+            if (firstSlow || timedRuns <= 1)
+              System.err.println(f"[bench] $section $n: run " +
+                f"(${r1.sec}%.1f s) under probe/cpu deviation — retrying once")
+            val r2 = timed()
+            ScaleRow(n, betterOf(r1, r2, wAttrib.cpuSec, wAttrib.tasks),
+              Seq(r1, r2), wSec, wAttrib.cpuSec, wAttrib.tasks)
+          } else ScaleRow(n, r1, Seq(r1), wSec, wAttrib.cpuSec,
+            wAttrib.tasks)
         }
       }
     }
-    def scaleJson(res: Seq[ScaleRes], medSt: Double, medMt: Double)
-        : (String, String) = (
-      res.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    def scaleJson(res: Seq[ScaleRow], medSt: Double, medMt: Double,
+                  inconsistent: Set[String]): (String, String) = (
+      res.map(r => "\"" + r.name + "\":" + r.run.sec)
         .mkString("{", ",", "}"),
-      res.map { case (k, v, a, c, runs) =>
-        val withRuns = a.jsonWith(v).dropRight(1) +
-          s""","calib":${c.json},""" +
-          s""""calib_suspect":${Calib.suspect(c, medSt, medMt)}""" +
-          runs.map(r => f"${r._1}%.3f").mkString(",\"runs\":[", ",", "]") +
-          runs.map(_._2.json).mkString(",\"runs_calib\":[", ",", "]}")
-        "\"" + k + "\":" + withRuns
+      res.map { r =>
+        val a = r.run.attrib
+        val entry = a.jsonWith(r.run.sec).dropRight(1) +
+          s""","calib":${r.run.calib.json},""" +
+          s""""calib_suspect":${Calib.suspect(r.run.calib, medSt, medMt)},""" +
+          s""""cpu_suspect":${cpuSuspect(r.warmCpuSec, r.warmTasks, a)},""" +
+          f""""warmup":{"sec":${r.warmSec}%.3f,""" +
+          f""""cpu_sec":${r.warmCpuSec}%.3f,"tasks":${r.warmTasks}},""" +
+          s""""scale_inconsistent":${inconsistent.contains(r.name)}""" +
+          r.runs.map(x => f"${x.sec}%.3f")
+            .mkString(",\"runs\":[", ",", "]") +
+          r.runs.map(_.calib.json).mkString(",\"runs_calib\":[", ",", "]") +
+          r.runs.map(x => f"${x.attrib.cpuSec}%.3f")
+            .mkString(",\"runs_cpu_sec\":[", ",", "]") +
+          r.runs.map(_.attrib.tasks)
+            .mkString(",\"runs_tasks\":[", ",", "]}")
+        "\"" + r.name + "\":" + entry
       }.mkString("{", ",", "}"))
 
     // ---- incremental artifact state: every section records its RAW
     // results here and writeArtifact() rebuilds target/bench.json from
     // them (so calib_suspect always reflects the newest probe median), so
     // a kill at ANY point leaves the completed sections parseable on disk.
-    var scale10Res: Seq[ScaleRes] = Nil; var rps10x = -1.0
-    var scale30Res: Seq[ScaleRes] = Nil
-    var scale100Res: Seq[ScaleRes] = Nil
-    // steady: (name, cold sec, cold calib, steady sec, steady attrib,
-    // steady calib)
-    var steadyRes: Seq[(String, Double, Calib.Sample, Double, Attrib,
-      Calib.Sample)] = Nil
+    var scale10Res: Seq[ScaleRow] = Nil; var rps10x = -1.0
+    var scale30Res: Seq[ScaleRow] = Nil
+    var scale100Res: Seq[ScaleRow] = Nil
+    // a steady row keeps the COLD pass's attrib too: the cold pass runs
+    // the identical plan seconds before the steady pass, so its task
+    // cpu_sec is the steady row's cpu_suspect reference (cold CPU is
+    // normally the HIGHER of the two — interpreted generated code before
+    // C2 — so steady >1.5× cold is a strong anomaly, not warmup noise)
+    final case class SteadyRow(name: String, cold: Double,
+      coldAttrib: Attrib, coldCalib: Calib.Sample, steady: Double,
+      attrib: Attrib, steadyCalib: Calib.Sample)
+    var steadyRes: Seq[SteadyRow] = Nil
     var totalCold = 0.0; var totalSteady = 0.0; var nFail = 0
     var steadyAmortized = false
     var leakGate = "\"pass\""
@@ -1043,45 +1168,72 @@ object Bench {
       val sectionEnvJson = sectionEnv
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val (medSt, medMt) = Calib.medians(calibSamples.toSeq)
-      val (s10q, s10a) = scaleJson(scale10Res, medSt, medMt)
-      val (s30q, s30a) = scaleJson(scale30Res, medSt, medMt)
-      val (s100q, s100a) = scaleJson(scale100Res, medSt, medMt)
+      // cross-scale impossibility guard (ask 1c): a lower-copy-count row
+      // beating its own higher-copy-count row in the same session is
+      // environmental by arithmetic, probes notwithstanding
+      val inconsistent = scaleInconsistent(Seq(
+        ("10x", 8, scale10Res.map(r => (r.name, r.run.sec))),
+        ("30x", 30, scale30Res.map(r => (r.name, r.run.sec))),
+        ("100x", scale100Copies, scale100Res.map(r => (r.name, r.run.sec)))))
+      val inconsistentJson = inconsistent.toSeq.sorted
+        .map { case (t, n) => "\"" + jstr(s"$t:$n") + "\"" }
+        .mkString("[", ",", "]")
+      val (s10q, s10a) = scaleJson(scale10Res, medSt, medMt,
+        inconsistent.collect { case ("10x", n) => n })
+      val (s30q, s30a) = scaleJson(scale30Res, medSt, medMt,
+        inconsistent.collect { case ("30x", n) => n })
+      val (s100q, s100a) = scaleJson(scale100Res, medSt, medMt,
+        inconsistent.collect { case ("100x", n) => n })
       scale10Json = s10q; scale30Json = s30q; scale100Json = s100q
       val steadyColdJson = steadyRes
-        .map { case (k, cold, _, _, _, _) => "\"" + k + "\":" + cold }
+        .map(r => "\"" + r.name + "\":" + r.cold)
         .mkString("{", ",", "}")
       val steadyJson = steadyRes
-        .map { case (k, _, _, st, _, _) => "\"" + k + "\":" + st }
+        .map(r => "\"" + r.name + "\":" + r.steady)
         .mkString("{", ",", "}")
-      val steadyAttribJson = steadyRes.map {
-        case (k, _, cc, _, a, sc) =>
-          val entry = a.json.dropRight(1) +
-            s""","calib":${sc.json},""" +
-            s""""calib_suspect":${Calib.suspect(sc, medSt, medMt)},""" +
-            s""""calib_cold":${cc.json},""" +
-            s""""calib_cold_suspect":${Calib.suspect(cc, medSt, medMt)}}"""
-          "\"" + k + "\":" + entry
+      val steadyAttribJson = steadyRes.map { r =>
+        val entry = r.attrib.json.dropRight(1) +
+          s""","calib":${r.steadyCalib.json},""" +
+          s""""calib_suspect":${Calib.suspect(r.steadyCalib, medSt, medMt)},""" +
+          s""""calib_cold":${r.coldCalib.json},""" +
+          s""""calib_cold_suspect":${Calib.suspect(r.coldCalib, medSt, medMt)},""" +
+          f""""cold_cpu_sec":${r.coldAttrib.cpuSec}%.3f,""" +
+          s""""cold_tasks":${r.coldAttrib.tasks},""" +
+          s""""cpu_suspect":${cpuSuspect(r.coldAttrib.cpuSec,
+            r.coldAttrib.tasks, r.attrib)}}"""
+        "\"" + r.name + "\":" + entry
       }.mkString("{", ",", "}")
       val suspectRows = steadyRes.count(r =>
-        Calib.suspect(r._6, medSt, medMt) || Calib.suspect(r._3, medSt, medMt)) +
+        Calib.suspect(r.steadyCalib, medSt, medMt) ||
+          Calib.suspect(r.coldCalib, medSt, medMt)) +
         (scale10Res ++ scale30Res ++ scale100Res)
-          .count(r => Calib.suspect(r._4, medSt, medMt))
-      // bench_schema 5 (round 13): per-row in-band calibration (calib /
-      // calib_suspect / runs_calib vs the run-median calib_summary),
-      // steal_sec + cg_throttled_sec per run, seeded steady shuffle
-      // (steady_order_seed; maps emit in run order), retry-once for slow
-      // scale runs under probe deviation, JSON-escaped env strings —
-      // contamination the r12 /proc/stat detector could not see (task-CPU
-      // inflation with foreign_cpu ≈ 0) now names itself per row. (Schema
-      // 4 added env/provenance + foreign-CPU fields; 3 budget/skips; 2
-      // min-of-2 runs; 1 one run.)
-      s"""{"metric":"total","value":$totalCold,"unit":"sec","bench_schema":5,""" +
-        s""""timing":"scale=min_of_2_timed_runs_after_warmup(1_run_if_first>${slowSingleRunS.toInt}s_unless_calib_suspect_then_retry_once;100x=1_run_same_retry_rule);steady=cold_then_steady_shuffled",""" +
+          .count(r => Calib.suspect(r.run.calib, medSt, medMt))
+      val cpuSuspectRows = steadyRes.count(r =>
+        cpuSuspect(r.coldAttrib.cpuSec, r.coldAttrib.tasks, r.attrib)) +
+        (scale10Res ++ scale30Res ++ scale100Res).count(r =>
+          cpuSuspect(r.warmCpuSec, r.warmTasks, r.run.attrib))
+      // bench_schema 6 (round 14): the self-relative CPU signal —
+      // per-row cpu_suspect vs the untimed warmup's task cpu_sec at equal
+      // task count (scale rows; steady rows reference their cold pass),
+      // warmup stamped per scale row, retry-once UNGATED from the slow
+      // threshold (any probe/cpu deviation earns one retry, single-run
+      // sections included), min-of-subwindow probe stamps
+      // (st_min/mt_min beside the max axes), and the cross-scale
+      // arithmetic guard (scale_inconsistent: a 10× headline exceeding
+      // its own 100× headline is environmental by construction). The r13
+      // escape — wall 9.3×, task-CPU 12× on identical tasks, probes
+      // clean — now names itself three independent ways. (Schema 5 added
+      // per-row calibration + seeded steady shuffle; 4 env/provenance +
+      // foreign-CPU fields; 3 budget/skips; 2 min-of-2 runs; 1 one run.)
+      s"""{"metric":"total","value":$totalCold,"unit":"sec","bench_schema":6,""" +
+        s""""timing":"scale=min_of_2_timed_runs_after_warmup(first>${slowSingleRunS.toInt}s_or_1run_section=single_run;any_probe_or_cpu_deviation=retry_once;clean_beats_deviant_then_min_wall);steady=cold_then_steady_shuffled",""" +
         s""""failed":$nFail,"filter":$filterJson,"budget_s":$budgetS,""" +
         s""""steady_order_seed":$steadySeed,""" +
         s""""calib_summary":{"median_st_mops":$medSt,"median_mt_gbps":$medMt,""" +
         s""""samples":${calibSamples.size},"suspect_rows":$suspectRows,""" +
-        s""""method":"row=axis_min_of_pre_post_bracket;st=max_of_2x2pass_64MB_hash;mt=max_of_6x16pass_allcores_sum;flag=either_axis_1.5x_below_run_median"},""" +
+        s""""cpu_suspect_rows":$cpuSuspectRows,""" +
+        s""""method":"row=axis_min_of_pre_post_bracket;st=max_of_2x2pass_64MB_hash;mt=max_of_6x16pass_allcores_sum;flag=either_axis_1.5x_below_run_median;st_min/mt_min=worst_subwindow_evidence_only;cpu_suspect=run_cpu>1.5x_warmup_cpu_at_equal_tasks"},""" +
+        s""""scale_inconsistent":$inconsistentJson,""" +
         s""""env":$envJson,"sections_env":$sectionEnvJson,""" +
         s""""steady_inputs":$steadyInputsJson,""" +
         s""""steady_layout":"${if (steadyAmortized)
@@ -1194,29 +1346,14 @@ object Bench {
       val (dir100, hit100) = synthDir("100x", docCopies = scale100Copies,
         "affine", alphaAffine, rowCopies = 1)
       recordSectionEnv("100x", dir100, hit100)
-      // codegen is already warm from the 10× section (same queries) —
-      // one timed run each, attribution carried; a slow run whose probe
-      // deviated gets the same retry-once treatment as the 2-run sections
-      val qmap = SparkEntry.queries
-      scale100Res = scale100Queries.flatMap { n =>
-        if (scaleBudgetLeft <= 0) {
-          skipped += s"100x:$n"
-          System.err.println(s"[bench] budget: skipping 100x $n")
-          None
-        } else qmap.get(n).map { fn =>
-          val (sec, attrib, c) = timeOne(n, fn, dir100)
-          if (math.abs(sec) >= slowSingleRunS && scaleBudgetLeft > 0 &&
-              suspectNow(c)) {
-            System.err.println(f"[bench] 100x $n: slow run ($sec%.1f s) " +
-              "under probe deviation — retrying once")
-            val (s2, a2, c2) = timeOne(n, fn, dir100)
-            val runs = Seq((sec, c), (s2, c2))
-            if (firstBetterCalibrated(sec, c, s2, c2))
-              (n, sec, attrib, c, runs)
-            else (n, s2, a2, c2, runs)
-          } else (n, sec, attrib, c, Seq((sec, c)))
-        }
-      }
+      // one timed run each (timedRuns = 1), full retry/cpu-signal rules.
+      // The unified runScale path means the 100× rows now pay an untimed
+      // warm run on the 100× data too — that run is what stamps the
+      // warmup cpu reference, and without it the round-14 cpu signal
+      // would be blind exactly where single-run rows most need a second
+      // opinion (~60-80 s of extra section cost at r13 timings, well
+      // inside the budget)
+      scale100Res = runScale("100x", scale100Queries, dir100, timedRuns = 1)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] 100x scale point FAILED: ${e.getMessage}")
     }
@@ -1260,22 +1397,23 @@ object Bench {
         skipped += s"steady:$name"
         None
       } else {
-        val (cold, _, coldCalib) = timeOne(name, fn, steadyDir)
+        val (cold, coldAttrib, coldCalib) = timeOne(name, fn, steadyDir)
         val (steady, attrib, steadyCalib) =
           if (cold < 0) (cold, Attrib(0, 0, 0, 0, 0, 0), Calib.Sample(-1, -1))
           else timeOne(name, fn, steadyDir)
-        Some((name, cold, coldCalib, steady, attrib, steadyCalib))
+        Some(SteadyRow(name, cold, coldAttrib, coldCalib, steady, attrib,
+          steadyCalib))
       }
     }
-    totalCold = steadyRes.map(_._2).filter(_ > 0).sum
-    totalSteady = steadyRes.map(_._4).filter(_ > 0).sum
+    totalCold = steadyRes.map(_.cold).filter(_ > 0).sum
+    totalSteady = steadyRes.map(_.steady).filter(_ > 0).sum
     // a cold-pass/steady-fail query (state-dependent breakage) must count
     // as failed too, or its silent absence from total_steady reads as a
     // round-over-round improvement
-    nFail = steadyRes.count(r => r._2 < 0 || r._4 < 0)
+    nFail = steadyRes.count(r => r.cold < 0 || r.steady < 0)
     // the leak GATE: post-round-9 no query may leave a persisted RDD
     // behind; name the offenders right in the artifact
-    val leakers = steadyRes.filter(_._5.leakedRdds > 0).map(_._1)
+    val leakers = steadyRes.filter(_.attrib.leakedRdds > 0).map(_.name)
     leakGate =
       if (leakers.isEmpty) "\"pass\""
       else "\"fail:" + leakers.mkString(";") + "\""
@@ -1301,14 +1439,20 @@ object Bench {
     // mid-JSON — but stop() is guarded: a hang or throw there must not
     // lose the machine-readable line entirely.
     val compactQs = steadyRes
-      .map { case (k, cold, _, _, _, _) => f""""$k":$cold%.3f""" }
+      .map(r => f""""${r.name}":${r.cold}%.3f""")
       .mkString("{", ",", "}")
     val skippedJson = skipped.map("\"" + jstr(_) + "\"").mkString("[", ",", "]")
     val sectionEnvCompact = sectionEnv
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val (medStF, medMtF) = Calib.medians(calibSamples.toSeq)
+    val inconsistentCompact = scaleInconsistent(Seq(
+      ("10x", 8, scale10Res.map(r => (r.name, r.run.sec))),
+      ("30x", 30, scale30Res.map(r => (r.name, r.run.sec))),
+      ("100x", scale100Copies, scale100Res.map(r => (r.name, r.run.sec)))))
+      .toSeq.sorted.map { case (t, n) => "\"" + jstr(s"$t:$n") + "\"" }
+      .mkString("[", ",", "]")
     val compact =
-      f"""{"metric":"total","value":$totalCold%.3f,"unit":"sec","bench_schema":5,"failed":$nFail,"steady_order_seed":$steadySeed,"calib_summary":{"median_st_mops":$medStF%.1f,"median_mt_gbps":$medMtF%.2f,"samples":${calibSamples.size}},"env":$envJson,"sections_env":$sectionEnvCompact,"sections_skipped":$skippedJson,"extract_rows_per_sec":$rps%.0f,"total_steady":$totalSteady%.3f,"leak_gate":$leakGate,"queries":$compactQs,"queries_10x":$scale10Json,"extract_rows_per_sec_10x":$rps10x%.0f,"queries_30x":$scale30Json,"queries_100x":$scale100Json,"sf":"${jstr(sfDir)}"}"""
+      f"""{"metric":"total","value":$totalCold%.3f,"unit":"sec","bench_schema":6,"failed":$nFail,"steady_order_seed":$steadySeed,"calib_summary":{"median_st_mops":$medStF%.1f,"median_mt_gbps":$medMtF%.2f,"samples":${calibSamples.size}},"scale_inconsistent":$inconsistentCompact,"env":$envJson,"sections_env":$sectionEnvCompact,"sections_skipped":$skippedJson,"extract_rows_per_sec":$rps%.0f,"total_steady":$totalSteady%.3f,"leak_gate":$leakGate,"queries":$compactQs,"queries_10x":$scale10Json,"extract_rows_per_sec_10x":$rps10x%.0f,"queries_30x":$scale30Json,"queries_100x":$scale100Json,"sf":"${jstr(sfDir)}"}"""
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")

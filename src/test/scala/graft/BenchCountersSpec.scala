@@ -147,6 +147,105 @@ class BenchCountersSpec extends AnyFunSuite {
     assert(Calib.medians(Nil) == ((-1.0, -1.0)))
   }
 
+  test("synthetic bandwidth thief: cpu_suspect fires where calib_suspect " +
+    "cannot") {
+    import Bench.Calib
+    // the r13 escape, reproduced numerically: q_dedup_span_stats 10× ran
+    // 16.9 s vs the 1.8 s warmup-shape baseline with task CPU inflated
+    // 12× on IDENTICAL 163 tasks, while the probe bracket read 0.83-0.86×
+    // of the run median — under the 1.5× flag line, so calibration-CLEAN.
+    // The self-relative cpu signal must flag exactly this row.
+    val (medSt, medMt) = (250.0, 250.0)
+    val probe = Calib.Sample(0.84 * medSt, 0.85 * medMt)
+    assert(!Calib.suspect(probe, medSt, medMt),
+      "probe bracket is clean by construction — the escape's signature")
+    val warmCpu = 12.0; val tasks = 163L
+    val inflated = Bench.Attrib(16.9, warmCpu * 12, 0.4, 0, tasks, 0)
+    assert(Bench.cpuSuspect(warmCpu, tasks, inflated),
+      "12x task-CPU at equal task count must flag")
+    // a clean timed run (cpu within 1.5x of warmup) stays unflagged
+    assert(!Bench.cpuSuspect(warmCpu, tasks,
+      Bench.Attrib(1.9, warmCpu * 1.2, 0.1, 0, tasks, 0)))
+    // different task count = different plan → not comparable, never flags
+    assert(!Bench.cpuSuspect(warmCpu, tasks,
+      Bench.Attrib(16.9, warmCpu * 12, 0.4, 0, tasks + 32, 0)))
+    // sub-floor warmup CPU (tiny run): scheduler jitter must not flag
+    assert(!Bench.cpuSuspect(0.05, tasks,
+      Bench.Attrib(1.0, 0.4, 0, 0, tasks, 0)))
+    // no warmup reference (failed warm run): never flags
+    assert(!Bench.cpuSuspect(2.0, 0L, inflated))
+  }
+
+  test("firstBetterCalibrated: infinite score is not-comparable, wall " +
+    "time decides") {
+    import Bench.Calib
+    val (mSt, mMt) = (500.0, 100.0)
+    val clean = Calib.Sample(490, 95)
+    val unmeasured = Calib.Sample(-1, -1) // probe failed → score +inf
+    // an unmeasured run must NOT beat a measured one on score alone:
+    // wall time decides when either side is infinite
+    assert(!Bench.firstBetterCalibrated(12.0, unmeasured, 10.0, clean,
+      mSt, mMt), "slower unmeasured run must lose on wall time")
+    assert(Bench.firstBetterCalibrated(9.0, unmeasured, 10.0, clean,
+      mSt, mMt), "faster run wins when scores are not comparable")
+    // two finite scores: the better worse-axis score wins regardless of
+    // wall time (the r12 MT-thief shape)
+    assert(!Bench.firstBetterCalibrated(5.0, Calib.Sample(510, 10), 9.0,
+      Calib.Sample(480, 90), mSt, mMt))
+    // a failed run never wins
+    assert(!Bench.firstBetterCalibrated(-3.0, clean, 10.0, clean, mSt, mMt))
+    assert(Bench.firstBetterCalibrated(10.0, clean, -3.0, clean, mSt, mMt))
+  }
+
+  test("probe min-of-subwindow stamps ride the sample and the bracket") {
+    import Bench.Calib
+    Calib.warm()
+    val s = Calib.sample()
+    // min stamps are real measurements bounded by the max axes
+    assert(s.stMin > 0 && s.stMin <= s.stMops, s)
+    assert(s.mtMin > 0 && s.mtMin <= s.mtGbps, s)
+    for (k <- Seq("st_mops", "mt_gbps", "st_min", "mt_min"))
+      assert(s.json.contains("\"" + k + "\""), k)
+    // bracket combine: worst sub-window across both sides; -1 poisons
+    val c = Calib.combine(Calib.Sample(100, 20, 80, 15),
+      Calib.Sample(90, 25, 85, 12))
+    assert(c == Calib.Sample(90, 20, 80, 12))
+    assert(Calib.combine(Calib.Sample(100, 20), Calib.Sample(90, 25)).stMin
+      == -1.0, "missing min on either side poisons the stamp")
+    // the flag still fires on the max axes only — a cratered min with a
+    // clean max is evidence of an intermittent episode, not a gate
+    val (mSt, mMt) = (100.0, 20.0)
+    assert(!Calib.suspect(Calib.Sample(98, 19, 10, 2), mSt, mMt))
+  }
+
+  test("scaleInconsistent: lower-copy-count row exceeding a higher one " +
+    "is stamped") {
+    // the r13 derivation, now arithmetic: span_stats 16.9 s at 10x vs
+    // 6.9 s at 100x in the same session
+    val flagged = Bench.scaleInconsistent(Seq(
+      ("10x", 8, Seq("q_span" -> 16.9, "q_ok" -> 2.0)),
+      ("30x", 30, Seq("q_ok" -> 3.0)),
+      ("100x", 80, Seq("q_span" -> 6.9, "q_ok" -> 8.0))))
+    assert(flagged == Set(("10x", "q_span")))
+    // failed rows (negative sec) never vote on either side
+    assert(Bench.scaleInconsistent(Seq(
+      ("10x", 8, Seq("q" -> -5.0)),
+      ("100x", 80, Seq("q" -> 1.0)))).isEmpty)
+    assert(Bench.scaleInconsistent(Seq(
+      ("10x", 8, Seq("q" -> 5.0)),
+      ("100x", 80, Seq("q" -> -1.0)))).isEmpty)
+    // monotone timings never flag; 30x can flag against 100x too
+    assert(Bench.scaleInconsistent(Seq(
+      ("10x", 8, Seq("q" -> 1.0)),
+      ("30x", 30, Seq("q" -> 9.0)),
+      ("100x", 80, Seq("q" -> 4.0)))) == Set(("30x", "q")))
+    // two near-equal rows inside the 10% noise margin (a constant-
+    // overhead pair at tiny sf) must not stamp a coin flip
+    assert(Bench.scaleInconsistent(Seq(
+      ("10x", 8, Seq("q" -> 2.85)),
+      ("30x", 30, Seq("q" -> 2.81)))).isEmpty)
+  }
+
   test("jstr escapes quotes, backslashes and control chars") {
     assert(Bench.jstr("""plain""") == "plain")
     assert(Bench.jstr("""a"b""") == """a\"b""")
