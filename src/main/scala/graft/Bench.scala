@@ -364,11 +364,20 @@ object Bench {
     * different task layout means a different plan and the comparison is
     * meaningless — AQE re-plans invalidate it, and the stamped warmup
     * values let a judge adjudicate those rows by hand); a 0.5 cpu-s floor
-    * keeps scheduler jitter on tiny runs from flagging. */
-  private[graft] def cpuSuspect(warmCpuSec: Double, warmTasks: Long,
+    * keeps scheduler jitter on tiny runs from flagging. The flag also
+    * requires the WALL time to exceed the reference run's: the flag
+    * certifies the wall headline, and task-CPU drift with a flat wall is
+    * the JVM's own long-session profile decay (deopt/recompile of shared
+    * codegen classes — the first full run under this signal showed 4 of
+    * 208 steady rows at 1.6-4× the cold pass's CPU with every wall BELOW
+    * its reference), which a 32-thread local soak absorbs without
+    * corrupting the number being certified. A contention episode inflates
+    * both axes (the r13 escape: wall 9.3×, cpu 12×) and still flags. */
+  private[graft] def cpuSuspect(warmSec: Double, warmCpuSec: Double,
+                                warmTasks: Long, wallSec: Double,
                                 a: Attrib): Boolean =
     warmTasks > 0 && a.tasks == warmTasks && warmCpuSec >= 0.5 &&
-      a.cpuSec > 1.5 * warmCpuSec
+      a.cpuSec > 1.5 * warmCpuSec && warmSec > 0 && wallSec > warmSec
 
   /** After a retry, keep the run whose probe was closer to the run's
     * baseline on its WORSE axis (an MT-only thief — the r12 signature —
@@ -994,18 +1003,20 @@ object Bench {
     // calibration-clean but 12× task-CPU inflated; the kn_logprob row
     // was cpu-clean but probe-flagged — each signal sees episodes the
     // other is blind to)
-    def deviantNow(r: ScaleRun, warmCpu: Double, warmTasks: Long): Boolean =
-      suspectNow(r.calib) || cpuSuspect(warmCpu, warmTasks, r.attrib)
+    def deviantNow(r: ScaleRun, warmSec: Double, warmCpu: Double,
+                   warmTasks: Long): Boolean =
+      suspectNow(r.calib) ||
+        cpuSuspect(warmSec, warmCpu, warmTasks, math.abs(r.sec), r.attrib)
     // headline pick between two runs: a clean run always beats a deviant
     // one regardless of wall time; two clean runs take the reproducible
     // minimum; two deviant runs fall to the better worse-axis calibration
     // score with wall time as the not-comparable tie-break
-    def betterOf(r1: ScaleRun, r2: ScaleRun, warmCpu: Double,
-                 warmTasks: Long): ScaleRun = {
+    def betterOf(r1: ScaleRun, r2: ScaleRun, warmSec: Double,
+                 warmCpu: Double, warmTasks: Long): ScaleRun = {
       if (r1.sec < 0) return (if (r2.sec >= 0) r2 else r1)
       if (r2.sec < 0) return r1
-      val d1 = deviantNow(r1, warmCpu, warmTasks)
-      val d2 = deviantNow(r2, warmCpu, warmTasks)
+      val d1 = deviantNow(r1, warmSec, warmCpu, warmTasks)
+      val d2 = deviantNow(r2, warmSec, warmCpu, warmTasks)
       if (d1 != d2) { if (d1) r2 else r1 }
       else if (!d1) { if (r1.sec <= r2.sec) r1 else r2 }
       else {
@@ -1073,14 +1084,15 @@ object Bench {
           val firstSlow = math.abs(r1.sec) >= slowSingleRunS
           val wantSecond =
             if (timedRuns > 1 && !firstSlow) true
-            else deviantNow(r1, wAttrib.cpuSec, wAttrib.tasks)
+            else deviantNow(r1, wSec, wAttrib.cpuSec, wAttrib.tasks)
           if (wantSecond && scaleBudgetLeft > 0) {
             if (firstSlow || timedRuns <= 1)
               System.err.println(f"[bench] $section $n: run " +
                 f"(${r1.sec}%.1f s) under probe/cpu deviation — retrying once")
             val r2 = timed()
-            ScaleRow(n, betterOf(r1, r2, wAttrib.cpuSec, wAttrib.tasks),
-              Seq(r1, r2), wSec, wAttrib.cpuSec, wAttrib.tasks)
+            ScaleRow(n, betterOf(r1, r2, wSec, wAttrib.cpuSec,
+              wAttrib.tasks), Seq(r1, r2), wSec, wAttrib.cpuSec,
+              wAttrib.tasks)
           } else ScaleRow(n, r1, Seq(r1), wSec, wAttrib.cpuSec,
             wAttrib.tasks)
         }
@@ -1095,7 +1107,8 @@ object Bench {
         val entry = a.jsonWith(r.run.sec).dropRight(1) +
           s""","calib":${r.run.calib.json},""" +
           s""""calib_suspect":${Calib.suspect(r.run.calib, medSt, medMt)},""" +
-          s""""cpu_suspect":${cpuSuspect(r.warmCpuSec, r.warmTasks, a)},""" +
+          s""""cpu_suspect":${cpuSuspect(r.warmSec, r.warmCpuSec,
+            r.warmTasks, math.abs(r.run.sec), a)},""" +
           f""""warmup":{"sec":${r.warmSec}%.3f,""" +
           f""""cpu_sec":${r.warmCpuSec}%.3f,"tasks":${r.warmTasks}},""" +
           s""""scale_inconsistent":${inconsistent.contains(r.name)}""" +
@@ -1199,8 +1212,8 @@ object Bench {
           s""""calib_cold_suspect":${Calib.suspect(r.coldCalib, medSt, medMt)},""" +
           f""""cold_cpu_sec":${r.coldAttrib.cpuSec}%.3f,""" +
           s""""cold_tasks":${r.coldAttrib.tasks},""" +
-          s""""cpu_suspect":${cpuSuspect(r.coldAttrib.cpuSec,
-            r.coldAttrib.tasks, r.attrib)}}"""
+          s""""cpu_suspect":${cpuSuspect(r.cold, r.coldAttrib.cpuSec,
+            r.coldAttrib.tasks, math.abs(r.steady), r.attrib)}}"""
         "\"" + r.name + "\":" + entry
       }.mkString("{", ",", "}")
       val suspectRows = steadyRes.count(r =>
@@ -1209,9 +1222,11 @@ object Bench {
         (scale10Res ++ scale30Res ++ scale100Res)
           .count(r => Calib.suspect(r.run.calib, medSt, medMt))
       val cpuSuspectRows = steadyRes.count(r =>
-        cpuSuspect(r.coldAttrib.cpuSec, r.coldAttrib.tasks, r.attrib)) +
+        cpuSuspect(r.cold, r.coldAttrib.cpuSec, r.coldAttrib.tasks,
+          math.abs(r.steady), r.attrib)) +
         (scale10Res ++ scale30Res ++ scale100Res).count(r =>
-          cpuSuspect(r.warmCpuSec, r.warmTasks, r.run.attrib))
+          cpuSuspect(r.warmSec, r.warmCpuSec, r.warmTasks,
+            math.abs(r.run.sec), r.run.attrib))
       // bench_schema 6 (round 14): the self-relative CPU signal —
       // per-row cpu_suspect vs the untimed warmup's task cpu_sec at equal
       // task count (scale rows; steady rows reference their cold pass),
@@ -1232,7 +1247,7 @@ object Bench {
         s""""calib_summary":{"median_st_mops":$medSt,"median_mt_gbps":$medMt,""" +
         s""""samples":${calibSamples.size},"suspect_rows":$suspectRows,""" +
         s""""cpu_suspect_rows":$cpuSuspectRows,""" +
-        s""""method":"row=axis_min_of_pre_post_bracket;st=max_of_2x2pass_64MB_hash;mt=max_of_6x16pass_allcores_sum;flag=either_axis_1.5x_below_run_median;st_min/mt_min=worst_subwindow_evidence_only;cpu_suspect=run_cpu>1.5x_warmup_cpu_at_equal_tasks"},""" +
+        s""""method":"row=axis_min_of_pre_post_bracket;st=max_of_2x2pass_64MB_hash;mt=max_of_6x16pass_allcores_sum;flag=either_axis_1.5x_below_run_median;st_min/mt_min=worst_subwindow_evidence_only;cpu_suspect=run_cpu>1.5x_ref_cpu_at_equal_tasks_and_wall>ref_wall"},""" +
         s""""scale_inconsistent":$inconsistentJson,""" +
         s""""env":$envJson,"sections_env":$sectionEnvJson,""" +
         s""""steady_inputs":$steadyInputsJson,""" +

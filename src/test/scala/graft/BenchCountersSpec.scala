@@ -159,21 +159,27 @@ class BenchCountersSpec extends AnyFunSuite {
     val probe = Calib.Sample(0.84 * medSt, 0.85 * medMt)
     assert(!Calib.suspect(probe, medSt, medMt),
       "probe bracket is clean by construction — the escape's signature")
-    val warmCpu = 12.0; val tasks = 163L
+    val warmSec = 1.9; val warmCpu = 12.0; val tasks = 163L
     val inflated = Bench.Attrib(16.9, warmCpu * 12, 0.4, 0, tasks, 0)
-    assert(Bench.cpuSuspect(warmCpu, tasks, inflated),
-      "12x task-CPU at equal task count must flag")
+    assert(Bench.cpuSuspect(warmSec, warmCpu, tasks, 16.9, inflated),
+      "12x task-CPU + inflated wall at equal task count must flag")
     // a clean timed run (cpu within 1.5x of warmup) stays unflagged
-    assert(!Bench.cpuSuspect(warmCpu, tasks,
+    assert(!Bench.cpuSuspect(warmSec, warmCpu, tasks, 1.7,
       Bench.Attrib(1.9, warmCpu * 1.2, 0.1, 0, tasks, 0)))
+    // CPU drift with a FLAT wall (long-session JVM profile decay —
+    // measured 4/208 steady rows at 1.6-4x cold CPU, walls all BELOW the
+    // reference) must not flag: the wall headline it certifies is fine
+    assert(!Bench.cpuSuspect(warmSec, warmCpu, tasks, 1.2,
+      Bench.Attrib(1.2, warmCpu * 4, 0.1, 0, tasks, 0)))
     // different task count = different plan → not comparable, never flags
-    assert(!Bench.cpuSuspect(warmCpu, tasks,
+    assert(!Bench.cpuSuspect(warmSec, warmCpu, tasks, 16.9,
       Bench.Attrib(16.9, warmCpu * 12, 0.4, 0, tasks + 32, 0)))
     // sub-floor warmup CPU (tiny run): scheduler jitter must not flag
-    assert(!Bench.cpuSuspect(0.05, tasks,
+    assert(!Bench.cpuSuspect(warmSec, 0.05, tasks, 1.0,
       Bench.Attrib(1.0, 0.4, 0, 0, tasks, 0)))
     // no warmup reference (failed warm run): never flags
-    assert(!Bench.cpuSuspect(2.0, 0L, inflated))
+    assert(!Bench.cpuSuspect(warmSec, 2.0, 0L, 16.9, inflated))
+    assert(!Bench.cpuSuspect(-1.1, warmCpu, tasks, 16.9, inflated))
   }
 
   test("firstBetterCalibrated: infinite score is not-comparable, wall " +
