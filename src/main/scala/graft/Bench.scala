@@ -1098,6 +1098,30 @@ object Bench {
         }
       }
     }
+    // FINAL headline re-selection at artifact-write time: the in-run pick
+    // uses the median-so-far, which early in a contention window can flag
+    // the CLEAN run and enshrine the contaminated retry (observed: a 10×
+    // row carrying 22.1 s as headline with a 5.1 s run sitting in `runs`,
+    // because the 5.1 s run's probe looked deviant against the first few
+    // samples). The artifact's flags are computed against the FULL run's
+    // median, so the headline must be re-picked under the same rules with
+    // the same median: min wall among final-median-clean runs, else the
+    // better worse-axis score among deviant ones (wall tie-break), failed
+    // runs never win over a finished one.
+    def finalPick(row: ScaleRow, medSt: Double, medMt: Double): ScaleRun = {
+      val finished = row.runs.filter(_.sec >= 0)
+      if (finished.isEmpty) return row.run
+      def deviant(r: ScaleRun): Boolean =
+        Calib.suspect(r.calib, medSt, medMt) ||
+          cpuSuspect(row.warmSec, row.warmCpuSec, row.warmTasks,
+            math.abs(r.sec), r.attrib)
+      val clean = finished.filterNot(deviant)
+      if (clean.nonEmpty) clean.minBy(_.sec)
+      else finished.reduceLeft { (a, b) =>
+        if (firstBetterCalibrated(a.sec, a.calib, b.sec, b.calib,
+          medSt, medMt)) a else b
+      }
+    }
     def scaleJson(res: Seq[ScaleRow], medSt: Double, medMt: Double,
                   inconsistent: Set[String]): (String, String) = (
       res.map(r => "\"" + r.name + "\":" + r.run.sec)
@@ -1170,6 +1194,7 @@ object Bench {
     // latest JSON renderings of each section, refreshed by artifactJson()
     // from the raw results (the compact stdout line reuses the final ones)
     var scale10Json = "{}"; var scale30Json = "{}"; var scale100Json = "{}"
+    var inconsistentJsonLast = "[]"
 
     def artifactJson(complete: Boolean): String = {
       val ivfTrain = graft.functions.VectorFunctions.lastTrainSec
@@ -1181,21 +1206,26 @@ object Bench {
       val sectionEnvJson = sectionEnv
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val (medSt, medMt) = Calib.medians(calibSamples.toSeq)
+      // headline re-pick under the FINAL median (see finalPick), then the
       // cross-scale impossibility guard (ask 1c): a lower-copy-count row
       // beating its own higher-copy-count row in the same session is
       // environmental by arithmetic, probes notwithstanding
+      val scale10F = scale10Res.map(r => r.copy(run = finalPick(r, medSt, medMt)))
+      val scale30F = scale30Res.map(r => r.copy(run = finalPick(r, medSt, medMt)))
+      val scale100F = scale100Res.map(r => r.copy(run = finalPick(r, medSt, medMt)))
       val inconsistent = scaleInconsistent(Seq(
-        ("10x", 8, scale10Res.map(r => (r.name, r.run.sec))),
-        ("30x", 30, scale30Res.map(r => (r.name, r.run.sec))),
-        ("100x", scale100Copies, scale100Res.map(r => (r.name, r.run.sec)))))
+        ("10x", 8, scale10F.map(r => (r.name, r.run.sec))),
+        ("30x", 30, scale30F.map(r => (r.name, r.run.sec))),
+        ("100x", scale100Copies, scale100F.map(r => (r.name, r.run.sec)))))
       val inconsistentJson = inconsistent.toSeq.sorted
         .map { case (t, n) => "\"" + jstr(s"$t:$n") + "\"" }
         .mkString("[", ",", "]")
-      val (s10q, s10a) = scaleJson(scale10Res, medSt, medMt,
+      inconsistentJsonLast = inconsistentJson
+      val (s10q, s10a) = scaleJson(scale10F, medSt, medMt,
         inconsistent.collect { case ("10x", n) => n })
-      val (s30q, s30a) = scaleJson(scale30Res, medSt, medMt,
+      val (s30q, s30a) = scaleJson(scale30F, medSt, medMt,
         inconsistent.collect { case ("30x", n) => n })
-      val (s100q, s100a) = scaleJson(scale100Res, medSt, medMt,
+      val (s100q, s100a) = scaleJson(scale100F, medSt, medMt,
         inconsistent.collect { case ("100x", n) => n })
       scale10Json = s10q; scale30Json = s30q; scale100Json = s100q
       val steadyColdJson = steadyRes
@@ -1219,12 +1249,12 @@ object Bench {
       val suspectRows = steadyRes.count(r =>
         Calib.suspect(r.steadyCalib, medSt, medMt) ||
           Calib.suspect(r.coldCalib, medSt, medMt)) +
-        (scale10Res ++ scale30Res ++ scale100Res)
+        (scale10F ++ scale30F ++ scale100F)
           .count(r => Calib.suspect(r.run.calib, medSt, medMt))
       val cpuSuspectRows = steadyRes.count(r =>
         cpuSuspect(r.cold, r.coldAttrib.cpuSec, r.coldAttrib.tasks,
           math.abs(r.steady), r.attrib)) +
-        (scale10Res ++ scale30Res ++ scale100Res).count(r =>
+        (scale10F ++ scale30F ++ scale100F).count(r =>
           cpuSuspect(r.warmSec, r.warmCpuSec, r.warmTasks,
             math.abs(r.run.sec), r.run.attrib))
       // bench_schema 6 (round 14): the self-relative CPU signal —
@@ -1460,12 +1490,9 @@ object Bench {
     val sectionEnvCompact = sectionEnv
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val (medStF, medMtF) = Calib.medians(calibSamples.toSeq)
-    val inconsistentCompact = scaleInconsistent(Seq(
-      ("10x", 8, scale10Res.map(r => (r.name, r.run.sec))),
-      ("30x", 30, scale30Res.map(r => (r.name, r.run.sec))),
-      ("100x", scale100Copies, scale100Res.map(r => (r.name, r.run.sec)))))
-      .toSeq.sorted.map { case (t, n) => "\"" + jstr(s"$t:$n") + "\"" }
-      .mkString("[", ",", "]")
+    // the compact line reuses the full artifact's final-pick guard list
+    // (writeArtifact(complete = true) just rebuilt it)
+    val inconsistentCompact = inconsistentJsonLast
     val compact =
       f"""{"metric":"total","value":$totalCold%.3f,"unit":"sec","bench_schema":6,"failed":$nFail,"steady_order_seed":$steadySeed,"calib_summary":{"median_st_mops":$medStF%.1f,"median_mt_gbps":$medMtF%.2f,"samples":${calibSamples.size}},"scale_inconsistent":$inconsistentCompact,"env":$envJson,"sections_env":$sectionEnvCompact,"sections_skipped":$skippedJson,"extract_rows_per_sec":$rps%.0f,"total_steady":$totalSteady%.3f,"leak_gate":$leakGate,"queries":$compactQs,"queries_10x":$scale10Json,"extract_rows_per_sec_10x":$rps10x%.0f,"queries_30x":$scale30Json,"queries_100x":$scale100Json,"sf":"${jstr(sfDir)}"}"""
     try spark.stop()
