@@ -199,8 +199,15 @@ object DedupFunctions {
   private def candidatePairsFromIndex(index: DataFrame, docs: DataFrame,
                                       idCol: String, textCol: String,
                                       shingleN: Int,
-                                      maxBucketSize: Int): DataFrame = {
-    val bucketed = graft.util.Scratch.materialize(index, "band_index")
+                                      maxBucketSize: Int,
+                                      indexMaterialized: Boolean = false)
+      : DataFrame = {
+    // indexMaterialized = the caller already holds the index as a scratch
+    // scan (the shared-index path below) — re-materializing would read and
+    // rewrite the whole relation for nothing
+    val bucketed =
+      if (indexMaterialized) index
+      else graft.util.Scratch.materialize(index, "band_index")
     val counted = dropHotBucketsSurfaced(bucketed, maxBucketSize)
       .select(col("band"), col("bucket"), col("doc_id"))
 
@@ -211,8 +218,17 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
-    // exact verification only on the (small) candidate set
-    ngramJaccard(docs, candidateIds, idCol, textCol, shingleN)
+    // exact verification only on the (small) candidate set. The candidate
+    // relation is scratch-materialized first: ngramJaccard references its
+    // `pairs` input twice (the main join chain AND the broadcast
+    // needed-ids projection), so an unmaterialized candidate subtree ran
+    // the banded self-join + distinct TWICE per call — measured at the
+    // 100× bench point as two back-to-back jobs each reading the same
+    // ~100 MB band exchange (~50 task-s of pure re-execution). The
+    // materialized relation is pair-scale (ids only), far below the band
+    // index this function already materializes.
+    val candMat = graft.util.Scratch.materialize(candidateIds, "cand_ids")
+    ngramJaccard(docs, candMat, idCol, textCol, shingleN)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -360,7 +376,17 @@ object DedupFunctions {
   def minhashNearDupEdges(docs: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.8, shingleN: Int = 3,
                           k: Int = 64, bands: Int = 16,
-                          maxBucketSize: Int = 1000): DataFrame = {
+                          maxBucketSize: Int = 1000,
+                          prebuiltIndex: Option[DataFrame] = None)
+      : DataFrame = {
+    // prebuiltIndex: an ALREADY-MATERIALIZED [[minhashBandIndex]] over
+    // exactly `docs` with exactly these (shingleN, k, bands) — a caller
+    // that also persists the index for an incremental probe
+    // (`q_dedup_cluster_incremental`) passes it so the shingle+minhash
+    // projection (the dominant pass of the whole operator) runs ONCE per
+    // sync instead of once here and once for the persisted copy (measured
+    // at the 100× bench point: two identical ~50 task-s / 60 MB index
+    // builds per run).
     // ADAPTIVE collapse: on a duplicate-free corpus (class-size probe == 1,
     // read free off the classes scratch — see [[maxClassSize]]) the star
     // machinery buys nothing: there are no stars and every doc is its own
@@ -371,8 +397,10 @@ object DedupFunctions {
     val classes = contentClasses(docs, idCol, textCol)
     if (maxClassSize(classes) <= 1L)
       return candidatePairsFromIndex(
-        minhashBandIndex(docs, idCol, textCol, shingleN, k, bands),
-        docs, idCol, textCol, shingleN, maxBucketSize)
+        prebuiltIndex.getOrElse(
+          minhashBandIndex(docs, idCol, textCol, shingleN, k, bands)),
+        docs, idCol, textCol, shingleN, maxBucketSize,
+        indexMaterialized = prebuiltIndex.isDefined)
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"))
     // banding-eligibility gate: ShingleHashes emits the empty-stream gram
@@ -389,7 +417,8 @@ object DedupFunctions {
       .join(classes.filter(col("__n") > 1), Seq("__fp"))
       .filter(col(idCol) =!= col("__rep"))
       .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
-    val repIndex = minhashBandIndex(docs, idCol, textCol, shingleN, k, bands)
+    val repIndex = prebuiltIndex.getOrElse(
+        minhashBandIndex(docs, idCol, textCol, shingleN, k, bands))
       .join(classes.select(col("__rep").as("doc_id")), Seq("doc_id"),
         "left_semi")
     val repPairs = candidatePairsFromIndex(repIndex, docs, idCol, textCol,
@@ -697,9 +726,34 @@ object DedupFunctions {
     // fingerprint side table), and raw duplicates would inflate bucket
     // counts past maxBucketSize and silently drop legitimate buckets. The
     // join sides below stay RAW — duplicate rows there only produce
-    // duplicate candidate pairs, which the final distinct() removes — so
-    // the dedup shuffle is paid once, on the count path only.
-    val hot = hotBucketKeysLocal(all.distinct(), maxBucketSize)
+    // duplicate candidate pairs, which the final distinct() removes.
+    // TWO-PHASE census (round-14): a RAW count is always ≥ the distinct
+    // count, so a bucket under the cap raw can never be hot — the cheap
+    // raw census (one partial-agg exchange) names a hot-bucket SUPERSET,
+    // and the exact distinct recount runs only over that superset's rows
+    // (broadcast semi-join). The former `all.distinct()` census paid a
+    // full extra exchange of the combined index on EVERY sync to defend
+    // against append-duplicates that almost never exist — measured at the
+    // 100× bench point as ~30 task-s (a 92 MB second shuffle) per probe.
+    // Hot set and census record are IDENTICAL either way (DedupSpec pins
+    // the duplicated-index case: raw 2× inflation crosses the cap, the
+    // recount exonerates the bucket).
+    val rawHotKeys = hotBucketKeysLocal(all, maxBucketSize)
+    val hot = rawHotKeys match {
+      case None => None // raw under cap everywhere → distinct is too
+      case Some(rawKeys) =>
+        // the raw census above logged ITS drops record; the exact recount
+        // below logs the real one — drop the superset's provisional entry
+        // so callers draining the per-thread log see one record per probe
+        val log = hotBucketLog.get()
+        if (log.nonEmpty) log.remove(log.size - 1)
+        hotBucketKeysLocal(
+          all.join(broadcast(rawKeys), Seq("band", "bucket"), "left_semi")
+            .distinct(),
+          maxBucketSize)
+    }
+    // the empty-superset raw census already logged (0,0) — the exact
+    // census would have recorded the same
     def dropHot(df: DataFrame): DataFrame = hot match {
       case None => df
       case Some(h) => df.join(broadcast(h), Seq("band", "bucket"), "left_anti")
@@ -712,7 +766,12 @@ object DedupFunctions {
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
-    ngramJaccard(corpus.unionByName(incoming), candidates, idCol, textCol, shingleN)
+    // materialized for the same reason as candidatePairsFromIndex's
+    // candidate set: ngramJaccard reads `pairs` twice (needed-ids
+    // broadcast + main chain), and the probe⋈target band join is the
+    // expensive subtree of the whole sync
+    val candMat = graft.util.Scratch.materialize(candidates, "inc_cand_ids")
+    ngramJaccard(corpus.unionByName(incoming), candMat, idCol, textCol, shingleN)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -745,8 +804,17 @@ object DedupFunctions {
     * pairs ≈ 3 MB on the driver; the result returns as a LocalRelation
     * (labels are node-scale), which downstream corpus joins then BROADCAST
     * — strictly better than a shuffled label join at every scale where the
-    * driver path is taken. Var so tests can force the distributed path. */
-  private[graft] var driverUnionFindMaxPairs: Long = 200L * 1000
+    * driver path is taken. Var so tests can force the distributed path.
+    *
+    * Round 14: raised 200k → 2M. The crossmodal closure at the 100× bench
+    * point carries a ~300k-pair graph — just over the old cap — and paid
+    * ~10 s of pure driver latency in propagation rounds (dozens of tiny
+    * jobs at fixed scheduling cost) for work a driver union-find finishes
+    * in well under a second. 2M pairs collect as ~32 MB of longs (~200 MB
+    * transient with Row boxing) — comfortable on the 8 GB default driver
+    * heap, and the labels still return as a broadcastable LocalRelation.
+    * Graphs past 2M keep the distributed path unchanged. */
+  private[graft] var driverUnionFindMaxPairs: Long = 2L * 1000 * 1000
 
   /** Driver-side min-label union-find over collected (long, long) pairs. */
   private def unionFindLabels(rows: Array[org.apache.spark.sql.Row])
