@@ -2116,36 +2116,52 @@ object CorpusFunctions {
     val qTerms = queries
       .flatMap { case (qid, qtext) =>
         queryTerms(qtext).distinct.map(t => (qid, t, 1.0))
-      }.toDF("query_id", "term", "w")
+      }
     bm25ScoreWeighted(docs, idCol, textCol, qTerms, k, k1, b, n)
   }
 
   /** The ONE BM25 scoring plan, shared by [[bm25TopK]] (w ≡ 1.0 — an
     * exact no-op factor inside the rounding, so plain BM25 is bit-for-bit
     * the unweighted formula) and [[bm25PrfTopK]]'s expanded pass.
-    * `wTerms` is (query_id, term, w) with (query_id, term) unique. Any
+    * `wTerms` is (query_id, term, w) with (query_id, term) unique — a
+    * LOCAL seq (both callers build it driver-side from the probe
+    * queries), so the query-term set is a literal in the plan. Any
     * change to the scoring convention (idf form, rounding, tie-break)
-    * lands here exactly once. */
+    * lands here exactly once.
+    *
+    * ONE tokenize pass (round 14): the former plan tokenized the corpus
+    * twice — once for per-doc lengths, once for query-term frequencies
+    * (~half the operator's CPU at the steady bench point). One exploded
+    * pass now aggregates both: tokens outside the (driver-known,
+    * literal-isin) query-term set collapse into a per-doc "" row, so the
+    * exchange carries ≤ |terms|+1 rows per doc, dl is the per-doc SUM of
+    * the counts, and tf is the non-"" rows. Both consumers read the same
+    * (id, term) aggregation exchange, which Spark reuses — the
+    * tokenize+explode map side runs once. */
   private def bm25ScoreWeighted(docs: DataFrame, idCol: String,
-                                textCol: String, wTerms: DataFrame, k: Int,
+                                textCol: String,
+                                wTerms: Seq[(Long, String, Double)], k: Int,
                                 k1: Double, b: Double, n: Long): DataFrame = {
-    val tok = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
-    // doc length over ALL tokens (partial-agg, one row per doc); avgdl rides
-    // along as a broadcast 1-row aggregate — one lazy plan, no driver action
-    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val avgdl = dl.agg(
-      (sum(col("dl")).cast("double") / lit(n.toDouble)).as("avgdl"))
-    // …but tf/df only over terms some query mentions (broadcast semi-join
-    // BEFORE the aggregation: the exchange never carries the full vocab)
-    val tf = tok
-      .join(broadcast(wTerms.select(col("term")).distinct()), Seq("term"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wTermsDf = wTerms.toDF("query_id", "term", "w")
+    val terms = wTerms.map(_._2).distinct.sorted
+    val counted = docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .select(col(idCol),
+        when(col("term").isin(terms: _*), col("term"))
+          .otherwise(lit("")).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+    val dl = counted.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val avgdl = dl.agg(
+      (sum(col("dl")).cast("double") / lit(n.toDouble)).as("avgdl"))
+    val tf = counted.filter(col("term") =!= "")
     val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val scored = tf
       .withColumn("df", count(lit(1)).over(byTerm).cast("double"))
-      .join(broadcast(wTerms), Seq("term"))
+      .join(broadcast(wTermsDf), Seq("term"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(avgdl))
       .withColumn("idf",
@@ -2230,8 +2246,7 @@ object CorpusFunctions {
       }
     val orig = queries.flatMap { case (qid, _) =>
       qTermSet(qid).toSeq.sorted.map(term => (qid, term, 1.0)) }
-    val wTerms = (orig ++ exp).toDF("query_id", "term", "w")
-    bm25ScoreWeighted(docs, idCol, textCol, wTerms, k, k1, b, n)
+    bm25ScoreWeighted(docs, idCol, textCol, orig ++ exp, k, k1, b, n)
   }
 
   /** Reciprocal-rank fusion (Cormack–Clarke–Buettcher 2009): merge per-query

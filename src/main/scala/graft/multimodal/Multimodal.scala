@@ -324,25 +324,25 @@ object Multimodal {
     def decodeImageDHash(bytes: Array[Byte]): Option[ImageHash] =
       try readImage(bytes).map { img =>
         val w = img.getWidth; val h = img.getHeight
-        val lum = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            lum(y * w + x) =
-              ((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)
-            x += 1
-          }
-          y += 1
-        }
+        // luminance only for the pixels the hash READS: the 64 gradient
+        // comparisons touch at most the first ceil(64/(w-1))+1 rows, and
+        // the former whole-image pass paid W×H getRGB conversions (the
+        // per-call sRGB path is the cost) to use ~130 of them
         var hash = 0L
         var k = 0
-        y = 0
+        var y = 0
         while (y < h && k < 64) {
           var x = 0
+          var prev =
+            if (w > 1) {
+              val rgb = img.getRGB(0, y)
+              ((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)
+            } else 0
           while (x < w - 1 && k < 64) {
-            if (lum(y * w + x + 1) > lum(y * w + x)) hash |= (1L << k)
+            val rgb = img.getRGB(x + 1, y)
+            val cur = ((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)
+            if (cur > prev) hash |= (1L << k)
+            prev = cur
             k += 1; x += 1
           }
           y += 1
