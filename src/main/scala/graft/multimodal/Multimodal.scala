@@ -1059,8 +1059,13 @@ object Multimodal {
     val dist = sigs.select(col(idCol) +: key.map(col): _*).distinct()
     val prof = videoProfiles(dist, minShared, idCol)
     val repTbl = prof.groupBy(col("__vfp")).agg(min(col(idCol)).as("__r"))
+    // explicit class-keyed repartition for the quadratic within/cross
+    // generation — same AQE-coalesce blind spot as imageNearDuplicates
+    // (partition sizing sees class-scale input, not C(m,2)-scale output)
     val members = prof.select(col("__vfp"), col(idCol).as("__m"), col("__nf"))
       .join(repTbl, Seq("__vfp"))
+      .repartition(sigs.sparkSession.sparkContext.defaultParallelism,
+        col("__vfp"))
     val within = members.select(col("__vfp"), col("__m").as("id_a"), col("__nf"))
       .join(members.select(col("__vfp"), col("__m").as("id_b")), Seq("__vfp"))
       .filter(col("id_a") < col("id_b"))
@@ -1218,8 +1223,19 @@ object Multimodal {
     // consumer without a quadratic exchange anywhere.
     val cls = Seq("width", "height", "dhash")
     val rep = hashes.groupBy(cls.map(col): _*).agg(min(col(idCol)).as("__rep"))
+    // QUADRATIC-OUTPUT parallelism (round 14): the within/cross joins below
+    // GENERATE C(m,2)-scale output from class-scale input, and AQE sizes
+    // post-shuffle partitions by INPUT bytes — it coalesced the tiny
+    // members relation to 1-2 partitions and the 30× bench point generated
+    // 225M audio pairs in 2 tasks (~10 s single-threaded for work that
+    // spreads to under a second). An EXPLICIT repartition (fixed partition
+    // count, exempt from AQE coalescing) keys the stream side by the class
+    // rep so the generation fans out across the session's cores; the extra
+    // exchange moves id-scale longs only.
+    val genP = hashes.sparkSession.sparkContext.defaultParallelism
     val members = hashes.join(rep, cls)
       .select(col("__rep"), col(idCol).as("__m"))
+      .repartition(genP, col("__rep"))
     val within = members.withColumnRenamed("__m", "id_a")
       .join(members.withColumnRenamed("__m", "id_b"), Seq("__rep"))
       .filter(col("id_a") < col("id_b"))
