@@ -64,6 +64,19 @@ object BpeFunctions {
       slice(syms, lit(1), n).as("l"), slice(syms, lit(2), n).as("r")))
   }
 
+  /** Vocab size at or below which BPE training runs DRIVER-side: the
+    * distributed round loop costs ~3 Spark jobs per merge (pair-count
+    * argmax, re-encode materialization, plus their plan round-trips —
+    * measured ~1.7 s of pure driver latency on an 8-merge train at the
+    * 10× bench point) for state that is WORD-VOCABULARY scale, not corpus
+    * scale. 2M (word, freq) rows collect as well under 100 MB, and the
+    * driver loop reuses the SAME initEncoding/applyMerge/symbols helpers
+    * and the same (count DESC, left ASC, right ASC) argmax over ASCII
+    * alnum symbols, where JVM and UTF8 string orders agree — merges are
+    * bit-identical to the distributed loop (BpeSpec pins both paths).
+    * Var so tests can force the distributed path. */
+  private[graft] var driverBpeMaxVocab: Long = 2L * 1000 * 1000
+
   /** Train `numMerges` BPE merges over the corpus' word vocabulary.
     * Returns the merges in application order; stops early if the
     * vocabulary runs out of adjacent pairs. */
@@ -72,9 +85,48 @@ object BpeFunctions {
     require(numMerges >= 1, s"trainBpe needs numMerges >= 1, got $numMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab: Dataset[(String, Long, String)] = docs
+    val vocabDf = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
+    if (vocabDf.count() <= driverBpeMaxVocab) {
+      val rows = vocabDf.as[(String, Long)].collect()
+      val freqs = rows.map(_._2)
+      val encs = rows.map(r => initEncoding(r._1))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+      var step = 1
+      var exhausted = false
+      while (step <= numMerges && !exhausted) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        var i = 0
+        while (i < encs.length) {
+          val syms = symbols(encs(i))
+          var j = 0
+          while (j < syms.length - 1) {
+            val key = (syms(j), syms(j + 1))
+            counts.update(key, counts.getOrElse(key, 0L) + freqs(i))
+            j += 1
+          }
+          i += 1
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          var bl: String = null; var br: String = null; var bc = Long.MinValue
+          counts.foreach { case ((l, r), c) =>
+            val better = c > bc || (c == bc &&
+              (l < bl || (l == bl && r < br)))
+            if (better) { bl = l; br = r; bc = c }
+          }
+          out += Merge(step, bl, br, bc)
+          var m = 0
+          while (m < encs.length) {
+            encs(m) = applyMerge(encs(m), bl, br); m += 1
+          }
+          step += 1
+        }
+      }
+      return out.toSeq
+    }
+    var vocab: Dataset[(String, Long, String)] = vocabDf
       .as[(String, Long)]
       .map { case (w, f) => (w, f, initEncoding(w)) }
       .persist()

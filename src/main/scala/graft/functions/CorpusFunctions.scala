@@ -1492,7 +1492,16 @@ object CorpusFunctions {
     require(nibbles >= 1 && nibbles <= 4, s"nibbles $nibbles outside [1,4]")
     val spark = corpus.sparkSession
     val buckets = math.pow(16, nibbles).toLong
+    // ONE id-keyed exchange serves every aggregation over cfb (round 14):
+    // hash(id) partitioning satisfies the (id, __b) grouping AND the
+    // per-doc weight grouping downstream, so the former second full
+    // exchange of the persisted feature relation (measured 184 MB at the
+    // 100× bench point — the groupBy(id) re-shuffle of hash(id,__b)-
+    // partitioned cache) disappears. Explicit partition count keeps AQE
+    // from coalescing the feature stream; rows are (id, bucket) longs.
     val cfb = dsirFeatures(corpus, Seq(col(idCol)), textCol, nibbles)
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cf"))
       .persist()
     try {
@@ -1715,12 +1724,21 @@ object CorpusFunctions {
     val ord =
       if (ascending) Seq(col(scoreCol).asc, col(idCol).asc)
       else Seq(col(scoreCol).desc, col(idCol).asc)
-    val slim = docs.select(col(idCol), col(scoreCol)).sort(ord: _*)
+    // materialize the (id, score) projection ONCE (round 14): this
+    // operator runs its input three times — the null/size probe, the
+    // zipWithIndex rank pass, and the caller's action — and the input is
+    // typically a full scoring pipeline (the curriculum query's unigram
+    // LM join re-executed per pass, ~1 s each at the 10× bench point).
+    // The projection is doc-scale (two columns), far cheaper to write
+    // than to recompute.
+    val slimSrc = graft.util.Scratch.materialize(
+      docs.select(col(idCol), col(scoreCol)), "curriculum_scores")
+    val slim = slimSrc.sort(ord: _*)
     // one action probes size AND null scores: count(col) skips nulls. A
     // null score has no place in a difficulty order (Spark sorts nulls
     // first ascending, other engines last — the layout would be silently
     // engine-dependent AND feed unscored docs as "easiest") — refuse.
-    val probe = docs.agg(count(lit(1)), count(col(scoreCol))).head()
+    val probe = slimSrc.agg(count(lit(1)), count(col(scoreCol))).head()
     val n = probe.getLong(0)
     require(probe.getLong(1) == n,
       s"curriculumShards: ${n - probe.getLong(1)} rows have a null " +

@@ -86,6 +86,35 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(m.map(_.merged) == Seq("ab"))
   }
 
+  test("driver-side training equals the distributed round loop") {
+    // mixed frequencies, ties, multi-round second-order merges — the
+    // shapes every earlier test pins — trained through BOTH physical
+    // paths (the driver fast path and the distributed loop it replaced
+    // for small vocabularies) must yield identical merge tables
+    val c = corpus("low lower lowest low", "new newer newest new new",
+      "xy yx ab ab cd", "aaa aaaa aa")
+    val saved = BpeFunctions.driverBpeMaxVocab
+    val viaDriver =
+      try { BpeFunctions.driverBpeMaxVocab = Long.MaxValue
+        BpeFunctions.trainBpe(c, "text", numMerges = 6)
+      } finally BpeFunctions.driverBpeMaxVocab = saved
+    val viaCluster =
+      try { BpeFunctions.driverBpeMaxVocab = -1L
+        BpeFunctions.trainBpe(c, "text", numMerges = 6)
+      } finally BpeFunctions.driverBpeMaxVocab = saved
+    assert(viaDriver == viaCluster)
+    // exhaustion agrees too
+    val exD =
+      try { BpeFunctions.driverBpeMaxVocab = Long.MaxValue
+        BpeFunctions.trainBpe(corpus("ab ab"), "text", numMerges = 10)
+      } finally BpeFunctions.driverBpeMaxVocab = saved
+    val exC =
+      try { BpeFunctions.driverBpeMaxVocab = -1L
+        BpeFunctions.trainBpe(corpus("ab ab"), "text", numMerges = 10)
+      } finally BpeFunctions.driverBpeMaxVocab = saved
+    assert(exD == exC && exD.map(_.merged) == Seq("ab"))
+  }
+
   test("foldBpeTokens: first fold trains and freezes, later folds append " +
       "under the frozen merges, empty increment no-op") {
     val c1 = Seq((1L, "low lower lowest"), (2L, "new newer"))
