@@ -2164,14 +2164,20 @@ object CorpusFunctions {
     import spark.implicits._
     val wTermsDf = wTerms.toDF("query_id", "term", "w")
     val terms = wTerms.map(_._2).distinct.sorted
-    val counted = docs
+    // scratch-materialized: the three consumers below (tf, dl, avgdl) are
+    // separate subtrees after optimization (the term≠"" filter pushes
+    // into the tf branch's projection, so their canonical plans diverge
+    // and exchange reuse cannot fire) — unmaterialized, each re-ran the
+    // tokenize+explode pass over the corpus. The relation is ≤ |terms|+1
+    // rows per doc.
+    val counted = graft.util.Scratch.materialize(docs
       .select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .select(col(idCol),
         when(col("term").isin(terms: _*), col("term"))
           .otherwise(lit("")).as("term"))
       .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")), "bm25_term_counts")
     val dl = counted.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val avgdl = dl.agg(
       (sum(col("dl")).cast("double") / lit(n.toDouble)).as("avgdl"))
