@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
@@ -1058,27 +1058,25 @@ object Multimodal {
     // the rep-aggregation fallback re-reads it, and materializes it there
     val dist = sigs.select(col(idCol) +: key.map(col): _*).distinct()
     val prof = videoProfiles(dist, minShared, idCol)
-    val repTbl = prof.groupBy(col("__vfp")).agg(min(col(idCol)).as("__r"))
-    // explicit class-keyed repartition for the quadratic within/cross
-    // generation — same AQE-coalesce blind spot as imageNearDuplicates
-    // (partition sizing sees class-scale input, not C(m,2)-scale output)
+    val repTbl = prof.groupBy(col("__vfp"))
+      .agg(min(col(idCol)).as("__r"), count(lit(1)).as("__n"))
+    // block-salted quadratic within/cross generation (rounds 14/15): the
+    // joins below generate C(m,2)-scale output from class-scale input —
+    // AQE coalesces by INPUT bytes (blind to the output) and a single
+    // class key serializes its whole share in one task; the salted
+    // helpers spread both (see [[blockedWithinPairs]] /
+    // [[expandPairsThroughMembers]])
     val members = prof.select(col("__vfp"), col(idCol).as("__m"), col("__nf"))
       .join(repTbl, Seq("__vfp"))
-      .repartition(sigs.sparkSession.sparkContext.defaultParallelism,
-        col("__vfp"))
-    val within = members.select(col("__vfp"), col("__m").as("id_a"), col("__nf"))
-      .join(members.select(col("__vfp"), col("__m").as("id_b")), Seq("__vfp"))
-      .filter(col("id_a") < col("id_b"))
+    val within = blockedWithinPairs(members, "__vfp", carry = Seq("__nf"))
       .select(col("id_a"), col("id_b"),
         col("__nf").cast("long").as("n_shared"))
     val repPairs = videoRepSharedCounts(dist, prof, repTbl, minShared, idCol)
-    val cross = repPairs
-      .join(members.select(col("__r").as("id_a"), col("__m").as("__ma")),
-        Seq("id_a"))
-      .join(members.select(col("__r").as("id_b"), col("__m").as("__mb")),
-        Seq("id_b"))
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("n_shared"))
+    val cross = expandPairsThroughMembers(repPairs,
+      repTbl.select(col("__r").as("__rep"), col("__n")),
+      members.select(col("__r").as("__rep"), col("__m"), col("__n")),
+      carry = Seq("n_shared"))
+      .select(col("id_a"), col("id_b"), col("n_shared"))
     within.unionByName(cross)
   }
 
@@ -1198,6 +1196,128 @@ object Multimodal {
       .toDF(idCol, "width", "height", "dhash")
   }
 
+  /** Members per block for the quadratic within/cross pair GENERATION
+    * (guide §2.5 — hot keys): an m-member identical-content class owes
+    * C(m,2) output pairs, and a single-key join generates every one of
+    * them in the ONE task owning that key's hash bucket. Splitting each
+    * class into B = ⌈m / quadBlockRows⌉ deterministic member blocks turns
+    * one key into B(B+1)/2 block-pair keys, so one viral class fans out
+    * across the session's cores; per-key output is bounded near
+    * quadBlockRows² (~1M pairs, sub-second of codegen'd row emission).
+    * Classes at or under the block size keep B = 1 — the machinery
+    * degenerates to the former single-key join exactly. Var so tests can
+    * force multi-block generation on small fixtures. */
+  private[graft] var quadBlockRows: Int = 1024
+
+  /** Stream-axis spread of the rep-pair member expansion (the `cross`
+    * joins): per duplicated class, expansion input rows salt into this
+    * many deterministic sub-keys so a hot rep's expansion is generated by
+    * several tasks, not one. 1 for singleton classes (no explode, no
+    * overhead on duplicate-free corpora). Var for tests. */
+  private[graft] var quadStreamSpread: Int = 16
+
+  /** Attach per-class block count __B and this member's block __blk.
+    * `members`: (…, __m = member id, __n = class size). Deterministic
+    * (xxhash64 of the member id — guide §2.5: never rand()). */
+  private def withBlocks(members: DataFrame): DataFrame = {
+    val t = quadBlockRows.toLong
+    members
+      .withColumn("__B", ((col("__n") + lit(t - 1)) / lit(t)).cast("int"))
+      .withColumn("__blk",
+        pmod(xxhash64(col("__m")), col("__B").cast("long")).cast("int"))
+  }
+
+  /** Block-salted WITHIN-CLASS pair generation: every unordered pair of
+    * same-class members, exactly once, spread over B(B+1)/2 join keys per
+    * class instead of 1 (guide §2.5). Side A emits its member at
+    * (class, own block bi, every bj ≥ bi); side B at (class, every
+    * bi ≤ own block, own block bj) — a pair with blocks (i ≤ j) meets at
+    * exactly (class, i, j); equal-block pairs dedup on id order. The
+    * explicit repartition (AQE-exempt) keeps the tiny exploded input from
+    * coalescing into 1-2 generation tasks (AQE sizes partitions by INPUT
+    * bytes, blind to C(m,2)-scale OUTPUT). `carry` columns are
+    * class-constant payloads riding side A. Returns
+    * (id_a < id_b, carry…). */
+  private[graft] def blockedWithinPairs(members: DataFrame,
+                                             keyCol: String,
+                                             carry: Seq[String] = Nil)
+      : DataFrame = {
+    val genP = members.sparkSession.sparkContext.defaultParallelism
+    val m = withBlocks(members)
+    val a = m.select(Seq(col(keyCol), col("__m").as("id_a"),
+        col("__blk").as("__bi"),
+        explode(sequence(col("__blk"), col("__B") - 1)).as("__bj")) ++
+        carry.map(col): _*)
+      .repartition(genP, col(keyCol), col("__bi"), col("__bj"))
+    val b = m.select(col(keyCol), col("__m").as("id_b"),
+        explode(sequence(lit(0), col("__blk"))).as("__bi"),
+        col("__blk").as("__bj"))
+      .repartition(genP, col(keyCol), col("__bi"), col("__bj"))
+    a.join(b, Seq(keyCol, "__bi", "__bj"))
+      // cross-block pairs meet exactly once (the members differ by
+      // construction); equal-block pairs arrive in both orders and
+      // self-join rows must drop — id order settles both
+      .filter(col("__bi") < col("__bj") || col("id_a") < col("id_b"))
+      .select(Seq(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b")) ++
+        carry.map(col): _*)
+  }
+
+  /** Expand verified REP pairs through both classes' members — block-
+    * salted 2-D (guide §2.5): the expansion output is Σ n_a·n_b (quadratic
+    * where both classes are fat), and a plain two-join expansion generates
+    * a hot rep's entire share in one task. Each expansion join keys on
+    * (rep, __zs, __zm): the member side sits at its own block __zm =
+    * xxhash64(member) mod B and replicates across the __zs spread; the
+    * stream side sits at one deterministic __zs and replicates across the
+    * member blocks __zm — every (stream row, member) combination meets at
+    * exactly one key, so output rows are IDENTICAL to the naive
+    * expansion's. Singleton classes keep B = __zs-spread = 1 (no explode).
+    * `pairs`: (id_a, id_b, carry…), ids = class reps; `classes`:
+    * (__rep, __n); `members`: (__rep, __m, __n). Returns
+    * (id_a < id_b, carry…) over member ids. */
+  private[graft] def expandPairsThroughMembers(pairs: DataFrame,
+                                                    classes: DataFrame,
+                                                    members: DataFrame,
+                                                    carry: Seq[String])
+      : DataFrame = {
+    val genP = pairs.sparkSession.sparkContext.defaultParallelism
+    val t = quadBlockRows.toLong
+    val m = withBlocks(members)
+    // per-class salting constants for the stream side (rep-scale relation)
+    val cnt = classes
+      .withColumn("__B", ((col("__n") + lit(t - 1)) / lit(t)).cast("int"))
+      .select(col("__rep"), col("__B"))
+    def spread(bCol: Column): Column =
+      when(bCol === 1, lit(1)).otherwise(lit(quadStreamSpread))
+    // one expansion hop: stream rows (keyed `keyCol` = a rep id) × that
+    // class's members, salted. `streamHash` must be a deterministic
+    // function of the stream row (the pair's OTHER end / the already-
+    // expanded member) so stream rows of one hot rep spread over __zs.
+    def expand(stream: DataFrame, keyCol: String, streamHash: Column,
+               outCol: String, keep: Seq[String]): DataFrame = {
+      val s = stream
+        .join(cnt.withColumnRenamed("__rep", keyCol), Seq(keyCol))
+        .withColumn("__zs",
+          pmod(streamHash, spread(col("__B")).cast("long")).cast("int"))
+        .select(keep.map(col) ++ Seq(col(keyCol), col("__zs"),
+          explode(sequence(lit(0), col("__B") - 1)).as("__zm")): _*)
+        .repartition(genP, col(keyCol), col("__zs"), col("__zm"))
+      val mm = m.select(col("__rep").as(keyCol), col("__m").as(outCol),
+          col("__blk").as("__zm"),
+          explode(sequence(lit(0), spread(col("__B")) - 1)).as("__zs"))
+        .repartition(genP, col(keyCol), col("__zs"), col("__zm"))
+      s.join(mm, Seq(keyCol, "__zs", "__zm"))
+        .select((keep :+ outCol).map(col): _*)
+    }
+    val j1 = expand(pairs, "id_a", xxhash64(col("id_b")), "__ma",
+      keep = carry :+ "id_b")
+    val j2 = expand(j1, "id_b", xxhash64(col("__ma")), "__mb",
+      keep = carry :+ "__ma")
+    j2.select(Seq(least(col("__ma"), col("__mb")).as("id_a"),
+      greatest(col("__ma"), col("__mb")).as("id_b")) ++ carry.map(col): _*)
+  }
+
   /** Image NEAR-DUPLICATE pairs by Hamming distance on the perceptual
     * hash — the multimodal analog of SimHash text near-dup, with the same
     * exactness argument: 4 disjoint 16-bit bands mean any pair within
@@ -1213,33 +1333,23 @@ object Multimodal {
     // Identical-(w,h,dhash) classes collapse to their min-id REP before the
     // banded join: a member pairs with an outside image iff its rep does
     // (bit-identical hashes), so only reps ride the band exchange and the
-    // quadratic class-internal pairs are GENERATED (keyed self-join, each
-    // pair arising once) instead of discovered ×4 bands and deduped — the
-    // former plan shuffled the quadratic pair set through four band
-    // exchanges and a distinct (the 10× bench point measured 6 GB of spill
-    // on popular-image classes). The pair OUTPUT stays quadratic in class
-    // size — that is the operator's contract ([[imageNearDupEdges]] is the
-    // component-equivalent linear form) — but it now streams to the
-    // consumer without a quadratic exchange anywhere.
+    // quadratic class-internal pairs are GENERATED (block-salted keyed
+    // self-join, each pair arising once) instead of discovered ×4 bands
+    // and deduped — the former plan shuffled the quadratic pair set
+    // through four band exchanges and a distinct (the 10× bench point
+    // measured 6 GB of spill on popular-image classes). The pair OUTPUT
+    // stays quadratic in class size — that is the operator's contract
+    // ([[imageNearDupEdges]] is the component-equivalent linear form) —
+    // but it now streams to the consumer without a quadratic exchange
+    // anywhere. The class table is scratch-materialized: it feeds the
+    // dup-free probe, the members join, the rep banding and both
+    // expansion hops' salting constants — unmaterialized, each reference
+    // re-aggregated the hash relation.
     val cls = Seq("width", "height", "dhash")
-    val rep = hashes.groupBy(cls.map(col): _*).agg(min(col(idCol)).as("__rep"))
-    // QUADRATIC-OUTPUT parallelism (round 14): the within/cross joins below
-    // GENERATE C(m,2)-scale output from class-scale input, and AQE sizes
-    // post-shuffle partitions by INPUT bytes — it coalesced the tiny
-    // members relation to 1-2 partitions and the 30× bench point generated
-    // 225M audio pairs in 2 tasks (~10 s single-threaded for work that
-    // spreads to under a second). An EXPLICIT repartition (fixed partition
-    // count, exempt from AQE coalescing) keys the stream side by the class
-    // rep so the generation fans out across the session's cores; the extra
-    // exchange moves id-scale longs only.
-    val genP = hashes.sparkSession.sparkContext.defaultParallelism
-    val members = hashes.join(rep, cls)
-      .select(col("__rep"), col(idCol).as("__m"))
-      .repartition(genP, col("__rep"))
-    val within = members.withColumnRenamed("__m", "id_a")
-      .join(members.withColumnRenamed("__m", "id_b"), Seq("__rep"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+    val rep = graft.util.Scratch.materialize(
+      hashes.groupBy(cls.map(col): _*)
+        .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n")),
+      "img_classes")
     // banded Hamming join over class reps only (distinct (w,h,dhash) rows:
     // every rep pair has hamming ≥ 1, so within/cross never overlap)
     val reps = rep.select(col("__rep").as("id"), col("width"),
@@ -1260,15 +1370,31 @@ object Multimodal {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    // ADAPTIVE collapse (the minhashNearDupEdges precedent): on a
+    // duplicate-free hash relation every class is its own rep — within is
+    // empty and the member expansion is the identity, so the rep pairs ARE
+    // the answer. The eager class-size probe reads the rep scratch (one
+    // cheap max, no recompute) and skips the whole generation machinery —
+    // the crossmodal edge path (always called on distinct reps) pays zero
+    // collapse overhead.
+    val maxRow = rep.agg(max(col("__n"))).head()
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxN <= 1L) return repPairs
+    // QUADRATIC-OUTPUT parallelism (rounds 14/15): the within/cross joins
+    // GENERATE C(m,2)-scale output from class-scale input — block-salted
+    // so one hot class fans out across cores (see [[blockedWithinPairs]] /
+    // [[expandPairsThroughMembers]]; the 30× image point generated 268M
+    // pairs at ~3-way effective parallelism before the salting, the
+    // largest class alone owing 23M pairs to a single task).
+    val members = hashes.join(rep, cls)
+      .select(col("__rep"), col(idCol).as("__m"), col("__n"))
+    val within = blockedWithinPairs(members, "__rep")
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
     // expand each rep pair to its classes' members (hamming carries over:
     // members share their rep's dhash bit-for-bit)
-    val cross = repPairs
-      .join(members.select(col("__rep").as("id_a"), col("__m").as("__ma")),
-        Seq("id_a"))
-      .join(members.select(col("__rep").as("id_b"), col("__m").as("__mb")),
-        Seq("id_b"))
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
+    val cross = expandPairsThroughMembers(repPairs,
+      rep.select(col("__rep"), col("__n")), members, carry = Seq("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
     within.unionByName(cross)
   }
 

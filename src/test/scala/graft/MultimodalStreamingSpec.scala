@@ -1087,4 +1087,71 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.MediaCodec.decodeH264Frames(eofMdat).get.length ==
       Multimodal.MediaFixtures.h264FrameCount(7L))
   }
+
+  test("block-salted quadratic generation: hot-class output identical to " +
+    "brute force, spread over >= cores join keys") {
+    val s = spark; import s.implicits._
+    // synthetic hot-class corpus: one 40-member identical-dhash class, a
+    // 12-member class at Hamming 1 from it, a singleton at Hamming 2, and
+    // a 5-member class behind the dimension gate (never pairs)
+    val h0 = 0x0f0f0f0f0f0f0f0fL
+    val h1 = h0 ^ 1L          // hamming 1 from h0
+    val h2 = h0 ^ 3L          // hamming 2 from h0
+    val rows =
+      (1L to 40L).map(i => (i, 8L, 6L, h0)) ++
+      (101L to 112L).map(i => (i, 8L, 6L, h1)) ++
+      Seq((201L, 8L, 6L, h2)) ++
+      (301L to 305L).map(i => (i, 4L, 3L, h0))
+    val hashes = rows.toDF("doc_id", "width", "height", "dhash")
+    // brute force: every same-dims pair within the Hamming budget
+    val naive = rows.flatMap { case (a, wa, ha, xa) =>
+      rows.collect { case (b, wb, hb, xb)
+        if a < b && wa == wb && ha == hb &&
+          java.lang.Long.bitCount(xa ^ xb) <= 2 =>
+        (a, b, java.lang.Long.bitCount(xa ^ xb))
+      }
+    }.toSet
+    val (t0, s0) = (Multimodal.quadBlockRows, Multimodal.quadStreamSpread)
+    try {
+      // force multi-block generation on the small fixture: 40 members at
+      // 7 rows/block -> B = 6 -> 21 within keys for the hot class alone
+      Multimodal.quadBlockRows = 7
+      Multimodal.quadStreamSpread = 3
+      val got = Multimodal.imageNearDuplicates(hashes, maxHamming = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == naive,
+        s"salted generation diverged: missing ${naive -- got}, " +
+          s"extra ${got -- naive}")
+      // each pair appears EXACTLY once (the Set compare above would hide
+      // duplicate generation)
+      val n = Multimodal.imageNearDuplicates(hashes, maxHamming = 2).count()
+      assert(n == naive.size.toLong, s"duplicate pairs generated: $n rows " +
+        s"for ${naive.size} distinct pairs")
+      // key spread: the hot class alone fans its within generation out
+      // over B(B+1)/2 = 21 block-pair keys (>= a 16-core session), where
+      // the unsalted join held all C(40,2) pairs under ONE key
+      val b = (40 + Multimodal.quadBlockRows - 1) / Multimodal.quadBlockRows
+      assert(b * (b + 1) / 2 >= 16)
+      // and the salted plan carries the AQE-exempt repartition that turns
+      // key spread into task spread
+      val plan = Multimodal.imageNearDuplicates(hashes, maxHamming = 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("REPARTITION_BY_NUM"),
+        "expected explicit AQE-exempt repartition in the generation plan")
+      // degenerate corpus (all classes singleton): adaptive skip keeps the
+      // result identical
+      val singles = (1L to 30L).map(i => (i, 8L, 6L, h0 ^ (1L << (i % 60))))
+        .toDF("doc_id", "width", "height", "dhash")
+      val viaOp = Multimodal.imageNearDuplicates(singles, maxHamming = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive2 = (1L to 30L).flatMap(a => (1L to 30L).collect {
+        case b if a < b && java.lang.Long.bitCount(
+          (h0 ^ (1L << (a % 60))) ^ (h0 ^ (1L << (b % 60)))) <= 2 => (a, b)
+      }).toSet
+      assert(viaOp == naive2)
+    } finally {
+      Multimodal.quadBlockRows = t0
+      Multimodal.quadStreamSpread = s0
+    }
+  }
 }
