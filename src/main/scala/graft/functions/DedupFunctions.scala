@@ -642,6 +642,36 @@ object DedupFunctions {
     * is a PARTIAL AGG (map-side combine), not a window count that would
     * full-sort every banded row just to read its bucket size. ONE
     * definition shared by the batch, incremental, and cosine-LSH paths. */
+  /** TWO-PHASE census over an APPEND-maintained index (round 14, shared by
+    * the MinHash and cosine-LSH incremental paths since round 15): the cap
+    * must count DISTINCT index rows (crash-retried appends legitimately
+    * duplicate rows, and raw duplicates would inflate bucket counts past
+    * the cap and silently drop legitimate buckets), but a full
+    * `distinct()` pays an extra exchange of the combined index on EVERY
+    * sync to defend against duplicates that almost never exist. A RAW
+    * count is always ≥ the distinct count, so a bucket under the cap raw
+    * can never be hot: the cheap raw census (one partial-agg exchange)
+    * names a hot-bucket SUPERSET, and the exact distinct recount runs only
+    * over that superset's rows (broadcast semi-join). Hot set and census
+    * record are IDENTICAL to the plain distinct census (DedupSpec pins the
+    * duplicated-index 2×-inflation → recount-exonerates case). Logs
+    * exactly ONE census record per call. */
+  private[functions] def twoPhaseHotBucketKeys(
+      all: DataFrame, maxBucketSize: Int): Option[DataFrame] =
+    hotBucketKeysLocal(all, maxBucketSize) match {
+      case None => None // raw under cap everywhere → distinct is too
+      case Some(rawKeys) =>
+        // the raw census above logged ITS drops record; the exact recount
+        // below logs the real one — drop the superset's provisional entry
+        // so callers draining the per-thread log see one record per probe
+        val log = hotBucketLog.get()
+        if (log.nonEmpty) log.remove(log.size - 1)
+        hotBucketKeysLocal(
+          all.join(broadcast(rawKeys), Seq("band", "bucket"), "left_semi")
+            .distinct(),
+          maxBucketSize)
+    }
+
   private[functions] def hotBucketKeysLocal(
       bucketed: DataFrame, maxBucketSize: Int,
       keyCols: Seq[String] = Seq("band", "bucket")): Option[DataFrame] = {
@@ -738,20 +768,7 @@ object DedupFunctions {
     // Hot set and census record are IDENTICAL either way (DedupSpec pins
     // the duplicated-index case: raw 2× inflation crosses the cap, the
     // recount exonerates the bucket).
-    val rawHotKeys = hotBucketKeysLocal(all, maxBucketSize)
-    val hot = rawHotKeys match {
-      case None => None // raw under cap everywhere → distinct is too
-      case Some(rawKeys) =>
-        // the raw census above logged ITS drops record; the exact recount
-        // below logs the real one — drop the superset's provisional entry
-        // so callers draining the per-thread log see one record per probe
-        val log = hotBucketLog.get()
-        if (log.nonEmpty) log.remove(log.size - 1)
-        hotBucketKeysLocal(
-          all.join(broadcast(rawKeys), Seq("band", "bucket"), "left_semi")
-            .distinct(),
-          maxBucketSize)
-    }
+    val hot = twoPhaseHotBucketKeys(all, maxBucketSize)
     // the empty-superset raw census already logged (0,0) — the exact
     // census would have recorded the same
     def dropHot(df: DataFrame): DataFrame = hot match {

