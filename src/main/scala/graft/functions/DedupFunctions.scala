@@ -669,12 +669,77 @@ object DedupFunctions {
         hotBucketKeysLocal(
           all.join(broadcast(rawKeys), Seq("band", "bucket"), "left_semi")
             .distinct(),
-          maxBucketSize)
+          maxBucketSize,
+          // already restricted to the raw-hot keys — a pre-sift scan here
+          // would re-execute the semi-join + distinct once more for no
+          // byte reduction
+          presift = false)
     }
 
-  private[functions] def hotBucketKeysLocal(
+  /** MAP-SIDE PRE-SIFT (round 15, guide §2.3): the census aggregation's
+    * exchange is nearly as large as the index itself — (band, bucket) keys
+    * barely repeat inside one map partition, so partial aggregation cannot
+    * reduce them (measured at the 100× bench point: a 92 MB census
+    * exchange over a ~120 MB combined index, ~24 task-s per sync; the
+    * batch-path census another 46 MB). But the census only needs buckets
+    * OVER the cap, and those are findable without any exchange: by
+    * pigeonhole, a bucket with more than `cap` rows across P partitions
+    * has more than cap/P rows in SOME partition, so a per-partition local
+    * count that emits keys with `localCount * P > cap` (exact integer
+    * arithmetic) names a SUPERSET of the over-cap buckets — tiny, because
+    * almost every bucket holds a handful of rows. The exact census then
+    * aggregates only the superset's rows (broadcast semi-join); its hot
+    * set is IDENTICAL to the full census (every over-cap key is in the
+    * superset and all of its rows are counted). Empty superset ≡ empty
+    * census — log the same (0, 0) record. `presift = false` keeps the
+    * plain aggregation for subtrees that are already key-restricted (the
+    * two-phase recount), where a pre-sift scan would re-execute the
+    * restriction join for no reduction. */
+  private[graft] def hotBucketKeysLocal(
       bucketed: DataFrame, maxBucketSize: Int,
-      keyCols: Seq[String] = Seq("band", "bucket")): Option[DataFrame] = {
+      keyCols: Seq[String] = Seq("band", "bucket"),
+      presift: Boolean = true): Option[DataFrame] = {
+    if (!presift) exactCensusLocal(bucketed, maxBucketSize, keyCols)
+    else {
+      val keys = bucketed.select(keyCols.map(col): _*)
+      val rdd = keys.rdd
+      val p = rdd.getNumPartitions
+      val cap = maxBucketSize.toLong
+      val cand: Array[Seq[Any]] =
+        if (p == 0) Array.empty
+        else rdd.mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+          it.foreach { r =>
+            val k = r.toSeq
+            m.update(k, m.getOrElse(k, 0L) + 1L)
+          }
+          m.iterator.collect { case (k, n) if n * p > cap => k }
+        }.collect().distinct
+      if (cand.isEmpty) {
+        // no partition saw any key over cap/P → no bucket can be over the
+        // cap; identical record to what the full census would have logged
+        val drops = HotBucketDrops(0L, 0L)
+        lastHotBucketDrops = drops
+        hotBucketLog.get() += drops
+        None
+      } else {
+        val spark = bucketed.sparkSession
+        val keySchema = org.apache.spark.sql.types.StructType(
+          keyCols.map(n => bucketed.schema(n)))
+        val candRows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(cand.map(
+            org.apache.spark.sql.Row.fromSeq): _*)
+        exactCensusLocal(
+          bucketed.join(broadcast(spark.createDataFrame(candRows, keySchema)),
+            keyCols, "left_semi"),
+          maxBucketSize, keyCols)
+      }
+    }
+  }
+
+  private def exactCensusLocal(
+      bucketed: DataFrame, maxBucketSize: Int,
+      keyCols: Seq[String]): Option[DataFrame] = {
     val hotRows = bucketed.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > maxBucketSize)

@@ -154,6 +154,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(DedupFunctions.drainHotBucketDrops().isEmpty)
   }
 
+  test("census pre-sift finds thinly-spread hot buckets (pigeonhole bound)") {
+    val s = spark
+    import s.implicits._
+    // A hot bucket whose rows are SPREAD across partitions so no single
+    // partition's local count exceeds the cap — the pre-sift must still
+    // name it (localCount * P > cap by pigeonhole), and the exact recount
+    // must produce the identical hot set and census record as the plain
+    // full aggregation.
+    val cap = 3
+    val rows = (
+      (1L to 5L).map(i => (0, 100L, i)) ++   // hot: 5 rows > cap
+      (1L to 3L).map(i => (1, 200L, i)) ++   // exactly cap → NOT hot
+      Seq((2, 300L, 1L))                     // singleton
+    )
+    val df = rows.toDF("band", "bucket", "doc_id").repartition(2)
+    val sifted = DedupFunctions.hotBucketKeysLocal(df, cap)
+    val siftDrops = DedupFunctions.lastHotBucketDrops
+    val plain = DedupFunctions.hotBucketKeysLocal(df, cap, presift = false)
+    val plainDrops = DedupFunctions.lastHotBucketDrops
+    def keys(o: Option[org.apache.spark.sql.DataFrame]) =
+      o.map(_.collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
+        .getOrElse(Set.empty)
+    assert(keys(sifted) == Set((0, 100L)), s"hot set: ${keys(sifted)}")
+    assert(keys(sifted) == keys(plain))
+    assert(siftDrops == plainDrops &&
+      siftDrops == DedupFunctions.HotBucketDrops(1L, 5L))
+    // a frame with NO hot buckets short-circuits after the sift but logs
+    // the same empty census record the full aggregation would have
+    val cold = DedupFunctions.hotBucketKeysLocal(df, 5)
+    assert(cold.isEmpty)
+    assert(DedupFunctions.lastHotBucketDrops ==
+      DedupFunctions.HotBucketDrops(0L, 0L))
+    DedupFunctions.drainHotBucketDrops()
+    ()
+  }
+
   test("near-dup edges: star collapse is component-equivalent to full pairs") {
     val s = spark
     import s.implicits._
