@@ -207,7 +207,8 @@ object DedupFunctions {
     // rewrite the whole relation for nothing
     val bucketed =
       if (indexMaterialized) index
-      else graft.util.Scratch.materialize(index, "band_index")
+      else graft.util.Scratch.materialize(index, "band_index",
+        compact = false)
     val counted = dropHotBucketsSurfaced(bucketed, maxBucketSize)
       .select(col("band"), col("bucket"), col("doc_id"))
 
@@ -556,7 +557,7 @@ object DedupFunctions {
       graft.util.Scratch.materialize(
         minhashBandIndex(incoming, idCol, textCol, shingleN, k, bands)
           .join(newRepIds, Seq("doc_id"), "left_semi"),
-        "inc_rep_index"))
+        "inc_rep_index", compact = false))
     val repPairs = minhashNearDuplicatesIncremental(incoming, corpus,
       corpusRepIndex, idCol, textCol, threshold, shingleN, k, bands,
       maxBucketSize, incomingIndex = Some(probeIndex))
@@ -811,7 +812,7 @@ object DedupFunctions {
     // (shingle+minhash over the increment) runs once per sync, not twice.
     val inc = incomingIndex.getOrElse(graft.util.Scratch.materialize(
       minhashBandIndex(incoming, idCol, textCol, shingleN, k, bands),
-      "inc_band_index"))
+      "inc_band_index", compact = false))
     val all = corpusIndex.select(col("doc_id"), col("band"), col("bucket"))
       .unionByName(inc)
     // hot-bucket cap across the COMBINED population (a boilerplate bucket is
@@ -1225,7 +1226,8 @@ object DedupFunctions {
     // one tokenize+simhash pass (scratch): the signature relation feeds the
     // class window twice and the rep banding once
     val sigs = graft.util.Scratch.materialize(
-      simhashSignatures(docs, idCol, textCol), "simhash_sigs")
+      simhashSignatures(docs, idCol, textCol), "simhash_sigs",
+      compact = false)
     val w = Window.partitionBy(col("simhash"))
     val withRep = sigs.withColumn("__rep", min(col("doc_id")).over(w))
     val star = withRep.filter(col("doc_id") =!= col("__rep"))
@@ -1258,7 +1260,7 @@ object DedupFunctions {
     // not checkpoint: the returned plan reads it lazily; see Scratch)
     val inc = incomingIndex.getOrElse(graft.util.Scratch.materialize(
       simhashBandIndex(incoming, idCol, textCol, maxHamming),
-      "inc_simhash_index"))
+      "inc_simhash_index", compact = false))
     val all = corpusIndex
       .select(col("doc_id"), col("simhash"), col("band"), col("band_val"))
       .unionByName(inc)
@@ -1298,7 +1300,8 @@ object DedupFunctions {
                        maxHamming: Int = 3): DataFrame = {
     val inc = batch.select(col(idCol), col(textCol))
     val incIndex = graft.util.Scratch.materialize(
-      simhashBandIndex(inc, idCol, textCol, maxHamming), "fold_simhash_index")
+      simhashBandIndex(inc, idCol, textCol, maxHamming),
+      "fold_simhash_index", compact = false)
     val idType = incIndex.schema("doc_id").dataType
     val (prevBands, prevLabels) = prev match {
       case Some(st) => (

@@ -1071,7 +1071,7 @@ object VectorFunctions {
     // unmaterialized, the plane projection ran once per consumer
     val banded = graft.util.Scratch.materialize(
       cosineLshBandIndex(corpus, bands, rowsPerBand, idCol, vecCol),
-      "cos_band_index")
+      "cos_band_index", compact = false)
 
     // hot-bucket cap — the ONE shared surfaced-census + anti-join helper
     // (same rewrite as the MinHash path; drops recorded, never silent)
@@ -1124,7 +1124,7 @@ object VectorFunctions {
     // target) — materialize once (scratch: zero persisted-RDD footprint)
     val inc = incomingIndex.getOrElse(graft.util.Scratch.materialize(
       cosineLshBandIndex(incoming, bands, rowsPerBand, idCol, vecCol),
-      "inc_cos_index"))
+      "inc_cos_index", compact = false))
     val all = corpusIndex.select(col("doc_id"), col("band"), col("bucket"))
       .unionByName(inc)
     // two-phase census (round 15, the MinHash-incremental rewrite carried

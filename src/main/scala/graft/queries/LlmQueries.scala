@@ -1394,7 +1394,7 @@ object LlmQueries {
           // (and leaves no persisted RDD behind)
           graft.util.Scratch.materialize(
             DedupFunctions.minhashBandIndex(corpus, "doc_id", "text"),
-            "q_band_index"),
+            "q_band_index", compact = false),
           "doc_id", "text", threshold = 0.9)
       },
       Some(s"""WITH sh AS (
@@ -1428,7 +1428,7 @@ object LlmQueries {
             "q_rep_fps"),
           graft.util.Scratch.materialize(
             DedupFunctions.minhashRepBandIndex(corpus, "doc_id", "text"),
-            "q_rep_index"),
+            "q_rep_index", compact = false),
           "doc_id", "text", threshold = 0.9)
       },
       Some(s"""WITH sh AS MATERIALIZED (
@@ -1586,7 +1586,7 @@ object LlmQueries {
         val t0 = System.nanoTime
         val bandIndex = graft.util.Scratch.materialize(
           DedupFunctions.minhashBandIndex(base, "doc_id", "text"),
-          "base_band_index")
+          "base_band_index", compact = false)
         val baseLabels = DedupFunctions.foldClusterLabels(None,
           DedupFunctions.minhashNearDupEdges(base, "doc_id", "text",
             threshold = 0.9, prebuiltIndex = Some(bandIndex)))
@@ -1788,7 +1788,7 @@ object LlmQueries {
           graft.util.Scratch.materialize(
             DedupFunctions.simhashBandIndex(
               docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
-            "q_simhash_index"),
+            "q_simhash_index", compact = false),
           "doc_id", "text", maxHamming = 3)
       },
       Some(s"""WITH tok AS (
@@ -2960,7 +2960,8 @@ object LlmQueries {
         // fixture dimension keeps majorityDim identical across subsets
         // (oracle-checked bit-for-bit).
         val idx = graft.util.Scratch.materialize(
-          VectorFunctions.cosineLshBandIndex(emb), "q_cos_index")
+          VectorFunctions.cosineLshBandIndex(emb), "q_cos_index",
+          compact = false)
         VectorFunctions.cosineNearDuplicatesLshIncremental(
           incoming, corpus,
           idx.filter(col("doc_id") % 2 === 0),

@@ -180,19 +180,30 @@ object Scratch {
     * IS the right behavior). Otherwise a single smooth ramp:
     * `clamp(stats/256KB, 4, max(cores, stats/4MB+1))` — 4 files up to
     * ~1 MB, then one file per ~256 KB until the session's cores, then flat
-    * at cores until ~4 MB/file growth resumes near the 128 MB cutoff. The
-    * former two-tier rule (<256 KB → 4 files, else floor at cores) had a
-    * CLIFF at 256 KB: a 255 KB relation wrote 4 files but a 257 KB one
-    * wrote cores-many ~8 KB files, re-introducing for just-over-tiny
-    * relations exactly the cores×refs band-pipeline scan overhead the
-    * 4-file tier exists to avoid (measured 0.9 → 3.6 s on the steady audio
-    * near-dup family for that shape). The ramp agrees with both old
-    * regimes at their interiors (1 MB → 4; ≥8 MB at 32 cores → cores) and
-    * is monotone in between. */
+    * at cores up to the cutoff. The former two-tier rule (<256 KB → 4
+    * files, else floor at cores) had a CLIFF at 256 KB: a 255 KB relation
+    * wrote 4 files but a 257 KB one wrote cores-many ~8 KB files,
+    * re-introducing for just-over-tiny relations exactly the cores×refs
+    * band-pipeline scan overhead the 4-file tier exists to avoid (measured
+    * 0.9 → 3.6 s on the steady audio near-dup family for that shape). The
+    * ramp agrees with both old regimes at their interiors (1 MB → 4;
+    * ≥8 MB at 32 cores → cores) and is monotone in between.
+    *
+    * Cutoff 24 MB (round 15; was 128 MB): the compaction is a FULL
+    * EXCHANGE of the relation's bytes, and past a few hundred KB per core
+    * it buys nothing — the producer's own partitioning already lands near
+    * the ramp's target (a cores-parallel producer writes cores files), and
+    * consumers of a multi-MB relation get adequate split parallelism from
+    * Spark's openCost/maxPartitionBytes sizing regardless of file count.
+    * Measured at the 100× bench point: every band-index materialization
+    * (60-120 MB shuffle-compressed) paid its own bytes through the
+    * repartition exchange just to arrive at the SAME cores-many file
+    * count, ~10 task-s per index build. Relations in the 24-128 MB stats
+    * band now keep the producer layout like >128 MB ones always did. */
   private[graft] def fileCount(statsBytes: BigInt, cores: Int): Option[Int] = {
     val unknown = statsBytes >=
       org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes
-    if (unknown || statsBytes > (128L << 20)) None
+    if (unknown || statsBytes > (24L << 20)) None
     else {
       val ramp = statsBytes / (256L << 10)
       val ceil = BigInt(cores).max(statsBytes / (4L << 20) + 1)
@@ -203,8 +214,23 @@ object Scratch {
   /** Write `df` to a fresh scratch parquet dir and return a plain scan of
     * it. One write job now; every later consumer reads the files (no
     * lineage re-execution, no persisted RDD). `tag` names the dir for
-    * debuggability. */
-  def materialize(df: DataFrame, tag: String): DataFrame = {
+    * debuggability.
+    *
+    * `compact = false` (round 15) skips the size-aware repartition
+    * unconditionally — for CORPUS-SCALE relations (band indexes, signature
+    * projections) whose producer partitioning is the input scan's splits:
+    * that layout already scales with the data at every size, while the
+    * optimizer's size ESTIMATE for an exploded projection routinely
+    * undershoots the 24 MB engage threshold and the "compaction" then
+    * pays a full exchange of the relation's real bytes to arrive at the
+    * same cores-many file count (measured at the 100× bench point: every
+    * band-index materialization shuffled its own 60-120 MB through the
+    * repartition, ~10-15 task-s per index build, for an identical file
+    * layout). Callers that KNOW the relation scales with the corpus pass
+    * false; output-unknown relations (candidate sets, class tables) keep
+    * the default stats-driven ramp. */
+  def materialize(df: DataFrame, tag: String,
+                  compact: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val root = spark.conf.getOption("spark.graft.scratchDir")
       .getOrElse(System.getProperty("java.io.tmpdir"))
@@ -240,8 +266,10 @@ object Scratch {
     // Unconditional when stats are known (no current-partition probe: a
     // .rdd call here cost a full extra analysis/optimization pass per
     // materialize, and the fold/band operators materialize repeatedly).
-    val out = fileCount(stats, spark.sparkContext.defaultParallelism)
-      .fold(df)(df.repartition(_))
+    val out =
+      if (!compact) df
+      else fileCount(stats, spark.sparkContext.defaultParallelism)
+        .fold(df)(df.repartition(_))
     out.write.mode("overwrite").parquet(dir)
     ensureHook()
     // size accounting is best-effort java.io measurement: a non-local

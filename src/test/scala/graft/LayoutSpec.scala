@@ -191,14 +191,16 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(f(2L << 20) == 8)
     assert(f(4L << 20) == 16)
     assert(f(8L << 20) == 32)
-    // flat at cores through the mid band; growth resumes near the cutoff
-    assert(f(64L << 20) == 32)
-    assert(f(128L << 20) == 33)
+    // flat at cores through the mid band up to the cutoff
+    assert(f(16L << 20) == 32)
+    assert(f(24L << 20) == 32)
     // monotone across the whole engaged range
-    val samples = (1 to 512).map(i => f(i.toLong << 18))
+    val samples = (1 to 96).map(i => f(i.toLong << 18))
     assert(samples.zip(samples.tail).forall { case (a, b) => a <= b })
-    // large / unknown stats: keep the producer's partitioning
-    assert(fileCount(BigInt(129L << 20), cores).isEmpty)
+    // past the cutoff: the compaction exchange would cost more than the
+    // file sizing buys — keep the producer's partitioning
+    assert(fileCount(BigInt(25L << 20), cores).isEmpty)
+    assert(fileCount(BigInt(128L << 20), cores).isEmpty)
     assert(fileCount(BigInt(Long.MaxValue), cores).isEmpty)
   }
 }
