@@ -1369,10 +1369,26 @@ object CorpusFunctions {
     * Scale: pair counts partial-aggregate map-side; the LM relation is
     * bigram-vocabulary-sized; docs join it by pair key — same shape as the
     * unigram path, one extra key column. */
-  /** Per-doc bigram counts (idCol, w1, w2, pf) — the shared pair
-    * extraction behind [[bigramLogProbScores]] / [[knLogProbScores]]. */
-  private def bigramPairCounts(docs: DataFrame, idCol: String,
-                               textCol: String): DataFrame =
+  /** Per-doc bigram counts (idCol, w1, w2, pf), hash-partitioned by
+    * (w1, w2) — the shared pair extraction behind [[bigramLogProbScores]]
+    * / [[knLogProbScores]].
+    *
+    * ONE (w1, w2)-keyed exchange serves the whole scorer (round 15, guide
+    * §2.4): the former shape exchanged the instances by hash(id, w1, w2)
+    * for this aggregation (403 MB at the 100× bench point, near-zero
+    * map-side reduction since bigrams rarely repeat within one doc) and
+    * then RE-SHUFFLED the counted relation by (w1, w2) for the LM join
+    * (another 511 MB). Hash(w1, w2) established BELOW the aggregation
+    * clusters the (id, w1, w2) group keys too, and every downstream
+    * consumer — the bigram-vocabulary rollup, the pair-total scalar, the
+    * scoring join's probe side — reads THIS relation, whose lineage roots
+    * in one canonically-identical exchange (reused, not re-executed; the
+    * id column stays in the exchange so column pruning cannot split it
+    * into per-consumer variants). Only the vocabulary-scale LM moves
+    * again. Hot-bigram placement is unchanged from the former join's
+    * (w1, w2) hashing. */
+  private def bigramInstanceRows(docs: DataFrame, idCol: String,
+                                 textCol: String): DataFrame =
     docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= 2)
@@ -1380,7 +1396,13 @@ object CorpusFunctions {
         sequence(lit(1), size(col("__toks")) - 1),
         i => struct(element_at(col("__toks"), i).as("w1"),
           element_at(col("__toks"), i + 1).as("w2")))).as("p"))
-      .groupBy(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  private def bigramPairCounts(docs: DataFrame, idCol: String,
+                               textCol: String): DataFrame =
+    bigramInstanceRows(docs, idCol, textCol)
+      .repartition(col("w1"), col("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("pf"))
 
   def bigramLogProbScores(docs: DataFrame, idCol: String,
@@ -1389,6 +1411,7 @@ object CorpusFunctions {
     val vocab = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
+    // exchange-free: hash(w1, w2) already clusters the group keys
     val c12 = pf.groupBy(col("w1"), col("w2")).agg(sum(col("pf")).as("c12"))
     val lm = c12
       .withColumn("c1", sum(col("c12")).over(
@@ -1398,6 +1421,7 @@ object CorpusFunctions {
         round(log((col("c12") + 1).cast("double") /
           (col("c1") + col("v")).cast("double")), 4)
           .cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("lp"))
+    // probe side already (w1, w2)-clustered; only the vocab-scale LM moves
     pf.join(lm, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(sum(col("pf")).as("n_bigrams"), sum(col("pf") * col("lp")).as("slp"))
@@ -1431,7 +1455,24 @@ object CorpusFunctions {
                       textCol: String, discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0, s"discount $discount not in (0,1)")
     val pf = bigramPairCounts(docs, idCol, textCol)
-    val c12 = pf.groupBy(col("w1"), col("w2")).agg(sum(col("pf")).as("c12"))
+    // The LM side reads c12 THREE ways (the head/continuation windows and
+    // the 1-row pair-total broadcast) — left lazy, each consumer
+    // re-tokenized the corpus and re-exchanged the bigram counts (the
+    // optimizer collapses sum-of-per-doc-counts to a direct count, so the
+    // subtrees canonicalize differently from the probe's and nothing is
+    // reused; measured at the 100× bench point as a third full
+    // tokenize + 280 MB exchange per run). The relation is
+    // bigram-vocabulary-scale — materialize it once. The PROBE side stays
+    // lazy on purpose: its (w1, w2) hash partitioning survives into the
+    // scoring join (a scratch scan would forget it and re-exchange the
+    // full counted relation, the 511 MB shuffle this rewrite removes).
+    // built from the instance rows directly (count per bigram ≡ sum of
+    // per-doc counts), so the id column prunes out of its exchange and the
+    // aggregation combines map-side
+    val c12 = graft.util.Scratch.materialize(
+      bigramInstanceRows(docs, idCol, textCol)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
+      "kn_c12")
     val wHead = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
     val wCont = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
     val n1tot = c12.agg(count(lit(1)).as("n1tot")) // distinct pairs, 1 row
@@ -1450,6 +1491,7 @@ object CorpusFunctions {
             ((d * col("n1h").cast("double")) / col("c1").cast("double")) *
               (col("n1c").cast("double") / col("n1tot").cast("double"))), 4)
           .cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("lp"))
+    // probe side already (w1, w2)-clustered; only the vocab-scale LM moves
     pf.join(lm, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(sum(col("pf")).as("n_bigrams"), sum(col("pf") * col("lp")).as("slp"))
