@@ -1068,6 +1068,10 @@ object Multimodal {
     // [[expandPairsThroughMembers]])
     val members = prof.select(col("__vfp"), col(idCol).as("__m"), col("__nf"))
       .join(repTbl, Seq("__vfp"))
+    // no class-size gate here: unlike the image path, no eager probe
+    // already exists, and a probe job just to flip the salting off
+    // measured as a wash at steady scale (job wall down, gap up) —
+    // the salted plan stays unconditionally
     val within = blockedWithinPairs(members, "__vfp", carry = Seq("__nf"))
       .select(col("id_a"), col("id_b"),
         col("__nf").cast("long").as("n_shared"))
@@ -1240,9 +1244,27 @@ object Multimodal {
     * (id_a < id_b, carry…). */
   private[graft] def blockedWithinPairs(members: DataFrame,
                                              keyCol: String,
-                                             carry: Seq[String] = Nil)
+                                             carry: Seq[String] = Nil,
+                                             maxClassSize: Long = Long.MaxValue)
       : DataFrame = {
     val genP = members.sparkSession.sparkContext.defaultParallelism
+    // UNSALTED fast path (round 15): when the caller's eager class-size
+    // probe says every class fits one block, the largest single-key
+    // output is maxClassSize² ≤ quadBlockRows² — the same per-task bound
+    // the salting guarantees — so the block machinery (two exchanges +
+    // explodes here, four more in the expansion) is pure stage-count
+    // overhead; the steady bench point paid ~0.4 s of sub-MB shuffle
+    // stages for it. The class-keyed repartition stays (the round-14
+    // AQE-coalesce fix: partition sizing sees class-scale input, not
+    // C(m,2)-scale output).
+    if (maxClassSize <= quadBlockRows) {
+      val m2 = members.repartition(genP, col(keyCol))
+      return m2.select(Seq(col(keyCol), col("__m").as("id_a")) ++
+          carry.map(col): _*)
+        .join(m2.select(col(keyCol), col("__m").as("id_b")), Seq(keyCol))
+        .filter(col("id_a") < col("id_b"))
+        .select(Seq(col("id_a"), col("id_b")) ++ carry.map(col): _*)
+    }
     val m = withBlocks(members)
     val a = m.select(Seq(col(keyCol), col("__m").as("id_a"),
         col("__blk").as("__bi"),
@@ -1279,9 +1301,30 @@ object Multimodal {
   private[graft] def expandPairsThroughMembers(pairs: DataFrame,
                                                     classes: DataFrame,
                                                     members: DataFrame,
-                                                    carry: Seq[String])
+                                                    carry: Seq[String],
+                                                    maxClassSize: Long =
+                                                      Long.MaxValue)
       : DataFrame = {
     val genP = pairs.sparkSession.sparkContext.defaultParallelism
+    // UNSALTED fast path — see [[blockedWithinPairs]]: per-hop single-key
+    // output is bounded by partner-degree × maxClassSize when classes fit
+    // one block, the same shape the salting's finite stream-spread (16)
+    // only partially spreads anyway; below the block size the four salted
+    // exchanges are stage-count overhead. One member exchange serves both
+    // hops (exchange reuse); the pair stream is pair-scale.
+    if (maxClassSize <= quadBlockRows) {
+      val mm = members.select(col("__rep"), col("__m"))
+        .repartition(genP, col("__rep"))
+      val j1 = pairs.join(
+        mm.select(col("__rep").as("id_a"), col("__m").as("__ma")),
+        Seq("id_a"))
+      val j2 = j1.join(
+        mm.select(col("__rep").as("id_b"), col("__m").as("__mb")),
+        Seq("id_b"))
+      return j2.select(Seq(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b")) ++
+        carry.map(col): _*)
+    }
     val t = quadBlockRows.toLong
     val m = withBlocks(members)
     // per-class salting constants for the stream side (rep-scale relation)
@@ -1388,12 +1431,13 @@ object Multimodal {
     // largest class alone owing 23M pairs to a single task).
     val members = hashes.join(rep, cls)
       .select(col("__rep"), col(idCol).as("__m"), col("__n"))
-    val within = blockedWithinPairs(members, "__rep")
+    val within = blockedWithinPairs(members, "__rep", maxClassSize = maxN)
       .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
     // expand each rep pair to its classes' members (hamming carries over:
     // members share their rep's dhash bit-for-bit)
     val cross = expandPairsThroughMembers(repPairs,
-      rep.select(col("__rep"), col("__n")), members, carry = Seq("hamming"))
+      rep.select(col("__rep"), col("__n")), members, carry = Seq("hamming"),
+      maxClassSize = maxN)
       .select(col("id_a"), col("id_b"), col("hamming"))
     within.unionByName(cross)
   }
